@@ -1,0 +1,106 @@
+package graft.meta
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.Comparator
+import scala.jdk.CollectionConverters._
+import scala.util.Random
+
+/** The table's versioned metadata log: `_meta/v%08d.json` snapshot files.
+  *
+  * Commit protocol — optimistic concurrency exactly in the spirit of the
+  * reference's `commit.retry.*` table properties
+  * (`core/config.py:15-17`):
+  *   1. read the current max version N (directory listing);
+  *   2. write the new snapshot to a temp file;
+  *   3. atomically publish it as `v(N+1)` via hard-link (fails if another
+  *      writer won the race) with an atomic-rename fallback;
+  *   4. on conflict, back off (bounded exponential + jitter) and retry
+  *      from (1) up to `commit.retry.num-retries` times.
+  *
+  * The log is the source of truth; no mutable pointer file exists, so a
+  * crashed writer can never leave the table unreadable — readers always
+  * see the highest fully-published version. On a distributed store this
+  * maps to any filesystem with atomic create-if-absent (HDFS rename,
+  * object stores' if-none-match put); only this class would change.
+  */
+final class MetadataLog(tableDir: Path) {
+  private val metaDir = tableDir.resolve("_meta")
+
+  private def versionFile(v: Int): Path = metaDir.resolve(f"v$v%08d.json")
+
+  def exists(): Boolean = Files.isDirectory(metaDir) && currentVersion().isDefined
+
+  def listVersions(): Seq[Int] = {
+    if (!Files.isDirectory(metaDir)) return Nil
+    val stream = Files.list(metaDir)
+    try {
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+          s.stripPrefix("v").stripSuffix(".json").toInt
+        }
+        .toSeq.sorted
+    } finally stream.close()
+  }
+
+  def currentVersion(): Option[Int] = listVersions().lastOption
+
+  def read(version: Int): Snapshot =
+    Snapshot.fromJson(Files.readString(versionFile(version)))
+
+  def current(): Option[Snapshot] = currentVersion().map(read)
+
+  def snapshots(): Seq[Snapshot] = listVersions().map(read)
+
+  def delete(version: Int): Unit = Files.deleteIfExists(versionFile(version))
+
+  /** Publish `build(parent)` as the next version. `build` is re-invoked
+    * with the freshly-read parent on every retry so the caller always
+    * commits against the latest table state.
+    */
+  def commit(build: Option[Snapshot] => Snapshot,
+             retries: Int = 10, minWaitMs: Long = 100, maxWaitMs: Long = 60000): Snapshot = {
+    Files.createDirectories(metaDir)
+    var attempt = 0
+    while (true) {
+      val parent = current()
+      val nextVersion = parent.map(_.version + 1).getOrElse(0)
+      val snap = build(parent).copy(
+        version = nextVersion,
+        parentId = parent.map(_.snapshotId),
+        timestampMs = System.currentTimeMillis())
+      val tmp = Files.createTempFile(metaDir, ".commit-", ".json.tmp")
+      Files.writeString(tmp, Snapshot.toJson(snap))
+      val target = versionFile(nextVersion)
+      val won =
+        try { Files.createLink(target, tmp); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: UnsupportedOperationException =>
+            // FS without hard links: atomic move, then verify we won.
+            try {
+              Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+              true
+            } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        }
+      Files.deleteIfExists(tmp)
+      if (won) return snap
+      attempt += 1
+      if (attempt > retries)
+        throw new IllegalStateException(
+          s"Commit conflict on $tableDir after $retries retries")
+      val backoff = math.min(maxWaitMs, minWaitMs * (1L << math.min(attempt, 16)))
+      Thread.sleep(minWaitMs + Random.nextLong(math.max(1, backoff - minWaitMs)))
+    }
+    sys.error("unreachable")
+  }
+
+  /** Remove the whole log (drop table). */
+  def destroy(): Unit = {
+    if (Files.isDirectory(metaDir)) {
+      val stream = Files.walk(metaDir)
+      try stream.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.deleteIfExists(p))
+      finally stream.close()
+    }
+  }
+}

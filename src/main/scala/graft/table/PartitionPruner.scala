@@ -1,0 +1,237 @@
+package graft.table
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+
+import graft.meta.DataFile
+import graft.partitioning.{PartitionField, Transform}
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** File-level partition pruning over snapshot metadata.
+  *
+  * The scan planner and the copy-on-write delete/upsert paths call this
+  * before any Spark job runs, so at 100 TB a predicate on the partition
+  * source column touches only the matching partition directories'
+  * files — the moral equivalent of Iceberg manifest pruning. (Parquet
+  * row-group pruning still applies afterwards inside Spark.)
+  *
+  * Three-valued evaluation per file:
+  *   - `mayMatch`  — file can contain rows satisfying the predicate;
+  *     scan keeps only these.
+  *   - `allMatch`  — every row in the file provably satisfies it;
+  *     `deleteWhere` drops such files whole, without a rewrite job —
+  *     this is the reference's "replace partition" fast path
+  *     (`examples/advanced_scenarios.py:79-109`).
+  *
+  * Supported leaf shapes: comparisons / In / IsNull / IsNotNull between
+  * the partition source column and literals, composed with AND / OR /
+  * NOT. Anything else degrades conservatively to (may=true, all=false).
+  * Monotone transforms (identity, year/month/day/hour, truncate) support
+  * ranges; bucket supports equality/IN only.
+  */
+object PartitionPruner {
+
+  /** (mayMatch, allMatch) */
+  final case class Tri(may: Boolean, all: Boolean) {
+    def &&(o: Tri): Tri = Tri(may && o.may, all && o.all)
+    def ||(o: Tri): Tri = Tri(may || o.may, all || o.all)
+    def unary_! : Tri = Tri(!all, !may)
+  }
+  val Unknown: Tri = Tri(may = true, all = false)
+
+  def mayMatch(file: DataFile, spec: PartitionField, predicate: Expression): Boolean =
+    evaluate(file, spec, predicate).may
+
+  def allMatch(file: DataFile, spec: PartitionField, predicate: Expression): Boolean =
+    evaluate(file, spec, predicate).all
+
+  def evaluate(file: DataFile, spec: PartitionField, predicate: Expression): Tri = {
+    val pv: Option[Option[String]] = file.partitionValues.flatMap(_.get(spec.fieldName))
+    pv match {
+      case None      => Unknown // unpartitioned / unknown field
+      case Some(value) => eval(value, spec, predicate)
+    }
+  }
+
+  private def eval(pv: Option[String], spec: PartitionField, e: Expression): Tri = e match {
+    case And(l, r) => eval(pv, spec, l) && eval(pv, spec, r)
+    case Or(l, r)  => eval(pv, spec, l) || eval(pv, spec, r)
+    case Not(c)    => !eval(pv, spec, c)
+    case EqualTo(a, Literal(v, dt)) if isSource(a, spec)          => cmp(pv, spec, "=", v, dt)
+    case EqualTo(Literal(v, dt), a) if isSource(a, spec)          => cmp(pv, spec, "=", v, dt)
+    case GreaterThan(a, Literal(v, dt)) if isSource(a, spec)      => cmp(pv, spec, ">", v, dt)
+    case GreaterThan(Literal(v, dt), a) if isSource(a, spec)      => cmp(pv, spec, "<", v, dt)
+    case GreaterThanOrEqual(a, Literal(v, dt)) if isSource(a, spec) => cmp(pv, spec, ">=", v, dt)
+    case GreaterThanOrEqual(Literal(v, dt), a) if isSource(a, spec) => cmp(pv, spec, "<=", v, dt)
+    case LessThan(a, Literal(v, dt)) if isSource(a, spec)         => cmp(pv, spec, "<", v, dt)
+    case LessThan(Literal(v, dt), a) if isSource(a, spec)         => cmp(pv, spec, ">", v, dt)
+    case LessThanOrEqual(a, Literal(v, dt)) if isSource(a, spec)  => cmp(pv, spec, "<=", v, dt)
+    case LessThanOrEqual(Literal(v, dt), a) if isSource(a, spec)  => cmp(pv, spec, ">=", v, dt)
+    case In(a, lits) if isSource(a, spec) && lits.forall(_.isInstanceOf[Literal]) =>
+      lits.map { case Literal(v, dt) => cmp(pv, spec, "=", v, dt) }
+        .foldLeft(Tri(may = false, all = false))(_ || _)
+    case IsNull(a) if isSource(a, spec) && spec.transform == Transform.Identity =>
+      if (pv.isEmpty) Tri(may = true, all = true) else Tri(may = false, all = false)
+    case IsNotNull(a) if isSource(a, spec) && spec.transform == Transform.Identity =>
+      if (pv.isEmpty) Tri(may = false, all = false) else Tri(may = true, all = true)
+    case _ => Unknown
+  }
+
+  /** Strip casts and match the partition source column by name. */
+  private def isSource(e: Expression, spec: PartitionField): Boolean = e match {
+    case a: AttributeReference => a.name.equalsIgnoreCase(spec.sourceCol)
+    case u: UnresolvedAttribute => u.name.equalsIgnoreCase(spec.sourceCol)
+    case Cast(c, _, _, _)      => isSource(c, spec)
+    case _                     => false
+  }
+
+  // ---- literal → transform-space comparison --------------------------------
+
+  private val dayFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd").withZone(ZoneOffset.UTC)
+  private val hourFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd-HH").withZone(ZoneOffset.UTC)
+  private val monthFmt = DateTimeFormatter.ofPattern("yyyy-MM").withZone(ZoneOffset.UTC)
+  private val yearFmt = DateTimeFormatter.ofPattern("yyyy").withZone(ZoneOffset.UTC)
+
+  /** Literal as UTC instant, for time transforms. */
+  private def toInstant(v: Any, dt: DataType): Option[Instant] = (v, dt) match {
+    case (micros: Long, TimestampType | TimestampNTZType) =>
+      Some(Instant.EPOCH.plusNanos(micros * 1000L))
+    case (days: Int, DateType) =>
+      Some(LocalDate.ofEpochDay(days.toLong).atStartOfDay(ZoneOffset.UTC).toInstant)
+    case (s: Any, StringType) =>
+      val str = s.toString
+      try Some(LocalDate.parse(str).atStartOfDay(ZoneOffset.UTC).toInstant)
+      catch {
+        case _: Exception =>
+          try Some(LocalDateTime.parse(str.replace(' ', 'T')).toInstant(ZoneOffset.UTC))
+          catch { case _: Exception => None }
+      }
+    case _ => None
+  }
+
+  /** Is the instant exactly on the transform's boundary? (needed for
+    * all-match proofs on >= / <=).
+    */
+  private def onBoundary(i: Instant, t: Transform): Boolean = {
+    val ldt = LocalDateTime.ofInstant(i, ZoneOffset.UTC)
+    val midnight = ldt.toLocalTime == java.time.LocalTime.MIDNIGHT
+    t match {
+      case Transform.Hour  => ldt.getMinute == 0 && ldt.getSecond == 0 && ldt.getNano == 0
+      case Transform.Day   => midnight
+      case Transform.Month => midnight && ldt.getDayOfMonth == 1
+      case Transform.Year  => midnight && ldt.getDayOfYear == 1
+      case _               => false
+    }
+  }
+
+  private def fmtFor(t: Transform): DateTimeFormatter = t match {
+    case Transform.Year => yearFmt; case Transform.Month => monthFmt
+    case Transform.Day => dayFmt; case Transform.Hour => hourFmt
+    case _ => sys.error("not a time transform")
+  }
+
+  private def cmp(pv: Option[String], spec: PartitionField, op: String, v: Any, dt: DataType): Tri = {
+    if (v == null) return Tri(may = false, all = false) // comparison with NULL matches nothing
+    if (pv.isEmpty) return Tri(may = false, all = false) // null partition value fails comparisons
+    val p = pv.get
+    spec.transform match {
+      case Transform.Identity =>
+        identityCmp(p, op, v, dt)
+      case t @ (Transform.Year | Transform.Month | Transform.Day | Transform.Hour) =>
+        toInstant(v, dt) match {
+          case None => Unknown
+          case Some(inst) =>
+            val lv = fmtFor(t).format(inst)
+            val c = p.compareTo(lv)
+            val boundary = onBoundary(inst, t)
+            op match {
+              case "="  => Tri(may = c == 0, all = false)
+              case ">"  => Tri(may = c >= 0, all = c > 0)
+              case ">=" => Tri(may = c >= 0, all = c > 0 || (c == 0 && boundary))
+              case "<"  => Tri(may = c <= 0, all = c < 0)
+              case "<=" => Tri(may = c <= 0, all = c < 0)
+              case _    => Unknown
+            }
+        }
+      case Transform.Truncate(w) =>
+        dt match {
+          case StringType =>
+            val lv = v.toString.take(w)
+            val c = p.compareTo(lv)
+            op match {
+              case "="  => Tri(may = c == 0, all = false)
+              case ">" | ">=" => Tri(may = c >= 0, all = c > 0)
+              case "<" | "<=" => Tri(may = c <= 0, all = c < 0)
+              case _ => Unknown
+            }
+          case IntegerType | LongType =>
+            val n = BigDecimal(v.toString)
+            val lv = n - (((n % w) + w) % w)
+            val pNum = try BigDecimal(p) catch { case _: Exception => return Unknown }
+            val c = pNum.compare(lv)
+            op match {
+              case "="  => Tri(may = c == 0, all = false)
+              case ">" | ">=" => Tri(may = c >= 0, all = c > 0)
+              case "<" | "<=" => Tri(may = c <= 0, all = c < 0)
+              case _ => Unknown
+            }
+          case _ => Unknown
+        }
+      case Transform.Bucket(n) =>
+        if (op != "=") Unknown
+        else {
+          val lit = Literal.create(v, dt)
+          val bucket = try {
+            val h = new Murmur3Hash(Seq(lit)).eval(null).asInstanceOf[Int]
+            ((h % n) + n) % n
+          } catch { case _: Exception => return Unknown }
+          Tri(may = p.toInt == bucket, all = false)
+        }
+      case Transform.Void => Unknown
+    }
+  }
+
+  /** Identity transform: partition value is `cast(col as string)`;
+    * compare numerically for numeric sources, lexically otherwise
+    * (date/timestamp/string casts are sortable strings).
+    */
+  private def identityCmp(p: String, op: String, v: Any, dt: DataType): Tri = {
+    val cOpt: Option[Int] = dt match {
+      case IntegerType | LongType | FloatType | DoubleType | _: DecimalType =>
+        try Some(BigDecimal(p).compare(BigDecimal(v.toString))) catch { case _: Exception => None }
+      case StringType => Some(p.compareTo(v.toString))
+      case DateType =>
+        Some(p.compareTo(LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString))
+      case TimestampType | TimestampNTZType =>
+        // cast(ts as string) in UTC: "yyyy-MM-dd HH:mm:ss[.SSSSSS]"
+        val inst = Instant.EPOCH.plusNanos(v.asInstanceOf[Long] * 1000L)
+        val ldt = LocalDateTime.ofInstant(inst, ZoneOffset.UTC)
+        val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d ${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+        // Fractional seconds make pure string comparison unreliable;
+        // compare on the seconds prefix and treat equality as may-only.
+        val c = p.take(base.length).compareTo(base)
+        return op match {
+          case "="        => Tri(may = c == 0, all = false)
+          case ">" | ">=" => Tri(may = c >= 0, all = c > 0)
+          case "<" | "<=" => Tri(may = c <= 0, all = c < 0)
+          case _          => Unknown
+        }
+      case _ => None
+    }
+    cOpt match {
+      case None => Unknown
+      case Some(c) =>
+        op match {
+          case "="  => Tri(may = c == 0, all = c == 0) // identity: pv==lit ⇒ every row == lit
+          case ">"  => Tri(may = c > 0, all = c > 0)
+          case ">=" => Tri(may = c >= 0, all = c >= 0)
+          case "<"  => Tri(may = c < 0, all = c < 0)
+          case "<=" => Tri(may = c <= 0, all = c <= 0)
+          case _    => Unknown
+        }
+    }
+  }
+}
