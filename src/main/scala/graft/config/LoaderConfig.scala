@@ -66,9 +66,27 @@ final case class LoaderConfig(
     cleaned
   }
 
-  /** Normalized SQL form of the replace filter (`==` → `=`), validated. */
+  /** Normalized SQL form of the replace filter (`==` → `=`), validated.
+    * The rewrite walks the string tracking quote state so a `==` inside a
+    * string literal (e.g. `note = 'a==b'`) is left untouched.
+    */
   val replaceFilterSql: Option[String] = replaceFilter.map { raw =>
-    val sql = raw.replaceAll("(?<![=!<>])==(?!=)", "=")
+    val sb = new StringBuilder
+    var i = 0
+    var inSingle = false
+    var inDouble = false
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '\'' && !inDouble) { inSingle = !inSingle; sb += c; i += 1 }
+      else if (c == '"' && !inSingle) { inDouble = !inDouble; sb += c; i += 1 }
+      else if (!inSingle && !inDouble && c == '=' && i + 1 < raw.length &&
+               raw.charAt(i + 1) == '=' &&
+               (i == 0 || !"=!<>".contains(raw.charAt(i - 1))) &&
+               (i + 2 >= raw.length || raw.charAt(i + 2) != '=')) {
+        sb += '='; i += 2
+      } else { sb += c; i += 1 }
+    }
+    val sql = sb.toString
     CatalystSqlParser.parseExpression(sql) // throws ParseException if bad
     sql
   }

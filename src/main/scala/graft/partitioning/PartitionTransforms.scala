@@ -28,8 +28,11 @@ sealed trait Transform {
   def name: String
   /** Partition-field name for source column `src` (reference naming). */
   def fieldName(src: String): String
-  /** The derived partition-value column. */
-  def derive(src: Column): Column
+  /** The derived partition-value column. `dt` is the source column's
+    * type from the table schema (Spark 4's `Column` is plan-free — no
+    * `.expr` — so type dispatch must be fed from the caller's schema).
+    */
+  def derive(src: Column, dt: DataType): Column
   /** Is the source type valid for this transform? */
   def accepts(dt: DataType): Boolean
 }
@@ -41,31 +44,31 @@ object Transform {
   case object Identity extends Transform {
     val name = "identity"
     def fieldName(src: String): String = src
-    def derive(src: Column): Column = src.cast(StringType)
+    def derive(src: Column, dt: DataType): Column = src.cast(StringType)
     def accepts(dt: DataType): Boolean = true
   }
   case object Year extends Transform {
     val name = "year"
     def fieldName(src: String): String = s"${src}_year"
-    def derive(src: Column): Column = date_format(src, "yyyy")
+    def derive(src: Column, dt: DataType): Column = date_format(src, "yyyy")
     def accepts(dt: DataType): Boolean = isTime(dt)
   }
   case object Month extends Transform {
     val name = "month"
     def fieldName(src: String): String = s"${src}_month"
-    def derive(src: Column): Column = date_format(src, "yyyy-MM")
+    def derive(src: Column, dt: DataType): Column = date_format(src, "yyyy-MM")
     def accepts(dt: DataType): Boolean = isTime(dt)
   }
   case object Day extends Transform {
     val name = "day"
     def fieldName(src: String): String = s"${src}_day"
-    def derive(src: Column): Column = date_format(src, "yyyy-MM-dd")
+    def derive(src: Column, dt: DataType): Column = date_format(src, "yyyy-MM-dd")
     def accepts(dt: DataType): Boolean = isTime(dt)
   }
   case object Hour extends Transform {
     val name = "hour"
     def fieldName(src: String): String = s"${src}_hour"
-    def derive(src: Column): Column = date_format(src, "yyyy-MM-dd-HH")
+    def derive(src: Column, dt: DataType): Column = date_format(src, "yyyy-MM-dd-HH")
     def accepts(dt: DataType): Boolean = isTime(dt)
   }
   /** Murmur3-based bucketing. Spark's `hash` IS murmur3_x86_32 (the same
@@ -77,16 +80,18 @@ object Transform {
   final case class Bucket(n: Int) extends Transform {
     val name = "bucket"
     def fieldName(src: String): String = s"${src}_bucket_$n"
-    def derive(src: Column): Column = pmod(hash(src), lit(n)).cast(StringType)
+    def derive(src: Column, dt: DataType): Column = pmod(hash(src), lit(n)).cast(StringType)
+    // AtomicType is private[sql] in Spark 4 — invert: bucket accepts any
+    // non-nested, non-null type.
     def accepts(dt: DataType): Boolean = dt match {
-      case _: AtomicType => true
-      case _             => false
+      case _: StructType | _: ArrayType | _: MapType | NullType => false
+      case _                                                    => true
     }
   }
   final case class Truncate(w: Int) extends Transform {
     val name = "truncate"
     def fieldName(src: String): String = s"${src}_trunc_$w"
-    def derive(src: Column): Column = src.expr.dataType match {
+    def derive(src: Column, dt: DataType): Column = dt match {
       case StringType => substring(src, 1, w)
       case _          => (src - pmod(src, lit(w))).cast(StringType)
     }
@@ -99,7 +104,7 @@ object Transform {
   case object Void extends Transform {
     val name = "void"
     def fieldName(src: String): String = s"${src}_void"
-    def derive(src: Column): Column = lit(null).cast(StringType)
+    def derive(src: Column, dt: DataType): Column = lit(null).cast(StringType)
     def accepts(dt: DataType): Boolean = true
   }
 }
@@ -109,7 +114,7 @@ final case class PartitionField(sourceCol: String, transform: Transform) {
   def fieldName: String = transform.fieldName(sourceCol)
   /** Name of the derived column added just for `partitionBy`. */
   def derivedColName: String = s"_p_$fieldName"
-  def derive(src: Column): Column = transform.derive(src)
+  def derive(src: Column, dt: DataType): Column = transform.derive(src, dt)
   override def toString: String = transform match {
     case Transform.Identity    => sourceCol
     case Transform.Bucket(n)   => s"bucket($n, $sourceCol)"

@@ -184,11 +184,11 @@ object PartitionPruner {
         if (op != "=") Unknown
         else {
           val lit = Literal.create(v, dt)
-          val bucket = try {
+          try {
             val h = new Murmur3Hash(Seq(lit)).eval(null).asInstanceOf[Int]
-            ((h % n) + n) % n
-          } catch { case _: Exception => return Unknown }
-          Tri(may = p.toInt == bucket, all = false)
+            val bucket = ((h % n) + n) % n
+            Tri(may = p.toInt == bucket, all = false)
+          } catch { case _: Exception => Unknown }
         }
       case Transform.Void => Unknown
     }
