@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data pipelines (driver north
+  * star, `BASELINE.json`). Everything here composes built-in
+  * `org.apache.spark.sql.functions` (whole-stage-codegen'd; no UDFs),
+  * so the operators stay inside Tungsten at any scale.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization; empty tokens removed so leading/trailing
+    * whitespace doesn't produce ghost tokens.
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Lowercased alphanumeric-word tokens (BPE-ish regex splitting:
+    * words, numbers, or single punctuation marks as tokens).
+    */
+  def wordTokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9']+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Character n-gram shingles of the lowercased, whitespace-collapsed
+    * text. `transform(sequence(...))` keeps it inside codegen.
+    */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", " ")
+    val count = greatest(length(norm) - (n - 1), lit(0))
+    when(count <= 0, array(norm)).otherwise(
+      array_distinct(transform(sequence(lit(1), count), i => norm.substr(i, lit(n)))))
+  }
+
+  /** Word n-grams (token windows joined by a space). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val t = wordTokens(text)
+    val count = greatest(size(t) - (n - 1), lit(0))
+    when(count <= 0, array(array_join(t, " "))).otherwise(
+      array_distinct(transform(sequence(lit(0), count - 1),
+        i => array_join(slice(t, i + 1, lit(n)), " "))))
+  }
+
+  /** Jaccard similarity of two string-set columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  // ------------------------------------------------------------------
+  // Quality scoring (length / punctuation / stopword / word-shape
+  // ratios, the classic pre-training quality heuristics)
+  // ------------------------------------------------------------------
+
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "of", "and", "a", "to", "in", "is", "it", "that", "was",
+    "for", "on", "are", "as", "with", "his", "they", "i", "at", "be",
+    "this", "have", "from", "or", "had", "by", "not", "but", "what",
+    "all", "were", "we", "when", "your", "can", "said", "there", "an",
+    "which", "their", "if", "will", "each", "about", "how", "up", "out")
+
+  /** Fixed punctuation set so Spark and any SQL oracle agree exactly. */
+  private val PunctClass = "[.,!?;:]"
+
+  def punctRatio(text: Column): Column = {
+    val len = length(text).cast("double")
+    val noPunct = length(regexp_replace(text, PunctClass, "")).cast("double")
+    when(len === 0, lit(0.0)).otherwise((len - noPunct) / len)
+  }
+
+  def stopwordRatio(text: Column): Column = {
+    val t = wordTokens(text)
+    val stops = size(filter(t, w => w.isin(EnglishStopwords: _*))).cast("double")
+    when(size(t) === 0, lit(0.0)).otherwise(stops / size(t).cast("double"))
+  }
+
+  def meanWordLength(text: Column): Column = {
+    val t = wordTokens(text)
+    when(size(t) === 0, lit(0.0)).otherwise(
+      aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        size(t).cast("double"))
+  }
+
+  /** Composite 0–1 quality score: penalizes extreme punctuation, very
+    * short documents, and stopword-free (non-linguistic) text.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round((lenScore + punctScore + stopScore) / 3.0, 4)
+  }
+
+  // ------------------------------------------------------------------
+  // Language identification (stopword-overlap heuristic)
+  // ------------------------------------------------------------------
+
+  /** Tiny per-language function-word inventories. Function words are
+    * the highest-frequency tokens of each language, so overlap counting
+    * is a serviceable n-gram-free language-ID heuristic at corpus scale.
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "ich", "mit", "sich"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pas", "vous", "dans", "qui"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una", "por", "con", "para", "del"),
+    "it" -> Seq("il", "di", "che", "non", "per", "una", "sono", "con", "del", "gli"))
+
+  /** Predicted language code, or "und" when no marker matches. */
+  def langId(text: Column): Column = {
+    val t = wordTokens(text)
+    // build array<struct<score,lang>> and take the max (struct ordering
+    // compares score first, then lang — deterministic ties)
+    val scored = array(LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(size(filter(t, w => w.isin(markers: _*))).as("score"), lit(lang).as("lang"))
+    }: _*)
+    val best = array_max(scored)
+    when(best.getField("score") <= 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  // ------------------------------------------------------------------
+  // Fingerprinting
+  // ------------------------------------------------------------------
+
+  /** 64-bit fingerprint of the normalized text (whitespace-collapsed,
+    * lowercased) — equal fingerprints ⇔ near-certainly equal normalized
+    * content. xxhash64 is Spark-native and codegen'd.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Polynomial rolling hash over word tokens (base-31 mod 2^61-1),
+    * computed with `aggregate` — stays in codegen, order-sensitive
+    * (unlike xxhash64-of-whole-string it can be computed incrementally
+    * over token streams).
+    */
+  def rollingHash(text: Column): Column = {
+    // modulus small enough that acc*31 + h cannot overflow Long under
+    // ANSI arithmetic (Spark 4 default)
+    val mod = lit(1000000007L)
+    aggregate(wordTokens(text), lit(7L),
+      (acc, w) => pmod(acc * 31 + pmod(xxhash64(w), mod), mod))
+  }
+
+  /** 64-bit SimHash over word tokens: per bit, sum +1/-1 weighted by
+    * token-hash bit, sign becomes the fingerprint bit. Near-duplicate
+    * documents land within small Hamming distance.
+    */
+  def simhash(text: Column): Column = {
+    val t = wordTokens(text)
+    val counters = aggregate(
+      t,
+      array_repeat(lit(0), 64),
+      (acc, w) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(63)),
+          b => when(call_function("shiftright", xxhash64(w), b).bitwiseAND(1) === 1, 1)
+            .otherwise(-1)),
+        (a, x) => a + x))
+    aggregate(
+      zip_with(counters, sequence(lit(0), lit(63)),
+        (c, b) => when(c > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hammingDist(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines. Every variant
+  * is designed for the 100 TB shape:
+  *
+  *   - exact: one hash-shuffle on the dedup key (map-side combine).
+  *   - MinHash/LSH: banded — candidates come from joining on
+  *     (band, band-hash) buckets, so cost is O(duplicates), never the
+  *     O(n²) all-pairs cross join.
+  *   - SimHash: 64-bit fingerprint + banded Hamming blocking.
+  *   - n-gram Jaccard: verification metric on candidate pairs only.
+  *   - embedding cosine: random-hyperplane LSH buckets, cosine verified
+  *     within buckets.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the row with the smallest `idCol` per duplicate
+    * group. Implemented as min-id join-back (one shuffle on the content
+    * hash; map-side partial aggregation) rather than a window over the
+    * raw text so the shuffle carries (hash, id), not document bodies.
+    */
+  def exact(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame = {
+    val key = xxhash64(contentCols.map(c => col(c).cast("string")): _*).as("_k")
+    val keyed = df.withColumn("_k", key)
+    val keepers = keyed.groupBy("_k").agg(min(col(idCol)).as(idCol))
+    keyed.join(keepers, Seq("_k", idCol), "left_semi").drop("_k")
+  }
+
+  /** Duplicate-group summary (for oracle checks): content key → group
+    * size and representative id.
+    */
+  def exactGroups(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(col(contentCol))
+      .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("keeper_id"))
+
+  /** MinHash signature: `numHashes` permutations simulated as
+    * xxhash64(shingle, seed) minima — all inside codegen via
+    * higher-order functions, no UDF, no explode of the shingle set.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(shingles, s => xxhash64(s, seed))))
+
+  /** Banded-LSH near-duplicate candidate pairs.
+    *
+    * Signature of `numHashes` minima is cut into `bands` bands; two
+    * documents become a candidate pair iff some band hashes equal.
+    * The band table is exploded (docs × bands rows — linear, not
+    * quadratic), self-joined on (band index, band hash), and verified
+    * with true Jaccard over the shingle sets. At scale the join is a
+    * shuffle on band hash — skew-safe because identical band hashes are
+    * precisely the near-duplicate clusters.
+    *
+    * Returns pairs (idA < idB, jaccard) with jaccard ≥ `threshold`.
+    */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   shingleSize: Int = 5, numHashes: Int = 32, bands: Int = 8,
+                   threshold: Double = 0.6): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val withSig = df
+      .select(col(idCol).as("id"), charShingles(col(textCol), shingleSize).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = withSig.select(
+      col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)).cast("string"), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
+    val a = banded.select(col("band"), col("bhash"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bhash"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bhash"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .distinct()
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup candidates: fingerprint each document, block on
+    * 16-bit bands (Hamming distance ≤ 3 ⇒ at least one of 4 bands
+    * equal, pigeonhole), verify Hamming within blocks.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val fp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val banded = fp.select(col("id"), col("fp"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("fp"), b * 16).bitwiseAND(0xFFFFL))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val a = banded.select(col("band"), col("bkey"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = banded.select(col("band"), col("bkey"), col("id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("band", "bkey"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDist(col("fp_a"), col("fp_b")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** n-gram Jaccard similarity for given candidate pairs — the
+    * verification kernel shared by the LSH variants; exposed standalone
+    * for blocked pairwise dedup (`pairs` must carry id_a/id_b).
+    */
+  def ngramJaccardVerify(docs: DataFrame, pairs: DataFrame, textCol: String,
+                         idCol: String, n: Int = 3): DataFrame = {
+    val grams = docs.select(col(idCol).as("_id"), wordNgrams(col(textCol), n).as("_g"))
+    pairs
+      .join(grams.select(col("_id").as("id_a"), col("_g").as("ga")), Seq("id_a"))
+      .join(grams.select(col("_id").as("id_b"), col("_g").as("gb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("ga"), col("gb")).as("jaccard"))
+  }
+
+  /** Embedding near-dup: random-hyperplane LSH. Hyperplane components
+    * are deterministic pseudo-randoms derived from xxhash64(plane, dim)
+    * — reproducible across runs and clusters with zero driver state.
+    * Documents sharing the `planes`-bit sign bucket get cosine-verified.
+    */
+  def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
+                     planes: Int = 8, threshold: Double = 0.95): DataFrame = {
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", hyperplaneBucket(col("v"), planes))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("va"), col("vb")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** Sign bucket of `v` against `planes` deterministic hyperplanes. */
+  def hyperplaneBucket(v: Column, planes: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(planes - 1)), p => {
+        // dot(v, plane_p) where plane_p[d] = centered hash in [-0.5, 0.5)
+        val dot = aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1),
+            (x, d) => x.cast("double") *
+              (pmod(xxhash64(p, d), lit(1000L)).cast("double") / 1000.0 - 0.5)),
+          lit(0.0), (acc, x) => acc + x)
+        when(dot >= 0, lit(1L)).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, bit) => acc * 2 + bit)
+}

@@ -1,0 +1,318 @@
+package graft.queries
+
+import QueryHelpers._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators wired into the harness: text
+  * analysis, dedup (exact + near-dup families), similarity search, and
+  * multimodal plumbing — each over the driver's `documents` /
+  * `embeddings` tables with a DuckDB oracle wherever the math is
+  * SQL-expressible (hash-based ops are internal-consistency /
+  * rows-only).
+  */
+object PipelineQueries {
+
+  /** DuckDB dual of [[TextFunctions.wordTokens]]. */
+  private val DTOKENS =
+    """list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0)"""
+
+  val queries: Map[String, Q] = Map(
+
+    // ---- text analysis ------------------------------------------------
+
+    "q20_token_stats" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long")).as("tokens"),
+          sum(size(TextFunctions.wordTokens(col("text"))).cast("long")).as("words"))
+        .orderBy(col("lang")),
+      Some(s"""SELECT lang, COUNT(*) AS docs,
+              |  SUM(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0))) AS tokens,
+              |  SUM(len($DTOKENS)) AS words
+              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    "q21_word_freq" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(TextFunctions.wordTokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("word"))
+        .limit(100),
+      Some(s"""SELECT word, COUNT(*) AS freq
+              |FROM (SELECT unnest($DTOKENS) AS word FROM documents)
+              |GROUP BY word ORDER BY freq DESC, word LIMIT 100""".stripMargin)),
+
+    "q22_quality_scores" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .where(col("doc_id") < 200)
+        .select(
+          col("doc_id"),
+          round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
+          round(TextFunctions.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+          TextFunctions.tokenCount(col("text")).as("tokens"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  ROUND(CASE WHEN len(text) = 0 THEN 0.0
+              |    ELSE (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / len(text) END, 4) AS punct_ratio,
+              |  ROUND(CASE WHEN len($DTOKENS) = 0 THEN 0.0
+              |    ELSE len(list_filter($DTOKENS, x -> x IN (${TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString(",")}))) * 1.0
+              |      / len($DTOKENS) END, 4) AS stopword_ratio,
+              |  len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS tokens
+              |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
+    // language-ID heuristic vs labeled lang column; ties break to the
+    // alphabetically-largest language in BOTH engines
+    "q23_lang_id" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.langId(col("text")).as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted")),
+      Some {
+        val markers = TextFunctions.LangMarkers.toSeq.sortBy(_._1)
+        val scoreExprs = markers.map { case (l, ws) =>
+          s"len(list_filter($DTOKENS, x -> x IN (${ws.map(w => s"'$w'").mkString(",")}))) AS s_$l"
+        }.mkString(",\n    ")
+        val langsDesc = markers.map(_._1).reverse // alphabetically largest first
+        val best = langsDesc.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+        s"""WITH scored AS (SELECT doc_id, lang,
+           |    $scoreExprs
+           |  FROM documents),
+           |best AS (SELECT doc_id, lang,
+           |    greatest(${markers.map("s_" + _._1).mkString(",")}) AS m,
+           |    ${markers.map("s_" + _._1).mkString(",")}
+           |  FROM scored)
+           |SELECT lang, CASE WHEN m <= 0 THEN 'und' $best END AS predicted, COUNT(*) AS n
+           |FROM best GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+      }),
+
+    // ---- dedup --------------------------------------------------------
+
+    // exact dedup over a salted self-union (the corpus itself has no
+    // exact dups): every doc_id<100 gains a copy at id+100000; the
+    // keeper must be the original and dup_count 2
+    "q24_dedup_exact" -> Q(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val dups = d.where(col("doc_id") < 100)
+          .withColumn("doc_id", col("doc_id") + 100000)
+        Dedup.exactGroups(d.unionByName(dups), "text", "doc_id")
+          .select(col("keeper_id"), col("dup_count"))
+          .orderBy(col("keeper_id"))
+      },
+      Some("""WITH unioned AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 100)
+             |SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
+             |FROM unioned GROUP BY text ORDER BY keeper_id""".stripMargin)),
+
+    // exact-dedup row survival count over events (composite key)
+    "q25_dedup_rows" -> Q(
+      (s, dir) => {
+        val e = events(s, dir)
+        val deduped = Dedup.exact(e, Seq("user_id", "event_type"), "event_id")
+        deduped.agg(count(lit(1)).as("survivors"))
+      },
+      Some("""SELECT COUNT(*) AS survivors FROM (
+             |  SELECT user_id, event_type, MIN(event_id) FROM events
+             |  GROUP BY user_id, event_type)""".stripMargin)),
+
+    // n-gram Jaccard near-dup over salted mutations: each doc_id<50
+    // gets a copy with one word appended; pairs must be found with
+    // jaccard > 0.5
+    "q26_ngram_jaccard" -> Q(
+      (s, dir) => {
+        val d = t(s, dir, "documents").where(col("doc_id") < 50)
+          .select(col("doc_id"), col("text"))
+        val mutated = d
+          .withColumn("doc_id", col("doc_id") + 100000)
+          .withColumn("text", concat(col("text"), lit(" graftmarker")))
+        val all = d.unionByName(mutated)
+        val pairs = all.select(col("doc_id").as("id_a")).where(col("id_a") < 50)
+          .withColumn("id_b", col("id_a") + 100000)
+        Dedup.ngramJaccardVerify(all, pairs, "text", "doc_id", n = 3)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+          .orderBy(col("id_a"))
+      },
+      Some {
+        val g = (t: String) =>
+          s"""list_distinct(list_transform(
+             |  range(1, greatest(len(list_filter(string_split_regex(lower($t), '[^a-z0-9'']+'), x -> len(x) > 0)) - 2, 1) + 1),
+             |  i -> array_to_string(list_slice(list_filter(string_split_regex(lower($t), '[^a-z0-9'']+'), x -> len(x) > 0), i, i + 2), ' ')))""".stripMargin
+        s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+           |pairs AS (SELECT a.doc_id AS id_a, a.doc_id + 100000 AS id_b,
+           |    ${g("a.text")} AS ga,
+           |    ${g("a.text || ' graftmarker'")} AS gb
+           |  FROM base a)
+           |SELECT id_a, id_b,
+           |  ROUND(CASE WHEN len(list_distinct(ga || gb)) = 0 THEN 0.0
+           |    ELSE len(list_intersect(ga, gb)) * 1.0 / len(list_distinct(ga || gb)) END, 4) AS jaccard
+           |FROM pairs ORDER BY id_a""".stripMargin
+      }),
+
+    // MinHash/LSH near-dup: hash-based, no SQL dual — assert the planted
+    // near-identical pairs are recovered (internal consistency)
+    "q27_minhash_lsh" -> Q(
+      (s, dir) => {
+        val d = t(s, dir, "documents").where(col("doc_id") < 100)
+          .select(col("doc_id"), col("text"))
+        val mutated = d
+          .withColumn("doc_id", col("doc_id") + 100000)
+          .withColumn("text", concat(col("text"), lit(" x")))
+        val pairs = Dedup.minhashPairs(d.unionByName(mutated), "text", "doc_id",
+          shingleSize = 5, numHashes = 32, bands = 8, threshold = 0.5)
+        pairs.where(col("id_b") === col("id_a") + 100000)
+          .select(col("id_a"), col("id_b"))
+          .orderBy(col("id_a"))
+      },
+      None),
+
+    "q28_simhash" -> Q(
+      (s, dir) => {
+        val d = t(s, dir, "documents").where(col("doc_id") < 100)
+          .select(col("doc_id"), col("text"))
+        val mutated = d
+          .withColumn("doc_id", col("doc_id") + 100000)
+          .withColumn("text", concat(col("text"), lit(" x")))
+        Dedup.simhashPairs(d.unionByName(mutated), "text", "doc_id", maxHamming = 3)
+          .where(col("id_b") === col("id_a") + 100000)
+          .select(col("id_a"), col("id_b"), col("hamming"))
+          .orderBy(col("id_a"))
+      },
+      None),
+
+    // document fingerprints: xxhash64/rolling-hash duplicate detection —
+    // oracle checks the SHAPE (each salted copy collides with its
+    // original): count of fingerprint groups of size 2
+    "q29_fingerprint" -> Q(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val dups = d.where(col("doc_id") < 100)
+          .withColumn("doc_id", col("doc_id") + 100000)
+        d.unionByName(dups)
+          .select(TextFunctions.fingerprint(col("text")).as("fp"),
+            TextFunctions.rollingHash(col("text")).as("rh"))
+          .groupBy(col("fp"), col("rh")).agg(count(lit(1)).as("n"))
+          .groupBy(col("n")).agg(count(lit(1)).as("groups"))
+          .orderBy(col("n"))
+      },
+      Some("""WITH unioned AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 100)
+             |SELECT n, COUNT(*) AS groups FROM (
+             |  SELECT text, COUNT(*) AS n FROM unioned GROUP BY text)
+             |GROUP BY n ORDER BY n""".stripMargin)),
+
+    // ---- similarity search -------------------------------------------
+
+    // brute-force cosine scores against a fixed query vector
+    "q30_cosine_scores" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qvec = e.where(col("vec_id") === 0)
+          .select(col("embedding")).collect()(0)
+          .getSeq[Float](0)
+        val q = array(qvec.map(lit): _*)
+        e.where(col("vec_id") < 200)
+          .select(col("vec_id"),
+            round(Similarity.cosine(col("embedding"), q), 4).as("cos"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id,
+             |  ROUND(list_cosine_similarity(
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             |    (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+             |     FROM embeddings WHERE vec_id = 0)), 4) AS cos
+             |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin)),
+
+    // exact top-k (rounded scores make cross-engine ordering exact)
+    "q31_cosine_topk" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qvec = e.where(col("vec_id") === 0)
+          .select(col("embedding")).collect()(0)
+          .getSeq[Float](0)
+        val q = array(qvec.map(lit): _*)
+        e.select(col("vec_id"),
+            round(Similarity.cosine(col("embedding"), q), 4).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(20)
+      },
+      Some("""SELECT vec_id,
+             |  ROUND(list_cosine_similarity(
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             |    (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+             |     FROM embeddings WHERE vec_id = 0)), 4) AS cos
+             |FROM embeddings ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin)),
+
+    // LSH-bucketed ANN: recall vs the exact top-20 (hash-based, no SQL
+    // dual) — output the overlap size, asserted ≥ 1
+    "q32_ann_lsh" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qvec = e.where(col("vec_id") === 0)
+          .select(col("embedding")).collect()(0)
+          .getSeq[Float](0)
+        val exact = Similarity.bruteForceTopK(e, "embedding", "vec_id", qvec, 20)
+          .select(col("vec_id"))
+        val approx = Similarity.lshTopK(e, "embedding", "vec_id", qvec, 20,
+          planes = 4, multiprobe = 2).select(col("vec_id"))
+        val recall = exact.join(approx, Seq("vec_id"), "left_semi").count()
+        require(recall >= 1, "LSH found none of the true top-20")
+        import s.implicits._
+        Seq(recall).toDF("recalled_of_top20")
+      },
+      None),
+
+    // embedding statistics per label (exact per-element double math)
+    "q33_embed_stats" -> Q(
+      (s, dir) => t(s, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(round(Similarity.norm(col("embedding")), 6)), 4).as("avg_norm"))
+        .orderBy(col("label")),
+      Some("""SELECT label, COUNT(*) AS n,
+             |  ROUND(AVG(ROUND(sqrt(list_sum(list_transform(embedding,
+             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)), 4) AS avg_norm
+             |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)),
+
+    // ---- multimodal ---------------------------------------------------
+
+    // metadata-only path: payload column never read (column pruning)
+    "q34_multimodal_meta" -> Q(
+      (s, dir) => {
+        val assets = Multimodal.syntheticAssets(
+          t(s, dir, "documents"), "doc_id", "text")
+        Multimodal.metadataOnly(assets)
+          .groupBy(col("modality"))
+          .agg(count(lit(1)).as("n"), sum(col("payload_bytes").cast("long")).as("bytes"))
+          .orderBy(col("modality"))
+      },
+      Some("""SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+             |            WHEN doc_id % 3 = 1 THEN 'audio'
+             |            ELSE 'video' END AS modality,
+             |  COUNT(*) AS n, SUM(strlen(text)) AS bytes
+             |FROM documents GROUP BY 1 ORDER BY modality""".stripMargin)),
+
+    // feature-extraction plumbing: per-partition decode stub, real
+    // schema/batching; byte-histogram feature is deterministic but not
+    // SQL-expressible — internal-consistency checks + rows-only
+    "q35_multimodal_features" -> Q(
+      (s, dir) => {
+        val assets = Multimodal.syntheticAssets(
+          t(s, dir, "documents").where(col("doc_id") < 100), "doc_id", "text")
+        val feats = Multimodal.extractFeatures(assets, dims = 8)
+        feats.select(col("asset_id"), col("modality"), col("payload_bytes"),
+            round(aggregate(col("feature"), lit(0.0d), (a, x) => a + x), 3).as("feature_l1"))
+          .orderBy(col("asset_id"))
+      },
+      None))
+}

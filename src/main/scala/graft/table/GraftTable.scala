@@ -1,0 +1,495 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+import scala.util.Random
+
+import graft.config.LoaderConfig
+import graft.meta.{DataFile, MetadataLog, Snapshot}
+import graft.partitioning.{PartitionExpr, PartitionField}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Identifier `(namespace, table)` — the reference's
+  * `tuple[str, str]` (`core/loader.py:42`).
+  */
+final case class TableIdent(namespace: String, name: String) {
+  override def toString = s"$namespace.$name"
+}
+
+/** A snapshot-versioned Parquet table ("graft table", SURVEY §7.0).
+  *
+  * Layout under `tableDir`:
+  * {{{
+  *   data/<commit-uuid>/[_p_field=value/]part-*.parquet
+  *   _meta/v%08d.json
+  * }}}
+  *
+  * Data files are immutable and uniquely named, so snapshots share them
+  * freely; commits go through [[graft.meta.MetadataLog]]'s optimistic
+  * hard-link protocol. Each write operation below is one transaction ⇒
+  * one snapshot, matching the reference's per-flush
+  * `table.transaction()` boundary (`core/strategies.py:32,43,61`).
+  *
+  * Scale notes (100 TB): all data movement is plain `DataFrame` writes —
+  * executors write file splits in parallel; the driver only lists the
+  * commit directory and appends metadata. Delete/upsert prune the
+  * rewrite set by partition before launching any Spark job, so a
+  * predicate or key-set touching one partition rewrites one partition,
+  * not the table.
+  */
+final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: MetadataLog) {
+
+  def current(): Option[Snapshot] = log.current()
+  def currentOrFail(): Snapshot =
+    current().getOrElse(throw new IllegalStateException(s"No snapshot in $tableDir"))
+  def schema: StructType = currentOrFail().schema
+  def snapshots(): Seq[Snapshot] = log.snapshots()
+
+  def partitionField(): Option[PartitionField] =
+    current().flatMap(_.partitionSpec).map(PartitionExpr.parse)
+
+  // ------------------------------------------------------------------
+  // Write path
+  // ------------------------------------------------------------------
+
+  /** Append: new snapshot = parent files + new files (W1,
+    * `core/strategies.py:28-33`).
+    */
+  def append(df: DataFrame, props: Map[String, String] = Map.empty): Snapshot =
+    writeOp(df, "append", props) { (parent, newFiles) =>
+      parent.map(_.files).getOrElse(Nil) ++ newFiles
+    }
+
+  /** Overwrite: new snapshot = only the new files (W2 first-flush,
+    * `core/strategies.py:36-48`).
+    */
+  def overwrite(df: DataFrame, props: Map[String, String] = Map.empty): Snapshot =
+    writeOp(df, "overwrite", props) { (_, newFiles) => newFiles }
+
+  /** Copy-on-write delete (backs W3, `core/strategies.py:51-66`):
+    * files whose rows ALL match the predicate are dropped whole (no
+    * Spark job — the reference's replace-partition fast path,
+    * `examples/advanced_scenarios.py:79-109`); files that MAY contain
+    * matches are rewritten with `filter(!pred)`; untouched files carry
+    * over. Returns the new snapshot (no-op commit if nothing matched).
+    */
+  def deleteWhere(predicateSql: String): Snapshot = {
+    val snap = currentOrFail()
+    val pred = CatalystSqlParser.parseExpression(predicateSql)
+    val (dropped, mayMatch) = classifyFiles(snap, pred)
+    val rewritten: Seq[DataFile] =
+      if (mayMatch.isEmpty) Nil
+      else {
+        val rewriteDf = readFiles(snap.schema, mayMatch)
+          .filter(!expr(predicateSql))
+        writeDataFiles(rewriteDf, snap.schema, partitionField())
+      }
+    log.commit { parent =>
+      val p = parent.getOrElse(snap)
+      // files that were not part of this delete's analysis (committed by
+      // a concurrent writer) are preserved: recompute against parent.
+      val analyzed = (dropped ++ mayMatch).map(_.path).toSet
+      val carried = p.files.filterNot(f => analyzed.contains(f.path))
+      p.copy(
+        snapshotId = newSnapshotId(),
+        operation = "delete",
+        files = carried ++ rewritten)
+    }
+  }
+
+  /** Upsert / MERGE (W4+J1, `core/strategies.py:69-81`): rows in
+    * `source` replace target rows with equal `keys`; unmatched source
+    * rows are inserted. Target files in partitions the source cannot
+    * touch are carried over untouched — at scale an upsert into one
+    * day's partition rewrites one day, not 100 TB.
+    */
+  def upsert(source: DataFrame, keys: Seq[String], props: Map[String, String] = Map.empty): Snapshot = {
+    require(keys.nonEmpty, "upsert requires join columns")
+    val snap = currentOrFail()
+    val projected = Projection.project(source, snap.schema)
+    val spec = partitionField()
+
+    // Partition pruning for the rewrite set: a target file whose
+    // partition value is not among the source's derived values cannot
+    // contain a matched key *if* the partition source column is a key
+    // (common case: upsert keyed on the partition column's source).
+    val (rewriteSet, carrySet): (Seq[DataFile], Seq[DataFile]) = spec match {
+      case Some(pf) if keys.exists(_.equalsIgnoreCase(pf.sourceCol)) =>
+        val srcType = snap.schema(pf.sourceCol).dataType
+        val derived = projected
+          .select(pf.derive(col(pf.sourceCol), srcType).as("v"))
+          .distinct().collect()
+          .map(r => Option(r.getString(0))).toSet
+        snap.files.partition { f =>
+          f.partitionValues.flatMap(_.get(pf.fieldName)) match {
+            case Some(v) => derived.contains(v)
+            case None    => true // unpartitioned / unknown ⇒ must rewrite
+          }
+        }
+      case _ => (snap.files, Nil)
+    }
+
+    val target = readFiles(snap.schema, rewriteSet)
+    val kept = target.join(
+      projected.select(keys.map(k => col(s"`$k`")): _*).distinct(),
+      keys, "left_anti")
+    val merged = kept.unionByName(projected)
+    val newFiles = writeDataFiles(merged, snap.schema, spec)
+    log.commit { parent =>
+      val p = parent.getOrElse(snap)
+      val rewrittenPaths = rewriteSet.map(_.path).toSet
+      val carried = p.files.filterNot(f => rewrittenPaths.contains(f.path))
+        .filterNot(f => newFiles.exists(_.path == f.path))
+      p.copy(
+        snapshotId = newSnapshotId(),
+        operation = "upsert",
+        properties = p.properties ++ props,
+        files = carried.filterNot(f => rewriteSet.exists(_.path == f.path)) ++ newFiles)
+    }
+  }
+
+  /** Evolve the table schema additively from an incoming schema
+    * (C2, `core/schema.py:52-78`). Returns the (possibly unchanged)
+    * current schema after the commit.
+    */
+  def evolveSchema(incoming: StructType): StructType = {
+    val snap = currentOrFail()
+    Projection.evolve(snap.schema, incoming) match {
+      case None => snap.schema
+      case Some(evolved) =>
+        log.commit { parent =>
+          val p = parent.getOrElse(snap)
+          Projection.evolve(p.schema, incoming) match {
+            case None => p.copy(snapshotId = newSnapshotId(), operation = "evolve-noop")
+            case Some(e2) => p.copy(
+              snapshotId = newSnapshotId(),
+              operation = "evolve-schema",
+              schema = e2,
+              schemaVersion = p.schemaVersion + 1)
+          }
+        }.schema
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Read path (S8)
+  // ------------------------------------------------------------------
+
+  /** Scan the current snapshot. Files written under older schema
+    * versions are projected onto the current schema (missing columns
+    * null-filled by the Parquet reader given the explicit schema).
+    */
+  def scan(): DataFrame = scanSnapshot(currentOrFail())
+
+  /** Time travel by snapshot id (`table.snapshots()` read-back, S9). */
+  def scanAsOf(snapshotId: Long): DataFrame = {
+    val snap = snapshots().find(_.snapshotId == snapshotId)
+      .getOrElse(throw new IllegalArgumentException(s"No snapshot $snapshotId"))
+    scanSnapshot(snap)
+  }
+
+  def scanAsOfVersion(version: Int): DataFrame = scanSnapshot(log.read(version))
+
+  /** Filtered scan with file-level partition pruning: only files that
+    * may contain matching rows are read; the full predicate is still
+    * applied row-level (and pushed into the Parquet scan by Catalyst).
+    */
+  def scanWhere(predicateSql: String): DataFrame = {
+    val snap = currentOrFail()
+    val pred = CatalystSqlParser.parseExpression(predicateSql)
+    val files = partitionField() match {
+      case None => snap.files
+      case Some(pf) =>
+        val srcType = snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol))
+          .map(_.dataType).getOrElse(StringType)
+        snap.files.filter(f => PartitionPruner.evaluate(f, pf, srcType, pred).may)
+    }
+    readFiles(snap.schema, files).filter(expr(predicateSql))
+  }
+
+  /** Files the pruner keeps for a predicate — exposed for tests
+    * asserting files-touched < files-total.
+    */
+  def prunedFiles(predicateSql: String): Seq[DataFile] = {
+    val snap = currentOrFail()
+    val pred = CatalystSqlParser.parseExpression(predicateSql)
+    partitionField() match {
+      case None => snap.files
+      case Some(pf) =>
+        val srcType = snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol))
+          .map(_.dataType).getOrElse(StringType)
+        snap.files.filter(f => PartitionPruner.evaluate(f, pf, srcType, pred).may)
+    }
+  }
+
+  private def scanSnapshot(snap: Snapshot): DataFrame = readFiles(snap.schema, snap.files)
+
+  private def readFiles(schema: StructType, files: Seq[DataFile]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).parquet(files.map(f => tableDir.resolve(f.path).toString): _*)
+
+  // ------------------------------------------------------------------
+  // Maintenance (M1–M3)
+  // ------------------------------------------------------------------
+
+  /** Expire snapshots (M1, `services/maintenance.py:12-86`).
+    * Cutoff = `olderThanMs` if given, else timestamp of the
+    * `keepLast`-th newest snapshot minus 1 ms. Negative `keepLast` or
+    * fewer than `keepLast` snapshots ⇒ no-op. The newest snapshot is
+    * never expired. Data files referenced only by expired snapshots are
+    * garbage-collected. Returns the number of expired snapshots.
+    */
+  def expireSnapshots(keepLast: Int = 1, olderThanMs: Option[Long] = None): Int = {
+    val all = snapshots().sortBy(_.timestampMs)
+    if (all.size <= 1) return 0
+    val cutoff: Option[Long] = olderThanMs.orElse {
+      if (keepLast < 0 || all.size <= keepLast) None
+      else Some(all(all.size - keepLast).timestampMs - 1)
+    }
+    cutoff match {
+      case None => 0
+      case Some(ms) =>
+        val newest = all.last
+        val expired = all.filter(s => s.timestampMs <= ms && s.version != newest.version)
+        if (expired.isEmpty) return 0
+        val keptPaths = all.diff(expired).flatMap(_.files.map(_.path)).toSet
+        expired.foreach(s => log.delete(s.version))
+        // orphan GC: files no surviving snapshot references
+        expired.flatMap(_.files.map(_.path)).distinct
+          .filterNot(keptPaths.contains)
+          .foreach(p => Files.deleteIfExists(tableDir.resolve(p)))
+        expired.size
+    }
+  }
+
+  /** Compaction (M3, north star): rewrite the current file set into
+    * `targetFiles` larger files, preserving partitioning. Data is
+    * unchanged; small-file count drops.
+    */
+  def compact(targetFiles: Int = 1): Snapshot = {
+    val snap = currentOrFail()
+    val spec = partitionField()
+    val df0 = scanSnapshot(snap)
+    val df = spec match {
+      case Some(pf) =>
+        val srcType = snap.schema(pf.sourceCol).dataType
+        // co-locate rows of one partition value so each partition dir
+        // gets targetFiles files, not targetFiles × shuffle partitions
+        df0.repartition(math.max(1, targetFiles), pf.derive(col(pf.sourceCol), srcType))
+      case None => df0.repartition(math.max(1, targetFiles))
+    }
+    val newFiles = writeDataFiles(df, snap.schema, spec)
+    log.commit { parent =>
+      val p = parent.getOrElse(snap)
+      p.copy(snapshotId = newSnapshotId(), operation = "compact", files = newFiles)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Internals
+  // ------------------------------------------------------------------
+
+  private def newSnapshotId(): Long = math.abs(Random.nextLong()) max 1L
+
+  private def writeOp(df: DataFrame, op: String, props: Map[String, String])(
+      filesOf: (Option[Snapshot], Seq[DataFile]) => Seq[DataFile]): Snapshot = {
+    val snap = current()
+    val targetSchema = snap.map(_.schema).getOrElse(Projection.assignFieldIds(df.schema))
+    val projected = if (snap.isDefined) Projection.project(df, targetSchema) else df
+    val newFiles = writeDataFiles(projected, targetSchema, partitionFieldOrInit(snap))
+    log.commit { parent =>
+      parent match {
+        case Some(p) => p.copy(
+          snapshotId = newSnapshotId(),
+          operation = op,
+          properties = p.properties ++ props,
+          files = filesOf(Some(p), newFiles))
+        case None => Snapshot(
+          version = 0,
+          snapshotId = newSnapshotId(),
+          parentId = None,
+          timestampMs = 0L, // overwritten by MetadataLog.commit
+          operation = op,
+          schema = targetSchema,
+          schemaVersion = 0,
+          partitionSpec = pendingSpec,
+          properties = LoaderConfig.defaultTableProperties ++ props,
+          files = filesOf(None, newFiles))
+      }
+    }
+  }
+
+  /** Classify a snapshot's files against a delete predicate:
+    * (droppedWhole = provably all rows match, rewrite = may contain
+    * matches). Files with `may = false` are untouched carries.
+    */
+  private def classifyFiles(snap: Snapshot,
+                            pred: Expression): (Seq[DataFile], Seq[DataFile]) =
+    partitionField() match {
+      case None => (Nil, snap.files)
+      case Some(pf) =>
+        val srcType = snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol))
+          .map(_.dataType).getOrElse(StringType)
+        val evaluated = snap.files.map(f => f -> PartitionPruner.evaluate(f, pf, srcType, pred))
+        val dropped = evaluated.collect { case (f, t) if t.all => f }
+        val rewrite = evaluated.collect { case (f, t) if t.may && !t.all => f }
+        (dropped, rewrite)
+    }
+
+  /** Partition spec to apply on first write (set by GraftCatalog.create). */
+  private[table] var pendingSpec: Option[String] = None
+
+  private def partitionFieldOrInit(snap: Option[Snapshot]): Option[PartitionField] =
+    snap.flatMap(_.partitionSpec).orElse(pendingSpec).map(PartitionExpr.parse)
+
+  /** Write `df` as immutable Parquet files under `data/<uuid>/`,
+    * partitioned by the derived column when a spec exists. Per-file row
+    * counts come from Parquet footers (metadata-only reads — no Spark
+    * job); partition values are parsed back from directory names.
+    */
+  private def writeDataFiles(df: DataFrame, schema: StructType,
+                             spec: Option[PartitionField]): Seq[DataFile] = {
+    val commitId = UUID.randomUUID().toString.take(12)
+    val outDir = tableDir.resolve("data").resolve(commitId)
+    val writer = spec match {
+      case Some(pf) =>
+        val srcField = schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol))
+        srcField match {
+          case Some(f) =>
+            df.withColumn(pf.derivedColName, pf.derive(col(s"`${f.name}`"), f.dataType))
+              .write.partitionBy(pf.derivedColName)
+          case None => df.write // source col missing: degrade to unpartitioned
+        }
+      case None => df.write
+    }
+    writer
+      .option("compression", "zstd")
+      .mode("overwrite")
+      .parquet(outDir.toString)
+    collectDataFiles(outDir, spec)
+  }
+
+  private def collectDataFiles(outDir: Path, spec: Option[PartitionField]): Seq[DataFile] = {
+    val conf = new Configuration()
+    val stream = Files.walk(outDir)
+    try {
+      stream.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .map { p =>
+          val rel = tableDir.relativize(p).toString
+          val rows = parquetRowCount(p, conf)
+          val pv = spec.map { pf =>
+            val segs = outDir.relativize(p).iterator().asScala.map(_.toString).toSeq
+            segs.collect {
+              case s if s.contains("=") =>
+                val Array(k, v) = s.split("=", 2)
+                unescapePath(k) -> (if (v == "__HIVE_DEFAULT_PARTITION__") None
+                                    else Some(unescapePath(v)))
+            }.toMap match {
+              case m if m.isEmpty => Map(pf.fieldName -> Option.empty[String])
+              case m => m.map { case (k, v) =>
+                (if (k == pf.derivedColName) pf.fieldName else k) -> v
+              }
+            }
+          }
+          DataFile(rel, rows, Files.size(p), pv)
+        }
+        .toSeq
+    } finally stream.close()
+  }
+
+  private def parquetRowCount(p: Path, conf: Configuration): Long = {
+    val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
+    val reader = ParquetFileReader.open(in)
+    try reader.getRecordCount finally reader.close()
+  }
+
+  /** Undo Spark/Hive partition-path escaping (%xx sequences). */
+  private def unescapePath(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb += Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar
+          i += 3
+        } catch { case _: NumberFormatException => sb += c; i += 1 }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+}
+
+/** Filesystem-metastore catalog over a warehouse directory (C1/C5,
+  * `core/schema.py:32-50,87-112`): resolve `(namespace, table)` →
+  * `warehouse/<ns>/<table>/`, get-or-create, drop.
+  */
+final class GraftCatalog(spark: SparkSession, val warehouse: Path) {
+
+  def tableDir(ident: TableIdent): Path =
+    warehouse.resolve(ident.namespace).resolve(ident.name)
+
+  def exists(ident: TableIdent): Boolean =
+    new MetadataLog(tableDir(ident)).exists()
+
+  def load(ident: TableIdent): GraftTable = {
+    val dir = tableDir(ident)
+    val log = new MetadataLog(dir)
+    require(log.exists(), s"Table $ident does not exist")
+    new GraftTable(spark, dir, log)
+  }
+
+  /** Get-or-create (C1): an existing table is returned as-is; otherwise
+    * a handle is returned whose first write creates snapshot v0 with
+    * the given partition spec (`core/schema.py:87-112` creates lazily
+    * from the first batch's schema too).
+    */
+  def ensure(ident: TableIdent, partitionSpec: Option[String] = None): GraftTable = {
+    val dir = tableDir(ident)
+    Files.createDirectories(dir)
+    val t = new GraftTable(spark, dir, new MetadataLog(dir))
+    if (t.current().isEmpty) t.pendingSpec = partitionSpec.map(_.trim).filter(_.nonEmpty)
+    t
+  }
+
+  def drop(ident: TableIdent): Unit = {
+    val dir = tableDir(ident)
+    if (Files.isDirectory(dir)) {
+      val stream = Files.walk(dir)
+      try stream.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally stream.close()
+    }
+  }
+
+  def listTables(namespace: String): Seq[TableIdent] = {
+    val ns = warehouse.resolve(namespace)
+    if (!Files.isDirectory(ns)) Nil
+    else {
+      val stream = Files.list(ns)
+      try stream.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .map(p => TableIdent(namespace, p.getFileName.toString))
+        .filter(exists)
+        .toSeq
+      finally stream.close()
+    }
+  }
+}
+
+object GraftCatalog {
+  def apply(spark: SparkSession, warehouse: String): GraftCatalog =
+    new GraftCatalog(spark, Paths.get(warehouse))
+}

@@ -42,36 +42,43 @@ object PartitionPruner {
   }
   val Unknown: Tri = Tri(may = true, all = false)
 
-  def mayMatch(file: DataFile, spec: PartitionField, predicate: Expression): Boolean =
-    evaluate(file, spec, predicate).may
+  def mayMatch(file: DataFile, spec: PartitionField, sourceType: DataType, predicate: Expression): Boolean =
+    evaluate(file, spec, sourceType, predicate).may
 
-  def allMatch(file: DataFile, spec: PartitionField, predicate: Expression): Boolean =
-    evaluate(file, spec, predicate).all
+  def allMatch(file: DataFile, spec: PartitionField, sourceType: DataType, predicate: Expression): Boolean =
+    evaluate(file, spec, sourceType, predicate).all
 
-  def evaluate(file: DataFile, spec: PartitionField, predicate: Expression): Tri = {
+  /** `sourceType` is the partition source column's type from the table
+    * schema. Predicate literals are coerced to it before hashing /
+    * comparing — an unresolved predicate like `k = 42` carries an INT
+    * literal while the column is BIGINT, and murmur3(42:int) differs
+    * from murmur3(42L); without coercion a matching file would be
+    * wrongly pruned (silent data loss).
+    */
+  def evaluate(file: DataFile, spec: PartitionField, sourceType: DataType, predicate: Expression): Tri = {
     val pv: Option[Option[String]] = file.partitionValues.flatMap(_.get(spec.fieldName))
     pv match {
       case None      => Unknown // unpartitioned / unknown field
-      case Some(value) => eval(value, spec, predicate)
+      case Some(value) => eval(value, spec, sourceType, predicate)
     }
   }
 
-  private def eval(pv: Option[String], spec: PartitionField, e: Expression): Tri = e match {
-    case And(l, r) => eval(pv, spec, l) && eval(pv, spec, r)
-    case Or(l, r)  => eval(pv, spec, l) || eval(pv, spec, r)
-    case Not(c)    => !eval(pv, spec, c)
-    case EqualTo(a, Literal(v, dt)) if isSource(a, spec)          => cmp(pv, spec, "=", v, dt)
-    case EqualTo(Literal(v, dt), a) if isSource(a, spec)          => cmp(pv, spec, "=", v, dt)
-    case GreaterThan(a, Literal(v, dt)) if isSource(a, spec)      => cmp(pv, spec, ">", v, dt)
-    case GreaterThan(Literal(v, dt), a) if isSource(a, spec)      => cmp(pv, spec, "<", v, dt)
-    case GreaterThanOrEqual(a, Literal(v, dt)) if isSource(a, spec) => cmp(pv, spec, ">=", v, dt)
-    case GreaterThanOrEqual(Literal(v, dt), a) if isSource(a, spec) => cmp(pv, spec, "<=", v, dt)
-    case LessThan(a, Literal(v, dt)) if isSource(a, spec)         => cmp(pv, spec, "<", v, dt)
-    case LessThan(Literal(v, dt), a) if isSource(a, spec)         => cmp(pv, spec, ">", v, dt)
-    case LessThanOrEqual(a, Literal(v, dt)) if isSource(a, spec)  => cmp(pv, spec, "<=", v, dt)
-    case LessThanOrEqual(Literal(v, dt), a) if isSource(a, spec)  => cmp(pv, spec, ">=", v, dt)
+  private def eval(pv: Option[String], spec: PartitionField, st: DataType, e: Expression): Tri = e match {
+    case And(l, r) => eval(pv, spec, st, l) && eval(pv, spec, st, r)
+    case Or(l, r)  => eval(pv, spec, st, l) || eval(pv, spec, st, r)
+    case Not(c)    => !eval(pv, spec, st, c)
+    case EqualTo(a, Literal(v, dt)) if isSource(a, spec)          => cmp(pv, spec, st, "=", v, dt)
+    case EqualTo(Literal(v, dt), a) if isSource(a, spec)          => cmp(pv, spec, st, "=", v, dt)
+    case GreaterThan(a, Literal(v, dt)) if isSource(a, spec)      => cmp(pv, spec, st, ">", v, dt)
+    case GreaterThan(Literal(v, dt), a) if isSource(a, spec)      => cmp(pv, spec, st, "<", v, dt)
+    case GreaterThanOrEqual(a, Literal(v, dt)) if isSource(a, spec) => cmp(pv, spec, st, ">=", v, dt)
+    case GreaterThanOrEqual(Literal(v, dt), a) if isSource(a, spec) => cmp(pv, spec, st, "<=", v, dt)
+    case LessThan(a, Literal(v, dt)) if isSource(a, spec)         => cmp(pv, spec, st, "<", v, dt)
+    case LessThan(Literal(v, dt), a) if isSource(a, spec)         => cmp(pv, spec, st, ">", v, dt)
+    case LessThanOrEqual(a, Literal(v, dt)) if isSource(a, spec)  => cmp(pv, spec, st, "<=", v, dt)
+    case LessThanOrEqual(Literal(v, dt), a) if isSource(a, spec)  => cmp(pv, spec, st, ">=", v, dt)
     case In(a, lits) if isSource(a, spec) && lits.forall(_.isInstanceOf[Literal]) =>
-      lits.map { case Literal(v, dt) => cmp(pv, spec, "=", v, dt) }
+      lits.map { case Literal(v, dt) => cmp(pv, spec, st, "=", v, dt) }
         .foldLeft(Tri(may = false, all = false))(_ || _)
     case IsNull(a) if isSource(a, spec) && spec.transform == Transform.Identity =>
       if (pv.isEmpty) Tri(may = true, all = true) else Tri(may = false, all = false)
@@ -133,7 +140,15 @@ object PartitionPruner {
     case _ => sys.error("not a time transform")
   }
 
-  private def cmp(pv: Option[String], spec: PartitionField, op: String, v: Any, dt: DataType): Tri = {
+  /** Coerce a literal (value, its parsed type) into the partition source
+    * column's type using Catalyst's own Cast. None on failed casts.
+    */
+  private def coerce(v: Any, dt: DataType, target: DataType): Option[Any] =
+    if (dt == target) Some(v)
+    else if (!Cast.canCast(dt, target)) None
+    else Option(Cast(Literal.create(v, dt), target, Some("UTC")).eval(null))
+
+  private def cmp(pv: Option[String], spec: PartitionField, st: DataType, op: String, v: Any, dt: DataType): Tri = {
     if (v == null) return Tri(may = false, all = false) // comparison with NULL matches nothing
     if (pv.isEmpty) return Tri(may = false, all = false) // null partition value fails comparisons
     val p = pv.get
@@ -182,13 +197,14 @@ object PartitionPruner {
         }
       case Transform.Bucket(n) =>
         if (op != "=") Unknown
-        else {
-          val lit = Literal.create(v, dt)
-          try {
-            val h = new Murmur3Hash(Seq(lit)).eval(null).asInstanceOf[Int]
-            val bucket = ((h % n) + n) % n
-            Tri(may = p.toInt == bucket, all = false)
-          } catch { case _: Exception => Unknown }
+        else coerce(v, dt, st) match {
+          case None => Unknown
+          case Some(cv) =>
+            try {
+              val h = new Murmur3Hash(Seq(Literal.create(cv, st))).eval(null).asInstanceOf[Int]
+              val bucket = ((h % n) + n) % n
+              Tri(may = p.toInt == bucket, all = false)
+            } catch { case _: Exception => Unknown }
         }
       case Transform.Void => Unknown
     }
