@@ -28,8 +28,8 @@ final case class LoadResult(
   *   - [[loadData]]     = `load_data` (S1): whole table in one stream.
   *   - [[loadBatches]]  = `load_data_batches` (S3): iterator of
   *     micro-batch DataFrames, flushed every `commitInterval` batches as
-  *     one transaction (ST1); `0` ⇒ the whole stream in one transaction
-  *     (`max(1, interval)` guard, `core/config.py:36-41`).
+  *     one transaction (ST1); `0` behaves as `1` — one transaction per
+  *     batch (the `max(1, interval)` guard, `core/loader.py:214`).
   *   - mixed-schema batches inside one flush are normalized with
   *     `unionByName(allowMissingColumns)` (ST2, `core/loader.py:70-107`);
   *   - `_load_dttm` injection (P4, `core/loader.py:137-143`);

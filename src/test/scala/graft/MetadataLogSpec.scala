@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.meta.{MetadataLog, Snapshot}
+import graft.table.Projection
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Commit-protocol invariants (M2, `core/config.py:15-17` semantics). */
+class MetadataLogSpec extends AnyFunSuite with Matchers {
+
+  private val schema = Projection.assignFieldIds(
+    StructType(Seq(StructField("id", LongType))))
+
+  private def snap(op: String) = Snapshot(0, 1L, None, 0L, op, schema, 0, None, Map.empty, Nil)
+
+  private def freshLog() = new MetadataLog(Files.createTempDirectory("mlog"))
+
+  test("versions are sequential; current is the highest") {
+    val log = freshLog()
+    log.exists() shouldBe false
+    log.commit(_ => snap("a")).version shouldBe 0
+    log.commit(_ => snap("b")).version shouldBe 1
+    log.currentVersion() shouldBe Some(1)
+    log.current().get.operation shouldBe "b"
+    log.snapshots().map(_.operation) shouldBe Seq("a", "b")
+  }
+
+  test("commit stamps parent id and timestamp") {
+    val log = freshLog()
+    val s0 = log.commit(_ => snap("a"))
+    val s1 = log.commit(_ => snap("b"))
+    s1.parentId shouldBe Some(s0.snapshotId)
+    s1.timestampMs should be >= s0.timestampMs
+  }
+
+  test("build callback receives the freshly-read parent on each attempt") {
+    val log = freshLog()
+    log.commit(_ => snap("base"))
+    val seen = new AtomicInteger(0)
+    log.commit { parent =>
+      seen.incrementAndGet()
+      parent.get.operation shouldBe "base"
+      snap("next")
+    }
+    seen.get() shouldBe 1
+  }
+
+  test("concurrent committers all land distinct versions") {
+    val log = freshLog()
+    val threads = (1 to 8).map { i =>
+      new Thread(() => { log.commit(_ => snap(s"t$i")): Unit })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    log.listVersions() shouldBe (0 to 7)
+    log.snapshots().map(_.operation).toSet.size shouldBe 8
+  }
+
+  test("delete removes one version; readers still see the rest") {
+    val log = freshLog()
+    log.commit(_ => snap("a")); log.commit(_ => snap("b")); log.commit(_ => snap("c"))
+    log.delete(1)
+    log.listVersions() shouldBe Seq(0, 2)
+    log.current().get.operation shouldBe "c"
+  }
+}

@@ -1,0 +1,167 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Text / dedup / similarity kernels on tiny in-memory corpora. */
+class OperatorsSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "text")
+  }
+
+  test("wordTokens lowercases and strips punctuation") {
+    val out = docs((1L, "Hello, World! It's 42.")).select(
+      TextFunctions.wordTokens(col("text"))).collect()(0).getSeq[String](0)
+    out shouldBe Seq("hello", "world", "it's", "42")
+  }
+
+  test("tokenCount counts whitespace tokens, ignoring edges") {
+    docs((1L, "  a b\tc\nd  ")).select(TextFunctions.tokenCount(col("text")))
+      .collect()(0).getInt(0) shouldBe 4
+    docs((1L, "")).select(TextFunctions.tokenCount(col("text")))
+      .collect()(0).getInt(0) shouldBe 0
+  }
+
+  test("charShingles produce distinct n-grams of the normalized text") {
+    val out = docs((1L, "ab  ab")).select(TextFunctions.charShingles(col("text"), 3))
+      .collect()(0).getSeq[String](0)
+    out shouldBe Seq("ab ", "b a", " ab") // "ab ab" -> 3 distinct 3-grams
+  }
+
+  test("jaccard: identical sets 1.0, disjoint 0.0, empty-vs-empty 0.0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq("a", "b"), Seq("a", "b")), (Seq("a"), Seq("b")),
+      (Seq.empty[String], Seq.empty[String])).toDF("x", "y")
+    val out = df.select(TextFunctions.jaccard(col("x"), col("y"))).collect().map(_.getDouble(0))
+    out.toSeq shouldBe Seq(1.0, 0.0, 0.0)
+  }
+
+  test("quality ratios match hand-computed values") {
+    val r = docs((1L, "the cat, the hat!")).select(
+      TextFunctions.punctRatio(col("text")),
+      TextFunctions.stopwordRatio(col("text")),
+      TextFunctions.meanWordLength(col("text"))).collect()(0)
+    r.getDouble(0) shouldBe (2.0 / 17.0) +- 1e-9 // ',' and '!' of 17 chars
+    r.getDouble(1) shouldBe 0.5 // the,the of 4 tokens
+    r.getDouble(2) shouldBe 3.0 +- 1e-9
+  }
+
+  test("langId picks the marker-heavy language; 'und' when nothing matches") {
+    val out = docs(
+      (1L, "the cat is in the house and it was good"),
+      (2L, "der hund ist nicht ein problem und ich bin"),
+      (3L, "zzz qqq")).select(TextFunctions.langId(col("text"))).collect().map(_.getString(0))
+    out.toSeq shouldBe Seq("en", "de", "und")
+  }
+
+  test("simhash of near-identical docs is within small Hamming distance") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq((1L, base), (2L, base + " x"), (3L, "completely different words entirely unrelated content"))
+      .toDF("id", "text")
+    val fps = df.select(TextFunctions.simhash(col("text"))).collect().map(_.getLong(0))
+    java.lang.Long.bitCount(fps(0) ^ fps(1)) should be <= 8
+    java.lang.Long.bitCount(fps(0) ^ fps(2)) should be > 8
+  }
+
+  test("exact dedup keeps the min-id row per content group") {
+    val d = docs((5L, "aaa"), (1L, "aaa"), (2L, "bbb"))
+    val out = Dedup.exact(d, Seq("text"), "id").orderBy("id").collect().map(_.getLong(0))
+    out.toSeq shouldBe Seq(1L, 2L)
+  }
+
+  test("exactGroups reports group sizes and keeper ids") {
+    val out = Dedup.exactGroups(docs((5L, "aaa"), (1L, "aaa"), (2L, "bbb")), "text", "id")
+      .orderBy("keeper_id")
+      .collect().map(r => (r.getAs[Long]("keeper_id"), r.getAs[Long]("dup_count")))
+    out.toSeq shouldBe Seq((1L, 2L), (2L, 1L))
+  }
+
+  test("minhashPairs finds planted near-duplicates, skips unrelated docs") {
+    val corpus = (1L to 8L).map(i =>
+      (i, s"document number $i with its own distinct body of shared template text plus unique token u$i"))
+    val planted = corpus.take(3).map { case (i, t) => (i + 100, t + " tail") }
+    val pairs = Dedup.minhashPairs(docs(corpus ++ planted: _*), "text", "id",
+      shingleSize = 4, numHashes = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted near-dup pair recovered
+    (1L to 3L).foreach(i => pairs should contain((i, i + 100)))
+  }
+
+  test("simhashPairs: exact duplicates (Hamming 0) are always recovered") {
+    // banding guarantees recovery only for Hamming <= bands-1; exact
+    // copies are the deterministic case (near-copies are covered
+    // probabilistically by q28 on the real corpus)
+    val corpus = (1L to 6L).map(i =>
+      (i, s"news article $i about topic with many common words in the body text u$i"))
+    val planted = corpus.take(2).map { case (i, t) => (i + 100, t) }
+    val found = Dedup.simhashPairs(docs(corpus ++ planted: _*), "text", "id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming")))
+    (1L to 2L).foreach(i => found should contain((i, i + 100, 0)))
+  }
+
+  test("cosine: orthogonal 0, parallel 1, zero-vector safe") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(2f, 0f), Seq(5f, 0f)),
+      (Seq(0f, 0f), Seq(1f, 1f))).toDF("a", "b")
+    val out = df.select(Similarity.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    out(0) shouldBe 0.0 +- 1e-12
+    out(1) shouldBe 1.0 +- 1e-12
+    out(2) shouldBe 0.0
+  }
+
+  test("bruteForceTopK returns the true nearest neighbors in order") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)), (4L, Seq(-1f, 0f)))
+      .toDF("id", "v")
+    val top = Similarity.bruteForceTopK(df, "v", "id", Seq(1f, 0f), 2)
+      .collect().map(_.getLong(0))
+    top.toSeq shouldBe Seq(1L, 2L)
+  }
+
+  test("lshTopK recall: query's own bucket always contains itself") {
+    val s = spark
+    import s.implicits._
+    val vecs = (1L to 50L).map(i => (i, Seq.tabulate(8)(d => math.sin(i * 31 + d).toFloat)))
+    val df = vecs.toDF("id", "v")
+    val q = vecs.head._2
+    val approx = Similarity.lshTopK(df, "v", "id", q, 5, planes = 4, multiprobe = 2)
+      .collect().map(_.getLong(0))
+    approx should contain(1L) // the query vector itself (cosine 1.0)
+  }
+
+  test("knnJoin gives each query its k nearest corpus rows") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(0.7f, 0.7f))).toDF("id", "v")
+    val queries = Seq((10L, Seq(1f, 0f))).toDF("id", "v")
+    val out = Similarity.knnJoin(corpus, queries, "v", "id", 2)
+      .orderBy("rank").collect().map(_.getLong(1))
+    out.toSeq shouldBe Seq(1L, 3L)
+  }
+
+  test("hyperplaneBucket is deterministic and bounded by 2^planes") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 20L).map(i => (i, Seq.tabulate(4)(d => math.cos(i + d).toFloat))).toDF("id", "v")
+    val b1 = df.select(Dedup.hyperplaneBucket(col("v"), 3)).collect().map(_.getLong(0))
+    val b2 = df.select(Dedup.hyperplaneBucket(col("v"), 3)).collect().map(_.getLong(0))
+    b1.toSeq shouldBe b2.toSeq
+    all(b1) should (be >= 0L and be < 8L)
+  }
+}
