@@ -28,6 +28,30 @@ final class MetadataLog(tableDir: Path) {
 
   private def versionFile(v: Int): Path = metaDir.resolve(f"v$v%08d.json")
 
+  /** Manifests are immutable once published, so a process-local cache
+    * makes repeated snapshot reads O(new manifests), not O(all files).
+    */
+  private val manifestCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[DataFile]]
+
+  def readManifest(relPath: String): Seq[DataFile] =
+    manifestCache.getOrElseUpdate(relPath,
+      Snapshot.manifestFromJson(Files.readString(metaDir.resolve(relPath))))
+
+  /** Publish a new immutable manifest for `files`; returns the group. */
+  def writeManifest(files: Seq[DataFile]): FileGroup = {
+    Files.createDirectories(metaDir)
+    val name = s"m-${java.util.UUID.randomUUID().toString.take(16)}.json"
+    Files.writeString(metaDir.resolve(name), Snapshot.manifestToJson(files))
+    manifestCache.put(name, files)
+    FileGroup(name, files)
+  }
+
+  def deleteManifest(relPath: String): Unit = {
+    manifestCache.remove(relPath)
+    Files.deleteIfExists(metaDir.resolve(relPath))
+  }
+
   def exists(): Boolean = Files.isDirectory(metaDir) && currentVersion().isDefined
 
   def listVersions(): Seq[Int] = {
@@ -46,7 +70,7 @@ final class MetadataLog(tableDir: Path) {
   def currentVersion(): Option[Int] = listVersions().lastOption
 
   def read(version: Int): Snapshot =
-    Snapshot.fromJson(Files.readString(versionFile(version)))
+    Snapshot.fromJson(Files.readString(versionFile(version)), readManifest)
 
   def current(): Option[Snapshot] = currentVersion().map(read)
 

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 import scala.util.Random
 
 import graft.config.LoaderConfig
-import graft.meta.{DataFile, MetadataLog, Snapshot}
+import graft.meta.{DataFile, FileGroup, MetadataLog, Snapshot}
 import graft.partitioning.{PartitionExpr, PartitionField}
 
 import org.apache.hadoop.conf.Configuration
@@ -30,12 +30,14 @@ final case class TableIdent(namespace: String, name: String) {
   * Layout under `tableDir`:
   * {{{
   *   data/<commit-uuid>/[_p_field=value/]part-*.parquet
-  *   _meta/v%08d.json
+  *   _meta/v%08d.json          (snapshot: schema/spec/props + manifest refs)
+  *   _meta/m-<uuid>.json       (manifest: one write batch's data files)
   * }}}
   *
-  * Data files are immutable and uniquely named, so snapshots share them
-  * freely; commits go through [[graft.meta.MetadataLog]]'s optimistic
-  * hard-link protocol. Each write operation below is one transaction ⇒
+  * Data files and manifests are immutable and uniquely named, so
+  * snapshots share them freely (manifest reuse keeps commit metadata
+  * O(files touched)); commits go through [[graft.meta.MetadataLog]]'s
+  * optimistic hard-link protocol. Each write operation below is one transaction ⇒
   * one snapshot, matching the reference's per-flush
   * `table.transaction()` boundary (`core/strategies.py:32,43,61`).
   *
@@ -61,19 +63,20 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
   // Write path
   // ------------------------------------------------------------------
 
-  /** Append: new snapshot = parent files + new files (W1,
-    * `core/strategies.py:28-33`).
+  /** Append: new snapshot = parent groups + one new group (W1,
+    * `core/strategies.py:28-33`). Parent manifests are reused verbatim —
+    * the commit writes O(new files) metadata regardless of table size.
     */
   def append(df: DataFrame, props: Map[String, String] = Map.empty): Snapshot =
-    writeOp(df, "append", props) { (parent, newFiles) =>
-      parent.map(_.files).getOrElse(Nil) ++ newFiles
+    writeOp(df, "append", props) { (parent, newGroup) =>
+      parent.map(_.fileGroups).getOrElse(Nil) :+ newGroup
     }
 
-  /** Overwrite: new snapshot = only the new files (W2 first-flush,
+  /** Overwrite: new snapshot = only the new group (W2 first-flush,
     * `core/strategies.py:36-48`).
     */
   def overwrite(df: DataFrame, props: Map[String, String] = Map.empty): Snapshot =
-    writeOp(df, "overwrite", props) { (_, newFiles) => newFiles }
+    writeOp(df, "overwrite", props) { (_, newGroup) => Seq(newGroup) }
 
   /** Copy-on-write delete (backs W3, `core/strategies.py:51-66`):
     * files whose rows ALL match the predicate are dropped whole (no
@@ -86,23 +89,23 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
     val snap = currentOrFail()
     val pred = CatalystSqlParser.parseExpression(predicateSql)
     val (dropped, mayMatch) = classifyFiles(snap, pred)
-    val rewritten: Seq[DataFile] =
-      if (mayMatch.isEmpty) Nil
+    val rewritten: Option[FileGroup] =
+      if (mayMatch.isEmpty) None
       else {
         val rewriteDf = readFiles(snap.schema, mayMatch)
           .filter(!expr(predicateSql))
-        writeDataFiles(rewriteDf, snap.schema, partitionField())
+        Some(writeDataFiles(rewriteDf, snap.schema, partitionField()))
       }
+    val removed = (dropped ++ mayMatch).map(_.path).toSet
     log.commit { parent =>
       val p = parent.getOrElse(snap)
-      // files that were not part of this delete's analysis (committed by
-      // a concurrent writer) are preserved: recompute against parent.
-      val analyzed = (dropped ++ mayMatch).map(_.path).toSet
-      val carried = p.files.filterNot(f => analyzed.contains(f.path))
+      // groups untouched by this delete (incl. any committed concurrently)
+      // carry their manifests verbatim; partially-affected groups get a
+      // pruned manifest (metadata-only, no data rewrite)
       p.copy(
         snapshotId = newSnapshotId(),
         operation = "delete",
-        files = carried ++ rewritten)
+        fileGroups = pruneGroups(p.fileGroups, removed) ++ rewritten.toSeq)
     }
   }
 
@@ -143,19 +146,29 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
       projected.select(keys.map(k => col(s"`$k`")): _*).distinct(),
       keys, "left_anti")
     val merged = kept.unionByName(projected)
-    val newFiles = writeDataFiles(merged, snap.schema, spec)
+    val newGroup = writeDataFiles(merged, snap.schema, spec)
+    val rewrittenPaths = rewriteSet.map(_.path).toSet
     log.commit { parent =>
       val p = parent.getOrElse(snap)
-      val rewrittenPaths = rewriteSet.map(_.path).toSet
-      val carried = p.files.filterNot(f => rewrittenPaths.contains(f.path))
-        .filterNot(f => newFiles.exists(_.path == f.path))
       p.copy(
         snapshotId = newSnapshotId(),
         operation = "upsert",
         properties = p.properties ++ props,
-        files = carried.filterNot(f => rewriteSet.exists(_.path == f.path)) ++ newFiles)
+        fileGroups = pruneGroups(p.fileGroups, rewrittenPaths) :+ newGroup)
     }
   }
+
+  /** Drop `removed` paths from `groups`, reusing untouched manifests and
+    * writing pruned manifests only for partially-affected groups —
+    * commit metadata cost stays O(files touched).
+    */
+  private def pruneGroups(groups: Seq[FileGroup], removed: Set[String]): Seq[FileGroup] =
+    groups.flatMap { g =>
+      val survivors = g.files.filterNot(f => removed.contains(f.path))
+      if (survivors.size == g.files.size) Some(g)      // untouched: reuse
+      else if (survivors.isEmpty) None                 // emptied: drop
+      else Some(log.writeManifest(survivors))          // pruned subset
+    }
 
   /** Evolve the table schema additively from an incoming schema
     * (C2, `core/schema.py:52-78`). Returns the (possibly unchanged)
@@ -263,12 +276,17 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
         val newest = all.last
         val expired = all.filter(s => s.timestampMs <= ms && s.version != newest.version)
         if (expired.isEmpty) return 0
-        val keptPaths = all.diff(expired).flatMap(_.files.map(_.path)).toSet
+        val survivors = all.diff(expired)
+        val keptPaths = survivors.flatMap(_.files.map(_.path)).toSet
+        val keptManifests = survivors.flatMap(_.manifestPaths).toSet
         expired.foreach(s => log.delete(s.version))
-        // orphan GC: files no surviving snapshot references
+        // orphan GC: data files + manifests no surviving snapshot references
         expired.flatMap(_.files.map(_.path)).distinct
           .filterNot(keptPaths.contains)
           .foreach(p => Files.deleteIfExists(tableDir.resolve(p)))
+        expired.flatMap(_.manifestPaths).distinct
+          .filterNot(keptManifests.contains)
+          .foreach(log.deleteManifest)
         expired.size
     }
   }
@@ -289,10 +307,10 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
         df0.repartition(math.max(1, targetFiles), pf.derive(col(pf.sourceCol), srcType))
       case None => df0.repartition(math.max(1, targetFiles))
     }
-    val newFiles = writeDataFiles(df, snap.schema, spec)
+    val newGroup = writeDataFiles(df, snap.schema, spec)
     log.commit { parent =>
       val p = parent.getOrElse(snap)
-      p.copy(snapshotId = newSnapshotId(), operation = "compact", files = newFiles)
+      p.copy(snapshotId = newSnapshotId(), operation = "compact", fileGroups = Seq(newGroup))
     }
   }
 
@@ -303,18 +321,18 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
   private def newSnapshotId(): Long = math.abs(Random.nextLong()) max 1L
 
   private def writeOp(df: DataFrame, op: String, props: Map[String, String])(
-      filesOf: (Option[Snapshot], Seq[DataFile]) => Seq[DataFile]): Snapshot = {
+      groupsOf: (Option[Snapshot], FileGroup) => Seq[FileGroup]): Snapshot = {
     val snap = current()
     val targetSchema = snap.map(_.schema).getOrElse(Projection.assignFieldIds(df.schema))
     val projected = if (snap.isDefined) Projection.project(df, targetSchema) else df
-    val newFiles = writeDataFiles(projected, targetSchema, partitionFieldOrInit(snap))
+    val newGroup = writeDataFiles(projected, targetSchema, partitionFieldOrInit(snap))
     log.commit { parent =>
       parent match {
         case Some(p) => p.copy(
           snapshotId = newSnapshotId(),
           operation = op,
           properties = p.properties ++ props,
-          files = filesOf(Some(p), newFiles))
+          fileGroups = groupsOf(Some(p), newGroup))
         case None => Snapshot(
           version = 0,
           snapshotId = newSnapshotId(),
@@ -325,7 +343,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
           schemaVersion = 0,
           partitionSpec = pendingSpec,
           properties = LoaderConfig.defaultTableProperties ++ props,
-          files = filesOf(None, newFiles))
+          fileGroups = groupsOf(None, newGroup))
       }
     }
   }
@@ -354,12 +372,13 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
     snap.flatMap(_.partitionSpec).orElse(pendingSpec).map(PartitionExpr.parse)
 
   /** Write `df` as immutable Parquet files under `data/<uuid>/`,
-    * partitioned by the derived column when a spec exists. Per-file row
-    * counts come from Parquet footers (metadata-only reads — no Spark
-    * job); partition values are parsed back from directory names.
+    * partitioned by the derived column when a spec exists, and publish
+    * one manifest for the batch. Per-file row counts come from Parquet
+    * footers (metadata-only reads — no Spark job); partition values are
+    * parsed back from directory names.
     */
   private def writeDataFiles(df: DataFrame, schema: StructType,
-                             spec: Option[PartitionField]): Seq[DataFile] = {
+                             spec: Option[PartitionField]): FileGroup = {
     val commitId = UUID.randomUUID().toString.take(12)
     val outDir = tableDir.resolve("data").resolve(commitId)
     val writer = spec match {
@@ -377,7 +396,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
       .option("compression", "zstd")
       .mode("overwrite")
       .parquet(outDir.toString)
-    collectDataFiles(outDir, spec)
+    log.writeManifest(collectDataFiles(outDir, spec))
   }
 
   private def collectDataFiles(outDir: Path, spec: Option[PartitionField]): Seq[DataFile] = {

@@ -163,6 +163,25 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     an[Exception] should be thrownBy c.load(id)
   }
 
+  test("appends reuse parent manifests; partial deletes prune only affected groups") {
+    val t = cat().ensure(TableIdent("ns", "t14"), Some("day"))
+    val s1 = t.append(df(d1, d2))
+    val s2 = t.append(df(d3))
+    // manifest reuse: s2 carries s1's manifest verbatim + one new
+    s2.fileGroups.map(_.manifest) should contain allElementsOf
+      s1.fileGroups.map(_.manifest)
+    s2.fileGroups.size shouldBe s1.fileGroups.size + 1
+    // whole-group delete: d3's group vanishes, s1's manifest still reused
+    val s3 = t.deleteWhere("day = '2024-02-01'")
+    s3.fileGroups.map(_.manifest) shouldBe s1.fileGroups.map(_.manifest)
+    // partial delete: s1's group gets a pruned manifest, not a rewrite —
+    // the surviving data FILE path is unchanged (no Spark rewrite job ran)
+    val survivorPaths = s3.files.map(_.path).toSet
+    val s4 = t.deleteWhere("day = '2024-01-01'")
+    s4.files.map(_.path).toSet.subsetOf(survivorPaths) shouldBe true
+    t.scan().select("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
+  }
+
   test("concurrent appends both commit via retry (optimistic concurrency)") {
     val t = cat().ensure(TableIdent("ns", "t13"))
     t.append(df(d1))

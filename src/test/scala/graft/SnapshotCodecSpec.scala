@@ -1,6 +1,6 @@
 package graft
 
-import graft.meta.{DataFile, Snapshot}
+import graft.meta.{DataFile, FileGroup, Snapshot}
 import graft.table.Projection
 
 import org.apache.spark.sql.types._
@@ -14,38 +14,52 @@ class SnapshotCodecSpec extends AnyFunSuite with Matchers {
     StructField("ts", TimestampNTZType),
     StructField("v", ArrayType(FloatType)))))
 
+  private val g1 = FileGroup("m-aa.json", Seq(
+    DataFile("data/ab/part-0.parquet", 100, 2048,
+      Some(Map("ts_day" -> Some("2024-01-15")))),
+    DataFile("data/ab/part-1.parquet", 7, 99,
+      Some(Map("ts_day" -> None))))) // Hive default (null) partition
+  private val g2 = FileGroup("m-bb.json", Seq(
+    DataFile("data/cd/part-0.parquet", 0, 10, None)))
+
   private def sample = Snapshot(
     version = 3, snapshotId = 123456789L, parentId = Some(42L),
     timestampMs = 1700000000123L, operation = "append",
     schema = schema, schemaVersion = 1,
     partitionSpec = Some("day(ts)"),
     properties = Map("format-version" -> "2", "k" -> "v"),
-    files = Seq(
-      DataFile("data/ab/part-0.parquet", 100, 2048,
-        Some(Map("ts_day" -> Some("2024-01-15")))),
-      DataFile("data/ab/part-1.parquet", 7, 99,
-        Some(Map("ts_day" -> None))), // Hive default (null) partition
-      DataFile("data/cd/part-0.parquet", 0, 10, None)))
+    fileGroups = Seq(g1, g2))
 
-  test("JSON round-trip preserves every field") {
+  private val manifests = Map("m-aa.json" -> g1.files, "m-bb.json" -> g2.files)
+
+  test("snapshot JSON round-trip preserves every field via manifest refs") {
     val s = sample
-    val back = Snapshot.fromJson(Snapshot.toJson(s))
-    back shouldBe s
+    Snapshot.fromJson(Snapshot.toJson(s), manifests) shouldBe s
+  }
+
+  test("snapshot JSON stores manifest references, never inline file lists") {
+    val json = Snapshot.toJson(sample)
+    json should include("m-aa.json")
+    (json should not).include("part-0.parquet") // files live in manifests only
+  }
+
+  test("manifest JSON round-trips its data files") {
+    Snapshot.manifestFromJson(Snapshot.manifestToJson(g1.files)) shouldBe g1.files
   }
 
   test("field IDs survive the round-trip inside schema metadata") {
-    val back = Snapshot.fromJson(Snapshot.toJson(sample))
+    val back = Snapshot.fromJson(Snapshot.toJson(sample), manifests)
     Projection.fieldId(back.schema("id")) shouldBe Some(1L)
     Projection.fieldId(back.schema("v")) shouldBe Some(3L)
   }
 
-  test("rowCount sums file rows") {
+  test("rowCount sums file rows across groups") {
     sample.rowCount shouldBe 107
   }
 
   test("None vs Some(null) partition values are distinguished") {
-    val back = Snapshot.fromJson(Snapshot.toJson(sample))
-    back.files(1).partitionValues shouldBe Some(Map("ts_day" -> None))
-    back.files(2).partitionValues shouldBe None
+    val back = Snapshot.fromJson(Snapshot.toJson(sample), manifests)
+    back.fileGroups.head.files(1).partitionValues shouldBe Some(Map("ts_day" -> None))
+    back.fileGroups(1).files.head.partitionValues shouldBe None
   }
 }
