@@ -49,6 +49,17 @@ final class Loader(catalog: GraftCatalog, defaultConfig: LoaderConfig = LoaderCo
                config: Option[LoaderConfig] = None): LoadResult =
     loadBatches(Iterator.single(df), ident, config)
 
+  /** S2: ingest an Arrow IPC stream — each record batch is one
+    * micro-batch through the same pipeline (`core/loader.py:56-68,294-306`).
+    */
+  def loadIpcStream(source: java.io.InputStream, ident: TableIdent,
+                    config: Option[LoaderConfig] = None): LoadResult =
+    loadBatches(graft.sources.ArrowIpcSource.read(catalog.spark, source), ident, config)
+
+  def loadIpcFile(path: String, ident: TableIdent,
+                  config: Option[LoaderConfig] = None): LoadResult =
+    loadBatches(graft.sources.ArrowIpcSource.readFile(catalog.spark, path), ident, config)
+
   def loadBatches(batches: Iterator[DataFrame], ident: TableIdent,
                   config: Option[LoaderConfig] = None): LoadResult = {
     val cfg = config.getOrElse(defaultConfig)
@@ -68,7 +79,7 @@ final class Loader(catalog: GraftCatalog, defaultConfig: LoaderConfig = LoaderCo
       if (buffer.isEmpty) return
       val combined = normalize(buffer.toSeq)
       buffer.clear()
-      val stamped = injectLoadTs(combined, cfg)
+      val stamped = Loader.injectLoadTs(combined, cfg)
       val t = table.getOrElse {
         val existed = catalog.exists(ident)
         val tt = catalog.ensure(ident, cfg.partitionCol)
@@ -112,11 +123,15 @@ final class Loader(catalog: GraftCatalog, defaultConfig: LoaderConfig = LoaderCo
   private def normalize(batches: Seq[DataFrame]): DataFrame =
     batches.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
 
+}
+
+object Loader {
   /** P4: constant load-timestamp column (`core/loader.py:137-143`).
     * Replaces an incoming column of the same name, like the reference's
-    * set_column-or-append behavior.
+    * set_column-or-append behavior. Shared by the batch loader and the
+    * streaming sink ([[graft.streaming.GraftStream]]).
     */
-  private def injectLoadTs(df: DataFrame, cfg: LoaderConfig): DataFrame =
+  def injectLoadTs(df: DataFrame, cfg: LoaderConfig): DataFrame =
     cfg.loadTimestamp match {
       case None => df
       case Some(ts) =>

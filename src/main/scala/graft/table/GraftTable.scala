@@ -455,7 +455,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
   * `core/schema.py:32-50,87-112`): resolve `(namespace, table)` →
   * `warehouse/<ns>/<table>/`, get-or-create, drop.
   */
-final class GraftCatalog(spark: SparkSession, val warehouse: Path) {
+final class GraftCatalog(val spark: SparkSession, val warehouse: Path) {
 
   def tableDir(ident: TableIdent): Path =
     warehouse.resolve(ident.namespace).resolve(ident.name)
