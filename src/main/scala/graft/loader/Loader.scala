@@ -97,6 +97,9 @@ final class Loader(catalog: GraftCatalog, defaultConfig: LoaderConfig = LoaderCo
       isFirstWrite = false
       totalRows += rows
       lastSnapshot = Some(snap.snapshotId)
+      graft.observability.Log.metrics("flush_committed",
+        "table" -> ident, "rows" -> rows, "snapshot_id" -> snap.snapshotId,
+        "operation" -> snap.operation)
     }
 
     batches.foreach { b =>

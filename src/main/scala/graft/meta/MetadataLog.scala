@@ -110,6 +110,8 @@ final class MetadataLog(tableDir: Path) {
       Files.deleteIfExists(tmp)
       if (won) return snap
       attempt += 1
+      graft.observability.Log.warn("commit conflict, retrying",
+        "table" -> tableDir, "attempt" -> attempt, "version" -> nextVersion)
       if (attempt > retries)
         throw new IllegalStateException(
           s"Commit conflict on $tableDir after $retries retries")

@@ -198,6 +198,26 @@ object RelationalQueries {
              |   WHERE c2.c_nationkey = c1.c_nationkey)
              |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
+    // A1: count verification across tables (the reference's only
+    // "aggregate" — num_rows checks, examples/advanced_scenarios.py:191-198)
+    "q51_count_verify" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Seq("customer", "lineitem", "nation", "orders", "part", "region", "supplier")
+          .map(n => (n, t(s, dir, n).count()))
+          .toDF("table_name", "row_count")
+          .orderBy(col("table_name"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'customer' AS table_name, COUNT(*) AS row_count FROM customer
+             |  UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+             |  UNION ALL SELECT 'nation', COUNT(*) FROM nation
+             |  UNION ALL SELECT 'orders', COUNT(*) FROM orders
+             |  UNION ALL SELECT 'part', COUNT(*) FROM part
+             |  UNION ALL SELECT 'region', COUNT(*) FROM region
+             |  UNION ALL SELECT 'supplier', COUNT(*) FROM supplier)
+             |ORDER BY table_name""".stripMargin)),
+
     // grouping sets / rollup
     "q14_rollup" -> Q(
       (s, dir) => t(s, dir, "orders")

@@ -280,13 +280,19 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
         val keptPaths = survivors.flatMap(_.files.map(_.path)).toSet
         val keptManifests = survivors.flatMap(_.manifestPaths).toSet
         expired.foreach(s => log.delete(s.version))
-        // orphan GC: data files + manifests no surviving snapshot references
-        expired.flatMap(_.files.map(_.path)).distinct
-          .filterNot(keptPaths.contains)
-          .foreach(p => Files.deleteIfExists(tableDir.resolve(p)))
-        expired.flatMap(_.manifestPaths).distinct
-          .filterNot(keptManifests.contains)
-          .foreach(log.deleteManifest)
+        // orphan GC: data files + manifests no surviving snapshot
+        // references; best-effort like the reference's maintenance
+        // (failures logged, never raised, `services/maintenance.py:40-45`)
+        graft.observability.Log.suppressAndWarn("expire-snapshots orphan GC") {
+          expired.flatMap(_.files.map(_.path)).distinct
+            .filterNot(keptPaths.contains)
+            .foreach(p => Files.deleteIfExists(tableDir.resolve(p)))
+          expired.flatMap(_.manifestPaths).distinct
+            .filterNot(keptManifests.contains)
+            .foreach(log.deleteManifest)
+        }
+        graft.observability.Log.metrics("expire_snapshots",
+          "table" -> tableDir.getFileName, "expired" -> expired.size)
         expired.size
     }
   }

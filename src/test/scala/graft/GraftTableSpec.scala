@@ -100,6 +100,22 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     t.scan().count() shouldBe 4 // current data untouched
   }
 
+  test("expireSnapshots olderThanMs: explicit cutoff, newest always survives") {
+    val t = cat().ensure(TableIdent("ns", "t7b"))
+    (1 to 3).foreach { i =>
+      t.append(df((i.toLong, "2024-01-01", "x")))
+      Thread.sleep(15) // distinct wall-clock timestamps per snapshot
+    }
+    val snaps = t.snapshots().sortBy(_.timestampMs)
+    // cutoff right after the 2nd snapshot: expires the first two only
+    t.expireSnapshots(olderThanMs = Some(snaps(1).timestampMs)) shouldBe 2
+    t.snapshots().size shouldBe 1
+    t.scan().count() shouldBe 3
+    // cutoff after everything: the newest snapshot still survives
+    t.expireSnapshots(olderThanMs = Some(Long.MaxValue)) shouldBe 0
+    t.snapshots().size shouldBe 1
+  }
+
   test("expireSnapshots garbage-collects files only old snapshots referenced") {
     val t = cat().ensure(TableIdent("ns", "t8"))
     t.append(df(d1))
