@@ -54,6 +54,7 @@ object PipelineQueries {
           col("doc_id"),
           round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
           round(TextFunctions.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+          round(TextFunctions.meanWordLength(col("text")), 4).as("mean_word_len"),
           TextFunctions.tokenCount(col("text")).as("tokens"))
         .orderBy(col("doc_id")),
       Some(s"""SELECT doc_id,
@@ -62,6 +63,8 @@ object PipelineQueries {
               |  ROUND(CASE WHEN len($DTOKENS) = 0 THEN 0.0
               |    ELSE len(list_filter($DTOKENS, x -> x IN (${TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString(",")}))) * 1.0
               |      / len($DTOKENS) END, 4) AS stopword_ratio,
+              |  ROUND(CASE WHEN len($DTOKENS) = 0 THEN 0.0
+              |    ELSE list_sum(list_transform($DTOKENS, x -> len(x))) * 1.0 / len($DTOKENS) END, 4) AS mean_word_len,
               |  len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS tokens
               |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
 
@@ -210,6 +213,23 @@ object PipelineQueries {
              |SELECT n, COUNT(*) AS groups FROM (
              |  SELECT text, COUNT(*) AS n FROM unioned GROUP BY text)
              |GROUP BY n ORDER BY n""".stripMargin)),
+
+    // embedding-cosine near-dup: random-hyperplane LSH buckets + cosine
+    // verify (hash-based bucketing, no SQL dual) — planted exact copies
+    // (cosine 1.0) land in the same bucket by construction and must all
+    // be recovered
+    "q36_embed_neardup" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").where(col("vec_id") < 100)
+          .select(col("vec_id"), col("embedding"))
+        val copies = e.withColumn("vec_id", col("vec_id") + 100000)
+        val pairs = Dedup.embeddingPairs(e.unionByName(copies), "embedding", "vec_id",
+          planes = 6, threshold = 0.999)
+        pairs.where(col("id_b") === col("id_a") + 100000)
+          .select(col("id_a"), col("id_b"))
+          .orderBy(col("id_a"))
+      },
+      None),
 
     // ---- similarity search -------------------------------------------
 
