@@ -4,19 +4,35 @@ import org.apache.spark.sql.types.{DataType, StructType}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
+/** Per-column zone-map statistics harvested from Parquet footers at
+  * write time (metadata-only reads — no Spark job). `min`/`max` are
+  * canonical strings in the column's value space (numbers for
+  * numeric/date/timestamp columns, raw text for strings); `None` when
+  * the writer produced no usable stats (e.g. NaN-poisoned doubles) —
+  * pruning then degrades safely to "may contain".
+  */
+final case class ColumnStats(
+    min: Option[String],
+    max: Option[String],
+    nullCount: Option[Long])
+
 /** One data file tracked by a snapshot.
   *
   * `path` is relative to the table root (files are immutable and uniquely
   * named, so snapshots can share them). `partitionValues` maps derived
   * partition-field name → string value for file-level pruning; `None`
   * marks an unpartitioned file, `Some(... -> null)` a null partition
-  * value (Hive default partition).
+  * value (Hive default partition). `stats` maps top-level column name →
+  * zone map, enabling file skipping on predicates over ANY column — the
+  * Iceberg manifest-stats analogue, and the only way an unpartitioned
+  * 100 TB table avoids full scans for selective predicates.
   */
 final case class DataFile(
     path: String,
     rows: Long,
     sizeBytes: Long,
-    partitionValues: Option[Map[String, Option[String]]])
+    partitionValues: Option[Map[String, Option[String]]],
+    stats: Map[String, ColumnStats] = Map.empty)
 
 /** A group of data files tracked by one immutable manifest file
   * (`_meta/m-<uuid>.json`). Manifests are the scale unit of the metadata
@@ -75,7 +91,14 @@ object Snapshot {
           JObject(vals.toList.sortBy(_._1).map { case (k, v) =>
             k -> v.map(JString(_)).getOrElse(JNull)
           })
-      }))
+      }),
+      "stats" -> (if (f.stats.isEmpty) JNothing
+                  else JObject(f.stats.toList.sortBy(_._1).map { case (c, s) =>
+                    c -> JObject(
+                      "min"   -> s.min.map(JString(_)).getOrElse(JNull),
+                      "max"   -> s.max.map(JString(_)).getOrElse(JNull),
+                      "nulls" -> s.nullCount.map(JLong(_)).getOrElse(JNull))
+                  })))
 
   private def fileFromJson(f: JValue): DataFile = {
     val pv = (f \ "partition") match {
@@ -85,7 +108,16 @@ object Snapshot {
       }.toMap)
       case x => sys.error(s"bad partition: $x")
     }
-    DataFile(str(f \ "path"), lng(f \ "rows"), lng(f \ "bytes"), pv)
+    val stats = (f \ "stats") match {
+      case JObject(kvs) => kvs.map { case (c, s) =>
+        c -> ColumnStats(
+          opt(s \ "min").map(str),
+          opt(s \ "max").map(str),
+          opt(s \ "nulls").map(lng))
+      }.toMap
+      case _ => Map.empty[String, ColumnStats]
+    }
+    DataFile(str(f \ "path"), lng(f \ "rows"), lng(f \ "bytes"), pv, stats)
   }
 
   /** Manifest file body: the group's data files. */

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 import scala.util.Random
 
 import graft.config.LoaderConfig
-import graft.meta.{DataFile, FileGroup, MetadataLog, Snapshot}
+import graft.meta.{ColumnStats, DataFile, FileGroup, MetadataLog, Snapshot}
 import graft.partitioning.{PartitionExpr, PartitionField}
 
 import org.apache.hadoop.conf.Configuration
@@ -219,29 +219,35 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
   def scanWhere(predicateSql: String): DataFrame = {
     val snap = currentOrFail()
     val pred = CatalystSqlParser.parseExpression(predicateSql)
-    val files = partitionField() match {
-      case None => snap.files
-      case Some(pf) =>
-        val srcType = snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol))
-          .map(_.dataType).getOrElse(StringType)
-        snap.files.filter(f => PartitionPruner.evaluate(f, pf, srcType, pred).may)
-    }
+    val files = snap.files.filter(f => fileTri(f, snap, pred).may)
     readFiles(snap.schema, files).filter(expr(predicateSql))
   }
 
-  /** Files the pruner keeps for a predicate — exposed for tests
+  /** Files the pruners keep for a predicate — exposed for tests
     * asserting files-touched < files-total.
     */
   def prunedFiles(predicateSql: String): Seq[DataFile] = {
     val snap = currentOrFail()
     val pred = CatalystSqlParser.parseExpression(predicateSql)
-    partitionField() match {
-      case None => snap.files
+    snap.files.filter(f => fileTri(f, snap, pred).may)
+  }
+
+  /** Combined three-valued file evaluation: partition-transform pruning
+    * (needs a spec) AND-ed with zone-map pruning (works on any column of
+    * any file). `may` requires both to allow; `all` holds if either
+    * proves it.
+    */
+  private def fileTri(f: DataFile, snap: Snapshot,
+                      pred: Expression): PartitionPruner.Tri = {
+    val pTri = partitionField() match {
+      case None => PartitionPruner.Unknown
       case Some(pf) =>
         val srcType = snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol))
           .map(_.dataType).getOrElse(StringType)
-        snap.files.filter(f => PartitionPruner.evaluate(f, pf, srcType, pred).may)
+        PartitionPruner.evaluate(f, pf, srcType, pred)
     }
+    val sTri = StatsPruner.evaluate(f, snap.schema, pred)
+    PartitionPruner.Tri(pTri.may && sTri.may, pTri.all || sTri.all)
   }
 
   private def scanSnapshot(snap: Snapshot): DataFrame = readFiles(snap.schema, snap.files)
@@ -356,20 +362,16 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
 
   /** Classify a snapshot's files against a delete predicate:
     * (droppedWhole = provably all rows match, rewrite = may contain
-    * matches). Files with `may = false` are untouched carries.
+    * matches). Files with `may = false` are untouched carries. Zone-map
+    * stats make whole-file drops possible even on unpartitioned tables.
     */
   private def classifyFiles(snap: Snapshot,
-                            pred: Expression): (Seq[DataFile], Seq[DataFile]) =
-    partitionField() match {
-      case None => (Nil, snap.files)
-      case Some(pf) =>
-        val srcType = snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol))
-          .map(_.dataType).getOrElse(StringType)
-        val evaluated = snap.files.map(f => f -> PartitionPruner.evaluate(f, pf, srcType, pred))
-        val dropped = evaluated.collect { case (f, t) if t.all => f }
-        val rewrite = evaluated.collect { case (f, t) if t.may && !t.all => f }
-        (dropped, rewrite)
-    }
+                            pred: Expression): (Seq[DataFile], Seq[DataFile]) = {
+    val evaluated = snap.files.map(f => f -> fileTri(f, snap, pred))
+    val dropped = evaluated.collect { case (f, t) if t.all => f }
+    val rewrite = evaluated.collect { case (f, t) if t.may && !t.all => f }
+    (dropped, rewrite)
+  }
 
   /** Partition spec to apply on first write (set by GraftCatalog.create). */
   private[table] var pendingSpec: Option[String] = None
@@ -413,7 +415,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
         .filter(p => p.getFileName.toString.endsWith(".parquet") && Files.isRegularFile(p))
         .map { p =>
           val rel = tableDir.relativize(p).toString
-          val rows = parquetRowCount(p, conf)
+          val (rows, stats) = parquetFooterInfo(p, conf)
           val pv = spec.map { pf =>
             val segs = outDir.relativize(p).iterator().asScala.map(_.toString).toSeq
             segs.collect {
@@ -428,16 +430,97 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
               }
             }
           }
-          DataFile(rel, rows, Files.size(p), pv)
+          DataFile(rel, rows, Files.size(p), pv, stats)
         }
         .toSeq
     } finally stream.close()
   }
 
-  private def parquetRowCount(p: Path, conf: Configuration): Long = {
+  /** Row count + per-column zone maps from the Parquet footer — one
+    * metadata read per file, no Spark job. Stats feed [[StatsPruner]]
+    * for file skipping on any column.
+    */
+  private def parquetFooterInfo(p: Path, conf: Configuration): (Long, Map[String, ColumnStats]) = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
     val reader = ParquetFileReader.open(in)
-    try reader.getRecordCount finally reader.close()
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      // accumulate (min, max, nulls) across row groups per column; a
+      // single undecodable row group poisons that column permanently
+      val acc = scala.collection.mutable.Map.empty[String, (Cmp, Cmp, Option[Long])]
+      val poisoned = scala.collection.mutable.Set.empty[String]
+      for (block <- blocks; col <- block.getColumns.asScala) {
+        val name = col.getPath.toDotString
+        if (!name.contains('.') && !poisoned.contains(name)) { // top-level scalars only
+          val st = col.getStatistics
+          val prim = col.getPrimitiveType
+          def longStat(v: Any): Long = v.asInstanceOf[Number].longValue()
+          val decoded: Option[(Cmp, Cmp)] =
+            if (st == null || st.isEmpty || !st.hasNonNullValue) None
+            else (prim.getPrimitiveTypeName, prim.getLogicalTypeAnnotation) match {
+              case (INT32 | INT64, d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+                Some((NumCmp(BigDecimal(BigInt(longStat(st.genericGetMin)), d.getScale)),
+                      NumCmp(BigDecimal(BigInt(longStat(st.genericGetMax)), d.getScale))))
+              case (INT64, t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+                // normalize to epoch micros, the pruner's timestamp domain
+                import LogicalTypeAnnotation.TimeUnit._
+                val scale = t.getUnit match {
+                  case MILLIS => 1000L
+                  case MICROS => 1L
+                  case NANOS  => 0L // handled below: divide
+                }
+                def toMicros(v: Long) =
+                  if (scale == 0L) v / 1000L else v * scale
+                Some((NumCmp(BigDecimal(toMicros(longStat(st.genericGetMin)))),
+                      NumCmp(BigDecimal(toMicros(longStat(st.genericGetMax))))))
+              case (INT32, _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation) => None
+              case (INT32 | INT64, _) => // plain ints + DATE (epoch days)
+                Some((NumCmp(BigDecimal(longStat(st.genericGetMin))),
+                      NumCmp(BigDecimal(longStat(st.genericGetMax)))))
+              case (FLOAT | DOUBLE, _) =>
+                val lo = st.genericGetMin.asInstanceOf[Number].doubleValue()
+                val hi = st.genericGetMax.asInstanceOf[Number].doubleValue()
+                if (lo.isNaN || hi.isNaN) None
+                else Some((NumCmp(BigDecimal(lo)), NumCmp(BigDecimal(hi))))
+              case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+                Some((StrCmp(st.minAsString), StrCmp(st.maxAsString)))
+              case _ => None // INT96, boolean, binary decimal, nested: skip
+            }
+          val nulls = if (st != null && !st.isEmpty && st.isNumNullsSet) Some(st.getNumNulls) else None
+          (acc.remove(name), decoded) match {
+            case (_, None) => poisoned += name
+            case (None, Some((lo, hi))) => acc(name) = (lo, hi, nulls)
+            case (Some((plo, phi, pn)), Some((lo, hi))) =>
+              acc(name) = (minOf(plo, lo), maxOf(phi, hi),
+                for (a <- pn; b <- nulls) yield a + b)
+          }
+        }
+      }
+      val stats = acc.map { case (name, (lo, hi, nulls)) =>
+        name -> ColumnStats(Some(render(lo)), Some(render(hi)), nulls)
+      }.toMap
+      (reader.getRecordCount, stats)
+    } finally reader.close()
+  }
+
+  private sealed trait Cmp
+  private final case class NumCmp(v: BigDecimal) extends Cmp
+  private final case class StrCmp(v: String) extends Cmp
+  private def minOf(a: Cmp, b: Cmp): Cmp = (a, b) match {
+    case (NumCmp(x), NumCmp(y)) => NumCmp(x.min(y))
+    case (StrCmp(x), StrCmp(y)) => StrCmp(if (x <= y) x else y)
+    case _                      => a
+  }
+  private def maxOf(a: Cmp, b: Cmp): Cmp = (a, b) match {
+    case (NumCmp(x), NumCmp(y)) => NumCmp(x.max(y))
+    case (StrCmp(x), StrCmp(y)) => StrCmp(if (x >= y) x else y)
+    case _                      => a
+  }
+  private def render(c: Cmp): String = c match {
+    case NumCmp(v) => v.bigDecimal.toPlainString
+    case StrCmp(v) => v
   }
 
   /** Undo Spark/Hive partition-path escaping (%xx sequences). */
