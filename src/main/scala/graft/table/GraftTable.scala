@@ -332,11 +332,35 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
 
   private def newSnapshotId(): Long = math.abs(Random.nextLong()) max 1L
 
+  /** P5 (`core/schema.py:114-142`): when a time transform partitions on
+    * a string column, promote the TABLE schema column to timestamp so
+    * the transform is well-typed; incoming string data is cast on write.
+    */
+  private def adjustSchemaForPartitioning(schema: StructType,
+                                          spec: Option[PartitionField]): StructType =
+    spec match {
+      case Some(pf) if Seq(graft.partitioning.Transform.Year,
+          graft.partitioning.Transform.Month, graft.partitioning.Transform.Day,
+          graft.partitioning.Transform.Hour).contains(pf.transform) =>
+        StructType(schema.fields.map { f =>
+          if (f.name.equalsIgnoreCase(pf.sourceCol) && f.dataType == StringType) {
+            graft.observability.Log.info("promoting partition column to timestamp",
+              "column" -> f.name, "transform" -> pf.transform.name)
+            f.copy(dataType = TimestampNTZType)
+          } else f
+        })
+      case _ => schema
+    }
+
   private def writeOp(df: DataFrame, op: String, props: Map[String, String])(
       groupsOf: (Option[Snapshot], FileGroup) => Seq[FileGroup]): Snapshot = {
     val snap = current()
-    val targetSchema = snap.map(_.schema).getOrElse(Projection.assignFieldIds(df.schema))
-    val projected = if (snap.isDefined) Projection.project(df, targetSchema) else df
+    val targetSchema = snap.map(_.schema).getOrElse(
+      Projection.assignFieldIds(
+        adjustSchemaForPartitioning(df.schema, partitionFieldOrInit(snap))))
+    val projected =
+      if (snap.isDefined || targetSchema != df.schema) Projection.project(df, targetSchema)
+      else df
     val newGroup = writeDataFiles(projected, targetSchema, partitionFieldOrInit(snap))
     log.commit { parent =>
       parent match {

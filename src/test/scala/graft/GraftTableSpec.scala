@@ -164,6 +164,18 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     t.scanWhere("id = 2").count() shouldBe 1
   }
 
+  test("P5: string partition-source column promotes to timestamp under time transforms") {
+    val s = spark
+    import s.implicits._
+    val t = cat().ensure(TableIdent("ns", "t15"), Some("day(ts)"))
+    t.append(Seq((1L, "2024-01-05 10:30:00"), (2L, "2024-02-07 01:00:00")).toDF("id", "ts"))
+    t.schema("ts").dataType shouldBe org.apache.spark.sql.types.TimestampNTZType
+    // the promoted column partitions and prunes like a native timestamp
+    t.currentOrFail().files.size shouldBe 2
+    t.prunedFiles("ts >= '2024-02-01'").size shouldBe 1
+    t.scanWhere("ts >= '2024-02-01'").select("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
+  }
+
   test("catalog: ensure is get-or-create, drop removes, list filters real tables") {
     val c = cat()
     val id = TableIdent("ns", "t12")
