@@ -68,6 +68,59 @@ object Multimodal {
     }(enc)
   }
 
+  /** STUB resize kernel: same per-partition streaming shape as a real
+    * image resize (one payload in memory per row, output size a pure
+    * function of target dims). The fake "resized" payload is a
+    * deterministic strided byte sample so tests can pin exact bytes.
+    */
+  def resize(assets: DataFrame, width: Int, height: Int): DataFrame = {
+    val targetLen = math.max(1, width * height / 64) // fake: bytes ∝ area
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(assetSchema))
+    assets.select("asset_id", "modality", "mime", "payload", "meta").mapPartitions { it =>
+      it.map { r =>
+        val payload = if (r.isNullAt(3)) Array.emptyByteArray else r.getAs[Array[Byte]](3)
+        val out = new Array[Byte](math.min(targetLen, math.max(1, payload.length)))
+        var i = 0
+        while (i < out.length) {
+          out(i) = if (payload.isEmpty) 0 else payload((i.toLong * payload.length / out.length).toInt)
+          i += 1
+        }
+        Row(r.getLong(0), r.getString(1), r.getString(2), out,
+          Map("resized" -> s"${width}x$height"))
+      }
+    }(enc)
+  }
+
+  /** STUB frame-sampling kernel for video assets: the fake "video" has
+    * one frame per 100 payload bytes (+1); every `everyN`-th frame is
+    * emitted as its own asset row (`asset_id * 10000 + frameIdx`). The
+    * explode shape — one input row fanning out to K output rows inside
+    * mapPartitions, payloads never shuffled beforehand — is the real
+    * kernel's plumbing.
+    */
+  def sampleFrames(assets: DataFrame, everyN: Int): DataFrame = {
+    require(everyN > 0, "everyN must be positive")
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(frameSchema))
+    assets.select("asset_id", "modality", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(2)) Array.emptyByteArray else r.getAs[Array[Byte]](2)
+        val frames = payload.length / 100 + 1
+        (0 until frames by everyN).map { f =>
+          val start = math.min(f * 100, payload.length)
+          val end = math.min(start + 100, payload.length)
+          Row(id * 10000 + f, id, f, java.util.Arrays.copyOfRange(payload, start, end))
+        }
+      }
+    }(enc)
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("frame_id", LongType, nullable = false),
+    StructField("asset_id", LongType, nullable = false),
+    StructField("frame_index", IntegerType, nullable = false),
+    StructField("frame", BinaryType, nullable = true)))
+
   /** Metadata-only projection — the common routing/filter path must
     * never deserialize payloads; Parquet column pruning guarantees the
     * payload column is not even read.

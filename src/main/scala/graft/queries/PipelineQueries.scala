@@ -322,6 +322,24 @@ object PipelineQueries {
              |  COUNT(*) AS n, SUM(strlen(text)) AS bytes
              |FROM documents GROUP BY 1 ORDER BY modality""".stripMargin)),
 
+    // frame-sampling plumbing: per-partition fan-out (1 video row -> K
+    // frame rows) with the deterministic fake of 1 frame per 100 payload
+    // bytes — the sampled-frame count IS SQL-expressible, so the oracle
+    // pins the fan-out arithmetic exactly
+    "q37_frame_sampling" -> Q(
+      (s, dir) => {
+        val assets = Multimodal.syntheticAssets(
+          t(s, dir, "documents").where(col("doc_id") < 100), "doc_id", "text")
+        Multimodal.sampleFrames(assets, everyN = 3)
+          .groupBy(col("asset_id"))
+          .agg(count(lit(1)).as("sampled_frames"), max(col("frame_index")).as("last_frame"))
+          .orderBy(col("asset_id"))
+      },
+      Some("""SELECT doc_id AS asset_id,
+             |  CAST(((strlen(text) // 100 + 1) + 2) // 3 AS BIGINT) AS sampled_frames,
+             |  CAST(((strlen(text) // 100 + 1) - 1) // 3 * 3 AS INT) AS last_frame
+             |FROM documents WHERE doc_id < 100 ORDER BY asset_id""".stripMargin)),
+
     // feature-extraction plumbing: per-partition decode stub, real
     // schema/batching; byte-histogram feature is deterministic but not
     // SQL-expressible — internal-consistency checks + rows-only

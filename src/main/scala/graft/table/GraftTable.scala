@@ -119,6 +119,17 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
     require(keys.nonEmpty, "upsert requires join columns")
     val snap = currentOrFail()
     val projected = Projection.project(source, snap.schema)
+
+    // Duplicate source keys make the merge ambiguous (which version
+    // wins?) — reject like PyIceberg's upsert does (SURVEY §7.4). One
+    // count-distinct over the (small) source side, not the target.
+    val dupKeys = projected
+      .groupBy(keys.map(k => col(s"`$k`")): _*)
+      .agg(count(lit(1)).as("_n")).where(col("_n") > 1).limit(1).collect()
+    if (dupKeys.nonEmpty)
+      throw new IllegalArgumentException(
+        s"upsert source contains duplicate keys on (${keys.mkString(", ")}), " +
+          s"e.g. ${dupKeys.head.toSeq.init.mkString("/")}")
     val spec = partitionField()
 
     // Partition pruning for the rewrite set: a target file whose
@@ -211,6 +222,17 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
   }
 
   def scanAsOfVersion(version: Int): DataFrame = scanSnapshot(log.read(version))
+
+  /** Time travel by wall-clock: the latest snapshot committed at or
+    * before `timestampMs`.
+    */
+  def scanAsOfTimestamp(timestampMs: Long): DataFrame = {
+    val snap = snapshots().filter(_.timestampMs <= timestampMs)
+      .sortBy(s => (s.timestampMs, s.version)).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"No snapshot at or before $timestampMs"))
+    scanSnapshot(snap)
+  }
 
   /** Filtered scan with file-level partition pruning: only files that
     * may contain matching rows are read; the full predicate is still

@@ -67,13 +67,27 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
       t.snapshots().head.files.map(_.path).toSet) shouldBe true
   }
 
-  test("time travel reads historical snapshots by version and id") {
+  test("time travel reads historical snapshots by version, id, and timestamp") {
     val t = cat().ensure(TableIdent("ns", "t5"))
     val s0 = t.append(df(d1))
+    Thread.sleep(15)
     t.append(df(d2))
     t.scanAsOfVersion(0).count() shouldBe 1
     t.scanAsOf(s0.snapshotId).count() shouldBe 1
+    t.scanAsOfTimestamp(s0.timestampMs).count() shouldBe 1
+    t.scanAsOfTimestamp(System.currentTimeMillis() + 1000).count() shouldBe 2
+    an[IllegalArgumentException] should be thrownBy
+      t.scanAsOfTimestamp(s0.timestampMs - 100000)
     t.scan().count() shouldBe 2
+  }
+
+  test("upsert rejects duplicate source keys, like PyIceberg") {
+    val t = cat().ensure(TableIdent("ns", "t5b"))
+    t.append(df(d1, d2))
+    val dupSource = df((2L, "2024-01-02", "v1"), (2L, "2024-01-02", "v2"))
+    val ex = the[IllegalArgumentException] thrownBy t.upsert(dupSource, Seq("id"))
+    ex.getMessage should include("duplicate keys")
+    t.scan().count() shouldBe 2 // nothing committed
   }
 
   test("schema evolution: scan null-fills files written before the new column") {

@@ -155,6 +155,28 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     out.toSeq shouldBe Seq(1L, 3L)
   }
 
+  test("multimodal resize: deterministic strided payload, metadata stamped") {
+    import graft.operators.Multimodal
+    val assets = Multimodal.syntheticAssets(docs((1L, "abcdefghij")), "id", "text")
+    val out = Multimodal.resize(assets, 16, 16).collect()(0)
+    out.getAs[Long]("asset_id") shouldBe 1L
+    val payload = out.getAs[Array[Byte]]("payload")
+    payload.length shouldBe math.min(16 * 16 / 64, 10) // 4 bytes
+    payload.toSeq shouldBe Seq('a', 'c', 'f', 'h').map(_.toByte) // strided sample
+    out.getAs[Map[String, String]]("meta")("resized") shouldBe "16x16"
+  }
+
+  test("multimodal frame sampling fans out every Nth fake frame") {
+    import graft.operators.Multimodal
+    val text = "x" * 350 // 350 bytes -> 4 frames (0..3)
+    val assets = Multimodal.syntheticAssets(docs((2L, text)), "id", "text")
+    val frames = Multimodal.sampleFrames(assets, everyN = 2).orderBy("frame_index").collect()
+    frames.map(_.getAs[Int]("frame_index")).toSeq shouldBe Seq(0, 2)
+    frames.map(_.getAs[Long]("frame_id")).toSeq shouldBe Seq(20000L, 20002L)
+    frames(0).getAs[Array[Byte]]("frame").length shouldBe 100
+    frames(1).getAs[Array[Byte]]("frame").length shouldBe 100
+  }
+
   test("hyperplaneBucket is deterministic and bounded by 2^planes") {
     val s = spark
     import s.implicits._
