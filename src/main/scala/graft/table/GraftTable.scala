@@ -440,7 +440,12 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
         val srcField = schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol))
         srcField match {
           case Some(f) =>
+            // hash-distribute on the partition value (Iceberg's
+            // write.distribution-mode=hash): each partition value lands
+            // in one task, so a commit writes one file per partition
+            // instead of (tasks × partitions) small files
             df.withColumn(pf.derivedColName, pf.derive(col(s"`${f.name}`"), f.dataType))
+              .repartition(col(pf.derivedColName))
               .write.partitionBy(pf.derivedColName)
           case None => df.write // source col missing: degrade to unpartitioned
         }
@@ -454,12 +459,17 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
   }
 
   private def collectDataFiles(outDir: Path, spec: Option[PartitionField]): Seq[DataFile] = {
+    import scala.collection.parallel.CollectionConverters._
     val conf = new Configuration()
     val stream = Files.walk(outDir)
-    try {
-      stream.iterator().asScala
+    val paths =
+      try stream.iterator().asScala
         .filter(p => p.getFileName.toString.endsWith(".parquet") && Files.isRegularFile(p))
-        .map { p =>
+        .toSeq
+      finally stream.close()
+    // footer reads are independent metadata fetches — do them in parallel
+    paths.par
+      .map { p =>
           val rel = tableDir.relativize(p).toString
           val (rows, stats) = parquetFooterInfo(p, conf)
           val pv = spec.map { pf =>
@@ -478,8 +488,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
           }
           DataFile(rel, rows, Files.size(p), pv, stats)
         }
-        .toSeq
-    } finally stream.close()
+      .seq.toSeq
   }
 
   /** Row count + per-column zone maps from the Parquet footer — one
