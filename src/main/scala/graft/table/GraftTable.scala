@@ -99,6 +99,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
     val removed = (dropped ++ mayMatch).map(_.path).toSet
     log.commit { parent =>
       val p = parent.getOrElse(snap)
+      requireNoConflict(p, removed, "delete")
       // groups untouched by this delete (incl. any committed concurrently)
       // carry their manifests verbatim; partially-affected groups get a
       // pruned manifest (metadata-only, no data rewrite)
@@ -107,6 +108,21 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
         operation = "delete",
         fileGroups = pruneGroups(p.fileGroups, removed) ++ rewritten.toSeq)
     }
+  }
+
+  /** Copy-on-write conflict validation: a concurrent commit that
+    * rewrote or dropped any file this operation's rewrite was computed
+    * from makes the rewrite stale — committing it would duplicate or
+    * resurrect rows. Fail like Iceberg's validation does; the caller
+    * re-runs the operation against the new snapshot.
+    */
+  private def requireNoConflict(parent: Snapshot, analyzed: Set[String], op: String): Unit = {
+    val live = parent.files.map(_.path).toSet
+    val gone = analyzed.diff(live)
+    if (gone.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"$op conflicts with a concurrent commit: ${gone.size} analyzed file(s) " +
+          s"no longer current (e.g. ${gone.head}); re-run against the latest snapshot")
   }
 
   /** Upsert / MERGE (W4+J1, `core/strategies.py:69-81`): rows in
@@ -161,6 +177,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
     val rewrittenPaths = rewriteSet.map(_.path).toSet
     log.commit { parent =>
       val p = parent.getOrElse(snap)
+      requireNoConflict(p, rewrittenPaths, "upsert")
       p.copy(
         snapshotId = newSnapshotId(),
         operation = "upsert",
@@ -342,9 +359,14 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
       case None => df0.repartition(math.max(1, targetFiles))
     }
     val newGroup = writeDataFiles(df, snap.schema, spec)
+    val compacted = snap.files.map(_.path).toSet
     log.commit { parent =>
       val p = parent.getOrElse(snap)
-      p.copy(snapshotId = newSnapshotId(), operation = "compact", fileGroups = Seq(newGroup))
+      requireNoConflict(p, compacted, "compact")
+      // groups committed concurrently (e.g. a racing append) carry over;
+      // only the files this compaction actually read are replaced
+      p.copy(snapshotId = newSnapshotId(), operation = "compact",
+        fileGroups = pruneGroups(p.fileGroups, compacted) :+ newGroup)
     }
   }
 
