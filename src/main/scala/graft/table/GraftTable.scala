@@ -342,6 +342,59 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
     }
   }
 
+  /** Remove files under the table directory that no snapshot references
+    * — leftovers of crashed or conflict-aborted commits, which write
+    * data files and manifests before winning the metadata race. Only
+    * files older than `olderThanMs` wall-clock are touched so an
+    * in-flight commit's fresh files survive (Iceberg's
+    * remove_orphan_files contract). Returns the number of files deleted.
+    */
+  def removeOrphanFiles(olderThanMs: Long = 3 * 24 * 3600 * 1000L): Int = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val snaps = snapshots()
+    val liveData = snaps.flatMap(_.files.map(_.path)).toSet
+    val liveManifests = snaps.flatMap(_.manifestPaths).toSet
+    var deleted = 0
+    val dataDir = tableDir.resolve("data")
+    if (Files.isDirectory(dataDir)) {
+      val stream = Files.walk(dataDir)
+      try stream.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && Files.getLastModifiedTime(p).toMillis < cutoff)
+        .filterNot(p => liveData.contains(tableDir.relativize(p).toString))
+        .foreach { p => Files.deleteIfExists(p); deleted += 1 }
+      finally stream.close()
+    }
+    val metaDir = tableDir.resolve("_meta")
+    if (Files.isDirectory(metaDir)) {
+      val stream = Files.list(metaDir)
+      try stream.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("m-") &&
+          Files.getLastModifiedTime(p).toMillis < cutoff)
+        .filterNot(p => liveManifests.contains(p.getFileName.toString))
+        .foreach { p => Files.deleteIfExists(p); deleted += 1 }
+      finally stream.close()
+    }
+    graft.observability.Log.metrics("remove_orphan_files",
+      "table" -> tableDir.getFileName, "deleted" -> deleted)
+    deleted
+  }
+
+  /** Size-targeted compaction: rewrite into files of ~`targetBytes`
+    * (the real-world small-file knob; file count derives from current
+    * table bytes).
+    */
+  def compactBySize(targetBytes: Long): Snapshot = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val totalBytes = currentOrFail().files.map(_.sizeBytes).sum
+    compact(math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt))
+  }
+
+  /** Register this table's current snapshot as a temp view so plain
+    * `spark.sql` reads it (`SELECT ... FROM name`).
+    */
+  def createOrReplaceView(name: String): Unit =
+    scan().createOrReplaceTempView(name)
+
   /** Compaction (M3, north star): rewrite the current file set into
     * `targetFiles` larger files, preserving partitioning. Data is
     * unchanged; small-file count drops.

@@ -141,6 +141,43 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     t.scan().count() shouldBe 1
   }
 
+  test("removeOrphanFiles deletes only unreferenced files past the cutoff") {
+    val t = cat().ensure(TableIdent("ns", "t9a"))
+    t.append(df(d1, d2))
+    // plant fakes: an orphan data file and an orphan manifest
+    val orphanData = t.tableDir.resolve("data").resolve("dead").resolve("part-x.parquet")
+    Files.createDirectories(orphanData.getParent)
+    Files.writeString(orphanData, "junk")
+    val orphanManifest = t.tableDir.resolve("_meta").resolve("m-deadbeef.json")
+    Files.writeString(orphanManifest, """{"files":[]}""")
+    // fresh files survive a 1-day cutoff...
+    t.removeOrphanFiles() shouldBe 0
+    // ...but fall to an immediate cutoff (alongside _SUCCESS/.crc
+    // markers, which are legitimately unreferenced); referenced data
+    // files are untouched
+    t.removeOrphanFiles(olderThanMs = -1000) should be >= 2
+    Files.exists(orphanData) shouldBe false
+    Files.exists(orphanManifest) shouldBe false
+    t.scan().count() shouldBe 2
+  }
+
+  test("compactBySize derives the file count from table bytes") {
+    val t = cat().ensure(TableIdent("ns", "t9b"))
+    (1 to 4).foreach(i => t.append(df((i.toLong, "2024-01-01", s"n$i"))))
+    val total = t.currentOrFail().files.map(_.sizeBytes).sum
+    t.compactBySize(targetBytes = total * 2) // everything fits one file
+    t.currentOrFail().files.size shouldBe 1
+    t.scan().count() shouldBe 4
+  }
+
+  test("createOrReplaceView exposes the table to spark.sql") {
+    val t = cat().ensure(TableIdent("ns", "t9c"))
+    t.append(df(d1, d2, d3))
+    t.createOrReplaceView("graft_view_t9c")
+    spark.sql("SELECT COUNT(*) AS n FROM graft_view_t9c WHERE day >= '2024-01-02'")
+      .collect()(0).getLong(0) shouldBe 2
+  }
+
   test("compact shrinks file count without changing data") {
     val t = cat().ensure(TableIdent("ns", "t9"))
     (1 to 4).foreach(i => t.append(df((i.toLong, "2024-01-01", s"n$i"))))
