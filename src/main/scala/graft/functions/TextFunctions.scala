@@ -109,9 +109,15 @@ object TextFunctions {
     "es" -> Seq("el", "los", "las", "y", "es", "una", "por", "con", "para", "del"),
     "it" -> Seq("il", "di", "che", "non", "per", "una", "sono", "con", "del", "gli"))
 
-  /** Predicted language code, or "und" when no marker matches. */
-  def langId(text: Column): Column = {
-    val t = wordTokens(text)
+  /** Predicted language code, or "und" when no marker matches.
+    * Prefer pre-tokenizing once (`withColumn("toks", wordTokens(text))`
+    * + [[langIdFromTokens]]) in wide pipelines — embedding `text` here
+    * repeats the tokenizer expression per language.
+    */
+  def langId(text: Column): Column = langIdFromTokens(wordTokens(text))
+
+  /** Language ID over an already-tokenized column. */
+  def langIdFromTokens(t: Column): Column = {
     // build array<struct<score,lang>> and take the max (struct ordering
     // compares score first, then lang — deterministic ties)
     val scored = array(LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>

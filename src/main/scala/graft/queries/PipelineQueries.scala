@@ -72,8 +72,10 @@ object PipelineQueries {
     // alphabetically-largest language in BOTH engines
     "q23_lang_id" -> Q(
       (s, dir) => t(s, dir, "documents")
+        // tokenize once, score per language over the materialized tokens
+        .withColumn("toks", TextFunctions.wordTokens(col("text")))
         .select(col("doc_id"), col("lang"),
-          TextFunctions.langId(col("text")).as("predicted"))
+          TextFunctions.langIdFromTokens(col("toks")).as("predicted"))
         .groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("predicted")),
