@@ -1,0 +1,131 @@
+package graft
+
+import graft.meta.{ColumnStats, DataFile, Snapshot}
+import graft.partitioning.{PartitionExpr, Transform}
+import graft.table.StatsPruner
+import graft.types.TypeRegistry
+
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck properties — the upgrade over the reference's example-based
+  * tests (SURVEY §5): parser totality/round-trip, type-mapping
+  * idempotence, codec round-trips, and zone-map pruning soundness.
+  */
+object PartitioningProps extends Properties("PartitionExpr") {
+
+  private val colGen: Gen[String] = for {
+    h <- Gen.oneOf(('a' to 'z') ++ Seq('_'))
+    t <- Gen.listOfN(5, Gen.oneOf(('a' to 'z') ++ ('0' to '9') ++ Seq('_')))
+  } yield (h :: t).mkString
+
+  private val unaryGen: Gen[String] = for {
+    f <- Gen.oneOf("year", "month", "day", "hour", "void")
+    c <- colGen
+  } yield s"$f($c)"
+
+  private val binaryGen: Gen[String] = for {
+    f <- Gen.oneOf("bucket", "truncate")
+    n <- Gen.choose(1, 4096)
+    c <- colGen
+  } yield s"$f($n, $c)"
+
+  private val validExpr: Gen[String] = Gen.oneOf(colGen, unaryGen, binaryGen)
+
+  property("parse is total over the grammar and toString round-trips") =
+    forAll(validExpr) { e =>
+      val pf = PartitionExpr.parse(e)
+      PartitionExpr.parse(pf.toString) == pf
+    }
+
+  property("unknown transform names always raise") =
+    forAll(Gen.alphaLowerStr.suchThat(s =>
+      s.nonEmpty && !Seq("year", "month", "day", "hour", "void").contains(s)), colGen) {
+      (f, c) =>
+        Prop.throws(classOf[Exception])(PartitionExpr.parse(s"$f($c)"))
+    }
+
+  property("derived field names are deterministic and prefix on the source column") =
+    forAll(validExpr) { e =>
+      val pf = PartitionExpr.parse(e)
+      pf.fieldName.startsWith(pf.sourceCol) && pf.derivedColName == s"_p_${pf.fieldName}"
+    }
+}
+
+object TypeRegistryProps extends Properties("TypeRegistry") {
+  private val supported: Gen[DataType] = Gen.oneOf(
+    ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType,
+    StringType, BooleanType, BinaryType, DateType, TimestampType,
+    TimestampNTZType, NullType, DecimalType(12, 2), ArrayType(FloatType),
+    ArrayType(ShortType))
+
+  property("canonicalize is idempotent") = forAll(supported) { dt =>
+    val once = TypeRegistry().canonicalize(dt)
+    TypeRegistry().canonicalize(once) == once
+  }
+
+  property("canonical types are never narrower than Integer") = forAll(supported) { dt =>
+    TypeRegistry().canonicalize(dt) match {
+      case ByteType | ShortType | NullType => false
+      case ArrayType(ByteType | ShortType | NullType, _) => false
+      case _ => true
+    }
+  }
+}
+
+object CodecProps extends Properties("ManifestCodec") {
+  private val statGen: Gen[ColumnStats] = for {
+    min <- Gen.option(Gen.choose(-1000000L, 0L).map(_.toString))
+    max <- Gen.option(Gen.choose(0L, 1000000L).map(_.toString))
+    n <- Gen.option(Gen.choose(0L, 100L))
+  } yield ColumnStats(min, max, n)
+
+  private val fileGen: Gen[DataFile] = for {
+    path <- Gen.identifier.map(s => s"data/$s.parquet")
+    rows <- Gen.choose(0L, 1000000L)
+    bytes <- Gen.choose(0L, Long.MaxValue / 2)
+    pv <- Gen.option(Gen.mapOf(Gen.zip(Gen.identifier,
+      Gen.option(Gen.oneOf("2024-01-01", "x=y", "a b", "", "__weird%2F")))))
+    stats <- Gen.mapOf(Gen.zip(Gen.identifier, statGen))
+  } yield DataFile(path, rows, bytes, pv, stats)
+
+  property("manifest JSON round-trips arbitrary file lists") =
+    forAll(Gen.listOf(fileGen)) { files =>
+      Snapshot.manifestFromJson(Snapshot.manifestToJson(files)) == files
+    }
+}
+
+object StatsPrunerProps extends Properties("StatsPruner") {
+  private val schema = StructType(Seq(StructField("k", LongType)))
+
+  /** Soundness: if the pruner says a file cannot match, no value inside
+    * [min,max] satisfies the predicate; if it proves all-match, every
+    * value does (given zero nulls).
+    */
+  property("may/all are sound for long ranges") =
+    forAll(Gen.choose(-1000L, 1000L), Gen.choose(0L, 500L),
+           Gen.choose(-1500L, 1500L), Gen.oneOf("=", "<", "<=", ">", ">=")) {
+      (min, span, lit, op) =>
+        val max = min + span
+        val file = DataFile("f.parquet", 10, 10, None,
+          Map("k" -> ColumnStats(Some(min.toString), Some(max.toString), Some(0))))
+        val tri = StatsPruner.evaluate(file, schema,
+          CatalystSqlParser.parseExpression(s"k $op $lit"))
+        def sat(v: Long): Boolean = op match {
+          case "="  => v == lit
+          case "<"  => v < lit
+          case "<=" => v <= lit
+          case ">"  => v > lit
+          case ">=" => v >= lit
+        }
+        val candidates = Seq(min, max, lit, lit - 1, lit + 1).filter(v => v >= min && v <= max)
+        val anySat = candidates.exists(sat)
+        val allSat = (min to max by math.max(1, span / 7)).forall(sat) &&
+          sat(min) && sat(max)
+        // pruned-away files must truly have no satisfying value; proven
+        // all-match files must satisfy everywhere
+        Prop(tri.may || !anySat) && Prop(!tri.all || allSat)
+    }
+}
