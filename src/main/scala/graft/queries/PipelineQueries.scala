@@ -97,6 +97,30 @@ object PipelineQueries {
            |FROM best GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
       }),
 
+    // composed corpus-cleaning pipeline: exact dedup (min-id keeper over
+    // a salted union) -> quality filter (punctuation + length) -> per-
+    // language stats. The shape of a real pre-training data pass; every
+    // stage is SQL-expressible so the oracle checks the composition.
+    "q38_clean_pipeline" -> Q(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val dups = d.where(col("doc_id") < 100)
+          .withColumn("doc_id", col("doc_id") + 100000)
+        val deduped = Dedup.exact(d.unionByName(dups), Seq("text"), "doc_id")
+        deduped
+          .withColumn("toks", TextFunctions.wordTokens(col("text")))
+          .where(TextFunctions.punctRatio(col("text")) < 0.08 && size(col("toks")) >= 30)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("docs"), sum(size(col("toks")).cast("long")).as("words"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""SELECT lang, COUNT(*) AS docs, SUM(len($DTOKENS)) AS words
+              |FROM documents
+              |WHERE (CASE WHEN len(text) = 0 THEN 0.0
+              |    ELSE (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / len(text) END) < 0.08
+              |  AND len($DTOKENS) >= 30
+              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // ---- dedup --------------------------------------------------------
 
     // exact dedup over a salted self-union (the corpus itself has no

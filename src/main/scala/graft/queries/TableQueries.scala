@@ -211,6 +211,29 @@ object TableQueries {
       Some("""SELECT CAST(4 AS BIGINT) AS snapshots, COUNT(*) AS rows_loaded,
              |  CAST(10 AS BIGINT) AS batches FROM orders""".stripMargin)),
 
+    // S9 snapshot history as a relation: operations + per-snapshot row
+    // counts are deterministic, so the oracle pins the whole lineage
+    "q52_history" -> Q(
+      (s, dir) => {
+        val cat = freshCatalog(s)
+        val ident = TableIdent("bench", "ord_hist")
+        val o = t(s, dir, "orders")
+        val tbl = cat.ensure(ident)
+        tbl.append(o.where(col("o_orderstatus") === "O"))
+        tbl.append(o.where(col("o_orderstatus") =!= "O"))
+        tbl.deleteWhere("o_orderstatus = 'F'")
+        tbl.history()
+          .select(col("version"), col("operation"), col("row_count"))
+          .orderBy(col("version"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 0 AS version, 'append' AS operation,
+             |    (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'O') AS row_count
+             |  UNION ALL SELECT 1, 'append', (SELECT COUNT(*) FROM orders)
+             |  UNION ALL SELECT 2, 'delete',
+             |    (SELECT COUNT(*) FROM orders WHERE o_orderstatus <> 'F'))
+             |ORDER BY version""".stripMargin)),
+
     // S4 messy-JSON ingest: nested → JSON strings, string fallback on
     // mixed types, union of keys, all-null ⇒ string
     "q49_messy_json" -> Q(

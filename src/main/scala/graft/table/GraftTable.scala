@@ -395,6 +395,18 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
   def createOrReplaceView(name: String): Unit =
     scan().createOrReplaceTempView(name)
 
+  /** Snapshot history as a DataFrame (S9 read-back surface — the
+    * `table.snapshots()` listing of `examples/load_with_commits.py:55-61`
+    * as a queryable relation).
+    */
+  def history(): DataFrame = {
+    import spark.implicits._
+    snapshots().map(s => (s.version, s.snapshotId, s.parentId, s.timestampMs,
+        s.operation, s.schemaVersion, s.fileGroups.map(_.files.size).sum, s.rowCount))
+      .toDF("version", "snapshot_id", "parent_id", "timestamp_ms",
+        "operation", "schema_version", "file_count", "row_count")
+  }
+
   /** Compaction (M3, north star): rewrite the current file set into
     * `targetFiles` larger files, preserving partitioning. Data is
     * unchanged; small-file count drops.
