@@ -22,6 +22,56 @@ object PipelineQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // event sessionization: 30-minute inactivity gap starts a new
+    // session (lag + cumulative sum — the standard distributed
+    // sessionization shape; one shuffle on user_id)
+    "q56_sessionize" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = events(s, dir)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        val gapped = e.select(col("user_id"), col("ts"))
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1)
+              .otherwise(0))
+          .withColumn("session_id", sum(col("new_session")).over(w))
+        gapped.groupBy(col("user_id"))
+          .agg(countDistinct(col("session_id")).as("sessions"),
+            count(lit(1)).as("events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM g),
+             |c AS (
+             |  SELECT user_id,
+             |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+             |  FROM s)
+             |SELECT user_id, COUNT(DISTINCT session_id) AS sessions, COUNT(*) AS events
+             |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // JSON property extraction from the events props column
+    "q57_json_props" -> Q(
+      (s, dir) => events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+             |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+             |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ---- text analysis ------------------------------------------------
 
     "q20_token_stats" -> Q(

@@ -218,6 +218,68 @@ object RelationalQueries {
              |  UNION ALL SELECT 'supplier', COUNT(*) FROM supplier)
              |ORDER BY table_name""".stripMargin)),
 
+    // analytic windows: lag + running sum per customer
+    "q53_window_running" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        t(s, dir, "orders")
+          .where(col("o_custkey") < 50)
+          .select(col("o_custkey"), col("o_orderkey"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+            sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some(s"""SELECT o_custkey, o_orderkey,
+              |  LAG(o_orderkey, 1) OVER w AS prev_order,
+              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS running_total
+              |FROM orders WHERE o_custkey < 50
+              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // set ops: INTERSECT / EXCEPT (distinct semantics)
+    "q54_intersect_except" -> Q(
+      (s, dir) => {
+        val custNations = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        val suppNations = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+        val both = custNations.intersect(suppNations)
+          .withColumn("relation", lit("both"))
+        val custOnly = custNations.except(suppNations)
+          .withColumn("relation", lit("customers_only"))
+        both.unionByName(custOnly).orderBy(col("relation"), col("nationkey"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT nationkey, 'both' AS relation FROM
+             |    (SELECT c_nationkey AS nationkey FROM customer
+             |     INTERSECT SELECT s_nationkey FROM supplier)
+             |  UNION ALL
+             |  SELECT nationkey, 'customers_only' AS relation FROM
+             |    (SELECT c_nationkey AS nationkey FROM customer
+             |     EXCEPT SELECT s_nationkey FROM supplier))
+             |ORDER BY relation, nationkey""".stripMargin)),
+
+    // scalar-function surface: string/date/conditional built-ins
+    "q55_scalar_funcs" -> Q(
+      (s, dir) => t(s, dir, "orders")
+        .where(col("o_orderkey") < 500)
+        .select(
+          col("o_orderkey"),
+          upper(substring(col("o_orderpriority"), 1, 1)).as("prio_initial"),
+          length(col("o_orderpriority")).as("prio_len"),
+          concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_or_open"),
+          (dec(col("o_totalprice")) % 100).cast("double").as("cents_mod"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+             |  UPPER(SUBSTRING(o_orderpriority, 1, 1)) AS prio_initial,
+             |  LEN(o_orderpriority) AS prio_len,
+             |  CONCAT_WS('-', o_orderstatus, o_orderpriority) AS status_prio,
+             |  STRFTIME(o_orderdate, '%Y-%m') AS order_month,
+             |  COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+             |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) % 100 AS DOUBLE) AS cents_mod
+             |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
+
     // grouping sets / rollup
     "q14_rollup" -> Q(
       (s, dir) => t(s, dir, "orders")
