@@ -1,0 +1,17 @@
+package graft
+
+import graft.functions.IcebergBucketExpr
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Session extension installer — the public plug-in point for graft's
+  * native Catalyst expressions. Activate with
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`); `iceberg_bucket(col, n)`
+  * then resolves in SQL and `expr(...)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(IcebergBucketExpr.functionDescriptor)
+  }
+}

@@ -84,6 +84,22 @@ object TransformQueries {
       },
       None),
 
+    // Iceberg-spec-exact bucket (custom codegen Expression registered
+    // via GraftExtensions): murmur3 over Iceberg byte encodings — no
+    // DuckDB dual; spec vectors asserted inline, distribution returned
+    "q19c_iceberg_bucket" -> Q(
+      (s, dir) => {
+        val vec = s.sql("SELECT iceberg_bucket(CAST(34 AS BIGINT), 1073741824) AS b")
+          .collect()(0).getInt(0)
+        require(vec == 2017239379 % (1 << 30),
+          s"iceberg_bucket spec vector mismatch: $vec")
+        t(s, dir, "orders")
+          .select(expr("iceberg_bucket(o_orderkey, 16)").as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+          .orderBy(col("bucket"))
+      },
+      None),
+
     "q19b_transform_void_identity" -> Q(
       (s, dir) => {
         val n = t(s, dir, "nation")
