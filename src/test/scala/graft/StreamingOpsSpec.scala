@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.SessionEvent
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class StreamingOpsSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("watermarked windowed counts finalize once the watermark passes") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val windows = StreamingOps.windowedEventCounts(
+      ms.toDF().toDF("ts", "event_type", "value"),
+      windowLen = "10 minutes", watermark = "10 minutes")
+    val q = windows.writeStream.format("memory").queryName("wincounts")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try {
+      ms.addData((ts(1), "click", 1.0), (ts(4), "click", 2.0), (ts(7), "view", 1.0))
+      q.processAllAvailable()
+      // watermark still inside the first window: nothing finalized
+      s.table("wincounts").count() shouldBe 0
+      // event far ahead pushes the watermark past 10:10 -> first window emits
+      ms.addData((ts(40), "click", 1.0))
+      q.processAllAvailable()
+      ms.addData((ts(59), "click", 1.0))
+      q.processAllAvailable()
+      val rows = s.table("wincounts")
+        .select(date_format(col("window_start"), "HH:mm").as("w"), col("event_type"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      rows should contain(("10:00", "click", 2L))
+      rows should contain(("10:00", "view", 1L))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on gap and frees state") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = MemoryStream[SessionEvent]
+    // NoTimeout keeps the run bounded (a ProcessingTime-timeout query
+    // stays alive to fire pending timeouts); gap closure on arrival is
+    // the path under test. AvailableNow drains the source then stops.
+    val sessions = StreamingOps.sessionize(ms.toDS(), gapMs = 5 * 60 * 1000,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+    // user 1: two bursts separated by >5min -> first burst closes when
+    // the second arrives (same micro-batch group processing)
+    ms.addData(SessionEvent(1L, ts(0)), SessionEvent(1L, ts(2)),
+      SessionEvent(1L, ts(20)), SessionEvent(2L, ts(1)))
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try {
+      q.awaitTermination(120000) shouldBe true
+      val out = s.table("sessions").as[StreamingOps.SessionOut].collect()
+      out.length shouldBe 1
+      out(0).user_id shouldBe 1L
+      out(0).events shouldBe 2 // the 10:00 + 10:02 burst
+      out(0).session_start shouldBe ts(0)
+      out(0).session_end shouldBe ts(2)
+    } finally q.stop()
+  }
+}
