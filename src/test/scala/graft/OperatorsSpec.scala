@@ -177,6 +177,34 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     frames(1).getAs[Array[Byte]]("frame").length shouldBe 100
   }
 
+  test("embeddingPairs recovers planted identical vectors via hyperplane buckets") {
+    val s = spark
+    import s.implicits._
+    val vecs = (1L to 30L).map(i => (i, Seq.tabulate(6)(d => math.sin(i * 13 + d).toFloat)))
+    val copies = vecs.take(5).map { case (i, v) => (i + 100, v) }
+    val df = (vecs ++ copies).toDF("id", "v")
+    val pairs = Dedup.embeddingPairs(df, "v", "id", planes = 5, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (1L to 5L).foreach(i => pairs should contain((i, i + 100)))
+  }
+
+  test("saltedJoin splits hot keys but returns exactly the plain join result") {
+    import graft.operators.Skew
+    val s = spark
+    import s.implicits._
+    // one pathological hot key (90% of rows) + a long tail
+    val big = ((1 to 900).map(i => (1L, s"r$i")) ++ (1 to 100).map(i => (i.toLong % 7 + 2, s"t$i")))
+      .toDF("k", "payload")
+    val small = (1L to 10L).map(i => (i, s"dim$i")).toDF("k", "dim")
+    val plain = big.join(small, Seq("k")).orderBy("k", "payload")
+      .collect().map(_.toSeq).toSeq
+    val salted = Skew.saltedJoin(big, small, Seq("k"), factor = 8,
+        spreadCol = Some("payload"))
+      .orderBy("k", "payload").collect().map(_.toSeq).toSeq
+    salted shouldBe plain
+    salted.size shouldBe 1000
+  }
+
   test("hyperplaneBucket is deterministic and bounded by 2^planes") {
     val s = spark
     import s.implicits._
