@@ -211,6 +211,26 @@ object TableQueries {
       Some("""SELECT CAST(4 AS BIGINT) AS snapshots, COUNT(*) AS rows_loaded,
              |  CAST(10 AS BIGINT) AS batches FROM orders""".stripMargin)),
 
+    // incremental read: only the rows appended between two snapshots
+    "q58_incremental_read" -> Q(
+      (s, dir) => {
+        val cat = freshCatalog(s)
+        val ident = TableIdent("bench", "ord_inc")
+        val o = t(s, dir, "orders")
+        val tbl = cat.ensure(ident)
+        tbl.append(o.where(col("o_orderstatus") === "O"))
+        tbl.append(o.where(col("o_orderstatus") === "F"))
+        tbl.append(o.where(col("o_orderstatus") === "P"))
+        // consume versions (0, 2]: the F and P batches only
+        tbl.scanAppendedBetween(0, 2)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n, ${DSUM("o_totalprice")} AS total
+              |FROM orders WHERE o_orderstatus IN ('F', 'P')
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // S9 snapshot history as a relation: operations + per-snapshot row
     // counts are deterministic, so the oracle pins the whole lineage
     "q52_history" -> Q(

@@ -395,6 +395,29 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
   def createOrReplaceView(name: String): Unit =
     scan().createOrReplaceTempView(name)
 
+  /** Incremental read: rows ADDED between two versions (exclusive
+    * `fromVersion`, inclusive `toVersion`) — the Iceberg incremental-
+    * scan analogue that lets a downstream pipeline consume only new
+    * data per run. Defined for append-only ranges; if any snapshot in
+    * the range rewrote or removed files (delete/overwrite/upsert/
+    * compact), added-file reads would conflate rewritten old rows with
+    * new ones, so the range is rejected.
+    */
+  def scanAppendedBetween(fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion <= toVersion, s"bad range: $fromVersion..$toVersion")
+    val from = log.read(fromVersion)
+    val to = log.read(toVersion)
+    val intervening = snapshots()
+      .filter(s => s.version > fromVersion && s.version <= toVersion)
+    val nonAppend = intervening.filterNot(s =>
+      s.operation == "append" || s.operation.startsWith("evolve"))
+    require(nonAppend.isEmpty,
+      s"range contains non-append operations: ${nonAppend.map(_.operation).distinct.mkString(", ")}")
+    val before = from.files.map(_.path).toSet
+    val added = to.files.filterNot(f => before.contains(f.path))
+    readFiles(to.schema, added)
+  }
+
   /** Snapshot history as a DataFrame (S9 read-back surface — the
     * `table.snapshots()` listing of `examples/load_with_commits.py:55-61`
     * as a queryable relation).

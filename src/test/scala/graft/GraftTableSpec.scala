@@ -81,6 +81,18 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     t.scan().count() shouldBe 2
   }
 
+  test("scanAppendedBetween returns only new rows; rejects rewrite ranges") {
+    val t = cat().ensure(TableIdent("ns", "t5c"))
+    t.append(df(d1))
+    t.append(df(d2))
+    t.append(df(d3))
+    t.scanAppendedBetween(0, 2).select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      Seq(2L, 3L)
+    t.scanAppendedBetween(2, 2).count() shouldBe 0
+    t.deleteWhere("id = 1")
+    an[IllegalArgumentException] should be thrownBy t.scanAppendedBetween(0, 3)
+  }
+
   test("upsert rejects duplicate source keys, like PyIceberg") {
     val t = cat().ensure(TableIdent("ns", "t5b"))
     t.append(df(d1, d2))
