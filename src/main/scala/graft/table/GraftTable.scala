@@ -484,6 +484,28 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
       case _ => schema
     }
 
+  /** Iceberg-style manifest merging: without it, N appends leave N
+    * manifest refs in every later snapshot (O(N) metadata per commit,
+    * O(N²) cumulative). When the group count exceeds the threshold
+    * (`graft.manifest.merge-threshold` table property, default 64), the
+    * smallest manifests are concatenated into one — a metadata-only
+    * rewrite of O(files merged), amortized constant per commit.
+    */
+  private def maybeMergeGroups(groups: Seq[FileGroup],
+                               props: Map[String, String]): Seq[FileGroup] = {
+    val threshold = props.get(GraftTable.MergeThresholdProp)
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(64)
+    if (groups.size <= threshold) groups
+    else {
+      // merge the smallest groups down to half the threshold, keeping
+      // the biggest manifests untouched (they'd dominate rewrite cost)
+      val sorted = groups.sortBy(_.files.size)
+      val keepCount = math.max(1, threshold / 2)
+      val (merge, keep) = sorted.splitAt(sorted.size - keepCount + 1)
+      keep :+ log.writeManifest(merge.flatMap(_.files))
+    }
+  }
+
   private def writeOp(df: DataFrame, op: String, props: Map[String, String])(
       groupsOf: (Option[Snapshot], FileGroup) => Seq[FileGroup]): Snapshot = {
     val snap = current()
@@ -500,7 +522,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
           snapshotId = newSnapshotId(),
           operation = op,
           properties = p.properties ++ props,
-          fileGroups = groupsOf(Some(p), newGroup))
+          fileGroups = maybeMergeGroups(groupsOf(Some(p), newGroup), p.properties ++ props))
         case None => Snapshot(
           version = 0,
           snapshotId = newSnapshotId(),
@@ -703,6 +725,11 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
     }
     sb.toString
   }
+}
+
+object GraftTable {
+  /** Table property controlling manifest-merge onset (default 64). */
+  val MergeThresholdProp = "graft.manifest.merge-threshold"
 }
 
 /** Filesystem-metastore catalog over a warehouse directory (C1/C5,

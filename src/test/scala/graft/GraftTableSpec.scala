@@ -254,6 +254,19 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     an[Exception] should be thrownBy c.load(id)
   }
 
+  test("manifest merging bounds snapshot metadata under many appends") {
+    val t = cat().ensure(TableIdent("ns", "t16"))
+    val props = Map(graft.table.GraftTable.MergeThresholdProp -> "8")
+    (1 to 20).foreach(i => t.append(df((i.toLong, "2024-01-01", s"n$i")), props))
+    val snap = t.currentOrFail()
+    snap.fileGroups.size should be <= 8
+    snap.rowCount shouldBe 20
+    t.scan().count() shouldBe 20 // data intact through merges
+    // merged-away manifests are reclaimable once old snapshots expire
+    t.expireSnapshots(keepLast = 1)
+    t.scan().count() shouldBe 20
+  }
+
   test("appends reuse parent manifests; partial deletes prune only affected groups") {
     val t = cat().ensure(TableIdent("ns", "t14"), Some("day"))
     val s1 = t.append(df(d1, d2))
