@@ -98,6 +98,19 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     (1L to 3L).foreach(i => pairs should contain((i, i + 100)))
   }
 
+  test("simhashTable is bit-identical to the scalar simhash column") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content with other words"),
+      (3L, ""), // empty text -> fingerprint 0
+      (4L, "short"))
+    val scalar = d.select(col("id"), TextFunctions.simhash(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val table = Dedup.simhashTable(d, "text", "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    table shouldBe scalar
+  }
+
   test("simhashPairs: exact duplicates (Hamming 0) are always recovered") {
     // banding guarantees recovery only for Hamming <= bands-1; exact
     // copies are the deterministic case (near-copies are covered
