@@ -40,12 +40,26 @@ object Dedup {
       .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("keeper_id"))
 
   /** MinHash signature: `numHashes` permutations simulated as
-    * xxhash64(shingle, seed) minima — all inside codegen via
-    * higher-order functions, no UDF, no explode of the shingle set.
+    * xxhash64(shingle, seed) minima. Column form (higher-order
+    * functions; interpreted — CodegenFallback) for composability.
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       seed => array_min(transform(shingles, s => xxhash64(s, seed))))
+
+  /** MinHash signatures via shingle explode + `numHashes` codegen'd min
+    * aggregates — value-identical to [[minhashSignature]] but the
+    * hashing stays inside whole-stage codegen (one linear explode + one
+    * hash shuffle on the doc id), the corpus-scale formulation.
+    */
+  def minhashTable(docs: DataFrame, shingleCol: String, idCol: String,
+                   numHashes: Int): DataFrame = {
+    val exploded = docs.select(col(idCol).as("id"), explode(col(shingleCol)).as("s"))
+    val mins: Seq[Column] = (0 until numHashes).map(seed =>
+      min(xxhash64(col("s"), lit(seed))).as(s"_m$seed"))
+    exploded.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
+  }
 
   /** Banded-LSH near-duplicate candidate pairs.
     *
@@ -64,9 +78,9 @@ object Dedup {
                    threshold: Double = 0.6): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val withSig = df
+    val shingled = df
       .select(col(idCol).as("id"), charShingles(col(textCol), shingleSize).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val withSig = shingled.join(minhashTable(shingled, "sh", "id", numHashes), Seq("id"))
     val banded = withSig.select(
       col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),

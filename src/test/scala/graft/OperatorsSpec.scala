@@ -87,6 +87,17 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     out.toSeq shouldBe Seq((1L, 2L), (2L, 1L))
   }
 
+  test("minhashTable signatures are value-identical to the column form") {
+    import org.apache.spark.sql.functions.col
+    val d = docs((1L, "some document body here"), (2L, "another text entirely"), (3L, "x"))
+      .select(col("id"), TextFunctions.charShingles(col("text"), 4).as("sh"))
+    val column = d.select(col("id"), Dedup.minhashSignature(col("sh"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val table = Dedup.minhashTable(d, "sh", "id", 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    table shouldBe column
+  }
+
   test("minhashPairs finds planted near-duplicates, skips unrelated docs") {
     val corpus = (1L to 8L).map(i =>
       (i, s"document number $i with its own distinct body of shared template text plus unique token u$i"))
