@@ -57,6 +57,38 @@ object PipelineQueries {
              |SELECT user_id, COUNT(DISTINCT session_id) AS sessions, COUNT(*) AS events
              |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // as-of join: each view event picks the user's latest prior-or-
+    // simultaneous click (DuckDB's native ASOF JOIN is the oracle)
+    "q59_asof_join" -> Q(
+      (s, dir) => {
+        import graft.operators.AsOfJoin
+        val e = events(s, dir)
+        val views = e.where(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+        AsOfJoin.join(views, clicks, Seq("user_id"),
+            leftTs = "ts", rightTs = "click_ts", rightCols = Seq("click_id"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("views"),
+            count(col("click_id")).as("views_with_prior_click"),
+            countDistinct(col("click_id")).as("distinct_clicks_matched"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH views AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+             |clicks AS (
+             |  SELECT user_id, ts AS click_ts, event_id AS click_id
+             |  FROM events WHERE event_type = 'click'),
+             |joined AS (
+             |  SELECT v.user_id, v.event_id, c.click_id
+             |  FROM views v ASOF LEFT JOIN clicks c
+             |    ON v.user_id = c.user_id AND v.ts >= c.click_ts)
+             |SELECT user_id, COUNT(*) AS views,
+             |  COUNT(click_id) AS views_with_prior_click,
+             |  COUNT(DISTINCT click_id) AS distinct_clicks_matched
+             |FROM joined GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // JSON property extraction from the events props column
     "q57_json_props" -> Q(
       (s, dir) => events(s, dir)

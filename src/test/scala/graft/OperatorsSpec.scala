@@ -212,6 +212,24 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     (1L to 5L).foreach(i => pairs should contain((i, i + 100)))
   }
 
+  test("asOfJoin picks the latest right row at-or-before each left ts") {
+    import graft.operators.AsOfJoin
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L, "l10"), (1L, 20L, "l20"), (1L, 5L, "l5"), (2L, 10L, "x"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 8L, "r8"), (1L, 10L, "r10"), (1L, 15L, "r15"), (3L, 1L, "zz"))
+      .toDF("k", "rt", "rv")
+    val out = AsOfJoin.join(left, right, Seq("k"), "t", "rt", Seq("rv"))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(3)).orNull))
+    out.toSeq shouldBe Seq(
+      (1L, 5L, null),   // no click at or before 5
+      (1L, 10L, "r10"), // inclusive: rt == t matches
+      (1L, 20L, "r15"),
+      (2L, 10L, null))  // key with no right rows
+  }
+
   test("saltedJoin splits hot keys but returns exactly the plain join result") {
     import graft.operators.Skew
     val s = spark
