@@ -65,6 +65,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) index: a k-means coarse quantizer assigns each
+    * vector to one of `nlist` cells. At query time only the `nprobe`
+    * nearest cells are scanned — the classic large-scale ANN layout. At
+    * 100 TB the assigned table would be written partitioned by `_cell`
+    * so a probe reads nprobe partitions, not the corpus.
+    *
+    * Returns (assigned corpus with a `_cell` column, centroids).
+    */
+  def ivfIndex(df: DataFrame, vecCol: String, idCol: String,
+               nlist: Int, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val prepped = df.select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("_features"))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(20).setFeaturesCol("_features")
+      .fit(prepped)
+    val assigned = model.transform(prepped)
+      .withColumnRenamed(model.getPredictionCol, "_cell")
+      .drop("_features")
+    (assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** Probe an IVF index: scan the `nprobe` cells whose centroids are
+    * closest (by cosine) to the query, then exact-score within them.
+    */
+  def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],
+              vecCol: String, idCol: String, query: Seq[Float],
+              k: Int, nprobe: Int): DataFrame = {
+    val q = query.map(_.toDouble).toArray
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val probes = centroids.zipWithIndex
+      .sortBy { case (c, _) => -cos(c, q) }.take(math.max(1, nprobe)).map(_._2)
+    val qCol = array(query.map(lit): _*)
+    assigned
+      .where(col("_cell").isin(probes.map(Integer.valueOf): _*))
+      .select(col(idCol), cosine(col(vecCol), qCol).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs top-k neighbor join for a (small, broadcastable) query
     * set: each query row gets its k nearest corpus rows. The corpus
     * side streams; queries broadcast.

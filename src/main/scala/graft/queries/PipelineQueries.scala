@@ -400,6 +400,26 @@ object PipelineQueries {
       },
       None),
 
+    // IVF ANN: k-means cells + nprobe scan; recall vs exact top-20
+    // asserted (kmeans-based, no SQL dual — rows-only)
+    "q32b_ann_ivf" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qvec = e.where(col("vec_id") === 0)
+          .select(col("embedding")).collect()(0)
+          .getSeq[Float](0)
+        val (assigned, centroids) = Similarity.ivfIndex(e, "embedding", "vec_id", nlist = 8)
+        val approx = Similarity.ivfTopK(assigned, centroids, "embedding", "vec_id",
+          qvec, k = 20, nprobe = 2).select(col("vec_id"))
+        val exact = Similarity.bruteForceTopK(e, "embedding", "vec_id", qvec, 20)
+          .select(col("vec_id"))
+        val recall = exact.join(approx, Seq("vec_id"), "left_semi").count()
+        require(recall >= 5, s"IVF recall too low: $recall of top-20")
+        import s.implicits._
+        Seq(recall).toDF("ivf_recalled_of_top20")
+      },
+      None),
+
     // embedding statistics per label (exact per-element double math)
     "q33_embed_stats" -> Q(
       (s, dir) => t(s, dir, "embeddings")

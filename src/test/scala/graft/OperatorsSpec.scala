@@ -169,6 +169,29 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     approx should contain(1L) // the query vector itself (cosine 1.0)
   }
 
+  test("IVF index: nprobe=1 finds the query's own cluster; recall grows with nprobe") {
+    val s = spark
+    import s.implicits._
+    // two well-separated clusters around (1,0,...) and (0,1,...)
+    val a = (1L to 40L).map(i => (i, Seq.tabulate(6)(d =>
+      (if (d == 0) 1f else 0f) + (math.sin(i * 7 + d) * 0.05).toFloat)))
+    val b = (101L to 140L).map(i => (i, Seq.tabulate(6)(d =>
+      (if (d == 1) 1f else 0f) + (math.cos(i * 11 + d) * 0.05).toFloat)))
+    val df = (a ++ b).toDF("id", "v")
+    val (assigned, centroids) = Similarity.ivfIndex(df, "v", "id", nlist = 2)
+    val query = Seq.tabulate(6)(d => if (d == 0) 1f else 0f)
+    val top = Similarity.ivfTopK(assigned, centroids, "v", "id", query, k = 10, nprobe = 1)
+      .collect().map(_.getLong(0))
+    top.length shouldBe 10
+    all(top) should be < 100L // every hit from cluster A
+    // nprobe = nlist degenerates to exact brute force
+    val exact = Similarity.bruteForceTopK(df, "v", "id", query, 10)
+      .collect().map(_.getLong(0))
+    val full = Similarity.ivfTopK(assigned, centroids, "v", "id", query, 10, nprobe = 2)
+      .collect().map(_.getLong(0))
+    full.toSeq shouldBe exact.toSeq
+  }
+
   test("knnJoin gives each query its k nearest corpus rows") {
     val s = spark
     import s.implicits._
