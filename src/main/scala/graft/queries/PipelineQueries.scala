@@ -89,6 +89,42 @@ object PipelineQueries {
              |  COUNT(DISTINCT click_id) AS distinct_clicks_matched
              |FROM joined GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // range join: click/view events as 5-minute activity intervals —
+    // overlapping pairs per user via the binned equi-join (oracle uses
+    // DuckDB's inequality join over the same arithmetic)
+    "q60_range_join" -> Q(
+      (s, dir) => {
+        import graft.operators.RangeJoin
+        val e = events(s, dir).withColumn("t", unix_micros(col("ts")))
+        val win = 300000000L // 5 min in micros
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("t").as("cs"), (col("t") + win).as("ce"))
+        val views = e.where(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("t").as("vs"), (col("t") + win).as("ve"))
+        RangeJoin.intervals(clicks, views, Seq("user_id"),
+            "cs", "ce", "vs", "ve", binSize = win)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("overlaps"),
+            countDistinct(col("click_id")).as("clicks_active"),
+            countDistinct(col("view_id")).as("views_active"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS cs,
+             |    epoch_us(ts) + 300000000 AS ce
+             |  FROM events WHERE event_type = 'click'),
+             |v AS (
+             |  SELECT user_id, event_id AS view_id, epoch_us(ts) AS vs,
+             |    epoch_us(ts) + 300000000 AS ve
+             |  FROM events WHERE event_type = 'view')
+             |SELECT c.user_id, COUNT(*) AS overlaps,
+             |  COUNT(DISTINCT click_id) AS clicks_active,
+             |  COUNT(DISTINCT view_id) AS views_active
+             |FROM c JOIN v ON c.user_id = v.user_id AND cs <= ve AND vs <= ce
+             |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin)),
+
     // JSON property extraction from the events props column
     "q57_json_props" -> Q(
       (s, dir) => events(s, dir)

@@ -235,6 +235,26 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     (1L to 5L).foreach(i => pairs should contain((i, i + 100)))
   }
 
+  test("rangeJoin matches exactly the naive theta-join overlap result") {
+    import graft.operators.RangeJoin
+    val s = spark
+    import s.implicits._
+    // random-ish intervals, several bins wide, touching + disjoint cases
+    val left = Seq((1L, 0L, 15L), (1L, 20L, 25L), (2L, 5L, 6L), (3L, 100L, 200L))
+      .toDF("k", "s", "e")
+    val right = Seq((1L, 10L, 30L), (1L, 26L, 40L), (2L, 6L, 9L), (3L, 201L, 300L))
+      .toDF("k", "rs", "re")
+    val naive = left.join(right, Seq("k"))
+      .where(col("s") <= col("re") && col("rs") <= col("e"))
+      .select("k", "s", "e", "rs", "re").collect().map(_.toSeq).toSet
+    val binned = RangeJoin.intervals(left, right, Seq("k"), "s", "e", "rs", "re", binSize = 8)
+      .select("k", "s", "e", "rs", "re").collect().map(_.toSeq)
+    binned.toSet shouldBe naive
+    binned.length shouldBe binned.toSet.size // no duplicate pairs
+    naive should contain(Seq(1L, 0L, 15L, 10L, 30L)) // overlap
+    naive should contain(Seq(2L, 5L, 6L, 6L, 9L))    // touching endpoints
+  }
+
   test("asOfJoin picks the latest right row at-or-before each left ts") {
     import graft.operators.AsOfJoin
     val s = spark
