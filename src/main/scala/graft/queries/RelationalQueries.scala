@@ -280,6 +280,34 @@ object RelationalQueries {
              |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) % 100 AS DOUBLE) AS cents_mod
              |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
 
+    // approximate sketches (HyperLogLog distinct + quantile sketch):
+    // the summaries a 100 TB profile pass uses instead of exact
+    // distinct/sort. Sketch outputs are engine-specific, so the query
+    // VALIDATES them in-plan against exact values and emits the exact
+    // numbers plus the validation verdicts for the oracle.
+    "q61_approx_sketches" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val r = li.agg(
+          countDistinct(col("l_orderkey")).as("exact_cd"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_cd"),
+          expr("percentile(l_quantity, 0.5)").as("exact_p50"),
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("approx_p50"))
+          .collect()(0)
+        val cdOk = math.abs(r.getAs[Long]("approx_cd") - r.getAs[Long]("exact_cd")).toDouble /
+          r.getAs[Long]("exact_cd") < 0.05
+        val pctOk = math.abs(r.getAs[Double]("approx_p50") - r.getAs[Double]("exact_p50")) <= 1.0
+        require(cdOk, s"HLL estimate off: ${r.getAs[Long]("approx_cd")} vs ${r.getAs[Long]("exact_cd")}")
+        require(pctOk, s"quantile sketch off: ${r.getAs[Double]("approx_p50")}")
+        import s.implicits._
+        Seq((r.getAs[Long]("exact_cd"), r.getAs[Double]("exact_p50"), cdOk, pctOk))
+          .toDF("distinct_orders", "median_qty", "hll_within_5pct", "pctl_within_1")
+      },
+      Some("""SELECT COUNT(DISTINCT l_orderkey) AS distinct_orders,
+             |  MEDIAN(l_quantity) AS median_qty,
+             |  true AS hll_within_5pct, true AS pctl_within_1
+             |FROM lineitem""".stripMargin)),
+
     // grouping sets / rollup
     "q14_rollup" -> Q(
       (s, dir) => t(s, dir, "orders")
