@@ -128,6 +128,24 @@ class LoaderSpec extends AnyFunSuite with Matchers {
     vals(0).getTimestamp(0).toInstant shouldBe ts
   }
 
+  test("per-call table properties merge over defaults and stay isolated per table") {
+    val c = cat()
+    val id1 = TableIdent("ns", "props1")
+    val id2 = TableIdent("ns", "props2")
+    val loader = new Loader(c, LoaderConfig(writeMode = WriteMode.Append,
+      tableProperties = Map("owner" -> "team-a", "format-version" -> "3")))
+    loader.loadData(batch(1), id1)
+    val p1 = c.load(id1).currentOrFail().properties
+    p1("owner") shouldBe "team-a"
+    p1("format-version") shouldBe "3" // per-call overrides the default "2"
+    p1("write.parquet.compression-codec") shouldBe "zstd" // defaults kept
+    // a table written without custom properties is not polluted
+    new Loader(c, LoaderConfig(writeMode = WriteMode.Append)).loadData(batch(2), id2)
+    val p2 = c.load(id2).currentOrFail().properties
+    p2.get("owner") shouldBe None
+    p2("format-version") shouldBe "2"
+  }
+
   test("new_table_created flag set only on first creation") {
     val c = cat()
     val id = TableIdent("ns", "flag")
