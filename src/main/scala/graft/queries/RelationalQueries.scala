@@ -288,12 +288,21 @@ object RelationalQueries {
     "q61_approx_sketches" -> Q(
       (s, dir) => {
         val li = t(s, dir, "lineitem")
-        val r = li.agg(
+        // keep distinct aggregates and percentile buffers in SEPARATE
+        // aggregations: combined they force an Expand plan that
+        // evaluates the percentile buffer per expanded row (measured
+        // 56s vs 3s at sf0.1)
+        val cd = li.agg(
           countDistinct(col("l_orderkey")).as("exact_cd"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_cd"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_cd"))
+          .collect()(0)
+        val pct = li.agg(
           expr("percentile(l_quantity, 0.5)").as("exact_p50"),
           expr("approx_percentile(l_quantity, 0.5, 10000)").as("approx_p50"))
           .collect()(0)
+        val r = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          cd.toSeq.toArray ++ pct.toSeq.toArray,
+          org.apache.spark.sql.types.StructType(cd.schema.fields ++ pct.schema.fields))
         val cdOk = math.abs(r.getAs[Long]("approx_cd") - r.getAs[Long]("exact_cd")).toDouble /
           r.getAs[Long]("exact_cd") < 0.05
         val pctOk = math.abs(r.getAs[Double]("approx_p50") - r.getAs[Double]("exact_p50")) <= 1.0
