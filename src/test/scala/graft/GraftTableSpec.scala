@@ -93,6 +93,20 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy t.scanAppendedBetween(0, 3)
   }
 
+  test("upsert keyed on the partition source rewrites only touched partitions") {
+    val t = cat().ensure(TableIdent("ns", "t5d"), Some("day"))
+    t.append(df(d1, d2, d3)) // three day-partitions, three files
+    val before = t.currentOrFail().files.map(_.path).toSet
+    // source touches only the 2024-01-02 partition
+    t.upsert(df((2L, "2024-01-02", "UPDATED")), Seq("day"))
+    val after = t.currentOrFail().files
+    // untouched partitions carry their files verbatim (no rewrite)
+    val carried = after.map(_.path).toSet.intersect(before)
+    carried.size shouldBe 2
+    t.scan().where("id = 2").select("name").collect()(0).getString(0) shouldBe "UPDATED"
+    t.scan().count() shouldBe 3
+  }
+
   test("upsert rejects duplicate source keys, like PyIceberg") {
     val t = cat().ensure(TableIdent("ns", "t5b"))
     t.append(df(d1, d2))
