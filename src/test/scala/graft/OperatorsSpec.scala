@@ -273,6 +273,54 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
       (2L, 10L, null))  // key with no right rows
   }
 
+  test("rangeJoin equals the naive join on seeded random interval sets") {
+    import graft.operators.RangeJoin
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(7, 42, 1337)) {
+      val rnd = new scala.util.Random(seed)
+      def intervals(n: Int) = (1 to n).map { i =>
+        val st = rnd.nextInt(200).toLong
+        (rnd.nextInt(4).toLong, st, st + rnd.nextInt(40))
+      }
+      val left = intervals(60).toDF("k", "s", "e")
+      val right = intervals(60).toDF("k", "rs", "re")
+      val naive = left.join(right, Seq("k"))
+        .where(col("s") <= col("re") && col("rs") <= col("e"))
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      val binned = RangeJoin.intervals(left, right, Seq("k"), "s", "e", "rs", "re",
+          binSize = 16)
+        .select("k", "s", "e", "rs", "re")
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      withClue(s"seed $seed: ") { binned shouldBe naive }
+    }
+  }
+
+  test("asOfJoin equals the naive latest-at-or-before on seeded random events") {
+    import graft.operators.AsOfJoin
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(3, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val left = (1 to 80).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+        .toDF("k", "t", "lid")
+      val right = (1 to 80).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, s"r$i"))
+        .toDF("k", "rt", "rv")
+      // naive: max-rt right row at-or-before each left t; right-side
+      // rt ties deduped first (union-order tie-breaks aren't specified)
+      val rightDedup = right.groupBy("k", "rt").agg(max("rv").as("rv"))
+      val r2 = rightDedup.withColumnRenamed("k", "rk")
+      val naive = left
+        .join(r2, col("k") === col("rk") && col("rt") <= col("t"), "left")
+        .groupBy("k", "t", "lid")
+        .agg(max(struct(col("rt"), col("rv"))).getField("rv").as("rv"))
+        .collect().map(r => (r.getLong(2), Option(r.getString(3)))).toMap
+      val asof = AsOfJoin.join(left, rightDedup, Seq("k"), "t", "rt", Seq("rv"))
+        .collect().map(r => (r.getAs[Long]("lid"), Option(r.getAs[String]("rv")))).toMap
+      withClue(s"seed $seed: ") { asof shouldBe naive }
+    }
+  }
+
   test("saltedJoin splits hot keys but returns exactly the plain join result") {
     import graft.operators.Skew
     val s = spark
