@@ -80,7 +80,7 @@ object Similarity {
     val prepped = df.select(col(idCol), col(vecCol),
       array_to_vector(col(vecCol).cast("array<double>")).as("_features"))
     val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(20).setFeaturesCol("_features")
+      .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("_features")
       .fit(prepped)
     val assigned = model.transform(prepped)
       .withColumnRenamed(model.getPredictionCol, "_cell")
