@@ -774,6 +774,29 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: Path) {
     }
   }
 
+  def listNamespaces(): Seq[String] = {
+    if (!Files.isDirectory(warehouse)) Nil
+    else {
+      val stream = Files.list(warehouse)
+      try stream.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .filter(ns => listTables(ns).nonEmpty)
+        .toSeq.sorted
+      finally stream.close()
+    }
+  }
+
+  /** Rename = move the table directory (atomic on one filesystem); the
+    * metadata log is path-relative so nothing inside changes.
+    */
+  def rename(from: TableIdent, to: TableIdent): Unit = {
+    require(exists(from), s"Table $from does not exist")
+    require(!exists(to), s"Table $to already exists")
+    Files.createDirectories(tableDir(to).getParent)
+    Files.move(tableDir(from), tableDir(to))
+  }
+
   def listTables(namespace: String): Seq[TableIdent] = {
     val ns = warehouse.resolve(namespace)
     if (!Files.isDirectory(ns)) Nil
