@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation: split documents into token-bounded chunks
+  * and assign deterministic dataset splits.
+  *
+  * Both are pure column expressions — a linear explode for chunking and
+  * a hash modulus for splits — so they run shuffle-free over any corpus
+  * size (chunk rows land in the same partition as their document).
+  */
+object Chunking {
+
+  /** Explode each document into word-token windows of `maxTokens` with
+    * `overlap` tokens carried between consecutive chunks. Output: one
+    * row per chunk with `chunk_index` and `chunk_text` (token-joined).
+    * Documents shorter than `maxTokens` yield exactly one chunk.
+    */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+                     maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens, "overlap must be in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    val toks = TextFunctions.wordTokens(col(textCol))
+    val n = size(toks)
+    // chunk starts: 0, stride, 2*stride, ... while start < n (min 1 chunk)
+    val chunkCount = greatest(ceil((n - lit(overlap)).cast("double") / stride).cast("int"), lit(1))
+    df.withColumn("_toks", toks)
+      .select(col(idCol), posexplode(transform(sequence(lit(0), chunkCount - 1),
+        i => array_join(slice(col("_toks"), i * stride + 1, lit(maxTokens)), " "))))
+      .withColumnRenamed("pos", "chunk_index")
+      .withColumnRenamed("col", "chunk_text")
+  }
+
+  /** Deterministic train/validation/test assignment from a stable hash
+    * of the id — reproducible across runs and clusters, no RNG state.
+    * `weights` are percentages summing to 100, mapped to named splits
+    * in order.
+    */
+  def assignSplits(df: DataFrame, idCol: String,
+                   splits: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5),
+                   saltCol: Option[String] = None): DataFrame = {
+    require(splits.map(_._2).sum == 100, "split weights must sum to 100")
+    val salted: Seq[Column] = col(idCol) +: saltCol.map(col).toSeq
+    val h = pmod(xxhash64(salted: _*), lit(100L))
+    val bounds = splits.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    // when-ladder: first matching upper bound wins
+    val ladder = splits.zip(bounds).reverse.foldLeft(lit(splits.last._1)) {
+      case (acc, ((name, _), upper)) => when(h < upper, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", ladder)
+  }
+}

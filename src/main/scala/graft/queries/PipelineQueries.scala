@@ -239,6 +239,47 @@ object PipelineQueries {
               |  AND len($DTOKENS) >= 30
               |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // document chunking: token windows with overlap — one row per chunk
+    // (the pre-training context-window prep pass); DuckDB dual slices
+    // the same token lists
+    "q63_chunking" -> Q(
+      (s, dir) => {
+        import graft.operators.Chunking
+        Chunking.chunkDocuments(
+            t(s, dir, "documents").where(col("doc_id") < 300), "text", "doc_id",
+            maxTokens = 64, overlap = 8)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("chunks"),
+            sum(size(TextFunctions.wordTokens(col("chunk_text"))).cast("long")).as("chunk_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, $DTOKENS AS t FROM documents WHERE doc_id < 300),
+              |counts AS (
+              |  SELECT doc_id, t, GREATEST(CAST(CEIL((len(t) - 8) / 56.0) AS INT), 1) AS nc
+              |  FROM toks),
+              |chunks AS (
+              |  SELECT doc_id, unnest(range(0, nc)) AS i, t FROM counts)
+              |SELECT doc_id, COUNT(*) AS chunks,
+              |  SUM(len(list_slice(t, i * 56 + 1, i * 56 + 64))) AS chunk_tokens
+              |FROM chunks GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // deterministic train/val/test assignment (hash-based, rows-only:
+    // xxhash64 has no DuckDB dual) — proportions asserted in-plan
+    "q64_dataset_splits" -> Q(
+      (s, dir) => {
+        import graft.operators.Chunking
+        val assigned = Chunking.assignSplits(t(s, dir, "documents"), "doc_id")
+        val counts = assigned.groupBy(col("split")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val total = counts.values.sum.toDouble
+        require(counts("train") / total > 0.8 && counts("train") / total < 0.97,
+          s"train fraction off: $counts")
+        require(counts.keySet == Set("train", "val", "test"), s"splits: $counts")
+        assigned.groupBy(col("split")).agg(count(lit(1)).as("n")).orderBy(col("split"))
+      },
+      None),
+
     // ---- dedup --------------------------------------------------------
 
     // exact dedup over a salted self-union (the corpus itself has no

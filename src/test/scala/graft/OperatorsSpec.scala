@@ -202,6 +202,35 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     out.toSeq shouldBe Seq(1L, 3L)
   }
 
+  test("chunkDocuments windows tokens with overlap; short docs yield one chunk") {
+    import graft.operators.Chunking
+    val text = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val out = Chunking.chunkDocuments(docs((1L, text), (2L, "tiny")), "text", "id",
+        maxTokens = 4, overlap = 1)
+      .orderBy("id", "chunk_index").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // stride 3: starts at 0,3,6,9 -> ceil((10-1)/3)=3 chunks 0..2 then start 9 < 10 -> 4th? ceil(9/3)=3
+    out.filter(_._1 == 1L).map(_._3).toSeq shouldBe Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10")
+    out.filter(_._1 == 2L).map(_._3).toSeq shouldBe Seq("tiny")
+  }
+
+  test("assignSplits is deterministic with requested proportions") {
+    import graft.operators.Chunking
+    val s = spark
+    import s.implicits._
+    val df = (1L to 2000L).map(i => Tuple1(i)).toDF("id")
+    val a1 = Chunking.assignSplits(df, "id").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a2 = Chunking.assignSplits(df, "id").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    a1 shouldBe a2 // deterministic
+    a1.keySet shouldBe Set("train", "val", "test")
+    a1("train").toDouble / 2000 shouldBe 0.9 +- 0.05
+    an[IllegalArgumentException] should be thrownBy
+      Chunking.assignSplits(df, "id", Seq("a" -> 50, "b" -> 40))
+  }
+
   test("multimodal resize: deterministic strided payload, metadata stamped") {
     import graft.operators.Multimodal
     val assets = Multimodal.syntheticAssets(docs((1L, "abcdefghij")), "id", "text")
