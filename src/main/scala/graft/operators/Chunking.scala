@@ -35,6 +35,47 @@ object Chunking {
       .withColumnRenamed("col", "chunk_text")
   }
 
+  /** Sequence packing: greedily assign token-counted rows to "packs"
+    * bounded by `maxTokensPerPack` (the context-window filling pass of
+    * a training pipeline). First-fit within each partition — rows never
+    * shuffle; pack ids are globally unique via the partition id. Rows
+    * longer than the budget get a pack of their own. Output adds
+    * `pack_id` and `pack_tokens` (the row's token count, capped).
+    */
+  def packSequences(df: DataFrame, tokenCountCol: String,
+                    maxTokensPerPack: Int): DataFrame = {
+    require(maxTokensPerPack > 0, "maxTokensPerPack must be positive")
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("pack_id", LongType, nullable = false),
+      StructField("pack_tokens", LongType, nullable = false)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val tokenIdx = df.schema.fieldIndex(tokenCountCol)
+    df.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      // open bins: (binId, tokensUsed) — linear first-fit scan; bin
+      // count stays small because full bins are retired
+      val open = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var nextBin = 0L
+      it.map { r =>
+        val t = math.min(r.getAs[Number](tokenIdx).longValue(), maxTokensPerPack.toLong)
+        val fit = open.indexWhere(_._2 + t <= maxTokensPerPack)
+        val bin =
+          if (fit >= 0) { val (id, used) = open(fit); open(fit) = (id, used + t); id }
+          else {
+            val id = pid * 1000000000L + nextBin
+            nextBin += 1
+            open += ((id, t))
+            if (open.size > 64) open.remove(0) // retire the oldest
+            id
+          }
+        Row.fromSeq(r.toSeq :+ bin :+ t)
+      }
+    }(enc)
+  }
+
   /** Deterministic train/validation/test assignment from a stable hash
     * of the id — reproducible across runs and clusters, no RNG state.
     * `weights` are percentages summing to 100, mapped to named splits

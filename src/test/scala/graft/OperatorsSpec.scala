@@ -215,6 +215,23 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     out.filter(_._1 == 2L).map(_._3).toSeq shouldBe Seq("tiny")
   }
 
+  test("packSequences fills context windows without overflow") {
+    import graft.operators.Chunking
+    val s = spark
+    import s.implicits._
+    val items = Seq(60L, 50L, 40L, 30L, 20L, 10L, 90L, 5L, 120L)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = items.toDF("id", "tokens").coalesce(1)
+    val packed = Chunking.packSequences(df, "tokens", maxTokensPerPack = 100)
+      .collect().map(r => (r.getAs[Long]("pack_id"), r.getAs[Long]("pack_tokens")))
+    // no pack exceeds the budget
+    packed.groupBy(_._1).values.foreach(_.map(_._2).sum should be <= 100L)
+    // oversized rows are capped into their own pack
+    packed.map(_._2).max shouldBe 100L
+    // packing is denser than one-row-per-pack
+    packed.map(_._1).distinct.length should be < items.size
+  }
+
   test("assignSplits is deterministic with requested proportions") {
     import graft.operators.Chunking
     val s = spark
