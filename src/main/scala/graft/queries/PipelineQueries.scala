@@ -264,6 +264,30 @@ object PipelineQueries {
               |  SUM(len(list_slice(t, i * 56 + 1, i * 56 + 64))) AS chunk_tokens
               |FROM chunks GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // sequence packing: chunks greedily filled into 512-token context
+    // windows (partition-dependent assignment, rows-only) — budget and
+    // density invariants asserted in-plan
+    "q65_sequence_packing" -> Q(
+      (s, dir) => {
+        import graft.operators.Chunking
+        val chunks = Chunking.chunkDocuments(
+            t(s, dir, "documents").where(col("doc_id") < 300), "text", "doc_id",
+            maxTokens = 128)
+          .withColumn("tokens", size(TextFunctions.wordTokens(col("chunk_text"))))
+        val packed = Chunking.packSequences(chunks, "tokens", maxTokensPerPack = 512)
+        val byPack = packed.groupBy(col("pack_id"))
+          .agg(sum(col("pack_tokens")).as("pack_fill"))
+        val worst = byPack.agg(max(col("pack_fill"))).collect()(0).getLong(0)
+        require(worst <= 512, s"pack overflow: $worst tokens")
+        val nChunks = packed.count()
+        val nPacks = byPack.count()
+        require(nPacks < nChunks, s"packing not denser than input: $nPacks vs $nChunks")
+        import s.implicits._
+        Seq((nChunks, worst <= 512, nPacks < nChunks))
+          .toDF("chunks", "no_overflow", "denser_than_input")
+      },
+      None),
+
     // deterministic train/val/test assignment (hash-based, rows-only:
     // xxhash64 has no DuckDB dual) — proportions asserted in-plan
     "q64_dataset_splits" -> Q(
