@@ -92,8 +92,15 @@ final class Loader(catalog: GraftCatalog, defaultConfig: LoaderConfig = LoaderCo
       if (cfg.schemaEvolution && t.current().isDefined) {
         t.evolveSchema(stamped.schema)
       }
-      val rows = stamped.count()
-      val snap = strategy.write(t, stamped, cfg, isFirstWrite)
+      // Row accounting rides the write job itself (Observation): no
+      // second evaluation of the buffered batches, and the count is what
+      // the committed job actually saw — a separate count() would re-read
+      // the source and could diverge on non-deterministic inputs.
+      val obs = org.apache.spark.sql.Observation(
+        s"graft_load_${java.util.UUID.randomUUID().toString.take(8)}")
+      val observed = stamped.observe(obs, count(lit(1)).as("rows"))
+      val snap = strategy.write(t, observed, cfg, isFirstWrite)
+      val rows = obs.get("rows").asInstanceOf[Long]
       isFirstWrite = false
       totalRows += rows
       lastSnapshot = Some(snap.snapshotId)

@@ -1,6 +1,6 @@
 package graft.meta
 
-import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.file.{Files, Path}
 import java.util.Comparator
 import scala.jdk.CollectionConverters._
 import scala.util.Random
@@ -101,9 +101,14 @@ final class MetadataLog(tableDir: Path) {
         catch {
           case _: java.nio.file.FileAlreadyExistsException => false
           case _: UnsupportedOperationException =>
-            // FS without hard links: atomic move, then verify we won.
+            // FS without hard links. ATOMIC_MOVE is NOT create-if-absent:
+            // POSIX rename silently replaces an existing target, so two
+            // racing committers would both "win" and the first winner's
+            // snapshot would be clobbered (lost commit). Files.copy without
+            // REPLACE_EXISTING opens the target CREATE_NEW — the existence
+            // check is atomic at open, before any bytes land.
             try {
-              Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+              Files.copy(tmp, target)
               true
             } catch { case _: java.nio.file.FileAlreadyExistsException => false }
         }

@@ -92,8 +92,11 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
     val rewritten: Option[FileGroup] =
       if (mayMatch.isEmpty) None
       else {
+        // SQL DELETE drops only rows where the predicate is TRUE; rows
+        // evaluating NULL are kept. A bare `!pred` would evaluate NULL on
+        // them too and filter them out, so keep rows where pred IS NOT TRUE.
         val rewriteDf = readFiles(snap.schema, mayMatch)
-          .filter(!expr(predicateSql))
+          .filter(!coalesce(expr(predicateSql), lit(false)))
         Some(writeDataFiles(rewriteDf, snap.schema, partitionField()))
       }
     val removed = (dropped ++ mayMatch).map(_.path).toSet
@@ -303,7 +306,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
 
   /** Expire snapshots (M1, `services/maintenance.py:12-86`).
     * Cutoff = `olderThanMs` if given, else timestamp of the
-    * `keepLast`-th newest snapshot minus 1 ms. Negative `keepLast` or
+    * `keepLast`-th newest snapshot minus 1 ms. `keepLast` ≤ 0 or
     * fewer than `keepLast` snapshots ⇒ no-op. The newest snapshot is
     * never expired. Data files referenced only by expired snapshots are
     * garbage-collected. Returns the number of expired snapshots.
@@ -312,7 +315,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
     val all = snapshots().sortBy(_.timestampMs)
     if (all.size <= 1) return 0
     val cutoff: Option[Long] = olderThanMs.orElse {
-      if (keepLast < 0 || all.size <= keepLast) None
+      if (keepLast <= 0 || all.size <= keepLast) None
       else Some(all(all.size - keepLast).timestampMs - 1)
     }
     cutoff match {

@@ -38,7 +38,14 @@ object PartitionPruner {
   final case class Tri(may: Boolean, all: Boolean) {
     def &&(o: Tri): Tri = Tri(may && o.may, all && o.all)
     def ||(o: Tri): Tri = Tri(may || o.may, all || o.all)
-    def unary_! : Tri = Tri(!all, !may)
+    // NOT under SQL three-valued logic: `all` of the operand proves every
+    // row TRUE, so `may` of the negation is its complement. But `may =
+    // false` on the operand only proves no row is TRUE — rows may still
+    // evaluate NULL (e.g. null column values), and NOT(NULL) is NULL, not
+    // TRUE, so the negation may never claim `all` from it. Claiming it
+    // would let deleteWhere("NOT (k = 5)") drop a file of all-NULL `k`
+    // whole, deleting rows SQL DELETE keeps.
+    def unary_! : Tri = Tri(!all, all = false)
   }
   val Unknown: Tri = Tri(may = true, all = false)
 

@@ -134,6 +134,7 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     val t = cat().ensure(TableIdent("ns", "t7"))
     (1 to 4).foreach(i => t.append(df((i.toLong, s"2024-01-0$i", "x"))))
     t.expireSnapshots(keepLast = -1) shouldBe 0 // negative ⇒ no-op
+    t.expireSnapshots(keepLast = 0) shouldBe 0  // zero ⇒ no-op, not IOOBE
     t.expireSnapshots(keepLast = 10) shouldBe 0 // fewer than keepLast ⇒ no-op
     t.expireSnapshots(keepLast = 2) shouldBe 2
     t.snapshots().size shouldBe 2
