@@ -16,15 +16,29 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
     spark.range(1000).selectExpr("id % 7 AS k", "id AS v")
       .groupBy("k").sum("v").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Sorted iteration: Map order is hash-based, which made timing
+    // attribution unstable round-to-round (whichever heavy query ran
+    // first absorbed residual JIT/codegen warm-up).
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    }.toMap
+    // The driver keeps only a 2000-char tail of stdout and parses the JSON
+    // line out of it; at ~67 queries full-precision doubles overflow that
+    // window (round-3 bench was rc:0 but parsed:null). 2-decimal values keep
+    // the whole line + sbt's trailing [success] line inside 2000 chars.
+    def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // Short keys ("q12" for "q12_conditional_agg"): every query's q-number
+    // prefix is unique, and full names at ~67 queries would push the line
+    // right up against the tail window.
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k.split("_")(0) + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    val line =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
   }
 }

@@ -135,7 +135,7 @@ object PipelineQueries {
           min(col("k")).as("k_min"), max(col("k")).as("k_max"))
         .orderBy(col("event_type")),
       Some("""SELECT event_type, COUNT(*) AS n,
-             |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
              |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
              |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
@@ -151,8 +151,8 @@ object PipelineQueries {
           sum(size(TextFunctions.wordTokens(col("text"))).cast("long")).as("words"))
         .orderBy(col("lang")),
       Some(s"""SELECT lang, COUNT(*) AS docs,
-              |  SUM(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0))) AS tokens,
-              |  SUM(len($DTOKENS)) AS words
+              |  CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0))) AS BIGINT) AS tokens,
+              |  CAST(SUM(len($DTOKENS)) AS BIGINT) AS words
               |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
     "q21_word_freq" -> Q(
@@ -232,7 +232,7 @@ object PipelineQueries {
           .agg(count(lit(1)).as("docs"), sum(size(col("toks")).cast("long")).as("words"))
           .orderBy(col("lang"))
       },
-      Some(s"""SELECT lang, COUNT(*) AS docs, SUM(len($DTOKENS)) AS words
+      Some(s"""SELECT lang, COUNT(*) AS docs, CAST(SUM(len($DTOKENS)) AS BIGINT) AS words
               |FROM documents
               |WHERE (CASE WHEN len(text) = 0 THEN 0.0
               |    ELSE (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / len(text) END) < 0.08
@@ -261,7 +261,7 @@ object PipelineQueries {
               |chunks AS (
               |  SELECT doc_id, unnest(range(0, nc)) AS i, t FROM counts)
               |SELECT doc_id, COUNT(*) AS chunks,
-              |  SUM(len(list_slice(t, i * 56 + 1, i * 56 + 64))) AS chunk_tokens
+              |  CAST(SUM(len(list_slice(t, i * 56 + 1, i * 56 + 64))) AS BIGINT) AS chunk_tokens
               |FROM chunks GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // sequence packing: chunks greedily filled into 512-token context
@@ -548,7 +548,7 @@ object PipelineQueries {
       Some("""SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
              |            WHEN doc_id % 3 = 1 THEN 'audio'
              |            ELSE 'video' END AS modality,
-             |  COUNT(*) AS n, SUM(strlen(text)) AS bytes
+             |  COUNT(*) AS n, CAST(SUM(strlen(text)) AS BIGINT) AS bytes
              |FROM documents GROUP BY 1 ORDER BY modality""".stripMargin)),
 
     // frame-sampling plumbing: per-partition fan-out (1 video row -> K

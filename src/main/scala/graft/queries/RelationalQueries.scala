@@ -175,8 +175,8 @@ object RelationalQueries {
           count(lit(1)).as("total"))
         .orderBy(col("o_orderpriority")),
       Some("""SELECT o_orderpriority,
-             |  SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS big_orders,
-             |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished,
+             |  CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS big_orders,
+             |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished,
              |  COUNT(*) AS total
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
