@@ -80,13 +80,27 @@ object Chunking {
     * of the id — reproducible across runs and clusters, no RNG state.
     * `weights` are percentages summing to 100, mapped to named splits
     * in order.
+    *
+    * `portableHash = true` derives the bucket from md5 instead of
+    * xxhash64: slower per row but reproducible in any engine that has
+    * md5 (DuckDB, Trino, Postgres…), so split membership can be
+    * re-derived outside Spark. Default stays xxhash64 (codegen'd,
+    * fastest at corpus scale).
     */
   def assignSplits(df: DataFrame, idCol: String,
                    splits: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5),
-                   saltCol: Option[String] = None): DataFrame = {
+                   saltCol: Option[String] = None,
+                   portableHash: Boolean = false): DataFrame = {
     require(splits.map(_._2).sum == 100, "split weights must sum to 100")
     val salted: Seq[Column] = col(idCol) +: saltCol.map(col).toSeq
-    val h = pmod(xxhash64(salted: _*), lit(100L))
+    val h =
+      if (portableHash) {
+        // first 15 hex digits of md5 (60 bits — fits a signed long) of
+        // the ""-joined string forms; dual:
+        // CAST(('0x' || substring(md5(...), 1, 15)) AS UBIGINT) % 100
+        val key = concat_ws("", salted.map(_.cast("string")): _*)
+        pmod(conv(substring(md5(key), 1, 15), 16, 10).cast("long"), lit(100L))
+      } else pmod(xxhash64(salted: _*), lit(100L))
     val bounds = splits.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
     // when-ladder: first matching upper bound wins
     val ladder = splits.zip(bounds).reverse.foldLeft(lit(splits.last._1)) {

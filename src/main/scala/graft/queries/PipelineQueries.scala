@@ -304,6 +304,24 @@ object PipelineQueries {
       },
       None),
 
+    // portable-hash splits: md5-derived buckets are re-derivable in any
+    // engine with md5, so the whole ladder (weights, boundaries, names)
+    // is oracle-checked exactly
+    "q64b_split_portable" -> Q(
+      (s, dir) => {
+        import graft.operators.Chunking
+        Chunking.assignSplits(t(s, dir, "documents"), "doc_id", portableHash = true)
+          .groupBy(col("split")).agg(count(lit(1)).as("n")).orderBy(col("split"))
+      },
+      Some("""WITH h AS (
+             |  SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+             |         % 100 AS b
+             |  FROM documents)
+             |SELECT CASE WHEN b < 90 THEN 'train'
+             |            WHEN b < 95 THEN 'val'
+             |            ELSE 'test' END AS split, COUNT(*) AS n
+             |FROM h GROUP BY 1 ORDER BY split""".stripMargin)),
+
     // ---- dedup --------------------------------------------------------
 
     // exact dedup over a salted self-union (the corpus itself has no
@@ -384,7 +402,32 @@ object PipelineQueries {
           .select(col("id_a"), col("id_b"))
           .orderBy(col("id_a"))
       },
-      None),
+      // exact-Jaccard dual: the oracle recomputes 5-char shingle Jaccard
+      // for each (doc, doc+" x") pair in SQL. Appending 2 chars to these
+      // documents keeps Jaccard near 1, so 8-band/4-row LSH recall is
+      // effectively certain and the banded path must reproduce the exact
+      // answer (a genuinely-borderline pair could make LSH probabilistic
+      // — this dataset has none).
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    regexp_replace(lower(text), '\s+', ' ', 'g') AS s,
+             |    regexp_replace(lower(text || ' x'), '\s+', ' ', 'g') AS s2
+             |  FROM documents WHERE doc_id < 100),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(s) <= 4 THEN [s]
+             |         ELSE list_distinct(list_transform(range(1, len(s) - 3),
+             |                i -> substring(s, i, 5))) END AS a,
+             |    CASE WHEN len(s2) <= 4 THEN [s2]
+             |         ELSE list_distinct(list_transform(range(1, len(s2) - 3),
+             |                i -> substring(s2, i, 5))) END AS b
+             |  FROM d)
+             |SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+             |FROM sh
+             |WHERE len(list_distinct(list_concat(a, b))) > 0
+             |  AND len(list_intersect(a, b)) * 1.0
+             |      / len(list_distinct(list_concat(a, b))) >= 0.5
+             |ORDER BY id_a""".stripMargin)),
 
     "q28_simhash" -> Q(
       (s, dir) => {
@@ -438,7 +481,16 @@ object PipelineQueries {
           .select(col("id_a"), col("id_b"))
           .orderBy(col("id_a"))
       },
-      None),
+      // identical copies land in the same hyperplane bucket by
+      // construction and cosine(v, v) ≈ 1, so recall is provably total:
+      // the oracle is every nonzero vector's (id, id+100000) pair (zero
+      // vectors get cosine 0 in Spark and are excluded on both sides)
+      Some("""SELECT vec_id AS id_a, vec_id + 100000 AS id_b
+             |FROM embeddings
+             |WHERE vec_id < 100
+             |  AND list_sum(list_transform(embedding,
+             |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+             |ORDER BY id_a""".stripMargin)),
 
     // ---- similarity search -------------------------------------------
 
@@ -581,5 +633,15 @@ object PipelineQueries {
             round(aggregate(col("feature"), lit(0.0d), (a, x) => a + x), 3).as("feature_l1"))
           .orderBy(col("asset_id"))
       },
-      None))
+      // the stubbed decode emits an L1-normalized byte histogram, so the
+      // L1 mass is exactly 1 for any nonempty payload — the oracle pins
+      // the metadata passthrough, the synthetic-payload byte length, and
+      // the normalization contract
+      Some("""SELECT doc_id AS asset_id,
+             |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+             |       WHEN doc_id % 3 = 1 THEN 'audio'
+             |       ELSE 'video' END AS modality,
+             |  CAST(strlen(text) AS BIGINT) AS payload_bytes,
+             |  CAST(CASE WHEN strlen(text) = 0 THEN 0.0 ELSE 1.0 END AS DOUBLE) AS feature_l1
+             |FROM documents WHERE doc_id < 100 ORDER BY asset_id""".stripMargin)))
 }
