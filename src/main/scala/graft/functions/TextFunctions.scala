@@ -43,6 +43,43 @@ object TextFunctions {
         i => array_join(slice(t, i + 1, lit(n)), " "))))
   }
 
+  /** Word n-grams WITH multiplicity (no distinct) — the counting form
+    * used by repetition metrics; empty array when fewer than n tokens.
+    */
+  def wordNgramsAll(text: Column, n: Int): Column = {
+    val t = wordTokens(text)
+    val count = greatest(size(t) - (n - 1), lit(0))
+    when(count <= 0, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), count - 1),
+        i => array_join(slice(t, i + 1, lit(n)), " ")))
+  }
+
+  /** Fraction of word n-grams that are repeats of an earlier occurrence
+    * (1 - distinct/total) — the Gopher/C4-style repetition signal; high
+    * values mark boilerplate and degenerate generations. 0.0 for
+    * documents with fewer than n tokens.
+    */
+  def repeatedNgramFraction(text: Column, n: Int): Column = {
+    val all = wordNgramsAll(text, n)
+    when(size(all) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(all)).cast("double") / size(all).cast("double"))
+  }
+
+  /** PII redaction: emails, international-ish phone numbers, and IPv4
+    * addresses replaced with typed placeholders. Patterns stay in the
+    * RE2-compatible subset so any engine's regexp_replace agrees.
+    */
+  def redactPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9][0-9(). -]{6,14}[0-9]"
+    val ipv4 = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "[EMAIL]"),
+        ipv4, "[IP]"),
+      phone, "[PHONE]")
+  }
+
   /** Jaccard similarity of two string-set columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -108,4 +108,26 @@ object Chunking {
     }
     df.withColumn("split", ladder)
   }
+
+  /** Deterministic per-stratum sampling: keep a row iff its hash bucket
+    * (0–99) falls below the stratum's percentage rate. Reproducible and
+    * shuffle-free (a filter), so it composes with any downstream plan;
+    * `default` applies to strata missing from `rates`. `portableHash`
+    * as in [[assignSplits]].
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       rates: Map[String, Int], default: Int = 0,
+                       portableHash: Boolean = false): DataFrame = {
+    require((default +: rates.values.toSeq).forall(r => r >= 0 && r <= 100),
+      "rates must be percentages in [0, 100]")
+    val h =
+      if (portableHash)
+        pmod(conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long"),
+          lit(100L))
+      else pmod(xxhash64(col(idCol)), lit(100L))
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(default)) {
+      case (acc, (k, r)) => when(col(strataCol) === k, lit(r)).otherwise(acc)
+    }
+    df.where(h < rate)
+  }
 }

@@ -182,6 +182,20 @@ object Dedup {
       .where(col("cosine") >= threshold)
   }
 
+  /** Benchmark-contamination flagging: a training document is flagged
+    * iff it shares any word `n`-gram with the benchmark corpus (the
+    * standard eval-leakage check before training). The benchmark gram
+    * set is tiny next to the corpus, so it is broadcast and the train
+    * side streams through a map-side semi join — no shuffle of corpus
+    * data at any scale. Returns the distinct contaminated `idCol`s.
+    */
+  def flagContaminated(train: DataFrame, benchmark: DataFrame,
+                       textCol: String, idCol: String, n: Int = 5): DataFrame = {
+    val bg = benchmark.select(explode(wordNgrams(col(textCol), n)).as("_g")).distinct()
+    val tg = train.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("_g"))
+    tg.join(broadcast(bg), Seq("_g"), "left_semi").select(col(idCol)).distinct()
+  }
+
   /** Sign bucket of `v` against `planes` deterministic hyperplanes. */
   def hyperplaneBucket(v: Column, planes: Int): Column =
     aggregate(

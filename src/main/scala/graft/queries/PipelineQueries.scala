@@ -322,6 +322,94 @@ object PipelineQueries {
              |            ELSE 'test' END AS split, COUNT(*) AS n
              |FROM h GROUP BY 1 ORDER BY split""".stripMargin)),
 
+    // repetition quality signals (Gopher/C4-style): fraction of word
+    // bigrams/trigrams that repeat an earlier occurrence — the
+    // boilerplate / degenerate-text detector
+    "q66_repetition" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          round(TextFunctions.repeatedNgramFraction(col("text"), 2), 4).as("rep2"),
+          round(TextFunctions.repeatedNgramFraction(col("text"), 3), 4).as("rep3"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKENS AS t FROM documents WHERE doc_id < 200)
+              |SELECT doc_id,
+              |  ROUND(CASE WHEN len(t) < 2 THEN 0.0
+              |    ELSE 1.0 - len(list_distinct(list_transform(range(1, len(t)),
+              |           i -> t[i] || ' ' || t[i+1]))) * 1.0 / (len(t) - 1) END, 4) AS rep2,
+              |  ROUND(CASE WHEN len(t) < 3 THEN 0.0
+              |    ELSE 1.0 - len(list_distinct(list_transform(range(1, len(t) - 1),
+              |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) * 1.0 / (len(t) - 2) END, 4) AS rep3
+              |FROM toks ORDER BY doc_id""".stripMargin)),
+
+    // PII scrubbing: deterministic synthetic PII (email/phone/IPv4)
+    // appended per row, redacted with RE2-compatible patterns — the
+    // oracle applies the identical replacements, pinning pattern
+    // semantics and replacement order (email, then IP, then phone)
+    "q67_pii_redact" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .where(col("doc_id") < 50)
+        .select(col("doc_id"),
+          TextFunctions.redactPii(concat(
+            substring(col("text"), 1, 40),
+            lit(" contact user"), col("doc_id"), lit("@mail.example.com"),
+            lit(" call +1 (555) 010-"), col("doc_id") + 1000,
+            lit(" from 192.168.0."), pmod(col("doc_id"), lit(256)))).as("clean"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  regexp_replace(
+             |    regexp_replace(
+             |      regexp_replace(
+             |        substring(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+             |          || '@mail.example.com call +1 (555) 010-' || CAST(doc_id + 1000 AS VARCHAR)
+             |          || ' from 192.168.0.' || CAST(doc_id % 256 AS VARCHAR),
+             |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             |      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+             |    '\+?[0-9][0-9(). -]{6,14}[0-9]', '[PHONE]', 'g') AS clean
+             |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin)),
+
+    // benchmark-contamination check: train docs sharing any word 5-gram
+    // with the "benchmark" (docs 0-9) — broadcast semi join on the gram
+    // set, the eval-leakage pass before training
+    "q68_contamination" -> Q(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val bench = d.where(col("doc_id") < 10)
+        val train = d.where(col("doc_id") >= 10 && col("doc_id") < 500)
+        Dedup.flagContaminated(train, bench, "text", "doc_id", n = 5)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKENS AS t FROM documents),
+              |g AS (SELECT doc_id,
+              |  CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+              |       ELSE list_distinct(list_transform(range(1, len(t) - 3),
+              |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+              |                   || t[i+3] || ' ' || t[i+4])) END AS gs
+              |  FROM toks),
+              |bg AS (SELECT DISTINCT unnest(gs) AS gm FROM g WHERE doc_id < 10),
+              |tg AS (SELECT doc_id, unnest(gs) AS gm FROM g
+              |       WHERE doc_id >= 10 AND doc_id < 500)
+              |SELECT DISTINCT doc_id FROM tg JOIN bg USING (gm) ORDER BY doc_id""".stripMargin)),
+
+    // stratified sampling: per-language deterministic rates over the
+    // portable md5 bucket, so the exact kept-set is re-derivable in SQL
+    "q69_stratified_sample" -> Q(
+      (s, dir) => {
+        import graft.operators.Chunking
+        Chunking.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
+            rates = Map("en" -> 60, "de" -> 30), default = 10, portableHash = true)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH h AS (
+             |  SELECT lang,
+             |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+             |    % 100 AS b
+             |  FROM documents)
+             |SELECT lang, COUNT(*) AS n FROM h
+             |WHERE b < CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30 ELSE 10 END
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // ---- dedup --------------------------------------------------------
 
     // exact dedup over a salted self-union (the corpus itself has no

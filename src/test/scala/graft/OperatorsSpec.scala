@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Chunking, Dedup, Similarity}
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -382,6 +382,76 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
       .orderBy("k", "payload").collect().map(_.toSeq).toSeq
     salted shouldBe plain
     salted.size shouldBe 1000
+  }
+
+  test("repeatedNgramFraction: unique text 0, fully repeated text high, short text 0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),          // all bigrams unique
+      (2L, "spam spam spam spam spam"),        // one distinct bigram of 4
+      (3L, "word")).toDF("id", "text")         // < 2 tokens
+    val out = df.select(col("id"),
+        TextFunctions.repeatedNgramFraction(col("text"), 2).as("r"))
+      .orderBy("id").collect().map(_.getDouble(1))
+    out(0) shouldBe 0.0
+    out(1) shouldBe 0.75 +- 1e-9
+    out(2) shouldBe 0.0
+  }
+
+  test("redactPii replaces emails, phones, and IPv4s with placeholders") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("mail a.user+x@sub.example.org or 10.0.0.7 or +1 (555) 010-9999 end")
+      .toDF("text")
+    val out = df.select(TextFunctions.redactPii(col("text"))).head.getString(0)
+    out shouldBe "mail [EMAIL] or [IP] or [PHONE] end"
+  }
+
+  test("flagContaminated finds exactly the docs sharing a benchmark n-gram") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq((0L, "one two three four five six")).toDF("id", "text")
+    val train = Seq(
+      (10L, "zzz one two three four five yyy"),  // shares a 5-gram
+      (11L, "one two three nine four five"),     // shares words, no 5-gram
+      (12L, "totally different words here now ok")).toDF("id", "text")
+    val out = Dedup.flagContaminated(train, bench, "text", "id", n = 5)
+      .collect().map(_.getLong(0)).toSeq
+    out shouldBe Seq(10L)
+  }
+
+  test("stratifiedSample keeps deterministic per-stratum subsets at the set rates") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "g")
+    val kept = Chunking.stratifiedSample(df, "g", "id", Map("a" -> 50, "b" -> 0), default = 0)
+    val counts = kept.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.keySet shouldBe Set("a")
+    counts("a").toDouble shouldBe (500.0 +- 120.0) // ~50% of 1000, hash-determined
+    // deterministic: same call → same rows
+    val again = Chunking.stratifiedSample(df, "g", "id", Map("a" -> 50, "b" -> 0), default = 0)
+    again.collect().map(_.getLong(0)).sorted shouldBe kept.collect().map(_.getLong(0)).sorted
+    // portable hash variant agrees with its documented md5 formula
+    val p = Chunking.stratifiedSample(df, "g", "id", Map("a" -> 100), portableHash = true)
+    p.where(col("g") === "a").count() shouldBe 1000L
+  }
+
+  test("assignSplits portableHash matches the md5 formula and the weights") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 1000L).map(i => Tuple1(i)).toDF("id")
+    val out = Chunking.assignSplits(df, "id", portableHash = true)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.keySet shouldBe Set("train", "val", "test")
+    counts("train").toDouble shouldBe (900.0 +- 60.0)
+    // cross-check one row against the documented dual formula
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("42".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bucket = java.lang.Long.parseLong(md.take(15), 16) % 100
+    val expected = if (bucket < 90) "train" else if (bucket < 95) "val" else "test"
+    out.where(col("id") === 42).head.getAs[String]("split") shouldBe expected
   }
 
   test("hyperplaneBucket is deterministic and bounded by 2^planes") {
