@@ -88,18 +88,26 @@ object Dedup {
     val rows = numHashes / bands
     val shingled = df
       .select(col(idCol).as("id"), charShingles(col(textCol), shingleSize).as("sh"))
-    val withSig = shingled.join(minhashTable(shingled, "sh", "id", numHashes), Seq("id"))
-    val banded = withSig.select(
-      col("id"), col("sh"),
+    // Band join carries only (band, bhash, id) — the wide shingle arrays
+    // must NOT ride through the bands×docs explode and self-join (at
+    // corpus scale that shuffles every document body `bands` times).
+    // Candidates are deduped FIRST, then verified with one jaccard
+    // evaluation per distinct pair via join-back on the ids.
+    val banded = minhashTable(shingled, "sh", "id", numHashes).select(
+      col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)).cast("string"), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
-    val a = banded.select(col("band"), col("bhash"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bhash"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bhash"))
+    val a = banded.select(col("band"), col("bhash"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bhash"), col("id").as("id_b"))
+    val cands = a.join(b, Seq("band", "bhash"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    cands
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 

@@ -292,14 +292,22 @@ object RelationalQueries {
         // aggregations: combined they force an Expand plan that
         // evaluates the percentile buffer per expanded row (measured
         // 56s vs 3s at sf0.1)
-        val cd = li.agg(
+        // the two exact-baseline scans are independent Spark jobs — run
+        // them concurrently (halves wall-clock; scheduler interleaves
+        // their stages across the same executor pool)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val cdF = Future(li.agg(
           countDistinct(col("l_orderkey")).as("exact_cd"),
           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_cd"))
-          .collect()(0)
-        val pct = li.agg(
+          .collect()(0))
+        val pctF = Future(li.agg(
           expr("percentile(l_quantity, 0.5)").as("exact_p50"),
           expr("approx_percentile(l_quantity, 0.5, 10000)").as("approx_p50"))
-          .collect()(0)
+          .collect()(0))
+        val cd = Await.result(cdF, Duration.Inf)
+        val pct = Await.result(pctF, Duration.Inf)
         val r = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
           cd.toSeq.toArray ++ pct.toSeq.toArray,
           org.apache.spark.sql.types.StructType(cd.schema.fields ++ pct.schema.fields))
