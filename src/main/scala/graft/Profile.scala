@@ -20,9 +20,14 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
+    val explain = sys.env.get("GRAFT_EXPLAIN").contains("1")
     names.foreach { n =>
       SparkEntry.queries.get(n) match {
         case None => println(s"$n: UNKNOWN")
+        case Some(fn) if explain =>
+          println(s"==== $n ====")
+          println(fn(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
         case Some(fn) =>
           val t0 = System.nanoTime()
           val c = fn(spark, sfDir).count()
