@@ -35,6 +35,25 @@ object StreamingOps {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("value_sum"))
 
+  /** Streaming exact dedup: the streaming counterpart of
+    * [[graft.operators.Dedup.exact]]. Keys on a digest of the content
+    * columns (so the state store holds hashes, not document bodies) and
+    * drops repeats; with `tsCol` set the watermark bounds state — the
+    * contract that keeps indefinite-run dedup state finite. Without a
+    * watermark, state grows with distinct keys (bounded corpora only).
+    */
+  def dedupStream(events: DataFrame, contentCols: Seq[String],
+                  tsCol: Option[String] = None,
+                  watermark: String = "1 hour"): DataFrame = {
+    val keyed = events.withColumn("_k",
+      xxhash64(contentCols.map(c => col(c).cast("string")): _*))
+    val deduped = tsCol match {
+      case Some(ts) => keyed.withWatermark(ts, watermark).dropDuplicates("_k", ts)
+      case None => keyed.dropDuplicates(Seq("_k"))
+    }
+    deduped.drop("_k")
+  }
+
   final case class SessionEvent(user_id: Long, ts: Timestamp)
   final case class SessionState(start: Long, lastSeen: Long, events: Long)
   final case class SessionOut(user_id: Long, session_start: Timestamp,

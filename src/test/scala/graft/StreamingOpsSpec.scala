@@ -47,6 +47,32 @@ class StreamingOpsSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated content across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val deduped = StreamingOps.dedupStream(
+      ms.toDF().toDF("id", "text"), contentCols = Seq("text"))
+    val q = deduped.writeStream.format("memory").queryName("dedupstream")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try {
+      ms.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      q.processAllAvailable()
+      // dup within the first batch dropped
+      s.table("dedupstream").count() shouldBe 2
+      // repeats in a LATER micro-batch are dropped by the state store
+      ms.addData((4L, "alpha"), (5L, "gamma"), (6L, "beta"))
+      q.processAllAvailable()
+      val texts = s.table("dedupstream").select("text")
+        .collect().map(_.getString(0)).toSet
+      texts shouldBe Set("alpha", "beta", "gamma")
+      s.table("dedupstream").count() shouldBe 3
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap and frees state") {
     val s = spark
     import s.implicits._
