@@ -16,6 +16,13 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
     spark.range(1000).selectExpr("id % 7 AS k", "id AS v")
       .groupBy("k").sum("v").collect()
+    // warm the vectorized parquet reader + broadcast machinery on the
+    // smallest table so the first timed query doesn't pay their
+    // first-use initialization
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    region.join(org.apache.spark.sql.functions.broadcast(region
+        .selectExpr("r_regionkey AS k")), region("r_regionkey") === org.apache.spark.sql.functions.col("k"))
+      .count()
     // Sorted iteration: Map order is hash-based, which made timing
     // attribution unstable round-to-round (whichever heavy query ran
     // first absorbed residual JIT/codegen warm-up).

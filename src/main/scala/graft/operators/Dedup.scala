@@ -80,10 +80,18 @@ object Dedup {
     * precisely the near-duplicate clusters.
     *
     * Returns pairs (idA < idB, jaccard) with jaccard ≥ `threshold`.
+    *
+    * `maxBucketSize` guards the self-join against quadratic blowup: an
+    * exact-duplicate cluster of k documents shares every band hash and
+    * would emit k²/2 candidates per band. Buckets larger than the cap
+    * are dropped WHOLE (their pairs are exact-dup-scale clusters that
+    * the exact-dedup pass owns) — an explicit, documented recall trade,
+    * off by default so small-corpus results are never silently capped.
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    shingleSize: Int = 5, numHashes: Int = 32, bands: Int = 8,
-                   threshold: Double = 0.6): DataFrame = {
+                   threshold: Double = 0.6,
+                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     val shingled = df
@@ -93,11 +101,13 @@ object Dedup {
     // corpus scale that shuffles every document body `bands` times).
     // Candidates are deduped FIRST, then verified with one jaccard
     // evaluation per distinct pair via join-back on the ids.
-    val banded = minhashTable(shingled, "sh", "id", numHashes).select(
-      col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)).cast("string"), b))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
+    val banded = capBuckets(
+      minhashTable(shingled, "sh", "id", numHashes).select(
+        col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)).cast("string"), b))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash"),
+      maxBucketSize)
     val a = banded.select(col("band"), col("bhash"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bhash"), col("id").as("id_b"))
     val cands = a.join(b, Seq("band", "bhash"))
@@ -140,15 +150,19 @@ object Dedup {
 
   /** SimHash near-dup candidates: fingerprint each document, block on
     * 16-bit bands (Hamming distance ≤ 3 ⇒ at least one of 4 bands
-    * equal, pigeonhole), verify Hamming within blocks.
+    * equal, pigeonhole), verify Hamming within blocks. `maxBucketSize`
+    * as in [[minhashPairs]].
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val fp = simhashTable(df, textCol, idCol)
-    val banded = fp.select(col("id"), col("fp"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("fp"), b * 16).bitwiseAND(0xFFFFL))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val banded = capBuckets(
+      fp.select(col("id"), col("fp"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => call_function("shiftright", col("fp"), b * 16).bitwiseAND(0xFFFFL))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey"),
+      maxBucketSize, keys = Seq("band", "bkey"))
     val a = banded.select(col("band"), col("bkey"), col("id").as("id_a"), col("fp").as("fp_a"))
     val b = banded.select(col("band"), col("bkey"), col("id").as("id_b"), col("fp").as("fp_b"))
     a.join(b, Seq("band", "bkey"))
@@ -189,6 +203,23 @@ object Dedup {
         Similarity.cosine(col("va"), col("vb")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** Drop LSH buckets holding more than `cap` members: one partial-
+    * aggregated count over the (small) band table, then a semi-join-
+    * shaped window-free filter. No-op (and no extra stages after
+    * optimization constant-folds the always-true filter) when the cap
+    * is `Int.MaxValue`.
+    */
+  private def capBuckets(banded: DataFrame, cap: Int,
+                         keys: Seq[String] = Seq("band", "bhash")): DataFrame =
+    if (cap == Int.MaxValue) banded
+    else {
+      val counts = banded.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("_bucket_n"))
+        .where(col("_bucket_n") <= cap)
+        .drop("_bucket_n")
+      banded.join(counts, keys, "left_semi")
+    }
 
   /** Benchmark-contamination flagging: a training document is flagged
     * iff it shares any word `n`-gram with the benchmark corpus (the

@@ -454,6 +454,25 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     out.where(col("id") === 42).head.getAs[String]("split") shouldBe expected
   }
 
+  test("minhashPairs bucket cap drops oversized exact-dup clusters, keeps small pairs") {
+    val s = spark
+    import s.implicits._
+    // 12 identical docs (one giant bucket) + one near-dup pair
+    val giant = (0L until 12L).map(i => (i, "the same exact duplicated text body repeated"))
+    val pair = Seq(
+      (100L, "a genuinely different document about distributed query engines"),
+      (101L, "a genuinely different document about distributed query engines!"))
+    val df = (giant ++ pair).toDF("id", "text")
+    val uncapped = Dedup.minhashPairs(df, "text", "id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    uncapped should contain((100L, 101L))
+    uncapped.count(p => p._1 < 12 && p._2 < 12) shouldBe 66 // 12*11/2
+    val capped = Dedup.minhashPairs(df, "text", "id", threshold = 0.5, maxBucketSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    capped should contain((100L, 101L))       // small buckets survive
+    capped.count(p => p._1 < 12) shouldBe 0   // giant cluster dropped whole
+  }
+
   test("hyperplaneBucket is deterministic and bounded by 2^planes") {
     val s = spark
     import s.implicits._
