@@ -340,6 +340,23 @@ object RelationalQueries {
              |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS total_p
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // unpivot (wide → long melt), the inverse reshaping of q62
+    "q62b_unpivot" -> Q(
+      (s, dir) => t(s, dir, "part")
+        .where(col("p_partkey") < 100)
+        .select(col("p_partkey"),
+          col("p_retailprice").cast("double").as("p_retailprice"),
+          col("p_size").cast("double").as("p_size"))
+        .unpivot(Array(col("p_partkey")), "metric", "value")
+        .orderBy(col("p_partkey"), col("metric")),
+      Some("""SELECT p_partkey, 'p_retailprice' AS metric,
+             |  CAST(p_retailprice AS DOUBLE) AS value
+             |FROM part WHERE p_partkey < 100
+             |UNION ALL
+             |SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE)
+             |FROM part WHERE p_partkey < 100
+             |ORDER BY p_partkey, metric""".stripMargin)),
+
     // grouping sets / rollup
     "q14_rollup" -> Q(
       (s, dir) => t(s, dir, "orders")
