@@ -57,7 +57,10 @@ final case class IcebergBucketExpr(child: Expression, numBuckets: Int)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val helper = IcebergBucketExpr.getClass.getName.stripSuffix("$") + ".MODULE$"
+    // the companion's MODULE$ field lives on the module class
+    // (`IcebergBucketExpr$`), NOT on the case class — stripping the `$`
+    // makes janino fail and Spark silently fall back to interpreted mode
+    val helper = IcebergBucketExpr.getClass.getName + ".MODULE$"
     val call = child.dataType match {
       case IntegerType | DateType => (c: String) => s"$helper.bucketLong((long) $c, $numBuckets)"
       case LongType | TimestampType | TimestampNTZType =>

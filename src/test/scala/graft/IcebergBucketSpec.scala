@@ -83,4 +83,17 @@ class IcebergBucketSpec extends AnyFunSuite with Matchers {
     an[Exception] should be thrownBy df.select(expr("iceberg_bucket(arr, 16)")).collect()
     an[Exception] should be thrownBy df.select(expr("iceberg_bucket(arr)")).collect()
   }
+
+  test("doGenCode actually compiles (no silent interpreted fallback)") {
+    // GenerateUnsafeProjection.generate throws on janino failure, unlike
+    // the query path which quietly falls back to interpreted mode — this
+    // pins the codegen contract the Scaladoc claims
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression}
+    val exprs: Seq[Expression] = Seq(
+      IcebergBucketExpr(BoundReference(0, LongType, nullable = true), 16),
+      IcebergBucketExpr(BoundReference(1, StringType, nullable = true), 16),
+      IcebergBucketExpr(BoundReference(2, DoubleType, nullable = true), 16))
+    noException should be thrownBy GenerateUnsafeProjection.generate(exprs)
+  }
 }
