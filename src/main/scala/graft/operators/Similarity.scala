@@ -74,14 +74,24 @@ object Similarity {
     * Returns (assigned corpus with a `_cell` column, centroids).
     */
   def ivfIndex(df: DataFrame, vecCol: String, idCol: String,
-               nlist: Int, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+               nlist: Int, seed: Long = 42L,
+               trainFraction: Double = 1.0): (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    require(trainFraction > 0 && trainFraction <= 1.0, "trainFraction in (0, 1]")
     val prepped = df.select(col(idCol), col(vecCol),
       array_to_vector(col(vecCol).cast("array<double>")).as("_features"))
+    // quantizer training is the standard place to subsample (FAISS-style):
+    // centroids from a deterministic hash sample of the corpus, then the
+    // FULL corpus assigned below — at 10^9 vectors k-means never needs
+    // more than a few hundred points per centroid to converge
+    val trainSet =
+      if (trainFraction >= 1.0) prepped
+      else prepped.where(
+        pmod(xxhash64(col(idCol)), lit(1000L)) < (trainFraction * 1000).toLong)
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("_features")
-      .fit(prepped)
+      .fit(trainSet)
     val assigned = model.transform(prepped)
       .withColumnRenamed(model.getPredictionCol, "_cell")
       .drop("_features")

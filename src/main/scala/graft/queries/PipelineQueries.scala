@@ -649,7 +649,10 @@ object PipelineQueries {
         val qvec = e.where(col("vec_id") === 0)
           .select(col("embedding")).collect()(0)
           .getSeq[Float](0)
-        val (assigned, centroids) = Similarity.ivfIndex(e, "embedding", "vec_id", nlist = 8)
+        // quantizer trained on a 25% hash sample (the corpus-scale path);
+        // assignment still covers every vector
+        val (assigned, centroids) = Similarity.ivfIndex(e, "embedding", "vec_id",
+          nlist = 8, trainFraction = 0.25)
         val approx = Similarity.ivfTopK(assigned, centroids, "embedding", "vec_id",
           qvec, k = 20, nprobe = 2).select(col("vec_id"))
         val exact = Similarity.bruteForceTopK(e, "embedding", "vec_id", qvec, 20)
