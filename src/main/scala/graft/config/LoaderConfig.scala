@@ -24,7 +24,9 @@ object WriteMode {
   * (`src/iceberg_loader/core/config.py:21-92`) including every
   * cross-field rule its tests pin down
   * (`tests/test_config_validation.py:9-41`):
-  *   - `commitInterval >= 0` (0 ⇒ whole stream in one transaction);
+  *   - `commitInterval >= 0` (0 behaves as 1 — one transaction per
+  *     batch, the reference's `max(1, interval)` guard at
+  *     `core/loader.py:214`);
   *   - `partitionCol` must parse under the transform grammar;
   *   - `loadTsCol` must be a valid identifier;
   *   - `joinCols`, if given, must contain non-blank names;

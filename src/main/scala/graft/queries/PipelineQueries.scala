@@ -232,8 +232,16 @@ object PipelineQueries {
           .agg(count(lit(1)).as("docs"), sum(size(col("toks")).cast("long")).as("words"))
           .orderBy(col("lang"))
       },
-      Some(s"""SELECT lang, COUNT(*) AS docs, CAST(SUM(len($DTOKENS)) AS BIGINT) AS words
-              |FROM documents
+      // the oracle must ALSO dedup: the salted copies dedup against
+      // their originals at any SF, and at sf>=0.1 the corpus itself
+      // contains exact-duplicate texts whose min-id keeper the Spark
+      // side retains (caught by an sf0.1 sweep — sf0.01 has no
+      // intrinsic dups and hid the assumption)
+      Some(s"""WITH keep AS (
+              |  SELECT lang, text FROM documents
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1)
+              |SELECT lang, COUNT(*) AS docs, CAST(SUM(len($DTOKENS)) AS BIGINT) AS words
+              |FROM keep
               |WHERE (CASE WHEN len(text) = 0 THEN 0.0
               |    ELSE (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / len(text) END) < 0.08
               |  AND len($DTOKENS) >= 30
