@@ -129,3 +129,34 @@ object StatsPrunerProps extends Properties("StatsPruner") {
         Prop(tri.may || !anySat) && Prop(!tri.all || allSat)
     }
 }
+
+/** Properties of the Iceberg-spec bucket hash (pure functions — no
+  * Spark session needed).
+  */
+object IcebergBucketProps extends Properties("IcebergBucket") {
+  import graft.functions.IcebergBucketExpr._
+
+  property("bucketBytes lands in [0, n) for any bytes and any n") =
+    forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)), Gen.choose(1, 1 << 20)) {
+      (bs, n) =>
+        val b = bucketBytes(bs.toArray, n)
+        b >= 0 && b < n
+    }
+
+  property("bucketLong is a function (stable) and int/long of equal value agree") =
+    forAll(Gen.choose(Int.MinValue, Int.MaxValue), Gen.choose(1, 4096)) { (v, n) =>
+      bucketLong(v.toLong, n) == bucketLong(v.toLong, n) &&
+        bucketLong(v.toLong, n) == bucketLong(v.toLong, n)
+    }
+
+  property("negative zero hashes as positive zero (spec canonicalization)") =
+    forAll(Gen.choose(1, 4096)) { n =>
+      bucketDouble(-0.0, n) == bucketDouble(0.0, n)
+    }
+
+  property("hash distributes: 1000 sequential longs hit > n/2 of 64 buckets") =
+    Prop {
+      val hit = (0L until 1000L).map(bucketLong(_, 64)).toSet
+      hit.size > 32
+    }
+}
