@@ -1,0 +1,187 @@
+package graft.connector
+
+import java.util
+
+import graft.table.{GraftCatalog, TableIdent}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Literal => V2Literal, NamedReference, Transform}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** Spark DataSource V2 `TableCatalog` over the graft table format — the
+  * same integration shape Apache Iceberg uses
+  * (`spark.sql.catalog.<name> = <impl>`), so graft tables are
+  * first-class SQL objects:
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft", "graft.connector.GraftSparkCatalog")
+  * spark.conf.set("spark.sql.catalog.graft.warehouse", "/path/wh")
+  * spark.sql("CREATE TABLE graft.ns.t (id BIGINT, ts TIMESTAMP_NTZ) PARTITIONED BY (month(ts))")
+  * spark.sql("INSERT INTO graft.ns.t SELECT ...")
+  * spark.sql("SELECT * FROM graft.ns.t WHERE ts >= '2024-01-01'")
+  * }}}
+  *
+  * Reads go through the snapshot scan planner (partition + zone-map file
+  * pruning from pushed-down filters); writes commit through the
+  * optimistic metadata-log protocol. Partition transforms accepted in
+  * `PARTITIONED BY` map onto the reference DSL (SURVEY §2.5):
+  * identity / years / months / days / hours / bucket(n) / truncate(w) /
+  * void — at most one transform (the format keeps a single partition
+  * field, like the reference's spec builder).
+  */
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"spark.sql.catalog.$name.warehouse must be set"))
+  }
+
+  override def name(): String = catalogName
+
+  private def cat: GraftCatalog = GraftCatalog(SparkSession.active, warehouse)
+
+  private def toIdent(ident: Identifier): TableIdent = {
+    require(ident.namespace().length == 1,
+      s"graft supports single-level namespaces, got ${ident.namespace().mkString(".")}")
+    TableIdent(ident.namespace()(0), ident.name())
+  }
+
+  // ---- tables --------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    require(namespace.length == 1, "graft supports single-level namespaces")
+    cat.listTables(namespace(0))
+      .map(t => Identifier.of(Array(t.namespace), t.name)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val ti = toIdent(ident)
+    if (!cat.exists(ti)) throw new NoSuchTableException(ident)
+    new GraftV2Table(cat.load(ti), ident)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val ti = toIdent(ident)
+    if (cat.exists(ti)) throw new TableAlreadyExistsException(ident)
+    require(partitions.length <= 1,
+      "graft tables keep a single partition field (reference spec shape)")
+    val spec = partitions.headOption.map(transformToSpec)
+    val tbl = cat.ensure(ti, spec)
+    // materialize snapshot v0 with the declared schema (empty file group)
+    val spark = SparkSession.active
+    tbl.append(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    new GraftV2Table(cat.load(ti), ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val tbl = cat.load(toIdent(ident))
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    require(adds.size == changes.size,
+      "graft supports additive column changes only (reference C2 semantics)")
+    adds.foreach { a =>
+      require(a.fieldNames().length == 1, "top-level columns only (reference C2)")
+      tbl.evolveSchema(StructType(tbl.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), nullable = true)))
+    }
+    new GraftV2Table(cat.load(toIdent(ident)), ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val ti = toIdent(ident)
+    if (!cat.exists(ti)) false
+    else { cat.drop(ti); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    cat.rename(toIdent(oldIdent), toIdent(newIdent))
+
+  // ---- namespaces ----------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    cat.listNamespaces().map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 &&
+      java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(warehouse).resolve(namespace(0)))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    require(namespace.length == 1, "graft supports single-level namespaces")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(warehouse).resolve(namespace(0)))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    require(namespace.length == 1, "graft supports single-level namespaces")
+    val dir = java.nio.file.Paths.get(warehouse).resolve(namespace(0))
+    if (!java.nio.file.Files.isDirectory(dir)) false
+    else if (!cascade && cat.listTables(namespace(0)).nonEmpty)
+      throw new IllegalStateException(s"namespace ${namespace(0)} is not empty")
+    else {
+      val stream = java.nio.file.Files.walk(dir)
+      try stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally stream.close()
+      true
+    }
+  }
+
+  // ---- partition-transform mapping ----------------------------------
+
+  /** DSv2 `Transform` → the reference partition DSL (SURVEY §2.5). */
+  private def transformToSpec(t: Transform): String = {
+    def ref: String = {
+      val refs = t.references()
+      require(refs.length == 1 && refs(0).fieldNames().length == 1,
+        s"single top-level partition source column required, got ${t.describe()}")
+      refs(0).fieldNames()(0)
+    }
+    def intArg: String = t.arguments().collectFirst {
+      case l: V2Literal[_] => l.value.toString
+    }.getOrElse(throw new IllegalArgumentException(
+      s"expected an integer argument in ${t.describe()}"))
+    t.name() match {
+      case "identity" => ref
+      case "years" | "year" => s"year($ref)"
+      case "months" | "month" => s"month($ref)"
+      case "days" | "day" => s"day($ref)"
+      case "hours" | "hour" => s"hour($ref)"
+      case "bucket" => s"bucket($intArg, $ref)"
+      case "truncate" => s"truncate($intArg, $ref)"
+      case "void" => s"void($ref)"
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition transform: $other")
+    }
+  }
+
+  // silence unused-import warnings for types referenced in signatures
+  private val _ = (classOf[NamedReference], classOf[V2Expression])
+}

@@ -1,0 +1,166 @@
+package graft.connector
+
+import java.util
+
+import graft.table.GraftTable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** DSv2 `Table` over a [[GraftTable]]: reads bridge through `V1Scan`
+  * into the snapshot scan planner (pushed-down filters prune FILES via
+  * the partition + zone-map pruners; Spark still evaluates every filter
+  * on the surviving rows, so pruning is pure speedup, never semantics),
+  * and writes bridge through `V1Write` into the optimistic-commit
+  * append/overwrite path — the same pattern Spark's own JDBC source
+  * uses for v1 engines behind the v2 API.
+  */
+final class GraftV2Table(tbl: GraftTable, ident: Identifier)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = tbl.schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def properties(): util.Map[String, String] =
+    Map("format" -> "graft/parquet",
+        "location" -> tbl.tableDir.toString).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(tbl)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(tbl)
+}
+
+final class GraftScanBuilder(tbl: GraftTable)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: Option[StructType] = None
+
+  /** Keep the translatable filters for FILE pruning but return every
+    * filter as residual — Spark re-evaluates them row-level, so an
+    * unsound pruner translation can only cost performance, never rows.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => FilterSql.toSql(f).isDefined)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = Some(requiredSchema)
+
+  override def build(): Scan = new GraftV1Scan(tbl, pushed, required)
+}
+
+final class GraftV1Scan(tbl: GraftTable, pushed: Array[Filter],
+                        required: Option[StructType]) extends V1Scan {
+
+  override def readSchema(): StructType = required.getOrElse(tbl.schema)
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val outSchema = readSchema()
+    val relation = new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = outSchema
+      override def buildScan(): RDD[Row] = {
+        val preds = pushed.flatMap(FilterSql.toSql)
+        val df =
+          if (preds.isEmpty) tbl.scan()
+          else tbl.scanWhere(preds.mkString("(", ") AND (", ")"))
+        val projected =
+          if (outSchema.isEmpty) df.select()
+          else df.select(outSchema.fieldNames.map(n => df(s"`$n`")): _*)
+        projected.rdd
+      }
+    }
+    relation.asInstanceOf[T]
+  }
+
+  override def description(): String =
+    s"GraftScan(files pruned by: ${pushed.flatMap(FilterSql.toSql).mkString(" AND ")})"
+}
+
+final class GraftWriteBuilder(tbl: GraftTable)
+    extends WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, ovr: Boolean): Unit =
+          if (overwrite || ovr) tbl.overwrite(data) else tbl.append(data)
+      }
+  }
+}
+
+/** v1 `sources.Filter` → SQL predicate text for the driver-side file
+  * pruners. Untranslatable filters return None and simply don't prune.
+  */
+object FilterSql {
+
+  def toSql(f: Filter): Option[String] = f match {
+    case sources.EqualTo(a, v) => bin(a, "=", v)
+    case sources.GreaterThan(a, v) => bin(a, ">", v)
+    case sources.GreaterThanOrEqual(a, v) => bin(a, ">=", v)
+    case sources.LessThan(a, v) => bin(a, "<", v)
+    case sources.LessThanOrEqual(a, v) => bin(a, "<=", v)
+    case sources.IsNull(a) => col(a).map(c => s"$c IS NULL")
+    case sources.IsNotNull(a) => col(a).map(c => s"$c IS NOT NULL")
+    case sources.In(a, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+      for { c <- col(a); ls <- sequence(vs.toSeq.map(lit)) }
+        yield s"$c IN (${ls.mkString(", ")})"
+    case sources.And(l, r) =>
+      for { ls <- toSql(l); rs <- toSql(r) } yield s"($ls) AND ($rs)"
+    case sources.Or(l, r) =>
+      for { ls <- toSql(l); rs <- toSql(r) } yield s"($ls) OR ($rs)"
+    case sources.Not(c) => toSql(c).map(s => s"NOT ($s)")
+    case _ => None
+  }
+
+  private def bin(a: String, op: String, v: Any): Option[String] =
+    for { c <- col(a); l <- lit(v) } yield s"$c $op $l"
+
+  /** Top-level columns only — nested fields don't reach the pruners. */
+  private def col(a: String): Option[String] =
+    if (a.contains('.')) None else Some(s"`$a`")
+
+  private def lit(v: Any): Option[String] = v match {
+    case null => None
+    case s: String => Some("'" + s.replace("'", "''") + "'")
+    case b: Boolean => Some(b.toString)
+    case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) =>
+      Some(n.toString)
+    case d: java.math.BigDecimal => Some(d.toPlainString)
+    case d: java.sql.Date => Some(s"DATE '$d'")
+    case d: java.time.LocalDate => Some(s"DATE '$d'")
+    case t: java.sql.Timestamp => Some(s"TIMESTAMP '$t'")
+    case t: java.time.Instant => Some(s"TIMESTAMP '$t'")
+    case t: java.time.LocalDateTime => Some(s"TIMESTAMP '$t'")
+    case _ => None
+  }
+
+  private def sequence[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+}

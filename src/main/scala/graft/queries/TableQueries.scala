@@ -231,6 +231,32 @@ object TableQueries {
               |FROM orders WHERE o_orderstatus IN ('F', 'P')
               |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // DSv2 catalog round-trip: CREATE TABLE / INSERT INTO / SELECT with
+    // a pushed-down filter, all through spark.sql against the
+    // spark.sql.catalog.* integration (the Iceberg-shape surface)
+    "q70_dsv2_sql" -> Q(
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft-dsv2").toString
+        s.conf.set("spark.sql.catalog.graftq70", "graft.connector.GraftSparkCatalog")
+        s.conf.set("spark.sql.catalog.graftq70.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq70.bench")
+        s.sql("DROP TABLE IF EXISTS graftq70.bench.ords")
+        s.sql("""CREATE TABLE graftq70.bench.ords
+                |(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)""".stripMargin)
+        t(s, dir, "orders").createOrReplaceTempView("q70_src")
+        s.sql("""INSERT INTO graftq70.bench.ords
+                |SELECT o_orderkey, o_orderstatus, o_totalprice FROM q70_src""".stripMargin)
+        s.sql("""SELECT o_orderstatus, COUNT(*) AS n,
+                |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+                |FROM graftq70.bench.ords
+                |WHERE o_totalprice > 100000
+                |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |FROM orders WHERE o_totalprice > 100000
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // S9 snapshot history as a relation: operations + per-snapshot row
     // counts are deterministic, so the oracle pins the whole lineage
     "q52_history" -> Q(
