@@ -70,6 +70,20 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     new GraftV2Table(cat.load(ti), ident)
   }
 
+  /** SQL `VERSION AS OF <v>` — version string must be a log version. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val ti = toIdent(ident)
+    if (!cat.exists(ti)) throw new NoSuchTableException(ident)
+    new GraftV2Table(cat.load(ti), ident, Some(Left(version.toInt)))
+  }
+
+  /** SQL `TIMESTAMP AS OF <ts>` — Spark passes MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val ti = toIdent(ident)
+    if (!cat.exists(ti)) throw new NoSuchTableException(ident)
+    new GraftV2Table(cat.load(ti), ident, Some(Right(timestamp / 1000L)))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {

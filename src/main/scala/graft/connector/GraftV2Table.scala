@@ -23,15 +23,34 @@ import scala.jdk.CollectionConverters._
   * and writes bridge through `V1Write` into the optimistic-commit
   * append/overwrite path — the same pattern Spark's own JDBC source
   * uses for v1 engines behind the v2 API.
+  *
+  * `asOf` pins the table to a snapshot for SQL time travel
+  * (`VERSION AS OF` / `TIMESTAMP AS OF`); pinned tables are read-only
+  * and scan their snapshot without file pruning (time-travel reads are
+  * the rare path). `DELETE FROM ... WHERE` bridges to the copy-on-write
+  * [[GraftTable.deleteWhere]] when every filter is translatable.
   */
-final class GraftV2Table(tbl: GraftTable, ident: Identifier)
-    extends Table with SupportsRead with SupportsWrite {
+final class GraftV2Table(tbl: GraftTable, ident: Identifier,
+                         asOf: Option[Either[Int, Long]] = None)
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = ident.toString
-  override def schema(): StructType = tbl.schema
+
+  override def schema(): StructType = asOf match {
+    case None => tbl.schema
+    case Some(_) => pinnedScan().schema
+  }
+
+  private def pinnedScan(): DataFrame = asOf match {
+    case Some(Left(version)) => tbl.scanAsOfVersion(version)
+    case Some(Right(tsMs)) => tbl.scanAsOfTimestamp(tsMs)
+    case None => tbl.scan()
+  }
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(
+    if (asOf.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
@@ -41,10 +60,55 @@ final class GraftV2Table(tbl: GraftTable, ident: Identifier)
         "location" -> tbl.tableDir.toString).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(tbl)
+    asOf match {
+      case None => new GraftScanBuilder(tbl)
+      case Some(_) => new PinnedScanBuilder(() => pinnedScan())
+    }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOf.isEmpty, "cannot write to a time-travel (AS OF) table")
     new GraftWriteBuilder(tbl)
+  }
+
+  // ---- DELETE FROM ... WHERE ----------------------------------------
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    asOf.isEmpty && filters.forall(f => FilterSql.toSql(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val preds = filters.flatMap(FilterSql.toSql)
+    val sql = if (preds.isEmpty) "true" else preds.mkString("(", ") AND (", ")")
+    tbl.deleteWhere(sql)
+  }
+}
+
+/** Scan for a snapshot-pinned (time travel) table: no pruning, Spark
+  * applies all filters on the scanned rows.
+  */
+final class PinnedScanBuilder(df: () => DataFrame) extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  private var required: Option[StructType] = None
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = Some(requiredSchema)
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required.getOrElse(df().schema)
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T = {
+      val outSchema = readSchema()
+      val relation = new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = outSchema
+        override def buildScan(): RDD[Row] = {
+          val base = df()
+          val projected =
+            if (outSchema.isEmpty) base.select()
+            else base.select(outSchema.fieldNames.map(n => base(s"`$n`")): _*)
+          projected.rdd
+        }
+      }
+      relation.asInstanceOf[T]
+    }
+  }
 }
 
 final class GraftScanBuilder(tbl: GraftTable)

@@ -64,6 +64,33 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     got shouldBe Seq((10L, None), (11L, Some("x"))) // old rows null-filled
   }
 
+  test("SQL time travel: VERSION AS OF reads historic snapshots, writes refused") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns5")
+    spark.sql("CREATE TABLE graft.ns5.tt (id BIGINT)")          // version 0 (empty)
+    spark.sql("INSERT INTO graft.ns5.tt VALUES (1), (2)")       // version 1
+    spark.sql("INSERT INTO graft.ns5.tt VALUES (3)")            // version 2
+    spark.sql("SELECT COUNT(*) FROM graft.ns5.tt").head.getLong(0) shouldBe 3
+    spark.sql("SELECT COUNT(*) FROM graft.ns5.tt VERSION AS OF 1")
+      .head.getLong(0) shouldBe 2
+    spark.sql("SELECT COUNT(*) FROM graft.ns5.tt VERSION AS OF 0")
+      .head.getLong(0) shouldBe 0
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft.ns5.tt VERSION AS OF 1 VALUES (9)")
+    }
+  }
+
+  test("DELETE FROM ... WHERE rewrites through the copy-on-write path") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns6")
+    spark.sql("CREATE TABLE graft.ns6.d (id BIGINT, k STRING)")
+    spark.sql("INSERT INTO graft.ns6.d VALUES (1,'a'), (2,'b'), (3,'a'), (4, NULL)")
+    spark.sql("DELETE FROM graft.ns6.d WHERE k = 'a'")
+    // NULL rows must survive a positive predicate (three-valued DELETE)
+    spark.sql("SELECT id FROM graft.ns6.d ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(2L, 4L)
+    spark.sql("DELETE FROM graft.ns6.d WHERE id >= 2")
+    spark.sql("SELECT COUNT(*) FROM graft.ns6.d").head.getLong(0) shouldBe 0
+  }
+
   test("SHOW TABLES, RENAME, and DROP work through the catalog") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns4")
     spark.sql("CREATE TABLE graft.ns4.a (id BIGINT)")
