@@ -91,6 +91,43 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT COUNT(*) FROM graft.ns6.d").head.getLong(0) shouldBe 0
   }
 
+  test("randomized predicates: DSv2 reads equal plain-view reads (pruning soundness)") {
+    // A FilterSql mistranslation would prune the WRONG FILES — rows
+    // lost before Spark's residual filters run — so the whole
+    // filter→SQL→pruner path is fuzzed against a non-pruning baseline.
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns7")
+    spark.sql(
+      """CREATE TABLE graft.ns7.fuzz (id BIGINT, k STRING, ts TIMESTAMP_NTZ, v DOUBLE)
+        |PARTITIONED BY (day(ts))""".stripMargin)
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val rows = (0 until 400).map { i =>
+      (i.toLong,
+        if (rnd.nextInt(10) == 0) null else s"k${rnd.nextInt(5)}",
+        java.time.LocalDateTime.of(2024, 1, 1 + rnd.nextInt(20), rnd.nextInt(24), 0),
+        rnd.nextDouble() * 100)
+    }
+    rows.toDF("id", "k", "ts", "v").createOrReplaceTempView("fuzz_src")
+    spark.sql("INSERT INTO graft.ns7.fuzz SELECT * FROM fuzz_src")
+    val preds = Seq(
+      "id > 200", "id <= 37", "id = 123", "NOT (id < 350)",
+      "k = 'k1'", "k IS NULL", "k IS NOT NULL", "k IN ('k0','k3')",
+      "NOT (k = 'k2')",
+      "ts >= TIMESTAMP_NTZ'2024-01-10 00:00:00'",
+      "ts < TIMESTAMP_NTZ'2024-01-05 12:00:00' AND v > 50",
+      "k = 'k4' OR id < 20",
+      "(id > 100 AND id < 300) OR k IS NULL",
+      "v > 25.5 AND ts <= TIMESTAMP_NTZ'2024-01-15 00:00:00'",
+      "NOT (ts >= TIMESTAMP_NTZ'2024-01-08 00:00:00')")
+    preds.foreach { p =>
+      val got = spark.sql(s"SELECT id FROM graft.ns7.fuzz WHERE $p")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val want = spark.sql(s"SELECT id FROM fuzz_src WHERE $p")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      withClue(s"predicate: $p — ") { got shouldBe want }
+    }
+  }
+
   test("SHOW TABLES, RENAME, and DROP work through the catalog") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns4")
     spark.sql("CREATE TABLE graft.ns4.a (id BIGINT)")
