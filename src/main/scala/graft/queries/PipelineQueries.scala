@@ -418,6 +418,69 @@ object PipelineQueries {
              |WHERE b < CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30 ELSE 10 END
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // unigram log-probability quality score (KenLM-proxy): corpus
+    // unigram frequencies -> per-doc mean log10 token probability; the
+    // frequency table is tiny next to the corpus (vocab-sized) so it
+    // broadcasts, and docs score in one map-side join pass
+    "q71_unigram_logprob" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(TextFunctions.wordTokens(col("text"))).as("w"))
+        val total = toks.count().toDouble
+        val freqs = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+          .select(col("w"), log10(col("c") / total).as("lp"))
+        toks.join(broadcast(freqs), Seq("w"))
+          .groupBy(col("doc_id"))
+          .agg(round(avg(col("lp")), 4).as("mean_logprob"),
+            count(lit(1)).as("tokens"))
+          .where(col("doc_id") < 200)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, unnest($DTOKENS) AS w FROM documents),
+              |freqs AS (
+              |  SELECT w, log10(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM toks)) AS lp
+              |  FROM toks GROUP BY w)
+              |SELECT doc_id, ROUND(AVG(lp), 4) AS mean_logprob, COUNT(*) AS tokens
+              |FROM toks JOIN freqs USING (w)
+              |WHERE doc_id < 200
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // TF-IDF: top term per document by tf * log10(N/df) — explode,
+    // two partial-aggregated shuffles, document-frequency join; ties
+    // break lexicographically in both engines
+    "q72_tfidf" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents").where(col("doc_id") < 100)
+        val n = docs.count().toDouble
+        val tf = docs.select(col("doc_id"),
+            explode(TextFunctions.wordTokens(col("text"))).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        val df_ = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        val scored = tf.join(broadcast(df_), Seq("w"))
+          .select(col("doc_id"), col("w"),
+            round(col("tf") * log10(lit(n) / col("df")), 6).as("tfidf"))
+        val win = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("w"))
+        scored.withColumn("rn", row_number().over(win))
+          .where(col("rn") === 1).drop("rn")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $DTOKENS AS t FROM documents WHERE doc_id < 100),
+              |tf AS (
+              |  SELECT doc_id, w, COUNT(*) AS tf
+              |  FROM (SELECT doc_id, unnest(t) AS w FROM d) GROUP BY doc_id, w),
+              |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+              |scored AS (
+              |  SELECT doc_id, w,
+              |    ROUND(tf * log10((SELECT COUNT(*) FROM d) * 1.0 / df), 6) AS tfidf
+              |  FROM tf JOIN df USING (w))
+              |SELECT doc_id, w, tfidf FROM scored
+              |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) = 1
+              |ORDER BY doc_id""".stripMargin)),
+
     // ---- dedup --------------------------------------------------------
 
     // exact dedup over a salted self-union (the corpus itself has no
