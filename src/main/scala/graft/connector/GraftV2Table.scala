@@ -212,8 +212,16 @@ object FilterSql {
 
   private def lit(v: Any): Option[String] = v match {
     case null => None
-    case s: String => Some("'" + s.replace("'", "''") + "'")
+    // Spark SQL single-quoted literals treat backslash as an escape —
+    // an unescaped backslash would change the value and prune the
+    // WRONG files (data loss, not just a slow read)
+    case s: String =>
+      Some("'" + s.replace("\\", "\\\\").replace("'", "''") + "'")
     case b: Boolean => Some(b.toString)
+    // NaN / Infinity have no SQL literal form — don't translate (the
+    // filter simply won't prune; Spark still applies it to rows)
+    case f: Float if f.isNaN || f.isInfinite => None
+    case d: Double if d.isNaN || d.isInfinite => None
     case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) =>
       Some(n.toString)
     case d: java.math.BigDecimal => Some(d.toPlainString)
@@ -221,7 +229,9 @@ object FilterSql {
     case d: java.time.LocalDate => Some(s"DATE '$d'")
     case t: java.sql.Timestamp => Some(s"TIMESTAMP '$t'")
     case t: java.time.Instant => Some(s"TIMESTAMP '$t'")
-    case t: java.time.LocalDateTime => Some(s"TIMESTAMP '$t'")
+    // NTZ literal keeps the comparison timezone-independent (a plain
+    // TIMESTAMP literal is LTZ and would shift under non-UTC sessions)
+    case t: java.time.LocalDateTime => Some(s"TIMESTAMP_NTZ '$t'")
     case _ => None
   }
 

@@ -128,6 +128,23 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("backslash and quote string values translate without corrupting pruning") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns8")
+    spark.sql("CREATE TABLE graft.ns8.esc (id BIGINT, k STRING)")
+    import spark.implicits._
+    Seq((1L, """a\nb"""), (2L, "it's"), (3L, "plain"))
+      .toDF("id", "k").createOrReplaceTempView("esc_src")
+    spark.sql("INSERT INTO graft.ns8.esc SELECT * FROM esc_src")
+    val tbl = spark.table("graft.ns8.esc")
+    tbl.where($"k" === """a\nb""").collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
+    tbl.where($"k" === "it's").collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
+    // NaN comparisons must not break the read (untranslatable -> no pruning)
+    spark.sql("CREATE TABLE graft.ns8.nan (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.ns8.nan VALUES (1, 1.5), (2, CAST('NaN' AS DOUBLE))")
+    spark.table("graft.ns8.nan").where($"v" === Double.NaN)
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
+  }
+
   test("SHOW TABLES, RENAME, and DROP work through the catalog") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns4")
     spark.sql("CREATE TABLE graft.ns4.a (id BIGINT)")
