@@ -45,7 +45,7 @@ object IngestBench {
     val sec = (System.nanoTime() - t1) / 1e9
     val rows = result.rowsLoaded
     println(s"""{"metric":"ingest_rows_per_sec","value":${(rows / sec).toLong},""" +
-      s""""rows":$rows,"sec":${"%.2f".format(sec)},"batches":${result.batchesProcessed},""" +
+      s""""rows":$rows,"sec":${"%.2f".formatLocal(java.util.Locale.ROOT, sec)},"batches":${result.batchesProcessed},""" +
       s""""commit_interval":5,"snapshots":${catalog.load(TableIdent("bench", "stream")).snapshots().size}}""")
     spark.stop()
     val _ = res

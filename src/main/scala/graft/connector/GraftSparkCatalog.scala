@@ -125,8 +125,23 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 
   // ---- namespaces ----------------------------------------------------
 
-  override def listNamespaces(): Array[Array[String]] =
-    cat.listNamespaces().map(Array(_)).toArray
+  /** Lists every namespace DIRECTORY (consistent with namespaceExists /
+    * CREATE NAMESPACE), not just namespaces that already hold tables —
+    * GraftCatalog.listNamespaces' table-bearing filter would hide a
+    * namespace immediately after CREATE NAMESPACE.
+    */
+  override def listNamespaces(): Array[Array[String]] = {
+    val wh = java.nio.file.Paths.get(warehouse)
+    if (!java.nio.file.Files.isDirectory(wh)) Array.empty
+    else {
+      val stream = java.nio.file.Files.list(wh)
+      try stream.iterator().asScala
+        .filter(java.nio.file.Files.isDirectory(_))
+        .map(p => Array(p.getFileName.toString))
+        .toArray.sortBy(_.head)
+      finally stream.close()
+    }
+  }
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()

@@ -37,15 +37,17 @@ final class GraftV2Table(tbl: GraftTable, ident: Identifier,
 
   override def name(): String = ident.toString
 
-  override def schema(): StructType = asOf match {
-    case None => tbl.schema
-    case Some(_) => pinnedScan().schema
-  }
-
-  private def pinnedScan(): DataFrame = asOf match {
+  // resolved once: Spark calls schema()/readSchema several times during
+  // analysis, and each scanAsOf* re-reads the snapshot log + manifests
+  private lazy val pinnedDf: DataFrame = asOf match {
     case Some(Left(version)) => tbl.scanAsOfVersion(version)
     case Some(Right(tsMs)) => tbl.scanAsOfTimestamp(tsMs)
     case None => tbl.scan()
+  }
+
+  override def schema(): StructType = asOf match {
+    case None => tbl.schema
+    case Some(_) => pinnedDf.schema
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -62,7 +64,7 @@ final class GraftV2Table(tbl: GraftTable, ident: Identifier,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     asOf match {
       case None => new GraftScanBuilder(tbl)
-      case Some(_) => new PinnedScanBuilder(() => pinnedScan())
+      case Some(_) => new PinnedScanBuilder(() => pinnedDf)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -185,6 +187,8 @@ final class GraftWriteBuilder(tbl: GraftTable)
 object FilterSql {
 
   def toSql(f: Filter): Option[String] = f match {
+    case sources.AlwaysTrue() => Some("true")
+    case sources.AlwaysFalse() => Some("false")
     case sources.EqualTo(a, v) => bin(a, "=", v)
     case sources.GreaterThan(a, v) => bin(a, ">", v)
     case sources.GreaterThanOrEqual(a, v) => bin(a, ">=", v)
@@ -227,7 +231,11 @@ object FilterSql {
     case d: java.math.BigDecimal => Some(d.toPlainString)
     case d: java.sql.Date => Some(s"DATE '$d'")
     case d: java.time.LocalDate => Some(s"DATE '$d'")
-    case t: java.sql.Timestamp => Some(s"TIMESTAMP '$t'")
+    // render LTZ instants in ISO-8601 UTC ('Z' suffix): Timestamp
+    // .toString is JVM-default-timezone local text, which reparsed
+    // under spark.sql.session.timeZone would SHIFT the instant —
+    // authoritative in DELETE and in scanWhere's row filter
+    case t: java.sql.Timestamp => Some(s"TIMESTAMP '${t.toInstant}'")
     case t: java.time.Instant => Some(s"TIMESTAMP '$t'")
     // NTZ literal keeps the comparison timezone-independent (a plain
     // TIMESTAMP literal is LTZ and would shift under non-UTC sessions)

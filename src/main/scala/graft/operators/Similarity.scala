@@ -88,7 +88,10 @@ object Similarity {
     val trainSet =
       if (trainFraction >= 1.0) prepped
       else prepped.where(
-        pmod(xxhash64(col(idCol)), lit(1000L)) < (trainFraction * 1000).toLong)
+        // never floor to an empty sample: any positive fraction keeps
+        // at least the 1-per-mille bucket
+        pmod(xxhash64(col(idCol)), lit(1000L)) <
+          math.max(1L, math.round(trainFraction * 1000)))
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("_features")
       .fit(trainSet)

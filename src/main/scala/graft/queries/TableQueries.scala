@@ -236,9 +236,14 @@ object TableQueries {
     // spark.sql.catalog.* integration (the Iceberg-shape surface)
     "q70_dsv2_sql" -> Q(
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft-dsv2").toString
-        s.conf.set("spark.sql.catalog.graftq70", "graft.connector.GraftSparkCatalog")
-        s.conf.set("spark.sql.catalog.graftq70.warehouse", wh)
+        // Spark caches the catalog instance after first initialize(), so
+        // the warehouse conf must be set once per session — re-setting it
+        // on warm re-runs would silently diverge from the active catalog
+        if (s.conf.getOption("spark.sql.catalog.graftq70").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq70", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq70.warehouse",
+            Files.createTempDirectory("graft-dsv2").toString)
+        }
         s.sql("CREATE NAMESPACE IF NOT EXISTS graftq70.bench")
         s.sql("DROP TABLE IF EXISTS graftq70.bench.ords")
         s.sql("""CREATE TABLE graftq70.bench.ords

@@ -48,7 +48,12 @@ object StreamingOps {
     val keyed = events.withColumn("_k",
       xxhash64(contentCols.map(c => col(c).cast("string")): _*))
     val deduped = tsCol match {
-      case Some(ts) => keyed.withWatermark(ts, watermark).dropDuplicates("_k", ts)
+      // dedup on the CONTENT key only — dropDuplicates("_k", ts) would
+      // treat identical content at different event times as distinct;
+      // dropDuplicatesWithinWatermark keys state on _k and expires it
+      // once the watermark passes
+      case Some(ts) =>
+        keyed.withWatermark(ts, watermark).dropDuplicatesWithinWatermark("_k")
       case None => keyed.dropDuplicates(Seq("_k"))
     }
     deduped.drop("_k")

@@ -145,6 +145,25 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
       .collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
   }
 
+  test("DELETE without WHERE and LTZ timestamp filters translate correctly") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns9")
+    spark.sql("CREATE TABLE graft.ns9.ltz (id BIGINT, ts TIMESTAMP)")
+    spark.sql(
+      """INSERT INTO graft.ns9.ltz VALUES
+        |(1, TIMESTAMP '2024-06-01 00:00:00'), (2, TIMESTAMP '2024-06-15 00:00:00')""".stripMargin)
+    // LTZ filter: pushed as java.sql.Timestamp/Instant — must compare as
+    // the same absolute instant it was written with
+    spark.sql("SELECT id FROM graft.ns9.ltz WHERE ts < TIMESTAMP '2024-06-10 00:00:00'")
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
+    // unconditional DELETE normalizes to AlwaysTrue — must not be rejected
+    spark.sql("DELETE FROM graft.ns9.ltz")
+    spark.sql("SELECT COUNT(*) FROM graft.ns9.ltz").head.getLong(0) shouldBe 0
+    // SHOW NAMESPACES sees a namespace right after CREATE NAMESPACE
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.fresh_empty")
+    spark.sql("SHOW NAMESPACES IN graft").collect().map(_.getString(0)) should
+      contain("fresh_empty")
+  }
+
   test("SHOW TABLES, RENAME, and DROP work through the catalog") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns4")
     spark.sql("CREATE TABLE graft.ns4.a (id BIGINT)")

@@ -143,10 +143,13 @@ object IcebergBucketProps extends Properties("IcebergBucket") {
         b >= 0 && b < n
     }
 
-  property("bucketLong is a function (stable) and int/long of equal value agree") =
-    forAll(Gen.choose(Int.MinValue, Int.MaxValue), Gen.choose(1, 4096)) { (v, n) =>
-      bucketLong(v.toLong, n) == bucketLong(v.toLong, n) &&
-        bucketLong(v.toLong, n) == bucketLong(v.toLong, n)
+  property("bucketLong equals bucketBytes over the spec's 8-byte LE encoding") =
+    forAll(Gen.choose(Long.MinValue, Long.MaxValue), Gen.choose(1, 4096)) { (v, n) =>
+      val le = new Array[Byte](8)
+      var x = v
+      var i = 0
+      while (i < 8) { le(i) = (x & 0xFF).toByte; x >>>= 8; i += 1 }
+      bucketLong(v, n) == bucketBytes(le, n)
     }
 
   property("negative zero hashes as positive zero (spec canonicalization)") =

@@ -73,6 +73,30 @@ class StreamingOpsSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("watermarked streaming dedup drops identical content at DIFFERENT event times") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = MemoryStream[(Timestamp, String)]
+    val deduped = StreamingOps.dedupStream(
+      ms.toDF().toDF("ts", "text"), contentCols = Seq("text"),
+      tsCol = Some("ts"), watermark = "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedupwm")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try {
+      // same content, different event timestamps: only the first survives
+      ms.addData((ts(1), "alpha"), (ts(5), "alpha"), (ts(2), "beta"))
+      q.processAllAvailable()
+      ms.addData((ts(20), "alpha"), (ts(25), "gamma"))
+      q.processAllAvailable()
+      s.table("dedupwm").select("text").collect().map(_.getString(0)).toSet shouldBe
+        Set("alpha", "beta", "gamma")
+      s.table("dedupwm").count() shouldBe 3
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap and frees state") {
     val s = spark
     import s.implicits._

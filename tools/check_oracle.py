@@ -24,7 +24,7 @@ results = {}
 for name in sorted(os.listdir(out)):
     d = os.path.join(out, name)
     if not os.path.isdir(d): continue
-    files = glob.glob(f"{d}/*.parquet")
+    files = sorted(glob.glob(f"{d}/*.parquet"))
     spark_df = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
     if name not in oracle:
         results[name] = {"status": "rows_only", "rows": len(spark_df)}
