@@ -1,0 +1,93 @@
+package graft.connector
+
+import java.util
+
+import graft.table.{GraftCatalog, TableIdent}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+/** Maintenance as SQL stored procedures (Spark 4 `ProcedureCatalog`),
+  * the Iceberg `CALL catalog.system.<proc>(...)` surface:
+  *
+  * {{{
+  * CALL graft.system.expire_snapshots('ns', 't', 3)     -- keep last 3
+  * CALL graft.system.compact('ns', 't', 1)              -- target file count
+  * CALL graft.system.remove_orphans('ns', 't', 86400000)
+  * }}}
+  *
+  * Each returns a one-row result describing what it did, via a
+  * `LocalScan` (driver-side metadata results — maintenance planning is
+  * metadata-only; the compaction rewrite itself is a distributed job).
+  */
+object GraftProcedures {
+
+  val Namespace: Array[String] = Array("system")
+
+  val Names: Seq[String] = Seq("expire_snapshots", "compact", "remove_orphans")
+
+  def load(cat: () => GraftCatalog, name: String): Option[UnboundProcedure] =
+    name match {
+      case "expire_snapshots" => Some(proc(name,
+        Array(
+          ProcedureParameter.in("namespace", StringType).build(),
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("keep_last", IntegerType).build()),
+        StructType(Seq(StructField("expired", IntegerType))),
+        { in =>
+          val tbl = cat().load(TableIdent(in.getUTF8String(0).toString,
+            in.getUTF8String(1).toString))
+          new GenericInternalRow(Array[Any](tbl.expireSnapshots(in.getInt(2))))
+        }))
+      case "compact" => Some(proc(name,
+        Array(
+          ProcedureParameter.in("namespace", StringType).build(),
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("target_files", IntegerType).build()),
+        StructType(Seq(StructField("files_after", IntegerType))),
+        { in =>
+          val tbl = cat().load(TableIdent(in.getUTF8String(0).toString,
+            in.getUTF8String(1).toString))
+          val snap = tbl.compact(in.getInt(2))
+          new GenericInternalRow(Array[Any](snap.files.size))
+        }))
+      case "remove_orphans" => Some(proc(name,
+        Array(
+          ProcedureParameter.in("namespace", StringType).build(),
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("older_than_ms", LongType).build()),
+        StructType(Seq(StructField("removed", IntegerType))),
+        { in =>
+          val tbl = cat().load(TableIdent(in.getUTF8String(0).toString,
+            in.getUTF8String(1).toString))
+          new GenericInternalRow(Array[Any](tbl.removeOrphanFiles(in.getLong(2))))
+        }))
+      case _ => None
+    }
+
+  private def proc(procName: String, params: Array[ProcedureParameter],
+                   resultSchema: StructType,
+                   run: InternalRow => InternalRow): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft maintenance: $procName"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = s"graft maintenance: $procName"
+          override def parameters(): Array[ProcedureParameter] = params
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): util.Iterator[Scan] = {
+            val row = run(input)
+            util.List.of[Scan](new LocalScan {
+              override def rows(): Array[InternalRow] = Array(row)
+              override def readSchema(): StructType = resultSchema
+              override def description(): String = procName
+            }).iterator()
+          }
+        }
+    }
+}

@@ -34,7 +34,8 @@ import scala.jdk.CollectionConverters._
   * void — at most one transform (the format keeps a single partition
   * field, like the reference's spec builder).
   */
-class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -182,6 +183,22 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       true
     }
   }
+
+  // ---- maintenance procedures (CALL graft.system.<proc>) ------------
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(GraftProcedures.Namespace),
+      s"procedures live in the 'system' namespace, got ${ident.namespace().mkString(".")}")
+    GraftProcedures.load(() => cat, ident.name()).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown procedure ${ident.name()}; available: ${GraftProcedures.Names.mkString(", ")}"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(GraftProcedures.Namespace))
+      GraftProcedures.Names.map(n => Identifier.of(GraftProcedures.Namespace, n)).toArray
+    else Array.empty
 
   // ---- partition-transform mapping ----------------------------------
 

@@ -164,6 +164,27 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
       contain("fresh_empty")
   }
 
+  test("CALL graft.system.* runs maintenance through SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsm")
+    spark.sql("CREATE TABLE graft.nsm.m (id BIGINT)")             // v0
+    spark.sql("INSERT INTO graft.nsm.m VALUES (1)")               // v1
+    spark.sql("INSERT INTO graft.nsm.m VALUES (2)")               // v2
+    spark.sql("INSERT INTO graft.nsm.m VALUES (3)")               // v3
+    // compact the 3 single-row files into 1
+    val compacted = spark.sql("CALL graft.system.compact('nsm', 'm', 1)")
+    compacted.collect().head.getInt(0) shouldBe 1
+    spark.sql("SELECT COUNT(*) FROM graft.nsm.m").head.getLong(0) shouldBe 3
+    // expire everything but the last 2 snapshots
+    val expired = spark.sql("CALL graft.system.expire_snapshots('nsm', 'm', 2)")
+    expired.collect().head.getInt(0) should be > 0
+    spark.sql("SELECT COUNT(*) FROM graft.nsm.m").head.getLong(0) shouldBe 3
+    // orphan sweep collects files referenced only by expired snapshots;
+    // live data must survive it
+    spark.sql("CALL graft.system.remove_orphans('nsm', 'm', 0)")
+      .collect().head.getInt(0) should be > 0
+    spark.sql("SELECT COUNT(*) FROM graft.nsm.m").head.getLong(0) shouldBe 3
+  }
+
   test("SHOW TABLES, RENAME, and DROP work through the catalog") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns4")
     spark.sql("CREATE TABLE graft.ns4.a (id BIGINT)")
