@@ -104,14 +104,21 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val tbl = cat.load(toIdent(ident))
     val adds = changes.collect { case a: TableChange.AddColumn => a }
-    require(adds.size == changes.size,
-      "graft supports additive column changes only (reference C2 semantics)")
+    val sets = changes.collect { case p: TableChange.SetProperty => p }
+    val removes = changes.collect { case p: TableChange.RemoveProperty => p }
+    require(adds.size + sets.size + removes.size == changes.size,
+      "graft supports additive column changes and property changes only " +
+        "(reference C2 semantics)")
     adds.foreach { a =>
       require(a.fieldNames().length == 1, "top-level columns only (reference C2)")
       tbl.evolveSchema(StructType(tbl.schema.fields :+
         org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType(), nullable = true)))
     }
+    if (sets.nonEmpty || removes.nonEmpty)
+      tbl.updateProperties(
+        sets.map(p => p.property -> p.value).toMap,
+        removes.map(_.property))
     new GraftV2Table(cat.load(toIdent(ident)), ident)
   }
 

@@ -58,8 +58,9 @@ final class GraftV2Table(tbl: GraftTable, ident: Identifier,
       TableCapability.TRUNCATE)
 
   override def properties(): util.Map[String, String] =
-    Map("format" -> "graft/parquet",
-        "location" -> tbl.tableDir.toString).asJava
+    (tbl.currentOrFail().properties ++
+      Map("format" -> "graft/parquet",
+          "location" -> tbl.tableDir.toString)).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     asOf match {

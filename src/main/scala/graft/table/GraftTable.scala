@@ -113,6 +113,22 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
     }
   }
 
+  /** Metadata-only commit updating table properties (`ALTER TABLE
+    * SET/UNSET TBLPROPERTIES`): data files and manifests carry over
+    * verbatim — the commit writes O(1) metadata.
+    */
+  def updateProperties(set: Map[String, String],
+                       remove: Seq[String] = Nil): Snapshot = {
+    val snap = currentOrFail()
+    log.commit { parent =>
+      val p = parent.getOrElse(snap)
+      p.copy(
+        snapshotId = newSnapshotId(),
+        operation = "set-properties",
+        properties = (p.properties ++ set) -- remove)
+    }
+  }
+
   /** Copy-on-write conflict validation: a concurrent commit that
     * rewrote or dropped any file this operation's rewrite was computed
     * from makes the rewrite stale — committing it would duplicate or

@@ -185,6 +185,24 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT COUNT(*) FROM graft.nsm.m").head.getLong(0) shouldBe 3
   }
 
+  test("SET/UNSET TBLPROPERTIES commit metadata-only and surface in SHOW TBLPROPERTIES") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsp")
+    spark.sql("CREATE TABLE graft.nsp.p (id BIGINT)")
+    spark.sql("INSERT INTO graft.nsp.p VALUES (1)")
+    spark.sql("ALTER TABLE graft.nsp.p SET TBLPROPERTIES ('quality.tier'='gold', 'retention.days'='30')")
+    val props = spark.sql("SHOW TBLPROPERTIES graft.nsp.p")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    props("quality.tier") shouldBe "gold"
+    props("retention.days") shouldBe "30"
+    spark.sql("ALTER TABLE graft.nsp.p UNSET TBLPROPERTIES ('retention.days')")
+    val after = spark.sql("SHOW TBLPROPERTIES graft.nsp.p")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    after.get("retention.days") shouldBe None
+    after("quality.tier") shouldBe "gold"
+    // data untouched by the metadata-only commits
+    spark.sql("SELECT COUNT(*) FROM graft.nsp.p").head.getLong(0) shouldBe 1
+  }
+
   test("SHOW TABLES, RENAME, and DROP work through the catalog") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns4")
     spark.sql("CREATE TABLE graft.ns4.a (id BIGINT)")
