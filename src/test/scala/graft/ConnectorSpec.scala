@@ -203,6 +203,18 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT COUNT(*) FROM graft.nsp.p").head.getLong(0) shouldBe 1
   }
 
+  test("CTAS and DESCRIBE TABLE work through the catalog") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsc")
+    spark.sql(
+      """CREATE TABLE graft.nsc.ctas AS
+        |SELECT id, CAST(id % 3 AS STRING) AS grp FROM range(30)""".stripMargin)
+    spark.sql("SELECT COUNT(*) FROM graft.nsc.ctas").head.getLong(0) shouldBe 30
+    val desc = spark.sql("DESCRIBE TABLE graft.nsc.ctas")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    desc("id") shouldBe "bigint"
+    desc("grp") shouldBe "string"
+  }
+
   test("SHOW TABLES, RENAME, and DROP work through the catalog") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns4")
     spark.sql("CREATE TABLE graft.ns4.a (id BIGINT)")
