@@ -13,5 +13,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(IcebergBucketExpr.functionDescriptor)
+    // MERGE INTO over graft DSv2 tables → the reference upsert semantics
+    ext.injectPostHocResolutionRule(graft.connector.GraftMergeRule)
   }
 }

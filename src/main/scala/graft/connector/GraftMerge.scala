@@ -1,0 +1,99 @@
+package graft.connector
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** SQL `MERGE INTO` for graft tables — the reference's upsert (W4/J1,
+  * `core/strategies.py:69-81`) surfaced as the SQL verb:
+  *
+  * {{{
+  * MERGE INTO graft.ns.t AS t USING updates AS s
+  * ON t.id = s.id
+  * WHEN MATCHED THEN UPDATE SET *
+  * WHEN NOT MATCHED THEN INSERT *
+  * }}}
+  *
+  * Only this canonical shape is supported (equality keys, UPDATE SET * /
+  * INSERT *, no extra conditions) — exactly the semantics the
+  * reference's UpsertStrategy implements. Resolution rewrites it into a
+  * command over [[graft.table.GraftTable.upsert]], whose copy-on-write
+  * rewrite carries untouched partitions over verbatim. Non-canonical
+  * merges fail with a message naming the restriction rather than
+  * silently diverging from the reference semantics.
+  */
+case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case m: MergeIntoTable if m.resolved && isGraftTarget(m.targetTable) =>
+      val tbl = graftTable(m.targetTable).get
+      val targetOut = m.targetTable.outputSet
+      val sourceOut = m.sourceTable.outputSet
+
+      def keyOf(cond: Expression): Option[String] = cond match {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if targetOut.contains(a) && sourceOut.contains(b) &&
+              a.name.equalsIgnoreCase(b.name) => Some(a.name)
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if targetOut.contains(b) && sourceOut.contains(a) &&
+              a.name.equalsIgnoreCase(b.name) => Some(b.name)
+        case _ => None
+      }
+      val keys = splitConjunctivePredicates(m.mergeCondition).map(keyOf)
+      // the analyzer expands SET * / INSERT * into per-column
+      // same-name assignments before post-hoc rules run — accept both
+      // the star form and its expansion
+      def starAssigns(assigns: Seq[Assignment]): Boolean = assigns.forall {
+        case Assignment(t: AttributeReference, v: AttributeReference) =>
+          t.name.equalsIgnoreCase(v.name)
+        case _ => false
+      }
+      val canonicalActions = (m.matchedActions, m.notMatchedActions,
+        m.notMatchedBySourceActions) match {
+        case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)), Seq()) => true
+        case (Seq(u: UpdateAction), Seq(i: InsertAction), Seq()) =>
+          u.condition.isEmpty && i.condition.isEmpty &&
+            starAssigns(u.assignments) && starAssigns(i.assignments)
+        case _ => false
+      }
+      if (keys.exists(_.isEmpty) || keys.isEmpty || !canonicalActions)
+        throw new UnsupportedOperationException(
+          "graft MERGE INTO supports the canonical upsert only: " +
+            "ON conjunction of t.key = s.key equalities, " +
+            "WHEN MATCHED THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT * " +
+            "(the reference UpsertStrategy semantics); " +
+            s"got condition `${m.mergeCondition.sql}`")
+      GraftMergeCommand(tbl, m.sourceTable, keys.flatten)
+  }
+
+  private def isGraftTarget(plan: LogicalPlan): Boolean = graftTable(plan).isDefined
+
+  private def graftTable(plan: LogicalPlan): Option[GraftV2Table] = plan match {
+    case r: DataSourceV2Relation => r.table match {
+      case g: GraftV2Table => Some(g)
+      case _ => None
+    }
+    case p if p.children.size == 1 => graftTable(p.children.head) // SubqueryAlias etc.
+    case _ => None
+  }
+}
+
+case class GraftMergeCommand(table: GraftV2Table, source: LogicalPlan,
+                             keys: Seq[String]) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val sourceDf = org.apache.spark.sql.GraftSqlShim.ofRows(spark, source)
+      // project onto the target schema by name (MERGE INSERT * semantics)
+      .select(table.underlying.schema.fieldNames.map(n =>
+        org.apache.spark.sql.functions.col(s"`$n`")): _*)
+    table.underlying.upsert(sourceDf, keys)
+    Nil
+  }
+
+  override def output: Seq[Attribute] = Nil
+}

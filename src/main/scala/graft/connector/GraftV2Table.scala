@@ -37,6 +37,9 @@ final class GraftV2Table(tbl: GraftTable, ident: Identifier,
 
   override def name(): String = ident.toString
 
+  /** The table-format handle, for sibling command rewrites (MERGE). */
+  private[connector] def underlying: GraftTable = tbl
+
   // resolved once: Spark calls schema()/readSchema several times during
   // analysis, and each scanAsOf* re-reads the snapshot log + manifests
   private lazy val pinnedDf: DataFrame = asOf match {

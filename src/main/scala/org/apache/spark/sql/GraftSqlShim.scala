@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Minimal `private[sql]` access shim — the established extension
+  * technique (Iceberg and Delta ship the same kind of shim) for the one
+  * internal hop a command rewrite needs: turning an analyzed
+  * `LogicalPlan` back into a `DataFrame` to reuse the public write
+  * path. Nothing else from the internal surface is touched.
+  */
+object GraftSqlShim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession], plan)
+}

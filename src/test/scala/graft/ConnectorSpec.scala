@@ -215,6 +215,30 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     desc("grp") shouldBe "string"
   }
 
+  test("MERGE INTO performs the reference upsert; non-canonical shapes are rejected") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsmg")
+    spark.sql("CREATE TABLE graft.nsmg.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.nsmg.t VALUES (1, 'old1'), (2, 'old2'), (3, 'old3')")
+    import spark.implicits._
+    Seq((2L, "new2"), (4L, "new4")).toDF("id", "v").createOrReplaceTempView("mrg_src")
+    spark.sql(
+      """MERGE INTO graft.nsmg.t AS t USING mrg_src AS s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.sql("SELECT id, v FROM graft.nsmg.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    rows shouldBe Seq((1L, "old1"), (2L, "new2"), (3L, "old3"), (4L, "new4"))
+    // non-canonical merge (conditional update) must fail loudly, not diverge
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft.nsmg.t AS t USING mrg_src AS s
+          |ON t.id = s.id
+          |WHEN MATCHED AND s.v = 'x' THEN DELETE""".stripMargin)
+    }
+    e.getMessage should include("canonical upsert")
+  }
+
   test("SHOW TABLES, RENAME, and DROP work through the catalog") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns4")
     spark.sql("CREATE TABLE graft.ns4.a (id BIGINT)")
