@@ -2,7 +2,7 @@ package graft.connector
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, PredicateHelper}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -68,6 +68,25 @@ case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan]
             "(the reference UpsertStrategy semantics); " +
             s"got condition `${m.mergeCondition.sql}`")
       GraftMergeCommand(tbl, m.sourceTable, keys.flatten)
+
+    case u @ UpdateTable(target, assignments, condition)
+        if u.resolved && isGraftTarget(target) =>
+      val tbl = graftTable(target).get
+      // re-parseable SQL text keeps the rewrite decoupled from the
+      // relation's attribute ids; expressions whose .sql form doesn't
+      // round-trip are rare and fail loudly at parse, not silently
+      // resolved attributes print fully qualified (catalog.ns.t.col),
+      // which doesn't re-parse against the rewrite DataFrame — strip
+      // the qualifiers first
+      def plainSql(e: Expression): String = e.transform {
+        case a: AttributeReference => a.withQualifier(Nil)
+      }.sql
+      val set = assignments.map {
+        case Assignment(k: AttributeReference, v) => k.name -> plainSql(v)
+        case a => throw new UnsupportedOperationException(
+          s"graft UPDATE supports top-level column assignments, got ${a.sql}")
+      }.toMap
+      GraftUpdateCommand(tbl, condition.map(plainSql).getOrElse("true"), set)
   }
 
   private def isGraftTarget(plan: LogicalPlan): Boolean = graftTable(plan).isDefined
@@ -80,6 +99,15 @@ case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan]
     case p if p.children.size == 1 => graftTable(p.children.head) // SubqueryAlias etc.
     case _ => None
   }
+}
+
+case class GraftUpdateCommand(table: GraftV2Table, predicateSql: String,
+                              set: Map[String, String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    table.underlying.updateWhere(predicateSql, set)
+    Nil
+  }
+  override def output: Seq[Attribute] = Nil
 }
 
 case class GraftMergeCommand(table: GraftV2Table, source: LogicalPlan,

@@ -113,6 +113,49 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
     }
   }
 
+  /** Copy-on-write UPDATE (`UPDATE ... SET ... WHERE ...`): files that
+    * may hold matching rows are rewritten once with
+    * `CASE WHEN pred THEN value ELSE old END` per assigned column;
+    * untouched files carry their manifests over verbatim — an update
+    * touching one partition rewrites one partition. `set` maps column
+    * name → SQL expression text evaluated against the row (so
+    * `v = concat(v, '!')` works). One snapshot, same conflict
+    * validation as delete. SQL three-valued semantics: rows where the
+    * predicate is NULL keep their old values.
+    */
+  def updateWhere(predicateSql: String, set: Map[String, String]): Snapshot = {
+    val snap = currentOrFail()
+    require(set.nonEmpty, "update requires at least one assignment")
+    val unknown = set.keySet.diff(snap.schema.fieldNames.map(_.toLowerCase).toSet ++
+      snap.schema.fieldNames.toSet)
+    require(unknown.isEmpty, s"unknown column(s) in UPDATE: ${unknown.mkString(", ")}")
+    val pred = CatalystSqlParser.parseExpression(predicateSql)
+    // unlike delete, all-match files still need rewriting (values change)
+    val (allMatch, mayMatch) = classifyFiles(snap, pred)
+    val affected = allMatch ++ mayMatch
+    if (affected.isEmpty) return snap
+    val cond = coalesce(expr(predicateSql), lit(false))
+    val rewriteDf = readFiles(snap.schema, affected).select(
+      snap.schema.fields.map { f =>
+        set.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) => v } match {
+          case Some(valueSql) =>
+            when(cond, expr(valueSql).cast(f.dataType)).otherwise(col(s"`${f.name}`"))
+              .as(f.name)
+          case None => col(s"`${f.name}`")
+        }
+      }: _*)
+    val rewritten = writeDataFiles(rewriteDf, snap.schema, partitionField())
+    val removed = affected.map(_.path).toSet
+    log.commit { parent =>
+      val p = parent.getOrElse(snap)
+      requireNoConflict(p, removed, "update")
+      p.copy(
+        snapshotId = newSnapshotId(),
+        operation = "update",
+        fileGroups = pruneGroups(p.fileGroups, removed) :+ rewritten)
+    }
+  }
+
   /** Metadata-only commit updating table properties (`ALTER TABLE
     * SET/UNSET TBLPROPERTIES`): data files and manifests carry over
     * verbatim — the commit writes O(1) metadata.

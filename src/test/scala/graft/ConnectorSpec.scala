@@ -239,6 +239,21 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     e.getMessage should include("canonical upsert")
   }
 
+  test("UPDATE ... SET ... WHERE rewrites matching rows in one commit") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsu")
+    spark.sql("CREATE TABLE graft.nsu.u (id BIGINT, v STRING, n BIGINT)")
+    spark.sql("INSERT INTO graft.nsu.u VALUES (1,'a',10), (2,'b',20), (3,'a',30), (4,NULL,40)")
+    spark.sql("UPDATE graft.nsu.u SET n = n + 100, v = concat(v, '!') WHERE v = 'a'")
+    val rows = spark.sql("SELECT id, v, n FROM graft.nsu.u ORDER BY id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSeq
+    rows shouldBe Seq(
+      (1L, Some("a!"), 110L), (2L, Some("b"), 20L),
+      (3L, Some("a!"), 130L), (4L, None, 40L)) // NULL predicate rows untouched
+    // unconditional update
+    spark.sql("UPDATE graft.nsu.u SET n = 0")
+    spark.sql("SELECT SUM(n) FROM graft.nsu.u").head.getLong(0) shouldBe 0
+  }
+
   test("SHOW TABLES, RENAME, and DROP work through the catalog") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns4")
     spark.sql("CREATE TABLE graft.ns4.a (id BIGINT)")

@@ -107,6 +107,21 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     t.scan().count() shouldBe 3
   }
 
+  test("updateWhere rewrites only partitions the predicate can touch") {
+    val t = cat().ensure(TableIdent("ns", "t5u"), Some("day"))
+    t.append(df(d1, d2, d3)) // three day-partitions, three files
+    val before = t.currentOrFail().files.map(_.path).toSet
+    t.updateWhere("day = '2024-01-02'", Map("name" -> "'PATCHED'"))
+    val after = t.currentOrFail().files
+    after.map(_.path).toSet.intersect(before).size shouldBe 2 // others verbatim
+    t.scan().where("id = 2").select("name").collect()(0).getString(0) shouldBe "PATCHED"
+    t.scan().count() shouldBe 3
+    // no-match predicate: snapshot unchanged (no empty commit)
+    val v = t.currentOrFail().version
+    t.updateWhere("day = '1999-01-01'", Map("name" -> "'X'"))
+    t.currentOrFail().version shouldBe v
+  }
+
   test("upsert rejects duplicate source keys, like PyIceberg") {
     val t = cat().ensure(TableIdent("ns", "t5b"))
     t.append(df(d1, d2))
