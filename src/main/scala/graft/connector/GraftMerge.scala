@@ -47,9 +47,16 @@ case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan]
       // the analyzer expands SET * / INSERT * into per-column
       // same-name assignments before post-hoc rules run — accept both
       // the star form and its expansion
+      // type coercion wraps source attributes in Cast — still SET *
+      def stripCast(e: Expression): Expression = e match {
+        case c: org.apache.spark.sql.catalyst.expressions.Cast => stripCast(c.child)
+        case other => other
+      }
       def starAssigns(assigns: Seq[Assignment]): Boolean = assigns.forall {
-        case Assignment(t: AttributeReference, v: AttributeReference) =>
-          t.name.equalsIgnoreCase(v.name)
+        case Assignment(t: AttributeReference, v) => stripCast(v) match {
+          case s: AttributeReference => t.name.equalsIgnoreCase(s.name)
+          case _ => false
+        }
         case _ => false
       }
       val canonicalActions = (m.matchedActions, m.notMatchedActions,
@@ -116,9 +123,10 @@ case class GraftMergeCommand(table: GraftV2Table, source: LogicalPlan,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val sourceDf = org.apache.spark.sql.GraftSqlShim.ofRows(spark, source)
-      // project onto the target schema by name (MERGE INSERT * semantics)
-      .select(table.underlying.schema.fieldNames.map(n =>
-        org.apache.spark.sql.functions.col(s"`$n`")): _*)
+      // project onto the target schema by name WITH the target's types
+      // (MERGE INSERT * semantics; the analyzer already proved coercibility)
+      .select(table.underlying.schema.fields.map(f =>
+        org.apache.spark.sql.functions.col(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
     table.underlying.upsert(sourceDf, keys)
     Nil
   }

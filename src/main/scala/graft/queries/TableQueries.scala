@@ -262,6 +262,53 @@ object TableQueries {
              |FROM orders WHERE o_totalprice > 100000
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // DSv2 DML round-trip: UPDATE + DELETE + MERGE through spark.sql,
+    // then an aggregate the DuckDB oracle recomputes from the applied
+    // semantics over the raw source
+    "q70b_dsv2_dml" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq70").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq70", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq70.warehouse",
+            Files.createTempDirectory("graft-dsv2").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq70.bench")
+        s.sql("DROP TABLE IF EXISTS graftq70.bench.cust")
+        s.sql("""CREATE TABLE graftq70.bench.cust
+                |(c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE)""".stripMargin)
+        t(s, dir, "customer").createOrReplaceTempView("q70b_src")
+        s.sql("""INSERT INTO graftq70.bench.cust
+                |SELECT c_custkey, c_mktsegment, c_acctbal FROM q70b_src""".stripMargin)
+        s.sql("""UPDATE graftq70.bench.cust SET c_acctbal = c_acctbal + 1000
+                |WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+        s.sql("DELETE FROM graftq70.bench.cust WHERE c_acctbal < 0")
+        s.sql("""MERGE INTO graftq70.bench.cust AS t
+                |USING (SELECT c_custkey, 'MERGED' AS c_mktsegment, 0.0 AS c_acctbal
+                |       FROM q70b_src WHERE c_custkey <= 5) AS src
+                |ON t.c_custkey = src.c_custkey
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        s.sql("""SELECT c_mktsegment, COUNT(*) AS n,
+                |  CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS bal
+                |FROM graftq70.bench.cust
+                |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      },
+      Some("""WITH upd AS (
+             |  SELECT c_custkey, c_mktsegment,
+             |    CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 1000
+             |         ELSE c_acctbal END AS c_acctbal
+             |  FROM customer),
+             |del AS (SELECT * FROM upd WHERE NOT (c_acctbal < 0)),
+             |merged AS (
+             |  SELECT c_custkey, 'MERGED' AS c_mktsegment, 0.0 AS c_acctbal
+             |  FROM customer WHERE c_custkey <= 5
+             |  UNION ALL
+             |  SELECT * FROM del WHERE c_custkey NOT IN
+             |    (SELECT c_custkey FROM customer WHERE c_custkey <= 5))
+             |SELECT c_mktsegment, COUNT(*) AS n,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS bal
+             |FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // S9 snapshot history as a relation: operations + per-snapshot row
     // counts are deterministic, so the oracle pins the whole lineage
     "q52_history" -> Q(
