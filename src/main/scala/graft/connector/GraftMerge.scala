@@ -34,30 +34,46 @@ case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan]
       val targetOut = m.targetTable.outputSet
       val sourceOut = m.sourceTable.outputSet
 
+      // type coercion wraps either side in Cast (e.g. INT source key
+      // against a BIGINT target key) — still the canonical equality
+      def stripCastE(e: Expression): Expression = e match {
+        case c: org.apache.spark.sql.catalyst.expressions.Cast => stripCastE(c.child)
+        case other => other
+      }
       def keyOf(cond: Expression): Option[String] = cond match {
-        case EqualTo(a: AttributeReference, b: AttributeReference)
-            if targetOut.contains(a) && sourceOut.contains(b) &&
-              a.name.equalsIgnoreCase(b.name) => Some(a.name)
-        case EqualTo(a: AttributeReference, b: AttributeReference)
-            if targetOut.contains(b) && sourceOut.contains(a) &&
-              a.name.equalsIgnoreCase(b.name) => Some(b.name)
+        case EqualTo(l, r) => (stripCastE(l), stripCastE(r)) match {
+          case (a: AttributeReference, b: AttributeReference)
+              if targetOut.contains(a) && sourceOut.contains(b) &&
+                a.name.equalsIgnoreCase(b.name) => Some(a.name)
+          case (a: AttributeReference, b: AttributeReference)
+              if targetOut.contains(b) && sourceOut.contains(a) &&
+                a.name.equalsIgnoreCase(b.name) => Some(b.name)
+          case _ => None
+        }
         case _ => None
       }
       val keys = splitConjunctivePredicates(m.mergeCondition).map(keyOf)
       // the analyzer expands SET * / INSERT * into per-column
       // same-name assignments before post-hoc rules run — accept both
       // the star form and its expansion
-      // type coercion wraps source attributes in Cast — still SET *
-      def stripCast(e: Expression): Expression = e match {
-        case c: org.apache.spark.sql.catalyst.expressions.Cast => stripCast(c.child)
-        case other => other
-      }
-      def starAssigns(assigns: Seq[Assignment]): Boolean = assigns.forall {
-        case Assignment(t: AttributeReference, v) => stripCast(v) match {
-          case s: AttributeReference => t.name.equalsIgnoreCase(s.name)
-          case _ => false
+      // A true SET * / INSERT *: every target column assigned exactly
+      // once from the SAME-NAMED SOURCE attribute (modulo coercion
+      // casts). Partial lists or target-referencing values are NOT
+      // star-shaped — without this coverage check, `SET v = s.v` alone
+      // would silently run as a whole-row upsert.
+      def starAssigns(assigns: Seq[Assignment]): Boolean = {
+        val assigned = assigns.flatMap {
+          case Assignment(t: AttributeReference, v) => stripCastE(v) match {
+            case s: AttributeReference
+                if sourceOut.contains(s) && t.name.equalsIgnoreCase(s.name) =>
+              Some(t.name.toLowerCase)
+            case _ => None
+          }
+          case _ => None
         }
-        case _ => false
+        assigned.size == assigns.size &&
+          assigned.toSet == m.targetTable.output.map(_.name.toLowerCase).toSet &&
+          assigned.distinct.size == assigned.size
       }
       val canonicalActions = (m.matchedActions, m.notMatchedActions,
         m.notMatchedBySourceActions) match {
@@ -88,12 +104,20 @@ case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan]
       def plainSql(e: Expression): String = e.transform {
         case a: AttributeReference => a.withQualifier(Nil)
       }.sql
-      val set = assignments.map {
+      val pairs = assignments.map {
         case Assignment(k: AttributeReference, v) => k.name -> plainSql(v)
         case a => throw new UnsupportedOperationException(
           s"graft UPDATE supports top-level column assignments, got ${a.sql}")
-      }.toMap
-      GraftUpdateCommand(tbl, condition.map(plainSql).getOrElse("true"), set)
+      }
+      // duplicate assignments to one column are an error per the SQL
+      // standard — .toMap alone would silently keep the last one
+      val dups = pairs.groupBy(_._1.toLowerCase).collect {
+        case (k, vs) if vs.size > 1 => k
+      }
+      if (dups.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"duplicate assignment(s) in UPDATE: ${dups.mkString(", ")}")
+      GraftUpdateCommand(tbl, condition.map(plainSql).getOrElse("true"), pairs.toMap)
   }
 
   private def isGraftTarget(plan: LogicalPlan): Boolean = graftTable(plan).isDefined
@@ -127,6 +151,11 @@ case class GraftMergeCommand(table: GraftV2Table, source: LogicalPlan,
       // (MERGE INSERT * semantics; the analyzer already proved coercibility)
       .select(table.underlying.schema.fields.map(f =>
         org.apache.spark.sql.functions.col(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+      // pin ONE evaluation: upsert reads the source several times
+      // (dup-key check, partition derivation, anti-join, final write) —
+      // a nondeterministic USING subquery must not produce different
+      // rows per pass
+      .localCheckpoint()
     table.underlying.upsert(sourceDf, keys)
     Nil
   }

@@ -126,8 +126,8 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
   def updateWhere(predicateSql: String, set: Map[String, String]): Snapshot = {
     val snap = currentOrFail()
     require(set.nonEmpty, "update requires at least one assignment")
-    val unknown = set.keySet.diff(snap.schema.fieldNames.map(_.toLowerCase).toSet ++
-      snap.schema.fieldNames.toSet)
+    val unknown = set.keySet.filterNot(k =>
+      snap.schema.fieldNames.exists(_.equalsIgnoreCase(k)))
     require(unknown.isEmpty, s"unknown column(s) in UPDATE: ${unknown.mkString(", ")}")
     val pred = CatalystSqlParser.parseExpression(predicateSql)
     // unlike delete, all-match files still need rewriting (values change)
@@ -201,7 +201,10 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
     // Duplicate source keys make the merge ambiguous (which version
     // wins?) — reject like PyIceberg's upsert does (SURVEY §7.4). One
     // count-distinct over the (small) source side, not the target.
+    // NULL keys are exempt: SQL equality never matches them, so two
+    // NULL-keyed rows are two independent inserts, not a conflict.
     val dupKeys = projected
+      .where(keys.map(k => col(s"`$k`").isNotNull).reduce(_ && _))
       .groupBy(keys.map(k => col(s"`$k`")): _*)
       .agg(count(lit(1)).as("_n")).where(col("_n") > 1).limit(1).collect()
     if (dupKeys.nonEmpty)

@@ -254,6 +254,36 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT SUM(n) FROM graft.nsu.u").head.getLong(0) shouldBe 0
   }
 
+  test("partial-SET merges and duplicate UPDATE assignments are rejected; NULL keys insert") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsx")
+    spark.sql("CREATE TABLE graft.nsx.t (id BIGINT, v STRING, n BIGINT)")
+    spark.sql("INSERT INTO graft.nsx.t VALUES (1, 'old', 100)")
+    import spark.implicits._
+    Seq((Some(1L), "new", 999L), (None, "nullkey", 5L))
+      .toDF("id", "v", "n").createOrReplaceTempView("x_src")
+    // partial UPDATE SET in a merge is NOT the canonical star shape
+    val e1 = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft.nsx.t AS t USING x_src AS s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    e1.getMessage should include("canonical upsert")
+    // duplicate assignment in UPDATE is an error, not last-wins
+    val e2 = intercept[Exception] {
+      spark.sql("UPDATE graft.nsx.t SET n = 1, n = 2")
+    }
+    e2.getMessage should include("duplicate assignment")
+    // canonical merge with a NULL-keyed source row: inserted, not a dup error
+    spark.sql(
+      """MERGE INTO graft.nsx.t AS t USING x_src AS s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.sql("SELECT v, n FROM graft.nsx.t ORDER BY n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    rows shouldBe Seq(("nullkey", 5L), ("new", 999L))
+  }
+
   test("SHOW TABLES, RENAME, and DROP work through the catalog") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns4")
     spark.sql("CREATE TABLE graft.ns4.a (id BIGINT)")
