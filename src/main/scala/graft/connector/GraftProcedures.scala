@@ -27,7 +27,7 @@ object GraftProcedures {
 
   val Namespace: Array[String] = Array("system")
 
-  val Names: Seq[String] = Seq("expire_snapshots", "compact", "remove_orphans")
+  val Names: Seq[String] = Seq("expire_snapshots", "compact", "remove_orphans", "cluster")
 
   def load(cat: () => GraftCatalog, name: String): Option[UnboundProcedure] =
     name match {
@@ -52,6 +52,20 @@ object GraftProcedures {
           val tbl = cat().load(TableIdent(in.getUTF8String(0).toString,
             in.getUTF8String(1).toString))
           val snap = tbl.compact(in.getInt(2))
+          new GenericInternalRow(Array[Any](snap.files.size))
+        }))
+      case "cluster" => Some(proc(name,
+        Array(
+          ProcedureParameter.in("namespace", StringType).build(),
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("columns", StringType).build(), // comma-separated
+          ProcedureParameter.in("target_files", IntegerType).build()),
+        StructType(Seq(StructField("files_after", IntegerType))),
+        { in =>
+          val tbl = cat().load(TableIdent(in.getUTF8String(0).toString,
+            in.getUTF8String(1).toString))
+          val cols = in.getUTF8String(2).toString.split(",").map(_.trim).toSeq
+          val snap = tbl.compactClustered(cols, in.getInt(3))
           new GenericInternalRow(Array[Any](snap.files.size))
         }))
       case "remove_orphans" => Some(proc(name,

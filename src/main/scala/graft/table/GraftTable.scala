@@ -454,6 +454,46 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
     compact(math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt))
   }
 
+  /** Clustering rewrite (the OPTIMIZE-ZORDER analog, restricted to
+    * lexicographic range clustering): rows are range-partitioned and
+    * sorted on `cols`, so each rewritten file covers a narrow value
+    * range and the per-column zone maps ([[StatsPruner]]) become
+    * sharp — point/range predicates on the cluster columns then skip
+    * almost every file. One commit replacing the clustered files; the
+    * ordering is physical only (scan semantics unchanged).
+    */
+  def compactClustered(cols: Seq[String], targetFiles: Int): Snapshot = {
+    require(cols.nonEmpty, "clustering requires at least one column")
+    require(targetFiles > 0, "targetFiles must be positive")
+    val snap = currentOrFail()
+    cols.foreach { c =>
+      require(snap.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"unknown clustering column: $c")
+    }
+    val spec = partitionField()
+    // partitioned tables cluster WITHIN the partition layout: leading
+    // the range keys with the derived partition value keeps one
+    // partition's rows contiguous so the partitionBy write stays one
+    // file per (task, partition-value)
+    val keyCols = spec match {
+      case Some(pf) =>
+        val srcType = snap.schema(pf.sourceCol).dataType
+        pf.derive(col(pf.sourceCol), srcType) +: cols.map(c => col(s"`$c`"))
+      case None => cols.map(c => col(s"`$c`"))
+    }
+    val df = scanSnapshot(snap)
+      .repartitionByRange(targetFiles, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+    val newGroup = writeDataFiles(df, snap.schema, spec, preserveDistribution = true)
+    val clustered = snap.files.map(_.path).toSet
+    log.commit { parent =>
+      val p = parent.getOrElse(snap)
+      requireNoConflict(p, clustered, "cluster")
+      p.copy(snapshotId = newSnapshotId(), operation = "cluster",
+        fileGroups = pruneGroups(p.fileGroups, clustered) :+ newGroup)
+    }
+  }
+
   /** Register this table's current snapshot as a temp view so plain
     * `spark.sql` reads it (`SELECT ... FROM name`).
     */
@@ -629,7 +669,8 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
     * parsed back from directory names.
     */
   private def writeDataFiles(df: DataFrame, schema: StructType,
-                             spec: Option[PartitionField]): FileGroup = {
+                             spec: Option[PartitionField],
+                             preserveDistribution: Boolean = false): FileGroup = {
     val commitId = UUID.randomUUID().toString.take(12)
     val outDir = tableDir.resolve("data").resolve(commitId)
     val writer = spec match {
@@ -637,13 +678,17 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
         val srcField = schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol))
         srcField match {
           case Some(f) =>
+            val derived = df.withColumn(pf.derivedColName,
+              pf.derive(col(s"`${f.name}`"), f.dataType))
             // hash-distribute on the partition value (Iceberg's
             // write.distribution-mode=hash): each partition value lands
             // in one task, so a commit writes one file per partition
-            // instead of (tasks × partitions) small files
-            df.withColumn(pf.derivedColName, pf.derive(col(s"`${f.name}`"), f.dataType))
-              .repartition(col(pf.derivedColName))
-              .write.partitionBy(pf.derivedColName)
+            // instead of (tasks × partitions) small files. Callers that
+            // pre-arranged a distribution (clustering rewrite) keep it.
+            val arranged =
+              if (preserveDistribution) derived
+              else derived.repartition(col(pf.derivedColName))
+            arranged.write.partitionBy(pf.derivedColName)
           case None => df.write // source col missing: degrade to unpartitioned
         }
       case None => df.write

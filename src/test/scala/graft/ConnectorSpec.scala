@@ -185,6 +185,15 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT COUNT(*) FROM graft.nsm.m").head.getLong(0) shouldBe 3
   }
 
+  test("CALL graft.system.cluster rewrites files range-clustered on a column") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nscl")
+    spark.sql("CREATE TABLE graft.nscl.c (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.nscl.c SELECT id, rand(7) FROM range(1000)")
+    spark.sql("CALL graft.system.cluster('nscl', 'c', 'id', 4)")
+      .collect().head.getInt(0) shouldBe 4
+    spark.sql("SELECT COUNT(*) FROM graft.nscl.c").head.getLong(0) shouldBe 1000
+  }
+
   test("SET/UNSET TBLPROPERTIES commit metadata-only and surface in SHOW TBLPROPERTIES") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsp")
     spark.sql("CREATE TABLE graft.nsp.p (id BIGINT)")

@@ -122,6 +122,30 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     t.currentOrFail().version shouldBe v
   }
 
+  test("clustered rewrite sharpens zone maps so range predicates skip files") {
+    val s = spark
+    import s.implicits._
+    val t = cat().ensure(TableIdent("ns", "t5c"))
+    // ids deliberately interleaved across appends: every file's id
+    // zone map spans nearly the whole domain -> no pruning possible
+    (0 until 4).foreach { i =>
+      t.append((0L until 400L).filter(_ % 4 == i)
+        .sortBy(id => (id * 2654435761L) % 1009) // scramble: every file spans the domain
+        .map(id => (id, s"p$id"))
+        .toDF("id", "payload"))
+    }
+    val before = t.prunedFiles("id >= 350").size
+    before shouldBe t.currentOrFail().files.size // all files overlap
+    t.compactClustered(Seq("id"), targetFiles = 4)
+    val filesAfter = t.currentOrFail().files.size
+    filesAfter shouldBe 4
+    val after = t.prunedFiles("id >= 350").size
+    after should be < filesAfter // tight ranges: most files skipped
+    // semantics unchanged
+    t.scan().count() shouldBe 400
+    t.scan().where("id >= 350").count() shouldBe 50
+  }
+
   test("upsert rejects duplicate source keys, like PyIceberg") {
     val t = cat().ensure(TableIdent("ns", "t5b"))
     t.append(df(d1, d2))
