@@ -141,9 +141,22 @@ final class GraftScanBuilder(tbl: GraftTable)
 }
 
 final class GraftV1Scan(tbl: GraftTable, pushed: Array[Filter],
-                        required: Option[StructType]) extends V1Scan {
+                        required: Option[StructType]) extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required.getOrElse(tbl.schema)
+
+  /** Planner statistics from snapshot metadata (post file-pruning):
+    * without them a DSv2 scan defaults to `defaultSizeInBytes` (huge)
+    * and a small graft dimension table never auto-broadcasts.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(statsFiles.map(_.sizeBytes).sum)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(statsFiles.map(_.rows).sum)
+    }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
@@ -151,6 +164,10 @@ final class GraftV1Scan(tbl: GraftTable, pushed: Array[Filter],
     val relation = new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context
       override def schema: StructType = outSchema
+      // the V1 planning path sizes relations from HERE (not from the V2
+      // Statistics) — report the pruned files' bytes so small tables
+      // broadcast instead of defaulting to "huge"
+      override def sizeInBytes: Long = statsFiles.map(_.sizeBytes).sum
       override def buildScan(): RDD[Row] = {
         val preds = pushed.flatMap(FilterSql.toSql)
         val df =
@@ -163,6 +180,12 @@ final class GraftV1Scan(tbl: GraftTable, pushed: Array[Filter],
       }
     }
     relation.asInstanceOf[T]
+  }
+
+  private lazy val statsFiles: Seq[graft.meta.DataFile] = {
+    val preds = pushed.flatMap(FilterSql.toSql)
+    if (preds.isEmpty) tbl.currentOrFail().files
+    else tbl.prunedFiles(preds.mkString("(", ") AND (", ")"))
   }
 
   override def description(): String =

@@ -212,6 +212,28 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT COUNT(*) FROM graft.nsp.p").head.getLong(0) shouldBe 1
   }
 
+  test("snapshot statistics are reported; AQE broadcasts the small side at runtime") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nss")
+    spark.sql("CREATE TABLE graft.nss.dim (k BIGINT, name STRING)")
+    spark.sql("INSERT INTO graft.nss.dim SELECT id, concat('n', id) FROM range(50)")
+    spark.sql("CREATE TABLE graft.nss.fact (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.nss.fact SELECT id % 50, rand(3) FROM range(5000)")
+    // the scan's metadata statistics are exact (snapshot row/byte counts)
+    import graft.table.{GraftCatalog, TableIdent}
+    import graft.connector.{GraftScanBuilder, GraftV1Scan}
+    val cat = GraftCatalog(spark, spark.conf.get("spark.sql.catalog.graft.warehouse"))
+    val scan = new GraftScanBuilder(cat.load(TableIdent("nss", "dim"))).build()
+      .asInstanceOf[GraftV1Scan]
+    scan.estimateStatistics().numRows().getAsLong shouldBe 50L
+    scan.estimateStatistics().sizeInBytes().getAsLong should be > 0L
+    // Spark's V1ScanWrapper drops the stats mixin at static planning
+    // time, but AQE's runtime sizes still turn the join into a broadcast
+    val joined = spark.sql(
+      "SELECT f.k, d.name, f.v FROM graft.nss.fact f JOIN graft.nss.dim d ON f.k = d.k")
+    joined.collect().length shouldBe 5000 // executes THIS plan, finalizing AQE
+    joined.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
+  }
+
   test("CTAS and DESCRIBE TABLE work through the catalog") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsc")
     spark.sql(
