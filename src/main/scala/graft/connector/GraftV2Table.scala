@@ -146,9 +146,20 @@ final class GraftV1Scan(tbl: GraftTable, pushed: Array[Filter],
 
   override def readSchema(): StructType = required.getOrElse(tbl.schema)
 
-  /** Planner statistics from snapshot metadata (post file-pruning):
-    * without them a DSv2 scan defaults to `defaultSizeInBytes` (huge)
-    * and a small graft dimension table never auto-broadcasts.
+  /** translated pushed filters, shared by scan, stats, and description
+    * so the three can never diverge */
+  private lazy val predSql: Option[String] = {
+    val preds = pushed.flatMap(FilterSql.toSql)
+    if (preds.isEmpty) None else Some(preds.mkString("(", ") AND (", ")"))
+  }
+
+  /** Exact statistics from snapshot metadata (post file-pruning).
+    * NOTE: Spark's `V1ScanWrapper` does not forward this interface, so
+    * these numbers do NOT reach static join planning through the V1
+    * bridge today — AQE's runtime sizes handle the broadcast decision
+    * there. The implementation exists for direct consumers and for any
+    * future path that reads the scan unwrapped; it is exercised by
+    * ConnectorSpec.
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
@@ -164,15 +175,11 @@ final class GraftV1Scan(tbl: GraftTable, pushed: Array[Filter],
     val relation = new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context
       override def schema: StructType = outSchema
-      // the V1 planning path sizes relations from HERE (not from the V2
-      // Statistics) — report the pruned files' bytes so small tables
-      // broadcast instead of defaulting to "huge"
-      override def sizeInBytes: Long = statsFiles.map(_.sizeBytes).sum
       override def buildScan(): RDD[Row] = {
-        val preds = pushed.flatMap(FilterSql.toSql)
-        val df =
-          if (preds.isEmpty) tbl.scan()
-          else tbl.scanWhere(preds.mkString("(", ") AND (", ")"))
+        val df = predSql match {
+          case None => tbl.scan()
+          case Some(p) => tbl.scanWhere(p)
+        }
         val projected =
           if (outSchema.isEmpty) df.select()
           else df.select(outSchema.fieldNames.map(n => df(s"`$n`")): _*)
@@ -182,14 +189,13 @@ final class GraftV1Scan(tbl: GraftTable, pushed: Array[Filter],
     relation.asInstanceOf[T]
   }
 
-  private lazy val statsFiles: Seq[graft.meta.DataFile] = {
-    val preds = pushed.flatMap(FilterSql.toSql)
-    if (preds.isEmpty) tbl.currentOrFail().files
-    else tbl.prunedFiles(preds.mkString("(", ") AND (", ")"))
+  private lazy val statsFiles: Seq[graft.meta.DataFile] = predSql match {
+    case None => tbl.currentOrFail().files
+    case Some(p) => tbl.prunedFiles(p)
   }
 
   override def description(): String =
-    s"GraftScan(files pruned by: ${pushed.flatMap(FilterSql.toSql).mkString(" AND ")})"
+    s"GraftScan(files pruned by: ${predSql.getOrElse("<none>")})"
 }
 
 final class GraftWriteBuilder(tbl: GraftTable)

@@ -466,20 +466,23 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
     require(cols.nonEmpty, "clustering requires at least one column")
     require(targetFiles > 0, "targetFiles must be positive")
     val snap = currentOrFail()
-    cols.foreach { c =>
-      require(snap.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
-        s"unknown clustering column: $c")
+    // resolve to the schema's exact spelling so the validation and the
+    // resolution below can't disagree (e.g. under spark.sql.caseSensitive)
+    val canonical = cols.map { c =>
+      snap.schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"unknown clustering column: $c"))
     }
     val spec = partitionField()
     // partitioned tables cluster WITHIN the partition layout: leading
     // the range keys with the derived partition value keeps one
     // partition's rows contiguous so the partitionBy write stays one
-    // file per (task, partition-value)
-    val keyCols = spec match {
-      case Some(pf) =>
-        val srcType = snap.schema(pf.sourceCol).dataType
-        pf.derive(col(pf.sourceCol), srcType) +: cols.map(c => col(s"`$c`"))
-      case None => cols.map(c => col(s"`$c`"))
+    // file per (task, partition-value). A spec whose source column is
+    // missing from the schema degrades like the write path does.
+    val keyCols = spec.flatMap(pf =>
+      snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol))
+        .map(f => pf.derive(col(s"`${f.name}`"), f.dataType))) match {
+      case Some(partKey) => partKey +: canonical.map(c => col(s"`$c`"))
+      case None => canonical.map(c => col(s"`$c`"))
     }
     val df = scanSnapshot(snap)
       .repartitionByRange(targetFiles, keyCols: _*)
