@@ -163,3 +163,48 @@ object IcebergBucketProps extends Properties("IcebergBucket") {
       hit.size > 32
     }
 }
+
+/** FilterSql soundness: every produced predicate string must re-parse —
+  * an unparseable translation would fail the scan at execution time
+  * (file pruning feeds it to the SQL parser).
+  */
+object FilterSqlProps extends Properties("FilterSql") {
+  import graft.connector.FilterSql
+  import org.apache.spark.sql.sources._
+
+  private val colGen: Gen[String] = Gen.oneOf("id", "k", "ts", "v")
+  private val valueGen: Gen[Any] = Gen.oneOf(
+    Gen.choose(Long.MinValue, Long.MaxValue).map(identity[Any]),
+    Gen.choose(Double.MinValue, Double.MaxValue).map(identity[Any]),
+    Gen.asciiPrintableStr.map(identity[Any]), // quotes/backslashes included
+    Gen.oneOf(true, false).map(identity[Any]),
+    Gen.choose(0L, 4102444800000L).map(ms => new java.sql.Timestamp(ms): Any),
+    Gen.choose(0, 20000).map(d => java.time.LocalDate.ofEpochDay(d.toLong): Any))
+
+  private def leafGen: Gen[Filter] = for {
+    c <- colGen
+    v <- valueGen
+    f <- Gen.oneOf[Filter](
+      EqualTo(c, v), GreaterThan(c, v), LessThan(c, v),
+      GreaterThanOrEqual(c, v), LessThanOrEqual(c, v),
+      IsNull(c), IsNotNull(c), In(c, Array(v, v)))
+  } yield f
+
+  private def filterGen(depth: Int): Gen[Filter] =
+    if (depth <= 0) leafGen
+    else Gen.frequency(
+      3 -> leafGen,
+      1 -> (for { l <- filterGen(depth - 1); r <- filterGen(depth - 1) } yield And(l, r)),
+      1 -> (for { l <- filterGen(depth - 1); r <- filterGen(depth - 1) } yield Or(l, r)),
+      1 -> filterGen(depth - 1).map(Not(_)))
+
+  property("every translated predicate re-parses under the SQL parser") =
+    forAll(filterGen(3)) { f =>
+      FilterSql.toSql(f) match {
+        case None => Prop.passed // untranslated filters never reach the parser
+        case Some(sql) =>
+          Prop(scala.util.Try(CatalystSqlParser.parseExpression(sql)).isSuccess) :|
+            s"unparseable: $sql"
+      }
+    }
+}
