@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for training-data pipelines (driver north
@@ -147,13 +147,16 @@ object TextFunctions {
     "it" -> Seq("il", "di", "che", "non", "per", "una", "sono", "con", "del", "gli"))
 
   /** Predicted language code, or "und" when no marker matches.
-    * Prefer pre-tokenizing once (`withColumn("toks", wordTokens(text))`
-    * + [[langIdFromTokens]]) in wide pipelines — embedding `text` here
-    * repeats the tokenizer expression per language.
+    * Column form for composability — but Spark's higher-order functions
+    * are CodegenFallback (interpreted), so this evaluates 5 interpreted
+    * `filter(t, isin)` lambdas per row. For corpus-scale scoring use
+    * [[langIdTable]], which keeps everything in whole-stage codegen.
     */
   def langId(text: Column): Column = langIdFromTokens(wordTokens(text))
 
-  /** Language ID over an already-tokenized column. */
+  /** Language ID over an already-tokenized column (interpreted HOFs —
+    * see [[langId]]; prefer [[langIdTable]] in hot paths).
+    */
   def langIdFromTokens(t: Column): Column = {
     // build array<struct<score,lang>> and take the max (struct ordering
     // compares score first, then lang — deterministic ties)
@@ -162,6 +165,35 @@ object TextFunctions {
     }: _*)
     val best = array_max(scored)
     when(best.getField("score") <= 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Corpus-scale language ID: every input column except `textCol`, plus
+    * `predicted`, value-identical to [[langId]] but fully codegen'd —
+    * explode tokens once, inner-join the broadcast (marker, lang)
+    * inventory (≈50 rows), count matches per (doc, lang), argmax via
+    * `max(struct(score, lang))` (score first, then lexicographically-
+    * largest lang — the same deterministic tie-break as the
+    * struct-ordering column form), and left-join back so marker-free
+    * documents predict "und". One linear explode + two hash shuffles on
+    * the doc id; no interpreted lambdas.
+    */
+  def langIdTable(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val markers = LangMarkers.toSeq.sortBy(_._1)
+      .flatMap { case (lang, ws) => ws.map(w => (w, lang)) }
+      .toDF("_w", "_mlang")
+    val toks = df.select(col(idCol), explode(wordTokens(col(textCol))).as("_w"))
+    val best = toks.join(broadcast(markers), Seq("_w"))
+      .groupBy(col(idCol), col("_mlang"))
+      .agg(count(lit(1)).as("_score"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("_score"), col("_mlang"))).as("_best"))
+      .select(col(idCol), col("_best").getField("_mlang").as("_pred"))
+    df.drop(textCol)
+      .join(best, Seq(idCol), "left")
+      .withColumn("predicted", coalesce(col("_pred"), lit("und")))
+      .drop("_pred")
   }
 
   // ------------------------------------------------------------------

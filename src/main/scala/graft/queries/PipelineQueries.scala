@@ -187,13 +187,13 @@ object PipelineQueries {
               |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
 
     // language-ID heuristic vs labeled lang column; ties break to the
-    // alphabetically-largest language in BOTH engines
+    // alphabetically-largest language in BOTH engines. Uses the codegen'd
+    // explode+broadcast-marker-join+argmax table form (the interpreted
+    // HOF column form was the single slowest bench entry in round 4).
     "q23_lang_id" -> Q(
-      (s, dir) => t(s, dir, "documents")
-        // tokenize once, score per language over the materialized tokens
-        .withColumn("toks", TextFunctions.wordTokens(col("text")))
-        .select(col("doc_id"), col("lang"),
-          TextFunctions.langIdFromTokens(col("toks")).as("predicted"))
+      (s, dir) => TextFunctions.langIdTable(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+          "text", "doc_id")
         .groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("predicted")),
