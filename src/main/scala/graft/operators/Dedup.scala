@@ -24,17 +24,21 @@ object Dedup {
     * group. Implemented as min-id join-back (one shuffle on the content
     * key; map-side partial aggregation) rather than a window over the
     * raw text so the shuffle carries (key, id), not document bodies.
-    * The key pairs two independent digests — xxhash64 and md5 prefix —
-    * plus total length: a single 64-bit hash collides with ~1% chance
-    * at 10^9 documents (birthday bound), which would silently DROP a
-    * distinct document; the combined key pushes that below 10^-20.
+    * The key pairs two independent digests — xxhash64 under two seeds
+    * (a literal prefix perturbs the streaming hash state, yielding an
+    * independent 64-bit digest at xxhash64 cost — no cryptographic
+    * md5, no concat re-serialization of document bodies) — plus total
+    * length: a single 64-bit hash collides with ~1% chance at 10^9
+    * documents (birthday bound), which would silently DROP a distinct
+    * document; the combined 128-bit+length key pushes that below
+    * 10^-20.
     */
   def exact(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame = {
-    val concat0 = concat_ws("\u0000", contentCols.map(c => col(c).cast("string")): _*)
+    val strs = contentCols.map(c => col(c).cast("string"))
     val keyed = df
-      .withColumn("_k", xxhash64(contentCols.map(c => col(c).cast("string")): _*))
-      .withColumn("_k2", substring(md5(concat0), 1, 16))
-      .withColumn("_kl", length(concat0))
+      .withColumn("_k", xxhash64(strs: _*))
+      .withColumn("_k2", xxhash64(lit(1L) +: strs: _*))
+      .withColumn("_kl", strs.map(s => coalesce(length(s), lit(-1))).reduce(_ + _))
     val keepers = keyed.groupBy("_k", "_k2", "_kl").agg(min(col(idCol)).as(idCol))
     keyed.join(keepers, Seq("_k", "_k2", "_kl", idCol), "left_semi")
       .drop("_k", "_k2", "_kl")
@@ -94,8 +98,14 @@ object Dedup {
                    maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
+    // Shingle ONCE: this projection is read three times (signature
+    // build + the two verify join-backs), and charShingles over every
+    // document body is the dominant linear cost — persist so it is
+    // evaluated once, spilling to disk if the corpus outgrows memory.
+    // Lineage is kept (unlike localCheckpoint) so lost blocks recompute.
     val shingled = df
       .select(col(idCol).as("id"), charShingles(col(textCol), shingleSize).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Band join carries only (band, bhash, id) — the wide shingle arrays
     // must NOT ride through the bands×docs explode and self-join (at
     // corpus scale that shuffles every document body `bands` times).
