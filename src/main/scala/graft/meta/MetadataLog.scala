@@ -34,17 +34,29 @@ final class MetadataLog(tableDir: Path) {
   private val manifestCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[DataFile]]
 
-  def readManifest(relPath: String): Seq[DataFile] =
-    manifestCache.getOrElseUpdate(relPath,
-      Snapshot.manifestFromJson(Files.readString(metaDir.resolve(relPath))))
+  /** Manifest files actually parsed from disk (cache misses) — lets
+    * tests assert that summary-pruned scans parse fewer manifests than
+    * the snapshot references.
+    */
+  val manifestParses = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Publish a new immutable manifest for `files`; returns the group. */
-  def writeManifest(files: Seq[DataFile]): FileGroup = {
+  def readManifest(relPath: String): Seq[DataFile] =
+    manifestCache.getOrElseUpdate(relPath, {
+      manifestParses.incrementAndGet()
+      Snapshot.manifestFromJson(Files.readString(metaDir.resolve(relPath)))
+    })
+
+  /** Publish a new immutable manifest for `files`; returns the group
+    * (with a summary when the table schema is supplied — the write
+    * paths always do, so new snapshots carry manifest-skip metadata).
+    */
+  def writeManifest(files: Seq[DataFile],
+                    schema: Option[org.apache.spark.sql.types.StructType] = None): FileGroup = {
     Files.createDirectories(metaDir)
     val name = s"m-${java.util.UUID.randomUUID().toString.take(16)}.json"
     Files.writeString(metaDir.resolve(name), Snapshot.manifestToJson(files))
     manifestCache.put(name, files)
-    FileGroup(name, files)
+    FileGroup(name, files, schema)
   }
 
   def deleteManifest(relPath: String): Unit = {

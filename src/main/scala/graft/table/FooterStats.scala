@@ -1,0 +1,153 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.meta.{ColumnStats, DataFile}
+import graft.partitioning.PartitionField
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+
+/** Parquet-footer statistics harvesting for the commit path.
+  *
+  * A standalone serializable object (not a [[GraftTable]] method) so the
+  * work runs INSIDE a Spark job: at 10⁵ files per commit a driver-side
+  * footer loop is the metadata bottleneck the round-4 verdict flagged —
+  * executors each read a slice of footers (metadata-only reads, no data
+  * pages) and ship back one small [[DataFile]] per file.
+  */
+object FooterStats extends Serializable {
+
+  /** Build the [[DataFile]] entry for one freshly-written Parquet file:
+    * relative path, footer row count, per-column zone maps, and
+    * partition values parsed back from the Hive-style directory names.
+    */
+  def dataFileFor(pathStr: String, tableDirStr: String, outDirStr: String,
+                  spec: Option[PartitionField]): DataFile = {
+    val p = Paths.get(pathStr)
+    val tableDir = Paths.get(tableDirStr)
+    val outDir = Paths.get(outDirStr)
+    val rel = tableDir.relativize(p).toString
+    val (rows, stats) = parquetFooterInfo(p, new Configuration())
+    val pv = spec.map { pf =>
+      val segs = outDir.relativize(p).iterator().asScala.map(_.toString).toSeq
+      segs.collect {
+        case s if s.contains("=") =>
+          val Array(k, v) = s.split("=", 2)
+          unescapePath(k) -> (if (v == "__HIVE_DEFAULT_PARTITION__") None
+                              else Some(unescapePath(v)))
+      }.toMap match {
+        case m if m.isEmpty => Map(pf.fieldName -> Option.empty[String])
+        case m => m.map { case (k, v) =>
+          (if (k == pf.derivedColName) pf.fieldName else k) -> v
+        }
+      }
+    }
+    DataFile(rel, rows, Files.size(p), pv, stats)
+  }
+
+  /** Row count + per-column zone maps from the Parquet footer — one
+    * metadata read per file, no data pages. Stats feed [[StatsPruner]]
+    * for file skipping on any column.
+    */
+  def parquetFooterInfo(p: Path, conf: Configuration): (Long, Map[String, ColumnStats]) = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      // accumulate (min, max, nulls) across row groups per column; a
+      // single undecodable row group poisons that column permanently
+      val acc = scala.collection.mutable.Map.empty[String, (Cmp, Cmp, Option[Long])]
+      val poisoned = scala.collection.mutable.Set.empty[String]
+      for (block <- blocks; col <- block.getColumns.asScala) {
+        val name = col.getPath.toDotString
+        if (!name.contains('.') && !poisoned.contains(name)) { // top-level scalars only
+          val st = col.getStatistics
+          val prim = col.getPrimitiveType
+          def longStat(v: Any): Long = v.asInstanceOf[Number].longValue()
+          val decoded: Option[(Cmp, Cmp)] =
+            if (st == null || st.isEmpty || !st.hasNonNullValue) None
+            else (prim.getPrimitiveTypeName, prim.getLogicalTypeAnnotation) match {
+              case (INT32 | INT64, d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+                Some((NumCmp(BigDecimal(BigInt(longStat(st.genericGetMin)), d.getScale)),
+                      NumCmp(BigDecimal(BigInt(longStat(st.genericGetMax)), d.getScale))))
+              case (INT64, t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+                // normalize to epoch micros, the pruner's timestamp domain
+                import LogicalTypeAnnotation.TimeUnit._
+                val scale = t.getUnit match {
+                  case MILLIS => 1000L
+                  case MICROS => 1L
+                  case NANOS  => 0L // handled below: divide
+                }
+                def toMicros(v: Long) =
+                  if (scale == 0L) v / 1000L else v * scale
+                Some((NumCmp(BigDecimal(toMicros(longStat(st.genericGetMin)))),
+                      NumCmp(BigDecimal(toMicros(longStat(st.genericGetMax))))))
+              case (INT32, _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation) => None
+              case (INT32 | INT64, _) => // plain ints + DATE (epoch days)
+                Some((NumCmp(BigDecimal(longStat(st.genericGetMin))),
+                      NumCmp(BigDecimal(longStat(st.genericGetMax)))))
+              case (FLOAT | DOUBLE, _) =>
+                val lo = st.genericGetMin.asInstanceOf[Number].doubleValue()
+                val hi = st.genericGetMax.asInstanceOf[Number].doubleValue()
+                if (lo.isNaN || hi.isNaN) None
+                else Some((NumCmp(BigDecimal(lo)), NumCmp(BigDecimal(hi))))
+              case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+                Some((StrCmp(st.minAsString), StrCmp(st.maxAsString)))
+              case _ => None // INT96, boolean, binary decimal, nested: skip
+            }
+          val nulls = if (st != null && !st.isEmpty && st.isNumNullsSet) Some(st.getNumNulls) else None
+          (acc.remove(name), decoded) match {
+            case (_, None) => poisoned += name
+            case (None, Some((lo, hi))) => acc(name) = (lo, hi, nulls)
+            case (Some((plo, phi, pn)), Some((lo, hi))) =>
+              acc(name) = (minOf(plo, lo), maxOf(phi, hi),
+                for (a <- pn; b <- nulls) yield a + b)
+          }
+        }
+      }
+      val stats = acc.map { case (name, (lo, hi, nulls)) =>
+        name -> ColumnStats(Some(render(lo)), Some(render(hi)), nulls)
+      }.toMap
+      (reader.getRecordCount, stats)
+    } finally reader.close()
+  }
+
+  private sealed trait Cmp
+  private final case class NumCmp(v: BigDecimal) extends Cmp
+  private final case class StrCmp(v: String) extends Cmp
+  private def minOf(a: Cmp, b: Cmp): Cmp = (a, b) match {
+    case (NumCmp(x), NumCmp(y)) => NumCmp(x.min(y))
+    case (StrCmp(x), StrCmp(y)) => StrCmp(if (x <= y) x else y)
+    case _                      => a
+  }
+  private def maxOf(a: Cmp, b: Cmp): Cmp = (a, b) match {
+    case (NumCmp(x), NumCmp(y)) => NumCmp(x.max(y))
+    case (StrCmp(x), StrCmp(y)) => StrCmp(if (x >= y) x else y)
+    case _                      => a
+  }
+  private def render(c: Cmp): String = c match {
+    case NumCmp(v) => v.bigDecimal.toPlainString
+    case StrCmp(v) => v
+  }
+
+  /** Undo Spark/Hive partition-path escaping (%xx sequences). */
+  def unescapePath(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb += Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar
+          i += 3
+        } catch { case _: NumberFormatException => sb += c; i += 1 }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+}

@@ -340,6 +340,31 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     t.scan().select("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
   }
 
+  test("summary pruning skips whole manifests unread (manifest-list planning)") {
+    val wh = Files.createTempDirectory("graft-test")
+    val c = GraftCatalog(spark, wh.toString)
+    val t = c.ensure(TableIdent("ns", "t15"))
+    // three appends = three manifests with disjoint id ranges
+    t.append(df((1L, "2024-01-01", "a"), (2L, "2024-01-01", "b")))
+    t.append(df((100L, "2024-01-02", "c"), (101L, "2024-01-02", "d")))
+    t.append(df((200L, "2024-02-01", "e"), (201L, "2024-02-01", "f")))
+    t.currentOrFail().fileGroups.size shouldBe 3
+    // fresh MetadataLog = cold manifest cache + zeroed parse counter
+    val t2 = c.load(TableIdent("ns", "t15"))
+    val rows = t2.scanWhere("id >= 200").select("id").collect().map(_.getLong(0))
+    rows.sorted.toSeq shouldBe Seq(200L, 201L)
+    val parses = t2.log.manifestParses.get()
+    val total = t2.currentOrFail().fileGroups.size
+    withClue(s"parsed $parses of $total manifests: ") {
+      parses should be < total.toLong
+    }
+    parses shouldBe 1L // only the id>=200 group's manifest was read
+    // history answers from summaries alone (row counts per version:
+    // 2, 4, 6) — and triggers no further manifest parses
+    t2.history().collect().map(_.getLong(7)).sum shouldBe 12L
+    t2.log.manifestParses.get() shouldBe parses
+  }
+
   test("concurrent appends both commit via retry (optimistic concurrency)") {
     val t = cat().ensure(TableIdent("ns", "t13"))
     t.append(df(d1))
