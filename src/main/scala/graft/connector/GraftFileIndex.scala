@@ -1,0 +1,69 @@
+package graft.connector
+
+import java.nio.file.Path
+
+import graft.meta.DataFile
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.{GraftSqlShim, SparkSession}
+import org.apache.spark.sql.execution.datasources.{PartitionSpec, PartitioningAwareFileIndex}
+import org.apache.spark.sql.types.StructType
+
+import scala.collection.mutable
+
+/** A `FileIndex` fed ENTIRELY from graft snapshot metadata: file paths
+  * and sizes come from the manifest's [[DataFile]] records, so planning
+  * a scan performs ZERO filesystem listing or stat calls — the property
+  * that matters on an object store with 10⁵ files per snapshot, where a
+  * driver-side recursive listing is the slowest (and most throttled)
+  * part of query planning. This is the graft analogue of Iceberg's
+  * scan-task planning, expressed as the interface Spark's own DSv2
+  * Parquet reader consumes.
+  *
+  * Partition pruning already happened upstream (manifest summaries +
+  * per-file partition/zone-map pruners chose `dataFiles`), so the index
+  * reports an empty partition spec and every file as one leaf — Spark
+  * sees exactly the pruned file set and plans splits over it.
+  */
+final class GraftFileIndex(
+    spark: SparkSession,
+    tableRoot: Path,
+    dataFiles: Seq[DataFile],
+    tableSchema: StructType)
+    extends PartitioningAwareFileIndex(spark, Map.empty, Some(tableSchema)) {
+
+  // modification time 0 is deliberate: metadata-derived statuses must be
+  // stable so FileScan equality/caching keys don't churn, and graft data
+  // files are immutable anyway. Paths are FS-qualified because
+  // PartitioningAwareFileIndex.allFiles matches root paths against the
+  // leaf maps via qualified-path equality (file:///x and file:/x are
+  // DIFFERENT hadoop Paths).
+  private val statuses: Seq[FileStatus] = {
+    val fs = new HPath(tableRoot.toUri)
+      .getFileSystem(GraftSqlShim.newHadoopConf(spark))
+    dataFiles.map { f =>
+      new FileStatus(f.sizeBytes, false, 1, 128L * 1024 * 1024, 0L,
+        fs.makeQualified(new HPath(tableRoot.resolve(f.path).toUri)))
+    }
+  }
+
+  /** The leaf DIRECTORIES (one per commit/partition dir): `allFiles`
+    * looks each root path up in `leafDirToChildrenFiles`.
+    */
+  override def rootPaths: Seq[HPath] = statuses.map(_.getPath.getParent).distinct
+
+  override protected def leafFiles: mutable.LinkedHashMap[HPath, FileStatus] = {
+    val m = mutable.LinkedHashMap.empty[HPath, FileStatus]
+    statuses.foreach(s => m.put(s.getPath, s))
+    m
+  }
+
+  override protected def leafDirToChildrenFiles: Map[HPath, Array[FileStatus]] =
+    statuses.groupBy(_.getPath.getParent).view.mapValues(_.toArray).toMap
+
+  override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
+
+  override def refresh(): Unit = () // snapshot-pinned: nothing to refresh
+
+  override def sizeInBytes: Long = dataFiles.map(_.sizeBytes).sum
+}

@@ -4,30 +4,35 @@ import java.util
 
 import graft.table.GraftTable
 
-import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import graft.meta.{DataFile, Snapshot}
+
+import org.apache.spark.sql.{DataFrame, GraftSqlShim}
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import scala.jdk.CollectionConverters._
 
-/** DSv2 `Table` over a [[GraftTable]]: reads bridge through `V1Scan`
-  * into the snapshot scan planner (pushed-down filters prune FILES via
-  * the partition + zone-map pruners; Spark still evaluates every filter
-  * on the surviving rows, so pruning is pure speedup, never semantics),
-  * and writes bridge through `V1Write` into the optimistic-commit
-  * append/overwrite path — the same pattern Spark's own JDBC source
-  * uses for v1 engines behind the v2 API.
+/** DSv2 `Table` over a [[GraftTable]]: reads plan NATIVELY — pushed
+  * filters prune manifests and files via the summary/partition/zone-map
+  * pruners, and the surviving file set is handed to Spark's own DSv2
+  * `ParquetScan` over a metadata-backed [[GraftFileIndex]] (no
+  * filesystem listing, vectorized columnar reads, whole-stage codegen,
+  * exact snapshot statistics visible to join planning). Spark still
+  * evaluates every filter on the surviving rows, so pruning is pure
+  * speedup, never semantics. Writes bridge through `V1Write` into the
+  * optimistic-commit append/overwrite path.
   *
   * `asOf` pins the table to a snapshot for SQL time travel
   * (`VERSION AS OF` / `TIMESTAMP AS OF`); pinned tables are read-only
-  * and scan their snapshot without file pruning (time-travel reads are
-  * the rare path). `DELETE FROM ... WHERE` bridges to the copy-on-write
+  * and plan the same native scan against their pinned snapshot.
+  * `DELETE FROM ... WHERE` bridges to the copy-on-write
   * [[GraftTable.deleteWhere]] when every filter is translatable.
   */
 final class GraftV2Table(tbl: GraftTable, ident: Identifier,
@@ -41,16 +46,16 @@ final class GraftV2Table(tbl: GraftTable, ident: Identifier,
   private[connector] def underlying: GraftTable = tbl
 
   // resolved once: Spark calls schema()/readSchema several times during
-  // analysis, and each scanAsOf* re-reads the snapshot log + manifests
-  private lazy val pinnedDf: DataFrame = asOf match {
-    case Some(Left(version)) => tbl.scanAsOfVersion(version)
-    case Some(Right(tsMs)) => tbl.scanAsOfTimestamp(tsMs)
-    case None => tbl.scan()
+  // analysis, and each resolution re-reads the snapshot log
+  private lazy val pinnedSnap: Snapshot = asOf match {
+    case Some(Left(version)) => tbl.snapshotAt(version)
+    case Some(Right(tsMs)) => tbl.snapshotAsOfTimestamp(tsMs)
+    case None => tbl.currentOrFail()
   }
 
   override def schema(): StructType = asOf match {
     case None => tbl.schema
-    case Some(_) => pinnedDf.schema
+    case Some(_) => pinnedSnap.schema
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -67,8 +72,8 @@ final class GraftV2Table(tbl: GraftTable, ident: Identifier,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     asOf match {
-      case None => new GraftScanBuilder(tbl)
-      case Some(_) => new PinnedScanBuilder(() => pinnedDf)
+      case None => new GraftScanBuilder(tbl, () => tbl.currentOrFail())
+      case Some(_) => new GraftScanBuilder(tbl, () => pinnedSnap)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -88,36 +93,7 @@ final class GraftV2Table(tbl: GraftTable, ident: Identifier,
   }
 }
 
-/** Scan for a snapshot-pinned (time travel) table: no pruning, Spark
-  * applies all filters on the scanned rows.
-  */
-final class PinnedScanBuilder(df: () => DataFrame) extends ScanBuilder
-    with SupportsPushDownRequiredColumns {
-  private var required: Option[StructType] = None
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = Some(requiredSchema)
-  override def build(): Scan = new V1Scan {
-    override def readSchema(): StructType = required.getOrElse(df().schema)
-    override def toV1TableScan[T <: BaseRelation with TableScan](
-        context: SQLContext): T = {
-      val outSchema = readSchema()
-      val relation = new BaseRelation with TableScan {
-        override def sqlContext: SQLContext = context
-        override def schema: StructType = outSchema
-        override def buildScan(): RDD[Row] = {
-          val base = df()
-          val projected =
-            if (outSchema.isEmpty) base.select()
-            else base.select(outSchema.fieldNames.map(n => base(s"`$n`")): _*)
-          projected.rdd
-        }
-      }
-      relation.asInstanceOf[T]
-    }
-  }
-}
-
-final class GraftScanBuilder(tbl: GraftTable)
+final class GraftScanBuilder(tbl: GraftTable, snapAt: () => Snapshot)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -137,14 +113,25 @@ final class GraftScanBuilder(tbl: GraftTable)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
 
-  override def build(): Scan = new GraftV1Scan(tbl, pushed, required)
+  override def build(): Scan = new GraftNativeScan(tbl, snapAt(), pushed, required)
 }
 
-final class GraftV1Scan(tbl: GraftTable, pushed: Array[Filter],
-                        required: Option[StructType]) extends V1Scan
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+/** Native DSv2 scan: snapshot metadata chooses the file set (manifest
+  * summaries → partition transforms → zone maps), then Spark's own
+  * `ParquetScan` executes it over a metadata-backed [[GraftFileIndex]].
+  * Replaces the earlier `V1Scan`/`DataFrame.rdd` bridge, which
+  * materialized `RDD[Row]` and broke columnar transfer + whole-stage
+  * codegen across the scan boundary — this scan keeps the vectorized
+  * parquet reader's `ColumnarBatch`es flowing straight into codegen,
+  * and (unlike the V1 wrapper, which drops `SupportsReportStatistics`)
+  * lets the exact metadata row/byte counts reach join planning.
+  */
+final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
+                            pushed: Array[Filter],
+                            required: Option[StructType]) extends Scan
+    with SupportsReportStatistics {
 
-  override def readSchema(): StructType = required.getOrElse(tbl.schema)
+  override def readSchema(): StructType = required.getOrElse(snap.schema)
 
   /** translated pushed filters, shared by scan, stats, and description
     * so the three can never diverge */
@@ -153,49 +140,43 @@ final class GraftV1Scan(tbl: GraftTable, pushed: Array[Filter],
     if (preds.isEmpty) None else Some(preds.mkString("(", ") AND (", ")"))
   }
 
-  /** Exact statistics from snapshot metadata (post file-pruning).
-    * NOTE: Spark's `V1ScanWrapper` does not forward this interface, so
-    * these numbers do NOT reach static join planning through the V1
-    * bridge today — AQE's runtime sizes handle the broadcast decision
-    * there. The implementation exists for direct consumers and for any
-    * future path that reads the scan unwrapped; it is exercised by
-    * ConnectorSpec.
+  private lazy val files: Seq[DataFile] = predSql match {
+    case None => snap.files
+    case Some(p) => tbl.prunedFilesOf(snap, CatalystSqlParser.parseExpression(p))
+  }
+
+  private lazy val delegate: ParquetScan = {
+    val spark = tbl.spark
+    ParquetScan(
+      sparkSession = spark,
+      hadoopConf = GraftSqlShim.newHadoopConf(spark),
+      fileIndex = new GraftFileIndex(spark, tbl.tableDir, files, snap.schema),
+      dataSchema = snap.schema,
+      readDataSchema = readSchema(),
+      readPartitionSchema = StructType(Nil),
+      pushedFilters = pushed, // row-group/page-level pruning inside parquet
+      options = CaseInsensitiveStringMap.empty())
+  }
+
+  override def toBatch: Batch = delegate.toBatch
+
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    delegate.columnarSupportMode()
+
+  /** Exact statistics from snapshot metadata (post file-pruning) — on
+    * the native scan these DO reach `V2ScanRelationPushDown`, so a
+    * provably small graft table broadcast-joins without AQE's help.
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(statsFiles.map(_.sizeBytes).sum)
+        java.util.OptionalLong.of(files.map(_.sizeBytes).sum)
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(statsFiles.map(_.rows).sum)
+        java.util.OptionalLong.of(files.map(_.rows).sum)
     }
-
-  override def toV1TableScan[T <: BaseRelation with TableScan](
-      context: SQLContext): T = {
-    val outSchema = readSchema()
-    val relation = new BaseRelation with TableScan {
-      override def sqlContext: SQLContext = context
-      override def schema: StructType = outSchema
-      override def buildScan(): RDD[Row] = {
-        val df = predSql match {
-          case None => tbl.scan()
-          case Some(p) => tbl.scanWhere(p)
-        }
-        val projected =
-          if (outSchema.isEmpty) df.select()
-          else df.select(outSchema.fieldNames.map(n => df(s"`$n`")): _*)
-        projected.rdd
-      }
-    }
-    relation.asInstanceOf[T]
-  }
-
-  private lazy val statsFiles: Seq[graft.meta.DataFile] = predSql match {
-    case None => tbl.currentOrFail().files
-    case Some(p) => tbl.prunedFiles(p)
-  }
 
   override def description(): String =
-    s"GraftScan(files pruned by: ${predSql.getOrElse("<none>")})"
+    s"GraftScan(native parquet, files pruned by: ${predSql.getOrElse("<none>")})"
 }
 
 final class GraftWriteBuilder(tbl: GraftTable)

@@ -12,4 +12,12 @@ object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Session-configured Hadoop conf (includes the session's
+    * `spark.hadoop.*` and SQL-conf propagation) — what Spark's own
+    * file-source scan builders receive; needed to construct a native
+    * `ParquetScan` outside the `sql` package.
+    */
+  def newHadoopConf(spark: SparkSession): org.apache.hadoop.conf.Configuration =
+    spark.asInstanceOf[classic.SparkSession].sessionState.newHadoopConf()
 }

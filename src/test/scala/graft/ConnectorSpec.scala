@@ -220,14 +220,15 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("INSERT INTO graft.nss.fact SELECT id % 50, rand(3) FROM range(5000)")
     // the scan's metadata statistics are exact (snapshot row/byte counts)
     import graft.table.{GraftCatalog, TableIdent}
-    import graft.connector.{GraftScanBuilder, GraftV1Scan}
+    import graft.connector.{GraftNativeScan, GraftScanBuilder}
     val cat = GraftCatalog(spark, spark.conf.get("spark.sql.catalog.graft.warehouse"))
-    val scan = new GraftScanBuilder(cat.load(TableIdent("nss", "dim"))).build()
-      .asInstanceOf[GraftV1Scan]
+    val dim = cat.load(TableIdent("nss", "dim"))
+    val scan = new GraftScanBuilder(dim, () => dim.currentOrFail()).build()
+      .asInstanceOf[GraftNativeScan]
     scan.estimateStatistics().numRows().getAsLong shouldBe 50L
     scan.estimateStatistics().sizeInBytes().getAsLong should be > 0L
-    // Spark's V1ScanWrapper drops the stats mixin at static planning
-    // time, but AQE's runtime sizes still turn the join into a broadcast
+    // the native scan reports stats straight to planning (no V1 wrapper
+    // in between), and the join broadcasts the provably small side
     val joined = spark.sql(
       "SELECT f.k, d.name, f.v FROM graft.nss.fact f JOIN graft.nss.dim d ON f.k = d.k")
     joined.collect().length shouldBe 5000 // executes THIS plan, finalizing AQE
