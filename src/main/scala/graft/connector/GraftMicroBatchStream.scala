@@ -1,0 +1,146 @@
+package graft.connector
+
+import graft.meta.DataFile
+import graft.table.GraftTable
+
+import org.apache.spark.sql.GraftSqlShim
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Stream offset = metadata-log version: "every append up to and
+  * including version N has been emitted". Versions are the table's own
+  * durable, totally-ordered commit sequence, so offsets survive
+  * restarts and re-planning a (start, end] range is deterministic —
+  * exactly-once per version.
+  */
+final case class GraftStreamOffset(version: Int) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+object GraftStreamOffset {
+  def fromJson(json: String): GraftStreamOffset = {
+    val m = """"version"\s*:\s*(-?\d+)""".r
+    m.findFirstMatchIn(json) match {
+      case Some(g) => GraftStreamOffset(g.group(1).toInt)
+      case None => throw new IllegalArgumentException(s"bad graft offset: $json")
+    }
+  }
+}
+
+/** Structured Streaming SOURCE over a graft table — the read-side
+  * completion of [[graft.streaming.GraftStream]]'s sink (the reference
+  * streams only INTO tables, `core/loader.py:210-235`; streaming OUT of
+  * them is the natural pairing). Reached via
+  * `spark.readStream.table("graft.ns.t")`.
+  *
+  * Micro-batch planning is pure metadata: a batch for (start, end]
+  * walks the versions in the range and emits each append commit's NEW
+  * files, computed by diffing manifest REFERENCES against the parent
+  * snapshot — only manifests that changed are parsed, so per-batch
+  * planning is O(new files), never O(table). Files are then read by the
+  * same native columnar ParquetScan machinery as batch scans.
+  *
+  * Non-append commits (delete/compact/upsert) in a range abort the
+  * stream by default — their file churn rewrites EXISTING rows, and
+  * emitting it would duplicate data. With `streamSkipRewrites=true`
+  * they are skipped instead: appends are still exact, but rows deleted
+  * after their append commit are emitted anyway (at-least-once with
+  * respect to later deletes — the Iceberg streaming-read trade, where
+  * it is spelled streaming-skip-delete-snapshots).
+  *
+  * Options: `streamStartVersion` (default: the version current when the
+  * stream starts, i.e. only NEW appends; `-1` replays from genesis —
+  * valid when the table history is append-only).
+  */
+final class GraftMicroBatchStream(
+    tbl: GraftTable,
+    readDataSchema: StructType,
+    pushed: Array[Filter],
+    options: CaseInsensitiveStringMap) extends MicroBatchStream {
+
+  private val skipRewrites = options.getBoolean("streamSkipRewrites", false)
+
+  override def initialOffset(): Offset = {
+    val v = Option(options.get("streamStartVersion")).map(_.toInt)
+      .getOrElse(tbl.currentOrFail().version)
+    GraftStreamOffset(v)
+  }
+
+  override def latestOffset(): Offset =
+    GraftStreamOffset(tbl.currentOrFail().version)
+
+  override def deserializeOffset(json: String): Offset =
+    GraftStreamOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GraftStreamOffset].version
+    val to = end.asInstanceOf[GraftStreamOffset].version
+    val added = addedBetween(from, to)
+    if (added.isEmpty) Array.empty
+    else scanFor(added).toBatch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    // file identity rides inside each InputPartition (FilePartition);
+    // the factory itself depends only on schema + conf, so one template
+    // scan serves every micro-batch
+    scanFor(Nil).toBatch.createReaderFactory()
+
+  override def commit(end: Offset): Unit = () // offsets live in the checkpoint
+  override def stop(): Unit = ()
+
+  /** New files of the append commits in (from, to], by manifest-set
+    * diff per version. A version's added files = files of manifests NEW
+    * in that version, minus paths of manifests it dropped (a concurrent
+    * manifest-merge moves old files into a new manifest; the subtraction
+    * keeps them out). Loads only changed manifests.
+    */
+  private def addedBetween(from: Int, to: Int): Seq[DataFile] = {
+    val out = Seq.newBuilder[DataFile]
+    var v = math.max(from + 1, 0)
+    while (v <= to) {
+      val snap = tbl.snapshotAt(v)
+      val isAppend = snap.operation == "append" || snap.operation.startsWith("evolve") ||
+        snap.operation == "set-properties" || snap.operation == "create"
+      if (isAppend || v == 0) {
+        if (v == 0) out ++= snap.files
+        else {
+          val prev = tbl.snapshotAt(v - 1)
+          val prevManifests = prev.manifestPaths
+          val currManifests = snap.manifestPaths
+          val droppedPaths = prev.fileGroups
+            .filterNot(g => currManifests.contains(g.manifest))
+            .flatMap(_.files).map(_.path).toSet
+          out ++= snap.fileGroups
+            .filterNot(g => prevManifests.contains(g.manifest))
+            .flatMap(_.files)
+            .filterNot(f => droppedPaths.contains(f.path))
+        }
+      } else if (!skipRewrites) {
+        throw new IllegalStateException(
+          s"graft stream over ${tbl.tableDir} hit a non-append commit " +
+            s"(v$v: ${snap.operation}); set streamSkipRewrites=true to skip " +
+            "rewrite commits (appends stay exact; later deletes are not replayed)")
+      }
+      v += 1
+    }
+    out.result()
+  }
+
+  private def scanFor(files: Seq[DataFile]): ParquetScan = {
+    val spark = tbl.spark
+    ParquetScan(
+      sparkSession = spark,
+      hadoopConf = GraftSqlShim.newHadoopConf(spark),
+      fileIndex = new GraftFileIndex(spark, tbl.tableDir, files, tbl.schema),
+      dataSchema = tbl.schema,
+      readDataSchema = readDataSchema,
+      readPartitionSchema = StructType(Nil),
+      pushedFilters = pushed, // row-group pruning inside parquet
+      options = CaseInsensitiveStringMap.empty())
+  }
+}

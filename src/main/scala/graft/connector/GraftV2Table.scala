@@ -62,6 +62,7 @@ final class GraftV2Table(tbl: GraftTable, ident: Identifier,
     if (asOf.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(
       TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
@@ -72,8 +73,8 @@ final class GraftV2Table(tbl: GraftTable, ident: Identifier,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     asOf match {
-      case None => new GraftScanBuilder(tbl, () => tbl.currentOrFail())
-      case Some(_) => new GraftScanBuilder(tbl, () => pinnedSnap)
+      case None => new GraftScanBuilder(tbl, () => tbl.currentOrFail(), options)
+      case Some(_) => new GraftScanBuilder(tbl, () => pinnedSnap, options)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -93,7 +94,9 @@ final class GraftV2Table(tbl: GraftTable, ident: Identifier,
   }
 }
 
-final class GraftScanBuilder(tbl: GraftTable, snapAt: () => Snapshot)
+final class GraftScanBuilder(tbl: GraftTable, snapAt: () => Snapshot,
+                             options: CaseInsensitiveStringMap =
+                               CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -113,7 +116,7 @@ final class GraftScanBuilder(tbl: GraftTable, snapAt: () => Snapshot)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
 
-  override def build(): Scan = new GraftNativeScan(tbl, snapAt(), pushed, required)
+  override def build(): Scan = new GraftNativeScan(tbl, snapAt(), pushed, required, options)
 }
 
 /** Native DSv2 scan: snapshot metadata chooses the file set (manifest
@@ -128,7 +131,9 @@ final class GraftScanBuilder(tbl: GraftTable, snapAt: () => Snapshot)
   */
 final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
                             pushed: Array[Filter],
-                            required: Option[StructType]) extends Scan
+                            required: Option[StructType],
+                            options: CaseInsensitiveStringMap =
+                              CaseInsensitiveStringMap.empty()) extends Scan
     with SupportsReportStatistics {
 
   override def readSchema(): StructType = required.getOrElse(snap.schema)
@@ -159,6 +164,13 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
   }
 
   override def toBatch: Batch = delegate.toBatch
+
+  /** `spark.readStream.table(...)`: micro-batch offsets are metadata-log
+    * versions; see [[GraftMicroBatchStream]].
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(tbl, readSchema(), pushed, options)
 
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     delegate.columnarSupportMode()
