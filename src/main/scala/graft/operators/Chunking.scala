@@ -76,6 +76,31 @@ object Chunking {
     }(enc)
   }
 
+  /** Deterministic OFFSET-based packing: rows ordered by `orderCols`
+    * are laid end-to-end and a row's pack is `floor(startOffset /
+    * budget)` — the pack where the row STARTS, so a pack may overflow
+    * by at most one row's tokens. Closed-form (one window cumulative
+    * sum), fully reproducible across engines and runs — the
+    * SQL-expressible counterpart of [[packSequences]]' first-fit, used
+    * when cross-engine verifiability matters more than tight fills.
+    *
+    * Scale note: the single global ordering means a one-partition
+    * window. For corpus scale, shard first (e.g. by `pmod(doc hash,
+    * shards)`) and pack within shards — pack ids become (shard, pack).
+    */
+  def packSequencesByOffset(df: DataFrame, tokenCountCol: String,
+                            maxTokensPerPack: Int,
+                            orderCols: Seq[String]): DataFrame = {
+    require(maxTokensPerPack > 0, "maxTokensPerPack must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(orderCols.map(c => col(s"`$c`")): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("_start", coalesce(sum(col(tokenCountCol).cast("long")).over(w), lit(0L)))
+      .withColumn("pack_id",
+        floor(col("_start").cast("double") / maxTokensPerPack).cast("long"))
+      .drop("_start")
+  }
+
   /** Deterministic train/validation/test assignment from a stable hash
     * of the id — reproducible across runs and clusters, no RNG state.
     * `weights` are percentages summing to 100, mapped to named splits

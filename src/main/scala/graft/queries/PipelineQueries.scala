@@ -296,6 +296,42 @@ object PipelineQueries {
       },
       None),
 
+    // offset-based packing: the deterministic, closed-form packing dual
+    // — same chunker as q65, but pack = floor(startOffset/512) over the
+    // (doc_id, chunk_index) ordering, which DuckDB re-derives exactly
+    // with one window cumsum (first-fit q65 stays rows-only; this pins
+    // the packing pipeline's arithmetic cross-engine)
+    "q65b_packing_offset" -> Q(
+      (s, dir) => {
+        import graft.operators.Chunking
+        val chunks = Chunking.chunkDocuments(
+            t(s, dir, "documents").where(col("doc_id") < 300), "text", "doc_id",
+            maxTokens = 128)
+          .withColumn("tokens", size(TextFunctions.wordTokens(col("chunk_text"))))
+        Chunking.packSequencesByOffset(chunks, "tokens", maxTokensPerPack = 512,
+            orderCols = Seq("doc_id", "chunk_index"))
+          .groupBy(col("pack_id"))
+          .agg(count(lit(1)).as("chunks"), sum(col("tokens").cast("long")).as("pack_tokens"))
+          .orderBy(col("pack_id"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, $DTOKENS AS t FROM documents WHERE doc_id < 300),
+              |counts AS (
+              |  SELECT doc_id, t, GREATEST(CAST(CEIL(len(t) / 128.0) AS INT), 1) AS nc
+              |  FROM toks),
+              |chunks AS (
+              |  SELECT doc_id, unnest(range(0, nc)) AS i, t FROM counts),
+              |sized AS (
+              |  SELECT doc_id, i, len(list_slice(t, i * 128 + 1, i * 128 + 128)) AS tokens
+              |  FROM chunks),
+              |cum AS (
+              |  SELECT tokens, COALESCE(SUM(tokens) OVER (ORDER BY doc_id, i
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+              |  FROM sized)
+              |SELECT CAST(FLOOR(start / 512.0) AS BIGINT) AS pack_id,
+              |  COUNT(*) AS chunks, CAST(SUM(tokens) AS BIGINT) AS pack_tokens
+              |FROM cum GROUP BY 1 ORDER BY pack_id""".stripMargin)),
+
     // deterministic train/val/test assignment (hash-based, rows-only:
     // xxhash64 has no DuckDB dual) — proportions asserted in-plan
     "q64_dataset_splits" -> Q(

@@ -371,5 +371,38 @@ object TableQueries {
       },
       Some(s"""SELECT l_returnflag, COUNT(*) AS n, ${DSUM("l_quantity")} AS sum_qty
               |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // M3 clustering rewrite → zone-map sharpening: hash-scattered
+    // appends leave every file's l_orderkey range spanning the whole
+    // domain (zone maps prune nothing); compactClustered range-sorts so
+    // each rewritten file covers a narrow slice and the SAME predicate
+    // then skips most files via StatsPruner — the skip is asserted, the
+    // scan result oracle-checked
+    "q50b_clustered_prune" -> Q(
+      (s, dir) => {
+        val cat = freshCatalog(s)
+        val ident = TableIdent("bench", "li_cluster")
+        val li = t(s, dir, "lineitem")
+        val tbl = cat.ensure(ident)
+        // scatter rows across files so pre-clustering zone maps are weak
+        tbl.append(li.repartition(8, pmod(xxhash64(col("l_orderkey")), lit(8))))
+        val pred = "l_orderkey < 1000"
+        val before = tbl.prunedFiles(pred).size
+        val total = tbl.currentOrFail().files.size
+        require(before == total,
+          s"setup broken: scattered files should all survive ($before of $total)")
+        tbl.compactClustered(Seq("l_orderkey"), targetFiles = 8)
+        val after = tbl.prunedFiles(pred).size
+        val afterTotal = tbl.currentOrFail().files.size
+        require(after < afterTotal,
+          s"clustering did not sharpen zone maps: $after of $afterTotal files survive")
+        tbl.scanWhere(pred)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n, ${DSUM("l_quantity")} AS sum_qty
+              |FROM lineitem WHERE l_orderkey < 1000
               |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)))
 }

@@ -107,6 +107,25 @@ object TransformQueries {
       },
       None),
 
+    // portable-hash bucketing: md5-derived buckets re-derivable in any
+    // engine (the q64b trick applied to bucket partitioning) — the
+    // murmur3/Iceberg buckets above stay rows-only, but this pins the
+    // bucket ladder (hash → mod → group-count) with an exact oracle
+    "q19d_bucket_portable" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val h = pmod(
+          conv(substring(md5(col("o_orderkey").cast("string")), 1, 15), 16, 10)
+            .cast("long"),
+          lit(16L))
+        o.select(h.as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+          .orderBy(col("bucket"))
+      },
+      Some("""SELECT CAST(CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+             |    AS UBIGINT) % 16 AS BIGINT) AS bucket, COUNT(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     "q19b_transform_void_identity" -> Q(
       (s, dir) => {
         val n = t(s, dir, "nation")

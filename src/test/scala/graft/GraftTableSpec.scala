@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import graft.table.{GraftCatalog, TableIdent}
 
 import org.apache.spark.sql.DataFrame
@@ -374,5 +376,53 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     threads.foreach(_.start()); threads.foreach(_.join())
     t.snapshots().size shouldBe 5
     t.scan().count() shouldBe 5
+  }
+
+  test("stress: racing appenders and deleters lose no commits and conserve rows") {
+    val s = spark
+    import s.implicits._
+    val t = cat().ensure(TableIdent("ns", "t16"))
+    def batch(ids: Range) = ids.map(i => (i.toLong, "2024-01-01", s"r$i")).toDF("id", "day", "name")
+    t.append(batch(0 until 100)) // seed both deleters' target ranges
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appenders = (0 until 4).map { a =>
+      new Thread(() => try {
+        for (b <- 0 until 5)
+          t.append(batch((1000 * (a + 1) + 10 * b) until (1000 * (a + 1) + 10 * b + 10)))
+      } catch { case e: Throwable => failures.add(e) })
+    }
+    // copy-on-write deletes against the shared seed file: every retry is
+    // a full re-plan against the latest snapshot (requireNoConflict
+    // aborts a stale rewrite; the caller re-runs — the Iceberg contract)
+    val deleters = (0 until 2).map { d =>
+      new Thread(() => try {
+        for (c <- 0 until 5) {
+          val lo = 50 * d + 10 * c
+          var done = false
+          var attempts = 0
+          while (!done) {
+            try { t.deleteWhere(s"id >= $lo AND id < ${lo + 10}"); done = true }
+            catch {
+              case _: java.util.ConcurrentModificationException =>
+                attempts += 1
+                if (attempts > 50) throw new IllegalStateException("starved deleter")
+                Thread.sleep(10)
+            }
+          }
+        }
+      } catch { case e: Throwable => failures.add(e) })
+    }
+    (appenders ++ deleters).foreach(_.start())
+    (appenders ++ deleters).foreach(_.join())
+    failures.asScala.toSeq shouldBe empty
+    // conservation: 100 seeded + 4×5×10 appended − 2×5×10 deleted
+    t.scan().count() shouldBe (100L + 200L - 100L)
+    t.scan().select("id").as[Long].collect().toSet shouldBe
+      (0 until 4).flatMap(a => 1000 * (a + 1) until (1000 * (a + 1) + 50)).map(_.toLong).toSet
+    // no lost or duplicate versions: the log is a gapless sequence
+    val versions = t.snapshots().map(_.version)
+    versions shouldBe (0 to versions.max)
+    versions.size shouldBe (1 + 20 + 10) // seed + appends + deletes
+    t.snapshots().map(_.snapshotId).distinct.size shouldBe versions.size
   }
 }

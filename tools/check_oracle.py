@@ -2,8 +2,8 @@ import duckdb, json, glob, os, sys
 import pandas as pd
 import numpy as np
 
-sf = "/root/testdata/sf0.01"
-out = "/tmp/verify_r4"
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_r4"
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 
 con = duckdb.connect()
