@@ -455,18 +455,23 @@ object PipelineQueries {
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // unigram log-probability quality score (KenLM-proxy): corpus
-    // unigram frequencies -> per-doc mean log10 token probability; the
-    // frequency table is tiny next to the corpus (vocab-sized) so it
-    // broadcasts, and docs score in one map-side join pass
+    // unigram frequencies -> per-doc mean log10 token probability.
+    // Exactly TWO passes over the tokens: one aggregation builds the
+    // vocab-sized freq table (persisted — the token total is a second
+    // tiny aggregate OVER IT, not a separate corpus count()), one join
+    // scores the docs. No broadcast hint: a web-corpus vocabulary can
+    // exceed executor memory, so the join strategy is left to AQE's
+    // runtime sizes (it broadcasts when the vocab is actually small).
     "q71_unigram_logprob" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val toks = docs.select(col("doc_id"),
           explode(TextFunctions.wordTokens(col("text"))).as("w"))
-        val total = toks.count().toDouble
-        val freqs = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-          .select(col("w"), log10(col("c") / total).as("lp"))
-        toks.join(broadcast(freqs), Seq("w"))
+        val freqsRaw = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val total = freqsRaw.agg(sum(col("c"))).collect()(0).getLong(0).toDouble
+        val freqs = freqsRaw.select(col("w"), log10(col("c") / total).as("lp"))
+        toks.join(freqs, Seq("w"))
           .groupBy(col("doc_id"))
           .agg(round(avg(col("lp")), 4).as("mean_logprob"),
             count(lit(1)).as("tokens"))
