@@ -52,14 +52,22 @@ final class GraftFileIndex(
     */
   override def rootPaths: Seq[HPath] = statuses.map(_.getPath.getParent).distinct
 
-  override protected def leafFiles: mutable.LinkedHashMap[HPath, FileStatus] = {
+  // precomputed vals, not defs: PartitioningAwareFileIndex.allFiles /
+  // listFiles consult these maps several times per planning pass, and
+  // the file set is immutable for the pinned snapshot — rebuilding a
+  // 10⁵-entry map per call is pure waste at the scale this index targets
+  private val leafFileMap: mutable.LinkedHashMap[HPath, FileStatus] = {
     val m = mutable.LinkedHashMap.empty[HPath, FileStatus]
     statuses.foreach(s => m.put(s.getPath, s))
     m
   }
 
-  override protected def leafDirToChildrenFiles: Map[HPath, Array[FileStatus]] =
+  private val leafDirMap: Map[HPath, Array[FileStatus]] =
     statuses.groupBy(_.getPath.getParent).view.mapValues(_.toArray).toMap
+
+  override protected def leafFiles: mutable.LinkedHashMap[HPath, FileStatus] = leafFileMap
+
+  override protected def leafDirToChildrenFiles: Map[HPath, Array[FileStatus]] = leafDirMap
 
   override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
 

@@ -44,13 +44,17 @@ object GraftStreamOffset {
   * planning is O(new files), never O(table). Files are then read by the
   * same native columnar ParquetScan machinery as batch scans.
   *
-  * Non-append commits (delete/compact/upsert) in a range abort the
-  * stream by default — their file churn rewrites EXISTING rows, and
-  * emitting it would duplicate data. With `streamSkipRewrites=true`
-  * they are skipped instead: appends are still exact, but rows deleted
-  * after their append commit are emitted anyway (at-least-once with
-  * respect to later deletes — the Iceberg streaming-read trade, where
-  * it is spelled streaming-skip-delete-snapshots).
+  * Non-append commits in a range abort the stream by default — their
+  * file churn rewrites EXISTING rows, and emitting it would duplicate
+  * data. With `streamSkipRewrites=true`, PURE-rewrite commits
+  * (delete/update/compact/cluster) are skipped instead: appends stay
+  * exact, but rows deleted or modified after their append commit were
+  * already emitted as-appended (at-least-once with respect to later
+  * mutation — the Iceberg streaming-read trade, where it is spelled
+  * streaming-skip-delete-snapshots). Upsert and overwrite commits still
+  * abort even in skip mode: they INSERT new rows alongside their
+  * rewrite churn, and skipping them would silently lose those rows —
+  * no offset bookkeeping can recover data never emitted.
   *
   * Options: `streamStartVersion` (default: the version current when the
   * stream starts, i.e. only NEW appends; `-1` replays from genesis —
@@ -120,11 +124,25 @@ final class GraftMicroBatchStream(
             .flatMap(_.files)
             .filterNot(f => droppedPaths.contains(f.path))
         }
-      } else if (!skipRewrites) {
-        throw new IllegalStateException(
-          s"graft stream over ${tbl.tableDir} hit a non-append commit " +
-            s"(v$v: ${snap.operation}); set streamSkipRewrites=true to skip " +
-            "rewrite commits (appends stay exact; later deletes are not replayed)")
+      } else {
+        // delete/update/compact/cluster only churn EXISTING rows, so
+        // skipping them is the documented at-least-once trade. upsert and
+        // overwrite also INSERT rows — skipping those is silent data
+        // loss, so they abort regardless of streamSkipRewrites.
+        val pureRewrite = Set("delete", "update", "compact", "cluster")(snap.operation)
+        if (!skipRewrites || !pureRewrite) {
+          val hint =
+            if (pureRewrite)
+              "set streamSkipRewrites=true to skip pure-rewrite commits " +
+                "(appends stay exact; later deletes/updates are not replayed)"
+            else
+              s"'${snap.operation}' inserts new rows and cannot be skipped " +
+                "(streamSkipRewrites only skips delete/update/compact/cluster); " +
+                "restart the stream from a later streamStartVersion"
+          throw new IllegalStateException(
+            s"graft stream over ${tbl.tableDir} hit a non-append commit " +
+              s"(v$v: ${snap.operation}); " + hint)
+        }
       }
       v += 1
     }

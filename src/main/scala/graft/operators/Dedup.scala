@@ -24,20 +24,24 @@ object Dedup {
     * group. Implemented as min-id join-back (one shuffle on the content
     * key; map-side partial aggregation) rather than a window over the
     * raw text so the shuffle carries (key, id), not document bodies.
-    * The key pairs two independent digests — xxhash64 under two seeds
-    * (a literal prefix perturbs the streaming hash state, yielding an
-    * independent 64-bit digest at xxhash64 cost — no cryptographic
-    * md5, no concat re-serialization of document bodies) — plus total
-    * length: a single 64-bit hash collides with ~1% chance at 10^9
-    * documents (birthday bound), which would silently DROP a distinct
-    * document; the combined 128-bit+length key pushes that below
-    * 10^-20.
+    * The key pairs two structurally different digests: xxhash64 over
+    * the columns as-is, and xxhash64 over the REVERSED byte content in
+    * reversed column order — the second digest's input stream shares no
+    * structure with the first, so an xxhash64 internal-state collision
+    * on one input family does not carry to the other (a seed tweak
+    * alone would not guarantee that: xxhash64 state collisions can be
+    * seed-independent). Both stay codegen'd single-pass — no
+    * cryptographic md5, no concat re-serialization. Plus total length:
+    * a single 64-bit hash collides with ~1% chance at 10^9 documents
+    * (birthday bound), which would silently DROP a distinct document;
+    * the combined ~128-bit+length key makes that practically
+    * impossible for non-adversarial corpora.
     */
   def exact(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame = {
     val strs = contentCols.map(c => col(c).cast("string"))
     val keyed = df
       .withColumn("_k", xxhash64(strs: _*))
-      .withColumn("_k2", xxhash64(lit(1L) +: strs: _*))
+      .withColumn("_k2", xxhash64(strs.reverse.map(s => reverse(s)): _*))
       .withColumn("_kl", strs.map(s => coalesce(length(s), lit(-1))).reduce(_ + _))
     val keepers = keyed.groupBy("_k", "_k2", "_kl").agg(min(col(idCol)).as(idCol))
     keyed.join(keepers, Seq("_k", "_k2", "_kl", idCol), "left_semi")
@@ -102,7 +106,10 @@ object Dedup {
     // build + the two verify join-backs), and charShingles over every
     // document body is the dominant linear cost — persist so it is
     // evaluated once, spilling to disk if the corpus outgrows memory.
-    // Lineage is kept (unlike localCheckpoint) so lost blocks recompute.
+    // Lineage is kept (unlike localCheckpoint) so lost blocks recompute;
+    // the cache is RELEASED before returning (see the tail of this
+    // method) — a .persist() handle is otherwise pinned in the
+    // CacheManager until session end.
     val shingled = df
       .select(col(idCol).as("id"), charShingles(col(textCol), shingleSize).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -124,11 +131,18 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    cands
+    val verified = cands
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+    // Materialize the verified pairs (small: O(duplicates), shingle
+    // arrays already projected away) so the shingle cache can be
+    // released HERE instead of leaking until session end. The returned
+    // frame's localCheckpoint blocks are cleaned by the ContextCleaner
+    // once callers drop the reference — unlike CacheManager persists.
+    try verified.localCheckpoint(true)
+    finally shingled.unpersist(false)
   }
 
   /** SimHash fingerprints via explode + 64 codegen'd sum aggregates —

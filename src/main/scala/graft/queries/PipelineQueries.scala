@@ -457,7 +457,7 @@ object PipelineQueries {
     // unigram log-probability quality score (KenLM-proxy): corpus
     // unigram frequencies -> per-doc mean log10 token probability.
     // Exactly TWO passes over the tokens: one aggregation builds the
-    // vocab-sized freq table (persisted — the token total is a second
+    // vocab-sized freq table (checkpointed — the token total is a second
     // tiny aggregate OVER IT, not a separate corpus count()), one join
     // scores the docs. No broadcast hint: a web-corpus vocabulary can
     // exceed executor memory, so the join strategy is left to AQE's
@@ -467,8 +467,11 @@ object PipelineQueries {
         val docs = t(s, dir, "documents")
         val toks = docs.select(col("doc_id"),
           explode(TextFunctions.wordTokens(col("text"))).as("w"))
+        // localCheckpoint, not persist: same one-tokenize guarantee, but
+        // the blocks are ContextCleaner-GC'd when the frame goes out of
+        // scope instead of pinning the CacheManager until session end
         val freqsRaw = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         val total = freqsRaw.agg(sum(col("c"))).collect()(0).getLong(0).toDouble
         val freqs = freqsRaw.select(col("w"), log10(col("c") / total).as("lp"))
         toks.join(freqs, Seq("w"))

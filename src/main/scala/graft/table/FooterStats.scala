@@ -23,14 +23,24 @@ object FooterStats extends Serializable {
   /** Build the [[DataFile]] entry for one freshly-written Parquet file:
     * relative path, footer row count, per-column zone maps, and
     * partition values parsed back from the Hive-style directory names.
+    *
+    * `conf` is the SESSION's Hadoop configuration shipped from the
+    * driver (see [[graft.util.SerializableHadoopConf]]) so footer reads
+    * honor `spark.hadoop.*` settings like the query read path does.
+    * Path arithmetic uses java.nio, which — like the rest of the
+    * metadata-log commit protocol (hard links, CREATE_NEW) — requires
+    * the table directory to be POSIX-visible from every executor
+    * (local disk / NFS-style shared mount); an object-store table root
+    * would need a Hadoop-FileSystem port of the whole commit path, not
+    * just this function.
     */
   def dataFileFor(pathStr: String, tableDirStr: String, outDirStr: String,
-                  spec: Option[PartitionField]): DataFile = {
+                  spec: Option[PartitionField], conf: Configuration): DataFile = {
     val p = Paths.get(pathStr)
     val tableDir = Paths.get(tableDirStr)
     val outDir = Paths.get(outDirStr)
     val rel = tableDir.relativize(p).toString
-    val (rows, stats) = parquetFooterInfo(p, new Configuration())
+    val (rows, stats) = parquetFooterInfo(p, conf)
     val pv = spec.map { pf =>
       val segs = outDir.relativize(p).iterator().asScala.map(_.toString).toSeq
       segs.collect {

@@ -760,11 +760,17 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
     val tableDirStr = tableDir.toString
     val outDirStr = outDir.toString
     val slices = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
-    spark.sparkContext
+    // broadcast the SESSION Hadoop conf so executor-side footer reads see
+    // spark.hadoop.* settings, matching the query read path
+    val confB = spark.sparkContext.broadcast(
+      new graft.util.SerializableHadoopConf(
+        org.apache.spark.sql.GraftSqlShim.newHadoopConf(spark)))
+    try spark.sparkContext
       .parallelize(paths, slices)
-      .map(p => FooterStats.dataFileFor(p, tableDirStr, outDirStr, spec))
+      .map(p => FooterStats.dataFileFor(p, tableDirStr, outDirStr, spec, confB.value.value))
       .collect().toSeq
       .sortBy(_.path)
+    finally confB.destroy()
   }
 
 }

@@ -142,4 +142,34 @@ class GraftStreamSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("skip mode still aborts on upsert: its inserted rows cannot be silently lost") {
+    val (s, c) = streamSession("graft-src3")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.sns3")
+    s.sql("CREATE TABLE graft.sns3.src (id BIGINT, v STRING)")
+    s.sql("INSERT INTO graft.sns3.src VALUES (1, 'a')")
+    val ckpt = Files.createTempDirectory("graft-src3-ckpt").toString
+    val q = s.readStream
+      .option("streamSkipRewrites", "true")
+      .table("graft.sns3.src")
+      .writeStream
+      .format("memory")
+      .queryName("graft_src3_sink")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      // upsert = rewrite churn PLUS new rows (id=2): skipping would lose id=2
+      s.sql("""MERGE INTO graft.sns3.src t
+              |USING (SELECT * FROM VALUES (1L, 'a2'), (2L, 'b') AS s(id, v)) s
+              |ON t.id = s.id
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      ex.getMessage should include("upsert")
+      ex.getMessage should include("cannot be skipped")
+    } finally q.stop()
+  }
+
 }
