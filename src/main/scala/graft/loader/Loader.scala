@@ -60,6 +60,20 @@ final class Loader(catalog: GraftCatalog, defaultConfig: LoaderConfig = LoaderCo
                   config: Option[LoaderConfig] = None): LoadResult =
     loadBatches(graft.sources.ArrowIpcSource.readFile(catalog.spark, path), ident, config)
 
+  /** S6: ingest a REST endpoint — each fetched JSON batch becomes one
+    * micro-batch through the messy-dict pipeline (`examples/
+    * rest_adapter.py:9-35` feeding `load_data_batches`).
+    */
+  def loadRest(url: String, ident: TableIdent,
+               config: Option[LoaderConfig] = None,
+               rest: graft.sources.RestSource.RestConfig =
+                 graft.sources.RestSource.RestConfig()): LoadResult =
+    loadBatches(
+      graft.sources.RestSource.getData(url, rest)
+        .filter(_.nonEmpty)
+        .map(b => graft.sources.JsonIngest.createDataFrame(catalog.spark, b)),
+      ident, config)
+
   def loadBatches(batches: Iterator[DataFrame], ident: TableIdent,
                   config: Option[LoaderConfig] = None): LoadResult = {
     val cfg = config.getOrElse(defaultConfig)

@@ -352,6 +352,46 @@ object TableQueries {
              |) AS t(id, name, score, meta, mixed, ghost, tags)
              |ORDER BY id""".stripMargin)),
 
+    // S6 REST source: loopback HTTP endpoint -> paginated JSON batches
+    // -> messy-dict pipeline -> table; per-page commits pinned
+    "q73_rest_ingest" -> Q(
+      (s, dir) => {
+        val server = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        server.createContext("/docs", (ex: com.sun.net.httpserver.HttpExchange) => {
+          val page = ex.getRequestURI.getQuery.stripPrefix("page=").toInt
+          val payload = page match {
+            case 1 => """[{"id":1,"name":"ada","score":9.5},{"id":2,"name":"bob","score":7.25}]"""
+            case 2 => """[{"id":3,"name":"cyd"}]"""
+            case _ => "[]"
+          }
+          val bytes = payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        })
+        server.start()
+        try {
+          val cat = freshCatalog(s)
+          val ident = TableIdent("bench", "rest_docs")
+          val res = new Loader(cat).loadRest(
+            s"http://127.0.0.1:${server.getAddress.getPort}/docs",
+            ident,
+            Some(LoaderConfig(writeMode = WriteMode.Append, commitInterval = 1)),
+            graft.sources.RestSource.RestConfig(pageParam = Some("page")))
+          require(res.rowsLoaded == 3 && res.batchesProcessed == 2,
+            s"rest ingest shape off: $res")
+          cat.load(ident).scan()
+            .select(col("id"), col("name"), col("score"))
+            .orderBy(col("id"))
+        } finally server.stop(0)
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(1 AS BIGINT), 'ada', 9.5),
+             |  (CAST(2 AS BIGINT), 'bob', 7.25),
+             |  (CAST(3 AS BIGINT), 'cyd', CAST(NULL AS DOUBLE))
+             |) AS t(id, name, score) ORDER BY id""".stripMargin)),
+
     // S8 pruned scan: predicate on the partition source column touches
     // a strict subset of files (asserted), results still exact
     "q50_pruned_scan" -> Q(

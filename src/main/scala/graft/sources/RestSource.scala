@@ -1,0 +1,100 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import graft.observability.Log
+
+/** REST API source (S6): GET an endpoint, parse the JSON response, and
+  * yield list-of-dicts batches into the same messy-JSON normalization
+  * pipeline as any other dict source (S4, [[JsonIngest]]). The Spark
+  * realization of the reference's `RestAdapter.get_data`
+  * (`examples/rest_adapter.py:9-35`):
+  *
+  *   - a JSON-array response is one batch of records;
+  *   - a non-array response is wrapped in a single-record batch
+  *     (reference logs a warning and wraps, `rest_adapter.py:29-31`);
+  *   - a non-2xx status raises (the `raise_for_status` analogue).
+  *
+  * Beyond the reference, `pageParam` opts into page-numbered
+  * pagination — `?page=1,2,…` fetched until an empty batch — so large
+  * endpoints stream through the loader's `commitInterval` micro-batch
+  * bound instead of buffering one giant response.
+  *
+  * Scale note: REST ingestion is inherently a DRIVER-side stream (one
+  * HTTP client, ordered pages) — the parallelism lives downstream, in
+  * the distributed write jobs each flush triggers. That matches the
+  * reference, whose adapter is a single-threaded generator; corpora
+  * that need parallel fetch should land files on object storage and go
+  * through the bulk file sources instead.
+  */
+object RestSource {
+
+  final case class RestConfig(
+      timeoutSeconds: Int = 30, // reference default (`rest_adapter.py:24`)
+      headers: Map[String, String] = Map.empty,
+      pageParam: Option[String] = None,
+      startPage: Int = 1,
+      maxPages: Int = 10000)
+
+  /** Fetch `url` and yield record batches. With `pageParam` set, pages
+    * are fetched lazily — batch N+1's HTTP call happens only when the
+    * iterator advances, so the loader's flush cadence bounds memory.
+    */
+  def getData(url: String, cfg: RestConfig = RestConfig()): Iterator[Seq[JsonIngest.Record]] =
+    cfg.pageParam match {
+      case None => Iterator.single(fetchBatch(url, cfg))
+      case Some(param) =>
+        val sep = if (url.contains("?")) "&" else "?"
+        Iterator.from(cfg.startPage)
+          .take(cfg.maxPages)
+          .map(p => fetchBatch(s"$url$sep$param=$p", cfg))
+          .takeWhile(_.nonEmpty)
+    }
+
+  /** One GET → one batch of records. */
+  private[sources] def fetchBatch(url: String, cfg: RestConfig): Seq[JsonIngest.Record] = {
+    Log.info("rest fetch", "url" -> url)
+    val client = HttpClient.newBuilder()
+      .connectTimeout(Duration.ofSeconds(cfg.timeoutSeconds)).build()
+    val req = cfg.headers.foldLeft(
+        HttpRequest.newBuilder(URI.create(url))
+          .timeout(Duration.ofSeconds(cfg.timeoutSeconds)).GET()) {
+        case (b, (k, v)) => b.header(k, v)
+      }.build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(
+        s"rest source: GET $url returned HTTP ${resp.statusCode()}")
+    val node = new ObjectMapper().readTree(resp.body())
+    if (node == null) Seq.empty
+    else if (node.isArray) node.elements().asScala.map(toRecord).toSeq
+    else {
+      Log.warn("rest response is not a list; wrapping", "url" -> url)
+      Seq(toRecord(node))
+    }
+  }
+
+  /** JsonNode → Record, preserving field order; nested structures stay
+    * as Maps/Seqs for [[JsonIngest]] to JSON-stringify (its S4 rule).
+    */
+  private def toRecord(n: JsonNode): JsonIngest.Record =
+    if (!n.isObject) Seq("value" -> toValue(n)) // scalar list element
+    else n.fields().asScala.map(e => e.getKey -> toValue(e.getValue)).toSeq
+
+  private def toValue(n: JsonNode): Any =
+    if (n == null || n.isNull) null
+    else if (n.isObject)
+      n.fields().asScala.map(e => e.getKey -> toValue(e.getValue))
+        .toSeq.foldLeft(scala.collection.immutable.ListMap.empty[String, Any])(_ + _)
+    else if (n.isArray) n.elements().asScala.map(toValue).toSeq
+    else if (n.isBoolean) n.asBoolean()
+    else if (n.isIntegralNumber) n.asLong()
+    else if (n.isNumber) n.asDouble()
+    else n.asText()
+}
