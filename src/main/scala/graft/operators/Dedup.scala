@@ -153,16 +153,18 @@ object Dedup {
     * with whole-stage-codegen'd partial aggregation. The formulation to
     * use at corpus scale.
     */
-  def simhashTable(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def simhashTable(df: DataFrame, textCol: String, idCol: String,
+                   bits: Int = 64,
+                   tokenHash: Column => Column = w => xxhash64(w)): DataFrame = {
     val tokens = df
       .select(col(idCol).as("id"), explode(wordTokens(col(textCol))).as("w"))
-      .select(col("id"), xxhash64(col("w")).as("h"))
-    val bitSums: Seq[Column] = (0 until 64).map { b =>
+      .select(col("id"), tokenHash(col("w")).as("h"))
+    val bitSums: Seq[Column] = (0 until bits).map { b =>
       sum(when(call_function("shiftright", col("h"), lit(b)).bitwiseAND(lit(1)) === 1, 1)
         .otherwise(-1)).as(s"_b$b")
     }
     val agged = tokens.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map { b =>
+    val fp = (0 until bits).map { b =>
       when(col(s"_b$b") > 0, call_function("shiftleft", lit(1L), lit(b))).otherwise(lit(0L))
     }.reduce((a, c) => a.bitwiseOR(c))
     // empty-token documents never reach the aggregate (explode drops

@@ -646,6 +646,45 @@ object PipelineQueries {
       },
       None),
 
+    // portable-hash simhash dual (the q64b trick applied to simhash):
+    // same explode + bit-sum + sign pipeline as q28, but tokens hashed
+    // with a 60-bit md5-derived value both engines can compute, so the
+    // FINGERPRINTS themselves are oracle-checked value-for-value — the
+    // production q28 path differs only in the token-hash function
+    // (xxhash64) and bit width
+    "q28b_simhash_portable" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.types.LongType
+        val d = t(s, dir, "documents").where(col("doc_id") < 50)
+        Dedup.simhashTable(d, "text", "doc_id", bits = 60,
+            tokenHash = w => conv(substring(md5(w), 1, 15), 16, 10).cast(LongType))
+          .select(col("id").as("doc_id"), col("fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, unnest($DTOKENS) AS w
+              |  FROM documents WHERE doc_id < 50),
+              |h AS (
+              |  SELECT doc_id,
+              |    CAST(('0x' || substring(md5(w), 1, 15)) AS UBIGINT) AS h
+              |  FROM toks),
+              |b AS (
+              |  SELECT doc_id,
+              |    ${(0 until 60).map(i =>
+                     s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i")
+                     .mkString(",\n    ")}
+              |  FROM h GROUP BY doc_id),
+              |fpt AS (
+              |  SELECT doc_id,
+              |    ${(0 until 60).map(i =>
+                     s"(CASE WHEN s$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)")
+                     .mkString(" +\n    ")} AS fp
+              |  FROM b)
+              |SELECT d.doc_id, COALESCE(f.fp, 0) AS fp
+              |FROM (SELECT doc_id FROM documents WHERE doc_id < 50) d
+              |LEFT JOIN fpt f USING (doc_id)
+              |ORDER BY d.doc_id""".stripMargin)),
+
     // document fingerprints: xxhash64/rolling-hash duplicate detection —
     // oracle checks the SHAPE (each salted copy collides with its
     // original): count of fingerprint groups of size 2
