@@ -5,7 +5,7 @@ import graft.table.GraftTable
 
 import org.apache.spark.sql.GraftSqlShim
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
@@ -58,13 +58,21 @@ object GraftStreamOffset {
   *
   * Options: `streamStartVersion` (default: the version current when the
   * stream starts, i.e. only NEW appends; `-1` replays from genesis —
-  * valid when the table history is append-only).
+  * valid when the table history is append-only);
+  * `maxFilesPerTrigger` / `maxRowsPerTrigger` rate-limit each
+  * micro-batch via Spark's admission-control contract — a backlogged
+  * stream catches up in bounded batches instead of planning one batch
+  * over the entire pending history (the Delta/Iceberg streaming-read
+  * pattern). Admission stays VERSION-granular so exactly-once-per-
+  * version is preserved: at least one version is always admitted, and
+  * a single commit larger than the cap is admitted whole.
   */
 final class GraftMicroBatchStream(
     tbl: GraftTable,
     readDataSchema: StructType,
     pushed: Array[Filter],
-    options: CaseInsensitiveStringMap) extends MicroBatchStream {
+    options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private val skipRewrites = options.getBoolean("streamSkipRewrites", false)
 
@@ -76,6 +84,54 @@ final class GraftMicroBatchStream(
 
   override def latestOffset(): Offset =
     GraftStreamOffset(tbl.currentOrFail().version)
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      Option(options.get("maxFilesPerTrigger")).map(s => ReadLimit.maxFiles(s.toInt)),
+      Option(options.get("maxRowsPerTrigger")).map(s => ReadLimit.maxRows(s.toLong))).flatten
+    limits match {
+      case Seq()  => ReadLimit.allAvailable()
+      case Seq(l) => l
+      case ls     => ReadLimit.compositeLimit(ls.toArray)
+    }
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftStreamOffset].version
+    val latest = tbl.currentOrFail().version
+    GraftStreamOffset(admitUpTo(from, latest, limit))
+  }
+
+  /** Largest end version in (from, latest] whose cumulative new
+    * files/rows stay within `limit` — walking METADATA only (per-
+    * version manifest diffs), never file contents. Rewrite commits
+    * count zero (planning later aborts or skips them as configured).
+    */
+  private def admitUpTo(from: Int, latest: Int, limit: ReadLimit): Int = {
+    def caps(l: ReadLimit): (Option[Int], Option[Long]) = l match {
+      case f: ReadMaxFiles => (Some(f.maxFiles), None)
+      case r: ReadMaxRows => (None, Some(r.maxRows))
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(caps).reduce { (a, b) =>
+          (Seq(a._1, b._1).flatten.minOption, Seq(a._2, b._2).flatten.minOption)
+        }
+      case _ => (None, None)
+    }
+    val (maxFiles, maxRows) = caps(limit)
+    if (maxFiles.isEmpty && maxRows.isEmpty) return latest
+    var v = from + 1
+    var files = 0L
+    var rows = 0L
+    while (v <= latest) {
+      val added = appendedAt(v).getOrElse(Nil)
+      files += added.size
+      rows += added.map(_.rows).sum
+      // at least one version per batch; stop once a cap is reached
+      if (maxFiles.exists(files >= _) || maxRows.exists(rows >= _)) return v
+      v += 1
+    }
+    latest
+  }
 
   override def deserializeOffset(json: String): Offset =
     GraftStreamOffset.fromJson(json)
@@ -97,34 +153,40 @@ final class GraftMicroBatchStream(
   override def commit(end: Offset): Unit = () // offsets live in the checkpoint
   override def stop(): Unit = ()
 
-  /** New files of the append commits in (from, to], by manifest-set
-    * diff per version. A version's added files = files of manifests NEW
-    * in that version, minus paths of manifests it dropped (a concurrent
-    * manifest-merge moves old files into a new manifest; the subtraction
-    * keeps them out). Loads only changed manifests.
+  /** New files of append-family version `v` (None for rewrite
+    * commits), by manifest-set diff: files of manifests NEW in `v`,
+    * minus paths of manifests it dropped (a concurrent manifest-merge
+    * moves old files into a new manifest; the subtraction keeps them
+    * out). Loads only changed manifests.
     */
+  private def appendedAt(v: Int): Option[Seq[DataFile]] = {
+    val snap = tbl.snapshotAt(v)
+    val isAppend = snap.operation == "append" || snap.operation.startsWith("evolve") ||
+      snap.operation == "set-properties" || snap.operation == "create"
+    if (v == 0) Some(snap.files)
+    else if (!isAppend) None
+    else {
+      val prev = tbl.snapshotAt(v - 1)
+      val prevManifests = prev.manifestPaths
+      val currManifests = snap.manifestPaths
+      val droppedPaths = prev.fileGroups
+        .filterNot(g => currManifests.contains(g.manifest))
+        .flatMap(_.files).map(_.path).toSet
+      Some(snap.fileGroups
+        .filterNot(g => prevManifests.contains(g.manifest))
+        .flatMap(_.files)
+        .filterNot(f => droppedPaths.contains(f.path)))
+    }
+  }
+
   private def addedBetween(from: Int, to: Int): Seq[DataFile] = {
     val out = Seq.newBuilder[DataFile]
     var v = math.max(from + 1, 0)
     while (v <= to) {
-      val snap = tbl.snapshotAt(v)
-      val isAppend = snap.operation == "append" || snap.operation.startsWith("evolve") ||
-        snap.operation == "set-properties" || snap.operation == "create"
-      if (isAppend || v == 0) {
-        if (v == 0) out ++= snap.files
-        else {
-          val prev = tbl.snapshotAt(v - 1)
-          val prevManifests = prev.manifestPaths
-          val currManifests = snap.manifestPaths
-          val droppedPaths = prev.fileGroups
-            .filterNot(g => currManifests.contains(g.manifest))
-            .flatMap(_.files).map(_.path).toSet
-          out ++= snap.fileGroups
-            .filterNot(g => prevManifests.contains(g.manifest))
-            .flatMap(_.files)
-            .filterNot(f => droppedPaths.contains(f.path))
-        }
-      } else {
+      appendedAt(v) match {
+        case Some(files) => out ++= files
+        case None =>
+          val snap = tbl.snapshotAt(v)
         // delete/update/compact/cluster only churn EXISTING rows, so
         // skipping them is the documented at-least-once trade. upsert and
         // overwrite also INSERT rows — skipping those is silent data

@@ -142,6 +142,36 @@ class GraftStreamSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("maxRowsPerTrigger paces catch-up in version-granular batches, no loss") {
+    val (s, c) = streamSession("graft-src4")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.sns4")
+    s.sql("CREATE TABLE graft.sns4.src (id BIGINT, v STRING)")
+    // backlog of 3 append versions (2 + 2 + 1 rows) before the stream starts
+    s.sql("INSERT INTO graft.sns4.src VALUES (1, 'a'), (2, 'b')")
+    s.sql("INSERT INTO graft.sns4.src VALUES (3, 'c'), (4, 'd')")
+    s.sql("INSERT INTO graft.sns4.src VALUES (5, 'e')")
+    val ckpt = Files.createTempDirectory("graft-src4-ckpt").toString
+    val q = s.readStream
+      .option("streamStartVersion", "-1")
+      .option("maxRowsPerTrigger", "2")
+      .table("graft.sns4.src")
+      .writeStream
+      .format("memory")
+      .queryName("graft_src4_sink")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = s.sql("SELECT id FROM graft_src4_sink").collect().map(_.getLong(0)).sorted.toSeq
+      got shouldBe Seq(1L, 2L, 3L, 4L, 5L) // complete catch-up, nothing lost
+      // admission control split the backlog: ≥3 batches (one per version),
+      // not one giant batch over the whole pending range
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      batches should be >= 3
+      q.recentProgress.filter(_.numInputRows > 0).map(_.numInputRows).max should be <= 2L
+    } finally q.stop()
+  }
+
   test("skip mode still aborts on upsert: its inserted rows cannot be silently lost") {
     val (s, c) = streamSession("graft-src3")
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft.sns3")
