@@ -134,7 +134,8 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
                             required: Option[StructType],
                             options: CaseInsensitiveStringMap =
                               CaseInsensitiveStringMap.empty()) extends Scan
-    with SupportsReportStatistics {
+    with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required.getOrElse(snap.schema)
 
@@ -145,22 +146,68 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
     if (preds.isEmpty) None else Some(preds.mkString("(", ") AND (", ")"))
   }
 
-  private lazy val files: Seq[DataFile] = predSql match {
-    case None => snap.files
-    case Some(p) => tbl.prunedFilesOf(snap, CatalystSqlParser.parseExpression(p))
+  // ---- runtime (DPP-style) filtering --------------------------------
+  // Spark may deliver join-key IN-sets at EXECUTION time (dynamic
+  // partition pruning through DSv2). Any top-level column is fair game:
+  // partition values prune via transforms, everything else via zone
+  // maps — either way the re-prune is pure driver-side metadata, and a
+  // filter that doesn't prune simply leaves the file set unchanged.
+  @volatile private var runtimeSql: Option[String] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only columns in the scan OUTPUT: Spark resolves each attribute
+    // against the pruned relation and fails on absent ones
+    readSchema().fields.map(f =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val preds = filters.flatMap(FilterSql.toSql)
+    if (preds.nonEmpty) synchronized {
+      runtimeSql = Some(preds.mkString("(", ") AND (", ")"))
+      cachedFiles = None // re-prune with the tightened predicate
+    }
   }
 
-  private lazy val delegate: ParquetScan = {
-    val spark = tbl.spark
-    ParquetScan(
-      sparkSession = spark,
-      hadoopConf = GraftSqlShim.newHadoopConf(spark),
-      fileIndex = new GraftFileIndex(spark, tbl.tableDir, files, snap.schema),
-      dataSchema = snap.schema,
-      readDataSchema = readSchema(),
-      readPartitionSchema = StructType(Nil),
-      pushedFilters = pushed, // row-group/page-level pruning inside parquet
-      options = CaseInsensitiveStringMap.empty())
+  private var cachedFiles: Option[Seq[DataFile]] = None
+
+  private def files: Seq[DataFile] = synchronized {
+    cachedFiles.getOrElse {
+      val pred = (predSql.toSeq ++ runtimeSql.toSeq) match {
+        case Seq() => None
+        case ps => Some(ps.mkString("(", ") AND (", ")"))
+      }
+      val f = pred match {
+        case None => snap.files
+        case Some(p) => tbl.prunedFilesOf(snap, CatalystSqlParser.parseExpression(p))
+      }
+      cachedFiles = Some(f)
+      f
+    }
+  }
+
+  // rebuilt iff the pruned file set changed (runtime filters can arrive
+  // AFTER planning already forced a delegate via columnarSupportMode)
+  private var cachedDelegate: Option[(Seq[DataFile], ParquetScan)] = None
+
+  private def delegate: ParquetScan = synchronized {
+    val fs = files
+    cachedDelegate match {
+      case Some((built, d)) if built eq fs => d
+      case _ =>
+        val spark = tbl.spark
+        val d = ParquetScan(
+          sparkSession = spark,
+          hadoopConf = GraftSqlShim.newHadoopConf(spark),
+          fileIndex = new GraftFileIndex(spark, tbl.tableDir, fs, snap.schema),
+          dataSchema = snap.schema,
+          readDataSchema = readSchema(),
+          readPartitionSchema = StructType(Nil),
+          pushedFilters = pushed, // row-group/page-level pruning inside parquet
+          options = CaseInsensitiveStringMap.empty())
+        cachedDelegate = Some((fs, d))
+        d
+    }
   }
 
   override def toBatch: Batch = delegate.toBatch

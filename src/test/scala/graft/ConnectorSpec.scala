@@ -316,6 +316,34 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     rows shouldBe Seq(("nullkey", 5L), ("new", 999L))
   }
 
+  test("runtime (DPP-style) join filters reach the native scan") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dpp")
+    spark.sql(
+      """CREATE TABLE graft.dpp.fact (k BIGINT, v DOUBLE)
+        |PARTITIONED BY (k)""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft.dpp.fact SELECT id % 8 AS k, CAST(id AS DOUBLE) AS v FROM range(0, 800)")
+    // selective dim filter keeps only k = 3: the broadcast join's key
+    // set is delivered to the scan as a runtime filter, pruning files
+    // (a LocalRelation dim won't do — the optimizer folds the filter
+    // away and the pruning rule sees no selective predicate)
+    spark.sql("CREATE TABLE graft.dpp.dim (k BIGINT, name STRING)")
+    spark.sql("INSERT INTO graft.dpp.dim VALUES (3, 'keep'), (5, 'drop')")
+    val joined = spark.sql(
+      """SELECT f.k, COUNT(*) AS n, SUM(f.v) AS sv
+        |FROM graft.dpp.fact f JOIN graft.dpp.dim d ON f.k = d.k
+        |WHERE d.name = 'keep'
+        |GROUP BY f.k""".stripMargin)
+    val rows = joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    plan should include("dynamicpruningexpression")
+    rows.length shouldBe 1
+    rows.head.getLong(0) shouldBe 3L
+    rows.head.getLong(1) shouldBe 100L
+    // 3, 11, 19, ... 795: sum = 100*3 + 8*(0+1+...+99)
+    rows.head.getDouble(2) shouldBe (300.0 + 8.0 * 4950.0)
+  }
+
   test("SHOW TABLES, RENAME, and DROP work through the catalog") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns4")
     spark.sql("CREATE TABLE graft.ns4.a (id BIGINT)")
