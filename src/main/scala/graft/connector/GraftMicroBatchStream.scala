@@ -5,7 +5,7 @@ import graft.table.GraftTable
 
 import org.apache.spark.sql.GraftSqlShim
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
@@ -72,9 +72,17 @@ final class GraftMicroBatchStream(
     readDataSchema: StructType,
     pushed: Array[Filter],
     options: CaseInsensitiveStringMap)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val skipRewrites = options.getBoolean("streamSkipRewrites", false)
+
+  // Trigger.AvailableNow: pin the end version at preparation time so
+  // the bounded run processes exactly the data available THEN (in
+  // rate-limited batches) and stops, even while writers keep committing
+  @volatile private var availableNowEnd: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(tbl.currentOrFail().version)
 
   override def initialOffset(): Offset = {
     val v = Option(options.get("streamStartVersion")).map(_.toInt)
@@ -83,7 +91,7 @@ final class GraftMicroBatchStream(
   }
 
   override def latestOffset(): Offset =
-    GraftStreamOffset(tbl.currentOrFail().version)
+    GraftStreamOffset(availableNowEnd.getOrElse(tbl.currentOrFail().version))
 
   override def getDefaultReadLimit: ReadLimit = {
     val limits = Seq(
@@ -98,7 +106,7 @@ final class GraftMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[GraftStreamOffset].version
-    val latest = tbl.currentOrFail().version
+    val latest = availableNowEnd.getOrElse(tbl.currentOrFail().version)
     GraftStreamOffset(admitUpTo(from, latest, limit))
   }
 

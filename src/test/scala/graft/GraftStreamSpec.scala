@@ -172,6 +172,32 @@ class GraftStreamSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog in limited batches, then stops") {
+    val (s, c) = streamSession("graft-src5")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.sns5")
+    s.sql("CREATE TABLE graft.sns5.src (id BIGINT, v STRING)")
+    s.sql("INSERT INTO graft.sns5.src VALUES (1, 'a'), (2, 'b')")
+    s.sql("INSERT INTO graft.sns5.src VALUES (3, 'c')")
+    val ckpt = Files.createTempDirectory("graft-src5-ckpt").toString
+    val q = s.readStream
+      .option("streamStartVersion", "-1")
+      .option("maxRowsPerTrigger", "2")
+      .table("graft.sns5.src")
+      .writeStream
+      .format("memory")
+      .queryName("graft_src5_sink")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000) shouldBe true // bounded run self-terminates
+      val got = s.sql("SELECT id FROM graft_src5_sink").collect().map(_.getLong(0)).sorted.toSeq
+      got shouldBe Seq(1L, 2L, 3L)
+      // rate limit respected during the drain
+      q.recentProgress.filter(_.numInputRows > 0).map(_.numInputRows).max should be <= 2L
+    } finally q.stop()
+  }
+
   test("skip mode still aborts on upsert: its inserted rows cannot be silently lost") {
     val (s, c) = streamSession("graft-src3")
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft.sns3")
