@@ -795,6 +795,70 @@ object PipelineQueries {
       },
       None),
 
+    // portable-hash ANN dual (q64b/q28b trick applied to similarity
+    // search): hyperplane components derived from md5(plane_dim) so
+    // BOTH engines compute identical buckets, then identical
+    // within-bucket cosine top-5 — the bucket-prune + verify pipeline
+    // of q32, oracle-checked value-for-value. The production path
+    // (q32) differs only in the plane-component hash (xxhash64).
+    "q32c_ann_portable" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.Column
+        val planes = 4
+        val e = t(s, dir, "embeddings").where(col("vec_id") < 200)
+          .select(col("vec_id"), col("embedding").as("v"))
+        def planeComp(p: Int, d: Column): Column =
+          (conv(substring(md5(concat(lit(s"${p}_"), d.cast("string"))), 1, 15), 16, 10)
+            .cast("long") % 1000).cast("double") / 1000.0 - 0.5
+        def dotPlane(p: Int): Column = aggregate(
+          zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+            (x, d) => x.cast("double") * planeComp(p, d)),
+          lit(0.0), (acc, x) => acc + x)
+        val bucketed = e.withColumn("bucket",
+          (0 until planes).map(p =>
+            when(dotPlane(p) >= 0, lit(1L << p)).otherwise(lit(0L)))
+            .reduce(_ + _))
+        val q = bucketed.where(col("vec_id") === 7)
+          .select(col("v").as("qv"), col("bucket").as("qb"))
+        bucketed.where(col("vec_id") =!= 7)
+          .crossJoin(broadcast(q))
+          .where(col("bucket") === col("qb"))
+          .select(col("vec_id"),
+            round(
+              aggregate(zip_with(col("v"), col("qv"),
+                (x, y) => x.cast("double") * y.cast("double")),
+                lit(0.0), (a, x) => a + x) /
+              (sqrt(aggregate(transform(col("v"), x => x.cast("double") * x.cast("double")),
+                lit(0.0), (a, x) => a + x)) *
+               sqrt(aggregate(transform(col("qv"), x => x.cast("double") * x.cast("double")),
+                lit(0.0), (a, x) => a + x))), 4).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < 200),
+             |b AS (
+             |  SELECT vec_id, v,
+             |    (CASE WHEN list_sum(list_transform(range(0, len(v)),
+             |       d -> v[d+1] * (CAST(('0x' || substring(md5('0_' || d), 1, 15)) AS UBIGINT) % 1000 / 1000.0 - 0.5))) >= 0 THEN 1 ELSE 0 END)
+             |  + 2 * (CASE WHEN list_sum(list_transform(range(0, len(v)),
+             |       d -> v[d+1] * (CAST(('0x' || substring(md5('1_' || d), 1, 15)) AS UBIGINT) % 1000 / 1000.0 - 0.5))) >= 0 THEN 1 ELSE 0 END)
+             |  + 4 * (CASE WHEN list_sum(list_transform(range(0, len(v)),
+             |       d -> v[d+1] * (CAST(('0x' || substring(md5('2_' || d), 1, 15)) AS UBIGINT) % 1000 / 1000.0 - 0.5))) >= 0 THEN 1 ELSE 0 END)
+             |  + 8 * (CASE WHEN list_sum(list_transform(range(0, len(v)),
+             |       d -> v[d+1] * (CAST(('0x' || substring(md5('3_' || d), 1, 15)) AS UBIGINT) % 1000 / 1000.0 - 0.5))) >= 0 THEN 1 ELSE 0 END)
+             |    AS bucket
+             |  FROM e),
+             |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 7)
+             |SELECT b.vec_id,
+             |  ROUND(
+             |    list_sum(list_transform(range(0, len(b.v)), d -> b.v[d+1] * q.qv[d+1]))
+             |    / (sqrt(list_sum(list_transform(b.v, x -> x * x)))
+             |       * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS cos
+             |FROM b, q
+             |WHERE b.bucket = q.qb AND b.vec_id <> 7
+             |ORDER BY cos DESC, b.vec_id LIMIT 5""".stripMargin)),
+
     // IVF ANN: k-means cells + nprobe scan; recall vs exact top-20
     // asserted (kmeans-based, no SQL dual — rows-only)
     "q32b_ann_ivf" -> Q(
