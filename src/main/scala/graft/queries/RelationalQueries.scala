@@ -371,5 +371,25 @@ object RelationalQueries {
              |       COALESCE(o_orderpriority, 'ALL') AS priority,
              |       COUNT(*) AS n
              |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-             |ORDER BY status, priority""".stripMargin)))
+             |ORDER BY status, priority""".stripMargin)),
+
+    // hot-key salted join: result-identical to the plain equi-join (the
+    // oracle), with each big-side key's rows spread across `factor`
+    // reducers via a deterministic content-derived salt — the manual
+    // skew tool for when AQE's sort-merge skew split doesn't apply
+    "q74_skew_join" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_suppkey").as("suppkey"), col("l_quantity"), col("l_orderkey"))
+        val sup = t(s, dir, "supplier")
+          .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+        graft.operators.Skew.saltedJoin(li, sup, Seq("suppkey"),
+            factor = 8, spreadCol = Some("l_orderkey"))
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("s_nationkey"))
+      },
+      Some(s"""SELECT s_nationkey, COUNT(*) AS n, ${DSUM("l_quantity")} AS sum_qty
+              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)))
 }
