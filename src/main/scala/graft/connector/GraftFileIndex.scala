@@ -69,6 +69,11 @@ final class GraftFileIndex(
 
   override protected def leafDirToChildrenFiles: Map[HPath, Array[FileStatus]] = leafDirMap
 
+  // the index IS the file list: skip the base class's per-call
+  // root-path walk over the leaf maps (O(files) rebuild per planner
+  // call) and hand back the immutable statuses directly
+  override def allFiles(): Seq[FileStatus] = statuses
+
   override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
 
   override def refresh(): Unit = () // snapshot-pinned: nothing to refresh

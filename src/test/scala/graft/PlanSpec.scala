@@ -75,4 +75,27 @@ class PlanSpec extends AnyFunSuite with Matchers {
     // with the read, no stage break
     p should include("+- * ColumnarToRow")
   }
+
+  test("metadata-backed file index plans 100k files with no filesystem calls") {
+    import graft.connector.GraftFileIndex
+    import graft.meta.DataFile
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // a table dir that DOESN'T EXIST: every file status must come from
+    // snapshot metadata — any listing/stat attempt would throw
+    val ghostDir = java.nio.file.Paths.get("/nonexistent/graft-100k")
+    val files = (0 until 100000).map { i =>
+      DataFile(f"data/commit-${i / 1000}%03d/part-$i%06d.parquet", 10L, 4096L, None)
+    }
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val idx = new GraftFileIndex(spark, ghostDir, files, schema)
+    idx.allFiles().length shouldBe 100000
+    idx.sizeInBytes shouldBe 100000L * 4096L
+    // leaf maps are precomputed vals: repeated planner calls must not
+    // rebuild 100k-entry maps (a rebuild-per-call regression takes this
+    // loop from milliseconds to many seconds)
+    val t0 = System.nanoTime()
+    (0 until 50).foreach(_ => idx.allFiles().length shouldBe 100000)
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    elapsedMs should be < 5000L
+  }
 }
