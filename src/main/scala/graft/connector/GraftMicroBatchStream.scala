@@ -168,7 +168,19 @@ final class GraftMicroBatchStream(
     * out). Loads only changed manifests.
     */
   private def appendedAt(v: Int): Option[Seq[DataFile]] = {
-    val snap = tbl.snapshotAt(v)
+    val snap =
+      try tbl.snapshotAt(v)
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          // the checkpointed range was removed by expire_snapshots: the
+          // data can never be replayed — say so instead of surfacing a
+          // bare missing-file error from the metadata log
+          throw new IllegalStateException(
+            s"graft stream over ${tbl.tableDir} needs version $v, which has " +
+              "been removed by expire_snapshots; the checkpointed range is " +
+              "gone and cannot be replayed. Restart with a fresh checkpoint " +
+              "(optionally pinning streamStartVersion to a live version).", e)
+      }
     val isAppend = snap.operation == "append" || snap.operation.startsWith("evolve") ||
       snap.operation == "set-properties" || snap.operation == "create"
     if (v == 0) Some(snap.files)

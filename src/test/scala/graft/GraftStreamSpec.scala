@@ -198,6 +198,34 @@ class GraftStreamSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("an expired checkpoint range fails with a clear error, not a missing file") {
+    val (s, c) = streamSession("graft-src6")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.sns6")
+    s.sql("CREATE TABLE graft.sns6.src (id BIGINT)")
+    s.sql("INSERT INTO graft.sns6.src VALUES (1)")
+    s.sql("INSERT INTO graft.sns6.src VALUES (2)")
+    s.sql("INSERT INTO graft.sns6.src VALUES (3)")
+    // expire everything but the newest snapshot, then ask the stream to
+    // replay from genesis: versions 0..2 are gone
+    s.sql("CALL graft.system.expire_snapshots('sns6', 'src', 1)")
+    val ckpt = Files.createTempDirectory("graft-src6-ckpt").toString
+    val q = s.readStream
+      .option("streamStartVersion", "-1")
+      .table("graft.sns6.src")
+      .writeStream
+      .format("memory")
+      .queryName("graft_src6_sink")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      ex.getMessage should include("expire_snapshots")
+      ex.getMessage should include("fresh checkpoint")
+    } finally q.stop()
+  }
+
   test("skip mode still aborts on upsert: its inserted rows cannot be silently lost") {
     val (s, c) = streamSession("graft-src3")
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft.sns3")
