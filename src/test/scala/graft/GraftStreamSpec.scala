@@ -136,9 +136,13 @@ class GraftStreamSpec extends AnyFunSuite with Matchers {
       s.sql("INSERT INTO graft.sns2.src VALUES (2, 'new')")
       s.sql("DELETE FROM graft.sns2.src WHERE id = 1") // rewrite commit: skipped
       s.sql("INSERT INTO graft.sns2.src VALUES (3, 'newer')")
+      s.sql("CALL graft.system.compact('sns2', 'src', 1)") // pure file churn: skipped
+      s.sql("INSERT INTO graft.sns2.src VALUES (4, 'newest')")
       q.processAllAvailable()
       val got = s.sql("SELECT id FROM graft_src2_sink").collect().map(_.getLong(0)).sorted.toSeq
-      got shouldBe Seq(2L, 3L) // appends exact; the delete's rewrite not emitted
+      // appends exact; neither the delete's rewrite nor the compaction's
+      // rewritten (already-emitted) rows are re-emitted
+      got shouldBe Seq(2L, 3L, 4L)
     } finally q.stop()
   }
 
