@@ -163,10 +163,16 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
 
   override def filter(filters: Array[Filter]): Unit = {
     val preds = filters.flatMap(FilterSql.toSql)
-    if (preds.nonEmpty) synchronized {
-      runtimeSql = Some(preds.mkString("(", ") AND (", ")"))
-      cachedFiles = None // re-prune with the tightened predicate
-    }
+    val sql = preds.mkString("(", ") AND (", ")")
+    // runtime pruning is an OPTIMIZATION — skipping it is always sound.
+    // A high-cardinality join key can deliver an IN-set whose predicate
+    // text costs more to parse + evaluate per file than the pruning
+    // saves, so oversized filters are dropped rather than applied.
+    if (preds.nonEmpty && sql.length <= GraftNativeScan.MaxRuntimePredicateChars)
+      synchronized {
+        runtimeSql = Some(sql)
+        cachedFiles = None // re-prune with the tightened predicate
+      }
   }
 
   private var cachedFiles: Option[Seq[DataFile]] = None
@@ -236,6 +242,13 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
 
   override def description(): String =
     s"GraftScan(native parquet, files pruned by: ${predSql.getOrElse("<none>")})"
+}
+
+object GraftNativeScan {
+  /** Runtime-filter predicates longer than this are dropped unapplied
+    * (≈ a few thousand IN values) — see `GraftNativeScan.filter`.
+    */
+  val MaxRuntimePredicateChars: Int = 256 * 1024
 }
 
 final class GraftWriteBuilder(tbl: GraftTable)
