@@ -127,18 +127,28 @@ final class GraftMicroBatchStream(
     }
     val (maxFiles, maxRows) = caps(limit)
     if (maxFiles.isEmpty && maxRows.isEmpty) return latest
-    var v = from + 1
-    var files = 0L
-    var rows = 0L
-    while (v <= latest) {
-      val added = appendedAt(v).getOrElse(Nil)
-      files += added.size
-      rows += added.map(_.rows).sum
-      // at least one version per batch; stop once a cap is reached
-      if (maxFiles.exists(files >= _) || maxRows.exists(rows >= _)) return v
-      v += 1
-    }
-    latest
+    val memo = scala.collection.mutable.HashMap.empty[Int, Option[Seq[DataFile]]]
+    try {
+      var v = from + 1
+      var files = 0L
+      var rows = 0L
+      while (v <= latest) {
+        val step = computeAppendedAt(v)
+        memo(v) = step
+        val added = step.getOrElse(Nil)
+        files += added.size
+        rows += added.map(_.rows).sum
+        // a version that would push the batch PAST the cap is deferred
+        // to the next trigger — unless it is the batch's first version,
+        // in which case it is admitted whole (progress guarantee)
+        if ((maxFiles.exists(files > _) || maxRows.exists(rows > _)) && v > from + 1)
+          return v - 1
+        // stop once a cap is reached exactly (or by the oversized first)
+        if (maxFiles.exists(files >= _) || maxRows.exists(rows >= _)) return v
+        v += 1
+      }
+      latest
+    } finally walkMemo = memo.toMap // planInputPartitions reuses this walk
   }
 
   override def deserializeOffset(json: String): Offset =
@@ -167,37 +177,49 @@ final class GraftMicroBatchStream(
     * moves old files into a new manifest; the subtraction keeps them
     * out). Loads only changed manifests.
     */
-  private def appendedAt(v: Int): Option[Seq[DataFile]] = {
-    val snap =
-      try tbl.snapshotAt(v)
-      catch {
-        case e: java.nio.file.NoSuchFileException =>
-          // the checkpointed range was removed by expire_snapshots: the
-          // data can never be replayed — say so instead of surfacing a
-          // bare missing-file error from the metadata log
-          throw new IllegalStateException(
-            s"graft stream over ${tbl.tableDir} needs version $v, which has " +
-              "been removed by expire_snapshots; the checkpointed range is " +
-              "gone and cannot be replayed. Restart with a fresh checkpoint " +
-              "(optionally pinning streamStartVersion to a live version).", e)
+  /** Memo of the most recent admission walk: `latestOffset(start,
+    * limit)` and the `planInputPartitions(start, end]` that follows it
+    * cover the same versions, so each version's manifest diff is
+    * computed once per trigger, not twice. Replaced wholesale per walk
+    * — bounded by one batch's version span, never the table's history.
+    */
+  @volatile private var walkMemo: Map[Int, Option[Seq[DataFile]]] = Map.empty
+
+  private def appendedAt(v: Int): Option[Seq[DataFile]] =
+    walkMemo.getOrElse(v, computeAppendedAt(v))
+
+  private def computeAppendedAt(v: Int): Option[Seq[DataFile]] =
+    try {
+      val snap = tbl.snapshotAt(v)
+      val isAppend = snap.operation == "append" || snap.operation.startsWith("evolve") ||
+        snap.operation == "set-properties" || snap.operation == "create"
+      if (v == 0) Some(snap.files)
+      else if (!isAppend) None
+      else {
+        val prev = tbl.snapshotAt(v - 1)
+        val prevManifests = prev.manifestPaths
+        val currManifests = snap.manifestPaths
+        val droppedPaths = prev.fileGroups
+          .filterNot(g => currManifests.contains(g.manifest))
+          .flatMap(_.files).map(_.path).toSet
+        Some(snap.fileGroups
+          .filterNot(g => prevManifests.contains(g.manifest))
+          .flatMap(_.files)
+          .filterNot(f => droppedPaths.contains(f.path)))
       }
-    val isAppend = snap.operation == "append" || snap.operation.startsWith("evolve") ||
-      snap.operation == "set-properties" || snap.operation == "create"
-    if (v == 0) Some(snap.files)
-    else if (!isAppend) None
-    else {
-      val prev = tbl.snapshotAt(v - 1)
-      val prevManifests = prev.manifestPaths
-      val currManifests = snap.manifestPaths
-      val droppedPaths = prev.fileGroups
-        .filterNot(g => currManifests.contains(g.manifest))
-        .flatMap(_.files).map(_.path).toSet
-      Some(snap.fileGroups
-        .filterNot(g => prevManifests.contains(g.manifest))
-        .flatMap(_.files)
-        .filterNot(f => droppedPaths.contains(f.path)))
+    } catch {
+      case e: java.nio.file.NoSuchFileException =>
+        // the checkpointed range was removed by expire_snapshots: the
+        // data can never be replayed — say so instead of surfacing a
+        // bare missing-file error from the metadata log (the parent
+        // snapshot of the manifest diff can be the missing one, so the
+        // guard covers the whole computation)
+        throw new IllegalStateException(
+          s"graft stream over ${tbl.tableDir} needs version $v, which has " +
+            "been removed by expire_snapshots; the checkpointed range is " +
+            "gone and cannot be replayed. Restart with a fresh checkpoint " +
+            "(optionally pinning streamStartVersion to a live version).", e)
     }
-  }
 
   private def addedBetween(from: Int, to: Int): Seq[DataFile] = {
     val out = Seq.newBuilder[DataFile]

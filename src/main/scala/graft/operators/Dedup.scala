@@ -39,10 +39,14 @@ object Dedup {
     */
   def exact(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame = {
     val strs = contentCols.map(c => col(c).cast("string"))
+    // position-weighted length term: xxhash64 SKIPS null children, so
+    // ("a", null) and (null, "a") share both hash digests — the
+    // weighted lengths (null ⇒ -1) keep swapped-null rows distinct
     val keyed = df
       .withColumn("_k", xxhash64(strs: _*))
       .withColumn("_k2", xxhash64(strs.reverse.map(s => reverse(s)): _*))
-      .withColumn("_kl", strs.map(s => coalesce(length(s), lit(-1))).reduce(_ + _))
+      .withColumn("_kl", strs.zipWithIndex.map { case (s, i) =>
+        coalesce(length(s), lit(-1)) * lit(2L * i + 1) }.reduce(_ + _))
     val keepers = keyed.groupBy("_k", "_k2", "_kl").agg(min(col(idCol)).as(idCol))
     keyed.join(keepers, Seq("_k", "_k2", "_kl", idCol), "left_semi")
       .drop("_k", "_k2", "_kl")

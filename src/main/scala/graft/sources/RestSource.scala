@@ -46,22 +46,35 @@ object RestSource {
     * are fetched lazily — batch N+1's HTTP call happens only when the
     * iterator advances, so the loader's flush cadence bounds memory.
     */
-  def getData(url: String, cfg: RestConfig = RestConfig()): Iterator[Seq[JsonIngest.Record]] =
+  def getData(url: String, cfg: RestConfig = RestConfig()): Iterator[Seq[JsonIngest.Record]] = {
+    // ONE client per ingest: a JDK HttpClient owns a selector thread
+    // and connection pool reclaimed only at GC, and reusing it keeps
+    // page fetches on pooled connections
+    val client = HttpClient.newBuilder()
+      .followRedirects(HttpClient.Redirect.NORMAL) // the reference's requests follows redirects
+      .connectTimeout(Duration.ofSeconds(cfg.timeoutSeconds)).build()
     cfg.pageParam match {
-      case None => Iterator.single(fetchBatch(url, cfg))
+      case None => Iterator.single(fetchBatch(client, url, cfg))
       case Some(param) =>
         val sep = if (url.contains("?")) "&" else "?"
         Iterator.from(cfg.startPage)
           .take(cfg.maxPages)
-          .map(p => fetchBatch(s"$url$sep$param=$p", cfg))
+          .map { p =>
+            val batch = fetchBatch(client, s"$url$sep$param=$p", cfg)
+            if (batch.nonEmpty && p == cfg.startPage + cfg.maxPages - 1)
+              Log.warn("rest pagination stopped at maxPages with a non-empty " +
+                "final page; the endpoint may have more data",
+                "url" -> url, "maxPages" -> cfg.maxPages)
+            batch
+          }
           .takeWhile(_.nonEmpty)
     }
+  }
 
   /** One GET → one batch of records. */
-  private[sources] def fetchBatch(url: String, cfg: RestConfig): Seq[JsonIngest.Record] = {
+  private[sources] def fetchBatch(client: HttpClient, url: String,
+                                  cfg: RestConfig): Seq[JsonIngest.Record] = {
     Log.info("rest fetch", "url" -> url)
-    val client = HttpClient.newBuilder()
-      .connectTimeout(Duration.ofSeconds(cfg.timeoutSeconds)).build()
     val req = cfg.headers.foldLeft(
         HttpRequest.newBuilder(URI.create(url))
           .timeout(Duration.ofSeconds(cfg.timeoutSeconds)).GET()) {

@@ -777,7 +777,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
       // broadcast the SESSION Hadoop conf so executor-side footer reads
       // see spark.hadoop.* settings, matching the query read path
       val confB = spark.sparkContext.broadcast(
-        new graft.util.SerializableHadoopConf(
+        new org.apache.spark.util.SerializableConfiguration(
           org.apache.spark.sql.GraftSqlShim.newHadoopConf(spark)))
       try spark.sparkContext
         .parallelize(paths, slices)

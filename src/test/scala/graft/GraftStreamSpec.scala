@@ -176,6 +176,33 @@ class GraftStreamSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("admission defers a version that would overshoot the cap; oversized first versions go whole") {
+    val (s, c) = streamSession("graft-src7")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.sns7")
+    s.sql("CREATE TABLE graft.sns7.src (id BIGINT)")
+    s.sql("INSERT INTO graft.sns7.src VALUES (1)") // v: 1 row
+    s.sql("INSERT INTO graft.sns7.src VALUES (2), (3), (4), (5)") // v: 4 rows
+    val ckpt = Files.createTempDirectory("graft-src7-ckpt").toString
+    val q = s.readStream
+      .option("streamStartVersion", "-1")
+      .option("maxRowsPerTrigger", "2")
+      .table("graft.sns7.src")
+      .writeStream
+      .format("memory")
+      .queryName("graft_src7_sink")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      s.sql("SELECT id FROM graft_src7_sink").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+        Seq(1L, 2L, 3L, 4L, 5L)
+      val sizes = q.recentProgress.filter(_.numInputRows > 0).map(_.numInputRows).toSeq
+      // NOT one 5-row batch: the 1-row version first (the 4-row version
+      // would overshoot), then the oversized version alone
+      sizes shouldBe Seq(1L, 4L)
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains the backlog in limited batches, then stops") {
     val (s, c) = streamSession("graft-src5")
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft.sns5")

@@ -80,6 +80,20 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     out.toSeq shouldBe Seq(1L, 2L)
   }
 
+  test("exact dedup distinguishes rows whose null content is swapped across columns") {
+    // xxhash64 skips null children, so ("a", null) and (null, "a") share
+    // both digests — the position-weighted length term must keep them
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("t1", StringType), StructField("t2", StringType)))
+    val d = spark.createDataFrame(
+      java.util.List.of(Row(1L, "a", null), Row(2L, null, "a"), Row(3L, "a", null)),
+      schema)
+    val out = Dedup.exact(d, Seq("t1", "t2"), "id").orderBy("id").collect().map(_.getLong(0))
+    out.toSeq shouldBe Seq(1L, 2L) // 3 dedups against 1; 2 survives
+  }
+
   test("exactGroups reports group sizes and keeper ids") {
     val out = Dedup.exactGroups(docs((5L, "aaa"), (1L, "aaa"), (2L, "bbb")), "text", "id")
       .orderBy("keeper_id")
