@@ -31,6 +31,34 @@ object GraftStreamOffset {
   }
 }
 
+object GraftMicroBatchStream {
+  /** The admission walk as a pure function (property-tested): largest
+    * end version in (from, latest] whose cumulative (files, rows) —
+    * supplied per version by `sizeOf` — stays within the caps.
+    * A version that would push the batch PAST a cap is deferred unless
+    * it is the batch's first version, which is admitted whole (the
+    * progress guarantee). `sizeOf` is called once per inspected
+    * version, in ascending order.
+    */
+  private[graft] def admitWalk(from: Int, latest: Int,
+                                   maxFiles: Option[Int], maxRows: Option[Long])(
+                                   sizeOf: Int => (Long, Long)): Int = {
+    var v = from + 1
+    var files = 0L
+    var rows = 0L
+    while (v <= latest) {
+      val (f, r) = sizeOf(v)
+      files += f
+      rows += r
+      if ((maxFiles.exists(files > _) || maxRows.exists(rows > _)) && v > from + 1)
+        return v - 1
+      if (maxFiles.exists(files >= _) || maxRows.exists(rows >= _)) return v
+      v += 1
+    }
+    latest
+  }
+}
+
 /** Structured Streaming SOURCE over a graft table — the read-side
   * completion of [[graft.streaming.GraftStream]]'s sink (the reference
   * streams only INTO tables, `core/loader.py:210-235`; streaming OUT of
@@ -129,25 +157,12 @@ final class GraftMicroBatchStream(
     if (maxFiles.isEmpty && maxRows.isEmpty) return latest
     val memo = scala.collection.mutable.HashMap.empty[Int, Option[Seq[DataFile]]]
     try {
-      var v = from + 1
-      var files = 0L
-      var rows = 0L
-      while (v <= latest) {
+      GraftMicroBatchStream.admitWalk(from, latest, maxFiles, maxRows) { v =>
         val step = computeAppendedAt(v)
         memo(v) = step
         val added = step.getOrElse(Nil)
-        files += added.size
-        rows += added.map(_.rows).sum
-        // a version that would push the batch PAST the cap is deferred
-        // to the next trigger — unless it is the batch's first version,
-        // in which case it is admitted whole (progress guarantee)
-        if ((maxFiles.exists(files > _) || maxRows.exists(rows > _)) && v > from + 1)
-          return v - 1
-        // stop once a cap is reached exactly (or by the oversized first)
-        if (maxFiles.exists(files >= _) || maxRows.exists(rows >= _)) return v
-        v += 1
+        (added.size.toLong, added.map(_.rows).sum)
       }
-      latest
     } finally walkMemo = memo.toMap // planInputPartitions reuses this walk
   }
 

@@ -208,3 +208,49 @@ object FilterSqlProps extends Properties("FilterSql") {
       }
     }
 }
+
+/** Streaming admission walk: rate-limit invariants over arbitrary
+  * backlogs — the pure kernel behind maxFilesPerTrigger /
+  * maxRowsPerTrigger (`GraftMicroBatchStream.admitWalk`).
+  */
+object AdmissionProps extends Properties("AdmissionWalk") {
+  import graft.connector.GraftMicroBatchStream.admitWalk
+
+  private val backlogGen: Gen[Vector[Long]] =
+    Gen.chooseNum(1, 40).flatMap(n => Gen.containerOfN[Vector, Long](n, Gen.chooseNum(0L, 50L)))
+  private val capGen: Gen[Long] = Gen.chooseNum(1L, 60L)
+
+  private def walk(from: Int, latest: Int, cap: Long, sizes: Vector[Long]): Int =
+    admitWalk(from, latest, None, Some(cap))(v => (0L, sizes(v - 1)))
+
+  property("always makes progress when versions are pending") =
+    forAll(backlogGen, capGen) { (sizes, cap) =>
+      walk(0, sizes.size, cap, sizes) > 0
+    }
+
+  property("never exceeds the cap unless the batch is a single oversized version") =
+    forAll(backlogGen, capGen) { (sizes, cap) =>
+      val end = walk(0, sizes.size, cap, sizes)
+      val total = sizes.slice(0, end).sum
+      Prop(total <= cap || end == 1) :| s"end=$end total=$total cap=$cap"
+    }
+
+  property("maximal: stopping short of latest means the next version would overflow") =
+    forAll(backlogGen, capGen) { (sizes, cap) =>
+      val end = walk(0, sizes.size, cap, sizes)
+      Prop(end == sizes.size ||
+        sizes.slice(0, end).sum >= cap ||
+        sizes.slice(0, end + 1).sum > cap) :| s"premature stop at $end"
+    }
+
+  property("chained batches cover the whole backlog exactly once") =
+    forAll(backlogGen, capGen) { (sizes, cap) =>
+      var from = 0
+      var guard = 0
+      while (from < sizes.size && guard < sizes.size + 1) {
+        from = walk(from, sizes.size, cap, sizes)
+        guard += 1
+      }
+      Prop(from == sizes.size) :| s"stalled at $from after $guard batches"
+    }
+}
