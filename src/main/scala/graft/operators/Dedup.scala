@@ -251,6 +251,47 @@ object Dedup {
       banded.join(counts, keys, "left_semi")
     }
 
+  /** Duplicate-cluster assignment: connected components over near-dup
+    * pairs, labeling every document with the smallest id reachable
+    * through the pair graph — the step that turns pairwise LSH output
+    * into keep/drop decisions (keep the cluster representative, drop
+    * the rest). Iterative min-label propagation, the standard BSP
+    * shape: each round is one shuffle join (labels × edges) + one
+    * aggregate, converging in O(graph diameter) rounds — duplicate
+    * clusters are shallow (stars/chains), so a handful of rounds
+    * suffices; `maxIters` bounds adversarial chains. Each round's
+    * labels are checkpointed to keep lineage flat. At petabyte scale
+    * the same loop applies with the large-star/small-star optimization;
+    * the per-round shape (join on src, min-aggregate on id) is
+    * unchanged.
+    *
+    * `pairs` carries (id_a, id_b); returns (id, cluster) for every id
+    * in `nodes`, singletons labeling themselves.
+    */
+  def dupClusters(nodes: DataFrame, pairs: DataFrame, idCol: String = "id",
+                  maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("_src"), col("id_b").as("_dst"))
+      .union(pairs.select(col("id_b").as("_src"), col("id_a").as("_dst")))
+      .localCheckpoint(true) // read every round; pin one evaluation
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("cluster"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val next = edges
+        .join(labels, edges("_src") === labels("id"))
+        .select(col("_dst").as("id"), col("cluster"))
+        .union(labels)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .where(col("n.cluster") =!= col("o.cluster")).count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** Benchmark-contamination flagging: a training document is flagged
     * iff it shares any word `n`-gram with the benchmark corpus (the
     * standard eval-leakage check before training). The benchmark gram

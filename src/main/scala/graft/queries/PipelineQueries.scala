@@ -795,6 +795,40 @@ object PipelineQueries {
       },
       None),
 
+    // duplicate-cluster assignment: connected components over a dup-pair
+    // graph (chains force transitivity), oracled by a DuckDB recursive
+    // CTE computing the same min-reachable-id labels. Edges derive
+    // arithmetically from the documents table so both engines see the
+    // identical graph; the operator under test is the distributed
+    // label-propagation itself
+    "q75_dup_clusters" -> Q(
+      (s, dir) => {
+        val d = t(s, dir, "documents").where(col("doc_id") < 150)
+          .select(col("doc_id").as("id"))
+        // pair graph: i—(i+50) for i<50, and (i+50)—(i+100) for i<25:
+        // 25 three-node chains, 25 two-node pairs, 25 singletons
+        val e1 = d.where(col("id") < 50)
+          .select(col("id").as("id_a"), (col("id") + 50).as("id_b"))
+        val e2 = d.where(col("id") < 25)
+          .select((col("id") + 50).as("id_a"), (col("id") + 100).as("id_b"))
+        Dedup.dupClusters(d, e1.unionByName(e2))
+          .orderBy(col("id"))
+      },
+      Some("""WITH nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id < 150),
+             |edges AS (
+             |  SELECT id AS src, id + 50 AS dst FROM nodes WHERE id < 50
+             |  UNION ALL SELECT id + 50, id + 100 FROM nodes WHERE id < 25),
+             |bidir AS (
+             |  SELECT src, dst FROM edges
+             |  UNION ALL SELECT dst, src FROM edges),
+             |reach AS (
+             |  WITH RECURSIVE r(id, lbl) AS (
+             |    SELECT id, id FROM nodes
+             |    UNION
+             |    SELECT b.dst, r.lbl FROM bidir b JOIN r ON b.src = r.id)
+             |  SELECT id, MIN(lbl) AS cluster FROM r GROUP BY id)
+             |SELECT id, cluster FROM reach ORDER BY id""".stripMargin)),
+
     // portable-hash ANN dual (q64b/q28b trick applied to similarity
     // search): hyperplane components derived from md5(plane_dim) so
     // BOTH engines compute identical buckets, then identical

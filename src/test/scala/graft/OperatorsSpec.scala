@@ -94,6 +94,18 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     out.toSeq shouldBe Seq(1L, 2L) // 3 dedups against 1; 2 survives
   }
 
+  test("dupClusters labels transitive duplicate chains with the min reachable id") {
+    val s = spark
+    import s.implicits._
+    val nodes = (0L to 7L).toDF("id")
+    // 0-1-2 chain, 3-4 pair, 5/6/7 singletons
+    val pairs = Seq((1L, 0L), (1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(nodes, pairs).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    out shouldBe Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 3L),
+      (5L, 5L), (6L, 6L), (7L, 7L))
+  }
+
   test("exactGroups reports group sizes and keeper ids") {
     val out = Dedup.exactGroups(docs((5L, "aaa"), (1L, "aaa"), (2L, "bbb")), "text", "id")
       .orderBy("keeper_id")
