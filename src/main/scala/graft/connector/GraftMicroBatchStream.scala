@@ -5,7 +5,7 @@ import graft.table.GraftTable
 
 import org.apache.spark.sql.GraftSqlShim
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, ReadMaxRows, ReportsSourceMetrics, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
@@ -100,9 +100,26 @@ final class GraftMicroBatchStream(
     readDataSchema: StructType,
     pushed: Array[Filter],
     options: CaseInsensitiveStringMap)
-    extends MicroBatchStream with SupportsTriggerAvailableNow {
+    extends MicroBatchStream with SupportsTriggerAvailableNow with ReportsSourceMetrics {
 
   private val skipRewrites = options.getBoolean("streamSkipRewrites", false)
+
+  /** Per-batch observability in `StreamingQueryProgress.sources[i]
+    * .metrics`: how far the consumer lags the table's head, in
+    * versions — the number an operator alarms on.
+    */
+  override def metrics(latestConsumed: java.util.Optional[Offset])
+      : java.util.Map[String, String] = {
+    val head = tbl.currentOrFail().version
+    val consumed =
+      if (latestConsumed.isPresent)
+        latestConsumed.get.asInstanceOf[GraftStreamOffset].version
+      else -1
+    java.util.Map.of(
+      "tableVersion", head.toString,
+      "consumedVersion", consumed.toString,
+      "versionsBehind", math.max(0, head - consumed).toString)
+  }
 
   // Trigger.AvailableNow: pin the end version at preparation time so
   // the bounded run processes exactly the data available THEN (in

@@ -112,6 +112,10 @@ class GraftStreamSpec extends AnyFunSuite with Matchers {
       q.processAllAvailable()
       val got = s.sql("SELECT id FROM graft_src_sink").collect().map(_.getLong(0)).sorted.toSeq
       got shouldBe Seq(1L, 2L, 3L, 4L) // no gaps, no duplicates
+      // source metrics surface the consumer's version lag
+      val m = q.recentProgress.last.sources(0).metrics
+      m.get("versionsBehind") shouldBe "0"
+      m.get("tableVersion") should not be null
     } finally q.stop()
   }
 
