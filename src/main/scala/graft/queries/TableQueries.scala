@@ -262,6 +262,44 @@ object TableQueries {
              |FROM orders WHERE o_totalprice > 100000
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // DSv2 runtime filtering (DPP) under the correctness gate: a
+    // partitioned fact joined to a selectively-filtered dim table; the
+    // broadcast key set re-prunes fact files mid-execution (plan shape
+    // asserted), and the oracle recomputes the join from raw parquet
+    "q76_dpp_join" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq76").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq76", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq76.warehouse",
+            Files.createTempDirectory("graft-dpp").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq76.bench")
+        s.sql("DROP TABLE IF EXISTS graftq76.bench.li")
+        s.sql("DROP TABLE IF EXISTS graftq76.bench.sup")
+        s.sql("""CREATE TABLE graftq76.bench.li
+                |(l_suppkey BIGINT, l_quantity DOUBLE) PARTITIONED BY (bucket(8, l_suppkey))""".stripMargin)
+        s.sql("""CREATE TABLE graftq76.bench.sup (s_suppkey BIGINT, s_nationkey BIGINT)""")
+        t(s, dir, "lineitem").createOrReplaceTempView("q76_li_src")
+        t(s, dir, "supplier").createOrReplaceTempView("q76_sup_src")
+        s.sql("INSERT INTO graftq76.bench.li SELECT l_suppkey, l_quantity FROM q76_li_src")
+        s.sql("INSERT INTO graftq76.bench.sup SELECT s_suppkey, s_nationkey FROM q76_sup_src")
+        val out = s.sql(
+          """SELECT f.l_suppkey, COUNT(*) AS n,
+            |  CAST(SUM(CAST(f.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+            |FROM graftq76.bench.li f JOIN graftq76.bench.sup d ON f.l_suppkey = d.s_suppkey
+            |WHERE d.s_nationkey = 3
+            |GROUP BY f.l_suppkey ORDER BY f.l_suppkey""".stripMargin)
+        val planned = out.queryExecution.executedPlan.toString
+        require(planned.contains("dynamicpruningexpression"),
+          "runtime filter missing from the DPP join plan")
+        out
+      },
+      Some("""SELECT l_suppkey, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE s_nationkey = 3
+             |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
+
     // DSv2 DML round-trip: UPDATE + DELETE + MERGE through spark.sql,
     // then an aggregate the DuckDB oracle recomputes from the applied
     // semantics over the raw source
