@@ -1,0 +1,82 @@
+package graft.connector
+
+import java.util
+
+import graft.table.GraftTable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Iceberg-style SQL metadata tables: `SELECT * FROM graft.ns.t.history`
+  * (= `.snapshots`) and `graft.ns.t.files` — the commit log and the
+  * current snapshot's file inventory as queryable relations. Served as
+  * a [[LocalScan]]: the rows ARE driver-side metadata (the snapshot
+  * log), so shipping them through a distributed scan would only add
+  * overhead. Row counts are O(commits) / O(files of one snapshot) —
+  * the same order the driver already holds to plan any query.
+  */
+final class GraftMetadataTable(tbl: GraftTable, kind: String,
+                               fullName: String) extends Table with SupportsRead {
+
+  override def name(): String = fullName
+
+  override def schema(): StructType = kind match {
+    case "history" | "snapshots" => GraftMetadataTable.HistorySchema
+    case "files" => GraftMetadataTable.FilesSchema
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  private def rows(): Array[InternalRow] = kind match {
+    case "history" | "snapshots" =>
+      tbl.snapshots().map { s =>
+        new GenericInternalRow(Array[Any](
+          s.version, s.snapshotId, s.parentId.map(Long.box).orNull,
+          s.timestampMs, UTF8String.fromString(s.operation),
+          s.schemaVersion, s.fileGroups.map(_.fileCount).sum, s.rowCount))
+      }.toArray
+    case "files" =>
+      tbl.currentOrFail().files.map { f =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(f.path), f.rows, f.sizeBytes,
+          f.partitionValues
+            .map(pv => UTF8String.fromString(
+              pv.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${v.getOrElse("null")}" }
+                .mkString(", ")))
+            .orNull))
+      }.toArray
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new LocalScan {
+      override def rows(): Array[InternalRow] = GraftMetadataTable.this.rows()
+      override def readSchema(): StructType = schema()
+      override def description(): String = s"GraftMetadata($fullName)"
+    }
+}
+
+object GraftMetadataTable {
+  val Kinds: Set[String] = Set("history", "snapshots", "files")
+
+  val HistorySchema: StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("parent_id", LongType),
+    StructField("timestamp_ms", LongType, nullable = false),
+    StructField("operation", StringType, nullable = false),
+    StructField("schema_version", IntegerType, nullable = false),
+    StructField("file_count", IntegerType, nullable = false),
+    StructField("row_count", LongType, nullable = false)))
+
+  val FilesSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("partition_values", StringType)))
+}

@@ -66,6 +66,17 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // `graft.ns.t.history` parses as namespace [ns, t] + name "history":
+    // a two-level namespace whose prefix is a real table selects a
+    // METADATA table (Iceberg's metadata-table surface)
+    if (ident.namespace().length == 2 &&
+        GraftMetadataTable.Kinds.contains(ident.name().toLowerCase)) {
+      val parent = TableIdent(ident.namespace()(0), ident.namespace()(1))
+      if (cat.exists(parent))
+        return new GraftMetadataTable(cat.load(parent),
+          ident.name().toLowerCase, ident.toString)
+    }
+    if (ident.namespace().length != 1) throw new NoSuchTableException(ident)
     val ti = toIdent(ident)
     if (!cat.exists(ti)) throw new NoSuchTableException(ident)
     new GraftV2Table(cat.load(ti), ident)

@@ -344,6 +344,28 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     rows.head.getDouble(2) shouldBe (300.0 + 8.0 * 4950.0)
   }
 
+  test("metadata tables: SELECT from t.history and t.files") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.meta1")
+    spark.sql("CREATE TABLE graft.meta1.t (id BIGINT)")
+    spark.sql("INSERT INTO graft.meta1.t VALUES (1), (2)")
+    spark.sql("INSERT INTO graft.meta1.t VALUES (3)")
+    val hist = spark.sql(
+      "SELECT version, operation, row_count FROM graft.meta1.t.history ORDER BY version")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    hist.map(_._2).toSeq shouldBe Seq("append", "append", "append") // create + 2 inserts
+    hist.last._3 shouldBe 3L
+    // .snapshots is an alias
+    spark.sql("SELECT COUNT(*) FROM graft.meta1.t.snapshots").head.getLong(0) shouldBe 3L
+    val files = spark.sql(
+      "SELECT path, rows FROM graft.meta1.t.files ORDER BY path").collect()
+    files.map(_.getLong(1)).sum shouldBe 3L
+    files.foreach(_.getString(0) should endWith(".parquet"))
+    // a bogus metadata suffix is a missing table, not a crash
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft.meta1.t.nope").collect()
+    }
+  }
+
   test("SHOW TABLES, RENAME, and DROP work through the catalog") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns4")
     spark.sql("CREATE TABLE graft.ns4.a (id BIGINT)")
