@@ -344,6 +344,20 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     rows.head.getDouble(2) shouldBe (300.0 + 8.0 * 4950.0)
   }
 
+  test("DataFrameWriterV2 append and CREATE OR REPLACE work through the catalog") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.wv2")
+    spark.sql("CREATE TABLE graft.wv2.t (id BIGINT)")
+    val s = spark
+    import s.implicits._
+    Seq(1L, 2L).toDF("id").writeTo("graft.wv2.t").append()
+    Seq(3L).toDF("id").writeTo("graft.wv2.t").append()
+    spark.table("graft.wv2.t").count() shouldBe 3
+    // non-atomic REPLACE (no staging catalog): drop + create + insert
+    spark.sql("CREATE OR REPLACE TABLE graft.wv2.t (id BIGINT, v STRING)")
+    spark.table("graft.wv2.t").count() shouldBe 0
+    spark.table("graft.wv2.t").schema.fieldNames.toSeq shouldBe Seq("id", "v")
+  }
+
   test("metadata tables: SELECT from t.history and t.files") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.meta1")
     spark.sql("CREATE TABLE graft.meta1.t (id BIGINT)")
