@@ -35,11 +35,10 @@ final class GraftMetadataTable(tbl: GraftTable, kind: String,
 
   private def rows(): Array[InternalRow] = kind match {
     case "history" | "snapshots" =>
-      tbl.snapshots().map { s =>
+      tbl.historyTuples().map { case (v, sid, pid, ts, op, sv, fc, rc) =>
         new GenericInternalRow(Array[Any](
-          s.version, s.snapshotId, s.parentId.map(Long.box).orNull,
-          s.timestampMs, UTF8String.fromString(s.operation),
-          s.schemaVersion, s.fileGroups.map(_.fileCount).sum, s.rowCount))
+          v, sid, pid.map(Long.box).orNull, ts, UTF8String.fromString(op),
+          sv, fc, rc))
       }.toArray
     case "files" =>
       tbl.currentOrFail().files.map { f =>

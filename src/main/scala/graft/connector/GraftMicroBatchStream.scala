@@ -111,9 +111,14 @@ final class GraftMicroBatchStream(
   override def metrics(latestConsumed: java.util.Optional[Offset])
       : java.util.Map[String, String] = {
     val head = tbl.currentOrFail().version
+    // After a checkpoint restart the progress reporter hands back the
+    // offset rehydrated from the offset log (SerializedOffset), not
+    // this source's offset class — same defense as Kafka's source.
     val consumed =
-      if (latestConsumed.isPresent)
-        latestConsumed.get.asInstanceOf[GraftStreamOffset].version
+      if (latestConsumed.isPresent) latestConsumed.get match {
+        case g: GraftStreamOffset => g.version
+        case o => GraftStreamOffset.fromJson(o.json).version
+      }
       else -1
     java.util.Map.of(
       "tableVersion", head.toString,

@@ -84,6 +84,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 
   /** SQL `VERSION AS OF <v>` — version string must be a log version. */
   override def loadTable(ident: Identifier, version: String): Table = {
+    if (ident.namespace().length != 1) throw new NoSuchTableException(ident)
     val ti = toIdent(ident)
     if (!cat.exists(ti)) throw new NoSuchTableException(ident)
     new GraftV2Table(cat.load(ti), ident, Some(Left(version.toInt)))
@@ -91,6 +92,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 
   /** SQL `TIMESTAMP AS OF <ts>` — Spark passes MICROseconds. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (ident.namespace().length != 1) throw new NoSuchTableException(ident)
     val ti = toIdent(ident)
     if (!cat.exists(ti)) throw new NoSuchTableException(ident)
     new GraftV2Table(cat.load(ti), ident, Some(Right(timestamp / 1000L)))

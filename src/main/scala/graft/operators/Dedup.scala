@@ -256,39 +256,65 @@ object Dedup {
     * through the pair graph — the step that turns pairwise LSH output
     * into keep/drop decisions (keep the cluster representative, drop
     * the rest). Iterative min-label propagation, the standard BSP
-    * shape: each round is one shuffle join (labels × edges) + one
-    * aggregate, converging in O(graph diameter) rounds — duplicate
-    * clusters are shallow (stars/chains), so a handful of rounds
-    * suffices; `maxIters` bounds adversarial chains. Each round's
-    * labels are checkpointed to keep lineage flat. At petabyte scale
-    * the same loop applies with the large-star/small-star optimization;
-    * the per-round shape (join on src, min-aggregate on id) is
-    * unchanged.
+    * shape: each round is one edge-propagation shuffle join + one
+    * pointer-jumping self-join (`l(x) := min(l(x), l(l(x)))`), which
+    * halves the remaining chain depth every round — convergence in
+    * O(log diameter) rounds, so `maxIters = 20` covers chains of
+    * ~2^20 documents. Each round's labels are checkpointed to keep
+    * lineage flat. At petabyte scale the same loop applies with the
+    * large-star/small-star optimization; the per-round shape (join on
+    * src, min-aggregate on id) is unchanged.
     *
     * `pairs` carries (id_a, id_b); returns (id, cluster) for every id
-    * in `nodes`, singletons labeling themselves.
+    * in `nodes` and only those, singletons labeling themselves. Pairs
+    * touching ids absent from `nodes` (e.g. docs filtered out
+    * upstream) are dropped — excluded documents must not link
+    * clusters through themselves. Throws if `maxIters` rounds do not
+    * converge rather than silently returning split clusters.
     */
   def dupClusters(nodes: DataFrame, pairs: DataFrame, idCol: String = "id",
                   maxIters: Int = 20): DataFrame = {
+    val ids = nodes.select(col(idCol).as("id"))
     val edges = pairs.select(col("id_a").as("_src"), col("id_b").as("_dst"))
       .union(pairs.select(col("id_b").as("_src"), col("id_a").as("_dst")))
+      .join(ids.withColumnRenamed("id", "_src"), Seq("_src"), "left_semi")
+      .join(ids.withColumnRenamed("id", "_dst"), Seq("_dst"), "left_semi")
       .localCheckpoint(true) // read every round; pin one evaluation
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    var labels = ids.select(col("id"), col("id").as("cluster"))
       .localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
-      val next = edges
+      // min label over incoming neighbors, partial-aggregated BEFORE the
+      // join back onto labels (no union: smaller shuffle, and Union's
+      // constraint propagation chokes on checkpointed self-join lineage)
+      val neighborMin = edges
         .join(labels, edges("_src") === labels("id"))
-        .select(col("_dst").as("id"), col("cluster"))
-        .union(labels)
-        .groupBy("id").agg(min("cluster").as("cluster"))
+        .groupBy("_dst").agg(min("cluster").as("_ncluster"))
+      val prop = labels
+        .join(neighborMin, labels("id") === neighborMin("_dst"), "left")
+        .select(col("id"),
+          least(col("cluster"),
+            coalesce(col("_ncluster"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      // pointer jumping: labels always point at node ids (min over node
+      // ids), so chasing one hop through `prop` itself shortcuts chains
+      val next = prop.as("a")
+        .join(prop.as("b"), col("a.cluster") === col("b.id"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.cluster"),
+            coalesce(col("b.cluster"), col("a.cluster"))).as("cluster"))
         .localCheckpoint(true)
       changed = next.as("n").join(labels.as("o"), Seq("id"))
         .where(col("n.cluster") =!= col("o.cluster")).count()
       labels = next
       i += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIters rounds — with pointer " +
+          "jumping this needs a component of diameter > 2^" + maxIters +
+          "; raise maxIters")
     labels
   }
 

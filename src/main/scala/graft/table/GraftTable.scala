@@ -558,11 +558,18 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
     */
   def history(): DataFrame = {
     import spark.implicits._
-    snapshots().map(s => (s.version, s.snapshotId, s.parentId, s.timestampMs,
-        s.operation, s.schemaVersion, s.fileGroups.map(_.fileCount).sum, s.rowCount))
-      .toDF("version", "snapshot_id", "parent_id", "timestamp_ms",
-        "operation", "schema_version", "file_count", "row_count")
+    historyTuples().toDF("version", "snapshot_id", "parent_id", "timestamp_ms",
+      "operation", "schema_version", "file_count", "row_count")
   }
+
+  /** One row per snapshot — the single definition of the history
+    * relation's shape, shared by [[history]] and the SQL metadata
+    * tables (`t.history` / `t.snapshots`) so the two surfaces cannot
+    * diverge.
+    */
+  def historyTuples(): Seq[(Int, Long, Option[Long], Long, String, Int, Int, Long)] =
+    snapshots().map(s => (s.version, s.snapshotId, s.parentId, s.timestampMs,
+      s.operation, s.schemaVersion, s.fileGroups.map(_.fileCount).sum, s.rowCount))
 
   /** Compaction (M3, north star): rewrite the current file set into
     * `targetFiles` larger files, preserving partitioning. Data is

@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.Files
-
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -10,13 +8,7 @@ import org.scalatest.matchers.should.Matchers
   * integration surface.
   */
 class ConnectorSpec extends AnyFunSuite with Matchers {
-  private lazy val spark = {
-    val s = TestSpark.spark
-    val wh = Files.createTempDirectory("dsv2_wh").toString
-    s.conf.set("spark.sql.catalog.graft", "graft.connector.GraftSparkCatalog")
-    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
-    s
-  }
+  private lazy val spark = TestSpark.spark
 
   test("CREATE TABLE + INSERT + SELECT round-trips through SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns1")

@@ -83,10 +83,7 @@ class GraftStreamSpec extends AnyFunSuite with Matchers {
 
   private def streamSession(whName: String) = {
     val s = spark
-    val wh = Files.createTempDirectory(whName).toString
-    s.conf.set("spark.sql.catalog.graft", "graft.connector.GraftSparkCatalog")
-    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
-    (s, GraftCatalog(s, wh))
+    (s, GraftCatalog(s, TestSpark.warehouse))
   }
 
   test("readStream.table consumes committed appends incrementally, exactly once per version") {
@@ -117,6 +114,35 @@ class GraftStreamSpec extends AnyFunSuite with Matchers {
       m.get("versionsBehind") shouldBe "0"
       m.get("tableVersion") should not be null
     } finally q.stop()
+  }
+
+  test("restart from checkpoint: metrics() handles the rehydrated offset") {
+    // after a restart the first progress report hands metrics() the
+    // offset read back from the offset log (SerializedOffset, not
+    // GraftStreamOffset) — must not ClassCastException
+    val (s, _) = streamSession("graft-srcr")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.snsr")
+    s.sql("CREATE TABLE graft.snsr.src (id BIGINT, v STRING)")
+    s.sql("INSERT INTO graft.snsr.src VALUES (1, 'a')")
+    val ckpt = Files.createTempDirectory("graft-srcr-ckpt").toString
+    val out = Files.createTempDirectory("graft-srcr-out").toString
+    def start() = s.readStream
+      .option("streamStartVersion", "-1")
+      .table("graft.snsr.src")
+      .writeStream
+      .format("parquet") // memory sink refuses checkpoint recovery
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    s.sql("INSERT INTO graft.snsr.src VALUES (2, 'b')")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      q2.recentProgress.last.sources(0).metrics.get("versionsBehind") shouldBe "0"
+    } finally q2.stop()
+    s.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 2L)
   }
 
   test("stream starts at current version by default; non-append commits abort unless skipped") {

@@ -106,6 +106,31 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
       (5L, 5L), (6L, 6L), (7L, 7L))
   }
 
+  test("dupClusters drops pairs touching ids absent from nodes") {
+    val s = spark
+    import s.implicits._
+    // doc 9 was filtered out upstream: the (5,9) pair must neither leak
+    // id 9 into the output nor link anything through it
+    val nodes = Seq(5L, 6L).toDF("id")
+    val pairs = Seq((5L, 9L), (9L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(nodes, pairs).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    out shouldBe Seq((5L, 5L), (6L, 6L))
+  }
+
+  test("dupClusters converges on long chains within default maxIters") {
+    val s = spark
+    import s.implicits._
+    // a 60-node chain has diameter 59 — pointer jumping must converge
+    // it in O(log n) rounds, well under the default 20
+    val nodes = (0L until 60L).toDF("id")
+    val pairs = (0L until 59L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(nodes, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    out.length shouldBe 60
+    all(out.map(_._2)) shouldBe 0L
+  }
+
   test("exactGroups reports group sizes and keeper ids") {
     val out = Dedup.exactGroups(docs((5L, "aaa"), (1L, "aaa"), (2L, "bbb")), "text", "id")
       .orderBy("keeper_id")

@@ -253,4 +253,43 @@ object AdmissionProps extends Properties("AdmissionWalk") {
       }
       Prop(from == sizes.size) :| s"stalled at $from after $guard batches"
     }
+
+  // ---- files cap: same kernel, other branch of the comparisons ----
+
+  private def walkFiles(from: Int, latest: Int, cap: Long, sizes: Vector[Long]): Int =
+    admitWalk(from, latest, Some(cap.toInt), None)(v => (sizes(v - 1), 0L))
+
+  property("files cap: never exceeded unless the batch is a single oversized version") =
+    forAll(backlogGen, capGen) { (sizes, cap) =>
+      val end = walkFiles(0, sizes.size, cap, sizes)
+      val total = sizes.slice(0, end).sum
+      Prop(end > 0 && (total <= cap || end == 1)) :| s"end=$end total=$total cap=$cap"
+    }
+
+  property("files cap: chained batches cover the whole backlog") =
+    forAll(backlogGen, capGen) { (sizes, cap) =>
+      var from = 0
+      var guard = 0
+      while (from < sizes.size && guard < sizes.size + 1) {
+        from = walkFiles(from, sizes.size, cap, sizes)
+        guard += 1
+      }
+      Prop(from == sizes.size) :| s"stalled at $from after $guard batches"
+    }
+
+  // ---- composite caps (maxFiles AND maxRows set together) ----
+
+  private val backlog2Gen: Gen[Vector[(Long, Long)]] =
+    Gen.chooseNum(1, 40).flatMap(n => Gen.containerOfN[Vector, (Long, Long)](
+      n, Gen.zip(Gen.chooseNum(0L, 50L), Gen.chooseNum(0L, 50L))))
+
+  property("composite caps stop at the tighter of the two single-cap walks") =
+    forAll(backlog2Gen, capGen, capGen) { (sizes, capF, capR) =>
+      val both = admitWalk(0, sizes.size, Some(capF.toInt), Some(capR))(
+        v => sizes(v - 1))
+      val fOnly = admitWalk(0, sizes.size, Some(capF.toInt), None)(v => sizes(v - 1))
+      val rOnly = admitWalk(0, sizes.size, None, Some(capR))(v => sizes(v - 1))
+      Prop(both == math.min(fOnly, rOnly)) :|
+        s"both=$both filesOnly=$fOnly rowsOnly=$rOnly"
+    }
 }
