@@ -79,26 +79,45 @@ object Chunking {
   /** Deterministic OFFSET-based packing: rows ordered by `orderCols`
     * are laid end-to-end and a row's pack is `floor(startOffset /
     * budget)` — the pack where the row STARTS, so a pack may overflow
-    * by at most one row's tokens. Closed-form (one window cumulative
-    * sum), fully reproducible across engines and runs — the
-    * SQL-expressible counterpart of [[packSequences]]' first-fit, used
-    * when cross-engine verifiability matters more than tight fills.
+    * by at most one row's tokens. Fully reproducible across engines and
+    * runs — the SQL-expressible counterpart of [[packSequences]]'
+    * first-fit, used when cross-engine verifiability matters more than
+    * tight fills.
     *
-    * Scale note: the single global ordering means a one-partition
-    * window. For corpus scale, shard first (e.g. by `pmod(doc hash,
-    * shards)`) and pack within shards — pack ids become (shard, pack).
+    * The global prefix sum is computed distributed, not through a
+    * one-partition window (which moves the whole corpus to a single
+    * task): range-partition on the order, per-partition local cumsums,
+    * then per-partition totals — O(partitions) rows — are collected,
+    * prefix-summed on the driver, and broadcast back as base offsets.
+    * Identical values to a global-window cumsum whenever `orderCols`
+    * are a unique key (ties may land in either neighboring partition,
+    * the same freedom a global window has).
     */
   def packSequencesByOffset(df: DataFrame, tokenCountCol: String,
                             maxTokensPerPack: Int,
                             orderCols: Seq[String]): DataFrame = {
     require(maxTokensPerPack > 0, "maxTokensPerPack must be positive")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(orderCols.map(c => col(s"`$c`")): _*)
+    val ord = orderCols.map(c => col(s"`$c`"))
+    val parted = df.repartitionByRange(ord: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true) // totals + window must read ONE evaluation
+    val totals = parted.groupBy("_pid")
+      .agg(sum(col(tokenCountCol).cast("long")).as("_tot"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val bases = {
+      var acc = 0L
+      totals.map { case (pid, tot) => val b = acc; acc += tot; (pid, b) }
+    }
+    val baseDf = df.sparkSession.createDataFrame(bases.toSeq).toDF("_pid", "_base")
+    val w = Window.partitionBy(col("_pid")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("_start", coalesce(sum(col(tokenCountCol).cast("long")).over(w), lit(0L)))
+    parted.join(broadcast(baseDf), Seq("_pid"))
+      .withColumn("_start", col("_base") +
+        coalesce(sum(col(tokenCountCol).cast("long")).over(w), lit(0L)))
       .withColumn("pack_id",
         floor(col("_start").cast("double") / maxTokensPerPack).cast("long"))
-      .drop("_start")
+      .drop("_start", "_base", "_pid")
   }
 
   /** Deterministic train/validation/test assignment from a stable hash
