@@ -13,6 +13,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(IcebergBucketExpr.functionDescriptor)
+    // the text-pipeline library as graft_* SQL functions
+    graft.functions.SqlFunctions.all.foreach(ext.injectFunction)
     // MERGE INTO over graft DSv2 tables → the reference upsert semantics
     ext.injectPostHocResolutionRule(graft.connector.GraftMergeRule)
   }

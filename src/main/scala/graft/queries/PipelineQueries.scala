@@ -829,6 +829,29 @@ object PipelineQueries {
              |  SELECT id, MIN(lbl) AS cluster FROM r GROUP BY id)
              |SELECT id, cluster FROM reach ORDER BY id""".stripMargin)),
 
+    // the graft_* SQL function surface end-to-end: a pure spark.sql
+    // query through the extension-registered bindings (SqlFunctions),
+    // oracle-checked against the same duals as the Column forms — pins
+    // registration, argument binding, and the one-definition contract
+    "q77_sql_text_fns" -> Q(
+      (s, dir) => {
+        t(s, dir, "documents").createOrReplaceTempView("q77_docs")
+        s.sql("""SELECT doc_id,
+                |  graft_token_count(text) AS tokens,
+                |  ROUND(graft_punct_ratio(text), 4) AS punct_ratio,
+                |  ROUND(graft_repeated_ngram_fraction(text, 2), 4) AS rep2
+                |FROM q77_docs WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, text, $DTOKENS AS t FROM documents WHERE doc_id < 200)
+              |SELECT doc_id,
+              |  len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS tokens,
+              |  ROUND(CASE WHEN len(text) = 0 THEN 0.0
+              |    ELSE (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / len(text) END, 4) AS punct_ratio,
+              |  ROUND(CASE WHEN len(t) < 2 THEN 0.0
+              |    ELSE 1.0 - len(list_distinct(list_transform(range(1, len(t)),
+              |           i -> t[i] || ' ' || t[i+1]))) * 1.0 / (len(t) - 1) END, 4) AS rep2
+              |FROM toks ORDER BY doc_id""".stripMargin)),
+
     // portable-hash ANN dual (q64b/q28b trick applied to similarity
     // search): hyperplane components derived from md5(plane_dim) so
     // BOTH engines compute identical buckets, then identical

@@ -20,4 +20,17 @@ object GraftSqlShim {
     */
   def newHadoopConf(spark: SparkSession): org.apache.hadoop.conf.Configuration =
     spark.asInstanceOf[classic.SparkSession].sessionState.newHadoopConf()
+
+  /** Column ↔ Expression bridges — lets the Column-combinator function
+    * library double as a SQL function surface (builders registered via
+    * `SparkSessionExtensions.injectFunction` receive `Expression`s).
+    */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    // eager conversion — ExpressionUtils.expression returns a lazy
+    // ColumnNodeExpression the analyzer won't unwrap when the tree is
+    // produced by a FunctionRegistry builder
+    classic.ColumnNodeToExpressionConverter(c.node)
+
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }
