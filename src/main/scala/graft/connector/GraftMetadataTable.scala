@@ -19,9 +19,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * log), so shipping them through a distributed scan would only add
   * overhead. Row counts are O(commits) / O(files of one snapshot) —
   * the same order the driver already holds to plan any query.
+  *
+  * `asOfVersion` pins the relation to a historic snapshot (SQL
+  * `VERSION AS OF v`, the Iceberg metadata-table time-travel surface):
+  * `.files` lists THAT snapshot's inventory, `.history`/`.snapshots`
+  * truncate to commits ≤ v — what the log looked like then.
   */
 final class GraftMetadataTable(tbl: GraftTable, kind: String,
-                               fullName: String) extends Table with SupportsRead {
+                               fullName: String,
+                               asOfVersion: Option[Int] = None)
+    extends Table with SupportsRead {
 
   override def name(): String = fullName
 
@@ -35,13 +42,15 @@ final class GraftMetadataTable(tbl: GraftTable, kind: String,
 
   private def rows(): Array[InternalRow] = kind match {
     case "history" | "snapshots" =>
-      tbl.historyTuples().map { case (v, sid, pid, ts, op, sv, fc, rc) =>
-        new GenericInternalRow(Array[Any](
-          v, sid, pid.map(Long.box).orNull, ts, UTF8String.fromString(op),
-          sv, fc, rc))
-      }.toArray
+      tbl.historyTuples()
+        .filter { case (v, _, _, _, _, _, _, _) => asOfVersion.forall(v <= _) }
+        .map { case (v, sid, pid, ts, op, sv, fc, rc) =>
+          new GenericInternalRow(Array[Any](
+            v, sid, pid.map(Long.box).orNull, ts, UTF8String.fromString(op),
+            sv, fc, rc))
+        }.toArray
     case "files" =>
-      tbl.currentOrFail().files.map { f =>
+      asOfVersion.map(tbl.snapshotAt).getOrElse(tbl.currentOrFail()).files.map { f =>
         new GenericInternalRow(Array[Any](
           UTF8String.fromString(f.path), f.rows, f.sizeBytes,
           f.partitionValues

@@ -82,8 +82,18 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     new GraftV2Table(cat.load(ti), ident)
   }
 
-  /** SQL `VERSION AS OF <v>` — version string must be a log version. */
+  /** SQL `VERSION AS OF <v>` — version string must be a log version.
+    * Works on metadata tables too (`t.files VERSION AS OF 3` = that
+    * snapshot's file inventory, the Iceberg surface).
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
+    if (ident.namespace().length == 2 &&
+        GraftMetadataTable.Kinds.contains(ident.name().toLowerCase)) {
+      val parent = TableIdent(ident.namespace()(0), ident.namespace()(1))
+      if (cat.exists(parent))
+        return new GraftMetadataTable(cat.load(parent),
+          ident.name().toLowerCase, ident.toString, Some(version.toInt))
+    }
     if (ident.namespace().length != 1) throw new NoSuchTableException(ident)
     val ti = toIdent(ident)
     if (!cat.exists(ti)) throw new NoSuchTableException(ident)

@@ -370,6 +370,18 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT * FROM graft.meta1.t.nope").collect()
     }
+    // metadata-table time travel: .files pinned at a historic snapshot,
+    // .history truncated to commits <= v
+    spark.sql(
+      "SELECT CAST(SUM(rows) AS BIGINT) FROM graft.meta1.t.files VERSION AS OF 1")
+      .head.getLong(0) shouldBe 2L // first INSERT only
+    spark.sql("SELECT COUNT(*) FROM graft.meta1.t.history VERSION AS OF 1")
+      .head.getLong(0) shouldBe 2L // create + first INSERT
+    // time travel on a regular table with a bogus namespace stays a
+    // clean analysis error
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft.meta1.t.nope VERSION AS OF 1").collect()
+    }
   }
 
   test("SHOW TABLES, RENAME, and DROP work through the catalog") {
