@@ -35,6 +35,7 @@ final class GraftMetadataTable(tbl: GraftTable, kind: String,
   override def schema(): StructType = kind match {
     case "history" | "snapshots" => GraftMetadataTable.HistorySchema
     case "files" => GraftMetadataTable.FilesSchema
+    case "partitions" => GraftMetadataTable.PartitionsSchema
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -53,13 +54,22 @@ final class GraftMetadataTable(tbl: GraftTable, kind: String,
       asOfVersion.map(tbl.snapshotAt).getOrElse(tbl.currentOrFail()).files.map { f =>
         new GenericInternalRow(Array[Any](
           UTF8String.fromString(f.path), f.rows, f.sizeBytes,
-          f.partitionValues
-            .map(pv => UTF8String.fromString(
-              pv.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${v.getOrElse("null")}" }
-                .mkString(", ")))
-            .orNull))
+          renderPartition(f).orNull))
       }.toArray
+    case "partitions" =>
+      asOfVersion.map(tbl.snapshotAt).getOrElse(tbl.currentOrFail()).files
+        .groupBy(f => renderPartition(f))
+        .toSeq.sortBy(_._1.map(_.toString).getOrElse(""))
+        .map { case (part, fs) =>
+          new GenericInternalRow(Array[Any](
+            part.orNull, fs.size, fs.map(_.rows).sum, fs.map(_.sizeBytes).sum))
+        }.toArray
   }
+
+  private def renderPartition(f: graft.meta.DataFile): Option[UTF8String] =
+    f.partitionValues.map(pv => UTF8String.fromString(
+      pv.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${v.getOrElse("null")}" }
+        .mkString(", ")))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new LocalScan {
@@ -70,7 +80,7 @@ final class GraftMetadataTable(tbl: GraftTable, kind: String,
 }
 
 object GraftMetadataTable {
-  val Kinds: Set[String] = Set("history", "snapshots", "files")
+  val Kinds: Set[String] = Set("history", "snapshots", "files", "partitions")
 
   val HistorySchema: StructType = StructType(Seq(
     StructField("version", IntegerType, nullable = false),
@@ -87,4 +97,14 @@ object GraftMetadataTable {
     StructField("rows", LongType, nullable = false),
     StructField("size_bytes", LongType, nullable = false),
     StructField("partition_values", StringType)))
+
+  /** Per-partition rollup of the (possibly version-pinned) snapshot's
+    * inventory — the small-file / skew diagnosis surface (Iceberg's
+    * `.partitions`). NULL partition = unpartitioned table's files.
+    */
+  val PartitionsSchema: StructType = StructType(Seq(
+    StructField("partition_values", StringType),
+    StructField("file_count", IntegerType, nullable = false),
+    StructField("row_count", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false)))
 }

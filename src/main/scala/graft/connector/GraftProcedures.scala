@@ -27,7 +27,8 @@ object GraftProcedures {
 
   val Namespace: Array[String] = Array("system")
 
-  val Names: Seq[String] = Seq("expire_snapshots", "compact", "remove_orphans", "cluster")
+  val Names: Seq[String] =
+    Seq("expire_snapshots", "compact", "remove_orphans", "cluster", "rollback_to_version")
 
   def load(cat: () => GraftCatalog, name: String): Option[UnboundProcedure] =
     name match {
@@ -67,6 +68,20 @@ object GraftProcedures {
           val cols = in.getUTF8String(2).toString.split(",").map(_.trim).toSeq
           val snap = tbl.compactClustered(cols, in.getInt(3))
           new GenericInternalRow(Array[Any](snap.files.size))
+        }))
+      case "rollback_to_version" => Some(proc(name,
+        Array(
+          ProcedureParameter.in("namespace", StringType).build(),
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("version", IntegerType).build()),
+        StructType(Seq(
+          StructField("restored_version", IntegerType),
+          StructField("new_version", IntegerType))),
+        { in =>
+          val tbl = cat().load(TableIdent(in.getUTF8String(0).toString,
+            in.getUTF8String(1).toString))
+          val snap = tbl.rollbackTo(in.getInt(2))
+          new GenericInternalRow(Array[Any](in.getInt(2), snap.version))
         }))
       case "remove_orphans" => Some(proc(name,
         Array(

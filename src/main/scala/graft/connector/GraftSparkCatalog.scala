@@ -102,6 +102,16 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 
   /** SQL `TIMESTAMP AS OF <ts>` — Spark passes MICROseconds. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (ident.namespace().length == 2 &&
+        GraftMetadataTable.Kinds.contains(ident.name().toLowerCase)) {
+      val parent = TableIdent(ident.namespace()(0), ident.namespace()(1))
+      if (cat.exists(parent)) {
+        val tbl = cat.load(parent)
+        return new GraftMetadataTable(tbl, ident.name().toLowerCase,
+          ident.toString,
+          Some(tbl.snapshotAsOfTimestamp(timestamp / 1000L).version))
+      }
+    }
     if (ident.namespace().length != 1) throw new NoSuchTableException(ident)
     val ti = toIdent(ident)
     if (!cat.exists(ti)) throw new NoSuchTableException(ident)

@@ -192,6 +192,27 @@ object TableQueries {
       },
       Some(s"""SELECT COUNT(*) AS n, ${DSUM("o_totalprice")} AS total FROM orders""".stripMargin)),
 
+    // rollback_to_version: bad commits (wrong-status append + a delete)
+    // rolled back metadata-only; the scan must read exactly snapshot
+    // 0's content and history must stay append-only (5 commits)
+    "q78_rollback" -> Q(
+      (s, dir) => {
+        val cat = freshCatalog(s)
+        val ident = TableIdent("bench", "ord_rb")
+        val o = t(s, dir, "orders")
+        val tbl = cat.ensure(ident)
+        tbl.append(o.where(col("o_orderstatus") === "O"))
+        tbl.append(o.where(col("o_orderstatus") =!= "O")) // the mistake
+        tbl.deleteWhere("o_totalprice < 50000.0")         // churn on top
+        val snap = tbl.rollbackTo(0)
+        require(snap.operation == "rollback" && snap.version == 3,
+          s"unexpected rollback head: ${snap.operation} v${snap.version}")
+        require(tbl.snapshots().size == 4, "history must stay append-only")
+        tbl.scan().agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      },
+      Some(s"""SELECT COUNT(*) AS n, ${DSUM("o_totalprice")} AS total
+              |FROM orders WHERE o_orderstatus = 'O'""".stripMargin)),
+
     // ST1 commit_interval micro-batching: 10 batches @ interval 3 ⇒ 4 txns
     "q48_commit_interval" -> Q(
       (s, dir) => {

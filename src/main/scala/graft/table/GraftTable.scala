@@ -392,6 +392,31 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
   // Maintenance (M1–M3)
   // ------------------------------------------------------------------
 
+  /** Roll the table back to snapshot `version`: a NEW forward commit
+    * (the log stays append-only, history preserved) whose file set,
+    * schema, and partition spec are exactly the target snapshot's —
+    * Iceberg's `rollback_to_snapshot`. Metadata-only: no data is read
+    * or written; fails if the target snapshot is expired (its log
+    * entry gone) since its files may have been garbage-collected.
+    */
+  def rollbackTo(version: Int): Snapshot = {
+    val target = snapshotAt(version)
+    log.commit { parent =>
+      val p = parent.getOrElse(
+        throw new IllegalStateException("cannot roll back an empty table"))
+      require(version <= p.version,
+        s"cannot roll back to future version $version (current ${p.version})")
+      p.copy(
+        snapshotId = newSnapshotId(),
+        operation = "rollback",
+        schema = target.schema,
+        schemaVersion = target.schemaVersion,
+        partitionSpec = target.partitionSpec,
+        properties = target.properties,
+        fileGroups = target.fileGroups)
+    }
+  }
+
   /** Expire snapshots (M1, `services/maintenance.py:12-86`).
     * Cutoff = `olderThanMs` if given, else timestamp of the
     * `keepLast`-th newest snapshot minus 1 ms. `keepLast` ≤ 0 or

@@ -177,6 +177,53 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT COUNT(*) FROM graft.nsm.m").head.getLong(0) shouldBe 3
   }
 
+  test("CALL graft.system.rollback_to_version restores a past snapshot as a new commit") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsrb")
+    spark.sql("CREATE TABLE graft.nsrb.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.nsrb.t VALUES (1, 'keep'), (2, 'keep')")
+    spark.sql("INSERT INTO graft.nsrb.t VALUES (3, 'mistake')")
+    spark.sql("DELETE FROM graft.nsrb.t WHERE id = 1") // another mutation on top
+    val res = spark.sql("CALL graft.system.rollback_to_version('nsrb', 't', 1)").head
+    res.getInt(0) shouldBe 1 // restored
+    res.getInt(1) shouldBe 4 // new head: create,ins,ins,del -> rollback commit
+    // table content is exactly snapshot 1's; history is append-only
+    spark.sql("SELECT id FROM graft.nsrb.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L)
+    spark.sql(
+      "SELECT operation FROM graft.nsrb.t.history ORDER BY version DESC LIMIT 1")
+      .head.getString(0) shouldBe "rollback"
+    // rolling back to a future version is an error
+    intercept[Exception] {
+      spark.sql("CALL graft.system.rollback_to_version('nsrb', 't', 99)").collect()
+    }
+  }
+
+  test("metadata .partitions rolls up per-partition file/row/size counts") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsp")
+    spark.sql(
+      """CREATE TABLE graft.nsp.t (id BIGINT, ts TIMESTAMP_NTZ)
+        |PARTITIONED BY (month(ts))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.nsp.t VALUES
+        |(1, TIMESTAMP_NTZ '2024-01-05 10:00:00'),
+        |(2, TIMESTAMP_NTZ '2024-01-20 10:00:00'),
+        |(3, TIMESTAMP_NTZ '2024-02-10 10:00:00')""".stripMargin)
+    val parts = spark.sql(
+      "SELECT partition_values, file_count, row_count FROM graft.nsp.t.partitions ORDER BY partition_values")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    parts.length shouldBe 2
+    parts.map(_._3).sum shouldBe 3L
+    parts.foreach(_._1 should include("ts_month="))
+    // unpartitioned table: single NULL-partition rollup
+    spark.sql("CREATE TABLE graft.nsp.u (id BIGINT)")
+    spark.sql("INSERT INTO graft.nsp.u VALUES (1), (2)")
+    val up = spark.sql(
+      "SELECT partition_values, row_count FROM graft.nsp.u.partitions").collect()
+    up.length shouldBe 1
+    up(0).isNullAt(0) shouldBe true
+    up(0).getLong(1) shouldBe 2L
+  }
+
   test("CALL graft.system.cluster rewrites files range-clustered on a column") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nscl")
     spark.sql("CREATE TABLE graft.nscl.c (id BIGINT, v DOUBLE)")
