@@ -123,6 +123,56 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist an IVF index INTO a graft table partitioned by `_cell` —
+    * the 100 TB layout [[ivfIndex]]'s doc promises, actually wired
+    * through the engine's table format: the assigned corpus lands one
+    * file per cell per commit (hash write distribution), centroids ride
+    * in table properties, and a probe becomes a PARTITION-PRUNED scan
+    * that reads `nprobe` cells' files, never the corpus. Index refresh
+    * is a normal table write (append/overwrite); time travel and
+    * maintenance apply like any other table.
+    */
+  def writeIvfIndexTable(cat: graft.table.GraftCatalog,
+                         ident: graft.table.TableIdent,
+                         df: DataFrame, vecCol: String, idCol: String,
+                         nlist: Int, seed: Long = 42L,
+                         trainFraction: Double = 1.0): graft.table.GraftTable = {
+    val (assigned, centroids) = ivfIndex(df, vecCol, idCol, nlist, seed, trainFraction)
+    val tbl = cat.ensure(ident, Some("_cell"))
+    tbl.append(assigned, Map(
+      "graft.ivf.centroids" -> centroids.map(_.mkString(",")).mkString(";"),
+      "graft.ivf.vec-col" -> vecCol,
+      "graft.ivf.id-col" -> idCol))
+    tbl
+  }
+
+  /** Probe a persisted IVF index table: nearest `nprobe` centroids from
+    * the table's own properties, then a partition-pruned scan of just
+    * those cells, exact-scored. The file-pruning work happens driver-
+    * side in the table's metadata — no job touches non-probed cells.
+    */
+  def ivfTopKFromTable(tbl: graft.table.GraftTable, query: Seq[Float],
+                       k: Int, nprobe: Int): DataFrame = {
+    val props = tbl.currentOrFail().properties
+    val centroids = props("graft.ivf.centroids")
+      .split(";").map(_.split(",").map(_.toDouble))
+    val vecCol = props("graft.ivf.vec-col")
+    val idCol = props("graft.ivf.id-col")
+    val q = query.map(_.toDouble).toArray
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val probes = centroids.zipWithIndex
+      .sortBy { case (c, _) => -cos(c, q) }.take(math.max(1, nprobe)).map(_._2)
+    val qCol = array(query.map(lit): _*)
+    tbl.scanWhere(s"_cell IN (${probes.mkString(", ")})")
+      .select(col(idCol), cosine(col(vecCol), qCol).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs top-k neighbor join for a (small, broadcastable) query
     * set: each query row gets its k nearest corpus rows. The corpus
     * side streams; queries broadcast.

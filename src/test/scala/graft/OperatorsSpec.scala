@@ -332,6 +332,32 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     (1L to 5L).foreach(i => pairs should contain((i, i + 100)))
   }
 
+  test("persisted IVF index table: probes are partition-pruned, top-k matches brute force") {
+    val s = spark
+    import s.implicits._
+    val cat = graft.table.GraftCatalog(s,
+      java.nio.file.Files.createTempDirectory("graft-ivf").toString)
+    val vecs = (1L to 120L).map(i =>
+      (i, Seq.tabulate(8)(d => math.sin(i * 17 + d * 3).toFloat)))
+    val df = vecs.toDF("id", "v")
+    val ident = graft.table.TableIdent("ops", "ivf_idx")
+    val tbl = Similarity.writeIvfIndexTable(cat, ident, df, "v", "id", nlist = 6)
+    // cells landed as identity partitions: probing must prune files
+    val total = tbl.currentOrFail().files.size
+    val pruned = tbl.prunedFiles("_cell IN (0, 1)").size
+    pruned should be < total
+    // generous nprobe ⇒ the approximate top-5 equals exact top-5
+    val query = vecs(7)._2
+    val approx = Similarity.ivfTopKFromTable(tbl, query, k = 5, nprobe = 6)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = Similarity.bruteForceTopK(df, "v", "id", query, 5)
+      .collect().map(_.getLong(0)).toSeq
+    approx shouldBe exact
+    // tight nprobe still finds the self-match
+    Similarity.ivfTopKFromTable(tbl, query, k = 1, nprobe = 1)
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(8L)
+  }
+
   test("rangeJoin matches exactly the naive theta-join overlap result") {
     import graft.operators.RangeJoin
     val s = spark
