@@ -9,7 +9,8 @@ import graft.meta.{DataFile, Snapshot}
 import org.apache.spark.sql.{DataFrame, GraftSqlShim}
 import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability}
-import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources
@@ -97,10 +98,12 @@ final class GraftV2Table(tbl: GraftTable, ident: Identifier,
 final class GraftScanBuilder(tbl: GraftTable, snapAt: () => Snapshot,
                              options: CaseInsensitiveStringMap =
                                CaseInsensitiveStringMap.empty())
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: Option[StructType] = None
+  private var aggResult: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
 
   /** Keep the translatable filters for FILE pruning but return every
     * filter as residual — Spark re-evaluates them row-level, so an
@@ -116,7 +119,26 @@ final class GraftScanBuilder(tbl: GraftTable, snapAt: () => Snapshot,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
 
-  override def build(): Scan = new GraftNativeScan(tbl, snapAt(), pushed, required, options)
+  // ---- metadata-only aggregate pushdown (see GraftAggPushdown) ------
+  // Spark only attempts this on filterless scans (every filter above is
+  // reported residual), so a successful push answers count/min/max from
+  // the manifest-list summaries without opening a single data file.
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    pushed.isEmpty && GraftAggPushdown.plan(snapAt(), agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (pushed.nonEmpty) false
+    else GraftAggPushdown.plan(snapAt(), agg) match {
+      case some @ Some(_) => aggResult = some; true
+      case None => false
+    }
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((out, row)) => new GraftAggScan(out, row, tbl.tableDir.toString)
+    case None => new GraftNativeScan(tbl, snapAt(), pushed, required, options)
+  }
 }
 
 /** Native DSv2 scan: snapshot metadata chooses the file set (manifest

@@ -78,24 +78,37 @@ object ManifestSummary {
     }.toSet
     val cols = schema.fieldNames.filter(c => numeric.contains(c) || stringy.contains(c))
     val merged = cols.flatMap { c =>
-      val perFile = files.map(_.stats.get(c))
-      if (files.isEmpty || perFile.exists(s => s.isEmpty || s.get.min.isEmpty || s.get.max.isEmpty)) None
+      // a file entry is usable when it carries min+max, or is PROVABLY
+      // all-null for this column (no min/max, null count == file rows):
+      // all-null files contribute no values to the merged range and
+      // their nulls to the merged count. Any other shape (no entry at
+      // all, or a partial one) drops the column — never merged wrongly.
+      val perFile = files.map(f => (f, f.stats.get(c)))
+      val usable = files.nonEmpty && perFile.forall { case (f, s) =>
+        s.exists(cs => (cs.min.isDefined && cs.max.isDefined) ||
+          cs.nullCount.contains(f.rows))
+      }
+      if (!usable) None
       else {
-        val ss = perFile.map(_.get)
-        val (mins, maxes) = (ss.map(_.min.get), ss.map(_.max.get))
-        val range: Option[(String, String)] =
-          if (numeric.contains(c)) {
+        val ss = perFile.map(_._2.get)
+        val valued = ss.filter(_.min.isDefined)
+        val (mins, maxes) = (valued.map(_.min.get), valued.map(_.max.get))
+        val range: Option[(Option[String], Option[String])] =
+          if (valued.isEmpty) Some((None, None)) // whole group all-null
+          else if (numeric.contains(c)) {
             try {
               val ns = mins.map(BigDecimal(_)); val xs = maxes.map(BigDecimal(_))
-              Some((ns.min.bigDecimal.toPlainString, xs.max.bigDecimal.toPlainString))
+              Some((Some(ns.min.bigDecimal.toPlainString),
+                Some(xs.max.bigDecimal.toPlainString)))
             } catch { case _: NumberFormatException => None }
-          } else Some((mins.min, maxes.max))
-        range.map { case (lo, hi) =>
-          val nulls = ss.map(_.nullCount).foldLeft(Option(0L)) {
-            case (Some(a), Some(b)) => Some(a + b)
-            case _ => None
-          }
-          c -> ColumnStats(Some(lo), Some(hi), nulls)
+          } else Some((Some(mins.min), Some(maxes.max)))
+        val nulls = ss.map(_.nullCount).foldLeft(Option(0L)) {
+          case (Some(a), Some(b)) => Some(a + b)
+          case _ => None
+        }
+        range.collect {
+          case (lo, hi) if lo.isDefined || nulls.isDefined =>
+            c -> ColumnStats(lo, hi, nulls)
         }
       }
     }.toMap

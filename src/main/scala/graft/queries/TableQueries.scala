@@ -321,6 +321,45 @@ object TableQueries {
              |WHERE s_nationkey = 3
              |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
 
+    // Metadata-only aggregate pushdown: count/min/max answered from the
+    // manifest-list summaries (plan asserted to be a LocalTableScan —
+    // zero data files opened); the oracle recomputes from raw parquet
+    "q79_agg_pushdown" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq79").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq79", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq79.warehouse",
+            Files.createTempDirectory("graft-aggpd").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq79.bench")
+        s.sql("DROP TABLE IF EXISTS graftq79.bench.ords")
+        s.sql("""CREATE TABLE graftq79.bench.ords
+                |(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+                | o_orderdate TIMESTAMP_NTZ)""".stripMargin)
+        t(s, dir, "orders").createOrReplaceTempView("q79_src")
+        // two commits so the answer must merge several manifest summaries
+        s.sql("""INSERT INTO graftq79.bench.ords
+                |SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+                |FROM q79_src WHERE o_orderkey % 2 = 0""".stripMargin)
+        s.sql("""INSERT INTO graftq79.bench.ords
+                |SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+                |FROM q79_src WHERE o_orderkey % 2 <> 0""".stripMargin)
+        val out = s.sql(
+          """SELECT COUNT(*) AS n, COUNT(o_custkey) AS n_cust,
+            |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+            |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+            |  MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+            |FROM graftq79.bench.ords""".stripMargin)
+        require(out.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+          "aggregate was not answered from metadata (expected LocalTableScan)")
+        out
+      },
+      Some("""SELECT COUNT(*) AS n, COUNT(o_custkey) AS n_cust,
+             |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+             |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+             |  MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+             |FROM orders""".stripMargin)),
+
     // DSv2 DML round-trip: UPDATE + DELETE + MERGE through spark.sql,
     // then an aggregate the DuckDB oracle recomputes from the applied
     // semantics over the raw source

@@ -69,9 +69,14 @@ object FooterStats extends Serializable {
     val reader = ParquetFileReader.open(in)
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
-      // accumulate (min, max, nulls) across row groups per column; a
-      // single undecodable row group poisons that column permanently
-      val acc = scala.collection.mutable.Map.empty[String, (Cmp, Cmp, Option[Long])]
+      // accumulate (min/max over value-bearing row groups, nulls) per
+      // column. A row group whose stats are missing or in an unhandled
+      // domain poisons the column permanently; a row group that is
+      // ALL-null is NOT poison — it contributes no values but a valid
+      // null count, so e.g. a 1-row file with a null cell still records
+      // `ColumnStats(None, None, Some(rows))`, which IS NULL pruning
+      // and count(col) aggregate pushdown both rely on.
+      val acc = scala.collection.mutable.Map.empty[String, (Option[(Cmp, Cmp)], Option[Long])]
       val poisoned = scala.collection.mutable.Set.empty[String]
       for (block <- blocks; col <- block.getColumns.asScala) {
         val name = col.getPath.toDotString
@@ -79,7 +84,7 @@ object FooterStats extends Serializable {
           val st = col.getStatistics
           val prim = col.getPrimitiveType
           def longStat(v: Any): Long = v.asInstanceOf[Number].longValue()
-          val decoded: Option[(Cmp, Cmp)] =
+          val range: Option[(Cmp, Cmp)] =
             if (st == null || st.isEmpty || !st.hasNonNullValue) None
             else (prim.getPrimitiveTypeName, prim.getLogicalTypeAnnotation) match {
               case (INT32 | INT64, d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
@@ -111,17 +116,36 @@ object FooterStats extends Serializable {
               case _ => None // INT96, boolean, binary decimal, nested: skip
             }
           val nulls = if (st != null && !st.isEmpty && st.isNumNullsSet) Some(st.getNumNulls) else None
+          // distinguish the three row-group shapes: value-bearing with a
+          // decodable range; provably all-null (no values, valid stats);
+          // unusable (missing stats or unhandled domain) → poison
+          val allNull = st != null && !st.isEmpty && !st.hasNonNullValue
+          val decoded: Option[Option[(Cmp, Cmp)]] =
+            if (allNull) Some(None)
+            else range match {
+              case Some(r) => Some(Some(r))
+              case None => None
+            }
           (acc.remove(name), decoded) match {
             case (_, None) => poisoned += name
-            case (None, Some((lo, hi))) => acc(name) = (lo, hi, nulls)
-            case (Some((plo, phi, pn)), Some((lo, hi))) =>
-              acc(name) = (minOf(plo, lo), maxOf(phi, hi),
-                for (a <- pn; b <- nulls) yield a + b)
+            case (None, Some(mm)) => acc(name) = (mm, nulls)
+            case (Some((pmm, pn)), Some(mm)) =>
+              val merged = (pmm, mm) match {
+                case (Some((plo, phi)), Some((lo, hi))) =>
+                  Some((minOf(plo, lo), maxOf(phi, hi)))
+                case (a, None) => a
+                case (None, b) => b
+              }
+              acc(name) = (merged, for (a <- pn; b <- nulls) yield a + b)
           }
         }
       }
-      val stats = acc.map { case (name, (lo, hi, nulls)) =>
-        name -> ColumnStats(Some(render(lo)), Some(render(hi)), nulls)
+      val stats = acc.flatMap {
+        case (name, (Some((lo, hi)), nulls)) =>
+          Some(name -> ColumnStats(Some(render(lo)), Some(render(hi)), nulls))
+        case (name, (None, Some(n))) => // all-null column: null count only
+          Some(name -> ColumnStats(None, None, Some(n)))
+        case _ => None // all-null with unknown null count carries no info
       }.toMap
       (reader.getRecordCount, stats)
     } finally reader.close()

@@ -431,6 +431,96 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("aggregate pushdown answers count/min/max from metadata only") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsagg")
+    spark.sql(
+      """CREATE TABLE graft.nsagg.t
+        |(id BIGINT, v DOUBLE, s STRING, ts TIMESTAMP_NTZ)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.nsagg.t VALUES
+        |(1, 1.5, 'a', TIMESTAMP_NTZ '2024-01-01 00:00:00'),
+        |(2, NULL, 'b', TIMESTAMP_NTZ '2024-03-01 00:00:00'),
+        |(3, 2.5, NULL, TIMESTAMP_NTZ '2024-02-01 00:00:00')""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft.nsagg.t VALUES (9, -4.5, 'z', TIMESTAMP_NTZ '2023-12-25 06:30:00')")
+
+    val df = spark.sql(
+      """SELECT COUNT(*) AS n, COUNT(v) AS nv, COUNT(s) AS ns,
+        |  MIN(id) AS mn, MAX(id) AS mx, MIN(v) AS vmn,
+        |  MIN(ts) AS tmn, MAX(ts) AS tmx
+        |FROM graft.nsagg.t""".stripMargin)
+    // the whole answer comes from manifest summaries: the physical plan
+    // is a LocalTableScan — no BatchScan, no file read
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("LocalTableScan")
+    plan should not include "BatchScan"
+    val r = df.head
+    (r.getLong(0), r.getLong(1), r.getLong(2)) shouldBe ((4L, 3L, 3L))
+    (r.getLong(3), r.getLong(4)) shouldBe ((1L, 9L))
+    r.getDouble(5) shouldBe -4.5
+    r.getAs[java.time.LocalDateTime](6).toString shouldBe "2023-12-25T06:30"
+    r.getAs[java.time.LocalDateTime](7).toString shouldBe "2024-03-01T00:00"
+
+    // a filter disables the push (metadata can't answer it) — the scan
+    // runs and the result stays exact
+    val filtered = spark.sql("SELECT COUNT(*) FROM graft.nsagg.t WHERE id > 1")
+    filtered.queryExecution.executedPlan.toString should include("BatchScan")
+    filtered.head.getLong(0) shouldBe 3L
+
+    // string min/max never pushes (footer stats may truncate binaries);
+    // the ordinary scan answers it
+    val smin = spark.sql("SELECT MIN(s) AS m FROM graft.nsagg.t")
+    smin.queryExecution.executedPlan.toString should not include "LocalTableScan"
+    smin.head.getString(0) shouldBe "a"
+
+    // empty table: count 0, min/max null — still metadata-only
+    spark.sql("CREATE TABLE graft.nsagg.empty (id BIGINT, v DOUBLE)")
+    val e = spark.sql("SELECT COUNT(*) AS n, MIN(v) AS m FROM graft.nsagg.empty")
+    e.queryExecution.executedPlan.toString should include("LocalTableScan")
+    val er = e.head
+    er.getLong(0) shouldBe 0L
+    er.isNullAt(1) shouldBe true
+
+    // group-by keeps the real scan and stays correct
+    val g = spark.sql(
+      "SELECT s, COUNT(*) AS n FROM graft.nsagg.t GROUP BY s ORDER BY s NULLS FIRST")
+    g.queryExecution.executedPlan.toString should not include "LocalTableScan"
+    g.collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSeq shouldBe
+      Seq((None, 1L), (Some("a"), 1L), (Some("b"), 1L), (Some("z"), 1L))
+
+    // a file where the column is ALL-null still records its null count
+    // (ColumnStats(None, None, n)), so min/max skip it as valueless and
+    // count(col) subtracts it — both keep pushing, both stay exact
+    spark.sql("INSERT INTO graft.nsagg.t VALUES (10, 0.5, 'y', NULL)")
+    val tsmin = spark.sql("SELECT COUNT(ts) AS n, MIN(ts) AS m FROM graft.nsagg.t")
+    tsmin.queryExecution.executedPlan.toString should include("LocalTableScan")
+    tsmin.head.getLong(0) shouldBe 4L
+    tsmin.head.getAs[java.time.LocalDateTime](1).toString shouldBe "2023-12-25T06:30"
+  }
+
+  test("aggregate pushdown stays exact across deletes and evolution") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsagg2")
+    spark.sql("CREATE TABLE graft.nsagg2.t (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.nsagg2.t VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+    spark.sql("DELETE FROM graft.nsagg2.t WHERE id = 3")
+    val r = spark.sql(
+      "SELECT COUNT(*) AS n, MAX(v) AS mx FROM graft.nsagg2.t")
+    r.queryExecution.executedPlan.toString should include("LocalTableScan")
+    (r.head.getLong(0), r.head.getDouble(1)) shouldBe ((2L, 20.0))
+
+    // a column added by evolution has no stats in pre-evolution groups:
+    // min/max on it must NOT push, and the scan answer stays right
+    spark.sql("ALTER TABLE graft.nsagg2.t ADD COLUMN w DOUBLE")
+    spark.sql("INSERT INTO graft.nsagg2.t VALUES (4, 40.0, 4.25)")
+    val w = spark.sql("SELECT COUNT(w) AS n, MIN(w) AS mn FROM graft.nsagg2.t")
+    w.queryExecution.executedPlan.toString should not include "LocalTableScan"
+    (w.head.getLong(0), w.head.getDouble(1)) shouldBe ((1L, 4.25))
+    // count(*) still pushes after evolution
+    val n = spark.sql("SELECT COUNT(*) FROM graft.nsagg2.t")
+    n.queryExecution.executedPlan.toString should include("LocalTableScan")
+    n.head.getLong(0) shouldBe 3L
+  }
+
   test("SHOW TABLES, RENAME, and DROP work through the catalog") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns4")
     spark.sql("CREATE TABLE graft.ns4.a (id BIGINT)")
