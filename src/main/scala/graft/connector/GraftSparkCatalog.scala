@@ -5,7 +5,7 @@ import java.util
 import graft.table.{GraftCatalog, TableIdent}
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Literal => V2Literal, NamedReference, Transform}
 import org.apache.spark.sql.types.StructType
@@ -35,7 +35,8 @@ import scala.jdk.CollectionConverters._
   * field, like the reference's spec builder).
   */
 class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -238,6 +239,23 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(GraftProcedures.Namespace))
       GraftProcedures.Names.map(n => Identifier.of(GraftProcedures.Namespace, n)).toArray
+    else Array.empty
+
+  // ---- V2 functions (storage-partitioned join resolution) -----------
+
+  /** `bucket` is the one V2 function: Spark loads it (top-level
+    * identifier, empty namespace) when resolving a reported
+    * `bucket(n, col)` scan partitioning into the Catalyst
+    * `TransformExpression` storage-partitioned joins compare.
+    */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name().equalsIgnoreCase("bucket"))
+      GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
     else Array.empty
 
   // ---- partition-transform mapping ----------------------------------

@@ -15,7 +15,8 @@ import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, W
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{Filter, InsertableRelation}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import scala.jdk.CollectionConverters._
@@ -157,6 +158,7 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
                             options: CaseInsensitiveStringMap =
                               CaseInsensitiveStringMap.empty()) extends Scan
     with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required.getOrElse(snap.schema)
@@ -238,7 +240,104 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
     }
   }
 
-  override def toBatch: Batch = delegate.toBatch
+  // ---- storage-partitioned reads (SPJ) -------------------------------
+  // A bucket- or identity-partitioned table reports KeyGroupedPartitioning
+  // so Spark can join/aggregate two co-partitioned graft tables with NO
+  // shuffle (the Iceberg storage-partitioned-join shape; requires
+  // spark.sql.sources.v2.bucketing.enabled). One input partition per
+  // distinct partition value — the same task granularity as a bucketed
+  // Hive table; bucket counts are the user's parallelism dial.
+
+  /** The partition field when its key domain round-trips exactly from
+    * the stored partition-value strings: bucket (key = bucket id, INT)
+    * or identity over an integral/string/date column.
+    */
+  private lazy val spjField: Option[(graft.partitioning.PartitionField, DataType)] =
+    snap.partitionSpec.flatMap { spec =>
+      scala.util.Try(graft.partitioning.PartitionExpr.parse(spec)).toOption
+    }.flatMap { pf =>
+      pf.transform match {
+        case _: graft.partitioning.Transform.Bucket => Some(pf -> IntegerType)
+        case graft.partitioning.Transform.Identity =>
+          snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol)).collect {
+            case f if spjKeyDomain(f.dataType) => pf -> f.dataType
+          }
+        case _ => None
+      }
+    }
+
+  private def spjKeyDomain(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType | DateType => true
+    case _ => false
+  }
+
+  /** Stored partition-value string → Catalyst key value. */
+  private def parseKey(dt: DataType, s: String): Option[Any] =
+    try dt match {
+      case ByteType => Some(java.lang.Byte.valueOf(s.toByte))
+      case ShortType => Some(java.lang.Short.valueOf(s.toShort))
+      case IntegerType => Some(java.lang.Integer.valueOf(s.toInt))
+      case LongType => Some(java.lang.Long.valueOf(s.toLong))
+      case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      case DateType =>
+        Some(java.lang.Integer.valueOf(java.time.LocalDate.parse(s).toEpochDay.toInt))
+      case _ => None
+    } catch { case _: RuntimeException => None }
+
+  /** Files grouped by partition key, FROZEN at first evaluation (static
+    * planning time). Runtime filters may later shrink the file set, but
+    * the KEY set must stay exactly what `outputPartitioning` reported —
+    * a group whose files are all pruned still plans as an empty task.
+    * None when any file lacks a parseable key (legacy/void values) —
+    * then the scan reports UnknownPartitioning and plans normally.
+    */
+  private lazy val spjGroups: Option[Seq[(InternalRow, Seq[DataFile])]] =
+    spjField.flatMap { case (pf, dt) =>
+      val fs = files
+      if (fs.isEmpty) None
+      else {
+        val keyed = fs.map { f =>
+          f.partitionValues.flatMap(_.get(pf.fieldName)) match {
+            case Some(Some(s)) => parseKey(dt, s).map(v => (Some(v): Option[Any]) -> f)
+            case Some(None) => Some((None: Option[Any]) -> f)
+            case None => None
+          }
+        }
+        if (keyed.exists(_.isEmpty)) None
+        else Some(keyed.flatten.groupBy(_._1).toSeq.map { case (k, kfs) =>
+          (new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](k.orNull)), kfs.map(_._2))
+        })
+      }
+    }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjGroups match {
+      case Some(groups) =>
+        val (pf, _) = spjField.get
+        val key = pf.transform match {
+          case graft.partitioning.Transform.Bucket(n) =>
+            org.apache.spark.sql.connector.expressions.Expressions.bucket(n, pf.sourceCol)
+          case _ =>
+            org.apache.spark.sql.connector.expressions.Expressions.identity(pf.sourceCol)
+        }
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(key), groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
+  override def toBatch: Batch = spjGroups match {
+    case Some(groups) =>
+      // intersect each frozen group with the CURRENT file set (runtime
+      // filters only ever remove files) — keys stay stable, empty
+      // groups become empty tasks
+      val live = files.map(_.path).toSet
+      val current = groups.map { case (k, fs) => (k, fs.filter(f => live(f.path))) }
+      new GraftKeyedBatch(delegate, current, tbl)
+    case None => delegate.toBatch
+  }
 
   /** `spark.readStream.table(...)`: micro-batch offsets are metadata-log
     * versions; see [[GraftMicroBatchStream]].
@@ -353,4 +452,67 @@ object FilterSql {
 
   private def sequence[A](xs: Seq[Option[A]]): Option[Seq[A]] =
     if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+}
+
+/** Batch for a storage-partitioned scan: one [[FilePartition]] task per
+  * distinct partition value, each tagged with its key via
+  * [[HasPartitionKey]] so Spark's key-grouped exec can line tasks up
+  * across the two sides of a join. Reading delegates to the inner
+  * [[ParquetScan]]'s vectorized reader factory — this class only
+  * changes task GROUPING, never the read path.
+  */
+private[connector] final class GraftKeyedBatch(
+    inner: ParquetScan,
+    groups: Seq[(InternalRow, Seq[DataFile])],
+    tbl: GraftTable) extends Batch {
+
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+    groups.zipWithIndex.map { case ((key, fs), i) =>
+      val pfiles = fs.map { f =>
+        val p = new org.apache.hadoop.fs.Path(tbl.tableDir.resolve(f.path).toUri)
+        PartitionedFile(
+          partitionValues = InternalRow.empty,
+          filePath = org.apache.spark.paths.SparkPath.fromPath(p),
+          start = 0L,
+          length = f.sizeBytes,
+          locations = Array.empty,
+          modificationTime = 0L,
+          fileSize = f.sizeBytes)
+      }.toArray
+      new GraftKeyedFilePartition(key, FilePartition(i, pfiles))
+        : org.apache.spark.sql.connector.read.InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new GraftKeyUnwrapReaderFactory(inner.toBatch.createReaderFactory())
+}
+
+/** A file task plus the partition key all its files share. */
+private[connector] final class GraftKeyedFilePartition(
+    key: InternalRow,
+    val inner: org.apache.spark.sql.execution.datasources.FilePartition)
+    extends org.apache.spark.sql.connector.read.InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Unwraps [[GraftKeyedFilePartition]] before handing tasks to the
+  * parquet reader factory (which pattern-matches on `FilePartition`).
+  */
+private[connector] final class GraftKeyUnwrapReaderFactory(
+    inner: org.apache.spark.sql.connector.read.PartitionReaderFactory)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  private def unwrap(p: org.apache.spark.sql.connector.read.InputPartition) =
+    p.asInstanceOf[GraftKeyedFilePartition].inner
+  override def createReader(p: org.apache.spark.sql.connector.read.InputPartition) =
+    inner.createReader(unwrap(p))
+  override def createColumnarReader(p: org.apache.spark.sql.connector.read.InputPartition) =
+    inner.createColumnarReader(unwrap(p))
+  override def supportColumnarReads(p: org.apache.spark.sql.connector.read.InputPartition) =
+    inner.supportColumnarReads(unwrap(p))
 }

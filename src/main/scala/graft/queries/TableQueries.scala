@@ -360,6 +360,61 @@ object TableQueries {
              |  MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
              |FROM orders""".stripMargin)),
 
+    // Storage-partitioned join: two co-bucketed graft tables join and
+    // aggregate with ZERO shuffle (plan asserted: no hash-partitioning
+    // exchange); the oracle recomputes the join from raw parquet
+    "q80_spj_join" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq80").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq80", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq80.warehouse",
+            Files.createTempDirectory("graft-spj").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq80.bench")
+        s.sql("DROP TABLE IF EXISTS graftq80.bench.li")
+        s.sql("DROP TABLE IF EXISTS graftq80.bench.sup")
+        s.sql("""CREATE TABLE graftq80.bench.li
+                |(l_suppkey BIGINT, l_quantity DOUBLE)
+                |PARTITIONED BY (bucket(8, l_suppkey))""".stripMargin)
+        s.sql("""CREATE TABLE graftq80.bench.sup
+                |(s_suppkey BIGINT, s_acctbal DOUBLE)
+                |PARTITIONED BY (bucket(8, s_suppkey))""".stripMargin)
+        t(s, dir, "lineitem").createOrReplaceTempView("q80_li_src")
+        t(s, dir, "supplier").createOrReplaceTempView("q80_sup_src")
+        s.sql("INSERT INTO graftq80.bench.li SELECT l_suppkey, l_quantity FROM q80_li_src")
+        s.sql("INSERT INTO graftq80.bench.sup SELECT s_suppkey, s_acctbal FROM q80_sup_src")
+        // plan with SPJ on and broadcast off so the zero-shuffle claim
+        // is real; both are restored once the plan is materialized
+        val conf = s.conf
+        val prevB = conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+        val prevT = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+        conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val out = s.sql(
+            """SELECT f.l_suppkey, COUNT(*) AS n,
+              |  CAST(SUM(CAST(f.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+              |  MAX(d.s_acctbal) AS acctbal
+              |FROM graftq80.bench.li f JOIN graftq80.bench.sup d
+              |  ON f.l_suppkey = d.s_suppkey
+              |GROUP BY f.l_suppkey ORDER BY f.l_suppkey""".stripMargin)
+          val planned = out.queryExecution.executedPlan.toString
+          require(!planned.contains("Exchange hashpartitioning"),
+            "storage-partitioned join still shuffles (expected no hash exchange)")
+          out
+        } finally {
+          prevB.fold(conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+            conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+          prevT.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+            conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+        }
+      },
+      Some("""SELECT l_suppkey, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             |  MAX(s_acctbal) AS acctbal
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
+
     // DSv2 DML round-trip: UPDATE + DELETE + MERGE through spark.sql,
     // then an aggregate the DuckDB oracle recomputes from the applied
     // semantics over the raw source

@@ -521,6 +521,70 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     n.head.getLong(0) shouldBe 3L
   }
 
+  test("storage-partitioned join: co-bucketed tables join with zero shuffle") {
+    val conf = spark.conf
+    val prevBucketing = conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevBroadcast = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a real join
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsspj")
+      spark.sql(
+        """CREATE TABLE graft.nsspj.fact (k BIGINT, v DOUBLE)
+          |PARTITIONED BY (bucket(4, k))""".stripMargin)
+      spark.sql(
+        """CREATE TABLE graft.nsspj.dim (k BIGINT, label STRING)
+          |PARTITIONED BY (bucket(4, k))""".stripMargin)
+      spark.sql("INSERT INTO graft.nsspj.fact SELECT id, CAST(id AS DOUBLE) * 1.5 FROM range(0, 200)")
+      spark.sql("INSERT INTO graft.nsspj.dim SELECT id, CONCAT('n', id) FROM range(0, 50)")
+
+      val joined = spark.sql(
+        """SELECT f.k, f.v, d.label FROM graft.nsspj.fact f
+          |JOIN graft.nsspj.dim d ON f.k = d.k""".stripMargin)
+      val rows = joined.collect()
+      rows.length shouldBe 50
+      rows.map(_.getLong(0)).sorted.toSeq shouldBe (0L until 50L)
+      // the whole point: no Exchange anywhere in the executed join plan
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should not include "Exchange"
+
+      // aggregation on the bucket column also reuses the layout
+      val agg = spark.sql(
+        "SELECT k, SUM(v) AS sv FROM graft.nsspj.fact GROUP BY k")
+      agg.collect().length shouldBe 200
+      agg.queryExecution.executedPlan.toString should not include "Exchange"
+
+      // identity-partitioned tables report per-value key grouping too
+      spark.sql(
+        """CREATE TABLE graft.nsspj.byreg (region BIGINT, amount DOUBLE)
+          |PARTITIONED BY (region)""".stripMargin)
+      spark.sql(
+        "INSERT INTO graft.nsspj.byreg SELECT id % 5, CAST(id AS DOUBLE) FROM range(0, 100)")
+      val regAgg = spark.sql(
+        "SELECT region, COUNT(*) AS n, SUM(amount) AS s FROM graft.nsspj.byreg GROUP BY region")
+      regAgg.collect().map(_.getLong(1)).sum shouldBe 100L
+      regAgg.queryExecution.executedPlan.toString should not include "Exchange"
+
+      // sanity: with SPJ disabled the same join shuffles — the zero-
+      // Exchange plans above are the feature, not a planner accident
+      conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val shuffled = spark.sql(
+        """SELECT f.k, d.label FROM graft.nsspj.fact f
+          |JOIN graft.nsspj.dim d ON f.k = d.k""".stripMargin)
+      shuffled.collect().length shouldBe 50
+      shuffled.queryExecution.executedPlan.toString should include("Exchange")
+    } finally {
+      prevBucketing match {
+        case Some(v) => conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      prevBroadcast match {
+        case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("SHOW TABLES, RENAME, and DROP work through the catalog") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns4")
     spark.sql("CREATE TABLE graft.ns4.a (id BIGINT)")
