@@ -32,6 +32,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // 8g thrashes GC once the query surface passes ~50 queries in one
   // JVM (random multi-second pauses attributed to whichever query is
-  // running); 24g removes the spikes on this 128 GiB box.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // running); 24g removed the spikes at ~75 queries but they returned
+  // as the surface passed 85 — 40g keeps them gone on this 128 GiB box.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "40g")}",
 )
