@@ -132,6 +132,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     val spark = SparkSession.active
     tbl.append(spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    // TBLPROPERTIES: persist user properties (dropping the engine-
+    // reserved keys Spark injects) so e.g. bloom-filter write options
+    // take effect from the first INSERT
+    val userProps = properties.asScala.toMap --
+      Seq("provider", "location", "owner", "external", "comment")
+    if (userProps.nonEmpty) tbl.updateProperties(userProps)
     new GraftV2Table(cat.load(ti), ident)
   }
 

@@ -100,11 +100,28 @@ final class GraftScanBuilder(tbl: GraftTable, snapAt: () => Snapshot,
                              options: CaseInsensitiveStringMap =
                                CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: Option[StructType] = None
   private var aggResult: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+  private var limit: Option[Int] = None
+
+  /** Filterless `LIMIT n` caps the PLANNED FILE SET: take files until
+    * their cumulative metadata row count reaches n, so `SELECT * FROM t
+    * LIMIT 10` plans one file instead of 10⁵. Partial push — Spark
+    * keeps its own Limit on top, the scan only guarantees at least
+    * min(n, |t|) rows. Spark never pushes a limit past a residual
+    * Filter, and this builder reports every filter residual, so the
+    * cap composes with nothing that drops rows (the scan additionally
+    * ignores runtime join filters once capped).
+    */
+  override def pushLimit(n: Int): Boolean =
+    if (pushed.nonEmpty || n <= 0) false
+    else { limit = Some(n); true }
+
+  override def isPartiallyPushed(): Boolean = true
 
   /** Keep the translatable filters for FILE pruning but return every
     * filter as residual — Spark re-evaluates them row-level, so an
@@ -138,7 +155,7 @@ final class GraftScanBuilder(tbl: GraftTable, snapAt: () => Snapshot,
 
   override def build(): Scan = aggResult match {
     case Some((out, row)) => new GraftAggScan(out, row, tbl.tableDir.toString)
-    case None => new GraftNativeScan(tbl, snapAt(), pushed, required, options)
+    case None => new GraftNativeScan(tbl, snapAt(), pushed, required, options, limit)
   }
 }
 
@@ -156,7 +173,8 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
                             pushed: Array[Filter],
                             required: Option[StructType],
                             options: CaseInsensitiveStringMap =
-                              CaseInsensitiveStringMap.empty()) extends Scan
+                              CaseInsensitiveStringMap.empty(),
+                            limit: Option[Int] = None) extends Scan
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -186,6 +204,10 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
       org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
 
   override def filter(filters: Array[Filter]): Unit = {
+    // a limit-capped scan must KEEP its planned file set: a runtime
+    // filter drops rows the JOIN would discard, but the pushed limit
+    // promised at least min(n, |t|) rows BEFORE the join sees them
+    if (limit.isDefined) return
     val preds = filters.flatMap(FilterSql.toSql)
     val sql = preds.mkString("(", ") AND (", ")")
     // runtime pruning is an OPTIMIZATION — skipping it is always sound.
@@ -207,9 +229,17 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
         case Seq() => None
         case ps => Some(ps.mkString("(", ") AND (", ")"))
       }
-      val f = pred match {
+      val pruned = pred match {
         case None => snap.files
         case Some(p) => tbl.prunedFilesOf(snap, CatalystSqlParser.parseExpression(p))
+      }
+      // pushed limit (filterless by construction): plan only enough
+      // files to cover n rows — metadata row counts are exact
+      val f = limit match {
+        case Some(n) =>
+          val cum = pruned.scanLeft(0L)(_ + _.rows)
+          pruned.zip(cum).takeWhile(_._2 < n).map(_._1)
+        case None => pruned
       }
       cachedFiles = Some(f)
       f
@@ -362,7 +392,8 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
     }
 
   override def description(): String =
-    s"GraftScan(native parquet, files pruned by: ${predSql.getOrElse("<none>")})"
+    s"GraftScan(native parquet, files pruned by: ${predSql.getOrElse("<none>")}" +
+      limit.fold("")(n => s", limit=$n caps planned files") + ")"
 }
 
 object GraftNativeScan {

@@ -768,9 +768,35 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
     }
     writer
       .option("compression", "zstd")
+      .options(bloomFilterOptions)
       .mode("overwrite")
       .parquet(outDir.toString)
     log.writeManifest(collectDataFiles(outDir, spec), Some(schema))
+  }
+
+  /** Parquet bloom-filter writer options from table properties
+    * (Iceberg's property names):
+    *
+    *   - `write.parquet.bloom-filter-enabled.column.<col> = true`
+    *   - `write.parquet.bloom-filter-ndv.column.<col> = <expected NDV>`
+    *
+    * Point lookups on a high-cardinality key (`WHERE id = ?`) then skip
+    * row groups whose bloom filter rules the value out — zone maps
+    * can't help there (a random key sits inside almost every file's
+    * [min,max]), which is exactly the gap blooms close at 100 TB.
+    * Readers need no changes: the vectorized parquet reader consults
+    * blooms for pushed equality predicates on its own.
+    */
+  private def bloomFilterOptions: Map[String, String] = {
+    val props = current().map(_.properties).getOrElse(Map.empty)
+    val Enabled = "write.parquet.bloom-filter-enabled.column."
+    val Ndv = "write.parquet.bloom-filter-ndv.column."
+    props.collect {
+      case (k, v) if k.startsWith(Enabled) =>
+        s"parquet.bloom.filter.enabled#${k.drop(Enabled.length)}" -> v
+      case (k, v) if k.startsWith(Ndv) =>
+        s"parquet.bloom.filter.expected.ndv#${k.drop(Ndv.length)}" -> v
+    }
   }
 
   /** Harvest the new files' metadata (footer row counts + zone maps +

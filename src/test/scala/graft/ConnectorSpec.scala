@@ -521,6 +521,58 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     n.head.getLong(0) shouldBe 3L
   }
 
+  test("bloom-filter table properties reach the written parquet files") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsbloom")
+    spark.sql(
+      """CREATE TABLE graft.nsbloom.t (id BIGINT, v DOUBLE)
+        |TBLPROPERTIES ('write.parquet.bloom-filter-enabled.column.id'='true',
+        |               'write.parquet.bloom-filter-ndv.column.id'='10000')""".stripMargin)
+    spark.sql("INSERT INTO graft.nsbloom.t SELECT id, CAST(id AS DOUBLE) FROM range(0, 5000)")
+
+    import graft.table.{GraftCatalog, TableIdent}
+    val cat = GraftCatalog(spark, spark.conf.get("spark.sql.catalog.graft.warehouse"))
+    val tbl = cat.load(TableIdent("nsbloom", "t"))
+    val file = tbl.currentOrFail().files.find(_.rows > 0L).get
+    val path = new org.apache.hadoop.fs.Path(tbl.tableDir.resolve(file.path).toUri)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        path, new org.apache.hadoop.conf.Configuration()))
+    try {
+      import scala.jdk.CollectionConverters._
+      val cols = reader.getFooter.getBlocks.asScala.head.getColumns.asScala
+      val idCol = cols.find(_.getPath.toDotString == "id").get
+      withClue("bloom filter offset for the enabled column") {
+        idCol.getBloomFilterOffset should be > 0L
+      }
+      cols.find(_.getPath.toDotString == "v").get.getBloomFilterOffset shouldBe -1L
+    } finally reader.close()
+
+    // point lookup stays correct through the bloom-aware reader
+    spark.sql("SELECT v FROM graft.nsbloom.t WHERE id = 4242")
+      .head.getDouble(0) shouldBe 4242.0
+  }
+
+  test("limit pushdown caps the planned file set from metadata") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nslim")
+    spark.sql("CREATE TABLE graft.nslim.t (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.nslim.t SELECT id, CAST(id AS DOUBLE) FROM range(0, 10)")
+    spark.sql("INSERT INTO graft.nslim.t SELECT id, CAST(id AS DOUBLE) FROM range(10, 20)")
+    spark.sql("INSERT INTO graft.nslim.t SELECT id, CAST(id AS DOUBLE) FROM range(20, 30)")
+
+    val lim = spark.sql("SELECT * FROM graft.nslim.t LIMIT 5")
+    lim.collect().length shouldBe 5
+    lim.queryExecution.executedPlan.toString should include("limit=5 caps planned files")
+
+    // the cap is big enough: LIMIT beyond the table returns every row
+    spark.sql("SELECT * FROM graft.nslim.t LIMIT 1000").collect().length shouldBe 30
+
+    // a WHERE clause blocks the push (all filters are residual here) —
+    // full correctness preserved
+    val filtered = spark.sql("SELECT * FROM graft.nslim.t WHERE id >= 25 LIMIT 3")
+    filtered.collect().length shouldBe 3
+    filtered.queryExecution.executedPlan.toString should not include "caps planned files"
+  }
+
   test("storage-partitioned join: co-bucketed tables join with zero shuffle") {
     val conf = spark.conf
     val prevBucketing = conf.getOption("spark.sql.sources.v2.bucketing.enabled")
