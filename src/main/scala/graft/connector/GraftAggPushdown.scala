@@ -1,22 +1,28 @@
 package graft.connector
 
-import graft.meta.{ColumnStats, FileGroup, Snapshot}
+import graft.meta.{ColumnStats, DataFile, FileGroup, Snapshot}
+import graft.partitioning.{PartitionExpr, Transform}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.LocalScan
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Metadata-only aggregate pushdown (DSv2 `SupportsPushDownAggregates`).
   *
   * `SELECT count(*) / count(col) / min(col) / max(col) FROM t` is
   * answered from the manifest-LIST summaries inline in the snapshot
   * file — O(#manifests) driver work, zero data files opened, zero
-  * Spark jobs. This is the capability Iceberg exposes through its
-  * manifest-list column stats, and at 10⁵-file scale it turns a
-  * full-table scan into a metadata lookup.
+  * Spark jobs. With `GROUP BY <identity partition column>` the same
+  * aggregates are answered per partition value from per-FILE metadata
+  * (O(#files) driver work, still no data read) — the hidden-
+  * partitioning invariant guarantees every row of a file shares the
+  * file's partition value. This is the capability Iceberg exposes
+  * through its manifest-list column stats, and at 10⁵-file scale it
+  * turns a full-table scan into a metadata lookup.
   *
   * Soundness rules (bail ⇒ Spark runs the ordinary scan, so a refusal
   * is never wrong, only slower):
@@ -26,28 +32,54 @@ import org.apache.spark.sql.types._
   *    filterless scans — checked again defensively here.
   *  - `count(*)`: sum of per-group row counts (always available; a
   *    group predating summaries forces one manifest parse).
-  *  - `count(col)`: requires every group to carry a summary with a
-  *    merged null count for `col` (rows − nulls is then exact).
-  *    Zero-row groups contribute nothing.
-  *  - `min/max(col)`: requires every non-empty group's summary to have
-  *    min/max for `col`, and the column's stat domain to round-trip
+  *  - `count(col)`: requires every group to carry a merged null count
+  *    for `col` (rows − nulls is then exact). Zero-row groups
+  *    contribute nothing.
+  *  - `min/max(col)`: requires every non-empty group's stats to have
+  *    min/max for `col` (or be provably all-null: no range, null
+  *    count == rows), and the column's stat domain to round-trip
   *    EXACTLY — numeric/date/timestamp/decimal do (canonical
   *    BigDecimal strings, epoch days/micros). Strings do NOT (parquet
   *    footers may truncate binary stats: the recorded max can be a
   *    prefix above the true max — sound for pruning, wrong for an
   *    answer) and are never pushed. Float/double bail when the extreme
   *    is ±0.0, whose sign the stat string cannot preserve.
-  *  - `DISTINCT`, group-by columns, and every other aggregate bail.
+  *  - Grouped pushes additionally require: exactly the identity
+  *    partition source column as the single group key, a key domain
+  *    that round-trips from partition-value strings (integral, string,
+  *    date), every file carrying its partition value, and a bounded
+  *    group count (driver-side rows).
+  *  - `DISTINCT` and every other aggregate bail.
   */
 private[connector] object GraftAggPushdown {
 
-  /** Plan the pushed aggregation against snapshot metadata: the scan
-    * output schema (positional, as DSv2 requires) and its single
-    * result row — or None when any piece cannot be answered exactly.
+  /** Partition-value groups beyond this plan as a normal scan — a
+    * LocalTableScan materializes on the driver, and a layout with that
+    * many identity partitions is mis-partitioned anyway.
     */
-  def plan(snap: Snapshot, agg: Aggregation): Option[(StructType, InternalRow)] = {
-    if (agg.groupByExpressions.nonEmpty) return None
+  private val MaxGroups = 100000
+
+  /** Plan the pushed aggregation against snapshot metadata: the scan
+    * output schema (positional, as DSv2 requires: group columns first,
+    * then aggregates) and its result rows — or None when any piece
+    * cannot be answered exactly.
+    */
+  def plan(snap: Snapshot, agg: Aggregation): Option[(StructType, Array[InternalRow])] =
+    agg.groupByExpressions.toSeq match {
+      case Seq() =>
+        planGlobal(snap, agg).map { case (sch, row) => (sch, Array(row)) }
+      case Seq(gb) => planGrouped(snap, gb, agg)
+      case _ => None
+    }
+
+  // ---- global (no GROUP BY): manifest summaries ----------------------
+
+  private def planGlobal(snap: Snapshot, agg: Aggregation): Option[(StructType, InternalRow)] = {
     val groups = snap.fileGroups
+    def entries(col: String): Option[Seq[(Long, Option[ColumnStats])]] = {
+      val es = groups.map(_.summary.map(s => (s.rows, s.stats.get(col))))
+      if (es.exists(_.isEmpty)) None else Some(es.map(_.get))
+    }
     val planned = agg.aggregateExpressions.toSeq.map {
       case _: CountStar =>
         Some((StructField("count(*)", LongType, nullable = false),
@@ -55,18 +87,21 @@ private[connector] object GraftAggPushdown {
       case c: Count if !c.isDistinct =>
         for {
           f <- field(snap.schema, c.column)
-          n <- countCol(groups, f.name)
+          es <- entries(f.name)
+          n <- countFrom(es)
         } yield (StructField(s"count(${f.name})", LongType, nullable = false),
           java.lang.Long.valueOf(n): Any)
       case m: Min =>
         for {
           f <- field(snap.schema, m.column)
-          v <- extreme(groups, f, isMin = true)
+          es <- entries(f.name)
+          v <- extremeFrom(es, f.dataType, isMin = true)
         } yield (StructField(s"min(${f.name})", f.dataType), v)
       case m: Max =>
         for {
           f <- field(snap.schema, m.column)
-          v <- extreme(groups, f, isMin = false)
+          es <- entries(f.name)
+          v <- extremeFrom(es, f.dataType, isMin = false)
         } yield (StructField(s"max(${f.name})", f.dataType), v)
       case _ => None
     }
@@ -78,6 +113,93 @@ private[connector] object GraftAggPushdown {
     }
   }
 
+  // ---- GROUP BY identity partition column: per-file metadata ---------
+
+  private def planGrouped(snap: Snapshot, gb: Expression,
+                          agg: Aggregation): Option[(StructType, Array[InternalRow])] = {
+    for {
+      gbField <- field(snap.schema, gb)
+      pf <- snap.partitionSpec.flatMap(s =>
+        scala.util.Try(PartitionExpr.parse(s)).toOption)
+      if pf.transform == Transform.Identity &&
+        pf.sourceCol.equalsIgnoreCase(gbField.name) &&
+        keyDomain(gbField.dataType)
+      files = snap.files
+      keyed <- sequence(files.map(f =>
+        f.partitionValues.flatMap(_.get(pf.fieldName)).map(_ -> f)))
+      grouped = keyed.groupBy(_._1) if grouped.size <= MaxGroups
+      rows <- sequence(grouped.toSeq.map { case (k, kfs) =>
+        groupRow(snap.schema, gbField, k, kfs.map(_._2), agg)
+      })
+      aggFields <- aggSchema(snap.schema, agg)
+    } yield (StructType(gbField +: aggFields), rows.toArray)
+  }
+
+  /** One result row for one partition value: the parsed key followed by
+    * each aggregate computed over the value's files.
+    */
+  private def groupRow(schema: StructType, gbField: StructField,
+                       key: Option[String], fs: Seq[DataFile],
+                       agg: Aggregation): Option[InternalRow] = {
+    val keyVal: Option[Any] = key match {
+      case None => Some(null)
+      case Some(s) => parseKeyValue(gbField.dataType, s)
+    }
+    def entries(col: String): Seq[(Long, Option[ColumnStats])] =
+      fs.map(f => (f.rows, f.stats.get(col)))
+    val vals = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(java.lang.Long.valueOf(fs.map(_.rows).sum): Any)
+      case c: Count if !c.isDistinct =>
+        field(schema, c.column).flatMap(f => countFrom(entries(f.name)))
+          .map(java.lang.Long.valueOf(_): Any)
+      case m: Min =>
+        field(schema, m.column).flatMap(f =>
+          extremeFrom(entries(f.name), f.dataType, isMin = true))
+      case m: Max =>
+        field(schema, m.column).flatMap(f =>
+          extremeFrom(entries(f.name), f.dataType, isMin = false))
+      case _ => None
+    }
+    for { k <- keyVal; vs <- sequence(vals) }
+      yield new GenericInternalRow((k +: vs).toArray)
+  }
+
+  /** The aggregate part of the grouped output schema (shared shape with
+    * the global plan; computed once, not per group).
+    */
+  private def aggSchema(schema: StructType, agg: Aggregation): Option[Seq[StructField]] =
+    sequence(agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(StructField("count(*)", LongType, nullable = false))
+      case c: Count if !c.isDistinct =>
+        field(schema, c.column).map(f =>
+          StructField(s"count(${f.name})", LongType, nullable = false))
+      case m: Min => field(schema, m.column).map(f => StructField(s"min(${f.name})", f.dataType))
+      case m: Max => field(schema, m.column).map(f => StructField(s"max(${f.name})", f.dataType))
+      case _ => None
+    })
+
+  /** Identity partition-value string → Catalyst group-key value, only
+    * for domains whose rendering round-trips exactly.
+    */
+  private def keyDomain(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType | DateType => true
+    case _ => false
+  }
+
+  private def parseKeyValue(dt: DataType, s: String): Option[Any] =
+    try dt match {
+      case ByteType => Some(java.lang.Byte.valueOf(s.toByte))
+      case ShortType => Some(java.lang.Short.valueOf(s.toShort))
+      case IntegerType => Some(java.lang.Integer.valueOf(s.toInt))
+      case LongType => Some(java.lang.Long.valueOf(s.toLong))
+      case StringType => Some(UTF8String.fromString(s))
+      case DateType =>
+        Some(java.lang.Integer.valueOf(java.time.LocalDate.parse(s).toEpochDay.toInt))
+      case _ => None
+    } catch { case _: RuntimeException => None }
+
+  // ---- shared stat folding -------------------------------------------
+
   /** Resolve a pushed column reference against the snapshot schema
     * (case-insensitively, like the rest of the SQL surface).
     */
@@ -87,40 +209,34 @@ private[connector] object GraftAggPushdown {
     case _ => None
   }
 
-  /** Exact non-null count for `col`, or None if any non-empty group
-    * lacks a summary null count (e.g. pre-evolution groups that never
-    * saw the column).
+  /** Exact non-null count over (rows, stats) entries, or None if any
+    * non-empty entry lacks a null count.
     */
-  private def countCol(groups: Seq[FileGroup], col: String): Option[Long] =
-    groups.foldLeft(Option(0L)) { (acc, g) =>
+  private def countFrom(entries: Seq[(Long, Option[ColumnStats])]): Option[Long] =
+    entries.foldLeft(Option(0L)) { case (acc, (rows, stats)) =>
       acc.flatMap { sum =>
-        g.summary match {
-          case _ if g.summary.exists(_.rows == 0L) => Some(sum)
-          case Some(s) => s.stats.get(col).flatMap(_.nullCount).map(n => sum + s.rows - n)
-          case None => None
-        }
+        if (rows == 0L) Some(sum)
+        else stats.flatMap(_.nullCount).map(n => sum + rows - n)
       }
     }
 
-  /** Exact min/max as a Catalyst internal value (null over an empty or
-    * all-null column), or None when stats are missing or the domain is
-    * inexact. Groups that are provably all-null for the column (no
-    * min/max, null count == group rows) contribute no values — exactly
-    * SQL min/max semantics.
+  /** Exact min/max over (rows, stats) entries as a Catalyst internal
+    * value (null over empty/all-null), or None when stats are missing
+    * or the domain is inexact. Entries provably all-null (no range,
+    * null count == rows) contribute no values — SQL min/max semantics.
     */
-  private def extreme(groups: Seq[FileGroup], f: StructField, isMin: Boolean): Option[Any] = {
-    val nonEmpty = groups.filter(g => g.summary.forall(_.rows > 0L))
+  private def extremeFrom(entries: Seq[(Long, Option[ColumnStats])],
+                          dt: DataType, isMin: Boolean): Option[Any] = {
+    val nonEmpty = entries.filter(_._1 > 0L)
     if (nonEmpty.isEmpty) return Some(null)
-    // per group: Some(Some(bound)) value-bearing, Some(None) provably
+    // per entry: Some(Some(bound)) value-bearing, Some(None) provably
     // all-null, None unknown → bail
-    val bounds: Seq[Option[Option[String]]] = nonEmpty.map { g =>
-      g.summary.flatMap { s =>
-        s.stats.get(f.name).flatMap { cs =>
-          val b = if (isMin) cs.min else cs.max
-          if (b.isDefined) Some(b)
-          else if (cs.nullCount.contains(s.rows)) Some(None)
-          else None
-        }
+    val bounds: Seq[Option[Option[String]]] = nonEmpty.map { case (rows, statsOpt) =>
+      statsOpt.flatMap { cs =>
+        val b = if (isMin) cs.min else cs.max
+        if (b.isDefined) Some(b)
+        else if (cs.nullCount.contains(rows)) Some(None)
+        else None
       }
     }
     if (bounds.exists(_.isEmpty)) return None
@@ -128,7 +244,7 @@ private[connector] object GraftAggPushdown {
     if (vals.isEmpty) return Some(null)
     try {
       val ds = vals.map(BigDecimal(_))
-      toInternal(f.dataType, if (isMin) ds.min else ds.max)
+      toInternal(dt, if (isMin) ds.min else ds.max)
     } catch { case _: NumberFormatException => None }
   }
 
@@ -152,16 +268,19 @@ private[connector] object GraftAggPushdown {
       if (dec.changePrecision(d.precision, d.scale)) Some(dec) else None
     case _ => None
   }
+
+  private def sequence[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
 }
 
-/** The pushed-aggregate scan: one driver-side row, planned by Spark as
-  * a `LocalTableScan` — the explain-visible proof that no file was
-  * read.
+/** The pushed-aggregate scan: driver-side rows (one per group; one
+  * total without GROUP BY), planned by Spark as a `LocalTableScan` —
+  * the explain-visible proof that no file was read.
   */
-final class GraftAggScan(out: StructType, result: InternalRow, table: String)
+final class GraftAggScan(out: StructType, result: Array[InternalRow], table: String)
     extends LocalScan {
   override def readSchema(): StructType = out
-  override def rows(): Array[InternalRow] = Array(result)
+  override def rows(): Array[InternalRow] = result
   override def description(): String =
     s"GraftAggScan(metadata-only aggregate over $table)"
 }

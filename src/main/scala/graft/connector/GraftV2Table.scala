@@ -105,7 +105,7 @@ final class GraftScanBuilder(tbl: GraftTable, snapAt: () => Snapshot,
 
   private var pushed: Array[Filter] = Array.empty
   private var required: Option[StructType] = None
-  private var aggResult: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+  private var aggResult: Option[(StructType, Array[org.apache.spark.sql.catalyst.InternalRow])] = None
   private var limit: Option[Int] = None
 
   /** Filterless `LIMIT n` caps the PLANNED FILE SET: take files until
@@ -154,7 +154,7 @@ final class GraftScanBuilder(tbl: GraftTable, snapAt: () => Snapshot,
   }
 
   override def build(): Scan = aggResult match {
-    case Some((out, row)) => new GraftAggScan(out, row, tbl.tableDir.toString)
+    case Some((out, rows)) => new GraftAggScan(out, rows, tbl.tableDir.toString)
     case None => new GraftNativeScan(tbl, snapAt(), pushed, required, options, limit)
   }
 }

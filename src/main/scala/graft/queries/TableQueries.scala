@@ -360,6 +360,37 @@ object TableQueries {
              |  MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
              |FROM orders""".stripMargin)),
 
+    // Grouped aggregate pushdown: GROUP BY the identity partition
+    // column answered per partition value from per-file metadata (plan
+    // asserted LocalTableScan); oracle recomputes from raw parquet
+    "q79b_agg_groupby_pushdown" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq79").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq79", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq79.warehouse",
+            Files.createTempDirectory("graft-aggpd").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq79.bench")
+        s.sql("DROP TABLE IF EXISTS graftq79.bench.ordsp")
+        s.sql("""CREATE TABLE graftq79.bench.ordsp
+                |(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING)
+                |PARTITIONED BY (o_orderstatus)""".stripMargin)
+        t(s, dir, "orders").createOrReplaceTempView("q79b_src")
+        s.sql("""INSERT INTO graftq79.bench.ordsp
+                |SELECT o_orderkey, o_custkey, o_orderstatus FROM q79b_src""".stripMargin)
+        val out = s.sql(
+          """SELECT o_orderstatus, COUNT(*) AS n, COUNT(o_custkey) AS n_cust,
+            |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+            |FROM graftq79.bench.ordsp
+            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        require(out.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+          "grouped aggregate was not answered from metadata (expected LocalTableScan)")
+        out
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n, COUNT(o_custkey) AS n_cust,
+             |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Storage-partitioned join: two co-bucketed graft tables join and
     // aggregate with ZERO shuffle (plan asserted: no hash-partitioning
     // exchange); the oracle recomputes the join from raw parquet

@@ -521,6 +521,48 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     n.head.getLong(0) shouldBe 3L
   }
 
+  test("aggregate pushdown answers GROUP BY partition value from metadata") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsagg3")
+    spark.sql(
+      """CREATE TABLE graft.nsagg3.t (region BIGINT, amount DOUBLE, note STRING)
+        |PARTITIONED BY (region)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.nsagg3.t
+        |SELECT id % 3, CAST(id AS DOUBLE) + 0.5, CONCAT('r', id) FROM range(0, 30)""".stripMargin)
+    spark.sql("INSERT INTO graft.nsagg3.t VALUES (NULL, 99.5, 'nullreg')")
+
+    val g = spark.sql(
+      """SELECT region, COUNT(*) AS n, COUNT(amount) AS na,
+        |  MIN(amount) AS mn, MAX(amount) AS mx
+        |FROM graft.nsagg3.t GROUP BY region ORDER BY region NULLS FIRST""".stripMargin)
+    val plan = g.queryExecution.executedPlan.toString
+    plan should include("LocalTableScan")
+    plan should not include "BatchScan"
+    val rows = g.collect().map(r =>
+      (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    rows.toSeq shouldBe Seq(
+      (-1L, 1L, 99.5, 99.5),
+      (0L, 10L, 0.5, 27.5),
+      (1L, 10L, 1.5, 28.5),
+      (2L, 10L, 2.5, 29.5))
+
+    // grouping by a NON-partition column keeps the real scan
+    val byNote = spark.sql(
+      "SELECT note, COUNT(*) AS n FROM graft.nsagg3.t GROUP BY note")
+    byNote.queryExecution.executedPlan.toString should not include "LocalTableScan"
+    byNote.collect().length shouldBe 31
+
+    // bucket-partitioned tables never push a group-by (bucket ids are
+    // not the source values)
+    spark.sql(
+      """CREATE TABLE graft.nsagg3.b (k BIGINT, v DOUBLE)
+        |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    spark.sql("INSERT INTO graft.nsagg3.b SELECT id, CAST(id AS DOUBLE) FROM range(0, 20)")
+    val byK = spark.sql("SELECT k, COUNT(*) AS n FROM graft.nsagg3.b GROUP BY k")
+    byK.queryExecution.executedPlan.toString should not include "LocalTableScan"
+    byK.collect().length shouldBe 20
+  }
+
   test("bloom-filter table properties reach the written parquet files") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsbloom")
     spark.sql(
