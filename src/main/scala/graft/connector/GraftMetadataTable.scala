@@ -36,6 +36,7 @@ final class GraftMetadataTable(tbl: GraftTable, kind: String,
     case "history" | "snapshots" => GraftMetadataTable.HistorySchema
     case "files" => GraftMetadataTable.FilesSchema
     case "partitions" => GraftMetadataTable.PartitionsSchema
+    case "refs" => GraftMetadataTable.RefsSchema
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -64,6 +65,12 @@ final class GraftMetadataTable(tbl: GraftTable, kind: String,
           new GenericInternalRow(Array[Any](
             part.orNull, fs.size, fs.map(_.rows).sum, fs.map(_.sizeBytes).sum))
         }.toArray
+    case "refs" =>
+      tbl.tags().toSeq.sortBy(_._1).map { case (name, v) =>
+        val snap = tbl.snapshotAt(v)
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(name), v, snap.snapshotId, snap.timestampMs))
+      }.toArray
   }
 
   private def renderPartition(f: graft.meta.DataFile): Option[UTF8String] =
@@ -80,7 +87,7 @@ final class GraftMetadataTable(tbl: GraftTable, kind: String,
 }
 
 object GraftMetadataTable {
-  val Kinds: Set[String] = Set("history", "snapshots", "files", "partitions")
+  val Kinds: Set[String] = Set("history", "snapshots", "files", "partitions", "refs")
 
   val HistorySchema: StructType = StructType(Seq(
     StructField("version", IntegerType, nullable = false),
@@ -107,4 +114,13 @@ object GraftMetadataTable {
     StructField("file_count", IntegerType, nullable = false),
     StructField("row_count", LongType, nullable = false),
     StructField("size_bytes", LongType, nullable = false)))
+
+  /** Named refs (tags): `SELECT * FROM g.ns.t.refs` — which versions
+    * are pinned and reproducible (Iceberg's `.refs`).
+    */
+  val RefsSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("version", IntegerType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("timestamp_ms", LongType, nullable = false)))
 }

@@ -28,7 +28,8 @@ object GraftProcedures {
   val Namespace: Array[String] = Array("system")
 
   val Names: Seq[String] =
-    Seq("expire_snapshots", "compact", "remove_orphans", "cluster", "rollback_to_version")
+    Seq("expire_snapshots", "compact", "remove_orphans", "cluster",
+      "rollback_to_version", "create_tag", "drop_tag")
 
   def load(cat: () => GraftCatalog, name: String): Option[UnboundProcedure] =
     name match {
@@ -82,6 +83,35 @@ object GraftProcedures {
             in.getUTF8String(1).toString))
           val snap = tbl.rollbackTo(in.getInt(2))
           new GenericInternalRow(Array[Any](in.getInt(2), snap.version))
+        }))
+      case "create_tag" => Some(proc(name,
+        Array(
+          ProcedureParameter.in("namespace", StringType).build(),
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("tag", StringType).build(),
+          ProcedureParameter.in("version", IntegerType).build()), // -1 = current
+        StructType(Seq(
+          StructField("tag", StringType),
+          StructField("version", IntegerType))),
+        { in =>
+          val tbl = cat().load(TableIdent(in.getUTF8String(0).toString,
+            in.getUTF8String(1).toString))
+          val tag = in.getUTF8String(2).toString
+          val v = tbl.createTag(tag, Some(in.getInt(3)).filter(_ >= 0))
+          new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(tag), v))
+        }))
+      case "drop_tag" => Some(proc(name,
+        Array(
+          ProcedureParameter.in("namespace", StringType).build(),
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("tag", StringType).build()),
+        StructType(Seq(StructField("dropped", BooleanType))),
+        { in =>
+          val tbl = cat().load(TableIdent(in.getUTF8String(0).toString,
+            in.getUTF8String(1).toString))
+          new GenericInternalRow(Array[Any](
+            tbl.dropTag(in.getUTF8String(2).toString)))
         }))
       case "remove_orphans" => Some(proc(name,
         Array(

@@ -83,22 +83,28 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     new GraftV2Table(cat.load(ti), ident)
   }
 
-  /** SQL `VERSION AS OF <v>` — version string must be a log version.
-    * Works on metadata tables too (`t.files VERSION AS OF 3` = that
-    * snapshot's file inventory, the Iceberg surface).
+  /** SQL `VERSION AS OF <v>` — a log version number, or a TAG name
+    * (`VERSION AS OF 'prod-2024-05'`), resolved through the table's
+    * named refs. Works on metadata tables too (`t.files VERSION AS OF
+    * 3` = that snapshot's file inventory, the Iceberg surface).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
+    def resolve(tbl: graft.table.GraftTable): Int =
+      version.toIntOption.getOrElse(tbl.snapshotAtTag(version).version)
     if (ident.namespace().length == 2 &&
         GraftMetadataTable.Kinds.contains(ident.name().toLowerCase)) {
       val parent = TableIdent(ident.namespace()(0), ident.namespace()(1))
-      if (cat.exists(parent))
-        return new GraftMetadataTable(cat.load(parent),
-          ident.name().toLowerCase, ident.toString, Some(version.toInt))
+      if (cat.exists(parent)) {
+        val tbl = cat.load(parent)
+        return new GraftMetadataTable(tbl,
+          ident.name().toLowerCase, ident.toString, Some(resolve(tbl)))
+      }
     }
     if (ident.namespace().length != 1) throw new NoSuchTableException(ident)
     val ti = toIdent(ident)
     if (!cat.exists(ti)) throw new NoSuchTableException(ident)
-    new GraftV2Table(cat.load(ti), ident, Some(Left(version.toInt)))
+    val tbl = cat.load(ti)
+    new GraftV2Table(tbl, ident, Some(Left(resolve(tbl))))
   }
 
   /** SQL `TIMESTAMP AS OF <ts>` — Spark passes MICROseconds. */

@@ -90,6 +90,61 @@ final class MetadataLog(tableDir: Path) {
 
   def delete(version: Int): Unit = Files.deleteIfExists(versionFile(version))
 
+  // ---- named refs (tags) ---------------------------------------------
+  // One file per ref (`_meta/ref-<name>.json`): create is atomic
+  // CREATE_NEW (duplicate tag = natural failure, no read-modify-write
+  // race), drop is a delete, listing is a directory scan — the same
+  // filesystem primitives as the commit protocol, so refs inherit its
+  // portability story.
+
+  private val RefName = "^[A-Za-z0-9][A-Za-z0-9._-]*$".r
+
+  private def refFile(name: String): Path = {
+    require(RefName.matches(name),
+      s"invalid ref name '$name' (letters, digits, dot, underscore, dash)")
+    metaDir.resolve(s"ref-$name.json")
+  }
+
+  def createTag(name: String, version: Int): Unit = {
+    Files.createDirectories(metaDir)
+    try
+      Files.writeString(refFile(name), s"""{"version": $version}""",
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(s"tag '$name' already exists")
+    }
+  }
+
+  def dropTag(name: String): Boolean = Files.deleteIfExists(refFile(name))
+
+  def tag(name: String): Option[Int] = {
+    val f = refFile(name)
+    if (!Files.exists(f)) None
+    else {
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(Files.readString(f))
+      (j \ "version") match {
+        case JInt(v) => Some(v.toInt)
+        case _ => None
+      }
+    }
+  }
+
+  def tags(): Map[String, Int] = {
+    if (!Files.isDirectory(metaDir)) return Map.empty
+    val stream = Files.list(metaDir)
+    try
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("ref-") && s.endsWith(".json") =>
+          s.stripPrefix("ref-").stripSuffix(".json")
+        }
+        .flatMap(n => tag(n).map(n -> _))
+        .toMap
+    finally stream.close()
+  }
+
   /** Publish `build(parent)` as the next version. `build` is re-invoked
     * with the freshly-read parent on every retry so the caller always
     * commits against the latest table state.

@@ -331,6 +331,36 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
       .getOrElse(throw new IllegalArgumentException(
         s"No snapshot at or before $timestampMs"))
 
+  // ---- named refs (tags) ---------------------------------------------
+
+  /** Pin `name` to a live version (default: current). A tagged version
+    * is protected from [[expireSnapshots]] until the tag is dropped —
+    * the training-run-provenance workflow: tag the snapshot a model was
+    * trained on and `VERSION AS OF 'name'` reproduces its input
+    * forever.
+    */
+  def createTag(name: String, version: Option[Int] = None): Int = {
+    val v = version.getOrElse(currentOrFail().version)
+    require(log.listVersions().contains(v),
+      s"cannot tag version $v: not in the log (live: ${log.listVersions().mkString(", ")})")
+    log.createTag(name, v)
+    graft.observability.Log.metrics("create_tag",
+      "table" -> tableDir.getFileName, "tag" -> name, "version" -> v)
+    v
+  }
+
+  def dropTag(name: String): Boolean = log.dropTag(name)
+
+  def tags(): Map[String, Int] = log.tags()
+
+  /** Resolve a tag to its pinned snapshot. */
+  def snapshotAtTag(name: String): Snapshot =
+    log.tag(name) match {
+      case Some(v) => snapshotAt(v)
+      case None => throw new IllegalArgumentException(
+        s"unknown tag '$name' (tags: ${tags().keys.toSeq.sorted.mkString(", ")})")
+    }
+
   /** Filtered scan with file-level partition pruning: only files that
     * may contain matching rows are read; the full predicate is still
     * applied row-level (and pushed into the Parquet scan by Catalyst).
@@ -435,7 +465,12 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
       case None => 0
       case Some(ms) =>
         val newest = all.last
-        val expired = all.filter(s => s.timestampMs <= ms && s.version != newest.version)
+        // tagged versions are pinned: a tag names a version someone
+        // depends on reproducing (training-run provenance), so expiry
+        // must never collect it or its files
+        val tagged = log.tags().values.toSet
+        val expired = all.filter(s => s.timestampMs <= ms &&
+          s.version != newest.version && !tagged.contains(s.version))
         if (expired.isEmpty) return 0
         val survivors = all.diff(expired)
         val keptPaths = survivors.flatMap(_.files.map(_.path)).toSet

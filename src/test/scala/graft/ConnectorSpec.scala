@@ -521,6 +521,52 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     n.head.getLong(0) shouldBe 3L
   }
 
+  test("tags pin snapshots: AS OF by name, expiry protection, .refs table") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nstag")
+    spark.sql("CREATE TABLE graft.nstag.t (id BIGINT)")
+    spark.sql("INSERT INTO graft.nstag.t VALUES (1), (2)")        // v1
+    spark.sql("CALL graft.system.create_tag('nstag', 't', 'train-v1', -1)")
+    spark.sql("INSERT INTO graft.nstag.t VALUES (3)")             // v2
+    spark.sql("INSERT INTO graft.nstag.t VALUES (4)")             // v3
+
+    // VERSION AS OF by tag name reads the pinned snapshot
+    spark.sql("SELECT COUNT(*) FROM graft.nstag.t VERSION AS OF 'train-v1'")
+      .head.getLong(0) shouldBe 2L
+    // metadata tables resolve tags too
+    spark.sql("SELECT CAST(SUM(rows) AS BIGINT) FROM graft.nstag.t.files VERSION AS OF 'train-v1'")
+      .head.getLong(0) shouldBe 2L
+    // .refs lists the pin
+    val refs = spark.sql("SELECT name, version FROM graft.nstag.t.refs").collect()
+    refs.map(r => (r.getString(0), r.getInt(1))).toSeq shouldBe Seq(("train-v1", 1))
+
+    // expiry keeps the tagged version alive while collecting untagged ones
+    spark.sql("CALL graft.system.expire_snapshots('nstag', 't', 1)")
+    spark.sql("SELECT COUNT(*) FROM graft.nstag.t VERSION AS OF 'train-v1'")
+      .head.getLong(0) shouldBe 2L
+    // v2 (untagged, not newest) is gone
+    intercept[Exception] {
+      spark.sql("SELECT COUNT(*) FROM graft.nstag.t VERSION AS OF 2").collect()
+    }
+
+    // duplicate tags are refused; unknown tags are a clean error
+    intercept[Exception] {
+      spark.sql("CALL graft.system.create_tag('nstag', 't', 'train-v1', -1)").collect()
+    }
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.nstag.t VERSION AS OF 'nope'").collect()
+    }
+    err.getMessage should include("unknown tag")
+
+    // drop frees the name and the version becomes expirable
+    spark.sql("CALL graft.system.drop_tag('nstag', 't', 'train-v1')")
+      .head.getBoolean(0) shouldBe true
+    spark.sql("SELECT COUNT(*) FROM graft.nstag.t.refs").head.getLong(0) shouldBe 0L
+    spark.sql("CALL graft.system.expire_snapshots('nstag', 't', 1)")
+    intercept[Exception] {
+      spark.sql("SELECT COUNT(*) FROM graft.nstag.t VERSION AS OF 1").collect()
+    }
+  }
+
   test("aggregate pushdown answers GROUP BY partition value from metadata") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsagg3")
     spark.sql(
