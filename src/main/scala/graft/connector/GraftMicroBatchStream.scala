@@ -87,6 +87,9 @@ object GraftMicroBatchStream {
   * Options: `streamStartVersion` (default: the version current when the
   * stream starts, i.e. only NEW appends; `-1` replays from genesis —
   * valid when the table history is append-only);
+  * `streamStartTimestamp` (epoch millis — replay every commit after
+  * that moment; a timestamp before the first commit replays from
+  * genesis);
   * `maxFilesPerTrigger` / `maxRowsPerTrigger` rate-limit each
   * micro-batch via Spark's admission-control contract — a backlogged
   * stream catches up in bounded batches instead of planning one batch
@@ -135,7 +138,15 @@ final class GraftMicroBatchStream(
     availableNowEnd = Some(tbl.currentOrFail().version)
 
   override def initialOffset(): Offset = {
+    // precedence: explicit version > timestamp > "now" (only NEW
+    // appends). A timestamp resolves to the last version committed at
+    // or before it, so the stream REPLAYS everything after that moment
+    // — the Iceberg stream-from-timestamp shape.
     val v = Option(options.get("streamStartVersion")).map(_.toInt)
+      .orElse(Option(options.get("streamStartTimestamp")).map { ts =>
+        val tsMs = ts.toLong
+        scala.util.Try(tbl.snapshotAsOfTimestamp(tsMs).version).getOrElse(-1)
+      })
       .getOrElse(tbl.currentOrFail().version)
     GraftStreamOffset(v)
   }

@@ -389,7 +389,10 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
   private[graft] def prunedFilesOf(snap: Snapshot, pred: Expression): Seq[DataFile] =
     snap.fileGroups.iterator
       .filter(g => groupMay(g, snap, pred))
-      .flatMap(_.files.filter(f => fileTri(f, snap, pred).may))
+      // rows == 0 is exact footer metadata: an empty file (e.g. an
+      // empty partition of a write) can never satisfy any predicate,
+      // and its absent stats would otherwise read as "may contain"
+      .flatMap(_.files.filter(f => f.rows > 0L && fileTri(f, snap, pred).may))
       .toSeq
 
   /** Combined three-valued file evaluation: partition-transform pruning
@@ -781,6 +784,18 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
                              preserveDistribution: Boolean = false): FileGroup = {
     val commitId = UUID.randomUUID().toString.take(12)
     val outDir = tableDir.resolve("data").resolve(commitId)
+    // write-time clustering (`write.sort.columns` table property):
+    // rows are range-distributed (unpartitioned tables) or sorted
+    // within their partition's task (partitioned tables) on the listed
+    // columns, so EVERY commit's files carry narrow zone maps — the
+    // same pruning sharpening compactClustered gives, paid at write
+    // time instead of as a maintenance rewrite. Invalid/missing
+    // columns are ignored (a write must never fail on a layout hint).
+    val sortCols = current().map(_.properties).getOrElse(Map.empty)
+      .get("write.sort.columns").toSeq
+      .flatMap(_.split(",")).map(_.trim)
+      .filter(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      .map(c => col(s"`$c`"))
     val writer = spec match {
       case Some(pf) =>
         val srcField = schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol))
@@ -796,9 +811,17 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
             val arranged =
               if (preserveDistribution) derived
               else derived.repartition(col(pf.derivedColName))
-            arranged.write.partitionBy(pf.derivedColName)
+            val sorted =
+              if (sortCols.isEmpty) arranged
+              else arranged.sortWithinPartitions(col(pf.derivedColName) +: sortCols: _*)
+            sorted.write.partitionBy(pf.derivedColName)
           case None => df.write // source col missing: degrade to unpartitioned
         }
+      case None if sortCols.nonEmpty && !preserveDistribution =>
+        // unpartitioned + sort columns: range-cluster ACROSS files so
+        // file-level zone maps are disjoint, then sort within each for
+        // row-group/page stats and bloom locality
+        df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*).write
       case None => df.write
     }
     writer

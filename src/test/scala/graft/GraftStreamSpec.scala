@@ -116,6 +116,44 @@ class GraftStreamSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("streamStartTimestamp replays commits after that moment") {
+    val (s, c) = streamSession("graft-ts")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.snts")
+    s.sql("CREATE TABLE graft.snts.src (id BIGINT)")
+    s.sql("INSERT INTO graft.snts.src VALUES (1)") // v1
+    val tbl = c.load(graft.table.TableIdent("snts", "src"))
+    val afterV1 = tbl.currentOrFail().timestampMs
+    Thread.sleep(5) // later commits get strictly later timestamps
+    s.sql("INSERT INTO graft.snts.src VALUES (2)") // v2
+    s.sql("INSERT INTO graft.snts.src VALUES (3)") // v3
+
+    // start at v1's timestamp: v2 and v3 replay, v1 does not
+    val ckpt = Files.createTempDirectory("graft-ts-ckpt").toString
+    val q = s.readStream
+      .option("streamStartTimestamp", afterV1.toString)
+      .table("graft.snts.src")
+      .writeStream.format("memory").queryName("graft_ts_sink")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      s.sql("SELECT id FROM graft_ts_sink").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+        Seq(2L, 3L)
+    } finally q.stop()
+
+    // a timestamp before the first commit replays from genesis
+    val ckpt2 = Files.createTempDirectory("graft-ts-ckpt2").toString
+    val q2 = s.readStream
+      .option("streamStartTimestamp", "0")
+      .table("graft.snts.src")
+      .writeStream.format("memory").queryName("graft_ts_sink2")
+      .option("checkpointLocation", ckpt2).start()
+    try {
+      q2.processAllAvailable()
+      s.sql("SELECT id FROM graft_ts_sink2").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+        Seq(1L, 2L, 3L)
+    } finally q2.stop()
+  }
+
   test("restart from checkpoint: metrics() handles the rehydrated offset") {
     // after a restart the first progress report hands metrics() the
     // offset read back from the offset log (SerializedOffset, not

@@ -367,6 +367,36 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     t2.log.manifestParses.get() shouldBe parses
   }
 
+  test("write.sort.columns range-clusters appends so zone maps prune files") {
+    import org.apache.spark.sql.functions.{col, rand}
+    val wh = Files.createTempDirectory("graft-test")
+    val c = GraftCatalog(spark, wh.toString)
+    val t = c.ensure(TableIdent("ns", "tsort"))
+    // seed the schema + property, then append SHUFFLED data: without
+    // write clustering every file would cover ~the whole id range
+    val seed = spark.range(0, 1).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    t.append(seed)
+    t.updateProperties(Map("write.sort.columns" -> "id"))
+    val shuffled = spark.range(1, 4000)
+      .selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .orderBy(rand(42)) // destroy natural ordering
+    // AQE (correctly) coalesces a 4k-row range shuffle to one ~tiny
+    // partition; hold it open so the test observes multiple files the
+    // way a at-scale write would produce them
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try t.append(shuffled)
+    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    val snap = t.currentOrFail()
+    val dataFiles = snap.files.filter(_.rows > 0)
+    dataFiles.size should be > 1
+    // point predicate prunes to a single file: ranges are disjoint
+    val hit = t.prunedFiles("id = 2024")
+    withClue(s"files hit of ${dataFiles.size}: ") { hit.size shouldBe 1 }
+    // and the data is intact and ordered within files
+    t.scan().count() shouldBe 4000L
+    t.scanWhere("id = 2024").select("v").collect().head.getDouble(0) shouldBe 2024.0
+  }
+
   test("concurrent appends both commit via retry (optimistic concurrency)") {
     val t = cat().ensure(TableIdent("ns", "t13"))
     t.append(df(d1))
