@@ -29,7 +29,7 @@ object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("expire_snapshots", "compact", "remove_orphans", "cluster",
-      "rollback_to_version", "create_tag", "drop_tag")
+      "zorder", "rollback_to_version", "create_tag", "drop_tag")
 
   def load(cat: () => GraftCatalog, name: String): Option[UnboundProcedure] =
     name match {
@@ -83,6 +83,20 @@ object GraftProcedures {
             in.getUTF8String(1).toString))
           val snap = tbl.rollbackTo(in.getInt(2))
           new GenericInternalRow(Array[Any](in.getInt(2), snap.version))
+        }))
+      case "zorder" => Some(proc(name,
+        Array(
+          ProcedureParameter.in("namespace", StringType).build(),
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("columns", StringType).build(), // comma-separated, 2-4 numeric
+          ProcedureParameter.in("target_files", IntegerType).build()),
+        StructType(Seq(StructField("files_after", IntegerType))),
+        { in =>
+          val tbl = cat().load(TableIdent(in.getUTF8String(0).toString,
+            in.getUTF8String(1).toString))
+          val cols = in.getUTF8String(2).toString.split(",").map(_.trim).toSeq
+          val snap = tbl.compactZOrder(cols, in.getInt(3))
+          new GenericInternalRow(Array[Any](snap.files.size))
         }))
       case "create_tag" => Some(proc(name,
         Array(

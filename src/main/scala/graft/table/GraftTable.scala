@@ -573,6 +573,73 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
       case Some(partKey) => partKey +: canonical.map(c => col(s"`$c`"))
       case None => canonical.map(c => col(s"`$c`"))
     }
+    rewriteClustered(snap, spec, keyCols, targetFiles)
+  }
+
+  /** Z-order rewrite: like [[compactClustered]], but files cover
+    * compact REGIONS of the multi-column space instead of ranges of a
+    * concatenated sort key — so a predicate on ANY of the z-columns
+    * prunes files, not just the leading one (linear clustering on
+    * (x, y) leaves a y-only filter reading everything; z-order leaves
+    * it reading ~the y-matching quadrants). The z-value interleaves
+    * the top 16 bits of each column scaled into its GLOBAL [min, max]
+    * (one metadata-cheap agg job — the rewrite reads all data anyway);
+    * linear scaling is skew-sensitive but order-correct, and the
+    * rewrite is purely a LAYOUT change, so a bad z-value can only cost
+    * pruning, never rows. Numeric columns only (2–4 of them).
+    */
+  def compactZOrder(cols: Seq[String], targetFiles: Int): Snapshot = {
+    require(cols.size >= 2 && cols.size <= 4,
+      "z-order needs 2-4 columns (one column: use compactClustered)")
+    require(targetFiles > 0, "targetFiles must be positive")
+    val snap = currentOrFail()
+    val canonical = cols.map { c =>
+      val f = snap.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"unknown z-order column: $c"))
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"z-order column must be numeric, got ${f.name}: ${f.dataType.catalogString}")
+      f.name
+    }
+    val spec = partitionField()
+    val z = zValueColumn(snap, canonical)
+    val keyCols = spec.flatMap(pf =>
+      snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol))
+        .map(f => pf.derive(col(s"`${f.name}`"), f.dataType))) match {
+      case Some(partKey) => Seq(partKey, z)
+      case None => Seq(z)
+    }
+    rewriteClustered(snap, spec, keyCols, targetFiles)
+  }
+
+  /** The 64-bit interleaved z-value over up to four 16-bit cells, each
+    * column linearly scaled into its global [min, max] from one agg
+    * pass (nulls land in cell 0). Built from codegen'd bit ops only.
+    */
+  private def zValueColumn(snap: Snapshot, canonical: Seq[String]): Column = {
+    val aggs = canonical.flatMap(c =>
+      Seq(min(col(s"`$c`")).cast("double"), max(col(s"`$c`")).cast("double")))
+    val row = scanSnapshot(snap).agg(aggs.head, aggs.tail: _*).head
+    val n = canonical.size
+    val cells = canonical.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) =
+        if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) (0.0, 0.0)
+        else (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+      val scale = if (hi > lo) 65535.0 / (hi - lo) else 0.0
+      least(lit(65535L), greatest(lit(0L),
+        floor((coalesce(col(s"`$c`").cast("double"), lit(lo)) - lit(lo)) * lit(scale))
+          .cast("long")))
+    }
+    cells.zipWithIndex.map { case (cell, i) =>
+      (0 until 16).map { j =>
+        shiftleft(shiftright(cell, j).bitwiseAND(lit(1L)), j * n + i)
+      }.reduce(_.bitwiseOR(_))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  private def rewriteClustered(snap: Snapshot,
+                               spec: Option[PartitionField],
+                               keyCols: Seq[Column],
+                               targetFiles: Int): Snapshot = {
     val df = scanSnapshot(snap)
       .repartitionByRange(targetFiles, keyCols: _*)
       .sortWithinPartitions(keyCols: _*)

@@ -91,6 +91,17 @@ object PartitionPruner {
       if (pv.isEmpty) Tri(may = true, all = true) else Tri(may = false, all = false)
     case IsNotNull(a) if isSource(a, spec) && spec.transform == Transform.Identity =>
       if (pv.isEmpty) Tri(may = false, all = false) else Tri(may = true, all = true)
+    // sugar forms evaluate as their semantic rewrite — `BETWEEN`
+    // parses to UnresolvedFunction('between') in predicate strings and
+    // would otherwise fall through as Unknown (see StatsPruner)
+    case fn: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if fn.nameParts.lengthCompare(1) == 0 &&
+          fn.nameParts.head.equalsIgnoreCase("between") &&
+          fn.arguments.length == 3 =>
+      val Seq(a, lo, hi) = fn.arguments
+      eval(pv, spec, st, And(GreaterThanOrEqual(a, lo), LessThanOrEqual(a, hi)))
+    case r: RuntimeReplaceable =>
+      try eval(pv, spec, st, r.replacement) catch { case _: RuntimeException => Unknown }
     case _ => Unknown
   }
 

@@ -3,7 +3,7 @@ package graft.table
 import graft.meta.DataFile
 import graft.table.PartitionPruner.{Tri, Unknown}
 
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types._
 
@@ -55,6 +55,21 @@ object StatsPruner {
         all = s.nullCount.contains(0L))
       case None => Unknown
     }
+    // sugar forms evaluate as their semantic rewrite. `a BETWEEN x AND
+    // y` parses to UnresolvedFunction('between') (resolved to a
+    // RuntimeReplaceable only by the analyzer, which never sees these
+    // predicate strings) and would otherwise fall through as Unknown —
+    // silently disabling range pruning for the most idiomatic range
+    // predicate. Resolved trees arriving from other paths hit the
+    // RuntimeReplaceable case.
+    case fn: UnresolvedFunction
+        if fn.nameParts.lengthCompare(1) == 0 &&
+          fn.nameParts.head.equalsIgnoreCase("between") &&
+          fn.arguments.length == 3 =>
+      val Seq(a, lo, hi) = fn.arguments
+      eval(f, sch, And(GreaterThanOrEqual(a, lo), LessThanOrEqual(a, hi)))
+    case r: RuntimeReplaceable =>
+      try eval(f, sch, r.replacement) catch { case _: RuntimeException => Unknown }
     case _ => Unknown
   }
 

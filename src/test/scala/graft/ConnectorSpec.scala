@@ -521,6 +521,18 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     n.head.getLong(0) shouldBe 3L
   }
 
+  test("CALL graft.system.zorder rewrites the layout through SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nszo")
+    spark.sql("CREATE TABLE graft.nszo.t (x BIGINT, y BIGINT)")
+    spark.sql(
+      "INSERT INTO graft.nszo.t SELECT id % 50, id DIV 50 FROM range(0, 2500)")
+    val after = spark.sql("CALL graft.system.zorder('nszo', 't', 'x,y', 4)")
+      .head.getInt(0)
+    after should be >= 4 // 4 data files + the empty create-commit file
+    spark.sql("SELECT COUNT(*) FROM graft.nszo.t").head.getLong(0) shouldBe 2500L
+    spark.sql("SELECT COUNT(*) FROM graft.nszo.t WHERE x = 7").head.getLong(0) shouldBe 50L
+  }
+
   test("tags pin snapshots: AS OF by name, expiry protection, .refs table") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nstag")
     spark.sql("CREATE TABLE graft.nstag.t (id BIGINT)")

@@ -148,6 +148,43 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     t.scan().where("id >= 350").count() shouldBe 50
   }
 
+  test("z-order rewrite prunes on EVERY z-column, not just the leading one") {
+    val s = spark
+    import s.implicits._
+    val t = cat().ensure(TableIdent("ns", "tz"))
+    // a 20x20 grid appended in x-major order: every file spans all of y
+    t.append((for (x <- 0L until 20L; y <- 0L until 20L) yield (x, y, s"c$x-$y"))
+      .toDF("x", "y", "payload"))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // linear clustering on (x, y): y is secondary -> a y-only filter
+      // cannot prune (every x-range file holds all y values)
+      t.compactClustered(Seq("x", "y"), targetFiles = 8)
+      val linearHit = t.prunedFiles("y >= 18").size
+      val filesAfter = t.currentOrFail().files.count(_.rows > 0)
+      filesAfter shouldBe 8
+      linearHit shouldBe filesAfter // no pruning on the secondary column
+
+      // z-order on (x, y): files cover compact regions -> BOTH columns prune
+      t.compactZOrder(Seq("x", "y"), targetFiles = 8)
+      val zFiles = t.currentOrFail().files.count(_.rows > 0)
+      val zHitY = t.prunedFiles("y >= 18").size
+      val zHitX = t.prunedFiles("x >= 18").size
+      withClue(s"y-hit $zHitY, x-hit $zHitX of $zFiles: ") {
+        zHitY should be < zFiles
+        zHitX should be < zFiles
+      }
+      // semantics unchanged
+      t.scan().count() shouldBe 400L
+      t.scan().where("y >= 18").count() shouldBe 40L
+      t.scan().where("x >= 18 AND y >= 18").count() shouldBe 4L
+    } finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+
+    // guards: 1 column and non-numeric columns are refused
+    an[IllegalArgumentException] should be thrownBy t.compactZOrder(Seq("x"), 4)
+    an[IllegalArgumentException] should be thrownBy t.compactZOrder(Seq("x", "payload"), 4)
+  }
+
   test("upsert rejects duplicate source keys, like PyIceberg") {
     val t = cat().ensure(TableIdent("ns", "t5b"))
     t.append(df(d1, d2))

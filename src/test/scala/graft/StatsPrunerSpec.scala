@@ -39,6 +39,18 @@ class StatsPrunerSpec extends AnyFunSuite with Matchers {
     tri("id = 99", s).may shouldBe false
   }
 
+  test("BETWEEN desugars and prunes like its two comparisons") {
+    val s = Map("id" -> ColumnStats(Some("100"), Some("200"), Some(0)))
+    tri("id BETWEEN 250 AND 300", s) shouldBe Tri(may = false, all = false)
+    tri("id BETWEEN 100 AND 200", s) shouldBe Tri(may = true, all = true)
+    tri("id BETWEEN 150 AND 300", s) shouldBe Tri(may = true, all = false)
+    tri("id BETWEEN 0 AND 50", s).may shouldBe false
+    // NOT BETWEEN inverts soundly (negation never claims `all`: rows
+    // could be NULL and NOT(NULL) is NULL — see Tri.unary_!)
+    tri("id NOT BETWEEN 0 AND 300", s) shouldBe Tri(may = false, all = false)
+    tri("id NOT BETWEEN 300 AND 400", s) shouldBe Tri(may = true, all = false)
+  }
+
   test("nulls block all-match proofs but not may-match") {
     val s = Map("id" -> ColumnStats(Some("100"), Some("200"), Some(3)))
     tri("id >= 100", s) shouldBe Tri(may = true, all = false)
