@@ -521,6 +521,58 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     n.head.getLong(0) shouldBe 3L
   }
 
+  test("SPJ stays correct when one side is missing buckets or empty") {
+    val conf = spark.conf
+    val prevBucketing = conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevBroadcast = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsspj2")
+      spark.sql(
+        """CREATE TABLE graft.nsspj2.fact (k BIGINT, v DOUBLE)
+          |PARTITIONED BY (bucket(4, k))""".stripMargin)
+      spark.sql(
+        """CREATE TABLE graft.nsspj2.dim (k BIGINT, label STRING)
+          |PARTITIONED BY (bucket(4, k))""".stripMargin)
+      spark.sql("INSERT INTO graft.nsspj2.fact SELECT id, CAST(id AS DOUBLE) FROM range(0, 100)")
+      // dim holds a SINGLE key -> only one bucket materializes
+      spark.sql("INSERT INTO graft.nsspj2.dim VALUES (7, 'seven')")
+      val joined = spark.sql(
+        """SELECT f.k, d.label FROM graft.nsspj2.fact f
+          |JOIN graft.nsspj2.dim d ON f.k = d.k""".stripMargin)
+      joined.collect().map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe
+        Seq((7L, "seven"))
+
+      // empty dim: zero rows, never wrong
+      spark.sql("CREATE TABLE graft.nsspj2.emptydim (k BIGINT, label STRING) " +
+        "PARTITIONED BY (bucket(4, k))")
+      spark.sql(
+        """SELECT f.k FROM graft.nsspj2.fact f
+          |JOIN graft.nsspj2.emptydim d ON f.k = d.k""".stripMargin)
+        .collect().length shouldBe 0
+
+      // mismatched bucket counts must never co-partition: 4- vs 8-bucket
+      // tables hash the same key to different buckets
+      spark.sql("CREATE TABLE graft.nsspj2.dim8 (k BIGINT, label STRING) " +
+        "PARTITIONED BY (bucket(8, k))")
+      spark.sql("INSERT INTO graft.nsspj2.dim8 SELECT id, CONCAT('x', id) FROM range(0, 100)")
+      val mixed = spark.sql(
+        """SELECT f.k, d.label FROM graft.nsspj2.fact f
+          |JOIN graft.nsspj2.dim8 d ON f.k = d.k""".stripMargin)
+      mixed.collect().length shouldBe 100
+    } finally {
+      prevBucketing match {
+        case Some(v) => conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      prevBroadcast match {
+        case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("CALL graft.system.zorder rewrites the layout through SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nszo")
     spark.sql("CREATE TABLE graft.nszo.t (x BIGINT, y BIGINT)")
