@@ -128,6 +128,26 @@ object StatsPrunerProps extends Properties("StatsPruner") {
         // all-match files must satisfy everywhere
         Prop(tri.may || !anySat) && Prop(!tri.all || allSat)
     }
+
+  /** BETWEEN (an UnresolvedFunction in parsed predicate strings) must
+    * evaluate exactly like its desugared conjunction — including under
+    * NOT and with nulls present.
+    */
+  property("BETWEEN ≡ its two comparisons, plain and negated") =
+    forAll(Gen.choose(-1000L, 1000L), Gen.choose(0L, 500L),
+           Gen.choose(-1500L, 1500L), Gen.choose(-1500L, 1500L),
+           Gen.choose(0L, 10L), Gen.oneOf(true, false)) {
+      (min, span, a, b, nulls, negate) =>
+        val (lo, hi) = (math.min(a, b), math.max(a, b))
+        val file = DataFile("f.parquet", 10, 10, None,
+          Map("k" -> ColumnStats(Some(min.toString), Some((min + span).toString), Some(nulls))))
+        def tri(sql: String) = StatsPruner.evaluate(file, schema,
+          CatalystSqlParser.parseExpression(sql))
+        val not = if (negate) "NOT" else ""
+        val sugar = tri(s"k $not BETWEEN $lo AND $hi")
+        val desugared = tri(s"$not (k >= $lo AND k <= $hi)")
+        Prop(sugar == desugared) :| s"sugar=$sugar desugared=$desugared"
+    }
 }
 
 /** Properties of the Iceberg-spec bucket hash (pure functions — no
