@@ -37,26 +37,48 @@ object GraftStream {
     * }}}
     */
   def writer(stream: DataFrame, catalog: GraftCatalog, ident: TableIdent,
-             cfg: LoaderConfig = LoaderConfig()): DataStreamWriter[Row] = {
+             cfg: LoaderConfig = LoaderConfig(),
+             streamId: String = "stream"): DataStreamWriter[Row] = {
     val strategy = WriteStrategy.forConfig(cfg)
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        commitBatch(batch.toDF(), batchId, catalog, ident, cfg, strategy)
+        commitBatch(batch.toDF(), batchId, catalog, ident, cfg, strategy, streamId)
       }
   }
 
   /** One micro-batch ⇒ one snapshot. Mirrors the Loader's flush pipeline
     * (`core/loader.py:109-176`): ensure table, inject load timestamp,
     * evolve schema if enabled, dispatch to the write strategy.
+    *
+    * Exactly-once across retries: `foreachBatch` is at-least-once (a
+    * crash between the table commit and the checkpoint commit replays
+    * the batch), so the committed batch id rides IN the snapshot
+    * properties (`graft.stream.<streamId>.last-batch`) — the same
+    * transaction as the data, the Delta `txnAppId`/`txnVersion`
+    * pattern. A replayed batch id ≤ the recorded one is skipped whole.
+    * `streamId` names the LOGICAL stream: keep it stable across
+    * restarts of the same query; use a fresh one when restarting from
+    * a fresh checkpoint (batch ids reset to 0 there).
     */
-  private[streaming] def commitBatch(batch: DataFrame, batchId: Long,
+  private[graft] def commitBatch(batch: DataFrame, batchId: Long,
                                      catalog: GraftCatalog, ident: TableIdent,
-                                     cfg: LoaderConfig, strategy: WriteStrategy): Unit = {
+                                     cfg: LoaderConfig, strategy: WriteStrategy,
+                                     streamId: String = "stream"): Unit = {
     val table = catalog.ensure(ident, cfg.partitionCol)
+    val key = s"graft.stream.$streamId.last-batch"
+    val last = table.current().flatMap(_.properties.get(key)).map(_.toLong).getOrElse(-1L)
+    if (batchId <= last) {
+      graft.observability.Log.metrics("stream_batch_skipped",
+        "table" -> ident, "stream" -> streamId,
+        "batch" -> batchId, "committed_through" -> last)
+      return
+    }
     val stamped = Loader.injectLoadTs(batch, cfg)
     if (cfg.schemaEvolution && table.current().isDefined)
       table.evolveSchema(stamped.schema)
-    strategy.write(table, stamped, cfg, isFirstWrite = batchId == 0L)
+    val marked = cfg.copy(tableProperties =
+      cfg.tableProperties + (key -> batchId.toString))
+    strategy.write(table, stamped, marked, isFirstWrite = batchId == 0L)
   }
 }

@@ -39,6 +39,35 @@ class GraftStreamSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("a replayed micro-batch commits nothing (exactly-once sink)") {
+    val s = spark
+    import s.implicits._
+    val c = cat()
+    val id = TableIdent("ns", "sreplay")
+    val cfg = LoaderConfig(writeMode = WriteMode.Append)
+    val strat = graft.loader.WriteStrategy.forConfig(cfg)
+    def commit(batchId: Long, rows: (Long, String)*): Unit =
+      GraftStream.commitBatch(rows.toDF("id", "name"), batchId, c, id, cfg, strat, "q1")
+    commit(0L, (1L, "a"))
+    commit(1L, (2L, "b"))
+    // crash-replay of batch 1: foreachBatch redelivers it — the batch
+    // marker in the snapshot properties makes the commit a no-op
+    commit(1L, (2L, "b"))
+    commit(0L, (1L, "a")) // stale replay from further back: also skipped
+    val t = c.load(id)
+    t.scan().count() shouldBe 2
+    t.snapshots().size shouldBe 2
+    t.currentOrFail().properties("graft.stream.q1.last-batch") shouldBe "1"
+    // the stream moves on: the next NEW batch commits
+    commit(2L, (3L, "c"))
+    t.scan().count() shouldBe 3
+    // an INDEPENDENT logical stream into the same table is not blocked
+    // by q1's marker
+    GraftStream.commitBatch(Seq((9L, "z")).toDF("id", "name"), 0L, c, id, cfg, strat, "q2")
+    t.scan().count() shouldBe 4
+    t.currentOrFail().properties("graft.stream.q2.last-batch") shouldBe "0"
+  }
+
   test("overwrite mode: batch 0 overwrites pre-existing data, later batches append") {
     val s = spark
     import s.implicits._
