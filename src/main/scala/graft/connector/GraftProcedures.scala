@@ -29,7 +29,8 @@ object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("expire_snapshots", "compact", "remove_orphans", "cluster",
-      "zorder", "rollback_to_version", "create_tag", "drop_tag")
+      "zorder", "rollback_to_version", "create_tag", "drop_tag",
+      "set_partition_spec")
 
   def load(cat: () => GraftCatalog, name: String): Option[UnboundProcedure] =
     name match {
@@ -97,6 +98,20 @@ object GraftProcedures {
           val cols = in.getUTF8String(2).toString.split(",").map(_.trim).toSeq
           val snap = tbl.compactZOrder(cols, in.getInt(3))
           new GenericInternalRow(Array[Any](snap.files.size))
+        }))
+      case "set_partition_spec" => Some(proc(name,
+        Array(
+          ProcedureParameter.in("namespace", StringType).build(),
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("spec", StringType).build()), // '' = unpartitioned
+        StructType(Seq(StructField("spec", StringType))),
+        { in =>
+          val tbl = cat().load(TableIdent(in.getUTF8String(0).toString,
+            in.getUTF8String(1).toString))
+          val raw = in.getUTF8String(2).toString.trim
+          val snap = tbl.setPartitionSpec(Some(raw).filter(_.nonEmpty))
+          new GenericInternalRow(Array[Any](
+            snap.partitionSpec.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull))
         }))
       case "create_tag" => Some(proc(name,
         Array(

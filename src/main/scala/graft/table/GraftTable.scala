@@ -155,6 +155,35 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
     }
   }
 
+  /** Partition-spec evolution: a metadata-only commit switching the
+    * table's WRITE layout — no data rewrite, the Iceberg
+    * partition-evolution contract. Existing files keep their old
+    * partition values; the scan planner simply stops partition-pruning
+    * them (their values carry the old field name, which reads as
+    * "unknown" — zone maps still prune) while every NEW write lands in
+    * the new layout and prunes fully. `compact()` afterwards rewrites
+    * everything into the new layout, completing the migration lazily:
+    * the "bucket(16) turned out too coarse, move to bucket(256)"
+    * operation that would otherwise mean an offline table rebuild.
+    * `None` makes the table unpartitioned for new writes.
+    */
+  def setPartitionSpec(spec: Option[String]): Snapshot = {
+    val snap = currentOrFail()
+    spec.foreach { s =>
+      val pf = PartitionExpr.parse(s) // throws on grammar errors
+      require(PartitionExpr.validate(pf, snap.schema).isDefined,
+        s"partition spec '$s' does not fit the schema: column missing " +
+          "or type not accepted by the transform")
+    }
+    if (spec == snap.partitionSpec) return snap
+    log.commit { parent =>
+      val p = parent.getOrElse(snap)
+      p.copy(snapshotId = newSnapshotId(),
+        operation = "set-partition-spec",
+        partitionSpec = spec)
+    }
+  }
+
   /** Metadata-only commit updating table properties (`ALTER TABLE
     * SET/UNSET TBLPROPERTIES`): data files and manifests carry over
     * verbatim — the commit writes O(1) metadata.

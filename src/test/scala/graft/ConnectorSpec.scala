@@ -573,6 +573,26 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("CALL graft.system.set_partition_spec evolves the write layout") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nspe")
+    spark.sql(
+      """CREATE TABLE graft.nspe.t (id BIGINT, ts TIMESTAMP_NTZ)
+        |PARTITIONED BY (day(ts))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.nspe.t VALUES
+        |(1, TIMESTAMP_NTZ '2024-01-01 00:00:00'),
+        |(2, TIMESTAMP_NTZ '2024-01-02 00:00:00')""".stripMargin)
+    spark.sql("CALL graft.system.set_partition_spec('nspe', 't', 'bucket(8, id)')")
+      .head.getString(0) shouldBe "bucket(8, id)"
+    spark.sql("INSERT INTO graft.nspe.t VALUES (3, TIMESTAMP_NTZ '2024-02-01 00:00:00')")
+    spark.sql("SELECT COUNT(*) FROM graft.nspe.t").head.getLong(0) shouldBe 3L
+    spark.sql("SELECT id FROM graft.nspe.t WHERE ts >= TIMESTAMP_NTZ '2024-02-01 00:00:00'")
+      .head.getLong(0) shouldBe 3L
+    // migrate the remaining old-layout files
+    spark.sql("CALL graft.system.compact('nspe', 't', 1)")
+    spark.sql("SELECT COUNT(*) FROM graft.nspe.t").head.getLong(0) shouldBe 3L
+  }
+
   test("CALL graft.system.zorder rewrites the layout through SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nszo")
     spark.sql("CREATE TABLE graft.nszo.t (x BIGINT, y BIGINT)")

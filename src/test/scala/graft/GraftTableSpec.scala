@@ -148,6 +148,46 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     t.scan().where("id >= 350").count() shouldBe 50
   }
 
+  test("partition-spec evolution: new writes use the new layout, compact migrates") {
+    val t = cat().ensure(TableIdent("ns", "tpe"), Some("day"))
+    t.append(df(d1, d2, d3)) // three identity day-partitions
+    val oldFiles = t.currentOrFail().files
+    oldFiles.forall(_.partitionValues.exists(_.contains("day"))) shouldBe true
+
+    // evolve to bucket(4, id): metadata-only, nothing rewritten
+    val filesBefore = t.currentOrFail().files.map(_.path).toSet
+    t.setPartitionSpec(Some("bucket(4, id)"))
+    t.currentOrFail().files.map(_.path).toSet shouldBe filesBefore
+    t.currentOrFail().operation shouldBe "set-partition-spec"
+
+    // new appends land in the NEW layout
+    t.append(df((10L, "2024-03-01", "j"), (11L, "2024-03-02", "k")))
+    val newFiles = t.currentOrFail().files.filterNot(f => filesBefore(f.path))
+    newFiles.nonEmpty shouldBe true
+    newFiles.forall(_.partitionValues.exists(_.contains("id_bucket_4"))) shouldBe true
+
+    // reads stay correct across BOTH layouts (old files zone-map prune)
+    t.scan().count() shouldBe 5
+    t.scanWhere("day = '2024-01-02'").select("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
+    t.scanWhere("id = 11").count() shouldBe 1
+
+    // compact rewrites EVERYTHING into the current layout
+    t.compact(targetFiles = 1)
+    val migrated = t.currentOrFail().files.filter(_.rows > 0)
+    migrated.forall(_.partitionValues.exists(_.contains("id_bucket_4"))) shouldBe true
+    t.scan().count() shouldBe 5
+
+    // invalid specs are refused before any commit
+    an[IllegalArgumentException] should be thrownBy
+      t.setPartitionSpec(Some("bucket(4, nope)"))
+    an[IllegalArgumentException] should be thrownBy
+      t.setPartitionSpec(Some("year(id)")) // transform rejects the type
+    // back to unpartitioned: new files carry no partition values
+    t.setPartitionSpec(None)
+    t.append(df((12L, "2024-04-01", "l")))
+    t.scan().count() shouldBe 6
+  }
+
   test("z-order rewrite prunes on EVERY z-column, not just the leading one") {
     val s = spark
     import s.implicits._
