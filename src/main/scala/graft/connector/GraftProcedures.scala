@@ -30,7 +30,7 @@ object GraftProcedures {
   val Names: Seq[String] =
     Seq("expire_snapshots", "compact", "remove_orphans", "cluster",
       "zorder", "rollback_to_version", "create_tag", "drop_tag",
-      "set_partition_spec")
+      "set_partition_spec", "verify_table")
 
   def load(cat: () => GraftCatalog, name: String): Option[UnboundProcedure] =
     name match {
@@ -98,6 +98,23 @@ object GraftProcedures {
           val cols = in.getUTF8String(2).toString.split(",").map(_.trim).toSeq
           val snap = tbl.compactZOrder(cols, in.getInt(3))
           new GenericInternalRow(Array[Any](snap.files.size))
+        }))
+      case "verify_table" => Some(proc(name,
+        Array(
+          ProcedureParameter.in("namespace", StringType).build(),
+          ProcedureParameter.in("table", StringType).build()),
+        StructType(Seq(
+          StructField("files", IntegerType),
+          StructField("rows", LongType),
+          StructField("ok", BooleanType),
+          StructField("issues", StringType))),
+        { in =>
+          val tbl = cat().load(TableIdent(in.getUTF8String(0).toString,
+            in.getUTF8String(1).toString))
+          val (files, rows, issues) = tbl.verifyIntegrity()
+          new GenericInternalRow(Array[Any](files, rows, issues.isEmpty,
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              issues.mkString("; "))))
         }))
       case "set_partition_spec" => Some(proc(name,
         Array(

@@ -573,6 +573,25 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("CALL graft.system.verify_table audits metadata against storage") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsvf")
+    spark.sql("CREATE TABLE graft.nsvf.t (id BIGINT)")
+    spark.sql("INSERT INTO graft.nsvf.t SELECT id FROM range(0, 100)")
+    val r = spark.sql("CALL graft.system.verify_table('nsvf', 't')").head
+    r.getBoolean(2) shouldBe true
+    r.getLong(1) shouldBe 100L
+
+    // corrupt the table: delete a data file behind the metadata's back
+    import graft.table.{GraftCatalog, TableIdent}
+    val tbl = GraftCatalog(spark, spark.conf.get("spark.sql.catalog.graft.warehouse"))
+      .load(TableIdent("nsvf", "t"))
+    val victim = tbl.currentOrFail().files.find(_.rows > 0).get
+    java.nio.file.Files.delete(tbl.tableDir.resolve(victim.path))
+    val bad = spark.sql("CALL graft.system.verify_table('nsvf', 't')").head
+    bad.getBoolean(2) shouldBe false
+    bad.getString(3) should include("missing data file")
+  }
+
   test("CALL graft.system.set_partition_spec evolves the write layout") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nspe")
     spark.sql(
