@@ -498,6 +498,23 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     tsmin.head.getAs[java.time.LocalDateTime](1).toString shouldBe "2023-12-25T06:30"
   }
 
+  test("aggregate pushdown stays exact after a partial-file rewrite delete") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsagg4")
+    spark.sql("CREATE TABLE graft.nsagg4.t (id BIGINT, v DOUBLE)")
+    // one INSERT = few files; the delete hits a strict subset of one
+    // file's rows, forcing the copy-on-write rewrite (not a whole-file
+    // drop) — the rewritten group must carry a FRESH summary or the
+    // metadata answer below would be stale
+    spark.sql("INSERT INTO graft.nsagg4.t SELECT id, CAST(id AS DOUBLE) FROM range(0, 100)")
+    spark.sql("DELETE FROM graft.nsagg4.t WHERE id >= 90 AND id < 95")
+    val r = spark.sql(
+      "SELECT COUNT(*) AS n, COUNT(v) AS nv, MIN(id) AS mn, MAX(id) AS mx FROM graft.nsagg4.t")
+    r.queryExecution.executedPlan.toString should include("LocalTableScan")
+    val row = r.head
+    (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) shouldBe
+      ((95L, 95L, 0L, 99L))
+  }
+
   test("aggregate pushdown stays exact across deletes and evolution") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsagg2")
     spark.sql("CREATE TABLE graft.nsagg2.t (id BIGINT, v DOUBLE)")
