@@ -446,6 +446,33 @@ object TableQueries {
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
              |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
 
+    // Z-order layout: rewrite on (l_orderkey, l_suppkey), then filter
+    // on the SECOND column — file pruning asserted in-plan (z-order's
+    // whole point; linear clustering can't prune a secondary column),
+    // result oracle-checked against raw parquet
+    "q81_zorder_scan" -> Q(
+      (s, dir) => {
+        val cat = freshCatalog(s)
+        val ident = TableIdent("bench", "li_zorder")
+        val tbl = cat.ensure(ident)
+        tbl.append(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")))
+        tbl.compactZOrder(Seq("l_orderkey", "l_suppkey"), targetFiles = 16)
+        val total = tbl.currentOrFail().files.count(_.rows > 0)
+        val pred = "l_suppkey BETWEEN 3 AND 7"
+        val hit = tbl.prunedFiles(pred).size
+        require(hit < total,
+          s"z-order did not prune on the secondary column ($hit of $total files)")
+        tbl.scanWhere(pred)
+          .groupBy("l_suppkey")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("l_suppkey")
+      },
+      Some("""SELECT l_suppkey, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem WHERE l_suppkey BETWEEN 3 AND 7
+             |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
+
     // DSv2 DML round-trip: UPDATE + DELETE + MERGE through spark.sql,
     // then an aggregate the DuckDB oracle recomputes from the applied
     // semantics over the raw source
