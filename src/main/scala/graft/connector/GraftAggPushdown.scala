@@ -9,8 +9,6 @@ import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.LocalScan
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
-
 /** Metadata-only aggregate pushdown (DSv2 `SupportsPushDownAggregates`).
   *
   * `SELECT count(*) / count(col) / min(col) / max(col) FROM t` is
@@ -123,7 +121,7 @@ private[connector] object GraftAggPushdown {
         scala.util.Try(PartitionExpr.parse(s)).toOption)
       if pf.transform == Transform.Identity &&
         pf.sourceCol.equalsIgnoreCase(gbField.name) &&
-        keyDomain(gbField.dataType)
+        GraftPartitionKeys.keyDomain(gbField.dataType)
       files = snap.files
       keyed <- sequence(files.map(f =>
         f.partitionValues.flatMap(_.get(pf.fieldName)).map(_ -> f)))
@@ -143,7 +141,7 @@ private[connector] object GraftAggPushdown {
                        agg: Aggregation): Option[InternalRow] = {
     val keyVal: Option[Any] = key match {
       case None => Some(null)
-      case Some(s) => parseKeyValue(gbField.dataType, s)
+      case Some(s) => GraftPartitionKeys.parse(gbField.dataType, s)
     }
     def entries(col: String): Seq[(Long, Option[ColumnStats])] =
       fs.map(f => (f.rows, f.stats.get(col)))
@@ -177,26 +175,6 @@ private[connector] object GraftAggPushdown {
       case m: Max => field(schema, m.column).map(f => StructField(s"max(${f.name})", f.dataType))
       case _ => None
     })
-
-  /** Identity partition-value string → Catalyst group-key value, only
-    * for domains whose rendering round-trips exactly.
-    */
-  private def keyDomain(dt: DataType): Boolean = dt match {
-    case ByteType | ShortType | IntegerType | LongType | StringType | DateType => true
-    case _ => false
-  }
-
-  private def parseKeyValue(dt: DataType, s: String): Option[Any] =
-    try dt match {
-      case ByteType => Some(java.lang.Byte.valueOf(s.toByte))
-      case ShortType => Some(java.lang.Short.valueOf(s.toShort))
-      case IntegerType => Some(java.lang.Integer.valueOf(s.toInt))
-      case LongType => Some(java.lang.Long.valueOf(s.toLong))
-      case StringType => Some(UTF8String.fromString(s))
-      case DateType =>
-        Some(java.lang.Integer.valueOf(java.time.LocalDate.parse(s).toEpochDay.toInt))
-      case _ => None
-    } catch { case _: RuntimeException => None }
 
   // ---- shared stat folding -------------------------------------------
 

@@ -145,7 +145,11 @@ final class GraftMicroBatchStream(
     val v = Option(options.get("streamStartVersion")).map(_.toInt)
       .orElse(Option(options.get("streamStartTimestamp")).map { ts =>
         val tsMs = ts.toLong
-        scala.util.Try(tbl.snapshotAsOfTimestamp(tsMs).version).getOrElse(-1)
+        // only "timestamp predates the first commit" means genesis (-1);
+        // a transient metadata-read failure must FAIL the query start,
+        // not silently replay the whole table into the sink
+        try tbl.snapshotAsOfTimestamp(tsMs).version
+        catch { case _: IllegalArgumentException => -1 }
       })
       .getOrElse(tbl.currentOrFail().version)
     GraftStreamOffset(v)

@@ -142,16 +142,27 @@ final class GraftScanBuilder(tbl: GraftTable, snapAt: () => Snapshot,
   // reported residual), so a successful push answers count/min/max from
   // the manifest-list summaries without opening a single data file.
 
-  override def supportCompletePushDown(agg: Aggregation): Boolean =
-    pushed.isEmpty && GraftAggPushdown.plan(snapAt(), agg).isDefined
+  // memoized per Aggregation instance: Spark calls
+  // supportCompletePushDown then pushAggregation with the same object,
+  // and the grouped plan walks O(#files) metadata — once is enough
+  private var plannedAgg: Option[(Aggregation, Option[(StructType, Array[org.apache.spark.sql.catalyst.InternalRow])])] = None
 
-  override def pushAggregation(agg: Aggregation): Boolean = {
-    if (pushed.nonEmpty) false
-    else GraftAggPushdown.plan(snapAt(), agg) match {
+  private def planAgg(agg: Aggregation) = plannedAgg match {
+    case Some((a, r)) if a eq agg => r
+    case _ =>
+      val r = if (pushed.nonEmpty) None else GraftAggPushdown.plan(snapAt(), agg)
+      plannedAgg = Some((agg, r))
+      r
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    planAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    planAgg(agg) match {
       case some @ Some(_) => aggResult = some; true
       case None => false
     }
-  }
 
   override def build(): Scan = aggResult match {
     case Some((out, rows)) => new GraftAggScan(out, rows, tbl.tableDir.toString)
@@ -278,6 +289,17 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
   // distinct partition value — the same task granularity as a bucketed
   // Hive table; bucket counts are the user's parallelism dial.
 
+  /** Key-grouped planning only engages when the session asked for it:
+    * without the conf, Spark ignores the reported partitioning anyway,
+    * and one-task-per-partition-value planning (whole un-split files)
+    * would silently replace ParquetScan's size-balanced splits on
+    * EVERY scan of a partitioned table — 8 straggler tasks for a
+    * 100 GB bucket(8) table with no join in sight.
+    */
+  private def v2BucketingOn: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+
   /** The partition field when its key domain round-trips exactly from
     * the stored partition-value strings: bucket (key = bucket id, INT)
     * or identity over an integral/string/date column.
@@ -290,29 +312,11 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
         case _: graft.partitioning.Transform.Bucket => Some(pf -> IntegerType)
         case graft.partitioning.Transform.Identity =>
           snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol)).collect {
-            case f if spjKeyDomain(f.dataType) => pf -> f.dataType
+            case f if GraftPartitionKeys.keyDomain(f.dataType) => pf -> f.dataType
           }
         case _ => None
       }
     }
-
-  private def spjKeyDomain(dt: DataType): Boolean = dt match {
-    case ByteType | ShortType | IntegerType | LongType | StringType | DateType => true
-    case _ => false
-  }
-
-  /** Stored partition-value string → Catalyst key value. */
-  private def parseKey(dt: DataType, s: String): Option[Any] =
-    try dt match {
-      case ByteType => Some(java.lang.Byte.valueOf(s.toByte))
-      case ShortType => Some(java.lang.Short.valueOf(s.toShort))
-      case IntegerType => Some(java.lang.Integer.valueOf(s.toInt))
-      case LongType => Some(java.lang.Long.valueOf(s.toLong))
-      case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
-      case DateType =>
-        Some(java.lang.Integer.valueOf(java.time.LocalDate.parse(s).toEpochDay.toInt))
-      case _ => None
-    } catch { case _: RuntimeException => None }
 
   /** Files grouped by partition key, FROZEN at first evaluation (static
     * planning time). Runtime filters may later shrink the file set, but
@@ -328,7 +332,8 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
       else {
         val keyed = fs.map { f =>
           f.partitionValues.flatMap(_.get(pf.fieldName)) match {
-            case Some(Some(s)) => parseKey(dt, s).map(v => (Some(v): Option[Any]) -> f)
+            case Some(Some(s)) =>
+              GraftPartitionKeys.parse(dt, s).map(v => (Some(v): Option[Any]) -> f)
             case Some(None) => Some((None: Option[Any]) -> f)
             case None => None
           }
@@ -343,7 +348,7 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    spjGroups match {
+    (if (v2BucketingOn) spjGroups else None) match {
       case Some(groups) =>
         val (pf, _) = spjField.get
         val key = pf.transform match {
@@ -358,7 +363,7 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }
 
-  override def toBatch: Batch = spjGroups match {
+  override def toBatch: Batch = (if (v2BucketingOn) spjGroups else None) match {
     case Some(groups) =>
       // intersect each frozen group with the CURRENT file set (runtime
       // filters only ever remove files) — keys stay stable, empty
@@ -523,7 +528,7 @@ private[connector] final class GraftKeyedBatch(
 }
 
 /** A file task plus the partition key all its files share. */
-private[connector] final class GraftKeyedFilePartition(
+private[graft] final class GraftKeyedFilePartition(
     key: InternalRow,
     val inner: org.apache.spark.sql.execution.datasources.FilePartition)
     extends org.apache.spark.sql.connector.read.InputPartition

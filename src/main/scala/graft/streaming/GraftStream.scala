@@ -59,7 +59,12 @@ object GraftStream {
     * pattern. A replayed batch id ≤ the recorded one is skipped whole.
     * `streamId` names the LOGICAL stream: keep it stable across
     * restarts of the same query; use a fresh one when restarting from
-    * a fresh checkpoint (batch ids reset to 0 there).
+    * a fresh checkpoint (batch ids reset to 0 there). TWO CONCURRENT
+    * queries writing one table MUST use distinct streamIds — under the
+    * shared default, whichever query is further ahead makes the
+    * other's batches look like replays and they are dropped. Every
+    * skip is logged at warning level with both ids so a collision is
+    * visible, but the safe setup is a unique streamId per query.
     */
   private[graft] def commitBatch(batch: DataFrame, batchId: Long,
                                      catalog: GraftCatalog, ident: TableIdent,
@@ -69,7 +74,11 @@ object GraftStream {
     val key = s"graft.stream.$streamId.last-batch"
     val last = table.current().flatMap(_.properties.get(key)).map(_.toLong).getOrElse(-1L)
     if (batchId <= last) {
-      graft.observability.Log.metrics("stream_batch_skipped",
+      graft.observability.Log.warn(
+        s"skipping replayed micro-batch $batchId for $ident (stream " +
+          s"'$streamId' already committed through $last) — if this is a " +
+          "DIFFERENT query than the one that wrote that marker, give it " +
+          "its own streamId or its data is being dropped",
         "table" -> ident, "stream" -> streamId,
         "batch" -> batchId, "committed_through" -> last)
       return

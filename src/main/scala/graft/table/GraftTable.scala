@@ -688,17 +688,24 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
       Seq(min(col(s"`$c`")).cast("double"), max(col(s"`$c`")).cast("double")))
     val row = scanSnapshot(snap).agg(aggs.head, aggs.tail: _*).head
     val n = canonical.size
+    // bits per cell capped so the TOP interleaved bit stays below bit
+    // 63: with 4 columns, 16-bit cells would put the 4th column's MSB
+    // in the long's SIGN bit and the range sort would order the
+    // highest-order half of the curve FIRST — inverting the most
+    // significant split (15 bits × 4 tops out at bit 59)
+    val bits = if (n == 4) 15 else 16
+    val cellMax = (1L << bits) - 1
     val cells = canonical.zipWithIndex.map { case (c, i) =>
       val (lo, hi) =
         if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) (0.0, 0.0)
         else (row.getDouble(2 * i), row.getDouble(2 * i + 1))
-      val scale = if (hi > lo) 65535.0 / (hi - lo) else 0.0
-      least(lit(65535L), greatest(lit(0L),
+      val scale = if (hi > lo) cellMax.toDouble / (hi - lo) else 0.0
+      least(lit(cellMax), greatest(lit(0L),
         floor((coalesce(col(s"`$c`").cast("double"), lit(lo)) - lit(lo)) * lit(scale))
           .cast("long")))
     }
     cells.zipWithIndex.map { case (cell, i) =>
-      (0 until 16).map { j =>
+      (0 until bits).map { j =>
         shiftleft(shiftright(cell, j).bitwiseAND(lit(1L)), j * n + i)
       }.reduce(_.bitwiseOR(_))
     }.reduce(_.bitwiseOR(_))

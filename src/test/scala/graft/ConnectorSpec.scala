@@ -538,6 +538,32 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     n.head.getLong(0) shouldBe 3L
   }
 
+  test("key-grouped planning only engages under the v2 bucketing conf") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsspj3")
+    spark.sql(
+      """CREATE TABLE graft.nsspj3.t (k BIGINT, v DOUBLE)
+        |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    spark.sql("INSERT INTO graft.nsspj3.t SELECT id, CAST(id AS DOUBLE) FROM range(0, 100)")
+    import graft.table.{GraftCatalog, TableIdent}
+    val tbl = GraftCatalog(spark, spark.conf.get("spark.sql.catalog.graft.warehouse"))
+      .load(TableIdent("nsspj3", "t"))
+    def partitions() = new graft.connector.GraftScanBuilder(tbl, () => tbl.currentOrFail())
+      .build().toBatch.planInputPartitions()
+    // conf off (default): ParquetScan's size-balanced splitting, NOT
+    // one whole-file task per bucket — a plain scan must keep its
+    // parallelism dial
+    spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    partitions().exists(
+      _.isInstanceOf[graft.connector.GraftKeyedFilePartition]) shouldBe false
+    // conf on: every task carries its partition key
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val keyed = partitions()
+      keyed.length shouldBe 4
+      keyed.forall(_.isInstanceOf[graft.connector.GraftKeyedFilePartition]) shouldBe true
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
   test("SPJ stays correct when one side is missing buckets or empty") {
     val conf = spark.conf
     val prevBucketing = conf.getOption("spark.sql.sources.v2.bucketing.enabled")
