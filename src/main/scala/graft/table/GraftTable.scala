@@ -429,6 +429,11 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
         s"unknown tag '$name' (tags: ${tags().keys.toSeq.sorted.mkString(", ")})")
     }
 
+  /** Read the table as it was when `name` was tagged — the direct-API
+    * dual of SQL `VERSION AS OF '<name>'`.
+    */
+  def scanAtTag(name: String): DataFrame = scanSnapshot(snapshotAtTag(name))
+
   /** Filtered scan with file-level partition pruning: only files that
     * may contain matching rows are read; the full predicate is still
     * applied row-level (and pushed into the Parquet scan by Catalyst).

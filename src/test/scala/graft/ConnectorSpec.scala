@@ -498,6 +498,18 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     tsmin.head.getAs[java.time.LocalDateTime](1).toString shouldBe "2023-12-25T06:30"
   }
 
+  test("aggregate pushdown under AS OF answers from the PINNED snapshot") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsagg5")
+    spark.sql("CREATE TABLE graft.nsagg5.t (id BIGINT)")
+    spark.sql("INSERT INTO graft.nsagg5.t SELECT id FROM range(0, 10)") // v1
+    spark.sql("INSERT INTO graft.nsagg5.t SELECT id FROM range(10, 30)") // v2
+    val asOf = spark.sql(
+      "SELECT COUNT(*) AS n, MAX(id) AS mx FROM graft.nsagg5.t VERSION AS OF 1")
+    asOf.queryExecution.executedPlan.toString should include("LocalTableScan")
+    (asOf.head.getLong(0), asOf.head.getLong(1)) shouldBe ((10L, 9L))
+    spark.sql("SELECT COUNT(*) FROM graft.nsagg5.t").head.getLong(0) shouldBe 30L
+  }
+
   test("aggregate pushdown stays exact after a partial-file rewrite delete") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsagg4")
     spark.sql("CREATE TABLE graft.nsagg4.t (id BIGINT, v DOUBLE)")
@@ -702,6 +714,11 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
       spark.sql("SELECT * FROM graft.nstag.t VERSION AS OF 'nope'").collect()
     }
     err.getMessage should include("unknown tag")
+
+    // direct-API dual of VERSION AS OF '<tag>'
+    import graft.table.{GraftCatalog, TableIdent}
+    GraftCatalog(spark, spark.conf.get("spark.sql.catalog.graft.warehouse"))
+      .load(TableIdent("nstag", "t")).scanAtTag("train-v1").count() shouldBe 2L
 
     // drop frees the name and the version becomes expirable
     spark.sql("CALL graft.system.drop_tag('nstag', 't', 'train-v1')")
