@@ -53,9 +53,16 @@ final class GraftMetadataTable(tbl: GraftTable, kind: String,
         }.toArray
     case "files" =>
       asOfVersion.map(tbl.snapshotAt).getOrElse(tbl.currentOrFail()).files.map { f =>
+        // zone maps as a compact text column: the small-file / skew /
+        // clustering-health diagnosis surface without parsing manifests
+        val stats = f.stats.toSeq.sortBy(_._1).map { case (c, cs) =>
+          s"$c=[${cs.min.getOrElse("")}..${cs.max.getOrElse("")}" +
+            cs.nullCount.map(n => s", nulls=$n").getOrElse("") + "]"
+        }.mkString("; ")
         new GenericInternalRow(Array[Any](
           UTF8String.fromString(f.path), f.rows, f.sizeBytes,
-          renderPartition(f).orNull))
+          renderPartition(f).orNull,
+          if (stats.isEmpty) null else UTF8String.fromString(stats)))
       }.toArray
     case "partitions" =>
       asOfVersion.map(tbl.snapshotAt).getOrElse(tbl.currentOrFail()).files
@@ -103,7 +110,8 @@ object GraftMetadataTable {
     StructField("path", StringType, nullable = false),
     StructField("rows", LongType, nullable = false),
     StructField("size_bytes", LongType, nullable = false),
-    StructField("partition_values", StringType)))
+    StructField("partition_values", StringType),
+    StructField("column_stats", StringType)))
 
   /** Per-partition rollup of the (possibly version-pinned) snapshot's
     * inventory — the small-file / skew diagnosis surface (Iceberg's

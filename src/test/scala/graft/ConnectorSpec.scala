@@ -410,9 +410,13 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     // .snapshots is an alias
     spark.sql("SELECT COUNT(*) FROM graft.meta1.t.snapshots").head.getLong(0) shouldBe 3L
     val files = spark.sql(
-      "SELECT path, rows FROM graft.meta1.t.files ORDER BY path").collect()
+      "SELECT path, rows, column_stats FROM graft.meta1.t.files ORDER BY path").collect()
     files.map(_.getLong(1)).sum shouldBe 3L
     files.foreach(_.getString(0) should endWith(".parquet"))
+    // zone maps are visible per file (the clustering-health surface)
+    files.filter(_.getLong(1) > 0).foreach { r =>
+      r.getString(2) should include("id=[")
+    }
     // a bogus metadata suffix is a missing table, not a crash
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT * FROM graft.meta1.t.nope").collect()
