@@ -1,9 +1,38 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point. Prints ONE JSON line the driver parses from a
+  * 2000-char stdout tail; per-query diagnostics go to a sidecar file so a
+  * contaminated run (another JVM oversubscribing the box mid-run, as in
+  * round 7's 799s-vs-84s phantom regression) is identifiable from the
+  * artifacts alone.
+  */
 object Bench {
+  /** 1-minute loadavg; -1 when /proc/loadavg is unavailable (non-Linux). */
+  private def loadAvg(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Exception => -1.0 }
+
+  /** Count of live java processes on the box. A clean bench run has exactly
+    * 1 bench JVM (+ possibly the sbt launcher that forked it); more means a
+    * concurrent compile/test is stealing the CPUs and the numbers are
+    * contaminated.
+    */
+  private def jvmCount(): Long =
+    try ProcessHandle.allProcesses().filter { p =>
+      p.info().command().map[Boolean](c => c.contains("java")).orElse(false)
+    }.count()
+    catch { case _: Exception => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val jvmsAtStart = jvmCount()
+    val loadAtStart = loadAvg()
+    // Printed early: lands far above the 2000-char tail, but survives in the
+    // full log for forensic reads.
+    println(s"""bench-env: jvms=$jvmsAtStart loadavg=$loadAtStart cpus=$cpus""")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,6 +45,12 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
     spark.range(1000).selectExpr("id % 7 AS k", "id AS v")
       .groupBy("k").sum("v").collect()
+    // explode + agg warm-up: the word-frequency family (q21) was absorbing
+    // generator/codegen first-use cost whenever it ran as the first heavy
+    // explode query (round-7 verdict, item 7).
+    spark.range(1000)
+      .selectExpr("explode(split(repeat('a b c ', 5), ' ')) AS w")
+      .groupBy("w").count().collect()
     // warm the vectorized parquet reader + broadcast machinery on the
     // smallest table so the first timed query doesn't pay their
     // first-use initialization
@@ -26,10 +61,16 @@ object Bench {
     // Sorted iteration: Map order is hash-based, which made timing
     // attribution unstable round-to-round (whichever heavy query ran
     // first absorbed residual JIT/codegen warm-up).
+    case class QDiag(name: String, startMs: Long, wallS: Double, load: Double)
+    val diags = scala.collection.mutable.ArrayBuffer.empty[QDiag]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val load0 = loadAvg()
+      val startMs = System.currentTimeMillis()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      diags += QDiag(name, startMs, wall, load0)
+      name -> wall
     }.toMap
     // The driver keeps only a 2000-char tail of stdout and parses the JSON
     // line out of it; at ~67 queries full-precision doubles overflow that
@@ -44,8 +85,23 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     spark.stop()
+    // Per-query forensics sidecar: start epoch, wall clock, and the loadavg
+    // sampled just before the query ran. A clean local[N] run keeps loadavg
+    // near or below N; values well above it flag external CPU contention.
+    val loadAtEnd = loadAvg()
+    val diagJson = diags.map { d =>
+      s"""{"name":"${d.name}","start_epoch_ms":${d.startMs},"wall_s":${f(d.wallS)},"loadavg":${f(d.load)}}"""
+    }.mkString(
+      s"""{"jvms_at_start":$jvmsAtStart,"loadavg_start":${f(loadAtStart)},"loadavg_end":${f(loadAtEnd)},"cpus":$cpus,"queries":[""",
+      ",", "]}")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_diag.json"), diagJson)
+    catch { case _: Exception => () }
+    // Compact health fields on the parsed line itself: max loadavg seen
+    // before any query, and the JVM count at start. A contaminated run is
+    // visible from BENCH_r{N}.json alone without the sidecar.
+    val maxLoad = if (diags.nonEmpty) diags.map(_.load).max else loadAtStart
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","jvms":$jvmsAtStart,"load_max":${f(maxLoad)}}"""
     println(line)
   }
 }

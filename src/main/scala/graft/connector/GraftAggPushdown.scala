@@ -125,6 +125,12 @@ private[connector] object GraftAggPushdown {
       files = snap.files
       keyed <- sequence(files.map(f =>
         f.partitionValues.flatMap(_.get(pf.fieldName)).map(_ -> f)))
+      // Hive default-partition encoding conflates null and '' for string
+      // keys: a file recorded with a null partition value may actually
+      // hold ''-keyed rows, so a GROUP BY answered from metadata would
+      // return a null group where the real scan returns ''. Bail — a
+      // refusal is never wrong, only slower.
+      if !(gbField.dataType == StringType && keyed.exists(_._1.isEmpty))
       grouped = keyed.groupBy(_._1) if grouped.size <= MaxGroups
       rows <- sequence(grouped.toSeq.map { case (k, kfs) =>
         groupRow(snap.schema, gbField, k, kfs.map(_._2), agg)

@@ -1,7 +1,5 @@
 package graft.connector
 
-import java.nio.file.Path
-
 import graft.meta.DataFile
 
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
@@ -27,7 +25,7 @@ import scala.collection.mutable
   */
 final class GraftFileIndex(
     spark: SparkSession,
-    tableRoot: Path,
+    tableRoot: HPath,
     dataFiles: Seq[DataFile],
     tableSchema: StructType)
     extends PartitioningAwareFileIndex(spark, Map.empty, Some(tableSchema)) {
@@ -39,11 +37,10 @@ final class GraftFileIndex(
   // leaf maps via qualified-path equality (file:///x and file:/x are
   // DIFFERENT hadoop Paths).
   private val statuses: Seq[FileStatus] = {
-    val fs = new HPath(tableRoot.toUri)
-      .getFileSystem(GraftSqlShim.newHadoopConf(spark))
+    val fs = tableRoot.getFileSystem(GraftSqlShim.newHadoopConf(spark))
     dataFiles.map { f =>
       new FileStatus(f.sizeBytes, false, 1, 128L * 1024 * 1024, 0L,
-        fs.makeQualified(new HPath(tableRoot.resolve(f.path).toUri)))
+        fs.makeQualified(new HPath(tableRoot, f.path)))
     }
   }
 

@@ -139,16 +139,18 @@ final class GraftMicroBatchStream(
 
   override def initialOffset(): Offset = {
     // precedence: explicit version > timestamp > "now" (only NEW
-    // appends). A timestamp resolves to the last version committed at
-    // or before it, so the stream REPLAYS everything after that moment
-    // — the Iceberg stream-from-timestamp shape.
+    // appends). A timestamp resolves to the last version committed
+    // STRICTLY BEFORE it (the offset is an exclusive lower bound), so a
+    // commit stamped exactly at the requested timestamp IS replayed —
+    // Iceberg's stream-from-timestamp includes snapshots with
+    // timestamp >= ts.
     val v = Option(options.get("streamStartVersion")).map(_.toInt)
       .orElse(Option(options.get("streamStartTimestamp")).map { ts =>
         val tsMs = ts.toLong
         // only "timestamp predates the first commit" means genesis (-1);
         // a transient metadata-read failure must FAIL the query start,
         // not silently replay the whole table into the sink
-        try tbl.snapshotAsOfTimestamp(tsMs).version
+        try tbl.snapshotAsOfTimestamp(tsMs - 1).version
         catch { case _: IllegalArgumentException => -1 }
       })
       .getOrElse(tbl.currentOrFail().version)
@@ -260,7 +262,7 @@ final class GraftMicroBatchStream(
           .filterNot(f => droppedPaths.contains(f.path)))
       }
     } catch {
-      case e: java.nio.file.NoSuchFileException =>
+      case e @ (_: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException) =>
         // the checkpointed range was removed by expire_snapshots: the
         // data can never be replayed — say so instead of surfacing a
         // bare missing-file error from the metadata log (the parent

@@ -185,26 +185,32 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     * namespace immediately after CREATE NAMESPACE.
     */
   override def listNamespaces(): Array[Array[String]] = {
-    val wh = java.nio.file.Paths.get(warehouse)
-    if (!java.nio.file.Files.isDirectory(wh)) Array.empty
-    else {
-      val stream = java.nio.file.Files.list(wh)
-      try stream.iterator().asScala
-        .filter(java.nio.file.Files.isDirectory(_))
-        .map(p => Array(p.getFileName.toString))
-        .toArray.sortBy(_.head)
-      finally stream.close()
-    }
+    val wh = new org.apache.hadoop.fs.Path(warehouse)
+    val fs = wh.getFileSystem(
+      org.apache.spark.sql.GraftSqlShim.newHadoopConf(SparkSession.active))
+    try fs.listStatus(wh)
+      .filter(_.isDirectory)
+      .map(st => Array(st.getPath.getName))
+      .sortBy(_.head)
+    catch { case _: java.io.FileNotFoundException => Array.empty }
   }
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
     else throw new NoSuchNamespaceException(namespace)
 
+  private def nsPath(ns: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(warehouse, ns)
+
+  private def whFs: org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(warehouse).getFileSystem(
+      org.apache.spark.sql.GraftSqlShim.newHadoopConf(SparkSession.active))
+
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.length == 1 &&
-      java.nio.file.Files.isDirectory(
-        java.nio.file.Paths.get(warehouse).resolve(namespace(0)))
+    namespace.length == 1 && {
+      try whFs.getFileStatus(nsPath(namespace(0))).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
+    }
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
@@ -214,8 +220,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   override def createNamespace(namespace: Array[String],
                                metadata: util.Map[String, String]): Unit = {
     require(namespace.length == 1, "graft supports single-level namespaces")
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(warehouse).resolve(namespace(0)))
+    whFs.mkdirs(nsPath(namespace(0)))
+    ()
   }
 
   override def alterNamespace(namespace: Array[String],
@@ -224,17 +230,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     require(namespace.length == 1, "graft supports single-level namespaces")
-    val dir = java.nio.file.Paths.get(warehouse).resolve(namespace(0))
-    if (!java.nio.file.Files.isDirectory(dir)) false
+    if (!namespaceExists(namespace)) false
     else if (!cascade && cat.listTables(namespace(0)).nonEmpty)
       throw new IllegalStateException(s"namespace ${namespace(0)} is not empty")
-    else {
-      val stream = java.nio.file.Files.walk(dir)
-      try stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally stream.close()
-      true
-    }
+    else whFs.delete(nsPath(namespace(0)), true)
   }
 
   // ---- maintenance procedures (CALL graft.system.<proc>) ------------

@@ -334,6 +334,11 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
           f.partitionValues.flatMap(_.get(pf.fieldName)) match {
             case Some(Some(s)) =>
               GraftPartitionKeys.parse(dt, s).map(v => (Some(v): Option[Any]) -> f)
+            // Hive default-partition encoding conflates null and '' for
+            // string keys: a null-keyed group may hold ''-keyed rows, and
+            // reporting them as key=null to KeyGroupedPartitioning would
+            // let SPJ mis-cluster (or skip) them. Bail to a normal scan.
+            case Some(None) if dt == StringType => None
             case Some(None) => Some((None: Option[Any]) -> f)
             case None => None
           }
@@ -507,7 +512,7 @@ private[connector] final class GraftKeyedBatch(
     import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
     groups.zipWithIndex.map { case ((key, fs), i) =>
       val pfiles = fs.map { f =>
-        val p = new org.apache.hadoop.fs.Path(tbl.tableDir.resolve(f.path).toUri)
+        val p = new org.apache.hadoop.fs.Path(tbl.tableDir, f.path)
         PartitionedFile(
           partitionValues = InternalRow.empty,
           filePath = org.apache.spark.paths.SparkPath.fromPath(p),

@@ -1,9 +1,10 @@
 package graft.meta
 
-import java.nio.file.{Files, Path}
-import java.util.Comparator
-import scala.jdk.CollectionConverters._
+import java.nio.charset.StandardCharsets
 import scala.util.Random
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 /** The table's versioned metadata log: `_meta/v%08d.json` snapshot files.
   *
@@ -12,21 +13,97 @@ import scala.util.Random
   * (`core/config.py:15-17`):
   *   1. read the current max version N (directory listing);
   *   2. write the new snapshot to a temp file;
-  *   3. atomically publish it as `v(N+1)` via hard-link (fails if another
-  *      writer won the race) with an atomic-rename fallback;
+  *   3. atomically publish it as `v(N+1)` — create-if-absent, so the
+  *      publish fails if another writer won the race;
   *   4. on conflict, back off (bounded exponential + jitter) and retry
   *      from (1) up to `commit.retry.num-retries` times.
   *
   * The log is the source of truth; no mutable pointer file exists, so a
   * crashed writer can never leave the table unreadable — readers always
-  * see the highest fully-published version. On a distributed store this
-  * maps to any filesystem with atomic create-if-absent (HDFS rename,
-  * object stores' if-none-match put); only this class would change.
+  * see the highest fully-published version.
+  *
+  * All IO goes through `org.apache.hadoop.fs.FileSystem`, so the table
+  * root may live on any Hadoop-supported store (the reference reaches
+  * S3/MinIO through PyIceberg FileIO, `examples/catalog.py:11-17`).
+  * The atomic create-if-absent publish has two strategies:
+  *   - `file://` roots: java.nio hard-link (CREATE_NEW copy fallback) —
+  *     truly atomic on POSIX, and Hadoop's local rename would silently
+  *     replace an existing target (lost commit);
+  *   - everything else: write-temp + `FileSystem.rename`, which on HDFS
+  *     (and stores with atomic metadata ops) is atomic and FAILS when
+  *     the destination exists — the standard rename-based commit.
   */
-final class MetadataLog(tableDir: Path) {
-  private val metaDir = tableDir.resolve("_meta")
+final class MetadataLog(val tableDir: HPath, conf: Configuration) {
 
-  private def versionFile(v: Int): Path = metaDir.resolve(f"v$v%08d.json")
+  /** Convenience for POSIX-local tables (tests, single-node use). */
+  def this(dir: java.nio.file.Path) = this(new HPath(dir.toUri), new Configuration())
+
+  val fs: FileSystem = tableDir.getFileSystem(conf)
+  private val metaDir = new HPath(tableDir, "_meta")
+
+  private def versionFile(v: Int): HPath = new HPath(metaDir, f"v$v%08d.json")
+
+  /** The table root as a java.nio path when it is POSIX-local — gates
+    * the hard-link publish fast path.
+    */
+  private def localPath(p: HPath): Option[java.nio.file.Path] = {
+    val uri = p.toUri
+    if (uri.getScheme == null || uri.getScheme == "file")
+      Some(java.nio.file.Paths.get(uri.getPath))
+    else None
+  }
+
+  private def readString(p: HPath): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def writeString(p: HPath, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Atomically publish `content` at `target` iff no file exists there.
+    * Returns true when this writer won. Never leaves a partial target:
+    * content always lands in a temp file first and appears at `target`
+    * via link/rename.
+    */
+  private def publishAtomic(target: HPath, content: String): Boolean =
+    localPath(target) match {
+      case Some(lp) =>
+        val dir = lp.getParent
+        java.nio.file.Files.createDirectories(dir)
+        val tmp = java.nio.file.Files.createTempFile(dir, ".publish-", ".json.tmp")
+        java.nio.file.Files.writeString(tmp, content)
+        val won =
+          try { java.nio.file.Files.createLink(lp, tmp); true }
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+            case _: UnsupportedOperationException =>
+              // FS without hard links. ATOMIC_MOVE is NOT create-if-absent:
+              // POSIX rename silently replaces an existing target, so two
+              // racing committers would both "win" and the first winner's
+              // file would be clobbered. Files.copy without REPLACE_EXISTING
+              // opens the target CREATE_NEW — the existence check is atomic
+              // at open, before any bytes land.
+              try { java.nio.file.Files.copy(tmp, lp); true }
+              catch { case _: java.nio.file.FileAlreadyExistsException => false }
+          }
+        java.nio.file.Files.deleteIfExists(tmp)
+        won
+      case None =>
+        fs.mkdirs(metaDir)
+        val tmp = new HPath(metaDir,
+          s".publish-${java.util.UUID.randomUUID().toString.take(12)}.tmp")
+        writeString(tmp, content)
+        val won =
+          try fs.rename(tmp, target)
+          catch { case _: java.io.IOException => false }
+        if (!won) fs.delete(tmp, false)
+        won
+    }
 
   /** Manifests are immutable once published, so a process-local cache
     * makes repeated snapshot reads O(new manifests), not O(all files).
@@ -43,7 +120,7 @@ final class MetadataLog(tableDir: Path) {
   def readManifest(relPath: String): Seq[DataFile] =
     manifestCache.getOrElseUpdate(relPath, {
       manifestParses.incrementAndGet()
-      Snapshot.manifestFromJson(Files.readString(metaDir.resolve(relPath)))
+      Snapshot.manifestFromJson(readString(new HPath(metaDir, relPath)))
     })
 
   /** Publish a new immutable manifest for `files`; returns the group
@@ -52,98 +129,91 @@ final class MetadataLog(tableDir: Path) {
     */
   def writeManifest(files: Seq[DataFile],
                     schema: Option[org.apache.spark.sql.types.StructType] = None): FileGroup = {
-    Files.createDirectories(metaDir)
+    fs.mkdirs(metaDir)
     val name = s"m-${java.util.UUID.randomUUID().toString.take(16)}.json"
-    Files.writeString(metaDir.resolve(name), Snapshot.manifestToJson(files))
+    writeString(new HPath(metaDir, name), Snapshot.manifestToJson(files))
     manifestCache.put(name, files)
     FileGroup(name, files, schema)
   }
 
   def deleteManifest(relPath: String): Unit = {
     manifestCache.remove(relPath)
-    Files.deleteIfExists(metaDir.resolve(relPath))
+    try fs.delete(new HPath(metaDir, relPath), false)
+    catch { case _: java.io.FileNotFoundException => () }
   }
 
-  def exists(): Boolean = Files.isDirectory(metaDir) && currentVersion().isDefined
+  def exists(): Boolean = currentVersion().isDefined
 
-  def listVersions(): Seq[Int] = {
-    if (!Files.isDirectory(metaDir)) return Nil
-    val stream = Files.list(metaDir)
-    try {
-      stream.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-          s.stripPrefix("v").stripSuffix(".json").toInt
-        }
-        .toSeq.sorted
-    } finally stream.close()
-  }
+  def listVersions(): Seq[Int] =
+    try fs.listStatus(metaDir).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toInt
+      }
+      .sorted
+    catch { case _: java.io.FileNotFoundException => Nil }
 
   def currentVersion(): Option[Int] = listVersions().lastOption
 
   def read(version: Int): Snapshot =
-    Snapshot.fromJson(Files.readString(versionFile(version)), readManifest)
+    Snapshot.fromJson(readString(versionFile(version)), readManifest)
 
   def current(): Option[Snapshot] = currentVersion().map(read)
 
   def snapshots(): Seq[Snapshot] = listVersions().map(read)
 
-  def delete(version: Int): Unit = Files.deleteIfExists(versionFile(version))
+  def delete(version: Int): Unit =
+    try fs.delete(versionFile(version), false)
+    catch { case _: java.io.FileNotFoundException => () }
 
   // ---- named refs (tags) ---------------------------------------------
-  // One file per ref (`_meta/ref-<name>.json`): create is atomic
-  // CREATE_NEW (duplicate tag = natural failure, no read-modify-write
-  // race), drop is a delete, listing is a directory scan — the same
-  // filesystem primitives as the commit protocol, so refs inherit its
+  // One file per ref (`_meta/ref-<name>.json`): create goes through the
+  // same atomic create-if-absent publish as the commit protocol
+  // (duplicate tag = natural failure, no read-modify-write race, and a
+  // crash can never leave a partial ref file), drop is a delete,
+  // listing is a directory scan — refs inherit the commit protocol's
   // portability story.
 
   private val RefName = "^[A-Za-z0-9][A-Za-z0-9._-]*$".r
 
-  private def refFile(name: String): Path = {
+  private def refFile(name: String): HPath = {
     require(RefName.matches(name),
       s"invalid ref name '$name' (letters, digits, dot, underscore, dash)")
-    metaDir.resolve(s"ref-$name.json")
+    new HPath(metaDir, s"ref-$name.json")
   }
 
-  def createTag(name: String, version: Int): Unit = {
-    Files.createDirectories(metaDir)
-    try
-      Files.writeString(refFile(name), s"""{"version": $version}""",
-        java.nio.file.StandardOpenOption.CREATE_NEW)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalStateException(s"tag '$name' already exists")
-    }
-  }
+  def createTag(name: String, version: Int): Unit =
+    if (!publishAtomic(refFile(name), s"""{"version": $version}"""))
+      throw new IllegalStateException(s"tag '$name' already exists")
 
-  def dropTag(name: String): Boolean = Files.deleteIfExists(refFile(name))
+  def dropTag(name: String): Boolean =
+    try fs.delete(refFile(name), false)
+    catch { case _: java.io.FileNotFoundException => false }
 
-  def tag(name: String): Option[Int] = {
-    val f = refFile(name)
-    if (!Files.exists(f)) None
-    else {
+  def tag(name: String): Option[Int] =
+    try {
       import org.json4s._
-      val j = org.json4s.jackson.JsonMethods.parse(Files.readString(f))
+      val j = org.json4s.jackson.JsonMethods.parse(readString(refFile(name)))
       (j \ "version") match {
         case JInt(v) => Some(v.toInt)
         case _ => None
       }
+    } catch {
+      case _: java.io.FileNotFoundException => None
+      // an unparseable ref (pre-port partial write, manual damage) reads
+      // as absent rather than poisoning tags()/time travel
+      case scala.util.control.NonFatal(_) => None
     }
-  }
 
-  def tags(): Map[String, Int] = {
-    if (!Files.isDirectory(metaDir)) return Map.empty
-    val stream = Files.list(metaDir)
-    try
-      stream.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("ref-") && s.endsWith(".json") =>
-          s.stripPrefix("ref-").stripSuffix(".json")
-        }
-        .flatMap(n => tag(n).map(n -> _))
-        .toMap
-    finally stream.close()
-  }
+  def tags(): Map[String, Int] =
+    try fs.listStatus(metaDir).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("ref-") && s.endsWith(".json") =>
+        s.stripPrefix("ref-").stripSuffix(".json")
+      }
+      .flatMap(n => tag(n).map(n -> _))
+      .toMap
+    catch { case _: java.io.FileNotFoundException => Map.empty }
 
   /** Publish `build(parent)` as the next version. `build` is re-invoked
     * with the freshly-read parent on every retry so the caller always
@@ -151,7 +221,7 @@ final class MetadataLog(tableDir: Path) {
     */
   def commit(build: Option[Snapshot] => Snapshot,
              retries: Int = 10, minWaitMs: Long = 100, maxWaitMs: Long = 60000): Snapshot = {
-    Files.createDirectories(metaDir)
+    fs.mkdirs(metaDir)
     var attempt = 0
     while (true) {
       val parent = current()
@@ -160,27 +230,8 @@ final class MetadataLog(tableDir: Path) {
         version = nextVersion,
         parentId = parent.map(_.snapshotId),
         timestampMs = System.currentTimeMillis())
-      val tmp = Files.createTempFile(metaDir, ".commit-", ".json.tmp")
-      Files.writeString(tmp, Snapshot.toJson(snap))
-      val target = versionFile(nextVersion)
-      val won =
-        try { Files.createLink(target, tmp); true }
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-          case _: UnsupportedOperationException =>
-            // FS without hard links. ATOMIC_MOVE is NOT create-if-absent:
-            // POSIX rename silently replaces an existing target, so two
-            // racing committers would both "win" and the first winner's
-            // snapshot would be clobbered (lost commit). Files.copy without
-            // REPLACE_EXISTING opens the target CREATE_NEW — the existence
-            // check is atomic at open, before any bytes land.
-            try {
-              Files.copy(tmp, target)
-              true
-            } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-        }
-      Files.deleteIfExists(tmp)
-      if (won) return snap
+      if (publishAtomic(versionFile(nextVersion), Snapshot.toJson(snap)))
+        return snap
       attempt += 1
       graft.observability.Log.warn("commit conflict, retrying",
         "table" -> tableDir, "attempt" -> attempt, "version" -> nextVersion)
@@ -194,11 +245,7 @@ final class MetadataLog(tableDir: Path) {
   }
 
   /** Remove the whole log (drop table). */
-  def destroy(): Unit = {
-    if (Files.isDirectory(metaDir)) {
-      val stream = Files.walk(metaDir)
-      try stream.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.deleteIfExists(p))
-      finally stream.close()
-    }
-  }
+  def destroy(): Unit =
+    try fs.delete(metaDir, true)
+    catch { case _: java.io.FileNotFoundException => () }
 }

@@ -220,15 +220,29 @@ object Dedup {
     * are deterministic pseudo-randoms derived from xxhash64(plane, dim)
     * — reproducible across runs and clusters with zero driver state.
     * Documents sharing the `planes`-bit sign bucket get cosine-verified.
+    *
+    * Bucketing uses the codegen'd [[hyperplaneTable]] form; the bucket
+    * self-join carries only (bucket, id) — vectors join back onto the
+    * candidate ids for the cosine verify, exactly [[minhashPairs]]'s
+    * shape. `maxBucketSize` guards the self-join like its minhash and
+    * simhash siblings: one degenerate bucket (e.g. a corpus of zero
+    * vectors all bucketing together) would otherwise go O(k²).
     */
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
-                     planes: Int = 8, threshold: Double = 0.95): DataFrame = {
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", hyperplaneBucket(col("v"), planes))
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+                     planes: Int = 8, threshold: Double = 0.95,
+                     maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bucketed = capBuckets(
+      hyperplaneTable(df, vecCol, idCol, planes),
+      maxBucketSize, keys = Seq("bucket"))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"))
+    // one bucket per document ⇒ a pair appears at most once; no distinct
     a.join(b, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         Similarity.cosine(col("va"), col("vb")).as("cosine"))
       .where(col("cosine") >= threshold)
@@ -332,7 +346,11 @@ object Dedup {
     tg.join(broadcast(bg), Seq("_g"), "left_semi").select(col(idCol)).distinct()
   }
 
-  /** Sign bucket of `v` against `planes` deterministic hyperplanes. */
+  /** Sign bucket of `v` against `planes` deterministic hyperplanes.
+    * Higher-order-function form (interpreted — `aggregate`/`zip_with`
+    * are CodegenFallback); [[hyperplaneTable]] computes the same bucket
+    * codegen'd and is the form to use over a corpus.
+    */
   def hyperplaneBucket(v: Column, planes: Int): Column =
     aggregate(
       transform(sequence(lit(0), lit(planes - 1)), p => {
@@ -345,4 +363,35 @@ object Dedup {
         when(dot >= 0, lit(1L)).otherwise(lit(0L))
       }),
       lit(0L), (acc, bit) => acc * 2 + bit)
+
+  /** Hyperplane sign buckets via dimension explode + `planes` codegen'd
+    * sum aggregates — the same buckets as [[hyperplaneBucket]] (same
+    * hashes, same sign rule; floating-point addition order may differ,
+    * which can only matter for dots within rounding of zero) but the
+    * whole computation stays inside whole-stage codegen: one linear
+    * explode + one hash shuffle on the doc id carrying `planes` partial
+    * sums. The corpus-scale formulation, mirroring [[simhashTable]].
+    *
+    * Returns (id, bucket); rows whose vector is NULL or empty get a
+    * NULL bucket (they have no sign against any plane).
+    */
+  def hyperplaneTable(df: DataFrame, vecCol: String, idCol: String,
+                      planes: Int): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"), posexplode(col(vecCol)))
+      .select(col("id"), col("pos").as("d"), col("col").cast("double").as("x"))
+    val dots: Seq[Column] = (0 until planes).map { p =>
+      sum(col("x") *
+        (pmod(xxhash64(lit(p), col("d")), lit(1000L)).cast("double") / 1000.0 - 0.5))
+        .as(s"_dp$p")
+    }
+    val agged = exploded.groupBy(col("id")).agg(dots.head, dots.tail: _*)
+    // plane 0 is the most significant bit, matching hyperplaneBucket's
+    // acc * 2 + bit fold
+    val bucket = (0 until planes).map { p =>
+      when(col(s"_dp$p") >= 0, lit(1L << (planes - 1 - p))).otherwise(lit(0L))
+    }.reduce((a, c) => a.bitwiseOR(c))
+    df.select(col(idCol).as("id"))
+      .join(agged.select(col("id"), bucket.as("bucket")), Seq("id"), "left")
+  }
 }

@@ -46,23 +46,50 @@ object Similarity {
   /** Approximate top-k: score only vectors in the query's hyperplane
     * bucket and its `multiprobe` single-bit-flip neighbor buckets.
     * Recall grows with multiprobe; cost stays ~bucketCount/2^planes of
-    * the data.
+    * the data. Corpus buckets come from the codegen'd
+    * [[Dedup.hyperplaneTable]]; the query's own bucket is plain driver
+    * math over the same hash family — a scalar must never cost a Spark
+    * job on the ANN hot path.
     */
   def lshTopK(df: DataFrame, vecCol: String, idCol: String,
               query: Seq[Float], k: Int, planes: Int = 6,
               multiprobe: Int = 2): DataFrame = {
     val q = array(query.map(lit): _*)
-    val bucketed = df.withColumn("_bucket", Dedup.hyperplaneBucket(col(vecCol), planes))
-    // query bucket + its single-bit neighbors, computed as literal set
-    val qBucket = bucketed.sparkSession.range(1)
-      .select(Dedup.hyperplaneBucket(q, planes).as("b")).collect()(0).getLong(0)
+    val qBucket = hyperplaneBucketLocal(query, planes)
     val probes: Seq[Long] =
       qBucket +: (0 until planes).take(multiprobe).map(b => qBucket ^ (1L << b))
-    bucketed
-      .where(col("_bucket").isin(probes: _*))
+    val hits = Dedup.hyperplaneTable(df, vecCol, idCol, planes)
+      .where(col("bucket").isin(probes: _*))
+      .withColumnRenamed("id", "_hit_id")
+    df.join(hits, col(idCol) === col("_hit_id"), "left_semi")
       .select(col(idCol), cosine(col(vecCol), q).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Driver-side [[Dedup.hyperplaneBucket]] of a literal vector: the
+    * identical xxhash64-derived plane components (evaluated through
+    * Catalyst's own XxHash64, no Spark job) and the identical
+    * ascending-dimension accumulation order.
+    */
+  private def hyperplaneBucketLocal(query: Seq[Float], planes: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var dotAcc = 0.0
+      var d = 0
+      while (d < query.length) {
+        // seed 42L = the default of the SQL xxhash64 function the column
+        // form uses
+        val h = XxHash64(Seq(Literal(p), Literal(d)), 42L).eval(null).asInstanceOf[Long]
+        dotAcc += query(d).toDouble * ((((h % 1000L) + 1000L) % 1000L).toDouble / 1000.0 - 0.5)
+        d += 1
+      }
+      bucket = bucket * 2 + (if (dotAcc >= 0) 1L else 0L)
+      p += 1
+    }
+    bucket
   }
 
   /** IVF (inverted-file) index: a k-means coarse quantizer assigns each

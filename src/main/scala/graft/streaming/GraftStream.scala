@@ -57,29 +57,40 @@ object GraftStream {
     * properties (`graft.stream.<streamId>.last-batch`) — the same
     * transaction as the data, the Delta `txnAppId`/`txnVersion`
     * pattern. A replayed batch id ≤ the recorded one is skipped whole.
-    * `streamId` names the LOGICAL stream: keep it stable across
-    * restarts of the same query; use a fresh one when restarting from
-    * a fresh checkpoint (batch ids reset to 0 there). TWO CONCURRENT
-    * queries writing one table MUST use distinct streamIds — under the
-    * shared default, whichever query is further ahead makes the
-    * other's batches look like replays and they are dropped. Every
-    * skip is logged at warning level with both ids so a collision is
-    * visible, but the safe setup is a unique streamId per query.
+    * `streamId` names the LOGICAL stream; when left at the default it
+    * is derived from the query's own id (see below), so distinct
+    * queries and fresh checkpoints get distinct markers without caller
+    * effort. Give an explicit stable streamId only to tie several
+    * successive queries into ONE logical stream. Every skip is logged
+    * at warning level with both ids so a collision stays visible.
     */
   private[graft] def commitBatch(batch: DataFrame, batchId: Long,
                                      catalog: GraftCatalog, ident: TableIdent,
                                      cfg: LoaderConfig, strategy: WriteStrategy,
                                      streamId: String = "stream"): Unit = {
     val table = catalog.ensure(ident, cfg.partitionCol)
-    val key = s"graft.stream.$streamId.last-batch"
+    // Derive the default stream identity from Structured Streaming's own
+    // QUERY id ("sql.streaming.queryId", a local property on the thread
+    // running the foreachBatch body): stable across restarts of one
+    // checkpoint, fresh for a fresh checkpoint — exactly the logical-
+    // stream identity the replay marker needs. Under the old shared
+    // literal default, two concurrent queries (or a fresh-checkpoint
+    // restart) made live batches look like replays and silently dropped
+    // them. An explicit caller-chosen streamId still wins.
+    val effectiveId =
+      if (streamId != "stream") streamId
+      else Option(batch.sparkSession.sparkContext
+          .getLocalProperty("sql.streaming.queryId"))
+        .map(q => s"q-$q").getOrElse(streamId)
+    val key = s"graft.stream.$effectiveId.last-batch"
     val last = table.current().flatMap(_.properties.get(key)).map(_.toLong).getOrElse(-1L)
     if (batchId <= last) {
       graft.observability.Log.warn(
         s"skipping replayed micro-batch $batchId for $ident (stream " +
-          s"'$streamId' already committed through $last) — if this is a " +
+          s"'$effectiveId' already committed through $last) — if this is a " +
           "DIFFERENT query than the one that wrote that marker, give it " +
           "its own streamId or its data is being dropped",
-        "table" -> ident, "stream" -> streamId,
+        "table" -> ident, "stream" -> effectiveId,
         "batch" -> batchId, "committed_through" -> last)
       return
     }

@@ -1,12 +1,12 @@
 package graft.table
 
-import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import graft.meta.{ColumnStats, DataFile}
 import graft.partitioning.PartitionField
 
 import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 
@@ -27,22 +27,20 @@ object FooterStats extends Serializable {
     * `conf` is the SESSION's Hadoop configuration shipped from the
     * driver (see [[graft.util.SerializableHadoopConf]]) so footer reads
     * honor `spark.hadoop.*` settings like the query read path does.
-    * Path arithmetic uses java.nio, which — like the rest of the
-    * metadata-log commit protocol (hard links, CREATE_NEW) — requires
-    * the table directory to be POSIX-visible from every executor
-    * (local disk / NFS-style shared mount); an object-store table root
-    * would need a Hadoop-FileSystem port of the whole commit path, not
-    * just this function.
+    * All IO and path arithmetic go through the Hadoop FileSystem API —
+    * like the metadata-log commit protocol — so the table root may live
+    * on any Hadoop-supported store, matching the reference's S3/MinIO
+    * deployment (`examples/catalog.py:11-17`). The file's size comes
+    * from the same stat that opens the footer (no second round-trip).
     */
   def dataFileFor(pathStr: String, tableDirStr: String, outDirStr: String,
                   spec: Option[PartitionField], conf: Configuration): DataFile = {
-    val p = Paths.get(pathStr)
-    val tableDir = Paths.get(tableDirStr)
-    val outDir = Paths.get(outDirStr)
-    val rel = tableDir.relativize(p).toString
-    val (rows, stats) = parquetFooterInfo(p, conf)
+    val p = new HPath(pathStr)
+    val rel = relativize(tableDirStr, p)
+    val in = HadoopInputFile.fromPath(p, conf)
+    val (rows, stats) = parquetFooterInfo(in)
     val pv = spec.map { pf =>
-      val segs = outDir.relativize(p).iterator().asScala.map(_.toString).toSeq
+      val segs = relativize(outDirStr, p).split("/").toSeq
       segs.collect {
         case s if s.contains("=") =>
           val Array(k, v) = s.split("=", 2)
@@ -55,17 +53,25 @@ object FooterStats extends Serializable {
         }
       }
     }
-    DataFile(rel, rows, Files.size(p), pv, stats)
+    DataFile(rel, rows, in.getLength, pv, stats)
+  }
+
+  /** Relative path of `p` under `baseStr`, comparing URI path components
+    * so a scheme-qualified listing entry (`file:/tmp/x/…`) relativizes
+    * correctly against a bare base (`/tmp/x`).
+    */
+  private def relativize(baseStr: String, p: HPath): String = {
+    val base = new HPath(baseStr).toUri.getPath.stripSuffix("/")
+    p.toUri.getPath.stripPrefix(base).stripPrefix("/")
   }
 
   /** Row count + per-column zone maps from the Parquet footer — one
     * metadata read per file, no data pages. Stats feed [[StatsPruner]]
     * for file skipping on any column.
     */
-  def parquetFooterInfo(p: Path, conf: Configuration): (Long, Map[String, ColumnStats]) = {
+  def parquetFooterInfo(in: HadoopInputFile): (Long, Map[String, ColumnStats]) = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
-    val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
     val reader = ParquetFileReader.open(in)
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq

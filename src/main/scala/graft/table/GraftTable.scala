@@ -1,9 +1,10 @@
 package graft.table
 
-import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
 import scala.util.Random
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 import graft.config.LoaderConfig
 import graft.meta.{ColumnStats, DataFile, FileGroup, MetadataLog, Snapshot}
@@ -45,7 +46,20 @@ final case class TableIdent(namespace: String, name: String) {
   * predicate or key-set touching one partition rewrites one partition,
   * not the table.
   */
-final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: MetadataLog) {
+final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: MetadataLog) {
+
+  /** The table root's filesystem — shared with the metadata log so data
+    * and metadata always agree on the store.
+    */
+  private def fs: FileSystem = log.fs
+
+  /** Table-relative path of an absolute path on the table's filesystem
+    * (scheme/authority-insensitive: compares URI path components).
+    */
+  private def relPath(p: HPath): String = {
+    val base = tableDir.toUri.getPath.stripSuffix("/")
+    p.toUri.getPath.stripPrefix(base).stripPrefix("/")
+  }
 
   def current(): Option[Snapshot] = log.current()
   def currentOrFail(): Snapshot =
@@ -168,28 +182,51 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
     val issues = Seq.newBuilder[String]
     var files = 0
     var rows = 0L
+    val toStat = Seq.newBuilder[(String, Long)] // (rel path, recorded size)
     snap.fileGroups.foreach { g =>
       val loaded =
         try Some(g.files)
         catch { case e: Exception =>
           issues += s"manifest ${g.manifest} unreadable: ${e.getMessage}"; None
         }
-      loaded.foreach { fs =>
+      loaded.foreach { dfs =>
         g.summary.foreach { s =>
-          if (s.fileCount != fs.size)
-            issues += s"${g.manifest}: summary fileCount ${s.fileCount} != ${fs.size}"
-          if (s.rows != fs.map(_.rows).sum)
-            issues += s"${g.manifest}: summary rows ${s.rows} != ${fs.map(_.rows).sum}"
+          if (s.fileCount != dfs.size)
+            issues += s"${g.manifest}: summary fileCount ${s.fileCount} != ${dfs.size}"
+          if (s.rows != dfs.map(_.rows).sum)
+            issues += s"${g.manifest}: summary rows ${s.rows} != ${dfs.map(_.rows).sum}"
         }
-        fs.foreach { f =>
+        dfs.foreach { f =>
           files += 1
           rows += f.rows
-          val p = tableDir.resolve(f.path)
-          if (!Files.exists(p)) issues += s"missing data file: ${f.path}"
-          else if (Files.size(p) != f.sizeBytes)
-            issues += s"${f.path}: size ${Files.size(p)} != recorded ${f.sizeBytes}"
+          toStat += (f.path -> f.sizeBytes)
         }
       }
+    }
+    // Existence/size audit of the data files. Same two regimes as the
+    // commit path's footer harvest: a driver-side loop for typical
+    // tables, a Spark job above [[GraftTable.FooterJobThreshold]] — at
+    // the 10⁵-file scale this fsck targets, a sequential stat loop IS
+    // the bottleneck (one round-trip per file on an object store).
+    val checks = toStat.result()
+    val rootStr = tableDir.toString
+    if (checks.size <= GraftTable.FooterJobThreshold) {
+      checks.foreach { case (p, sz) =>
+        GraftTable.statIssue(p, sz, fs, rootStr).foreach(issues += _)
+      }
+    } else {
+      val slices = math.max(1, math.min(checks.size, spark.sparkContext.defaultParallelism))
+      val confB = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          org.apache.spark.sql.GraftSqlShim.newHadoopConf(spark)))
+      try issues ++= spark.sparkContext
+        .parallelize(checks, slices)
+        .mapPartitions { it =>
+          val efs = new HPath(rootStr).getFileSystem(confB.value.value)
+          it.flatMap { case (p, sz) => GraftTable.statIssue(p, sz, efs, rootStr) }
+        }
+        .collect()
+      finally confB.destroy()
     }
     (files, rows, issues.result())
   }
@@ -293,6 +330,11 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
           .map(r => Option(r.getString(0))).toSet
         snap.files.partition { f =>
           f.partitionValues.flatMap(_.get(pf.fieldName)) match {
+            // Hive default-partition encoding conflates null and '' for
+            // string sources: a null stored value may hide ''-keyed rows,
+            // so such files must always be rewritten (carrying one would
+            // leave matched '' keys un-upserted).
+            case Some(None) if srcType == StringType => true
             case Some(v) => derived.contains(v)
             case None    => true // unpartitioned / unknown ⇒ must rewrite
           }
@@ -413,7 +455,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
       s"cannot tag version $v: not in the log (live: ${log.listVersions().mkString(", ")})")
     log.createTag(name, v)
     graft.observability.Log.metrics("create_tag",
-      "table" -> tableDir.getFileName, "tag" -> name, "version" -> v)
+      "table" -> tableDir.getName, "tag" -> name, "version" -> v)
     v
   }
 
@@ -492,7 +534,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
-      spark.read.schema(schema).parquet(files.map(f => tableDir.resolve(f.path).toString): _*)
+      spark.read.schema(schema).parquet(files.map(f => new HPath(tableDir, f.path).toString): _*)
 
   // ------------------------------------------------------------------
   // Maintenance (M1–M3)
@@ -558,13 +600,13 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
         graft.observability.Log.suppressAndWarn("expire-snapshots orphan GC") {
           expired.flatMap(_.files.map(_.path)).distinct
             .filterNot(keptPaths.contains)
-            .foreach(p => Files.deleteIfExists(tableDir.resolve(p)))
+            .foreach(p => fs.delete(new HPath(tableDir, p), false))
           expired.flatMap(_.manifestPaths).distinct
             .filterNot(keptManifests.contains)
             .foreach(log.deleteManifest)
         }
         graft.observability.Log.metrics("expire_snapshots",
-          "table" -> tableDir.getFileName, "expired" -> expired.size)
+          "table" -> tableDir.getName, "expired" -> expired.size)
         expired.size
     }
   }
@@ -582,27 +624,29 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
     val liveData = snaps.flatMap(_.files.map(_.path)).toSet
     val liveManifests = snaps.flatMap(_.manifestPaths).toSet
     var deleted = 0
-    val dataDir = tableDir.resolve("data")
-    if (Files.isDirectory(dataDir)) {
-      val stream = Files.walk(dataDir)
-      try stream.iterator().asScala
-        .filter(p => Files.isRegularFile(p) && Files.getLastModifiedTime(p).toMillis < cutoff)
-        .filterNot(p => liveData.contains(tableDir.relativize(p).toString))
-        .foreach { p => Files.deleteIfExists(p); deleted += 1 }
-      finally stream.close()
-    }
-    val metaDir = tableDir.resolve("_meta")
-    if (Files.isDirectory(metaDir)) {
-      val stream = Files.list(metaDir)
-      try stream.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("m-") &&
-          Files.getLastModifiedTime(p).toMillis < cutoff)
-        .filterNot(p => liveManifests.contains(p.getFileName.toString))
-        .foreach { p => Files.deleteIfExists(p); deleted += 1 }
-      finally stream.close()
-    }
+    val dataDir = new HPath(tableDir, "data")
+    try {
+      val it = fs.listFiles(dataDir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getModificationTime < cutoff &&
+            !liveData.contains(relPath(st.getPath))) {
+          fs.delete(st.getPath, false)
+          deleted += 1
+        }
+      }
+    } catch { case _: java.io.FileNotFoundException => () }
+    val metaDir = new HPath(tableDir, "_meta")
+    try fs.listStatus(metaDir).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("m-") && st.getModificationTime < cutoff &&
+          !liveManifests.contains(name)) {
+        fs.delete(st.getPath, false)
+        deleted += 1
+      }
+    } catch { case _: java.io.FileNotFoundException => () }
     graft.observability.Log.metrics("remove_orphan_files",
-      "table" -> tableDir.getFileName, "deleted" -> deleted)
+      "table" -> tableDir.getName, "deleted" -> deleted)
     deleted
   }
 
@@ -930,7 +974,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
                              spec: Option[PartitionField],
                              preserveDistribution: Boolean = false): FileGroup = {
     val commitId = UUID.randomUUID().toString.take(12)
-    val outDir = tableDir.resolve("data").resolve(commitId)
+    val outDir = new HPath(tableDir, s"data/$commitId")
     // write-time clustering (`write.sort.columns` table property):
     // rows are range-distributed (unpartitioned tables) or sorted
     // within their partition's task (partitioned tables) on the listed
@@ -1019,13 +1063,19 @@ final class GraftTable(val spark: SparkSession, val tableDir: Path, val log: Met
     *     only lists the directory and collects O(files) small records \u2014
     *     the same order as the manifest it must write anyway.
     */
-  private def collectDataFiles(outDir: Path, spec: Option[PartitionField]): Seq[DataFile] = {
-    val stream = Files.walk(outDir)
-    val paths =
-      try stream.iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".parquet") && Files.isRegularFile(p))
-        .map(_.toString).toSeq
-      finally stream.close()
+  private def collectDataFiles(outDir: HPath, spec: Option[PartitionField]): Seq[DataFile] = {
+    val paths = {
+      val buf = Seq.newBuilder[String]
+      try {
+        val it = fs.listFiles(outDir, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+            buf += st.getPath.toString
+        }
+      } catch { case _: java.io.FileNotFoundException => () }
+      buf.result()
+    }
     if (paths.isEmpty) return Nil
     val tableDirStr = tableDir.toString
     val outDirStr = outDir.toString
@@ -1060,26 +1110,43 @@ object GraftTable {
   /** Commits with more new files than this harvest footer stats via a
     * distributed job instead of a driver-side parallel loop (see
     * `collectDataFiles`). 512 ≈ where job-launch overhead (~100 ms)
-    * beats driver-threaded metadata reads.
+    * beats driver-threaded metadata reads. `verifyIntegrity` uses the
+    * same cutover for its existence/size audit.
     */
   val FooterJobThreshold = 512
+
+  /** One file's existence/size audit (None = healthy). Lives on the
+    * companion so the distributed `verifyIntegrity` path serializes a
+    * static call, not the table handle.
+    */
+  private[table] def statIssue(relPath: String, recorded: Long,
+                               fs: FileSystem, root: String): Option[String] =
+    try {
+      val len = fs.getFileStatus(new HPath(s"$root/$relPath")).getLen
+      if (len != recorded) Some(s"$relPath: size $len != recorded $recorded") else None
+    } catch {
+      case _: java.io.FileNotFoundException => Some(s"missing data file: $relPath")
+    }
 }
 
 /** Filesystem-metastore catalog over a warehouse directory (C1/C5,
   * `core/schema.py:32-50,87-112`): resolve `(namespace, table)` →
   * `warehouse/<ns>/<table>/`, get-or-create, drop.
   */
-final class GraftCatalog(val spark: SparkSession, val warehouse: Path) {
+final class GraftCatalog(val spark: SparkSession, val warehouse: HPath) {
 
-  def tableDir(ident: TableIdent): Path =
-    warehouse.resolve(ident.namespace).resolve(ident.name)
+  private val hadoopConf = org.apache.spark.sql.GraftSqlShim.newHadoopConf(spark)
+  private val fs: FileSystem = warehouse.getFileSystem(hadoopConf)
+
+  def tableDir(ident: TableIdent): HPath =
+    new HPath(warehouse, s"${ident.namespace}/${ident.name}")
 
   def exists(ident: TableIdent): Boolean =
-    new MetadataLog(tableDir(ident)).exists()
+    new MetadataLog(tableDir(ident), hadoopConf).exists()
 
   def load(ident: TableIdent): GraftTable = {
     val dir = tableDir(ident)
-    val log = new MetadataLog(dir)
+    val log = new MetadataLog(dir, hadoopConf)
     require(log.exists(), s"Table $ident does not exist")
     new GraftTable(spark, dir, log)
   }
@@ -1091,34 +1158,25 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: Path) {
     */
   def ensure(ident: TableIdent, partitionSpec: Option[String] = None): GraftTable = {
     val dir = tableDir(ident)
-    Files.createDirectories(dir)
-    val t = new GraftTable(spark, dir, new MetadataLog(dir))
+    fs.mkdirs(dir)
+    val t = new GraftTable(spark, dir, new MetadataLog(dir, hadoopConf))
     if (t.current().isEmpty) t.pendingSpec = partitionSpec.map(_.trim).filter(_.nonEmpty)
     t
   }
 
   def drop(ident: TableIdent): Unit = {
-    val dir = tableDir(ident)
-    if (Files.isDirectory(dir)) {
-      val stream = Files.walk(dir)
-      try stream.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
-      finally stream.close()
-    }
+    try fs.delete(tableDir(ident), true)
+    catch { case _: java.io.FileNotFoundException => () }
+    ()
   }
 
-  def listNamespaces(): Seq[String] = {
-    if (!Files.isDirectory(warehouse)) Nil
-    else {
-      val stream = Files.list(warehouse)
-      try stream.iterator().asScala
-        .filter(Files.isDirectory(_))
-        .map(_.getFileName.toString)
-        .filter(ns => listTables(ns).nonEmpty)
-        .toSeq.sorted
-      finally stream.close()
-    }
-  }
+  def listNamespaces(): Seq[String] =
+    try fs.listStatus(warehouse).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(ns => listTables(ns).nonEmpty)
+      .sorted
+    catch { case _: java.io.FileNotFoundException => Nil }
 
   /** Rename = move the table directory (atomic on one filesystem); the
     * metadata log is path-relative so nothing inside changes.
@@ -1126,26 +1184,21 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: Path) {
   def rename(from: TableIdent, to: TableIdent): Unit = {
     require(exists(from), s"Table $from does not exist")
     require(!exists(to), s"Table $to already exists")
-    Files.createDirectories(tableDir(to).getParent)
-    Files.move(tableDir(from), tableDir(to))
+    fs.mkdirs(tableDir(to).getParent)
+    fs.rename(tableDir(from), tableDir(to))
   }
 
   def listTables(namespace: String): Seq[TableIdent] = {
-    val ns = warehouse.resolve(namespace)
-    if (!Files.isDirectory(ns)) Nil
-    else {
-      val stream = Files.list(ns)
-      try stream.iterator().asScala
-        .filter(Files.isDirectory(_))
-        .map(p => TableIdent(namespace, p.getFileName.toString))
-        .filter(exists)
-        .toSeq
-      finally stream.close()
-    }
+    val ns = new HPath(warehouse, namespace)
+    try fs.listStatus(ns).toSeq
+      .filter(_.isDirectory)
+      .map(st => TableIdent(namespace, st.getPath.getName))
+      .filter(exists)
+    catch { case _: java.io.FileNotFoundException => Nil }
   }
 }
 
 object GraftCatalog {
   def apply(spark: SparkSession, warehouse: String): GraftCatalog =
-    new GraftCatalog(spark, Paths.get(warehouse))
+    new GraftCatalog(spark, new HPath(warehouse))
 }

@@ -87,10 +87,17 @@ object PartitionPruner {
     case In(a, lits) if isSource(a, spec) && lits.forall(_.isInstanceOf[Literal]) =>
       lits.map { case Literal(v, dt) => cmp(pv, spec, st, "=", v, dt) }
         .foldLeft(Tri(may = false, all = false))(_ || _)
+    // Hive default-partition encoding conflates null and '' for STRING
+    // sources: a null stored value may hide ''-valued (non-null) rows, so
+    // neither null-ness claim may be exact there — `may` stays permissive,
+    // `all` is never proven (an `all` IsNull would let deleteWhere drop ''
+    // rows; an exact IsNotNull prune would lose them from scans).
     case IsNull(a) if isSource(a, spec) && spec.transform == Transform.Identity =>
-      if (pv.isEmpty) Tri(may = true, all = true) else Tri(may = false, all = false)
+      if (pv.isEmpty) Tri(may = true, all = st != StringType)
+      else Tri(may = false, all = false)
     case IsNotNull(a) if isSource(a, spec) && spec.transform == Transform.Identity =>
-      if (pv.isEmpty) Tri(may = false, all = false) else Tri(may = true, all = true)
+      if (pv.isEmpty) Tri(may = st == StringType, all = false)
+      else Tri(may = true, all = true)
     // sugar forms evaluate as their semantic rewrite — `BETWEEN`
     // parses to UnresolvedFunction('between') in predicate strings and
     // would otherwise fall through as Unknown (see StatsPruner)
@@ -101,7 +108,11 @@ object PartitionPruner {
       val Seq(a, lo, hi) = fn.arguments
       eval(pv, spec, st, And(GreaterThanOrEqual(a, lo), LessThanOrEqual(a, hi)))
     case r: RuntimeReplaceable =>
-      try eval(pv, spec, st, r.replacement) catch { case _: RuntimeException => Unknown }
+      // .replacement on partially-resolved trees can throw AnalysisException
+      // and friends, not just RuntimeException — degrade to Unknown, never
+      // fail the scan.
+      try eval(pv, spec, st, r.replacement)
+      catch { case scala.util.control.NonFatal(_) => Unknown }
     case _ => Unknown
   }
 
@@ -168,8 +179,24 @@ object PartitionPruner {
 
   private def cmp(pv: Option[String], spec: PartitionField, st: DataType, op: String, v: Any, dt: DataType): Tri = {
     if (v == null) return Tri(may = false, all = false) // comparison with NULL matches nothing
-    if (pv.isEmpty) return Tri(may = false, all = false) // null partition value fails comparisons
-    val p = pv.get
+    if (pv.isEmpty) {
+      // A stored null partition value usually means all rows are null and
+      // comparisons fail. But for STRING sources under transforms that map
+      // '' → '' (identity, truncate), Hive default-partition encoding
+      // conflates null with '': the file may hold ''-valued rows, so bound
+      // `may` by evaluating the comparison at ''. `all` is never proven —
+      // genuinely-null rows fail every comparison.
+      val conflated = st == StringType && (spec.transform match {
+        case Transform.Identity | _: Transform.Truncate => true
+        case _ => false
+      })
+      return if (conflated) Tri(may = cmpKnown("", spec, st, op, v, dt).may, all = false)
+      else Tri(may = false, all = false)
+    }
+    cmpKnown(pv.get, spec, st, op, v, dt)
+  }
+
+  private def cmpKnown(p: String, spec: PartitionField, st: DataType, op: String, v: Any, dt: DataType): Tri = {
     spec.transform match {
       case Transform.Identity =>
         identityCmp(p, op, v, dt)

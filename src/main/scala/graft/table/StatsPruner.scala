@@ -69,7 +69,11 @@ object StatsPruner {
       val Seq(a, lo, hi) = fn.arguments
       eval(f, sch, And(GreaterThanOrEqual(a, lo), LessThanOrEqual(a, hi)))
     case r: RuntimeReplaceable =>
-      try eval(f, sch, r.replacement) catch { case _: RuntimeException => Unknown }
+      // .replacement on partially-resolved trees can throw AnalysisException
+      // and friends, not just RuntimeException — degrade to Unknown, never
+      // fail the scan.
+      try eval(f, sch, r.replacement)
+      catch { case scala.util.control.NonFatal(_) => Unknown }
     case _ => Unknown
   }
 

@@ -645,7 +645,7 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     val tbl = GraftCatalog(spark, spark.conf.get("spark.sql.catalog.graft.warehouse"))
       .load(TableIdent("nsvf", "t"))
     val victim = tbl.currentOrFail().files.find(_.rows > 0).get
-    java.nio.file.Files.delete(tbl.tableDir.resolve(victim.path))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(tbl.tableDir.toUri.getPath).resolve(victim.path))
     val bad = spark.sql("CALL graft.system.verify_table('nsvf', 't')").head
     bad.getBoolean(2) shouldBe false
     bad.getString(3) should include("missing data file")
@@ -776,6 +776,27 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     byK.collect().length shouldBe 20
   }
 
+  test("grouped pushdown bails on string partition keys with a default partition") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsagg4")
+    spark.sql("DROP TABLE IF EXISTS graft.nsagg4.t")
+    spark.sql("DROP TABLE IF EXISTS graft.nsagg4.c")
+    spark.sql("CREATE TABLE graft.nsagg4.t (k STRING, v DOUBLE) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO graft.nsagg4.t VALUES ('a', 1.0), ('', 2.0), (NULL, 3.0)")
+    val g = spark.sql("SELECT k, COUNT(*) AS n FROM graft.nsagg4.t GROUP BY k")
+    // '' and NULL share __HIVE_DEFAULT_PARTITION__, so metadata cannot
+    // distinguish them — the ordinary scan must answer, and correctly
+    g.queryExecution.executedPlan.toString should not include "LocalTableScan"
+    g.collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet shouldBe
+      Set((Some("a"), 1L), (Some(""), 1L), (None, 1L))
+    // a string key with NO default partition still pushes
+    spark.sql("CREATE TABLE graft.nsagg4.c (k STRING, v DOUBLE) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO graft.nsagg4.c VALUES ('a', 1.0), ('b', 2.0)")
+    val c = spark.sql("SELECT k, COUNT(*) AS n FROM graft.nsagg4.c GROUP BY k")
+    c.queryExecution.executedPlan.toString should include("LocalTableScan")
+    c.collect().map(r => (r.getString(0), r.getLong(1))).toSet shouldBe
+      Set(("a", 1L), ("b", 1L))
+  }
+
   test("bloom-filter table properties reach the written parquet files") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsbloom")
     spark.sql(
@@ -788,7 +809,7 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     val cat = GraftCatalog(spark, spark.conf.get("spark.sql.catalog.graft.warehouse"))
     val tbl = cat.load(TableIdent("nsbloom", "t"))
     val file = tbl.currentOrFail().files.find(_.rows > 0L).get
-    val path = new org.apache.hadoop.fs.Path(tbl.tableDir.resolve(file.path).toUri)
+    val path = new org.apache.hadoop.fs.Path(tbl.tableDir, file.path)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         path, new org.apache.hadoop.conf.Configuration()))

@@ -145,21 +145,26 @@ class GraftStreamSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
-  test("streamStartTimestamp replays commits after that moment") {
+  test("streamStartTimestamp replays commits at or after that moment") {
     val (s, c) = streamSession("graft-ts")
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft.snts")
     s.sql("CREATE TABLE graft.snts.src (id BIGINT)")
     s.sql("INSERT INTO graft.snts.src VALUES (1)") // v1
     val tbl = c.load(graft.table.TableIdent("snts", "src"))
-    val afterV1 = tbl.currentOrFail().timestampMs
+    val v1Ts = tbl.currentOrFail().timestampMs
     Thread.sleep(5) // later commits get strictly later timestamps
     s.sql("INSERT INTO graft.snts.src VALUES (2)") // v2
     s.sql("INSERT INTO graft.snts.src VALUES (3)") // v3
+    val v2Ts = c.load(graft.table.TableIdent("snts", "src"))
+      .snapshots().sortBy(_.version).apply(2).timestampMs
 
-    // start at v1's timestamp: v2 and v3 replay, v1 does not
+    // start strictly after v1 but at v2's exact timestamp: v2 and v3
+    // replay (inclusive of commits stamped AT the timestamp — the
+    // Iceberg stream-from-timestamp contract), v1 does not
+    require(v2Ts > v1Ts)
     val ckpt = Files.createTempDirectory("graft-ts-ckpt").toString
     val q = s.readStream
-      .option("streamStartTimestamp", afterV1.toString)
+      .option("streamStartTimestamp", v2Ts.toString)
       .table("graft.snts.src")
       .writeStream.format("memory").queryName("graft_ts_sink")
       .option("checkpointLocation", ckpt).start()

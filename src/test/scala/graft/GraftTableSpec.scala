@@ -21,6 +21,10 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
 
   private def cat() = GraftCatalog(spark, Files.createTempDirectory("graft-test").toString)
 
+  /** Local-FS view of a Hadoop table path for direct nio assertions. */
+  private def nio(p: org.apache.hadoop.fs.Path): java.nio.file.Path =
+    java.nio.file.Paths.get(p.toUri.getPath)
+
   private def df(rows: (Long, String, String)*): DataFrame = {
     val s = spark
     import s.implicits._
@@ -280,9 +284,9 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     t.append(df(d1))
     t.overwrite(df(d2)) // s0's file now referenced by nothing current
     val orphan = t.snapshots().head.files.head.path
-    Files.exists(t.tableDir.resolve(orphan)) shouldBe true
+    Files.exists(nio(t.tableDir).resolve(orphan)) shouldBe true
     t.expireSnapshots(keepLast = 1) shouldBe 1
-    Files.exists(t.tableDir.resolve(orphan)) shouldBe false
+    Files.exists(nio(t.tableDir).resolve(orphan)) shouldBe false
     t.scan().count() shouldBe 1
   }
 
@@ -290,10 +294,10 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     val t = cat().ensure(TableIdent("ns", "t9a"))
     t.append(df(d1, d2))
     // plant fakes: an orphan data file and an orphan manifest
-    val orphanData = t.tableDir.resolve("data").resolve("dead").resolve("part-x.parquet")
+    val orphanData = nio(t.tableDir).resolve("data").resolve("dead").resolve("part-x.parquet")
     Files.createDirectories(orphanData.getParent)
     Files.writeString(orphanData, "junk")
-    val orphanManifest = t.tableDir.resolve("_meta").resolve("m-deadbeef.json")
+    val orphanManifest = nio(t.tableDir).resolve("_meta").resolve("m-deadbeef.json")
     Files.writeString(orphanManifest, """{"files":[]}""")
     // fresh files survive a 1-day cutoff...
     t.removeOrphanFiles() shouldBe 0
@@ -304,6 +308,57 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     Files.exists(orphanData) shouldBe false
     Files.exists(orphanManifest) shouldBe false
     t.scan().count() shouldBe 2
+  }
+
+  test("warehouse given as a file:// URI commits through the Hadoop FS API") {
+    val wh = "file://" + Files.createTempDirectory("graft-uri")
+    val c = GraftCatalog(spark, wh)
+    val t = c.ensure(TableIdent("ns", "turi"), Some("day"))
+    t.append(df(d1, d2))
+    t.append(df(d3))
+    t.currentOrFail().version shouldBe 1
+    t.scan().count() shouldBe 3
+    t.deleteWhere("id = 2")
+    t.scan().count() shouldBe 2
+    t.log.createTag("pin", 1)
+    t.log.tag("pin") shouldBe Some(1)
+    val (files, rows, issues) = t.verifyIntegrity()
+    files should be >= 2
+    rows shouldBe 2
+    issues shouldBe empty
+    c.listTables("ns") should contain(TableIdent("ns", "turi"))
+  }
+
+  test("string identity partition never conflates '' with null (Hive default-partition encoding)") {
+    val t = cat().ensure(TableIdent("ns", "thive"), Some("name"))
+    val s = spark
+    import s.implicits._
+    t.append(Seq((1L, "2024-01-01", ""), (2L, "2024-01-01", null.asInstanceOf[String]),
+      (3L, "2024-01-01", "x")).toDF("id", "day", "name"))
+    // '' rows land in __HIVE_DEFAULT_PARTITION__ alongside nulls; pruning
+    // must not treat the stored null partition value as proof of row nulls
+    t.scan().where("name IS NOT NULL").count() shouldBe 2
+    t.scan().where("name = ''").count() shouldBe 1
+    t.scan().where("name IS NULL").count() shouldBe 1
+    // the delete-whole-file fast path may not claim the conflated file
+    t.deleteWhere("name IS NULL")
+    t.scan().count() shouldBe 2
+    t.scan().where("name = ''").count() shouldBe 1
+    t.scan().where("name IS NULL").count() shouldBe 0
+  }
+
+  test("upsert keyed on a string partition column rewrites the conflated null/'' file") {
+    val t = cat().ensure(TableIdent("ns", "thup"), Some("name"))
+    val s = spark
+    import s.implicits._
+    t.append(Seq((1L, "2024-01-01", ""), (3L, "2024-01-01", "x"))
+      .toDF("id", "day", "name"))
+    // the ''-keyed row lives in a file whose stored partition value is
+    // null; partition-pruned upsert must still rewrite it
+    t.upsert(Seq((10L, "2024-01-02", "")).toDF("id", "day", "name"), Seq("name"))
+    val rows = t.scan().select("id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    rows shouldBe Set((10L, ""), (3L, "x"))
   }
 
   test("compactBySize derives the file count from table bytes") {

@@ -332,6 +332,32 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     (1L to 5L).foreach(i => pairs should contain((i, i + 100)))
   }
 
+  test("hyperplaneTable assigns the same buckets as the scalar hyperplaneBucket") {
+    val s = spark
+    import s.implicits._
+    val vecs = (1L to 60L).map(i => (i, Seq.tabulate(7)(d => math.sin(i * 19 + d).toFloat)))
+    val df = vecs.toDF("id", "v")
+    val scalar = df.select(col("id"), Dedup.hyperplaneBucket(col("v"), 5).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val table = Dedup.hyperplaneTable(df, "v", "id", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    table shouldBe scalar
+  }
+
+  test("embeddingPairs maxBucketSize drops a degenerate bucket instead of going quadratic") {
+    val s = spark
+    import s.implicits._
+    // 1000 identical vectors: one bucket, 499500 candidate pairs uncapped
+    val df = (1L to 1000L).map(i => (i, Seq(1f, 2f, 3f))).toDF("id", "v")
+    val capped = Dedup.embeddingPairs(df, "v", "id", planes = 4,
+      threshold = 0.9, maxBucketSize = 100)
+    capped.count() shouldBe 0L // bucket over cap dropped whole
+    // a small clean bucket is unaffected by the cap
+    val small = (1L to 5L).map(i => (i, Seq(1f, 2f, 3f))).toDF("id", "v")
+    Dedup.embeddingPairs(small, "v", "id", planes = 4,
+      threshold = 0.9, maxBucketSize = 100).count() shouldBe 10L
+  }
+
   test("persisted IVF index table: probes are partition-pruned, top-k matches brute force") {
     val s = spark
     import s.implicits._

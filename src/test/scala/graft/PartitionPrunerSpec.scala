@@ -82,10 +82,23 @@ class PartitionPrunerSpec extends AnyFunSuite with Matchers {
   }
 
   test("null partition value: comparisons exclude, IS NULL includes") {
-    tri("day = '2024-01-01'", "day", StringType, "day", None).may shouldBe false
-    tri("day IS NULL", "day", StringType, "day", None) shouldBe Tri(may = true, all = true)
-    tri("day IS NOT NULL", "day", StringType, "day", None).may shouldBe false
+    // non-string sources: a stored null means all rows are null — exact
+    tri("k = 5", "k", LongType, "k", None).may shouldBe false
+    tri("k IS NULL", "k", LongType, "k", None) shouldBe Tri(may = true, all = true)
+    tri("k IS NOT NULL", "k", LongType, "k", None).may shouldBe false
     tri("day IS NOT NULL", "day", StringType, "day", Some("x")) shouldBe Tri(may = true, all = true)
+  }
+
+  test("string null partition value may hide '' rows (Hive default-partition encoding)") {
+    // a stored null for a STRING source may be '' rows: IS NULL keeps
+    // may but must not claim all (deleteWhere would drop '' rows);
+    // IS NOT NULL must not prune (losing '' rows); comparisons keep the
+    // ''-evaluated may bound
+    tri("day IS NULL", "day", StringType, "day", None) shouldBe Tri(may = true, all = false)
+    tri("day IS NOT NULL", "day", StringType, "day", None) shouldBe Tri(may = true, all = false)
+    tri("day = '2024-01-01'", "day", StringType, "day", None).may shouldBe false
+    tri("day = ''", "day", StringType, "day", None).may shouldBe true
+    tri("day < 'a'", "day", StringType, "day", None) shouldBe Tri(may = true, all = false)
   }
 
   test("unpartitioned file is always Unknown (never wrongly pruned)") {

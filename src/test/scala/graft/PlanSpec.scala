@@ -82,7 +82,7 @@ class PlanSpec extends AnyFunSuite with Matchers {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     // a table dir that DOESN'T EXIST: every file status must come from
     // snapshot metadata — any listing/stat attempt would throw
-    val ghostDir = java.nio.file.Paths.get("/nonexistent/graft-100k")
+    val ghostDir = new org.apache.hadoop.fs.Path("/nonexistent/graft-100k")
     val files = (0 until 100000).map { i =>
       DataFile(f"data/commit-${i / 1000}%03d/part-$i%06d.parquet", 10L, 4096L, None)
     }
