@@ -38,9 +38,19 @@ object RestSource {
   final case class RestConfig(
       timeoutSeconds: Int = 30, // reference default (`rest_adapter.py:24`)
       headers: Map[String, String] = Map.empty,
+      // convenience for the common auth shape: folded into the request
+      // as `Authorization: Bearer <token>` (an explicit Authorization
+      // entry in `headers` wins)
+      bearerToken: Option[String] = None,
       pageParam: Option[String] = None,
       startPage: Int = 1,
-      maxPages: Int = 10000)
+      maxPages: Int = 10000,
+      // transient-failure policy: 5xx responses and connection-level
+      // IOExceptions retry with bounded exponential backoff; 4xx never
+      // retries (a client error will not heal). A failed attempt yields
+      // no records, so retrying cannot double-ingest a page.
+      maxRetries: Int = 3,
+      retryBackoffMs: Long = 200)
 
   /** Fetch `url` and yield record batches. With `pageParam` set, pages
     * are fetched lazily — batch N+1's HTTP call happens only when the
@@ -71,16 +81,52 @@ object RestSource {
     }
   }
 
-  /** One GET → one batch of records. */
+  /** Raised for failures worth retrying (5xx, connection-level IO). */
+  private final class TransientRestFailure(msg: String, cause: Throwable = null)
+      extends java.io.IOException(msg, cause)
+
+  /** One GET → one batch of records, with bounded-backoff retries on
+    * transient failures (see [[RestConfig]]).
+    */
   private[sources] def fetchBatch(client: HttpClient, url: String,
                                   cfg: RestConfig): Seq[JsonIngest.Record] = {
+    var attempt = 0
+    while (true) {
+      try return fetchOnce(client, url, cfg)
+      catch {
+        case e: TransientRestFailure =>
+          attempt += 1
+          if (attempt > cfg.maxRetries) throw e
+          val backoff = cfg.retryBackoffMs * (1L << math.min(attempt - 1, 10))
+          Log.warn("rest fetch failed; retrying after backoff",
+            "url" -> url, "attempt" -> attempt, "backoff_ms" -> backoff,
+            "cause" -> e.getMessage)
+          Thread.sleep(backoff)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def fetchOnce(client: HttpClient, url: String,
+                        cfg: RestConfig): Seq[JsonIngest.Record] = {
     Log.info("rest fetch", "url" -> url)
-    val req = cfg.headers.foldLeft(
+    val headers = cfg.bearerToken
+      .map(t => Map("Authorization" -> s"Bearer $t"))
+      .getOrElse(Map.empty) ++ cfg.headers
+    val req = headers.foldLeft(
         HttpRequest.newBuilder(URI.create(url))
           .timeout(Duration.ofSeconds(cfg.timeoutSeconds)).GET()) {
         case (b, (k, v)) => b.header(k, v)
       }.build()
-    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    val resp =
+      try client.send(req, HttpResponse.BodyHandlers.ofString())
+      catch {
+        case e: java.io.IOException =>
+          throw new TransientRestFailure(s"rest source: GET $url failed: ${e.getMessage}", e)
+      }
+    if (resp.statusCode() / 100 == 5)
+      throw new TransientRestFailure(
+        s"rest source: GET $url returned HTTP ${resp.statusCode()}")
     if (resp.statusCode() / 100 != 2)
       throw new java.io.IOException(
         s"rest source: GET $url returned HTTP ${resp.statusCode()}")

@@ -67,4 +67,36 @@ class MetadataLogSpec extends AnyFunSuite with Matchers {
     log.listVersions() shouldBe Seq(0, 2)
     log.current().get.operation shouldBe "c"
   }
+
+  test("two separate JVMs appending concurrently lose no commits") {
+    // thread contention exercises the in-process race; the hard-link
+    // protocol's real adversary is a SECOND PROCESS — no shared JVM
+    // state, only the filesystem's atomic create-if-absent between them
+    val dir = Files.createTempDirectory("mlog-xproc")
+    val n = 12
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val procs = Seq("a", "b").map { id =>
+      new ProcessBuilder(
+        javaBin, "-Xmx512m", "-cp", cp,
+        "graft.ConcurrentWriterMain", dir.toString, id, n.toString)
+        .redirectErrorStream(true)
+        .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        .start()
+    }
+    procs.foreach { p =>
+      p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+      p.exitValue() shouldBe 0
+    }
+    val log = new MetadataLog(dir)
+    // version monotonicity: a contiguous 0..2n-1 ladder, no gaps
+    log.listVersions() shouldBe (0 until 2 * n)
+    // no lost commits: the FINAL snapshot carries every writer's every
+    // file (each commit appended one group to the freshly-read parent)
+    val files = log.current().get.files.map(_.path).toSet
+    files shouldBe (0 until n).flatMap(i =>
+      Seq(s"data/a-$i.parquet", s"data/b-$i.parquet")).toSet
+    // row-count conservation: one row per appended file
+    log.current().get.rowCount shouldBe 2L * n
+  }
 }

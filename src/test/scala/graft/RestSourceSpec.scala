@@ -63,11 +63,45 @@ class RestSourceSpec extends AnyFunSuite with Matchers {
   }
 
   test("non-2xx raises, like raise_for_status") {
-    withServer(Map("/bad" -> (_ => (500, """{"err":"boom"}""")))) { base =>
+    // 4xx: client error, never retried — raises on the first attempt
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer(Map("/bad" -> (_ => { calls.incrementAndGet(); (404, """{"err":"no"}""") }))) { base =>
       val ex = intercept[java.io.IOException] {
         RestSource.getData(s"$base/bad").toSeq
       }
-      ex.getMessage should include("HTTP 500")
+      ex.getMessage should include("HTTP 404")
+      calls.get() shouldBe 1
+    }
+  }
+
+  test("5xx exhausting retries raises the transient failure") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer(Map("/down" -> (_ => { calls.incrementAndGet(); (503, """{"err":"unavail"}""") }))) { base =>
+      val ex = intercept[java.io.IOException] {
+        RestSource.getData(s"$base/down",
+          RestConfig(maxRetries = 2, retryBackoffMs = 5)).toSeq
+      }
+      ex.getMessage should include("HTTP 503")
+      calls.get() shouldBe 3 // initial + 2 retries
+    }
+  }
+
+  test("flaky endpoint: fail-then-succeed ingests exactly once, auth header sent") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val auths = new java.util.concurrent.atomic.AtomicReference[String]("")
+    withServer(Map("/flaky" -> (ex => {
+      auths.set(ex.getRequestHeaders.getFirst("Authorization"))
+      if (calls.incrementAndGet() <= 2) (500, """{"err":"boom"}""")
+      else (200, """[{"id":1,"name":"ada"},{"id":2,"name":"bob"}]""")
+    }))) { base =>
+      val cat = GraftCatalog(spark, Files.createTempDirectory("graft-flaky").toString)
+      val res = new Loader(cat).loadRest(s"$base/flaky", TableIdent("ns", "flaky"),
+        rest = RestConfig(maxRetries = 3, retryBackoffMs = 5,
+          bearerToken = Some("sekret")))
+      res.rowsLoaded shouldBe 2
+      calls.get() shouldBe 3 // two failures + one success, no re-fetch after success
+      auths.get() shouldBe "Bearer sekret"
+      cat.load(TableIdent("ns", "flaky")).scan().count() shouldBe 2 // exactly once
     }
   }
 
