@@ -35,4 +35,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // running); 24g removed the spikes at ~75 queries but they returned
   // as the surface passed 85 — 40g keeps them gone on this 128 GiB box.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "40g")}",
-)
+  // ~88 queries of whole-stage-codegen classes can overflow the 240 MB
+  // default JIT code cache (newly generated query code then runs
+  // interpreted); 1 GB removes that confound. NOTE: the episodic
+  // 20-80x per-query bench slowdowns on this VM turned out to be
+  // hypervisor CPU STEAL (see Bench.cpuStat) — this flag alone did not
+  // stop them — but the headroom is kept so codegen volume never
+  // contributes.
+  "-XX:ReservedCodeCacheSize=1g",
+) ++ sys.env.get("GRAFT_EXTRA_JVM_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

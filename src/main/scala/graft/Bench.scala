@@ -14,6 +14,23 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Exception => -1.0 }
 
+  /** (steal, busy) jiffies from /proc/stat's aggregate cpu line, where
+    * busy = user+nice+system+steal. On this VM the hypervisor STEALS
+    * CPU in episodic bursts (cumulative steal observed at ~14% of all
+    * demanded CPU): a 1-2-task stage whose thread sits on a stolen vCPU
+    * runs 10-50x slow while loadavg stays near 1 — the signature behind
+    * both round 7's phantom 799s bench and round 8's 533s/245s outlier
+    * runs. Per-query steal deltas make that attributable from the
+    * artifact alone.
+    */
+  private def cpuStat(): (Long, Long) =
+    try {
+      val vals = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
+        .linesIterator.next().split("\\s+").drop(1).map(_.toLong)
+      val steal = if (vals.length > 7) vals(7) else 0L
+      (steal, vals(0) + vals(1) + vals(2) + steal)
+    } catch { case _: Exception => (0L, 0L) }
+
   /** Count of live java processes on the box. A clean bench run has exactly
     * 1 bench JVM (+ possibly the sbt launcher that forked it); more means a
     * concurrent compile/test is stealing the CPUs and the numbers are
@@ -61,15 +78,18 @@ object Bench {
     // Sorted iteration: Map order is hash-based, which made timing
     // attribution unstable round-to-round (whichever heavy query ran
     // first absorbed residual JIT/codegen warm-up).
-    case class QDiag(name: String, startMs: Long, wallS: Double, load: Double)
+    case class QDiag(name: String, startMs: Long, wallS: Double, load: Double,
+                     stealJf: Long, busyJf: Long)
     val diags = scala.collection.mutable.ArrayBuffer.empty[QDiag]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val load0 = loadAvg()
+      val (steal0, busy0) = cpuStat()
       val startMs = System.currentTimeMillis()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val wall = (System.nanoTime() - t0) / 1e9
-      diags += QDiag(name, startMs, wall, load0)
+      val (steal1, busy1) = cpuStat()
+      diags += QDiag(name, startMs, wall, load0, steal1 - steal0, busy1 - busy0)
       name -> wall
     }.toMap
     // The driver keeps only a 2000-char tail of stdout and parses the JSON
@@ -90,18 +110,27 @@ object Bench {
     // near or below N; values well above it flag external CPU contention.
     val loadAtEnd = loadAvg()
     val diagJson = diags.map { d =>
-      s"""{"name":"${d.name}","start_epoch_ms":${d.startMs},"wall_s":${f(d.wallS)},"loadavg":${f(d.load)}}"""
+      // steal_pct: share of the CPU this query's window actually
+      // demanded (user+sys+steal) that the hypervisor stole — the
+      // dominant cause of episodic per-query slowdowns on this VM
+      val stealPct = if (d.busyJf <= 0) 0.0 else 100.0 * d.stealJf / d.busyJf
+      s"""{"name":"${d.name}","start_epoch_ms":${d.startMs},"wall_s":${f(d.wallS)},"loadavg":${f(d.load)},"steal_pct":${f(stealPct)}}"""
     }.mkString(
       s"""{"jvms_at_start":$jvmsAtStart,"loadavg_start":${f(loadAtStart)},"loadavg_end":${f(loadAtEnd)},"cpus":$cpus,"queries":[""",
       ",", "]}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_diag.json"), diagJson)
     catch { case _: Exception => () }
     // Compact health fields on the parsed line itself: max loadavg seen
-    // before any query, and the JVM count at start. A contaminated run is
-    // visible from BENCH_r{N}.json alone without the sidecar.
+    // before any query, JVM count at start, and total steal share across
+    // the run. A contaminated run is visible from BENCH_r{N}.json alone:
+    // high steal_pct = hypervisor noisy neighbor, high load_max = a
+    // concurrent local JVM.
     val maxLoad = if (diags.nonEmpty) diags.map(_.load).max else loadAtStart
+    val stealTot = diags.map(_.stealJf).sum
+    val busyTot = diags.map(_.busyJf).sum
+    val stealPctTot = if (busyTot <= 0) 0.0 else 100.0 * stealTot / busyTot
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","jvms":$jvmsAtStart,"load_max":${f(maxLoad)}}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","jvms":$jvmsAtStart,"load_max":${f(maxLoad)},"steal_pct":${f(stealPctTot)}}"""
     println(line)
   }
 }

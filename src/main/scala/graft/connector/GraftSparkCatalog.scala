@@ -50,7 +50,23 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
-  private def cat: GraftCatalog = GraftCatalog(SparkSession.active, warehouse)
+  // Cache the catalog handle per active session: GraftCatalog's
+  // constructor snapshots the session Hadoop configuration (a full
+  // SQLConf copy), and `cat` is consulted several times per planned
+  // query — rebuilding that copy each time is measurable on the bench's
+  // SQL-path table queries.
+  @transient private var cachedCat: (SparkSession, GraftCatalog) = _
+
+  private def cat: GraftCatalog = {
+    val s = SparkSession.active
+    val c = cachedCat
+    if (c != null && (c._1 eq s)) c._2
+    else {
+      val nc = GraftCatalog(s, warehouse)
+      cachedCat = (s, nc)
+      nc
+    }
+  }
 
   private def toIdent(ident: Identifier): TableIdent = {
     require(ident.namespace().length == 1,
@@ -185,10 +201,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     * namespace immediately after CREATE NAMESPACE.
     */
   override def listNamespaces(): Array[Array[String]] = {
-    val wh = new org.apache.hadoop.fs.Path(warehouse)
-    val fs = wh.getFileSystem(
-      org.apache.spark.sql.GraftSqlShim.newHadoopConf(SparkSession.active))
-    try fs.listStatus(wh)
+    try cat.fs.listStatus(new org.apache.hadoop.fs.Path(warehouse))
       .filter(_.isDirectory)
       .map(st => Array(st.getPath.getName))
       .sortBy(_.head)
@@ -202,9 +215,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   private def nsPath(ns: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(warehouse, ns)
 
-  private def whFs: org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(warehouse).getFileSystem(
-      org.apache.spark.sql.GraftSqlShim.newHadoopConf(SparkSession.active))
+  private def whFs: org.apache.hadoop.fs.FileSystem = cat.fs
 
   override def namespaceExists(namespace: Array[String]): Boolean =
     namespace.length == 1 && {

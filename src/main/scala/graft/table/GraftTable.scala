@@ -35,7 +35,8 @@ final case class TableIdent(namespace: String, name: String) {
   * Data files and manifests are immutable and uniquely named, so
   * snapshots share them freely (manifest reuse keeps commit metadata
   * O(files touched)); commits go through [[graft.meta.MetadataLog]]'s
-  * optimistic hard-link protocol. Each write operation below is one transaction ⇒
+  * optimistic atomic-publish protocol (Hadoop FileSystem; hard-link
+  * fast path on local roots). Each write operation below is one transaction ⇒
   * one snapshot, matching the reference's per-flush
   * `table.transaction()` boundary (`core/strategies.py:32,43,61`).
   *
@@ -1135,8 +1136,8 @@ object GraftTable {
   */
 final class GraftCatalog(val spark: SparkSession, val warehouse: HPath) {
 
-  private val hadoopConf = org.apache.spark.sql.GraftSqlShim.newHadoopConf(spark)
-  private val fs: FileSystem = warehouse.getFileSystem(hadoopConf)
+  private[graft] val hadoopConf = org.apache.spark.sql.GraftSqlShim.newHadoopConf(spark)
+  private[graft] val fs: FileSystem = warehouse.getFileSystem(hadoopConf)
 
   def tableDir(ident: TableIdent): HPath =
     new HPath(warehouse, s"${ident.namespace}/${ident.name}")
