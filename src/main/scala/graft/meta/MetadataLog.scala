@@ -155,16 +155,30 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration) {
 
   def currentVersion(): Option[Int] = listVersions().lastOption
 
+  /** Published snapshot files are immutable, so parsed snapshots cache
+    * per version like manifests do — `current()` runs on every table
+    * operation (property lookups, schema reads, write planning) and
+    * must not re-read + re-parse the same JSON each time. Freshness
+    * still comes from the directory listing in `currentVersion()`;
+    * only the (version → parsed snapshot) step is cached. `delete`
+    * (expire_snapshots) invalidates its entry.
+    */
+  private val snapshotCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Snapshot]
+
   def read(version: Int): Snapshot =
-    Snapshot.fromJson(readString(versionFile(version)), readManifest)
+    snapshotCache.getOrElseUpdate(version,
+      Snapshot.fromJson(readString(versionFile(version)), readManifest))
 
   def current(): Option[Snapshot] = currentVersion().map(read)
 
   def snapshots(): Seq[Snapshot] = listVersions().map(read)
 
-  def delete(version: Int): Unit =
+  def delete(version: Int): Unit = {
+    snapshotCache.remove(version)
     try fs.delete(versionFile(version), false)
     catch { case _: java.io.FileNotFoundException => () }
+  }
 
   // ---- named refs (tags) ---------------------------------------------
   // One file per ref (`_meta/ref-<name>.json`): create goes through the
@@ -230,8 +244,10 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration) {
         version = nextVersion,
         parentId = parent.map(_.snapshotId),
         timestampMs = System.currentTimeMillis())
-      if (publishAtomic(versionFile(nextVersion), Snapshot.toJson(snap)))
+      if (publishAtomic(versionFile(nextVersion), Snapshot.toJson(snap))) {
+        snapshotCache.put(nextVersion, snap)
         return snap
+      }
       attempt += 1
       graft.observability.Log.warn("commit conflict, retrying",
         "table" -> tableDir, "attempt" -> attempt, "version" -> nextVersion)
@@ -245,7 +261,11 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration) {
   }
 
   /** Remove the whole log (drop table). */
-  def destroy(): Unit =
+  def destroy(): Unit = {
+    snapshotCache.clear()
+    manifestCache.clear()
     try fs.delete(metaDir, true)
     catch { case _: java.io.FileNotFoundException => () }
+    ()
+  }
 }
