@@ -54,8 +54,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   // constructor snapshots the session Hadoop configuration (a full
   // SQLConf copy), and `cat` is consulted several times per planned
   // query — rebuilding that copy each time is measurable on the bench's
-  // SQL-path table queries.
-  @transient private var cachedCat: (SparkSession, GraftCatalog) = _
+  // SQL-path table queries. Deliberate trade: `spark.hadoop.*` settings
+  // changed AFTER the first query through this catalog are not seen
+  // until a new session — filesystem credentials/tuning must be set
+  // before first use, the usual Hadoop contract.
+  @volatile @transient private var cachedCat: (SparkSession, GraftCatalog) = _
 
   private def cat: GraftCatalog = {
     val s = SparkSession.active

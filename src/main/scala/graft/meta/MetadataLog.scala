@@ -32,6 +32,13 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   *   - everything else: write-temp + `FileSystem.rename`, which on HDFS
   *     (and stores with atomic metadata ops) is atomic and FAILS when
   *     the destination exists — the standard rename-based commit.
+  *
+  * CAVEAT for bare object stores: S3A's rename is a non-atomic
+  * check-then-copy, so CONCURRENT writers to one s3a:// table root can
+  * race past each other. That is the same boundary upstream Iceberg
+  * draws — commits to S3 require a catalog (or conditional-PUT
+  * support) to arbitrate; single-writer s3a:// tables and all
+  * HDFS-like stores are safe here.
   */
 final class MetadataLog(val tableDir: HPath, conf: Configuration) {
 
@@ -43,13 +50,18 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration) {
 
   private def versionFile(v: Int): HPath = new HPath(metaDir, f"v$v%08d.json")
 
-  /** The table root as a java.nio path when it is POSIX-local — gates
-    * the hard-link publish fast path.
+  /** The table root as a java.nio path when it RESOLVES to the local
+    * filesystem — gates the hard-link publish fast path. The check must
+    * consult the resolved FileSystem, not the raw URI: a scheme-less
+    * path on a cluster with `fs.defaultFS=hdfs://…` resolves to HDFS
+    * for every read/list in this class, and routing only the publish
+    * through java.nio would split-brain the commit (published locally,
+    * invisible on the filesystem everything else uses).
     */
   private def localPath(p: HPath): Option[java.nio.file.Path] = {
-    val uri = p.toUri
-    if (uri.getScheme == null || uri.getScheme == "file")
-      Some(java.nio.file.Paths.get(uri.getPath))
+    val qualified = fs.makeQualified(p)
+    if (qualified.toUri.getScheme == "file")
+      Some(java.nio.file.Paths.get(qualified.toUri.getPath))
     else None
   }
 
@@ -101,7 +113,18 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration) {
         val won =
           try fs.rename(tmp, target)
           catch { case _: java.io.IOException => false }
-        if (!won) fs.delete(tmp, false)
+        if (!won) {
+          fs.delete(tmp, false)
+          // rename returning false means EITHER "destination exists"
+          // (a lost race — retryable) or an unrelated failure
+          // (permissions, dead namenode). Only the first may burn a
+          // retry; anything else must surface as the IO error it is,
+          // not as a bogus "commit conflict after N retries".
+          if (!fs.exists(target))
+            throw new java.io.IOException(
+              s"atomic publish to $target failed without a competing file " +
+                "(rename returned false); check filesystem health/permissions")
+        }
         won
     }
 

@@ -373,7 +373,12 @@ object Dedup {
     * sums. The corpus-scale formulation, mirroring [[simhashTable]].
     *
     * Returns (id, bucket); rows whose vector is NULL or empty get a
-    * NULL bucket (they have no sign against any plane).
+    * NULL bucket (they have no sign against any plane). One divergence
+    * from the scalar form: a vector CONTAINING a null element has its
+    * null terms skipped by `sum` here (bucket from the non-null dims),
+    * while [[hyperplaneBucket]]'s whole dot goes null and every bit
+    * folds to 0 — such malformed vectors should be filtered upstream
+    * rather than relied on to bucket consistently.
     */
   def hyperplaneTable(df: DataFrame, vecCol: String, idCol: String,
                       planes: Int): DataFrame = {

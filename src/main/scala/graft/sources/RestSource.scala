@@ -110,7 +110,12 @@ object RestSource {
   private def fetchOnce(client: HttpClient, url: String,
                         cfg: RestConfig): Seq[JsonIngest.Record] = {
     Log.info("rest fetch", "url" -> url)
+    // HTTP header names are case-insensitive and HttpRequest.Builder
+    // APPENDS on repeat — match any casing of an explicit Authorization
+    // so the request never carries two credentials
+    val hasExplicitAuth = cfg.headers.keysIterator.exists(_.equalsIgnoreCase("Authorization"))
     val headers = cfg.bearerToken
+      .filterNot(_ => hasExplicitAuth)
       .map(t => Map("Authorization" -> s"Bearer $t"))
       .getOrElse(Map.empty) ++ cfg.headers
     val req = headers.foldLeft(

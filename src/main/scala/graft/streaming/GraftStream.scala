@@ -83,7 +83,20 @@ object GraftStream {
           .getLocalProperty("sql.streaming.queryId"))
         .map(q => s"q-$q").getOrElse(streamId)
     val key = s"graft.stream.$effectiveId.last-batch"
-    val last = table.current().flatMap(_.properties.get(key)).map(_.toLong).getOrElse(-1L)
+    val props = table.current().map(_.properties).getOrElse(Map.empty)
+    // Migration guard: tables written before query-id derivation carry
+    // their marker under the shared literal key. Guessing is unsafe in
+    // both directions (treating it as ours re-drops a new query's
+    // batches; ignoring it re-commits an upgrade-restart's recovery
+    // replay), so demand an explicit choice once.
+    if (effectiveId != streamId && !props.contains(key) &&
+        props.contains(s"graft.stream.$streamId.last-batch"))
+      throw new IllegalStateException(
+        s"table $ident carries a legacy shared stream marker " +
+          s"('graft.stream.$streamId.last-batch'). Pass streamId = " +
+          s""""$streamId" to continue that logical stream, or pass a """ +
+          "fresh explicit streamId to start a new one alongside it.")
+    val last = props.get(key).map(_.toLong).getOrElse(-1L)
     if (batchId <= last) {
       graft.observability.Log.warn(
         s"skipping replayed micro-batch $batchId for $ident (stream " +

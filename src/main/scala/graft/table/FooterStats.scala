@@ -58,11 +58,19 @@ object FooterStats extends Serializable {
 
   /** Relative path of `p` under `baseStr`, comparing URI path components
     * so a scheme-qualified listing entry (`file:/tmp/x/…`) relativizes
-    * correctly against a bare base (`/tmp/x`).
+    * correctly against a bare base (`/tmp/x`). The ONE relativization
+    * used everywhere relative paths are minted or matched (manifests
+    * here, orphan GC in GraftTable) — a divergence between minting and
+    * matching would let orphan GC delete live files. Throws when `p` is
+    * not under the base on a path-component boundary, like
+    * java.nio's relativize, rather than degrading to a garbage path.
     */
-  private def relativize(baseStr: String, p: HPath): String = {
+  def relativize(baseStr: String, p: HPath): String = {
     val base = new HPath(baseStr).toUri.getPath.stripSuffix("/")
-    p.toUri.getPath.stripPrefix(base).stripPrefix("/")
+    val path = p.toUri.getPath
+    require(path.startsWith(base + "/"),
+      s"$path is not under table root $base")
+    path.drop(base.length + 1)
   }
 
   /** Row count + per-column zone maps from the Parquet footer — one

@@ -54,13 +54,12 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     */
   private def fs: FileSystem = log.fs
 
-  /** Table-relative path of an absolute path on the table's filesystem
-    * (scheme/authority-insensitive: compares URI path components).
+  /** Table-relative path of an absolute path on the table's filesystem —
+    * delegates to [[FooterStats.relativize]], the single definition both
+    * manifest minting and orphan-GC matching share.
     */
-  private def relPath(p: HPath): String = {
-    val base = tableDir.toUri.getPath.stripSuffix("/")
-    p.toUri.getPath.stripPrefix(base).stripPrefix("/")
-  }
+  private def relPath(p: HPath): String =
+    FooterStats.relativize(tableDir.toString, p)
 
   def current(): Option[Snapshot] = log.current()
   def currentOrFail(): Snapshot =
@@ -1185,8 +1184,13 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: HPath) {
   def rename(from: TableIdent, to: TableIdent): Unit = {
     require(exists(from), s"Table $from does not exist")
     require(!exists(to), s"Table $to already exists")
+    // an existing bare destination DIRECTORY (e.g. ensure() that never
+    // committed) would make Hadoop rename move the source INTO it
+    require(!fs.exists(tableDir(to)),
+      s"Cannot rename $from to $to: destination directory already exists")
     fs.mkdirs(tableDir(to).getParent)
-    fs.rename(tableDir(from), tableDir(to))
+    require(fs.rename(tableDir(from), tableDir(to)),
+      s"Filesystem rename of $from to $to failed")
   }
 
   def listTables(namespace: String): Seq[TableIdent] = {
