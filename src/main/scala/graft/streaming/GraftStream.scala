@@ -84,19 +84,25 @@ object GraftStream {
         .map(q => s"q-$q").getOrElse(streamId)
     val key = s"graft.stream.$effectiveId.last-batch"
     val props = table.current().map(_.properties).getOrElse(Map.empty)
-    // Migration guard: tables written before query-id derivation carry
-    // their marker under the shared literal key. Guessing is unsafe in
-    // both directions (treating it as ours re-drops a new query's
-    // batches; ignoring it re-commits an upgrade-restart's recovery
-    // replay), so demand an explicit choice once.
-    if (effectiveId != streamId && !props.contains(key) &&
-        props.contains(s"graft.stream.$streamId.last-batch"))
-      throw new IllegalStateException(
-        s"table $ident carries a legacy shared stream marker " +
-          s"('graft.stream.$streamId.last-batch'). Pass streamId = " +
-          s""""$streamId" to continue that logical stream, or pass a """ +
-          "fresh explicit streamId to start a new one alongside it.")
-    val last = props.get(key).map(_.toLong).getOrElse(-1L)
+    // Marker migration: a table written before query-id derivation
+    // carries its marker only under the shared literal key. Until this
+    // stream has written its own derived marker, the legacy value is
+    // the floor — that reproduces the OLD skip behavior exactly (so an
+    // upgrade-restart's crash-recovery replay is still deduplicated,
+    // and a new query is treated no differently than the shared marker
+    // always treated it), while every post-migration stream keeps a
+    // private marker and can never collide again.
+    val derivedLast = props.get(key).map(_.toLong)
+    val legacyLast =
+      if (effectiveId == streamId || derivedLast.isDefined) None
+      else props.get(s"graft.stream.$streamId.last-batch").map(_.toLong)
+    legacyLast.foreach { l =>
+      graft.observability.Log.warn(
+        s"stream '$effectiveId' adopting legacy shared marker (batch $l) on " +
+          s"$ident; its own marker takes over from this commit",
+        "table" -> ident, "stream" -> effectiveId, "legacy_last" -> l)
+    }
+    val last = derivedLast.orElse(legacyLast).getOrElse(-1L)
     if (batchId <= last) {
       graft.observability.Log.warn(
         s"skipping replayed micro-batch $batchId for $ident (stream " +

@@ -68,6 +68,35 @@ class GraftStreamSpec extends AnyFunSuite with Matchers {
     t.currentOrFail().properties("graft.stream.q2.last-batch") shouldBe "0"
   }
 
+  test("legacy shared stream marker migrates as the floor of a derived id") {
+    val s = spark
+    import s.implicits._
+    val c = cat()
+    val id = TableIdent("ns", "slegacy")
+    val cfg = LoaderConfig(writeMode = WriteMode.Append)
+    val strat = graft.loader.WriteStrategy.forConfig(cfg)
+    // pre-upgrade writer: batches 0 and 1 recorded under the shared key
+    GraftStream.commitBatch(Seq((1L, "a")).toDF("id", "name"), 0L, c, id, cfg, strat)
+    GraftStream.commitBatch(Seq((2L, "b")).toDF("id", "name"), 1L, c, id, cfg, strat)
+    c.load(id).currentOrFail().properties("graft.stream.stream.last-batch") shouldBe "1"
+    // post-upgrade restart under a real query id: the crash-recovery
+    // replay of batch 1 is still deduplicated via the legacy floor...
+    s.sparkContext.setLocalProperty("sql.streaming.queryId", "abc-123")
+    try {
+      GraftStream.commitBatch(Seq((2L, "b")).toDF("id", "name"), 1L, c, id, cfg, strat)
+      c.load(id).scan().count() shouldBe 2 // no duplicate
+      // ...and the next new batch commits under the derived marker
+      GraftStream.commitBatch(Seq((3L, "c")).toDF("id", "name"), 2L, c, id, cfg, strat)
+      val t = c.load(id)
+      t.scan().count() shouldBe 3
+      t.currentOrFail().properties("graft.stream.q-abc-123.last-batch") shouldBe "2"
+      // once the derived marker exists, the legacy key is inert: a
+      // replay of batch 2 is skipped by the derived marker itself
+      GraftStream.commitBatch(Seq((3L, "c")).toDF("id", "name"), 2L, c, id, cfg, strat)
+      t.scan().count() shouldBe 3
+    } finally s.sparkContext.setLocalProperty("sql.streaming.queryId", null)
+  }
+
   test("overwrite mode: batch 0 overwrites pre-existing data, later batches append") {
     val s = spark
     import s.implicits._

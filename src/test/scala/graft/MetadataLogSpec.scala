@@ -10,6 +10,20 @@ import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
+/** Local disk presented under a non-`file` scheme with HDFS rename
+  * semantics (rename FAILS when the destination exists — raw POSIX
+  * rename would silently replace it), so tests can drive the
+  * rename-based publish branch of [[MetadataLog]] under the contract
+  * it targets.
+  */
+class MockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mockfs"
+  override def getUri: java.net.URI = java.net.URI.create("mockfs:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean =
+    !exists(dst) && super.rename(src, dst)
+}
+
 /** Commit-protocol invariants (M2, `core/config.py:15-17` semantics). */
 class MetadataLogSpec extends AnyFunSuite with Matchers {
 
@@ -66,6 +80,32 @@ class MetadataLogSpec extends AnyFunSuite with Matchers {
     log.delete(1)
     log.listVersions() shouldBe Seq(0, 2)
     log.current().get.operation shouldBe "c"
+  }
+
+  test("rename-based publish path (non-local scheme) commits, conflicts, and tags") {
+    // a local-disk filesystem that reports a NON-file scheme, forcing
+    // MetadataLog.publishAtomic down the write-temp + rename branch the
+    // hard-link fast path otherwise shadows on every local test
+    val dir = Files.createTempDirectory("mlog-mockfs")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.setClass("fs.mockfs.impl", classOf[MockFs], classOf[org.apache.hadoop.fs.FileSystem])
+    val log = new MetadataLog(
+      new org.apache.hadoop.fs.Path("mockfs:" + dir.toString), conf)
+    log.commit(_ => snap("a")).version shouldBe 0
+    log.commit(_ => snap("b")).version shouldBe 1
+    log.snapshots().map(_.operation) shouldBe Seq("a", "b")
+    // a competing file at the next version forces a conflict retry: the
+    // build callback re-reads the new parent and lands one version later
+    Files.writeString(dir.resolve("_meta").resolve("v00000002.json"),
+      graft.meta.Snapshot.toJson(snap("intruder").copy(version = 2)))
+    val landed = log.commit { p => p.get.version shouldBe 2; snap("c") }
+    landed.version shouldBe 3
+    // tags publish through the same primitive: duplicates fail cleanly,
+    // no partial ref files exist afterwards
+    log.createTag("pin", 1)
+    log.tag("pin") shouldBe Some(1)
+    intercept[IllegalStateException] { log.createTag("pin", 3) }
+    log.tag("pin") shouldBe Some(1)
   }
 
   test("two separate JVMs appending concurrently lose no commits") {
