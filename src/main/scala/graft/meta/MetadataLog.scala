@@ -159,10 +159,17 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration) {
     FileGroup(name, files, schema)
   }
 
+  /** Delete tolerating absence (some FileSystems throw where local
+    * returns false); returns whether anything was removed.
+    */
+  private def deleteQuiet(p: HPath, recursive: Boolean = false): Boolean =
+    try fs.delete(p, recursive)
+    catch { case _: java.io.FileNotFoundException => false }
+
   def deleteManifest(relPath: String): Unit = {
     manifestCache.remove(relPath)
-    try fs.delete(new HPath(metaDir, relPath), false)
-    catch { case _: java.io.FileNotFoundException => () }
+    deleteQuiet(new HPath(metaDir, relPath))
+    ()
   }
 
   def exists(): Boolean = currentVersion().isDefined
@@ -199,8 +206,8 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration) {
 
   def delete(version: Int): Unit = {
     snapshotCache.remove(version)
-    try fs.delete(versionFile(version), false)
-    catch { case _: java.io.FileNotFoundException => () }
+    deleteQuiet(versionFile(version))
+    ()
   }
 
   // ---- named refs (tags) ---------------------------------------------
@@ -223,9 +230,7 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration) {
     if (!publishAtomic(refFile(name), s"""{"version": $version}"""))
       throw new IllegalStateException(s"tag '$name' already exists")
 
-  def dropTag(name: String): Boolean =
-    try fs.delete(refFile(name), false)
-    catch { case _: java.io.FileNotFoundException => false }
+  def dropTag(name: String): Boolean = deleteQuiet(refFile(name))
 
   def tag(name: String): Option[Int] =
     try {
@@ -287,8 +292,7 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration) {
   def destroy(): Unit = {
     snapshotCache.clear()
     manifestCache.clear()
-    try fs.delete(metaDir, true)
-    catch { case _: java.io.FileNotFoundException => () }
+    deleteQuiet(metaDir, recursive = true)
     ()
   }
 }

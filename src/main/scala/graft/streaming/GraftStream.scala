@@ -83,7 +83,8 @@ object GraftStream {
           .getLocalProperty("sql.streaming.queryId"))
         .map(q => s"q-$q").getOrElse(streamId)
     val key = s"graft.stream.$effectiveId.last-batch"
-    val props = table.current().map(_.properties).getOrElse(Map.empty)
+    val currentSnap = table.current()
+    val props = currentSnap.map(_.properties).getOrElse(Map.empty)
     // Marker migration: a table written before query-id derivation
     // carries its marker only under the shared literal key. Until this
     // stream has written its own derived marker, the legacy value is
@@ -114,7 +115,7 @@ object GraftStream {
       return
     }
     val stamped = Loader.injectLoadTs(batch, cfg)
-    if (cfg.schemaEvolution && table.current().isDefined)
+    if (cfg.schemaEvolution && currentSnap.isDefined)
       table.evolveSchema(stamped.schema)
     val marked = cfg.copy(tableProperties =
       cfg.tableProperties + (key -> batchId.toString))

@@ -215,20 +215,31 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         GraftTable.statIssue(p, sz, fs, rootStr).foreach(issues += _)
       }
     } else {
-      val slices = math.max(1, math.min(checks.size, spark.sparkContext.defaultParallelism))
-      val confB = spark.sparkContext.broadcast(
-        new org.apache.spark.util.SerializableConfiguration(
-          org.apache.spark.sql.GraftSqlShim.newHadoopConf(spark)))
-      try issues ++= spark.sparkContext
-        .parallelize(checks, slices)
-        .mapPartitions { it =>
-          val efs = new HPath(rootStr).getFileSystem(confB.value.value)
-          it.flatMap { case (p, sz) => GraftTable.statIssue(p, sz, efs, rootStr) }
-        }
-        .collect()
-      finally confB.destroy()
+      issues ++= metadataJob(checks) { (conf, it) =>
+        val efs = new HPath(rootStr).getFileSystem(conf.value)
+        it.flatMap { case (p, sz) => GraftTable.statIssue(p, sz, efs, rootStr) }
+      }
     }
     (files, rows, issues.result())
+  }
+
+  /** Run a small metadata job over `items`: executors each process a
+    * slice with the broadcast SESSION Hadoop configuration (so
+    * executor-side file IO sees `spark.hadoop.*` like the query read
+    * path). Shared scaffolding of the two above-threshold paths —
+    * footer harvest and integrity audit.
+    */
+  private def metadataJob[A: scala.reflect.ClassTag, B: scala.reflect.ClassTag](items: Seq[A])(
+      f: (org.apache.spark.util.SerializableConfiguration, Iterator[A]) => Iterator[B]): Seq[B] = {
+    val slices = math.max(1, math.min(items.size, spark.sparkContext.defaultParallelism))
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.GraftSqlShim.newHadoopConf(spark)))
+    try spark.sparkContext
+      .parallelize(items, slices)
+      .mapPartitions(it => f(confB.value, it))
+      .collect().toSeq
+    finally confB.destroy()
   }
 
   /** Partition-spec evolution: a metadata-only commit switching the
@@ -1086,18 +1097,9 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         .map(p => FooterStats.dataFileFor(p, tableDirStr, outDirStr, spec, conf))
         .seq.sortBy(_.path)
     } else {
-      val slices = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
-      // broadcast the SESSION Hadoop conf so executor-side footer reads
-      // see spark.hadoop.* settings, matching the query read path
-      val confB = spark.sparkContext.broadcast(
-        new org.apache.spark.util.SerializableConfiguration(
-          org.apache.spark.sql.GraftSqlShim.newHadoopConf(spark)))
-      try spark.sparkContext
-        .parallelize(paths, slices)
-        .map(p => FooterStats.dataFileFor(p, tableDirStr, outDirStr, spec, confB.value.value))
-        .collect().toSeq
-        .sortBy(_.path)
-      finally confB.destroy()
+      metadataJob(paths) { (conf, it) =>
+        it.map(p => FooterStats.dataFileFor(p, tableDirStr, outDirStr, spec, conf.value))
+      }.sortBy(_.path)
     }
   }
 
