@@ -99,24 +99,40 @@ object Bench {
     val firstPass = sorted.map { case (name, fn) => name -> timed(name, fn) }
     // Steal-aware re-measurement: a query whose window lost a visible
     // share of demanded CPU to the hypervisor (or whose wall time is an
-    // outlier for this run) is re-run once and the MIN wall reported —
-    // one retry converts a noisy-neighbor burst into at most one extra
-    // execution, instead of a phantom 5-80x "regression" in the recorded
-    // artifact. Both measurements stay in the diag sidecar.
+    // outlier for this run) is re-run — up to twice, stopping as soon as
+    // a measurement's own window is clean — and the MIN wall reported.
+    // A couple of bounded retries convert a noisy-neighbor burst into a
+    // few extra executions instead of a phantom 5-80x "regression" in
+    // the recorded artifact. Every measurement stays in the diag
+    // sidecar; queries whose BEST measurement still sat in a stolen
+    // window are counted as `suspect` on the JSON line.
     val median = {
       val ws = firstPass.map(_._2.wallS).sorted
       if (ws.isEmpty) 0.0 else ws(ws.size / 2)
     }
+    val CleanStealPct = 5.0
     val retryWorthy = firstPass.filter { case (_, d) =>
       d.stealPct > 10.0 || d.wallS > math.max(3.0, 4.0 * median)
     }.sortBy(-_._2.wallS).take(20).map(_._1).toSet
-    val results = firstPass.map { case (name, d) =>
-      if (!retryWorthy.contains(name)) name -> d.wallS
-      else {
-        val retry = timed(name + "#retry", SparkEntry.queries(name))
-        name -> math.min(d.wallS, retry.wallS)
+    val finals = firstPass.map { case (name, d) =>
+      var best = d
+      var attempt = 0
+      while (retryWorthy.contains(name) && attempt < 2 &&
+             best.stealPct >= CleanStealPct) {
+        attempt += 1
+        val retry = timed(s"$name#retry$attempt", SparkEntry.queries(name))
+        if (retry.wallS < best.wallS) best = retry
       }
-    }.toMap
+      // one unconditional retry for pure wall-time outliers (no steal
+      // signal to clear): min-of-two still smooths attribution noise
+      if (retryWorthy.contains(name) && attempt == 0) {
+        val retry = timed(s"$name#retry1", SparkEntry.queries(name))
+        if (retry.wallS < best.wallS) best = retry
+      }
+      name -> best
+    }
+    val suspectCount = finals.count(_._2.stealPct >= CleanStealPct)
+    val results = finals.map { case (name, d) => name -> d.wallS }.toMap
     // The driver keeps only a 2000-char tail of stdout and parses the JSON
     // line out of it; at ~67 queries full-precision doubles overflow that
     // window (round-3 bench was rc:0 but parsed:null). 2-decimal values keep
@@ -154,7 +170,7 @@ object Bench {
     val busyTot = diags.map(_.busyJf).sum
     val stealPctTot = if (busyTot <= 0) 0.0 else 100.0 * stealTot / busyTot
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","jvms":$jvmsAtStart,"load_max":${f(maxLoad)},"steal_pct":${f(stealPctTot)}}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","jvms":$jvmsAtStart,"load_max":${f(maxLoad)},"steal_pct":${f(stealPctTot)},"suspect":$suspectCount}"""
     println(line)
   }
 }
