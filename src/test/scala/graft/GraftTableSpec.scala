@@ -361,6 +361,41 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     rows shouldBe Set((10L, ""), (3L, "x"))
   }
 
+  test("relativize round-trips minted paths and rejects paths outside the root") {
+    import graft.table.FooterStats.relativize
+    import org.apache.hadoop.fs.{Path => HPath}
+    // the invariant orphan GC depends on: minting then matching is exact
+    for (base <- Seq("/tmp/wh/ns/t", "file:/tmp/wh/ns/t", "/tmp/wh/ns/t/");
+         rel <- Seq("data/c1/part-0.parquet", "data/x=1/part.parquet", "_meta/v00000001.json"))
+      relativize(base, new HPath(s"file:/tmp/wh/ns/t/$rel")) shouldBe rel
+    // component boundary: /tmp/wh/ns/t2 is NOT under /tmp/wh/ns/t
+    intercept[IllegalArgumentException] {
+      relativize("/tmp/wh/ns/t", new HPath("/tmp/wh/ns/t2/part.parquet"))
+    }
+    intercept[IllegalArgumentException] {
+      relativize("/tmp/wh/ns/t", new HPath("/elsewhere/part.parquet"))
+    }
+  }
+
+  test("rename refuses an occupied destination and reports filesystem failure") {
+    val c = cat()
+    val from = TableIdent("ns", "rsrc")
+    c.ensure(from).append(df(d1))
+    // bare directory at the destination (ensure() that never committed):
+    // Hadoop rename would move the source INTO it — must refuse instead
+    c.ensure(TableIdent("ns", "rdst"))
+    val e = intercept[IllegalArgumentException] {
+      c.rename(from, TableIdent("ns", "rdst"))
+    }
+    e.getMessage should include("destination directory already exists")
+    // source untouched by the refused rename
+    c.load(from).scan().count() shouldBe 1
+    // a clean destination works
+    c.rename(from, TableIdent("ns", "rdst2"))
+    c.exists(from) shouldBe false
+    c.load(TableIdent("ns", "rdst2")).scan().count() shouldBe 1
+  }
+
   test("verifyIntegrity audits 10^4 files through the distributed stat path") {
     import graft.meta.{DataFile, MetadataLog, Snapshot}
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
