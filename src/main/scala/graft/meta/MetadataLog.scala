@@ -46,6 +46,20 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration) {
   def this(dir: java.nio.file.Path) = this(new HPath(dir.toUri), new Configuration())
 
   val fs: FileSystem = tableDir.getFileSystem(conf)
+
+  /** Filesystem for METADATA IO (snapshots, manifests, refs). On local
+    * roots this is the raw (checksum-free) local filesystem: Hadoop's
+    * default `file:` FS is a ChecksumFileSystem that writes a `.crc`
+    * sidecar per file and re-verifies every read — redundant on local
+    * disk (the kernel already guarantees read-back integrity) and, at a
+    * metadata file per commit plus a manifest per write batch, a real
+    * tax on the write path (round-8 measurement: 2.4–3.9× on
+    * delete-rewrite/pruned-scan/z-order). HDFS/S3/etc. resolve to
+    * themselves — checksumming there is the store's business, not ours.
+    * DATA files keep using [[fs]] so Spark-written `.crc` sidecars are
+    * cleaned up by the same (checksummed) FS that created them.
+    */
+  val metaFs: FileSystem = MetadataLog.rawIfLocal(fs)
   private val metaDir = new HPath(tableDir, "_meta")
 
   private def versionFile(v: Int): HPath = new HPath(metaDir, f"v$v%08d.json")
@@ -66,13 +80,13 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration) {
   }
 
   private def readString(p: HPath): String = {
-    val in = fs.open(p)
+    val in = metaFs.open(p)
     try new String(in.readAllBytes(), StandardCharsets.UTF_8)
     finally in.close()
   }
 
   private def writeString(p: HPath, s: String): Unit = {
-    val out = fs.create(p, true)
+    val out = metaFs.create(p, true)
     try out.write(s.getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -88,8 +102,11 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration) {
         val dir = lp.getParent
         java.nio.file.Files.createDirectories(dir)
         val tmp = java.nio.file.Files.createTempFile(dir, ".publish-", ".json.tmp")
-        java.nio.file.Files.writeString(tmp, content)
-        val won =
+        // the temp file must not outlive this call on ANY exit — a
+        // permission/disk-full error mid-link would otherwise leak
+        // .publish-*.json.tmp files into _meta forever
+        try {
+          java.nio.file.Files.writeString(tmp, content)
           try { java.nio.file.Files.createLink(lp, tmp); true }
           catch {
             case _: java.nio.file.FileAlreadyExistsException => false
@@ -103,28 +120,26 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration) {
               try { java.nio.file.Files.copy(tmp, lp); true }
               catch { case _: java.nio.file.FileAlreadyExistsException => false }
           }
-        java.nio.file.Files.deleteIfExists(tmp)
-        won
+        } finally java.nio.file.Files.deleteIfExists(tmp)
       case None =>
-        fs.mkdirs(metaDir)
+        metaFs.mkdirs(metaDir)
         val tmp = new HPath(metaDir,
           s".publish-${java.util.UUID.randomUUID().toString.take(12)}.tmp")
         writeString(tmp, content)
-        val won =
-          try fs.rename(tmp, target)
-          catch { case _: java.io.IOException => false }
-        if (!won) {
-          fs.delete(tmp, false)
-          // rename returning false means EITHER "destination exists"
-          // (a lost race — retryable) or an unrelated failure
-          // (permissions, dead namenode). Only the first may burn a
-          // retry; anything else must surface as the IO error it is,
-          // not as a bogus "commit conflict after N retries".
-          if (!fs.exists(target))
-            throw new java.io.IOException(
-              s"atomic publish to $target failed without a competing file " +
-                "(rename returned false); check filesystem health/permissions")
-        }
+        var won = false
+        try {
+          won = try metaFs.rename(tmp, target)
+                catch { case _: java.io.IOException => false }
+        } finally if (!won) deleteQuiet(tmp)
+        // rename returning false means EITHER "destination exists"
+        // (a lost race — retryable) or an unrelated failure
+        // (permissions, dead namenode). Only the first may burn a
+        // retry; anything else must surface as the IO error it is,
+        // not as a bogus "commit conflict after N retries".
+        if (!won && !metaFs.exists(target))
+          throw new java.io.IOException(
+            s"atomic publish to $target failed without a competing file " +
+              "(rename returned false); check filesystem health/permissions")
         won
     }
 
@@ -152,7 +167,7 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration) {
     */
   def writeManifest(files: Seq[DataFile],
                     schema: Option[org.apache.spark.sql.types.StructType] = None): FileGroup = {
-    fs.mkdirs(metaDir)
+    metaFs.mkdirs(metaDir)
     val name = s"m-${java.util.UUID.randomUUID().toString.take(16)}.json"
     writeString(new HPath(metaDir, name), Snapshot.manifestToJson(files))
     manifestCache.put(name, files)
@@ -160,11 +175,21 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration) {
   }
 
   /** Delete tolerating absence (some FileSystems throw where local
-    * returns false); returns whether anything was removed.
+    * returns false); returns whether anything was removed. Metadata
+    * written before the raw-local switch carries `.crc` sidecars from
+    * Hadoop's ChecksumFileSystem; the raw FS won't clean those
+    * implicitly, so sweep the sidecar alongside its file.
     */
-  private def deleteQuiet(p: HPath, recursive: Boolean = false): Boolean =
-    try fs.delete(p, recursive)
-    catch { case _: java.io.FileNotFoundException => false }
+  private def deleteQuiet(p: HPath, recursive: Boolean = false): Boolean = {
+    val removed =
+      try metaFs.delete(p, recursive)
+      catch { case _: java.io.FileNotFoundException => false }
+    if ((metaFs ne fs) && !recursive && Option(p.getParent).isDefined) {
+      try metaFs.delete(new HPath(p.getParent, s".${p.getName}.crc"), false)
+      catch { case _: java.io.FileNotFoundException => () }
+    }
+    removed
+  }
 
   def deleteManifest(relPath: String): Unit = {
     manifestCache.remove(relPath)
@@ -175,7 +200,7 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration) {
   def exists(): Boolean = currentVersion().isDefined
 
   def listVersions(): Seq[Int] =
-    try fs.listStatus(metaDir).toSeq
+    try metaFs.listStatus(metaDir).toSeq
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toInt
@@ -243,12 +268,16 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration) {
     } catch {
       case _: java.io.FileNotFoundException => None
       // an unparseable ref (pre-port partial write, manual damage) reads
-      // as absent rather than poisoning tags()/time travel
-      case scala.util.control.NonFatal(_) => None
+      // as absent rather than poisoning tags()/time travel. ONLY parse
+      // failures though: a transient IO error (network, auth, throttle)
+      // must surface as the IO error it is — "tag absent" would send
+      // time travel to 'unknown tag' and let expireSnapshots collect a
+      // tagged version during an outage.
+      case _: com.fasterxml.jackson.core.JacksonException => None
     }
 
   def tags(): Map[String, Int] =
-    try fs.listStatus(metaDir).toSeq
+    try metaFs.listStatus(metaDir).toSeq
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("ref-") && s.endsWith(".json") =>
         s.stripPrefix("ref-").stripSuffix(".json")
@@ -263,7 +292,7 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration) {
     */
   def commit(build: Option[Snapshot] => Snapshot,
              retries: Int = 10, minWaitMs: Long = 100, maxWaitMs: Long = 60000): Snapshot = {
-    fs.mkdirs(metaDir)
+    metaFs.mkdirs(metaDir)
     var attempt = 0
     while (true) {
       val parent = current()
@@ -294,5 +323,22 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration) {
     manifestCache.clear()
     deleteQuiet(metaDir, recursive = true)
     ()
+  }
+}
+
+object MetadataLog {
+  /** Checksum-free view of a filesystem. Hadoop's `file:` FS is a
+    * [[org.apache.hadoop.fs.LocalFileSystem]] (a ChecksumFileSystem):
+    * every create writes a `.crc` sidecar and every read re-verifies
+    * against it — redundant on local disk and a measurable tax on
+    * metadata/footer IO. Its raw inner FS skips both. Any other
+    * filesystem (HDFS, S3A, mocks) passes through untouched: remote
+    * stores own their integrity story, and the FileSystem.CACHE means
+    * mutating checksum flags on the shared instance would leak into
+    * Spark's own IO — so we swap instances instead of flags.
+    */
+  def rawIfLocal(fs: FileSystem): FileSystem = fs match {
+    case local: org.apache.hadoop.fs.LocalFileSystem => local.getRaw
+    case other => other
   }
 }

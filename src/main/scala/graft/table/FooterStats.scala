@@ -2,13 +2,14 @@ package graft.table
 
 import scala.jdk.CollectionConverters._
 
-import graft.meta.{ColumnStats, DataFile}
+import graft.meta.{ColumnStats, DataFile, MetadataLog}
 import graft.partitioning.PartitionField
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path => HPath}
 import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.hadoop.util.HadoopStreams
+import org.apache.parquet.io.InputFile
 
 /** Parquet-footer statistics harvesting for the commit path.
   *
@@ -37,8 +38,12 @@ object FooterStats extends Serializable {
                   spec: Option[PartitionField], conf: Configuration): DataFile = {
     val p = new HPath(pathStr)
     val rel = relativize(tableDirStr, p)
-    val in = HadoopInputFile.fromPath(p, conf)
-    val (rows, stats) = parquetFooterInfo(in)
+    // raw (checksum-free) FS on local roots: HadoopInputFile.fromPath
+    // would re-resolve the checksummed local FS and pay a `.crc` open +
+    // verified read per footer — per-file cost on the commit's hot path
+    val fs = MetadataLog.rawIfLocal(p.getFileSystem(conf))
+    val st = fs.getFileStatus(p)
+    val (rows, stats) = parquetFooterInfo(new FsInputFile(fs, st))
     val pv = spec.map { pf =>
       val segs = relativize(outDirStr, p).split("/").toSeq
       segs.collect {
@@ -53,7 +58,20 @@ object FooterStats extends Serializable {
         }
       }
     }
-    DataFile(rel, rows, in.getLength, pv, stats)
+    DataFile(rel, rows, st.getLen, pv, stats)
+  }
+
+  /** Parquet [[InputFile]] over an EXPLICIT FileSystem handle (the
+    * stock `HadoopInputFile` factories always re-resolve the filesystem
+    * from the path, which on `file:` roots is the checksummed one).
+    * Length comes from the status that located the file — no second
+    * round-trip.
+    */
+  private final class FsInputFile(fs: FileSystem, st: FileStatus) extends InputFile {
+    override def getLength: Long = st.getLen
+    override def newStream(): org.apache.parquet.io.SeekableInputStream =
+      HadoopStreams.wrap(fs.open(st.getPath))
+    override def toString: String = st.getPath.toString
   }
 
   /** Relative path of `p` under `baseStr`, comparing URI path components
@@ -64,10 +82,25 @@ object FooterStats extends Serializable {
     * matching would let orphan GC delete live files. Throws when `p` is
     * not under the base on a path-component boundary, like
     * java.nio's relativize, rather than degrading to a garbage path.
+    *
+    * When BOTH sides carry a scheme (or authority) they must agree — a
+    * path from a different store with the same directory layout must
+    * not silently relativize. Callers hold the other invariant: the
+    * base is an ABSOLUTE path (GraftCatalog qualifies the warehouse at
+    * construction), since a relative base can never prefix-match the
+    * fully-qualified paths Hadoop listings return.
     */
   def relativize(baseStr: String, p: HPath): String = {
-    val base = new HPath(baseStr).toUri.getPath.stripSuffix("/")
-    val path = p.toUri.getPath
+    val baseUri = new HPath(baseStr).toUri
+    val pUri = p.toUri
+    for (bs <- Option(baseUri.getScheme); ps <- Option(pUri.getScheme))
+      require(bs == ps,
+        s"$p is not under table root $baseStr (scheme '$ps' != '$bs')")
+    for (ba <- Option(baseUri.getAuthority); pa <- Option(pUri.getAuthority))
+      require(ba == pa,
+        s"$p is not under table root $baseStr (authority '$pa' != '$ba')")
+    val base = baseUri.getPath.stripSuffix("/")
+    val path = pUri.getPath
     require(path.startsWith(base + "/"),
       s"$path is not under table root $base")
     path.drop(base.length + 1)
@@ -77,7 +110,7 @@ object FooterStats extends Serializable {
     * metadata read per file, no data pages. Stats feed [[StatsPruner]]
     * for file skipping on any column.
     */
-  def parquetFooterInfo(in: HadoopInputFile): (Long, Map[String, ColumnStats]) = {
+  def parquetFooterInfo(in: InputFile): (Long, Map[String, ColumnStats]) = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val reader = ParquetFileReader.open(in)

@@ -210,13 +210,17 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     // the bottleneck (one round-trip per file on an object store).
     val checks = toStat.result()
     val rootStr = tableDir.toString
+    // stat through the raw FS on local roots — existence/size audits
+    // need no checksum machinery, and at 10⁵ files the per-stat
+    // overhead compounds
     if (checks.size <= GraftTable.FooterJobThreshold) {
+      val sfs = MetadataLog.rawIfLocal(fs)
       checks.foreach { case (p, sz) =>
-        GraftTable.statIssue(p, sz, fs, rootStr).foreach(issues += _)
+        GraftTable.statIssue(p, sz, sfs, rootStr).foreach(issues += _)
       }
     } else {
       issues ++= metadataJob(checks) { (conf, it) =>
-        val efs = new HPath(rootStr).getFileSystem(conf.value)
+        val efs = MetadataLog.rawIfLocal(new HPath(rootStr).getFileSystem(conf.value))
         it.flatMap { case (p, sz) => GraftTable.statIssue(p, sz, efs, rootStr) }
       }
     }
@@ -1135,10 +1139,18 @@ object GraftTable {
   * `core/schema.py:32-50,87-112`): resolve `(namespace, table)` →
   * `warehouse/<ns>/<table>/`, get-or-create, drop.
   */
-final class GraftCatalog(val spark: SparkSession, val warehouse: HPath) {
+final class GraftCatalog(val spark: SparkSession, warehouse0: HPath) {
 
   private[graft] val hadoopConf = org.apache.spark.sql.GraftSqlShim.newHadoopConf(spark)
-  private[graft] val fs: FileSystem = warehouse.getFileSystem(hadoopConf)
+  private[graft] val fs: FileSystem = warehouse0.getFileSystem(hadoopConf)
+
+  /** Warehouse root, QUALIFIED (absolute path + scheme/authority) at
+    * construction: every table path derives from it, and relativization
+    * of fully-qualified listing paths against a relative root (e.g.
+    * `GraftCatalog(spark, "spark-warehouse")`) can never prefix-match —
+    * commits and GC would throw 'not under table root'.
+    */
+  val warehouse: HPath = fs.makeQualified(warehouse0)
 
   def tableDir(ident: TableIdent): HPath =
     new HPath(warehouse, s"${ident.namespace}/${ident.name}")

@@ -375,6 +375,48 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     intercept[IllegalArgumentException] {
       relativize("/tmp/wh/ns/t", new HPath("/elsewhere/part.parquet"))
     }
+    // same layout on a DIFFERENT store must not relativize: scheme and
+    // authority each disqualify on their own
+    intercept[IllegalArgumentException] {
+      relativize("file:/tmp/wh/ns/t", new HPath("hdfs:/tmp/wh/ns/t/part.parquet"))
+    }
+    intercept[IllegalArgumentException] {
+      relativize("hdfs://nn1:8020/wh/t", new HPath("hdfs://nn2:8020/wh/t/part.parquet"))
+    }
+  }
+
+  test("relative warehouse root: commits, fsck, and orphan GC all relativize") {
+    // a relative root exercises the construction-time qualification:
+    // listings return fully-qualified file:/cwd/... paths that can only
+    // prefix-match a qualified base (round-8 advice, FooterStats:68)
+    val relRoot = s"graft-rel-wh-${System.nanoTime()}"
+    val c = GraftCatalog(spark, relRoot)
+    try {
+      c.warehouse.toUri.getScheme shouldBe "file"
+      c.warehouse.toUri.getPath should startWith("/")
+      val t = c.ensure(TableIdent("ns", "trel"))
+      t.append(df(d1, d2))
+      t.scan().count() shouldBe 2
+      val (files, rows, issues) = t.verifyIntegrity()
+      issues shouldBe empty
+      rows shouldBe 2
+      files should be >= 1
+      t.removeOrphanFiles() shouldBe 0
+    } finally c.fs.delete(c.warehouse, true)
+  }
+
+  test("local metadata IO is checksum-free (no .crc sidecars in _meta)") {
+    // Hadoop's ChecksumFileSystem taxes every metadata read/write on
+    // file:// roots (round-8 regression: q43/q50/q81 at 2.4-3.9x); the
+    // raw-FS route must leave no .crc sidecars behind
+    val t = cat().ensure(TableIdent("ns", "tcrc"))
+    t.append(df(d1))
+    t.deleteWhere("id = 1")
+    t.log.createTag("pin", 0)
+    val metaDir = nio(t.tableDir).resolve("_meta")
+    val crcs = Files.list(metaDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".crc")).toSeq
+    crcs shouldBe empty
   }
 
   test("rename refuses an occupied destination and reports filesystem failure") {
