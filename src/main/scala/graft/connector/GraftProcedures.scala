@@ -28,7 +28,8 @@ object GraftProcedures {
   val Namespace: Array[String] = Array("system")
 
   val Names: Seq[String] =
-    Seq("expire_snapshots", "compact", "remove_orphans", "cluster",
+    Seq("expire_snapshots", "compact", "remove_orphans",
+      "remove_orphan_files", "cluster",
       "zorder", "rollback_to_version", "create_tag", "drop_tag",
       "set_partition_spec", "verify_table")
 
@@ -169,6 +170,24 @@ object GraftProcedures {
           val tbl = cat().load(TableIdent(in.getUTF8String(0).toString,
             in.getUTF8String(1).toString))
           new GenericInternalRow(Array[Any](tbl.removeOrphanFiles(in.getLong(2))))
+        }))
+      // Iceberg-style surface with dry-run: plan-only when dry_run is
+      // true, so operators can audit what GC would take before running it
+      case "remove_orphan_files" => Some(proc(name,
+        Array(
+          ProcedureParameter.in("namespace", StringType).build(),
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("older_than_ms", LongType).build(),
+          ProcedureParameter.in("dry_run", BooleanType).build()),
+        StructType(Seq(
+          StructField("orphans", IntegerType),
+          StructField("dry_run", BooleanType))),
+        { in =>
+          val tbl = cat().load(TableIdent(in.getUTF8String(0).toString,
+            in.getUTF8String(1).toString))
+          val dry = in.getBoolean(3)
+          val n = tbl.removeOrphanFiles(in.getLong(2), dryRun = dry)
+          new GenericInternalRow(Array[Any](n, dry))
         }))
       case _ => None
     }

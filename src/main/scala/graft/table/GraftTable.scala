@@ -631,38 +631,64 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     * data files and manifests before winning the metadata race. Only
     * files older than `olderThanMs` wall-clock are touched so an
     * in-flight commit's fresh files survive (Iceberg's
-    * remove_orphan_files contract). Returns the number of files deleted.
+    * remove_orphan_files contract). With `dryRun` nothing is deleted;
+    * the count of WOULD-be-deleted files is returned instead.
+    *
+    * Scale: candidate discovery is one recursive listing (batched LIST
+    * calls on object stores); the deletes — one round-trip each on an
+    * object store — run as a small Spark job above
+    * [[GraftTable.FooterJobThreshold]], same cutover as the footer
+    * harvest and `verifyIntegrity`. A crashed 10⁵-file compaction is
+    * then GC'd at executor parallelism, not one driver round-trip at a
+    * time. Returns the number of files deleted (or planned, if dryRun).
     */
-  def removeOrphanFiles(olderThanMs: Long = 3 * 24 * 3600 * 1000L): Int = {
+  def removeOrphanFiles(olderThanMs: Long = 3 * 24 * 3600 * 1000L,
+                        dryRun: Boolean = false): Int = {
     val cutoff = System.currentTimeMillis() - olderThanMs
     val snaps = snapshots()
     val liveData = snaps.flatMap(_.files.map(_.path)).toSet
     val liveManifests = snaps.flatMap(_.manifestPaths).toSet
-    var deleted = 0
+    // plan first: absolute data-file paths + manifest names, so dry-run
+    // and delete share one discovery pass
     val dataDir = new HPath(tableDir, "data")
-    try {
-      val it = fs.listFiles(dataDir, true)
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.isFile && st.getModificationTime < cutoff &&
-            !liveData.contains(relPath(st.getPath))) {
-          fs.delete(st.getPath, false)
-          deleted += 1
-        }
+    val dataOrphans = MetadataLog.listFilesRecursive(fs, dataDir)
+      .collect {
+        case st if st.getModificationTime < cutoff &&
+            !liveData.contains(relPath(st.getPath)) => st.getPath.toString
       }
-    } catch { case _: java.io.FileNotFoundException => () }
+    val manifestOrphans = Seq.newBuilder[String]
     val metaDir = new HPath(tableDir, "_meta")
     try fs.listStatus(metaDir).foreach { st =>
       val name = st.getPath.getName
       if (name.startsWith("m-") && st.getModificationTime < cutoff &&
-          !liveManifests.contains(name)) {
-        fs.delete(st.getPath, false)
-        deleted += 1
-      }
+          !liveManifests.contains(name))
+        manifestOrphans += name
     } catch { case _: java.io.FileNotFoundException => () }
+    val doomed = dataOrphans
+    val manifests = manifestOrphans.result()
+    var deleted = 0
+    if (!dryRun) {
+      // deletes go through the CHECKSUMMED fs: Spark wrote the data
+      // files through it, so deleting the same way sweeps each file's
+      // `.crc` sidecar along (the raw fs would leak sidecars behind)
+      if (doomed.size <= GraftTable.FooterJobThreshold) {
+        doomed.foreach { p => if (fs.delete(new HPath(p), false)) deleted += 1 }
+      } else {
+        val rootStr = tableDir.toString
+        deleted += metadataJob(doomed) { (conf, it) =>
+          val efs = new HPath(rootStr).getFileSystem(conf.value)
+          Iterator.single(it.count(p => efs.delete(new HPath(p), false)))
+        }.sum
+      }
+      // manifests are O(commits), not O(files) — driver-side via the log
+      // so its parsed-manifest cache stays coherent
+      manifests.foreach { name => log.deleteManifest(name); deleted += 1 }
+    }
+    val planned = doomed.size + manifests.size
     graft.observability.Log.metrics("remove_orphan_files",
-      "table" -> tableDir.getName, "deleted" -> deleted)
-    deleted
+      "table" -> tableDir.getName,
+      "planned" -> planned, "deleted" -> deleted, "dry_run" -> dryRun)
+    if (dryRun) planned else deleted
   }
 
   /** Size-targeted compaction: rewrite into files of ~`targetBytes`
@@ -1079,18 +1105,10 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     *     the same order as the manifest it must write anyway.
     */
   private def collectDataFiles(outDir: HPath, spec: Option[PartitionField]): Seq[DataFile] = {
-    val paths = {
-      val buf = Seq.newBuilder[String]
-      try {
-        val it = fs.listFiles(outDir, true)
-        while (it.hasNext) {
-          val st = it.next()
-          if (st.isFile && st.getPath.getName.endsWith(".parquet"))
-            buf += st.getPath.toString
-        }
-      } catch { case _: java.io.FileNotFoundException => () }
-      buf.result()
-    }
+    val paths = MetadataLog.listFilesRecursive(fs, outDir)
+      .collect { case st if st.getPath.getName.endsWith(".parquet") =>
+        st.getPath.toString
+      }
     if (paths.isEmpty) return Nil
     val tableDirStr = tableDir.toString
     val outDirStr = outDir.toString

@@ -177,6 +177,33 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT COUNT(*) FROM graft.nsm.m").head.getLong(0) shouldBe 3
   }
 
+  test("CALL graft.system.remove_orphan_files supports dry-run and delete modes") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsof")
+    spark.sql("CREATE TABLE graft.nsof.t (id BIGINT)")
+    spark.sql("INSERT INTO graft.nsof.t VALUES (1), (2)")
+    // plant an orphan under data/
+    import graft.table.{GraftCatalog, TableIdent}
+    val dir = java.nio.file.Paths.get(
+      GraftCatalog(spark, spark.conf.get("spark.sql.catalog.graft.warehouse"))
+        .tableDir(TableIdent("nsof", "t")).toUri)
+    val orphan = dir.resolve("data").resolve("stray").resolve("part-x.parquet")
+    java.nio.file.Files.createDirectories(orphan.getParent)
+    java.nio.file.Files.writeString(orphan, "junk")
+    // dry-run reports but leaves the orphan in place
+    val dry = spark.sql(
+      "CALL graft.system.remove_orphan_files('nsof', 't', -1000, true)").head
+    dry.getInt(0) should be >= 1
+    dry.getBoolean(1) shouldBe true
+    java.nio.file.Files.exists(orphan) shouldBe true
+    // delete mode removes it; live data survives
+    val wet = spark.sql(
+      "CALL graft.system.remove_orphan_files('nsof', 't', -1000, false)").head
+    wet.getInt(0) should be >= 1
+    wet.getBoolean(1) shouldBe false
+    java.nio.file.Files.exists(orphan) shouldBe false
+    spark.sql("SELECT COUNT(*) FROM graft.nsof.t").head.getLong(0) shouldBe 2
+  }
+
   test("CALL graft.system.rollback_to_version restores a past snapshot as a new commit") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsrb")
     spark.sql("CREATE TABLE graft.nsrb.t (id BIGINT, v STRING)")

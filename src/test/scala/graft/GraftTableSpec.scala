@@ -472,6 +472,43 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
       "data/synthetic/part-00042.parquet: size 3 != recorded 1")
   }
 
+  test("removeOrphanFiles GCs 10^4 orphans through the distributed delete path") {
+    import graft.meta.{DataFile, MetadataLog, Snapshot}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = Files.createTempDirectory("graft-orphan10k")
+    val dataDir = dir.resolve("data").resolve("crashed-commit")
+    Files.createDirectories(dataDir)
+    // one live file the snapshot references...
+    val liveDir = dir.resolve("data").resolve("live")
+    Files.createDirectories(liveDir)
+    Files.write(liveDir.resolve("part-live.parquet"), Array[Byte](1))
+    val live = DataFile("data/live/part-live.parquet", 1L, 1L, None)
+    // ...and 10^4 unreferenced leftovers of a "crashed compaction" —
+    // far above FooterJobThreshold (512): deletes must run as a Spark job
+    val n = 10000
+    (0 until n).foreach { i =>
+      Files.write(dataDir.resolve(f"part-$i%05d.parquet"), Array[Byte](1))
+    }
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val log = new MetadataLog(dir)
+    val group = log.writeManifest(Seq(live), Some(schema))
+    log.commit(_ => Snapshot(0, 1L, None, 0L, "append", schema, 0, None, Map.empty, Seq(group)))
+    val tbl = new graft.table.GraftTable(spark,
+      new org.apache.hadoop.fs.Path(dir.toUri), log)
+    // dry-run plans every orphan but deletes nothing
+    tbl.removeOrphanFiles(olderThanMs = -1000, dryRun = true) shouldBe n
+    Files.list(dataDir).count() shouldBe n.toLong
+    val t0 = System.nanoTime()
+    tbl.removeOrphanFiles(olderThanMs = -1000) shouldBe n
+    val secs = (System.nanoTime() - t0) / 1e9
+    Files.list(dataDir).count() shouldBe 0L
+    Files.exists(liveDir.resolve("part-live.parquet")) shouldBe true
+    secs should be < 60.0 // executor-parallel deletes, not a driver crawl
+    val (files, _, issues) = tbl.verifyIntegrity()
+    files shouldBe 1
+    issues shouldBe empty
+  }
+
   test("compactBySize derives the file count from table bytes") {
     val t = cat().ensure(TableIdent("ns", "t9b"))
     (1 to 4).foreach(i => t.append(df((i.toLong, "2024-01-01", s"n$i"))))
