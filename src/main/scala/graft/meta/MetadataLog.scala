@@ -35,10 +35,17 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   *
   * CAVEAT for bare object stores: S3A's rename is a non-atomic
   * check-then-copy, so CONCURRENT writers to one s3a:// table root can
-  * race past each other. That is the same boundary upstream Iceberg
-  * draws — commits to S3 require a catalog (or conditional-PUT
-  * support) to arbitrate; single-writer s3a:// tables and all
-  * HDFS-like stores are safe here.
+  * race past each other. Upstream Iceberg draws the same boundary —
+  * commits to S3 require a catalog (or conditional-PUT support) to
+  * arbitrate. Here the gap is closed by an OPTIONAL commit lease
+  * (`graft.commit.lease.enabled`): writers serialize on a
+  * create-if-absent `_meta/commit.lock` carrying writer id + expiry,
+  * with expired leases stolen and a fencing re-read before the
+  * publishing rename. The lease narrows the lost-commit window from
+  * every-commit to simultaneous-acquisition-inside-one-HEAD/PUT-window
+  * (milliseconds, vs the lease term) — multi-writer s3a:// roots are
+  * safe with the lease enabled; single-writer s3a:// tables and all
+  * HDFS-like stores are safe without it.
   */
 final class MetadataLog(val tableDir: HPath, conf: Configuration) {
 
@@ -91,6 +98,103 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration) {
     finally out.close()
   }
 
+  // ---- commit lease (non-atomic-rename stores) -----------------------
+  // `rename` on bare object stores is check-then-copy: two writers can
+  // both observe "v5 absent" and both publish, the second silently
+  // clobbering the first. When enabled, writers serialize on a
+  // create-if-absent lock file so at most one is inside the publish
+  // window at a time; expiry bounds the damage of a crashed holder.
+  //
+  // Soundness rests on the store's `create(path, overwrite=false)`
+  // being ATOMIC — true on HDFS (namenode-arbitrated) and on object
+  // stores with conditional writes (S3 If-None-Match, GCS
+  // if-generation-match). It is NOT true of Hadoop's raw local
+  // filesystem (check-then-create) — local roots never reach this code
+  // (they take the hard-link publish path, atomic on its own).
+
+  private val leaseEnabled = conf.getBoolean("graft.commit.lease.enabled", false)
+  private val leaseDurationMs =
+    math.max(1L, conf.getLong("graft.commit.lease.duration-ms", 60000L))
+
+  /** Identity for lease fencing — per LOG HANDLE, so two handles in one
+    * JVM contend like two processes would.
+    */
+  private val writerId = java.util.UUID.randomUUID().toString
+
+  private def lockFile: HPath = new HPath(metaDir, "commit.lock")
+
+  /** (writer, expiryMs) of the current lease holder; None when absent
+    * or unreadable (a torn lock write reads as absent — the next acquire
+    * attempt simply finds the file present and waits out its expiry).
+    */
+  private def readLease(): Option[(String, Long)] =
+    try {
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(readString(lockFile))
+      for {
+        w <- (j \ "writer") match { case JString(s) => Some(s); case _ => None }
+        e <- (j \ "expiry") match { case JInt(v) => Some(v.toLong); case _ => None }
+      } yield (w, e)
+    } catch {
+      case _: java.io.FileNotFoundException => None
+      case _: com.fasterxml.jackson.core.JacksonException => None
+    }
+
+  /** Take the lease: create-if-absent loop with jittered backoff,
+    * stealing expired holders. Bounded at 2 lease terms of waiting so a
+    * wedged store surfaces as an error, not a hang.
+    */
+  private def acquireLease(): Unit = {
+    val deadline = System.currentTimeMillis() + 2 * leaseDurationMs
+    while (true) {
+      val now = System.currentTimeMillis()
+      val won =
+        try {
+          val out = metaFs.create(lockFile, false) // throws when present
+          try out.write(
+            s"""{"writer": "$writerId", "expiry": ${now + leaseDurationMs}}"""
+              .getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (won) return
+      readLease() match {
+        case Some((_, expiry)) if expiry < System.currentTimeMillis() =>
+          deleteQuiet(lockFile) // expired: steal (next loop re-creates)
+        case Some(_) => ()
+        case None =>
+          // lock exists (create lost) but carries no readable lease: a
+          // claimant that crashed between create and content write, or
+          // a torn in-flight write. The content never self-expires, so
+          // fall back to the FILE's age — steal once it has outlived a
+          // full lease term. Without this, one crashed claimant wedges
+          // every writer until the acquire deadline.
+          try {
+            val age = System.currentTimeMillis() -
+              metaFs.getFileStatus(lockFile).getModificationTime
+            if (age > leaseDurationMs) deleteQuiet(lockFile)
+          } catch { case _: java.io.FileNotFoundException => () }
+      }
+      if (System.currentTimeMillis() > deadline)
+        throw new IllegalStateException(
+          s"commit lease on $tableDir unavailable after ${2 * leaseDurationMs} ms " +
+            s"(holder: ${readLease()})")
+      Thread.sleep(25 + Random.nextLong(50))
+    }
+  }
+
+  /** Fencing check: the lease is still OURS and unexpired. Re-read
+    * immediately before the publishing rename — a holder that slept past
+    * expiry and was stolen from must NOT publish.
+    */
+  private def holdsLease(): Boolean =
+    readLease().exists { case (w, e) =>
+      w == writerId && e >= System.currentTimeMillis()
+    }
+
+  private def releaseLease(): Unit =
+    if (readLease().exists(_._1 == writerId)) { deleteQuiet(lockFile); () }
+
   /** Atomically publish `content` at `target` iff no file exists there.
     * Returns true when this writer won. Never leaves a partial target:
     * content always lands in a temp file first and appears at `target`
@@ -123,25 +227,40 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration) {
         } finally java.nio.file.Files.deleteIfExists(tmp)
       case None =>
         metaFs.mkdirs(metaDir)
-        val tmp = new HPath(metaDir,
-          s".publish-${java.util.UUID.randomUUID().toString.take(12)}.tmp")
-        writeString(tmp, content)
-        var won = false
-        try {
-          won = try metaFs.rename(tmp, target)
-                catch { case _: java.io.IOException => false }
-        } finally if (!won) deleteQuiet(tmp)
-        // rename returning false means EITHER "destination exists"
-        // (a lost race — retryable) or an unrelated failure
-        // (permissions, dead namenode). Only the first may burn a
-        // retry; anything else must surface as the IO error it is,
-        // not as a bogus "commit conflict after N retries".
-        if (!won && !metaFs.exists(target))
-          throw new java.io.IOException(
-            s"atomic publish to $target failed without a competing file " +
-              "(rename returned false); check filesystem health/permissions")
-        won
+        if (!leaseEnabled) renamePublish(target, content)
+        else {
+          acquireLease()
+          try {
+            // fenced: a holder that slept past expiry and was stolen
+            // from must not publish — report a conflict so the commit
+            // loop re-reads the parent and retries under a fresh lease
+            if (!holdsLease()) false
+            else renamePublish(target, content)
+          } finally releaseLease()
+        }
     }
+
+  /** The write-temp + rename publish (non-local branch's primitive). */
+  private def renamePublish(target: HPath, content: String): Boolean = {
+    val tmp = new HPath(metaDir,
+      s".publish-${java.util.UUID.randomUUID().toString.take(12)}.tmp")
+    writeString(tmp, content)
+    var won = false
+    try {
+      won = try metaFs.rename(tmp, target)
+            catch { case _: java.io.IOException => false }
+    } finally if (!won) deleteQuiet(tmp)
+    // rename returning false means EITHER "destination exists"
+    // (a lost race — retryable) or an unrelated failure
+    // (permissions, dead namenode). Only the first may burn a
+    // retry; anything else must surface as the IO error it is,
+    // not as a bogus "commit conflict after N retries".
+    if (!won && !metaFs.exists(target))
+      throw new java.io.IOException(
+        s"atomic publish to $target failed without a competing file " +
+          "(rename returned false); check filesystem health/permissions")
+    won
+  }
 
   /** Manifests are immutable once published, so a process-local cache
     * makes repeated snapshot reads O(new manifests), not O(all files).

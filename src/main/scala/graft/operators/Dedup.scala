@@ -381,22 +381,44 @@ object Dedup {
     * rather than relied on to bucket consistently.
     */
   def hyperplaneTable(df: DataFrame, vecCol: String, idCol: String,
-                      planes: Int): DataFrame = {
+                      planes: Int): DataFrame =
+    hyperplaneTables(df, vecCol, idCol, planes, tables = 1)
+      .withColumnRenamed("bucket_0", "bucket")
+
+  /** Multi-table variant of [[hyperplaneTable]]: `tables` independent
+    * hyperplane families (table t uses plane hashes t*planes ..
+    * t*planes+planes-1) computed in ONE corpus pass — one explode, one
+    * hash shuffle on the doc id carrying tables*planes partial sums,
+    * all inside whole-stage codegen. Multiple tables are the standard
+    * LSH recall lever: a true neighbor split from the query by one
+    * unlucky plane in table 0 still collides in table 1. Cost at query
+    * time stays ~tables * probedBuckets / 2^planes of the corpus — it
+    * never widens toward a full scan the way adding probes does.
+    *
+    * Returns (id, bucket_0 .. bucket_{tables-1}); NULL/empty vectors
+    * get NULL buckets (same contract as [[hyperplaneTable]]).
+    */
+  def hyperplaneTables(df: DataFrame, vecCol: String, idCol: String,
+                       planes: Int, tables: Int): DataFrame = {
+    require(tables >= 1, "tables >= 1")
     val exploded = df
       .select(col(idCol).as("id"), posexplode(col(vecCol)))
       .select(col("id"), col("pos").as("d"), col("col").cast("double").as("x"))
-    val dots: Seq[Column] = (0 until planes).map { p =>
+    val dots: Seq[Column] = (0 until tables * planes).map { p =>
       sum(col("x") *
         (pmod(xxhash64(lit(p), col("d")), lit(1000L)).cast("double") / 1000.0 - 0.5))
         .as(s"_dp$p")
     }
     val agged = exploded.groupBy(col("id")).agg(dots.head, dots.tail: _*)
-    // plane 0 is the most significant bit, matching hyperplaneBucket's
-    // acc * 2 + bit fold
-    val bucket = (0 until planes).map { p =>
-      when(col(s"_dp$p") >= 0, lit(1L << (planes - 1 - p))).otherwise(lit(0L))
-    }.reduce((a, c) => a.bitwiseOR(c))
+    // within each table, its plane 0 is the most significant bit,
+    // matching hyperplaneBucket's acc * 2 + bit fold
+    val buckets: Seq[Column] = (0 until tables).map { t =>
+      (0 until planes).map { p =>
+        when(col(s"_dp${t * planes + p}") >= 0,
+          lit(1L << (planes - 1 - p))).otherwise(lit(0L))
+      }.reduce((a, c) => a.bitwiseOR(c)).as(s"bucket_$t")
+    }
     df.select(col(idCol).as("id"))
-      .join(agged.select(col("id"), bucket.as("bucket")), Seq("id"), "left")
+      .join(agged.select(col("id") +: buckets: _*), Seq("id"), "left")
   }
 }

@@ -43,25 +43,32 @@ object Similarity {
       .limit(k)
   }
 
-  /** Approximate top-k: score only vectors in the query's hyperplane
-    * bucket and its `multiprobe` single-bit-flip neighbor buckets.
-    * Recall grows with multiprobe; cost stays ~bucketCount/2^planes of
-    * the data. Corpus buckets come from the codegen'd
-    * [[Dedup.hyperplaneTable]]; the query's own bucket is plain driver
-    * math over the same hash family — a scalar must never cost a Spark
-    * job on the ANN hot path.
+  /** Approximate top-k: score only vectors that share the query's
+    * hyperplane bucket (or a `multiprobe` single-bit-flip neighbor
+    * bucket) in at least one of `tables` independent hash tables.
+    * Multiple tables are the standard LSH recall lever — a true
+    * neighbor split from the query by one unlucky plane in table 0
+    * still collides in table 1 — and cost stays
+    * ~tables * (1+multiprobe) / 2^planes of the data, never widening
+    * toward a full scan the way piling on probes does. All tables are
+    * bucketed in ONE corpus pass ([[Dedup.hyperplaneTables]]); the
+    * query's own buckets are plain driver math over the same hash
+    * families — a scalar must never cost a Spark job on the ANN hot
+    * path.
     */
   def lshTopK(df: DataFrame, vecCol: String, idCol: String,
               query: Seq[Float], k: Int, planes: Int = 6,
-              multiprobe: Int = 2): DataFrame = {
+              multiprobe: Int = 2, tables: Int = 1): DataFrame = {
     val q = array(query.map(lit): _*)
-    val qBucket = hyperplaneBucketLocal(query, planes)
-    val probes: Seq[Long] =
-      qBucket +: (0 until planes).take(multiprobe).map(b => qBucket ^ (1L << b))
-    val hits = Dedup.hyperplaneTable(df, vecCol, idCol, planes)
-      .where(col("bucket").isin(probes: _*))
-      .withColumnRenamed("id", "_hit_id")
-    df.join(hits, col(idCol) === col("_hit_id"), "left_semi")
+    val bucketed = Dedup.hyperplaneTables(df, vecCol, idCol, planes, tables)
+    val hitAnyTable: Column = (0 until tables).map { t =>
+      val qBucket = hyperplaneBucketLocal(query, planes, planeOffset = t * planes)
+      val probes: Seq[Long] =
+        qBucket +: (0 until planes).take(multiprobe).map(b => qBucket ^ (1L << b))
+      col(s"bucket_$t").isin(probes: _*)
+    }.reduce(_ || _)
+    val hits = bucketed.where(hitAnyTable).withColumnRenamed("id", "_hit_id")
+    df.join(hits.select(col("_hit_id")), col(idCol) === col("_hit_id"), "left_semi")
       .select(col(idCol), cosine(col(vecCol), q).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
@@ -72,7 +79,8 @@ object Similarity {
     * Catalyst's own XxHash64, no Spark job) and the identical
     * ascending-dimension accumulation order.
     */
-  private def hyperplaneBucketLocal(query: Seq[Float], planes: Int): Long = {
+  private def hyperplaneBucketLocal(query: Seq[Float], planes: Int,
+                                    planeOffset: Int = 0): Long = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     var bucket = 0L
     var p = 0
@@ -82,7 +90,8 @@ object Similarity {
       while (d < query.length) {
         // seed 42L = the default of the SQL xxhash64 function the column
         // form uses
-        val h = XxHash64(Seq(Literal(p), Literal(d)), 42L).eval(null).asInstanceOf[Long]
+        val h = XxHash64(Seq(Literal(planeOffset + p), Literal(d)), 42L)
+          .eval(null).asInstanceOf[Long]
         dotAcc += query(d).toDouble * ((((h % 1000L) + 1000L) % 1000L).toDouble / 1000.0 - 0.5)
         d += 1
       }

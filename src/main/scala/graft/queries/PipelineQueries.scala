@@ -939,6 +939,125 @@ object PipelineQueries {
       },
       None),
 
+    // ANN recall oracle (round-8 verdict item 5): q32/q32b only prove
+    // the approximate paths FIND something — a bucketing bug that
+    // tanks recall to 0.1 still passes a rows-only check. The testdata
+    // embeddings are near-uniform (top-10 cosine ~0.33, labels
+    // uncorrelated), so a raw recall@10 threshold would measure luck,
+    // not correctness: even a perfect LSH cannot beat the candidate
+    // fraction on structureless data. Instead this plants 10
+    // deterministic near-duplicates of the query (cos ~0.9999, built
+    // with Spark transforms from the testdata vector itself) — the
+    // exact top-10 is provably the planted set, and a CORRECT
+    // lshTopK/ivfTopK must recall them at tight pruning settings
+    // (near-parallel vectors share hyperplane signs and coarse cells),
+    // while a bucket-math, probe-order, or driver/corpus hash mismatch
+    // scatters them. Asserted in-plan >= 0.8; the VALUE the oracle
+    // hashes is the recall@10 of the portable md5-hyperplane pipeline
+    // (q32c's ladder) — both engines derive identical buckets and
+    // identical exact/bucket-restricted top-10s, so bucket math is
+    // additionally hash-checked cross-engine
+    "q32r_ann_recall" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.Column
+        val e = t(s, dir, "embeddings")
+        val qvec = e.where(col("vec_id") === 0)
+          .select(col("embedding")).collect()(0)
+          .getSeq[Float](0)
+        // 10 planted near-duplicates: element d of copy i scaled by
+        // 1 + hash(i,d)%5 / 1000 — deterministic, cosine ~0.9999
+        val planted = e.where(col("vec_id") === 0)
+          .select(col("embedding").as("qv"))
+          .crossJoin(s.range(1, 11).toDF("i"))
+          .select((lit(9000000L) + col("i")).as("vec_id"),
+            zip_with(col("qv"), sequence(lit(0), size(col("qv")) - 1),
+              (x, d) => (x.cast("double") * (lit(1.0) +
+                pmod(xxhash64(col("i"), d), lit(5L)).cast("double") / 1000.0))
+                .cast("float")).as("embedding"))
+        val corpus = e.where(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding"))
+          .unionByName(planted)
+        val exactIds = Similarity.bruteForceTopK(corpus, "embedding", "vec_id", qvec, 10)
+          .select(col("vec_id"))
+        val lsh = Similarity.lshTopK(corpus, "embedding", "vec_id", qvec, 10,
+          planes = 6, multiprobe = 2, tables = 2).select(col("vec_id"))
+        val lshRecall = exactIds.join(lsh, Seq("vec_id"), "left_semi").count() / 10.0
+        require(lshRecall >= 0.8, s"LSH recall@10 $lshRecall < 0.8")
+        val (assigned, centroids) = Similarity.ivfIndex(corpus, "embedding", "vec_id",
+          nlist = 8, trainFraction = 0.25)
+        val ivf = Similarity.ivfTopK(assigned, centroids, "embedding", "vec_id",
+          qvec, k = 10, nprobe = 2).select(col("vec_id"))
+        val ivfRecall = exactIds.join(ivf, Seq("vec_id"), "left_semi").count() / 10.0
+        require(ivfRecall >= 0.8, s"IVF recall@10 $ivfRecall < 0.8")
+        // the hash-checked value: portable-hyperplane recall@10
+        val planes = 4
+        val e300 = e.where(col("vec_id") < 300)
+          .select(col("vec_id"), col("embedding").as("v"))
+        def planeComp(p: Int, d: Column): Column =
+          (conv(substring(md5(concat(lit(s"${p}_"), d.cast("string"))), 1, 15), 16, 10)
+            .cast("long") % 1000).cast("double") / 1000.0 - 0.5
+        def dotPlane(p: Int): Column = aggregate(
+          zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+            (x, d) => x.cast("double") * planeComp(p, d)),
+          lit(0.0), (acc, x) => acc + x)
+        val bucketed = e300.withColumn("bucket",
+          (0 until planes).map(p =>
+            when(dotPlane(p) >= 0, lit(1L << p)).otherwise(lit(0L)))
+            .reduce(_ + _))
+        val qrow = bucketed.where(col("vec_id") === 7)
+          .select(col("v").as("qv"), col("bucket").as("qb"))
+        def cosTo(v: Column, qv: Column): Column = round(
+          aggregate(zip_with(v, qv, (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (a, x) => a + x) /
+          (sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+            lit(0.0), (a, x) => a + x)) *
+           sqrt(aggregate(transform(qv, x => x.cast("double") * x.cast("double")),
+            lit(0.0), (a, x) => a + x))), 4)
+        val scored = bucketed.where(col("vec_id") =!= 7)
+          .crossJoin(broadcast(qrow))
+          .select(col("vec_id"), col("bucket"), col("qb"),
+            cosTo(col("v"), col("qv")).as("cos"))
+        val exactTop = scored
+          .orderBy(col("cos").desc, col("vec_id")).limit(10).select(col("vec_id"))
+        val approxTop = scored.where(col("bucket") === col("qb"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(10)
+          .select(col("vec_id"), col("cos"))
+        // the hashed rows: the bucket-restricted top-10 itself, flagged
+        // by exact-top membership — richer than a recall count (a count
+        // of 0 is reachable by many bugs; these exact rows are not)
+        approxTop
+          .join(exactTop.withColumn("in_exact", lit(true)), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cos"),
+            coalesce(col("in_exact"), lit(false)).as("in_exact"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < 300),
+             |b AS (
+             |  SELECT vec_id, v,
+             |    (CASE WHEN list_sum(list_transform(range(0, len(v)),
+             |       d -> v[d+1] * (CAST(('0x' || substring(md5('0_' || d), 1, 15)) AS UBIGINT) % 1000 / 1000.0 - 0.5))) >= 0 THEN 1 ELSE 0 END)
+             |  + 2 * (CASE WHEN list_sum(list_transform(range(0, len(v)),
+             |       d -> v[d+1] * (CAST(('0x' || substring(md5('1_' || d), 1, 15)) AS UBIGINT) % 1000 / 1000.0 - 0.5))) >= 0 THEN 1 ELSE 0 END)
+             |  + 4 * (CASE WHEN list_sum(list_transform(range(0, len(v)),
+             |       d -> v[d+1] * (CAST(('0x' || substring(md5('2_' || d), 1, 15)) AS UBIGINT) % 1000 / 1000.0 - 0.5))) >= 0 THEN 1 ELSE 0 END)
+             |  + 8 * (CASE WHEN list_sum(list_transform(range(0, len(v)),
+             |       d -> v[d+1] * (CAST(('0x' || substring(md5('3_' || d), 1, 15)) AS UBIGINT) % 1000 / 1000.0 - 0.5))) >= 0 THEN 1 ELSE 0 END)
+             |    AS bucket
+             |  FROM e),
+             |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 7),
+             |scored AS (
+             |  SELECT b.vec_id, b.bucket, q.qb,
+             |    ROUND(
+             |      list_sum(list_transform(range(0, len(b.v)), d -> b.v[d+1] * q.qv[d+1]))
+             |      / (sqrt(list_sum(list_transform(b.v, x -> x * x)))
+             |         * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS cos
+             |  FROM b, q WHERE b.vec_id <> 7),
+             |exact AS (SELECT vec_id FROM scored ORDER BY cos DESC, vec_id LIMIT 10),
+             |approx AS (SELECT vec_id, cos FROM scored WHERE bucket = qb
+             |           ORDER BY cos DESC, vec_id LIMIT 10)
+             |SELECT a.vec_id, a.cos, (e.vec_id IS NOT NULL) AS in_exact
+             |FROM approx a LEFT JOIN exact e USING (vec_id)""".stripMargin)),
+
     // embedding statistics per label (exact per-element double math)
     "q33_embed_stats" -> Q(
       (s, dir) => t(s, dir, "embeddings")

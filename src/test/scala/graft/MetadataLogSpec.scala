@@ -24,6 +24,57 @@ class MockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
     !exists(dst) && super.rename(src, dst)
 }
 
+/** S3A-shaped rename: check-then-copy with the window between the
+  * existence check and the replacing rename WIDENED to tens of
+  * milliseconds, so an unserialized two-writer race reliably loses a
+  * commit (both observe "absent", both rename, the second clobbers the
+  * first). The commit-lease tests drive MetadataLog over this.
+  */
+class RacyFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "racyfs"
+  override def getUri: java.net.URI = java.net.URI.create("racyfs:///")
+  // create-if-absent is ATOMIC (O_CREAT|O_EXCL) — the one primitive the
+  // commit lease requires of a store, and one real object stores do
+  // provide even though their rename is not atomic (HDFS create, GCS
+  // if-generation-match:0, S3 conditional PUT If-None-Match).
+  // RawLocalFileSystem's own overwrite=false is check-then-create,
+  // which would let two lease claimants both "win". BOTH create
+  // overloads must be intercepted: `FileSystem.create(path, false)`
+  // dispatches through the non-permission overload on
+  // RawLocalFileSystem, never reaching the permission-taking one.
+  private def atomicCreateIfAbsent(f: org.apache.hadoop.fs.Path): Unit = {
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(f.toUri.getPath)); ()
+  }
+  override def create(f: org.apache.hadoop.fs.Path,
+                      permission: org.apache.hadoop.fs.permission.FsPermission,
+                      overwrite: Boolean, bufferSize: Int, replication: Short,
+                      blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    if (!overwrite) atomicCreateIfAbsent(f)
+    super.create(f, permission, true, bufferSize, replication, blockSize, progress)
+  }
+  override def create(f: org.apache.hadoop.fs.Path, overwrite: Boolean,
+                      bufferSize: Int, replication: Short, blockSize: Long,
+                      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    if (!overwrite) atomicCreateIfAbsent(f)
+    super.create(f, true, bufferSize, replication, blockSize, progress)
+  }
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean = {
+    if (exists(dst)) return false
+    Thread.sleep(20) // the non-atomic check-then-copy window
+    // POSIX rename replaces an existing destination silently — exactly
+    // the lost-commit mode a bare object store exposes
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(src.toUri.getPath),
+      java.nio.file.Paths.get(dst.toUri.getPath),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    true
+  }
+}
+
 /** Commit-protocol invariants (M2, `core/config.py:15-17` semantics). */
 class MetadataLogSpec extends AnyFunSuite with Matchers {
 
@@ -106,6 +157,58 @@ class MetadataLogSpec extends AnyFunSuite with Matchers {
     log.tag("pin") shouldBe Some(1)
     intercept[IllegalStateException] { log.createTag("pin", 3) }
     log.tag("pin") shouldBe Some(1)
+  }
+
+  test("commit lease serializes contending writers on a check-then-copy store") {
+    val dir = Files.createTempDirectory("mlog-lease")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.setClass("fs.racyfs.impl", classOf[RacyFs], classOf[org.apache.hadoop.fs.FileSystem])
+    conf.setBoolean("graft.commit.lease.enabled", true)
+    val path = new org.apache.hadoop.fs.Path("racyfs:" + dir.toString)
+    // one MetadataLog handle per writer: each carries its own lease
+    // identity, contending purely through the filesystem
+    val logs = (0 until 4).map(_ => new MetadataLog(path, conf))
+    // a writer-thread exception must fail the test loudly — a silently
+    // dead thread would report as a lost commit and mask the real cause
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = logs.zipWithIndex.map { case (log, i) =>
+      new Thread(() =>
+        try (0 until 3).foreach { j => log.commit(_ => snap(s"w$i-$j")): Unit }
+        catch { case t: Throwable => failures.add(t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    if (!failures.isEmpty) fail(s"writer thread threw: ${failures.peek()}", failures.peek())
+    val verify = new MetadataLog(path, conf)
+    // RacyFs's widened window clobbers commits when unserialized; under
+    // the lease every one of the 12 lands on its own version
+    verify.listVersions() shouldBe (0 until 12)
+    verify.snapshots().map(_.operation).toSet.size shouldBe 12
+    // the lease is released after the last commit
+    verify.fs.exists(new org.apache.hadoop.fs.Path(path, "_meta/commit.lock")) shouldBe false
+  }
+
+  test("an expired lease is stolen; a live one is waited out") {
+    val dir = Files.createTempDirectory("mlog-lease2")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.setClass("fs.racyfs.impl", classOf[RacyFs], classOf[org.apache.hadoop.fs.FileSystem])
+    conf.setBoolean("graft.commit.lease.enabled", true)
+    conf.setLong("graft.commit.lease.duration-ms", 400)
+    val path = new org.apache.hadoop.fs.Path("racyfs:" + dir.toString)
+    val log = new MetadataLog(path, conf)
+    log.commit(_ => snap("a")).version shouldBe 0
+    val meta = dir.resolve("_meta")
+    // a crashed writer's EXPIRED lease must not block commits
+    Files.writeString(meta.resolve("commit.lock"),
+      s"""{"writer": "dead-writer", "expiry": ${System.currentTimeMillis() - 1000}}""")
+    log.commit(_ => snap("b")).version shouldBe 1
+    // a LIVE foreign lease is honored: the commit waits for expiry
+    // before stealing, so it lands but only after the lease term
+    Files.writeString(meta.resolve("commit.lock"),
+      s"""{"writer": "slow-writer", "expiry": ${System.currentTimeMillis() + 400}}""")
+    val t0 = System.nanoTime()
+    log.commit(_ => snap("c")).version shouldBe 2
+    val waitedMs = (System.nanoTime() - t0) / 1000000
+    waitedMs should be >= 300L
   }
 
   test("two separate JVMs appending concurrently lose no commits") {
