@@ -120,5 +120,19 @@ object GraftStream {
     val marked = cfg.copy(tableProperties =
       cfg.tableProperties + (key -> batchId.toString))
     strategy.write(table, stamped, marked, isFirstWrite = batchId == 0L)
+    // Tombstone the legacy shared marker the moment a derived marker
+    // has committed: left alive, it would make EVERY future
+    // fresh-checkpoint query on this table adopt the old floor and
+    // silently drop its early batches forever. The adoption above
+    // already honored the floor once — the upgrade-restart's
+    // crash-recovery replay stays deduplicated — and from here each
+    // stream's private marker is the only state that matters. An O(1)
+    // metadata commit; a crash between the two commits is benign (the
+    // next batch adopts and tombstones again).
+    legacyLast.foreach { _ =>
+      table.updateProperties(Map.empty,
+        remove = Seq(s"graft.stream.$streamId.last-batch"))
+      ()
+    }
   }
 }

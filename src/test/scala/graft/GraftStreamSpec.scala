@@ -94,6 +94,17 @@ class GraftStreamSpec extends AnyFunSuite with Matchers {
       // replay of batch 2 is skipped by the derived marker itself
       GraftStream.commitBatch(Seq((3L, "c")).toDF("id", "name"), 2L, c, id, cfg, strat)
       t.scan().count() shouldBe 3
+      // ...and the first derived-marker commit TOMBSTONED the legacy
+      // key, so the migration floor cannot outlive the migration
+      t.currentOrFail().properties.get("graft.stream.stream.last-batch") shouldBe None
+      // the data-loss mode the floor kept alive is gone with it: a
+      // brand-new query (fresh checkpoint, fresh queryId) starts at
+      // batch 0 and its early batches LAND instead of being skipped
+      s.sparkContext.setLocalProperty("sql.streaming.queryId", "def-456")
+      GraftStream.commitBatch(Seq((4L, "d")).toDF("id", "name"), 0L, c, id, cfg, strat)
+      c.load(id).scan().count() shouldBe 4
+      c.load(id).currentOrFail()
+        .properties("graft.stream.q-def-456.last-batch") shouldBe "0"
     } finally s.sparkContext.setLocalProperty("sql.streaming.queryId", null)
   }
 
