@@ -13,6 +13,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(IcebergBucketExpr.functionDescriptor)
+    ext.injectFunction(graft.functions.BloomMightContainExpr.functionDescriptor)
     // the text-pipeline library as graft_* SQL functions
     graft.functions.SqlFunctions.all.foreach(ext.injectFunction)
     // MERGE INTO over graft DSv2 tables → the reference upsert semantics

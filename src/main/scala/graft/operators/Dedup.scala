@@ -346,6 +346,66 @@ object Dedup {
     tg.join(broadcast(bg), Seq("_g"), "left_semi").select(col(idCol)).distinct()
   }
 
+  /** [[flagContaminated]] for reference sets too large to broadcast
+    * exactly. The exact gram set costs tens of bytes per entry as
+    * broadcast strings; past ~10⁷ grams that broadcast is the
+    * bottleneck. Here the corpus is pruned map-side by a BLOOM filter
+    * over the benchmark grams (~10 bits/gram at 1% fpp — 20-40×
+    * smaller, built distributed by the same `BloomFilterAggregate` /
+    * `BloomFilterMightContain` machinery Spark's own runtime join
+    * filtering uses, evaluated inside whole-stage codegen), then the
+    * fpp-bounded candidate slice — never the corpus — is verified with
+    * an exact semi join against the gram set, which false positives
+    * cannot survive. Output is therefore EXACTLY [[flagContaminated]]'s
+    * (q68's oracle gates both).
+    *
+    * Two passes over the (small) benchmark gram set: a count to size
+    * the filter bits optimally (skipped when `expectedGrams` is given)
+    * and the filter build. The corpus streams through once; only
+    * matching grams shuffle for the verify join. Spark caps filter
+    * size via `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+    * `.maxNumBits` (defaults 4M items / 8 MB) — raise them for
+    * billion-gram reference sets.
+    */
+  def flagContaminatedBloom(train: DataFrame, benchmark: DataFrame,
+                            textCol: String, idCol: String, n: Int = 5,
+                            fpp: Double = 0.01,
+                            expectedGrams: Long = -1L): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val spark = train.sparkSession
+    val bg = benchmark.select(explode(wordNgrams(col(textCol), n)).as("_g")).distinct()
+    // a gram-less benchmark can contaminate nothing — and the sketch
+    // aggregate yields a null buffer on empty input (limit-1 probe,
+    // not a count: one task on the first non-empty partition)
+    if (bg.isEmpty) return train.select(col(idCol)).where(lit(false)).distinct()
+    val items = if (expectedGrams > 0) expectedGrams else math.max(1L, bg.count())
+    // distributed tree-aggregate build; only the filter bytes reach the
+    // driver (~10 bits/gram at 1% fpp vs tens of broadcast bytes/gram
+    // for the exact set)
+    val filter = bg.stat.bloomFilter("_g", items, fpp)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      filter.writeTo(bos)
+      bos.toByteArray
+    }
+    val tg = train.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("_g"))
+    if (spark.catalog.functionExists("graft_bloom_might_contain")) {
+      // codegen probe via the registered native expression
+      val candidates = tg.where(
+        call_function("graft_bloom_might_contain", lit(bloomBytes), col("_g")))
+      candidates.join(bg, Seq("_g"), "left_semi").select(col(idCol)).distinct()
+    } else {
+      // session without GraftExtensions: same semantics, no map-side
+      // bloom prune — every gram (not just the fpp-bounded candidate
+      // slice) shuffles into the verify join
+      graft.observability.Log.warn(
+        "graft_bloom_might_contain not registered (GraftExtensions absent); " +
+          "contamination check falls back to an unpruned shuffle semi join",
+        "op" -> "flagContaminatedBloom")
+      tg.join(bg, Seq("_g"), "left_semi").select(col(idCol)).distinct()
+    }
+  }
+
   /** Sign bucket of `v` against `planes` deterministic hyperplanes.
     * Higher-order-function form (interpreted — `aggregate`/`zip_with`
     * are CodegenFallback); [[hyperplaneTable]] computes the same bucket

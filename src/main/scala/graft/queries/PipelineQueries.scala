@@ -435,6 +435,31 @@ object PipelineQueries {
               |       WHERE doc_id >= 10 AND doc_id < 500)
               |SELECT DISTINCT doc_id FROM tg JOIN bg USING (gm) ORDER BY doc_id""".stripMargin)),
 
+    // contamination at beyond-broadcast reference scale: bloom filter
+    // prunes the corpus map-side, exact semi join verifies the
+    // fpp-bounded candidates — output must EXACTLY equal q68's, so the
+    // same oracle gates the bloom path (a false positive surviving the
+    // verify, or a bloom miss dropping a true hit, both hash-fail here)
+    "q68b_contamination_bloom" -> Q(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val bench = d.where(col("doc_id") < 10)
+        val train = d.where(col("doc_id") >= 10 && col("doc_id") < 500)
+        Dedup.flagContaminatedBloom(train, bench, "text", "doc_id", n = 5)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKENS AS t FROM documents),
+              |g AS (SELECT doc_id,
+              |  CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+              |       ELSE list_distinct(list_transform(range(1, len(t) - 3),
+              |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+              |                   || t[i+3] || ' ' || t[i+4])) END AS gs
+              |  FROM toks),
+              |bg AS (SELECT DISTINCT unnest(gs) AS gm FROM g WHERE doc_id < 10),
+              |tg AS (SELECT doc_id, unnest(gs) AS gm FROM g
+              |       WHERE doc_id >= 10 AND doc_id < 500)
+              |SELECT DISTINCT doc_id FROM tg JOIN bg USING (gm) ORDER BY doc_id""".stripMargin)),
+
     // stratified sampling: per-language deterministic rates over the
     // portable md5 bucket, so the exact kept-set is re-derivable in SQL
     "q69_stratified_sample" -> Q(

@@ -524,6 +524,37 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     out shouldBe Seq(10L)
   }
 
+  test("flagContaminatedBloom equals the exact operator; empty benchmark flags nothing") {
+    val s = spark
+    import s.implicits._
+    // enough shared and near-miss grams that a bloom bucketing bug (or
+    // a verify join dropped by mistake) would change the output set
+    val bench = (0L until 20L)
+      .map(i => (i, s"alpha bravo charlie delta echo m$i n$i o$i p$i q$i"))
+      .toDF("id", "text")
+    val train = (100L until 200L).map { i =>
+      val text =
+        if (i % 3 == 0) s"xx alpha bravo charlie delta echo yy z$i" // true hit
+        else if (i % 3 == 1) s"alpha bravo charlie delta f$i echo"  // words, no 5-gram
+        else s"totally unrelated content row number $i here"
+      (i, text)
+    }.toDF("id", "text")
+    val exact = Dedup.flagContaminated(train, bench, "text", "id", n = 5)
+      .collect().map(_.getLong(0)).toSet
+    val bloom = Dedup.flagContaminatedBloom(train, bench, "text", "id", n = 5)
+      .collect().map(_.getLong(0)).toSet
+    bloom shouldBe exact
+    exact should not be empty
+    // a deliberately high fpp floods the candidate set with false
+    // positives — the exact verify must still remove every one
+    val noisy = Dedup.flagContaminatedBloom(train, bench, "text", "id", n = 5,
+      fpp = 0.5).collect().map(_.getLong(0)).toSet
+    noisy shouldBe exact
+    val none = Dedup.flagContaminatedBloom(train, bench.where(lit(false)),
+      "text", "id", n = 5)
+    none.collect() shouldBe empty
+  }
+
   test("stratifiedSample keeps deterministic per-stratum subsets at the set rates") {
     val s = spark
     import s.implicits._
