@@ -4,27 +4,29 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Predicate}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
-/** `graft_bloom_might_contain(filterBytes, str)` — membership probe of a
-  * string against a serialized `org.apache.spark.util.sketch.BloomFilter`
-  * (the public sketch `DataFrameStatFunctions.bloomFilter` builds), the
-  * map-side pruning half of beyond-broadcast contamination checking
-  * (`Dedup.flagContaminatedBloom`).
+/** `graft_bloom_might_contain(filterBytes, value)` — membership probe
+  * of a string or long against a serialized
+  * `org.apache.spark.util.sketch.BloomFilter` (the public sketch
+  * `DataFrameStatFunctions.bloomFilter` builds), the map-side pruning
+  * half of beyond-broadcast contamination checking
+  * (`Dedup.flagContaminatedBloom`) and incremental-ingest dedup
+  * (`Dedup.exactAgainst`).
   *
   * A custom `Expression` (not a UDF) keeps the probe inside whole-stage
   * codegen: the filter deserializes ONCE per task from the foldable
   * binary literal (`lazy val` surfaced through `addReferenceObj`), and
-  * each row costs just the sketch's own hash probes. Probing uses
-  * `mightContainBinary(utf8Bytes)` — exactly the bytes
-  * `BloomFilter.putString` hashed when the build side inserted the
-  * string, so build and probe agree without a per-row String
-  * conversion.
+  * each row costs just the sketch's own hash probes. Build and probe
+  * agree by construction: strings probe `mightContainBinary(utf8Bytes)`
+  * — exactly the bytes `BloomFilter.putString` hashed on insert — and
+  * longs probe `mightContainLong`, matching the sketch's integral
+  * insert path.
   *
-  * Null string → false (a null gram is in no reference set); the
-  * filter argument must be a non-null foldable literal.
+  * Null value → false (a null key is in no reference set); the filter
+  * argument must be a non-null foldable literal.
   */
 final case class BloomMightContainExpr(left: Expression, right: Expression)
     extends BinaryExpression with Predicate {
@@ -39,9 +41,9 @@ final case class BloomMightContainExpr(left: Expression, right: Expression)
     else if (!left.foldable)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName filter argument must be a foldable literal")
-    else if (right.dataType != StringType)
+    else if (right.dataType != StringType && right.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName value argument must be STRING, got ${right.dataType}")
+        s"$prettyName value argument must be STRING or BIGINT, got ${right.dataType}")
     else TypeCheckResult.TypeCheckSuccess
   }
 
@@ -57,7 +59,10 @@ final case class BloomMightContainExpr(left: Expression, right: Expression)
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = right.eval(input)
     if (v == null) false
-    else filter.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
+    else right.dataType match {
+      case LongType => filter.mightContainLong(v.asInstanceOf[Long])
+      case _ => filter.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -66,12 +71,16 @@ final case class BloomMightContainExpr(left: Expression, right: Expression)
     // row-evaluated — the filter literal never is
     val filterRef = ctx.addReferenceObj("bloomFilter", filter, classOf[BloomFilter].getName)
     val v = right.genCode(ctx)
+    val probe = right.dataType match {
+      case LongType => s"$filterRef.mightContainLong(${v.value})"
+      case _ => s"$filterRef.mightContainBinary(${v.value}.getBytes())"
+    }
     ev.copy(
       code = code"""
         ${v.code}
         boolean ${ev.value} = false;
         if (!${v.isNull}) {
-          ${ev.value} = $filterRef.mightContainBinary(${v.value}.getBytes());
+          ${ev.value} = $probe;
         }""",
       isNull = FalseLiteral)
   }

@@ -38,18 +38,96 @@ object Dedup {
     * impossible for non-adversarial corpora.
     */
   def exact(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame = {
-    val strs = contentCols.map(c => col(c).cast("string"))
-    // position-weighted length term: xxhash64 SKIPS null children, so
-    // ("a", null) and (null, "a") share both hash digests — the
-    // weighted lengths (null ⇒ -1) keep swapped-null rows distinct
-    val keyed = df
-      .withColumn("_k", xxhash64(strs: _*))
-      .withColumn("_k2", xxhash64(strs.reverse.map(s => reverse(s)): _*))
-      .withColumn("_kl", strs.zipWithIndex.map { case (s, i) =>
-        coalesce(length(s), lit(-1)) * lit(2L * i + 1) }.reduce(_ + _))
+    val keyed = withExactKeys(df, contentCols)
     val keepers = keyed.groupBy("_k", "_k2", "_kl").agg(min(col(idCol)).as(idCol))
     keyed.join(keepers, Seq("_k", "_k2", "_kl", idCol), "left_semi")
       .drop("_k", "_k2", "_kl")
+  }
+
+  /** The content key behind [[exact]]/[[exactAgainst]]: dual digests +
+    * position-weighted length term: xxhash64 SKIPS null children, so
+    * ("a", null) and (null, "a") share both hash digests — the
+    * weighted lengths (null ⇒ -1) keep swapped-null rows distinct.
+    */
+  private def withExactKeys(df: DataFrame, contentCols: Seq[String]): DataFrame = {
+    val strs = contentCols.map(c => col(c).cast("string"))
+    df.withColumn("_k", xxhash64(strs: _*))
+      .withColumn("_k2", xxhash64(strs.reverse.map(s => reverse(s)): _*))
+      .withColumn("_kl", strs.zipWithIndex.map { case (s, i) =>
+        coalesce(length(s), lit(-1)) * lit(2L * i + 1) }.reduce(_ + _))
+  }
+
+  /** Incremental-ingest dedup: the rows of `incoming` whose content key
+    * does NOT already exist in `existing` — the nightly-batch-vs-
+    * historical-corpus shape, where `existing` is orders of magnitude
+    * larger than the batch and re-shuffling its keys per ingest is the
+    * cost to kill. (Self-duplicates within `incoming` are [[exact]]'s
+    * job — compose: `exact(exactAgainst(batch, corpus, …), …)`.)
+    *
+    * Scale shape — bidirectional bloom pruning around a tiny exact join:
+    *   1. one key-projected pass over `existing` tree-aggregates a
+    *      bloom over its `_k` digests (no shuffle; ~10 bits/key at the
+    *      default 1% fpp);
+    *   2. `incoming` rows whose key misses the bloom are DEFINITELY new
+    *      and pass through map-side — no join at all for the common
+    *      case;
+    *   3. the fpp-bounded candidate slice builds its OWN bloom, which
+    *      prunes `existing`'s keys map-side to just plausible matches;
+    *   4. an exact anti join between the two pruned slices — each
+    *      ~fpp·|side| plus true duplicates — settles membership on the
+    *      full (_k,_k2,_kl) triple, so bloom false positives cannot
+    *      drop a genuinely-new row.
+    * Sessions without GraftExtensions fall back to the plain anti join
+    * on the key triple (same output, full key shuffle).
+    *
+    * `expectedExistingKeys` skips the sizing `count()` pass over
+    * `existing` when the caller already knows its cardinality (a graft
+    * table's row count is free from snapshot metadata).
+    */
+  def exactAgainst(incoming: DataFrame, existing: DataFrame,
+                   contentCols: Seq[String], idCol: String,
+                   fpp: Double = 0.01,
+                   expectedExistingKeys: Long = -1L): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val spark = incoming.sparkSession
+    val inKeyed = withExactKeys(incoming, contentCols)
+    val exKeys = withExactKeys(existing, contentCols).select("_k", "_k2", "_kl")
+    val keyCols = Seq("_k", "_k2", "_kl")
+    val bloomReady = spark.catalog.functionExists("graft_bloom_might_contain")
+    if (!bloomReady) {
+      graft.observability.Log.warn(
+        "graft_bloom_might_contain not registered (GraftExtensions absent); " +
+          "incremental dedup falls back to an unpruned anti join",
+        "op" -> "exactAgainst")
+      return inKeyed.join(exKeys, keyCols, "left_anti").drop(keyCols: _*)
+    }
+    // one pass answers both emptiness and sizing (the sketch aggregate
+    // NPEs on empty input); callers who know the corpus cardinality
+    // skip the big-side count and pay only a limit-1 emptiness probe
+    val items =
+      if (expectedExistingKeys > 0) { if (exKeys.isEmpty) 0L else expectedExistingKeys }
+      else exKeys.count()
+    if (items == 0) return inKeyed.drop(keyCols: _*)
+    val exBloom = serializeBloom(exKeys.stat.bloomFilter("_k", items, fpp))
+    val mightDup = call_function("graft_bloom_might_contain", lit(exBloom), col("_k"))
+    val definitelyNew = inKeyed.where(!mightDup)
+    val candidates = inKeyed.where(mightDup)
+    val candCount = candidates.count()
+    if (candCount == 0) return definitelyNew.drop(keyCols: _*)
+    // reverse prune: only existing keys that might match a candidate
+    // shuffle into the verify join — the corpus side never does
+    val candBloom = serializeBloom(candidates.stat.bloomFilter("_k", candCount, fpp))
+    val exCand = exKeys.where(
+      call_function("graft_bloom_might_contain", lit(candBloom), col("_k")))
+    definitelyNew
+      .unionByName(candidates.join(exCand, keyCols, "left_anti"))
+      .drop(keyCols: _*)
+  }
+
+  private def serializeBloom(f: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    f.writeTo(bos)
+    bos.toByteArray
   }
 
   /** Duplicate-group summary (for oracle checks): content key → group

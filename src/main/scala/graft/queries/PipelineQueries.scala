@@ -571,6 +571,31 @@ object PipelineQueries {
              |SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
              |FROM unioned GROUP BY text ORDER BY keeper_id""".stripMargin)),
 
+    // incremental-ingest dedup: a batch (docs 250+, plus planted copies
+    // of existing docs 0-49 under new ids) deduped against the
+    // historical corpus (docs 0-249) — the planted 50 must drop, the
+    // 250 genuinely-new must survive. Bloom pruning bounds what
+    // shuffles; the exact anti join makes output EQUAL the plain
+    // NOT EXISTS, which is what the oracle checks
+    "q24b_dedup_incremental" -> Q(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val existing = d.where(col("doc_id") < 250)
+        val batch = d.where(col("doc_id") >= 250)
+          .unionByName(d.where(col("doc_id") < 50)
+            .withColumn("doc_id", col("doc_id") + 100000))
+        Dedup.exactAgainst(batch, existing, Seq("text"), "doc_id")
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some("""WITH batch AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+             |  UNION ALL
+             |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50)
+             |SELECT doc_id FROM batch b
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM documents e WHERE e.doc_id < 250 AND e.text = b.text)
+             |ORDER BY doc_id""".stripMargin)),
+
     // exact-dedup row survival count over events (composite key)
     "q25_dedup_rows" -> Q(
       (s, dir) => {

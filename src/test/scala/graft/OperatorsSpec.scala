@@ -555,6 +555,35 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     none.collect() shouldBe empty
   }
 
+  test("exactAgainst keeps exactly the rows whose content is new to the corpus") {
+    val s = spark
+    import s.implicits._
+    val existing = ((0L until 50L).map(i => (i, s"doc $i", "b")) :+
+      (90L, null: String, "x")).toDF("id", "text", "extra")
+    val batch = (
+      (100L until 120L).map(i => (i, s"doc ${i - 100}", "b")) ++   // dups of existing
+      (200L until 230L).map(i => (i, s"fresh $i", "b")) :+
+      (300L, null: String, "x") :+                                 // null-content dup
+      (301L, "x", null: String)                                    // swapped-null: NEW
+    ).toDF("id", "text", "extra")
+    val out = Dedup.exactAgainst(batch, existing, Seq("text", "extra"), "id")
+      .collect().map(_.getLong(0)).toSet
+    out shouldBe ((200L until 230L).toSet + 301L)
+    // a high fpp floods the candidate slice; the exact verify must
+    // still neither drop a new row nor keep a duplicate
+    val noisy = Dedup.exactAgainst(batch, existing, Seq("text", "extra"), "id",
+      fpp = 0.5).collect().map(_.getLong(0)).toSet
+    noisy shouldBe out
+    // known corpus cardinality skips the sizing count, same answer
+    val sized = Dedup.exactAgainst(batch, existing, Seq("text", "extra"), "id",
+      expectedExistingKeys = 51L).collect().map(_.getLong(0)).toSet
+    sized shouldBe out
+    // empty corpus: everything is new
+    val all = Dedup.exactAgainst(batch, existing.where(lit(false)),
+      Seq("text", "extra"), "id").collect().map(_.getLong(0)).toSet
+    all shouldBe batch.collect().map(_.getLong(0)).toSet
+  }
+
   test("stratifiedSample keeps deterministic per-stratum subsets at the set rates") {
     val s = spark
     import s.implicits._
