@@ -308,17 +308,30 @@ object Dedup {
     */
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
                      planes: Int = 8, threshold: Double = 0.95,
-                     maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                     maxBucketSize: Int = Int.MaxValue,
+                     tables: Int = 1): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val bucketed = capBuckets(
-      hyperplaneTable(df, vecCol, idCol, planes),
-      maxBucketSize, keys = Seq("bucket"))
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"))
-    // one bucket per document ⇒ a pair appears at most once; no distinct
-    a.join(b, Seq("bucket"))
+    // `tables` independent hash families (one corpus pass, see
+    // hyperplaneTables) melted to (id, table, bucket): the recall
+    // lever — a near-pair split by one unlucky plane in table 0 still
+    // collides in table 1. Table 0 uses the same plane family as the
+    // single-table form, so candidates only ever GROW with `tables`.
+    val multi = hyperplaneTables(df, vecCol, idCol, planes, tables)
+    val melted = multi.select(col("id"), posexplode(
+        array((0 until tables).map(t => col(s"bucket_$t")): _*)))
+      .select(col("id"), col("pos").as("t"), col("col").as("bucket"))
+      .where(col("bucket").isNotNull)
+    val bucketed = capBuckets(melted, maxBucketSize, keys = Seq("t", "bucket"))
+    val a = bucketed.select(col("t"), col("bucket"), col("id").as("id_a"))
+    val b = bucketed.select(col("t"), col("bucket"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("t", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
+    // one bucket per document per table ⇒ with a single table a pair
+    // appears at most once and the dedup shuffle is skipped; with
+    // multiple tables a pair colliding in several must score once
+    val unique = if (tables == 1) candidates else candidates.dropDuplicates("id_a", "id_b")
+    unique
       .join(vecs.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),

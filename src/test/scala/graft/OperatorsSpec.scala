@@ -330,6 +330,13 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     val pairs = Dedup.embeddingPairs(df, "v", "id", planes = 5, threshold = 0.999)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     (1L to 5L).foreach(i => pairs should contain((i, i + 100)))
+    // multiple hash tables only ADD candidates (table 0 is the same
+    // plane family), each surviving pair scored exactly once
+    val multi = Dedup.embeddingPairs(df, "v", "id", planes = 5,
+      threshold = 0.999, tables = 3)
+    val multiRows = multi.collect().map(r => (r.getLong(0), r.getLong(1)))
+    multiRows.toSet should contain allElementsOf pairs
+    multiRows.length shouldBe multiRows.toSet.size // no double-scored pair
   }
 
   test("hyperplaneTable assigns the same buckets as the scalar hyperplaneBucket") {

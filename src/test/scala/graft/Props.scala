@@ -313,3 +313,64 @@ object AdmissionProps extends Properties("AdmissionWalk") {
         s"both=$both filesOnly=$fOnly rowsOnly=$rOnly"
     }
 }
+
+/** The bloom probe expression (`graft_bloom_might_contain`) must agree
+  * with the sketch library it fronts — in particular it may NEVER
+  * report a false negative, the property every bloom-pruned operator's
+  * correctness rests on (the exact verify join only removes false
+  * POSITIVES; a false negative would silently drop a contaminated doc
+  * or resurrect a duplicate).
+  */
+object BloomProbeProps extends Properties("BloomMightContainExpr") {
+
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.util.sketch.BloomFilter
+  import graft.functions.BloomMightContainExpr
+
+  private def serialize(f: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    f.writeTo(bos)
+    bos.toByteArray
+  }
+
+  private def probeStr(bytes: Array[Byte], s: String): Boolean =
+    BloomMightContainExpr(Literal(bytes, BinaryType),
+      Literal(UTF8String.fromString(s), StringType)).eval(null).asInstanceOf[Boolean]
+
+  private def probeLong(bytes: Array[Byte], v: Long): Boolean =
+    BloomMightContainExpr(Literal(bytes, BinaryType),
+      Literal(v, LongType)).eval(null).asInstanceOf[Boolean]
+
+  private val strsGen: Gen[List[String]] =
+    Gen.nonEmptyListOf(Gen.listOfN(8, Gen.alphaNumChar).map(_.mkString))
+
+  property("inserted strings are always found; misses agree with the sketch") =
+    forAll(strsGen, Gen.alphaNumStr) { (inserted, probe) =>
+      val f = BloomFilter.create(math.max(1, inserted.size).toLong, 0.01)
+      inserted.foreach(f.putString)
+      val bytes = serialize(f)
+      Prop(inserted.forall(probeStr(bytes, _))) :| "false negative" &&
+        Prop(probeStr(bytes, probe) == f.mightContainString(probe)) :| "probe disagrees"
+    }
+
+  property("inserted longs are always found; misses agree with the sketch") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue)),
+           Gen.choose(Long.MinValue, Long.MaxValue)) { (inserted, probe) =>
+      val f = BloomFilter.create(math.max(1, inserted.size).toLong, 0.01)
+      inserted.foreach(f.putLong)
+      val bytes = serialize(f)
+      Prop(inserted.forall(probeLong(bytes, _))) :| "false negative" &&
+        Prop(probeLong(bytes, probe) == f.mightContainLong(probe)) :| "probe disagrees"
+    }
+
+  property("null value probes false, never null") =
+    forAll(strsGen) { inserted =>
+      val f = BloomFilter.create(inserted.size.toLong, 0.01)
+      inserted.foreach(f.putString)
+      val out = BloomMightContainExpr(Literal(serialize(f), BinaryType),
+        Literal(null, StringType)).eval(null)
+      Prop(out == false)
+    }
+}
