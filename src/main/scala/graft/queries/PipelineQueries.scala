@@ -219,6 +219,61 @@ object PipelineQueries {
     // a salted union) -> quality filter (punctuation + length) -> per-
     // language stats. The shape of a real pre-training data pass; every
     // stage is SQL-expressible so the oracle checks the composition.
+    // near-dup REMOVAL end-to-end — the full production chain: minhash
+    // LSH candidates → exact-Jaccard verify (inside minhashPairs) →
+    // connected components → keep the min-id representative per
+    // cluster. Corpus plants two mutated copies of each doc < 50
+    // (pairwise Jaccard ≈ 0.99 ⇒ banded recall effectively certain; a
+    // DuckDB sweep confirms NO coincidental cross-doc pair reaches the
+    // 0.9 threshold), docs 50-79 ride along as singletons. The oracle
+    // re-derives survivors from the EXACT O(n²) Jaccard pair graph and
+    // a recursive-CTE CC — a missed LSH edge, a verify bug, or a wrong
+    // cluster label all change the survivor set
+    "q39_neardup_removal" -> Q(
+      (s, dir) => {
+        val d = t(s, dir, "documents").where(col("doc_id") < 80)
+          .select(col("doc_id"), col("text"))
+        val m1 = d.where(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 100000)
+          .withColumn("text", concat(col("text"), lit(" x")))
+        val m2 = d.where(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 200000)
+          .withColumn("text", concat(col("text"), lit(" y")))
+        val corpus = d.unionByName(m1).unionByName(m2)
+        val pairs = Dedup.minhashPairs(corpus, "text", "doc_id",
+            shingleSize = 5, numHashes = 32, bands = 8, threshold = 0.9)
+          .select(col("id_a"), col("id_b"))
+        val clusters = Dedup.dupClusters(
+          corpus.select(col("doc_id").as("id")), pairs)
+        clusters.where(col("id") === col("cluster"))
+          .select(col("id").as("doc_id")).orderBy(col("doc_id"))
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 80),
+             |corpus AS (
+             |  SELECT doc_id, text FROM raw
+             |  UNION ALL SELECT doc_id + 100000, text || ' x' FROM raw WHERE doc_id < 50
+             |  UNION ALL SELECT doc_id + 200000, text || ' y' FROM raw WHERE doc_id < 50),
+             |sh AS (
+             |  SELECT doc_id, (CASE WHEN len(s) <= 4 THEN [s]
+             |    ELSE list_distinct(list_transform(range(1, len(s)-3),
+             |           i -> substring(s, i, 5))) END) AS g
+             |  FROM (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS s
+             |        FROM corpus)),
+             |pairs AS (
+             |  SELECT a.doc_id AS src, b.doc_id AS dst
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.g, b.g)) * 1.0
+             |        / len(list_distinct(list_concat(a.g, b.g))) >= 0.9),
+             |bidir AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+             |reach AS (
+             |  WITH RECURSIVE r(id, lbl) AS (
+             |    SELECT doc_id, doc_id FROM corpus
+             |    UNION
+             |    SELECT b.dst, r.lbl FROM bidir b JOIN r ON b.src = r.id)
+             |  SELECT id, MIN(lbl) AS cluster FROM r GROUP BY id)
+             |SELECT id AS doc_id FROM reach WHERE id = cluster ORDER BY doc_id""".stripMargin)),
+
     "q38_clean_pipeline" -> Q(
       (s, dir) => {
         val d = t(s, dir, "documents")
