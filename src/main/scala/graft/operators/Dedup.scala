@@ -437,6 +437,57 @@ object Dedup {
     tg.join(broadcast(bg), Seq("_g"), "left_semi").select(col(idCol)).distinct()
   }
 
+  /** Near-dup analog of [[exactAgainst]]: the rows of `incoming` whose
+    * simhash fingerprint is NOT within `maxHamming` bits of any
+    * fingerprint in `existingFps` — incremental near-dedup of a batch
+    * against a historical corpus whose retained state is just
+    * fingerprints: 8 bytes per document, never bodies. Composed into a
+    * `foreachBatch` sink (append survivors' rows to the data table and
+    * their `fpCol` to the fingerprint table in the same transaction via
+    * the exactly-once batch-marker sink) this IS streaming near-dedup —
+    * state lives in a graft table instead of executor memory, so it
+    * survives restarts, is never bounded by state-store size, and the
+    * whole pipeline stays replayable.
+    *
+    * Candidate generation is the same 4×16-bit pigeonhole banding as
+    * [[simhashPairs]] (two fingerprints within hamming ≤ 3 of each
+    * other agree exactly on at least one band): incoming and existing
+    * fingerprints band-join on (band, bandKey) — a shuffle of band keys
+    * and fingerprints only — then the exact 64-bit hamming check keeps
+    * real collisions. `maxBucketSize` caps degenerate bands (e.g. the
+    * all-zero band of empty documents) exactly as in [[simhashPairs]].
+    *
+    * Returns the surviving `incoming` rows plus their fingerprint as
+    * `fpCol`, so the caller appends retained state WITHOUT recomputing
+    * it. Near-dups WITHIN the batch are [[simhashPairs]]' job —
+    * compose when batch-internal collapse is wanted.
+    */
+  def simhashAgainst(incoming: DataFrame, existingFps: DataFrame,
+                     textCol: String, idCol: String, fpCol: String = "fp",
+                     maxHamming: Int = 3,
+                     maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4x16-bit pigeonhole bands guarantee a shared band only for hamming <= 3")
+    require(!incoming.columns.contains(fpCol),
+      s"incoming already has a column named '$fpCol'")
+    def banded(df: DataFrame, fp: String): DataFrame =
+      df.select(df.columns.map(col) :+
+          posexplode(transform(sequence(lit(0), lit(3)),
+            b => call_function("shiftright", col(fp), b * 16).bitwiseAND(0xFFFFL))): _*)
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val inFp = simhashTable(incoming, textCol, idCol) // (id, fp)
+    val inB = banded(inFp, "fp")
+    val exB = capBuckets(
+      banded(existingFps.select(col(fpCol).as("_exfp")), "_exfp"),
+      maxBucketSize, keys = Seq("band", "bkey"))
+    val dupIds = inB.join(exB, Seq("band", "bkey"))
+      .where(hammingDist(col("fp"), col("_exfp")) <= maxHamming)
+      .select(col("id")).distinct()
+    val survivors = inFp.join(dupIds, Seq("id"), "left_anti")
+    incoming.join(
+      survivors.select(col("id").as(idCol), col("fp").as(fpCol)), Seq(idCol))
+  }
+
   /** [[flagContaminated]] for reference sets too large to broadcast
     * exactly. The exact gram set costs tens of bytes per entry as
     * broadcast strings; past ~10⁷ grams that broadcast is the

@@ -562,6 +562,43 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     none.collect() shouldBe empty
   }
 
+  test("simhashAgainst drops near-dups of retained fingerprints, verified brute-force") {
+    val s = spark
+    import s.implicits._
+    def doc(i: Long, extra: String = "") =
+      s"the quick brown fox $i jumps over the lazy dog near river $i bank today$extra"
+    val existingDocs = (0L until 20L).map(i => (i, doc(i))).toDF("id", "text")
+    val existingFps = Dedup.simhashTable(existingDocs, "text", "id")
+      .select(col("fp"))
+    // re-worded copies: token-multiset changes shift many bit-sums, so
+    // only duplicated/trivially-reordered text stays within hamming 3 —
+    // exact copies (hamming 0) and a word swap (multiset unchanged ⇒
+    // hamming 0) are the in-range near-dups here; anything with new
+    // tokens is generically far and the brute-force equality covers it
+    val incoming = (
+      (0L until 3L).map(i => (1000 + i, doc(i))) ++                 // exact copies
+      (3L until 5L).map(i => (1000 + i,
+        doc(i).split(" ").reverse.mkString(" "))) ++                // reordered words
+      (50L until 60L).map(i => (1000 + i, s"completely different content piece $i with its own unique words ${i * 7}"))
+    ).toDF("id", "text")
+    val out = Dedup.simhashAgainst(incoming, existingFps, "text", "id")
+    // brute-force reference: an incoming doc survives iff NO existing
+    // fingerprint is within hamming 3 of its own
+    val exFps = existingFps.collect().map(_.getLong(0))
+    val inFps = Dedup.simhashTable(incoming, "text", "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = inFps.collect { case (id, f)
+      if !exFps.exists(e => java.lang.Long.bitCount(e ^ f) <= 3) => id }.toSet
+    out.collect().map(_.getLong(0)).toSet shouldBe expect
+    // the near-dup mutations were actually dropped (test has teeth)
+    expect.intersect((1000L until 1005L).toSet) shouldBe empty
+    expect should not be empty
+    // survivors carry their fingerprint for state append
+    out.columns should contain("fp")
+    out.select(col("id"), col("fp")).collect()
+      .foreach(r => r.getLong(1) shouldBe inFps(r.getLong(0)))
+  }
+
   test("exactAgainst keeps exactly the rows whose content is new to the corpus") {
     val s = spark
     import s.implicits._

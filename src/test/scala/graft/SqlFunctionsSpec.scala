@@ -71,4 +71,23 @@ class SqlFunctionsSpec extends AnyFunSuite with Matchers {
       spark.sql("SELECT graft_char_shingles(text, id) FROM sqlfn_docs").collect())
     err.getMessage should include("int literal")
   }
+
+  test("graft_bloom_might_contain resolves in SQL against a hex-literal filter") {
+    val f = org.apache.spark.util.sketch.BloomFilter.create(10, 0.01)
+    f.putString("hit")
+    val bos = new java.io.ByteArrayOutputStream()
+    f.writeTo(bos)
+    val hex = bos.toByteArray.map("%02X".format(_)).mkString
+    val Seq(hit, miss) = spark.sql(
+      s"SELECT graft_bloom_might_contain(X'$hex', 'hit'), " +
+        s"graft_bloom_might_contain(X'$hex', 'definitely absent')")
+      .head().toSeq.map(_.asInstanceOf[Boolean]).toSeq
+    hit shouldBe true
+    miss shouldBe false
+    // non-foldable filter argument is rejected at analysis, not at run
+    spark.sql("SELECT 'a' AS s").createOrReplaceTempView("sqlfn_bloom_t")
+    val err = intercept[Exception](spark.sql(
+      "SELECT graft_bloom_might_contain(CAST(s AS BINARY), s) FROM sqlfn_bloom_t").collect())
+    err.getMessage.toLowerCase should include("foldable")
+  }
 }

@@ -73,6 +73,48 @@ class StreamingOpsSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("streaming near-dedup via foreachBatch: fingerprint state survives across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // retained state = fingerprints only (8 bytes/doc), exactly what a
+    // production foreachBatch sink would append to a graft table in the
+    // same transaction as the surviving rows
+    val retained = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val survived = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("id", "text").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val fps =
+          if (retained.isEmpty) s.emptyDataset[Long].toDF("fp")
+          else retained.toSeq.toDF("fp")
+        val out = graft.operators.Dedup
+          .simhashAgainst(batch, fps, "text", "id").collect()
+        survived ++= out.map(_.getAs[Long]("id"))
+        retained ++= out.map(_.getAs[Long]("fp"))
+        ()
+      }
+      .start()
+    try {
+      def doc(i: Long) =
+        s"the quick brown fox $i jumps over the lazy dog near river $i bank today"
+      ms.addData((1L, doc(1)), (2L, doc(2)))
+      q.processAllAvailable()
+      survived.toSet shouldBe Set(1L, 2L)
+      // batch 2: a copy of doc 1 (dropped by CROSS-BATCH state), a
+      // reordered doc 2 (same token multiset -> hamming 0, dropped),
+      // and a genuinely new doc (kept)
+      ms.addData((10L, doc(1)),
+        (11L, doc(2).split(" ").reverse.mkString(" ")),
+        (12L, "entirely new material with distinct vocabulary here"))
+      q.processAllAvailable()
+      survived.toSet shouldBe Set(1L, 2L, 12L)
+      retained.size shouldBe 3
+    } finally q.stop()
+  }
+
   test("watermarked streaming dedup drops identical content at DIFFERENT event times") {
     val s = spark
     import s.implicits._
