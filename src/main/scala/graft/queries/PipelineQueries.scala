@@ -571,6 +571,54 @@ object PipelineQueries {
               |WHERE doc_id < 200
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // bigram conditional log-probability (the KenLM-proxy one order up
+    // from q71): P(w2|w1) = C(w1w2)/C(w1·) with counts over the
+    // corpus's own bigrams (MLE — every scored bigram has C > 0 by
+    // construction). Adjacent pairs come from one zip of the token
+    // array (no positional self-join); two partial-aggregated count
+    // shuffles build the model; scoring is a join on the bigram key.
+    // The standard perplexity-style quality filter shape
+    "q71b_bigram_logprob" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          TextFunctions.wordTokens(col("text")).as("ts"))
+        val bigrams = toks.where(size(col("ts")) >= 2)
+          .select(col("doc_id"), explode(
+            zip_with(slice(col("ts"), lit(1), size(col("ts")) - 1),
+                     slice(col("ts"), lit(2), size(col("ts")) - 1),
+                     (a, b) => concat_ws(" ", a, b))).as("b"))
+          .localCheckpoint(true) // read by model build AND scoring
+        val cb = bigrams.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+        val c1 = bigrams
+          .groupBy(substring_index(col("b"), " ", 1).as("w1"))
+          .agg(count(lit(1)).as("c1"))
+        val lp = cb.join(c1, substring_index(cb("b"), " ", 1) === c1("w1"))
+          .select(col("b"), log10(col("cb") / col("c1")).as("lp"))
+        bigrams.join(lp, Seq("b"))
+          .groupBy(col("doc_id"))
+          .agg(round(avg(col("lp")), 4).as("mean_bigram_logprob"),
+            count(lit(1)).as("bigrams"))
+          .where(col("doc_id") < 200)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, $DTOKENS AS t FROM documents),
+              |bg AS (
+              |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+              |    i -> t[i] || ' ' || t[i+1])) AS b
+              |  FROM toks WHERE len(t) >= 2),
+              |cb AS (SELECT b, COUNT(*) AS cb FROM bg GROUP BY b),
+              |c1 AS (SELECT split_part(b, ' ', 1) AS w1, COUNT(*) AS c1
+              |       FROM bg GROUP BY 1),
+              |lp AS (SELECT b, log10(cb.cb * 1.0 / c1.c1) AS lp
+              |       FROM cb JOIN c1 ON split_part(cb.b, ' ', 1) = c1.w1)
+              |SELECT doc_id, ROUND(AVG(lp), 4) AS mean_bigram_logprob,
+              |       COUNT(*) AS bigrams
+              |FROM bg JOIN lp USING (b)
+              |WHERE doc_id < 200
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // TF-IDF: top term per document by tf * log10(N/df) — explode,
     // two partial-aggregated shuffles, document-frequency join; ties
     // break lexicographically in both engines
