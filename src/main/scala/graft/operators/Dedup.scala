@@ -623,4 +623,54 @@ object Dedup {
     df.select(col(idCol).as("id"))
       .join(agged.select(col("id") +: buckets: _*), Seq("id"), "left")
   }
+
+  /** Chunk-level corpus dedup — C4's "remove any line repeated across
+    * the corpus" filter, at fixed-window granularity: documents are
+    * split into consecutive `chunkWords`-word chunks (the stand-in for
+    * lines when the corpus has no line structure), every occurrence of
+    * a chunk except the corpus-wide FIRST — smallest (`idCol`,
+    * position) — is dropped, and each document is reassembled from its
+    * surviving chunks in order. The boilerplate-removal shape: a
+    * footer/disclaimer repeated across millions of pages vanishes from
+    * all but one.
+    *
+    * Returns one row per input document: `idCol`, `kept_chunks`,
+    * `dropped_chunks`, `dedup_text` (empty string when every chunk was
+    * dropped — the document row itself always survives; dropping
+    * fully-gutted documents is a trivial `where` on top).
+    *
+    * Scale shape: chunking is a map-only explode; the first-occurrence
+    * owner comes from a partial-aggregating `groupBy(chunk).min` —
+    * map-side combine absorbs boilerplate skew, where a rank-over-chunk
+    * window would sort every occurrence of a hot chunk on one reducer —
+    * followed by one join back on chunk (AQE splits residual skew) and
+    * one shuffle on `idCol` to reassemble. Chunk text in the shuffle is
+    * bounded by `chunkWords`, never whole documents.
+    */
+  def dedupChunks(df: DataFrame, textCol: String, idCol: String,
+                  chunkWords: Int = 10): DataFrame = {
+    require(chunkWords > 0, s"chunkWords must be positive, got $chunkWords")
+    val toks = wordTokens(col(textCol))
+    val nChunks = ceil(size(toks).cast("double") / chunkWords).cast("int")
+    // sequence(0, -1) would yield [0, -1], not empty — guard zero-token
+    // documents explicitly
+    val chunkArr = when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * chunkWords + 1, lit(chunkWords)), " ")))
+    val chunks = df.select(col(idCol), posexplode(chunkArr).as(Seq("cidx", "chunk")))
+    val first = chunks.groupBy(col("chunk"))
+      .agg(min(struct(col(idCol), col("cidx"))).as("_first"))
+    val kept = chunks.join(first, Seq("chunk"))
+      .where(struct(col(idCol), col("cidx")) === col("_first"))
+    val agged = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("kept_chunks"),
+      array_join(transform(array_sort(collect_list(struct(col("cidx"), col("chunk")))),
+        s => s.getField("chunk")), " ").as("dedup_text"))
+    df.select(col(idCol), nChunks.cast("long").as("_n"))
+      .join(agged, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+        (col("_n") - coalesce(col("kept_chunks"), lit(0L))).as("dropped_chunks"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
 }

@@ -619,6 +619,40 @@ object PipelineQueries {
               |WHERE doc_id < 200
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // chunk-level corpus dedup (C4's cross-document line dedup, with
+    // 10-word windows standing in for lines): the corpus-wide first
+    // occurrence of each chunk survives, later ones are cut and the
+    // documents reassembled — the testdata's planted near-dups share
+    // real chunks, so the filter has teeth without planting
+    "q82_dedup_chunks" -> Q(
+      (s, dir) =>
+        Dedup.dedupChunks(t(s, dir, "documents"), "text", "doc_id", chunkWords = 10)
+          .orderBy(col("doc_id")),
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, $DTOKENS AS ts FROM documents),
+              |chunks AS (
+              |  SELECT doc_id, i AS cidx,
+              |         array_to_string(ts[(i*10+1):(i*10+10)], ' ') AS chunk
+              |  FROM toks, LATERAL (SELECT unnest(range(
+              |    CAST(ceil(len(ts) / 10.0) AS BIGINT))) AS i) u),
+              |keep AS (
+              |  SELECT doc_id, cidx, chunk,
+              |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) AS rn
+              |  FROM chunks),
+              |agg AS (
+              |  SELECT doc_id,
+              |    count(*) FILTER (WHERE rn = 1) AS kept_chunks,
+              |    count(*) FILTER (WHERE rn > 1) AS dropped_chunks,
+              |    coalesce(string_agg(chunk, ' ' ORDER BY cidx)
+              |      FILTER (WHERE rn = 1), '') AS dedup_text
+              |  FROM keep GROUP BY doc_id)
+              |SELECT d.doc_id,
+              |  coalesce(kept_chunks, 0) AS kept_chunks,
+              |  coalesce(dropped_chunks, 0) AS dropped_chunks,
+              |  coalesce(dedup_text, '') AS dedup_text
+              |FROM documents d LEFT JOIN agg USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
     // TF-IDF: top term per document by tf * log10(N/df) — explode,
     // two partial-aggregated shuffles, document-frequency join; ties
     // break lexicographically in both engines

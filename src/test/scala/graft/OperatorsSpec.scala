@@ -628,6 +628,39 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     all shouldBe batch.collect().map(_.getLong(0)).toSet
   }
 
+  test("dedupChunks drops repeated chunks corpus-wide, keeps first occurrences in order") {
+    val s = spark
+    import s.implicits._
+    val footer = (1 to 10).map(i => s"boiler$i").mkString(" ") // one exact chunk
+    val docs = Seq(
+      (1L, s"alpha one two three four five six seven eight nine $footer"),
+      (2L, s"beta one two three four five six seven eight nine $footer"),
+      (3L, footer),                       // nothing but the shared footer
+      (4L, "gamma " + footer.take(0)),    // 1-word doc, single short chunk
+      (5L, "")                            // zero tokens
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupChunks(docs, "text", "doc_id", chunkWords = 10)
+      .orderBy("doc_id").collect()
+    out.map(_.getLong(0)) shouldBe Array(1L, 2L, 3L, 4L, 5L)
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 owns both its chunks (first occurrence of the footer)
+    byId(1L) shouldBe ((2L, 0L,
+      s"alpha one two three four five six seven eight nine $footer"))
+    // doc 2's first chunk differs word-1, survives; its footer chunk is cut
+    byId(2L) shouldBe ((1L, 1L,
+      "beta one two three four five six seven eight nine"))
+    // doc 3 is fully gutted but its row survives with empty text
+    byId(3L) shouldBe ((0L, 1L, ""))
+    byId(4L) shouldBe ((1L, 0L, "gamma"))
+    byId(5L) shouldBe ((0L, 0L, ""))
+    // in-document repetition: the same chunk twice in one doc keeps
+    // only the earlier position
+    val rep = Seq((7L, footer + " " + footer)).toDF("doc_id", "text")
+    val r = Dedup.dedupChunks(rep, "text", "doc_id", chunkWords = 10).collect()(0)
+    (r.getLong(1), r.getLong(2), r.getString(3)) shouldBe ((1L, 1L, footer))
+  }
+
   test("stratifiedSample keeps deterministic per-stratum subsets at the set rates") {
     val s = spark
     import s.implicits._
