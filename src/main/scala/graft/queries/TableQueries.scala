@@ -112,6 +112,34 @@ object TableQueries {
               |FROM lineitem WHERE NOT (l_shipdate < TIMESTAMP '1997-06-01')
               |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // CDC changelog over an append/append/delete history: per-commit
+    // insert/delete row effects. The delete predicate is month-aligned
+    // on a month-partitioned table, so commit 2 is whole-partition
+    // drops — its delete side is exactly the predicate's rows and it
+    // has no rewrite-insert side, which is what makes the changelog
+    // SQL-expressible from the source parquet alone
+    "q83_changelog" -> Q(
+      (s, dir) => {
+        val cat = freshCatalog(s)
+        val ident = TableIdent("bench", "li_cdc")
+        val li = t(s, dir, "lineitem")
+        val tbl = cat.ensure(ident, Some("month(l_shipdate)"))
+        tbl.append(li.where(col("l_shipdate") < "1997-01-01"))
+        tbl.append(li.where(col("l_shipdate") >= "1997-01-01"))
+        tbl.deleteWhere("l_shipdate < '1997-06-01'")
+        tbl.scanChangesBetween(0, 2)
+          .groupBy(col("_commit_version"), col("_change_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+          .orderBy(col("_commit_version"), col("_change_type"))
+      },
+      Some(s"""SELECT 1 AS _commit_version, 'insert' AS _change_type,
+              |       COUNT(*) AS n, ${DSUM("l_extendedprice")} AS total
+              |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              |UNION ALL
+              |SELECT 2, 'delete', COUNT(*), ${DSUM("l_extendedprice")}
+              |FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-06-01'
+              |ORDER BY _commit_version, _change_type""".stripMargin)),
+
     // S9 time travel: scan-as-of the first snapshot after a second append
     "q44_time_travel" -> Q(
       (s, dir) => {

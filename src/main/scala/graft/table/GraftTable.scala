@@ -847,6 +847,44 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     readFiles(to.schema, added)
   }
 
+  /** Changelog read (CDC): the row-level effect of every commit in
+    * (`fromVersion`, `toVersion`], as data rows plus `_change_type`
+    * ('insert' | 'delete') and `_commit_version` — the Iceberg
+    * changelog-scan / Delta CDF analogue, and the general form of
+    * [[scanAppendedBetween]]: rewriting commits (delete-where, upsert,
+    * compaction) are in range, emitted as file-level delete+insert
+    * pairs. Rows a rewrite carried over unchanged appear on BOTH sides
+    * of that commit (compaction nets to zero); consumers wanting net
+    * row change apply inserts-minus-deletes per commit (EXCEPT ALL) —
+    * the spec asserts that replay invariant.
+    *
+    * All columns read through the `toVersion` schema — additive
+    * evolution (C2) means it covers every older file, null-filling
+    * columns that postdate a deleted file. Plan size is O(commits in
+    * range) unioned parquet scans — shaped for the CDC consumption
+    * pattern of small ranges per run, not whole-history replays.
+    */
+  def scanChangesBetween(fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion <= toVersion, s"bad range: $fromVersion..$toVersion")
+    val toSchema = log.read(toVersion).schema
+    val perCommit = (fromVersion until toVersion).map { v =>
+      val prev = log.read(v)
+      val cur = log.read(v + 1)
+      val before = prev.files.map(_.path).toSet
+      val after = cur.files.map(_.path).toSet
+      val ins = readFiles(toSchema, cur.files.filterNot(f => before.contains(f.path)))
+        .withColumn("_change_type", lit("insert"))
+      val del = readFiles(toSchema, prev.files.filterNot(f => after.contains(f.path)))
+        .withColumn("_change_type", lit("delete"))
+      ins.unionByName(del).withColumn("_commit_version", lit(cur.version))
+    }
+    val empty = readFiles(toSchema, Nil)
+      .withColumn("_change_type", lit(""))
+      .withColumn("_commit_version", lit(0))
+      .where(lit(false))
+    perCommit.foldLeft(empty)(_.unionByName(_))
+  }
+
   /** Snapshot history as a DataFrame (S9 read-back surface — the
     * `table.snapshots()` listing of `examples/load_with_commits.py:55-61`
     * as a queryable relation).

@@ -99,6 +99,40 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy t.scanAppendedBetween(0, 3)
   }
 
+  test("scanChangesBetween emits per-commit insert/delete rows that replay to the final state") {
+    val t = cat().ensure(TableIdent("ns", "t5e"), Some("day"))
+    t.append(df(d1, d2))                  // v0: +2 rows
+    t.append(df(d3))                      // v1: +1 row
+    t.deleteWhere("id = 1")               // v2: whole-partition drop
+    t.compact()                           // v3: rewrite, zero net change
+    val ch = t.scanChangesBetween(0, 3)
+    ch.columns.takeRight(2) shouldBe Array("_change_type", "_commit_version")
+    val by = ch.groupBy("_commit_version", "_change_type").count().collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    by shouldBe Map(
+      (1, "insert") -> 1L,                // d3 appended
+      (2, "delete") -> 1L,                // id=1's partition file dropped
+      (3, "insert") -> 2L, (3, "delete") -> 2L) // compaction carries rows over
+    // replay invariant: v0 state + inserts - deletes == v3 state
+    val base = t.scanAsOfVersion(0).select("id")
+    val ins = ch.where(col("_change_type") === "insert").select("id")
+    val del = ch.where(col("_change_type") === "delete").select("id")
+    base.unionAll(ins).exceptAll(del).collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      t.scan().select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // empty range; bad range
+    t.scanChangesBetween(2, 2).count() shouldBe 0
+    an[IllegalArgumentException] should be thrownBy t.scanChangesBetween(3, 1)
+    // deletes across additive evolution read null-filled through the
+    // to-version schema
+    val e = cat().ensure(TableIdent("ns", "t5f"))
+    e.append(df(d1))
+    e.evolveSchema(df(d1).withColumn("extra", lit(7L)).schema)
+    e.deleteWhere("id = 1")
+    val ech = e.scanChangesBetween(0, e.currentOrFail().version)
+    val delRow = ech.where(col("_change_type") === "delete").collect()(0)
+    delRow.isNullAt(delRow.fieldIndex("extra")) shouldBe true
+  }
+
   test("upsert keyed on the partition source rewrites only touched partitions") {
     val t = cat().ensure(TableIdent("ns", "t5d"), Some("day"))
     t.append(df(d1, d2, d3)) // three day-partitions, three files
