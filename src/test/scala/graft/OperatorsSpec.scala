@@ -661,6 +661,34 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     (r.getLong(1), r.getLong(2), r.getString(3)) shouldBe ((1L, 1L, footer))
   }
 
+  test("dedupChunks agrees with a sequential reference on a random corpus") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(82)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    def doc(): String = Seq.fill(rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0L until 150L).map(i => (i, doc()))
+    // planted structure: exact copies and shared suffixes across ids
+    val docs = base ++ base.take(20).map { case (i, t) => (i + 1000L, t) } ++
+      base.slice(20, 40).map { case (i, t) => (i + 2000L, doc() + " " + t) }
+    val k = 5
+    // sequential reference: first occurrence by (id, chunk index) wins
+    def toks(t: String) = t.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty).toSeq
+    val seen = scala.collection.mutable.Set.empty[String]
+    val ref = docs.sortBy(_._1).map { case (id, t) =>
+      val chunks = toks(t).grouped(k).map(_.mkString(" ")).toSeq
+      val kept = chunks.zipWithIndex.filter { case (c, _) => seen.add(c) }
+      id -> ((kept.size.toLong, (chunks.size - kept.size).toLong,
+        kept.map(_._1).mkString(" ")))
+    }.toMap
+    val out = Dedup.dedupChunks(docs.toDF("doc_id", "text"), "text", "doc_id", k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    out shouldBe ref
+    // the planted exact copies were fully gutted
+    (1000L until 1020L).filter(i => out(i)._1 == 0L).size shouldBe 20
+  }
+
   test("stratifiedSample keeps deterministic per-stratum subsets at the set rates") {
     val s = spark
     import s.implicits._
