@@ -47,7 +47,8 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   * safe with the lease enabled; single-writer s3a:// tables and all
   * HDFS-like stores are safe without it.
   */
-final class MetadataLog(val tableDir: HPath, conf: Configuration) {
+final class MetadataLog(val tableDir: HPath, conf: Configuration,
+                        val branch: Option[String] = None) {
 
   /** Convenience for POSIX-local tables (tests, single-node use). */
   def this(dir: java.nio.file.Path) = this(new HPath(dir.toUri), new Configuration())
@@ -69,7 +70,44 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration) {
   val metaFs: FileSystem = MetadataLog.rawIfLocal(fs)
   private val metaDir = new HPath(tableDir, "_meta")
 
-  private def versionFile(v: Int): HPath = new HPath(metaDir, f"v$v%08d.json")
+  // ---- branches ------------------------------------------------------
+  // A branch is an independent VERSION log under `_meta/branches/<name>/`
+  // sharing the main log's manifest namespace (manifests live in `_meta`
+  // root and are immutable + UUID-named, so branch and main commits
+  // reference each other's file groups freely — a branch fork is one
+  // O(metadata) commit, no data movement). Everything else — optimistic
+  // create-if-absent publish, lease, snapshot/manifest caches — applies
+  // per log, so branch commits contend only with that branch's writers.
+
+  /** Where THIS log's version files (and its commit lock) live. */
+  private val versionsDir =
+    branch.map(b => new HPath(metaDir, s"branches/$b")).getOrElse(metaDir)
+
+  /** The log of branch `name` over the same table. Branch names share
+    * the ref-name grammar; forks of forks are not modeled (branches
+    * hang off the table, not off each other).
+    */
+  def branchLog(name: String): MetadataLog = {
+    require(RefName.matches(name), s"invalid branch name '$name'")
+    new MetadataLog(tableDir, conf, Some(name))
+  }
+
+  def listBranches(): Seq[String] =
+    try metaFs.listStatus(new HPath(metaDir, "branches")).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName).sorted
+    catch { case _: java.io.FileNotFoundException => Nil }
+
+  /** Every log over this table — main plus all branches, this one
+    * included. File/manifest liveness for GC must union the whole
+    * family: a data file referenced only from a branch is live.
+    */
+  def family(): Seq[MetadataLog] = {
+    val main = if (branch.isEmpty) this else new MetadataLog(tableDir, conf)
+    main +: main.listBranches().map(b =>
+      if (branch.contains(b)) this else main.branchLog(b))
+  }
+
+  private def versionFile(v: Int): HPath = new HPath(versionsDir, f"v$v%08d.json")
 
   /** The table root as a java.nio path when it RESOLVES to the local
     * filesystem — gates the hard-link publish fast path. The check must
@@ -121,7 +159,7 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration) {
     */
   private val writerId = java.util.UUID.randomUUID().toString
 
-  private def lockFile: HPath = new HPath(metaDir, "commit.lock")
+  private def lockFile: HPath = new HPath(versionsDir, "commit.lock")
 
   /** (writer, expiryMs) of the current lease holder; None when absent
     * or unreadable (a torn lock write reads as absent — the next acquire
@@ -226,7 +264,7 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration) {
           }
         } finally java.nio.file.Files.deleteIfExists(tmp)
       case None =>
-        metaFs.mkdirs(metaDir)
+        metaFs.mkdirs(target.getParent)
         if (!leaseEnabled) renamePublish(target, content)
         else {
           acquireLease()
@@ -242,7 +280,7 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration) {
 
   /** The write-temp + rename publish (non-local branch's primitive). */
   private def renamePublish(target: HPath, content: String): Boolean = {
-    val tmp = new HPath(metaDir,
+    val tmp = new HPath(target.getParent,
       s".publish-${java.util.UUID.randomUUID().toString.take(12)}.tmp")
     writeString(tmp, content)
     var won = false
@@ -319,7 +357,7 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration) {
   def exists(): Boolean = currentVersion().isDefined
 
   def listVersions(): Seq[Int] =
-    try metaFs.listStatus(metaDir).toSeq
+    try metaFs.listStatus(versionsDir).toSeq
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toInt
@@ -370,9 +408,14 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration) {
     new HPath(metaDir, s"ref-$name.json")
   }
 
-  def createTag(name: String, version: Int): Unit =
+  def createTag(name: String, version: Int): Unit = {
+    // refs live in the metadata root and name MAIN-log versions; a tag
+    // against a branch-local version number would silently pin the
+    // wrong snapshot
+    require(branch.isEmpty, "tags are main-log scoped; fast-forward first")
     if (!publishAtomic(refFile(name), s"""{"version": $version}"""))
       throw new IllegalStateException(s"tag '$name' already exists")
+  }
 
   def dropTag(name: String): Boolean = deleteQuiet(refFile(name))
 
@@ -411,7 +454,7 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration) {
     */
   def commit(build: Option[Snapshot] => Snapshot,
              retries: Int = 10, minWaitMs: Long = 100, maxWaitMs: Long = 60000): Snapshot = {
-    metaFs.mkdirs(metaDir)
+    metaFs.mkdirs(versionsDir)
     var attempt = 0
     while (true) {
       val parent = current()
@@ -436,11 +479,16 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration) {
     sys.error("unreachable")
   }
 
-  /** Remove the whole log (drop table). */
+  /** Remove the whole log. For the MAIN log this drops the table's
+    * entire metadata tree, branches included; for a branch log only
+    * that branch's version chain goes (shared manifests stay — they
+    * may be referenced elsewhere; orphan GC sweeps the unreferenced
+    * ones by family-wide liveness).
+    */
   def destroy(): Unit = {
     snapshotCache.clear()
     manifestCache.clear()
-    deleteQuiet(metaDir, recursive = true)
+    deleteQuiet(if (branch.isDefined) versionsDir else metaDir, recursive = true)
     ()
   }
 }

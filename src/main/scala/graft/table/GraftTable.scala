@@ -580,6 +580,84 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     }
   }
 
+  // ------------------------------------------------------------------
+  // Branches — write-audit-publish (WAP)
+  // ------------------------------------------------------------------
+
+  /** Fork branch `name` from `fromVersion` (default: the current
+    * snapshot). O(metadata): the fork commit is the base snapshot's
+    * file groups re-published as the branch's v0 — no data moves, and
+    * main/branch histories then advance independently (each branch is
+    * its own optimistic-commit log under `_meta/branches/<name>/`,
+    * sharing the table's manifest namespace). The standard staging
+    * shape for risky pipeline writes: fork, write+audit on the branch,
+    * [[fastForward]] to publish — or [[dropBranch]] to walk away, with
+    * orphan GC sweeping the staged files.
+    */
+  def createBranch(name: String, fromVersion: Option[Int] = None): Snapshot = {
+    require(log.branch.isEmpty, "branches fork from the main table, not a branch view")
+    val base = fromVersion.map(snapshotAt).getOrElse(currentOrFail())
+    val bl = log.branchLog(name)
+    require(!bl.exists(), s"branch '$name' already exists")
+    bl.commit { parent =>
+      require(parent.isEmpty, s"branch '$name' already exists")
+      base.copy(
+        snapshotId = newSnapshotId(),
+        operation = "branch",
+        properties = base.properties +
+          (GraftTable.ForkVersionProp -> base.version.toString))
+    }
+  }
+
+  /** This table seen through branch `name`: a full [[GraftTable]] whose
+    * log is the branch's, so every operation — append, upsert,
+    * delete-where, compaction, scans, time travel — works unchanged and
+    * commits only to the branch.
+    */
+  def branch(name: String): GraftTable = {
+    require(log.branch.isEmpty, "already a branch view; branch from the main table")
+    val bl = log.branchLog(name)
+    require(bl.exists(), s"unknown branch '$name'")
+    new GraftTable(spark, tableDir, bl)
+  }
+
+  def listBranches(): Seq[String] = log.listBranches()
+
+  /** Delete branch `name`'s version chain. Data files staged only on
+    * the branch become unreferenced and fall to [[removeOrphanFiles]]
+    * (liveness is family-wide, so files shared with main survive).
+    */
+  def dropBranch(name: String): Unit = {
+    require(log.branch.isEmpty, "drop branches from the main table")
+    val bl = log.branchLog(name)
+    require(bl.exists(), s"unknown branch '$name'")
+    bl.destroy()
+  }
+
+  /** Publish branch `name`: one main-log commit adopting the branch
+    * head's file set, schema, and spec — the WAP publish step,
+    * metadata-only like [[rollbackTo]]. Requires main to still sit at
+    * the branch's fork version: fast-forward is adoption, not a merge,
+    * and silently overwriting commits that landed on main since the
+    * fork would lose them. On conflict, re-fork and replay the branch.
+    */
+  def fastForward(name: String): Snapshot = {
+    require(log.branch.isEmpty, "fast-forward publishes into the main log")
+    val bl = log.branchLog(name)
+    val head = bl.current().getOrElse(
+      throw new IllegalArgumentException(s"unknown branch '$name'"))
+    val forkVersion = bl.read(0).properties.getOrElse(GraftTable.ForkVersionProp,
+      throw new IllegalStateException(s"branch '$name' carries no fork marker")).toInt
+    log.commit { parent =>
+      val p = parent.getOrElse(
+        throw new IllegalStateException("cannot fast-forward an empty table"))
+      require(p.version == forkVersion,
+        s"main advanced since fork (fork v$forkVersion, main v${p.version}); " +
+          "fast-forward is not a merge — re-fork and replay the branch")
+      head.copy(snapshotId = newSnapshotId(), operation = "fast-forward")
+    }
+  }
+
   /** Expire snapshots (M1, `services/maintenance.py:12-86`).
     * Cutoff = `olderThanMs` if given, else timestamp of the
     * `keepLast`-th newest snapshot minus 1 ms. `keepLast` ≤ 0 or
@@ -606,8 +684,12 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
           s.version != newest.version && !tagged.contains(s.version))
         if (expired.isEmpty) return 0
         val survivors = all.diff(expired)
-        val keptPaths = survivors.flatMap(_.files.map(_.path)).toSet
-        val keptManifests = survivors.flatMap(_.manifestPaths).toSet
+        // liveness is FAMILY-wide: a file or manifest this log no
+        // longer references may still be live from main or a branch
+        val otherRefs = log.family().filter(_.branch != log.branch)
+          .flatMap(_.snapshots())
+        val keptPaths = (survivors ++ otherRefs).flatMap(_.files.map(_.path)).toSet
+        val keptManifests = (survivors ++ otherRefs).flatMap(_.manifestPaths).toSet
         expired.foreach(s => log.delete(s.version))
         // orphan GC: data files + manifests no surviving snapshot
         // references; best-effort like the reference's maintenance
@@ -645,7 +727,8 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
   def removeOrphanFiles(olderThanMs: Long = 3 * 24 * 3600 * 1000L,
                         dryRun: Boolean = false): Int = {
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val snaps = snapshots()
+    // family-wide liveness: branch-only files are NOT orphans
+    val snaps = log.family().flatMap(_.snapshots())
     val liveData = snaps.flatMap(_.files.map(_.path)).toSet
     val liveManifests = snaps.flatMap(_.manifestPaths).toSet
     // plan first: absolute data-file paths + manifest names, so dry-run
@@ -1168,6 +1251,11 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
 object GraftTable {
   /** Table property controlling manifest-merge onset (default 64). */
   val MergeThresholdProp = "graft.manifest.merge-threshold"
+
+  /** Stamped on a branch's fork commit (v0): the main-log version the
+    * branch forked from — [[GraftTable.fastForward]]'s publish guard.
+    */
+  val ForkVersionProp = "graft.branch.fork-version"
 
   /** Commits with more new files than this harvest footer stats via a
     * distributed job instead of a driver-side parallel loop (see

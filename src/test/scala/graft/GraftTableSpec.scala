@@ -133,6 +133,62 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     delRow.isNullAt(delRow.fieldIndex("extra")) shouldBe true
   }
 
+  test("branch fork, write, audit, fast-forward: the WAP loop") {
+    val t = cat().ensure(TableIdent("ns", "t5g"))
+    t.append(df(d1))                                   // main v0
+    t.createBranch("audit")
+    t.listBranches() shouldBe Seq("audit")
+    val b = t.branch("audit")
+    b.scan().count() shouldBe 1                        // fork sees main's data
+    b.snapshots().map(_.operation) shouldBe Seq("branch")
+    b.append(df(d2, d3))                               // staged on the branch
+    b.deleteWhere("id = 2")                            // audited + fixed there
+    b.scan().select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 3L)
+    t.scan().count() shouldBe 1                        // main untouched so far
+    val ff = t.fastForward("audit")                    // publish
+    ff.operation shouldBe "fast-forward"
+    t.scan().select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 3L)
+    // time travel on main still reads the pre-publish state
+    t.scanAsOfVersion(0).count() shouldBe 1
+    // publish guard: a branch whose fork main has moved past cannot
+    // fast-forward (adoption, not merge)
+    t.createBranch("late")
+    t.append(df(d2))                                   // main advances
+    an[IllegalArgumentException] should be thrownBy t.fastForward("late")
+    // branch views cannot mint main-scoped refs
+    an[IllegalArgumentException] should be thrownBy t.branch("late").createTag("x")
+    // drop: the branch disappears; main history is untouched
+    t.dropBranch("late")
+    t.listBranches() shouldBe Seq("audit")
+    an[IllegalArgumentException] should be thrownBy t.branch("late")
+  }
+
+  test("family-wide liveness: branch-referenced files survive GC until the branch drops") {
+    val t = cat().ensure(TableIdent("ns", "t5h"))
+    t.append(df(d1))                                   // main v0, file A
+    t.createBranch("keepalive")
+    val staged = t.branch("keepalive")
+    staged.append(df(d2))                              // file B: branch-only
+    Thread.sleep(15)
+    t.overwrite(df(d3))                                // main v1 drops file A
+    // A is expired from main but the branch fork still references it
+    t.expireSnapshots(keepLast = 1) shouldBe 1
+    staged.scan().select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      Seq(1L, 2L)
+    // orphan GC sees branch files as live: after a full sweep (only
+    // committer _SUCCESS markers fall) both views still read intact
+    t.removeOrphanFiles(olderThanMs = 0)
+    staged.scan().select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      Seq(1L, 2L)
+    t.scan().select("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(3L)
+    // ...until the branch drops, then exactly A, B, and the two
+    // manifests only the branch still referenced fall
+    t.dropBranch("keepalive")
+    t.removeOrphanFiles(olderThanMs = 0, dryRun = true) shouldBe 4
+    t.removeOrphanFiles(olderThanMs = 0) shouldBe 4
+    t.scan().select("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(3L)
+  }
+
   test("upsert keyed on the partition source rewrites only touched partitions") {
     val t = cat().ensure(TableIdent("ns", "t5d"), Some("day"))
     t.append(df(d1, d2, d3)) // three day-partitions, three files
