@@ -101,7 +101,8 @@ object Bench {
     // attribution unstable round-to-round (whichever heavy query ran
     // first absorbed residual JIT/codegen warm-up).
     case class QDiag(name: String, startMs: Long, wallS: Double, load: Double,
-                     stealJf: Long, busyJf: Long, cpuJf: Long) {
+                     stealJf: Long, busyJf: Long, cpuJf: Long,
+                     err: Option[String] = None) {
       def stealPct: Double = if (busyJf <= 0) 0.0 else 100.0 * stealJf / busyJf
       def cpuS: Double = if (cpuJf < 0) -1.0 else cpuJf / Hz
       /** Wall ≫ CPU actually granted to this JVM: the process averaged
@@ -120,12 +121,17 @@ object Bench {
       val cpu0 = procCpuJiffies()
       val startMs = System.currentTimeMillis()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // A query that throws must surface as FAILED, not as a phantom
+      // time-to-throw "timing" (round-9 postmortem: six broken queries
+      // recorded 0.07-0.5s and the artifact looked healthy).
+      val err = try { fn(spark, sfDir).count(); None }
+                catch { case e: Throwable =>
+                  Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.nextOption().getOrElse("")}") }
       val wall = (System.nanoTime() - t0) / 1e9
       val (steal1, busy1) = cpuStat()
       val cpu1 = procCpuJiffies()
       val d = QDiag(name, startMs, wall, load0, steal1 - steal0, busy1 - busy0,
-        if (cpu0 < 0 || cpu1 < 0) -1L else cpu1 - cpu0)
+        if (cpu0 < 0 || cpu1 < 0) -1L else cpu1 - cpu0, err)
       diags += d
       d
     }
@@ -141,12 +147,15 @@ object Bench {
     // sidecar; queries whose BEST measurement still sat in a stolen
     // window are counted as `suspect` on the JSON line.
     val median = {
-      val ws = firstPass.map(_._2.wallS).sorted
+      val ws = firstPass.filter(_._2.err.isEmpty).map(_._2.wallS).sorted
       if (ws.isEmpty) 0.0 else ws(ws.size / 2)
     }
     val CleanStealPct = 5.0
+    // errored queries are not retry candidates: their "wall" is time-to-
+    // throw, and re-running a deterministic failure buys nothing
     val retryWorthy = firstPass.filter { case (_, d) =>
-      d.stealPct > 10.0 || d.stalled || d.wallS > math.max(3.0, 4.0 * median)
+      d.err.isEmpty &&
+        (d.stealPct > 10.0 || d.stalled || d.wallS > math.max(3.0, 4.0 * median))
     }.sortBy(-_._2.wallS).take(20).map(_._1).toSet
     val retriedQueries = scala.collection.mutable.Set.empty[String]
     val finals = firstPass.map { case (name, d) =>
@@ -171,9 +180,10 @@ object Bench {
       }
       name -> best
     }
-    val suspectCount = finals.count(_._2.stealPct >= CleanStealPct)
-    val stalledCount = finals.count(_._2.stalled)
-    val results = finals.map { case (name, d) => name -> d.wallS }.toMap
+    val suspectCount = finals.count(d => d._2.err.isEmpty && d._2.stealPct >= CleanStealPct)
+    val stalledCount = finals.count(d => d._2.err.isEmpty && d._2.stalled)
+    val failed = finals.collect { case (name, d) if d.err.isDefined => name }
+    val results = finals.collect { case (name, d) if d.err.isEmpty => name -> d.wallS }.toMap
     // The driver keeps only a 2000-char tail of stdout and parses the JSON
     // line out of it; at ~67 queries full-precision doubles overflow that
     // window (round-3 bench was rc:0 but parsed:null). 2-decimal values keep
@@ -182,8 +192,13 @@ object Bench {
     // Short keys ("q12" for "q12_conditional_agg"): every query's q-number
     // prefix is unique, and full names at ~67 queries would push the line
     // right up against the tail window.
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k.split("_")(0) + "\":" + f(v) }
+    // Failed queries appear in the map with the literal string "err"
+    // (never a number) and are EXCLUDED from total — a bench line can
+    // no longer hide breakage inside a small total.
+    val qs = (results.toSeq.map { case (k, v) => k -> f(v) } ++
+        failed.map(k => k -> "\"err\""))
+      .sortBy(_._1)
+      .map { case (k, v) => "\"" + k.split("_")(0) + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     spark.stop()
@@ -241,7 +256,7 @@ object Bench {
       // seconds this JVM burned in the window — wall >> cpu at low
       // steal is a stall (I/O wait or scheduler noise), the second
       // contamination signature
-      s"""{"name":"${d.name}","start_epoch_ms":${d.startMs},"wall_s":${f(d.wallS)},"cpu_s":${f(d.cpuS)},"loadavg":${f(d.load)},"steal_pct":${f(d.stealPct)},"stalled":${d.stalled}}"""
+      s"""{"name":"${d.name}","start_epoch_ms":${d.startMs},"wall_s":${f(d.wallS)},"cpu_s":${f(d.cpuS)},"loadavg":${f(d.load)},"steal_pct":${f(d.stealPct)},"stalled":${d.stalled},"err":${d.err.map(m => "\"" + m.replaceAll("[\"\\\\]", " ") + "\"").getOrElse("null")}}"""
     }.mkString(
       s"""{"jvms_at_start":$jvmsAtStart,"loadavg_start":${f(loadAtStart)},"loadavg_end":${f(loadAtEnd)},"cpus":$cpus,"retry_policy":"min-of-retries-while-dirty-v2","regressions":$regJson,"queries":[""",
       ",", "]}")
@@ -262,7 +277,7 @@ object Bench {
     // comparisons should use the diag sidecar's first-pass numbers when
     // in doubt, ADVICE r8)
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","jvms":$jvmsAtStart,"load_max":${f(maxLoad)},"steal_pct":${f(stealPctTot)},"suspect":$suspectCount,"stalled":$stalledCount,"retried":${retriedQueries.size}}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","jvms":$jvmsAtStart,"load_max":${f(maxLoad)},"steal_pct":${f(stealPctTot)},"suspect":$suspectCount,"stalled":$stalledCount,"retried":${retriedQueries.size},"failed":${failed.size}}"""
     println(line)
   }
 }

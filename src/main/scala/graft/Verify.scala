@@ -16,11 +16,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // A failed query must leave an explicit error record, not just a
+    // stderr line: round 9 had six queries throw at plan time and the
+    // driver's CORRECTNESS artifact simply LOST their rows — a missing
+    // row is indistinguishable from "not applicable". _errors.json maps
+    // name → first line of the failure so the driver (and the judge)
+    // can report `err` rows instead of silently dropping them.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: " +
+          Option(e.getMessage).getOrElse("").linesIterator.nextOption().getOrElse("")
+        errors(name) = msg
+        System.err.println(s"[verify] $name FAILED: $msg")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -38,6 +48,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    // Loud on stdout too (exit code stays 0: the driver must still
+    // ingest the queries that DID run — a nonzero exit could discard
+    // the whole dump and turn one failure into ninety).
+    if (errors.nonEmpty) {
+      println(s"verify-errors: ${errors.size} ${errors.keys.mkString(",")}")
+    }
     spark.stop()
   }
 }

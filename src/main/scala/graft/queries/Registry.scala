@@ -15,14 +15,31 @@ object QueryHelpers {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark rejects
-    * outright; read nanos as long (legacy conf) and convert to a
-    * microsecond timestamp.
+  /** `events.ts` has drifted across testdata generations — some write
+    * TIMESTAMP(NANOS) (which Spark can only read as a raw long via the
+    * legacy conf), others plain timestamp[us]. Adapt to whatever the
+    * footer actually says instead of assuming either:
+    *   - LongType        → nanos file: convert nanos → micros timestamp
+    *   - TimestampNTZType→ micros file, no UTC adjustment: cast to the
+    *                       session-zoned timestamp the rest of the
+    *                       registry expects (value-identity under the
+    *                       harness's UTC session timezone)
+    *   - TimestampType   → use as-is
+    * The nanosAsLong conf must be set BEFORE the read: a NANOS footer
+    * throws at schema inference without it, and the conf is a no-op for
+    * micros files — so setting it unconditionally is what makes the
+    * dtype branch below reachable for both generations.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Exact money arithmetic both engines agree on bit-for-bit: sum in
