@@ -73,11 +73,22 @@ final class GraftMetadataTable(tbl: GraftTable, kind: String,
             part.orNull, fs.size, fs.map(_.rows).sum, fs.map(_.sizeBytes).sum))
         }.toArray
     case "refs" =>
-      tbl.tags().toSeq.sortBy(_._1).map { case (name, v) =>
+      // tags pin a MAIN-log version; branch rows report the branch
+      // HEAD (version in the branch's own numbering), Iceberg's
+      // two-kind .refs surface
+      val tagRows = tbl.tags().toSeq.sortBy(_._1).map { case (name, v) =>
         val snap = tbl.snapshotAt(v)
         new GenericInternalRow(Array[Any](
-          UTF8String.fromString(name), v, snap.snapshotId, snap.timestampMs))
-      }.toArray
+          UTF8String.fromString(name), UTF8String.fromString("TAG"),
+          v, snap.snapshotId, snap.timestampMs))
+      }
+      val branchRows = tbl.listBranches().map { name =>
+        val head = tbl.branch(name).currentOrFail()
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(name), UTF8String.fromString("BRANCH"),
+          head.version, head.snapshotId, head.timestampMs))
+      }
+      (tagRows ++ branchRows).toArray
   }
 
   private def renderPartition(f: graft.meta.DataFile): Option[UTF8String] =
@@ -123,11 +134,13 @@ object GraftMetadataTable {
     StructField("row_count", LongType, nullable = false),
     StructField("size_bytes", LongType, nullable = false)))
 
-  /** Named refs (tags): `SELECT * FROM g.ns.t.refs` — which versions
-    * are pinned and reproducible (Iceberg's `.refs`).
+  /** Named refs (tags + branches): `SELECT * FROM g.ns.t.refs` — which
+    * versions are pinned/forked and reproducible (Iceberg's `.refs`,
+    * including its TAG/BRANCH `type` discriminator).
     */
   val RefsSchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
+    StructField("type", StringType, nullable = false),
     StructField("version", IntegerType, nullable = false),
     StructField("snapshot_id", LongType, nullable = false),
     StructField("timestamp_ms", LongType, nullable = false)))

@@ -31,6 +31,7 @@ object GraftProcedures {
     Seq("expire_snapshots", "compact", "remove_orphans",
       "remove_orphan_files", "cluster",
       "zorder", "rollback_to_version", "create_tag", "drop_tag",
+      "create_branch", "fast_forward", "merge_branch", "drop_branch",
       "set_partition_spec", "verify_table")
 
   def load(cat: () => GraftCatalog, name: String): Option[UnboundProcedure] =
@@ -147,6 +148,66 @@ object GraftProcedures {
           val v = tbl.createTag(tag, Some(in.getInt(3)).filter(_ >= 0))
           new GenericInternalRow(Array[Any](
             org.apache.spark.unsafe.types.UTF8String.fromString(tag), v))
+        }))
+      // WAP from SQL: CALL create_branch → INSERT INTO g.ns.t.branch_<b>
+      // → audit SELECTs → CALL fast_forward (or drop_branch to abandon)
+      case "create_branch" => Some(proc(name,
+        Array(
+          ProcedureParameter.in("namespace", StringType).build(),
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("branch", StringType).build(),
+          ProcedureParameter.in("from_version", IntegerType).build()), // -1 = current
+        StructType(Seq(
+          StructField("branch", StringType),
+          StructField("fork_version", IntegerType))),
+        { in =>
+          val tbl = cat().load(TableIdent(in.getUTF8String(0).toString,
+            in.getUTF8String(1).toString))
+          val b = in.getUTF8String(2).toString
+          val snap = tbl.createBranch(b, Some(in.getInt(3)).filter(_ >= 0))
+          new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(b),
+            snap.properties(graft.table.GraftTable.ForkVersionProp).toInt))
+        }))
+      case "fast_forward" => Some(proc(name,
+        Array(
+          ProcedureParameter.in("namespace", StringType).build(),
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("branch", StringType).build()),
+        StructType(Seq(
+          StructField("published_version", IntegerType),
+          StructField("row_count", LongType))),
+        { in =>
+          val tbl = cat().load(TableIdent(in.getUTF8String(0).toString,
+            in.getUTF8String(1).toString))
+          val snap = tbl.fastForward(in.getUTF8String(2).toString)
+          new GenericInternalRow(Array[Any](snap.version, snap.rowCount))
+        }))
+      case "merge_branch" => Some(proc(name,
+        Array(
+          ProcedureParameter.in("namespace", StringType).build(),
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("branch", StringType).build()),
+        StructType(Seq(
+          StructField("published_version", IntegerType),
+          StructField("row_count", LongType))),
+        { in =>
+          val tbl = cat().load(TableIdent(in.getUTF8String(0).toString,
+            in.getUTF8String(1).toString))
+          val snap = tbl.mergeBranch(in.getUTF8String(2).toString)
+          new GenericInternalRow(Array[Any](snap.version, snap.rowCount))
+        }))
+      case "drop_branch" => Some(proc(name,
+        Array(
+          ProcedureParameter.in("namespace", StringType).build(),
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("branch", StringType).build()),
+        StructType(Seq(StructField("dropped", BooleanType))),
+        { in =>
+          val tbl = cat().load(TableIdent(in.getUTF8String(0).toString,
+            in.getUTF8String(1).toString))
+          tbl.dropBranch(in.getUTF8String(2).toString)
+          new GenericInternalRow(Array[Any](true))
         }))
       case "drop_tag" => Some(proc(name,
         Array(

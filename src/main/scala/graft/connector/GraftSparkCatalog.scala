@@ -96,34 +96,72 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         return new GraftMetadataTable(cat.load(parent),
           ident.name().toLowerCase, ident.toString)
     }
+    // `graft.ns.t.branch_audit` = the table seen through branch
+    // 'audit', READ-WRITE — the Iceberg branch-identifier surface that
+    // makes the WAP loop reachable from pure SQL: INSERT INTO the
+    // branch ident stages commits on the branch log only, audit
+    // queries SELECT from it, and `CALL graft.system.fast_forward`
+    // publishes.
+    if (ident.namespace().length == 2 &&
+        ident.name().toLowerCase.startsWith(BranchPrefix)) {
+      val parent = TableIdent(ident.namespace()(0), ident.namespace()(1))
+      val bname = ident.name().substring(BranchPrefix.length)
+      if (cat.exists(parent)) {
+        val tbl = cat.load(parent)
+        if (tbl.listBranches().contains(bname))
+          return new GraftV2Table(tbl.branch(bname), ident)
+      }
+    }
     if (ident.namespace().length != 1) throw new NoSuchTableException(ident)
     val ti = toIdent(ident)
     if (!cat.exists(ti)) throw new NoSuchTableException(ident)
     new GraftV2Table(cat.load(ti), ident)
   }
 
-  /** SQL `VERSION AS OF <v>` — a log version number, or a TAG name
-    * (`VERSION AS OF 'prod-2024-05'`), resolved through the table's
-    * named refs. Works on metadata tables too (`t.files VERSION AS OF
-    * 3` = that snapshot's file inventory, the Iceberg surface).
+  private val BranchPrefix = "branch_"
+
+  /** SQL `VERSION AS OF <v>` — a log version number, a TAG name
+    * (`VERSION AS OF 'prod-2024-05'`), or a BRANCH name (the branch's
+    * current head — a read-only view of staged WAP writes), resolved
+    * through the table's named refs; tags win a (disallowed-by-
+    * construction) name collision. Works on metadata tables too
+    * (`t.files VERSION AS OF 3` = that snapshot's file inventory, the
+    * Iceberg surface).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
-    def resolve(tbl: graft.table.GraftTable): Int =
-      version.toIntOption.getOrElse(tbl.snapshotAtTag(version).version)
+    // Left(pin) = a main-log version; Right(view) = a branch's table
+    // view (its own log — "latest of that log", not a frozen version)
+    def resolve(tbl: graft.table.GraftTable): Either[Int, graft.table.GraftTable] =
+      version.toIntOption.map(Left(_)).getOrElse {
+        if (tbl.tags().contains(version)) Left(tbl.snapshotAtTag(version).version)
+        else if (tbl.listBranches().contains(version)) Right(tbl.branch(version))
+        else Left(tbl.snapshotAtTag(version).version) // throws the tag's not-found error
+      }
     if (ident.namespace().length == 2 &&
         GraftMetadataTable.Kinds.contains(ident.name().toLowerCase)) {
       val parent = TableIdent(ident.namespace()(0), ident.namespace()(1))
       if (cat.exists(parent)) {
         val tbl = cat.load(parent)
-        return new GraftMetadataTable(tbl,
-          ident.name().toLowerCase, ident.toString, Some(resolve(tbl)))
+        return resolve(tbl) match {
+          case Left(v) => new GraftMetadataTable(tbl,
+            ident.name().toLowerCase, ident.toString, Some(v))
+          case Right(view) => new GraftMetadataTable(view,
+            ident.name().toLowerCase, ident.toString)
+        }
       }
     }
     if (ident.namespace().length != 1) throw new NoSuchTableException(ident)
     val ti = toIdent(ident)
     if (!cat.exists(ti)) throw new NoSuchTableException(ident)
     val tbl = cat.load(ti)
-    new GraftV2Table(tbl, ident, Some(Left(resolve(tbl))))
+    resolve(tbl) match {
+      case Left(v) => new GraftV2Table(tbl, ident, Some(Left(v)))
+      // AS OF is a read surface: pin the branch view to its current
+      // head so the result is a stable read-only snapshot, like every
+      // other AS OF
+      case Right(view) =>
+        new GraftV2Table(view, ident, Some(Left(view.currentOrFail().version)))
+    }
   }
 
   /** SQL `TIMESTAMP AS OF <ts>` — Spark passes MICROseconds. */

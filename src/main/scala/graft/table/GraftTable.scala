@@ -653,8 +653,84 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         throw new IllegalStateException("cannot fast-forward an empty table"))
       require(p.version == forkVersion,
         s"main advanced since fork (fork v$forkVersion, main v${p.version}); " +
-          "fast-forward is not a merge — re-fork and replay the branch")
+          "fast-forward is not a merge — re-fork and replay the branch, " +
+          "or use mergeBranch for an append-only branch")
       head.copy(snapshotId = newSnapshotId(), operation = "fast-forward")
+    }
+  }
+
+  /** Merge branch `name` into main even after main advanced past the
+    * fork — the completion of [[fastForward]]'s adoption-only contract.
+    *
+    * Semantics are a REBASE of the branch's net effect onto current
+    * main, defined only when that effect is append-only: every data
+    * file the fork base had must still be in the branch head. Appends
+    * commute with anything main did meanwhile (a branch-staged file is
+    * invisible to main's deletes/compactions, and main's own appends
+    * are disjoint paths), so grafting the added files onto main's
+    * current snapshot is conflict-free by construction — one
+    * O(new-files) manifest write, no data IO. A branch that rewrote or
+    * deleted fork-base rows (delete-where, upsert, overwrite,
+    * compaction) is rejected with the operations named: replaying a
+    * rewrite against a moved base needs row-level conflict resolution
+    * the format doesn't model — re-fork and replay, or publish via
+    * [[fastForward]] before main moves.
+    *
+    * Schema: at most ONE side may have evolved since the fork (both =
+    * reject); the evolved side's schema wins, additive evolution (C2)
+    * making it cover the other side's files. Main still at the fork
+    * version degenerates to plain adoption. Re-merging an already
+    * merged branch is a no-op commit (added files already present are
+    * skipped), so merge is idempotent.
+    */
+  def mergeBranch(name: String): Snapshot = {
+    require(log.branch.isEmpty, "merge publishes into the main log")
+    val bl = log.branchLog(name)
+    val head = bl.current().getOrElse(
+      throw new IllegalArgumentException(s"unknown branch '$name'"))
+    val fork = bl.read(0)
+    val forkVersion = fork.properties.getOrElse(GraftTable.ForkVersionProp,
+      throw new IllegalStateException(s"branch '$name' carries no fork marker")).toInt
+    val basePaths = fork.files.map(_.path).toSet
+    val headPaths = head.files.map(_.path).toSet
+    val removed = basePaths.diff(headPaths)
+    if (removed.nonEmpty) {
+      val rewriteOps = (1 to head.version).map(bl.read).map(_.operation)
+        .filterNot(op => op == "append" || op.startsWith("evolve")).distinct
+      throw new IllegalStateException(
+        s"branch '$name' is not append-only: ${removed.size} fork-base file(s) " +
+          s"removed by [${rewriteOps.mkString(", ")}] — merge rebases appends only; " +
+          "fast-forward before main advances, or drop the branch and re-fork")
+    }
+    require(head.partitionSpec == fork.partitionSpec,
+      s"branch '$name' changed the partition spec since the fork; " +
+        "publish via fast-forward or re-fork")
+    val appended = head.files.filterNot(f => basePaths.contains(f.path))
+    log.commit { parent =>
+      val p = parent.getOrElse(
+        throw new IllegalStateException("cannot merge into an empty table"))
+      if (p.version == forkVersion)
+        head.copy(snapshotId = newSnapshotId(), operation = "merge")
+      else {
+        val branchEvolved = head.schemaVersion != fork.schemaVersion
+        val mainEvolved = p.schemaVersion != fork.schemaVersion ||
+          p.schema != fork.schema
+        if (branchEvolved && mainEvolved)
+          throw new IllegalStateException(
+            s"both main and branch '$name' evolved the schema since the fork " +
+              s"(fork sv${fork.schemaVersion}, branch sv${head.schemaVersion}, " +
+              s"main sv${p.schemaVersion}) — re-fork and replay")
+        val (schema, schemaVersion) =
+          if (branchEvolved) (head.schema, math.max(head.schemaVersion, p.schemaVersion))
+          else (p.schema, p.schemaVersion)
+        val present = p.files.map(_.path).toSet
+        val toAdd = appended.filterNot(f => present.contains(f.path))
+        val groups =
+          if (toAdd.isEmpty) p.fileGroups
+          else p.fileGroups :+ log.writeManifest(toAdd, Some(schema))
+        p.copy(snapshotId = newSnapshotId(), operation = "merge",
+          schema = schema, schemaVersion = schemaVersion, fileGroups = groups)
+      }
     }
   }
 

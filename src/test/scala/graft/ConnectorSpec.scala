@@ -761,6 +761,59 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("branches from SQL: the full WAP loop through spark.sql only") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nswap")
+    spark.sql("CREATE TABLE graft.nswap.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.nswap.t VALUES (1, 'a'), (2, 'b')") // v1
+
+    // fork
+    val fork = spark.sql(
+      "CALL graft.system.create_branch('nswap', 't', 'audit', -1)").head
+    (fork.getString(0), fork.getInt(1)) shouldBe ("audit", 1)
+
+    // stage a write on the branch through its SQL identifier
+    spark.sql("INSERT INTO graft.nswap.t.branch_audit VALUES (3, 'c')")
+
+    // audit: the branch sees staged rows, main does not
+    spark.sql("SELECT COUNT(*) FROM graft.nswap.t.branch_audit")
+      .head.getLong(0) shouldBe 3L
+    spark.sql("SELECT COUNT(*) FROM graft.nswap.t").head.getLong(0) shouldBe 2L
+    // VERSION AS OF '<branch>' is the read-only view of the same head
+    spark.sql("SELECT COUNT(*) FROM graft.nswap.t VERSION AS OF 'audit'")
+      .head.getLong(0) shouldBe 3L
+    // .refs lists the branch with its type discriminator
+    spark.sql("SELECT name, type FROM graft.nswap.t.refs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq should
+      contain("audit" -> "BRANCH")
+
+    // publish, then verify main adopted the staged rows
+    spark.sql("CALL graft.system.fast_forward('nswap', 't', 'audit')")
+      .head.getLong(1) shouldBe 3L
+    spark.sql("SELECT id FROM graft.nswap.t ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 3L)
+
+    // walk away: drop clears the ref
+    spark.sql("CALL graft.system.drop_branch('nswap', 't', 'audit')")
+      .head.getBoolean(0) shouldBe true
+    spark.sql("SELECT COUNT(*) FROM graft.nswap.t.refs WHERE type = 'BRANCH'")
+      .head.getLong(0) shouldBe 0L
+
+    // publish guard: main advancing past the fork rejects fast_forward
+    spark.sql("CALL graft.system.create_branch('nswap', 't', 'b2', -1)")
+    spark.sql("INSERT INTO graft.nswap.t VALUES (9, 'z')")
+    val err = intercept[Exception] {
+      spark.sql("CALL graft.system.fast_forward('nswap', 't', 'b2')").collect()
+    }
+    err.getMessage should include("main advanced")
+
+    // merge_branch completes the story where fast_forward cannot:
+    // append-only staged work rebases onto the advanced main
+    spark.sql("INSERT INTO graft.nswap.t.branch_b2 VALUES (10, 'y')")
+    spark.sql("CALL graft.system.merge_branch('nswap', 't', 'b2')")
+      .head.getLong(1) shouldBe 5L
+    spark.sql("SELECT COUNT(*) FROM graft.nswap.t").head.getLong(0) shouldBe 5L
+  }
+
   test("aggregate pushdown answers GROUP BY partition value from metadata") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsagg3")
     spark.sql(

@@ -163,6 +163,63 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy t.branch("late")
   }
 
+  test("mergeBranch rebases append-only branches onto advanced main; rewrites reject") {
+    val t = cat().ensure(TableIdent("ns", "t5i"))
+    t.append(df(d1))                                   // main v0
+    t.createBranch("feature")
+    t.branch("feature").append(df(d2))                 // staged append
+    t.append(df(d3))                                   // main advances past fork
+    intercept[IllegalArgumentException] { t.fastForward("feature") }
+    val m = t.mergeBranch("feature")
+    m.operation shouldBe "merge"
+    t.scan().select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      Seq(1L, 2L, 3L)
+    // idempotent: a re-merge adds nothing
+    t.mergeBranch("feature").rowCount shouldBe 3
+    t.scan().count() shouldBe 3
+    t.dropBranch("feature")
+
+    // a branch that rewrote fork-base rows rejects with the op named
+    t.createBranch("rw")
+    t.branch("rw").deleteWhere("id = 1")
+    t.append(df((7L, "2024-03-01", "g")))
+    val err = intercept[IllegalStateException] { t.mergeBranch("rw") }
+    err.getMessage should include("not append-only")
+    err.getMessage should include("delete")
+    t.dropBranch("rw")
+
+    // one-sided additive evolution merges: the evolved side's schema
+    // wins and the other side's files read null-filled (C2)
+    t.createBranch("ev")
+    val be = t.branch("ev")
+    be.evolveSchema(df(d1).withColumn("extra", lit(1L)).schema)
+    be.append(df((4L, "2024-03-02", "h")).withColumn("extra", lit(5L)))
+    t.append(df((8L, "2024-03-03", "i")))              // main: append only
+    val ms = t.mergeBranch("ev")
+    ms.schema.fieldNames should contain("extra")
+    t.scan().where(col("id") === 4L).select("extra").head.getLong(0) shouldBe 5L
+    t.scan().where(col("id") === 8L).select("extra").head.isNullAt(0) shouldBe true
+    t.dropBranch("ev")
+
+    // both sides evolving since the fork is the unresolvable case
+    t.createBranch("both")
+    t.branch("both").evolveSchema(
+      t.schema.add(org.apache.spark.sql.types.StructField("b_only",
+        org.apache.spark.sql.types.LongType)))
+    t.evolveSchema(t.schema.add(org.apache.spark.sql.types.StructField("m_only",
+      org.apache.spark.sql.types.LongType)))
+    val err2 = intercept[IllegalStateException] { t.mergeBranch("both") }
+    err2.getMessage should include("evolved the schema")
+
+    // merge with main still at the fork degenerates to adoption
+    val t2 = cat().ensure(TableIdent("ns", "t5j"))
+    t2.append(df(d1))
+    t2.createBranch("adopt")
+    t2.branch("adopt").append(df(d2))
+    t2.mergeBranch("adopt").operation shouldBe "merge"
+    t2.scan().count() shouldBe 2
+  }
+
   test("family-wide liveness: branch-referenced files survive GC until the branch drops") {
     val t = cat().ensure(TableIdent("ns", "t5h"))
     t.append(df(d1))                                   // main v0, file A
