@@ -1023,25 +1023,86 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     * range) unioned parquet scans — shaped for the CDC consumption
     * pattern of small ranges per run, not whole-history replays.
     */
-  def scanChangesBetween(fromVersion: Int, toVersion: Int): DataFrame = {
+  def scanChangesBetween(fromVersion: Int, toVersion: Int): DataFrame =
+    scanChangesBetweenImpl(fromVersion, toVersion,
+      grouped = toVersion - fromVersion > GraftTable.GroupedChangelogThreshold)
+
+  /** Both changelog plan shapes, selected by range width above.
+    *
+    * `grouped = false`: one insert+delete scan pair PER COMMIT with the
+    * version as a literal — the cheapest plan for the normal CDC
+    * consumption pattern of a few commits per run (no join at all).
+    *
+    * `grouped = true`: the per-commit union is O(commits) parquet scans
+    * and a 500-commit backfill would plan a 1000-leaf union. Instead,
+    * ONE scan per change side over the distinct file set, with
+    * `_commit_version` recovered by broadcast-joining
+    * `input_file_name()`'s trailing `<commit-dir>/<file>` key against
+    * the driver-side file→version occurrence map. The join is a
+    * broadcast of O(changed files) metadata — never a shuffle — and a
+    * path that occurs on one side more than once in the range (append,
+    * delete-where, then rollback re-add) multiplies through the join,
+    * once per occurrence, exactly matching the per-commit shape.
+    */
+  private[graft] def scanChangesBetweenImpl(fromVersion: Int, toVersion: Int,
+                                            grouped: Boolean): DataFrame = {
     require(fromVersion <= toVersion, s"bad range: $fromVersion..$toVersion")
     val toSchema = log.read(toVersion).schema
-    val perCommit = (fromVersion until toVersion).map { v =>
-      val prev = log.read(v)
-      val cur = log.read(v + 1)
-      val before = prev.files.map(_.path).toSet
-      val after = cur.files.map(_.path).toSet
-      val ins = readFiles(toSchema, cur.files.filterNot(f => before.contains(f.path)))
-        .withColumn("_change_type", lit("insert"))
-      val del = readFiles(toSchema, prev.files.filterNot(f => after.contains(f.path)))
-        .withColumn("_change_type", lit("delete"))
-      ins.unionByName(del).withColumn("_commit_version", lit(cur.version))
+    if (!grouped) {
+      val perCommit = (fromVersion until toVersion).map { v =>
+        val prev = log.read(v)
+        val cur = log.read(v + 1)
+        val before = prev.files.map(_.path).toSet
+        val after = cur.files.map(_.path).toSet
+        val ins = readFiles(toSchema, cur.files.filterNot(f => before.contains(f.path)))
+          .withColumn("_change_type", lit("insert"))
+        val del = readFiles(toSchema, prev.files.filterNot(f => after.contains(f.path)))
+          .withColumn("_change_type", lit("delete"))
+        ins.unionByName(del).withColumn("_commit_version", lit(cur.version))
+      }
+      val empty = readFiles(toSchema, Nil)
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0))
+        .where(lit(false))
+      perCommit.foldLeft(empty)(_.unionByName(_))
+    } else {
+      // (commit version, file) occurrences per side, driver-side metadata
+      val commits = (fromVersion until toVersion).map(v => (log.read(v), log.read(v + 1)))
+      val inserts = commits.flatMap { case (prev, cur) =>
+        val before = prev.files.map(_.path).toSet
+        cur.files.filterNot(f => before.contains(f.path)).map(f => cur.version -> f)
+      }
+      val deletes = commits.flatMap { case (prev, cur) =>
+        val after = cur.files.map(_.path).toSet
+        prev.files.filterNot(f => after.contains(f.path)).map(f => cur.version -> f)
+      }
+      // scheme-stable join key: the trailing "<commit-dir>/<file>" of a
+      // path identifies a file uniquely within the table (commit dirs
+      // are UUIDs) and is identical between the relative metadata path
+      // and whatever qualified URI input_file_name() reports
+      def keyOf(relPath: String): String =
+        relPath.split('/').takeRight(2).mkString("/")
+      val fileKeyCol = {
+        val parts = split(input_file_name(), "/")
+        concat(element_at(parts, -2), lit("/"), element_at(parts, -1))
+      }
+      val dataCols = toSchema.fieldNames.map(c => col(s"`$c`")).toSeq
+      def side(tag: String, occ: Seq[(Int, DataFile)]): DataFrame = {
+        val distinctFiles = occ.map(_._2).groupBy(_.path).map(_._2.head).toSeq
+        val occDf = spark.createDataFrame(occ.map { case (v, f) => (keyOf(f.path), v) })
+          .toDF("_graft_file_key", "_commit_version")
+        readFiles(toSchema, distinctFiles)
+          .withColumn("_graft_file_key", fileKeyCol)
+          .join(broadcast(occDf), "_graft_file_key")
+          .select(dataCols :+ lit(tag).as("_change_type") :+ col("_commit_version"): _*)
+      }
+      if (inserts.isEmpty && deletes.isEmpty)
+        readFiles(toSchema, Nil)
+          .withColumn("_change_type", lit(""))
+          .withColumn("_commit_version", lit(0))
+          .where(lit(false))
+      else side("insert", inserts).unionByName(side("delete", deletes))
     }
-    val empty = readFiles(toSchema, Nil)
-      .withColumn("_change_type", lit(""))
-      .withColumn("_commit_version", lit(0))
-      .where(lit(false))
-    perCommit.foldLeft(empty)(_.unionByName(_))
   }
 
   /** Snapshot history as a DataFrame (S9 read-back surface — the
@@ -1332,6 +1393,12 @@ object GraftTable {
     * branch forked from — [[GraftTable.fastForward]]'s publish guard.
     */
   val ForkVersionProp = "graft.branch.fork-version"
+
+  /** Changelog ranges wider than this switch from per-commit union
+    * scans (O(commits) plan leaves) to the two-scan broadcast-mapped
+    * plan — see [[GraftTable.scanChangesBetweenImpl]].
+    */
+  val GroupedChangelogThreshold = 50
 
   /** Commits with more new files than this harvest footer stats via a
     * distributed job instead of a driver-side parallel loop (see

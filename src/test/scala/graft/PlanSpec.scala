@@ -76,6 +76,49 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p should include("+- * ColumnarToRow")
   }
 
+  test("changelog over a wide range plans two scans, not one pair per commit") {
+    import graft.table.{GraftCatalog, TableIdent}
+    val s = spark
+    import s.implicits._
+    val t = GraftCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-cdcplan").toString)
+      .ensure(TableIdent("ns", "wide"))
+    // 56 appends, a whole-file delete, a rollback that re-adds the
+    // deleted file (same path, second insert occurrence), one more
+    // append: 59 commits > the grouped threshold (50)
+    (0 until 56).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "v")))
+    t.deleteWhere("id = 3")
+    t.rollbackTo(55)
+    t.append(Seq((99L, "z")).toDF("id", "v"))
+    val cur = t.currentOrFail().version
+    cur should be > graft.table.GraftTable.GroupedChangelogThreshold
+
+    val wide = t.scanChangesBetween(0, cur)
+    val p = plan(wide)
+    // bounded plan: ONE parquet scan per change side regardless of
+    // range width (the per-commit shape would plan ~60 pairs)
+    wide.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.size shouldBe 2
+    // version recovery is a broadcast of driver-side metadata, never a
+    // shuffled join
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+
+    // the two plan shapes are interchangeable: same rows, same
+    // attributed versions, including the rollback's double-insert
+    def key(df: DataFrame) = df
+      .select(col("id"), col("_change_type"), col("_commit_version"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted.toSeq
+    val grouped = key(t.scanChangesBetweenImpl(0, cur, grouped = true))
+    val perCommit = key(t.scanChangesBetweenImpl(0, cur, grouped = false))
+    grouped shouldBe perCommit
+    // the deleted-then-rolled-back file really does appear as insert
+    // twice and delete once
+    grouped.collect { case (3L, ct, _) => ct }.sorted shouldBe
+      Seq("delete", "insert", "insert")
+  }
+
   test("metadata-backed file index plans 100k files with no filesystem calls") {
     import graft.connector.GraftFileIndex
     import graft.meta.DataFile
