@@ -96,6 +96,13 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         return new GraftMetadataTable(cat.load(parent),
           ident.name().toLowerCase, ident.toString)
     }
+    // `graft.ns.t.changes` = the CDC relation (batch + streaming), the
+    // Delta-CDF/Iceberg-changelog surface over scanChangesBetween
+    if (ident.namespace().length == 2 && ident.name().equalsIgnoreCase("changes")) {
+      val parent = TableIdent(ident.namespace()(0), ident.namespace()(1))
+      if (cat.exists(parent))
+        return new GraftChangesTable(cat.load(parent), ident)
+    }
     // `graft.ns.t.branch_audit` = the table seen through branch
     // 'audit', READ-WRITE — the Iceberg branch-identifier surface that
     // makes the WAP loop reachable from pure SQL: INSERT INTO the

@@ -140,6 +140,82 @@ object TableQueries {
               |FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-06-01'
               |ORDER BY _commit_version, _change_type""".stripMargin)),
 
+    // Branch WAP + merge, pure SQL: fork, stage an insert on the branch
+    // ident, let main advance past the fork (fast-forward now
+    // impossible), then CALL merge_branch — the rebase path. The end
+    // state is source-derivable: every order lands exactly once.
+    "q84_branch_wap" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq84").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq84", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq84.warehouse",
+            Files.createTempDirectory("graft-wap").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq84.bench")
+        s.sql("DROP TABLE IF EXISTS graftq84.bench.ords")
+        s.sql("""CREATE TABLE graftq84.bench.ords
+                |(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)""".stripMargin)
+        t(s, dir, "orders").createOrReplaceTempView("q84_src")
+        s.sql("""INSERT INTO graftq84.bench.ords
+                |SELECT o_orderkey, o_orderstatus, o_totalprice
+                |FROM q84_src WHERE o_orderstatus = 'O'""".stripMargin)
+        s.sql("CALL graftq84.system.create_branch('bench', 'ords', 'audit', -1)")
+        s.sql("""INSERT INTO graftq84.bench.ords.branch_audit
+                |SELECT o_orderkey, o_orderstatus, o_totalprice
+                |FROM q84_src WHERE o_orderstatus = 'F'""".stripMargin)
+        s.sql("""INSERT INTO graftq84.bench.ords
+                |SELECT o_orderkey, o_orderstatus, o_totalprice
+                |FROM q84_src WHERE o_orderstatus = 'P'""".stripMargin)
+        s.sql("CALL graftq84.system.merge_branch('bench', 'ords', 'audit')")
+        s.sql("""SELECT o_orderstatus, COUNT(*) AS n,
+                |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+                |FROM graftq84.bench.ords
+                |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n, ${DSUM("o_totalprice")} AS total
+              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // The DSv2 CDC relation (`t.changes`, startingVersion option) over
+    // the same append/append/month-aligned-delete history as q83 — the
+    // SQL-reachable dual of scanChangesBetween, against the same
+    // source-parquet oracle shape.
+    "q85_changes_feed" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq85").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq85", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq85.warehouse",
+            Files.createTempDirectory("graft-cdcq").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq85.bench")
+        s.sql("DROP TABLE IF EXISTS graftq85.bench.li")
+        s.sql("""CREATE TABLE graftq85.bench.li
+                |(l_orderkey BIGINT, l_shipdate TIMESTAMP_NTZ, l_extendedprice DOUBLE)
+                |PARTITIONED BY (months(l_shipdate))""".stripMargin)
+        t(s, dir, "lineitem").createOrReplaceTempView("q85_src")
+        s.sql("""INSERT INTO graftq85.bench.li
+                |SELECT l_orderkey, l_shipdate, l_extendedprice
+                |FROM q85_src WHERE l_shipdate < TIMESTAMP '1997-01-01'""".stripMargin)
+        s.sql("""INSERT INTO graftq85.bench.li
+                |SELECT l_orderkey, l_shipdate, l_extendedprice
+                |FROM q85_src WHERE l_shipdate >= TIMESTAMP '1997-01-01'""".stripMargin)
+        s.sql("DELETE FROM graftq85.bench.li WHERE l_shipdate < TIMESTAMP '1997-06-01'")
+        s.read.option("startingVersion", "0")
+          .table("graftq85.bench.li.changes")
+          .groupBy(col("_commit_version"), col("_change_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+          .orderBy(col("_commit_version"), col("_change_type"))
+      },
+      Some(s"""SELECT 1 AS _commit_version, 'insert' AS _change_type,
+              |       COUNT(*) AS n, ${DSUM("l_extendedprice")} AS total
+              |FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+              |UNION ALL
+              |SELECT 2, 'insert', COUNT(*), ${DSUM("l_extendedprice")}
+              |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              |UNION ALL
+              |SELECT 3, 'delete', COUNT(*), ${DSUM("l_extendedprice")}
+              |FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-06-01'
+              |ORDER BY _commit_version, _change_type""".stripMargin)),
+
     // S9 time travel: scan-as-of the first snapshot after a second append
     "q44_time_travel" -> Q(
       (s, dir) => {

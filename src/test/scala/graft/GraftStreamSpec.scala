@@ -399,6 +399,93 @@ class GraftStreamSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("CDC stream consumes every commit kind exactly once, tagged, across restarts") {
+    val (s, c) = streamSession("graft-cdc")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.scdc")
+    s.sql("CREATE TABLE graft.scdc.src (id BIGINT, v STRING)")
+    s.sql("INSERT INTO graft.scdc.src VALUES (1, 'a'), (2, 'b')") // v1
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt").toString
+    val out = Files.createTempDirectory("graft-cdc-out").toString
+    def start() = s.readStream
+      .option("streamStartVersion", "-1") // genesis: v0's state replays too
+      .table("graft.scdc.src.changes")
+      .writeStream
+      .format("parquet") // restartable sink
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      // a DELETE is consumable by the CDC stream (the append stream
+      // aborts or skips it) and arrives tagged
+      s.sql("DELETE FROM graft.scdc.src WHERE id = 1")       // v2
+      s.sql("INSERT INTO graft.scdc.src VALUES (3, 'c')")    // v3
+      q.processAllAvailable()
+    } finally q.stop()
+    // restart from the checkpoint: new commits only, no re-emission
+    s.sql("INSERT INTO graft.scdc.src VALUES (4, 'd')")      // v4
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = s.read.parquet(out)
+      .select("id", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted.toSeq
+    // the delete arrived tagged at its commit (file layout decides
+    // whether id=2 churns alongside it, so assert semantics, not files)
+    got should contain((1L, "delete", 2))
+    got.filter(_._2 == "insert").map(_._1) should contain allOf (1L, 2L, 3L, 4L)
+    // replay invariant: insert multiset minus delete multiset == table
+    val net = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+    got.foreach { case (id, ct, _) => net(id) += (if (ct == "insert") 1 else -1) }
+    net.filter(_._2 > 0).keys.toSeq.sorted shouldBe
+      s.sql("SELECT id FROM graft.scdc.src").collect().map(_.getLong(0)).sorted.toSeq
+    // exactly-once: replaying the whole feed as a batch read gives the
+    // same multiset (the streaming path emitted each change once)
+    val batch = s.read.option("startingVersion", "0")
+      .table("graft.scdc.src.changes")
+      .select("id", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted.toSeq
+    batch shouldBe got
+  }
+
+  test("CDC batch read matches scanChangesBetween; maxVersionsPerTrigger paces the stream") {
+    val (s, c) = streamSession("graft-cdc2")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.scdc2")
+    s.sql("CREATE TABLE graft.scdc2.src (id BIGINT)")
+    s.sql("INSERT INTO graft.scdc2.src VALUES (1)")
+    s.sql("INSERT INTO graft.scdc2.src VALUES (2)")
+    s.sql("DELETE FROM graft.scdc2.src WHERE id = 1")
+    s.sql("INSERT INTO graft.scdc2.src VALUES (3)")
+    val tbl = c.load(graft.table.TableIdent("scdc2", "src"))
+    val cur = tbl.currentOrFail().version
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted.toSeq
+    // the DSv2 batch surface and the Scala API agree row-for-row
+    key(s.read.option("startingVersion", "0").option("endingVersion", cur.toString)
+      .table("graft.scdc2.src.changes")
+      .select("id", "_change_type", "_commit_version").collect()) shouldBe
+      key(tbl.scanChangesBetween(0, cur)
+        .select("id", "_change_type", "_commit_version").collect())
+
+    // version-granular pacing: 4 pending versions at 1/trigger = ≥4 batches
+    val ckpt = Files.createTempDirectory("graft-cdc2-ckpt").toString
+    val q = s.readStream
+      .option("streamStartVersion", "-1")
+      .option("maxVersionsPerTrigger", "1")
+      .table("graft.scdc2.src.changes")
+      .writeStream.format("memory").queryName("graft_cdc2_sink")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000) shouldBe true
+      s.sql("SELECT COUNT(*) FROM graft_cdc2_sink").head.getLong(0) shouldBe
+        tbl.scanChangesBetween(0, cur).count()
+      q.recentProgress.count(_.numInputRows > 0) should be >= 3
+    } finally q.stop()
+  }
+
   test("skip mode still aborts on upsert: its inserted rows cannot be silently lost") {
     val (s, c) = streamSession("graft-src3")
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft.sns3")
