@@ -9,9 +9,10 @@ import org.apache.spark.sql.GraftSqlShim
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -38,7 +39,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * driver); files are read by the same native ParquetScan machinery as
   * batch scans, with the two CDC columns appended per-partition by a
   * reader wrapper — the tag is constant per (file, commit) so it costs
-  * a JoinedRow, not a per-row computation.
+  * a JoinedRow, not a per-row computation. Column pruning and data-
+  * column filters push through to the parquet scan: a consumer
+  * projecting two columns reads two columns, and every filter stays
+  * residual so pushdown is pure speedup, never semantics.
   */
 final class GraftChangesTable(tbl: GraftTable, ident: Identifier)
     extends Table with SupportsRead {
@@ -51,15 +55,50 @@ final class GraftChangesTable(tbl: GraftTable, ident: Identifier)
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new GraftChangesScan(tbl, options)
+    new GraftChangesScanBuilder(tbl, options)
 }
 
-final class GraftChangesScan(tbl: GraftTable, options: CaseInsensitiveStringMap)
+final class GraftChangesScanBuilder(tbl: GraftTable,
+                                    options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = GraftCdc.changeSchema(tbl.schema)
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Keep data-column filters for parquet row-group pruning; return
+    * EVERY filter residual (Spark re-evaluates row-level), so CDC-
+    * column predicates and untranslatable shapes lose nothing.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val dataCols = tbl.schema.fieldNames.map(_.toLowerCase).toSet
+    pushed = filters.filter(_.references.forall(r => dataCols.contains(r.toLowerCase)))
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftChangesScan(tbl, options, required, pushed)
+}
+
+final class GraftChangesScan(tbl: GraftTable, options: CaseInsensitiveStringMap,
+                             required: StructType, pushed: Array[Filter])
     extends Scan {
 
-  override def readSchema(): StructType = GraftCdc.changeSchema(tbl.schema)
+  // the pruned read split into its parquet part and its constant part
+  private val dataPart = StructType(
+    required.fields.filter(f => tbl.schema.fieldNames.contains(f.name)))
+  private val metaPart: Seq[String] =
+    required.fields.map(_.name).filter(GraftCdc.MetaCols.contains).toSeq
 
-  override def description(): String = s"GraftChanges(${tbl.tableDir})"
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftChanges(${tbl.tableDir}, read=${required.fieldNames.mkString(",")}, " +
+      s"pushed=[${pushed.mkString(", ")}])"
 
   override def toBatch: Batch = new Batch {
     private val from = Option(options.get("startingVersion")).map(_.toInt).getOrElse(0)
@@ -67,26 +106,32 @@ final class GraftChangesScan(tbl: GraftTable, options: CaseInsensitiveStringMap)
       .getOrElse(tbl.currentOrFail().version)
 
     override def planInputPartitions(): Array[InputPartition] =
-      GraftCdc.partitionsBetween(tbl, from, to)
+      GraftCdc.partitionsBetween(tbl, from, to, dataPart, pushed)
 
     override def createReaderFactory(): PartitionReaderFactory =
-      GraftCdc.readerFactory(tbl)
+      GraftCdc.readerFactory(tbl, dataPart, metaPart, pushed)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftCdcMicroBatchStream(tbl, options)
+    new GraftCdcMicroBatchStream(tbl, options, dataPart, metaPart, pushed)
 }
 
 /** Streaming CDC: offset = metadata-log version (same durable total
   * order as [[GraftMicroBatchStream]], so the two stream kinds share
   * checkpoint semantics). `streamStartVersion` / `streamStartTimestamp`
   * choose the replay point (default: only commits AFTER stream start;
-  * `-1` = genesis, emitting v0's state as inserts at version 0);
-  * `maxVersionsPerTrigger` paces catch-up — admission is version-
-  * granular, preserving exactly-once per version.
+  * `-1` = genesis, emitting v0's state as inserts at version 0).
+  * Catch-up pacing: `maxVersionsPerTrigger` caps the version span;
+  * `maxFilesPerTrigger` / `maxRowsPerTrigger` reuse the append
+  * stream's admission walk over per-version CHANGE sizes (insert +
+  * delete sides) — admission stays version-granular either way, so
+  * exactly-once per version is preserved.
   */
 final class GraftCdcMicroBatchStream(tbl: GraftTable,
-                                     options: CaseInsensitiveStringMap)
+                                     options: CaseInsensitiveStringMap,
+                                     dataPart: StructType,
+                                     metaPart: Seq[String],
+                                     pushed: Array[Filter])
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val maxVersions = Option(options.get("maxVersionsPerTrigger")).map(_.toInt)
@@ -109,12 +154,39 @@ final class GraftCdcMicroBatchStream(tbl: GraftTable,
   override def latestOffset(): Offset =
     GraftStreamOffset(availableNowEnd.getOrElse(tbl.currentOrFail().version))
 
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      Option(options.get("maxFilesPerTrigger")).map(s => ReadLimit.maxFiles(s.toInt)),
+      Option(options.get("maxRowsPerTrigger")).map(s => ReadLimit.maxRows(s.toLong))).flatten
+    limits match {
+      case Seq()  => ReadLimit.allAvailable()
+      case Seq(l) => l
+      case ls     => ReadLimit.compositeLimit(ls.toArray)
+    }
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[GraftStreamOffset].version
     val latest = availableNowEnd.getOrElse(tbl.currentOrFail().version)
+    def caps(l: ReadLimit): (Option[Int], Option[Long]) = l match {
+      case f: ReadMaxFiles => (Some(f.maxFiles), None)
+      case r: ReadMaxRows => (None, Some(r.maxRows))
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(caps).reduce { (a, b) =>
+          (Seq(a._1, b._1).flatten.minOption, Seq(a._2, b._2).flatten.minOption)
+        }
+      case _ => (None, None)
+    }
+    val (maxFiles, maxRows) = caps(limit)
+    val admitted =
+      if (maxFiles.isEmpty && maxRows.isEmpty) latest
+      else GraftMicroBatchStream.admitWalk(from, latest, maxFiles, maxRows) { v =>
+        val (ins, del) = GraftCdc.diffAt(tbl, v)
+        ((ins.size + del.size).toLong, ins.map(_.rows).sum + del.map(_.rows).sum)
+      }
     GraftStreamOffset(maxVersions match {
-      case Some(m) if latest > from => math.min(from + math.max(1, m), latest)
-      case _ => latest
+      case Some(m) if admitted > from => math.min(from + math.max(1, m), admitted)
+      case _ => admitted
     })
   }
 
@@ -124,10 +196,11 @@ final class GraftCdcMicroBatchStream(tbl: GraftTable,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     GraftCdc.partitionsBetween(tbl,
       start.asInstanceOf[GraftStreamOffset].version,
-      end.asInstanceOf[GraftStreamOffset].version)
+      end.asInstanceOf[GraftStreamOffset].version,
+      dataPart, pushed)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftCdc.readerFactory(tbl)
+    GraftCdc.readerFactory(tbl, dataPart, metaPart, pushed)
 
   override def commit(end: Offset): Unit = () // offsets live in the checkpoint
   override def stop(): Unit = ()
@@ -135,10 +208,28 @@ final class GraftCdcMicroBatchStream(tbl: GraftTable,
 
 private[connector] object GraftCdc {
 
+  val MetaCols: Set[String] = Set("_change_type", "_commit_version")
+
   def changeSchema(dataSchema: StructType): StructType =
     StructType(dataSchema.fields :+
       StructField("_change_type", StringType, nullable = false) :+
       StructField("_commit_version", IntegerType, nullable = false))
+
+  /** (inserted, deleted) file sets of commit `v` — the same snapshot
+    * diff [[GraftTable.scanChangesBetween]] walks, shared by admission
+    * sizing and partition planning.
+    */
+  def diffAt(tbl: GraftTable, v: Int): (Seq[DataFile], Seq[DataFile]) = {
+    val cur = tbl.snapshotAt(v)
+    if (v == 0) (cur.files, Seq.empty)
+    else {
+      val prev = tbl.snapshotAt(v - 1)
+      val before = prev.files.map(_.path).toSet
+      val after = cur.files.map(_.path).toSet
+      (cur.files.filterNot(f => before.contains(f.path)),
+        prev.files.filterNot(f => after.contains(f.path)))
+    }
+  }
 
   /** One CDC partition = a delegate parquet partition plus the constant
     * (change side, commit version) it carries.
@@ -154,27 +245,20 @@ private[connector] object GraftCdc {
     * metadata work per version; a version's insert and delete sides
     * each plan through one native ParquetScan.
     */
-  def partitionsBetween(tbl: GraftTable, from: Int, to: Int): Array[InputPartition] = {
+  def partitionsBetween(tbl: GraftTable, from: Int, to: Int,
+                        dataPart: StructType,
+                        pushed: Array[Filter]): Array[InputPartition] = {
     require(from <= to, s"bad change range: $from..$to")
     val out = Array.newBuilder[InputPartition]
     var v = math.max(from + 1, 0)
     try {
       while (v <= to) {
-        val cur = tbl.snapshotAt(v)
-        val (ins, del) =
-          if (v == 0) (cur.files, Seq.empty[DataFile])
-          else {
-            val prev = tbl.snapshotAt(v - 1)
-            val before = prev.files.map(_.path).toSet
-            val after = cur.files.map(_.path).toSet
-            (cur.files.filterNot(f => before.contains(f.path)),
-              prev.files.filterNot(f => after.contains(f.path)))
-          }
+        val (ins, del) = diffAt(tbl, v)
         if (ins.nonEmpty)
-          out ++= scanFor(tbl, ins).toBatch.planInputPartitions()
+          out ++= scanFor(tbl, ins, dataPart, pushed).toBatch.planInputPartitions()
             .map(p => CdcPartition(p, "insert", v))
         if (del.nonEmpty)
-          out ++= scanFor(tbl, del).toBatch.planInputPartitions()
+          out ++= scanFor(tbl, del, dataPart, pushed).toBatch.planInputPartitions()
             .map(p => CdcPartition(p, "delete", v))
         v += 1
       }
@@ -190,39 +274,47 @@ private[connector] object GraftCdc {
   }
 
   /** One template factory serves every batch: file identity rides in
-    * each delegate FilePartition; the wrapper appends the CDC columns.
+    * each delegate FilePartition; the wrapper appends the requested CDC
+    * columns.
     */
-  def readerFactory(tbl: GraftTable): PartitionReaderFactory =
-    new CdcReaderFactory(scanFor(tbl, Nil).toBatch.createReaderFactory())
+  def readerFactory(tbl: GraftTable, dataPart: StructType,
+                    metaPart: Seq[String],
+                    pushed: Array[Filter]): PartitionReaderFactory =
+    new CdcReaderFactory(
+      scanFor(tbl, Nil, dataPart, pushed).toBatch.createReaderFactory(), metaPart)
 
-  private def scanFor(tbl: GraftTable, files: Seq[DataFile]): ParquetScan = {
+  private def scanFor(tbl: GraftTable, files: Seq[DataFile],
+                      dataPart: StructType, pushed: Array[Filter]): ParquetScan = {
     val spark = tbl.spark
     ParquetScan(
       sparkSession = spark,
       hadoopConf = GraftSqlShim.newHadoopConf(spark),
       fileIndex = new GraftFileIndex(spark, tbl.tableDir, files, tbl.schema),
       dataSchema = tbl.schema,
-      readDataSchema = tbl.schema,
+      readDataSchema = dataPart,
       readPartitionSchema = StructType(Nil),
-      pushedFilters = Array.empty,
+      pushedFilters = pushed, // row-group pruning only; all residual above
       options = CaseInsensitiveStringMap.empty())
   }
 
-  /** Wraps the parquet reader, appending (`_change_type`,
-    * `_commit_version`) via a reused JoinedRow. Row-based on purpose:
-    * the two appended columns are partition constants, and forcing the
-    * row path keeps the wrapper a 5-line JoinedRow instead of a
-    * columnar-batch rebuild.
+  /** Wraps the parquet reader, appending the REQUESTED subset of
+    * (`_change_type`, `_commit_version`) via a reused JoinedRow.
+    * Row-based on purpose: the appended columns are partition
+    * constants, and forcing the row path keeps the wrapper a 5-line
+    * JoinedRow instead of a columnar-batch rebuild.
     */
-  private final class CdcReaderFactory(delegate: PartitionReaderFactory)
+  private final class CdcReaderFactory(delegate: PartitionReaderFactory,
+                                       metaPart: Seq[String])
       extends PartitionReaderFactory {
 
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
       partition match {
         case c: CdcPartition =>
           val inner = delegate.createReader(c.delegate)
-          val meta = new GenericInternalRow(Array[Any](
-            UTF8String.fromString(c.changeType), c.version))
+          val meta = new GenericInternalRow(metaPart.map {
+            case "_change_type" => UTF8String.fromString(c.changeType): Any
+            case "_commit_version" => c.version: Any
+          }.toArray)
           val joined = new JoinedRow
           new PartitionReader[InternalRow] {
             override def next(): Boolean = inner.next()

@@ -486,6 +486,32 @@ class GraftStreamSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("CDC stream maxRowsPerTrigger paces catch-up by change volume") {
+    val (s, c) = streamSession("graft-cdc3")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.scdc3")
+    s.sql("CREATE TABLE graft.scdc3.src (id BIGINT)")
+    s.sql("INSERT INTO graft.scdc3.src VALUES (1), (2)")
+    s.sql("INSERT INTO graft.scdc3.src VALUES (3), (4)")
+    s.sql("INSERT INTO graft.scdc3.src VALUES (5)")
+    val ckpt = Files.createTempDirectory("graft-cdc3-ckpt").toString
+    val q = s.readStream
+      .option("streamStartVersion", "-1")
+      .option("maxRowsPerTrigger", "2")
+      .table("graft.scdc3.src.changes")
+      .writeStream.format("memory").queryName("graft_cdc3_sink")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000) shouldBe true
+      s.sql("SELECT id FROM graft_cdc3_sink").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+        Seq(1L, 2L, 3L, 4L, 5L)
+      // version-granular admission split the backlog instead of one batch
+      q.recentProgress.count(_.numInputRows > 0) should be >= 3
+      q.recentProgress.filter(_.numInputRows > 0).map(_.numInputRows).max should be <= 2L
+    } finally q.stop()
+  }
+
   test("skip mode still aborts on upsert: its inserted rows cannot be silently lost") {
     val (s, c) = streamSession("graft-src3")
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft.sns3")

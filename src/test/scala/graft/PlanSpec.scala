@@ -119,6 +119,33 @@ class PlanSpec extends AnyFunSuite with Matchers {
       Seq("delete", "insert", "insert")
   }
 
+  test("CDC relation prunes columns and pushes data filters into the parquet scan") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nscdcp")
+    spark.sql("CREATE TABLE graft.nscdcp.t (id BIGINT, payload STRING)")
+    spark.sql("INSERT INTO graft.nscdcp.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.nscdcp.t VALUES (3, 'c')")
+
+    val pruned = spark.read.option("startingVersion", "0")
+      .table("graft.nscdcp.t.changes")
+      .where(col("id") > 1)
+      .select("id", "_commit_version")
+    val p = plan(pruned)
+    // payload never leaves the scan; the filter reaches parquet
+    p should include("read=id,_commit_version")
+    p should not include "payload"
+    p should include("GreaterThan(id,1)")
+    pruned.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq shouldBe
+      Seq((2L, 1), (3L, 2))
+
+    // degenerate prunings: only metadata columns, and only data columns
+    spark.read.option("startingVersion", "0").table("graft.nscdcp.t.changes")
+      .select("_change_type").collect().map(_.getString(0)).toSeq.sorted shouldBe
+      Seq("insert", "insert", "insert")
+    spark.read.option("startingVersion", "0").table("graft.nscdcp.t.changes")
+      .select("payload").collect().map(_.getString(0)).toSeq.sorted shouldBe
+      Seq("a", "b", "c")
+  }
+
   test("metadata-backed file index plans 100k files with no filesystem calls") {
     import graft.connector.GraftFileIndex
     import graft.meta.DataFile
