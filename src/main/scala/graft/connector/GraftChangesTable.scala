@@ -65,14 +65,19 @@ final class GraftChangesScanBuilder(tbl: GraftTable,
 
   private var required: StructType = GraftCdc.changeSchema(tbl.schema)
   private var pushed: Array[Filter] = Array.empty
+  private var all: Array[Filter] = Array.empty
 
   /** Keep data-column filters for parquet row-group pruning; return
     * EVERY filter residual (Spark re-evaluates row-level), so CDC-
-    * column predicates and untranslatable shapes lose nothing.
+    * column predicates and untranslatable shapes lose nothing. The
+    * full conjunction is also kept: predicates on the metadata columns
+    * prune at PLAN time (skip change sides / whole versions) — see
+    * [[GraftCdc.MetaPruning]].
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val dataCols = tbl.schema.fieldNames.map(_.toLowerCase).toSet
     pushed = filters.filter(_.references.forall(r => dataCols.contains(r.toLowerCase)))
+    all = filters
     filters
   }
 
@@ -81,11 +86,13 @@ final class GraftChangesScanBuilder(tbl: GraftTable,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftChangesScan(tbl, options, required, pushed)
+  override def build(): Scan =
+    new GraftChangesScan(tbl, options, required, pushed, GraftCdc.MetaPruning(all))
 }
 
 final class GraftChangesScan(tbl: GraftTable, options: CaseInsensitiveStringMap,
-                             required: StructType, pushed: Array[Filter])
+                             required: StructType, pushed: Array[Filter],
+                             metaPrune: GraftCdc.MetaPruning)
     extends Scan {
 
   // the pruned read split into its parquet part and its constant part
@@ -98,7 +105,7 @@ final class GraftChangesScan(tbl: GraftTable, options: CaseInsensitiveStringMap,
 
   override def description(): String =
     s"GraftChanges(${tbl.tableDir}, read=${required.fieldNames.mkString(",")}, " +
-      s"pushed=[${pushed.mkString(", ")}])"
+      s"pushed=[${pushed.mkString(", ")}], meta=$metaPrune)"
 
   override def toBatch: Batch = new Batch {
     private val from = Option(options.get("startingVersion")).map(_.toInt).getOrElse(0)
@@ -106,14 +113,14 @@ final class GraftChangesScan(tbl: GraftTable, options: CaseInsensitiveStringMap,
       .getOrElse(tbl.currentOrFail().version)
 
     override def planInputPartitions(): Array[InputPartition] =
-      GraftCdc.partitionsBetween(tbl, from, to, dataPart, pushed)
+      GraftCdc.partitionsBetween(tbl, from, to, dataPart, pushed, metaPrune)
 
     override def createReaderFactory(): PartitionReaderFactory =
       GraftCdc.readerFactory(tbl, dataPart, metaPart, pushed)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftCdcMicroBatchStream(tbl, options, dataPart, metaPart, pushed)
+    new GraftCdcMicroBatchStream(tbl, options, dataPart, metaPart, pushed, metaPrune)
 }
 
 /** Streaming CDC: offset = metadata-log version (same durable total
@@ -131,7 +138,9 @@ final class GraftCdcMicroBatchStream(tbl: GraftTable,
                                      options: CaseInsensitiveStringMap,
                                      dataPart: StructType,
                                      metaPart: Seq[String],
-                                     pushed: Array[Filter])
+                                     pushed: Array[Filter],
+                                     metaPrune: GraftCdc.MetaPruning =
+                                       GraftCdc.MetaPruning.all)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val maxVersions = Option(options.get("maxVersionsPerTrigger")).map(_.toInt)
@@ -197,7 +206,7 @@ final class GraftCdcMicroBatchStream(tbl: GraftTable,
     GraftCdc.partitionsBetween(tbl,
       start.asInstanceOf[GraftStreamOffset].version,
       end.asInstanceOf[GraftStreamOffset].version,
-      dataPart, pushed)
+      dataPart, pushed, metaPrune)
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftCdc.readerFactory(tbl, dataPart, metaPart, pushed)
@@ -209,6 +218,73 @@ final class GraftCdcMicroBatchStream(tbl: GraftTable,
 private[connector] object GraftCdc {
 
   val MetaCols: Set[String] = Set("_change_type", "_commit_version")
+
+  /** Plan-time pruning derived from predicates on the CDC metadata
+    * columns. The filter array Spark pushes is a CONJUNCTION of
+    * top-level filters, so any single conjunct bounding `_change_type`
+    * or `_commit_version` may prune sides/versions soundly — every
+    * filter also stays residual, so an unrecognized shape (Or, Not,
+    * casts) merely loses the pruning, never rows. `WHERE _change_type =
+    * 'insert'` plans zero delete-side scans; `WHERE _commit_version =
+    * 5` walks one version instead of the whole range.
+    */
+  final case class MetaPruning(changeTypes: Option[Set[String]],
+                               minVersion: Option[Int],
+                               maxVersion: Option[Int],
+                               versionSet: Option[Set[Int]]) {
+    def sideAllowed(tag: String): Boolean = changeTypes.forall(_.contains(tag))
+    def versionAllowed(v: Int): Boolean =
+      minVersion.forall(v >= _) && maxVersion.forall(v <= _) &&
+        versionSet.forall(_.contains(v))
+    override def toString: String = {
+      val parts = changeTypes.map(t => s"type in ${t.mkString("{", ",", "}")}").toSeq ++
+        minVersion.map(v => s"v>=$v") ++ maxVersion.map(v => s"v<=$v") ++
+        versionSet.map(s => s"v in ${s.toSeq.sorted.mkString("{", ",", "}")}")
+      if (parts.isEmpty) "all" else parts.mkString(" and ")
+    }
+  }
+
+  object MetaPruning {
+    val all: MetaPruning = MetaPruning(None, None, None, None)
+
+    def apply(filters: Array[Filter]): MetaPruning = {
+      import org.apache.spark.sql.sources._
+      def asInt(v: Any): Option[Int] = v match {
+        case i: Int => Some(i)
+        case l: Long if l.isValidInt => Some(l.toInt)
+        case s: Short => Some(s.toInt)
+        case _ => None
+      }
+      var ct: Option[Set[String]] = None
+      var lo: Option[Int] = None
+      var hi: Option[Int] = None
+      var vs: Option[Set[Int]] = None
+      def tightenCt(s: Set[String]): Unit =
+        ct = Some(ct.map(_.intersect(s)).getOrElse(s))
+      def tightenLo(v: Int): Unit = lo = Some(lo.map(math.max(_, v)).getOrElse(v))
+      def tightenHi(v: Int): Unit = hi = Some(hi.map(math.min(_, v)).getOrElse(v))
+      filters.foreach {
+        case EqualTo("_change_type", s: String) => tightenCt(Set(s))
+        case EqualNullSafe("_change_type", s: String) => tightenCt(Set(s))
+        case In("_change_type", vals) =>
+          tightenCt(vals.collect { case s: String => s }.toSet)
+        case EqualTo("_commit_version", v) =>
+          asInt(v).foreach { i => tightenLo(i); tightenHi(i) }
+        case EqualNullSafe("_commit_version", v) =>
+          asInt(v).foreach { i => tightenLo(i); tightenHi(i) }
+        case GreaterThan("_commit_version", v) => asInt(v).foreach(i => tightenLo(i + 1))
+        case GreaterThanOrEqual("_commit_version", v) => asInt(v).foreach(tightenLo)
+        case LessThan("_commit_version", v) => asInt(v).foreach(i => tightenHi(i - 1))
+        case LessThanOrEqual("_commit_version", v) => asInt(v).foreach(tightenHi)
+        case In("_commit_version", vals) =>
+          val ints = vals.flatMap(asInt).toSet
+          if (ints.size == vals.length)
+            vs = Some(vs.map(_.intersect(ints)).getOrElse(ints))
+        case _ => () // unrecognized conjunct: no pruning from it
+      }
+      MetaPruning(ct, lo, hi, vs)
+    }
+  }
 
   def changeSchema(dataSchema: StructType): StructType =
     StructType(dataSchema.fields :+
@@ -247,19 +323,22 @@ private[connector] object GraftCdc {
     */
   def partitionsBetween(tbl: GraftTable, from: Int, to: Int,
                         dataPart: StructType,
-                        pushed: Array[Filter]): Array[InputPartition] = {
+                        pushed: Array[Filter],
+                        metaPrune: MetaPruning = MetaPruning.all): Array[InputPartition] = {
     require(from <= to, s"bad change range: $from..$to")
     val out = Array.newBuilder[InputPartition]
     var v = math.max(from + 1, 0)
     try {
       while (v <= to) {
-        val (ins, del) = diffAt(tbl, v)
-        if (ins.nonEmpty)
-          out ++= scanFor(tbl, ins, dataPart, pushed).toBatch.planInputPartitions()
-            .map(p => CdcPartition(p, "insert", v))
-        if (del.nonEmpty)
-          out ++= scanFor(tbl, del, dataPart, pushed).toBatch.planInputPartitions()
-            .map(p => CdcPartition(p, "delete", v))
+        if (metaPrune.versionAllowed(v)) {
+          val (ins, del) = diffAt(tbl, v)
+          if (ins.nonEmpty && metaPrune.sideAllowed("insert"))
+            out ++= scanFor(tbl, ins, dataPart, pushed).toBatch.planInputPartitions()
+              .map(p => CdcPartition(p, "insert", v))
+          if (del.nonEmpty && metaPrune.sideAllowed("delete"))
+            out ++= scanFor(tbl, del, dataPart, pushed).toBatch.planInputPartitions()
+              .map(p => CdcPartition(p, "delete", v))
+        }
         v += 1
       }
     } catch {

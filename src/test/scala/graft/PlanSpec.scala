@@ -146,6 +146,42 @@ class PlanSpec extends AnyFunSuite with Matchers {
       Seq("a", "b", "c")
   }
 
+  test("CDC metadata predicates prune sides and versions at plan time") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nscdcm")
+    spark.sql("CREATE TABLE graft.nscdcm.t (id BIGINT)")
+    spark.sql("INSERT INTO graft.nscdcm.t VALUES (1), (2)") // v1
+    spark.sql("INSERT INTO graft.nscdcm.t VALUES (3)")      // v2
+    spark.sql("DELETE FROM graft.nscdcm.t WHERE id = 1")    // v3
+    def feed() = spark.read.option("startingVersion", "0")
+      .table("graft.nscdcm.t.changes")
+    def planned(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.map(_.inputPartitions.size).sum
+    val allParts = planned(feed())
+
+    // side pruning: insert-only plans no delete-side partitions
+    val ins = feed().where(col("_change_type") === "insert")
+    planned(ins) should be < allParts
+    ins.select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      Seq(1L, 2L, 3L)
+
+    // version pruning: a single-commit predicate walks one version
+    val v2 = feed().where(col("_commit_version") === 2)
+    planned(v2) should be < allParts
+    v2.select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe Seq((3L, "insert"))
+
+    // range + IN shapes prune too, and stay correct
+    feed().where(col("_commit_version") >= 3).select("id", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe
+      Seq((1L, "delete"))
+    feed().where(col("_commit_version").isin(1, 3))
+      .groupBy(col("_change_type")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq shouldBe
+      Seq(("delete", 1L), ("insert", 2L))
+  }
+
   test("metadata-backed file index plans 100k files with no filesystem calls") {
     import graft.connector.GraftFileIndex
     import graft.meta.DataFile
