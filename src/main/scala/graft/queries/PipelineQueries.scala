@@ -963,6 +963,27 @@ object PipelineQueries {
              |     FROM embeddings WHERE vec_id = 0)), 4) AS cos
              |FROM embeddings ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin)),
 
+    // int8-quantized ANN: rank on 4x-smaller codes, exact-refine the
+    // candidate slice — the refined top-20 must EQUAL the exact
+    // top-20, so the oracle is DuckDB's brute force (same as q31),
+    // making the quantization+refinement loop hash-gated end to end
+    "q86_quantized_ann" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qvec = e.where(col("vec_id") === 0)
+          .select(col("embedding")).collect()(0)
+          .getSeq[Float](0)
+        Similarity.quantizedTopK(e, "embedding", "vec_id", qvec, k = 20, refine = 8)
+          .select(col("vec_id"), round(col("score"), 4).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+      },
+      Some("""SELECT vec_id,
+             |  ROUND(list_cosine_similarity(
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             |    (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+             |     FROM embeddings WHERE vec_id = 0)), 4) AS cos
+             |FROM embeddings ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin)),
+
     // LSH-bucketed ANN: recall vs the exact top-20 (hash-based, no SQL
     // dual) — output the overlap size, asserted ≥ 1
     "q32_ann_lsh" -> Q(

@@ -209,6 +209,49 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     top.toSeq shouldBe Seq(1L, 2L)
   }
 
+  test("int8 quantization: codes in range, zero-safe, quantized cosine tracks exact") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 50L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1))) :+
+      (99L, Seq.fill(16)(0f))
+    val df = vecs.toDF("id", "v")
+    val q = Similarity.quantizeInt8(df, "v")
+    // codes bounded by the tinyint domain; zero vector → zero codes, scale 1
+    val rows = q.select(col("id"), col("_q"), col("_qscale")).collect()
+    rows.foreach { r =>
+      r.getSeq[Byte](1).foreach(b => math.abs(b.toInt) should be <= 127)
+    }
+    val zero = rows.find(_.getLong(0) == 99L).get
+    zero.getSeq[Byte](1).forall(_ == 0) shouldBe true
+    zero.getDouble(2) shouldBe 1.0
+    // quantized cosine within int8 error of the exact cosine
+    val query = Seq.fill(16)(rnd.nextFloat() * 2 - 1)
+    val qArr = org.apache.spark.sql.functions.array(query.map(lit): _*)
+    val qmax = query.map(v => math.abs(v.toDouble)).max
+    val qCodes = org.apache.spark.sql.functions.array(
+      query.map(v => lit(math.round(v / (qmax / 127.0)).toByte)): _*)
+    val errs = q.where(col("id") =!= 99L)
+      .select(abs(Similarity.cosine(col("v"), qArr) -
+        Similarity.cosine(col("_q"), qCodes)))
+      .collect().map(_.getDouble(0))
+    all(errs) should be < 0.02
+  }
+
+  test("quantizedTopK with refinement equals the exact top-k") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (1L to 300L).map(i => (i, Seq.fill(24)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "v")
+    val query = Seq.fill(24)(rnd.nextFloat() * 2 - 1)
+    val exact = Similarity.bruteForceTopK(df, "v", "id", query, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val quant = Similarity.quantizedTopK(df, "v", "id", query, 10, refine = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    quant.toSeq shouldBe exact.toSeq // refinement rescored exactly, same order
+  }
+
   test("lshTopK recall: query's own bucket always contains itself") {
     val s = spark
     import s.implicits._
