@@ -27,6 +27,51 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   */
 object GraftStream {
 
+  /** Apply one batch of a CDC feed (rows shaped like
+    * `graft.ns.t.changes`: data columns + `_change_type` +
+    * `_commit_version`) to a keyed target table — the table-replication
+    * / downstream-materialization loop:
+    * {{{
+    * spark.readStream.table("graft.ns.src.changes").writeStream
+    *   .foreachBatch { (b, _) => GraftStream.applyChangesBatch(b, replica, Seq("id")) }
+    * }}}
+    *
+    * A batch may span several commits, so the NET effect per key is
+    * applied: the newest version wins, and within one version insert
+    * beats delete (a rewrite's carried row is present after the
+    * commit). The net splits into one [[GraftTable.deleteByKeys]] and
+    * one [[GraftTable.upsert]] — both partition-pruned rewrites, both
+    * keyed, so replication cost scales with the change volume, not the
+    * table. Net application is IDEMPOTENT (re-deleting is a no-op,
+    * re-upserting the same rows converges), which is exactly what
+    * foreachBatch's at-least-once replay needs — no marker protocol
+    * required. Keys must be unique non-null identifiers in the source
+    * table, same contract as upsert.
+    */
+  def applyChangesBatch(changes: DataFrame, target: graft.table.GraftTable,
+                        keys: Seq[String]): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "CDC application requires key columns")
+    val w = Window.partitionBy(keys.map(k => col(s"`$k`")): _*)
+      .orderBy(col("_commit_version").desc,
+        when(col("_change_type") === "insert", 1).otherwise(0).desc)
+    val last = changes.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+    val dels = last.where(col("_change_type") === "delete")
+      .select(keys.map(k => col(s"`$k`")): _*)
+    val ups = last.where(col("_change_type") === "insert")
+      .drop("_change_type", "_commit_version", "_rn")
+    if (target.current().isEmpty) {
+      // virgin replica: the net effect of the first batch is pure
+      // inserts (deletes of rows that never landed are no-ops)
+      if (!ups.isEmpty) { target.append(ups); () }
+    } else {
+      if (!dels.isEmpty) { target.deleteByKeys(dels, keys); () }
+      if (!ups.isEmpty) { target.upsert(ups, keys); () }
+    }
+  }
+
   /** Attach a graft-table sink to a streaming DataFrame. Caller sets
     * trigger/checkpoint and calls `.start()`:
     * {{{

@@ -375,6 +375,63 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     }
   }
 
+  /** Bulk keyed delete: target rows whose `keys` tuple appears in
+    * `source` are removed — [[upsert]]'s rewrite machinery without the
+    * insert side, which is the GDPR/opt-out deletion shape: delete a
+    * million user ids from a 100 TB table rewriting only the files
+    * that can contain them. Partition pruning carries files the
+    * source's derived partition values cannot touch (when the
+    * partition source column is a key), and removal inside the
+    * rewrite set is an anti join on the key columns — the source is
+    * key-tuples only, so it broadcasts long before the corpus would.
+    * NULL source keys never match (SQL equality), like upsert.
+    * Duplicate source keys are fine here (deleting twice is deleting
+    * once), and re-running the same delete converges to the same
+    * state — CDC appliers can replay it under at-least-once delivery.
+    */
+  def deleteByKeys(source: DataFrame, keys: Seq[String]): Snapshot = {
+    require(keys.nonEmpty, "deleteByKeys requires key columns")
+    val snap = currentOrFail()
+    def targetField(k: String) = snap.schema.fields
+      .find(_.name.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(s"unknown key column '$k'"))
+    val keyDf = source.select(keys.map { k =>
+      val f = targetField(k)
+      col(s"`$k`").cast(f.dataType).as(f.name)
+    }: _*).distinct()
+    val joinKeys = keys.map(targetField(_).name)
+    val spec = partitionField()
+    val (rewriteSet, carrySet): (Seq[DataFile], Seq[DataFile]) = spec match {
+      case Some(pf) if joinKeys.exists(_.equalsIgnoreCase(pf.sourceCol)) =>
+        val srcType = snap.schema(pf.sourceCol).dataType
+        val derived = keyDf
+          .select(pf.derive(col(s"`${pf.sourceCol}`"), srcType).as("v"))
+          .distinct().collect()
+          .map(r => Option(r.getString(0))).toSet
+        snap.files.partition { f =>
+          f.partitionValues.flatMap(_.get(pf.fieldName)) match {
+            case Some(None) if srcType == StringType => true
+            case Some(v) => derived.contains(v)
+            case None    => true
+          }
+        }
+      case _ => (snap.files, Nil)
+    }
+    val _ = carrySet // carried implicitly: only rewriteSet paths are pruned
+    if (rewriteSet.isEmpty) return snap // no file can contain a matched key
+    val kept = readFiles(snap.schema, rewriteSet).join(keyDf, joinKeys, "left_anti")
+    val newGroup = writeDataFiles(kept, snap.schema, spec)
+    val rewrittenPaths = rewriteSet.map(_.path).toSet
+    log.commit { parent =>
+      val p = parent.getOrElse(snap)
+      requireNoConflict(p, rewrittenPaths, "delete")
+      p.copy(
+        snapshotId = newSnapshotId(),
+        operation = "delete",
+        fileGroups = pruneGroups(p.schema, p.fileGroups, rewrittenPaths) :+ newGroup)
+    }
+  }
+
   /** Drop `removed` paths from `groups`, reusing untouched manifests and
     * writing pruned manifests only for partially-affected groups —
     * commit metadata cost stays O(files touched). Manifests in

@@ -246,6 +246,34 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     t.scan().select("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(3L)
   }
 
+  test("deleteByKeys removes matched keys, prunes partitions, ignores null keys") {
+    val t = cat().ensure(TableIdent("ns", "t5k"), Some("day"))
+    t.append(df(d1, d2, d3)) // three day-partitions, three files
+    val before = t.currentOrFail().files.map(_.path).toSet
+    val s = spark
+    import s.implicits._
+    // delete keyed on the partition source: only d2's partition rewrites
+    t.deleteByKeys(Seq(("2024-01-02", 1)).toDF("day", "junk"), Seq("day"))
+    t.scan().select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 3L)
+    val after = t.currentOrFail().files.map(_.path).toSet
+    // untouched partitions carried verbatim
+    after.intersect(before).size shouldBe 2
+    // null keys never match; absent keys are a clean error
+    t.deleteByKeys(Seq(Option.empty[String]).toDF("day"), Seq("day"))
+    t.scan().count() shouldBe 2
+    an[IllegalArgumentException] should be thrownBy
+      t.deleteByKeys(Seq("x").toDF("nope"), Seq("nope"))
+    // nothing matches -> no-op (no phantom rewrite of untouched files)
+    val v = t.currentOrFail().version
+    t.deleteByKeys(Seq("2099-01-01").toDF("day"), Seq("day"))
+    t.currentOrFail().version shouldBe v
+    // composite keys: only the exact tuple dies
+    val t2 = cat().ensure(TableIdent("ns", "t5l"))
+    t2.append(df(d1, d2, d3))
+    t2.deleteByKeys(Seq((1L, "a"), (2L, "WRONG")).toDF("id", "name"), Seq("id", "name"))
+    t2.scan().select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(2L, 3L)
+  }
+
   test("upsert keyed on the partition source rewrites only touched partitions") {
     val t = cat().ensure(TableIdent("ns", "t5d"), Some("day"))
     t.append(df(d1, d2, d3)) // three day-partitions, three files
