@@ -2,7 +2,7 @@ package graft.connector
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, PredicateHelper}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -75,6 +75,13 @@ case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan]
           assigned.toSet == m.targetTable.output.map(_.name.toLowerCase).toSet &&
           assigned.distinct.size == assigned.size
       }
+      // delete-only merge = the bulk keyed delete
+      // (GraftTable.deleteByKeys): MERGE ... WHEN MATCHED THEN DELETE
+      val deleteOnly = (m.matchedActions, m.notMatchedActions,
+        m.notMatchedBySourceActions) match {
+        case (Seq(DeleteAction(None)), Seq(), Seq()) => true
+        case _ => false
+      }
       val canonicalActions = (m.matchedActions, m.notMatchedActions,
         m.notMatchedBySourceActions) match {
         case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)), Seq()) => true
@@ -83,14 +90,16 @@ case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan]
             starAssigns(u.assignments) && starAssigns(i.assignments)
         case _ => false
       }
-      if (keys.exists(_.isEmpty) || keys.isEmpty || !canonicalActions)
+      if (keys.exists(_.isEmpty) || keys.isEmpty || !(canonicalActions || deleteOnly))
         throw new UnsupportedOperationException(
-          "graft MERGE INTO supports the canonical upsert only: " +
-            "ON conjunction of t.key = s.key equalities, " +
-            "WHEN MATCHED THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT * " +
-            "(the reference UpsertStrategy semantics); " +
+          "graft MERGE INTO supports the canonical upsert " +
+            "(ON conjunction of t.key = s.key equalities, " +
+            "WHEN MATCHED THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT * — " +
+            "the reference UpsertStrategy semantics) " +
+            "or the keyed bulk delete (WHEN MATCHED THEN DELETE alone); " +
             s"got condition `${m.mergeCondition.sql}`")
-      GraftMergeCommand(tbl, m.sourceTable, keys.flatten)
+      if (deleteOnly) GraftMergeDeleteCommand(tbl, m.sourceTable, keys.flatten)
+      else GraftMergeCommand(tbl, m.sourceTable, keys.flatten)
 
     case u @ UpdateTable(target, assignments, condition)
         if u.resolved && isGraftTarget(target) =>
@@ -138,6 +147,29 @@ case class GraftUpdateCommand(table: GraftV2Table, predicateSql: String,
     table.underlying.updateWhere(predicateSql, set)
     Nil
   }
+  override def output: Seq[Attribute] = Nil
+}
+
+/** `MERGE ... WHEN MATCHED THEN DELETE` → [[graft.table.GraftTable
+  * .deleteByKeys]]: the SQL verb for deleting a key SET (opt-out lists,
+  * CDC tombstones) — `DELETE FROM ... WHERE` can't express a
+  * million-key predicate, a delete-only merge can.
+  */
+case class GraftMergeDeleteCommand(table: GraftV2Table, source: LogicalPlan,
+                                   keys: Seq[String]) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val keyDf = org.apache.spark.sql.GraftSqlShim.ofRows(spark, source)
+      .select(keys.map(k => org.apache.spark.sql.functions.col(s"`$k`")): _*)
+      // one evaluation: deleteByKeys derives partitions and anti-joins
+      // from this frame; a nondeterministic USING subquery must not
+      // produce different keys per pass
+      .localCheckpoint()
+    table.underlying.deleteByKeys(keyDf, keys)
+    Nil
+  }
+
   override def output: Seq[Attribute] = Nil
 }
 

@@ -140,6 +140,27 @@ object TableQueries {
               |FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-06-01'
               |ORDER BY _commit_version, _change_type""".stripMargin)),
 
+    // Keyed bulk delete: a key-set frame (the opt-out-list shape)
+    // removes exactly its matches via anti-join rewrite
+    "q87_delete_by_keys" -> Q(
+      (s, dir) => {
+        val cat = freshCatalog(s)
+        val ident = TableIdent("bench", "ord_delkeys")
+        val o = t(s, dir, "orders")
+        val tbl = cat.ensure(ident)
+        tbl.append(o)
+        tbl.deleteByKeys(
+          o.where(col("o_orderkey") % 5 === 0).select(col("o_orderkey")),
+          Seq("o_orderkey"))
+        tbl.scan()
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n, ${DSUM("o_totalprice")} AS total
+              |FROM orders WHERE o_orderkey % 5 <> 0
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Branch WAP + merge, pure SQL: fork, stage an insert on the branch
     // ident, let main advance past the fork (fast-forward now
     // impossible), then CALL merge_branch — the rebase path. The end

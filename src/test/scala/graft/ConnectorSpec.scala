@@ -761,6 +761,26 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("MERGE WHEN MATCHED THEN DELETE performs the keyed bulk delete") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsmd")
+    spark.sql("CREATE TABLE graft.nsmd.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.nsmd.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    // unmatched source keys (9) are no-ops; matched keys die
+    spark.sql("""MERGE INTO graft.nsmd.t t
+                |USING (SELECT * FROM VALUES (1L), (3L), (9L) AS s(id)) s
+                |ON t.id = s.id
+                |WHEN MATCHED THEN DELETE""".stripMargin)
+    spark.sql("SELECT id FROM graft.nsmd.t ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq shouldBe Seq(2L)
+    // conditional DELETE stays out of the canonical surface
+    val err = intercept[Exception] {
+      spark.sql("""MERGE INTO graft.nsmd.t t
+                  |USING (SELECT 2L AS id) s ON t.id = s.id
+                  |WHEN MATCHED AND t.v = 'b' THEN DELETE""".stripMargin)
+    }
+    err.getMessage should include("WHEN MATCHED THEN DELETE")
+  }
+
   test("branches from SQL: the full WAP loop through spark.sql only") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nswap")
     spark.sql("CREATE TABLE graft.nswap.t (id BIGINT, v STRING)")
