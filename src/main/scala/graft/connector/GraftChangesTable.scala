@@ -141,7 +141,27 @@ final class GraftCdcMicroBatchStream(tbl: GraftTable,
                                      pushed: Array[Filter],
                                      metaPrune: GraftCdc.MetaPruning =
                                        GraftCdc.MetaPruning.all)
-    extends MicroBatchStream with SupportsTriggerAvailableNow {
+    extends MicroBatchStream with SupportsTriggerAvailableNow
+    with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
+
+  /** Same lag surface as the append stream: versions the consumer
+    * trails the table head by, in `StreamingQueryProgress.sources[i]
+    * .metrics` — the number an operator alarms on.
+    */
+  override def metrics(latestConsumed: java.util.Optional[Offset])
+      : java.util.Map[String, String] = {
+    val head = tbl.currentOrFail().version
+    val consumed =
+      if (latestConsumed.isPresent) latestConsumed.get match {
+        case g: GraftStreamOffset => g.version
+        case o => GraftStreamOffset.fromJson(o.json).version
+      }
+      else -1
+    java.util.Map.of(
+      "tableVersion", head.toString,
+      "consumedVersion", consumed.toString,
+      "versionsBehind", math.max(0, head - consumed).toString)
+  }
 
   private val maxVersions = Option(options.get("maxVersionsPerTrigger")).map(_.toInt)
 

@@ -520,6 +520,8 @@ class GraftStreamSpec extends AnyFunSuite with Matchers {
       q.processAllAvailable()
       repState() shouldBe srcState()
       repState() shouldBe Seq((2L, "B2"), (3L, "c"), (4L, "d"))
+      // CDC stream reports the same lag metrics as the append stream
+      q.recentProgress.last.sources(0).metrics.get("versionsBehind") shouldBe "0"
     } finally q.stop()
     // at-least-once safety: re-applying an already-applied batch
     // converges (net application is idempotent)
