@@ -174,4 +174,45 @@ object Chunking {
     }
     df.where(h < rate)
   }
+
+  /** Deterministic training-data source mixing: every row of source
+    * `s` is emitted `floor(m_s)` times, plus one more copy iff its
+    * per-mille hash bucket falls below the fractional remainder — the
+    * repeat-small-sources / subsample-large-sources shape of LLM data
+    * mixing (multiplicity 2.3 ⇒ two full epochs + a 30% extra-epoch
+    * sample; 0.5 ⇒ a half subsample; 0 drops the source). Copies carry
+    * a 0-based `_epoch` index so downstream interleaving/shuffling can
+    * keep repeats apart. Fully deterministic in the id hash — two runs
+    * emit identical mixes, and with `portableHash` any md5-capable
+    * engine re-derives membership (q88's DuckDB dual does).
+    *
+    * Scale: a projection + `explode(sequence(...))` — no shuffle, no
+    * RNG state, multiplicities are a literal when-ladder. Rows
+    * multiply by at most `ceil(max multiplicity)`, decided per-row
+    * inside whole-stage codegen.
+    */
+  def mixSources(df: DataFrame, sourceCol: String, idCol: String,
+                 multiplicity: Map[String, Double], default: Double = 1.0,
+                 portableHash: Boolean = false): DataFrame = {
+    require((default +: multiplicity.values.toSeq).forall(m => m >= 0 && m <= 100),
+      "multiplicities must be in [0, 100]")
+    val h =
+      if (portableHash)
+        pmod(conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long"),
+          lit(1000L))
+      else pmod(xxhash64(col(idCol)), lit(1000L))
+    def epochsOf(m: Double): Long = math.floor(m).toLong
+    def permilleOf(m: Double): Long = math.round((m - math.floor(m)) * 1000)
+    val ladder = multiplicity.toSeq.sortBy(_._1)
+    val epochs = ladder.foldLeft(lit(epochsOf(default))) {
+      case (acc, (k, m)) => when(col(sourceCol) === k, lit(epochsOf(m))).otherwise(acc)
+    }
+    val permille = ladder.foldLeft(lit(permilleOf(default))) {
+      case (acc, (k, m)) => when(col(sourceCol) === k, lit(permilleOf(m))).otherwise(acc)
+    }
+    df.withColumn("_copies", epochs + when(h < permille, lit(1L)).otherwise(lit(0L)))
+      .where(col("_copies") > 0)
+      .withColumn("_epoch", explode(sequence(lit(0L), col("_copies") - 1)))
+      .drop("_copies")
+  }
 }

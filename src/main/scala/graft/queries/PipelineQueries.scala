@@ -517,6 +517,37 @@ object PipelineQueries {
 
     // stratified sampling: per-language deterministic rates over the
     // portable md5 bucket, so the exact kept-set is re-derivable in SQL
+    // deterministic LLM data mixing: repeat src0 2.3x (2 epochs + 30%
+    // extra-epoch sample), subsample src1 to 40%, drop src2, keep the
+    // rest — per-source counts and epoch sums re-derived in DuckDB
+    // from the same md5 per-mille rule
+    "q88_source_mixing" -> Q(
+      (s, dir) => {
+        import graft.operators.Chunking
+        Chunking.mixSources(t(s, dir, "documents"), "source", "doc_id",
+            multiplicity = Map("src0" -> 2.3, "src1" -> 0.4, "src2" -> 0.0),
+            default = 1.0, portableHash = true)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("_epoch")).cast("long").as("epoch_sum"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH h AS (
+             |  SELECT source,
+             |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+             |    % 1000 AS b
+             |  FROM documents),
+             |c AS (
+             |  SELECT source,
+             |    (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 WHEN 'src2' THEN 0
+             |                 ELSE 1 END)
+             |    + (CASE WHEN b < (CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 400
+             |                                  ELSE 0 END)
+             |       THEN 1 ELSE 0 END) AS copies
+             |  FROM h)
+             |SELECT source, CAST(SUM(copies) AS BIGINT) AS n,
+             |       CAST(SUM(copies * (copies - 1) // 2) AS BIGINT) AS epoch_sum
+             |FROM c WHERE copies > 0 GROUP BY source ORDER BY source""".stripMargin)),
+
     "q69_stratified_sample" -> Q(
       (s, dir) => {
         import graft.operators.Chunking

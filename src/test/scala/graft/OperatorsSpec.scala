@@ -342,6 +342,31 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
       Chunking.assignSplits(df, "id", Seq("a" -> 50, "b" -> 40))
   }
 
+  test("mixSources repeats, subsamples, and drops sources deterministically") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 100L).flatMap(i => Seq((i, "a"), (i + 1000, "b"), (i + 2000, "c")))
+      .toDF("id", "src")
+    val mixed = Chunking.mixSources(df, "src", "id",
+      Map("a" -> 3.0, "b" -> 0.0), default = 1.0)
+    val bySrc = mixed.groupBy("src").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    bySrc("a") shouldBe 300L // 3 full epochs, no residual
+    bySrc.get("b") shouldBe None // dropped
+    bySrc("c") shouldBe 100L // default 1.0
+    // epochs are 0-based copy indices
+    mixed.where(col("src") === "a").select("_epoch").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq shouldBe Seq(0L, 1L, 2L)
+    // fractional multiplicities: deterministic (two runs identical) and
+    // between floor and ceil of the requested volume
+    val frac = Chunking.mixSources(df, "src", "id", Map("a" -> 1.5), default = 0.0)
+    val n1 = frac.count()
+    n1 should be >= 100L
+    n1 should be <= 200L
+    Chunking.mixSources(df, "src", "id", Map("a" -> 1.5), default = 0.0)
+      .count() shouldBe n1
+  }
+
   test("multimodal resize: deterministic strided payload, metadata stamped") {
     import graft.operators.Multimodal
     val assets = Multimodal.syntheticAssets(docs((1L, "abcdefghij")), "id", "text")
