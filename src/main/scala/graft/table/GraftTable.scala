@@ -418,10 +418,35 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
       case _ => (snap.files, Nil)
     }
     val _ = carrySet // carried implicitly: only rewriteSet paths are pruned
-    if (rewriteSet.isEmpty) return snap // no file can contain a matched key
-    val kept = readFiles(snap.schema, rewriteSet).join(keyDf, joinKeys, "left_anti")
+    // Zone-map pruning on top of partition pruning: a matching row
+    // needs EVERY key component inside the key frame's [min, max], so
+    // a file whose stats exclude any component's range cannot contain
+    // a match and carries over unrewritten — on an unpartitioned but
+    // key-clustered table this is what keeps a recent-ids delete from
+    // rewriting years of history. One tiny agg over the (small) key
+    // frame; a key column with a NULL bound means no tuple can match
+    // at all (empty frame, or an all-null component) — no-op commit.
+    val boundsRow = {
+      val aggs = joinKeys.flatMap(k => Seq(min(col(s"`$k`")), max(col(s"`$k`"))))
+      keyDf.agg(aggs.head, aggs.tail: _*).head
+    }
+    if (joinKeys.indices.exists(i => boundsRow.isNullAt(2 * i))) return snap
+    val rangePred: org.apache.spark.sql.catalyst.expressions.Expression =
+      joinKeys.zipWithIndex.map { case (k, i) =>
+        import org.apache.spark.sql.catalyst.expressions._
+        val dt = targetField(k).dataType
+        val attr = org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(k)
+        And(
+          GreaterThanOrEqual(attr, Literal.create(boundsRow.get(2 * i), dt)),
+          LessThanOrEqual(attr, Literal.create(boundsRow.get(2 * i + 1), dt)))
+      }.reduce(org.apache.spark.sql.catalyst.expressions.And(_, _))
+    val (statRewrite, statCarry) = rewriteSet.partition(f =>
+      StatsPruner.evaluate(f, snap.schema, rangePred).may)
+    val _2 = statCarry
+    if (statRewrite.isEmpty) return snap // no file can contain a matched key
+    val kept = readFiles(snap.schema, statRewrite).join(keyDf, joinKeys, "left_anti")
     val newGroup = writeDataFiles(kept, snap.schema, spec)
-    val rewrittenPaths = rewriteSet.map(_.path).toSet
+    val rewrittenPaths = statRewrite.map(_.path).toSet
     log.commit { parent =>
       val p = parent.getOrElse(snap)
       requireNoConflict(p, rewrittenPaths, "delete")

@@ -272,6 +272,17 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     t2.append(df(d1, d2, d3))
     t2.deleteByKeys(Seq((1L, "a"), (2L, "WRONG")).toDF("id", "name"), Seq("id", "name"))
     t2.scan().select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(2L, 3L)
+
+    // zone-map pruning on an UNPARTITIONED table: a file whose id range
+    // cannot intersect the key set carries over without a rewrite
+    val t3 = cat().ensure(TableIdent("ns", "t5m"))
+    t3.append(df((1L, "2024-01-01", "a"), (2L, "2024-01-01", "b")))
+    t3.append(df((100L, "2024-01-02", "x"), (101L, "2024-01-02", "y")))
+    val lowFiles = t3.snapshots().head.files.map(_.path).toSet
+    t3.deleteByKeys(Seq(101L).toDF("id"), Seq("id"))
+    t3.scan().select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      Seq(1L, 2L, 100L)
+    lowFiles.subsetOf(t3.currentOrFail().files.map(_.path).toSet) shouldBe true
   }
 
   test("upsert keyed on the partition source rewrites only touched partitions") {
