@@ -235,7 +235,7 @@ final class GraftCdcMicroBatchStream(tbl: GraftTable,
   override def stop(): Unit = ()
 }
 
-private[connector] object GraftCdc {
+private[graft] object GraftCdc {
 
   val MetaCols: Set[String] = Set("_change_type", "_commit_version")
 

@@ -374,3 +374,51 @@ object BloomProbeProps extends Properties("BloomMightContainExpr") {
       Prop(out == false)
     }
 }
+
+/** CDC plan-time pruning soundness: a (version, side) pair whose rows
+  * can satisfy the pushed filter conjunction must never be pruned —
+  * pruning may only drop work the residual filter would drop anyway.
+  */
+object CdcMetaPruningProps extends Properties("GraftCdc.MetaPruning") {
+  import graft.connector.GraftCdc.MetaPruning
+  import org.apache.spark.sql.sources._
+
+  private val sideGen: Gen[String] = Gen.oneOf("insert", "delete")
+  private val verGen: Gen[Int] = Gen.choose(0, 30)
+
+  private val filterGen: Gen[Filter] = Gen.oneOf(
+    sideGen.map(s => EqualTo("_change_type", s)),
+    Gen.nonEmptyListOf(sideGen).map(ss => In("_change_type", ss.toArray[Any])),
+    verGen.map(v => EqualTo("_commit_version", v)),
+    verGen.map(v => GreaterThan("_commit_version", v)),
+    verGen.map(v => GreaterThanOrEqual("_commit_version", v)),
+    verGen.map(v => LessThan("_commit_version", v)),
+    verGen.map(v => LessThanOrEqual("_commit_version", v)),
+    Gen.nonEmptyListOf(verGen).map(vs => In("_commit_version", vs.toArray[Any])),
+    // shapes the extractor must IGNORE (conservatively unprunable)
+    sideGen.map(s => Not(EqualTo("_change_type", s))),
+    verGen.map(v => Or(EqualTo("_commit_version", v), EqualTo("_commit_version", v + 1))))
+
+  /** Reference semantics of one conjunct over a concrete row. */
+  private def holds(f: Filter, side: String, v: Int): Boolean = f match {
+    case EqualTo("_change_type", s) => side == s
+    case In("_change_type", vs) => vs.contains(side)
+    case EqualTo("_commit_version", x: Int) => v == x
+    case GreaterThan("_commit_version", x: Int) => v > x
+    case GreaterThanOrEqual("_commit_version", x: Int) => v >= x
+    case LessThan("_commit_version", x: Int) => v < x
+    case LessThanOrEqual("_commit_version", x: Int) => v <= x
+    case In("_commit_version", vs) => vs.contains(v)
+    case Not(inner) => !holds(inner, side, v)
+    case Or(l, r) => holds(l, side, v) || holds(r, side, v)
+    case _ => true
+  }
+
+  property("pruning never excludes a (version, side) that satisfies the conjunction") =
+    forAll(Gen.listOf(filterGen), sideGen, verGen) { (filters, side, v) =>
+      val mp = MetaPruning(filters.toArray)
+      val qualifies = filters.forall(holds(_, side, v))
+      Prop(!qualifies || (mp.versionAllowed(v) && mp.sideAllowed(side))) :|
+        s"pruned a qualifying row: $mp vs ($side, v$v) under ${filters.mkString(" AND ")}"
+    }
+}
