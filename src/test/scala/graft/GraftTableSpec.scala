@@ -218,6 +218,22 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     t2.branch("adopt").append(df(d2))
     t2.mergeBranch("adopt").operation shouldBe "merge"
     t2.scan().count() shouldBe 2
+
+    // the CDC changelog sees a merge as the publish-time insert of the
+    // branch's staged rows — staged work is invisible to main's history
+    // until the merge commit
+    val mv = t2.currentOrFail().version
+    val ch = t2.scanChangesBetween(mv - 1, mv)
+    ch.where(col("_change_type") === "insert").select("id").collect()
+      .map(_.getLong(0)).toSeq shouldBe Seq(2L)
+    ch.where(col("_change_type") === "delete").count() shouldBe 0L
+
+    // after the branch drops, merged files are referenced by MAIN and
+    // survive a full orphan sweep
+    t2.dropBranch("adopt")
+    t2.removeOrphanFiles(olderThanMs = 0)
+    t2.scan().select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      Seq(1L, 2L)
   }
 
   test("family-wide liveness: branch-referenced files survive GC until the branch drops") {
