@@ -236,6 +236,29 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
       Seq(1L, 2L)
   }
 
+  test("mergeBranch and a racing main append both land via optimistic retry") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val c = cat()
+    val t = c.ensure(TableIdent("ns", "t5n"))
+    t.append(df(d1))
+    t.createBranch("race")
+    t.branch("race").append(df(d2))
+    // two independent handles over the same table dir, committing
+    // concurrently: one merges the branch, one appends to main — the
+    // optimistic commit loop must land BOTH, in either order
+    val h1 = c.load(TableIdent("ns", "t5n"))
+    val h2 = c.load(TableIdent("ns", "t5n"))
+    val fs = Seq(
+      Future(h1.mergeBranch("race")),
+      Future(h2.append(df(d3))))
+    Await.result(Future.sequence(fs), 60.seconds)
+    t.scan().select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      Seq(1L, 2L, 3L)
+    t.snapshots().map(_.operation).sorted should contain allOf ("append", "merge")
+  }
+
   test("family-wide liveness: branch-referenced files survive GC until the branch drops") {
     val t = cat().ensure(TableIdent("ns", "t5h"))
     t.append(df(d1))                                   // main v0, file A
