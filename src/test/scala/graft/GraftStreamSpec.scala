@@ -530,6 +530,21 @@ class GraftStreamSpec extends AnyFunSuite with Matchers {
     repState() shouldBe srcState()
   }
 
+  test("CDC batch read null-fills columns added after older commits") {
+    val (s, _) = streamSession("graft-cdc4")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.scdc4")
+    s.sql("CREATE TABLE graft.scdc4.src (id BIGINT)")
+    s.sql("INSERT INTO graft.scdc4.src VALUES (1)")
+    s.sql("ALTER TABLE graft.scdc4.src ADD COLUMN extra BIGINT")
+    s.sql("INSERT INTO graft.scdc4.src VALUES (2, 5)")
+    val rows = s.read.option("startingVersion", "0")
+      .table("graft.scdc4.src.changes")
+      .select("id", "extra").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1).toSeq
+    rows shouldBe Seq((1L, None), (2L, Some(5L)))
+  }
+
   test("CDC stream maxRowsPerTrigger paces catch-up by change volume") {
     val (s, c) = streamSession("graft-cdc3")
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft.scdc3")
