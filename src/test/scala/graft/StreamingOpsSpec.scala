@@ -73,6 +73,50 @@ class StreamingOpsSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("dedup-at-ingest: each micro-batch dedups against the target graft table itself") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val c = graft.table.GraftCatalog(s,
+      Files.createTempDirectory("graft-ingest").toString)
+    val tbl = c.ensure(graft.table.TableIdent("ns", "ingest"))
+    val ms = MemoryStream[(Long, String)]
+    // THE LLM ingestion loop: within-batch exact dedup, then the
+    // bloom-pruned anti join against the ACCUMULATED table (its row
+    // count is free metadata, so the sizing pass is skipped), then one
+    // append commit per batch — corpus state lives in the table, not
+    // the driver
+    val q = ms.toDF().toDF("id", "text").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val withinBatch = graft.operators.Dedup.exact(batch, Seq("text"), "id")
+        val unique = tbl.current() match {
+          case Some(snap) =>
+            graft.operators.Dedup.exactAgainst(withinBatch, tbl.scan(),
+              Seq("text"), "id", expectedExistingKeys = snap.rowCount)
+          case None => withinBatch
+        }
+        if (!unique.isEmpty) { tbl.append(unique); () }
+      }
+      .start()
+    try {
+      ms.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      q.processAllAvailable()
+      tbl.scan().count() shouldBe 2 // within-batch dup dropped
+      ms.addData((4L, "alpha"), (5L, "gamma"), (6L, "beta"))
+      q.processAllAvailable()
+      // cross-batch dups died against the table; only gamma landed
+      tbl.scan().select("text").collect().map(_.getString(0)).toSet shouldBe
+        Set("alpha", "beta", "gamma")
+      tbl.snapshots().map(_.operation) shouldBe Seq("append", "append")
+      // an all-duplicate batch commits nothing
+      ms.addData((7L, "alpha"))
+      q.processAllAvailable()
+      tbl.snapshots().size shouldBe 2
+    } finally q.stop()
+  }
+
   test("streaming near-dedup via foreachBatch: fingerprint state survives across batches") {
     val s = spark
     import s.implicits._
