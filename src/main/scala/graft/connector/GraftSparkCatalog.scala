@@ -103,6 +103,19 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       if (cat.exists(parent))
         return new GraftChangesTable(cat.load(parent), ident)
     }
+    // `graft.ns.t.branch_audit.changes` = the CDC relation over a
+    // BRANCH's log — audit exactly what a WAP branch staged, commit by
+    // commit, before publishing it
+    if (ident.namespace().length == 3 && ident.name().equalsIgnoreCase("changes") &&
+        ident.namespace()(2).toLowerCase.startsWith(BranchPrefix)) {
+      val parent = TableIdent(ident.namespace()(0), ident.namespace()(1))
+      val bname = ident.namespace()(2).substring(BranchPrefix.length)
+      if (cat.exists(parent)) {
+        val tbl = cat.load(parent)
+        if (tbl.listBranches().contains(bname))
+          return new GraftChangesTable(tbl.branch(bname), ident)
+      }
+    }
     // `graft.ns.t.branch_audit` = the table seen through branch
     // 'audit', READ-WRITE — the Iceberg branch-identifier surface that
     // makes the WAP loop reachable from pure SQL: INSERT INTO the

@@ -829,6 +829,10 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     // merge_branch completes the story where fast_forward cannot:
     // append-only staged work rebases onto the advanced main
     spark.sql("INSERT INTO graft.nswap.t.branch_b2 VALUES (10, 'y')")
+    // the branch's own change feed audits exactly what it staged
+    spark.sql("""SELECT id, _change_type FROM graft.nswap.t.branch_b2.changes""")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe
+      Seq((10L, "insert"))
     spark.sql("CALL graft.system.merge_branch('nswap', 't', 'b2')")
       .head.getLong(1) shouldBe 5L
     spark.sql("SELECT COUNT(*) FROM graft.nswap.t").head.getLong(0) shouldBe 5L
