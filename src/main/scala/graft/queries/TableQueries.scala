@@ -140,6 +140,43 @@ object TableQueries {
               |FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-06-01'
               |ORDER BY _commit_version, _change_type""".stripMargin)),
 
+    // CDC replication capstone: bootstrap a replica from the source's
+    // v0 snapshot, apply the whole changelog (append rewrite-upsert,
+    // partial-file delete) as ONE net-effect batch, and verify the
+    // replica's end state from the source parquet alone — gates the
+    // changes-feed + net-apply + keyed-delete + upsert composition
+    "q89_cdc_replication" -> Q(
+      (s, dir) => {
+        val cat = freshCatalog(s)
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val src = cat.ensure(TableIdent("bench", "ord_cdc_src"))
+        src.append(o.where(col("o_orderkey") % 2 === 0))          // v0
+        src.upsert(o.where(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
+          Seq("o_orderkey"))                                       // v1
+        src.deleteWhere("o_orderkey % 5 = 0")                      // v2
+        val replica = cat.ensure(TableIdent("bench", "ord_cdc_rep"))
+        replica.append(src.scanAsOfVersion(0))                     // bootstrap
+        graft.streaming.GraftStream.applyChangesBatch(
+          src.scanChangesBetween(0, src.currentOrFail().version),
+          replica, Seq("o_orderkey"))
+        replica.scan()
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      },
+      Some(s"""WITH target AS (
+              |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+              |source AS (
+              |  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice
+              |  FROM orders WHERE o_orderkey % 3 = 0),
+              |merged AS (
+              |  SELECT * FROM source
+              |  UNION ALL
+              |  SELECT * FROM target
+              |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)),
+              |final AS (SELECT * FROM merged WHERE o_orderkey % 5 <> 0)
+              |SELECT COUNT(*) AS n, ${DSUM("o_totalprice")} AS total FROM final""".stripMargin)),
+
     // Keyed bulk delete: a key-set frame (the opt-out-list shape)
     // removes exactly its matches via anti-join rewrite
     "q87_delete_by_keys" -> Q(
