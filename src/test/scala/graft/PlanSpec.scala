@@ -137,6 +137,10 @@ class PlanSpec extends AnyFunSuite with Matchers {
     pruned.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq shouldBe
       Seq((2L, 1), (3L, 2))
 
+    // pure SQL (no reader options) defaults to the full history
+    spark.sql("SELECT COUNT(*) FROM graft.nscdcp.t.changes")
+      .head.getLong(0) shouldBe 3L
+
     // degenerate prunings: only metadata columns, and only data columns
     spark.read.option("startingVersion", "0").table("graft.nscdcp.t.changes")
       .select("_change_type").collect().map(_.getString(0)).toSeq.sorted shouldBe
