@@ -189,6 +189,18 @@ object Bench {
     // window (round-3 bench was rc:0 but parsed:null). 2-decimal values keep
     // the whole line + sbt's trailing [success] line inside 2000 chars.
     def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // full JSON string escaper (same table as Verify's): exception
+    // messages can carry tabs/control chars that a quote-and-backslash
+    // replaceAll would land unescaped inside the diag sidecar
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     // Short keys ("q12" for "q12_conditional_agg"): every query's q-number
     // prefix is unique, and full names at ~67 queries would push the line
     // right up against the tail window.
@@ -256,7 +268,7 @@ object Bench {
       // seconds this JVM burned in the window — wall >> cpu at low
       // steal is a stall (I/O wait or scheduler noise), the second
       // contamination signature
-      s"""{"name":"${d.name}","start_epoch_ms":${d.startMs},"wall_s":${f(d.wallS)},"cpu_s":${f(d.cpuS)},"loadavg":${f(d.load)},"steal_pct":${f(d.stealPct)},"stalled":${d.stalled},"err":${d.err.map(m => "\"" + m.replaceAll("[\"\\\\]", " ") + "\"").getOrElse("null")}}"""
+      s"""{"name":"${d.name}","start_epoch_ms":${d.startMs},"wall_s":${f(d.wallS)},"cpu_s":${f(d.cpuS)},"loadavg":${f(d.load)},"steal_pct":${f(d.stealPct)},"stalled":${d.stalled},"err":${d.err.map(jstr).getOrElse("null")}}"""
     }.mkString(
       s"""{"jvms_at_start":$jvmsAtStart,"loadavg_start":${f(loadAtStart)},"loadavg_end":${f(loadAtEnd)},"cpus":$cpus,"retry_policy":"min-of-retries-while-dirty-v2","regressions":$regJson,"queries":[""",
       ",", "]}")

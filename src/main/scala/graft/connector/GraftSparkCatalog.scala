@@ -112,8 +112,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       val bname = ident.namespace()(2).substring(BranchPrefix.length)
       if (cat.exists(parent)) {
         val tbl = cat.load(parent)
-        if (tbl.listBranches().contains(bname))
-          return new GraftChangesTable(tbl.branch(bname), ident)
+        // resolve case-insensitively, like the prefix check above —
+        // `BRANCH_AUDIT.changes` must find branch 'audit', not throw
+        tbl.listBranches().find(_.equalsIgnoreCase(bname)).foreach { b =>
+          return new GraftChangesTable(tbl.branch(b), ident)
+        }
       }
     }
     // `graft.ns.t.branch_audit` = the table seen through branch
@@ -128,8 +131,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       val bname = ident.name().substring(BranchPrefix.length)
       if (cat.exists(parent)) {
         val tbl = cat.load(parent)
-        if (tbl.listBranches().contains(bname))
-          return new GraftV2Table(tbl.branch(bname), ident)
+        // `graft.ns.t.BRANCH_AUDIT` resolves like `branch_audit`: the
+        // prefix check is case-insensitive, so the name lookup is too
+        tbl.listBranches().find(_.equalsIgnoreCase(bname)).foreach { b =>
+          return new GraftV2Table(tbl.branch(b), ident)
+        }
       }
     }
     if (ident.namespace().length != 1) throw new NoSuchTableException(ident)

@@ -39,14 +39,15 @@ object GraftStream {
     * A batch may span several commits, so the NET effect per key is
     * applied: the newest version wins, and within one version insert
     * beats delete (a rewrite's carried row is present after the
-    * commit). The net splits into one [[GraftTable.deleteByKeys]] and
-    * one [[GraftTable.upsert]] — both partition-pruned rewrites, both
-    * keyed, so replication cost scales with the change volume, not the
-    * table. Net application is IDEMPOTENT (re-deleting is a no-op,
-    * re-upserting the same rows converges), which is exactly what
-    * foreachBatch's at-least-once replay needs — no marker protocol
-    * required. Keys must be unique non-null identifiers in the source
-    * table, same contract as upsert.
+    * commit). The net applies through ONE
+    * [[GraftTable.applyNetChanges]] commit — a partition-pruned keyed
+    * rewrite, so replication cost scales with the change volume, not
+    * the table, and each batch is ATOMIC: a reader never sees deletes
+    * applied without the corresponding inserts. Net application is
+    * IDEMPOTENT (re-deleting is a no-op, re-upserting the same rows
+    * converges), which is exactly what foreachBatch's at-least-once
+    * replay needs — no marker protocol required. Keys must be unique
+    * non-null identifiers in the source table, same contract as upsert.
     */
   def applyChangesBatch(changes: DataFrame, target: graft.table.GraftTable,
                         keys: Seq[String]): Unit = {
@@ -56,8 +57,12 @@ object GraftStream {
     val w = Window.partitionBy(keys.map(k => col(s"`$k`")): _*)
       .orderBy(col("_commit_version").desc,
         when(col("_change_type") === "insert", 1).otherwise(0).desc)
+    // materialized ONCE: the netting window shuffles the whole batch,
+    // and everything downstream (emptiness probes, the delete/upsert
+    // split, the rewrite) re-reads this frame — without the checkpoint
+    // each consumer would re-run the window over the full batch
     val last = changes.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
+      .where(col("_rn") === 1).localCheckpoint()
     val dels = last.where(col("_change_type") === "delete")
       .select(keys.map(k => col(s"`$k`")): _*)
     val ups = last.where(col("_change_type") === "insert")
@@ -66,9 +71,8 @@ object GraftStream {
       // virgin replica: the net effect of the first batch is pure
       // inserts (deletes of rows that never landed are no-ops)
       if (!ups.isEmpty) { target.append(ups); () }
-    } else {
-      if (!dels.isEmpty) { target.deleteByKeys(dels, keys); () }
-      if (!ups.isEmpty) { target.upsert(ups, keys); () }
+    } else if (!last.isEmpty) {
+      target.applyNetChanges(dels, ups, keys); ()
     }
   }
 

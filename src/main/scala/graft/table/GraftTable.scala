@@ -395,10 +395,16 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     def targetField(k: String) = snap.schema.fields
       .find(_.name.equalsIgnoreCase(k)).getOrElse(
         throw new IllegalArgumentException(s"unknown key column '$k'"))
+    // one evaluation: the key frame feeds three separate passes
+    // (partition derivation, zone-map bounds, anti join) — a
+    // nondeterministic caller source (sample, rand filter, shuffled
+    // limit) must not produce different key sets per pass, or pruning
+    // computed from one pass could carry files whose matches only the
+    // anti-join pass saw
     val keyDf = source.select(keys.map { k =>
       val f = targetField(k)
       col(s"`$k`").cast(f.dataType).as(f.name)
-    }: _*).distinct()
+    }: _*).distinct().localCheckpoint()
     val joinKeys = keys.map(targetField(_).name)
     val spec = partitionField()
     val (rewriteSet, carrySet): (Seq[DataFile], Seq[DataFile]) = spec match {
@@ -453,6 +459,78 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
       p.copy(
         snapshotId = newSnapshotId(),
         operation = "delete",
+        fileGroups = pruneGroups(p.schema, p.fileGroups, rewrittenPaths) :+ newGroup)
+    }
+  }
+
+  /** Apply the NET effect of a CDC batch — a set of keyed deletes and a
+    * set of keyed upserts, disjoint per key — in ONE commit:
+    * target rows matching ANY key (delete or upsert) are removed and
+    * the upsert rows inserted, so a reader never observes the
+    * intermediate "deletes applied, inserts missing" state a
+    * deleteByKeys-then-upsert sequence exposes between its two
+    * snapshots. Partition pruning carries files the combined key set
+    * cannot touch (when the partition source column is a key), exactly
+    * like [[upsert]]; the rewrite reads the pruned set once. Upsert
+    * rows follow upsert's duplicate-key contract; delete keys may
+    * repeat ([[deleteByKeys]]' contract). Idempotent under replay:
+    * re-deleting absent keys is a no-op and re-upserting the same rows
+    * converges — at-least-once CDC appliers can re-run a batch safely.
+    */
+  def applyNetChanges(deleteKeys: DataFrame, upserts: DataFrame,
+                      keys: Seq[String],
+                      props: Map[String, String] = Map.empty): Snapshot = {
+    require(keys.nonEmpty, "applyNetChanges requires key columns")
+    val snap = currentOrFail()
+    def targetField(k: String) = snap.schema.fields
+      .find(_.name.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(s"unknown key column '$k'"))
+    val joinKeys = keys.map(targetField(_).name)
+    // one evaluation each: both frames feed several passes (dup-key
+    // check, partition derivation, anti join, final write) — same
+    // determinism guard as the MERGE command path
+    val projected = Projection.project(upserts, snap.schema).localCheckpoint()
+    val dupKeys = projected
+      .where(joinKeys.map(k => col(s"`$k`").isNotNull).reduce(_ && _))
+      .groupBy(joinKeys.map(k => col(s"`$k`")): _*)
+      .agg(count(lit(1)).as("_n")).where(col("_n") > 1).limit(1).collect()
+    if (dupKeys.nonEmpty)
+      throw new IllegalArgumentException(
+        s"applyNetChanges upserts contain duplicate keys on (${keys.mkString(", ")}), " +
+          s"e.g. ${dupKeys.head.toSeq.init.mkString("/")}")
+    val allKeys = deleteKeys.select(keys.map { k =>
+      val f = targetField(k)
+      col(s"`$k`").cast(f.dataType).as(f.name)
+    }: _*).unionByName(projected.select(joinKeys.map(k => col(s"`$k`")): _*))
+      .distinct().localCheckpoint()
+    val spec = partitionField()
+    val rewriteSet: Seq[DataFile] = spec match {
+      case Some(pf) if joinKeys.exists(_.equalsIgnoreCase(pf.sourceCol)) =>
+        val srcType = snap.schema(pf.sourceCol).dataType
+        val derived = allKeys
+          .select(pf.derive(col(s"`${pf.sourceCol}`"), srcType).as("v"))
+          .distinct().collect()
+          .map(r => Option(r.getString(0))).toSet
+        snap.files.filter { f =>
+          f.partitionValues.flatMap(_.get(pf.fieldName)) match {
+            case Some(None) if srcType == StringType => true
+            case Some(v) => derived.contains(v)
+            case None    => true
+          }
+        }
+      case _ => snap.files
+    }
+    val kept = readFiles(snap.schema, rewriteSet).join(allKeys, joinKeys, "left_anti")
+    val merged = kept.unionByName(projected)
+    val newGroup = writeDataFiles(merged, snap.schema, spec)
+    val rewrittenPaths = rewriteSet.map(_.path).toSet
+    log.commit { parent =>
+      val p = parent.getOrElse(snap)
+      requireNoConflict(p, rewrittenPaths, "merge")
+      p.copy(
+        snapshotId = newSnapshotId(),
+        operation = "merge",
+        properties = p.properties ++ props,
         fileGroups = pruneGroups(p.schema, p.fileGroups, rewrittenPaths) :+ newGroup)
     }
   }

@@ -797,6 +797,10 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     // audit: the branch sees staged rows, main does not
     spark.sql("SELECT COUNT(*) FROM graft.nswap.t.branch_audit")
       .head.getLong(0) shouldBe 3L
+    // branch identifiers resolve case-insensitively end to end (the
+    // prefix check always did; the name lookup must agree)
+    spark.sql("SELECT COUNT(*) FROM graft.nswap.t.BRANCH_AUDIT")
+      .head.getLong(0) shouldBe 3L
     spark.sql("SELECT COUNT(*) FROM graft.nswap.t").head.getLong(0) shouldBe 2L
     // VERSION AS OF '<branch>' is the read-only view of the same head
     spark.sql("SELECT COUNT(*) FROM graft.nswap.t VERSION AS OF 'audit'")
@@ -833,6 +837,9 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("""SELECT id, _change_type FROM graft.nswap.t.branch_b2.changes""")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe
       Seq((10L, "insert"))
+    // ... and the branch change feed resolves case-insensitively too
+    spark.sql("""SELECT COUNT(*) FROM graft.nswap.t.Branch_B2.changes""")
+      .head.getLong(0) shouldBe 1L
     spark.sql("CALL graft.system.merge_branch('nswap', 't', 'b2')")
       .head.getLong(1) shouldBe 5L
     spark.sql("SELECT COUNT(*) FROM graft.nswap.t").head.getLong(0) shouldBe 5L
