@@ -18,5 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.SqlFunctions.all.foreach(ext.injectFunction)
     // MERGE INTO over graft DSv2 tables → the reference upsert semantics
     ext.injectPostHocResolutionRule(graft.connector.GraftMergeRule)
+    // merge-on-read delete application for SQL reads (no-op while a
+    // table carries no delete groups)
+    ext.injectResolutionRule(graft.connector.GraftMorScanRule)
   }
 }

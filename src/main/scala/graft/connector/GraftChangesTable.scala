@@ -314,16 +314,49 @@ private[graft] object GraftCdc {
   /** (inserted, deleted) file sets of commit `v` — the same snapshot
     * diff [[GraftTable.scanChangesBetween]] walks, shared by admission
     * sizing and partition planning.
+    *
+    * Merge-on-read interplay: the DSv2 change feed reads RAW file
+    * diffs (one parquet partition per changed file), which is exact
+    * only while no merge-on-read delete is involved. Three shapes
+    * can't be represented as file scans and fail loudly with guidance
+    * instead of silently emitting wrong rows: (1) the commit ADDED
+    * delete groups (its change is a join, not a file diff); (2) it
+    * removed files that pending deletes applied to (their raw rows
+    * overstate the delete side); (3) it re-added files under pending
+    * deletes (rollback). Plain appends on a table with pending deletes
+    * are fine — new files carry a higher data seq than every delete.
+    * `GraftTable.scanChangesBetween` handles all three exactly;
+    * `compact()` clears the state for the feed.
     */
   def diffAt(tbl: GraftTable, v: Int): (Seq[DataFile], Seq[DataFile]) = {
+    def morUnsupported(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"graft change feed over ${tbl.tableDir}: commit v$v $what; the DSv2 " +
+          "changes relation reads raw file diffs and cannot apply " +
+          "merge-on-read deletes — read this range with " +
+          "GraftTable.scanChangesBetween (exact), or compact() the table " +
+          "so later commits are delete-free")
     val cur = tbl.snapshotAt(v)
     if (v == 0) (cur.files, Seq.empty)
     else {
       val prev = tbl.snapshotAt(v - 1)
       val before = prev.files.map(_.path).toSet
       val after = cur.files.map(_.path).toSet
-      (cur.files.filterNot(f => before.contains(f.path)),
-        prev.files.filterNot(f => after.contains(f.path)))
+      val prevSeqs = prev.deleteGroups.map(_.seq).toSet
+      if (cur.deleteGroups.exists(d => !prevSeqs.contains(d.seq)))
+        morUnsupported("added merge-on-read delete groups")
+      if (prev.deleteGroups.nonEmpty &&
+          prev.fileGroups.exists(g => prev.deleteGroups.exists(_.appliesTo(g.seq)) &&
+            g.files.exists(f => !after.contains(f.path))))
+        morUnsupported("rewrote files under pending merge-on-read deletes")
+      val ins = cur.files.filterNot(f => before.contains(f.path))
+      if (cur.deleteGroups.nonEmpty && ins.nonEmpty) {
+        val insPaths = ins.map(_.path).toSet
+        if (cur.fileGroups.exists(g => cur.deleteGroups.exists(_.appliesTo(g.seq)) &&
+            g.files.exists(f => insPaths.contains(f.path))))
+          morUnsupported("re-added files under pending merge-on-read deletes")
+      }
+      (ins, prev.files.filterNot(f => after.contains(f.path)))
     }
   }
 

@@ -60,6 +60,17 @@ final class GraftV2Table(tbl: GraftTable, ident: Identifier,
     case Some(_) => pinnedSnap.schema
   }
 
+  /** The snapshot this table would scan, when it carries pending
+    * merge-on-read deletes — the trigger for [[GraftMorScanRule]] to
+    * replace the native file scan with the delete-applying plan.
+    * None in the (overwhelmingly common) delete-free state.
+    */
+  private[connector] def morSnapshot: Option[Snapshot] =
+    (asOf match {
+      case None => tbl.current()
+      case Some(_) => Some(pinnedSnap)
+    }).filter(_.deleteGroups.nonEmpty)
+
   override def capabilities(): util.Set[TableCapability] =
     if (asOf.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(
@@ -150,7 +161,11 @@ final class GraftScanBuilder(tbl: GraftTable, snapAt: () => Snapshot,
   private def planAgg(agg: Aggregation) = plannedAgg match {
     case Some((a, r)) if a eq agg => r
     case _ =>
-      val r = if (pushed.nonEmpty) None else GraftAggPushdown.plan(snapAt(), agg)
+      val snap = snapAt()
+      // manifest counts include rows pending merge-on-read deletion —
+      // metadata answers would overcount, so the push is declined
+      val r = if (pushed.nonEmpty || snap.deleteGroups.nonEmpty) None
+              else GraftAggPushdown.plan(snap, agg)
       plannedAgg = Some((agg, r))
       r
   }

@@ -144,7 +144,16 @@ object ManifestSummary {
 final class FileGroup private (
     val manifest: String,
     val summary: Option[ManifestSummary],
-    load: () => Seq[DataFile]) {
+    load: () => Seq[DataFile],
+    /** Data sequence number (Iceberg's manifest sequence): the commit
+      * ordinal at which this group's files were ADDED, assigned from
+      * the parent snapshot's `lastSeq + 1` inside the commit closure.
+      * Merge-on-read deletes apply to groups with `seq <` the delete's
+      * seq — a row re-inserted after a delete lands in a higher-seq
+      * group and survives. Legacy snapshots parse as seq 0 (all their
+      * data predates any delete group, which can only carry seq ≥ 1).
+      */
+    val seq: Long = 0L) {
   lazy val files: Seq[DataFile] = load()
   def rows: Long = summary.map(_.rows).getOrElse(files.map(_.rows).sum)
   def bytes: Long = summary.map(_.bytes).getOrElse(files.map(_.sizeBytes).sum)
@@ -154,16 +163,21 @@ final class FileGroup private (
     */
   def summaryOr(schema: StructType): ManifestSummary =
     summary.getOrElse(ManifestSummary.build(files, schema))
-  override def toString = s"FileGroup($manifest, files=$fileCount)"
-  // Structural equality on (manifest, files) — Snapshot is a case class
-  // whose equality (codec round-trip tests) must keep comparing by
-  // content. Forces the lazy load; equality is a test/debug concern,
+  /** Same group at a given data sequence (commit-time assignment —
+    * the manifest file itself is seq-agnostic and reusable).
+    */
+  def withSeq(n: Long): FileGroup =
+    if (n == seq) this else new FileGroup(manifest, summary, () => files, n)
+  override def toString = s"FileGroup($manifest, files=$fileCount, seq=$seq)"
+  // Structural equality on (manifest, files, seq) — Snapshot is a case
+  // class whose equality (codec round-trip tests) must keep comparing
+  // by content. Forces the lazy load; equality is a test/debug concern,
   // planning never calls it.
   override def equals(o: Any): Boolean = o match {
-    case g: FileGroup => g.manifest == manifest && g.files == files
+    case g: FileGroup => g.manifest == manifest && g.seq == seq && g.files == files
     case _            => false
   }
-  override def hashCode: Int = (manifest, files).hashCode
+  override def hashCode: Int = (manifest, seq, files).hashCode
 }
 
 object FileGroup {
@@ -173,9 +187,41 @@ object FileGroup {
 
   /** Lazily-loading group (the snapshot read path). */
   def lazily(manifest: String, summary: Option[ManifestSummary],
-             load: () => Seq[DataFile]): FileGroup =
-    new FileGroup(manifest, summary, load)
+             load: () => Seq[DataFile], seq: Long = 0L): FileGroup =
+    new FileGroup(manifest, summary, load, seq)
 }
+
+/** A merge-on-read DELETE carried by a snapshot: rows are removed at
+  * READ time (scans apply the delete to every data group with
+  * `group.seq < this.seq`) instead of rewriting data files at commit
+  * time — the Iceberg format-v2 delete-file design, which is what keeps
+  * a scattered GDPR-style delete from rewriting a 100 TB table. Delete
+  * groups accumulate until a rewrite of the covered data (compaction,
+  * or any commit that leaves no group with a smaller seq) purges them.
+  */
+sealed trait DeleteGroup {
+  def seq: Long
+  /** Does this delete apply to data added at `dataSeq`? Strictly
+    * older data only: rows (re-)written at or after the delete's own
+    * commit were never seen by it.
+    */
+  def appliesTo(dataSeq: Long): Boolean = dataSeq < seq
+}
+
+/** Equality delete: rows whose key tuple appears in the referenced
+  * key-file manifest are deleted. `keys` are table column names; the
+  * manifest's parquet files hold exactly those columns (cast to the
+  * table's types at write). The Iceberg equality-delete analogue.
+  */
+final case class EqualityDeleteGroup(seq: Long, keys: Seq[String],
+                                     group: FileGroup) extends DeleteGroup
+
+/** Predicate delete: rows satisfying the SQL predicate are deleted —
+  * a delete-where recorded as metadata only (zero data IO at commit).
+  * Scans apply `NOT coalesce(pred, false)` to applicable groups.
+  */
+final case class PredicateDeleteGroup(seq: Long,
+                                      predicateSql: String) extends DeleteGroup
 
 /** A committed table version.
   *
@@ -200,10 +246,24 @@ final case class Snapshot(
     schemaVersion: Int,
     partitionSpec: Option[String],
     properties: Map[String, String],
-    fileGroups: Seq[FileGroup]) {
+    fileGroups: Seq[FileGroup],
+    deleteGroups: Seq[DeleteGroup] = Nil,
+    /** Highest data sequence ever assigned in this snapshot's history —
+      * the next commit's groups get `lastSeq + 1`. Monotonic, inherited
+      * across branch forks (so branch-staged data can never fall under
+      * a pre-fork delete). Legacy snapshots parse as 0.
+      */
+    lastSeq: Long = 0L) {
   def files: Seq[DataFile] = fileGroups.flatMap(_.files)
   def rowCount: Long = fileGroups.map(_.rows).sum
-  def manifestPaths: Set[String] = fileGroups.map(_.manifest).toSet
+  def manifestPaths: Set[String] =
+    (fileGroups.map(_.manifest) ++
+      deleteGroups.collect { case e: EqualityDeleteGroup => e.group.manifest }).toSet
+  /** Data files of equality-delete key manifests — part of the
+    * snapshot's storage footprint for GC/expiry liveness.
+    */
+  def deleteFiles: Seq[DataFile] =
+    deleteGroups.collect { case e: EqualityDeleteGroup => e.group.files }.flatten
 }
 
 object Snapshot {
@@ -272,10 +332,11 @@ object Snapshot {
     * manifest), never inline file lists.
     */
   def toJson(s: Snapshot): String = {
-    val manifests = JArray(s.fileGroups.map { g =>
-      val sum = g.summaryOr(s.schema)
+    def manifestRef(g: FileGroup, schema: StructType): JObject = {
+      val sum = g.summaryOr(schema)
       JObject(
         "path"       -> JString(g.manifest),
+        "seq"        -> JLong(g.seq),
         "file_count" -> JInt(sum.fileCount),
         "rows"       -> JLong(sum.rows),
         "bytes"      -> JLong(sum.bytes),
@@ -286,6 +347,22 @@ object Snapshot {
                              "max"   -> st.max.map(JString(_)).getOrElse(JNull),
                              "nulls" -> st.nullCount.map(JLong(_)).getOrElse(JNull))
                          })))
+    }
+    val manifests = JArray(s.fileGroups.map(manifestRef(_, s.schema)).toList)
+    val deletes = JArray(s.deleteGroups.map {
+      case EqualityDeleteGroup(seq, keys, group) =>
+        // key-file summaries merge against the KEY schema
+        val keySchema = StructType(s.schema.fields.filter(f => keys.contains(f.name)))
+        JObject(
+          "seq"      -> JLong(seq),
+          "kind"     -> JString("eq"),
+          "keys"     -> JArray(keys.map(JString(_)).toList),
+          "manifest" -> manifestRef(group.withSeq(seq), keySchema))
+      case PredicateDeleteGroup(seq, pred) =>
+        JObject(
+          "seq"       -> JLong(seq),
+          "kind"      -> JString("pred"),
+          "predicate" -> JString(pred))
     }.toList)
     val obj = JObject(
       "version"        -> JInt(s.version),
@@ -297,7 +374,9 @@ object Snapshot {
       "schema_version" -> JInt(s.schemaVersion),
       "partition_spec" -> s.partitionSpec.map(JString(_)).getOrElse(JNull),
       "properties"     -> JObject(s.properties.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
-      "manifests"      -> manifests)
+      "manifests"      -> manifests,
+      "last_seq"       -> JLong(s.lastSeq),
+      "deletes"        -> (if (s.deleteGroups.isEmpty) JNothing else deletes))
     JsonMethods.pretty(JsonMethods.render(obj))
   }
 
@@ -309,24 +388,42 @@ object Snapshot {
   def fromJson(json: String, loadManifest: String => Seq[DataFile]): Snapshot = {
     val j = JsonMethods.parse(json)
     val schema = DataType.fromJson(JsonMethods.compact(JsonMethods.render(j \ "schema"))).asInstanceOf[StructType]
+    def parseGroup(m: JValue): FileGroup = {
+      val path = str(m \ "path")
+      val summary = (m \ "file_count") match {
+        case JNothing => None
+        case fc =>
+          val stats = (m \ "stats") match {
+            case JObject(kvs) => kvs.map { case (c, s) =>
+              c -> ColumnStats(
+                opt(s \ "min").map(str),
+                opt(s \ "max").map(str),
+                opt(s \ "nulls").map(lng))
+            }.toMap
+            case _ => Map.empty[String, ColumnStats]
+          }
+          Some(ManifestSummary(lng(fc).toInt, lng(m \ "rows"), lng(m \ "bytes"), stats))
+      }
+      val seq = opt(m \ "seq").map(lng).getOrElse(0L)
+      FileGroup.lazily(path, summary, () => loadManifest(path), seq)
+    }
     val groups = (j \ "manifests") match {
-      case JArray(arr) => arr.map { m =>
-        val path = str(m \ "path")
-        val summary = (m \ "file_count") match {
-          case JNothing => None
-          case fc =>
-            val stats = (m \ "stats") match {
-              case JObject(kvs) => kvs.map { case (c, s) =>
-                c -> ColumnStats(
-                  opt(s \ "min").map(str),
-                  opt(s \ "max").map(str),
-                  opt(s \ "nulls").map(lng))
-              }.toMap
-              case _ => Map.empty[String, ColumnStats]
+      case JArray(arr) => arr.map(parseGroup)
+      case _ => Nil
+    }
+    val deletes = (j \ "deletes") match {
+      case JArray(arr) => arr.map { d =>
+        val seq = lng(d \ "seq")
+        str(d \ "kind") match {
+          case "eq" =>
+            val keys = (d \ "keys") match {
+              case JArray(ks) => ks.map(str)
+              case x => sys.error(s"bad delete keys: $x")
             }
-            Some(ManifestSummary(lng(fc).toInt, lng(m \ "rows"), lng(m \ "bytes"), stats))
+            EqualityDeleteGroup(seq, keys, parseGroup(d \ "manifest"))
+          case "pred" => PredicateDeleteGroup(seq, str(d \ "predicate"))
+          case k => sys.error(s"unknown delete kind: $k")
         }
-        FileGroup.lazily(path, summary, () => loadManifest(path))
       }
       case _ => Nil
     }
@@ -344,6 +441,8 @@ object Snapshot {
       schemaVersion = lng(j \ "schema_version").toInt,
       partitionSpec = opt(j \ "partition_spec").map(str),
       properties = props,
-      fileGroups = groups)
+      fileGroups = groups,
+      deleteGroups = deletes,
+      lastSeq = opt(j \ "last_seq").map(lng).getOrElse(0L))
   }
 }

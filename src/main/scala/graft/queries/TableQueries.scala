@@ -198,6 +198,97 @@ object TableQueries {
               |FROM orders WHERE o_orderkey % 5 <> 0
               |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Merge-on-read keyed delete: the scattered GDPR-shape delete
+    // commits a key-file delete group and rewrites ZERO data files
+    // (asserted in-plan — a rewrite fails the row, not just a spec);
+    // scans anti-join the keys, a post-delete re-insert survives
+    // (sequence ordering), and compaction folds everything back to the
+    // copy-on-write state. Oracle recomputes the end state from the
+    // source parquet alone.
+    "q90_mor_delete" -> Q(
+      (s, dir) => {
+        val cat = freshCatalog(s)
+        val ident = TableIdent("bench", "ord_mor")
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val tbl = cat.ensure(ident)
+        tbl.append(o.where(col("o_orderkey") % 2 === 0))
+        tbl.append(o.where(col("o_orderkey") % 2 =!= 0))
+        tbl.updateProperties(Map(graft.table.GraftTable.DeleteModeProp -> "mor"))
+        val before = tbl.currentOrFail().files.map(_.path).toSet
+        tbl.deleteByKeys(
+          o.where(col("o_orderkey") % 7 === 0).select(col("o_orderkey")),
+          Seq("o_orderkey"))
+        val after = tbl.currentOrFail()
+        require(after.files.map(_.path).toSet == before,
+          "merge-on-read delete rewrote data files")
+        require(after.deleteGroups.nonEmpty, "no delete group recorded")
+        // rows re-inserted AFTER the delete must survive the anti-join
+        tbl.append(o.where(col("o_orderkey") % 14 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 500.0))
+        val expected = tbl.scan()
+        val agg = (d: DataFrame) => d
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus"))
+        val morResult = agg(expected).collect()
+        // compact applies + purges the delete groups; the state converges
+        tbl.compact(2)
+        require(tbl.currentOrFail().deleteGroups.isEmpty,
+          "compaction left delete groups behind")
+        val cowResult = agg(tbl.scan())
+        require(java.util.Arrays.deepEquals(
+          morResult.map(_.toSeq.toArray[Any]).toArray[AnyRef],
+          cowResult.collect().map(_.toSeq.toArray[Any]).toArray[AnyRef]),
+          "merge-on-read scan diverged from the compacted copy-on-write state")
+        cowResult
+      },
+      Some(s"""WITH state AS (
+              |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+              |  WHERE o_orderkey % 7 <> 0
+              |  UNION ALL
+              |  SELECT o_orderkey, o_orderstatus, o_totalprice + 500.0 FROM orders
+              |  WHERE o_orderkey % 14 = 0)
+              |SELECT o_orderstatus, COUNT(*) AS n, ${DSUM("o_totalprice")} AS total
+              |FROM state GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Merge-on-read predicate delete through the pure-SQL surface:
+    // DELETE FROM records a predicate delete group (zero data IO) and
+    // SELECT applies it via the resolution rule — the end state is
+    // oracle-checked from raw parquet
+    "q91_mor_sql" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq91").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq91", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq91.warehouse",
+            Files.createTempDirectory("graft-mor-sql").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq91.bench")
+        s.sql("DROP TABLE IF EXISTS graftq91.bench.li")
+        s.sql("""CREATE TABLE graftq91.bench.li
+                |(l_orderkey BIGINT, l_returnflag STRING, l_quantity DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        t(s, dir, "lineitem").createOrReplaceTempView("q91_src")
+        s.sql("""INSERT INTO graftq91.bench.li
+                |SELECT l_orderkey, l_returnflag, l_quantity FROM q91_src""".stripMargin)
+        val cat = GraftCatalog(s, s.conf.get("spark.sql.catalog.graftq91.warehouse"))
+        val tbl = cat.load(TableIdent("bench", "li"))
+        val before = tbl.currentOrFail().files.map(_.path).toSet
+        s.sql("DELETE FROM graftq91.bench.li WHERE l_quantity < 10")
+        require(tbl.currentOrFail().files.map(_.path).toSet == before,
+          "SQL merge-on-read delete rewrote data files")
+        require(tbl.currentOrFail().deleteGroups.nonEmpty,
+          "SQL DELETE recorded no delete group")
+        s.sql("""SELECT l_returnflag, COUNT(*) AS n,
+                |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+                |FROM graftq91.bench.li
+                |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem WHERE l_quantity >= 10
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Branch WAP + merge, pure SQL: fork, stage an insert on the branch
     // ident, let main advance past the fork (fast-forward now
     // impossible), then CALL merge_branch — the rebase path. The end

@@ -7,7 +7,7 @@ import scala.util.Random
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 import graft.config.LoaderConfig
-import graft.meta.{ColumnStats, DataFile, FileGroup, MetadataLog, Snapshot}
+import graft.meta.{ColumnStats, DataFile, DeleteGroup, EqualityDeleteGroup, FileGroup, MetadataLog, PredicateDeleteGroup, Snapshot}
 import graft.partitioning.{PartitionExpr, PartitionField}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -100,13 +100,39 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     val snap = currentOrFail()
     val pred = CatalystSqlParser.parseExpression(predicateSql)
     val (skipGroups, dropped, mayMatch) = classifyGroups(snap, pred)
+    // Merge-on-read path: whole-match files still drop as metadata
+    // (free), but instead of rewriting the partially-matching files the
+    // predicate itself is recorded as a delete group — ZERO data IO at
+    // commit, scans apply `NOT pred` to older-seq groups, and
+    // compaction folds it in later. Chosen when the CoW rewrite would
+    // exceed the MoR threshold (see [[chooseMor]]).
+    if (mayMatch.nonEmpty && chooseMor(snap, mayMatch.map(_.sizeBytes).sum)) {
+      val removed = dropped.map(_.path).toSet
+      val untouched = skipGroups.map(_.manifest).toSet
+      return log.commit { parent =>
+        val p = parent.getOrElse(snap)
+        requireNoConflict(p, removed, "delete")
+        val ns = p.lastSeq + 1
+        val groups = pruneGroups(p.schema, p.fileGroups, removed, untouched)
+        p.copy(
+          snapshotId = newSnapshotId(),
+          operation = "delete",
+          fileGroups = groups,
+          deleteGroups = purgeDeletes(groups, p.deleteGroups) :+
+            PredicateDeleteGroup(ns, predicateSql),
+          lastSeq = ns)
+      }
+    }
     val rewritten: Option[FileGroup] =
       if (mayMatch.isEmpty) None
       else {
         // SQL DELETE drops only rows where the predicate is TRUE; rows
         // evaluating NULL are kept. A bare `!pred` would evaluate NULL on
         // them too and filter them out, so keep rows where pred IS NOT TRUE.
-        val rewriteDf = readFiles(snap.schema, mayMatch)
+        // Pending MoR deletes are applied first: the rewrite's output
+        // carries a fresh (higher) seq, so rows it resurrects would
+        // escape them forever.
+        val rewriteDf = readFilesMoR(snap, mayMatch, snap.schema)
           .filter(!coalesce(expr(predicateSql), lit(false)))
         Some(writeDataFiles(rewriteDf, snap.schema, partitionField()))
       }
@@ -115,13 +141,19 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     log.commit { parent =>
       val p = parent.getOrElse(snap)
       requireNoConflict(p, removed, "delete")
+      requireNoNewDeletes(p, snap, "delete")
       // groups untouched by this delete (incl. any committed concurrently)
       // carry their manifests verbatim; partially-affected groups get a
       // pruned manifest (metadata-only, no data rewrite)
+      val ns = if (rewritten.isDefined) p.lastSeq + 1 else p.lastSeq
+      val groups = pruneGroups(p.schema, p.fileGroups, removed, untouched) ++
+        rewritten.map(_.withSeq(ns)).toSeq
       p.copy(
         snapshotId = newSnapshotId(),
         operation = "delete",
-        fileGroups = pruneGroups(p.schema, p.fileGroups, removed, untouched) ++ rewritten.toSeq)
+        fileGroups = groups,
+        deleteGroups = purgeDeletes(groups, p.deleteGroups),
+        lastSeq = ns)
     }
   }
 
@@ -147,7 +179,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     val affected = allMatch ++ mayMatch
     if (affected.isEmpty) return snap
     val cond = coalesce(expr(predicateSql), lit(false))
-    val rewriteDf = readFiles(snap.schema, affected).select(
+    val rewriteDf = readFilesMoR(snap, affected, snap.schema).select(
       snap.schema.fields.map { f =>
         set.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) => v } match {
           case Some(valueSql) =>
@@ -162,10 +194,16 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     log.commit { parent =>
       val p = parent.getOrElse(snap)
       requireNoConflict(p, removed, "update")
+      requireNoNewDeletes(p, snap, "update")
+      val ns = p.lastSeq + 1
+      val groups = pruneGroups(p.schema, p.fileGroups, removed, untouched) :+
+        rewritten.withSeq(ns)
       p.copy(
         snapshotId = newSnapshotId(),
         operation = "update",
-        fileGroups = pruneGroups(p.schema, p.fileGroups, removed, untouched) :+ rewritten)
+        fileGroups = groups,
+        deleteGroups = purgeDeletes(groups, p.deleteGroups),
+        lastSeq = ns)
     }
   }
 
@@ -183,7 +221,9 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     var files = 0
     var rows = 0L
     val toStat = Seq.newBuilder[(String, Long)] // (rel path, recorded size)
-    snap.fileGroups.foreach { g =>
+    val auditGroups = snap.fileGroups ++
+      snap.deleteGroups.collect { case e: EqualityDeleteGroup => e.group }
+    auditGroups.foreach { g =>
       val loaded =
         try Some(g.files)
         catch { case e: Exception =>
@@ -357,7 +397,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
       case _ => (snap.files, Nil)
     }
 
-    val target = readFiles(snap.schema, rewriteSet)
+    val target = readFilesMoR(snap, rewriteSet, snap.schema)
     val kept = target.join(
       projected.select(keys.map(k => col(s"`$k`")): _*).distinct(),
       keys, "left_anti")
@@ -367,11 +407,17 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     log.commit { parent =>
       val p = parent.getOrElse(snap)
       requireNoConflict(p, rewrittenPaths, "upsert")
+      requireNoNewDeletes(p, snap, "upsert")
+      val ns = p.lastSeq + 1
+      val groups = pruneGroups(p.schema, p.fileGroups, rewrittenPaths) :+
+        newGroup.withSeq(ns)
       p.copy(
         snapshotId = newSnapshotId(),
         operation = "upsert",
         properties = p.properties ++ props,
-        fileGroups = pruneGroups(p.schema, p.fileGroups, rewrittenPaths) :+ newGroup)
+        fileGroups = groups,
+        deleteGroups = purgeDeletes(groups, p.deleteGroups),
+        lastSeq = ns)
     }
   }
 
@@ -450,16 +496,44 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
       StatsPruner.evaluate(f, snap.schema, rangePred).may)
     val _2 = statCarry
     if (statRewrite.isEmpty) return snap // no file can contain a matched key
-    val kept = readFiles(snap.schema, statRewrite).join(keyDf, joinKeys, "left_anti")
+    // Merge-on-read path: instead of rewriting every may-contain file,
+    // the key frame itself is written as a small parquet manifest and
+    // recorded as an equality-delete group — commit cost is O(keys),
+    // scans anti-join it against older-seq groups, compaction purges
+    // it. This is what keeps a scattered keyed delete (GDPR/opt-out
+    // lists) from rewriting a 100 TB table.
+    if (chooseMor(snap, statRewrite.map(_.sizeBytes).sum)) {
+      val keyGroup = writeDataFiles(
+        keyDf.select(joinKeys.map(k => col(s"`$k`")): _*),
+        deleteKeySchema(snap, joinKeys), None)
+      return log.commit { parent =>
+        val p = parent.getOrElse(snap)
+        val ns = p.lastSeq + 1
+        p.copy(
+          snapshotId = newSnapshotId(),
+          operation = "delete",
+          deleteGroups = purgeDeletes(p.fileGroups, p.deleteGroups) :+
+            EqualityDeleteGroup(ns, joinKeys, keyGroup.withSeq(ns)),
+          lastSeq = ns)
+      }
+    }
+    val kept = readFilesMoR(snap, statRewrite, snap.schema)
+      .join(keyDf, joinKeys, "left_anti")
     val newGroup = writeDataFiles(kept, snap.schema, spec)
     val rewrittenPaths = statRewrite.map(_.path).toSet
     log.commit { parent =>
       val p = parent.getOrElse(snap)
       requireNoConflict(p, rewrittenPaths, "delete")
+      requireNoNewDeletes(p, snap, "delete")
+      val ns = p.lastSeq + 1
+      val groups = pruneGroups(p.schema, p.fileGroups, rewrittenPaths) :+
+        newGroup.withSeq(ns)
       p.copy(
         snapshotId = newSnapshotId(),
         operation = "delete",
-        fileGroups = pruneGroups(p.schema, p.fileGroups, rewrittenPaths) :+ newGroup)
+        fileGroups = groups,
+        deleteGroups = purgeDeletes(groups, p.deleteGroups),
+        lastSeq = ns)
     }
   }
 
@@ -520,18 +594,25 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         }
       case _ => snap.files
     }
-    val kept = readFiles(snap.schema, rewriteSet).join(allKeys, joinKeys, "left_anti")
+    val kept = readFilesMoR(snap, rewriteSet, snap.schema)
+      .join(allKeys, joinKeys, "left_anti")
     val merged = kept.unionByName(projected)
     val newGroup = writeDataFiles(merged, snap.schema, spec)
     val rewrittenPaths = rewriteSet.map(_.path).toSet
     log.commit { parent =>
       val p = parent.getOrElse(snap)
       requireNoConflict(p, rewrittenPaths, "merge")
+      requireNoNewDeletes(p, snap, "merge")
+      val ns = p.lastSeq + 1
+      val groups = pruneGroups(p.schema, p.fileGroups, rewrittenPaths) :+
+        newGroup.withSeq(ns)
       p.copy(
         snapshotId = newSnapshotId(),
         operation = "merge",
         properties = p.properties ++ props,
-        fileGroups = pruneGroups(p.schema, p.fileGroups, rewrittenPaths) :+ newGroup)
+        fileGroups = groups,
+        deleteGroups = purgeDeletes(groups, p.deleteGroups),
+        lastSeq = ns)
     }
   }
 
@@ -553,7 +634,9 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         val survivors = g.files.filterNot(f => removed.contains(f.path))
         if (survivors.size == g.files.size) Some(g)      // untouched: reuse
         else if (survivors.isEmpty) None                 // emptied: drop
-        else Some(log.writeManifest(survivors, Some(schema))) // pruned subset
+        // pruned subset KEEPS the group's data sequence — the surviving
+        // rows were written then, and MoR delete applicability rides on it
+        else Some(log.writeManifest(survivors, Some(schema)).withSeq(g.seq))
       }
     }
 
@@ -658,7 +741,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
   def scanWhere(predicateSql: String): DataFrame = {
     val snap = currentOrFail()
     val pred = CatalystSqlParser.parseExpression(predicateSql)
-    readFiles(snap.schema, prunedFilesOf(snap, pred)).filter(expr(predicateSql))
+    readFilesMoR(snap, prunedFilesOf(snap, pred), snap.schema).filter(expr(predicateSql))
   }
 
   /** Files the pruners keep for a predicate — exposed for tests
@@ -703,13 +786,138 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     PartitionPruner.Tri(pTri.may && sTri.may, pTri.all || sTri.all)
   }
 
-  private def scanSnapshot(snap: Snapshot): DataFrame = readFiles(snap.schema, snap.files)
+  private[graft] def scanSnapshot(snap: Snapshot): DataFrame =
+    readFilesMoR(snap, snap.files, snap.schema)
 
   private def readFiles(schema: StructType, files: Seq[DataFile]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
       spark.read.schema(schema).parquet(files.map(f => new HPath(tableDir, f.path).toString): _*)
+
+  // ------------------------------------------------------------------
+  // Merge-on-read deletes (Iceberg format-v2 delete files, re-expressed)
+  // ------------------------------------------------------------------
+
+  /** Key-column schema of an equality delete, taken from the snapshot
+    * schema so the key parquet reads back with the table's own types.
+    */
+  private def deleteKeySchema(snap: Snapshot, keys: Seq[String]): StructType =
+    StructType(keys.map(k => snap.schema.fields.find(_.name.equalsIgnoreCase(k))
+      .getOrElse(throw new IllegalStateException(
+        s"delete key column '$k' missing from schema"))))
+
+  private def readDeleteKeys(snap: Snapshot, e: EqualityDeleteGroup): DataFrame =
+    readFiles(deleteKeySchema(snap, e.keys), e.group.files)
+
+  /** Apply delete groups to rows already known to be in their scope:
+    * equality deletes anti-join on the key tuple (the delete-keys side
+    * carries ONLY key columns, so Catalyst/AQE broadcasts it long
+    * before the data side would shuffle); predicate deletes filter
+    * with SQL DELETE three-valued semantics (NULL predicate keeps the
+    * row, like the copy-on-write path).
+    */
+  private def applyDeleteGroups(df: DataFrame, dels: Seq[DeleteGroup],
+                                snap: Snapshot): DataFrame =
+    dels.foldLeft(df) {
+      case (acc, e: EqualityDeleteGroup) =>
+        acc.join(readDeleteKeys(snap, e), e.keys, "left_anti")
+      case (acc, p: PredicateDeleteGroup) =>
+        acc.filter(!coalesce(expr(p.predicateSql), lit(false)))
+    }
+
+  /** Read a subset of `snap`'s data files with the snapshot's
+    * merge-on-read deletes applied. A delete applies to data groups
+    * with `seq <` its own; files are bucketed by HOW MANY deletes
+    * apply to their group (delete seqs are totally ordered, so the
+    * applicable set is always a suffix), each bucket read once with
+    * its anti-join/filter chain, and the buckets unioned — a row
+    * re-inserted after a delete sits in a higher-seq bucket and is
+    * never filtered. Zero overhead when no deletes are pending (the
+    * overwhelmingly common state): one plain parquet read.
+    */
+  private[graft] def readFilesMoR(snap: Snapshot, files: Seq[DataFile],
+                                  readSchema: StructType): DataFrame = {
+    if (snap.deleteGroups.isEmpty) return readFiles(readSchema, files)
+    val dels = snap.deleteGroups.sortBy(_.seq)
+    val remaining = scala.collection.mutable.Set[String](files.map(_.path): _*)
+    val buckets = scala.collection.mutable.LinkedHashMap.empty[Int, Vector[DataFile]]
+    snap.fileGroups.foreach { g =>
+      if (remaining.nonEmpty) {
+        val member = g.files.filter(f => remaining.remove(f.path))
+        if (member.nonEmpty) {
+          val n = dels.count(_.appliesTo(g.seq))
+          buckets.updateWith(n)(v => Some(v.getOrElse(Vector.empty) ++ member))
+        }
+      }
+    }
+    require(remaining.isEmpty,
+      s"readFilesMoR: ${remaining.size} file(s) not in snapshot groups (e.g. ${remaining.headOption.getOrElse("")})")
+    buckets.toSeq.map { case (n, fs) =>
+      applyDeleteGroups(readFiles(readSchema, fs), dels.takeRight(n), snap)
+    }.reduceOption(_.unionByName(_)).getOrElse(readFiles(readSchema, Nil))
+  }
+
+  /** Rows a delete group REMOVED, as visible just before it committed
+    * — older-seq data with the PRIOR deletes applied, then this
+    * delete's own match (semi join / predicate). The changelog's
+    * delete-side emission for merge-on-read commits.
+    */
+  private def morDeletedRows(snap: Snapshot, d: DeleteGroup,
+                             readSchema: StructType): DataFrame = {
+    val priors = snap.deleteGroups.filter(_.seq < d.seq).sortBy(_.seq)
+    val base = snap.fileGroups.filter(g => d.appliesTo(g.seq)).map { g =>
+      applyDeleteGroups(
+        readFiles(readSchema, g.files.filter(_.rows > 0)),
+        priors.filter(_.appliesTo(g.seq)), snap)
+    }.reduceOption(_.unionByName(_)).getOrElse(readFiles(readSchema, Nil))
+    d match {
+      case e: EqualityDeleteGroup =>
+        base.join(readDeleteKeys(snap, e), e.keys, "left_semi")
+      case p: PredicateDeleteGroup =>
+        base.filter(coalesce(expr(p.predicateSql), lit(false)))
+    }
+  }
+
+  /** Delete groups still needed by `groups`: one with no live data
+    * group older than itself applies to nothing and is dropped — which
+    * is exactly how compaction (rewriting everything into a fresh
+    * top-seq group) purges accumulated delete files.
+    */
+  private def purgeDeletes(groups: Seq[FileGroup],
+                           dels: Seq[DeleteGroup]): Seq[DeleteGroup] =
+    dels.filter(d => groups.exists(_.seq < d.seq))
+
+  /** Rewrites read data WITHOUT deletes that land concurrently — their
+    * rewritten rows would carry a seq above the racing delete's and
+    * resurrect deleted rows. Fail like [[requireNoConflict]] does.
+    */
+  private def requireNoNewDeletes(p: Snapshot, analyzed: Snapshot, op: String): Unit = {
+    val known = analyzed.deleteGroups.map(_.seq).toSet
+    if (p.deleteGroups.exists(d => !known.contains(d.seq)))
+      throw new java.util.ConcurrentModificationException(
+        s"$op conflicts with a concurrent merge-on-read delete; " +
+          "re-run against the latest snapshot")
+  }
+
+  private def morMode(snap: Snapshot): String =
+    snap.properties.getOrElse(GraftTable.DeleteModeProp, "auto").toLowerCase
+
+  /** Should this delete go merge-on-read? `graft.delete.mode` = `cow` |
+    * `mor` | `auto` (default): auto flips to MoR when the copy-on-write
+    * rewrite would touch more than `graft.delete.mor.threshold-bytes`
+    * (default 256 MiB) — the scattered-keys-over-a-huge-table shape
+    * where CoW would rewrite nearly everything.
+    */
+  private def chooseMor(snap: Snapshot, rewriteBytes: Long): Boolean =
+    morMode(snap) match {
+      case "mor" => true
+      case "cow" => false
+      case _     => rewriteBytes > snap.properties
+        .get(GraftTable.MorThresholdProp)
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .getOrElse(GraftTable.DefaultMorThresholdBytes)
+    }
 
   // ------------------------------------------------------------------
   // Maintenance (M1–M3)
@@ -736,7 +944,12 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         schemaVersion = target.schemaVersion,
         partitionSpec = target.partitionSpec,
         properties = target.properties,
-        fileGroups = target.fileGroups)
+        fileGroups = target.fileGroups,
+        // adopt the target's delete groups too (they were part of its
+        // logical state); lastSeq stays monotonic so post-rollback
+        // commits never reuse a sequence
+        deleteGroups = target.deleteGroups,
+        lastSeq = math.max(p.lastSeq, target.lastSeq))
     }
   }
 
@@ -865,6 +1078,14 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     require(head.partitionSpec == fork.partitionSpec,
       s"branch '$name' changed the partition spec since the fork; " +
         "publish via fast-forward or re-fork")
+    // a branch that added merge-on-read deletes is NOT append-only
+    // either: its delete groups remove fork-base rows at read time,
+    // and rebasing them onto an advanced main needs the same row-level
+    // conflict resolution a file rewrite would
+    require(head.deleteGroups.map(_.seq).toSet == fork.deleteGroups.map(_.seq).toSet,
+      s"branch '$name' staged merge-on-read deletes since the fork — " +
+        "merge rebases appends only; fast-forward before main advances, " +
+        "or drop the branch and re-fork")
     val appended = head.files.filterNot(f => basePaths.contains(f.path))
     log.commit { parent =>
       val p = parent.getOrElse(
@@ -885,11 +1106,16 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
           else (p.schema, p.schemaVersion)
         val present = p.files.map(_.path).toSet
         val toAdd = appended.filterNot(f => present.contains(f.path))
+        // grafted files take a FRESH main sequence: the rebase makes
+        // them logically land after everything main did meanwhile, so
+        // a post-fork main-side MoR delete must not apply to them
+        val ns = if (toAdd.isEmpty) p.lastSeq else p.lastSeq + 1
         val groups =
           if (toAdd.isEmpty) p.fileGroups
-          else p.fileGroups :+ log.writeManifest(toAdd, Some(schema))
+          else p.fileGroups :+ log.writeManifest(toAdd, Some(schema)).withSeq(ns)
         p.copy(snapshotId = newSnapshotId(), operation = "merge",
-          schema = schema, schemaVersion = schemaVersion, fileGroups = groups)
+          schema = schema, schemaVersion = schemaVersion, fileGroups = groups,
+          lastSeq = ns)
       }
     }
   }
@@ -924,14 +1150,18 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         // longer references may still be live from main or a branch
         val otherRefs = log.family().filter(_.branch != log.branch)
           .flatMap(_.snapshots())
-        val keptPaths = (survivors ++ otherRefs).flatMap(_.files.map(_.path)).toSet
+        // liveness covers equality-delete key files too (deleteFiles):
+        // a delete manifest still applied by a survivor must keep its
+        // parquet
+        val keptPaths = (survivors ++ otherRefs)
+          .flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
         val keptManifests = (survivors ++ otherRefs).flatMap(_.manifestPaths).toSet
         expired.foreach(s => log.delete(s.version))
         // orphan GC: data files + manifests no surviving snapshot
         // references; best-effort like the reference's maintenance
         // (failures logged, never raised, `services/maintenance.py:40-45`)
         graft.observability.Log.suppressAndWarn("expire-snapshots orphan GC") {
-          expired.flatMap(_.files.map(_.path)).distinct
+          expired.flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path)).distinct
             .filterNot(keptPaths.contains)
             .foreach(p => fs.delete(new HPath(tableDir, p), false))
           expired.flatMap(_.manifestPaths).distinct
@@ -963,9 +1193,10 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
   def removeOrphanFiles(olderThanMs: Long = 3 * 24 * 3600 * 1000L,
                         dryRun: Boolean = false): Int = {
     val cutoff = System.currentTimeMillis() - olderThanMs
-    // family-wide liveness: branch-only files are NOT orphans
+    // family-wide liveness: branch-only files are NOT orphans; equality-
+    // delete key files live under data/ like data files and count too
     val snaps = log.family().flatMap(_.snapshots())
-    val liveData = snaps.flatMap(_.files.map(_.path)).toSet
+    val liveData = snaps.flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
     val liveManifests = snaps.flatMap(_.manifestPaths).toSet
     // plan first: absolute data-file paths + manifest names, so dry-run
     // and delete share one discovery pass
@@ -1132,8 +1363,14 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     log.commit { parent =>
       val p = parent.getOrElse(snap)
       requireNoConflict(p, clustered, "cluster")
+      requireNoNewDeletes(p, snap, "cluster")
+      val ns = p.lastSeq + 1
+      val groups = pruneGroups(p.schema, p.fileGroups, clustered) :+
+        newGroup.withSeq(ns)
       p.copy(snapshotId = newSnapshotId(), operation = "cluster",
-        fileGroups = pruneGroups(p.schema, p.fileGroups, clustered) :+ newGroup)
+        fileGroups = groups,
+        deleteGroups = purgeDeletes(groups, p.deleteGroups),
+        lastSeq = ns)
     }
   }
 
@@ -1185,7 +1422,11 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     */
   def scanChangesBetween(fromVersion: Int, toVersion: Int): DataFrame =
     scanChangesBetweenImpl(fromVersion, toVersion,
-      grouped = toVersion - fromVersion > GraftTable.GroupedChangelogThreshold)
+      grouped = toVersion - fromVersion > GraftTable.GroupedChangelogThreshold &&
+        // the grouped plan reads raw file diffs; ranges touching
+        // merge-on-read state need the per-commit plan, which applies
+        // delete groups exactly (metadata-only check, O(range))
+        (fromVersion to toVersion).forall(v => log.read(v).deleteGroups.isEmpty))
 
   /** Both changelog plan shapes, selected by range width above.
     *
@@ -1214,11 +1455,22 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         val cur = log.read(v + 1)
         val before = prev.files.map(_.path).toSet
         val after = cur.files.map(_.path).toSet
-        val ins = readFiles(toSchema, cur.files.filterNot(f => before.contains(f.path)))
+        // both sides read MoR-aware: the delete side must not re-emit
+        // rows an earlier MoR delete already removed (prev's groups),
+        // and the insert side must honor deletes applicable to re-added
+        // groups (rollback re-adds carry their ORIGINAL seq)
+        val ins = readFilesMoR(cur, cur.files.filterNot(f => before.contains(f.path)), toSchema)
           .withColumn("_change_type", lit("insert"))
-        val del = readFiles(toSchema, prev.files.filterNot(f => after.contains(f.path)))
+        val del = readFilesMoR(prev, prev.files.filterNot(f => after.contains(f.path)), toSchema)
           .withColumn("_change_type", lit("delete"))
-        ins.unionByName(del).withColumn("_commit_version", lit(cur.version))
+        // merge-on-read deletes added by this commit emit their exact
+        // pre-image (rows visible just before the commit that match)
+        val prevSeqs = prev.deleteGroups.map(_.seq).toSet
+        val morDels = cur.deleteGroups.filterNot(d => prevSeqs.contains(d.seq))
+          .map(d => morDeletedRows(cur, d, toSchema)
+            .withColumn("_change_type", lit("delete")))
+        (Seq(ins, del) ++ morDels).reduce(_.unionByName(_))
+          .withColumn("_commit_version", lit(cur.version))
       }
       val empty = readFiles(toSchema, Nil)
         .withColumn("_change_type", lit(""))
@@ -1228,6 +1480,10 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     } else {
       // (commit version, file) occurrences per side, driver-side metadata
       val commits = (fromVersion until toVersion).map(v => (log.read(v), log.read(v + 1)))
+      require(commits.forall { case (a, b) =>
+        a.deleteGroups.isEmpty && b.deleteGroups.isEmpty },
+        "grouped changelog plan cannot span merge-on-read delete state; " +
+          "use the per-commit plan (scanChangesBetween chooses it automatically)")
       val inserts = commits.flatMap { case (prev, cur) =>
         val before = prev.files.map(_.path).toSet
         cur.files.filterNot(f => before.contains(f.path)).map(f => cur.version -> f)
@@ -1305,10 +1561,20 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     log.commit { parent =>
       val p = parent.getOrElse(snap)
       requireNoConflict(p, compacted, "compact")
+      requireNoNewDeletes(p, snap, "compact")
       // groups committed concurrently (e.g. a racing append) carry over;
-      // only the files this compaction actually read are replaced
+      // only the files this compaction actually read are replaced. The
+      // compacted rows had every pending MoR delete applied (the scan
+      // did it), land at a fresh top seq, and purgeDeletes then drops
+      // delete groups nothing older references — compaction is the
+      // delete-file GC.
+      val ns = p.lastSeq + 1
+      val groups = pruneGroups(p.schema, p.fileGroups, compacted) :+
+        newGroup.withSeq(ns)
       p.copy(snapshotId = newSnapshotId(), operation = "compact",
-        fileGroups = pruneGroups(p.schema, p.fileGroups, compacted) :+ newGroup)
+        fileGroups = groups,
+        deleteGroups = purgeDeletes(groups, p.deleteGroups),
+        lastSeq = ns)
     }
   }
 
@@ -1346,17 +1612,27 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     * rewrite of O(files merged), amortized constant per commit.
     */
   private def maybeMergeGroups(schema: StructType, groups: Seq[FileGroup],
-                               props: Map[String, String]): Seq[FileGroup] = {
+                               props: Map[String, String],
+                               dels: Seq[DeleteGroup]): Seq[FileGroup] = {
     val threshold = props.get(GraftTable.MergeThresholdProp)
       .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(64)
-    if (groups.size <= threshold) groups
+    // While MoR delete groups are pending, groups with different data
+    // seqs have different delete applicability — merging them into one
+    // manifest (one seq) would change which rows the deletes hit.
+    // Manifest merging simply pauses until compaction purges the
+    // deletes (the MoR state is transient by design).
+    if (groups.size <= threshold || dels.nonEmpty) groups
     else {
       // merge the smallest groups down to half the threshold, keeping
-      // the biggest manifests untouched (they'd dominate rewrite cost)
+      // the biggest manifests untouched (they'd dominate rewrite cost).
+      // With no deletes pending, any seq among the merged ones is
+      // equivalent for FUTURE deletes (all are below the next seq);
+      // min is the conservative choice.
       val sorted = groups.sortBy(_.fileCount)
       val keepCount = math.max(1, threshold / 2)
       val (merge, keep) = sorted.splitAt(sorted.size - keepCount + 1)
       keep :+ log.writeManifest(merge.flatMap(_.files), Some(schema))
+        .withSeq(merge.map(_.seq).min)
     }
   }
 
@@ -1372,11 +1648,20 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     val newGroup = writeDataFiles(projected, targetSchema, partitionFieldOrInit(snap))
     log.commit { parent =>
       parent match {
-        case Some(p) => p.copy(
-          snapshotId = newSnapshotId(),
-          operation = op,
-          properties = p.properties ++ props,
-          fileGroups = maybeMergeGroups(p.schema, groupsOf(Some(p), newGroup), p.properties ++ props))
+        case Some(p) =>
+          val ns = p.lastSeq + 1
+          val groups = maybeMergeGroups(p.schema,
+            groupsOf(Some(p), newGroup.withSeq(ns)),
+            p.properties ++ props, p.deleteGroups)
+          p.copy(
+            snapshotId = newSnapshotId(),
+            operation = op,
+            properties = p.properties ++ props,
+            fileGroups = groups,
+            // an overwrite leaves only the fresh group: pending MoR
+            // deletes then reference nothing older and purge with it
+            deleteGroups = purgeDeletes(groups, p.deleteGroups),
+            lastSeq = ns)
         case None => Snapshot(
           version = 0,
           snapshotId = newSnapshotId(),
@@ -1387,7 +1672,8 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
           schemaVersion = 0,
           partitionSpec = pendingSpec,
           properties = LoaderConfig.defaultTableProperties ++ props,
-          fileGroups = groupsOf(None, newGroup))
+          fileGroups = groupsOf(None, newGroup.withSeq(1L)),
+          lastSeq = 1L)
       }
     }
   }
@@ -1548,6 +1834,19 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
 object GraftTable {
   /** Table property controlling manifest-merge onset (default 64). */
   val MergeThresholdProp = "graft.manifest.merge-threshold"
+
+  /** Delete execution mode: `cow` (always rewrite), `mor` (always
+    * record delete groups), `auto` (default — MoR past the threshold).
+    */
+  val DeleteModeProp = "graft.delete.mode"
+
+  /** Auto-mode cutover: a delete whose copy-on-write rewrite set
+    * exceeds this many bytes goes merge-on-read instead (default
+    * 256 MiB — roughly "more than a couple of files").
+    */
+  val MorThresholdProp = "graft.delete.mor.threshold-bytes"
+
+  val DefaultMorThresholdBytes: Long = 256L << 20
 
   /** Stamped on a branch's fork commit (v0): the main-log version the
     * branch forked from — [[GraftTable.fastForward]]'s publish guard.

@@ -845,6 +845,103 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT COUNT(*) FROM graft.nswap.t").head.getLong(0) shouldBe 5L
   }
 
+  test("merge-on-read deletes are applied to SQL reads end to end") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsmor")
+    spark.sql(
+      """CREATE TABLE graft.nsmor.t (id BIGINT, v STRING)
+        |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+    spark.sql("INSERT INTO graft.nsmor.t SELECT id, CONCAT('v', id) FROM range(1, 21)")
+    val cat = graft.table.GraftCatalog(spark,
+      spark.conf.get("spark.sql.catalog.graft.warehouse"))
+    val tbl = cat.load(graft.table.TableIdent("nsmor", "t"))
+    val before = tbl.currentOrFail().files.map(_.path).toSet
+
+    // the keyed bulk delete verb goes merge-on-read under the property
+    spark.sql(
+      """MERGE INTO graft.nsmor.t t
+        |USING (SELECT * FROM VALUES (3L), (7L) AS x(id)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    tbl.currentOrFail().files.map(_.path).toSet shouldBe before // zero rewrites
+    tbl.currentOrFail().deleteGroups.size shouldBe 1
+
+    // plain SELECT: the resolution rule applies the delete groups
+    spark.sql("SELECT COUNT(*) FROM graft.nsmor.t").head.getLong(0) shouldBe 18L
+    spark.sql("SELECT id FROM graft.nsmor.t WHERE id < 10 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq shouldBe
+      Seq(1L, 2L, 4L, 5L, 6L, 8L, 9L)
+    // DELETE FROM ... WHERE records a predicate delete group (no rewrite)
+    spark.sql("DELETE FROM graft.nsmor.t WHERE id >= 18")
+    tbl.currentOrFail().files.map(_.path).toSet shouldBe before
+    spark.sql("SELECT COUNT(*) FROM graft.nsmor.t").head.getLong(0) shouldBe 15L
+    // joins/subqueries read MoR-correct too
+    spark.sql(
+      """SELECT COUNT(*) FROM graft.nsmor.t a
+        |JOIN graft.nsmor.t b ON a.id = b.id""".stripMargin)
+      .head.getLong(0) shouldBe 15L
+    // aggregate pushdown must NOT answer from (overcounting) metadata
+    spark.sql("SELECT COUNT(*) FROM graft.nsmor.t").queryExecution
+      .executedPlan.toString should not include "GraftAggScan"
+
+    // time travel to the MoR state applies its deletes as of then
+    val morVersion = tbl.currentOrFail().version
+    tbl.compact(1)
+    spark.sql(s"SELECT COUNT(*) FROM graft.nsmor.t VERSION AS OF $morVersion")
+      .head.getLong(0) shouldBe 15L
+    // post-compaction: delete groups purged, native scan resumes
+    tbl.currentOrFail().deleteGroups shouldBe empty
+    spark.sql("SELECT COUNT(*) FROM graft.nsmor.t").head.getLong(0) shouldBe 15L
+  }
+
+  test("DSv2 change feed refuses merge-on-read ranges loudly, recovers after compact") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsmor2")
+    spark.sql(
+      """CREATE TABLE graft.nsmor2.t (id BIGINT)
+        |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+    spark.sql("INSERT INTO graft.nsmor2.t SELECT id FROM range(0, 10)")
+    val cat = graft.table.GraftCatalog(spark,
+      spark.conf.get("spark.sql.catalog.graft.warehouse"))
+    val tbl = cat.load(graft.table.TableIdent("nsmor2", "t"))
+    spark.sql("DELETE FROM graft.nsmor2.t WHERE id < 3")
+    val morV = tbl.currentOrFail().version
+    val err = intercept[Exception] {
+      spark.read.option("startingVersion", "0").table("graft.nsmor2.t.changes")
+        .collect()
+    }
+    err.getMessage should include("merge-on-read")
+    err.getMessage should include("scanChangesBetween")
+    // the Scala API reads the same range exactly
+    tbl.scanChangesBetween(0, morV)
+      .where("_change_type = 'delete'")
+      .select("id").collect().map(_.getLong(0)).toSet shouldBe Set(0L, 1L, 2L)
+    // appends on top of pending deletes still stream fine (fresh seq)
+    spark.sql("INSERT INTO graft.nsmor2.t VALUES (100)")
+    spark.read.option("startingVersion", morV.toString)
+      .table("graft.nsmor2.t.changes")
+      .select("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(100L)
+    // compaction clears the state for the DSv2 feed going forward: the
+    // compact commit ITSELF still spans MoR state (its file-diff delete
+    // side would emit already-deleted rows — guarded), but every commit
+    // after it is delete-free and streams normally
+    tbl.compact(1)
+    val cv = tbl.currentOrFail().version
+    intercept[Exception] {
+      spark.read.option("startingVersion", (cv - 1).toString)
+        .table("graft.nsmor2.t.changes").collect()
+    }.getMessage should include("merge-on-read")
+    spark.sql("INSERT INTO graft.nsmor2.t VALUES (200)")
+    spark.read.option("startingVersion", cv.toString)
+      .table("graft.nsmor2.t.changes")
+      .select("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(200L)
+    // and the Scala API replays the whole history exactly, compaction
+    // included (net change of a pure rewrite = zero)
+    val all = tbl.scanChangesBetween(0, tbl.currentOrFail().version)
+    val net = all.where("_change_type = 'insert'").select("id")
+      .exceptAll(all.where("_change_type = 'delete'").select("id"))
+    net.collect().map(_.getLong(0)).toSet shouldBe
+      tbl.scan().select("id").collect().map(_.getLong(0)).toSet
+  }
+
   test("aggregate pushdown answers GROUP BY partition value from metadata") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsagg3")
     spark.sql(

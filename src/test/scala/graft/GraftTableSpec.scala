@@ -960,4 +960,186 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     versions.size shouldBe (1 + 20 + 10) // seed + appends + deletes
     t.snapshots().map(_.snapshotId).distinct.size shouldBe versions.size
   }
+
+  // ------------------------------------------------------------------
+  // Merge-on-read deletes
+  // ------------------------------------------------------------------
+
+  private def morTable(name: String): graft.table.GraftTable = {
+    val s = spark
+    import s.implicits._
+    val t = cat().ensure(TableIdent("mor", name))
+    t.append((1L to 10L).map(i => (i, s"d$i", s"n$i")).toDF("id", "day", "name"))
+    t.append((11L to 20L).map(i => (i, s"d$i", s"n$i")).toDF("id", "day", "name"))
+    t.updateProperties(Map(graft.table.GraftTable.DeleteModeProp -> "mor"))
+    t
+  }
+
+  test("MoR keyed delete: zero data files rewritten, exact read-back") {
+    val s = spark
+    import s.implicits._
+    val t = morTable("t1")
+    val filesBefore = t.currentOrFail().files.map(_.path).toSet
+    t.deleteByKeys(Seq(3L, 7L, 15L, 999L).toDF("id"), Seq("id"))
+    val snap = t.currentOrFail()
+    snap.operation shouldBe "delete"
+    // the whole point: not one data file rewritten or dropped
+    snap.files.map(_.path).toSet shouldBe filesBefore
+    snap.deleteGroups.size shouldBe 1
+    t.scan().select("id").as[Long].collect().toSet shouldBe
+      ((1L to 20L).toSet -- Set(3L, 7L, 15L))
+    // filtered scans and counts agree
+    t.scanWhere("id <= 5").select("id").as[Long].collect().toSet shouldBe
+      Set(1L, 2L, 4L, 5L)
+    // replaying the delete converges (idempotent, like the CoW path)
+    t.deleteByKeys(Seq(3L, 7L).toDF("id"), Seq("id"))
+    t.scan().count() shouldBe 17
+  }
+
+  test("MoR delete: a re-inserted key survives (sequence ordering)") {
+    val s = spark
+    import s.implicits._
+    val t = morTable("t2")
+    t.deleteByKeys(Seq(5L).toDF("id"), Seq("id"))
+    t.scan().where("id = 5").count() shouldBe 0
+    // re-insert AFTER the delete: lands at a higher data seq
+    t.append(Seq((5L, "d5b", "reborn")).toDF("id", "day", "name"))
+    t.scan().where("id = 5").select("name").as[String].collect().toSeq shouldBe
+      Seq("reborn")
+    // and a LATER delete still removes it
+    t.deleteByKeys(Seq(5L).toDF("id"), Seq("id"))
+    t.scan().where("id = 5").count() shouldBe 0
+  }
+
+  test("MoR predicate delete: metadata-only commit, whole-match files still drop") {
+    val s = spark
+    import s.implicits._
+    val t = morTable("t3")
+    val before = t.currentOrFail()
+    t.deleteWhere("id % 2 = 0")
+    val snap = t.currentOrFail()
+    snap.operation shouldBe "delete"
+    // no data rewritten: every surviving file path was already there
+    snap.files.map(_.path).toSet.subsetOf(
+      before.files.map(_.path).toSet) shouldBe true
+    snap.deleteGroups.collect {
+      case p: graft.meta.PredicateDeleteGroup => p.predicateSql
+    } shouldBe Seq("id % 2 = 0")
+    t.scan().select("id").as[Long].collect().toSet shouldBe
+      (1L to 20L).filter(_ % 2 == 1).toSet
+    // NULL-predicate rows are kept (SQL delete three-valued semantics)
+    t.append(Seq((null.asInstanceOf[java.lang.Long], "dx", "nullid"))
+      .toDF("id", "day", "name").select(col("id").cast("long"), col("day"), col("name")))
+    t.scan().where("name = 'nullid'").count() shouldBe 1
+  }
+
+  test("MoR deletes: CoW rewrites apply them (no resurrection) and compact purges") {
+    val s = spark
+    import s.implicits._
+    val t = morTable("t4")
+    t.deleteByKeys(Seq(2L, 12L).toDF("id"), Seq("id"))
+    // an upsert (CoW rewrite of every file here) must not resurrect 2/12
+    t.updateProperties(Map(graft.table.GraftTable.DeleteModeProp -> "cow"))
+    t.upsert(Seq((1L, "d1", "updated")).toDF("id", "day", "name"), Seq("id"))
+    t.scan().select("id").as[Long].collect().toSet shouldBe
+      ((1L to 20L).toSet -- Set(2L, 12L))
+    // the rewrite covered every older group, so the delete group purged
+    t.currentOrFail().deleteGroups shouldBe empty
+    // full cycle again, resolved by compact this time
+    t.updateProperties(Map(graft.table.GraftTable.DeleteModeProp -> "mor"))
+    t.deleteByKeys(Seq(4L, 14L).toDF("id"), Seq("id"))
+    t.currentOrFail().deleteGroups.size shouldBe 1
+    val expected = t.scan().select("id").as[Long].collect().toSet
+    t.compact(2)
+    t.currentOrFail().deleteGroups shouldBe empty
+    t.scan().select("id").as[Long].collect().toSet shouldBe expected
+    expected shouldBe ((1L to 20L).toSet -- Set(2L, 12L, 4L, 14L))
+  }
+
+  test("MoR auto mode: threshold chooses MoR for big rewrite sets, CoW for small") {
+    val s = spark
+    import s.implicits._
+    val t = cat().ensure(TableIdent("mor", "t5"))
+    t.append((1L to 100L).map(i => (i, s"d$i", s"n$i")).toDF("id", "day", "name"))
+    // tiny threshold: ANY rewrite set exceeds it → MoR
+    t.updateProperties(Map(graft.table.GraftTable.MorThresholdProp -> "1"))
+    val before = t.currentOrFail().files.map(_.path).toSet
+    t.deleteByKeys(Seq(10L).toDF("id"), Seq("id"))
+    t.currentOrFail().files.map(_.path).toSet shouldBe before
+    t.currentOrFail().deleteGroups.size shouldBe 1
+    // huge threshold: auto stays CoW and rewrites
+    t.updateProperties(Map(graft.table.GraftTable.MorThresholdProp ->
+      Long.MaxValue.toString))
+    t.deleteByKeys(Seq(20L).toDF("id"), Seq("id"))
+    t.currentOrFail().deleteGroups.size shouldBe 1 // unchanged (purge needs full cover)
+    t.scan().select("id").as[Long].collect().toSet shouldBe
+      ((1L to 100L).toSet -- Set(10L, 20L))
+  }
+
+  test("MoR deletes: changelog emits the exact pre-image delete rows") {
+    val s = spark
+    import s.implicits._
+    val t = morTable("t6")               // v0 append, v1 append, v2 props
+    val v2 = t.currentOrFail().version
+    t.deleteByKeys(Seq(3L, 15L).toDF("id"), Seq("id"))    // v3: eq MoR
+    t.deleteWhere("id > 18")                              // v4: pred MoR
+    val ch = t.scanChangesBetween(v2, t.currentOrFail().version)
+      .select(col("id"), col("_change_type"), col("_commit_version"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    ch shouldBe Set(
+      (3L, "delete", v2 + 1), (15L, "delete", v2 + 1),
+      (19L, "delete", v2 + 2), (20L, "delete", v2 + 2))
+    // replay invariant: v1 state + net changes = current state
+    val replayed = t.scanAsOfVersion(v2).select("id").as[Long].collect().toSet --
+      ch.collect { case (id, "delete", _) => id }
+    replayed shouldBe t.scan().select("id").as[Long].collect().toSet
+  }
+
+  test("MoR deletes: GC keeps live delete key files, expiry sweeps them") {
+    val s = spark
+    import s.implicits._
+    val t = morTable("t7")
+    t.deleteByKeys(Seq(1L, 11L).toDF("id"), Seq("id"))
+    val delFiles = t.currentOrFail().deleteFiles.map(_.path)
+    delFiles should not be empty
+    // live delete key files are NOT orphans
+    t.removeOrphanFiles(olderThanMs = -1000L, dryRun = false)
+    delFiles.foreach { p =>
+      java.nio.file.Files.exists(
+        nio(new org.apache.hadoop.fs.Path(t.tableDir, p))) shouldBe true
+    }
+    t.scan().count() shouldBe 18
+    // compact purges the group; expiry of the MoR snapshots then sweeps
+    // the unreferenced key parquet
+    t.compact(1)
+    t.expireSnapshots(keepLast = 1)
+    delFiles.foreach { p =>
+      java.nio.file.Files.exists(
+        nio(new org.apache.hadoop.fs.Path(t.tableDir, p))) shouldBe false
+    }
+    t.scan().count() shouldBe 18
+  }
+
+  test("MoR delete state round-trips through the snapshot codec") {
+    val s = spark
+    import s.implicits._
+    val t = morTable("t8")
+    t.deleteByKeys(Seq(9L).toDF("id"), Seq("id"))
+    t.deleteWhere("id = 13")
+    val snap = t.currentOrFail()
+    val reread = cat().spark // fresh log handle forces JSON re-parse
+    val t2 = new graft.table.GraftTable(spark, t.tableDir,
+      new graft.meta.MetadataLog(t.tableDir,
+        org.apache.spark.sql.GraftSqlShim.newHadoopConf(spark)))
+    val snap2 = t2.currentOrFail()
+    snap2.lastSeq shouldBe snap.lastSeq
+    snap2.deleteGroups.map(_.seq) shouldBe snap.deleteGroups.map(_.seq)
+    snap2.deleteGroups.collect { case e: graft.meta.EqualityDeleteGroup => e.keys } shouldBe
+      Seq(Seq("id"))
+    snap2.deleteGroups.collect { case p: graft.meta.PredicateDeleteGroup => p.predicateSql } shouldBe
+      Seq("id = 13")
+    snap2.fileGroups.map(_.seq) shouldBe snap.fileGroups.map(_.seq)
+    t2.scan().select("id").as[Long].collect().toSet shouldBe
+      ((1L to 20L).toSet -- Set(9L, 13L))
+  }
 }
