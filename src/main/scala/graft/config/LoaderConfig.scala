@@ -55,12 +55,19 @@ final case class LoaderConfig(
     loadTsCol.matches("^[A-Za-z_][A-Za-z0-9_]*$"),
     "load_ts_col must start with a letter/underscore and contain only alphanumerics/_")
 
-  val partitionField: Option[graft.partitioning.PartitionField] =
+  /** Parsed partition spec — one or more comma-separated transforms
+    * (`day(ts), bucket(16, id)`); the reference surface is a single
+    * expression, multi-field is the scale extension.
+    */
+  val partitionFields: Seq[graft.partitioning.PartitionField] =
     partitionCol.map { raw =>
       val cleaned = raw.trim
       require(cleaned.nonEmpty, "partition_col cannot be empty")
-      PartitionExpr.parse(cleaned)
-    }
+      PartitionExpr.parseSpec(cleaned)
+    }.getOrElse(Nil)
+
+  val partitionField: Option[graft.partitioning.PartitionField] =
+    partitionFields.headOption
 
   val cleanedJoinCols: Option[Seq[String]] = joinCols.map { cols =>
     val cleaned = cols.map(_.trim).filter(_.nonEmpty)
@@ -97,7 +104,7 @@ final case class LoaderConfig(
     !(writeMode == WriteMode.Upsert && replaceFilter.isDefined),
     "replace_filter cannot be used with write_mode='upsert'")
 
-  for (pf <- partitionField if loadTimestamp.isDefined) {
+  for (pf <- partitionFields if loadTimestamp.isDefined) {
     require(
       !(pf.transform == Transform.Identity && pf.sourceCol == loadTsCol),
       "partition_col uses identity on the load timestamp column; use day(...) or hour(...) instead.")

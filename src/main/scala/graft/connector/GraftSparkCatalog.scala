@@ -213,9 +213,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
                            properties: util.Map[String, String]): Table = {
     val ti = toIdent(ident)
     if (cat.exists(ti)) throw new TableAlreadyExistsException(ident)
-    require(partitions.length <= 1,
-      "graft tables keep a single partition field (reference spec shape)")
-    val spec = partitions.headOption.map(transformToSpec)
+    // multi-field specs compose in declaration order — `PARTITIONED BY
+    // (days(ts), bucket(16, id))` is the canonical 100-TB layout
+    val spec =
+      if (partitions.isEmpty) None
+      else Some(partitions.map(transformToSpec).mkString(", "))
     val tbl = cat.ensure(ti, spec)
     // materialize snapshot v0 with the declared schema (empty file group)
     val spark = SparkSession.active

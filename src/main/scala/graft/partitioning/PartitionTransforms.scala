@@ -164,4 +164,37 @@ object PartitionExpr {
       case Some(f) if !field.transform.accepts(f.dataType) => None
       case Some(_) => Some(field)
     }
+
+  /** Parse a partition SPEC: one or more comma-separated transforms,
+    * ordered — `day(ts), bucket(16, id)` is the canonical 100-TB
+    * layout (time prunes ranges, buckets spread writes and enable
+    * co-located joins). Single-expression strings parse exactly as
+    * before, so every stored single-field spec keeps its meaning.
+    * Derived field names must be distinct (two transforms of one
+    * column are fine as long as their field names differ).
+    */
+  def parseSpec(specStr: String): Seq[PartitionField] = {
+    val parts = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    specStr.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => parts += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    parts += cur.result()
+    val fields = parts.result().map(_.trim).filter(_.nonEmpty).map(parse)
+    require(fields.nonEmpty, s"empty partition spec: '$specStr'")
+    val names = fields.map(_.fieldName)
+    require(names.distinct.size == names.size,
+      s"duplicate partition field names in spec '$specStr': " +
+        names.diff(names.distinct).distinct.mkString(", "))
+    fields
+  }
+
+  /** Canonical string form of a multi-field spec (round-trips through
+    * [[parseSpec]]).
+    */
+  def specString(fields: Seq[PartitionField]): String = fields.mkString(", ")
 }

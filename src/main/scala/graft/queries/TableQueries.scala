@@ -289,6 +289,38 @@ object TableQueries {
              |FROM lineitem WHERE l_quantity >= 10
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Multi-field partition spec (month × bucket — the canonical 100-TB
+    // layout): write under both transforms, then a conjunctive
+    // predicate plans strictly fewer files than either dimension alone
+    // (asserted in-plan) and the pruned scan's aggregate is
+    // oracle-checked from the raw parquet
+    "q92_multi_partition" -> Q(
+      (s, dir) => {
+        val cat = freshCatalog(s)
+        val ident = TableIdent("bench", "li_mp")
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"),
+            col("l_extendedprice"))
+        val tbl = cat.ensure(ident, Some("month(l_shipdate), bucket(8, l_orderkey)"))
+        tbl.append(li)
+        val total = tbl.currentOrFail().files.size
+        val pred = "l_shipdate >= '1996-03-02' AND " +
+          "l_shipdate < '1996-03-28' AND l_orderkey = 1L"
+        val both = tbl.prunedFiles(pred).size
+        val byMonth = tbl.prunedFiles(
+          "l_shipdate >= '1996-03-02' AND l_shipdate < '1996-03-28'").size
+        require(byMonth < total, s"month field failed to prune ($byMonth/$total)")
+        require(both < byMonth || byMonth <= 1,
+          s"bucket field failed to prune further ($both vs $byMonth)")
+        tbl.scanWhere(
+          "l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'")
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+      },
+      Some(s"""SELECT COUNT(*) AS n, ${DSUM("l_extendedprice")} AS total
+              |FROM lineitem
+              |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin)),
+
     // Branch WAP + merge, pure SQL: fork, stage an insert on the branch
     // ident, let main advance past the fork (fast-forward now
     // impossible), then CALL merge_branch — the rebase path. The end

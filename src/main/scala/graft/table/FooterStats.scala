@@ -35,7 +35,7 @@ object FooterStats extends Serializable {
     * from the same stat that opens the footer (no second round-trip).
     */
   def dataFileFor(pathStr: String, tableDirStr: String, outDirStr: String,
-                  spec: Option[PartitionField], conf: Configuration): DataFile = {
+                  specs: Seq[PartitionField], conf: Configuration): DataFile = {
     val p = new HPath(pathStr)
     val rel = relativize(tableDirStr, p)
     // raw (checksum-free) FS on local roots: HadoopInputFile.fromPath
@@ -44,20 +44,26 @@ object FooterStats extends Serializable {
     val fs = MetadataLog.rawIfLocal(p.getFileSystem(conf))
     val st = fs.getFileStatus(p)
     val (rows, stats) = parquetFooterInfo(new FsInputFile(fs, st))
-    val pv = spec.map { pf =>
-      val segs = relativize(outDirStr, p).split("/").toSeq
-      segs.collect {
-        case s if s.contains("=") =>
-          val Array(k, v) = s.split("=", 2)
-          unescapePath(k) -> (if (v == "__HIVE_DEFAULT_PARTITION__") None
-                              else Some(unescapePath(v)))
-      }.toMap match {
-        case m if m.isEmpty => Map(pf.fieldName -> Option.empty[String])
-        case m => m.map { case (k, v) =>
-          (if (k == pf.derivedColName) pf.fieldName else k) -> v
+    val pv =
+      if (specs.isEmpty) None
+      else Some {
+        // one nested directory level per partitionBy column; rename
+        // each derived `_p_<field>` dir key back to its field name.
+        // Fields whose source column degraded at write time have no
+        // dir — their absence reads as "unknown" (never pruned on).
+        val renames = specs.map(pf => pf.derivedColName -> pf.fieldName).toMap
+        val segs = relativize(outDirStr, p).split("/").toSeq
+        segs.collect {
+          case s if s.contains("=") =>
+            val Array(k, v) = s.split("=", 2)
+            unescapePath(k) -> (if (v == "__HIVE_DEFAULT_PARTITION__") None
+                                else Some(unescapePath(v)))
+        }.toMap match {
+          case m if m.isEmpty =>
+            specs.map(pf => pf.fieldName -> Option.empty[String]).toMap
+          case m => m.map { case (k, v) => renames.getOrElse(k, k) -> v }
         }
       }
-    }
     DataFile(rel, rows, st.getLen, pv, stats)
   }
 

@@ -67,8 +67,16 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
   def schema: StructType = currentOrFail().schema
   def snapshots(): Seq[Snapshot] = log.snapshots()
 
-  def partitionField(): Option[PartitionField] =
-    current().flatMap(_.partitionSpec).map(PartitionExpr.parse)
+  /** The table's partition spec as an ORDERED list of transforms —
+    * Iceberg specs compose (`day(ts), bucket(16, id)` is the canonical
+    * 100-TB layout), and every pruning/write path below threads the
+    * full list. Empty = unpartitioned.
+    */
+  def partitionFields(): Seq[PartitionField] =
+    current().flatMap(_.partitionSpec).map(PartitionExpr.parseSpec).getOrElse(Nil)
+
+  /** First partition field, for single-field callers (SPJ, legacy). */
+  def partitionField(): Option[PartitionField] = partitionFields().headOption
 
   // ------------------------------------------------------------------
   // Write path
@@ -134,7 +142,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         // escape them forever.
         val rewriteDf = readFilesMoR(snap, mayMatch, snap.schema)
           .filter(!coalesce(expr(predicateSql), lit(false)))
-        Some(writeDataFiles(rewriteDf, snap.schema, partitionField()))
+        Some(writeDataFiles(rewriteDf, snap.schema, partitionFields()))
       }
     val removed = (dropped ++ mayMatch).map(_.path).toSet
     val untouched = skipGroups.map(_.manifest).toSet
@@ -188,7 +196,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
           case None => col(s"`${f.name}`")
         }
       }: _*)
-    val rewritten = writeDataFiles(rewriteDf, snap.schema, partitionField())
+    val rewritten = writeDataFiles(rewriteDf, snap.schema, partitionFields())
     val removed = affected.map(_.path).toSet
     val untouched = skipGroups.map(_.manifest).toSet
     log.commit { parent =>
@@ -301,10 +309,11 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
   def setPartitionSpec(spec: Option[String]): Snapshot = {
     val snap = currentOrFail()
     spec.foreach { s =>
-      val pf = PartitionExpr.parse(s) // throws on grammar errors
-      require(PartitionExpr.validate(pf, snap.schema).isDefined,
-        s"partition spec '$s' does not fit the schema: column missing " +
-          "or type not accepted by the transform")
+      PartitionExpr.parseSpec(s).foreach { pf => // throws on grammar errors
+        require(PartitionExpr.validate(pf, snap.schema).isDefined,
+          s"partition spec '$s' does not fit the schema: column missing " +
+            "or type not accepted by the transform")
+      }
     }
     if (spec == snap.partitionSpec) return snap
     log.commit { parent =>
@@ -370,39 +379,21 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
       throw new IllegalArgumentException(
         s"upsert source contains duplicate keys on (${keys.mkString(", ")}), " +
           s"e.g. ${dupKeys.head.toSeq.init.mkString("/")}")
-    val spec = partitionField()
+    val specs = partitionFields()
 
     // Partition pruning for the rewrite set: a target file whose
     // partition value is not among the source's derived values cannot
     // contain a matched key *if* the partition source column is a key
     // (common case: upsert keyed on the partition column's source).
-    val (rewriteSet, carrySet): (Seq[DataFile], Seq[DataFile]) = spec match {
-      case Some(pf) if keys.exists(_.equalsIgnoreCase(pf.sourceCol)) =>
-        val srcType = snap.schema(pf.sourceCol).dataType
-        val derived = projected
-          .select(pf.derive(col(pf.sourceCol), srcType).as("v"))
-          .distinct().collect()
-          .map(r => Option(r.getString(0))).toSet
-        snap.files.partition { f =>
-          f.partitionValues.flatMap(_.get(pf.fieldName)) match {
-            // Hive default-partition encoding conflates null and '' for
-            // string sources: a null stored value may hide ''-keyed rows,
-            // so such files must always be rewritten (carrying one would
-            // leave matched '' keys un-upserted).
-            case Some(None) if srcType == StringType => true
-            case Some(v) => derived.contains(v)
-            case None    => true // unpartitioned / unknown ⇒ must rewrite
-          }
-        }
-      case _ => (snap.files, Nil)
-    }
+    // Multi-field specs prune on EVERY key-sourced field.
+    val rewriteSet: Seq[DataFile] = keyPrunedFiles(snap, projected, keys)
 
     val target = readFilesMoR(snap, rewriteSet, snap.schema)
     val kept = target.join(
       projected.select(keys.map(k => col(s"`$k`")): _*).distinct(),
       keys, "left_anti")
     val merged = kept.unionByName(projected)
-    val newGroup = writeDataFiles(merged, snap.schema, spec)
+    val newGroup = writeDataFiles(merged, snap.schema, specs)
     val rewrittenPaths = rewriteSet.map(_.path).toSet
     log.commit { parent =>
       val p = parent.getOrElse(snap)
@@ -452,24 +443,9 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
       col(s"`$k`").cast(f.dataType).as(f.name)
     }: _*).distinct().localCheckpoint()
     val joinKeys = keys.map(targetField(_).name)
-    val spec = partitionField()
-    val (rewriteSet, carrySet): (Seq[DataFile], Seq[DataFile]) = spec match {
-      case Some(pf) if joinKeys.exists(_.equalsIgnoreCase(pf.sourceCol)) =>
-        val srcType = snap.schema(pf.sourceCol).dataType
-        val derived = keyDf
-          .select(pf.derive(col(s"`${pf.sourceCol}`"), srcType).as("v"))
-          .distinct().collect()
-          .map(r => Option(r.getString(0))).toSet
-        snap.files.partition { f =>
-          f.partitionValues.flatMap(_.get(pf.fieldName)) match {
-            case Some(None) if srcType == StringType => true
-            case Some(v) => derived.contains(v)
-            case None    => true
-          }
-        }
-      case _ => (snap.files, Nil)
-    }
-    val _ = carrySet // carried implicitly: only rewriteSet paths are pruned
+    val specs = partitionFields()
+    // carried files are implicit: only rewriteSet paths are pruned
+    val rewriteSet: Seq[DataFile] = keyPrunedFiles(snap, keyDf, joinKeys)
     // Zone-map pruning on top of partition pruning: a matching row
     // needs EVERY key component inside the key frame's [min, max], so
     // a file whose stats exclude any component's range cannot contain
@@ -505,7 +481,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     if (chooseMor(snap, statRewrite.map(_.sizeBytes).sum)) {
       val keyGroup = writeDataFiles(
         keyDf.select(joinKeys.map(k => col(s"`$k`")): _*),
-        deleteKeySchema(snap, joinKeys), None)
+        deleteKeySchema(snap, joinKeys), Nil)
       return log.commit { parent =>
         val p = parent.getOrElse(snap)
         val ns = p.lastSeq + 1
@@ -519,7 +495,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     }
     val kept = readFilesMoR(snap, statRewrite, snap.schema)
       .join(keyDf, joinKeys, "left_anti")
-    val newGroup = writeDataFiles(kept, snap.schema, spec)
+    val newGroup = writeDataFiles(kept, snap.schema, specs)
     val rewrittenPaths = statRewrite.map(_.path).toSet
     log.commit { parent =>
       val p = parent.getOrElse(snap)
@@ -577,27 +553,12 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
       col(s"`$k`").cast(f.dataType).as(f.name)
     }: _*).unionByName(projected.select(joinKeys.map(k => col(s"`$k`")): _*))
       .distinct().localCheckpoint()
-    val spec = partitionField()
-    val rewriteSet: Seq[DataFile] = spec match {
-      case Some(pf) if joinKeys.exists(_.equalsIgnoreCase(pf.sourceCol)) =>
-        val srcType = snap.schema(pf.sourceCol).dataType
-        val derived = allKeys
-          .select(pf.derive(col(s"`${pf.sourceCol}`"), srcType).as("v"))
-          .distinct().collect()
-          .map(r => Option(r.getString(0))).toSet
-        snap.files.filter { f =>
-          f.partitionValues.flatMap(_.get(pf.fieldName)) match {
-            case Some(None) if srcType == StringType => true
-            case Some(v) => derived.contains(v)
-            case None    => true
-          }
-        }
-      case _ => snap.files
-    }
+    val specs = partitionFields()
+    val rewriteSet: Seq[DataFile] = keyPrunedFiles(snap, allKeys, joinKeys)
     val kept = readFilesMoR(snap, rewriteSet, snap.schema)
       .join(allKeys, joinKeys, "left_anti")
     val merged = kept.unionByName(projected)
-    val newGroup = writeDataFiles(merged, snap.schema, spec)
+    val newGroup = writeDataFiles(merged, snap.schema, specs)
     val rewrittenPaths = rewriteSet.map(_.path).toSet
     log.commit { parent =>
       val p = parent.getOrElse(snap)
@@ -775,13 +736,17 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     */
   private def fileTri(f: DataFile, snap: Snapshot,
                       pred: Expression): PartitionPruner.Tri = {
-    val pTri = partitionField() match {
-      case None => PartitionPruner.Unknown
-      case Some(pf) =>
-        val srcType = snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol))
-          .map(_.dataType).getOrElse(StringType)
-        PartitionPruner.evaluate(f, pf, srcType, pred)
+    // every partition field prunes independently: a file is skipped if
+    // ANY field proves the predicate impossible, and "all rows match"
+    // holds if any field proves it
+    val pTris = partitionFields().map { pf =>
+      val srcType = snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol))
+        .map(_.dataType).getOrElse(StringType)
+      PartitionPruner.evaluate(f, pf, srcType, pred)
     }
+    val pTri =
+      if (pTris.isEmpty) PartitionPruner.Unknown
+      else PartitionPruner.Tri(pTris.forall(_.may), pTris.exists(_.all))
     val sTri = StatsPruner.evaluate(f, snap.schema, pred)
     PartitionPruner.Tri(pTri.may && sTri.may, pTri.all || sTri.all)
   }
@@ -898,6 +863,40 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
       throw new java.util.ConcurrentModificationException(
         s"$op conflicts with a concurrent merge-on-read delete; " +
           "re-run against the latest snapshot")
+  }
+
+  /** Partition pruning for keyed rewrites (upsert / deleteByKeys /
+    * net-apply): a target file is CARRIED when any partition field
+    * sourced from a key column proves its stored value absent from the
+    * key frame's derived set — with a multi-field spec every
+    * key-sourced field prunes independently (day(ts) AND bucket(n,id)
+    * both cut). Unknown/absent values and Hive's null-vs-'' string
+    * conflation always rewrite (sound side).
+    */
+  private def keyPrunedFiles(snap: Snapshot, keyDf: DataFrame,
+                             joinKeys: Seq[String]): Seq[DataFile] = {
+    val pfs = partitionFields().filter(pf =>
+      joinKeys.exists(_.equalsIgnoreCase(pf.sourceCol)) &&
+        snap.schema.fields.exists(_.name.equalsIgnoreCase(pf.sourceCol)))
+    if (pfs.isEmpty) return snap.files
+    val deriveds = pfs.map { pf =>
+      val srcField = snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol)).get
+      val derived = keyDf
+        .select(pf.derive(col(s"`${srcField.name}`"), srcField.dataType).as("v"))
+        .distinct().collect()
+        .map(r => Option(r.getString(0))).toSet
+      (pf, srcField.dataType, derived)
+    }
+    snap.files.filter(f => deriveds.forall { case (pf, srcType, derived) =>
+      f.partitionValues.flatMap(_.get(pf.fieldName)) match {
+        // Hive default-partition encoding conflates null and '' for
+        // string sources: a null stored value may hide ''-keyed rows,
+        // so such files must always be rewritten
+        case Some(None) if srcType == StringType => true
+        case Some(v) => derived.contains(v)
+        case None    => true // unpartitioned / unknown ⇒ must rewrite
+      }
+    })
   }
 
   private def morMode(snap: Snapshot): String =
@@ -1269,19 +1268,16 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
       snap.schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(s"unknown clustering column: $c"))
     }
-    val spec = partitionField()
+    val specs = partitionFields()
     // partitioned tables cluster WITHIN the partition layout: leading
-    // the range keys with the derived partition value keeps one
+    // the range keys with the derived partition values keeps one
     // partition's rows contiguous so the partitionBy write stays one
-    // file per (task, partition-value). A spec whose source column is
-    // missing from the schema degrades like the write path does.
-    val keyCols = spec.flatMap(pf =>
+    // file per (task, partition-value tuple). Fields whose source
+    // column is missing degrade like the write path does.
+    val partKeys = specs.flatMap(pf =>
       snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol))
-        .map(f => pf.derive(col(s"`${f.name}`"), f.dataType))) match {
-      case Some(partKey) => partKey +: canonical.map(c => col(s"`$c`"))
-      case None => canonical.map(c => col(s"`$c`"))
-    }
-    rewriteClustered(snap, spec, keyCols, targetFiles)
+        .map(f => pf.derive(col(s"`${f.name}`"), f.dataType)))
+    rewriteClustered(snap, specs, partKeys ++ canonical.map(c => col(s"`$c`")), targetFiles)
   }
 
   /** Z-order rewrite: like [[compactClustered]], but files cover
@@ -1308,15 +1304,12 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         s"z-order column must be numeric, got ${f.name}: ${f.dataType.catalogString}")
       f.name
     }
-    val spec = partitionField()
+    val specs = partitionFields()
     val z = zValueColumn(snap, canonical)
-    val keyCols = spec.flatMap(pf =>
+    val partKeys = specs.flatMap(pf =>
       snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol))
-        .map(f => pf.derive(col(s"`${f.name}`"), f.dataType))) match {
-      case Some(partKey) => Seq(partKey, z)
-      case None => Seq(z)
-    }
-    rewriteClustered(snap, spec, keyCols, targetFiles)
+        .map(f => pf.derive(col(s"`${f.name}`"), f.dataType)))
+    rewriteClustered(snap, specs, partKeys :+ z, targetFiles)
   }
 
   /** The 64-bit interleaved z-value over up to four 16-bit cells, each
@@ -1352,13 +1345,13 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
   }
 
   private def rewriteClustered(snap: Snapshot,
-                               spec: Option[PartitionField],
+                               specs: Seq[PartitionField],
                                keyCols: Seq[Column],
                                targetFiles: Int): Snapshot = {
     val df = scanSnapshot(snap)
       .repartitionByRange(targetFiles, keyCols: _*)
       .sortWithinPartitions(keyCols: _*)
-    val newGroup = writeDataFiles(df, snap.schema, spec, preserveDistribution = true)
+    val newGroup = writeDataFiles(df, snap.schema, specs, preserveDistribution = true)
     val clustered = snap.files.map(_.path).toSet
     log.commit { parent =>
       val p = parent.getOrElse(snap)
@@ -1546,17 +1539,17 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     */
   def compact(targetFiles: Int = 1): Snapshot = {
     val snap = currentOrFail()
-    val spec = partitionField()
+    val specs = partitionFields()
     val df0 = scanSnapshot(snap)
-    val df = spec match {
-      case Some(pf) =>
-        val srcType = snap.schema(pf.sourceCol).dataType
-        // co-locate rows of one partition value so each partition dir
-        // gets targetFiles files, not targetFiles × shuffle partitions
-        df0.repartition(math.max(1, targetFiles), pf.derive(col(pf.sourceCol), srcType))
-      case None => df0.repartition(math.max(1, targetFiles))
-    }
-    val newGroup = writeDataFiles(df, snap.schema, spec)
+    // co-locate rows of one partition-value tuple so each partition dir
+    // gets targetFiles files, not targetFiles × shuffle partitions
+    val partKeys = specs.flatMap(pf =>
+      snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol))
+        .map(f => pf.derive(col(s"`${f.name}`"), f.dataType)))
+    val df =
+      if (partKeys.nonEmpty) df0.repartition(math.max(1, targetFiles), partKeys: _*)
+      else df0.repartition(math.max(1, targetFiles))
+    val newGroup = writeDataFiles(df, snap.schema, specs)
     val compacted = snap.files.map(_.path).toSet
     log.commit { parent =>
       val p = parent.getOrElse(snap)
@@ -1589,20 +1582,20 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     * the transform is well-typed; incoming string data is cast on write.
     */
   private def adjustSchemaForPartitioning(schema: StructType,
-                                          spec: Option[PartitionField]): StructType =
-    spec match {
-      case Some(pf) if Seq(graft.partitioning.Transform.Year,
-          graft.partitioning.Transform.Month, graft.partitioning.Transform.Day,
-          graft.partitioning.Transform.Hour).contains(pf.transform) =>
-        StructType(schema.fields.map { f =>
-          if (f.name.equalsIgnoreCase(pf.sourceCol) && f.dataType == StringType) {
-            graft.observability.Log.info("promoting partition column to timestamp",
-              "column" -> f.name, "transform" -> pf.transform.name)
-            f.copy(dataType = TimestampNTZType)
-          } else f
-        })
-      case _ => schema
-    }
+                                          specs: Seq[PartitionField]): StructType = {
+    val timeFields = specs.filter(pf => Seq(graft.partitioning.Transform.Year,
+      graft.partitioning.Transform.Month, graft.partitioning.Transform.Day,
+      graft.partitioning.Transform.Hour).contains(pf.transform))
+    if (timeFields.isEmpty) schema
+    else StructType(schema.fields.map { f =>
+      if (f.dataType == StringType &&
+          timeFields.exists(_.sourceCol.equalsIgnoreCase(f.name))) {
+        graft.observability.Log.info("promoting partition column to timestamp",
+          "column" -> f.name)
+        f.copy(dataType = TimestampNTZType)
+      } else f
+    })
+  }
 
   /** Iceberg-style manifest merging: without it, N appends leave N
     * manifest refs in every later snapshot (O(N) metadata per commit,
@@ -1641,11 +1634,11 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     val snap = current()
     val targetSchema = snap.map(_.schema).getOrElse(
       Projection.assignFieldIds(
-        adjustSchemaForPartitioning(df.schema, partitionFieldOrInit(snap))))
+        adjustSchemaForPartitioning(df.schema, partitionFieldsOrInit(snap))))
     val projected =
       if (snap.isDefined || targetSchema != df.schema) Projection.project(df, targetSchema)
       else df
-    val newGroup = writeDataFiles(projected, targetSchema, partitionFieldOrInit(snap))
+    val newGroup = writeDataFiles(projected, targetSchema, partitionFieldsOrInit(snap))
     log.commit { parent =>
       parent match {
         case Some(p) =>
@@ -1706,8 +1699,9 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
   /** Partition spec to apply on first write (set by GraftCatalog.create). */
   private[table] var pendingSpec: Option[String] = None
 
-  private def partitionFieldOrInit(snap: Option[Snapshot]): Option[PartitionField] =
-    snap.flatMap(_.partitionSpec).orElse(pendingSpec).map(PartitionExpr.parse)
+  private def partitionFieldsOrInit(snap: Option[Snapshot]): Seq[PartitionField] =
+    snap.flatMap(_.partitionSpec).orElse(pendingSpec)
+      .map(PartitionExpr.parseSpec).getOrElse(Nil)
 
   /** Write `df` as immutable Parquet files under `data/<uuid>/`,
     * partitioned by the derived column when a spec exists, and publish
@@ -1716,7 +1710,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     * parsed back from directory names.
     */
   private def writeDataFiles(df: DataFrame, schema: StructType,
-                             spec: Option[PartitionField],
+                             specs: Seq[PartitionField],
                              preserveDistribution: Boolean = false): FileGroup = {
     val commitId = UUID.randomUUID().toString.take(12)
     val outDir = new HPath(tableDir, s"data/$commitId")
@@ -1732,40 +1726,42 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
       .flatMap(_.split(",")).map(_.trim)
       .filter(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
       .map(c => col(s"`$c`"))
-    val writer = spec match {
-      case Some(pf) =>
-        val srcField = schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol))
-        srcField match {
-          case Some(f) =>
-            val derived = df.withColumn(pf.derivedColName,
-              pf.derive(col(s"`${f.name}`"), f.dataType))
-            // hash-distribute on the partition value (Iceberg's
-            // write.distribution-mode=hash): each partition value lands
-            // in one task, so a commit writes one file per partition
-            // instead of (tasks × partitions) small files. Callers that
-            // pre-arranged a distribution (clustering rewrite) keep it.
-            val arranged =
-              if (preserveDistribution) derived
-              else derived.repartition(col(pf.derivedColName))
-            val sorted =
-              if (sortCols.isEmpty) arranged
-              else arranged.sortWithinPartitions(col(pf.derivedColName) +: sortCols: _*)
-            sorted.write.partitionBy(pf.derivedColName)
-          case None => df.write // source col missing: degrade to unpartitioned
+    // fields whose source column is missing degrade to unpartitioned
+    // (reference's graceful degradation) — per FIELD, not whole-spec
+    val valid = specs.filter(pf =>
+      schema.fields.exists(_.name.equalsIgnoreCase(pf.sourceCol)))
+    val writer =
+      if (valid.nonEmpty) {
+        val derivedCols = valid.map { pf =>
+          val f = schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol)).get
+          pf.derivedColName -> pf.derive(col(s"`${f.name}`"), f.dataType)
         }
-      case None if sortCols.nonEmpty && !preserveDistribution =>
+        val derived = derivedCols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+        val keyCols = derivedCols.map { case (n, _) => col(n) }
+        // hash-distribute on the partition-value TUPLE (Iceberg's
+        // write.distribution-mode=hash): each combination lands in one
+        // task, so a commit writes one file per partition combination
+        // instead of (tasks × partitions) small files. Callers that
+        // pre-arranged a distribution (clustering rewrite) keep it.
+        val arranged =
+          if (preserveDistribution) derived
+          else derived.repartition(keyCols: _*)
+        val sorted =
+          if (sortCols.isEmpty) arranged
+          else arranged.sortWithinPartitions(keyCols ++ sortCols: _*)
+        sorted.write.partitionBy(valid.map(_.derivedColName): _*)
+      } else if (sortCols.nonEmpty && !preserveDistribution) {
         // unpartitioned + sort columns: range-cluster ACROSS files so
         // file-level zone maps are disjoint, then sort within each for
         // row-group/page stats and bloom locality
         df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*).write
-      case None => df.write
-    }
+      } else df.write
     writer
       .option("compression", "zstd")
       .options(bloomFilterOptions)
       .mode("overwrite")
       .parquet(outDir.toString)
-    log.writeManifest(collectDataFiles(outDir, spec), Some(schema))
+    log.writeManifest(collectDataFiles(outDir, specs), Some(schema))
   }
 
   /** Parquet bloom-filter writer options from table properties
@@ -1808,7 +1804,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     *     only lists the directory and collects O(files) small records \u2014
     *     the same order as the manifest it must write anyway.
     */
-  private def collectDataFiles(outDir: HPath, spec: Option[PartitionField]): Seq[DataFile] = {
+  private def collectDataFiles(outDir: HPath, specs: Seq[PartitionField]): Seq[DataFile] = {
     val paths = MetadataLog.listFilesRecursive(fs, outDir)
       .collect { case st if st.getPath.getName.endsWith(".parquet") =>
         st.getPath.toString
@@ -1820,11 +1816,11 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
       val conf = org.apache.spark.sql.GraftSqlShim.newHadoopConf(spark)
       import scala.collection.parallel.CollectionConverters._
       paths.par
-        .map(p => FooterStats.dataFileFor(p, tableDirStr, outDirStr, spec, conf))
+        .map(p => FooterStats.dataFileFor(p, tableDirStr, outDirStr, specs, conf))
         .seq.sortBy(_.path)
     } else {
       metadataJob(paths) { (conf, it) =>
-        it.map(p => FooterStats.dataFileFor(p, tableDirStr, outDirStr, spec, conf.value))
+        it.map(p => FooterStats.dataFileFor(p, tableDirStr, outDirStr, specs, conf.value))
       }.sortBy(_.path)
     }
   }

@@ -845,6 +845,34 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT COUNT(*) FROM graft.nswap.t").head.getLong(0) shouldBe 5L
   }
 
+  test("multi-field PARTITIONED BY creates, writes, and prunes on both fields") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsmp")
+    spark.sql(
+      """CREATE TABLE graft.nsmp.t (id BIGINT, ts TIMESTAMP_NTZ, v STRING)
+        |PARTITIONED BY (months(ts), bucket(4, id))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.nsmp.t
+        |SELECT id, TIMESTAMP_NTZ '2024-01-15 00:00:00' + make_interval(0, CAST(id % 5 AS INT)),
+        |       CONCAT('v', id)
+        |FROM range(0, 200)""".stripMargin)
+    val cat = graft.table.GraftCatalog(spark,
+      spark.conf.get("spark.sql.catalog.graft.warehouse"))
+    val tbl = cat.load(graft.table.TableIdent("nsmp", "t"))
+    tbl.partitionFields().map(_.fieldName) shouldBe Seq("ts_month", "id_bucket_4")
+    val total = tbl.currentOrFail().files.size
+    total should be > 4 // month × bucket fan-out actually materialized
+    // both dimensions prune the planned file set
+    tbl.prunedFiles("ts >= TIMESTAMP_NTZ '2024-03-02' AND ts < TIMESTAMP_NTZ '2024-03-28'")
+      .size should be < total
+    tbl.prunedFiles("id = 7L").size should be < total
+    // and results through SQL are exact
+    spark.sql("SELECT COUNT(*) FROM graft.nsmp.t WHERE id = 7").head.getLong(0) shouldBe 1L
+    spark.sql(
+      """SELECT COUNT(*) FROM graft.nsmp.t
+        |WHERE ts >= TIMESTAMP_NTZ '2024-03-01' AND ts < TIMESTAMP_NTZ '2024-04-01'""".stripMargin)
+      .head.getLong(0) shouldBe 40L
+  }
+
   test("merge-on-read deletes are applied to SQL reads end to end") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsmor")
     spark.sql(

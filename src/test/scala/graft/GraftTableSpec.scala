@@ -962,6 +962,92 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
   }
 
   // ------------------------------------------------------------------
+  // Multi-field partition specs
+  // ------------------------------------------------------------------
+
+  test("multi-field spec: writes nest both transforms, both fields prune") {
+    val s = spark
+    import s.implicits._
+    val t = cat().ensure(TableIdent("mp", "t1"), Some("month(ts), bucket(4, id)"))
+    val rows = (1L to 200L).map { i =>
+      (i, java.sql.Timestamp.valueOf(f"2024-${(i % 6 + 1)}%02d-10 00:00:00"), s"n$i")
+    }
+    t.append(rows.toDF("id", "ts", "name"))
+    val snap = t.currentOrFail()
+    t.partitionFields().map(_.fieldName) shouldBe Seq("ts_month", "id_bucket_4")
+    // every file carries BOTH partition values
+    snap.files.foreach { f =>
+      f.partitionValues.get.keySet shouldBe Set("ts_month", "id_bucket_4")
+    }
+    val total = snap.files.size
+    // month predicate prunes on the time dimension (boundary months are
+    // conservatively kept, so bound INSIDE the month for an exact set)
+    val byMonth = t.prunedFiles("ts >= TIMESTAMP '2024-03-01' AND ts < TIMESTAMP '2024-03-28'")
+    byMonth.size should be < total
+    byMonth.foreach(f =>
+      f.partitionValues.get("ts_month") shouldBe Some("2024-03"))
+    // equality on the bucketed key prunes on the bucket dimension
+    val byId = t.prunedFiles("id = 7L")
+    byId.size should be < total
+    // conjunction prunes on BOTH: strictly fewer than either alone
+    val both = t.prunedFiles(
+      "ts >= TIMESTAMP '2024-03-01' AND ts < TIMESTAMP '2024-03-28' AND id = 7L")
+    both.size should be <= math.min(byMonth.size, byId.size)
+    both.size should be < byMonth.size
+    // row-level results are exact through the pruned scan
+    t.scanWhere("ts >= TIMESTAMP '2024-03-01' AND ts < TIMESTAMP '2024-04-01'")
+      .count() shouldBe rows.count(_._2.toString.startsWith("2024-03"))
+    t.scanWhere("id = 7L").count() shouldBe 1
+  }
+
+  test("multi-field spec: keyed rewrites prune on every key-sourced field") {
+    val s = spark
+    import s.implicits._
+    val t = cat().ensure(TableIdent("mp", "t2"), Some("truncate(100, id), bucket(4, id)"))
+    t.append((1L to 400L).map(i => (i, s"d$i", s"n$i")).toDF("id", "day", "name"))
+    val before = t.currentOrFail().files
+    // an upsert touching ids 1-3 can only live in trunc=0 × a few buckets
+    t.upsert(Seq((1L, "d1", "u1"), (2L, "d2", "u2"), (3L, "d3", "u3"))
+      .toDF("id", "day", "name"), Seq("id"))
+    val after = t.currentOrFail().files
+    val carried = after.map(_.path).toSet.intersect(before.map(_.path).toSet)
+    // most files carried over untouched (pruned by trunc AND bucket)
+    carried.size should be > (before.size / 2)
+    t.scan().where("id <= 3").select("name").as[String].collect().toSet shouldBe
+      Set("u1", "u2", "u3")
+    t.scan().count() shouldBe 400
+    // deleteByKeys prunes the same way
+    val before2 = t.currentOrFail().files
+    t.deleteByKeys(Seq(101L).toDF("id"), Seq("id"))
+    val after2 = t.currentOrFail().files
+    after2.map(_.path).toSet.intersect(before2.map(_.path).toSet).size should be >
+      (before2.size / 2)
+    t.scan().count() shouldBe 399
+  }
+
+  test("multi-field spec: compact preserves the layout; spec evolution validates all fields") {
+    val s = spark
+    import s.implicits._
+    val t = cat().ensure(TableIdent("mp", "t3"), Some("month(ts), bucket(2, id)"))
+    val rows = (1L to 60L).map { i =>
+      (i, java.sql.Timestamp.valueOf(f"2024-${(i % 3 + 1)}%02d-05 00:00:00"), s"n$i")
+    }
+    t.append(rows.toDF("id", "ts", "name"))
+    t.append(rows.map { case (i, ts, n) => (i + 100L, ts, n) }.toDF("id", "ts", "name"))
+    t.compact(1)
+    // layout survives compaction: still both fields on every file
+    t.currentOrFail().files.foreach(f =>
+      f.partitionValues.get.keySet shouldBe Set("ts_month", "id_bucket_2"))
+    t.scan().count() shouldBe 120
+    // spec evolution rejects a field that doesn't fit the schema
+    intercept[IllegalArgumentException] {
+      t.setPartitionSpec(Some("month(ts), bucket(4, nope)"))
+    }
+    t.setPartitionSpec(Some("day(ts), bucket(4, id)"))
+    t.partitionFields().map(_.fieldName) shouldBe Seq("ts_day", "id_bucket_4")
+  }
+
+  // ------------------------------------------------------------------
   // Merge-on-read deletes
   // ------------------------------------------------------------------
 
