@@ -20,6 +20,46 @@ object PipelineQueries {
   private val DTOKENS =
     """list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0)"""
 
+  /** 10 deterministic near-duplicates of `baseId`'s embedding, with
+    * PORTABLE md5-derived per-element scaling (1 + (md5(i_d) % 5)/1000,
+    * cosine ~0.9999): both engines compute identical doubles, cast to
+    * identical float32s — so a DuckDB oracle can rebuild the exact
+    * augmented corpus. Shared by the graduated q32/q32b ANN rows.
+    */
+  private def plantedNearDups(s: org.apache.spark.sql.SparkSession,
+                              e: org.apache.spark.sql.DataFrame,
+                              baseId: Long, prefix: Long): org.apache.spark.sql.DataFrame =
+    e.where(col("vec_id") === baseId)
+      .select(col("embedding").as("qv"))
+      .crossJoin(s.range(1, 11).toDF("i"))
+      .select((lit(prefix) + col("i")).as("vec_id"),
+        zip_with(col("qv"), sequence(lit(0), size(col("qv")) - 1),
+          (x, d) => (x.cast("double") * (lit(1.0) +
+            (conv(substring(md5(concat(col("i").cast("string"), lit("_"),
+              d.cast("string"))), 1, 15), 16, 10).cast("long") % 5)
+              .cast("double") / 1000.0)).cast("float")).as("embedding"))
+
+  /** DuckDB dual: exact cosine top-10 over corpus-minus-base plus the
+    * planted near-duplicates of `baseId` (same md5 scaling ladder).
+    */
+  private def plantedTopKSql(baseId: Int, prefix: Int): String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $baseId),
+       |planted AS (
+       |  SELECT $prefix + i AS vec_id,
+       |    list_transform(range(0, len(qv)),
+       |      d -> CAST(qv[d+1] * (1.0 +
+       |        (CAST(('0x' || substring(md5(i || '_' || d), 1, 15)) AS UBIGINT) % 5) / 1000.0)
+       |        AS FLOAT)) AS embedding
+       |  FROM q, range(1, 11) t(i)),
+       |corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> $baseId
+       |  UNION ALL SELECT vec_id, embedding FROM planted)
+       |SELECT c.vec_id,
+       |  ROUND(list_cosine_similarity(
+       |    list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+       |    (SELECT list_transform(qv, x -> CAST(x AS DOUBLE)) FROM q)), 4) AS cos
+       |FROM corpus c ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
 
     // event sessionization: 30-minute inactivity gap starts a new
@@ -1015,24 +1055,38 @@ object PipelineQueries {
              |     FROM embeddings WHERE vec_id = 0)), 4) AS cos
              |FROM embeddings ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin)),
 
-    // LSH-bucketed ANN: recall vs the exact top-20 (hash-based, no SQL
-    // dual) — output the overlap size, asserted ≥ 1
+    // LSH-bucketed ANN under a full oracle (graduated from no_oracle,
+    // round-10 verdict item 4): 10 near-duplicates of the query are
+    // planted with PORTABLE md5-derived scaling (cos ~0.9999 — the
+    // exact top-10 is provably the planted set), lshTopK must recall
+    // ≥0.8 of them at tight pruning (asserted in-plan: a bucket-math,
+    // probe-order, or hash-family bug scatters near-parallel vectors),
+    // and the HASHED rows are the exact top-10 over the augmented
+    // corpus — both engines construct identical planted floats and
+    // identical cosine ladders, so the value is checked cross-engine
     "q32_ann_lsh" -> Q(
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         val qvec = e.where(col("vec_id") === 0)
           .select(col("embedding")).collect()(0)
           .getSeq[Float](0)
-        val exact = Similarity.bruteForceTopK(e, "embedding", "vec_id", qvec, 20)
+        val plantedDf = plantedNearDups(s, e, baseId = 0L, prefix = 9000000L)
+        val corpus = e.where(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding"))
+          .unionByName(plantedDf)
+        val exactIds = Similarity.bruteForceTopK(corpus, "embedding", "vec_id", qvec, 10)
           .select(col("vec_id"))
-        val approx = Similarity.lshTopK(e, "embedding", "vec_id", qvec, 20,
-          planes = 4, multiprobe = 2).select(col("vec_id"))
-        val recall = exact.join(approx, Seq("vec_id"), "left_semi").count()
-        require(recall >= 1, "LSH found none of the true top-20")
-        import s.implicits._
-        Seq(recall).toDF("recalled_of_top20")
+        val lsh = Similarity.lshTopK(corpus, "embedding", "vec_id", qvec, 10,
+          planes = 6, multiprobe = 2, tables = 2).select(col("vec_id"))
+        val recall = exactIds.join(lsh, Seq("vec_id"), "left_semi").count() / 10.0
+        require(recall >= 0.8, s"LSH recall@10 $recall < 0.8 on planted neighbors")
+        val q = array(qvec.map(lit): _*)
+        corpus.select(col("vec_id"),
+            round(Similarity.cosine(col("embedding"), q), 4).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
       },
-      None),
+      Some(plantedTopKSql(baseId = 0, prefix = 9000000))),
 
     // duplicate-cluster assignment: connected components over a dup-pair
     // graph (chains force transitivity), oracled by a DuckDB recursive
@@ -1155,28 +1209,38 @@ object PipelineQueries {
              |WHERE b.bucket = q.qb AND b.vec_id <> 7
              |ORDER BY cos DESC, b.vec_id LIMIT 5""".stripMargin)),
 
-    // IVF ANN: k-means cells + nprobe scan; recall vs exact top-20
-    // asserted (kmeans-based, no SQL dual — rows-only)
+    // IVF ANN under a full oracle (graduated from no_oracle like q32):
+    // planted near-duplicates of vec 1, quantizer trained on a 25% hash
+    // sample (the corpus-scale path), assignment covering every vector;
+    // ivfTopK must recall ≥0.8 of the planted set at nprobe=2 (asserted
+    // in-plan — near-parallel vectors share coarse cells), and the
+    // hashed rows are the exact top-10 over the augmented corpus,
+    // cross-engine-checked value for value
     "q32b_ann_ivf" -> Q(
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        val qvec = e.where(col("vec_id") === 0)
+        val qvec = e.where(col("vec_id") === 1)
           .select(col("embedding")).collect()(0)
           .getSeq[Float](0)
-        // quantizer trained on a 25% hash sample (the corpus-scale path);
-        // assignment still covers every vector
-        val (assigned, centroids) = Similarity.ivfIndex(e, "embedding", "vec_id",
+        val plantedDf = plantedNearDups(s, e, baseId = 1L, prefix = 9100000L)
+        val corpus = e.where(col("vec_id") =!= 1)
+          .select(col("vec_id"), col("embedding"))
+          .unionByName(plantedDf)
+        val (assigned, centroids) = Similarity.ivfIndex(corpus, "embedding", "vec_id",
           nlist = 8, trainFraction = 0.25)
         val approx = Similarity.ivfTopK(assigned, centroids, "embedding", "vec_id",
-          qvec, k = 20, nprobe = 2).select(col("vec_id"))
-        val exact = Similarity.bruteForceTopK(e, "embedding", "vec_id", qvec, 20)
+          qvec, k = 10, nprobe = 2).select(col("vec_id"))
+        val exactIds = Similarity.bruteForceTopK(corpus, "embedding", "vec_id", qvec, 10)
           .select(col("vec_id"))
-        val recall = exact.join(approx, Seq("vec_id"), "left_semi").count()
-        require(recall >= 5, s"IVF recall too low: $recall of top-20")
-        import s.implicits._
-        Seq(recall).toDF("ivf_recalled_of_top20")
+        val recall = exactIds.join(approx, Seq("vec_id"), "left_semi").count() / 10.0
+        require(recall >= 0.8, s"IVF recall@10 $recall < 0.8 on planted neighbors")
+        val q = array(qvec.map(lit): _*)
+        corpus.select(col("vec_id"),
+            round(Similarity.cosine(col("embedding"), q), 4).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
       },
-      None),
+      Some(plantedTopKSql(baseId = 1, prefix = 9100000))),
 
     // ANN recall oracle (round-8 verdict item 5): q32/q32b only prove
     // the approximate paths FIND something — a bucketing bug that
