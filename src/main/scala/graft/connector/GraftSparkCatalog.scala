@@ -235,16 +235,31 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val tbl = cat.load(toIdent(ident))
     val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val widens = changes.collect { case u: TableChange.UpdateColumnType => u }
     val sets = changes.collect { case p: TableChange.SetProperty => p }
     val removes = changes.collect { case p: TableChange.RemoveProperty => p }
-    require(adds.size + sets.size + removes.size == changes.size,
-      "graft supports additive column changes and property changes only " +
-        "(reference C2 semantics)")
+    require(adds.size + widens.size + sets.size + removes.size == changes.size,
+      "graft supports additive column changes, type WIDENING " +
+        "(int->long, float->double, decimal growth), and property changes only " +
+        "(reference C2 semantics + Iceberg promotion)")
     adds.foreach { a =>
       require(a.fieldNames().length == 1, "top-level columns only (reference C2)")
       tbl.evolveSchema(StructType(tbl.schema.fields :+
         org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType(), nullable = true)))
+    }
+    // ALTER TABLE ... ALTER COLUMN c TYPE t — legal widenings only;
+    // old files read back through the widened schema (reader upcast)
+    widens.foreach { u =>
+      require(u.fieldNames().length == 1, "top-level columns only")
+      val name = u.fieldNames()(0)
+      val cur = tbl.schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(s"unknown column '$name'"))
+      require(graft.table.Projection.widens(cur.dataType, u.newDataType()),
+        s"cannot change ${cur.name}: ${cur.dataType.catalogString} -> " +
+          s"${u.newDataType().catalogString} is not a legal widening")
+      tbl.evolveSchema(StructType(tbl.schema.fields.map(f =>
+        if (f.name.equalsIgnoreCase(name)) f.copy(dataType = u.newDataType()) else f)))
     }
     if (sets.nonEmpty || removes.nonEmpty)
       tbl.updateProperties(

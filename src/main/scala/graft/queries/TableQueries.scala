@@ -289,6 +289,50 @@ object TableQueries {
              |FROM lineitem WHERE l_quantity >= 10
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Type-widening schema evolution (int->long here): the table starts
+    // with a narrow key, evolves the column IN PLACE (metadata-only —
+    // zero files rewritten and the field ID kept, both asserted
+    // in-plan), takes beyond-int values, and the end state aggregates
+    // old-narrow + new-wide files through one widened read — oracle
+    // recomputed from raw parquet
+    "q93_type_widening" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
+        val cat = freshCatalog(s)
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        val tbl = cat.ensure(TableIdent("bench", "ord_widen"))
+        tbl.append(o.where(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").cast(IntegerType).as("o_orderkey"),
+            col("o_totalprice")))
+        val before = tbl.currentOrFail()
+        require(before.schema("o_orderkey").dataType == IntegerType, "setup")
+        val fid = graft.table.Projection.fieldId(before.schema("o_orderkey"))
+        tbl.evolveSchema(StructType(before.schema.fields.map(f =>
+          if (f.name == "o_orderkey") f.copy(dataType = LongType) else f)))
+        val evolved = tbl.currentOrFail()
+        require(evolved.schema("o_orderkey").dataType == LongType, "widening did not apply")
+        require(evolved.files.map(_.path) == before.files.map(_.path),
+          "type widening rewrote data files (must be metadata-only)")
+        require(graft.table.Projection.fieldId(evolved.schema("o_orderkey")) == fid,
+          "widening changed the field ID")
+        tbl.append(o.where(col("o_orderkey") % 2 =!= 0)
+          .select((col("o_orderkey") + 3000000000L).as("o_orderkey"),
+            (col("o_totalprice") + 1000.0).as("o_totalprice")))
+        tbl.scan().agg(
+          count(lit(1)).as("n"),
+          sum(col("o_orderkey")).cast("double").as("sum_k"),
+          dsum(col("o_totalprice")).as("total"))
+      },
+      Some(s"""WITH state AS (
+              |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice
+              |  FROM orders WHERE o_orderkey % 2 = 0
+              |  UNION ALL
+              |  SELECT o_orderkey + 3000000000, o_totalprice + 1000.0
+              |  FROM orders WHERE o_orderkey % 2 <> 0)
+              |SELECT COUNT(*) AS n, CAST(SUM(o_orderkey) AS DOUBLE) AS sum_k,
+              |  ${DSUM("o_totalprice")} AS total
+              |FROM state""".stripMargin)),
+
     // Multi-field partition spec (month × bucket — the canonical 100-TB
     // layout): write under both transforms, then a conjunctive
     // predicate plans strictly fewer files than either dimension alone

@@ -41,16 +41,47 @@ object Projection {
     df.select(cols: _*)
   }
 
-  /** Additive, top-level-only schema evolution (reference
-    * `core/schema.py:52-78`): new incoming columns are appended as
-    * nullable fields; existing field IDs are preserved and new fields get
-    * `max(id)+1` (`core/schema.py:210-251`). Returns None when nothing
-    * changes.
+  /** Is `to` a legal type WIDENING of `from`? The Iceberg promotion
+    * set (int→long, float→double, decimal precision growth) plus the
+    * smaller integrals and decimal scale growth — every case is one
+    * Spark 4's vectorized parquet reader upcasts natively, so files
+    * written under the old type read back through the widened schema
+    * without a rewrite. Value-preserving only: the integer part of a
+    * decimal may never shrink, and no narrowing is ever legal.
+    */
+  def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case (f: DecimalType, t: DecimalType) =>
+      (t.precision - t.scale) >= (f.precision - f.scale) && t.scale >= f.scale &&
+        (t.precision > f.precision || t.scale > f.scale)
+    case _ => false
+  }
+
+  /** Top-level schema evolution (reference `core/schema.py:52-78`,
+    * plus type widening the reference punts on): new incoming columns
+    * are appended as nullable fields with `max(id)+1` IDs
+    * (`core/schema.py:210-251`); existing columns whose incoming type
+    * is a legal [[widens]] promotion take the wider type, KEEPING
+    * their field ID — old data files read back through the widened
+    * schema via the parquet reader's native upcast (no rewrite).
+    * Returns None when nothing changes.
     */
   def evolve(current: StructType, incoming: StructType): Option[StructType] = {
+    var widenedAny = false
+    val widened = current.fields.map { cf =>
+      incoming.fields.find(_.name.equalsIgnoreCase(cf.name)) match {
+        case Some(inf) if widens(cf.dataType, inf.dataType) =>
+          widenedAny = true
+          cf.copy(dataType = inf.dataType) // metadata (field ID) preserved
+        case _ => cf
+      }
+    }
     val existingNames = current.fieldNames.map(_.toLowerCase).toSet
     val newFields = incoming.fields.filterNot(f => existingNames.contains(f.name.toLowerCase))
-    if (newFields.isEmpty) None
+    if (newFields.isEmpty && !widenedAny) None
     else {
       var nextId = maxFieldId(current) + 1
       val appended = newFields.map { f =>
@@ -61,7 +92,7 @@ object Projection {
         nextId += 1
         StructField(f.name, f.dataType, nullable = true, m)
       }
-      Some(StructType(current.fields ++ appended))
+      Some(StructType(widened ++ appended))
     }
   }
 

@@ -845,6 +845,27 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT COUNT(*) FROM graft.nswap.t").head.getLong(0) shouldBe 5L
   }
 
+  test("ALTER COLUMN TYPE widens legally and rejects narrowing") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nswide")
+    spark.sql("CREATE TABLE graft.nswide.t (id INT, score FLOAT, v STRING)")
+    spark.sql("INSERT INTO graft.nswide.t VALUES (1, 1.5, 'a'), (2, 2.5, 'b')")
+    spark.sql("ALTER TABLE graft.nswide.t ALTER COLUMN id TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.nswide.t ALTER COLUMN score TYPE DOUBLE")
+    // beyond-int values now insert; OLD int/float files read back upcast
+    spark.sql("INSERT INTO graft.nswide.t VALUES (5000000000, 9.5, 'c')")
+    spark.sql("SELECT SUM(id) FROM graft.nswide.t").head.getLong(0) shouldBe 5000000003L
+    spark.sql("SELECT id, score FROM graft.nswide.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe
+      Seq((1L, 1.5), (2L, 2.5), (5000000000L, 9.5))
+    // narrowing is rejected — Spark's own up-cast check fires first
+    // (NOT_SUPPORTED_CHANGE_COLUMN); the catalog's widens() guard backs
+    // it for changes Spark would allow but graft would not
+    val err = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.nswide.t ALTER COLUMN id TYPE INT")
+    }
+    err.getMessage should (include("widening") or include("NOT_SUPPORTED_CHANGE_COLUMN"))
+  }
+
   test("multi-field PARTITIONED BY creates, writes, and prunes on both fields") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsmp")
     spark.sql(

@@ -8,6 +8,7 @@ import graft.loader.{Loader, WriteStrategy}
 import graft.table.{GraftCatalog, TableIdent}
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -165,5 +166,54 @@ class LoaderSpec extends AnyFunSuite with Matchers {
     val t = c.load(id)
     t.schema.fieldNames.toSeq shouldBe Seq("id", "name", "score")
     t.scan().count() shouldBe 2
+  }
+
+  test("type widening through the loader: int->long, float->double mid-stream") {
+    val s = spark
+    import s.implicits._
+    val c = cat()
+    val id = TableIdent("ns", "widen")
+    val loader = new Loader(c, LoaderConfig(writeMode = WriteMode.Append, schemaEvolution = true))
+    loader.loadData(Seq((1, 1.5f)).toDF("id", "score"), id)
+    val t0 = c.load(id)
+    t0.schema("id").dataType shouldBe org.apache.spark.sql.types.IntegerType
+    val idFieldId = graft.table.Projection.fieldId(t0.schema("id"))
+    // a later batch arrives with wider types AND a value outside int range
+    loader.loadData(Seq((5000000000L, 2.5d)).toDF("id", "score"), id)
+    val t = c.load(id)
+    t.schema("id").dataType shouldBe org.apache.spark.sql.types.LongType
+    t.schema("score").dataType shouldBe org.apache.spark.sql.types.DoubleType
+    // field ID survives the widening (evolution, not drop-and-re-add)
+    graft.table.Projection.fieldId(t.schema("id")) shouldBe idFieldId
+    // old int/float files read back through the widened schema
+    t.scan().orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe
+      Seq((1L, 1.5), (5000000000L, 2.5))
+    // narrowing never evolves: a later int batch projects onto long
+    loader.loadData(Seq((7, 3.5d)).toDF("id", "score"), id)
+    c.load(id).schema("id").dataType shouldBe org.apache.spark.sql.types.LongType
+    c.load(id).scan().count() shouldBe 3
+  }
+
+  test("decimal widening grows precision and scale, never the integer part shrink") {
+    import org.apache.spark.sql.types._
+    graft.table.Projection.widens(DecimalType(10, 2), DecimalType(14, 2)) shouldBe true
+    graft.table.Projection.widens(DecimalType(10, 2), DecimalType(14, 4)) shouldBe true
+    graft.table.Projection.widens(DecimalType(10, 2), DecimalType(10, 4)) shouldBe false // int part shrinks
+    graft.table.Projection.widens(DecimalType(14, 2), DecimalType(10, 2)) shouldBe false // narrowing
+    graft.table.Projection.widens(LongType, IntegerType) shouldBe false
+    graft.table.Projection.widens(DoubleType, FloatType) shouldBe false
+    val s = spark
+    import s.implicits._
+    val c = cat()
+    val id = TableIdent("ns", "widen_dec")
+    val loader = new Loader(c, LoaderConfig(writeMode = WriteMode.Append, schemaEvolution = true))
+    loader.loadData(Seq(Tuple1(BigDecimal("12.34"))).toDF("amt")
+      .select(col("amt").cast(DecimalType(10, 2)).as("amt")), id)
+    loader.loadData(Seq(Tuple1(BigDecimal("123456789012.3456"))).toDF("amt")
+      .select(col("amt").cast(DecimalType(16, 4)).as("amt")), id)
+    val t = c.load(id)
+    t.schema("amt").dataType shouldBe DecimalType(16, 4)
+    t.scan().orderBy("amt").collect().map(_.getDecimal(0).toPlainString).toSeq shouldBe
+      Seq("12.3400", "123456789012.3456")
   }
 }
