@@ -32,7 +32,7 @@ object GraftProcedures {
       "remove_orphan_files", "cluster",
       "zorder", "rollback_to_version", "create_tag", "drop_tag",
       "create_branch", "fast_forward", "merge_branch", "drop_branch",
-      "set_partition_spec", "verify_table")
+      "set_partition_spec", "verify_table", "replicate")
 
   def load(cat: () => GraftCatalog, name: String): Option[UnboundProcedure] =
     name match {
@@ -249,6 +249,65 @@ object GraftProcedures {
           val dry = in.getBoolean(3)
           val n = tbl.removeOrphanFiles(in.getLong(2), dryRun = dry)
           new GenericInternalRow(Array[Any](n, dry))
+        }))
+      // CDC-driven replica maintenance from pure SQL:
+      //   CALL graft.system.replicate('src_ns','src_t','dst_ns','dst_t','id')
+      // One-shot incremental replication — first call bootstraps the
+      // replica from the source's current snapshot; every later call
+      // reads the source changelog since the last applied version and
+      // applies the NET effect in ONE commit. The applied source
+      // version rides in the SAME commit as the data (a table
+      // property), so a crash between apply and any external bookkeep
+      // cannot double-apply: re-CALL resumes exactly where the marker
+      // says — exactly-once without a checkpoint. Cost scales with
+      // change volume, not table size (applyNetChanges).
+      case "replicate" => Some(proc(name,
+        Array(
+          ProcedureParameter.in("src_namespace", StringType).build(),
+          ProcedureParameter.in("src_table", StringType).build(),
+          ProcedureParameter.in("dst_namespace", StringType).build(),
+          ProcedureParameter.in("dst_table", StringType).build(),
+          ProcedureParameter.in("keys", StringType).build()), // comma-separated
+        StructType(Seq(
+          StructField("from_version", IntegerType),
+          StructField("to_version", IntegerType),
+          StructField("action", StringType))),
+        { in =>
+          val c = cat()
+          val src = c.load(TableIdent(in.getUTF8String(0).toString,
+            in.getUTF8String(1).toString))
+          val dstIdent = TableIdent(in.getUTF8String(2).toString,
+            in.getUTF8String(3).toString)
+          val keys = in.getUTF8String(4).toString.split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq
+          require(keys.nonEmpty, "replicate requires key columns")
+          val dst = c.ensure(dstIdent)
+          val markerKey = "graft.replicate." +
+            s"${in.getUTF8String(0)}.${in.getUTF8String(1)}.last-version"
+          val cur = src.currentOrFail().version
+          def utf(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          val last = dst.current().flatMap(_.properties.get(markerKey)).map(_.toInt)
+          val row = last match {
+            case None if dst.current().exists(_.rowCount > 0) =>
+              throw new IllegalStateException(
+                s"replica $dstIdent has rows but no replication marker " +
+                  s"($markerKey) — it was not built by replicate; use an " +
+                  "empty/new table")
+            case None =>
+              // bootstrap: the source's whole current state, marker in
+              // the same commit
+              dst.append(src.scanAsOfVersion(cur),
+                props = Map(markerKey -> cur.toString))
+              new GenericInternalRow(Array[Any](-1, cur, utf("bootstrap")))
+            case Some(l) if l >= cur =>
+              new GenericInternalRow(Array[Any](l, cur, utf("noop")))
+            case Some(l) =>
+              graft.streaming.GraftStream.applyChangesBatch(
+                src.scanChangesBetween(l, cur), dst, keys,
+                props = Map(markerKey -> cur.toString))
+              new GenericInternalRow(Array[Any](l, cur, utf("applied")))
+          }
+          row
         }))
       case _ => None
     }

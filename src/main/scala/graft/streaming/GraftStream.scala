@@ -50,7 +50,8 @@ object GraftStream {
     * non-null identifiers in the source table, same contract as upsert.
     */
   def applyChangesBatch(changes: DataFrame, target: graft.table.GraftTable,
-                        keys: Seq[String]): Unit = {
+                        keys: Seq[String],
+                        props: Map[String, String] = Map.empty): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "CDC application requires key columns")
@@ -70,9 +71,14 @@ object GraftStream {
     if (target.current().isEmpty) {
       // virgin replica: the net effect of the first batch is pure
       // inserts (deletes of rows that never landed are no-ops)
-      if (!ups.isEmpty) { target.append(ups); () }
+      if (!ups.isEmpty) { target.append(ups, props); () }
     } else if (!last.isEmpty) {
-      target.applyNetChanges(dels, ups, keys); ()
+      target.applyNetChanges(dels, ups, keys, props); ()
+    } else if (props.nonEmpty) {
+      // net-empty batch (e.g. compaction-only range) still advances the
+      // caller's marker properties — exactly-once bookkeeping must move
+      // even when no rows do
+      target.updateProperties(props); ()
     }
   }
 

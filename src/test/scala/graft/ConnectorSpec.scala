@@ -845,6 +845,61 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT COUNT(*) FROM graft.nswap.t").head.getLong(0) shouldBe 5L
   }
 
+  test("CALL graft.system.replicate maintains a replica exactly-once") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsrep")
+    spark.sql("CREATE TABLE graft.nsrep.src (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.nsrep.src VALUES (1, 'a'), (2, 'b')")
+    def srcState() = spark.sql("SELECT id, v FROM graft.nsrep.src").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    def repState() = spark.sql("SELECT id, v FROM graft.nsrep.rep").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+
+    // bootstrap
+    val boot = spark.sql(
+      "CALL graft.system.replicate('nsrep', 'src', 'nsrep', 'rep', 'id')").head
+    (boot.getInt(0), boot.getString(2)) shouldBe (-1, "bootstrap")
+    repState() shouldBe srcState()
+    // idempotent when nothing changed
+    spark.sql("CALL graft.system.replicate('nsrep', 'src', 'nsrep', 'rep', 'id')")
+      .head.getString(2) shouldBe "noop"
+
+    // every mutation kind replicates through one net-apply commit
+    spark.sql("""MERGE INTO graft.nsrep.src t
+                |USING (SELECT * FROM VALUES (2L, 'B2'), (3L, 'c') AS x(id, v)) x
+                |ON t.id = x.id
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql("DELETE FROM graft.nsrep.src WHERE id = 1")
+    spark.sql("INSERT INTO graft.nsrep.src VALUES (4, 'd')")
+    val cat = graft.table.GraftCatalog(spark,
+      spark.conf.get("spark.sql.catalog.graft.warehouse"))
+    val rep = cat.load(graft.table.TableIdent("nsrep", "rep"))
+    val commitsBefore = rep.currentOrFail().version
+    spark.sql("CALL graft.system.replicate('nsrep', 'src', 'nsrep', 'rep', 'id')")
+      .head.getString(2) shouldBe "applied"
+    repState() shouldBe srcState()
+    repState() shouldBe Seq((2L, "B2"), (3L, "c"), (4L, "d"))
+    // ONE commit for the whole catch-up (atomic net-apply + marker)
+    rep.currentOrFail().version shouldBe commitsBefore + 1
+    // the applied source version rides in the replica's own properties
+    rep.currentOrFail().properties("graft.replicate.nsrep.src.last-version")
+      .toInt shouldBe cat.load(graft.table.TableIdent("nsrep", "src"))
+        .currentOrFail().version
+    // replay converges without re-applying (exactly-once)
+    spark.sql("CALL graft.system.replicate('nsrep', 'src', 'nsrep', 'rep', 'id')")
+      .head.getString(2) shouldBe "noop"
+    repState() shouldBe srcState()
+
+    // a foreign table with rows but no marker is refused, not clobbered
+    spark.sql("CREATE TABLE graft.nsrep.foreign (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.nsrep.foreign VALUES (9, 'x')")
+    val err = intercept[Exception] {
+      spark.sql("CALL graft.system.replicate('nsrep', 'src', 'nsrep', 'foreign', 'id')")
+        .collect()
+    }
+    err.getMessage should include("replication marker")
+  }
+
   test("ALTER COLUMN TYPE widens legally and rejects narrowing") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nswide")
     spark.sql("CREATE TABLE graft.nswide.t (id INT, score FLOAT, v STRING)")
