@@ -345,7 +345,7 @@ object TableQueries {
         val li = t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"),
             col("l_extendedprice"))
-        val tbl = cat.ensure(ident, Some("month(l_shipdate), bucket(8, l_orderkey)"))
+        val tbl = cat.ensure(ident, Some("month(l_shipdate), bucket(4, l_orderkey)"))
         tbl.append(li)
         val total = tbl.currentOrFail().files.size
         val pred = "l_shipdate >= '1996-03-02' AND " +

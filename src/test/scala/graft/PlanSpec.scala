@@ -47,6 +47,23 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p should include("TakeOrderedAndProject")
   }
 
+  test("merge-on-read scan applies equality deletes as a BROADCAST anti join") {
+    val s = spark
+    import s.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-plan-mor").toString
+    val cat = graft.table.GraftCatalog(spark, wh)
+    val t = cat.ensure(graft.table.TableIdent("plan", "mor"))
+    t.append((1L to 5000L).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.updateProperties(Map(graft.table.GraftTable.DeleteModeProp -> "mor"))
+    t.deleteByKeys((1L to 50L).toDF("id"), Seq("id"))
+    val p = plan(t.scan())
+    // the delete-keys side is tiny and must broadcast — a
+    // SortMergeJoin here would shuffle the whole corpus per delete
+    p should include("BroadcastHashJoin LeftAnti")
+    p should not include "SortMergeJoin"
+    t.scan().count() shouldBe 4950
+  }
+
   test("chunking, splits, and stratified sampling are shuffle-free") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val chunked = Chunking.chunkDocuments(docs, "text", "doc_id", maxTokens = 64)
