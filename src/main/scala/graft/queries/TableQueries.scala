@@ -289,6 +289,47 @@ object TableQueries {
              |FROM lineitem WHERE l_quantity >= 10
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Merge-on-read upsert (the Iceberg MoR MERGE shape): the upsert
+    // commits one append group + one equality-delete group at the same
+    // sequence — zero target files rewritten (asserted in-plan) — and
+    // the merged end state is oracle-checked from the source parquet
+    // with the SAME oracle shape as the CoW upsert (q42): the two
+    // execution strategies must be observationally identical
+    "q94_mor_upsert" -> Q(
+      (s, dir) => {
+        val cat = freshCatalog(s)
+        val ident = TableIdent("bench", "ord_mor_up")
+        val o = t(s, dir, "orders")
+        val tbl = cat.ensure(ident)
+        tbl.append(o.where(col("o_orderkey") % 2 === 0))
+        tbl.updateProperties(Map(graft.table.GraftTable.DeleteModeProp -> "mor"))
+        val before = tbl.currentOrFail().files.map(_.path).toSet
+        val source = o.where(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .withColumn("o_orderpriority", lit("9-UPSERTED"))
+        tbl.upsert(source, Seq("o_orderkey"))
+        val snap = tbl.currentOrFail()
+        require(before.subsetOf(snap.files.map(_.path).toSet),
+          "merge-on-read upsert rewrote target files")
+        require(snap.deleteGroups.nonEmpty, "MoR upsert recorded no delete group")
+        tbl.scan()
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""WITH source AS (
+              |  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+              |         '9-UPSERTED' AS o_orderpriority
+              |  FROM orders WHERE o_orderkey % 3 = 0),
+              |target AS (SELECT o_orderkey, o_totalprice, o_orderpriority
+              |  FROM orders WHERE o_orderkey % 2 = 0),
+              |merged AS (
+              |  SELECT * FROM source
+              |  UNION ALL
+              |  SELECT * FROM target WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source))
+              |SELECT o_orderpriority, COUNT(*) AS n, ${DSUM("o_totalprice")} AS total
+              |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Type-widening schema evolution (int->long here): the table starts
     // with a narrow key, evolves the column IN PLACE (metadata-only —
     // zero files rewritten and the field ID kept, both asserted

@@ -388,6 +388,19 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     // Multi-field specs prune on EVERY key-sourced field.
     val rewriteSet: Seq[DataFile] = keyPrunedFiles(snap, projected, keys)
 
+    // Merge-on-read upsert (the Iceberg MoR MERGE shape): past the
+    // threshold the upsert becomes ONE commit of an append group plus
+    // an equality-delete group on the source keys — cost O(source),
+    // zero target files rewritten. The delete's sequence equals the
+    // new group's, so it masks only OLDER rows: matched rows are
+    // replaced, unmatched source rows are plain inserts, and a later
+    // upsert's delete group supersedes this one's rows the same way.
+    if (rewriteSet.nonEmpty && chooseMor(snap, rewriteSet.map(_.sizeBytes).sum))
+      return morMergeCommit(snap, projected,
+        projected.select(keys.map(k => col(s"`$k`")): _*)
+          .where(keys.map(k => col(s"`$k`").isNotNull).reduce(_ && _)).distinct(),
+        keys, "upsert", props)
+
     val target = readFilesMoR(snap, rewriteSet, snap.schema)
     val kept = target.join(
       projected.select(keys.map(k => col(s"`$k`")): _*).distinct(),
@@ -555,6 +568,14 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
       .distinct().localCheckpoint()
     val specs = partitionFields()
     val rewriteSet: Seq[DataFile] = keyPrunedFiles(snap, allKeys, joinKeys)
+    // Merge-on-read net-apply: the batch's upserts land as an append
+    // group and ALL net keys (deletes + upserts) as one equality-delete
+    // group at the same sequence — replication cost O(change volume)
+    // with zero target rewrites (see [[morMergeCommit]]).
+    if (rewriteSet.nonEmpty && chooseMor(snap, rewriteSet.map(_.sizeBytes).sum))
+      return morMergeCommit(snap, projected,
+        allKeys.where(joinKeys.map(k => col(s"`$k`").isNotNull).reduce(_ && _)),
+        joinKeys, "merge", props)
     val kept = readFilesMoR(snap, rewriteSet, snap.schema)
       .join(allKeys, joinKeys, "left_anti")
     val merged = kept.unionByName(projected)
@@ -863,6 +884,40 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
       throw new java.util.ConcurrentModificationException(
         s"$op conflicts with a concurrent merge-on-read delete; " +
           "re-run against the latest snapshot")
+  }
+
+  /** Merge-on-read MERGE commit: `rows` land as a fresh data group and
+    * `keyDf`'s tuples as an equality-delete group AT THE SAME sequence
+    * — the delete masks only strictly older data, so the new rows are
+    * visible and every older row with a matching key is logically
+    * replaced, all in one O(source) commit with zero rewrites. NULL
+    * key tuples are excluded by the caller (SQL equality never matches
+    * them; such rows are plain inserts). Pure addition — no conflict
+    * with concurrent commits (a racing delete lands at a lower seq and
+    * never touches this data).
+    */
+  private def morMergeCommit(snap: Snapshot, rows: DataFrame, keyDf: DataFrame,
+                             keys: Seq[String], op: String,
+                             props: Map[String, String]): Snapshot = {
+    val joinKeys = keys.map(k => snap.schema.fields
+      .find(_.name.equalsIgnoreCase(k)).get.name)
+    val dataGroup = writeDataFiles(rows, snap.schema, partitionFields())
+    val keyGroup = writeDataFiles(
+      keyDf.select(joinKeys.map(k => col(s"`$k`")): _*),
+      deleteKeySchema(snap, joinKeys), Nil)
+    log.commit { parent =>
+      val p = parent.getOrElse(snap)
+      val ns = p.lastSeq + 1
+      val groups = p.fileGroups :+ dataGroup.withSeq(ns)
+      p.copy(
+        snapshotId = newSnapshotId(),
+        operation = op,
+        properties = p.properties ++ props,
+        fileGroups = groups,
+        deleteGroups = purgeDeletes(groups, p.deleteGroups) :+
+          EqualityDeleteGroup(ns, joinKeys, keyGroup.withSeq(ns)),
+        lastSeq = ns)
+    }
   }
 
   /** Partition pruning for keyed rewrites (upsert / deleteByKeys /

@@ -1206,6 +1206,38 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     t.scan().count() shouldBe 18
   }
 
+  test("MoR upsert: one O(source) commit, latest-wins chaining, compact converges") {
+    val s = spark
+    import s.implicits._
+    val t = morTable("t9")
+    val before = t.currentOrFail().files.map(_.path).toSet
+    // replace 3 keys, insert 1 new — zero old files rewritten
+    t.upsert(Seq((2L, "d2", "u2"), (5L, "d5", "u5"), (15L, "d15", "u15"),
+      (100L, "d100", "new")).toDF("id", "day", "name"), Seq("id"))
+    val snap = t.currentOrFail()
+    snap.operation shouldBe "upsert"
+    before.subsetOf(snap.files.map(_.path).toSet) shouldBe true
+    (snap.files.map(_.path).toSet -- before).size should be > 0 // only ADDED files
+    snap.deleteGroups.size shouldBe 1
+    t.scan().count() shouldBe 21
+    t.scan().where("id IN (2, 5, 15)").select("name").as[String].collect().toSet shouldBe
+      Set("u2", "u5", "u15")
+    t.scan().where("id = 100").count() shouldBe 1
+    // a SECOND MoR upsert on an already-replaced key: latest wins
+    // (its delete group sits at a higher sequence than the first's data)
+    t.upsert(Seq((2L, "d2", "u2b")).toDF("id", "day", "name"), Seq("id"))
+    t.scan().where("id = 2").select("name").as[String].collect().toSeq shouldBe Seq("u2b")
+    t.scan().count() shouldBe 21
+    // and a MoR DELETE of a MoR-upserted key removes it
+    t.deleteByKeys(Seq(5L).toDF("id"), Seq("id"))
+    t.scan().where("id = 5").count() shouldBe 0
+    // compact folds the whole chain back to plain copy-on-write state
+    val expected = t.scan().select("id", "name").as[(Long, String)].collect().toSet
+    t.compact(2)
+    t.currentOrFail().deleteGroups shouldBe empty
+    t.scan().select("id", "name").as[(Long, String)].collect().toSet shouldBe expected
+  }
+
   test("MoR delete state round-trips through the snapshot codec") {
     val s = spark
     import s.implicits._
