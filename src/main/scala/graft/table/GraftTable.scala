@@ -812,13 +812,49 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         acc.filter(!coalesce(expr(p.predicateSql), lit(false)))
     }
 
+  /** May any key tuple of equality delete `e` fall inside `f`'s zone
+    * maps? A tuple match needs EVERY key component inside the file's
+    * [min, max], so one provably-disjoint component means the delete
+    * cannot touch the file at all — the anti join is skipped for it.
+    * The bounds come for free: the delete manifest's summary carries
+    * per-key-column stats harvested at write time. Unknown stats on
+    * either side degrade to "may touch" (sound).
+    */
+  private def deleteMayTouch(f: DataFile, e: EqualityDeleteGroup,
+                             snap: Snapshot): Boolean = {
+    val keyStats = e.group.summary.map(_.stats).getOrElse(return true)
+    e.keys.forall { k =>
+      val dt = snap.schema.fields.find(_.name.equalsIgnoreCase(k))
+        .map(_.dataType).getOrElse(return true)
+      (f.stats.get(k), keyStats.get(k)) match {
+        case (Some(fs), Some(ds)) =>
+          (fs.min, fs.max, ds.min, ds.max) match {
+            case (Some(fmin), Some(fmax), Some(dmin), Some(dmax)) =>
+              def num(s: String) = scala.util.Try(BigDecimal(s)).toOption
+              dt match {
+                case _: NumericType | DateType | TimestampType | TimestampNTZType =>
+                  (for { a <- num(fmin); b <- num(fmax)
+                         c <- num(dmin); d <- num(dmax) }
+                    yield !(b < c || a > d)).getOrElse(true)
+                case StringType => !(fmax < dmin || fmin > dmax)
+                case _ => true
+              }
+            case _ => true
+          }
+        case _ => true
+      }
+    }
+  }
+
   /** Read a subset of `snap`'s data files with the snapshot's
     * merge-on-read deletes applied. A delete applies to data groups
-    * with `seq <` its own; files are bucketed by HOW MANY deletes
-    * apply to their group (delete seqs are totally ordered, so the
-    * applicable set is always a suffix), each bucket read once with
+    * with `seq <` its own; on top of that sequence gate, equality
+    * deletes are zone-map-refined per FILE ([[deleteMayTouch]]) — on a
+    * key-clustered table a narrow keyed delete then anti-joins a
+    * handful of files while the rest read plain. Files are bucketed by
+    * their EFFECTIVE applicable-delete set, each bucket read once with
     * its anti-join/filter chain, and the buckets unioned — a row
-    * re-inserted after a delete sits in a higher-seq bucket and is
+    * re-inserted after a delete sits in a later-seq bucket and is
     * never filtered. Zero overhead when no deletes are pending (the
     * overwhelmingly common state): one plain parquet read.
     */
@@ -827,20 +863,27 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     if (snap.deleteGroups.isEmpty) return readFiles(readSchema, files)
     val dels = snap.deleteGroups.sortBy(_.seq)
     val remaining = scala.collection.mutable.Set[String](files.map(_.path): _*)
-    val buckets = scala.collection.mutable.LinkedHashMap.empty[Int, Vector[DataFile]]
+    val buckets = scala.collection.mutable.LinkedHashMap.empty[Seq[Long], Vector[DataFile]]
     snap.fileGroups.foreach { g =>
       if (remaining.nonEmpty) {
         val member = g.files.filter(f => remaining.remove(f.path))
         if (member.nonEmpty) {
-          val n = dels.count(_.appliesTo(g.seq))
-          buckets.updateWith(n)(v => Some(v.getOrElse(Vector.empty) ++ member))
+          val applicable = dels.filter(_.appliesTo(g.seq))
+          member.foreach { f =>
+            val eff = applicable.filter {
+              case e: EqualityDeleteGroup => deleteMayTouch(f, e, snap)
+              case _: PredicateDeleteGroup => true
+            }.map(_.seq)
+            buckets.updateWith(eff)(v => Some(v.getOrElse(Vector.empty) :+ f))
+          }
         }
       }
     }
     require(remaining.isEmpty,
       s"readFilesMoR: ${remaining.size} file(s) not in snapshot groups (e.g. ${remaining.headOption.getOrElse("")})")
-    buckets.toSeq.map { case (n, fs) =>
-      applyDeleteGroups(readFiles(readSchema, fs), dels.takeRight(n), snap)
+    buckets.toSeq.map { case (seqs, fs) =>
+      val set = seqs.toSet
+      applyDeleteGroups(readFiles(readSchema, fs), dels.filter(d => set(d.seq)), snap)
     }.reduceOption(_.unionByName(_)).getOrElse(readFiles(readSchema, Nil))
   }
 

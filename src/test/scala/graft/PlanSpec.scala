@@ -64,6 +64,29 @@ class PlanSpec extends AnyFunSuite with Matchers {
     t.scan().count() shouldBe 4950
   }
 
+  test("MoR scan: files outside a delete's key bounds bypass the anti join") {
+    val s = spark
+    import s.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-plan-mor2").toString
+    val cat = graft.table.GraftCatalog(spark, wh)
+    val t = cat.ensure(graft.table.TableIdent("plan", "mor2"))
+    // two separate appends = two groups with DISJOINT id ranges, so
+    // each file's zone map cleanly contains one range
+    t.append((1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    t.append((100000L to 101000L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    t.updateProperties(Map(graft.table.GraftTable.DeleteModeProp -> "mor"))
+    t.deleteByKeys((10L to 20L).toDF("id"), Seq("id"))
+    val p = plan(t.scan())
+    // the low-range file needs the anti join; the high-range file reads
+    // PLAIN — the delete manifest's own zone map proves it untouched
+    p should include("BroadcastHashJoin LeftAnti")
+    p should include("Union")
+    p.sliding("BroadcastHashJoin LeftAnti".length)
+      .count(_ == "BroadcastHashJoin LeftAnti") shouldBe 1
+    t.scan().count() shouldBe 1990
+    t.scan().where("id BETWEEN 10 AND 20").count() shouldBe 0
+  }
+
   test("chunking, splits, and stratified sampling are shuffle-free") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val chunked = Chunking.chunkDocuments(docs, "text", "doc_id", maxTokens = 64)
