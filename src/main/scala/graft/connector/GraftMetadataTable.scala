@@ -37,6 +37,7 @@ final class GraftMetadataTable(tbl: GraftTable, kind: String,
     case "files" => GraftMetadataTable.FilesSchema
     case "partitions" => GraftMetadataTable.PartitionsSchema
     case "refs" => GraftMetadataTable.RefsSchema
+    case "deletes" => GraftMetadataTable.DeletesSchema
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -89,6 +90,19 @@ final class GraftMetadataTable(tbl: GraftTable, kind: String,
           head.version, head.snapshotId, head.timestampMs))
       }
       (tagRows ++ branchRows).toArray
+    case "deletes" =>
+      asOfVersion.map(tbl.snapshotAt).getOrElse(tbl.currentOrFail())
+        .deleteGroups.sortBy(_.seq).map {
+          case graft.meta.EqualityDeleteGroup(seq, keys, group) =>
+            new GenericInternalRow(Array[Any](
+              seq, UTF8String.fromString("equality"),
+              UTF8String.fromString(s"keys(${keys.mkString(", ")})"),
+              group.rows, group.bytes))
+          case graft.meta.PredicateDeleteGroup(seq, pred) =>
+            new GenericInternalRow(Array[Any](
+              seq, UTF8String.fromString("predicate"),
+              UTF8String.fromString(pred), null, null))
+        }.toArray
   }
 
   private def renderPartition(f: graft.meta.DataFile): Option[UTF8String] =
@@ -105,7 +119,7 @@ final class GraftMetadataTable(tbl: GraftTable, kind: String,
 }
 
 object GraftMetadataTable {
-  val Kinds: Set[String] = Set("history", "snapshots", "files", "partitions", "refs")
+  val Kinds: Set[String] = Set("history", "snapshots", "files", "partitions", "refs", "deletes")
 
   val HistorySchema: StructType = StructType(Seq(
     StructField("version", IntegerType, nullable = false),
@@ -144,4 +158,15 @@ object GraftMetadataTable {
     StructField("version", IntegerType, nullable = false),
     StructField("snapshot_id", LongType, nullable = false),
     StructField("timestamp_ms", LongType, nullable = false)))
+
+  /** `graft.ns.t.deletes` — the pending merge-on-read delete groups:
+    * the operator's "how much masked data is my table carrying, should
+    * I compact" dashboard.
+    */
+  val DeletesSchema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("detail", StringType, nullable = false),
+    StructField("key_rows", LongType, nullable = true),
+    StructField("bytes", LongType, nullable = true)))
 }

@@ -987,6 +987,11 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT COUNT(*) FROM graft.nsmor.t").queryExecution
       .executedPlan.toString should not include "GraftAggScan"
 
+    // the .deletes metadata table lists the pending groups
+    spark.sql("SELECT seq, kind, detail FROM graft.nsmor.t.deletes ORDER BY seq")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq shouldBe
+      Seq(("equality", "keys(id)"), ("predicate", "(`id` >= 18)"))
+
     // time travel to the MoR state applies its deletes as of then
     val morVersion = tbl.currentOrFail().version
     tbl.compact(1)
