@@ -315,22 +315,32 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
     org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
 
-  /** The partition field when its key domain round-trips exactly from
-    * the stored partition-value strings: bucket (key = bucket id, INT)
-    * or identity over an integral/string/date column.
+  /** The ordered partition fields when EVERY field's key domain
+    * round-trips exactly from the stored partition-value strings:
+    * bucket (key = bucket id, INT) or identity over an
+    * integral/string/date column. A multi-field spec such as
+    * `identity(region), bucket(16, id)` reports the full value TUPLE
+    * as the grouping key — the canonical 100-TB layout joins
+    * shuffle-free on it. Any field outside the round-trip domain
+    * (year/month/day/hour/truncate/void) disables SPJ for the whole
+    * spec: reporting a PREFIX of the key would claim a coarser
+    * clustering than join keys could verify.
     */
-  private lazy val spjField: Option[(graft.partitioning.PartitionField, DataType)] =
+  private lazy val spjFields: Option[Seq[(graft.partitioning.PartitionField, DataType)]] =
     snap.partitionSpec.flatMap { spec =>
-      scala.util.Try(graft.partitioning.PartitionExpr.parse(spec)).toOption
-    }.flatMap { pf =>
-      pf.transform match {
-        case _: graft.partitioning.Transform.Bucket => Some(pf -> IntegerType)
-        case graft.partitioning.Transform.Identity =>
-          snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol)).collect {
-            case f if GraftPartitionKeys.keyDomain(f.dataType) => pf -> f.dataType
-          }
-        case _ => None
+      scala.util.Try(graft.partitioning.PartitionExpr.parseSpec(spec)).toOption
+    }.filter(_.nonEmpty).flatMap { pfs =>
+      val resolved = pfs.map { pf =>
+        pf.transform match {
+          case _: graft.partitioning.Transform.Bucket => Some(pf -> (IntegerType: DataType))
+          case graft.partitioning.Transform.Identity =>
+            snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol)).collect {
+              case f if GraftPartitionKeys.keyDomain(f.dataType) => pf -> f.dataType
+            }
+          case _ => None
+        }
       }
+      if (resolved.forall(_.isDefined)) Some(resolved.map(_.get)) else None
     }
 
   /** Files grouped by partition key, FROZEN at first evaluation (static
@@ -341,27 +351,32 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
     * then the scan reports UnknownPartitioning and plans normally.
     */
   private lazy val spjGroups: Option[Seq[(InternalRow, Seq[DataFile])]] =
-    spjField.flatMap { case (pf, dt) =>
+    spjFields.flatMap { pfds =>
       val fs = files
       if (fs.isEmpty) None
       else {
-        val keyed = fs.map { f =>
-          f.partitionValues.flatMap(_.get(pf.fieldName)) match {
-            case Some(Some(s)) =>
-              GraftPartitionKeys.parse(dt, s).map(v => (Some(v): Option[Any]) -> f)
-            // Hive default-partition encoding conflates null and '' for
-            // string keys: a null-keyed group may hold ''-keyed rows, and
-            // reporting them as key=null to KeyGroupedPartitioning would
-            // let SPJ mis-cluster (or skip) them. Bail to a normal scan.
-            case Some(None) if dt == StringType => None
-            case Some(None) => Some((None: Option[Any]) -> f)
-            case None => None
+        // one key cell per spec field, all parseable or the file bails
+        def keyOf(f: DataFile): Option[Seq[Option[Any]]] = {
+          val cells = pfds.map { case (pf, dt) =>
+            f.partitionValues.flatMap(_.get(pf.fieldName)) match {
+              case Some(Some(s)) =>
+                GraftPartitionKeys.parse(dt, s).map(v => Some(v): Option[Any])
+              // Hive default-partition encoding conflates null and '' for
+              // string keys: a null-keyed group may hold ''-keyed rows, and
+              // reporting them as key=null to KeyGroupedPartitioning would
+              // let SPJ mis-cluster (or skip) them. Bail to a normal scan.
+              case Some(None) if dt == StringType => None
+              case Some(None) => Some(None: Option[Any])
+              case None => None
+            }
           }
+          if (cells.forall(_.isDefined)) Some(cells.map(_.get)) else None
         }
+        val keyed = fs.map(f => keyOf(f).map(_ -> f))
         if (keyed.exists(_.isEmpty)) None
         else Some(keyed.flatten.groupBy(_._1).toSeq.map { case (k, kfs) =>
           (new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-            Array[Any](k.orNull)), kfs.map(_._2))
+            k.map(_.orNull).toArray[Any]), kfs.map(_._2))
         })
       }
     }
@@ -370,15 +385,16 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     (if (v2BucketingOn) spjGroups else None) match {
       case Some(groups) =>
-        val (pf, _) = spjField.get
-        val key = pf.transform match {
-          case graft.partitioning.Transform.Bucket(n) =>
-            org.apache.spark.sql.connector.expressions.Expressions.bucket(n, pf.sourceCol)
-          case _ =>
-            org.apache.spark.sql.connector.expressions.Expressions.identity(pf.sourceCol)
-        }
+        val keys = spjFields.get.map { case (pf, _) =>
+          pf.transform match {
+            case graft.partitioning.Transform.Bucket(n) =>
+              org.apache.spark.sql.connector.expressions.Expressions.bucket(n, pf.sourceCol)
+            case _ =>
+              org.apache.spark.sql.connector.expressions.Expressions.identity(pf.sourceCol)
+          }
+        }.toArray[org.apache.spark.sql.connector.expressions.Expression]
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          Array(key), groups.size)
+          keys, groups.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }

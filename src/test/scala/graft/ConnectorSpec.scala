@@ -1230,6 +1230,56 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("storage-partitioned join engages on the FULL multi-field key tuple") {
+    val conf = spark.conf
+    val prevBucketing = conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevBroadcast = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsspjm")
+      spark.sql(
+        """CREATE TABLE graft.nsspjm.fact (region BIGINT, k BIGINT, v DOUBLE)
+          |PARTITIONED BY (region, bucket(4, k))""".stripMargin)
+      spark.sql(
+        """CREATE TABLE graft.nsspjm.dim (region BIGINT, k BIGINT, label STRING)
+          |PARTITIONED BY (region, bucket(4, k))""".stripMargin)
+      spark.sql(
+        "INSERT INTO graft.nsspjm.fact SELECT id % 3, id, CAST(id AS DOUBLE) FROM range(0, 120)")
+      spark.sql(
+        "INSERT INTO graft.nsspjm.dim SELECT id % 3, id, CONCAT('n', id) FROM range(0, 40)")
+
+      // join on BOTH partition sources: clustering is provable, no shuffle
+      val joined = spark.sql(
+        """SELECT f.k, f.v, d.label FROM graft.nsspjm.fact f
+          |JOIN graft.nsspjm.dim d ON f.region = d.region AND f.k = d.k""".stripMargin)
+      joined.collect().map(_.getLong(0)).sorted.toSeq shouldBe (0L until 40L)
+      joined.queryExecution.executedPlan.toString should not include "Exchange"
+
+      // grouping on the full tuple reuses the layout too
+      val agg = spark.sql(
+        "SELECT region, k, SUM(v) AS sv FROM graft.nsspjm.fact GROUP BY region, k")
+      agg.collect().length shouldBe 120
+      agg.queryExecution.executedPlan.toString should not include "Exchange"
+
+      // joining on only ONE of the two fields must NOT claim co-clustering
+      val partial = spark.sql(
+        """SELECT f.k, d.label FROM graft.nsspjm.fact f
+          |JOIN graft.nsspjm.dim d ON f.k = d.k""".stripMargin)
+      partial.collect().length shouldBe 40
+      partial.queryExecution.executedPlan.toString should include("Exchange")
+    } finally {
+      prevBucketing match {
+        case Some(v) => conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      prevBroadcast match {
+        case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("SHOW TABLES, RENAME, and DROP work through the catalog") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns4")
     spark.sql("CREATE TABLE graft.ns4.a (id BIGINT)")
