@@ -42,11 +42,13 @@ import org.apache.spark.sql.types._
   *    prefix above the true max — sound for pruning, wrong for an
   *    answer) and are never pushed. Float/double bail when the extreme
   *    is ±0.0, whose sign the stat string cannot preserve.
-  *  - Grouped pushes additionally require: exactly the identity
-  *    partition source column as the single group key, a key domain
-  *    that round-trips from partition-value strings (integral, string,
-  *    date), every file carrying its partition value, and a bounded
-  *    group count (driver-side rows).
+  *  - Grouped pushes additionally require: every group key an IDENTITY
+  *    partition source column of the spec (any subset of a multi-field
+  *    spec — the per-field hidden-partitioning invariant keeps a
+  *    partial tuple exact), a key domain that round-trips from
+  *    partition-value strings (integral, string, date), every file
+  *    carrying its partition values, and a bounded group count
+  *    (driver-side rows).
   *  - `DISTINCT` and every other aggregate bail.
   */
 private[connector] object GraftAggPushdown {
@@ -66,8 +68,7 @@ private[connector] object GraftAggPushdown {
     agg.groupByExpressions.toSeq match {
       case Seq() =>
         planGlobal(snap, agg).map { case (sch, row) => (sch, Array(row)) }
-      case Seq(gb) => planGrouped(snap, gb, agg)
-      case _ => None
+      case gbs => planGrouped(snap, gbs, agg)
     }
 
   // ---- global (no GROUP BY): manifest summaries ----------------------
@@ -111,44 +112,59 @@ private[connector] object GraftAggPushdown {
     }
   }
 
-  // ---- GROUP BY identity partition column: per-file metadata ---------
+  // ---- GROUP BY identity partition column(s): per-file metadata ------
 
-  private def planGrouped(snap: Snapshot, gb: Expression,
+  /** Each group key must be an IDENTITY field of the partition spec
+    * (any subset of a multi-field spec, in any order) with a
+    * round-tripping key domain — the hidden-partitioning invariant
+    * holds per field, so grouping files by the value tuple of just the
+    * requested fields stays exact whatever the other fields are.
+    */
+  private def planGrouped(snap: Snapshot, gbs: Seq[Expression],
                           agg: Aggregation): Option[(StructType, Array[InternalRow])] = {
+    val specFields = snap.partitionSpec.map(s =>
+      scala.util.Try(PartitionExpr.parseSpec(s)).toOption.getOrElse(Nil)).getOrElse(Nil)
     for {
-      gbField <- field(snap.schema, gb)
-      pf <- snap.partitionSpec.flatMap(s =>
-        scala.util.Try(PartitionExpr.parse(s)).toOption)
-      if pf.transform == Transform.Identity &&
-        pf.sourceCol.equalsIgnoreCase(gbField.name) &&
-        GraftPartitionKeys.keyDomain(gbField.dataType)
+      gbFields <- sequence(gbs.map { gb =>
+        field(snap.schema, gb).flatMap { gbField =>
+          specFields.find(pf => pf.transform == Transform.Identity &&
+            pf.sourceCol.equalsIgnoreCase(gbField.name) &&
+            GraftPartitionKeys.keyDomain(gbField.dataType)).map(gbField -> _)
+        }
+      })
+      if gbFields.map(_._2.fieldName).distinct.size == gbFields.size
       files = snap.files
-      keyed <- sequence(files.map(f =>
-        f.partitionValues.flatMap(_.get(pf.fieldName)).map(_ -> f)))
+      keyed <- sequence(files.map { f =>
+        sequence(gbFields.map { case (_, pf) =>
+          f.partitionValues.flatMap(_.get(pf.fieldName))
+        }).map(_ -> f)
+      })
       // Hive default-partition encoding conflates null and '' for string
       // keys: a file recorded with a null partition value may actually
       // hold ''-keyed rows, so a GROUP BY answered from metadata would
       // return a null group where the real scan returns ''. Bail — a
       // refusal is never wrong, only slower.
-      if !(gbField.dataType == StringType && keyed.exists(_._1.isEmpty))
+      if !gbFields.map(_._1).zipWithIndex.exists { case (gbField, i) =>
+        gbField.dataType == StringType && keyed.exists(_._1(i).isEmpty)
+      }
       grouped = keyed.groupBy(_._1) if grouped.size <= MaxGroups
       rows <- sequence(grouped.toSeq.map { case (k, kfs) =>
-        groupRow(snap.schema, gbField, k, kfs.map(_._2), agg)
+        groupRow(snap.schema, gbFields.map(_._1), k, kfs.map(_._2), agg)
       })
       aggFields <- aggSchema(snap.schema, agg)
-    } yield (StructType(gbField +: aggFields), rows.toArray)
+    } yield (StructType(gbFields.map(_._1) ++ aggFields), rows.toArray)
   }
 
-  /** One result row for one partition value: the parsed key followed by
-    * each aggregate computed over the value's files.
+  /** One result row for one partition-value tuple: the parsed keys
+    * followed by each aggregate computed over the tuple's files.
     */
-  private def groupRow(schema: StructType, gbField: StructField,
-                       key: Option[String], fs: Seq[DataFile],
+  private def groupRow(schema: StructType, gbFields: Seq[StructField],
+                       key: Seq[Option[String]], fs: Seq[DataFile],
                        agg: Aggregation): Option[InternalRow] = {
-    val keyVal: Option[Any] = key match {
-      case None => Some(null)
-      case Some(s) => GraftPartitionKeys.parse(gbField.dataType, s)
-    }
+    val keyVals: Option[Seq[Any]] = sequence(gbFields.zip(key).map {
+      case (_, None) => Some(null: Any)
+      case (f, Some(s)) => GraftPartitionKeys.parse(f.dataType, s)
+    })
     def entries(col: String): Seq[(Long, Option[ColumnStats])] =
       fs.map(f => (f.rows, f.stats.get(col)))
     val vals = agg.aggregateExpressions.toSeq.map {
@@ -164,8 +180,8 @@ private[connector] object GraftAggPushdown {
           extremeFrom(entries(f.name), f.dataType, isMin = false))
       case _ => None
     }
-    for { k <- keyVal; vs <- sequence(vals) }
-      yield new GenericInternalRow((k +: vs).toArray)
+    for { ks <- keyVals; vs <- sequence(vals) }
+      yield new GenericInternalRow((ks ++ vs).toArray)
   }
 
   /** The aggregate part of the grouped output schema (shared shape with

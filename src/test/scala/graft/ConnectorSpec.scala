@@ -1093,6 +1093,38 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     byK.collect().length shouldBe 20
   }
 
+  test("grouped pushdown works on identity fields of a multi-field spec") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsaggm")
+    spark.sql(
+      """CREATE TABLE graft.nsaggm.t (region BIGINT, cat STRING, k BIGINT, v DOUBLE)
+        |PARTITIONED BY (region, cat, bucket(4, k))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.nsaggm.t
+        |SELECT id % 2, CONCAT('c', id % 3), id, CAST(id AS DOUBLE) + 0.5 FROM range(0, 60)""".stripMargin)
+
+    // the full identity tuple, metadata-only
+    val both = spark.sql(
+      """SELECT region, cat, COUNT(*) AS n, MIN(v) AS mn, MAX(v) AS mx
+        |FROM graft.nsaggm.t GROUP BY region, cat ORDER BY region, cat""".stripMargin)
+    both.queryExecution.executedPlan.toString should include("LocalTableScan")
+    val rows = both.collect()
+    rows.length shouldBe 6
+    rows.map(_.getLong(2)).sum shouldBe 60L
+
+    // a SUBSET of the spec's identity fields (order swapped) still pushes
+    val byCat = spark.sql(
+      "SELECT cat, COUNT(*) AS n FROM graft.nsaggm.t GROUP BY cat ORDER BY cat")
+    byCat.queryExecution.executedPlan.toString should include("LocalTableScan")
+    byCat.collect().map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
+      Seq(("c0", 20L), ("c1", 20L), ("c2", 20L))
+
+    // grouping that includes the bucket SOURCE column keeps the real scan
+    val withK = spark.sql(
+      "SELECT region, k, COUNT(*) AS n FROM graft.nsaggm.t GROUP BY region, k")
+    withK.queryExecution.executedPlan.toString should not include "LocalTableScan"
+    withK.collect().length shouldBe 60
+  }
+
   test("grouped pushdown bails on string partition keys with a default partition") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsagg4")
     spark.sql("DROP TABLE IF EXISTS graft.nsagg4.t")
