@@ -32,7 +32,7 @@ object GraftProcedures {
       "remove_orphan_files", "cluster",
       "zorder", "rollback_to_version", "create_tag", "drop_tag",
       "create_branch", "fast_forward", "merge_branch", "drop_branch",
-      "set_partition_spec", "verify_table", "replicate")
+      "set_partition_spec", "verify_table", "replicate", "compact_deletes")
 
   def load(cat: () => GraftCatalog, name: String): Option[UnboundProcedure] =
     name match {
@@ -58,6 +58,17 @@ object GraftProcedures {
             in.getUTF8String(1).toString))
           val snap = tbl.compact(in.getInt(2))
           new GenericInternalRow(Array[Any](snap.files.size))
+        }))
+      case "compact_deletes" => Some(proc(name,
+        Array(
+          ProcedureParameter.in("namespace", StringType).build(),
+          ProcedureParameter.in("table", StringType).build()),
+        StructType(Seq(StructField("delete_groups_after", IntegerType))),
+        { in =>
+          val tbl = cat().load(TableIdent(in.getUTF8String(0).toString,
+            in.getUTF8String(1).toString))
+          val snap = tbl.compactDeletes()
+          new GenericInternalRow(Array[Any](snap.deleteGroups.size))
         }))
       case "cluster" => Some(proc(name,
         Array(

@@ -1669,6 +1669,95 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     }
   }
 
+  /** Coalesce accumulated merge-on-read delete groups WITHOUT touching
+    * any data file — the cheap maintenance between full compactions.
+    * Every scan pays one anti-join/filter per pending delete group, so
+    * a burst of keyed deletes (GDPR/opt-out batches) degrades reads
+    * until `compact` rewrites the data; this collapses the burst for
+    * the cost of rewriting the (tiny) key manifests only.
+    *
+    * A run of same-shape groups — equality deletes on the SAME key
+    * columns, or predicate deletes — merges into one group at the
+    * run's TOP sequence iff no data group's sequence lies inside the
+    * run's window `[minSeq, maxSeq)`: the merged group then applies to
+    * exactly the data the members applied to, and a row re-inserted
+    * between two deletes (whose data seq sits inside the window) keeps
+    * the runs apart so it survives, as before. Equality runs union
+    * their key tuples (deduplicated) into one fresh key manifest;
+    * predicate runs OR their predicates. Delete groups of OTHER shapes
+    * at intervening sequences don't block a merge — row-level delete
+    * applications commute.
+    *
+    * Returns the unchanged snapshot when nothing can merge. The commit
+    * is metadata + O(keys) IO; concurrent appends/deletes are safe
+    * (verified against the parent), concurrent rewrites of the merged
+    * groups abort with [[java.util.ConcurrentModificationException]].
+    */
+  def compactDeletes(): Snapshot = {
+    val snap = currentOrFail()
+    val dataSeqs = snap.fileGroups.map(_.seq).toSet
+    def runsOf[D <: DeleteGroup](ds: Seq[D]): Seq[Seq[D]] =
+      ds.sortBy(_.seq).foldLeft(Vector.empty[Vector[D]]) { (acc, d) =>
+        acc.lastOption match {
+          case Some(run)
+            if !dataSeqs.exists(s => s >= run.last.seq && s < d.seq) =>
+            acc.init :+ (run :+ d)
+          case _ => acc :+ Vector(d)
+        }
+      }
+    val eqRuns = snap.deleteGroups.collect { case e: EqualityDeleteGroup => e }
+      .groupBy(_.keys.map(_.toLowerCase)).values.toSeq
+      .flatMap(runsOf(_)).filter(_.size >= 2)
+    val predRuns =
+      runsOf(snap.deleteGroups.collect { case p: PredicateDeleteGroup => p })
+        .filter(_.size >= 2)
+    if (eqRuns.isEmpty && predRuns.isEmpty) return snap
+
+    // key-manifest writes happen OUTSIDE the commit closure (retries
+    // must not rewrite files), like every other write path here
+    val mergedEq = eqRuns.map { run =>
+      val top = run.last
+      val union = run.map(e => readDeleteKeys(snap, e))
+        .reduce(_.unionByName(_)).distinct()
+      val g = writeDataFiles(union, deleteKeySchema(snap, top.keys), Nil)
+      run.map(_.seq) -> EqualityDeleteGroup(top.seq, top.keys, g.withSeq(top.seq))
+    }
+    val mergedPred = predRuns.map { run =>
+      run.map(_.seq) -> PredicateDeleteGroup(run.last.seq,
+        run.map(p => s"(${p.predicateSql})").mkString(" OR "))
+    }
+    val windows = (eqRuns: Seq[Seq[DeleteGroup]]).++(predRuns)
+      .map(r => (r.head.seq, r.last.seq))
+    val replaced = (mergedEq ++ mergedPred).flatMap(_._1).toSet
+    val byNewSeq = (mergedEq.map(e => e._2.seq -> (e._2: DeleteGroup)) ++
+      mergedPred.map(p => p._2.seq -> (p._2: DeleteGroup))).toMap
+    log.commit { parent =>
+      val p = parent.getOrElse(snap)
+      // the groups being replaced must be exactly as analyzed — a
+      // concurrent compaction/purge that touched them invalidates the
+      // unions computed above
+      val before = snap.deleteGroups.filter(d => replaced(d.seq))
+      if (!before.forall(p.deleteGroups.contains(_)))
+        throw new java.util.ConcurrentModificationException(
+          "compactDeletes conflicts with a concurrent commit that " +
+            "rewrote or purged a delete group; re-run")
+      // no concurrently-landed data group may sit inside a run window
+      // (appends land above lastSeq so this cannot happen today, but
+      // soundness is re-proved against the PARENT, not assumed)
+      val pData = p.fileGroups.map(_.seq)
+      if (windows.exists { case (lo, hi) => pData.exists(s => s >= lo && s < hi) })
+        throw new java.util.ConcurrentModificationException(
+          "compactDeletes conflicts with a concurrent data commit " +
+            "inside a coalesced window; re-run")
+      val kept = p.deleteGroups.filterNot(d => replaced(d.seq))
+      p.copy(
+        snapshotId = newSnapshotId(),
+        operation = "compact-deletes",
+        deleteGroups = purgeDeletes(p.fileGroups,
+          (kept ++ byNewSeq.values).sortBy(_.seq)))
+    }
+  }
+
   // ------------------------------------------------------------------
   // Internals
   // ------------------------------------------------------------------

@@ -156,6 +156,24 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
       contain("fresh_empty")
   }
 
+  test("CALL graft.system.compact_deletes coalesces MoR delete groups via SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nscd")
+    spark.sql(
+      """CREATE TABLE graft.nscd.t (id BIGINT, v DOUBLE)
+        |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+    spark.sql("INSERT INTO graft.nscd.t SELECT id, CAST(id AS DOUBLE) FROM range(0, 50)")
+    spark.sql("DELETE FROM graft.nscd.t WHERE id = 3")
+    spark.sql("DELETE FROM graft.nscd.t WHERE id = 17")
+    spark.sql("DELETE FROM graft.nscd.t WHERE id = 41")
+    spark.sql("SELECT COUNT(*) FROM graft.nscd.t.deletes").head.getLong(0) shouldBe 3L
+    val r = spark.sql("CALL graft.system.compact_deletes('nscd', 't')")
+    r.collect().head.getInt(0) shouldBe 1
+    spark.sql("SELECT COUNT(*) FROM graft.nscd.t.deletes").head.getLong(0) shouldBe 1L
+    spark.sql("SELECT COUNT(*) FROM graft.nscd.t").head.getLong(0) shouldBe 47L
+    spark.sql("SELECT COUNT(*) FROM graft.nscd.t WHERE id IN (3, 17, 41)")
+      .head.getLong(0) shouldBe 0L
+  }
+
   test("CALL graft.system.* runs maintenance through SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsm")
     spark.sql("CREATE TABLE graft.nsm.m (id BIGINT)")             // v0

@@ -1238,6 +1238,67 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     t.scan().select("id", "name").as[(Long, String)].collect().toSet shouldBe expected
   }
 
+  test("compactDeletes coalesces a delete burst without touching data files") {
+    val s = spark
+    import s.implicits._
+    val t = morTable("cd1")
+    val filesBefore = t.currentOrFail().files.map(_.path).toSet
+    t.deleteByKeys(Seq(1L, 2L).toDF("id"), Seq("id"))
+    t.deleteByKeys(Seq(3L).toDF("id"), Seq("id"))
+    t.deleteByKeys(Seq(15L, 16L).toDF("id"), Seq("id"))
+    t.currentOrFail().deleteGroups.size shouldBe 3
+    val expected = t.scan().select("id").as[Long].collect().toSet
+    val snap = t.compactDeletes()
+    snap.operation shouldBe "compact-deletes"
+    snap.deleteGroups.size shouldBe 1
+    // maintenance must touch ONLY key manifests, never data
+    snap.files.map(_.path).toSet shouldBe filesBefore
+    t.scan().select("id").as[Long].collect().toSet shouldBe expected
+    // nothing left to merge: no new commit
+    t.compactDeletes().snapshotId shouldBe snap.snapshotId
+  }
+
+  test("compactDeletes keeps runs apart across an intervening append") {
+    val s = spark
+    import s.implicits._
+    val t = morTable("cd2")
+    t.deleteByKeys(Seq(5L).toDF("id"), Seq("id"))
+    t.append(Seq((5L, "d5b", "reborn")).toDF("id", "day", "name"))
+    t.deleteByKeys(Seq(6L).toDF("id"), Seq("id"))
+    // merging would mask the re-inserted row under the FIRST delete's
+    // key — the data commit inside the window must block the merge
+    val snap = t.compactDeletes()
+    snap.deleteGroups.size shouldBe 2
+    t.scan().where("id = 5").select("name").as[String].collect().toSeq shouldBe
+      Seq("reborn")
+    t.scan().where("id = 6").count() shouldBe 0
+  }
+
+  test("compactDeletes ORs predicate runs and merges equality runs past them") {
+    val s = spark
+    import s.implicits._
+    val t = morTable("cd3")
+    t.deleteByKeys(Seq(1L).toDF("id"), Seq("id"))
+    t.deleteWhere("id = 2")
+    t.deleteWhere("id = 12")
+    t.deleteByKeys(Seq(11L).toDF("id"), Seq("id"))
+    t.currentOrFail().deleteGroups.size shouldBe 4
+    val expected = t.scan().select("id").as[Long].collect().toSet
+    expected shouldBe ((1L to 20L).toSet -- Set(1L, 2L, 11L, 12L))
+    val snap = t.compactDeletes()
+    // row-level delete applications commute: the two equality groups
+    // merge ACROSS the predicate pair, the predicates OR into one
+    snap.deleteGroups.size shouldBe 2
+    snap.deleteGroups.collect { case p: graft.meta.PredicateDeleteGroup => p.predicateSql }
+      .head shouldBe "(id = 2) OR (id = 12)"
+    t.scan().select("id").as[Long].collect().toSet shouldBe expected
+    // still readable after a codec round-trip
+    val t2 = new graft.table.GraftTable(spark, t.tableDir,
+      new graft.meta.MetadataLog(t.tableDir,
+        org.apache.spark.sql.GraftSqlShim.newHadoopConf(spark)))
+    t2.scan().select("id").as[Long].collect().toSet shouldBe expected
+  }
+
   test("MoR delete state round-trips through the snapshot codec") {
     val s = spark
     import s.implicits._
