@@ -406,6 +406,62 @@ object TableQueries {
               |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
               |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin)),
 
+    // Multi-field storage-partitioned join, pure SQL: both sides share
+    // the (grp, bucket(4, okey)) layout, so under the v2-bucketing conf
+    // a join on BOTH partition sources plans with zero Exchange
+    // (asserted in-plan — the co-located-join shape that avoids
+    // shuffling two 100-TB tables) while the end state stays
+    // source-derivable for the oracle.
+    "q95_spj_multi" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq95").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq95", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq95.warehouse",
+            Files.createTempDirectory("graft-spj-multi").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq95.bench")
+        s.sql("DROP TABLE IF EXISTS graftq95.bench.fact")
+        s.sql("DROP TABLE IF EXISTS graftq95.bench.dim")
+        s.sql("""CREATE TABLE graftq95.bench.fact (grp BIGINT, okey BIGINT, qty DOUBLE)
+                |PARTITIONED BY (grp, bucket(4, okey))""".stripMargin)
+        s.sql("""CREATE TABLE graftq95.bench.dim (grp BIGINT, okey BIGINT, price DOUBLE)
+                |PARTITIONED BY (grp, bucket(4, okey))""".stripMargin)
+        t(s, dir, "lineitem").createOrReplaceTempView("q95_li")
+        t(s, dir, "orders").createOrReplaceTempView("q95_ord")
+        s.sql("""INSERT INTO graftq95.bench.fact
+                |SELECT l_orderkey % 3, l_orderkey, l_quantity FROM q95_li""".stripMargin)
+        s.sql("""INSERT INTO graftq95.bench.dim
+                |SELECT o_orderkey % 3, o_orderkey, o_totalprice FROM q95_ord""".stripMargin)
+        val prevB = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+        val prevT = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val j = s.sql(
+            """SELECT f.grp, f.qty, d.price
+              |FROM graftq95.bench.fact f
+              |JOIN graftq95.bench.dim d ON f.grp = d.grp AND f.okey = d.okey""".stripMargin)
+          require(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+            "multi-field SPJ planned a shuffle")
+          // materialize WHILE the SPJ confs are active — the session
+          // confs are restored below for the rest of the harness
+          j.groupBy(col("grp"))
+            .agg(count(lit(1)).as("n"), dsum(col("qty")).as("sum_qty"),
+              dsum(col("price")).as("sum_price"))
+            .orderBy(col("grp"))
+            .localCheckpoint()
+        } finally {
+          prevB.fold(s.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+            v => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v))
+          prevT.fold(s.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+            v => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+        }
+      },
+      Some(s"""SELECT l_orderkey % 3 AS grp, COUNT(*) AS n,
+              |  ${DSUM("l_quantity")} AS sum_qty, ${DSUM("o_totalprice")} AS sum_price
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Branch WAP + merge, pure SQL: fork, stage an insert on the branch
     // ident, let main advance past the fork (fast-forward now
     // impossible), then CALL merge_branch — the rebase path. The end
