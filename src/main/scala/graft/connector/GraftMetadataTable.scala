@@ -102,6 +102,11 @@ final class GraftMetadataTable(tbl: GraftTable, kind: String,
             new GenericInternalRow(Array[Any](
               seq, UTF8String.fromString("predicate"),
               UTF8String.fromString(pred), null, null))
+          case graft.meta.PositionDeleteGroup(seq, group) =>
+            new GenericInternalRow(Array[Any](
+              seq, UTF8String.fromString("position"),
+              UTF8String.fromString("(file, pos)"),
+              group.rows, group.bytes))
         }.toArray
   }
 

@@ -32,7 +32,8 @@ object GraftProcedures {
       "remove_orphan_files", "cluster",
       "zorder", "rollback_to_version", "create_tag", "drop_tag",
       "create_branch", "fast_forward", "merge_branch", "drop_branch",
-      "set_partition_spec", "verify_table", "replicate", "compact_deletes")
+      "set_partition_spec", "verify_table", "replicate", "compact_deletes",
+      "dedup_table")
 
   def load(cat: () => GraftCatalog, name: String): Option[UnboundProcedure] =
     name match {
@@ -69,6 +70,29 @@ object GraftProcedures {
             in.getUTF8String(1).toString))
           val snap = tbl.compactDeletes()
           new GenericInternalRow(Array[Any](snap.deleteGroups.size))
+        }))
+      case "dedup_table" => Some(proc(name,
+        Array(
+          ProcedureParameter.in("namespace", StringType).build(),
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("columns", StringType).build()), // comma-separated; '' = whole row
+        StructType(Seq(StructField("rows_removed", LongType))),
+        { in =>
+          val tbl = cat().load(TableIdent(in.getUTF8String(0).toString,
+            in.getUTF8String(1).toString))
+          val colsArg = in.getUTF8String(2).toString.trim
+          val cols = if (colsArg.isEmpty) Nil
+                     else colsArg.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val before = tbl.currentOrFail()
+          val snap = tbl.dedupTable(cols)
+          // the new position-delete manifest's row count IS the number
+          // of removed occurrences — no re-scan needed
+          val removed =
+            if (snap.snapshotId == before.snapshotId) 0L
+            else snap.deleteGroups
+              .collect { case p: graft.meta.PositionDeleteGroup => p }
+              .filter(_.seq == snap.lastSeq).map(_.group.rows).sum
+          new GenericInternalRow(Array[Any](removed))
         }))
       case "cluster" => Some(proc(name,
         Array(

@@ -223,6 +223,30 @@ final case class EqualityDeleteGroup(seq: Long, keys: Seq[String],
 final case class PredicateDeleteGroup(seq: Long,
                                       predicateSql: String) extends DeleteGroup
 
+/** Position delete: specific row OCCURRENCES are deleted, addressed by
+  * (file, position-in-file) — the Iceberg position-delete analogue,
+  * and the only delete kind that can remove one duplicate of a row
+  * while keeping another (equality/predicate deletes kill every copy).
+  * The referenced manifest's parquet files hold two columns:
+  * `_graft_file_key` (the scheme-stable trailing `<dir>/<file>` path
+  * key the changelog also uses) and `_graft_pos` (the parquet
+  * row index). Scans anti-join applicable data on that pair.
+  */
+final case class PositionDeleteGroup(seq: Long,
+                                     group: FileGroup) extends DeleteGroup
+
+object PositionDeleteGroup {
+  /** Column names + schema of a position-delete manifest's files. */
+  val FileKeyCol = "_graft_file_key"
+  val PosCol = "_graft_pos"
+  val KeySchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(FileKeyCol,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(PosCol,
+        org.apache.spark.sql.types.LongType)))
+}
+
 /** A committed table version.
   *
   * Reproduces the observable snapshot semantics of the reference
@@ -258,12 +282,18 @@ final case class Snapshot(
   def rowCount: Long = fileGroups.map(_.rows).sum
   def manifestPaths: Set[String] =
     (fileGroups.map(_.manifest) ++
-      deleteGroups.collect { case e: EqualityDeleteGroup => e.group.manifest }).toSet
-  /** Data files of equality-delete key manifests — part of the
+      deleteGroups.collect {
+        case e: EqualityDeleteGroup => e.group.manifest
+        case p: PositionDeleteGroup => p.group.manifest
+      }).toSet
+  /** Data files of equality-/position-delete manifests — part of the
     * snapshot's storage footprint for GC/expiry liveness.
     */
   def deleteFiles: Seq[DataFile] =
-    deleteGroups.collect { case e: EqualityDeleteGroup => e.group.files }.flatten
+    deleteGroups.collect {
+      case e: EqualityDeleteGroup => e.group.files
+      case p: PositionDeleteGroup => p.group.files
+    }.flatten
 }
 
 object Snapshot {
@@ -363,6 +393,11 @@ object Snapshot {
           "seq"       -> JLong(seq),
           "kind"      -> JString("pred"),
           "predicate" -> JString(pred))
+      case PositionDeleteGroup(seq, group) =>
+        JObject(
+          "seq"      -> JLong(seq),
+          "kind"     -> JString("pos"),
+          "manifest" -> manifestRef(group.withSeq(seq), PositionDeleteGroup.KeySchema))
     }.toList)
     val obj = JObject(
       "version"        -> JInt(s.version),
@@ -422,6 +457,7 @@ object Snapshot {
             }
             EqualityDeleteGroup(seq, keys, parseGroup(d \ "manifest"))
           case "pred" => PredicateDeleteGroup(seq, str(d \ "predicate"))
+          case "pos" => PositionDeleteGroup(seq, parseGroup(d \ "manifest"))
           case k => sys.error(s"unknown delete kind: $k")
         }
       }

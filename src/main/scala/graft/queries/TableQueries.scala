@@ -462,6 +462,36 @@ object TableQueries {
               |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // In-place table dedup via position deletes: duplicate occurrences
+    // are removed by a delete group addressing (file, row-index) pairs
+    // — ZERO data files rewritten (asserted in-plan), the only delete
+    // shape that can drop one copy while keeping another. The end
+    // state equals the pre-duplication source, so the oracle derives
+    // it from the raw parquet alone.
+    "q96_dedup_table" -> Q(
+      (s, dir) => {
+        val cat = freshCatalog(s)
+        val tbl = cat.ensure(TableIdent("bench", "li_dedup"))
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_quantity"))
+        tbl.append(li)
+        tbl.append(li.where(col("l_orderkey") % 7 === 0)) // re-ingest a slice
+        val before = tbl.currentOrFail().files.map(_.path).toSet
+        val snap = tbl.dedupTable()
+        require(snap.operation == "dedup", "dedupTable committed nothing")
+        require(snap.files.map(_.path).toSet == before,
+          "dedupTable rewrote data files")
+        tbl.scan()
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n, ${DSUM("l_quantity")} AS sum_qty
+              |FROM (SELECT DISTINCT l_orderkey, l_linenumber, l_returnflag, l_quantity
+              |      FROM lineitem)
+              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Branch WAP + merge, pure SQL: fork, stage an insert on the branch
     // ident, let main advance past the fork (fast-forward now
     // impossible), then CALL merge_branch — the rebase path. The end

@@ -7,7 +7,7 @@ import scala.util.Random
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 import graft.config.LoaderConfig
-import graft.meta.{ColumnStats, DataFile, DeleteGroup, EqualityDeleteGroup, FileGroup, MetadataLog, PredicateDeleteGroup, Snapshot}
+import graft.meta.{ColumnStats, DataFile, DeleteGroup, EqualityDeleteGroup, FileGroup, MetadataLog, PositionDeleteGroup, PredicateDeleteGroup, Snapshot}
 import graft.partitioning.{PartitionExpr, PartitionField}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -796,6 +796,54 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
   private def readDeleteKeys(snap: Snapshot, e: EqualityDeleteGroup): DataFrame =
     readFiles(deleteKeySchema(snap, e.keys), e.group.files)
 
+  /** Scheme-stable file key: the trailing `<dir>/<file>` of a path
+    * identifies a file uniquely within the table (commit dirs are
+    * UUIDs; part files carry job UUIDs) and is identical between the
+    * relative metadata path and whatever qualified URI the file source
+    * reports. Shared by position deletes and the changelog's
+    * wide-range version map.
+    */
+  private[graft] def fileKeyOf(relPath: String): String =
+    relPath.split('/').takeRight(2).mkString("/")
+
+  /** Raw parquet read of `files` with the position-delete address pair
+    * attached: `_graft_file_key` (see [[fileKeyOf]]) and `_graft_pos`
+    * (the parquet row index, from the file source's metadata column —
+    * no shuffle, no window). Callers project the pair away before rows
+    * leave the table surface.
+    */
+  private def readFilesWithPos(readSchema: StructType, files: Seq[DataFile]): DataFrame = {
+    val dataCols = readSchema.fieldNames.map(c => col(s"`$c`")).toSeq
+    if (files.isEmpty || files.forall(_.rows == 0L))
+      return readFiles(readSchema, Nil)
+        .select(dataCols :+
+          lit(null).cast(StringType).as(PositionDeleteGroup.FileKeyCol) :+
+          lit(null).cast("long").as(PositionDeleteGroup.PosCol): _*)
+    val parts = split(col("_metadata.file_path"), "/")
+    readFiles(readSchema, files).select(dataCols :+
+      concat(element_at(parts, -2), lit("/"), element_at(parts, -1))
+        .as(PositionDeleteGroup.FileKeyCol) :+
+      col("_metadata.row_index").as(PositionDeleteGroup.PosCol): _*)
+  }
+
+  /** May position delete `p` touch file `f` at all? The delete
+    * manifest's summary stats on the file-key column bound the set of
+    * addressed files; `f` outside that range skips the anti join
+    * entirely (same zone-map trick as [[deleteMayTouch]] — footer
+    * string stats may truncate, which only widens the range: sound).
+    */
+  private def posDeleteMayTouch(f: DataFile, p: PositionDeleteGroup): Boolean = {
+    val stats = p.group.summary.map(_.stats).getOrElse(return true)
+    stats.get(PositionDeleteGroup.FileKeyCol) match {
+      case Some(cs) => (cs.min, cs.max) match {
+        case (Some(mn), Some(mx)) =>
+          val k = fileKeyOf(f.path); k >= mn && k <= mx
+        case _ => true
+      }
+      case None => true
+    }
+  }
+
   /** Apply delete groups to rows already known to be in their scope:
     * equality deletes anti-join on the key tuple (the delete-keys side
     * carries ONLY key columns, so Catalyst/AQE broadcasts it long
@@ -810,6 +858,14 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         acc.join(readDeleteKeys(snap, e), e.keys, "left_anti")
       case (acc, p: PredicateDeleteGroup) =>
         acc.filter(!coalesce(expr(p.predicateSql), lit(false)))
+      // requires `acc` to carry the position address pair (callers
+      // read via readFilesWithPos whenever a position group is in
+      // scope); the delete side is (file_key, pos) tuples only, so
+      // AQE broadcasts it like the equality-key side
+      case (acc, p: PositionDeleteGroup) =>
+        acc.join(readFiles(PositionDeleteGroup.KeySchema, p.group.files),
+          Seq(PositionDeleteGroup.FileKeyCol, PositionDeleteGroup.PosCol),
+          "left_anti")
     }
 
   /** May any key tuple of equality delete `e` fall inside `f`'s zone
@@ -859,8 +915,22 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     * overwhelmingly common state): one plain parquet read.
     */
   private[graft] def readFilesMoR(snap: Snapshot, files: Seq[DataFile],
-                                  readSchema: StructType): DataFrame = {
-    if (snap.deleteGroups.isEmpty) return readFiles(readSchema, files)
+                                  readSchema: StructType): DataFrame =
+    readFilesMoRImpl(snap, files, readSchema, keepPos = false)
+
+  /** [[readFilesMoR]] but every row keeps its position-delete address
+    * pair (`_graft_file_key`, `_graft_pos`) — the input to operations
+    * that address specific row occurrences (dedupTable).
+    */
+  private def readFilesMoRPos(snap: Snapshot, files: Seq[DataFile],
+                              readSchema: StructType): DataFrame =
+    readFilesMoRImpl(snap, files, readSchema, keepPos = true)
+
+  private def readFilesMoRImpl(snap: Snapshot, files: Seq[DataFile],
+                               readSchema: StructType, keepPos: Boolean): DataFrame = {
+    if (snap.deleteGroups.isEmpty)
+      return if (keepPos) readFilesWithPos(readSchema, files)
+             else readFiles(readSchema, files)
     val dels = snap.deleteGroups.sortBy(_.seq)
     val remaining = scala.collection.mutable.Set[String](files.map(_.path): _*)
     val buckets = scala.collection.mutable.LinkedHashMap.empty[Seq[Long], Vector[DataFile]]
@@ -872,6 +942,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
           member.foreach { f =>
             val eff = applicable.filter {
               case e: EqualityDeleteGroup => deleteMayTouch(f, e, snap)
+              case p: PositionDeleteGroup => posDeleteMayTouch(f, p)
               case _: PredicateDeleteGroup => true
             }.map(_.seq)
             buckets.updateWith(eff)(v => Some(v.getOrElse(Vector.empty) :+ f))
@@ -881,10 +952,20 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     }
     require(remaining.isEmpty,
       s"readFilesMoR: ${remaining.size} file(s) not in snapshot groups (e.g. ${remaining.headOption.getOrElse("")})")
+    val dataCols = readSchema.fieldNames.map(c => col(s"`$c`")).toSeq
     buckets.toSeq.map { case (seqs, fs) =>
       val set = seqs.toSet
-      applyDeleteGroups(readFiles(readSchema, fs), dels.filter(d => set(d.seq)), snap)
-    }.reduceOption(_.unionByName(_)).getOrElse(readFiles(readSchema, Nil))
+      val applicable = dels.filter(d => set(d.seq))
+      // position deletes address (file, row-index) pairs: such buckets
+      // read with the address pair attached and project it away after
+      // (unless the caller asked to keep it)
+      if (keepPos || applicable.exists(_.isInstanceOf[PositionDeleteGroup])) {
+        val applied = applyDeleteGroups(readFilesWithPos(readSchema, fs), applicable, snap)
+        if (keepPos) applied else applied.select(dataCols: _*)
+      } else
+        applyDeleteGroups(readFiles(readSchema, fs), applicable, snap)
+    }.reduceOption(_.unionByName(_)).getOrElse(
+      if (keepPos) readFilesWithPos(readSchema, Nil) else readFiles(readSchema, Nil))
   }
 
   /** Rows a delete group REMOVED, as visible just before it committed
@@ -895,17 +976,27 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
   private def morDeletedRows(snap: Snapshot, d: DeleteGroup,
                              readSchema: StructType): DataFrame = {
     val priors = snap.deleteGroups.filter(_.seq < d.seq).sortBy(_.seq)
-    val base = snap.fileGroups.filter(g => d.appliesTo(g.seq)).map { g =>
-      applyDeleteGroups(
-        readFiles(readSchema, g.files.filter(_.rows > 0)),
-        priors.filter(_.appliesTo(g.seq)), snap)
-    }.reduceOption(_.unionByName(_)).getOrElse(readFiles(readSchema, Nil))
-    d match {
+    val needPos = (priors :+ d).exists(_.isInstanceOf[PositionDeleteGroup])
+    val dataCols = readSchema.fieldNames.map(c => col(s"`$c`")).toSeq
+    val baseGroups = snap.fileGroups.filter(g => d.appliesTo(g.seq))
+    if (baseGroups.isEmpty) return readFiles(readSchema, Nil)
+    val base = baseGroups.map { g =>
+      val files = g.files.filter(_.rows > 0)
+      val b = if (needPos) readFilesWithPos(readSchema, files)
+              else readFiles(readSchema, files)
+      applyDeleteGroups(b, priors.filter(_.appliesTo(g.seq)), snap)
+    }.reduce(_.unionByName(_))
+    val matched = d match {
       case e: EqualityDeleteGroup =>
         base.join(readDeleteKeys(snap, e), e.keys, "left_semi")
       case p: PredicateDeleteGroup =>
         base.filter(coalesce(expr(p.predicateSql), lit(false)))
+      case p: PositionDeleteGroup =>
+        base.join(readFiles(PositionDeleteGroup.KeySchema, p.group.files),
+          Seq(PositionDeleteGroup.FileKeyCol, PositionDeleteGroup.PosCol),
+          "left_semi")
     }
+    if (needPos) matched.select(dataCols: _*) else matched
   }
 
   /** Delete groups still needed by `groups`: one with no live data
@@ -1711,7 +1802,10 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     val predRuns =
       runsOf(snap.deleteGroups.collect { case p: PredicateDeleteGroup => p })
         .filter(_.size >= 2)
-    if (eqRuns.isEmpty && predRuns.isEmpty) return snap
+    val posRuns =
+      runsOf(snap.deleteGroups.collect { case p: PositionDeleteGroup => p })
+        .filter(_.size >= 2)
+    if (eqRuns.isEmpty && predRuns.isEmpty && posRuns.isEmpty) return snap
 
     // key-manifest writes happen OUTSIDE the commit closure (retries
     // must not rewrite files), like every other write path here
@@ -1726,11 +1820,19 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
       run.map(_.seq) -> PredicateDeleteGroup(run.last.seq,
         run.map(p => s"(${p.predicateSql})").mkString(" OR "))
     }
-    val windows = (eqRuns: Seq[Seq[DeleteGroup]]).++(predRuns)
+    val mergedPos = posRuns.map { run =>
+      val top = run.last
+      val union = run.map(p => readFiles(PositionDeleteGroup.KeySchema, p.group.files))
+        .reduce(_.unionByName(_)).distinct()
+      val g = writeDataFiles(union, PositionDeleteGroup.KeySchema, Nil)
+      run.map(_.seq) -> PositionDeleteGroup(top.seq, g.withSeq(top.seq))
+    }
+    val windows = (eqRuns: Seq[Seq[DeleteGroup]]).++(predRuns).++(posRuns)
       .map(r => (r.head.seq, r.last.seq))
-    val replaced = (mergedEq ++ mergedPred).flatMap(_._1).toSet
+    val replaced = (mergedEq ++ mergedPred ++ mergedPos).flatMap(_._1).toSet
     val byNewSeq = (mergedEq.map(e => e._2.seq -> (e._2: DeleteGroup)) ++
-      mergedPred.map(p => p._2.seq -> (p._2: DeleteGroup))).toMap
+      mergedPred.map(p => p._2.seq -> (p._2: DeleteGroup)) ++
+      mergedPos.map(p => p._2.seq -> (p._2: DeleteGroup))).toMap
     log.commit { parent =>
       val p = parent.getOrElse(snap)
       // the groups being replaced must be exactly as analyzed — a
@@ -1755,6 +1857,65 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         operation = "compact-deletes",
         deleteGroups = purgeDeletes(p.fileGroups,
           (kept ++ byNewSeq.values).sortBy(_.seq)))
+    }
+  }
+
+  /** Remove duplicate row OCCURRENCES in place, keeping the first in
+    * (file, position) order — committed as a POSITION-delete group
+    * with ZERO data files rewritten. This is the one delete shape that
+    * can drop one copy of a row while keeping another (an equality or
+    * predicate delete would kill every copy), which is what in-place
+    * corpus dedup needs: `dedup_table` on an ingested documents table
+    * is [[graft.operators.Dedup.exact]] applied to the TABLE itself
+    * instead of a derived output.
+    *
+    * `cols` picks the identity (empty = whole row). Only digests +
+    * (file-key, position) addresses shuffle — never row bodies — and
+    * only groups with >1 occurrence reach the join (the
+    * [[graft.operators.Dedup]] dual-digest stance on collisions).
+    * Visibility respects pending MoR deletes: an occurrence already
+    * deleted can be neither keeper nor victim. Concurrent rewrites of
+    * the scanned files abort the commit (positions would dangle);
+    * `compact` later folds the delete group away like any other.
+    */
+  def dedupTable(cols: Seq[String] = Nil): Snapshot = {
+    val snap = currentOrFail()
+    val dcols: Seq[String] =
+      if (cols.isEmpty) snap.schema.fieldNames.toSeq
+      else cols.map(c => snap.schema.fields.find(_.name.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalArgumentException(s"unknown column '$c'")).name)
+    val fk = col(PositionDeleteGroup.FileKeyCol)
+    val pos = col(PositionDeleteGroup.PosCol)
+    val dexprs = dcols.map(c => col(s"`$c`"))
+    val occ = readFilesMoRPos(snap, snap.files, snap.schema)
+      .select(
+        xxhash64(dexprs: _*).as("_h1"),
+        md5(to_json(struct(dexprs: _*))).as("_h2"),
+        fk, pos)
+    val dupGroups = occ.groupBy("_h1", "_h2")
+      .agg(min(struct(fk, pos)).as("_keep"), count(lit(1)).as("_n"))
+      .where(col("_n") > 1)
+      .select(col("_h1"), col("_h2"), col("_keep"))
+    val victims = occ.join(dupGroups, Seq("_h1", "_h2"))
+      .where(struct(fk, pos) =!= col("_keep"))
+      .select(fk, pos)
+      .localCheckpoint() // one evaluation: emptiness probe + manifest write
+    if (victims.isEmpty) return snap
+    val delGroup = writeDataFiles(victims, PositionDeleteGroup.KeySchema, Nil)
+    val analyzed = snap.files.map(_.path).toSet
+    log.commit { parent =>
+      val p = parent.getOrElse(snap)
+      // positions are only valid against the exact files scanned — a
+      // concurrent rewrite (compact/CoW) of any of them dangles them
+      requireNoConflict(p, analyzed, "dedup")
+      requireNoNewDeletes(p, snap, "dedup")
+      val ns = p.lastSeq + 1
+      p.copy(
+        snapshotId = newSnapshotId(),
+        operation = "dedup",
+        deleteGroups = purgeDeletes(p.fileGroups, p.deleteGroups) :+
+          PositionDeleteGroup(ns, delGroup.withSeq(ns)),
+        lastSeq = ns)
     }
   }
 

@@ -174,6 +174,24 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
       .head.getLong(0) shouldBe 0L
   }
 
+  test("CALL graft.system.dedup_table position-deletes duplicates via SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsdd")
+    spark.sql("CREATE TABLE graft.nsdd.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.nsdd.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("INSERT INTO graft.nsdd.t VALUES (2, 'b'), (3, 'c'), (4, 'd')")
+    val r = spark.sql("CALL graft.system.dedup_table('nsdd', 't', '')")
+    r.collect().head.getLong(0) shouldBe 2L
+    spark.sql("SELECT COUNT(*) FROM graft.nsdd.t").head.getLong(0) shouldBe 4L
+    spark.sql("SELECT kind FROM graft.nsdd.t.deletes").collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("position")
+    // by-column dedup through the same verb
+    spark.sql("INSERT INTO graft.nsdd.t VALUES (4, 'D2')")
+    spark.sql("CALL graft.system.dedup_table('nsdd', 't', 'id')")
+      .collect().head.getLong(0) shouldBe 1L
+    spark.sql("SELECT COUNT(*) FROM graft.nsdd.t WHERE id = 4").head.getLong(0) shouldBe 1L
+    spark.sql("SELECT COUNT(*) FROM graft.nsdd.t").head.getLong(0) shouldBe 4L
+  }
+
   test("CALL graft.system.* runs maintenance through SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsm")
     spark.sql("CREATE TABLE graft.nsm.m (id BIGINT)")             // v0

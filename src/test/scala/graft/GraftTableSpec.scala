@@ -1299,6 +1299,76 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     t2.scan().select("id").as[Long].collect().toSet shouldBe expected
   }
 
+  test("dedupTable: position deletes drop duplicate occurrences, zero rewrites") {
+    val s = spark
+    import s.implicits._
+    val t = cat().ensure(TableIdent("mor", "pd1"))
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    t.append(Seq((2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v"))
+    t.append(Seq((3L, "c"), (5L, "e")).toDF("id", "v"))
+    val filesBefore = t.currentOrFail().files.map(_.path).toSet
+    val snap = t.dedupTable()
+    snap.operation shouldBe "dedup"
+    // the whole point: one position-delete manifest, zero data rewrites
+    snap.files.map(_.path).toSet shouldBe filesBefore
+    snap.deleteGroups.collect { case p: graft.meta.PositionDeleteGroup => p }
+      .map(_.group.rows).sum shouldBe 3L // dup copies of 2, 3, 3
+    t.scan().select("id", "v").as[(Long, String)].collect().sorted.toSeq shouldBe
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+    // idempotent: a dedup with no duplicates commits nothing
+    t.dedupTable().snapshotId shouldBe snap.snapshotId
+    // a duplicate APPENDED AFTER the dedup is a new occurrence in a new
+    // file — untouched by the old addresses — until the next dedup
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    t.scan().where("id = 2").count() shouldBe 2
+    t.dedupTable()
+    t.scan().where("id = 2").count() shouldBe 1
+    // compact folds the position deletes back to copy-on-write state
+    val expected = t.scan().select("id", "v").as[(Long, String)].collect().sorted.toSeq
+    t.compact(1)
+    t.currentOrFail().deleteGroups shouldBe empty
+    t.scan().select("id", "v").as[(Long, String)].collect().sorted.toSeq shouldBe expected
+  }
+
+  test("dedupTable by columns composes with MoR deletes; codec round-trip") {
+    val s = spark
+    import s.implicits._
+    val t = cat().ensure(TableIdent("mor", "pd2"))
+    t.append(Seq((1L, "x"), (2L, "b")).toDF("id", "v"))
+    t.append(Seq((1L, "y"), (2L, "b"), (6L, "f")).toDF("id", "v"))
+    t.updateProperties(Map(graft.table.GraftTable.DeleteModeProp -> "mor"))
+    // an equality MoR delete first: id=2 fully gone (both copies)
+    t.deleteByKeys(Seq(2L).toDF("id"), Seq("id"))
+    // then dedup BY id: (1,"x") / (1,"y") collapse to one occurrence;
+    // already-deleted occurrences can be neither keeper nor victim
+    t.dedupTable(Seq("id"))
+    val rows = t.scan().select("id", "v").as[(Long, String)].collect().sorted.toSeq
+    rows.map(_._1) shouldBe Seq(1L, 6L)
+    Set("x", "y") should contain(rows.head._2)
+    // the mixed (equality + position) delete state survives a re-read
+    // through a fresh metadata-log handle
+    val t2 = new graft.table.GraftTable(spark, t.tableDir,
+      new graft.meta.MetadataLog(t.tableDir,
+        org.apache.spark.sql.GraftSqlShim.newHadoopConf(spark)))
+    t2.currentOrFail().deleteGroups.collect {
+      case p: graft.meta.PositionDeleteGroup => p.seq }.size shouldBe 1
+    t2.scan().select("id", "v").as[(Long, String)].collect().sorted.toSeq shouldBe rows
+  }
+
+  test("dedupTable commits show exact pre-image delete rows in the changelog") {
+    val s = spark
+    import s.implicits._
+    val t = cat().ensure(TableIdent("mor", "pd3"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))     // v0
+    t.append(Seq((2L, "b"), (3L, "c")).toDF("id", "v"))     // v1
+    val vBefore = t.currentOrFail().version
+    t.dedupTable()                                          // v2
+    val vAfter = t.currentOrFail().version
+    val ch = t.scanChangesBetween(vBefore, vAfter)
+      .select("id", "v", "_change_type").as[(Long, String, String)].collect()
+    ch.toSeq shouldBe Seq((2L, "b", "delete"))
+  }
+
   test("MoR delete state round-trips through the snapshot codec") {
     val s = spark
     import s.implicits._
