@@ -33,7 +33,7 @@ object GraftProcedures {
       "zorder", "rollback_to_version", "create_tag", "drop_tag",
       "create_branch", "fast_forward", "merge_branch", "drop_branch",
       "set_partition_spec", "verify_table", "replicate", "compact_deletes",
-      "dedup_table")
+      "dedup_table", "rewrite_deletes")
 
   def load(cat: () => GraftCatalog, name: String): Option[UnboundProcedure] =
     name match {
@@ -69,6 +69,17 @@ object GraftProcedures {
           val tbl = cat().load(TableIdent(in.getUTF8String(0).toString,
             in.getUTF8String(1).toString))
           val snap = tbl.compactDeletes()
+          new GenericInternalRow(Array[Any](snap.deleteGroups.size))
+        }))
+      case "rewrite_deletes" => Some(proc(name,
+        Array(
+          ProcedureParameter.in("namespace", StringType).build(),
+          ProcedureParameter.in("table", StringType).build()),
+        StructType(Seq(StructField("delete_groups_after", IntegerType))),
+        { in =>
+          val tbl = cat().load(TableIdent(in.getUTF8String(0).toString,
+            in.getUTF8String(1).toString))
+          val snap = tbl.rewriteDeletes()
           new GenericInternalRow(Array[Any](snap.deleteGroups.size))
         }))
       case "dedup_table" => Some(proc(name,

@@ -1919,6 +1919,63 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     }
   }
 
+  /** Rewrite EXACTLY the data files the pending merge-on-read deletes
+    * may touch, then drop every delete group — O(touched data) instead
+    * of `compact`'s O(table). The GDPR flow at scale: a keyed delete
+    * commits O(keys), this folds it into the data for O(affected
+    * files); together they never read the untouched bulk.
+    *
+    * Soundness of dropping ALL groups: a file is rewritten iff some
+    * applicable delete MAY touch it (equality/position via the delete
+    * manifest's zone stats, predicate via the partition + zone-map
+    * pruners' three-valued evaluation — `may == false` proves no row
+    * of the file matches). Every surviving (file, applicable-delete)
+    * pair is therefore provably matchless, so removing the groups
+    * changes no visible row. Rewritten rows land at a fresh top
+    * sequence with the deletes already applied ([[readFilesMoR]]).
+    */
+  def rewriteDeletes(): Snapshot = {
+    val snap = currentOrFail()
+    if (snap.deleteGroups.isEmpty) return snap
+    val dels = snap.deleteGroups.sortBy(_.seq)
+    val preds = dels.collect { case p: PredicateDeleteGroup =>
+      p.seq -> CatalystSqlParser.parseExpression(p.predicateSql)
+    }.toMap
+    val targets = snap.fileGroups.flatMap { g =>
+      val applicable = dels.filter(_.appliesTo(g.seq))
+      if (applicable.isEmpty) Nil
+      else g.files.filter(f => f.rows > 0L && applicable.exists {
+        case e: EqualityDeleteGroup => deleteMayTouch(f, e, snap)
+        case p: PositionDeleteGroup => posDeleteMayTouch(f, p)
+        case p: PredicateDeleteGroup => fileTri(f, snap, preds(p.seq)).may
+      })
+    }
+    val targetPaths = targets.map(_.path).toSet
+    if (targets.isEmpty)
+      // nothing touchable: the groups are dead weight — drop them in a
+      // metadata-only commit
+      return log.commit { parent =>
+        val p = parent.getOrElse(snap)
+        requireNoNewDeletes(p, snap, "rewrite-deletes")
+        p.copy(snapshotId = newSnapshotId(), operation = "rewrite-deletes",
+          deleteGroups = Nil)
+      }
+    val kept = readFilesMoR(snap, targets, snap.schema)
+    val newGroup = writeDataFiles(kept, snap.schema, partitionFields())
+    log.commit { parent =>
+      val p = parent.getOrElse(snap)
+      requireNoConflict(p, targetPaths, "rewrite-deletes")
+      requireNoNewDeletes(p, snap, "rewrite-deletes")
+      val ns = p.lastSeq + 1
+      val groups = pruneGroups(p.schema, p.fileGroups, targetPaths) :+
+        newGroup.withSeq(ns)
+      p.copy(snapshotId = newSnapshotId(), operation = "rewrite-deletes",
+        fileGroups = groups,
+        deleteGroups = Nil,
+        lastSeq = ns)
+    }
+  }
+
   // ------------------------------------------------------------------
   // Internals
   // ------------------------------------------------------------------

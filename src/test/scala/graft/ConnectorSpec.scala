@@ -192,6 +192,22 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT COUNT(*) FROM graft.nsdd.t").head.getLong(0) shouldBe 4L
   }
 
+  test("CALL graft.system.rewrite_deletes folds MoR deletes through SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsrd")
+    spark.sql(
+      """CREATE TABLE graft.nsrd.t (id BIGINT, v DOUBLE)
+        |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+    spark.sql("INSERT INTO graft.nsrd.t SELECT id, CAST(id AS DOUBLE) FROM range(0, 40)")
+    spark.sql("DELETE FROM graft.nsrd.t WHERE id IN (7, 21)")
+    spark.sql("SELECT COUNT(*) FROM graft.nsrd.t.deletes").head.getLong(0) shouldBe 1L
+    spark.sql("CALL graft.system.rewrite_deletes('nsrd', 't')")
+      .collect().head.getInt(0) shouldBe 0
+    spark.sql("SELECT COUNT(*) FROM graft.nsrd.t.deletes").head.getLong(0) shouldBe 0L
+    spark.sql("SELECT COUNT(*) FROM graft.nsrd.t").head.getLong(0) shouldBe 38L
+    spark.sql("SELECT COUNT(*) FROM graft.nsrd.t WHERE id IN (7, 21)")
+      .head.getLong(0) shouldBe 0L
+  }
+
   test("CALL graft.system.* runs maintenance through SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsm")
     spark.sql("CREATE TABLE graft.nsm.m (id BIGINT)")             // v0

@@ -1369,6 +1369,51 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     ch.toSeq shouldBe Seq((2L, "b", "delete"))
   }
 
+  test("rewriteDeletes rewrites only touched files and drops every group") {
+    val s = spark
+    import s.implicits._
+    val t = cat().ensure(TableIdent("mor", "rd1"))
+    // range-disjoint files: keyed deletes will provably touch only one
+    t.append((1L to 10L).map(i => (i, s"n$i")).toDF("id", "name"))
+    t.append((100L to 110L).map(i => (i, s"n$i")).toDF("id", "name"))
+    t.append((1000L to 1010L).map(i => (i, s"n$i")).toDF("id", "name"))
+    t.updateProperties(Map(graft.table.GraftTable.DeleteModeProp -> "mor"))
+    t.deleteByKeys(Seq(105L, 107L).toDF("id"), Seq("id"))
+    t.currentOrFail().deleteGroups.size shouldBe 1
+    val before = t.currentOrFail().files.map(_.path).toSet
+    val expected = t.scan().select("id").as[Long].collect().toSet
+
+    val snap = t.rewriteDeletes()
+    snap.operation shouldBe "rewrite-deletes"
+    snap.deleteGroups shouldBe empty
+    // only the middle-range file(s) were rewritten; the others carried
+    val carried = snap.files.map(_.path).toSet.intersect(before)
+    carried should not be empty
+    (before -- carried) should not be empty
+    t.scan().select("id").as[Long].collect().toSet shouldBe expected
+
+    // nothing pending: no-op
+    t.rewriteDeletes().snapshotId shouldBe snap.snapshotId
+  }
+
+  test("rewriteDeletes folds predicate and position groups exactly") {
+    val s = spark
+    import s.implicits._
+    val t = cat().ensure(TableIdent("mor", "rd2"))
+    t.append((1L to 20L).map(i => (i, s"n$i")).toDF("id", "name"))
+    t.append((1L to 5L).map(i => (i, s"n$i")).toDF("id", "name")) // dups
+    t.updateProperties(Map(graft.table.GraftTable.DeleteModeProp -> "mor"))
+    t.deleteWhere("id = 17")          // predicate group
+    t.dedupTable()                    // position group
+    t.currentOrFail().deleteGroups.size shouldBe 2
+    val expected = t.scan().select("id", "name").as[(Long, String)].collect().sorted.toSeq
+    val snap = t.rewriteDeletes()
+    snap.deleteGroups shouldBe empty
+    t.scan().select("id", "name").as[(Long, String)].collect().sorted.toSeq shouldBe expected
+    t.scan().where("id = 17").count() shouldBe 0
+    t.scan().where("id <= 5").count() shouldBe 5
+  }
+
   test("MoR delete state round-trips through the snapshot codec") {
     val s = spark
     import s.implicits._
