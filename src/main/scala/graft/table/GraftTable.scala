@@ -187,6 +187,41 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     val affected = allMatch ++ mayMatch
     if (affected.isEmpty) return snap
     val cond = coalesce(expr(predicateSql), lit(false))
+    // Merge-on-read UPDATE past the threshold: only the MATCHED rows
+    // are read (pruned + filtered), updated, and appended at a fresh
+    // sequence, with a predicate delete at the SAME sequence masking
+    // the old copies — the morMergeCommit shape with a predicate mask.
+    // Commit cost is O(matched rows), not O(touched files); updated
+    // rows sit at seq ns so the mask (applying to seq < ns only) never
+    // re-deletes them even when they still satisfy the predicate.
+    if (chooseMor(snap, affected.map(_.sizeBytes).sum)) {
+      val updated = readFilesMoR(snap, affected, snap.schema)
+        .filter(cond)
+        .select(snap.schema.fields.map { f =>
+          set.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) => v } match {
+            case Some(valueSql) => expr(valueSql).cast(f.dataType).as(f.name)
+            case None => col(s"`${f.name}`")
+          }
+        }: _*)
+      val dataGroup = writeDataFiles(updated, snap.schema, partitionFields())
+      val analyzed = affected.map(_.path).toSet
+      return log.commit { parent =>
+        val p = parent.getOrElse(snap)
+        // the appended rows DERIVE from the analyzed files: a racing
+        // rewrite or delete of them would be resurrected — conflict
+        requireNoConflict(p, analyzed, "update")
+        requireNoNewDeletes(p, snap, "update")
+        val ns = p.lastSeq + 1
+        val groups = p.fileGroups :+ dataGroup.withSeq(ns)
+        p.copy(
+          snapshotId = newSnapshotId(),
+          operation = "update",
+          fileGroups = groups,
+          deleteGroups = purgeDeletes(groups, p.deleteGroups) :+
+            PredicateDeleteGroup(ns, predicateSql),
+          lastSeq = ns)
+      }
+    }
     val rewriteDf = readFilesMoR(snap, affected, snap.schema).select(
       snap.schema.fields.map { f =>
         set.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) => v } match {
@@ -230,7 +265,10 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     var rows = 0L
     val toStat = Seq.newBuilder[(String, Long)] // (rel path, recorded size)
     val auditGroups = snap.fileGroups ++
-      snap.deleteGroups.collect { case e: EqualityDeleteGroup => e.group }
+      snap.deleteGroups.collect {
+        case e: EqualityDeleteGroup => e.group
+        case p: PositionDeleteGroup => p.group
+      }
     auditGroups.foreach { g =>
       val loaded =
         try Some(g.files)

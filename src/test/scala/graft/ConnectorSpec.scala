@@ -208,6 +208,23 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
       .head.getLong(0) shouldBe 0L
   }
 
+  test("SQL UPDATE goes merge-on-read on a mor-mode table") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsup")
+    spark.sql(
+      """CREATE TABLE graft.nsup.t (id BIGINT, v STRING)
+        |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+    spark.sql("INSERT INTO graft.nsup.t SELECT id, CONCAT('v', id) FROM range(0, 30)")
+    import graft.table.{GraftCatalog, TableIdent}
+    val cat = GraftCatalog(spark, spark.conf.get("spark.sql.catalog.graft.warehouse"))
+    val before = cat.load(TableIdent("nsup", "t")).currentOrFail().files.map(_.path).toSet
+    spark.sql("UPDATE graft.nsup.t SET v = 'hit' WHERE id % 10 = 3")
+    val snap = cat.load(TableIdent("nsup", "t")).currentOrFail()
+    before.subsetOf(snap.files.map(_.path).toSet) shouldBe true
+    snap.deleteGroups.size shouldBe 1
+    spark.sql("SELECT COUNT(*) FROM graft.nsup.t").head.getLong(0) shouldBe 30L
+    spark.sql("SELECT COUNT(*) FROM graft.nsup.t WHERE v = 'hit'").head.getLong(0) shouldBe 3L
+  }
+
   test("CALL graft.system.* runs maintenance through SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsm")
     spark.sql("CREATE TABLE graft.nsm.m (id BIGINT)")             // v0

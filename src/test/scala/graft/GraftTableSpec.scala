@@ -1414,6 +1414,35 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     t.scan().where("id <= 5").count() shouldBe 5
   }
 
+  test("MoR UPDATE: O(matched) commit, zero rewrites, self-matching values survive") {
+    val s = spark
+    import s.implicits._
+    val t = morTable("up1")
+    val before = t.currentOrFail().files.map(_.path).toSet
+    // SET leaves the rows still MATCHING the predicate — the mask must
+    // not re-delete the updated copies
+    t.updateWhere("id <= 3", Map("name" -> "concat(name, '!')"))
+    val snap = t.currentOrFail()
+    snap.operation shouldBe "update"
+    before.subsetOf(snap.files.map(_.path).toSet) shouldBe true // only ADDED
+    snap.deleteGroups.size shouldBe 1
+    t.scan().count() shouldBe 20
+    t.scan().where("id <= 3").select("name").as[String].collect().toSet shouldBe
+      Set("n1!", "n2!", "n3!")
+    t.scan().where("id = 10").select("name").as[String].collect().toSeq shouldBe
+      Seq("n10")
+    // chained MoR update on already-updated rows: latest wins
+    t.updateWhere("id = 2", Map("name" -> "'two'"))
+    t.scan().where("id = 2").select("name").as[String].collect().toSeq shouldBe
+      Seq("two")
+    t.scan().count() shouldBe 20
+    // compact converges to the CoW state
+    val expected = t.scan().select("id", "name").as[(Long, String)].collect().toSet
+    t.compact(1)
+    t.currentOrFail().deleteGroups shouldBe empty
+    t.scan().select("id", "name").as[(Long, String)].collect().toSet shouldBe expected
+  }
+
   test("MoR delete state round-trips through the snapshot codec") {
     val s = spark
     import s.implicits._
