@@ -1443,6 +1443,24 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     t.scan().select("id", "name").as[(Long, String)].collect().toSet shouldBe expected
   }
 
+  test("changelog nets to zero across a rewrite-deletes commit") {
+    val s = spark
+    import s.implicits._
+    val t = morTable("rd3")
+    t.deleteByKeys(Seq(3L, 15L).toDF("id"), Seq("id"))
+    val v1 = t.currentOrFail().version
+    t.rewriteDeletes()
+    val v2 = t.currentOrFail().version
+    v2 shouldBe (v1 + 1)
+    // the fold rewrites files but changes NO visible row: the commit's
+    // inserts and deletes must cancel exactly
+    val ch = t.scanChangesBetween(v1, v2)
+    val ins = ch.where("_change_type = 'insert'").select("id", "day", "name")
+    val del = ch.where("_change_type = 'delete'").select("id", "day", "name")
+    ins.exceptAll(del).count() shouldBe 0
+    del.exceptAll(ins).count() shouldBe 0
+  }
+
   test("MoR delete state round-trips through the snapshot codec") {
     val s = spark
     import s.implicits._

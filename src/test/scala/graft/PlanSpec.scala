@@ -87,6 +87,28 @@ class PlanSpec extends AnyFunSuite with Matchers {
     t.scan().where("id BETWEEN 10 AND 20").count() shouldBe 0
   }
 
+  test("position deletes: broadcast anti join; unaddressed files read plain") {
+    val s = spark
+    import s.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-plan-pos").toString
+    val cat = graft.table.GraftCatalog(spark, wh)
+    val t = cat.ensure(graft.table.TableIdent("plan", "pos"))
+    // first append holds the duplicates; second is duplicate-free, so
+    // the delete manifest's file-key range covers only append #1 files
+    t.append(((1L to 1000L) ++ (1L to 30L)).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    t.append((100000L to 101000L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    t.dedupTable()
+    val p = plan(t.scan())
+    // the addressed file anti-joins its (file, pos) pairs — broadcast,
+    // tiny side; the other file reads plain via the key-range bypass
+    p should include("BroadcastHashJoin LeftAnti")
+    p should not include "SortMergeJoin"
+    p.sliding("BroadcastHashJoin LeftAnti".length)
+      .count(_ == "BroadcastHashJoin LeftAnti") shouldBe 1
+    p should include("Union")
+    t.scan().count() shouldBe 2001
+  }
+
   test("chunking, splits, and stratified sampling are shuffle-free") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val chunked = Chunking.chunkDocuments(docs, "text", "doc_id", maxTokens = 64)
