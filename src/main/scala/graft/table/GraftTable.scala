@@ -114,7 +114,8 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     // commit, scans apply `NOT pred` to older-seq groups, and
     // compaction folds it in later. Chosen when the CoW rewrite would
     // exceed the MoR threshold (see [[chooseMor]]).
-    if (mayMatch.nonEmpty && chooseMor(snap, mayMatch.map(_.sizeBytes).sum)) {
+    if (mayMatch.nonEmpty && chooseMor(snap, mayMatch.map(_.sizeBytes).sum) &&
+        morSafePredicate(pred)) {
       val removed = dropped.map(_.path).toSet
       val untouched = skipGroups.map(_.manifest).toSet
       return log.commit { parent =>
@@ -175,6 +176,44 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     * validation as delete. SQL three-valued semantics: rows where the
     * predicate is NULL keep their old values.
     */
+  /** The ONE definition of UPDATE's SET projection, shared by the MoR
+    * and CoW branches so assignment resolution can never drift between
+    * them: with `cond` each assignment wraps in CASE WHEN (CoW rewrites
+    * matched and unmatched rows together); without it the input is
+    * pre-filtered to matches and assignments apply unconditionally.
+    */
+  private def applySet(df: DataFrame, schema: StructType,
+                       set: Map[String, String],
+                       cond: Option[org.apache.spark.sql.Column]): DataFrame =
+    df.select(schema.fields.map { f =>
+      set.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) => v } match {
+        case Some(valueSql) =>
+          val e = expr(valueSql).cast(f.dataType)
+          cond.fold(e)(c => when(c, e).otherwise(col(s"`${f.name}`"))).as(f.name)
+        case None => col(s"`${f.name}`")
+      }
+    }: _*)
+
+  /** Is this predicate safe to record as a merge-on-read mask? The
+    * stored SQL is re-evaluated at EVERY future scan, so anything
+    * time-varying or non-deterministic would make the delete's row set
+    * drift after commit (`ts < now()` swallows more rows every hour,
+    * and the same snapshot stops being reproducible — time travel
+    * breaks). Detection runs on the UNRESOLVED tree (the predicate is
+    * stored as raw SQL), so current-time/random functions appear as
+    * UnresolvedFunction by name. Unsafe ⇒ the caller uses the
+    * copy-on-write path, which evaluates the predicate exactly once.
+    */
+  private def morSafePredicate(
+      pred: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    !pred.exists {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        val n = f.nameParts.last.toLowerCase
+        GraftTable.MorUnsafeFunctions(n) ||
+          (n == "unix_timestamp" && f.arguments.isEmpty)
+      case e => !e.deterministic
+    }
+
   def updateWhere(predicateSql: String, set: Map[String, String]): Snapshot = {
     val snap = currentOrFail()
     require(set.nonEmpty, "update requires at least one assignment")
@@ -194,23 +233,31 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     // Commit cost is O(matched rows), not O(touched files); updated
     // rows sit at seq ns so the mask (applying to seq < ns only) never
     // re-deletes them even when they still satisfy the predicate.
-    if (chooseMor(snap, affected.map(_.sizeBytes).sum)) {
-      val updated = readFilesMoR(snap, affected, snap.schema)
-        .filter(cond)
-        .select(snap.schema.fields.map { f =>
-          set.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) => v } match {
-            case Some(valueSql) => expr(valueSql).cast(f.dataType).as(f.name)
-            case None => col(s"`${f.name}`")
-          }
-        }: _*)
+    // Requires a time-stable deterministic predicate (the mask is
+    // re-evaluated at every scan — `ts < now()` would drift and start
+    // swallowing rows the update never touched) and NO concurrent data
+    // commit (a racing append's matching rows would land below the
+    // mask's sequence and vanish un-updated — an outcome no serial
+    // order of the two commits produces); unsafe predicates fall back
+    // to the copy-on-write rewrite below, races abort loudly.
+    if (chooseMor(snap, affected.map(_.sizeBytes).sum) && morSafePredicate(pred)) {
+      val updated = applySet(
+        readFilesMoR(snap, affected, snap.schema).filter(cond),
+        snap.schema, set, cond = None).localCheckpoint()
+      if (updated.isEmpty) return snap // zone-range false positive: no-op
       val dataGroup = writeDataFiles(updated, snap.schema, partitionFields())
       val analyzed = affected.map(_.path).toSet
+      val knownManifests = snap.fileGroups.map(_.manifest).toSet
       return log.commit { parent =>
         val p = parent.getOrElse(snap)
         // the appended rows DERIVE from the analyzed files: a racing
         // rewrite or delete of them would be resurrected — conflict
         requireNoConflict(p, analyzed, "update")
         requireNoNewDeletes(p, snap, "update")
+        if (p.fileGroups.exists(g => !knownManifests(g.manifest)))
+          throw new java.util.ConcurrentModificationException(
+            "merge-on-read update conflicts with a concurrent data " +
+              "commit; re-run against the latest snapshot")
         val ns = p.lastSeq + 1
         val groups = p.fileGroups :+ dataGroup.withSeq(ns)
         p.copy(
@@ -222,15 +269,8 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
           lastSeq = ns)
       }
     }
-    val rewriteDf = readFilesMoR(snap, affected, snap.schema).select(
-      snap.schema.fields.map { f =>
-        set.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) => v } match {
-          case Some(valueSql) =>
-            when(cond, expr(valueSql).cast(f.dataType)).otherwise(col(s"`${f.name}`"))
-              .as(f.name)
-          case None => col(s"`${f.name}`")
-        }
-      }: _*)
+    val rewriteDf = applySet(readFilesMoR(snap, affected, snap.schema),
+      snap.schema, set, cond = Some(cond))
     val rewritten = writeDataFiles(rewriteDf, snap.schema, partitionFields())
     val removed = affected.map(_.path).toSet
     val untouched = skipGroups.map(_.manifest).toSet
@@ -1898,13 +1938,17 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     }
   }
 
-  /** Remove duplicate row OCCURRENCES in place, keeping the first in
-    * (file, position) order — committed as a POSITION-delete group
-    * with ZERO data files rewritten. This is the one delete shape that
-    * can drop one copy of a row while keeping another (an equality or
-    * predicate delete would kill every copy), which is what in-place
-    * corpus dedup needs: `dedup_table` on an ingested documents table
-    * is [[graft.operators.Dedup.exact]] applied to the TABLE itself
+  /** Remove duplicate row OCCURRENCES in place, keeping exactly ONE
+    * deterministic survivor per identity — the minimum (file-key,
+    * position) address, which is stable across re-runs but NOT
+    * ingestion order (file keys are UUID-named; use a timestamp column
+    * in `cols`' comparison semantics if oldest-wins matters) —
+    * committed as a POSITION-delete group with ZERO data files
+    * rewritten. This is the one delete shape that can drop one copy of
+    * a row while keeping another (an equality or predicate delete
+    * would kill every copy), which is what in-place corpus dedup
+    * needs: `dedup_table` on an ingested documents table is
+    * [[graft.operators.Dedup.exact]] applied to the TABLE itself
     * instead of a derived output.
     *
     * `cols` picks the identity (empty = whole row). Only digests +
@@ -1918,6 +1962,11 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     */
   def dedupTable(cols: Seq[String] = Nil): Snapshot = {
     val snap = currentOrFail()
+    val clash = Seq(PositionDeleteGroup.FileKeyCol, PositionDeleteGroup.PosCol)
+      .filter(r => snap.schema.fieldNames.exists(_.equalsIgnoreCase(r)))
+    require(clash.isEmpty,
+      s"dedupTable reserves column name(s) ${clash.mkString(", ")} for " +
+        "position-delete addressing; rename the table column(s) first")
     val dcols: Seq[String] =
       if (cols.isEmpty) snap.schema.fieldNames.toSeq
       else cols.map(c => snap.schema.fields.find(_.name.equalsIgnoreCase(c))
@@ -1925,11 +1974,15 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     val fk = col(PositionDeleteGroup.FileKeyCol)
     val pos = col(PositionDeleteGroup.PosCol)
     val dexprs = dcols.map(c => col(s"`$c`"))
+    // digests + 8-byte addresses only — tiny per row — checkpointed
+    // once so the groupBy and the victim join don't re-read and
+    // re-hash the whole table twice
     val occ = readFilesMoRPos(snap, snap.files, snap.schema)
       .select(
         xxhash64(dexprs: _*).as("_h1"),
         md5(to_json(struct(dexprs: _*))).as("_h2"),
         fk, pos)
+      .localCheckpoint()
     val dupGroups = occ.groupBy("_h1", "_h2")
       .agg(min(struct(fk, pos)).as("_keep"), count(lit(1)).as("_n"))
       .where(col("_n") > 1)
@@ -2278,6 +2331,17 @@ object GraftTable {
     * record delete groups), `auto` (default — MoR past the threshold).
     */
   val DeleteModeProp = "graft.delete.mode"
+
+  /** SQL functions whose value changes between evaluations — a
+    * predicate containing one can never be stored as a merge-on-read
+    * mask (see [[GraftTable.morSafePredicate]]).
+    */
+  private[table] val MorUnsafeFunctions: Set[String] = Set(
+    "now", "current_timestamp", "current_date", "localtimestamp",
+    "current_timezone", "curdate", "rand", "randn", "random", "uuid",
+    "shuffle", "monotonically_increasing_id", "input_file_name",
+    "spark_partition_id", "current_user", "session_user", "user",
+    "rand_str", "randstr", "uniform")
 
   /** Auto-mode cutover: a delete whose copy-on-write rewrite set
     * exceeds this many bytes goes merge-on-read instead (default

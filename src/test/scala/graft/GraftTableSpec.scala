@@ -1461,6 +1461,37 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     del.exceptAll(ins).count() shouldBe 0
   }
 
+  test("time-varying predicates never become MoR masks; empty matches no-op") {
+    val s = spark
+    import s.implicits._
+    val t = morTable("safe1")
+    // unix_timestamp() re-evaluates at every scan — recording it as a
+    // mask would drift; the update must fall back to copy-on-write
+    t.updateWhere("id <= 2 AND id < unix_timestamp()",
+      Map("name" -> "concat(name, '?')"))
+    t.currentOrFail().deleteGroups shouldBe empty // CoW, not a mask
+    t.scan().where("id <= 2").select("name").as[String].collect().toSet shouldBe
+      Set("n1?", "n2?")
+    // same for DELETE WHERE
+    t.deleteWhere("id = 4 AND id < unix_timestamp()")
+    t.currentOrFail().deleteGroups shouldBe empty
+    t.scan().where("id = 4").count() shouldBe 0
+    // a predicate zone maps can't refute but no row satisfies: the MoR
+    // update detects zero matches and commits NOTHING
+    val before = t.currentOrFail().snapshotId
+    t.updateWhere("id % 100 = 99", Map("name" -> "'never'"))
+      .snapshotId shouldBe before
+  }
+
+  test("dedupTable rejects tables using its reserved address columns") {
+    val s = spark
+    import s.implicits._
+    val t = cat().ensure(TableIdent("mor", "clash1"))
+    t.append(Seq((1L, 5L)).toDF("id", "_graft_pos"))
+    val e = intercept[IllegalArgumentException](t.dedupTable())
+    e.getMessage should include("_graft_pos")
+  }
+
   test("MoR delete state round-trips through the snapshot codec") {
     val s = spark
     import s.implicits._
