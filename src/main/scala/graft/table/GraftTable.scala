@@ -205,14 +205,23 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     * copy-on-write path, which evaluates the predicate exactly once.
     */
   private def morSafePredicate(
-      pred: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      pred: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    val schemaCols = currentOrFail().schema.fieldNames.map(_.toLowerCase).toSet
     !pred.exists {
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
         val n = f.nameParts.last.toLowerCase
         GraftTable.MorUnsafeFunctions(n) ||
           (n == "unix_timestamp" && f.arguments.isEmpty)
+      // CURRENT_TIMESTAMP without parentheses parses as an ATTRIBUTE
+      // and only resolves to the niladic function when no column
+      // shadows it — mirror that resolution order here
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        if a.nameParts.length == 1 =>
+        val n = a.nameParts.head.toLowerCase
+        GraftTable.MorUnsafeFunctions(n) && !schemaCols(n)
       case e => !e.deterministic
     }
+  }
 
   def updateWhere(predicateSql: String, set: Map[String, String]): Snapshot = {
     val snap = currentOrFail()

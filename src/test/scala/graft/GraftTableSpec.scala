@@ -1476,6 +1476,10 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     t.deleteWhere("id = 4 AND id < unix_timestamp()")
     t.currentOrFail().deleteGroups shouldBe empty
     t.scan().where("id = 4").count() shouldBe 0
+    // the paren-less ANSI form parses as an ATTRIBUTE — still caught
+    t.deleteWhere("id = 6 AND current_timestamp > timestamp'2000-01-01'")
+    t.currentOrFail().deleteGroups shouldBe empty
+    t.scan().where("id = 6").count() shouldBe 0
     // a predicate zone maps can't refute but no row satisfies: the MoR
     // update detects zero matches and commits NOTHING
     val before = t.currentOrFail().snapshotId
