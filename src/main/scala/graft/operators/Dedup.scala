@@ -50,10 +50,21 @@ object Dedup {
     * weighted lengths (null ⇒ -1) keep swapped-null rows distinct.
     */
   private def withExactKeys(df: DataFrame, contentCols: Seq[String]): DataFrame = {
-    val strs = contentCols.map(c => col(c).cast("string"))
-    df.withColumn("_k", xxhash64(strs: _*))
-      .withColumn("_k2", xxhash64(strs.reverse.map(s => reverse(s)): _*))
-      .withColumn("_kl", strs.zipWithIndex.map { case (s, i) =>
+    val Seq(k, k2, kl) = exactKeyExprs(contentCols.map(col))
+    df.withColumn("_k", k).withColumn("_k2", k2).withColumn("_kl", kl)
+  }
+
+  /** The three key columns of the dual-digest identity, reusable by
+    * other exact-dedup surfaces ([[graft.table.GraftTable.dedupTable]]
+    * hashes table rows with exactly this identity so in-place and
+    * derived dedup can never disagree).
+    */
+  private[graft] def exactKeyExprs(cols: Seq[Column]): Seq[Column] = {
+    val strs = cols.map(_.cast("string"))
+    Seq(
+      xxhash64(strs: _*),
+      xxhash64(strs.reverse.map(s => reverse(s)): _*),
+      strs.zipWithIndex.map { case (s, i) =>
         coalesce(length(s), lit(-1)) * lit(2L * i + 1) }.reduce(_ + _))
   }
 

@@ -1982,26 +1982,37 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         .getOrElse(throw new IllegalArgumentException(s"unknown column '$c'")).name)
     val fk = col(PositionDeleteGroup.FileKeyCol)
     val pos = col(PositionDeleteGroup.PosCol)
-    val dexprs = dcols.map(c => col(s"`$c`"))
-    // digests + 8-byte addresses only — tiny per row — checkpointed
-    // once so the groupBy and the victim join don't re-read and
-    // re-hash the whole table twice
+    // the SAME dual-digest identity as Dedup.exact (codegen'd xxhash64
+    // pair + weighted-length term — no md5, no JSON re-serialization;
+    // ~3× cheaper per row) so in-place and derived dedup agree;
+    // digests + addresses only — tiny per row — checkpointed once so
+    // the groupBy and the victim join don't re-read the table twice
+    val Seq(h1, h2, hl) =
+      graft.operators.Dedup.exactKeyExprs(dcols.map(c => col(s"`$c`")))
+    // flat sortable address (file key padded with the row index) keeps
+    // the keeper aggregation in HashAggregate — min over a STRUCT
+    // would fall back to sort-based aggregation
+    val addr = concat(fk, lit("\u0000"), lpad(pos.cast("string"), 18, "0"))
     val occ = readFilesMoRPos(snap, snap.files, snap.schema)
-      .select(
-        xxhash64(dexprs: _*).as("_h1"),
-        md5(to_json(struct(dexprs: _*))).as("_h2"),
-        fk, pos)
+      .select(h1.as("_h1"), h2.as("_h2"), hl.as("_hl"),
+        addr.as("_addr"), fk, pos)
       .localCheckpoint()
-    val dupGroups = occ.groupBy("_h1", "_h2")
-      .agg(min(struct(fk, pos)).as("_keep"), count(lit(1)).as("_n"))
+    val dupGroups = occ.groupBy("_h1", "_h2", "_hl")
+      .agg(min(col("_addr")).as("_keep"), count(lit(1)).as("_n"))
       .where(col("_n") > 1)
-      .select(col("_h1"), col("_h2"), col("_keep"))
-    val victims = occ.join(dupGroups, Seq("_h1", "_h2"))
-      .where(struct(fk, pos) =!= col("_keep"))
+      .select(col("_h1"), col("_h2"), col("_hl"), col("_keep"))
+    val victims = occ.join(dupGroups, Seq("_h1", "_h2", "_hl"))
+      .where(col("_addr") =!= col("_keep"))
       .select(fk, pos)
       .localCheckpoint() // one evaluation: emptiness probe + manifest write
-    if (victims.isEmpty) return snap
-    val delGroup = writeDataFiles(victims, PositionDeleteGroup.KeySchema, Nil)
+    val nVictims = victims.count()
+    if (nVictims == 0L) return snap
+    // right-size the delete manifest: addresses are ~10s of bytes, so
+    // millions fit one file — 32 shuffle-partition shards of a small
+    // delete would tax every future scan with 32 file opens
+    val delGroup = writeDataFiles(
+      victims.repartition(math.max(1, (nVictims / 4000000L).toInt)),
+      PositionDeleteGroup.KeySchema, Nil)
     val analyzed = snap.files.map(_.path).toSet
     log.commit { parent =>
       val p = parent.getOrElse(snap)
