@@ -1496,6 +1496,44 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     e.getMessage should include("_graft_pos")
   }
 
+  test("compactDeletes preserves visible rows under random interleavings") {
+    val s = spark
+    import s.implicits._
+    // fixed seed: deterministic, but the interleavings exercise runs
+    // that straddle appends (unmergeable windows), back-to-back delete
+    // bursts (mergeable), and re-inserts of previously-deleted ids
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 5).foreach { it =>
+      val t = cat().ensure(TableIdent("mor", s"cdp$it"))
+      val universe = 0L until 40L
+      val live = scala.collection.mutable.Set.empty[Long]
+      def appendSome(): Unit = {
+        val cand = rnd.shuffle(universe.filterNot(live).toList)
+        if (cand.nonEmpty) {
+          val pick = cand.take(1 + rnd.nextInt(8))
+          t.append(pick.map(i => (i, s"v$i")).toDF("id", "v"))
+          live ++= pick
+        }
+      }
+      def deleteSome(): Unit =
+        if (live.nonEmpty) {
+          val pick = rnd.shuffle(live.toList).take(1 + rnd.nextInt(5))
+          t.deleteByKeys(pick.toDF("id"), Seq("id"))
+          live --= pick
+        }
+      appendSome()
+      t.updateProperties(Map(graft.table.GraftTable.DeleteModeProp -> "mor"))
+      (1 to 6).foreach(_ => if (rnd.nextBoolean()) appendSome() else deleteSome())
+      val before = t.scan().select("id").as[Long].collect().sorted.toSeq
+      before shouldBe live.toList.sorted
+      t.compactDeletes()
+      t.scan().select("id").as[Long].collect().sorted.toSeq shouldBe before
+      // converged: a second pass changes nothing
+      t.compactDeletes()
+      t.scan().select("id").as[Long].collect().sorted.toSeq shouldBe before
+    }
+  }
+
   test("MoR delete state round-trips through the snapshot codec") {
     val s = spark
     import s.implicits._
