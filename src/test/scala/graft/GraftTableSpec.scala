@@ -1496,6 +1496,31 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     e.getMessage should include("_graft_pos")
   }
 
+  test("position-delete manifests are GC-live until compact folds them") {
+    val s = spark
+    import s.implicits._
+    val t = cat().ensure(TableIdent("mor", "pdgc"))
+    t.append(Seq((1L, "a"), (2L, "b"), (2L, "b")).toDF("id", "v"))
+    t.dedupTable()
+    val delFiles = t.currentOrFail().deleteFiles.map(_.path)
+    delFiles should not be empty
+    // a live position manifest must survive an orphan sweep
+    t.removeOrphanFiles(olderThanMs = -1000L, dryRun = false)
+    delFiles.foreach { p =>
+      java.nio.file.Files.exists(
+        nio(new org.apache.hadoop.fs.Path(t.tableDir, p))) shouldBe true
+    }
+    t.scan().count() shouldBe 2
+    // compact purges the group; expiry then sweeps the manifest file
+    t.compact(1)
+    t.expireSnapshots(keepLast = 1)
+    delFiles.foreach { p =>
+      java.nio.file.Files.exists(
+        nio(new org.apache.hadoop.fs.Path(t.tableDir, p))) shouldBe false
+    }
+    t.scan().count() shouldBe 2
+  }
+
   test("compactDeletes preserves visible rows under random interleavings") {
     val s = spark
     import s.implicits._
