@@ -17,13 +17,14 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * WHEN NOT MATCHED THEN INSERT *
   * }}}
   *
-  * Only this canonical shape is supported (equality keys, UPDATE SET * /
-  * INSERT *, no extra conditions) — exactly the semantics the
-  * reference's UpsertStrategy implements. Resolution rewrites it into a
-  * command over [[graft.table.GraftTable.upsert]], whose copy-on-write
-  * rewrite carries untouched partitions over verbatim. Non-canonical
-  * merges fail with a message naming the restriction rather than
-  * silently diverging from the reference semantics.
+  * The canonical shapes route to the tuned primitives: the star upsert
+  * above → [[graft.table.GraftTable.upsert]] (which picks merge-on-read
+  * past the threshold), `WHEN MATCHED THEN DELETE` alone →
+  * [[graft.table.GraftTable.deleteByKeys]]. Every OTHER clause
+  * combination — conditional matched update/delete, partial SET lists,
+  * multiple first-match-wins clauses, conditional inserts,
+  * `WHEN NOT MATCHED BY SOURCE` — runs as the general copy-on-write
+  * row merge [[graft.table.GraftTable.mergeRows]].
   */
 case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan]
     with PredicateHelper {
@@ -90,16 +91,89 @@ case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan]
             starAssigns(u.assignments) && starAssigns(i.assignments)
         case _ => false
       }
-      if (keys.exists(_.isEmpty) || keys.isEmpty || !(canonicalActions || deleteOnly))
-        throw new UnsupportedOperationException(
-          "graft MERGE INTO supports the canonical upsert " +
-            "(ON conjunction of t.key = s.key equalities, " +
-            "WHEN MATCHED THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT * — " +
-            "the reference UpsertStrategy semantics) " +
-            "or the keyed bulk delete (WHEN MATCHED THEN DELETE alone); " +
-            s"got condition `${m.mergeCondition.sql}`")
-      if (deleteOnly) GraftMergeDeleteCommand(tbl, m.sourceTable, keys.flatten)
-      else GraftMergeCommand(tbl, m.sourceTable, keys.flatten)
+      val canonicalKeys = !keys.exists(_.isEmpty) && keys.nonEmpty
+      if (canonicalKeys && deleteOnly)
+        GraftMergeDeleteCommand(tbl, m.sourceTable, keys.flatten)
+      else if (canonicalKeys && canonicalActions)
+        GraftMergeCommand(tbl, m.sourceTable, keys.flatten)
+      else {
+        // ---- general MERGE: arbitrary clause combinations ----
+        // Render every expression over the prefixed merge frame:
+        // target attributes as `_t_<name>` (names unique per schema),
+        // source attributes as positional `_s_<i>` (a USING subquery
+        // may repeat output names). The command renames the source
+        // frame to match, so the SQL strings re-parse unambiguously
+        // even when target and source share column names.
+        val srcName: Map[Long, String] = m.sourceTable.output.zipWithIndex
+          .map { case (a, i) => a.exprId.id -> s"_s_$i" }.toMap
+        val tgtName: Map[Long, String] = m.targetTable.output
+          .map(a => a.exprId.id -> s"_t_${a.name}").toMap
+        def rendered(e: Expression): String = e.transform {
+          case a: AttributeReference =>
+            val n = tgtName.get(a.exprId.id).orElse(srcName.get(a.exprId.id))
+              .getOrElse(throw new UnsupportedOperationException(
+                "graft MERGE expression references an attribute outside " +
+                  s"the target/source scope: ${a.sql}"))
+            AttributeReference(n, a.dataType, a.nullable)(a.exprId, Nil)
+        }.sql
+        def assignPairs(assigns: Seq[Assignment], clause: String): Seq[(String, String)] = {
+          val pairs = assigns.map {
+            case Assignment(k: AttributeReference, v) => k.name -> rendered(v)
+            case a => throw new UnsupportedOperationException(
+              s"graft MERGE supports top-level column assignments, got ${a.sql}")
+          }
+          val dups = pairs.groupBy(_._1.toLowerCase).collect {
+            case (k, vs) if vs.size > 1 => k
+          }
+          if (dups.nonEmpty)
+            throw new UnsupportedOperationException(
+              s"duplicate assignment(s) in MERGE $clause clause: ${dups.mkString(", ")}")
+          pairs
+        }
+        // unexpanded star actions (the analyzer normally rewrites them
+        // to per-column assignments first): target col ← same-named
+        // source attr
+        def starPairs(clause: String): Seq[(String, String)] =
+          m.targetTable.output.map { t =>
+            val s = m.sourceTable.output.find(_.name.equalsIgnoreCase(t.name))
+              .getOrElse(throw new UnsupportedOperationException(
+                s"MERGE $clause *: source has no column matching target '${t.name}'"))
+            t.name -> srcName(s.exprId.id)
+          }
+        def clauseOf(action: org.apache.spark.sql.catalyst.plans.logical.MergeAction,
+                     which: String): graft.table.MergeClause = action match {
+          case UpdateAction(c, as, _) =>
+            graft.table.MergeClause("update", c.map(rendered), assignPairs(as, which))
+          case UpdateStarAction(c) =>
+            graft.table.MergeClause("update", c.map(rendered), starPairs(which))
+          case DeleteAction(c) =>
+            graft.table.MergeClause("delete", c.map(rendered), Nil)
+          case InsertAction(c, as) =>
+            graft.table.MergeClause("insert", c.map(rendered), assignPairs(as, which))
+          case InsertStarAction(c) =>
+            graft.table.MergeClause("insert", c.map(rendered), starPairs(which))
+          case a => throw new UnsupportedOperationException(
+            s"unsupported MERGE action: $a")
+        }
+        // equality conjuncts (any names) feed partition pruning only
+        val prunePairs = splitConjunctivePredicates(m.mergeCondition).flatMap {
+          case EqualTo(l, r) => (stripCastE(l), stripCastE(r)) match {
+            case (a: AttributeReference, b: AttributeReference)
+                if targetOut.contains(a) && sourceOut.contains(b) =>
+              Some(a.name -> srcName(b.exprId.id))
+            case (a: AttributeReference, b: AttributeReference)
+                if targetOut.contains(b) && sourceOut.contains(a) =>
+              Some(b.name -> srcName(a.exprId.id))
+            case _ => None
+          }
+          case _ => None
+        }
+        GraftMergeRowsCommand(tbl, m.sourceTable, rendered(m.mergeCondition),
+          m.matchedActions.map(clauseOf(_, "MATCHED")),
+          m.notMatchedActions.map(clauseOf(_, "NOT MATCHED")),
+          m.notMatchedBySourceActions.map(clauseOf(_, "NOT MATCHED BY SOURCE")),
+          prunePairs)
+      }
 
     case u @ UpdateTable(target, assignments, condition)
         if u.resolved && isGraftTarget(target) =>
@@ -167,6 +241,33 @@ case class GraftMergeDeleteCommand(table: GraftV2Table, source: LogicalPlan,
       // produce different keys per pass
       .localCheckpoint()
     table.underlying.deleteByKeys(keyDf, keys)
+    Nil
+  }
+
+  override def output: Seq[Attribute] = Nil
+}
+
+/** General MERGE (non-canonical clause shapes) →
+  * [[graft.table.GraftTable.mergeRows]]: conditional matched
+  * update/delete, partial SET lists, multiple first-match-wins clauses,
+  * conditional inserts, `WHEN NOT MATCHED BY SOURCE`. The source frame
+  * is renamed to the positional `_s_<i>` contract the rendered SQL
+  * strings reference.
+  */
+case class GraftMergeRowsCommand(table: GraftV2Table, source: LogicalPlan,
+                                 condSql: String,
+                                 matched: Seq[graft.table.MergeClause],
+                                 notMatched: Seq[graft.table.MergeClause],
+                                 notMatchedBySource: Seq[graft.table.MergeClause],
+                                 pruneKeys: Seq[(String, String)])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.GraftSqlShim.ofRows(spark, source)
+    val renamed = src.toDF(src.columns.indices.map(i => s"_s_$i"): _*)
+    table.underlying.mergeRows(renamed, condSql, matched, notMatched,
+      notMatchedBySource, pruneKeys)
     Nil
   }
 

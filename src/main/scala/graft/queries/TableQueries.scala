@@ -492,6 +492,71 @@ object TableQueries {
               |      FROM lineitem)
               |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // General MERGE INTO — the full verb, not just the canonical
+    // upsert: two conditional MATCHED clauses (first-match-wins), a
+    // conditional INSERT with a partial column list (unassigned →
+    // NULL), and NOT MATCHED BY SOURCE update. The end state is a
+    // pure function of the source parquet, so the oracle rebuilds it
+    // with a LEFT JOIN + CASE — engine-independent semantics of the
+    // SQL-standard clause order.
+    "q97_merge_general" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq97").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq97", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq97.warehouse",
+            Files.createTempDirectory("graft-merge").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq97.bench")
+        s.sql("DROP TABLE IF EXISTS graftq97.bench.ord")
+        s.sql("""CREATE TABLE graftq97.bench.ord
+                |(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)""".stripMargin)
+        t(s, dir, "orders").createOrReplaceTempView("q97_orders")
+        s.sql("""INSERT INTO graftq97.bench.ord
+                |SELECT o_orderkey, o_orderstatus, o_totalprice FROM q97_orders""".stripMargin)
+        // source: an update slice (every 3rd key, shifted price) plus
+        // an insert slice (offset keys that match nothing)
+        s.sql("""SELECT o_orderkey AS k, o_totalprice + 100 AS p
+                |FROM q97_orders WHERE o_orderkey % 3 = 0
+                |UNION ALL
+                |SELECT o_orderkey + 100000000 AS k, o_totalprice AS p
+                |FROM q97_orders WHERE o_orderkey % 5 = 0""".stripMargin)
+          .createOrReplaceTempView("q97_src")
+        s.sql("""MERGE INTO graftq97.bench.ord t USING q97_src s
+                |ON t.o_orderkey = s.k
+                |WHEN MATCHED AND t.o_totalprice < 50000 THEN UPDATE SET o_totalprice = s.p
+                |WHEN MATCHED AND t.o_totalprice >= 150000 THEN DELETE
+                |WHEN NOT MATCHED AND s.p > 100000 THEN
+                |  INSERT (o_orderkey, o_orderstatus) VALUES (s.k, 'N')
+                |WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'F' THEN
+                |  UPDATE SET o_totalprice = t.o_totalprice * 2""".stripMargin)
+        s.sql("""SELECT o_orderstatus, COUNT(*) AS n,
+                |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                |  COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END) AS n_null
+                |FROM graftq97.bench.ord
+                |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      },
+      Some("""WITH upd AS (
+             |  SELECT o_orderkey AS k, o_totalprice + 100 AS p
+             |  FROM orders WHERE o_orderkey % 3 = 0
+             |), kept AS (
+             |  SELECT o.o_orderstatus AS st,
+             |    CASE WHEN u.k IS NOT NULL AND o.o_totalprice < 50000 THEN u.p
+             |         WHEN u.k IS NULL AND o.o_orderstatus = 'F' THEN o.o_totalprice * 2
+             |         ELSE o.o_totalprice END AS p,
+             |    (u.k IS NOT NULL AND NOT (o.o_totalprice < 50000)
+             |       AND o.o_totalprice >= 150000) AS del
+             |  FROM orders o LEFT JOIN upd u ON o.o_orderkey = u.k
+             |), allrows AS (
+             |  SELECT st, p FROM kept WHERE NOT del
+             |  UNION ALL
+             |  SELECT 'N' AS st, NULL AS p FROM orders
+             |  WHERE o_orderkey % 5 = 0 AND o_totalprice > 100000
+             |)
+             |SELECT st AS o_orderstatus, COUNT(*) AS n,
+             |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  COUNT(CASE WHEN p IS NULL THEN 1 END) AS n_null
+             |FROM allrows GROUP BY st ORDER BY o_orderstatus""".stripMargin)),
+
     // Branch WAP + merge, pure SQL: fork, stage an insert on the branch
     // ident, let main advance past the fork (fast-forward now
     // impossible), then CALL merge_branch — the rebase path. The end

@@ -23,6 +23,16 @@ final case class TableIdent(namespace: String, name: String) {
   override def toString = s"$namespace.$name"
 }
 
+/** One WHEN clause of a general `MERGE INTO`, pre-rendered by the SQL
+  * resolution rule: `kind` is `update`, `delete`, or `insert`;
+  * `condition` and every assignment value are SQL text over the
+  * prefixed merge frame (target columns `_t_<name>`, source columns
+  * `_s_<i>`). Update clauses keep unassigned columns; insert clauses
+  * null-fill them (SQL standard).
+  */
+final case class MergeClause(kind: String, condition: Option[String],
+                             assigns: Seq[(String, String)])
+
 /** A snapshot-versioned Parquet table ("graft table", SURVEY §7.0).
   *
   * Layout under `tableDir`:
@@ -607,6 +617,212 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
       p.copy(
         snapshotId = newSnapshotId(),
         operation = "delete",
+        fileGroups = groups,
+        deleteGroups = purgeDeletes(groups, p.deleteGroups),
+        lastSeq = ns)
+    }
+  }
+
+  /** General `MERGE INTO` — arbitrary WHEN clauses beyond the canonical
+    * upsert/delete shapes [[upsert]] and [[deleteByKeys]] serve:
+    * conditional `WHEN MATCHED [AND c] THEN UPDATE SET .../DELETE`,
+    * partial assignment lists, multiple clauses (first match wins, the
+    * SQL-standard order), conditional inserts, and
+    * `WHEN NOT MATCHED BY SOURCE` update/delete. One copy-on-write
+    * commit; the reference exposes only the canonical upsert
+    * (`core/strategies.py:69-81`), so this is the superset a SQL user
+    * expects from the verb.
+    *
+    * Contract with the resolution rule ([[graft.connector.GraftMergeRule]]):
+    * `source` arrives with positional `_s_<i>` column names; every SQL
+    * string (`condSql`, clause conditions, assignment values) is
+    * rendered over the prefixed merge frame — target columns as
+    * `_t_<name>`, source columns as `_s_<i>` — so shared names never
+    * collide. `pruneKeys` lists `(targetCol, _s_<i>)` equality
+    * conjuncts of the ON condition, used ONLY for partition pruning
+    * (correctness never depends on them).
+    *
+    * Scale shape: the rewrite set is partition-pruned by the equi-key
+    * conjuncts exactly like [[upsert]] — a keyed merge into one day's
+    * partition rewrites one day. `WHEN NOT MATCHED BY SOURCE` clauses
+    * can by definition touch every target row, so their presence widens
+    * the rewrite set to the full table (the verb's semantics, not an
+    * implementation choice). Inserts anti-join the source against the
+    * FULL target (matched-or-not is a whole-table question); with
+    * equality conjuncts that is a hash anti join on the keys.
+    *
+    * Ambiguity: a target row matching >1 source rows while MATCHED
+    * clauses exist aborts (SQL-standard cardinality violation, the
+    * Delta/Iceberg behavior) — also what keeps the left-outer rewrite
+    * join exactly 1:≤1, so no target row can fan out.
+    */
+  def mergeRows(source: DataFrame, condSql: String,
+                matched: Seq[MergeClause], notMatched: Seq[MergeClause],
+                notMatchedBySource: Seq[MergeClause],
+                pruneKeys: Seq[(String, String)] = Nil): Snapshot = {
+    val snap = currentOrFail()
+    val specs = partitionFields()
+    val fields = snap.schema.fields.toSeq
+    // pin ONE evaluation: the source feeds the cardinality probe, the
+    // rewrite join, and the insert anti join — a nondeterministic
+    // USING subquery must not produce different rows per pass
+    val src = source.localCheckpoint().withColumn("_s_exists", lit(true))
+    val joinCond = expr(condSql)
+    def clauseCond(c: MergeClause): Column =
+      c.condition.map(s => coalesce(expr(s), lit(false))).getOrElse(lit(true))
+    def assignFor(c: MergeClause, f: StructField): Option[String] =
+      c.assigns.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) => v }
+
+    // Rewrite candidates. NMBS clauses can touch any target row; plain
+    // matched clauses prune by the ON condition's equi-keys like upsert.
+    val rewriteSet: Seq[DataFile] =
+      if (notMatchedBySource.nonEmpty) snap.files
+      else if (matched.isEmpty) Nil
+      else if (pruneKeys.nonEmpty) {
+        val keyDf = src.select(pruneKeys.map { case (t, s) =>
+          val f = fields.find(_.name.equalsIgnoreCase(t)).get
+          col(s"`$s`").cast(f.dataType).as(f.name)
+        }: _*).distinct()
+        keyPrunedFiles(snap, keyDf, pruneKeys.map(_._1))
+      } else snap.files
+
+    val addrCols = Seq(PositionDeleteGroup.FileKeyCol, PositionDeleteGroup.PosCol)
+    // target rows under `_t_` names, the position address pair as row id
+    def prefixedTarget(files: Seq[DataFile]): DataFrame =
+      readFilesMoRPos(snap, files, snap.schema).select(
+        fields.map(f => col(s"`${f.name}`").as("_t_" + f.name)) ++
+          addrCols.map(c => col(s"`$c`")): _*)
+
+    // SQL-standard cardinality guard (and the invariant the left-outer
+    // rewrite depends on): with MATCHED clauses present, no target row
+    // may match two source rows.
+    if (matched.nonEmpty && rewriteSet.nonEmpty) {
+      val dup = prefixedTarget(rewriteSet).join(src, joinCond, "inner")
+        .groupBy(addrCols.map(c => col(s"`$c`")): _*)
+        .agg(count(lit(1)).as("_n")).where(col("_n") > 1).limit(1).collect()
+      if (dup.nonEmpty)
+        throw new UnsupportedOperationException(
+          "MERGE cardinality violation: a target row matches more than one " +
+            "source row while WHEN MATCHED clauses exist; deduplicate the " +
+            "source on the merge keys")
+    }
+
+    // Rewritten survivors of the touched files, projected back to the
+    // plain target schema.
+    val kept: Option[DataFrame] =
+      if (rewriteSet.isEmpty) None
+      else if (matched.isEmpty) {
+        // only NMBS clauses modify: matched rows carry over via a semi
+        // join (one copy per row even under duplicate source matches —
+        // no cardinality error applies here), unmatched rows get the
+        // clause chain
+        val t = prefixedTarget(rewriteSet)
+        val same = t.join(src, joinCond, "left_semi")
+          .withColumn("_clause", lit(-1))
+        val unmatched = t.join(src, joinCond, "left_anti")
+          .withColumn("_clause",
+            clauseSelector(Nil, notMatchedBySource, clauseCond, lit(false)))
+        Some(applyClauseChain(fields, same.unionByName(unmatched),
+          matched = Nil, nmbs = notMatchedBySource))
+      } else {
+        val t = prefixedTarget(rewriteSet)
+        val joined = t.join(src, joinCond, "left_outer")
+        val mExists = col("_s_exists").isNotNull
+        val tagged = joined.withColumn("_clause",
+          clauseSelector(matched, notMatchedBySource, clauseCond, mExists))
+        Some(applyClauseChain(fields, tagged, matched, notMatchedBySource))
+      }
+
+    // Unmatched-source inserts, first-match-wins across NOT MATCHED
+    // clauses; unassigned columns null-fill (SQL standard).
+    val inserts: Option[DataFrame] =
+      if (notMatched.isEmpty) None
+      else {
+        val fullTarget = scanSnapshot(snap).select(
+          fields.map(f => col(s"`${f.name}`").as("_t_" + f.name)): _*)
+        val unmatchedSrc = src.join(fullTarget, joinCond, "left_anti")
+        val sel = notMatched.zipWithIndex.foldRight(lit(-1)) {
+          case ((c, i), acc) => when(clauseCond(c), lit(i)).otherwise(acc)
+        }
+        val rows = unmatchedSrc.withColumn("_clause", sel).where(col("_clause") >= 0)
+        Some(rows.select(fields.map { f =>
+          notMatched.zipWithIndex.foldRight(lit(null).cast(f.dataType)) {
+            case ((c, i), acc) => assignFor(c, f) match {
+              case Some(vs) =>
+                when(col("_clause") === i, expr(vs).cast(f.dataType)).otherwise(acc)
+              case None => acc
+            }
+          }.as(f.name)
+        }: _*))
+      }
+
+    if (kept.isEmpty && inserts.isEmpty) return snap
+    val merged = (kept.toSeq ++ inserts.toSeq).reduce(_.unionByName(_))
+    if (rewriteSet.isEmpty) {
+      // insert-only outcome: skip the commit when nothing inserts
+      val chk = merged.localCheckpoint()
+      if (chk.isEmpty) return snap
+      return appendMergeCommit(snap, chk, specs, Set.empty)
+    }
+    appendMergeCommit(snap, merged, specs, rewriteSet.map(_.path).toSet)
+  }
+
+  /** First-match-wins clause selector (SQL-standard clause order):
+    * matched clause i → i when the match guard + its condition hold,
+    * NMBS clause i → 100+i under the inverse guard, else -1 = keep the
+    * row unchanged.
+    */
+  private def clauseSelector(matched: Seq[MergeClause], nmbs: Seq[MergeClause],
+                             clauseCond: MergeClause => Column,
+                             mExists: Column): Column = {
+    val entries =
+      matched.zipWithIndex.map { case (c, i) => (mExists && clauseCond(c), i) } ++
+        nmbs.zipWithIndex.map { case (c, i) => (!mExists && clauseCond(c), 100 + i) }
+    entries.foldRight(lit(-1)) { case ((p, v), acc) => when(p, lit(v)).otherwise(acc) }
+  }
+
+  /** Apply tagged update/delete clauses: delete-tagged rows drop, each
+    * update clause's assignments replace the target value for its rows,
+    * untagged rows keep every column. Output = plain target schema.
+    */
+  private def applyClauseChain(fields: Seq[StructField], tagged: DataFrame,
+                               matched: Seq[MergeClause],
+                               nmbs: Seq[MergeClause]): DataFrame = {
+    val indexed = matched.zipWithIndex.map { case (c, i) => (c, i) } ++
+      nmbs.zipWithIndex.map { case (c, i) => (c, 100 + i) }
+    val deleteIds = indexed.collect { case (c, i) if c.kind == "delete" => i }
+    val updates = indexed.filter(_._1.kind == "update")
+    val alive =
+      if (deleteIds.isEmpty) tagged
+      else tagged.where(!col("_clause").isin(deleteIds.map(Integer.valueOf): _*))
+    alive.select(fields.map { f =>
+      updates.foldRight(col("_t_" + f.name)) { case ((c, idx), acc) =>
+        c.assigns.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) => v } match {
+          case Some(vs) =>
+            when(col("_clause") === idx, expr(vs).cast(f.dataType)).otherwise(acc)
+          case None => acc
+        }
+      }.cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** Shared commit tail of [[mergeRows]] — prune the rewritten paths,
+    * append the new group, standard CoW conflict checks.
+    */
+  private def appendMergeCommit(snap: Snapshot, rows: DataFrame,
+                                specs: Seq[PartitionField],
+                                removed: Set[String]): Snapshot = {
+    val newGroup = writeDataFiles(rows, snap.schema, specs)
+    log.commit { parent =>
+      val p = parent.getOrElse(snap)
+      requireNoConflict(p, removed, "merge")
+      requireNoNewDeletes(p, snap, "merge")
+      val ns = p.lastSeq + 1
+      val groups = pruneGroups(p.schema, p.fileGroups, removed) :+
+        newGroup.withSeq(ns)
+      p.copy(
+        snapshotId = newSnapshotId(),
+        operation = "merge",
         fileGroups = groups,
         deleteGroups = purgeDeletes(groups, p.deleteGroups),
         lastSeq = ns)

@@ -396,14 +396,14 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     val rows = spark.sql("SELECT id, v FROM graft.nsmg.t ORDER BY id")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     rows shouldBe Seq((1L, "old1"), (2L, "new2"), (3L, "old3"), (4L, "new4"))
-    // non-canonical merge (conditional update) must fail loudly, not diverge
-    val e = intercept[Exception] {
-      spark.sql(
-        """MERGE INTO graft.nsmg.t AS t USING mrg_src AS s
-          |ON t.id = s.id
-          |WHEN MATCHED AND s.v = 'x' THEN DELETE""".stripMargin)
-    }
-    e.getMessage should include("canonical upsert")
+    // non-canonical merge (conditional delete) runs through the general
+    // row-merge path: s.v = 'new4' deletes only the matching key
+    spark.sql(
+      """MERGE INTO graft.nsmg.t AS t USING mrg_src AS s
+        |ON t.id = s.id
+        |WHEN MATCHED AND s.v = 'new4' THEN DELETE""".stripMargin)
+    spark.sql("SELECT id FROM graft.nsmg.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 3L)
   }
 
   test("UPDATE ... SET ... WHERE rewrites matching rows in one commit") {
@@ -428,14 +428,16 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     import spark.implicits._
     Seq((Some(1L), "new", 999L), (None, "nullkey", 5L))
       .toDF("id", "v", "n").createOrReplaceTempView("x_src")
-    // partial UPDATE SET in a merge is NOT the canonical star shape
-    val e1 = intercept[Exception] {
-      spark.sql(
-        """MERGE INTO graft.nsx.t AS t USING x_src AS s ON t.id = s.id
-          |WHEN MATCHED THEN UPDATE SET v = s.v
-          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    }
-    e1.getMessage should include("canonical upsert")
+    // partial UPDATE SET in a merge: general path — only v changes,
+    // n keeps the target value, unmatched source rows are NOT inserted
+    // (no insert clause here)
+    spark.sql(
+      """MERGE INTO graft.nsx.t AS t USING x_src AS s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    spark.sql("SELECT v, n FROM graft.nsx.t").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe Seq(("new", 100L))
+    // restore for the canonical-shape assertions below
+    spark.sql("UPDATE graft.nsx.t SET v = 'old'")
     // duplicate assignment in UPDATE is an error, not last-wins
     val e2 = intercept[Exception] {
       spark.sql("UPDATE graft.nsx.t SET n = 1, n = 2")
@@ -449,6 +451,77 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     val rows = spark.sql("SELECT v, n FROM graft.nsx.t ORDER BY n")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     rows shouldBe Seq(("nullkey", 5L), ("new", 999L))
+  }
+
+  test("general MERGE: multi-clause first-match-wins, NOT MATCHED BY SOURCE, cardinality guard") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsgm")
+    spark.sql("CREATE TABLE graft.nsgm.t (id BIGINT, v STRING, n BIGINT)")
+    spark.sql(
+      "INSERT INTO graft.nsgm.t VALUES (1,'a',10), (2,'b',20), (3,'c',30), (4,'d',40)")
+    import spark.implicits._
+    // source shares no row with id=3/4; id=1 hits the first clause,
+    // id=2 falls through to the second
+    Seq((1L, "A", 111L), (2L, "B", 222L), (9L, "Z", 900L), (8L, "skip", 800L))
+      .toDF("id", "v", "n").createOrReplaceTempView("gm_src")
+    spark.sql(
+      """MERGE INTO graft.nsgm.t AS t USING gm_src AS s ON t.id = s.id
+        |WHEN MATCHED AND t.n < 15 THEN UPDATE SET v = s.v, n = t.n + s.n
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED AND s.n >= 900 THEN INSERT (id, v) VALUES (s.id, s.v)
+        |WHEN NOT MATCHED BY SOURCE AND t.id = 3 THEN UPDATE SET v = concat(t.v, '?')
+        |WHEN NOT MATCHED BY SOURCE AND t.id = 4 THEN DELETE""".stripMargin)
+    val rows = spark.sql("SELECT id, v, n FROM graft.nsgm.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    rows shouldBe Seq(
+      (1L, "A", Some(121L)),  // first matched clause: t.n(10) + s.n(111)
+      (3L, "c?", Some(30L)),  // NMBS conditional update
+      (9L, "Z", None))        // conditional insert, n unassigned → NULL
+    // id=2 deleted by the second matched clause; id=4 by the NMBS delete;
+    // id=8 filtered out by the insert condition
+
+    // cardinality violation: two source rows match one target row while
+    // matched clauses exist → abort, not silent fan-out
+    Seq((1L, "x"), (1L, "y")).toDF("id", "v").createOrReplaceTempView("gm_dup")
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft.nsgm.t AS t USING gm_dup AS s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    }
+    e.getMessage should include("cardinality")
+    // same duplicate source with only an INSERT clause: fine (no matched
+    // clause consults the duplicates); both rows fail to be "not
+    // matched" so nothing inserts
+    spark.sql(
+      """MERGE INTO graft.nsgm.t AS t USING gm_dup AS s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    spark.sql("SELECT count(*) FROM graft.nsgm.t").head.getLong(0) shouldBe 3L
+  }
+
+  test("general MERGE prunes the rewrite to partitions the ON keys can touch") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsgp")
+    spark.sql(
+      """CREATE TABLE graft.nsgp.t (id BIGINT, day STRING, v BIGINT)
+        |PARTITIONED BY (day)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.nsgp.t VALUES
+        |(1,'d1',10), (2,'d1',20), (3,'d2',30), (4,'d3',40)""".stripMargin)
+    import spark.implicits._
+    Seq((1L, "d1", 99L)).toDF("id", "day", "v").createOrReplaceTempView("gp_src")
+    val before = spark.sql("SELECT path FROM graft.nsgp.t.files").collect()
+      .map(_.getString(0)).toSet
+    // conditional update (non-canonical) keyed on the partition column:
+    // only d1's file may be rewritten
+    spark.sql(
+      """MERGE INTO graft.nsgp.t AS t USING gp_src AS s
+        |ON t.id = s.id AND t.day = s.day
+        |WHEN MATCHED AND s.v > 50 THEN UPDATE SET v = s.v""".stripMargin)
+    val after = spark.sql("SELECT path FROM graft.nsgp.t.files").collect()
+      .map(_.getString(0)).toSet
+    val d23Before = before.filter(f => f.contains("_p_day=d2") || f.contains("_p_day=d3"))
+    d23Before.subsetOf(after) shouldBe true // untouched partitions carried over
+    (after -- before).forall(_.contains("_p_day=d1")) shouldBe true
+    spark.sql("SELECT v FROM graft.nsgp.t WHERE id = 1").head.getLong(0) shouldBe 99L
   }
 
   test("runtime (DPP-style) join filters reach the native scan") {
@@ -841,13 +914,11 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
                 |WHEN MATCHED THEN DELETE""".stripMargin)
     spark.sql("SELECT id FROM graft.nsmd.t ORDER BY id").collect()
       .map(_.getLong(0)).toSeq shouldBe Seq(2L)
-    // conditional DELETE stays out of the canonical surface
-    val err = intercept[Exception] {
-      spark.sql("""MERGE INTO graft.nsmd.t t
-                  |USING (SELECT 2L AS id) s ON t.id = s.id
-                  |WHEN MATCHED AND t.v = 'b' THEN DELETE""".stripMargin)
-    }
-    err.getMessage should include("WHEN MATCHED THEN DELETE")
+    // conditional DELETE routes through the general row merge instead
+    spark.sql("""MERGE INTO graft.nsmd.t t
+                |USING (SELECT 2L AS id) s ON t.id = s.id
+                |WHEN MATCHED AND t.v = 'b' THEN DELETE""".stripMargin)
+    spark.sql("SELECT COUNT(*) FROM graft.nsmd.t").head.getLong(0) shouldBe 0L
   }
 
   test("branches from SQL: the full WAP loop through spark.sql only") {
