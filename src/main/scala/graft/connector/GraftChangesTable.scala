@@ -337,9 +337,27 @@ private[graft] object GraftCdc {
           "GraftTable.scanChangesBetween (exact), or compact() the table " +
           "so later commits are delete-free")
     val cur = tbl.snapshotAt(v)
+    // Raw file scans read with the relation's CURRENT column names;
+    // ranges touching name-evolution history (files written under an
+    // older naming, or a rename/drop after this commit) would misread
+    // those physical names — fail with guidance like the MoR shapes.
+    def renameUnsupported(): Nothing =
+      throw new UnsupportedOperationException(
+        s"graft change feed over ${tbl.tableDir}: commit v$v touches column " +
+          "rename/drop history; the DSv2 changes relation reads raw file " +
+          "scans by current column names — read this range with " +
+          "GraftTable.scanChangesBetween (maps physical names by field id), " +
+          "or compact() the table so files carry the current names")
+    def naming(s: StructType) = s.fields
+      .flatMap(f => graft.table.Projection.fieldId(f).map(_ -> f.name)).toMap
+    val nowNaming = naming(tbl.currentOrFail().schema)
+    if (cur.schemaLog.nonEmpty ||
+        naming(cur.schema).exists { case (id, n) => nowNaming.get(id).exists(_ != n) })
+      renameUnsupported()
     if (v == 0) (cur.files, Seq.empty)
     else {
       val prev = tbl.snapshotAt(v - 1)
+      if (prev.schemaLog.nonEmpty) renameUnsupported()
       val before = prev.files.map(_.path).toSet
       val after = cur.files.map(_.path).toSet
       val prevSeqs = prev.deleteGroups.map(_.seq).toSet

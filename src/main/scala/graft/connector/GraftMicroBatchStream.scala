@@ -293,6 +293,10 @@ final class GraftMicroBatchStream(
             if (pureRewrite)
               "set streamSkipRewrites=true to skip pure-rewrite commits " +
                 "(appends stay exact; later deletes/updates are not replayed)"
+            else if (Set("rename-column", "drop-column")(snap.operation))
+              "this metadata-only commit changed column names, so the " +
+                "stream's pinned read schema no longer matches files " +
+                "written after it; restart the stream to bind the new schema"
             else
               s"'${snap.operation}' inserts new rows and cannot be skipped " +
                 "(streamSkipRewrites only skips delete/update/compact/cluster); " +

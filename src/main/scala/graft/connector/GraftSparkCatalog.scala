@@ -236,12 +236,24 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     val tbl = cat.load(toIdent(ident))
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     val widens = changes.collect { case u: TableChange.UpdateColumnType => u }
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
     val sets = changes.collect { case p: TableChange.SetProperty => p }
     val removes = changes.collect { case p: TableChange.RemoveProperty => p }
-    require(adds.size + widens.size + sets.size + removes.size == changes.size,
+    require(adds.size + widens.size + renames.size + drops.size +
+        sets.size + removes.size == changes.size,
       "graft supports additive column changes, type WIDENING " +
-        "(int->long, float->double, decimal growth), and property changes only " +
-        "(reference C2 semantics + Iceberg promotion)")
+        "(int->long, float->double, decimal growth), RENAME/DROP COLUMN " +
+        "(metadata-only, field-id mapped), and property changes " +
+        "(reference C2 semantics + Iceberg evolution)")
+    renames.foreach { r =>
+      require(r.fieldNames().length == 1, "top-level columns only")
+      tbl.renameColumn(r.fieldNames()(0), r.newName())
+    }
+    drops.foreach { d =>
+      require(d.fieldNames().length == 1, "top-level columns only")
+      tbl.dropColumn(d.fieldNames()(0))
+    }
     adds.foreach { a =>
       require(a.fieldNames().length == 1, "top-level columns only (reference C2)")
       tbl.evolveSchema(StructType(tbl.schema.fields :+

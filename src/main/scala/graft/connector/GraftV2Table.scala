@@ -69,7 +69,10 @@ final class GraftV2Table(tbl: GraftTable, ident: Identifier,
     (asOf match {
       case None => tbl.current()
       case Some(_) => Some(pinnedSnap)
-    }).filter(_.deleteGroups.nonEmpty)
+    // pending MoR deletes AND live name-evolution history both need the
+    // table-side plan: the native scan reads raw files by CURRENT
+    // column names, which pre-rename files don't carry
+    }).filter(s => s.deleteGroups.nonEmpty || s.schemaLog.nonEmpty)
 
   override def capabilities(): util.Set[TableCapability] =
     if (asOf.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
@@ -163,8 +166,13 @@ final class GraftScanBuilder(tbl: GraftTable, snapAt: () => Snapshot,
     case _ =>
       val snap = snapAt()
       // manifest counts include rows pending merge-on-read deletion —
-      // metadata answers would overcount, so the push is declined
-      val r = if (pushed.nonEmpty || snap.deleteGroups.nonEmpty) None
+      // metadata answers would overcount, so the push is declined.
+      // Name-evolution history declines too: pre-rename groups key
+      // their summary stats by the OLD column names, so a by-name
+      // min/max/null-count lookup would silently skip (or, after a
+      // blocked-but-conceivable name reuse, misattribute) them.
+      val r = if (pushed.nonEmpty || snap.deleteGroups.nonEmpty ||
+                  snap.schemaLog.nonEmpty) None
               else GraftAggPushdown.plan(snap, agg)
       plannedAgg = Some((agg, r))
       r

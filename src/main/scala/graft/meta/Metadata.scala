@@ -277,9 +277,35 @@ final case class Snapshot(
       * across branch forks (so branch-staged data can never fall under
       * a pre-fork delete). Legacy snapshots parse as 0.
       */
-    lastSeq: Long = 0L) {
+    lastSeq: Long = 0L,
+    /** Name-evolution log: `(upToSeq, schema)` entries, ascending —
+      * file groups with `seq <= upToSeq` (first matching entry) were
+      * written under that schema, so reads map their physical column
+      * names to the current names BY FIELD ID. Appended by
+      * rename/drop-column commits (additive/widening evolution never
+      * changes a name, so it needs no entry); entries stop covering
+      * anything once compaction rewrites the old groups and are pruned.
+      * Empty = every live file's names match the current schema — the
+      * zero-overhead common case.
+      */
+    schemaLog: Seq[(Long, StructType)] = Nil) {
   def files: Seq[DataFile] = fileGroups.flatMap(_.files)
   def rowCount: Long = fileGroups.map(_.rows).sum
+  /** The schema a group committed at `seq` was written under: the
+    * first log entry covering it, else the current schema.
+    */
+  def writeSchemaFor(seq: Long): StructType =
+    schemaLog.find(seq <= _._1).map(_._2).getOrElse(schema)
+  /** Log entries still covering at least one live file group — the
+    * set of write-time schemas a full scan can encounter. Names used
+    * by these under OTHER field ids are unavailable for new columns
+    * (old zone maps/summaries still carry them under the old meaning).
+    */
+  def coveringSchemas: Seq[StructType] = {
+    val covered = fileGroups.map(g => schemaLog.indexWhere(g.seq <= _._1))
+      .filter(_ >= 0).toSet
+    schemaLog.zipWithIndex.collect { case ((_, s), i) if covered(i) => s }
+  }
   def manifestPaths: Set[String] =
     (fileGroups.map(_.manifest) ++
       deleteGroups.collect {
@@ -411,7 +437,13 @@ object Snapshot {
       "properties"     -> JObject(s.properties.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
       "manifests"      -> manifests,
       "last_seq"       -> JLong(s.lastSeq),
-      "deletes"        -> (if (s.deleteGroups.isEmpty) JNothing else deletes))
+      "deletes"        -> (if (s.deleteGroups.isEmpty) JNothing else deletes),
+      "schema_log"     -> (if (s.schemaLog.isEmpty) JNothing
+                           else JArray(s.schemaLog.map { case (u, sch) =>
+                             JObject(
+                               "up_to_seq" -> JLong(u),
+                               "schema"    -> JsonMethods.parse(sch.json))
+                           }.toList)))
     JsonMethods.pretty(JsonMethods.render(obj))
   }
 
@@ -479,6 +511,14 @@ object Snapshot {
       properties = props,
       fileGroups = groups,
       deleteGroups = deletes,
-      lastSeq = opt(j \ "last_seq").map(lng).getOrElse(0L))
+      lastSeq = opt(j \ "last_seq").map(lng).getOrElse(0L),
+      schemaLog = (j \ "schema_log") match {
+        case JArray(arr) => arr.map { e =>
+          lng(e \ "up_to_seq") -> DataType.fromJson(
+            JsonMethods.compact(JsonMethods.render(e \ "schema")))
+            .asInstanceOf[StructType]
+        }
+        case _ => Nil
+      })
   }
 }

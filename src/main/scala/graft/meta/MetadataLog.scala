@@ -459,10 +459,22 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration,
     while (true) {
       val parent = current()
       val nextVersion = parent.map(_.version + 1).getOrElse(0)
-      val snap = build(parent).copy(
+      val built = build(parent)
+      val snap = built.copy(
         version = nextVersion,
         parentId = parent.map(_.snapshotId),
-        timestampMs = System.currentTimeMillis())
+        timestampMs = System.currentTimeMillis(),
+        // normalize the name-evolution log: entries covering no live
+        // group can never be consulted again (compaction rewrites old
+        // groups to a fresh top seq, which is how the log — and the
+        // scan perks its presence suspends — naturally clears)
+        schemaLog = {
+          val covered = built.fileGroups
+            .map(g => built.schemaLog.indexWhere(g.seq <= _._1))
+            .filter(_ >= 0).toSet
+          if (covered.size == built.schemaLog.size) built.schemaLog
+          else built.schemaLog.zipWithIndex.collect { case (e, i) if covered(i) => e }
+        })
       if (publishAtomic(versionFile(nextVersion), Snapshot.toJson(snap))) {
         snapshotCache.put(nextVersion, snap)
         return snap

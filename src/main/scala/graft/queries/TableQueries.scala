@@ -492,6 +492,47 @@ object TableQueries {
               |      FROM lineitem)
               |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Metadata-only column rename: era-1 files keep the old physical
+    // name, era-2 files carry the new one, and the scan maps both by
+    // field id — zero rewrites (asserted in-plan). Values are
+    // rename-invariant, so the oracle reads the raw parquet.
+    "q98_rename_evolution" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq98").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq98", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq98.warehouse",
+            Files.createTempDirectory("graft-rename").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq98.bench")
+        s.sql("DROP TABLE IF EXISTS graftq98.bench.li")
+        s.sql("""CREATE TABLE graftq98.bench.li
+                |(l_orderkey BIGINT, l_returnflag STRING, l_quantity DOUBLE)""".stripMargin)
+        t(s, dir, "lineitem").createOrReplaceTempView("q98_src")
+        s.sql("""INSERT INTO graftq98.bench.li
+                |SELECT l_orderkey, l_returnflag, l_quantity
+                |FROM q98_src WHERE l_orderkey % 2 = 0""".stripMargin)
+        val cat = GraftCatalog(s, s.conf.get("spark.sql.catalog.graftq98.warehouse"))
+        val tbl = cat.load(TableIdent("bench", "li"))
+        val before = tbl.currentOrFail().files.map(_.path).toSet
+        s.sql("ALTER TABLE graftq98.bench.li RENAME COLUMN l_quantity TO qty")
+        require(tbl.currentOrFail().files.map(_.path).toSet == before,
+          "RENAME COLUMN rewrote data files")
+        require(tbl.currentOrFail().schemaLog.nonEmpty,
+          "RENAME COLUMN recorded no naming history")
+        s.sql("""INSERT INTO graftq98.bench.li
+                |SELECT l_orderkey, l_returnflag, l_quantity AS qty
+                |FROM q98_src WHERE l_orderkey % 2 = 1""".stripMargin)
+        // filter + aggregate on the renamed column across BOTH eras
+        s.sql("""SELECT l_returnflag, COUNT(*) AS n,
+                |  CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+                |FROM graftq98.bench.li WHERE qty >= 5
+                |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem WHERE l_quantity >= 5
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // General MERGE INTO — the full verb, not just the canonical
     // upsert: two conditional MATCHED clauses (first-match-wins), a
     // conditional INSERT with a partial column list (unassigned →

@@ -131,6 +131,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
       return log.commit { parent =>
         val p = parent.getOrElse(snap)
         requireNoConflict(p, removed, "delete")
+        requireStableNames(p, snap, "delete") // the stored predicate names columns
         val ns = p.lastSeq + 1
         val groups = pruneGroups(p.schema, p.fileGroups, removed, untouched)
         p.copy(
@@ -594,6 +595,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         deleteKeySchema(snap, joinKeys), Nil)
       return log.commit { parent =>
         val p = parent.getOrElse(snap)
+        requireStableNames(p, snap, "delete") // delete keys name columns
         val ns = p.lastSeq + 1
         p.copy(
           snapshotId = newSnapshotId(),
@@ -931,20 +933,171 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     */
   def evolveSchema(incoming: StructType): StructType = {
     val snap = currentOrFail()
-    Projection.evolve(snap.schema, incoming) match {
+    // new ids must clear every id the naming history used — recycling a
+    // dropped column's id would resurrect its values from old files
+    def idFloor(s: Snapshot): Long =
+      (s.schemaLog.map { case (_, sch) => Projection.maxFieldId(sch) } :+ 0L).max
+    Projection.evolve(snap.schema, incoming, idFloor(snap)) match {
       case None => snap.schema
       case Some(evolved) =>
         log.commit { parent =>
           val p = parent.getOrElse(snap)
-          Projection.evolve(p.schema, incoming) match {
+          Projection.evolve(p.schema, incoming, idFloor(p)) match {
             case None => p.copy(snapshotId = newSnapshotId(), operation = "evolve-noop")
-            case Some(e2) => p.copy(
-              snapshotId = newSnapshotId(),
-              operation = "evolve-schema",
-              schema = e2,
-              schemaVersion = p.schemaVersion + 1)
+            case Some(e2) =>
+              // an added column may not take a name a since-renamed or
+              // since-dropped column used while its files are still
+              // live — old zone maps carry the name with the old
+              // meaning (same rule renameColumn enforces)
+              val existing = p.schema.fieldNames.map(_.toLowerCase).toSet
+              e2.fields.filterNot(f => existing(f.name.toLowerCase))
+                .foreach(f => requireNameAvailable(p, f.name, Projection.fieldId(f)))
+              p.copy(
+                snapshotId = newSnapshotId(),
+                operation = "evolve-schema",
+                schema = e2,
+                schemaVersion = p.schemaVersion + 1)
           }
         }.schema
+    }
+  }
+
+  /** Rename a column — metadata-only, zero file rewrites, the Iceberg
+    * rename contract: the field keeps its ID, a [[graft.meta.Snapshot
+    * .schemaLog]] entry records the old naming, and every read of
+    * pre-rename files maps physical→current names by field id
+    * ([[nameMapping]]). At 100 TB this is the difference between an
+    * instant `ALTER TABLE` and a full-table rewrite.
+    *
+    * Constraints (each rejected loudly):
+    *  - pending merge-on-read deletes reference columns by name/SQL —
+    *    fold them first (`rewrite_deletes`/`compact`);
+    *  - the partition spec's source columns are part of the physical
+    *    layout — re-spec first (`set_partition_spec`);
+    *  - a name previously used by a DIFFERENT field, while files from
+    *    that era are still live, stays unavailable: old zone
+    *    maps/summaries still carry it with the old meaning, and a
+    *    lookup hit on them would prune wrongly. Compaction rewrites
+    *    the old files and frees the name.
+    */
+  def renameColumn(oldName: String, newName: String): Snapshot = {
+    require(oldName.nonEmpty && newName.nonEmpty, "empty column name")
+    val snap = currentOrFail()
+    if (snap.schema.fields.find(_.name.equalsIgnoreCase(oldName)).exists(_.name == newName))
+      return snap // already that exact name: no-op without a commit
+    log.commit { parent =>
+      val p = parent.getOrElse(snap)
+      val f = p.schema.fields.find(_.name.equalsIgnoreCase(oldName)).getOrElse(
+        throw new IllegalArgumentException(s"unknown column '$oldName'"))
+      requireNameChangeAllowed(p, f.name, "rename")
+      if (!newName.equalsIgnoreCase(f.name))
+        require(!p.schema.fields.exists(_.name.equalsIgnoreCase(newName)),
+          s"column '$newName' already exists")
+      requireNameAvailable(p, newName, Projection.fieldId(f))
+      val renamed = StructType(p.schema.fields.map(x =>
+        if (x.name == f.name) x.copy(name = newName) else x))
+      p.copy(
+        snapshotId = newSnapshotId(),
+        operation = "rename-column",
+        schema = renamed,
+        schemaVersion = p.schemaVersion + 1,
+        schemaLog = appendSchemaLog(p),
+        properties = renameInProperties(p.properties, f.name, newName))
+    }
+  }
+
+  /** Drop a column — metadata-only like [[renameColumn]]: the field
+    * leaves the schema (its ID is never reused — [[Projection]] assigns
+    * max+1), old files keep the physical column but no read requests
+    * it, and re-adding the NAME is blocked while covered files live
+    * (their zone maps still carry it with the dead meaning; a by-name
+    * parquet read would also resurrect the dead values — the salted
+    * absent-name read in [[nameMapping]] guards the read side, the
+    * availability check guards the stats side).
+    */
+  def dropColumn(name: String): Snapshot = {
+    val snap = currentOrFail()
+    log.commit { parent =>
+      val p = parent.getOrElse(snap)
+      val f = p.schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(s"unknown column '$name'"))
+      require(p.schema.fields.length > 1, "cannot drop the only column")
+      requireNameChangeAllowed(p, f.name, "drop")
+      p.copy(
+        snapshotId = newSnapshotId(),
+        operation = "drop-column",
+        schema = StructType(p.schema.fields.filterNot(_.name == f.name)),
+        schemaVersion = p.schemaVersion + 1,
+        schemaLog = appendSchemaLog(p),
+        properties = renameInProperties(p.properties, f.name, ""))
+    }
+  }
+
+  /** Shared preconditions of the name-changing evolutions. */
+  private def requireNameChangeAllowed(p: Snapshot, colName: String, op: String): Unit = {
+    require(p.deleteGroups.isEmpty,
+      s"cannot $op column '$colName' with pending merge-on-read deletes " +
+        "(they reference columns by name); run rewrite_deletes or compact first")
+    val specSources = p.partitionSpec.toSeq
+      .flatMap(PartitionExpr.parseSpec).map(_.sourceCol)
+    require(!specSources.exists(_.equalsIgnoreCase(colName)),
+      s"cannot $op column '$colName': it is a partition-spec source " +
+        s"(${p.partitionSpec.getOrElse("")}); set_partition_spec first")
+  }
+
+  /** Is `name` free for (re)use by the field with id `forId`? Blocked
+    * while any still-covered write-time schema used it for a DIFFERENT
+    * field — old per-file zone maps and manifest summaries carry the
+    * name with the old meaning, and a stats lookup hit would prune or
+    * aggregate wrongly. Renaming a column BACK to its own former name
+    * is always fine (same id ⇒ same meaning).
+    */
+  private def requireNameAvailable(p: Snapshot, name: String,
+                                   forId: Option[Long]): Unit = {
+    val clash = p.coveringSchemas.exists(_.fields.exists(w =>
+      w.name.equalsIgnoreCase(name) && Projection.fieldId(w) != forId))
+    require(!clash,
+      s"column name '$name' was previously used by a different column and " +
+        "files from that era are still live (their stats carry the old " +
+        "meaning); compact the table first")
+  }
+
+  /** Push the parent's naming onto the schema log (covering all groups
+    * up to its lastSeq), pruning entries that no longer cover any live
+    * group. Skips the push when an entry at this seq boundary already
+    * exists — two renames with no data commit between them need one
+    * entry (the OLDER naming wins first-match, as it must).
+    */
+  private def appendSchemaLog(p: Snapshot): Seq[(Long, StructType)] = {
+    val covered = p.fileGroups
+      .map(g => p.schemaLog.indexWhere(g.seq <= _._1)).filter(_ >= 0).toSet
+    val pruned = p.schemaLog.zipWithIndex
+      .collect { case (e, i) if covered(i) => e }
+    if (pruned.lastOption.exists(_._1 >= p.lastSeq)) pruned
+    else if (p.fileGroups.isEmpty) pruned // nothing written yet: no files to map
+    else pruned :+ (p.lastSeq -> p.schema)
+  }
+
+  /** Rename (or scrub, when `newName` is empty) a column's mentions in
+    * the layout-hint properties — `write.sort.columns` and the parquet
+    * bloom-filter toggles. Hints only: writes ignore unknown columns,
+    * but carrying the stale name would silently drop the hint.
+    */
+  private def renameInProperties(props: Map[String, String], oldName: String,
+                                 newName: String): Map[String, String] = {
+    val bloomPrefix = "write.parquet.bloom-filter-enabled.column."
+    props.flatMap {
+      case ("write.sort.columns", v) =>
+        val cols = v.split(",").map(_.trim).filter(_.nonEmpty)
+          .flatMap { c =>
+            if (!c.equalsIgnoreCase(oldName)) Some(c)
+            else if (newName.nonEmpty) Some(newName) else None
+          }
+        if (cols.isEmpty) None else Some("write.sort.columns" -> cols.mkString(","))
+      case (k, v) if k.startsWith(bloomPrefix) &&
+          k.stripPrefix(bloomPrefix).equalsIgnoreCase(oldName) =>
+        if (newName.nonEmpty) Some(s"$bloomPrefix$newName" -> v) else None
+      case (k, v) => Some(k -> v)
     }
   }
 
@@ -1083,6 +1236,60 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
       spark.read.schema(schema).parquet(files.map(f => new HPath(tableDir, f.path).toString): _*)
+
+  /** Physical-name mapping between a write-time schema and the
+    * requested read schema, matched BY FIELD ID — what makes
+    * rename/drop-column metadata-only: files written before a rename
+    * keep their old physical column names forever, and reads alias
+    * them back to the current names. `None` = identity (every
+    * requested name is the physical name), the zero-overhead common
+    * case. A requested field whose id is absent from the write schema
+    * was added later: it reads under its own name (the file simply
+    * lacks it → null-fill) — UNLESS the write schema had a
+    * since-dropped column of the same name under a different id, in
+    * which case reading by name would resurrect the dead column's
+    * values; a salted name the file cannot contain null-fills instead.
+    */
+  private def nameMapping(writeSchema: StructType,
+                          readSchema: StructType): Option[Seq[(String, StructField)]] = {
+    if (writeSchema eq readSchema) return None
+    val wById = writeSchema.fields
+      .flatMap(f => Projection.fieldId(f).map(_ -> f.name)).toMap
+    val pairs = readSchema.fields.toSeq.map { f =>
+      val phys = Projection.fieldId(f) match {
+        case None => f.name // legacy id-less field: by-name read
+        case Some(id) => wById.get(id) match {
+          case Some(n) => n
+          case None =>
+            if (writeSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+              s"__graft_absent_${f.name}"
+            else f.name
+        }
+      }
+      (phys, f)
+    }
+    if (pairs.forall { case (n, f) => n == f.name }) None else Some(pairs)
+  }
+
+  /** Read `files` under an optional physical-name mapping (from
+    * [[nameMapping]]), aliasing back to the requested names; with
+    * `withPos` the position-delete address pair rides along.
+    */
+  private def readMapped(readSchema: StructType, files: Seq[DataFile],
+                         mapping: Option[Seq[(String, StructField)]],
+                         withPos: Boolean): DataFrame = mapping match {
+    case None =>
+      if (withPos) readFilesWithPos(readSchema, files)
+      else readFiles(readSchema, files)
+    case Some(m) =>
+      val phys = StructType(m.map { case (n, f) =>
+        StructField(n, f.dataType, nullable = true) })
+      val aliases = m.map { case (n, f) => col(s"`$n`").as(f.name) }
+      if (withPos)
+        readFilesWithPos(phys, files).select(aliases ++
+          Seq(col(PositionDeleteGroup.FileKeyCol), col(PositionDeleteGroup.PosCol)): _*)
+      else readFiles(phys, files).select(aliases: _*)
+  }
 
   // ------------------------------------------------------------------
   // Merge-on-read deletes (Iceberg format-v2 delete files, re-expressed)
@@ -1231,24 +1438,33 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
 
   private def readFilesMoRImpl(snap: Snapshot, files: Seq[DataFile],
                                readSchema: StructType, keepPos: Boolean): DataFrame = {
-    if (snap.deleteGroups.isEmpty)
+    // identity fast path: no pending deletes, no name-evolution
+    // history, and the requested names ARE the write names — one plain
+    // parquet read (the overwhelmingly common state)
+    if (snap.deleteGroups.isEmpty && snap.schemaLog.isEmpty &&
+        nameMapping(snap.schema, readSchema).isEmpty)
       return if (keepPos) readFilesWithPos(readSchema, files)
              else readFiles(readSchema, files)
     val dels = snap.deleteGroups.sortBy(_.seq)
     val remaining = scala.collection.mutable.Set[String](files.map(_.path): _*)
-    val buckets = scala.collection.mutable.LinkedHashMap.empty[Seq[Long], Vector[DataFile]]
+    // bucket key: (effective delete set, write-schema log index) — a
+    // group written under an older naming reads with its physical
+    // names and aliases back BEFORE any delete anti join, so delete
+    // keys (always current names) match
+    val buckets = scala.collection.mutable.LinkedHashMap.empty[(Seq[Long], Int), Vector[DataFile]]
     snap.fileGroups.foreach { g =>
       if (remaining.nonEmpty) {
         val member = g.files.filter(f => remaining.remove(f.path))
         if (member.nonEmpty) {
           val applicable = dels.filter(_.appliesTo(g.seq))
+          val schemaIdx = snap.schemaLog.indexWhere(g.seq <= _._1)
           member.foreach { f =>
             val eff = applicable.filter {
               case e: EqualityDeleteGroup => deleteMayTouch(f, e, snap)
               case p: PositionDeleteGroup => posDeleteMayTouch(f, p)
               case _: PredicateDeleteGroup => true
             }.map(_.seq)
-            buckets.updateWith(eff)(v => Some(v.getOrElse(Vector.empty) :+ f))
+            buckets.updateWith((eff, schemaIdx))(v => Some(v.getOrElse(Vector.empty) :+ f))
           }
         }
       }
@@ -1256,17 +1472,22 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     require(remaining.isEmpty,
       s"readFilesMoR: ${remaining.size} file(s) not in snapshot groups (e.g. ${remaining.headOption.getOrElse("")})")
     val dataCols = readSchema.fieldNames.map(c => col(s"`$c`")).toSeq
-    buckets.toSeq.map { case (seqs, fs) =>
+    buckets.toSeq.map { case ((seqs, schemaIdx), fs) =>
       val set = seqs.toSet
       val applicable = dels.filter(d => set(d.seq))
+      val mapping = nameMapping(
+        if (schemaIdx >= 0) snap.schemaLog(schemaIdx)._2 else snap.schema,
+        readSchema)
       // position deletes address (file, row-index) pairs: such buckets
       // read with the address pair attached and project it away after
       // (unless the caller asked to keep it)
       if (keepPos || applicable.exists(_.isInstanceOf[PositionDeleteGroup])) {
-        val applied = applyDeleteGroups(readFilesWithPos(readSchema, fs), applicable, snap)
+        val applied = applyDeleteGroups(
+          readMapped(readSchema, fs, mapping, withPos = true), applicable, snap)
         if (keepPos) applied else applied.select(dataCols: _*)
       } else
-        applyDeleteGroups(readFiles(readSchema, fs), applicable, snap)
+        applyDeleteGroups(
+          readMapped(readSchema, fs, mapping, withPos = false), applicable, snap)
     }.reduceOption(_.unionByName(_)).getOrElse(
       if (keepPos) readFilesWithPos(readSchema, Nil) else readFiles(readSchema, Nil))
   }
@@ -1285,8 +1506,8 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     if (baseGroups.isEmpty) return readFiles(readSchema, Nil)
     val base = baseGroups.map { g =>
       val files = g.files.filter(_.rows > 0)
-      val b = if (needPos) readFilesWithPos(readSchema, files)
-              else readFiles(readSchema, files)
+      val b = readMapped(readSchema, files,
+        nameMapping(snap.writeSchemaFor(g.seq), readSchema), needPos)
       applyDeleteGroups(b, priors.filter(_.appliesTo(g.seq)), snap)
     }.reduce(_.unionByName(_))
     val matched = d match {
@@ -1321,6 +1542,29 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
       throw new java.util.ConcurrentModificationException(
         s"$op conflicts with a concurrent merge-on-read delete; " +
           "re-run against the latest snapshot")
+    requireStableNames(p, analyzed, op)
+  }
+
+  /** Abort when a concurrent commit renamed or dropped columns after
+    * this operation analyzed the table: the operation's data files
+    * were already written with the ANALYZED naming, but as fresh-seq
+    * groups the schema log would map them to the parent's (renamed)
+    * naming — the one interleaving the seq-keyed mapping cannot
+    * represent. Additive/widening concurrent evolution stays fine
+    * (names unchanged; by-name null-fill covers the new column).
+    */
+  private def requireStableNames(p: Snapshot, analyzed: Snapshot, op: String): Unit = {
+    if (p.schemaVersion == analyzed.schemaVersion) return
+    def ids(s: StructType) = s.fields
+      .flatMap(f => Projection.fieldId(f).map(_ -> f.name)).toMap
+    val pm = ids(p.schema)
+    val broken = ids(analyzed.schema).collect {
+      case (id, n) if !pm.get(id).contains(n) => n
+    }
+    if (broken.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"$op conflicts with a concurrent column rename/drop " +
+          s"(${broken.mkString(", ")}); re-run against the latest snapshot")
   }
 
   /** Merge-on-read MERGE commit: `rows` land as a fresh data group and
@@ -1344,6 +1588,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
       deleteKeySchema(snap, joinKeys), Nil)
     log.commit { parent =>
       val p = parent.getOrElse(snap)
+      requireStableNames(p, snap, op) // data + key files carry analyzed names
       val ns = p.lastSeq + 1
       val groups = p.fileGroups :+ dataGroup.withSeq(ns)
       p.copy(
@@ -1438,8 +1683,11 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         fileGroups = target.fileGroups,
         // adopt the target's delete groups too (they were part of its
         // logical state); lastSeq stays monotonic so post-rollback
-        // commits never reuse a sequence
+        // commits never reuse a sequence. The target's schema log rides
+        // along for the same reason — its groups' physical names are
+        // defined relative to ITS naming history, not the abandoned one.
         deleteGroups = target.deleteGroups,
+        schemaLog = target.schemaLog,
         lastSeq = math.max(p.lastSeq, target.lastSeq))
     }
   }
@@ -1592,6 +1840,24 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
             s"both main and branch '$name' evolved the schema since the fork " +
               s"(fork sv${fork.schemaVersion}, branch sv${head.schemaVersion}, " +
               s"main sv${p.schemaVersion}) — re-fork and replay")
+        // renames/drops are NOT rebasable: grafted files take a fresh
+        // main sequence, which the schema log would map to the
+        // POST-rename naming while their physical columns carry the
+        // fork-era names — no entry can represent that. Additive
+        // evolution (names stable) remains fine.
+        def naming(s: StructType) = s.fields
+          .flatMap(f => Projection.fieldId(f).map(_ -> f.name)).toMap
+        val forkNaming = naming(fork.schema)
+        if (head.schemaLog != fork.schemaLog ||
+            forkNaming.exists { case (id, n) => naming(head.schema).get(id).exists(_ != n) })
+          throw new IllegalStateException(
+            s"branch '$name' renamed or dropped columns since the fork — " +
+              "merge rebases appends only; fast-forward before main " +
+              "advances, or drop the branch and re-fork")
+        if (forkNaming.exists { case (id, n) => !naming(p.schema).get(id).contains(n) })
+          throw new IllegalStateException(
+            s"main renamed or dropped columns since branch '$name' forked — " +
+              "the branch's files carry the fork-era names; re-fork and replay")
         val (schema, schemaVersion) =
           if (branchEvolved) (head.schema, math.max(head.schemaVersion, p.schemaVersion))
           else (p.schema, p.schemaVersion)
@@ -1908,10 +2174,15 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
   def scanChangesBetween(fromVersion: Int, toVersion: Int): DataFrame =
     scanChangesBetweenImpl(fromVersion, toVersion,
       grouped = toVersion - fromVersion > GraftTable.GroupedChangelogThreshold &&
-        // the grouped plan reads raw file diffs; ranges touching
-        // merge-on-read state need the per-commit plan, which applies
-        // delete groups exactly (metadata-only check, O(range))
-        (fromVersion to toVersion).forall(v => log.read(v).deleteGroups.isEmpty))
+        // the grouped plan reads raw file diffs with ONE schema; ranges
+        // touching merge-on-read state need the per-commit plan (exact
+        // delete application), and ranges touching name-evolution
+        // history need it too (per-group physical-name mapping).
+        // Metadata-only check, O(range).
+        (fromVersion to toVersion).forall { v =>
+          val s = log.read(v)
+          s.deleteGroups.isEmpty && s.schemaLog.isEmpty
+        })
 
   /** Both changelog plan shapes, selected by range width above.
     *
@@ -2338,15 +2609,19 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     */
   private def maybeMergeGroups(schema: StructType, groups: Seq[FileGroup],
                                props: Map[String, String],
-                               dels: Seq[DeleteGroup]): Seq[FileGroup] = {
+                               dels: Seq[DeleteGroup],
+                               schemaLog: Seq[(Long, StructType)] = Nil): Seq[FileGroup] = {
     val threshold = props.get(GraftTable.MergeThresholdProp)
       .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(64)
     // While MoR delete groups are pending, groups with different data
     // seqs have different delete applicability — merging them into one
     // manifest (one seq) would change which rows the deletes hit.
     // Manifest merging simply pauses until compaction purges the
-    // deletes (the MoR state is transient by design).
-    if (groups.size <= threshold || dels.nonEmpty) groups
+    // deletes (the MoR state is transient by design). Same pause while
+    // name-evolution history is live: merging groups from both sides
+    // of a rename boundary to the min seq would map the newer files to
+    // the OLD naming.
+    if (groups.size <= threshold || dels.nonEmpty || schemaLog.nonEmpty) groups
     else {
       // merge the smallest groups down to half the threshold, keeping
       // the biggest manifests untouched (they'd dominate rewrite cost).
@@ -2374,10 +2649,11 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     log.commit { parent =>
       parent match {
         case Some(p) =>
+          snap.foreach(requireStableNames(p, _, op)) // files carry analyzed names
           val ns = p.lastSeq + 1
           val groups = maybeMergeGroups(p.schema,
             groupsOf(Some(p), newGroup.withSeq(ns)),
-            p.properties ++ props, p.deleteGroups)
+            p.properties ++ props, p.deleteGroups, p.schemaLog)
           p.copy(
             snapshotId = newSnapshotId(),
             operation = op,

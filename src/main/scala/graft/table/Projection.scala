@@ -69,7 +69,8 @@ object Projection {
     * schema via the parquet reader's native upcast (no rewrite).
     * Returns None when nothing changes.
     */
-  def evolve(current: StructType, incoming: StructType): Option[StructType] = {
+  def evolve(current: StructType, incoming: StructType,
+             minFieldId: Long = 0L): Option[StructType] = {
     var widenedAny = false
     val widened = current.fields.map { cf =>
       incoming.fields.find(_.name.equalsIgnoreCase(cf.name)) match {
@@ -83,7 +84,11 @@ object Projection {
     val newFields = incoming.fields.filterNot(f => existingNames.contains(f.name.toLowerCase))
     if (newFields.isEmpty && !widenedAny) None
     else {
-      var nextId = maxFieldId(current) + 1
+      // `minFieldId` floors the assignment above every id the table's
+      // naming history ever used: a DROPPED column's id must never be
+      // recycled, or the by-id physical-name mapping would resurrect
+      // the dead column's values from pre-drop files
+      var nextId = math.max(maxFieldId(current), minFieldId) + 1
       val appended = newFields.map { f =>
         val m = new MetadataBuilder()
           .withMetadata(f.metadata)

@@ -524,6 +524,34 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT v FROM graft.nsgp.t WHERE id = 1").head.getLong(0) shouldBe 99L
   }
 
+  test("ALTER TABLE RENAME/DROP COLUMN: metadata-only, old files mapped by field id") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsrc")
+    spark.sql("CREATE TABLE graft.nsrc.t (id BIGINT, v STRING, n BIGINT)")
+    spark.sql("INSERT INTO graft.nsrc.t VALUES (1,'a',10), (2,'b',20)")
+    val filesBefore = spark.sql("SELECT path FROM graft.nsrc.t.files").collect()
+      .map(_.getString(0)).toSet
+    spark.sql("ALTER TABLE graft.nsrc.t RENAME COLUMN v TO label")
+    // zero data files rewritten
+    spark.sql("SELECT path FROM graft.nsrc.t.files").collect()
+      .map(_.getString(0)).toSet shouldBe filesBefore
+    // pre-rename values surface under the new name, filters included
+    spark.sql("SELECT label FROM graft.nsrc.t ORDER BY id").collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("a", "b")
+    spark.sql("SELECT id FROM graft.nsrc.t WHERE label = 'b'")
+      .head.getLong(0) shouldBe 2L
+    // new-era writes + mixed-era scan
+    spark.sql("INSERT INTO graft.nsrc.t VALUES (3,'c',30)")
+    spark.sql("SELECT label FROM graft.nsrc.t ORDER BY id").collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("a", "b", "c")
+    // drop is metadata-only too; the column disappears from reads
+    spark.sql("ALTER TABLE graft.nsrc.t DROP COLUMN n")
+    spark.sql("DESCRIBE TABLE graft.nsrc.t").collect()
+      .map(_.getString(0)).filter(_.nonEmpty) should not contain "n"
+    spark.sql("SELECT * FROM graft.nsrc.t").columns.toSeq shouldBe Seq("id", "label")
+    // aggregates over mixed eras stay exact
+    spark.sql("SELECT COUNT(*), MIN(label) FROM graft.nsrc.t").head.getString(1) shouldBe "a"
+  }
+
   test("runtime (DPP-style) join filters reach the native scan") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dpp")
     spark.sql(

@@ -1581,4 +1581,122 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     t2.scan().select("id").as[Long].collect().toSet shouldBe
       ((1L to 20L).toSet -- Set(9L, 13L))
   }
+
+  test("renameColumn is metadata-only: old files read back under the new name") {
+    val t = cat().ensure(TableIdent("ns", "trn1"))
+    t.append(df(d1, d2))
+    val before = t.currentOrFail().files.map(_.path).toSet
+    val snap = t.renameColumn("name", "label")
+    snap.operation shouldBe "rename-column"
+    snap.files.map(_.path).toSet shouldBe before // zero rewrites
+    snap.schemaLog should have size 1
+    t.scan().columns should contain("label")
+    t.scan().columns should not contain "name"
+    // pre-rename values surface under the new name
+    t.scan().orderBy("id").select("label").collect().map(_.getString(0)).toSeq shouldBe
+      Seq("a", "b")
+    // new writes use the new name; both eras scan together
+    val s = spark
+    import s.implicits._
+    t.append(Seq((3L, "2024-02-01", "c")).toDF("id", "day", "label"))
+    t.scan().orderBy("id").select("label").collect().map(_.getString(0)).toSeq shouldBe
+      Seq("a", "b", "c")
+    // filters on the renamed column hit both eras
+    t.scan().where(col("label") === "a").count() shouldBe 1
+    // time travel to the pre-rename version still shows the old name
+    t.scanAsOfVersion(0).columns should contain("name")
+    // renaming BACK to the former name is fine (same field id)
+    t.renameColumn("label", "name")
+    t.scan().orderBy("id").select("name").collect().map(_.getString(0)).toSeq shouldBe
+      Seq("a", "b", "c")
+  }
+
+  test("dropColumn hides the column; its old name stays blocked until compact") {
+    val t = cat().ensure(TableIdent("ns", "trn2"))
+    t.append(df(d1, d2))
+    val snap = t.dropColumn("name")
+    snap.schema.fieldNames.toSeq shouldBe Seq("id", "day")
+    t.scan().columns should not contain "name"
+    t.scan().count() shouldBe 2
+    // re-adding the dropped name would let old zone maps/values
+    // resurface with the dead meaning — blocked while old files live
+    val e = intercept[Exception] {
+      t.evolveSchema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType))))
+    }
+    e.getMessage should include("compact")
+    // compaction rewrites the files with the current columns and frees
+    // the name (the schema log prunes itself in the same commit)
+    t.compact()
+    t.currentOrFail().schemaLog shouldBe empty
+    t.evolveSchema(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType))))
+    // the re-added column is NULL everywhere — dead values never return
+    t.scan().where(col("name").isNotNull).count() shouldBe 0
+  }
+
+  test("rename preconditions: pending MoR deletes, partition sources, used names") {
+    val s = spark
+    import s.implicits._
+    val c = cat()
+    val t = c.ensure(TableIdent("ns", "trn3"), partitionSpec = Some("day(ts)"))
+    t.append(Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "x"))
+      .toDF("id", "ts", "v"))
+    // partition-spec source is physical layout: rejected
+    intercept[Exception] {
+      t.renameColumn("ts", "event_ts")
+    }.getMessage should include("partition-spec source")
+    // a name already in the schema: rejected
+    intercept[Exception] {
+      t.renameColumn("v", "id")
+    }.getMessage should include("already exists")
+    // pending merge-on-read deletes reference names: rejected
+    t.updateProperties(Map(graft.table.GraftTable.DeleteModeProp -> "mor"))
+    t.deleteWhere("v = 'zzz-nomatch'") // records a predicate delete group
+    if (t.currentOrFail().deleteGroups.nonEmpty) {
+      intercept[Exception] {
+        t.renameColumn("v", "w")
+      }.getMessage should include("pending merge-on-read deletes")
+    }
+  }
+
+  test("changelog stays exact across a rename; name-reuse after rename is blocked") {
+    val s = spark
+    import s.implicits._
+    val t = cat().ensure(TableIdent("ns", "trn4"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // v0
+    t.renameColumn("v", "w")                             // v1
+    t.append(Seq((3L, "c")).toDF("id", "w"))             // v2
+    // per-commit changelog reads v0's files with the END naming: the
+    // physical column 'v' maps to 'w' by field id
+    val ch = t.scanChangesBetween(0, 2)
+    ch.columns should contain("w")
+    ch.where(col("_change_type") === "insert")
+      .select("w").collect().map(_.getString(0)).toSet shouldBe Set("c")
+    // while the pre-rename file lives, a new column may not take the
+    // retired name (its zone maps carry the old meaning)
+    intercept[Exception] {
+      t.evolveSchema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))))
+    }.getMessage should include("previously used")
+    // a post-rename delete rewriting a PRE-rename file: the delete side
+    // reads the OLD-named file and maps values to the new name; the
+    // insert side re-adds the survivors (CoW file-diff semantics)
+    t.deleteWhere("w = 'a'") // v3: rewrites the only pre-rename file
+    val chg = t.scanChangesBetween(2, 3)
+    chg.where(col("_change_type") === "delete")
+      .select("w").collect().map(_.getString(0)).toSet shouldBe Set("a", "b")
+    chg.where(col("_change_type") === "insert")
+      .select("w").collect().map(_.getString(0)).toSet shouldBe Set("b")
+    // that rewrite replaced the last old-named file, so the schema log
+    // pruned itself in the same commit and the retired name is free
+    t.currentOrFail().schemaLog shouldBe empty
+    t.evolveSchema(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType))))
+    t.scan().where(col("v").isNotNull).count() shouldBe 0
+  }
 }

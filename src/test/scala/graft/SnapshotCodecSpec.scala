@@ -37,6 +37,24 @@ class SnapshotCodecSpec extends AnyFunSuite with Matchers {
     Snapshot.fromJson(Snapshot.toJson(s), manifests) shouldBe s
   }
 
+  test("schema log (name-evolution history) round-trips with field ids") {
+    val old = Projection.assignFieldIds(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ts", TimestampNTZType),
+      StructField("v_old", ArrayType(FloatType)))))
+    val s = sample.copy(schemaLog = Seq(5L -> old), lastSeq = 7L)
+    val rt = Snapshot.fromJson(Snapshot.toJson(s), manifests)
+    rt shouldBe s
+    rt.schemaLog.head._1 shouldBe 5L
+    Projection.fieldId(rt.schemaLog.head._2.fields(2)) shouldBe
+      Projection.fieldId(old.fields(2))
+    // writeSchemaFor: first covering entry, else current
+    rt.writeSchemaFor(3L).fieldNames should contain("v_old")
+    rt.writeSchemaFor(6L).fieldNames should contain("v")
+    // legacy snapshots (no schema_log key) parse as empty
+    Snapshot.fromJson(Snapshot.toJson(sample), manifests).schemaLog shouldBe empty
+  }
+
   test("snapshot JSON stores manifest references, never inline file lists") {
     val json = Snapshot.toJson(sample)
     json should include("m-aa.json")
