@@ -2476,20 +2476,49 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     // the groupBy and the victim join don't re-read the table twice
     val Seq(h1, h2, hl) =
       graft.operators.Dedup.exactKeyExprs(dcols.map(c => col(s"`$c`")))
-    // flat sortable address (file key padded with the row index) keeps
-    // the keeper aggregation in HashAggregate — min over a STRUCT
-    // would fall back to sort-based aggregation
-    val addr = concat(fk, lit("\u0000"), lpad(pos.cast("string"), 18, "0"))
+    // NUMERIC flat address: (dense file index << 40) | row index. A
+    // string address (file key + padded pos) would demote the keeper
+    // aggregation to SortAggregate — min over a var-length type has no
+    // mutable agg buffer — costing two full sorts of every occurrence;
+    // min over a LONG stays in codegen'd HashAggregate with map-side
+    // combine, and the shuffle carries 8 bytes instead of ~60. The
+    // file-index attach and the decode back to (file key, pos) are
+    // broadcast joins against a #files-row metadata frame.
+    require(snap.files.size < (1 << 22),
+      s"dedupTable: ${snap.files.size} files exceed the 2^22 address space")
+    require(snap.files.forall(_.rows < (1L << 40)),
+      "dedupTable: a file exceeds 2^40 rows")
+    val fileIdxDf = spark.createDataFrame(
+      snap.files.zipWithIndex.map { case (f, i) => (fileKeyOf(f.path), i.toLong) })
+      .toDF(PositionDeleteGroup.FileKeyCol, "_fidx")
+    val addr = shiftleft(col("_fidx"), 40).bitwiseOR(pos)
+    // checkpointed once: digests + addresses only — 32 B/row — feed
+    // both the dup-group aggregation and the victim join without
+    // re-reading (and re-hashing) the table twice
     val occ = readFilesMoRPos(snap, snap.files, snap.schema)
-      .select(h1.as("_h1"), h2.as("_h2"), hl.as("_hl"),
-        addr.as("_addr"), fk, pos)
+      .join(broadcast(fileIdxDf), PositionDeleteGroup.FileKeyCol)
+      .select(h1.as("_h1"), h2.as("_h2"), hl.as("_hl"), addr.as("_addr"))
       .localCheckpoint()
+    // duplicated identities only — checkpointed so the victims join
+    // sees its true (small) size, and so a dup-free table exits before
+    // planning any victim work at all
     val dupGroups = occ.groupBy("_h1", "_h2", "_hl")
       .agg(min(col("_addr")).as("_keep"), count(lit(1)).as("_n"))
       .where(col("_n") > 1)
       .select(col("_h1"), col("_h2"), col("_hl"), col("_keep"))
-    val victims = occ.join(dupGroups, Seq("_h1", "_h2", "_hl"))
+      .localCheckpoint()
+    val nDup = dupGroups.count()
+    if (nDup == 0L) return snap
+    // .rdd-materialized plans skip AQE, so the planner never sees that
+    // the dup-group side is tiny — pick the broadcast explicitly below
+    // a safe bound (32 B/row -> ~64 MB at the bound), fall back to the
+    // shuffle join when dup volume is genuinely large
+    val dgSide = if (nDup <= 2000000L) broadcast(dupGroups) else dupGroups
+    val victims = occ.join(dgSide, Seq("_h1", "_h2", "_hl"))
       .where(col("_addr") =!= col("_keep"))
+      .select(shiftrightunsigned(col("_addr"), 40).as("_fidx"),
+        col("_addr").bitwiseAND(lit((1L << 40) - 1)).as(PositionDeleteGroup.PosCol))
+      .join(broadcast(fileIdxDf), "_fidx")
       .select(fk, pos)
       .localCheckpoint() // one evaluation: emptiness probe + manifest write
     val nVictims = victims.count()
