@@ -155,8 +155,11 @@ case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan]
           case a => throw new UnsupportedOperationException(
             s"unsupported MERGE action: $a")
         }
-        // equality conjuncts (any names) feed partition pruning only
-        val prunePairs = splitConjunctivePredicates(m.mergeCondition).flatMap {
+        // equality conjuncts (any names) feed partition pruning; when
+        // they ARE the whole condition, the table layer may take the
+        // merge-on-read path (append outcomes + mask affected keys)
+        val conjuncts = splitConjunctivePredicates(m.mergeCondition)
+        val prunePairs = conjuncts.flatMap {
           case EqualTo(l, r) => (stripCastE(l), stripCastE(r)) match {
             case (a: AttributeReference, b: AttributeReference)
                 if targetOut.contains(a) && sourceOut.contains(b) =>
@@ -172,7 +175,8 @@ case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan]
           m.matchedActions.map(clauseOf(_, "MATCHED")),
           m.notMatchedActions.map(clauseOf(_, "NOT MATCHED")),
           m.notMatchedBySourceActions.map(clauseOf(_, "NOT MATCHED BY SOURCE")),
-          prunePairs)
+          prunePairs,
+          equiCondition = prunePairs.nonEmpty && prunePairs.size == conjuncts.size)
       }
 
     case u @ UpdateTable(target, assignments, condition)
@@ -259,7 +263,8 @@ case class GraftMergeRowsCommand(table: GraftV2Table, source: LogicalPlan,
                                  matched: Seq[graft.table.MergeClause],
                                  notMatched: Seq[graft.table.MergeClause],
                                  notMatchedBySource: Seq[graft.table.MergeClause],
-                                 pruneKeys: Seq[(String, String)])
+                                 pruneKeys: Seq[(String, String)],
+                                 equiCondition: Boolean = false)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
@@ -267,7 +272,7 @@ case class GraftMergeRowsCommand(table: GraftV2Table, source: LogicalPlan,
     val src = org.apache.spark.sql.GraftSqlShim.ofRows(spark, source)
     val renamed = src.toDF(src.columns.indices.map(i => s"_s_$i"): _*)
     table.underlying.mergeRows(renamed, condSql, matched, notMatched,
-      notMatchedBySource, pruneKeys)
+      notMatchedBySource, pruneKeys, equiCondition)
     Nil
   }
 

@@ -492,6 +492,73 @@ object TableQueries {
               |      FROM lineitem)
               |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // The general MERGE's merge-on-read path: same conditional clause
+    // matrix as q97 minus NOT MATCHED BY SOURCE (which needs the whole
+    // table by definition), on a mor-mode table — outcomes appended +
+    // affected keys masked, ZERO target rewrites (asserted in-plan),
+    // and the SAME oracle shape as the copy-on-write path: the two
+    // execution strategies must be observationally identical.
+    "q99_merge_mor" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq99").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq99", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq99.warehouse",
+            Files.createTempDirectory("graft-merge-mor").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq99.bench")
+        s.sql("DROP TABLE IF EXISTS graftq99.bench.ord")
+        s.sql("""CREATE TABLE graftq99.bench.ord
+                |(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        t(s, dir, "orders").createOrReplaceTempView("q99_orders")
+        s.sql("""INSERT INTO graftq99.bench.ord
+                |SELECT o_orderkey, o_orderstatus, o_totalprice FROM q99_orders""".stripMargin)
+        s.sql("""SELECT o_orderkey AS k, o_totalprice + 100 AS p
+                |FROM q99_orders WHERE o_orderkey % 3 = 0
+                |UNION ALL
+                |SELECT o_orderkey + 100000000 AS k, o_totalprice AS p
+                |FROM q99_orders WHERE o_orderkey % 5 = 0""".stripMargin)
+          .createOrReplaceTempView("q99_src")
+        val cat = GraftCatalog(s, s.conf.get("spark.sql.catalog.graftq99.warehouse"))
+        val tbl = cat.load(TableIdent("bench", "ord"))
+        val before = tbl.currentOrFail().files.map(_.path).toSet
+        s.sql("""MERGE INTO graftq99.bench.ord t USING q99_src s
+                |ON t.o_orderkey = s.k
+                |WHEN MATCHED AND t.o_totalprice < 50000 THEN UPDATE SET o_totalprice = s.p
+                |WHEN MATCHED AND t.o_totalprice >= 150000 THEN DELETE
+                |WHEN NOT MATCHED AND s.p > 100000 THEN
+                |  INSERT (o_orderkey, o_orderstatus) VALUES (s.k, 'N')""".stripMargin)
+        val snap = tbl.currentOrFail()
+        require(before.subsetOf(snap.files.map(_.path).toSet),
+          "merge-on-read MERGE rewrote target files")
+        require(snap.deleteGroups.nonEmpty, "MoR MERGE recorded no delete group")
+        s.sql("""SELECT o_orderstatus, COUNT(*) AS n,
+                |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                |  COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END) AS n_null
+                |FROM graftq99.bench.ord
+                |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      },
+      Some("""WITH upd AS (
+             |  SELECT o_orderkey AS k, o_totalprice + 100 AS p
+             |  FROM orders WHERE o_orderkey % 3 = 0
+             |), kept AS (
+             |  SELECT o.o_orderstatus AS st,
+             |    CASE WHEN u.k IS NOT NULL AND o.o_totalprice < 50000 THEN u.p
+             |         ELSE o.o_totalprice END AS p,
+             |    (u.k IS NOT NULL AND NOT (o.o_totalprice < 50000)
+             |       AND o.o_totalprice >= 150000) AS del
+             |  FROM orders o LEFT JOIN upd u ON o.o_orderkey = u.k
+             |), allrows AS (
+             |  SELECT st, p FROM kept WHERE NOT del
+             |  UNION ALL
+             |  SELECT 'N' AS st, NULL AS p FROM orders
+             |  WHERE o_orderkey % 5 = 0 AND o_totalprice > 100000
+             |)
+             |SELECT st AS o_orderstatus, COUNT(*) AS n,
+             |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  COUNT(CASE WHEN p IS NULL THEN 1 END) AS n_null
+             |FROM allrows GROUP BY st ORDER BY o_orderstatus""".stripMargin)),
+
     // Metadata-only column rename: era-1 files keep the old physical
     // name, era-2 files carry the new one, and the scan maps both by
     // field id — zero rewrites (asserted in-plan). Values are

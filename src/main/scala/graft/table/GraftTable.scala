@@ -661,7 +661,8 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
   def mergeRows(source: DataFrame, condSql: String,
                 matched: Seq[MergeClause], notMatched: Seq[MergeClause],
                 notMatchedBySource: Seq[MergeClause],
-                pruneKeys: Seq[(String, String)] = Nil): Snapshot = {
+                pruneKeys: Seq[(String, String)] = Nil,
+                equiCondition: Boolean = false): Snapshot = {
     val snap = currentOrFail()
     val specs = partitionFields()
     val fields = snap.schema.fields.toSeq
@@ -709,6 +710,93 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
             "source on the merge keys")
     }
 
+    // Unmatched-source inserts, first-match-wins across NOT MATCHED
+    // clauses; unassigned columns null-fill (SQL standard). Lazy plan —
+    // shared by the merge-on-read and copy-on-write paths below.
+    val inserts: Option[DataFrame] =
+      if (notMatched.isEmpty) None
+      else {
+        val fullTarget = scanSnapshot(snap).select(
+          fields.map(f => col(s"`${f.name}`").as("_t_" + f.name)): _*)
+        val unmatchedSrc = src.join(fullTarget, joinCond, "left_anti")
+        val sel = notMatched.zipWithIndex.foldRight(lit(-1)) {
+          case ((c, i), acc) => when(clauseCond(c), lit(i)).otherwise(acc)
+        }
+        val rows = unmatchedSrc.withColumn("_clause", sel).where(col("_clause") >= 0)
+        Some(rows.select(fields.map { f =>
+          notMatched.zipWithIndex.foldRight(lit(null).cast(f.dataType)) {
+            case ((c, i), acc) => assignFor(c, f) match {
+              case Some(vs) =>
+                when(col("_clause") === i, expr(vs).cast(f.dataType)).otherwise(acc)
+              case None => acc
+            }
+          }.as(f.name)
+        }: _*))
+      }
+
+    // Merge-on-read general merge: when the ON condition is PURE key
+    // equality, no NOT MATCHED BY SOURCE clause exists, and the touched
+    // bytes clear the threshold, the merge commits O(affected + source)
+    // instead of rewriting files: affected matched rows are read
+    // (partition-pruned), their clause outcomes appended at a fresh
+    // sequence, and their keys masked by an equality-delete group at
+    // the SAME sequence — the Iceberg MoR MERGE shape generalized to
+    // conditional clauses. A matched row no clause touches keeps its
+    // key OUT of the mask and survives untouched (keys ARE the full ON
+    // condition, so every row sharing an affected key was matched and
+    // got an outcome). Updated values may derive from target columns,
+    // so like MoR UPDATE any racing data commit aborts loudly.
+    if (equiCondition && notMatchedBySource.isEmpty && matched.nonEmpty &&
+        pruneKeys.nonEmpty && rewriteSet.nonEmpty &&
+        chooseMor(snap, rewriteSet.map(_.sizeBytes).sum)) {
+      val tagged = prefixedTarget(rewriteSet).join(src, joinCond, "inner")
+        .withColumn("_clause", clauseSelector(matched, Nil, clauseCond, lit(true)))
+        .where(col("_clause") >= 0)
+        .localCheckpoint() // one evaluation: outcomes + keys + emptiness
+      val keyCols = pruneKeys.map(_._1)
+        .map(k => fields.find(_.name.equalsIgnoreCase(k)).get.name)
+      if (tagged.isEmpty) {
+        // zone/partition false positive or all clause conditions false:
+        // only the insert side can contribute
+        inserts match {
+          case None => return snap
+          case Some(ins) =>
+            val chk = ins.localCheckpoint()
+            if (chk.isEmpty) return snap
+            return appendMergeCommit(snap, chk, specs, Set.empty)
+        }
+      }
+      val updated = applyClauseChain(fields, tagged, matched, Nil)
+      val affectedKeys = tagged
+        .select(keyCols.map(k => col(s"`_t_$k`").as(k)): _*).distinct()
+      val morRows = (Seq(updated) ++ inserts.toSeq).reduce(_.unionByName(_))
+      val dataGroup = writeDataFiles(morRows, snap.schema, specs)
+      val keyGroup = writeDataFiles(affectedKeys,
+        deleteKeySchema(snap, keyCols), Nil)
+      val analyzed = rewriteSet.map(_.path).toSet
+      val knownManifests = snap.fileGroups.map(_.manifest).toSet
+      return log.commit { parent =>
+        val p = parent.getOrElse(snap)
+        // appended outcomes DERIVE from the analyzed files: a racing
+        // rewrite/delete of them would be resurrected — conflict
+        requireNoConflict(p, analyzed, "merge")
+        requireNoNewDeletes(p, snap, "merge")
+        if (p.fileGroups.exists(g => !knownManifests(g.manifest)))
+          throw new java.util.ConcurrentModificationException(
+            "merge-on-read merge conflicts with a concurrent data " +
+              "commit; re-run against the latest snapshot")
+        val ns = p.lastSeq + 1
+        val groups = p.fileGroups :+ dataGroup.withSeq(ns)
+        p.copy(
+          snapshotId = newSnapshotId(),
+          operation = "merge",
+          fileGroups = groups,
+          deleteGroups = purgeDeletes(groups, p.deleteGroups) :+
+            EqualityDeleteGroup(ns, keyCols, keyGroup.withSeq(ns)),
+          lastSeq = ns)
+      }
+    }
+
     // Rewritten survivors of the touched files, projected back to the
     // plain target schema.
     val kept: Option[DataFrame] =
@@ -733,29 +821,6 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         val tagged = joined.withColumn("_clause",
           clauseSelector(matched, notMatchedBySource, clauseCond, mExists))
         Some(applyClauseChain(fields, tagged, matched, notMatchedBySource))
-      }
-
-    // Unmatched-source inserts, first-match-wins across NOT MATCHED
-    // clauses; unassigned columns null-fill (SQL standard).
-    val inserts: Option[DataFrame] =
-      if (notMatched.isEmpty) None
-      else {
-        val fullTarget = scanSnapshot(snap).select(
-          fields.map(f => col(s"`${f.name}`").as("_t_" + f.name)): _*)
-        val unmatchedSrc = src.join(fullTarget, joinCond, "left_anti")
-        val sel = notMatched.zipWithIndex.foldRight(lit(-1)) {
-          case ((c, i), acc) => when(clauseCond(c), lit(i)).otherwise(acc)
-        }
-        val rows = unmatchedSrc.withColumn("_clause", sel).where(col("_clause") >= 0)
-        Some(rows.select(fields.map { f =>
-          notMatched.zipWithIndex.foldRight(lit(null).cast(f.dataType)) {
-            case ((c, i), acc) => assignFor(c, f) match {
-              case Some(vs) =>
-                when(col("_clause") === i, expr(vs).cast(f.dataType)).otherwise(acc)
-              case None => acc
-            }
-          }.as(f.name)
-        }: _*))
       }
 
     if (kept.isEmpty && inserts.isEmpty) return snap

@@ -498,6 +498,44 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT count(*) FROM graft.nsgm.t").head.getLong(0) shouldBe 3L
   }
 
+  test("general MERGE takes the merge-on-read path: outcomes appended, keys masked, zero rewrites") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsgmm")
+    spark.sql(
+      """CREATE TABLE graft.nsgmm.t (id BIGINT, v STRING, n BIGINT)
+        |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft.nsgmm.t VALUES (1,'a',10), (2,'b',20), (3,'c',30), (4,'d',40)")
+    import spark.implicits._
+    Seq((1L, 111L), (2L, 222L), (3L, 333L), (9L, 900L))
+      .toDF("id", "n").createOrReplaceTempView("gmm_src")
+    val tbl = graft.table.GraftCatalog(spark,
+        spark.conf.get("spark.sql.catalog.graft.warehouse"))
+      .load(graft.table.TableIdent("nsgmm", "t"))
+    val before = tbl.currentOrFail().files.map(_.path).toSet
+    spark.sql(
+      """MERGE INTO graft.nsgmm.t AS t USING gmm_src AS s ON t.id = s.id
+        |WHEN MATCHED AND t.n < 15 THEN UPDATE SET n = t.n + s.n
+        |WHEN MATCHED AND s.n >= 300 THEN DELETE
+        |WHEN NOT MATCHED THEN INSERT (id, n) VALUES (s.id, s.n)""".stripMargin)
+    val snap = tbl.currentOrFail()
+    // zero target files rewritten: one append group + one key mask
+    before.subsetOf(snap.files.map(_.path).toSet) shouldBe true
+    snap.deleteGroups should not be empty
+    val rows = spark.sql("SELECT id, v, n FROM graft.nsgmm.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    rows shouldBe Seq(
+      (1L, Some("a"), Some(121L)), // first clause: 10 + 111
+      (2L, Some("b"), Some(20L)),  // matched, no clause applies: untouched
+      (4L, Some("d"), Some(40L)),  // unmatched target: untouched
+      (9L, None, Some(900L)))      // conditional insert, v null-filled
+    // id=3 deleted by the second clause; compact folds to CoW state
+    spark.sql("CALL graft.system.compact('nsgmm', 't', 1)")
+    tbl.currentOrFail().deleteGroups shouldBe empty
+    spark.sql("SELECT id FROM graft.nsgmm.t ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 4L, 9L)
+  }
+
   test("general MERGE prunes the rewrite to partitions the ON keys can touch") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsgp")
     spark.sql(
@@ -522,6 +560,26 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     d23Before.subsetOf(after) shouldBe true // untouched partitions carried over
     (after -- before).forall(_.contains("_p_day=d1")) shouldBe true
     spark.sql("SELECT v FROM graft.nsgp.t WHERE id = 1").head.getLong(0) shouldBe 99L
+  }
+
+  test("CTAS and REPLACE TABLE AS SELECT create populated graft tables") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsct")
+    spark.sql(
+      """CREATE TABLE graft.nsct.t AS
+        |SELECT id, CAST(id % 3 AS STRING) AS grp FROM range(0, 100)""".stripMargin)
+    spark.sql("SELECT COUNT(*) FROM graft.nsct.t").head.getLong(0) shouldBe 100L
+    spark.sql("SELECT COUNT(DISTINCT grp) FROM graft.nsct.t").head.getLong(0) shouldBe 3L
+    // partitioned CTAS: layout + pruning apply to the selected rows
+    spark.sql(
+      """CREATE TABLE graft.nsct.p PARTITIONED BY (grp) AS
+        |SELECT id, CAST(id % 4 AS STRING) AS grp FROM range(0, 80)""".stripMargin)
+    spark.sql("SELECT COUNT(*) FROM graft.nsct.p WHERE grp = '2'").head.getLong(0) shouldBe 20L
+    // RTAS replaces schema AND contents
+    spark.sql(
+      """CREATE OR REPLACE TABLE graft.nsct.t AS
+        |SELECT id AS k, id * 2 AS dbl FROM range(0, 10)""".stripMargin)
+    spark.sql("SELECT SUM(dbl) FROM graft.nsct.t").head.getLong(0) shouldBe 90L
+    spark.sql("SELECT * FROM graft.nsct.t").columns.toSeq shouldBe Seq("k", "dbl")
   }
 
   test("ALTER TABLE RENAME/DROP COLUMN: metadata-only, old files mapped by field id") {
