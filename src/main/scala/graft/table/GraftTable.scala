@@ -753,8 +753,10 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         .withColumn("_clause", clauseSelector(matched, Nil, clauseCond, lit(true)))
         .where(col("_clause") >= 0)
         .localCheckpoint() // one evaluation: outcomes + keys + emptiness
+      // distinct: `t.id = s.a AND t.id = s.b` yields the same target
+      // column twice — the mask tuple must name each column once
       val keyCols = pruneKeys.map(_._1)
-        .map(k => fields.find(_.name.equalsIgnoreCase(k)).get.name)
+        .map(k => fields.find(_.name.equalsIgnoreCase(k)).get.name).distinct
       if (tagged.isEmpty) {
         // zone/partition false positive or all clause conditions false:
         // only the insert side can contribute
@@ -2271,6 +2273,30 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     require(fromVersion <= toVersion, s"bad range: $fromVersion..$toVersion")
     val toSchema = log.read(toVersion).schema
     if (!grouped) {
+      // Read each commit under ITS OWN era's column names and alias to
+      // the end names only afterwards: the era snapshot's delete-group
+      // keys and predicates reference era names, so applying them to
+      // frames already renamed to the END schema would miss (or fail
+      // analysis on) columns renamed later in the range. The era
+      // schema maps every end field to its era name by field id; a
+      // field that didn't exist then (or existed under a different id)
+      // null-fills through the standard mapping machinery.
+      def eraPairs(s: Snapshot): Seq[(String, StructField)] =
+        toSchema.fields.toSeq.map { f =>
+          val eraName = Projection.fieldId(f).flatMap(id =>
+            s.schema.fields.find(g => Projection.fieldId(g).contains(id))
+              .map(_.name)).getOrElse(f.name)
+          (eraName, f)
+        }
+      def eraAligned(s: Snapshot, read: StructType => DataFrame): DataFrame = {
+        val pairs = eraPairs(s)
+        require(pairs.map(_._1.toLowerCase).distinct.size == pairs.size,
+          "changelog era-name collision; compact the table first")
+        // keep field metadata: the era read maps ITS older groups by id
+        read(StructType(pairs.map { case (n, f) =>
+          StructField(n, f.dataType, nullable = true, f.metadata) }))
+          .select(pairs.map { case (n, f) => col(s"`$n`").as(f.name) }: _*)
+      }
       val perCommit = (fromVersion until toVersion).map { v =>
         val prev = log.read(v)
         val cur = log.read(v + 1)
@@ -2280,15 +2306,17 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         // rows an earlier MoR delete already removed (prev's groups),
         // and the insert side must honor deletes applicable to re-added
         // groups (rollback re-adds carry their ORIGINAL seq)
-        val ins = readFilesMoR(cur, cur.files.filterNot(f => before.contains(f.path)), toSchema)
+        val ins = eraAligned(cur, sch =>
+          readFilesMoR(cur, cur.files.filterNot(f => before.contains(f.path)), sch))
           .withColumn("_change_type", lit("insert"))
-        val del = readFilesMoR(prev, prev.files.filterNot(f => after.contains(f.path)), toSchema)
+        val del = eraAligned(prev, sch =>
+          readFilesMoR(prev, prev.files.filterNot(f => after.contains(f.path)), sch))
           .withColumn("_change_type", lit("delete"))
         // merge-on-read deletes added by this commit emit their exact
         // pre-image (rows visible just before the commit that match)
         val prevSeqs = prev.deleteGroups.map(_.seq).toSet
         val morDels = cur.deleteGroups.filterNot(d => prevSeqs.contains(d.seq))
-          .map(d => morDeletedRows(cur, d, toSchema)
+          .map(d => eraAligned(cur, sch => morDeletedRows(cur, d, sch))
             .withColumn("_change_type", lit("delete")))
         (Seq(ins, del) ++ morDels).reduce(_.unionByName(_))
           .withColumn("_commit_version", lit(cur.version))
@@ -2305,6 +2333,11 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         a.deleteGroups.isEmpty && b.deleteGroups.isEmpty },
         "grouped changelog plan cannot span merge-on-read delete state; " +
           "use the per-commit plan (scanChangesBetween chooses it automatically)")
+      require(commits.forall { case (a, b) =>
+        a.schemaLog.isEmpty && b.schemaLog.isEmpty },
+        "grouped changelog plan cannot span column rename/drop history " +
+          "(it reads raw file diffs with one schema); use the per-commit " +
+          "plan (scanChangesBetween chooses it automatically)")
       val inserts = commits.flatMap { case (prev, cur) =>
         val before = prev.files.map(_.path).toSet
         cur.files.filterNot(f => before.contains(f.path)).map(f => cur.version -> f)

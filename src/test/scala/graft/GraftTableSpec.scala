@@ -1675,6 +1675,25 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     ch.columns should contain("w")
     ch.where(col("_change_type") === "insert")
       .select("w").collect().map(_.getString(0)).toSet shouldBe Set("c")
+    // changelog spanning [MoR-delete era ... rename]: the delete
+    // commit's pre-image emission must evaluate its era-named key
+    // against era-named rows, then surface under the END name
+    val t2 = cat().ensure(TableIdent("ns", "trn4b"))
+    t2.append(Seq((1L, "p"), (2L, "q"), (3L, "r")).toDF("id", "v")) // v0
+    t2.updateProperties(Map(graft.table.GraftTable.DeleteModeProp -> "mor")) // v1
+    t2.deleteByKeys(Seq(2L).toDF("id"), Seq("id"))                  // v2: MoR delete
+    t2.rewriteDeletes()                                             // v3: fold -> no pending
+    t2.renameColumn("v", "w")                                       // v4
+    t2.append(Seq((4L, "s")).toDF("id", "w"))                       // v5
+    val ch2 = t2.scanChangesBetween(0, 5)
+    ch2.columns should contain("w")
+    ch2.where(col("_change_type") === "delete")
+      .select("id").collect().map(_.getLong(0)).toSet should contain(2L)
+    ch2.where(col("_change_type") === "insert" && col("_commit_version") === 5)
+      .select("w").collect().map(_.getString(0)).toSeq shouldBe Seq("s")
+    // net state via the changelog's own rows matches the table
+    t2.scan().select("id").as[Long].collect().toSet shouldBe Set(1L, 3L, 4L)
+
     // while the pre-rename file lives, a new column may not take the
     // retired name (its zone maps carry the old meaning)
     intercept[Exception] {
