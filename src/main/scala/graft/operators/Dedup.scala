@@ -684,4 +684,50 @@ object Dedup {
         (col("_n") - coalesce(col("kept_chunks"), lit(0L))).as("dropped_chunks"),
         coalesce(col("dedup_text"), lit("")).as("dedup_text"))
   }
+
+  /** SemDeDup-style semantic deduplication (the modern web-corpus
+    * pruning step): k-means cluster the embedding column
+    * ([[Similarity.ivfIndex]] — centroids trained on a
+    * hash-deterministic subsample, full corpus assigned map-side), then
+    * WITHIN each cluster drop every row whose cosine similarity to a
+    * LOWER-id row of the same cluster exceeds `threshold`. Returns the
+    * survivors (all input columns).
+    *
+    * Scale shape: pairwise work never leaves a cluster block — the
+    * self-join keys on `_cell`, so expected cost is corpus²/k, not
+    * corpus², and each block is one hash-join partition. A degenerate
+    * clustering (one giant cluster) would silently reintroduce the
+    * all-pairs blowup, so cluster sizes are checked and a cluster whose
+    * pair count exceeds `maxClusterPairs` fails loudly with the `k`
+    * remedy instead of melting the shuffle. Identical embeddings always
+    * co-cluster (same vector ⇒ same nearest centroid), so exact
+    * duplicates are guaranteed caught; near-duplicates follow the
+    * SemDeDup assumption that semantic neighbors share a cluster.
+    */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+                    k: Int = 64, threshold: Double = 0.999,
+                    maxClusterPairs: Long = 100000000L): DataFrame = {
+    val (assigned0, _) = Similarity.ivfIndex(df, vecCol, idCol, k)
+    val assigned = assigned0.select(
+      col(idCol), col(vecCol), col("_cell")).localCheckpoint()
+    val oversize = assigned.groupBy(col("_cell"))
+      .agg(count(lit(1)).as("_n"))
+      .where(col("_n") * col("_n") > maxClusterPairs)
+      .limit(1).collect()
+    if (oversize.nonEmpty)
+      throw new IllegalStateException(
+        s"semanticDedup: cluster ${oversize.head.get(0)} holds " +
+          s"${oversize.head.getLong(1)} rows — its pairwise block exceeds " +
+          s"maxClusterPairs=$maxClusterPairs; raise k (currently $k) or " +
+          "the cap")
+    val a = assigned.select(col("_cell"), col(idCol).as("_id_a"),
+      col(vecCol).as("_v_a"))
+    val b = assigned.select(col("_cell"), col(idCol).as("_id_b"),
+      col(vecCol).as("_v_b"))
+    val victims = a.join(b, Seq("_cell"))
+      .where(col("_id_b") < col("_id_a") &&
+        Similarity.cosine(col("_v_a"), col("_v_b")) > threshold)
+      .select(col("_id_a").as(idCol)).distinct()
+    df.join(victims, Seq(idCol), "left_anti")
+  }
 }

@@ -992,6 +992,31 @@ object PipelineQueries {
              |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
              |ORDER BY id_a""".stripMargin)),
 
+    // SemDeDup semantic dedup: plant exact copies of the corpus under
+    // offset ids. Identical vectors always co-cluster (same vector =>
+    // same nearest centroid) and cosine(v, v) = 1 > 0.999, so every
+    // copy is provably dropped in favor of its lower-id original, while
+    // random 64-dim embeddings never reach 0.999 pairwise — survivors
+    // are exactly the originals (plus copies of all-zero vectors, whose
+    // guarded cosine is 0; the oracle carries the same branch).
+    "q100_semantic_dedup" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").where(col("vec_id") < 150)
+          .select(col("vec_id"), col("embedding"))
+        val copies = e.withColumn("vec_id", col("vec_id") + 100000)
+        Dedup.semanticDedup(e.unionByName(copies), "embedding", "vec_id",
+          k = 8, threshold = 0.999)
+          .select(col("vec_id"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id FROM embeddings WHERE vec_id < 150
+             |UNION ALL
+             |SELECT vec_id + 100000 AS vec_id FROM embeddings
+             |WHERE vec_id < 150
+             |  AND list_sum(list_transform(embedding,
+             |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+             |ORDER BY vec_id""".stripMargin)),
+
     // ---- similarity search -------------------------------------------
 
     // brute-force cosine scores against a fixed query vector

@@ -2533,10 +2533,11 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
   }
 
   /** Remove duplicate row OCCURRENCES in place, keeping exactly ONE
-    * deterministic survivor per identity — the minimum (file-key,
-    * position) address, which is stable across re-runs but NOT
-    * ingestion order (file keys are UUID-named; use a timestamp column
-    * in `cols`' comparison semantics if oldest-wins matters) —
+    * deterministic survivor per identity — the minimum (snapshot
+    * file-list index, position) address, which is stable across
+    * re-runs of the same snapshot but NOT ingestion order (use a
+    * timestamp column in `cols`' comparison semantics if oldest-wins
+    * matters) —
     * committed as a POSITION-delete group with ZERO data files
     * rewritten. This is the one delete shape that can drop one copy of
     * a row while keeping another (an equality or predicate delete

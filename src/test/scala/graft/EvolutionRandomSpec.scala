@@ -47,8 +47,9 @@ class EvolutionRandomSpec extends AnyFunSuite with Matchers {
         fs.map { f =>
           if (rnd.nextInt(6) == 0) null
           else f.dataType match {
-            case LongType => rnd.nextInt(100).toLong
-            case _        => Seq("p", "q", "r")(rnd.nextInt(3))
+            case LongType    => rnd.nextInt(100).toLong
+            case IntegerType => rnd.nextInt(100)
+            case _           => Seq("p", "q", "r")(rnd.nextInt(3))
           }
         }
       }
@@ -109,19 +110,27 @@ class EvolutionRandomSpec extends AnyFunSuite with Matchers {
             // dead values stay recorded under the dead id; projection
             // onto the current schema hides them — exactly the contract
           }
-        case 4 => // add a pool-named long column (may be blocked by history)
+        case 4 => // add a pool-named numeric column (may be blocked by
+          // history), OR widen an existing int column to long — widening
+          // composes with renames: the field id and value survive both
           val name = namePool(rnd.nextInt(namePool.size))
-          if (!fields.exists(_.name.equalsIgnoreCase(name)))
-            tryEvolve(tbl.evolveSchema(StructType(Seq(StructField(name, LongType)))))
-        case 5 => // copy-on-write delete on a random long column's range
-          val longs = fields.filter(_.dataType == LongType)
+          val ints = fields.filter(_.dataType == IntegerType)
+          if (ints.nonEmpty && rnd.nextBoolean()) {
+            val f = ints(rnd.nextInt(ints.size))
+            tryEvolve(tbl.evolveSchema(StructType(Seq(StructField(f.name, LongType)))))
+          } else if (!fields.exists(_.name.equalsIgnoreCase(name)))
+            tryEvolve(tbl.evolveSchema(StructType(Seq(StructField(name,
+              if (rnd.nextBoolean()) LongType else IntegerType)))))
+        case 5 => // copy-on-write delete on a random numeric column's range
+          val longs = fields.filter(f =>
+            f.dataType == LongType || f.dataType == IntegerType)
           if (longs.nonEmpty) {
             val f = longs(rnd.nextInt(longs.size))
             val k = rnd.nextInt(100)
             val id = idOf(f)
             tbl.deleteWhere(s"`${f.name}` <= $k")
             expected = expected.filterNot(r =>
-              r.get(id).exists(_.asInstanceOf[Long] <= k))
+              r.get(id).exists(_.toString.toLong <= k))
           }
         case _ => tbl.compact(1)
       }

@@ -818,4 +818,32 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     b1.toSeq shouldBe b2.toSeq
     all(b1) should (be >= 0L and be < 8L)
   }
+
+  test("semanticDedup drops exact semantic duplicates, keeps distinct vectors") {
+    val s = spark
+    import s.implicits._
+    // 12 well-separated base vectors, each duplicated under a higher id
+    val base = (0L until 12L).map { i =>
+      (i, Seq.tabulate(8)(d => if (d == (i % 8).toInt) 1.0f + i else 0.1f * d))
+    }
+    val copies = base.map { case (i, v) => (i + 100L, v) }
+    val df = (base ++ copies).toDF("id", "v")
+    val survivors = Dedup.semanticDedup(df, "v", "id", k = 4, threshold = 0.999)
+      .select("id").as[Long].collect().toSet
+    survivors shouldBe (0L until 12L).toSet // every copy gone, min id kept
+    // no duplicates among survivors: all pairwise cosines below the bar
+    val sv = Dedup.semanticDedup(df, "v", "id", k = 4, threshold = 0.999)
+    val cross = sv.select(col("id").as("ia"), col("v").as("va"))
+      .crossJoin(sv.select(col("id").as("ib"), col("v").as("vb")))
+      .where(col("ia") < col("ib"))
+      .where(Similarity.cosine(col("va"), col("vb")) > 0.999)
+    cross.count() shouldBe 0L
+    // degenerate clustering guard: a cap below any cluster's pair count
+    // fails loudly with the remedy
+    val e = intercept[IllegalStateException] {
+      Dedup.semanticDedup(df, "v", "id", k = 2, threshold = 0.999,
+        maxClusterPairs = 3L)
+    }
+    e.getMessage should include("raise k")
+  }
 }
