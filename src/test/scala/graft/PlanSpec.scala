@@ -109,6 +109,29 @@ class PlanSpec extends AnyFunSuite with Matchers {
     t.scan().count() shouldBe 2001
   }
 
+  test("renamed-table scan: one union of era scans, no joins, no shuffle") {
+    val s = spark
+    import s.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-plan-ren").toString
+    val cat = graft.table.GraftCatalog(spark, wh)
+    val t = cat.ensure(graft.table.TableIdent("plan", "ren"))
+    t.append((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    t.renameColumn("v", "w")
+    t.append((101L to 200L).map(i => (i, s"v$i")).toDF("id", "w").coalesce(1))
+    val p = plan(t.scan())
+    // the name mapping is a projection per era — never a join or shuffle
+    p should include("Union")
+    p should not include "Join"
+    p should not include "Exchange"
+    t.scan().count() shouldBe 200
+    // filters on the mapped column push into BOTH parquet scans — the
+    // old era's under its PHYSICAL name (through the alias projection)
+    val pf = plan(t.scan().where(col("w") === "v1"))
+    pf should include("EqualTo(v,v1)") // pre-rename files filter on 'v'
+    pf should include("EqualTo(w,v1)") // post-rename files on 'w'
+    t.scan().where(col("w") === "v1").count() shouldBe 1
+  }
+
   test("chunking, splits, and stratified sampling are shuffle-free") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val chunked = Chunking.chunkDocuments(docs, "text", "doc_id", maxTokens = 64)
