@@ -492,6 +492,43 @@ object TableQueries {
               |      FROM lineitem)
               |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Dynamic partition overwrite: re-run ONE month of a
+    // month-partitioned table with corrected rows — exactly that
+    // month's files are replaced (asserted), every other month carries
+    // over byte-for-byte, and the end state is a pure function of the
+    // source parquet.
+    "q101_dynamic_overwrite" -> Q(
+      (s, dir) => {
+        val cat = freshCatalog(s)
+        val tbl = cat.ensure(TableIdent("bench", "li_dyn"),
+          Some("month(l_shipdate)"))
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"),
+            col("l_returnflag"), col("l_quantity"))
+        tbl.append(li)
+        val march = col("l_shipdate") >= lit("1996-03-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz")
+        val rerun = li.where(march)
+          .withColumn("l_quantity", col("l_quantity") + 5.0)
+        val before = tbl.currentOrFail().files.map(_.path).toSet
+        tbl.overwriteDynamic(rerun)
+        val after = tbl.currentOrFail().files.map(_.path).toSet
+        require((before intersect after).nonEmpty,
+          "dynamic overwrite carried no untouched partitions")
+        require(!before.subsetOf(after),
+          "dynamic overwrite replaced no files")
+        tbl.scan()
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |  CAST(SUM(CAST(CASE WHEN l_shipdate >= TIMESTAMP '1996-03-01'
+             |                       AND l_shipdate <  TIMESTAMP '1996-04-01'
+             |                     THEN l_quantity + 5 ELSE l_quantity END
+             |           AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // The general MERGE's merge-on-read path: same conditional clause
     // matrix as q97 minus NOT MATCHED BY SOURCE (which needs the whole
     // table by definition), on a mor-mode table — outcomes appended +

@@ -107,6 +107,82 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
   def overwrite(df: DataFrame, props: Map[String, String] = Map.empty): Snapshot =
     writeOp(df, "overwrite", props) { (_, newGroup) => Seq(newGroup) }
 
+  /** Dynamic partition overwrite (the Hive/Iceberg `INSERT OVERWRITE
+    * ... partitionOverwriteMode=dynamic` semantics as a table API):
+    * REPLACE exactly the partition tuples the incoming data writes to,
+    * carry every other partition verbatim — the idempotent daily-rerun
+    * idiom without spelling the predicate the Idempotent strategy (W3)
+    * needs. On an unpartitioned table this is a plain [[overwrite]]
+    * (the whole table is one partition). The replaced set is decided
+    * by FULL tuple equality over the current spec's derived values —
+    * never a per-field cross product — and files predating a partition
+    * -spec evolution (no current-spec values) fail loudly instead of
+    * silently surviving an overwrite that should have replaced them.
+    * One commit; racing appends into a replaced partition survive
+    * (equivalent to the append-after-overwrite serial order).
+    */
+  def overwriteDynamic(df: DataFrame, props: Map[String, String] = Map.empty): Snapshot = {
+    val snap = currentOrFail()
+    val specs = partitionFields()
+    if (specs.isEmpty) return overwrite(df, props)
+    // one evaluation: the frame feeds tuple derivation AND the write
+    val projected = Projection.project(df, snap.schema).localCheckpoint()
+    val deriveCols = specs.map { pf =>
+      val srcField = snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol))
+        .getOrElse(throw new IllegalStateException(
+          s"partition source '${pf.sourceCol}' missing from schema"))
+      pf.derive(col(s"`${srcField.name}`"), srcField.dataType).as(pf.fieldName)
+    }
+    // Hive default-partition encoding conflates null and '' for string
+    // sources — both land in the same physical directory, so they are
+    // the same partition and must replace together: normalize '' to
+    // None on BOTH sides of the tuple match for string-sourced fields
+    val stringSourced: Seq[Boolean] = specs.map(pf =>
+      snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol))
+        .exists(_.dataType == StringType))
+    def normTuple(t: Seq[Option[String]]): Seq[Option[String]] =
+      t.zip(stringSourced).map {
+        case (v, true) => v.filter(_.nonEmpty)
+        case (v, _)    => v
+      }
+    val tuples: Set[Seq[Option[String]]] = projected.select(deriveCols: _*)
+      .distinct().collect()
+      .map(r => normTuple(specs.indices.map(i => Option(r.getString(i)))))
+      .toSet
+    val removed = snap.files.filter { f =>
+      f.partitionValues match {
+        case Some(pv) if specs.forall(pf => pv.contains(pf.fieldName)) =>
+          tuples.contains(normTuple(specs.map(pf => pv(pf.fieldName))))
+        case _ =>
+          // a file without the current spec's values (pre-spec-evolution
+          // layout, or unpartitioned era) cannot be tuple-matched; if
+          // its rows could belong to a replaced partition, silently
+          // keeping them would corrupt the overwrite — reject loudly
+          throw new IllegalStateException(
+            s"dynamic overwrite: file ${f.path} predates the current " +
+              s"partition spec (${snap.partitionSpec.getOrElse("")}); " +
+              "compact() to migrate the layout first")
+      }
+    }
+    val newGroup = writeDataFiles(projected, snap.schema, specs)
+    val removedPaths = removed.map(_.path).toSet
+    log.commit { parent =>
+      val p = parent.getOrElse(snap)
+      requireNoConflict(p, removedPaths, "overwrite")
+      requireNoNewDeletes(p, snap, "overwrite")
+      val ns = p.lastSeq + 1
+      val groups = pruneGroups(p.schema, p.fileGroups, removedPaths) :+
+        newGroup.withSeq(ns)
+      p.copy(
+        snapshotId = newSnapshotId(),
+        operation = "overwrite-dynamic",
+        properties = p.properties ++ props,
+        fileGroups = groups,
+        deleteGroups = purgeDeletes(groups, p.deleteGroups),
+        lastSeq = ns)
+    }
+  }
+
   /** Copy-on-write delete (backs W3, `core/strategies.py:51-66`):
     * files whose rows ALL match the predicate are dropped whole (no
     * Spark job — the reference's replace-partition fast path,

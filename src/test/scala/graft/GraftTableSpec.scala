@@ -1582,6 +1582,33 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
       ((1L to 20L).toSet -- Set(9L, 13L))
   }
 
+  test("overwriteDynamic replaces exactly the written partition tuples") {
+    val s = spark
+    import s.implicits._
+    val t = cat().ensure(TableIdent("ns", "tdyn"), Some("day"))
+    t.append(Seq((1L, "d1", "a"), (2L, "d1", "b"), (3L, "d2", "c"), (4L, "d3", "d"))
+      .toDF("id", "day", "v"))
+    // rerun day d1 with corrected data; d2/d3 untouched byte-for-byte
+    val before = t.currentOrFail().files
+      .filter(_.partitionValues.exists(_.values.exists(_.contains("d2")))).map(_.path).toSet
+    t.overwriteDynamic(Seq((10L, "d1", "A"), (11L, "d1", "B2")).toDF("id", "day", "v"))
+    t.currentOrFail().operation shouldBe "overwrite-dynamic"
+    val after = t.currentOrFail().files.map(_.path).toSet
+    before.subsetOf(after) shouldBe true // untouched partitions carried over
+    t.scan().select("id").as[Long].collect().toSet shouldBe Set(10L, 11L, 3L, 4L)
+    // idempotent rerun converges
+    t.overwriteDynamic(Seq((10L, "d1", "A"), (11L, "d1", "B2")).toDF("id", "day", "v"))
+    t.scan().select("id").as[Long].collect().toSet shouldBe Set(10L, 11L, 3L, 4L)
+    // writing a NEW partition replaces nothing, just adds
+    t.overwriteDynamic(Seq((20L, "d9", "z")).toDF("id", "day", "v"))
+    t.scan().count() shouldBe 5
+    // unpartitioned table: dynamic == full overwrite
+    val u = cat().ensure(TableIdent("ns", "tdyn_u"))
+    u.append(Seq((1L, "x")).toDF("id", "v"))
+    u.overwriteDynamic(Seq((2L, "y")).toDF("id", "v"))
+    u.scan().select("id").as[Long].collect().toSeq shouldBe Seq(2L)
+  }
+
   test("renameColumn is metadata-only: old files read back under the new name") {
     val t = cat().ensure(TableIdent("ns", "trn1"))
     t.append(df(d1, d2))
