@@ -817,23 +817,29 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     // (partition-pruned), their clause outcomes appended at a fresh
     // sequence, and their keys masked by an equality-delete group at
     // the SAME sequence — the Iceberg MoR MERGE shape generalized to
-    // conditional clauses. A matched row no clause touches keeps its
-    // key OUT of the mask and survives untouched (keys ARE the full ON
-    // condition, so every row sharing an affected key was matched and
-    // got an outcome). Updated values may derive from target columns,
-    // so like MoR UPDATE any racing data commit aborts loudly.
+    // conditional clauses. The mask is per KEY, but a conditional
+    // clause applies per ROW — with duplicate target keys, a matched
+    // row whose clause conditions are all false can share its key with
+    // a row that took an update/delete, so the re-appended data must
+    // carry those untouched rows too or the mask would swallow them
+    // (the randomized differential suite caught exactly this). Rows
+    // whose key no clause touched anywhere stay out of both the append
+    // and the mask. Updated values may derive from target columns, so
+    // like MoR UPDATE any racing data commit aborts loudly.
     if (equiCondition && notMatchedBySource.isEmpty && matched.nonEmpty &&
         pruneKeys.nonEmpty && rewriteSet.nonEmpty &&
         chooseMor(snap, rewriteSet.map(_.sizeBytes).sum)) {
-      val tagged = prefixedTarget(rewriteSet).join(src, joinCond, "inner")
+      val allMatched = prefixedTarget(rewriteSet).join(src, joinCond, "inner")
         .withColumn("_clause", clauseSelector(matched, Nil, clauseCond, lit(true)))
-        .where(col("_clause") >= 0)
         .localCheckpoint() // one evaluation: outcomes + keys + emptiness
       // distinct: `t.id = s.a AND t.id = s.b` yields the same target
       // column twice — the mask tuple must name each column once
       val keyCols = pruneKeys.map(_._1)
         .map(k => fields.find(_.name.equalsIgnoreCase(k)).get.name).distinct
-      if (tagged.isEmpty) {
+      val affectedKeys = allMatched.where(col("_clause") >= 0)
+        .select(keyCols.map(k => col(s"`_t_$k`").as(k)): _*).distinct()
+        .localCheckpoint()
+      if (affectedKeys.isEmpty) {
         // zone/partition false positive or all clause conditions false:
         // only the insert side can contribute
         inserts match {
@@ -844,9 +850,13 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
             return appendMergeCommit(snap, chk, specs, Set.empty)
         }
       }
-      val updated = applyClauseChain(fields, tagged, matched, Nil)
-      val affectedKeys = tagged
-        .select(keyCols.map(k => col(s"`_t_$k`").as(k)): _*).distinct()
+      // every matched row CARRYING an affected key re-emits (clause
+      // outcome, or unchanged when no clause applied); affectedKeys is
+      // distinct, so the inner join cannot fan rows out
+      val reEmit = allMatched.join(
+        affectedKeys.select(keyCols.map(k => col(s"`$k`").as(s"_t_$k")): _*),
+        keyCols.map(k => s"_t_$k"))
+      val updated = applyClauseChain(fields, reEmit, matched, Nil)
       val morRows = (Seq(updated) ++ inserts.toSeq).reduce(_.unionByName(_))
       val dataGroup = writeDataFiles(morRows, snap.schema, specs)
       val keyGroup = writeDataFiles(affectedKeys,

@@ -178,10 +178,10 @@ class MergeRandomSpec extends AnyFunSuite with Matchers {
   }
 
   test("randomized general MERGE matches the reference evaluator (copy-on-write)") {
-    (1 to 10).foreach(seed => runOne(seed, mor = false))
+    (1 to 12).foreach(seed => runOne(seed, mor = false))
   }
 
   test("randomized general MERGE matches the reference evaluator (merge-on-read)") {
-    (101 to 108).foreach(seed => runOne(seed, mor = true))
+    (101 to 120).foreach(seed => runOne(seed, mor = true))
   }
 }
