@@ -109,4 +109,46 @@ class ScenarioSpec extends AnyFunSuite with Matchers {
     t.scan().select("id").collect()(0).getLong(0) shouldBe 99L
     t.schema.fieldNames should contain("new_col")
   }
+
+  test("scenario 6: one table's lifecycle through the round-11 surfaces") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val c = cat()
+    val t = c.ensure(TableIdent("default", "s6"), Some("day"))
+    // two days of raw events
+    t.append(Seq((1L, "d1", 10L), (2L, "d1", 20L), (3L, "d2", 30L))
+      .toDF("id", "day", "amount"))
+    // day d1's pipeline re-runs with corrected rows: dynamic overwrite
+    t.overwriteDynamic(Seq((1L, "d1", 11L), (2L, "d1", 21L))
+      .toDF("id", "day", "amount"))
+    // a conditional general merge applies late adjustments
+    t.mergeRows(
+      Seq((2L, 100L), (3L, 0L), (9L, 5L)).toDF("_s_0", "_s_1"),
+      "_t_id = _s_0",
+      matched = Seq(
+        graft.table.MergeClause("update", Some("_s_1 > 50"),
+          Seq(("amount", "_t_amount + _s_1"))),
+        graft.table.MergeClause("delete", Some("_s_1 = 0"), Nil)),
+      notMatched = Seq(
+        graft.table.MergeClause("insert", None,
+          Seq(("id", "_s_0"), ("day", "'d3'"), ("amount", "_s_1")))),
+      notMatchedBySource = Nil,
+      pruneKeys = Seq(("id", "_s_0")), equiCondition = true)
+    // rename survives everything above: old files map by field id
+    t.renameColumn("amount", "value")
+    t.scan().orderBy("id").select("id", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
+      Seq((1L, 11L), (2L, 121L), (9L, 5L)) // 3 deleted; 2 = 21+100; 9 inserted
+    // post-rename writes and the changelog agree on the new name
+    t.append(Seq((10L, "d4", 7L)).toDF("id", "day", "value"))
+    val head = t.currentOrFail().version
+    val ch = t.scanChangesBetween(head - 1, head)
+    ch.columns should contain("value")
+    ch.where(col("_change_type") === "insert").count() shouldBe 1
+    // compact migrates every file to the current naming; history clears
+    t.compact(1)
+    t.currentOrFail().schemaLog shouldBe empty
+    t.scan().agg(sum(col("value"))).head.getLong(0) shouldBe (11 + 121 + 5 + 7)
+  }
 }
