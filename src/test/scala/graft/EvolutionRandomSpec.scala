@@ -104,11 +104,15 @@ class EvolutionRandomSpec extends AnyFunSuite with Matchers {
           val to = namePool(rnd.nextInt(namePool.size))
           if (tryEvolve(tbl.renameColumn(from, to))) renames += 1
         case 3 => // drop a random column (last-column drop must reject)
-          val victim = fields(rnd.nextInt(fields.size)).name
-          if (tryEvolve(tbl.dropColumn(victim))) {
+          val victim = fields(rnd.nextInt(fields.size))
+          val vid = idOf(victim)
+          if (tryEvolve(tbl.dropColumn(victim.name))) {
             drops += 1
-            // dead values stay recorded under the dead id; projection
-            // onto the current schema hides them — exactly the contract
+            // a drop kills the values PERMANENTLY: once the last
+            // physical carrier is rewritten the engine may legally
+            // reuse the id for a brand-new (all-null) column, so the
+            // reference must forget the dead id's values too
+            expected = expected.map(_ - vid)
           }
         case 4 => // add a pool-named numeric column (may be blocked by
           // history), OR widen an existing int column to long — widening
@@ -147,7 +151,7 @@ class EvolutionRandomSpec extends AnyFunSuite with Matchers {
   }
 
   test("randomized evolution sequences match the by-field-id reference") {
-    val results = (1 to 6).map(runOne)
+    val results = (1 to 20).map(runOne)
     // the generator must actually exercise the feature, not just skip
     results.map(_._1).sum should be >= 3 // renames applied
     results.map(_._2).sum should be >= 2 // drops applied
