@@ -1582,6 +1582,31 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
       ((1L to 20L).toSet -- Set(9L, 13L))
   }
 
+  test("requireStableNames: a rename between analyze and commit is a conflict; additive evolution is not") {
+    val s = spark
+    import s.implicits._
+    val t = cat().ensure(TableIdent("ns", "trsn"))
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    val analyzed = t.currentOrFail()
+    val m = classOf[graft.table.GraftTable].getDeclaredMethods
+      .find(mm => mm.getName.contains("requireStableNames") &&
+        mm.getParameterCount == 3).get
+    m.setAccessible(true)
+    // additive evolution concurrent with a write: names stable, no abort
+    t.evolveSchema(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.LongType))))
+    m.invoke(t, t.currentOrFail(), analyzed, "write") // must not throw
+    // a rename concurrent with a write: the in-flight files carry the
+    // analyzed naming — must abort
+    t.renameColumn("v", "w")
+    val e = intercept[java.lang.reflect.InvocationTargetException] {
+      m.invoke(t, t.currentOrFail(), analyzed, "write")
+    }
+    e.getCause shouldBe a[java.util.ConcurrentModificationException]
+    e.getCause.getMessage should include("rename")
+  }
+
   test("overwriteDynamic replaces exactly the written partition tuples") {
     val s = spark
     import s.implicits._
