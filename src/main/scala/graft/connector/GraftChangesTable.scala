@@ -29,20 +29,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * }}}
   *
   * Schema = the table's columns + `_change_type` ('insert' | 'delete')
-  * + `_commit_version`. Every commit kind is consumable — rewriting
+  * + `_commit_version`. EVERY commit kind is consumable — rewriting
   * commits (delete-where, upsert, compaction) emit file-level
-  * delete+insert pairs, so unlike the plain append stream
-  * ([[GraftMicroBatchStream]]) a CDC stream never aborts on them;
-  * net-zero rewrites net to zero under inserts-minus-deletes.
+  * delete+insert pairs; merge-on-read delete commits emit their exact
+  * pre-image; ranges crossing column rename/drop history read old
+  * files under their physical era names, mapped back by field id. The
+  * feed therefore keeps working in exactly the at-scale configuration
+  * (`graft.delete.mode=mor`, metadata-only renames) — the round-11
+  * refusals are gone.
   *
-  * Planning is pure metadata (per-version manifest diffs on the
-  * driver); files are read by the same native ParquetScan machinery as
-  * batch scans, with the two CDC columns appended per-partition by a
-  * reader wrapper — the tag is constant per (file, commit) so it costs
-  * a JoinedRow, not a per-row computation. Column pruning and data-
-  * column filters push through to the parquet scan: a consumer
-  * projecting two columns reads two columns, and every filter stays
-  * residual so pushdown is pure speedup, never semantics.
+  * Planning is metadata-only for file-representable commits (per-
+  * version manifest diffs on the driver, one native ParquetScan per
+  * (side, write-era)); merge-on-read shapes read a per-version
+  * MATERIALIZED change cache ([[GraftTable.cdcSides]]) computed once
+  * with the exact batch-changelog plans and then replayed as plain
+  * file scans by every consumer. The two CDC columns are appended
+  * per-partition by a reader wrapper — the tag is constant per
+  * (file, commit), so it costs a JoinedRow, not a per-row computation.
+  * Column pruning and data-column filters push through to the parquet
+  * scan on current-era files; every filter stays residual, so pushdown
+  * is pure speedup, never semantics.
   */
 final class GraftChangesTable(tbl: GraftTable, ident: Identifier)
     extends Table with SupportsRead {
@@ -63,7 +69,12 @@ final class GraftChangesScanBuilder(tbl: GraftTable,
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
-  private var required: StructType = GraftCdc.changeSchema(tbl.schema)
+  // pinned at scan build: era mapping and output naming must stay
+  // stable for the scan's (and a stream's) whole lifetime even if the
+  // table is renamed underneath it
+  private val tableSchema: StructType = tbl.schema
+
+  private var required: StructType = GraftCdc.changeSchema(tableSchema)
   private var pushed: Array[Filter] = Array.empty
   private var all: Array[Filter] = Array.empty
 
@@ -75,7 +86,7 @@ final class GraftChangesScanBuilder(tbl: GraftTable,
     * [[GraftCdc.MetaPruning]].
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val dataCols = tbl.schema.fieldNames.map(_.toLowerCase).toSet
+    val dataCols = tableSchema.fieldNames.map(_.toLowerCase).toSet
     pushed = filters.filter(_.references.forall(r => dataCols.contains(r.toLowerCase)))
     all = filters
     filters
@@ -87,17 +98,22 @@ final class GraftChangesScanBuilder(tbl: GraftTable,
     required = requiredSchema
 
   override def build(): Scan =
-    new GraftChangesScan(tbl, options, required, pushed, GraftCdc.MetaPruning(all))
+    new GraftChangesScan(tbl, options, tableSchema, required, pushed,
+      GraftCdc.MetaPruning(all))
 }
 
 final class GraftChangesScan(tbl: GraftTable, options: CaseInsensitiveStringMap,
+                             tableSchema: StructType,
                              required: StructType, pushed: Array[Filter],
                              metaPrune: GraftCdc.MetaPruning)
     extends Scan {
 
-  // the pruned read split into its parquet part and its constant part
+  // the pruned read split into its parquet part and its constant part.
+  // Data fields are re-bound to the PINNED table schema's StructFields:
+  // Spark's column pruning may strip field metadata, and the era
+  // mapping matches physical names BY FIELD ID from that metadata.
   private val dataPart = StructType(
-    required.fields.filter(f => tbl.schema.fieldNames.contains(f.name)))
+    required.fields.flatMap(f => tableSchema.fields.find(_.name == f.name)))
   private val metaPart: Seq[String] =
     required.fields.map(_.name).filter(GraftCdc.MetaCols.contains).toSeq
 
@@ -113,10 +129,11 @@ final class GraftChangesScan(tbl: GraftTable, options: CaseInsensitiveStringMap,
       .getOrElse(tbl.currentOrFail().version)
 
     override def planInputPartitions(): Array[InputPartition] =
-      GraftCdc.partitionsBetween(tbl, from, to, dataPart, pushed, metaPrune)
+      GraftCdc.partitionsBetween(tbl, from, to, dataPart, pushed, metaPrune,
+        tbl.cdcSides)
 
     override def createReaderFactory(): PartitionReaderFactory =
-      GraftCdc.readerFactory(tbl, dataPart, metaPart, pushed)
+      new GraftCdc.CdcReaderFactory(metaPart)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -133,6 +150,11 @@ final class GraftChangesScan(tbl: GraftTable, options: CaseInsensitiveStringMap,
   * stream's admission walk over per-version CHANGE sizes (insert +
   * delete sides) — admission stays version-granular either way, so
   * exactly-once per version is preserved.
+  *
+  * The stream's column naming is PINNED at start (dataPart): commits
+  * made after a rename keep streaming — their files read under the new
+  * physical names and alias back to the pinned names by field id — and
+  * the sink keeps one consistent schema until the stream is restarted.
   */
 final class GraftCdcMicroBatchStream(tbl: GraftTable,
                                      options: CaseInsensitiveStringMap,
@@ -169,6 +191,18 @@ final class GraftCdcMicroBatchStream(tbl: GraftTable,
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEnd = Some(tbl.currentOrFail().version)
+
+  /** Memo of the most recent admission walk's per-version sides:
+    * `latestOffset(start, limit)` and the `planInputPartitions` that
+    * follows cover the same versions, so each version's manifest diff
+    * (and any cache materialization's footer harvest) happens once per
+    * trigger. Replaced wholesale per walk — bounded by one batch's
+    * version span, never the stream's lifetime.
+    */
+  @volatile private var sidesMemo: Map[Int, GraftTable.CdcSides] = Map.empty
+
+  private def sidesAt(v: Int): GraftTable.CdcSides =
+    sidesMemo.getOrElse(v, tbl.cdcSides(v))
 
   override def initialOffset(): Offset = {
     val v = Option(options.get("streamStartVersion")).map(_.toInt)
@@ -209,9 +243,15 @@ final class GraftCdcMicroBatchStream(tbl: GraftTable,
     val (maxFiles, maxRows) = caps(limit)
     val admitted =
       if (maxFiles.isEmpty && maxRows.isEmpty) latest
-      else GraftMicroBatchStream.admitWalk(from, latest, maxFiles, maxRows) { v =>
-        val (ins, del) = GraftCdc.diffAt(tbl, v)
-        ((ins.size + del.size).toLong, ins.map(_.rows).sum + del.map(_.rows).sum)
+      else {
+        val memo = scala.collection.mutable.HashMap.empty[Int, GraftTable.CdcSides]
+        try
+          GraftMicroBatchStream.admitWalk(from, latest, maxFiles, maxRows) { v =>
+            val s = tbl.cdcSides(v)
+            memo(v) = s
+            (s.fileCount.toLong, s.rowCount)
+          }
+        finally sidesMemo = memo.toMap
       }
     GraftStreamOffset(maxVersions match {
       case Some(m) if admitted > from => math.min(from + math.max(1, m), admitted)
@@ -226,10 +266,10 @@ final class GraftCdcMicroBatchStream(tbl: GraftTable,
     GraftCdc.partitionsBetween(tbl,
       start.asInstanceOf[GraftStreamOffset].version,
       end.asInstanceOf[GraftStreamOffset].version,
-      dataPart, pushed, metaPrune)
+      dataPart, pushed, metaPrune, sidesAt)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftCdc.readerFactory(tbl, dataPart, metaPart, pushed)
+    new GraftCdc.CdcReaderFactory(metaPart)
 
   override def commit(end: Offset): Unit = () // offsets live in the checkpoint
   override def stop(): Unit = ()
@@ -311,104 +351,46 @@ private[graft] object GraftCdc {
       StructField("_change_type", StringType, nullable = false) :+
       StructField("_commit_version", IntegerType, nullable = false))
 
-  /** (inserted, deleted) file sets of commit `v` — the same snapshot
-    * diff [[GraftTable.scanChangesBetween]] walks, shared by admission
-    * sizing and partition planning.
-    *
-    * Merge-on-read interplay: the DSv2 change feed reads RAW file
-    * diffs (one parquet partition per changed file), which is exact
-    * only while no merge-on-read delete is involved. Three shapes
-    * can't be represented as file scans and fail loudly with guidance
-    * instead of silently emitting wrong rows: (1) the commit ADDED
-    * delete groups (its change is a join, not a file diff); (2) it
-    * removed files that pending deletes applied to (their raw rows
-    * overstate the delete side); (3) it re-added files under pending
-    * deletes (rollback). Plain appends on a table with pending deletes
-    * are fine — new files carry a higher data seq than every delete.
-    * `GraftTable.scanChangesBetween` handles all three exactly;
-    * `compact()` clears the state for the feed.
-    */
-  def diffAt(tbl: GraftTable, v: Int): (Seq[DataFile], Seq[DataFile]) = {
-    def morUnsupported(what: String): Nothing =
-      throw new UnsupportedOperationException(
-        s"graft change feed over ${tbl.tableDir}: commit v$v $what; the DSv2 " +
-          "changes relation reads raw file diffs and cannot apply " +
-          "merge-on-read deletes — read this range with " +
-          "GraftTable.scanChangesBetween (exact), or compact() the table " +
-          "so later commits are delete-free")
-    val cur = tbl.snapshotAt(v)
-    // Raw file scans read with the relation's CURRENT column names;
-    // ranges touching name-evolution history (files written under an
-    // older naming, or a rename/drop after this commit) would misread
-    // those physical names — fail with guidance like the MoR shapes.
-    def renameUnsupported(): Nothing =
-      throw new UnsupportedOperationException(
-        s"graft change feed over ${tbl.tableDir}: commit v$v touches column " +
-          "rename/drop history; the DSv2 changes relation reads raw file " +
-          "scans by current column names — read this range with " +
-          "GraftTable.scanChangesBetween (maps physical names by field id), " +
-          "or compact() the table so files carry the current names")
-    def naming(s: StructType) = s.fields
-      .flatMap(f => graft.table.Projection.fieldId(f).map(_ -> f.name)).toMap
-    val nowNaming = naming(tbl.currentOrFail().schema)
-    if (cur.schemaLog.nonEmpty ||
-        naming(cur.schema).exists { case (id, n) => nowNaming.get(id).exists(_ != n) })
-      renameUnsupported()
-    if (v == 0) (cur.files, Seq.empty)
-    else {
-      val prev = tbl.snapshotAt(v - 1)
-      if (prev.schemaLog.nonEmpty) renameUnsupported()
-      val before = prev.files.map(_.path).toSet
-      val after = cur.files.map(_.path).toSet
-      val prevSeqs = prev.deleteGroups.map(_.seq).toSet
-      if (cur.deleteGroups.exists(d => !prevSeqs.contains(d.seq)))
-        morUnsupported("added merge-on-read delete groups")
-      if (prev.deleteGroups.nonEmpty &&
-          prev.fileGroups.exists(g => prev.deleteGroups.exists(_.appliesTo(g.seq)) &&
-            g.files.exists(f => !after.contains(f.path))))
-        morUnsupported("rewrote files under pending merge-on-read deletes")
-      val ins = cur.files.filterNot(f => before.contains(f.path))
-      if (cur.deleteGroups.nonEmpty && ins.nonEmpty) {
-        val insPaths = ins.map(_.path).toSet
-        if (cur.fileGroups.exists(g => cur.deleteGroups.exists(_.appliesTo(g.seq)) &&
-            g.files.exists(f => insPaths.contains(f.path))))
-          morUnsupported("re-added files under pending merge-on-read deletes")
-      }
-      (ins, prev.files.filterNot(f => after.contains(f.path)))
-    }
-  }
-
   /** One CDC partition = a delegate parquet partition plus the constant
-    * (change side, commit version) it carries.
+    * (change side, commit version) it carries and the reader factory
+    * that knows its era's physical read schema. Embedding the factory
+    * per partition is what lets ONE batch span several eras and the
+    * materialized cache — each is a different physical column layout.
     */
   final case class CdcPartition(delegate: InputPartition, changeType: String,
-                                version: Int) extends InputPartition {
+                                version: Int,
+                                factory: PartitionReaderFactory) extends InputPartition {
     override def preferredLocations(): Array[String] = delegate.preferredLocations()
   }
 
-  /** Per-version file diffs of (`from`, `to`] as tagged partitions —
-    * the same commit walk as [[GraftTable.scanChangesBetween]], emitted
-    * as DSv2 partitions instead of a unioned plan. O(changed manifests)
-    * metadata work per version; a version's insert and delete sides
-    * each plan through one native ParquetScan.
+  /** Per-version change partitions of (`from`, `to`] — the exact
+    * row-level diff of each commit ([[GraftTable.cdcSides]]): raw
+    * manifest diffs per write era, materialized-cache scans for
+    * merge-on-read shapes. O(changed manifests) metadata work per
+    * file-representable version; a version's insert and delete sides
+    * each plan through native ParquetScans.
     */
   def partitionsBetween(tbl: GraftTable, from: Int, to: Int,
                         dataPart: StructType,
                         pushed: Array[Filter],
-                        metaPrune: MetaPruning = MetaPruning.all): Array[InputPartition] = {
+                        metaPrune: MetaPruning,
+                        sidesAt: Int => GraftTable.CdcSides): Array[InputPartition] = {
     require(from <= to, s"bad change range: $from..$to")
     val out = Array.newBuilder[InputPartition]
     var v = math.max(from + 1, 0)
     try {
       while (v <= to) {
         if (metaPrune.versionAllowed(v)) {
-          val (ins, del) = diffAt(tbl, v)
-          if (ins.nonEmpty && metaPrune.sideAllowed("insert"))
-            out ++= scanFor(tbl, ins, dataPart, pushed).toBatch.planInputPartitions()
-              .map(p => CdcPartition(p, "insert", v))
-          if (del.nonEmpty && metaPrune.sideAllowed("delete"))
-            out ++= scanFor(tbl, del, dataPart, pushed).toBatch.planInputPartitions()
-              .map(p => CdcPartition(p, "delete", v))
+          val sides = sidesAt(v)
+          def emit(tag: String, parts: Seq[GraftTable.CdcFiles]): Unit =
+            parts.filter(_.files.nonEmpty).foreach { p =>
+              val scan = eraScan(tbl, p.writeSchema, p.files, dataPart, pushed)
+              val factory = scan.toBatch.createReaderFactory()
+              out ++= scan.toBatch.planInputPartitions()
+                .map(ip => CdcPartition(ip, tag, v, factory))
+            }
+          if (metaPrune.sideAllowed("insert")) emit("insert", sides.ins)
+          if (metaPrune.sideAllowed("delete")) emit("delete", sides.del)
         }
         v += 1
       }
@@ -423,44 +405,56 @@ private[graft] object GraftCdc {
     out.result()
   }
 
-  /** One template factory serves every batch: file identity rides in
-    * each delegate FilePartition; the wrapper appends the requested CDC
-    * columns.
+  /** A native ParquetScan over files written under `writeSchema`,
+    * reading the requested fields under their PHYSICAL era names
+    * (mapped by field id — [[GraftTable.nameMapping]]); output rows are
+    * positionally identical to `dataPart`, so no per-row renaming ever
+    * happens. Fields postdating the era null-fill; a name reused by a
+    * since-dropped different field reads salted (never resurrecting the
+    * dead values). Filters push only into identity-mapped scans, and
+    * only those referencing era-present columns — every filter stays
+    * residual above, so skipping the push loses speed, never rows.
     */
-  def readerFactory(tbl: GraftTable, dataPart: StructType,
-                    metaPart: Seq[String],
-                    pushed: Array[Filter]): PartitionReaderFactory =
-    new CdcReaderFactory(
-      scanFor(tbl, Nil, dataPart, pushed).toBatch.createReaderFactory(), metaPart)
-
-  private def scanFor(tbl: GraftTable, files: Seq[DataFile],
+  private def eraScan(tbl: GraftTable, writeSchema: StructType,
+                      files: Seq[DataFile],
                       dataPart: StructType, pushed: Array[Filter]): ParquetScan = {
     val spark = tbl.spark
+    val mapping = tbl.nameMapping(writeSchema, dataPart)
+    val physSchema = mapping match {
+      case None => dataPart
+      case Some(m) => StructType(m.map { case (n, f) =>
+        StructField(n, f.dataType, nullable = true) })
+    }
+    val eraCols = writeSchema.fieldNames.map(_.toLowerCase).toSet
+    val pushable =
+      if (mapping.isEmpty)
+        pushed.filter(_.references.forall(r => eraCols.contains(r.toLowerCase)))
+      else Array.empty[Filter]
     ParquetScan(
       sparkSession = spark,
       hadoopConf = GraftSqlShim.newHadoopConf(spark),
-      fileIndex = new GraftFileIndex(spark, tbl.tableDir, files, tbl.schema),
-      dataSchema = tbl.schema,
-      readDataSchema = dataPart,
+      fileIndex = new GraftFileIndex(spark, tbl.tableDir, files, writeSchema),
+      dataSchema = writeSchema,
+      readDataSchema = physSchema,
       readPartitionSchema = StructType(Nil),
-      pushedFilters = pushed, // row-group pruning only; all residual above
+      pushedFilters = pushable, // row-group pruning only; all residual above
       options = CaseInsensitiveStringMap.empty())
   }
 
-  /** Wraps the parquet reader, appending the REQUESTED subset of
-    * (`_change_type`, `_commit_version`) via a reused JoinedRow.
-    * Row-based on purpose: the appended columns are partition
-    * constants, and forcing the row path keeps the wrapper a 5-line
-    * JoinedRow instead of a columnar-batch rebuild.
+  /** Dispatches each [[CdcPartition]] to its embedded era factory and
+    * appends the REQUESTED subset of (`_change_type`,
+    * `_commit_version`) via a reused JoinedRow. Row-based on purpose:
+    * the appended columns are partition constants, and forcing the row
+    * path keeps the wrapper a 5-line JoinedRow instead of a
+    * columnar-batch rebuild.
     */
-  private final class CdcReaderFactory(delegate: PartitionReaderFactory,
-                                       metaPart: Seq[String])
+  final class CdcReaderFactory(metaPart: Seq[String])
       extends PartitionReaderFactory {
 
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
       partition match {
         case c: CdcPartition =>
-          val inner = delegate.createReader(c.delegate)
+          val inner = c.factory.createReader(c.delegate)
           val meta = new GenericInternalRow(metaPart.map {
             case "_change_type" => UTF8String.fromString(c.changeType): Any
             case "_commit_version" => c.version: Any
@@ -471,7 +465,8 @@ private[graft] object GraftCdc {
             override def get(): InternalRow = joined(inner.get(), meta)
             override def close(): Unit = inner.close()
           }
-        case other => delegate.createReader(other)
+        case other =>
+          throw new IllegalStateException(s"unexpected partition kind: $other")
       }
 
     override def supportColumnarReads(partition: InputPartition): Boolean = false

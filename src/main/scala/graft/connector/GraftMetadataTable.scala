@@ -93,11 +93,11 @@ final class GraftMetadataTable(tbl: GraftTable, kind: String,
     case "deletes" =>
       asOfVersion.map(tbl.snapshotAt).getOrElse(tbl.currentOrFail())
         .deleteGroups.sortBy(_.seq).map {
-          case graft.meta.EqualityDeleteGroup(seq, keys, group) =>
+          case e: graft.meta.EqualityDeleteGroup =>
             new GenericInternalRow(Array[Any](
-              seq, UTF8String.fromString("equality"),
-              UTF8String.fromString(s"keys(${keys.mkString(", ")})"),
-              group.rows, group.bytes))
+              e.seq, UTF8String.fromString("equality"),
+              UTF8String.fromString(s"keys(${e.keys.mkString(", ")})"),
+              e.group.rows, e.group.bytes))
           case graft.meta.PredicateDeleteGroup(seq, pred) =>
             new GenericInternalRow(Array[Any](
               seq, UTF8String.fromString("predicate"),

@@ -4,11 +4,13 @@ import graft.meta.DataFile
 import graft.table.GraftTable
 
 import org.apache.spark.sql.GraftSqlShim
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, ReadMaxRows, ReportsSourceMetrics, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Stream offset = metadata-log version: "every append up to and
@@ -194,12 +196,12 @@ final class GraftMicroBatchStream(
     }
     val (maxFiles, maxRows) = caps(limit)
     if (maxFiles.isEmpty && maxRows.isEmpty) return latest
-    val memo = scala.collection.mutable.HashMap.empty[Int, Option[Seq[DataFile]]]
+    val memo = scala.collection.mutable.HashMap.empty[Int, Option[Seq[(StructType, Seq[DataFile])]]]
     try {
       GraftMicroBatchStream.admitWalk(from, latest, maxFiles, maxRows) { v =>
         val step = computeAppendedAt(v)
         memo(v) = step
-        val added = step.getOrElse(Nil)
+        val added = step.getOrElse(Nil).flatMap(_._2)
         (added.size.toLong, added.map(_.rows).sum)
       }
     } finally walkMemo = memo.toMap // planInputPartitions reuses this walk
@@ -212,15 +214,24 @@ final class GraftMicroBatchStream(
     val from = start.asInstanceOf[GraftStreamOffset].version
     val to = end.asInstanceOf[GraftStreamOffset].version
     val added = addedBetween(from, to)
-    if (added.isEmpty) Array.empty
-    else scanFor(added).toBatch.planInputPartitions()
+    if (added.isEmpty) return Array.empty
+    // one native scan per WRITE-ERA schema: files committed before a
+    // rename read under their physical era names (mapped to the
+    // stream's PINNED naming by field id), files after it under the new
+    // ones — a rename no longer aborts the stream. Each partition
+    // carries its era's reader factory; the top-level factory is a pure
+    // dispatcher that preserves columnar reads.
+    added.groupBy(_._1).toSeq.flatMap { case (writeSchema, eraFiles) =>
+      val scan = scanFor(writeSchema, eraFiles.flatMap(_._2))
+      val factory = scan.toBatch.createReaderFactory()
+      scan.toBatch.planInputPartitions().map(p => EraPartition(p, factory))
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    // file identity rides inside each InputPartition (FilePartition);
-    // the factory itself depends only on schema + conf, so one template
-    // scan serves every micro-batch
-    scanFor(Nil).toBatch.createReaderFactory()
+    // file identity AND era factory ride inside each partition; the
+    // top factory only dispatches, so one instance serves every batch
+    new EraDispatchReaderFactory
 
   override def commit(end: Offset): Unit = () // offsets live in the checkpoint
   override def stop(): Unit = ()
@@ -236,18 +247,27 @@ final class GraftMicroBatchStream(
     * cover the same versions, so each version's manifest diff is
     * computed once per trigger, not twice. Replaced wholesale per walk
     * — bounded by one batch's version span, never the table's history.
+    * Values are era-grouped: (write-time schema, new files under it).
     */
-  @volatile private var walkMemo: Map[Int, Option[Seq[DataFile]]] = Map.empty
+  @volatile private var walkMemo: Map[Int, Option[Seq[(StructType, Seq[DataFile])]]] = Map.empty
 
-  private def appendedAt(v: Int): Option[Seq[DataFile]] =
+  private def appendedAt(v: Int): Option[Seq[(StructType, Seq[DataFile])]] =
     walkMemo.getOrElse(v, computeAppendedAt(v))
 
-  private def computeAppendedAt(v: Int): Option[Seq[DataFile]] =
+  private def computeAppendedAt(v: Int): Option[Seq[(StructType, Seq[DataFile])]] =
     try {
       val snap = tbl.snapshotAt(v)
+      // rename/drop-column commits are metadata-only (zero new files):
+      // they pass through as empty batches, and the era machinery in
+      // planInputPartitions maps files committed AFTER them back to the
+      // stream's pinned naming by field id
       val isAppend = snap.operation == "append" || snap.operation.startsWith("evolve") ||
-        snap.operation == "set-properties" || snap.operation == "create"
-      if (v == 0) Some(snap.files)
+        snap.operation == "set-properties" || snap.operation == "create" ||
+        snap.operation == "rename-column" || snap.operation == "drop-column"
+      def byEra(groups: Seq[graft.meta.FileGroup], files: Seq[DataFile] => Seq[DataFile]) =
+        groups.map(g => snap.writeSchemaFor(g.seq) -> files(g.files))
+          .filter(_._2.nonEmpty)
+      if (v == 0) Some(byEra(snap.fileGroups, identity))
       else if (!isAppend) None
       else {
         val prev = tbl.snapshotAt(v - 1)
@@ -256,10 +276,9 @@ final class GraftMicroBatchStream(
         val droppedPaths = prev.fileGroups
           .filterNot(g => currManifests.contains(g.manifest))
           .flatMap(_.files).map(_.path).toSet
-        Some(snap.fileGroups
-          .filterNot(g => prevManifests.contains(g.manifest))
-          .flatMap(_.files)
-          .filterNot(f => droppedPaths.contains(f.path)))
+        Some(byEra(
+          snap.fileGroups.filterNot(g => prevManifests.contains(g.manifest)),
+          _.filterNot(f => droppedPaths.contains(f.path))))
       }
     } catch {
       case e @ (_: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException) =>
@@ -275,12 +294,12 @@ final class GraftMicroBatchStream(
             "(optionally pinning streamStartVersion to a live version).", e)
     }
 
-  private def addedBetween(from: Int, to: Int): Seq[DataFile] = {
-    val out = Seq.newBuilder[DataFile]
+  private def addedBetween(from: Int, to: Int): Seq[(StructType, Seq[DataFile])] = {
+    val out = Seq.newBuilder[(StructType, Seq[DataFile])]
     var v = math.max(from + 1, 0)
     while (v <= to) {
       appendedAt(v) match {
-        case Some(files) => out ++= files
+        case Some(eraFiles) => out ++= eraFiles
         case None =>
           val snap = tbl.snapshotAt(v)
         // delete/update/compact/cluster only churn EXISTING rows, so
@@ -293,10 +312,6 @@ final class GraftMicroBatchStream(
             if (pureRewrite)
               "set streamSkipRewrites=true to skip pure-rewrite commits " +
                 "(appends stay exact; later deletes/updates are not replayed)"
-            else if (Set("rename-column", "drop-column")(snap.operation))
-              "this metadata-only commit changed column names, so the " +
-                "stream's pinned read schema no longer matches files " +
-                "written after it; restart the stream to bind the new schema"
             else
               s"'${snap.operation}' inserts new rows and cannot be skipped " +
                 "(streamSkipRewrites only skips delete/update/compact/cluster); " +
@@ -311,16 +326,65 @@ final class GraftMicroBatchStream(
     out.result()
   }
 
-  private def scanFor(files: Seq[DataFile]): ParquetScan = {
+  /** Era-aware scan: the requested fields read under their PHYSICAL
+    * names in `writeSchema` (matched by field id), so the emitted rows
+    * stay positionally identical to the stream's pinned
+    * `readDataSchema` across renames. A column dropped mid-stream
+    * null-fills in post-drop files. Filters push only into
+    * identity-named eras (they reference pinned names) — row-group
+    * pruning is speedup only, Spark re-applies every filter.
+    */
+  private def scanFor(writeSchema: StructType, files: Seq[DataFile]): ParquetScan = {
     val spark = tbl.spark
+    val mapping = tbl.nameMapping(writeSchema, readDataSchema)
+    val physSchema = mapping match {
+      case None => readDataSchema
+      case Some(m) => StructType(m.map { case (n, f) =>
+        StructField(n, f.dataType, nullable = true) })
+    }
+    val eraCols = writeSchema.fieldNames.map(_.toLowerCase).toSet
+    val pushable =
+      if (mapping.isEmpty)
+        pushed.filter(_.references.forall(r => eraCols.contains(r.toLowerCase)))
+      else Array.empty[Filter]
     ParquetScan(
       sparkSession = spark,
       hadoopConf = GraftSqlShim.newHadoopConf(spark),
-      fileIndex = new GraftFileIndex(spark, tbl.tableDir, files, tbl.schema),
-      dataSchema = tbl.schema,
-      readDataSchema = readDataSchema,
+      fileIndex = new GraftFileIndex(spark, tbl.tableDir, files, writeSchema),
+      dataSchema = writeSchema,
+      readDataSchema = physSchema,
       readPartitionSchema = StructType(Nil),
-      pushedFilters = pushed, // row-group pruning inside parquet
+      pushedFilters = pushable, // row-group pruning inside parquet
       options = CaseInsensitiveStringMap.empty())
+  }
+}
+
+/** A file task tagged with the reader factory that knows its era's
+  * physical read schema — what lets one micro-batch span files written
+  * under different column namings.
+  */
+private[connector] final case class EraPartition(
+    delegate: InputPartition,
+    factory: PartitionReaderFactory) extends InputPartition {
+  override def preferredLocations(): Array[String] = delegate.preferredLocations()
+}
+
+/** Pure dispatcher to each partition's embedded era factory —
+  * preserves the vectorized columnar path (unlike the CDC wrapper,
+  * nothing is appended per row here).
+  */
+private[connector] final class EraDispatchReaderFactory extends PartitionReaderFactory {
+  private def era(p: InputPartition): EraPartition = p match {
+    case e: EraPartition => e
+    case other => throw new IllegalStateException(s"unexpected partition kind: $other")
+  }
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val e = era(p); e.factory.createReader(e.delegate)
+  }
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val e = era(p); e.factory.createColumnarReader(e.delegate)
+  }
+  override def supportColumnarReads(p: InputPartition): Boolean = {
+    val e = era(p); e.factory.supportColumnarReads(e.delegate)
   }
 }

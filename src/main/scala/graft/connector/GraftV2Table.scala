@@ -422,8 +422,14 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
     * versions; see [[GraftMicroBatchStream]].
     */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(tbl, readSchema(), pushed, options)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // re-bind pruned fields to the snapshot's StructFields: pruning may
+    // strip field metadata, and the stream's era mapping matches
+    // physical names BY FIELD ID from that metadata
+    val pinned = StructType(readSchema().fields.map(f =>
+      snap.schema.fields.find(_.name == f.name).getOrElse(f)))
+    new GraftMicroBatchStream(tbl, pinned, pushed, options)
+  }
 
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     delegate.columnarSupportMode()

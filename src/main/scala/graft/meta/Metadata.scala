@@ -209,12 +209,23 @@ sealed trait DeleteGroup {
 }
 
 /** Equality delete: rows whose key tuple appears in the referenced
-  * key-file manifest are deleted. `keys` are table column names; the
-  * manifest's parquet files hold exactly those columns (cast to the
-  * table's types at write). The Iceberg equality-delete analogue.
+  * key-file manifest are deleted. `keys` are CURRENT table column
+  * names; the manifest's parquet files hold exactly those columns
+  * (cast to the table's types at write). The Iceberg equality-delete
+  * analogue.
+  *
+  * `physKeys` records the column names as physically stored in the
+  * key files when they differ from `keys`: a column rename remaps
+  * `keys` (metadata only) and leaves the tiny key manifests alone, so
+  * reads alias physical→current positionally. Empty = same as `keys`
+  * (the common, never-renamed state — and the wire default, keeping
+  * old snapshots parseable).
   */
 final case class EqualityDeleteGroup(seq: Long, keys: Seq[String],
-                                     group: FileGroup) extends DeleteGroup
+                                     group: FileGroup,
+                                     physKeys: Seq[String] = Nil) extends DeleteGroup {
+  def physicalKeys: Seq[String] = if (physKeys.isEmpty) keys else physKeys
+}
 
 /** Predicate delete: rows satisfying the SQL predicate are deleted —
   * a delete-where recorded as metadata only (zero data IO at commit).
@@ -288,7 +299,21 @@ final case class Snapshot(
       * Empty = every live file's names match the current schema — the
       * zero-overhead common case.
       */
-    schemaLog: Seq[(Long, StructType)] = Nil) {
+    schemaLog: Seq[(Long, StructType)] = Nil,
+    /** Highest field id ever assigned in this table's history — the
+      * Iceberg `last-column-id` analogue, bumped by every schema-
+      * changing commit and NEVER decreased. This is the DURABLE floor
+      * for new-field-id assignment: the schemaLog-derived floor alone
+      * is prunable (compaction drops entries once no live group needs
+      * them), and a pruned floor would let a dropped column's id be
+      * recycled — current-version scans stay correct, but a changelog
+      * range spanning the drop would map the recycled id to the dead
+      * column in pre-drop eras and emit its historical values under
+      * the new column's name. Legacy snapshots parse as 0 (the
+      * schemaLog floor alone, exactly the old behavior, until the next
+      * schema commit starts the durable record).
+      */
+    lastFieldId: Long = 0L) {
   def files: Seq[DataFile] = fileGroups.flatMap(_.files)
   def rowCount: Long = fileGroups.map(_.rows).sum
   /** The schema a group committed at `seq` was written under: the
@@ -406,14 +431,19 @@ object Snapshot {
     }
     val manifests = JArray(s.fileGroups.map(manifestRef(_, s.schema)).toList)
     val deletes = JArray(s.deleteGroups.map {
-      case EqualityDeleteGroup(seq, keys, group) =>
-        // key-file summaries merge against the KEY schema
-        val keySchema = StructType(s.schema.fields.filter(f => keys.contains(f.name)))
+      case e: EqualityDeleteGroup =>
+        // key-file summaries merge against the KEY schema, under the
+        // names physically stored in the files
+        val keySchema = StructType(e.keys.zip(e.physicalKeys).flatMap {
+          case (k, pk) => s.schema.fields.find(_.name == k).map(_.copy(name = pk))
+        })
         JObject(
-          "seq"      -> JLong(seq),
-          "kind"     -> JString("eq"),
-          "keys"     -> JArray(keys.map(JString(_)).toList),
-          "manifest" -> manifestRef(group.withSeq(seq), keySchema))
+          "seq"       -> JLong(e.seq),
+          "kind"      -> JString("eq"),
+          "keys"      -> JArray(e.keys.map(JString(_)).toList),
+          "phys_keys" -> (if (e.physicalKeys == e.keys) JNothing
+                          else JArray(e.physicalKeys.map(JString(_)).toList)),
+          "manifest"  -> manifestRef(e.group.withSeq(e.seq), keySchema))
       case PredicateDeleteGroup(seq, pred) =>
         JObject(
           "seq"       -> JLong(seq),
@@ -437,6 +467,7 @@ object Snapshot {
       "properties"     -> JObject(s.properties.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
       "manifests"      -> manifests,
       "last_seq"       -> JLong(s.lastSeq),
+      "last_field_id"  -> (if (s.lastFieldId == 0L) JNothing else JLong(s.lastFieldId)),
       "deletes"        -> (if (s.deleteGroups.isEmpty) JNothing else deletes),
       "schema_log"     -> (if (s.schemaLog.isEmpty) JNothing
                            else JArray(s.schemaLog.map { case (u, sch) =>
@@ -487,7 +518,12 @@ object Snapshot {
               case JArray(ks) => ks.map(str)
               case x => sys.error(s"bad delete keys: $x")
             }
-            EqualityDeleteGroup(seq, keys, parseGroup(d \ "manifest"))
+            val phys = (d \ "phys_keys") match {
+              case JArray(ks) => ks.map(str)
+              case _ => Nil
+            }
+            EqualityDeleteGroup(seq, keys, parseGroup(d \ "manifest"),
+              if (phys == keys) Nil else phys)
           case "pred" => PredicateDeleteGroup(seq, str(d \ "predicate"))
           case "pos" => PositionDeleteGroup(seq, parseGroup(d \ "manifest"))
           case k => sys.error(s"unknown delete kind: $k")
@@ -519,6 +555,7 @@ object Snapshot {
             .asInstanceOf[StructType]
         }
         case _ => Nil
-      })
+      },
+      lastFieldId = opt(j \ "last_field_id").map(lng).getOrElse(0L))
   }
 }

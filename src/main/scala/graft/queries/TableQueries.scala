@@ -778,6 +778,63 @@ object TableQueries {
               |FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-06-01'
               |ORDER BY _commit_version, _change_type""".stripMargin)),
 
+    // The DSv2 CDC relation in the AT-SCALE configuration the round-11
+    // feed refused: a mor-mode table (merge-on-read predicate delete —
+    // zero file churn; the feed serves its exact pre-image from the
+    // materialized `_cdc` cache) crossed with a metadata-only column
+    // rename (pre-rename files read under physical era names, mapped
+    // by field id). Commit version numbers depend on catalog
+    // bookkeeping, so the oracle pins COUNT(DISTINCT version) per side
+    // instead of literal versions.
+    "q102_changes_feed_mor" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq102").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq102", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq102.warehouse",
+            Files.createTempDirectory("graft-cdcmor").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq102.bench")
+        s.sql("DROP TABLE IF EXISTS graftq102.bench.li")
+        s.sql("""CREATE TABLE graftq102.bench.li
+                |(l_orderkey BIGINT, l_shipdate TIMESTAMP_NTZ, l_extendedprice DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        t(s, dir, "lineitem").createOrReplaceTempView("q102_src")
+        s.sql("""INSERT INTO graftq102.bench.li
+                |SELECT l_orderkey, l_shipdate, l_extendedprice
+                |FROM q102_src WHERE l_shipdate < TIMESTAMP '1997-01-01'""".stripMargin)
+        s.sql("""INSERT INTO graftq102.bench.li
+                |SELECT l_orderkey, l_shipdate, l_extendedprice
+                |FROM q102_src WHERE l_shipdate >= TIMESTAMP '1997-01-01'""".stripMargin)
+        s.sql("DELETE FROM graftq102.bench.li WHERE l_shipdate < TIMESTAMP '1996-03-01'")
+        val cat = GraftCatalog(s, s.conf.get("spark.sql.catalog.graftq102.warehouse"))
+        val tbl = cat.load(TableIdent("bench", "li"))
+        require(tbl.currentOrFail().deleteGroups.nonEmpty,
+          "delete was not recorded merge-on-read")
+        val filesBefore = tbl.currentOrFail().files.map(_.path).toSet
+        s.sql("ALTER TABLE graftq102.bench.li RENAME COLUMN l_extendedprice TO l_price")
+        require(tbl.currentOrFail().files.map(_.path).toSet == filesBefore,
+          "RENAME COLUMN rewrote data files")
+        s.sql("""INSERT INTO graftq102.bench.li
+                |SELECT l_orderkey, l_shipdate, l_extendedprice AS l_price
+                |FROM q102_src WHERE l_shipdate >= TIMESTAMP '1998-06-01'""".stripMargin)
+        s.read.option("startingVersion", "0")
+          .table("graftq102.bench.li.changes")
+          .groupBy(col("_change_type"))
+          .agg(countDistinct(col("_commit_version")).as("ncommits"),
+            count(lit(1)).as("n"), dsum(col("l_price")).as("total"))
+          .orderBy(col("_change_type"))
+      },
+      Some(s"""SELECT 'delete' AS _change_type, CAST(1 AS BIGINT) AS ncommits,
+              |       COUNT(*) AS n, ${DSUM("l_extendedprice")} AS total
+              |FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-03-01'
+              |UNION ALL
+              |SELECT 'insert', CAST(3 AS BIGINT), COUNT(*), ${DSUM("l_extendedprice")}
+              |FROM (SELECT l_extendedprice FROM lineitem
+              |      UNION ALL
+              |      SELECT l_extendedprice FROM lineitem
+              |      WHERE l_shipdate >= TIMESTAMP '1998-06-01') u
+              |ORDER BY _change_type""".stripMargin)),
+
     // S9 time travel: scan-as-of the first snapshot after a second append
     "q44_time_travel" -> Q(
       (s, dir) => {

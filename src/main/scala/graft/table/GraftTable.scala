@@ -1087,9 +1087,13 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
   def evolveSchema(incoming: StructType): StructType = {
     val snap = currentOrFail()
     // new ids must clear every id the naming history used — recycling a
-    // dropped column's id would resurrect its values from old files
+    // dropped column's id would resurrect its values from old files.
+    // The floor is the DURABLE lastFieldId (survives schemaLog pruning;
+    // Iceberg's last-column-id) maxed with the prunable history floor,
+    // which still covers legacy snapshots from before the field existed
     def idFloor(s: Snapshot): Long =
-      (s.schemaLog.map { case (_, sch) => Projection.maxFieldId(sch) } :+ 0L).max
+      (s.schemaLog.map { case (_, sch) => Projection.maxFieldId(sch) } :+
+        s.lastFieldId).max
     Projection.evolve(snap.schema, incoming, idFloor(snap)) match {
       case None => snap.schema
       case Some(evolved) =>
@@ -1109,7 +1113,8 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
                 snapshotId = newSnapshotId(),
                 operation = "evolve-schema",
                 schema = e2,
-                schemaVersion = p.schemaVersion + 1)
+                schemaVersion = p.schemaVersion + 1,
+                lastFieldId = math.max(idFloor(p), Projection.maxFieldId(e2)))
           }
         }.schema
     }
@@ -1122,9 +1127,11 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     * ([[nameMapping]]). At 100 TB this is the difference between an
     * instant `ALTER TABLE` and a full-table rewrite.
     *
-    * Constraints (each rejected loudly):
-    *  - pending merge-on-read deletes reference columns by name/SQL —
-    *    fold them first (`rewrite_deletes`/`compact`);
+    * Pending merge-on-read deletes survive the rename: the commit
+    * remaps their stored references (equality keys, predicate SQL) to
+    * the new name, while the key FILES keep their stored naming
+    * (frozen in [[graft.meta.EqualityDeleteGroup.physKeys]]) — still
+    * zero data IO. Constraints (each rejected loudly):
     *  - the partition spec's source columns are part of the physical
     *    layout — re-spec first (`set_partition_spec`);
     *  - a name previously used by a DIFFERENT field, while files from
@@ -1155,6 +1162,8 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         schema = renamed,
         schemaVersion = p.schemaVersion + 1,
         schemaLog = appendSchemaLog(p),
+        deleteGroups = renameInDeletes(p.deleteGroups, f.name, newName),
+        lastFieldId = math.max(p.lastFieldId, Projection.maxFieldId(p.schema)),
         properties = renameInProperties(p.properties, f.name, newName))
     }
   }
@@ -1182,20 +1191,66 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         schema = StructType(p.schema.fields.filterNot(_.name == f.name)),
         schemaVersion = p.schemaVersion + 1,
         schemaLog = appendSchemaLog(p),
+        // the PRE-drop schema's max enters the durable floor here —
+        // the dropped id must never be recycled even after compaction
+        // prunes the schema-log entry that carried it
+        lastFieldId = math.max(p.lastFieldId, Projection.maxFieldId(p.schema)),
         properties = renameInProperties(p.properties, f.name, ""))
     }
   }
 
-  /** Shared preconditions of the name-changing evolutions. */
+  /** Shared preconditions of the name-changing evolutions. Pending
+    * merge-on-read deletes no longer block a RENAME — the commit
+    * remaps their stored references ([[renameInDeletes]]); a DROP
+    * still refuses while a pending delete references the column (its
+    * key tuples / predicate would lose meaning).
+    */
   private def requireNameChangeAllowed(p: Snapshot, colName: String, op: String): Unit = {
-    require(p.deleteGroups.isEmpty,
-      s"cannot $op column '$colName' with pending merge-on-read deletes " +
-        "(they reference columns by name); run rewrite_deletes or compact first")
+    if (op == "drop") {
+      val referenced = p.deleteGroups.exists {
+        case e: EqualityDeleteGroup => e.keys.exists(_.equalsIgnoreCase(colName))
+        case pd: PredicateDeleteGroup =>
+          predicateRefs(pd.predicateSql).contains(colName.toLowerCase)
+        case _: PositionDeleteGroup => false
+      }
+      require(!referenced,
+        s"cannot drop column '$colName': a pending merge-on-read delete " +
+          "references it; run rewrite_deletes or compact first")
+    }
     val specSources = p.partitionSpec.toSeq
       .flatMap(PartitionExpr.parseSpec).map(_.sourceCol)
     require(!specSources.exists(_.equalsIgnoreCase(colName)),
       s"cannot $op column '$colName': it is a partition-spec source " +
         s"(${p.partitionSpec.getOrElse("")}); set_partition_spec first")
+  }
+
+  /** Top-level column names a stored delete predicate references. */
+  private def predicateRefs(sql: String): Set[String] =
+    CatalystSqlParser.parseExpression(sql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.head.toLowerCase
+    }.toSet
+
+  /** Remap a rename through the snapshot's pending merge-on-read
+    * deletes: equality keys change name (the key FILES stay untouched —
+    * their stored naming freezes into `physKeys`), predicate SQL
+    * rewrites its references. Purely metadata, like the rename itself.
+    */
+  private def renameInDeletes(dels: Seq[DeleteGroup], oldName: String,
+                              newName: String): Seq[DeleteGroup] = dels.map {
+    case e: EqualityDeleteGroup if e.keys.exists(_.equalsIgnoreCase(oldName)) =>
+      e.copy(
+        keys = e.keys.map(k => if (k.equalsIgnoreCase(oldName)) newName else k),
+        physKeys = e.physicalKeys)
+    case pd: PredicateDeleteGroup
+        if predicateRefs(pd.predicateSql).contains(oldName.toLowerCase) =>
+      val rewritten = CatalystSqlParser.parseExpression(pd.predicateSql).transformUp {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if a.nameParts.length == 1 && a.nameParts.head.equalsIgnoreCase(oldName) =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(newName))
+      }
+      pd.copy(predicateSql = rewritten.sql)
+    case d => d
   }
 
   /** Is `name` free for (re)use by the field with id `forId`? Blocked
@@ -1403,8 +1458,8 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     * which case reading by name would resurrect the dead column's
     * values; a salted name the file cannot contain null-fills instead.
     */
-  private def nameMapping(writeSchema: StructType,
-                          readSchema: StructType): Option[Seq[(String, StructField)]] = {
+  private[graft] def nameMapping(writeSchema: StructType,
+                                 readSchema: StructType): Option[Seq[(String, StructField)]] = {
     if (writeSchema eq readSchema) return None
     val wById = writeSchema.fields
       .flatMap(f => Projection.fieldId(f).map(_ -> f.name)).toMap
@@ -1456,8 +1511,20 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
       .getOrElse(throw new IllegalStateException(
         s"delete key column '$k' missing from schema"))))
 
-  private def readDeleteKeys(snap: Snapshot, e: EqualityDeleteGroup): DataFrame =
-    readFiles(deleteKeySchema(snap, e.keys), e.group.files)
+  /** Key-file read, aliasing the PHYSICAL stored column names (the
+    * naming at the delete's commit, frozen by [[EqualityDeleteGroup
+    * .physKeys]] across renames) back to the current key names.
+    */
+  private def readDeleteKeys(snap: Snapshot, e: EqualityDeleteGroup): DataFrame = {
+    val current = deleteKeySchema(snap, e.keys)
+    if (e.physicalKeys == e.keys) readFiles(current, e.group.files)
+    else {
+      val pairs = current.fields.toSeq.zip(e.physicalKeys)
+      readFiles(StructType(pairs.map { case (f, pk) =>
+        StructField(pk, f.dataType, nullable = true) }), e.group.files)
+        .select(pairs.map { case (f, pk) => col(s"`$pk`").as(f.name) }: _*)
+    }
+  }
 
   /** Scheme-stable file key: the trailing `<dir>/<file>` of a path
     * identifies a file uniquely within the table (commit dirs are
@@ -1542,10 +1609,11 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
   private def deleteMayTouch(f: DataFile, e: EqualityDeleteGroup,
                              snap: Snapshot): Boolean = {
     val keyStats = e.group.summary.map(_.stats).getOrElse(return true)
-    e.keys.forall { k =>
+    // key-side summary stats are keyed by the PHYSICAL stored names
+    e.keys.zip(e.physicalKeys).forall { case (k, pk) =>
       val dt = snap.schema.fields.find(_.name.equalsIgnoreCase(k))
         .map(_.dataType).getOrElse(return true)
-      (f.stats.get(k), keyStats.get(k)) match {
+      (f.stats.get(k), keyStats.get(pk)) match {
         case (Some(fs), Some(ds)) =>
           (fs.min, fs.max, ds.min, ds.max) match {
             case (Some(fmin), Some(fmax), Some(dmin), Some(dmax)) =>
@@ -1650,8 +1718,8 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     * delete's own match (semi join / predicate). The changelog's
     * delete-side emission for merge-on-read commits.
     */
-  private def morDeletedRows(snap: Snapshot, d: DeleteGroup,
-                             readSchema: StructType): DataFrame = {
+  private[graft] def morDeletedRows(snap: Snapshot, d: DeleteGroup,
+                                    readSchema: StructType): DataFrame = {
     val priors = snap.deleteGroups.filter(_.seq < d.seq).sortBy(_.seq)
     val needPos = (priors :+ d).exists(_.isInstanceOf[PositionDeleteGroup])
     val dataCols = readSchema.fieldNames.map(c => col(s"`$c`")).toSeq
@@ -2077,6 +2145,10 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
           expired.flatMap(_.manifestPaths).distinct
             .filterNot(keptManifests.contains)
             .foreach(log.deleteManifest)
+          // change-feed caches of expired versions can never be read
+          // again (the version range is gone) — sweep them along
+          expired.foreach(s =>
+            fs.delete(new HPath(tableDir, s"_cdc/v${s.version}"), true))
         }
         graft.observability.Log.metrics("expire_snapshots",
           "table" -> tableDir.getName, "expired" -> expired.size)
@@ -2459,6 +2531,106 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
           .where(lit(false))
       else side("insert", inserts).unionByName(side("delete", deletes))
     }
+  }
+
+  // ------------------------------------------------------------------
+  // DSv2 change-feed planning (file-level diffs + materialized cache)
+  // ------------------------------------------------------------------
+
+  /** The row-level change of commit `v`, decomposed for the DSv2
+    * `.changes` relation into parts a raw parquet scan CAN represent
+    * (file-level insert/delete diffs, grouped by their write-era schema
+    * so pre-rename files read under their physical names) and parts it
+    * CANNOT (merge-on-read interplay, where a commit's change is a
+    * join, not a file diff). The unrepresentable parts are computed
+    * once with the exact batch-changelog machinery
+    * ([[readFilesMoR]] / [[morDeletedRows]] — the same plans
+    * [[scanChangesBetween]] runs) and MATERIALIZED as parquet under
+    * `_cdc/v{N}/{ins,del}/`, the Delta-CDF change-file idea applied
+    * lazily: the first reader pays the (O(changed rows)) computation,
+    * every later batch read, streaming restart, and additional consumer
+    * replays the immutable cache as a plain file scan. Commit contents
+    * are immutable, so the cache needs no invalidation; expire_snapshots
+    * sweeps caches of expired versions.
+    *
+    * Three shapes materialize (the ones the round-11 feed refused):
+    *   - the commit ADDED delete groups → their exact pre-image
+    *     ([[morDeletedRows]]) joins the delete side;
+    *   - it REMOVED files some pending delete applied to → the raw
+    *     rows would overstate the delete side, so the pre-image
+    *     (pending deletes applied) is materialized instead;
+    *   - it RE-ADDED files under pending deletes (rollback; original
+    *     seqs) → same, on the insert side.
+    * Plain appends on a MoR table stay raw: their fresh seq outranks
+    * every pending delete.
+    */
+  private[graft] def cdcSides(v: Int): GraftTable.CdcSides = {
+    val cur = log.read(v)
+    def eraRaw(snap: Snapshot, byGroup: Seq[(FileGroup, Seq[DataFile])]) =
+      byGroup.groupBy { case (g, _) => snap.writeSchemaFor(g.seq) }
+        .map { case (sch, gs) => GraftTable.CdcFiles(sch, gs.flatMap(_._2)) }
+        .toSeq
+    if (v == 0)
+      return GraftTable.CdcSides(
+        eraRaw(cur, cur.fileGroups.map(g => g -> g.files).filter(_._2.nonEmpty)),
+        None, Nil, None)
+    val prev = log.read(v - 1)
+    val before = prev.files.map(_.path).toSet
+    val after = cur.files.map(_.path).toSet
+    val addedByGroup = cur.fileGroups
+      .map(g => g -> g.files.filterNot(f => before.contains(f.path)))
+      .filter(_._2.nonEmpty)
+    val removedByGroup = prev.fileGroups
+      .map(g => g -> g.files.filterNot(f => after.contains(f.path)))
+      .filter(_._2.nonEmpty)
+    val prevSeqs = prev.deleteGroups.map(_.seq).toSet
+    val newDels = cur.deleteGroups.filterNot(d => prevSeqs.contains(d.seq))
+    val insNeedsMat = addedByGroup.exists { case (g, _) =>
+      cur.deleteGroups.exists(_.appliesTo(g.seq)) }
+    val delNeedsMat = removedByGroup.exists { case (g, _) =>
+      prev.deleteGroups.exists(_.appliesTo(g.seq)) }
+    val (insRaw, insCache) =
+      if (!insNeedsMat) (eraRaw(cur, addedByGroup), None)
+      else (Nil, Some(GraftTable.CdcFiles(cur.schema,
+        cdcCache(v, "ins",
+          readFilesMoR(cur, addedByGroup.flatMap(_._2), cur.schema)))))
+    val delRaw = if (delNeedsMat) Nil else eraRaw(prev, removedByGroup)
+    // one delete-side cache holds BOTH unrepresentable delete shapes —
+    // deterministic content, derived from immutable snapshots only
+    val delCacheParts =
+      (if (delNeedsMat)
+         Seq(readFilesMoR(prev, removedByGroup.flatMap(_._2), cur.schema))
+       else Nil) ++
+      newDels.map(d => morDeletedRows(cur, d, cur.schema))
+    val delCache =
+      if (delCacheParts.isEmpty) None
+      else Some(GraftTable.CdcFiles(cur.schema,
+        cdcCache(v, "del", delCacheParts.reduce(_.unionByName(_)))))
+    GraftTable.CdcSides(insRaw, insCache, delRaw, delCache)
+  }
+
+  /** Publish (or reuse) the materialized change rows of `(v, side)`.
+    * Write-to-temp + atomic rename; a lost publish race reuses the
+    * winner's files (identical logical content — both racers derive it
+    * from the same immutable snapshots). Row counts come from footers,
+    * same harvest as the commit path.
+    */
+  private def cdcCache(v: Int, side: String, df: => DataFrame): Seq[DataFile] = {
+    val dir = new HPath(tableDir, s"_cdc/v$v/$side")
+    val marker = new HPath(dir, "_SUCCESS")
+    if (!fs.exists(marker)) {
+      val tmp = new HPath(tableDir,
+        s"_cdc/.tmp-$side-${UUID.randomUUID().toString.take(12)}")
+      df.write.option("compression", "zstd").mode("overwrite").parquet(tmp.toString)
+      fs.mkdirs(dir.getParent)
+      if (!fs.rename(tmp, dir)) {
+        fs.delete(tmp, true)
+        if (!fs.exists(marker))
+          throw new IllegalStateException(
+            s"could not publish change-feed cache $dir (concurrent writer?); retry the read")
+      }
+    }
+    collectDataFiles(dir, Nil).filter(_.rows > 0)
   }
 
   /** Snapshot history as a DataFrame (S9 read-back surface — the
@@ -2888,7 +3060,8 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
           partitionSpec = pendingSpec,
           properties = LoaderConfig.defaultTableProperties ++ props,
           fileGroups = groupsOf(None, newGroup.withSeq(1L)),
-          lastSeq = 1L)
+          lastSeq = 1L,
+          lastFieldId = Projection.maxFieldId(targetSchema))
       }
     }
   }
@@ -3050,6 +3223,26 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
 }
 
 object GraftTable {
+  /** A change-feed scan unit: files sharing one WRITE-era schema, so a
+    * raw parquet read knows their physical column names (mapped to the
+    * requested names by field id — see [[GraftTable.nameMapping]]).
+    */
+  final case class CdcFiles(writeSchema: StructType, files: Seq[DataFile]) {
+    def rows: Long = files.map(_.rows).sum
+  }
+
+  /** Commit `v`'s change, decomposed for DSv2 planning: raw file-diff
+    * scans per era, plus the materialized-cache scan for merge-on-read
+    * shapes (see [[GraftTable.cdcSides]]).
+    */
+  final case class CdcSides(insRaw: Seq[CdcFiles], insCache: Option[CdcFiles],
+                            delRaw: Seq[CdcFiles], delCache: Option[CdcFiles]) {
+    def ins: Seq[CdcFiles] = insRaw ++ insCache
+    def del: Seq[CdcFiles] = delRaw ++ delCache
+    def fileCount: Int = (ins ++ del).map(_.files.size).sum
+    def rowCount: Long = (ins ++ del).map(_.rows).sum
+  }
+
   /** Table property controlling manifest-merge onset (default 64). */
   val MergeThresholdProp = "graft.manifest.merge-threshold"
 

@@ -1228,7 +1228,7 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT COUNT(*) FROM graft.nsmor.t").head.getLong(0) shouldBe 15L
   }
 
-  test("DSv2 change feed refuses merge-on-read ranges loudly, recovers after compact") {
+  test("DSv2 change feed reads merge-on-read ranges exactly (round-11 refusals gone)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsmor2")
     spark.sql(
       """CREATE TABLE graft.nsmor2.t (id BIGINT)
@@ -1239,42 +1239,77 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     val tbl = cat.load(graft.table.TableIdent("nsmor2", "t"))
     spark.sql("DELETE FROM graft.nsmor2.t WHERE id < 3")
     val morV = tbl.currentOrFail().version
-    val err = intercept[Exception] {
-      spark.read.option("startingVersion", "0").table("graft.nsmor2.t.changes")
-        .collect()
-    }
-    err.getMessage should include("merge-on-read")
-    err.getMessage should include("scanChangesBetween")
-    // the Scala API reads the same range exactly
-    tbl.scanChangesBetween(0, morV)
-      .where("_change_type = 'delete'")
+    // the MoR delete commit emits its exact pre-image on the delete side
+    val feed0 = spark.read.option("startingVersion", "0")
+      .table("graft.nsmor2.t.changes")
+    feed0.where("_change_type = 'delete'")
       .select("id").collect().map(_.getLong(0)).toSet shouldBe Set(0L, 1L, 2L)
-    // appends on top of pending deletes still stream fine (fresh seq)
+    // ...and the whole frame matches the batch changelog row for row
+    def frame(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted.toSeq
+    frame(feed0) shouldBe frame(tbl.scanChangesBetween(0, morV))
+    // appends on top of pending deletes stream raw (fresh seq beats the delete)
     spark.sql("INSERT INTO graft.nsmor2.t VALUES (100)")
     spark.read.option("startingVersion", morV.toString)
       .table("graft.nsmor2.t.changes")
       .select("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(100L)
-    // compaction clears the state for the DSv2 feed going forward: the
-    // compact commit ITSELF still spans MoR state (its file-diff delete
-    // side would emit already-deleted rows — guarded), but every commit
-    // after it is delete-free and streams normally
+    // the compact commit removes files UNDER pending deletes: its
+    // delete side is the materialized pre-image (already-deleted rows
+    // are NOT re-emitted), so compaction nets to zero through the feed
     tbl.compact(1)
     val cv = tbl.currentOrFail().version
-    intercept[Exception] {
-      spark.read.option("startingVersion", (cv - 1).toString)
-        .table("graft.nsmor2.t.changes").collect()
-    }.getMessage should include("merge-on-read")
+    val compactFeed = spark.read.option("startingVersion", (cv - 1).toString)
+      .option("endingVersion", cv.toString).table("graft.nsmor2.t.changes")
+    frame(compactFeed) shouldBe frame(tbl.scanChangesBetween(cv - 1, cv))
+    // live rows at compaction: 10 - 3 deleted + 1 appended = 8
+    compactFeed.where("_change_type = 'delete'").count() shouldBe 8L
     spark.sql("INSERT INTO graft.nsmor2.t VALUES (200)")
-    spark.read.option("startingVersion", cv.toString)
+    // full-history replay through the DSv2 feed: inserts minus deletes
+    // = the current table, MoR deletes and compaction included
+    val all = spark.read.option("startingVersion", "0")
       .table("graft.nsmor2.t.changes")
-      .select("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(200L)
-    // and the Scala API replays the whole history exactly, compaction
-    // included (net change of a pure rewrite = zero)
-    val all = tbl.scanChangesBetween(0, tbl.currentOrFail().version)
     val net = all.where("_change_type = 'insert'").select("id")
       .exceptAll(all.where("_change_type = 'delete'").select("id"))
     net.collect().map(_.getLong(0)).toSet shouldBe
       tbl.scan().select("id").collect().map(_.getLong(0)).toSet
+    // second read replays the materialized cache (no recompute): the
+    // cache dir exists and the result is identical
+    assert(tbl.log.fs.exists(
+      new org.apache.hadoop.fs.Path(tbl.tableDir, s"_cdc/v$morV/del/_SUCCESS")))
+    frame(spark.read.option("startingVersion", "0")
+      .option("endingVersion", morV.toString).table("graft.nsmor2.t.changes")) shouldBe
+      frame(tbl.scanChangesBetween(0, morV))
+  }
+
+  test("DSv2 change feed spans rename/drop history (physical era names mapped by field id)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsren2")
+    spark.sql("CREATE TABLE graft.nsren2.t (id BIGINT, v STRING, junk STRING)")
+    spark.sql("INSERT INTO graft.nsren2.t VALUES (1, 'a', 'x'), (2, 'b', 'y')")
+    val cat = graft.table.GraftCatalog(spark,
+      spark.conf.get("spark.sql.catalog.graft.warehouse"))
+    val tbl = cat.load(graft.table.TableIdent("nsren2", "t"))
+    tbl.renameColumn("v", "w")
+    tbl.dropColumn("junk")
+    spark.sql("INSERT INTO graft.nsren2.t VALUES (3, 'c')")
+    // pre-rename files read under their physical names ('v', 'junk'),
+    // aliased to the current naming; the dropped column never surfaces
+    val feed = spark.read.option("startingVersion", "0")
+      .table("graft.nsren2.t.changes")
+    feed.columns.toSeq shouldBe Seq("id", "w", "_change_type", "_commit_version")
+    feed.select("id", "w", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted.toSeq shouldBe
+      Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 4))
+    // column pruning + filters stay correct over the mapped older era
+    feed.where("w = 'a'").select("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
+    // a rewrite after the rename re-emits old rows under the new naming
+    tbl.compact(1)
+    val cv = tbl.currentOrFail().version
+    val compactFeed = spark.read.option("startingVersion", (cv - 1).toString)
+      .table("graft.nsren2.t.changes")
+    compactFeed.where("_change_type = 'insert'").select("w").collect()
+      .map(_.getString(0)).sorted.toSeq shouldBe Seq("a", "b", "c")
+    compactFeed.where("_change_type = 'delete'").count() shouldBe 3L
   }
 
   test("aggregate pushdown answers GROUP BY partition value from metadata") {

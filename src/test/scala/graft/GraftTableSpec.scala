@@ -1704,14 +1704,61 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     intercept[Exception] {
       t.renameColumn("v", "id")
     }.getMessage should include("already exists")
-    // pending merge-on-read deletes reference names: rejected
+    // pending merge-on-read deletes survive a rename: the commit
+    // remaps their stored references (predicate SQL here), and the
+    // mask keeps applying under the new name
     t.updateProperties(Map(graft.table.GraftTable.DeleteModeProp -> "mor"))
-    t.deleteWhere("v = 'zzz-nomatch'") // records a predicate delete group
+    t.append(Seq((2L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "kill"))
+      .toDF("id", "ts", "v"))
+    t.deleteWhere("v = 'kill'") // records a predicate delete group
     if (t.currentOrFail().deleteGroups.nonEmpty) {
+      t.renameColumn("v", "w")
+      t.currentOrFail().deleteGroups.collect {
+        case p: graft.meta.PredicateDeleteGroup => p.predicateSql
+      }.head should include("w")
+      t.scan().select("w").collect().map(_.getString(0)).toSet shouldBe Set("x")
+      // dropping a column a pending delete references is still refused
       intercept[Exception] {
-        t.renameColumn("v", "w")
-      }.getMessage should include("pending merge-on-read deletes")
+        t.dropColumn("w")
+      }.getMessage should include("references it")
     }
+  }
+
+  test("rename with pending equality MoR delete: keys remap, key files stay era-named") {
+    val s = spark
+    import s.implicits._
+    val t = cat().ensure(TableIdent("ns", "trn3e"))
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    t.updateProperties(Map(graft.table.GraftTable.DeleteModeProp -> "mor"))
+    t.deleteByKeys(Seq(2L).toDF("id"), Seq("id"))
+    t.currentOrFail().deleteGroups should not be empty
+    t.renameColumn("id", "doc_id")
+    val eq = t.currentOrFail().deleteGroups.collect {
+      case e: graft.meta.EqualityDeleteGroup => e
+    }.head
+    eq.keys shouldBe Seq("doc_id")
+    eq.physicalKeys shouldBe Seq("id") // files untouched, naming frozen
+    // the delete still applies, under the new name, scan + changelog
+    t.scan().select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 3L)
+    val v = t.currentOrFail().version
+    t.scanChangesBetween(0, v).where(col("_change_type") === "delete")
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(2L)
+    // a rename of a NON-key column leaves the delete untouched; and a
+    // second rename of the key column composes (physKeys stays frozen)
+    t.renameColumn("v", "w")
+    t.renameColumn("doc_id", "k")
+    val eq2 = t.currentOrFail().deleteGroups.collect {
+      case e: graft.meta.EqualityDeleteGroup => e
+    }.head
+    eq2.keys shouldBe Seq("k")
+    eq2.physicalKeys shouldBe Seq("id")
+    t.scan().select("k", "w").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSet shouldBe Set((1L, "a"), (3L, "c"))
+    // compact_deletes-free maintenance path: rewrite_deletes folds the
+    // remapped delete into data files correctly
+    t.rewriteDeletes()
+    t.currentOrFail().deleteGroups shouldBe empty
+    t.scan().select("k").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 3L)
   }
 
   test("changelog stays exact across a rename; name-reuse after rename is blocked") {
