@@ -742,10 +742,17 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     val snap = currentOrFail()
     val specs = partitionFields()
     val fields = snap.schema.fields.toSeq
-    // pin ONE evaluation: the source feeds the cardinality probe, the
-    // rewrite join, and the insert anti join — a nondeterministic
-    // USING subquery must not produce different rows per pass
+    // pin ONE evaluation: the source feeds the rewrite join and the
+    // insert anti join — a nondeterministic USING subquery must not
+    // produce different rows per pass
     val src = source.localCheckpoint().withColumn("_s_exists", lit(true))
+    // the rewrite join is materialized via localCheckpoint (one pass
+    // serves both the cardinality guard and the write), which compiles
+    // WITHOUT AQE — a small source will not auto-broadcast there, so
+    // pick the broadcast explicitly below a counted bound (same
+    // AQE-skip stance as dedupTable)
+    val srcJ =
+      if (src.count() <= GraftTable.MergeBroadcastRowBound) broadcast(src) else src
     val joinCond = expr(condSql)
     def clauseCond(c: MergeClause): Column =
       c.condition.map(s => coalesce(expr(s), lit(false))).getOrElse(lit(true))
@@ -774,10 +781,11 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
 
     // SQL-standard cardinality guard (and the invariant the left-outer
     // rewrite depends on): with MATCHED clauses present, no target row
-    // may match two source rows.
-    if (matched.nonEmpty && rewriteSet.nonEmpty) {
-      val dup = prefixedTarget(rewriteSet).join(src, joinCond, "inner")
-        .groupBy(addrCols.map(c => col(s"`$c`")): _*)
+    // may match two source rows. Folded into the SAME pass as the
+    // rewrite join below — `rows` is the already-materialized matched
+    // side, so the probe re-reads checkpoint blocks, never the table.
+    def requireMergeCardinality(rows: DataFrame): Unit = {
+      val dup = rows.groupBy(addrCols.map(c => col(s"`$c`")): _*)
         .agg(count(lit(1)).as("_n")).where(col("_n") > 1).limit(1).collect()
       if (dup.nonEmpty)
         throw new UnsupportedOperationException(
@@ -829,9 +837,10 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     if (equiCondition && notMatchedBySource.isEmpty && matched.nonEmpty &&
         pruneKeys.nonEmpty && rewriteSet.nonEmpty &&
         chooseMor(snap, rewriteSet.map(_.sizeBytes).sum)) {
-      val allMatched = prefixedTarget(rewriteSet).join(src, joinCond, "inner")
+      val allMatched = prefixedTarget(rewriteSet).join(srcJ, joinCond, "inner")
         .withColumn("_clause", clauseSelector(matched, Nil, clauseCond, lit(true)))
-        .localCheckpoint() // one evaluation: outcomes + keys + emptiness
+        .localCheckpoint() // one evaluation: guard + outcomes + keys + emptiness
+      requireMergeCardinality(allMatched)
       // distinct: `t.id = s.a AND t.id = s.b` yields the same target
       // column twice — the mask tuple must name each column once
       val keyCols = pruneKeys.map(_._1)
@@ -895,17 +904,21 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         // no cardinality error applies here), unmatched rows get the
         // clause chain
         val t = prefixedTarget(rewriteSet)
-        val same = t.join(src, joinCond, "left_semi")
+        val same = t.join(srcJ, joinCond, "left_semi")
           .withColumn("_clause", lit(-1))
-        val unmatched = t.join(src, joinCond, "left_anti")
+        val unmatched = t.join(srcJ, joinCond, "left_anti")
           .withColumn("_clause",
             clauseSelector(Nil, notMatchedBySource, clauseCond, lit(false)))
         Some(applyClauseChain(fields, same.unionByName(unmatched),
           matched = Nil, nmbs = notMatchedBySource))
       } else {
+        // ONE pass over the pruned target: the materialized outer join
+        // feeds the cardinality guard and the clause chain (round-11
+        // read the touched files twice — once for a separate probe)
         val t = prefixedTarget(rewriteSet)
-        val joined = t.join(src, joinCond, "left_outer")
         val mExists = col("_s_exists").isNotNull
+        val joined = t.join(srcJ, joinCond, "left_outer").localCheckpoint()
+        requireMergeCardinality(joined.where(mExists))
         val tagged = joined.withColumn("_clause",
           clauseSelector(matched, notMatchedBySource, clauseCond, mExists))
         Some(applyClauseChain(fields, tagged, matched, notMatchedBySource))
@@ -922,17 +935,26 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     appendMergeCommit(snap, merged, specs, rewriteSet.map(_.path).toSet)
   }
 
+  /** NOT MATCHED BY SOURCE clause-id offset: past the matched clause
+    * ids, never below 100 (the historical base). A fixed 100 alone
+    * would silently collide ids for a merge with >100 WHEN MATCHED
+    * clauses and apply the wrong assignments.
+    */
+  private def nmbsOffset(matched: Seq[MergeClause]): Int =
+    math.max(100, matched.size)
+
   /** First-match-wins clause selector (SQL-standard clause order):
     * matched clause i → i when the match guard + its condition hold,
-    * NMBS clause i → 100+i under the inverse guard, else -1 = keep the
-    * row unchanged.
+    * NMBS clause i → [[nmbsOffset]]+i under the inverse guard, else
+    * -1 = keep the row unchanged.
     */
   private def clauseSelector(matched: Seq[MergeClause], nmbs: Seq[MergeClause],
                              clauseCond: MergeClause => Column,
                              mExists: Column): Column = {
+    val off = nmbsOffset(matched)
     val entries =
       matched.zipWithIndex.map { case (c, i) => (mExists && clauseCond(c), i) } ++
-        nmbs.zipWithIndex.map { case (c, i) => (!mExists && clauseCond(c), 100 + i) }
+        nmbs.zipWithIndex.map { case (c, i) => (!mExists && clauseCond(c), off + i) }
     entries.foldRight(lit(-1)) { case ((p, v), acc) => when(p, lit(v)).otherwise(acc) }
   }
 
@@ -944,7 +966,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
                                matched: Seq[MergeClause],
                                nmbs: Seq[MergeClause]): DataFrame = {
     val indexed = matched.zipWithIndex.map { case (c, i) => (c, i) } ++
-      nmbs.zipWithIndex.map { case (c, i) => (c, 100 + i) }
+      nmbs.zipWithIndex.map { case (c, i) => (c, nmbsOffset(matched) + i) }
     val deleteIds = indexed.collect { case (c, i) if c.kind == "delete" => i }
     val updates = indexed.filter(_._1.kind == "update")
     val alive =
@@ -3280,6 +3302,12 @@ object GraftTable {
     * plan — see [[GraftTable.scanChangesBetweenImpl]].
     */
   val GroupedChangelogThreshold = 50
+
+  /** Merge sources at or below this row count broadcast explicitly in
+    * the checkpointed rewrite join (AQE cannot re-plan there) —
+    * ~2M keyed rows ≈ tens of MB, the same bound dedupTable uses.
+    */
+  val MergeBroadcastRowBound: Long = 2000000L
 
   /** Commits with more new files than this harvest footer stats via a
     * distributed job instead of a driver-side parallel loop (see
