@@ -323,32 +323,51 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
     org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
 
-  /** The ordered partition fields when EVERY field's key domain
-    * round-trips exactly from the stored partition-value strings:
-    * bucket (key = bucket id, INT) or identity over an
-    * integral/string/date column. A multi-field spec such as
-    * `identity(region), bucket(16, id)` reports the full value TUPLE
-    * as the grouping key — the canonical 100-TB layout joins
-    * shuffle-free on it. Any field outside the round-trip domain
-    * (year/month/day/hour/truncate/void) disables SPJ for the whole
-    * spec: reporting a PREFIX of the key would claim a coarser
-    * clustering than join keys could verify.
+  /** The ordered partition fields whose key domain round-trips exactly
+    * from the stored partition-value strings: bucket (key = bucket id,
+    * INT) or identity over an integral/string/date column. A spec
+    * whose fields are ALL in the domain — `identity(region),
+    * bucket(16, id)`, the canonical 100-TB layout — reports the full
+    * value TUPLE as the grouping key and joins shuffle-free on it.
+    *
+    * Fields OUTSIDE the round-trip domain (year/month/day/hour/
+    * truncate/void) are dropped from the reported key rather than
+    * disabling SPJ wholesale: for `days(ts), bucket(16, id)` the scan
+    * reports `bucket(id)` alone, and [[spjGroups]] groups files by
+    * that SUBSET tuple — every row with bucket b really is in input
+    * partition b (all days of it), so the clustering claim stays
+    * exact and a join on `id` alone avoids shuffling the big side.
+    * The trade is coarser tasks (one per surviving-tuple value, days
+    * folded together) while the bucketing conf is on — bucket count
+    * remains the parallelism dial. An empty surviving set reports
+    * UnknownPartitioning as before.
+    *
+    * Fields whose SOURCE COLUMN was pruned out of the scan output are
+    * dropped the same way: Spark resolves the reported transform
+    * expressions against the pruned relation output, so `identity
+    * (region)` is unresolvable (→ no SPJ at all) when the query never
+    * reads `region` — exactly the single-field-join case. Reporting
+    * the surviving subset instead makes `SELECT f.k ... JOIN ON f.k =
+    * d.k` over `(region, bucket(k))` tables co-locate by bucket with
+    * no conf beyond the bucketing switch.
     */
   private lazy val spjFields: Option[Seq[(graft.partitioning.PartitionField, DataType)]] =
     snap.partitionSpec.flatMap { spec =>
       scala.util.Try(graft.partitioning.PartitionExpr.parseSpec(spec)).toOption
     }.filter(_.nonEmpty).flatMap { pfs =>
-      val resolved = pfs.map { pf =>
-        pf.transform match {
-          case _: graft.partitioning.Transform.Bucket => Some(pf -> (IntegerType: DataType))
-          case graft.partitioning.Transform.Identity =>
-            snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol)).collect {
-              case f if GraftPartitionKeys.keyDomain(f.dataType) => pf -> f.dataType
-            }
-          case _ => None
+      val outputCols = readSchema().fieldNames.map(_.toLowerCase).toSet
+      val resolved = pfs.filter(pf => outputCols.contains(pf.sourceCol.toLowerCase))
+        .flatMap { pf =>
+          pf.transform match {
+            case _: graft.partitioning.Transform.Bucket => Some(pf -> (IntegerType: DataType))
+            case graft.partitioning.Transform.Identity =>
+              snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol)).collect {
+                case f if GraftPartitionKeys.keyDomain(f.dataType) => pf -> f.dataType
+              }
+            case _ => None
+          }
         }
-      }
-      if (resolved.forall(_.isDefined)) Some(resolved.map(_.get)) else None
+      if (resolved.isEmpty) None else Some(resolved)
     }
 
   /** Files grouped by partition key, FROZEN at first evaluation (static

@@ -462,6 +462,66 @@ object TableQueries {
               |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Partial-key storage-partitioned join: the fact table carries the
+    // canonical at-scale layout `months(ts), bucket(8, key)`, the dim
+    // only `bucket(8, key)`, and the join is on the key ALONE. The
+    // temporal field is outside the SPJ key domain and pruned from the
+    // scan output, so the scan reports the surviving bucket subset and
+    // groups files by it — the join co-locates by bucket with zero
+    // Exchange (asserted in-plan) instead of shuffling the big side.
+    "q103_spj_partial" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq103").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq103", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq103.warehouse",
+            Files.createTempDirectory("graft-spjp").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq103.bench")
+        s.sql("DROP TABLE IF EXISTS graftq103.bench.fact")
+        s.sql("DROP TABLE IF EXISTS graftq103.bench.dim")
+        s.sql("""CREATE TABLE graftq103.bench.fact
+                |(l_orderkey BIGINT, l_shipdate TIMESTAMP_NTZ, l_quantity DOUBLE)
+                |PARTITIONED BY (months(l_shipdate), bucket(8, l_orderkey))""".stripMargin)
+        s.sql("""CREATE TABLE graftq103.bench.dim
+                |(o_orderkey BIGINT, o_totalprice DOUBLE)
+                |PARTITIONED BY (bucket(8, o_orderkey))""".stripMargin)
+        t(s, dir, "lineitem").createOrReplaceTempView("q103_li")
+        t(s, dir, "orders").createOrReplaceTempView("q103_ord")
+        s.sql("""INSERT INTO graftq103.bench.fact
+                |SELECT l_orderkey, l_shipdate, l_quantity FROM q103_li
+                |WHERE l_shipdate >= TIMESTAMP '1997-01-01'""".stripMargin)
+        s.sql("""INSERT INTO graftq103.bench.dim
+                |SELECT o_orderkey, o_totalprice FROM q103_ord""".stripMargin)
+        val prevB = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+        val prevP = s.conf.getOption("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+        val prevT = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val j = s.sql(
+            """SELECT f.l_quantity, d.o_totalprice
+              |FROM graftq103.bench.fact f
+              |JOIN graftq103.bench.dim d ON f.l_orderkey = d.o_orderkey""".stripMargin)
+          require(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+            "partial-key SPJ planned a shuffle")
+          j.agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+              dsum(col("o_totalprice")).as("sum_price"))
+            .localCheckpoint()
+        } finally {
+          prevB.fold(s.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+            v => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v))
+          prevP.fold(s.conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled"))(
+            v => s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", v))
+          prevT.fold(s.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+            v => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+        }
+      },
+      Some(s"""SELECT COUNT(*) AS n, ${DSUM("l_quantity")} AS sum_qty,
+              |  ${DSUM("o_totalprice")} AS sum_price
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |WHERE l_shipdate >= TIMESTAMP '1997-01-01'""".stripMargin)),
+
     // In-place table dedup via position deletes: duplicate occurrences
     // are removed by a delete group addressing (file, row-index) pairs
     // — ZERO data files rewritten (asserted in-plan), the only delete
