@@ -64,14 +64,48 @@ object Bench {
     }.count()
     catch { case _: Exception => -1L }
 
+  /** Java processes UNRELATED to this run: everything java except this
+    * JVM and its ancestor chain (the sbt launcher that forked it). The
+    * raw [[jvmCount]] reads 2 for every sbt-forked run — its floor,
+    * not contamination — so the raw number cannot distinguish "normal"
+    * from "a concurrent compile is eating the box". This one can:
+    * 0 = clean window, >0 = genuinely foreign JVMs.
+    */
+  private def unrelatedJvmCount(): Long =
+    try {
+      val family = Iterator.iterate(Option(ProcessHandle.current())) {
+        _.flatMap(p => Option(p.parent().orElse(null)))
+      }.takeWhile(_.isDefined).take(10).map(_.get.pid).toSet
+      ProcessHandle.allProcesses().filter { p =>
+        p.info().command().map[Boolean](c => c.contains("java")).orElse(false)
+      }.filter(p => !family.contains(p.pid)).count()
+    } catch { case _: Exception => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Clean-window gate (round-11 verdict: three rounds of contaminated
+    // benches): before touching Spark, wait — bounded by
+    // SPARK_GRAFT_BENCH_WAIT_S (default 240s) — for a window with zero
+    // unrelated JVMs and a decayed loadavg (the forking sbt's own
+    // compile spike takes ~1 min to drain from the 1-min average).
+    // Whether a clean window was obtained is RECORDED either way; the
+    // bench never refuses to run.
+    val waitBudgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT_S", "240").toInt
+    val waitT0 = System.nanoTime()
+    var cleanWindow = unrelatedJvmCount() == 0 && loadAvg() < 2.0
+    while (!cleanWindow &&
+           (System.nanoTime() - waitT0) / 1e9 < waitBudgetS) {
+      Thread.sleep(10000)
+      cleanWindow = unrelatedJvmCount() == 0 && loadAvg() < 2.0
+    }
+    val waitedS = (System.nanoTime() - waitT0) / 1e9
     val jvmsAtStart = jvmCount()
+    val jvmsUnrelated = unrelatedJvmCount()
     val loadAtStart = loadAvg()
     // Printed early: lands far above the 2000-char tail, but survives in the
     // full log for forensic reads.
-    println(s"""bench-env: jvms=$jvmsAtStart loadavg=$loadAtStart cpus=$cpus""")
+    println(s"""bench-env: jvms=$jvmsAtStart unrelated=$jvmsUnrelated loadavg=$loadAtStart cpus=$cpus waited_s=$waitedS clean_window=$cleanWindow""")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -136,6 +170,40 @@ object Bench {
       d
     }
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Prior round's recorded per-query walls (same SF only) — loaded UP
+    // FRONT so apparent regressions against it join the retry set below
+    // (round-11 verdict: flagged regressions were named but never
+    // re-measured, leaving contention noise in the trend line).
+    val priorQueries: Map[String, Double] =
+      try {
+        val listing = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+        val prior =
+          try listing.iterator().asScala
+            .map(_.getFileName.toString)
+            .filter(n => n.matches("BENCH_r\\d+\\.json"))
+            .toSeq.sorted.lastOption
+          finally listing.close()
+        prior.toSeq.flatMap { pf =>
+          import org.json4s._
+          val j = org.json4s.jackson.JsonMethods.parse(
+            java.nio.file.Files.readString(java.nio.file.Paths.get(pf)))
+          val sameSf = (j \ "parsed" \ "sf") match {
+            case JString(s) => s == sfDir
+            case _ => false
+          }
+          if (!sameSf) Nil
+          else (j \ "parsed" \ "queries") match {
+            case JObject(fields) => fields.collect {
+              case (k, JDouble(v)) => k -> v
+              case (k, JInt(v)) => k -> v.toDouble
+            }
+            case _ => Nil
+          }
+        }.toMap
+      } catch { case _: Exception => Map.empty }
+    def regressed(name: String, d: QDiag): Boolean =
+      priorQueries.get(name.split("_")(0))
+        .exists(p => p > 0.5 && d.wallS > 2.0 * p)
     val firstPass = sorted.map { case (name, fn) => name -> timed(name, fn) }
     // Steal-aware re-measurement: a query whose window lost a visible
     // share of demanded CPU to the hypervisor (or whose wall time is an
@@ -153,18 +221,21 @@ object Bench {
     val CleanStealPct = 5.0
     // errored queries are not retry candidates: their "wall" is time-to-
     // throw, and re-running a deterministic failure buys nothing
-    val retryWorthy = firstPass.filter { case (_, d) =>
+    val retryWorthy = firstPass.filter { case (nm, d) =>
       d.err.isEmpty &&
-        (d.stealPct > 10.0 || d.stalled || d.wallS > math.max(3.0, 4.0 * median))
-    }.sortBy(-_._2.wallS).take(20).map(_._1).toSet
+        (d.stealPct > 10.0 || d.stalled || d.wallS > math.max(3.0, 4.0 * median) ||
+          regressed(nm, d))
+    }.sortBy(-_._2.wallS).take(24).map(_._1).toSet
     val retriedQueries = scala.collection.mutable.Set.empty[String]
     val finals = firstPass.map { case (name, d) =>
       var best = d
       var attempt = 0
-      // retry while the best window is DIRTY on either signal — steal
-      // (hypervisor) or stall (low-CPU wait the steal counter can't
-      // see) — stopping at the first clean measurement
-      while (retryWorthy.contains(name) && attempt < 2 && best.dirty) {
+      // retry while the best measurement is DIRTY on either signal —
+      // steal (hypervisor) or stall (low-CPU wait the steal counter
+      // can't see) — OR still reads as a >2x regression against the
+      // prior round, stopping at the first measurement that clears
+      while (retryWorthy.contains(name) && attempt < 2 &&
+             (best.dirty || regressed(name, best))) {
         attempt += 1
         retriedQueries += name
         val retry = timed(s"$name#retry$attempt", SparkEntry.queries(name))
@@ -225,40 +296,12 @@ object Bench {
     // Prior rounds can themselves be contaminated, so this flags, never
     // gates.
     val regressions: Seq[(String, Double, Double)] =
-      try {
-        val listing = java.nio.file.Files.list(java.nio.file.Paths.get("."))
-        val prior =
-          try listing.iterator().asScala
-            .map(_.getFileName.toString)
-            .filter(n => n.matches("BENCH_r\\d+\\.json"))
-            .toSeq.sorted.lastOption
-          finally listing.close()
-        prior.toSeq.flatMap { pf =>
-          import org.json4s._
-          val j = org.json4s.jackson.JsonMethods.parse(
-            java.nio.file.Files.readString(java.nio.file.Paths.get(pf)))
-          // only comparable at the SAME scale factor — the driver
-          // always records sf0.1, but local smoke runs use sf0.001
-          val sameSf = (j \ "parsed" \ "sf") match {
-            case JString(s) => s == sfDir
-            case _ => false
-          }
-          val prev = if (!sameSf) Map.empty[String, Double]
-          else (j \ "parsed" \ "queries") match {
-            case JObject(fields) => fields.collect {
-              case (k, JDouble(v)) => k -> v
-              case (k, JInt(v)) => k -> v.toDouble
-            }.toMap
-            case _ => Map.empty[String, Double]
-          }
-          finals.flatMap { case (name, d) =>
-            val short = name.split("_")(0)
-            prev.get(short).collect {
-              case p if p > 0.5 && d.wallS > 2.0 * p => (short, p, d.wallS)
-            }
-          }
+      finals.flatMap { case (name, d) =>
+        val short = name.split("_")(0)
+        priorQueries.get(short).collect {
+          case p if p > 0.5 && d.wallS > 2.0 * p => (short, p, d.wallS)
         }
-      } catch { case _: Exception => Nil }
+      }
     val regJson = regressions
       .map { case (q, p, n) => s"""{"q":"$q","prev":${f(p)},"now":${f(n)}}""" }
       .mkString("[", ",", "]")
@@ -270,7 +313,7 @@ object Bench {
       // contamination signature
       s"""{"name":"${d.name}","start_epoch_ms":${d.startMs},"wall_s":${f(d.wallS)},"cpu_s":${f(d.cpuS)},"loadavg":${f(d.load)},"steal_pct":${f(d.stealPct)},"stalled":${d.stalled},"err":${d.err.map(jstr).getOrElse("null")}}"""
     }.mkString(
-      s"""{"jvms_at_start":$jvmsAtStart,"loadavg_start":${f(loadAtStart)},"loadavg_end":${f(loadAtEnd)},"cpus":$cpus,"retry_policy":"min-of-retries-while-dirty-v2","regressions":$regJson,"queries":[""",
+      s"""{"jvms_at_start":$jvmsAtStart,"jvms_unrelated_at_start":$jvmsUnrelated,"clean_window_at_start":$cleanWindow,"waited_s":${f(waitedS)},"loadavg_start":${f(loadAtStart)},"loadavg_end":${f(loadAtEnd)},"cpus":$cpus,"retry_policy":"min-of-retries-while-dirty-or-regressed-v3","regressions":$regJson,"queries":[""",
       ",", "]}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_diag.json"), diagJson)
     catch { case _: Exception => () }
@@ -288,8 +331,12 @@ object Bench {
     // value is a min over up to 3 executions for those — cross-round
     // comparisons should use the diag sidecar's first-pass numbers when
     // in doubt, ADVICE r8)
+    // `jvms` stays the raw count for cross-round continuity (floor 2
+    // when sbt forks the bench); `unrel` is the contamination signal —
+    // 0 means no foreign JVM at start. `clean` records whether the
+    // startup gate observed an idle window within its wait budget.
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","jvms":$jvmsAtStart,"load_max":${f(maxLoad)},"steal_pct":${f(stealPctTot)},"suspect":$suspectCount,"stalled":$stalledCount,"retried":${retriedQueries.size},"failed":${failed.size}}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","jvms":$jvmsAtStart,"unrel":$jvmsUnrelated,"clean":$cleanWindow,"load_max":${f(maxLoad)},"steal_pct":${f(stealPctTot)},"suspect":$suspectCount,"stalled":$stalledCount,"retried":${retriedQueries.size},"failed":${failed.size}}"""
     println(line)
   }
 }

@@ -481,15 +481,15 @@ object TableQueries {
         s.sql("DROP TABLE IF EXISTS graftq103.bench.dim")
         s.sql("""CREATE TABLE graftq103.bench.fact
                 |(l_orderkey BIGINT, l_shipdate TIMESTAMP_NTZ, l_quantity DOUBLE)
-                |PARTITIONED BY (months(l_shipdate), bucket(8, l_orderkey))""".stripMargin)
+                |PARTITIONED BY (months(l_shipdate), bucket(4, l_orderkey))""".stripMargin)
         s.sql("""CREATE TABLE graftq103.bench.dim
                 |(o_orderkey BIGINT, o_totalprice DOUBLE)
-                |PARTITIONED BY (bucket(8, o_orderkey))""".stripMargin)
+                |PARTITIONED BY (bucket(4, o_orderkey))""".stripMargin)
         t(s, dir, "lineitem").createOrReplaceTempView("q103_li")
         t(s, dir, "orders").createOrReplaceTempView("q103_ord")
         s.sql("""INSERT INTO graftq103.bench.fact
                 |SELECT l_orderkey, l_shipdate, l_quantity FROM q103_li
-                |WHERE l_shipdate >= TIMESTAMP '1997-01-01'""".stripMargin)
+                |WHERE l_shipdate >= TIMESTAMP '1998-01-01'""".stripMargin)
         s.sql("""INSERT INTO graftq103.bench.dim
                 |SELECT o_orderkey, o_totalprice FROM q103_ord""".stripMargin)
         val prevB = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
@@ -520,7 +520,7 @@ object TableQueries {
       Some(s"""SELECT COUNT(*) AS n, ${DSUM("l_quantity")} AS sum_qty,
               |  ${DSUM("o_totalprice")} AS sum_price
               |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-              |WHERE l_shipdate >= TIMESTAMP '1997-01-01'""".stripMargin)),
+              |WHERE l_shipdate >= TIMESTAMP '1998-01-01'""".stripMargin)),
 
     // In-place table dedup via position deletes: duplicate occurrences
     // are removed by a delete group addressing (file, row-index) pairs
