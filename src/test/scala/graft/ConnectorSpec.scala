@@ -1280,6 +1280,16 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     frame(spark.read.option("startingVersion", "0")
       .option("endingVersion", morV.toString).table("graft.nsmor2.t.changes")) shouldBe
       frame(tbl.scanChangesBetween(0, morV))
+    // position-delete commits (dedup_table) flow through the feed too:
+    // the duplicate occurrence's pre-image is the delete side
+    spark.sql("INSERT INTO graft.nsmor2.t VALUES (200)") // duplicate of 200
+    spark.sql("CALL graft.system.dedup_table('nsmor2', 't', '')")
+    val dv = tbl.currentOrFail().version
+    val dedupFeed = spark.read.option("startingVersion", (dv - 1).toString)
+      .option("endingVersion", dv.toString).table("graft.nsmor2.t.changes")
+    frame(dedupFeed) shouldBe frame(tbl.scanChangesBetween(dv - 1, dv))
+    dedupFeed.where("_change_type = 'delete'").select("id").collect()
+      .map(_.getLong(0)).toSeq shouldBe Seq(200L)
   }
 
   test("DSv2 change feed spans rename/drop history (physical era names mapped by field id)") {

@@ -13,7 +13,10 @@ import org.scalatest.matchers.should.Matchers
 
 /** Randomized differential test of name evolution: every iteration
   * drives a random op sequence — appends, renames, drops, adds,
-  * copy-on-write deletes, compactions — against both the table and an
+  * copy-on-write AND merge-on-read deletes (predicate + equality
+  * groups, interleaved with the renames that remap their stored
+  * references), delete maintenance (compact_deletes /
+  * rewrite_deletes), compactions — against both the table and an
   * in-memory reference that tracks surviving rows BY FIELD ID. After
   * every mutation the full scan must equal the reference projected
   * onto the current schema (values surface under whatever name their
@@ -96,14 +99,19 @@ class EvolutionRandomSpec extends AnyFunSuite with Matchers {
       fields.map(idOf).zip(Seq(1L, "p", 10L)).toMap,
       fields.map(idOf).zip(Seq(2L, "q", null)).filter(_._2 != null).toMap)
     appendRows() // never start empty
+    def numericFields: Seq[StructField] = fields.filter(f =>
+      f.dataType == LongType || f.dataType == IntegerType)
     (0 until 10).foreach { _ =>
-      rnd.nextInt(7) match {
+      rnd.nextInt(10) match {
         case 0 | 1 => appendRows()
-        case 2 => // rename to a pool name (may be occupied/blocked)
+        case 2 => // rename to a pool name (may be occupied/blocked) —
+          // legal since round 12 even with pending MoR deletes (their
+          // stored keys/predicates remap in the same commit)
           val from = fields(rnd.nextInt(fields.size)).name
           val to = namePool(rnd.nextInt(namePool.size))
           if (tryEvolve(tbl.renameColumn(from, to))) renames += 1
-        case 3 => // drop a random column (last-column drop must reject)
+        case 3 => // drop a random column (last-column drop must reject;
+          // so must dropping a column a pending MoR delete references)
           val victim = fields(rnd.nextInt(fields.size))
           val vid = idOf(victim)
           if (tryEvolve(tbl.dropColumn(victim.name))) {
@@ -125,17 +133,40 @@ class EvolutionRandomSpec extends AnyFunSuite with Matchers {
           } else if (!fields.exists(_.name.equalsIgnoreCase(name)))
             tryEvolve(tbl.evolveSchema(StructType(Seq(StructField(name,
               if (rnd.nextBoolean()) LongType else IntegerType)))))
-        case 5 => // copy-on-write delete on a random numeric column's range
-          val longs = fields.filter(f =>
-            f.dataType == LongType || f.dataType == IntegerType)
+        case 5 => // range delete on a random numeric column — randomly
+          // copy-on-write OR merge-on-read (predicate delete group);
+          // the reference applies it eagerly either way, so a later
+          // rename exercising the predicate-SQL remap is checked by
+          // every subsequent verify()
+          val longs = numericFields
           if (longs.nonEmpty) {
             val f = longs(rnd.nextInt(longs.size))
             val k = rnd.nextInt(100)
             val id = idOf(f)
+            tbl.updateProperties(Map(graft.table.GraftTable.DeleteModeProp ->
+              (if (rnd.nextBoolean()) "mor" else "cow")))
             tbl.deleteWhere(s"`${f.name}` <= $k")
             expected = expected.filterNot(r =>
               r.get(id).exists(_.toString.toLong <= k))
           }
+        case 6 => // keyed merge-on-read delete (equality group): the
+          // shape whose stored key column names + era-named key FILES
+          // must survive later renames (physKeys freezing)
+          val longs = numericFields
+          if (longs.nonEmpty) {
+            val f = longs(rnd.nextInt(longs.size))
+            val id = idOf(f)
+            val ks = Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(100).toLong).distinct
+            tbl.updateProperties(Map(graft.table.GraftTable.DeleteModeProp -> "mor"))
+            val keyDf = spark.createDataFrame(
+              ks.map(v => Row(v)).asJavaList,
+              StructType(Seq(StructField(f.name, LongType))))
+            tbl.deleteByKeys(keyDf, Seq(f.name))
+            expected = expected.filterNot(r =>
+              r.get(id).exists(v => ks.contains(v.toString.toLong)))
+          }
+        case 7 => tbl.compactDeletes() // coalesce pending groups (no-op when none)
+        case 8 => tbl.rewriteDeletes() // fold pending groups into data
         case _ => tbl.compact(1)
       }
       verify()
@@ -151,7 +182,11 @@ class EvolutionRandomSpec extends AnyFunSuite with Matchers {
   }
 
   test("randomized evolution sequences match the by-field-id reference") {
-    val results = (1 to 20).map(runOne)
+    // default 20 seeds in CI; widen one-off sweeps with GRAFT_EVO_SEEDS
+    // (the established pre-round workflow: 150+ seeds, commit any
+    // bug-finding seed into the default range)
+    val seeds = sys.env.get("GRAFT_EVO_SEEDS").map(_.toInt).getOrElse(20)
+    val results = (1 to seeds).map(runOne)
     // the generator must actually exercise the feature, not just skip
     results.map(_._1).sum should be >= 3 // renames applied
     results.map(_._2).sum should be >= 2 // drops applied
