@@ -177,11 +177,16 @@ class MergeRandomSpec extends AnyFunSuite with Matchers {
     case s if s.startsWith("_s_1 > ") => SxGt(s.stripPrefix("_s_1 > ").toLong)
   }
 
+  // default seed counts in CI; widen one-off sweeps with
+  // GRAFT_MERGE_SEEDS (the pre-round workflow: 150+, commit any
+  // bug-finding seed into the default range — seed 118 earned its spot)
+  private val extra = sys.env.get("GRAFT_MERGE_SEEDS").map(_.toInt).getOrElse(0)
+
   test("randomized general MERGE matches the reference evaluator (copy-on-write)") {
-    (1 to 12).foreach(seed => runOne(seed, mor = false))
+    (1 to (12 + extra)).foreach(seed => runOne(seed, mor = false))
   }
 
   test("randomized general MERGE matches the reference evaluator (merge-on-read)") {
-    (101 to 120).foreach(seed => runOne(seed, mor = true))
+    (101 to (120 + extra)).foreach(seed => runOne(seed, mor = true))
   }
 }
