@@ -2170,7 +2170,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
           // change-feed caches of expired versions can never be read
           // again (the version range is gone) — sweep them along
           expired.foreach(s =>
-            fs.delete(new HPath(tableDir, s"_cdc/v${s.version}"), true))
+            fs.delete(new HPath(tableDir, s"$cdcRoot/v${s.version}"), true))
         }
         graft.observability.Log.metrics("expire_snapshots",
           "table" -> tableDir.getName, "expired" -> expired.size)
@@ -2218,7 +2218,38 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
           !liveManifests.contains(name))
         manifestOrphans += name
     } catch { case _: java.io.FileNotFoundException => () }
+    // change-feed cache hygiene: crashed materializations leave
+    // `.tmp-*` staging dirs, versions dropped from the log (expire's
+    // own sweep is best-effort) leave unreadable `v{N}` caches, and a
+    // dropped branch leaves its whole `b-<name>` prefix — all orphans
+    // by the same age rule. Whole-directory removals: a cache dir is
+    // only ever consumed as a unit. Branch version sequences are
+    // independent, so liveness is checked per ref.
+    val cdcOrphans = Seq.newBuilder[String]
+    try {
+      val fam = log.family()
+      def liveOf(l: graft.meta.MetadataLog): Set[String] =
+        l.snapshots().map(s => s"v${s.version}").toSet
+      val mainLive = fam.find(_.branch.isEmpty).map(liveOf).getOrElse(Set.empty)
+      val branchLive = fam.flatMap(l => l.branch.map(_ -> liveOf(l))).toMap
+      def sweep(dir: HPath, live: Set[String]): Unit =
+        fs.listStatus(dir).foreach { st =>
+          val name = st.getPath.getName
+          if (name.startsWith("b-")) {
+            branchLive.get(name.drop(2)) match {
+              case Some(bl) => sweep(st.getPath, bl)
+              case None if st.getModificationTime < cutoff =>
+                cdcOrphans += st.getPath.toString // dropped branch
+              case None => ()
+            }
+          } else if (st.getModificationTime < cutoff &&
+                     (name.startsWith(".tmp-") || !live.contains(name)))
+            cdcOrphans += st.getPath.toString
+        }
+      sweep(new HPath(tableDir, "_cdc"), mainLive)
+    } catch { case _: java.io.FileNotFoundException => () }
     val doomed = dataOrphans
+    val cdcDirs = cdcOrphans.result()
     val manifests = manifestOrphans.result()
     var deleted = 0
     if (!dryRun) {
@@ -2237,8 +2268,9 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
       // manifests are O(commits), not O(files) — driver-side via the log
       // so its parsed-manifest cache stays coherent
       manifests.foreach { name => log.deleteManifest(name); deleted += 1 }
+      cdcDirs.foreach { p => if (fs.delete(new HPath(p), true)) deleted += 1 }
     }
-    val planned = doomed.size + manifests.size
+    val planned = doomed.size + manifests.size + cdcDirs.size
     graft.observability.Log.metrics("remove_orphan_files",
       "table" -> tableDir.getName,
       "planned" -> planned, "deleted" -> deleted, "dry_run" -> dryRun)
@@ -2631,6 +2663,14 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     GraftTable.CdcSides(insRaw, insCache, delRaw, delCache)
   }
 
+  /** Change-cache root for THIS log's version sequence: branches have
+    * independent version numbering over the same table dir, so each
+    * branch's feed caches under its own prefix — two branches' v3
+    * diffs are different content.
+    */
+  private def cdcRoot: String =
+    log.branch.map(b => s"_cdc/b-$b").getOrElse("_cdc")
+
   /** Publish (or reuse) the materialized change rows of `(v, side)`.
     * Write-to-temp + atomic rename; a lost publish race reuses the
     * winner's files (identical logical content — both racers derive it
@@ -2638,11 +2678,11 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     * same harvest as the commit path.
     */
   private def cdcCache(v: Int, side: String, df: => DataFrame): Seq[DataFile] = {
-    val dir = new HPath(tableDir, s"_cdc/v$v/$side")
+    val dir = new HPath(tableDir, s"$cdcRoot/v$v/$side")
     val marker = new HPath(dir, "_SUCCESS")
     if (!fs.exists(marker)) {
       val tmp = new HPath(tableDir,
-        s"_cdc/.tmp-$side-${UUID.randomUUID().toString.take(12)}")
+        s"$cdcRoot/.tmp-$side-${UUID.randomUUID().toString.take(12)}")
       df.write.option("compression", "zstd").mode("overwrite").parquet(tmp.toString)
       fs.mkdirs(dir.getParent)
       if (!fs.rename(tmp, dir)) {

@@ -45,9 +45,11 @@ object MakeScaledData {
     // "match-nothing" keys by adding 1e8-style offsets, and a copy
     // stride of exactly 1e8 made those keys collide with copy 1's real
     // rows (q97/q99 then correctly raised MERGE cardinality errors —
-    // against pathological data, not a bug)
-    val ordOff = 7777777777L
-    val custOff = 3333333333L
+    // against pathological data, not a bug). Strides also stay small
+    // enough that 10 copies keep every key inside INT range: the
+    // widening family (q93) casts keys to INT by design.
+    val ordOff = 214748364L
+    val custOff = 19700003L
 
     scaled("lineitem", 32) { (df, i) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * ordOff))

@@ -535,6 +535,39 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     t.scan().count() shouldBe 2
   }
 
+  test("change-feed cache lifecycle: expire + orphan sweeps, live caches kept") {
+    val s = spark
+    import s.implicits._
+    val t = cat().ensure(TableIdent("ns", "tcdc"))
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    t.updateProperties(Map(graft.table.GraftTable.DeleteModeProp -> "mor"))
+    t.deleteByKeys(Seq(2L).toDF("id"), Seq("id"))
+    val morV = t.currentOrFail().version
+    // materialize the MoR diff cache through the planning surface
+    t.cdcSides(morV).delCache should not be empty
+    val cacheDir = nio(t.tableDir).resolve(s"_cdc/v$morV")
+    Files.exists(cacheDir) shouldBe true
+    // live version: neither sweep touches the cache
+    t.removeOrphanFiles(olderThanMs = -1000)
+    Files.exists(cacheDir) shouldBe true
+    // plant a crashed materialization and a cache for a version the
+    // log never had — both orphans under an immediate cutoff
+    val tmpDir = nio(t.tableDir).resolve("_cdc/.tmp-del-deadbeef")
+    Files.createDirectories(tmpDir)
+    Files.writeString(tmpDir.resolve("part-x.parquet"), "junk")
+    val ghost = nio(t.tableDir).resolve("_cdc/v999/del")
+    Files.createDirectories(ghost)
+    t.removeOrphanFiles(olderThanMs = -1000) should be >= 2
+    Files.exists(tmpDir) shouldBe false
+    Files.exists(ghost) shouldBe false
+    Files.exists(cacheDir) shouldBe true
+    // expiring the version sweeps its cache along
+    t.append(Seq((9L, "z")).toDF("id", "v"))
+    t.compact(1) // purge the delete group so old versions can expire
+    t.expireSnapshots(keepLast = 1) should be >= 1
+    Files.exists(cacheDir) shouldBe false
+  }
+
   test("warehouse given as a file:// URI commits through the Hadoop FS API") {
     val wh = "file://" + Files.createTempDirectory("graft-uri")
     val c = GraftCatalog(spark, wh)
