@@ -129,15 +129,16 @@ final class GraftChangesScan(tbl: GraftTable, options: CaseInsensitiveStringMap,
       .getOrElse(tbl.currentOrFail().version)
 
     override def planInputPartitions(): Array[InputPartition] =
-      GraftCdc.partitionsBetween(tbl, from, to, dataPart, pushed, metaPrune,
-        tbl.cdcSides)
+      GraftCdc.partitionsBetween(tbl, from, to, tableSchema, dataPart, pushed,
+        metaPrune, tbl.cdcSides)
 
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftCdc.CdcReaderFactory(metaPart)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftCdcMicroBatchStream(tbl, options, dataPart, metaPart, pushed, metaPrune)
+    new GraftCdcMicroBatchStream(tbl, options, tableSchema, dataPart, metaPart,
+      pushed, metaPrune)
 }
 
 /** Streaming CDC: offset = metadata-log version (same durable total
@@ -158,6 +159,7 @@ final class GraftChangesScan(tbl: GraftTable, options: CaseInsensitiveStringMap,
   */
 final class GraftCdcMicroBatchStream(tbl: GraftTable,
                                      options: CaseInsensitiveStringMap,
+                                     tableSchema: StructType,
                                      dataPart: StructType,
                                      metaPart: Seq[String],
                                      pushed: Array[Filter],
@@ -266,7 +268,7 @@ final class GraftCdcMicroBatchStream(tbl: GraftTable,
     GraftCdc.partitionsBetween(tbl,
       start.asInstanceOf[GraftStreamOffset].version,
       end.asInstanceOf[GraftStreamOffset].version,
-      dataPart, pushed, metaPrune, sidesAt)
+      tableSchema, dataPart, pushed, metaPrune, sidesAt)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftCdc.CdcReaderFactory(metaPart)
@@ -371,6 +373,7 @@ private[graft] object GraftCdc {
     * each plan through native ParquetScans.
     */
   def partitionsBetween(tbl: GraftTable, from: Int, to: Int,
+                        tableSchema: StructType,
                         dataPart: StructType,
                         pushed: Array[Filter],
                         metaPrune: MetaPruning,
@@ -384,7 +387,7 @@ private[graft] object GraftCdc {
           val sides = sidesAt(v)
           def emit(tag: String, parts: Seq[GraftTable.CdcFiles]): Unit =
             parts.filter(_.files.nonEmpty).foreach { p =>
-              val scan = eraScan(tbl, p.writeSchema, p.files, dataPart, pushed)
+              val scan = eraScan(tbl, p.writeSchema, p.files, tableSchema, dataPart, pushed)
               val factory = scan.toBatch.createReaderFactory()
               out ++= scan.toBatch.planInputPartitions()
                 .map(ip => CdcPartition(ip, tag, v, factory))
@@ -411,12 +414,15 @@ private[graft] object GraftCdc {
     * positionally identical to `dataPart`, so no per-row renaming ever
     * happens. Fields postdating the era null-fill; a name reused by a
     * since-dropped different field reads salted (never resurrecting the
-    * dead values). Filters push only into identity-mapped scans, and
-    * only those referencing era-present columns — every filter stays
-    * residual above, so skipping the push loses speed, never rows.
+    * dead values). Filters push into EVERY era with their column
+    * references translated to the era's physical names
+    * ([[FilterRename]]) — row-group pruning keeps working inside
+    * pre-rename files; a filter on a column the era cannot answer is
+    * simply not pushed. Every filter stays residual above, so the push
+    * is pure speedup, never semantics.
     */
   private def eraScan(tbl: GraftTable, writeSchema: StructType,
-                      files: Seq[DataFile],
+                      files: Seq[DataFile], tableSchema: StructType,
                       dataPart: StructType, pushed: Array[Filter]): ParquetScan = {
     val spark = tbl.spark
     val mapping = tbl.nameMapping(writeSchema, dataPart)
@@ -425,11 +431,11 @@ private[graft] object GraftCdc {
       case Some(m) => StructType(m.map { case (n, f) =>
         StructField(n, f.dataType, nullable = true) })
     }
-    val eraCols = writeSchema.fieldNames.map(_.toLowerCase).toSet
-    val pushable =
-      if (mapping.isEmpty)
-        pushed.filter(_.references.forall(r => eraCols.contains(r.toLowerCase)))
-      else Array.empty[Filter]
+    // filters may reference unprojected columns: translate through the
+    // FULL current schema's era mapping, not the pruned one
+    val filterMap = FilterRename.eraMap(writeSchema,
+      tbl.nameMapping(writeSchema, tableSchema), tableSchema)
+    val pushable = pushed.flatMap(FilterRename(_, filterMap))
     ParquetScan(
       sparkSession = spark,
       hadoopConf = GraftSqlShim.newHadoopConf(spark),

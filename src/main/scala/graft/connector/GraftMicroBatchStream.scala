@@ -104,7 +104,8 @@ final class GraftMicroBatchStream(
     tbl: GraftTable,
     readDataSchema: StructType,
     pushed: Array[Filter],
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    pinnedSchema: StructType)
     extends MicroBatchStream with SupportsTriggerAvailableNow with ReportsSourceMetrics {
 
   private val skipRewrites = options.getBoolean("streamSkipRewrites", false)
@@ -330,9 +331,10 @@ final class GraftMicroBatchStream(
     * names in `writeSchema` (matched by field id), so the emitted rows
     * stay positionally identical to the stream's pinned
     * `readDataSchema` across renames. A column dropped mid-stream
-    * null-fills in post-drop files. Filters push only into
-    * identity-named eras (they reference pinned names) — row-group
-    * pruning is speedup only, Spark re-applies every filter.
+    * null-fills in post-drop files. Filters push into EVERY era with
+    * their references translated to the era's physical names
+    * ([[FilterRename]]) — row-group pruning is speedup only, Spark
+    * re-applies every filter.
     */
   private def scanFor(writeSchema: StructType, files: Seq[DataFile]): ParquetScan = {
     val spark = tbl.spark
@@ -342,11 +344,11 @@ final class GraftMicroBatchStream(
       case Some(m) => StructType(m.map { case (n, f) =>
         StructField(n, f.dataType, nullable = true) })
     }
-    val eraCols = writeSchema.fieldNames.map(_.toLowerCase).toSet
-    val pushable =
-      if (mapping.isEmpty)
-        pushed.filter(_.references.forall(r => eraCols.contains(r.toLowerCase)))
-      else Array.empty[Filter]
+    // filters may reference unprojected columns: translate through the
+    // FULL pinned schema's era mapping, not the pruned one
+    val filterMap = FilterRename.eraMap(writeSchema,
+      tbl.nameMapping(writeSchema, pinnedSchema), pinnedSchema)
+    val pushable = pushed.flatMap(FilterRename(_, filterMap))
     ParquetScan(
       sparkSession = spark,
       hadoopConf = GraftSqlShim.newHadoopConf(spark),

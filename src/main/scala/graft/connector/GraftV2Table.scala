@@ -447,7 +447,7 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
     // physical names BY FIELD ID from that metadata
     val pinned = StructType(readSchema().fields.map(f =>
       snap.schema.fields.find(_.name == f.name).getOrElse(f)))
-    new GraftMicroBatchStream(tbl, pinned, pushed, options)
+    new GraftMicroBatchStream(tbl, pinned, pushed, options, snap.schema)
   }
 
   override def columnarSupportMode(): Scan.ColumnarSupportMode =

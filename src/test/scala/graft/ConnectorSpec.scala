@@ -1653,6 +1653,27 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("FilterRename translates pushable filters to era names, drops unanswerable ones") {
+    import org.apache.spark.sql.sources._
+    val m = Map("w" -> "v", "id" -> "id") // current w was physically v
+    graft.connector.FilterRename(EqualTo("w", "a"), m) shouldBe Some(EqualTo("v", "a"))
+    graft.connector.FilterRename(
+      And(GreaterThan("id", 1L), In("W", Array("a"))), m) shouldBe
+      Some(And(GreaterThan("id", 1L), In("v", Array("a"))))
+    // a column with no physical counterpart in the era drops the filter
+    graft.connector.FilterRename(EqualTo("added_later", "x"), m) shouldBe None
+    graft.connector.FilterRename(
+      Or(EqualTo("w", "a"), EqualTo("added_later", "x")), m) shouldBe None
+    // era map: salted absent names and era-missing columns are excluded
+    import org.apache.spark.sql.types._
+    val era = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    val cur = StructType(Seq(StructField("id", LongType), StructField("w", StringType),
+      StructField("extra", LongType)))
+    val em = graft.connector.FilterRename.eraMap(era,
+      Some(Seq(("id", cur("id")), ("v", cur("w")), ("__graft_absent_extra", cur("extra")))), cur)
+    em shouldBe Map("id" -> "id", "w" -> "v")
+  }
+
   test("SHOW TABLES, RENAME, and DROP work through the catalog") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns4")
     spark.sql("CREATE TABLE graft.ns4.a (id BIGINT)")
