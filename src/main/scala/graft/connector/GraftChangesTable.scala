@@ -436,14 +436,32 @@ private[graft] object GraftCdc {
     val filterMap = FilterRename.eraMap(writeSchema,
       tbl.nameMapping(writeSchema, tableSchema), tableSchema)
     val pushable = pushed.flatMap(FilterRename(_, filterMap))
+    // FILE-level zone-map pruning from the same translated conjunction:
+    // a changed file whose stats prove no row can satisfy the pushed
+    // filters contributes nothing the residual re-evaluation wouldn't
+    // drop, so a filtered CDC backfill skips it without opening it.
+    // Stats are keyed by the files' own physical (era) names — the
+    // translated predicate speaks exactly that naming.
+    val pruned =
+      if (pushable.isEmpty) files
+      else {
+        val preds = pushable.flatMap(FilterSql.toSql)
+        if (preds.isEmpty) files
+        else {
+          val expr = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseExpression(preds.mkString("(", ") AND (", ")"))
+          files.filter(f =>
+            graft.table.StatsPruner.evaluate(f, writeSchema, expr).may)
+        }
+      }
     ParquetScan(
       sparkSession = spark,
       hadoopConf = GraftSqlShim.newHadoopConf(spark),
-      fileIndex = new GraftFileIndex(spark, tbl.tableDir, files, writeSchema),
+      fileIndex = new GraftFileIndex(spark, tbl.tableDir, pruned, writeSchema),
       dataSchema = writeSchema,
       readDataSchema = physSchema,
       readPartitionSchema = StructType(Nil),
-      pushedFilters = pushable, // row-group pruning only; all residual above
+      pushedFilters = pushable, // row-group pruning; all residual above
       options = CaseInsensitiveStringMap.empty())
   }
 

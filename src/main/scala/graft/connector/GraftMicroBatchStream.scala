@@ -349,10 +349,26 @@ final class GraftMicroBatchStream(
     val filterMap = FilterRename.eraMap(writeSchema,
       tbl.nameMapping(writeSchema, pinnedSchema), pinnedSchema)
     val pushable = pushed.flatMap(FilterRename(_, filterMap))
+    // FILE-level zone-map pruning from the translated conjunction (all
+    // filters stay residual above, so skipping provably-empty files is
+    // pure speedup) — a filtered stream over a clustered table then
+    // reads only the new files that can match
+    val pruned =
+      if (pushable.isEmpty) files
+      else {
+        val preds = pushable.flatMap(FilterSql.toSql)
+        if (preds.isEmpty) files
+        else {
+          val expr = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseExpression(preds.mkString("(", ") AND (", ")"))
+          files.filter(f =>
+            graft.table.StatsPruner.evaluate(f, writeSchema, expr).may)
+        }
+      }
     ParquetScan(
       sparkSession = spark,
       hadoopConf = GraftSqlShim.newHadoopConf(spark),
-      fileIndex = new GraftFileIndex(spark, tbl.tableDir, files, writeSchema),
+      fileIndex = new GraftFileIndex(spark, tbl.tableDir, pruned, writeSchema),
       dataSchema = writeSchema,
       readDataSchema = physSchema,
       readPartitionSchema = StructType(Nil),

@@ -1653,6 +1653,43 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("change feed prunes whole files from pushed filters (zone maps)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nscdcp")
+    spark.sql("CREATE TABLE graft.nscdcp.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.nscdcp.t SELECT id, CONCAT('a', id) FROM range(0, 10)")
+    spark.sql("INSERT INTO graft.nscdcp.t SELECT id, CONCAT('b', id) FROM range(1000, 1010)")
+    val cat = graft.table.GraftCatalog(spark,
+      spark.conf.get("spark.sql.catalog.graft.warehouse"))
+    val tbl = cat.load(graft.table.TableIdent("nscdcp", "t"))
+    val cur = tbl.currentOrFail().version
+    import org.apache.spark.sql.sources.GreaterThan
+    // plan directly: the v1 file (ids 0..9) is provably disjoint from
+    // id > 999 and contributes ZERO partitions
+    val parts = graft.connector.GraftCdc.partitionsBetween(
+      tbl, 0, cur, tbl.schema, tbl.schema,
+      Array(GreaterThan("id", 999L)),
+      graft.connector.GraftCdc.MetaPruning.all, tbl.cdcSides)
+    parts should not be empty
+    parts.collect { case c: graft.connector.GraftCdc.CdcPartition => c.version }
+      .toSet shouldBe Set(cur)
+    // and the SQL surface returns exactly the surviving rows
+    spark.read.option("startingVersion", "0").table("graft.nscdcp.t.changes")
+      .where("id > 999").count() shouldBe 10L
+  }
+
+  test("change feed reads across a type widening (old INT files under the LONG schema)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nscdcw")
+    spark.sql("CREATE TABLE graft.nscdcw.t (id BIGINT, n INT)")
+    spark.sql("INSERT INTO graft.nscdcw.t VALUES (1, 10), (2, 20)")
+    spark.sql("ALTER TABLE graft.nscdcw.t ALTER COLUMN n TYPE BIGINT")
+    spark.sql("INSERT INTO graft.nscdcw.t VALUES (3, 4000000000)")
+    val rows = spark.read.option("startingVersion", "0")
+      .table("graft.nscdcw.t.changes")
+      .select("id", "n", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    rows shouldBe Seq((1L, 10L), (2L, 20L), (3L, 4000000000L))
+  }
+
   test("FilterRename translates pushable filters to era names, drops unanswerable ones") {
     import org.apache.spark.sql.sources._
     val m = Map("w" -> "v", "id" -> "id") // current w was physically v
