@@ -1738,10 +1738,15 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
   /** Rows a delete group REMOVED, as visible just before it committed
     * — older-seq data with the PRIOR deletes applied, then this
     * delete's own match (semi join / predicate). The changelog's
-    * delete-side emission for merge-on-read commits.
+    * delete-side emission for merge-on-read commits. `onlyPaths`
+    * restricts the base to files the PREVIOUS snapshot also held: a
+    * group (re-)adopted in the same commit as its files (rollback
+    * across a compaction) must not re-delete rows the insert side
+    * never emitted — file churn belongs to the raw sides.
     */
   private[graft] def morDeletedRows(snap: Snapshot, d: DeleteGroup,
-                                    readSchema: StructType): DataFrame = {
+                                    readSchema: StructType,
+                                    onlyPaths: Option[Set[String]] = None): DataFrame = {
     val priors = snap.deleteGroups.filter(_.seq < d.seq).sortBy(_.seq)
     val needPos = (priors :+ d).exists(_.isInstanceOf[PositionDeleteGroup])
     val dataCols = readSchema.fieldNames.map(c => col(s"`$c`")).toSeq
@@ -1749,6 +1754,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     if (baseGroups.isEmpty) return readFiles(readSchema, Nil)
     val base = baseGroups.map { g =>
       val files = g.files.filter(_.rows > 0)
+        .filter(f => onlyPaths.forall(_.contains(f.path)))
       val b = readMapped(readSchema, files,
         nameMapping(snap.writeSchemaFor(g.seq), readSchema), needPos)
       applyDeleteGroups(b, priors.filter(_.appliesTo(g.seq)), snap)
@@ -1764,6 +1770,47 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
           "left_semi")
     }
     if (needPos) matched.select(dataCols: _*) else matched
+  }
+
+  /** Both directions of the merge-on-read VISIBILITY change between
+    * two adjacent snapshots over the files they SHARE (file churn is
+    * the changelog's raw sides' job): rows visible under `to`'s delete
+    * state but not `from`'s (reappearances — a rollback dropping
+    * delete groups) and vice versa. Address-pair anti joins over the
+    * seq-gated affected files; exact by construction under every
+    * compound delete-state change (simultaneous additions + removals,
+    * rollback across a compaction that had purged the groups) — the
+    * shapes where emitting each added group's pre-image independently
+    * double-counts. Only needed when groups were REMOVED; the
+    * added-only fast path keeps [[morDeletedRows]]'s cheaper
+    * one-read-plus-semi-join plan.
+    */
+  private[graft] def morVisibilityDiff(from: Snapshot, to: Snapshot,
+                                       readSchema: StructType): (DataFrame, DataFrame) = {
+    val dataCols = readSchema.fieldNames.map(c => col(s"`$c`")).toSeq
+    def empty = readFiles(readSchema, Nil)
+    val fromSeqs = from.deleteGroups.map(_.seq).toSet
+    val toSeqs = to.deleteGroups.map(_.seq).toSet
+    // same-seq content changes (compact_deletes coalescing, rename key
+    // remaps) are semantics-preserving by construction — only presence
+    // changes can move visibility
+    val changed = from.deleteGroups.filterNot(d => toSeqs(d.seq)) ++
+      to.deleteGroups.filterNot(d => fromSeqs(d.seq))
+    if (changed.isEmpty) return (empty, empty)
+    val toPaths = to.files.map(_.path).toSet
+    val affected = from.fileGroups.flatMap { g =>
+      if (changed.exists(_.appliesTo(g.seq)))
+        g.files.filter(f => toPaths.contains(f.path) && f.rows > 0)
+      else Nil
+    }
+    if (affected.isEmpty) return (empty, empty)
+    val addr = Seq(PositionDeleteGroup.FileKeyCol, PositionDeleteGroup.PosCol)
+    val fromVis = readFilesMoRPos(from, affected, readSchema)
+    val toVis = readFilesMoRPos(to, affected, readSchema)
+    (toVis.join(fromVis.select(addr.map(col): _*), addr, "left_anti")
+       .select(dataCols: _*),
+     fromVis.join(toVis.select(addr.map(col): _*), addr, "left_anti")
+       .select(dataCols: _*))
   }
 
   /** Delete groups still needed by `groups`: one with no live data
@@ -2524,13 +2571,26 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         val del = eraAligned(prev, sch =>
           readFilesMoR(prev, prev.files.filterNot(f => after.contains(f.path)), sch))
           .withColumn("_change_type", lit("delete"))
-        // merge-on-read deletes added by this commit emit their exact
-        // pre-image (rows visible just before the commit that match)
+        // merge-on-read STATE change over the files both snapshots
+        // keep: groups only ADDED emit each group's exact pre-image
+        // (the cheap semi-join plan); any REMOVED group (rollback —
+        // rows reappear, possibly alongside simultaneous re-adoptions
+        // where per-group emission would double-count) switches to the
+        // exact two-sided visibility diff
         val prevSeqs = prev.deleteGroups.map(_.seq).toSet
-        val morDels = cur.deleteGroups.filterNot(d => prevSeqs.contains(d.seq))
-          .map(d => eraAligned(cur, sch => morDeletedRows(cur, d, sch))
-            .withColumn("_change_type", lit("delete")))
-        (Seq(ins, del) ++ morDels).reduce(_.unionByName(_))
+        val curSeqs = cur.deleteGroups.map(_.seq).toSet
+        val morParts: Seq[DataFrame] =
+          if (prev.deleteGroups.forall(d => curSeqs.contains(d.seq)))
+            cur.deleteGroups.filterNot(d => prevSeqs.contains(d.seq))
+              .map(d => eraAligned(cur,
+                  sch => morDeletedRows(cur, d, sch, Some(before)))
+                .withColumn("_change_type", lit("delete")))
+          else Seq(
+            eraAligned(cur, sch => morVisibilityDiff(prev, cur, sch)._1)
+              .withColumn("_change_type", lit("insert")),
+            eraAligned(prev, sch => morVisibilityDiff(prev, cur, sch)._2)
+              .withColumn("_change_type", lit("delete")))
+        (Seq(ins, del) ++ morParts).reduce(_.unionByName(_))
           .withColumn("_commit_version", lit(cur.version))
       }
       val empty = readFiles(toSchema, Nil)
@@ -2638,24 +2698,41 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
       .map(g => g -> g.files.filterNot(f => after.contains(f.path)))
       .filter(_._2.nonEmpty)
     val prevSeqs = prev.deleteGroups.map(_.seq).toSet
+    val curSeqs = cur.deleteGroups.map(_.seq).toSet
+    val removedDels = prev.deleteGroups.filterNot(d => curSeqs.contains(d.seq))
     val newDels = cur.deleteGroups.filterNot(d => prevSeqs.contains(d.seq))
     val insNeedsMat = addedByGroup.exists { case (g, _) =>
       cur.deleteGroups.exists(_.appliesTo(g.seq)) }
     val delNeedsMat = removedByGroup.exists { case (g, _) =>
       prev.deleteGroups.exists(_.appliesTo(g.seq)) }
-    val (insRaw, insCache) =
-      if (!insNeedsMat) (eraRaw(cur, addedByGroup), None)
-      else (Nil, Some(GraftTable.CdcFiles(cur.schema,
-        cdcCache(v, "ins",
-          readFilesMoR(cur, addedByGroup.flatMap(_._2), cur.schema)))))
+    // delete-state change over the files both snapshots keep: added-
+    // only groups emit their pre-images (cheap semi joins); any
+    // REMOVED group (rollback — reappearances, and per-group emission
+    // would double-count re-adoptions) switches to the exact
+    // two-sided visibility diff, same rule as scanChangesBetween
+    val (visIns, visDel): (Seq[DataFrame], Seq[DataFrame]) =
+      if (removedDels.isEmpty)
+        (Nil, newDels.map(d => morDeletedRows(cur, d, cur.schema, Some(before))))
+      else {
+        val (i, d) = morVisibilityDiff(prev, cur, cur.schema)
+        (Seq(i), Seq(d))
+      }
+    val insCacheParts =
+      (if (insNeedsMat)
+         Seq(readFilesMoR(cur, addedByGroup.flatMap(_._2), cur.schema))
+       else Nil) ++ visIns
+    val insRaw = if (insNeedsMat) Nil else eraRaw(cur, addedByGroup)
+    val insCache =
+      if (insCacheParts.isEmpty) None
+      else Some(GraftTable.CdcFiles(cur.schema,
+        cdcCache(v, "ins", insCacheParts.reduce(_.unionByName(_)))))
     val delRaw = if (delNeedsMat) Nil else eraRaw(prev, removedByGroup)
-    // one delete-side cache holds BOTH unrepresentable delete shapes —
+    // one delete-side cache holds every unrepresentable delete shape —
     // deterministic content, derived from immutable snapshots only
     val delCacheParts =
       (if (delNeedsMat)
          Seq(readFilesMoR(prev, removedByGroup.flatMap(_._2), cur.schema))
-       else Nil) ++
-      newDels.map(d => morDeletedRows(cur, d, cur.schema))
+       else Nil) ++ visDel
     val delCache =
       if (delCacheParts.isEmpty) None
       else Some(GraftTable.CdcFiles(cur.schema,

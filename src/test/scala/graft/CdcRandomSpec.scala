@@ -55,7 +55,7 @@ class CdcRandomSpec extends AnyFunSuite with Matchers {
 
     appendSome()
     (0 until 8).foreach { _ =>
-      rnd.nextInt(9) match {
+      rnd.nextInt(10) match {
         case 0 | 1 => appendSome()
         case 2 => // predicate delete (CoW or MoR per table mode); the
           // Scala API takes the modulo predicate DSv2 DELETE cannot
@@ -77,6 +77,9 @@ class CdcRandomSpec extends AnyFunSuite with Matchers {
           tbl.renameColumn(dataCol, if (dataCol == "v") "w" else "v")
         case 6 => tbl.compactDeletes()
         case 7 => tbl.dedupTable() // unique ids: usually a no-op commit
+        case 8 => // rollback — MoR deletes may un-happen (reappearances)
+          val cur = tbl.currentOrFail().version
+          if (cur > 1) tbl.rollbackTo(1 + rnd.nextInt(cur - 1))
         case _ => tbl.compact(1)
       }
     }

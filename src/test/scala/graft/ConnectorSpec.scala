@@ -1654,13 +1654,13 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
   }
 
   test("change feed prunes whole files from pushed filters (zone maps)") {
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nscdcp")
-    spark.sql("CREATE TABLE graft.nscdcp.t (id BIGINT, v STRING)")
-    spark.sql("INSERT INTO graft.nscdcp.t SELECT id, CONCAT('a', id) FROM range(0, 10)")
-    spark.sql("INSERT INTO graft.nscdcp.t SELECT id, CONCAT('b', id) FROM range(1000, 1010)")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nscdcz")
+    spark.sql("CREATE TABLE graft.nscdcz.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.nscdcz.t SELECT id, CONCAT('a', id) FROM range(0, 10)")
+    spark.sql("INSERT INTO graft.nscdcz.t SELECT id, CONCAT('b', id) FROM range(1000, 1010)")
     val cat = graft.table.GraftCatalog(spark,
       spark.conf.get("spark.sql.catalog.graft.warehouse"))
-    val tbl = cat.load(graft.table.TableIdent("nscdcp", "t"))
+    val tbl = cat.load(graft.table.TableIdent("nscdcz", "t"))
     val cur = tbl.currentOrFail().version
     import org.apache.spark.sql.sources.GreaterThan
     // plan directly: the v1 file (ids 0..9) is provably disjoint from
@@ -1673,7 +1673,7 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     parts.collect { case c: graft.connector.GraftCdc.CdcPartition => c.version }
       .toSet shouldBe Set(cur)
     // and the SQL surface returns exactly the surviving rows
-    spark.read.option("startingVersion", "0").table("graft.nscdcp.t.changes")
+    spark.read.option("startingVersion", "0").table("graft.nscdcz.t.changes")
       .where("id > 999").count() shouldBe 10L
   }
 

@@ -1476,6 +1476,45 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     t.scan().select("id", "name").as[(Long, String)].collect().toSet shouldBe expected
   }
 
+  test("rollback across MoR deletes: changelog emits reappearances, nets exactly") {
+    val s = spark
+    import s.implicits._
+    // shape 1: rollback past a MoR delete with no file churn — the
+    // deleted row REAPPEARS and must surface as an insert (round-12
+    // find: both changelog paths silently emitted nothing here)
+    val t = cat().ensure(TableIdent("mor", "rb1"))
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))        // v0
+    t.updateProperties(Map(graft.table.GraftTable.DeleteModeProp -> "mor")) // v1
+    t.deleteByKeys(Seq(2L).toDF("id"), Seq("id"))                          // v2
+    t.rollbackTo(1)                                                        // v3
+    t.scan().count() shouldBe 3
+    val ch = t.scanChangesBetween(2, 3)
+      .select("id", "_change_type").as[(Long, String)].collect().toSeq
+    ch shouldBe Seq((2L, "insert"))
+    // shape 2: rollback ACROSS a compaction to the MoR state — the
+    // re-adopted delete group's files are also re-added in the same
+    // commit; per-group pre-image emission would double-count (its
+    // rows were never inserted), so the commit must net to zero
+    val t2 = cat().ensure(TableIdent("mor", "rb2"))
+    t2.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))         // v0
+    t2.updateProperties(Map(graft.table.GraftTable.DeleteModeProp -> "mor")) // v1
+    t2.deleteByKeys(Seq(2L).toDF("id"), Seq("id"))                           // v2
+    t2.compact(1)                                                            // v3
+    t2.rollbackTo(2)                                                         // v4
+    val ch2 = t2.scanChangesBetween(3, 4)
+    val net2 = ch2.where("_change_type = 'insert'").select("id")
+      .exceptAll(ch2.where("_change_type = 'delete'").select("id"))
+    net2.count() shouldBe 0 // both states hold exactly {1, 3}
+    ch2.where("_change_type = 'delete'").count() shouldBe 2
+    // replay across the whole history converges on the table once
+    // seeded with v0's state (the range is exclusive-start)
+    val all = t2.scanChangesBetween(0, 4)
+    t2.scanAsOfVersion(0).select("id")
+      .unionAll(all.where("_change_type = 'insert'").select("id"))
+      .exceptAll(all.where("_change_type = 'delete'").select("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 3L)
+  }
+
   test("changelog nets to zero across a rewrite-deletes commit") {
     val s = spark
     import s.implicits._
