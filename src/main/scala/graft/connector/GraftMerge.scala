@@ -2,7 +2,7 @@ package graft.connector
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, PredicateHelper}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, OverwritePartitionsDynamic, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -179,6 +179,20 @@ case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan]
           equiCondition = prunePairs.nonEmpty && prunePairs.size == conjuncts.size)
       }
 
+    // INSERT OVERWRITE under partitionOverwriteMode=dynamic (and
+    // DataFrameWriterV2's `overwritePartitions()`): Spark has no V1
+    // write fallback for OverwritePartitionsDynamic — without this
+    // rule the write builder is required to be a full V2 BatchWrite
+    // and the statement fails at planning. Route it to the table-API
+    // semantics instead ([[graft.table.GraftTable.overwriteDynamic]]:
+    // replace exactly the partition tuples the query writes, one
+    // commit). By resolution time TableOutputResolver has aligned the
+    // query's output positionally with the table schema (both byName
+    // and byPosition forms), so a positional rename is exact.
+    case o @ OverwritePartitionsDynamic(_, query, _, _, None)
+        if o.resolved && isGraftTarget(o.table) =>
+      GraftDynamicOverwriteCommand(graftTable(o.table).get, query)
+
     case u @ UpdateTable(target, assignments, condition)
         if u.resolved && isGraftTarget(target) =>
       val tbl = graftTable(target).get
@@ -273,6 +287,31 @@ case class GraftMergeRowsCommand(table: GraftV2Table, source: LogicalPlan,
     val renamed = src.toDF(src.columns.indices.map(i => s"_s_$i"): _*)
     table.underlying.mergeRows(renamed, condSql, matched, notMatched,
       notMatchedBySource, pruneKeys, equiCondition)
+    Nil
+  }
+
+  override def output: Seq[Attribute] = Nil
+}
+
+/** `INSERT OVERWRITE` in dynamic mode / `writeTo(...).overwritePartitions()`
+  * → [[graft.table.GraftTable.overwriteDynamic]]: replace exactly the
+  * partition tuples the query produces, carry the rest verbatim — the
+  * idempotent daily-rerun idiom, one commit.
+  */
+case class GraftDynamicOverwriteCommand(table: GraftV2Table, source: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = org.apache.spark.sql.GraftSqlShim.ofRows(spark, source)
+      // positional rename onto the table's column names (resolution
+      // already aligned order and types)
+      .toDF(table.underlying.schema.fieldNames.toIndexedSeq: _*)
+      // one evaluation: overwriteDynamic derives the replaced partition
+      // tuples and writes from this frame; a nondeterministic query
+      // must not produce different partitions per pass
+      .localCheckpoint()
+    table.underlying.overwriteDynamic(df)
     Nil
   }
 

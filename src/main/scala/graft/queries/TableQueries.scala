@@ -589,6 +589,59 @@ object TableQueries {
              |           AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // The SQL spelling of dynamic partition overwrite: INSERT OVERWRITE
+    // under partitionOverwriteMode=dynamic routes through the
+    // resolution rule (Spark has no V1 fallback exec for
+    // OverwritePartitionsDynamic) to the same one-commit exact-tuple
+    // replacement as q101 — March's files replaced (asserted), every
+    // other month carried byte-for-byte.
+    "q104_sql_dynamic_overwrite" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq104").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq104", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq104.warehouse",
+            Files.createTempDirectory("graft-sqldyn").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq104.bench")
+        s.sql("DROP TABLE IF EXISTS graftq104.bench.li")
+        s.sql("""CREATE TABLE graftq104.bench.li
+                |(l_orderkey BIGINT, l_shipdate TIMESTAMP_NTZ,
+                | l_returnflag STRING, l_quantity DOUBLE)
+                |PARTITIONED BY (month(l_shipdate))""".stripMargin)
+        t(s, dir, "lineitem").createOrReplaceTempView("q104_li")
+        s.sql("""INSERT INTO graftq104.bench.li
+                |SELECT l_orderkey, l_shipdate, l_returnflag, l_quantity
+                |FROM q104_li""".stripMargin)
+        val cat = GraftCatalog(s, s.conf.get("spark.sql.catalog.graftq104.warehouse"))
+        val tbl = cat.load(TableIdent("bench", "li"))
+        val before = tbl.currentOrFail().files.map(_.path).toSet
+        val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try
+          s.sql("""INSERT OVERWRITE graftq104.bench.li
+                  |SELECT l_orderkey, l_shipdate, l_returnflag, l_quantity + 5.0
+                  |FROM q104_li
+                  |WHERE l_shipdate >= TIMESTAMP_NTZ '1996-03-01 00:00:00'
+                  |  AND l_shipdate <  TIMESTAMP_NTZ '1996-04-01 00:00:00'""".stripMargin)
+        finally prev.fold(s.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+          v => s.conf.set("spark.sql.sources.partitionOverwriteMode", v))
+        val after = tbl.currentOrFail().files.map(_.path).toSet
+        require((before intersect after).nonEmpty,
+          "SQL dynamic overwrite carried no untouched partitions")
+        require(!before.subsetOf(after),
+          "SQL dynamic overwrite replaced no files")
+        s.sql("""SELECT l_returnflag, COUNT(*) AS n,
+                |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+                |FROM graftq104.bench.li
+                |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |  CAST(SUM(CAST(CASE WHEN l_shipdate >= TIMESTAMP '1996-03-01'
+             |                       AND l_shipdate <  TIMESTAMP '1996-04-01'
+             |                     THEN l_quantity + 5 ELSE l_quantity END
+             |           AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // The general MERGE's merge-on-read path: same conditional clause
     // matrix as q97 minus NOT MATCHED BY SOURCE (which needs the whole
     // table by definition), on a mor-mode table — outcomes appended +

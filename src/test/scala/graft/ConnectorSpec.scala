@@ -56,6 +56,62 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     got shouldBe Seq((10L, None), (11L, Some("x"))) // old rows null-filled
   }
 
+  test("INSERT OVERWRITE in dynamic mode replaces only the written partitions") {
+    import graft.table.{GraftCatalog, TableIdent}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsdyn")
+    spark.sql(
+      """CREATE TABLE graft.nsdyn.m (id BIGINT, ts TIMESTAMP_NTZ, v DOUBLE)
+        |PARTITIONED BY (month(ts))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.nsdyn.m VALUES
+        |(1, TIMESTAMP_NTZ '2024-01-05 10:00:00', 1.0),
+        |(2, TIMESTAMP_NTZ '2024-02-10 11:00:00', 2.0),
+        |(3, TIMESTAMP_NTZ '2024-02-20 12:00:00', 3.0)""".stripMargin)
+    val cat = GraftCatalog(spark, spark.conf.get("spark.sql.catalog.graft.warehouse"))
+    val tbl = cat.load(TableIdent("nsdyn", "m"))
+    val before = tbl.currentOrFail().files.map(_.path).toSet
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      spark.sql(
+        "INSERT OVERWRITE graft.nsdyn.m VALUES (20, TIMESTAMP_NTZ '2024-02-15 09:00:00', 20.0)")
+    finally prev.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+      v => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v))
+    val after = tbl.currentOrFail().files.map(_.path).toSet
+    (before intersect after) should not be empty // January carried verbatim
+    before.subsetOf(after) shouldBe false        // February replaced
+    spark.sql("SELECT id, v FROM graft.nsdyn.m ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe
+      Seq((1L, 1.0), (20L, 20.0))
+    // static mode (the default) still truncates the whole table
+    spark.sql(
+      "INSERT OVERWRITE graft.nsdyn.m VALUES (9, TIMESTAMP_NTZ '2024-03-01 08:00:00', 9.0)")
+    spark.sql("SELECT COUNT(*) FROM graft.nsdyn.m").head.getLong(0) shouldBe 1
+  }
+
+  test("writeTo(...).overwritePartitions() is dynamic overwrite regardless of the conf") {
+    import graft.table.{GraftCatalog, TableIdent}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsdyn")
+    spark.sql(
+      """CREATE TABLE graft.nsdyn.w (id BIGINT, day STRING, v DOUBLE)
+        |PARTITIONED BY (day)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.nsdyn.w VALUES
+        |(1, 'mon', 1.0), (2, 'tue', 2.0), (3, 'tue', 3.0)""".stripMargin)
+    val cat = GraftCatalog(spark, spark.conf.get("spark.sql.catalog.graft.warehouse"))
+    val tbl = cat.load(TableIdent("nsdyn", "w"))
+    val before = tbl.currentOrFail().files.map(_.path).toSet
+    import spark.implicits._
+    Seq((22L, "tue", 22.0)).toDF("id", "day", "v")
+      .writeTo("graft.nsdyn.w").overwritePartitions()
+    val after = tbl.currentOrFail().files.map(_.path).toSet
+    (before intersect after) should not be empty
+    before.subsetOf(after) shouldBe false
+    spark.sql("SELECT id, v FROM graft.nsdyn.w ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe
+      Seq((1L, 1.0), (22L, 22.0))
+  }
+
   test("SQL time travel: VERSION AS OF reads historic snapshots, writes refused") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns5")
     spark.sql("CREATE TABLE graft.ns5.tt (id BIGINT)")          // version 0 (empty)
