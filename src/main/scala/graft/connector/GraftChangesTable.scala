@@ -13,8 +13,10 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** The CDC surface of a graft table as a DSv2 relation —
@@ -467,10 +469,12 @@ private[graft] object GraftCdc {
 
   /** Dispatches each [[CdcPartition]] to its embedded era factory and
     * appends the REQUESTED subset of (`_change_type`,
-    * `_commit_version`) via a reused JoinedRow. Row-based on purpose:
-    * the appended columns are partition constants, and forcing the row
-    * path keeps the wrapper a 5-line JoinedRow instead of a
-    * columnar-batch rebuild.
+    * `_commit_version`). Both read shapes are served: the row path
+    * wraps a reused JoinedRow; the columnar path keeps the delegate's
+    * vectorized parquet batches INTACT and appends two
+    * [[ConstantColumnVector]]s — the tag is constant per (file,
+    * commit), so a CDC backfill scan stays inside whole-stage codegen's
+    * ColumnarToRow instead of paying a per-row wrapper.
     */
   final class CdcReaderFactory(metaPart: Seq[String])
       extends PartitionReaderFactory {
@@ -493,6 +497,44 @@ private[graft] object GraftCdc {
           throw new IllegalStateException(s"unexpected partition kind: $other")
       }
 
-    override def supportColumnarReads(partition: InputPartition): Boolean = false
+    override def createColumnarReader(partition: InputPartition)
+        : PartitionReader[ColumnarBatch] =
+      partition match {
+        case c: CdcPartition =>
+          val inner = c.factory.createColumnarReader(c.delegate)
+          new PartitionReader[ColumnarBatch] {
+            override def next(): Boolean = inner.next()
+            override def get(): ColumnarBatch = {
+              val b = inner.get()
+              val metaVecs = metaPart.map {
+                case "_change_type" =>
+                  val v = new ConstantColumnVector(b.numRows, StringType)
+                  v.setUtf8String(UTF8String.fromString(c.changeType))
+                  v: ColumnVector
+                case "_commit_version" =>
+                  val v = new ConstantColumnVector(b.numRows, IntegerType)
+                  v.setInt(c.version)
+                  v: ColumnVector
+              }
+              val cols = Array.tabulate[ColumnVector](b.numCols)(b.column) ++ metaVecs
+              // wraps the delegate's vectors; the inner reader owns and
+              // closes them, the constant vectors hold no buffers
+              new ColumnarBatch(cols, b.numRows)
+            }
+            override def close(): Unit = inner.close()
+          }
+        case other =>
+          throw new IllegalStateException(s"unexpected partition kind: $other")
+      }
+
+    /** Columnar iff the era's parquet factory reads this partition
+      * vectorized (flat schemas: yes) — the constant append handles
+      * either way.
+      */
+    override def supportColumnarReads(partition: InputPartition): Boolean =
+      partition match {
+        case c: CdcPartition => c.factory.supportColumnarReads(c.delegate)
+        case _ => false
+      }
   }
 }
