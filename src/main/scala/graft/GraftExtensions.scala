@@ -21,5 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // merge-on-read delete application for SQL reads (no-op while a
     // table carries no delete groups)
     ext.injectResolutionRule(graft.connector.GraftMorScanRule)
+    // SQL views over graft catalogs: DDL intercepted at parse time
+    // (Spark 4.1's engine rejects view DDL on non-session catalogs),
+    // reads expanded during resolution
+    ext.injectParser((session, delegate) =>
+      new graft.connector.GraftSqlParser(session, delegate))
+    ext.injectResolutionRule(graft.connector.GraftViewSubstitution)
   }
 }

@@ -36,7 +36,7 @@ import scala.jdk.CollectionConverters._
   */
 class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-    with FunctionCatalog {
+    with FunctionCatalog with ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -213,6 +213,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
                            properties: util.Map[String, String]): Table = {
     val ti = toIdent(ident)
     if (cat.exists(ti)) throw new TableAlreadyExistsException(ident)
+    require(!views.exists(ti.namespace, ti.name),
+      s"cannot create table $ident: a view with that name exists")
     // multi-field specs compose in declaration order — `PARTITIONED BY
     // (days(ts), bucket(16, id))` is the canonical 100-TB layout
     val spec =
@@ -343,6 +345,85 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     else whFs.delete(nsPath(namespace(0)), true)
   }
 
+  // ---- SQL views -----------------------------------------------------
+
+  /** The warehouse's view store (one JSON file per view under
+    * `<ns>/_views/`). Spark 4.1's engine never calls the [[ViewCatalog]]
+    * face itself (ResolveSessionCatalog still rejects view DDL on
+    * non-session catalogs), so graft routes the SQL surface through
+    * [[GraftSqlParser]] + [[GraftViewSubstitution]] — but the face is
+    * implemented fully so programmatic callers (and future Spark
+    * versions that do wire it) get the standard contract.
+    */
+  private[connector] def views: GraftViewStore = new GraftViewStore(cat.fs, cat.warehouse)
+
+  private[connector] def tableExists(ns: String, name: String): Boolean =
+    cat.exists(TableIdent(ns, name))
+
+  private def viewNs(ident: Identifier): String = {
+    require(ident.namespace().length == 1,
+      s"graft supports single-level namespaces, got ${ident.namespace().mkString(".")}")
+    ident.namespace()(0)
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    require(namespace.length == 1, "graft supports single-level namespaces")
+    views.list(namespace.head)
+      .map(n => Identifier.of(Array(namespace.head), n)).toArray
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    ident.namespace().length == 1 && views.exists(viewNs(ident), ident.name())
+
+  override def loadView(ident: Identifier): View = {
+    val sv = views.load(viewNs(ident), ident.name()).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    new GraftView(ident, sv)
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ns = viewNs(info.ident())
+    require(!tableExists(ns, info.ident().name()),
+      s"cannot create view ${info.ident()}: a table with that name exists")
+    val sv = StoredView(
+      sql = info.sql(),
+      currentCatalog = info.currentCatalog(),
+      currentNamespace = info.currentNamespace().toSeq,
+      schema = info.schema(),
+      queryColumnNames = info.queryColumnNames().toSeq,
+      columnAliases = info.columnAliases().toSeq,
+      columnComments = info.columnComments().toSeq.map(Option(_)),
+      properties = info.properties().asScala.toMap,
+      schemaMode = "SchemaCompensation")
+    if (!views.create(ns, info.ident().name(), sv, replace = false))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(info.ident())
+    new GraftView(info.ident(), sv)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val ns = viewNs(ident)
+    val sv = views.load(ns, ident.name()).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    val props = changes.foldLeft(sv.properties) {
+      case (p, s: ViewChange.SetProperty) => p + (s.property() -> s.value())
+      case (p, r: ViewChange.RemoveProperty) => p - r.property()
+      case (_, other) => throw new IllegalArgumentException(
+        s"unsupported view change: $other")
+    }
+    val updated = sv.copy(properties = props)
+    views.create(ns, ident.name(), updated, replace = true)
+    new GraftView(ident, updated)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    ident.namespace().length == 1 && views.drop(viewNs(ident), ident.name())
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    require(!tableExists(viewNs(newIdent), newIdent.name()),
+      s"cannot rename view to $newIdent: a table with that name exists")
+    views.rename(viewNs(oldIdent), oldIdent.name(), viewNs(newIdent), newIdent.name())
+  }
+
   // ---- maintenance procedures (CALL graft.system.<proc>) ------------
 
   override def loadProcedure(ident: Identifier)
@@ -406,4 +487,17 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 
   // silence unused-import warnings for types referenced in signatures
   private val _ = (classOf[NamedReference], classOf[V2Expression])
+}
+
+/** DSv2 [[View]] over a [[StoredView]]. */
+final class GraftView(ident: Identifier, sv: StoredView) extends View {
+  override def name(): String = ident.toString
+  override def query(): String = sv.sql
+  override def currentCatalog(): String = sv.currentCatalog
+  override def currentNamespace(): Array[String] = sv.currentNamespace.toArray
+  override def schema(): StructType = sv.schema
+  override def queryColumnNames(): Array[String] = sv.queryColumnNames.toArray
+  override def columnAliases(): Array[String] = sv.columnAliases.toArray
+  override def columnComments(): Array[String] = sv.columnComments.map(_.orNull).toArray
+  override def properties(): util.Map[String, String] = sv.properties.asJava
 }

@@ -1,0 +1,345 @@
+package graft.connector
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, CurrentNamespace, NoSuchViewException, SchemaBinding, SchemaCompensation, SchemaEvolution, SchemaTypeEvolution, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases, ViewSchemaMode}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, UpCast}
+import org.apache.spark.sql.catalyst.parser.{ParserInterface, ParseException}
+import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, Project, ShowViews, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL views over graft catalogs — `CREATE [OR REPLACE] VIEW`,
+  * `DROP VIEW`, `SHOW VIEWS`, and reads that resolve anywhere a table
+  * can appear (joins, subqueries, CTEs, nested views).
+  *
+  * Spark 4.1 ships the DSv2 `ViewCatalog` interface but no engine
+  * support: `ResolveSessionCatalog` unconditionally rejects view DDL on
+  * non-session catalogs (`MISSING_CATALOG_ABILITY.VIEWS`) and nothing
+  * resolves view reads, so — like Iceberg's view support — graft plugs
+  * in at the two points the engine leaves open:
+  *
+  *  - [[GraftSqlParser]] (session extension `injectParser`): intercepts
+  *    the three view-DDL plan shapes AT PARSE TIME, before the analyzer
+  *    batch containing the rejection can run, and rewrites them to
+  *    runnable commands when (and only when) the target catalog is a
+  *    [[GraftSparkCatalog]]. Every other statement passes through
+  *    verbatim.
+  *  - [[GraftViewSubstitution]] (`injectResolutionRule`): expands an
+  *    `UnresolvedRelation` naming a stored view into its parsed query
+  *    during analysis. Relation names INSIDE the view are qualified
+  *    against the view's stored creation context first (its
+  *    catalog/namespace — `SELECT * FROM t` keeps meaning the t it
+  *    meant when created), CTE names are substituted before that so a
+  *    view's own WITH clauses are never misqualified, nested views
+  *    expand recursively with cycle detection, and the stored schema is
+  *    enforced per the view's schema mode: BINDING/COMPENSATION project
+  *    the stored names with `UpCast` (type drift fails loudly instead
+  *    of silently truncating), TYPE EVOLUTION re-derives types but pins
+  *    names, EVOLUTION re-derives everything.
+  *
+  * Temporary-view hygiene matches the SQL standard and Spark's session
+  * views: a persistent view may not reference a temporary view
+  * (rejected at CREATE), and `DROP VIEW`/`CREATE VIEW` on a name that
+  * is currently a temp view stays with the session-catalog path.
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  @throws[ParseException]
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftViewSql.rewriteDdl(session, delegate.parsePlan(sqlText))
+
+  override def parsePlanWithParameters(
+      sqlText: String,
+      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
+    GraftViewSql.rewriteDdl(session, delegate.parsePlanWithParameters(sqlText, ctx))
+
+  @throws[ParseException]
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+
+  @throws[ParseException]
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+
+  @throws[ParseException]
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+
+  @throws[ParseException]
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+
+  @throws[ParseException]
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+
+  @throws[ParseException]
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+
+  @throws[ParseException]
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+
+  @throws[ParseException]
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftViewSql {
+
+  /** (catalog plugin, its name, single-level-namespace ident) when
+    * `parts` targets a graft catalog — explicit (`graft.ns.v`) or via
+    * the session's current catalog. Mirrors Spark's CatalogAndIdentifier
+    * resolution: a first part naming a registered catalog wins,
+    * otherwise the current catalog + current namespace apply.
+    */
+  def graftTarget(spark: SparkSession, parts: Seq[String])
+      : Option[(GraftSparkCatalog, String, Identifier)] = {
+    val cm = spark.sessionState.catalogManager
+    val resolved: Option[(org.apache.spark.sql.connector.catalog.CatalogPlugin, Seq[String])] =
+      if (parts.length > 1 && cm.isCatalogRegistered(parts.head))
+        Some((cm.catalog(parts.head), parts.tail))
+      else if (parts.length == 1) Some((cm.currentCatalog, cm.currentNamespace.toSeq ++ parts))
+      else Some((cm.currentCatalog, parts))
+    resolved.collect {
+      case (g: GraftSparkCatalog, rest) if rest.length == 2 =>
+        (g, g.name(), Identifier.of(Array(rest.head), rest.last))
+    }
+  }
+
+  private def isTempView(spark: SparkSession, parts: Seq[String]): Boolean =
+    try spark.sessionState.catalog.isTempView(parts)
+    catch { case _: Exception => false }
+
+  /** Parse-time rewrite of the three view-DDL shapes; everything else
+    * passes through untouched.
+    */
+  def rewriteDdl(session: SparkSession, plan: LogicalPlan): LogicalPlan = plan match {
+    case c @ CreateView(UnresolvedIdentifier(parts, _), cols, comment, collation,
+        props, originalText, query, allowExisting, replace, schemaMode)
+        if !isTempView(session, parts) =>
+      graftTarget(session, parts).map { case (_, catName, ident) =>
+        require(collation.isEmpty,
+          "graft views do not support DEFAULT COLLATION")
+        val text = originalText.getOrElse(throw new IllegalArgumentException(
+          "graft views require the original query text"))
+        GraftCreateViewCommand(catName, ident, cols, comment, props, text,
+          query, allowExisting, replace, schemaMode): LogicalPlan
+      }.getOrElse(c)
+
+    case d @ DropView(UnresolvedIdentifier(parts, _), ifExists)
+        if !isTempView(session, parts) =>
+      graftTarget(session, parts).map { case (_, catName, ident) =>
+        GraftDropViewCommand(catName, ident, ifExists): LogicalPlan
+      }.getOrElse(d)
+
+    case s @ ShowViews(nsPlan, pattern, output) =>
+      val cm = session.sessionState.catalogManager
+      val target = nsPlan match {
+        case UnresolvedNamespace(parts, _) if parts.nonEmpty =>
+          if (cm.isCatalogRegistered(parts.head)) Some((cm.catalog(parts.head), parts.tail))
+          else Some((cm.currentCatalog, parts))
+        case UnresolvedNamespace(_, _) | CurrentNamespace =>
+          Some((cm.currentCatalog, cm.currentNamespace.toSeq))
+        case _ => None
+      }
+      target match {
+        case Some((g: GraftSparkCatalog, Seq(ns))) =>
+          GraftShowViewsCommand(g.name(), ns, pattern, output)
+        case _ => s
+      }
+
+    case other => other
+  }
+
+  /** Expand a stored view into its (qualified, schema-enforced) parsed
+    * query. `seen` carries the expansion path for cycle detection.
+    */
+  private[connector] def expand(spark: SparkSession, catalog: GraftSparkCatalog,
+                                catName: String, ident: Identifier,
+                                sv: StoredView, seen: Set[String]): LogicalPlan = {
+    val path = seen +
+      s"$catName.${ident.namespace().mkString(".")}.${ident.name()}".toLowerCase
+    // parseQuery, not parsePlan: a stored view body must be a QUERY —
+    // command text smuggled into a view file must fail at parse, not run
+    val parsed = spark.sessionState.sqlParser.parseQuery(sv.sql)
+    // substitute the view's own WITH-clause names BEFORE qualification,
+    // so a CTE named like a table is never rewritten into one (the
+    // analyzer's Substitution batch already ran on the OUTER plan and
+    // never re-runs, so the fresh subtree pays it here; named WINDOW
+    // clauses — analyzer-instance-scoped substitution — stay
+    // unsupported in view bodies and fail loudly at CheckAnalysis)
+    val withCtes = CTESubstitution(parsed)
+    val qualified = withCtes.transformDownWithSubqueries {
+      case UnresolvedRelation(parts, opts, false) =>
+        val full: Seq[String] =
+          if (parts.length == 1) (sv.currentCatalog +: sv.currentNamespace) :+ parts.head
+          else if (parts.length == 2) sv.currentCatalog +: parts
+          else parts
+        graftTarget(spark, full) match {
+          case Some((g, cn, vid)) =>
+            val nestedKey = s"$cn.${vid.namespace().mkString(".")}.${vid.name()}".toLowerCase
+            g.views.load(vid.namespace()(0), vid.name()) match {
+              case Some(nested) =>
+                if (path.contains(nestedKey))
+                  throw new IllegalStateException(
+                    s"cyclic view reference: ${(path + nestedKey).mkString(" -> ")}")
+                expand(spark, g, cn, vid, nested, path)
+              case None => new UnresolvedRelation(full, opts, false)
+            }
+          case None => new UnresolvedRelation(full, opts, false)
+        }
+    }
+    val aliased =
+      if (sv.columnAliases.nonEmpty) UnresolvedSubqueryColumnAliases(sv.columnAliases, qualified)
+      else qualified
+    // schema enforcement per mode: EVOLUTION re-derives everything,
+    // TYPE EVOLUTION pins names, BINDING/COMPENSATION pin names AND
+    // types (UpCast fails loudly on non-up-castable drift)
+    val enforced = sv.schemaMode match {
+      case "SchemaEvolution" => aliased
+      case "SchemaTypeEvolution" =>
+        Project(sv.schema.fields.toIndexedSeq.map(f =>
+          Alias(UnresolvedAttribute.quoted(f.name), f.name)()), aliased)
+      case _ =>
+        Project(sv.schema.fields.toIndexedSeq.map(f =>
+          Alias(UpCast(UnresolvedAttribute.quoted(f.name), f.dataType, Nil), f.name)()),
+          aliased)
+    }
+    SubqueryAlias(Seq(catName) ++ ident.namespace() :+ ident.name(), enforced)
+  }
+}
+
+/** Analyzer rule: an `UnresolvedRelation` naming a stored graft view
+  * becomes the view's expanded query. Runs fixed-point with the rest of
+  * resolution, so views work inside joins, subqueries (the analyzer
+  * re-enters extension rules per subquery plan), CTE bodies, and other
+  * views.
+  */
+case class GraftViewSubstitution(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    // table relations never reach this rule: Spark's own ResolveRelations
+    // runs earlier in the Resolution batch and resolves them first, so
+    // the view-store lookup (one directory listing) is paid only by
+    // actual view references and by the error path of missing tables
+    case u @ UnresolvedRelation(parts, _, false) =>
+      GraftViewSql.graftTarget(spark, parts).flatMap { case (g, cn, ident) =>
+        g.views.load(ident.namespace()(0), ident.name()).map(sv =>
+          GraftViewSql.expand(spark, g, cn, ident, sv, Set.empty))
+      }.getOrElse(u)
+  }
+}
+
+/** `CREATE [OR REPLACE] VIEW [IF NOT EXISTS]` on a graft catalog. The
+  * query is analyzed HERE (against the creating session's resolution
+  * context) to capture the stored schema; the original text is what
+  * persists and re-resolves on every read.
+  */
+case class GraftCreateViewCommand(catalogName: String, ident: Identifier,
+                                  userColumns: Seq[(String, Option[String])],
+                                  comment: Option[String],
+                                  properties: Map[String, String],
+                                  originalText: String,
+                                  query: LogicalPlan,
+                                  allowExisting: Boolean,
+                                  replace: Boolean,
+                                  schemaMode: ViewSchemaMode)
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val catalog = spark.sessionState.catalogManager.catalog(catalogName)
+      .asInstanceOf[GraftSparkCatalog]
+    val ns = ident.namespace()(0)
+
+    // SQL-standard hygiene: a persistent view outlives the session, so
+    // it may not capture session-scoped temp views
+    val tempRefs = query.collectWithSubqueries {
+      case r: UnresolvedRelation
+          if spark.sessionState.catalog.isTempView(r.multipartIdentifier) =>
+        r.multipartIdentifier.mkString(".")
+    }
+    require(tempRefs.isEmpty,
+      s"cannot create persistent view $ident referencing temporary view(s): " +
+        tempRefs.mkString(", "))
+
+    val analyzed = spark.sessionState.executePlan(query).analyzed
+    if (userColumns.nonEmpty)
+      require(userColumns.length == analyzed.output.length,
+        s"view column list has ${userColumns.length} names but the query " +
+          s"produces ${analyzed.output.length} columns")
+    val finalNames =
+      if (userColumns.nonEmpty) userColumns.map(_._1)
+      else analyzed.output.map(_.name)
+    val dups = finalNames.groupBy(_.toLowerCase).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty,
+      s"view $ident has duplicate column name(s): ${dups.mkString(", ")} — alias them")
+
+    require(!catalog.tableExists(ns, ident.name()),
+      s"cannot create view $catalogName.$ns.${ident.name()}: a table with that name exists")
+
+    val cm = spark.sessionState.catalogManager
+    val sv = StoredView(
+      sql = originalText,
+      currentCatalog = cm.currentCatalog.name(),
+      currentNamespace = cm.currentNamespace.toSeq,
+      schema = StructType(finalNames.zip(analyzed.output).map { case (n, a) =>
+        org.apache.spark.sql.types.StructField(n, a.dataType, a.nullable)
+      }),
+      queryColumnNames = analyzed.output.map(_.name),
+      columnAliases = if (userColumns.nonEmpty) userColumns.map(_._1) else Nil,
+      columnComments = if (userColumns.nonEmpty) userColumns.map(_._2) else Nil,
+      properties = properties ++ comment.map("comment" -> _),
+      schemaMode = schemaMode match {
+        case SchemaEvolution => "SchemaEvolution"
+        case SchemaTypeEvolution => "SchemaTypeEvolution"
+        case SchemaBinding => "SchemaBinding"
+        case SchemaCompensation => "SchemaCompensation"
+        case _ => "SchemaCompensation"
+      })
+    if (!catalog.views.create(ns, ident.name(), sv, replace)) {
+      if (!allowExisting)
+        throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
+    }
+    Nil
+  }
+
+  override def output: Seq[Attribute] = Nil
+}
+
+case class GraftDropViewCommand(catalogName: String, ident: Identifier,
+                                ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val catalog = spark.sessionState.catalogManager.catalog(catalogName)
+      .asInstanceOf[GraftSparkCatalog]
+    val dropped = catalog.views.drop(ident.namespace()(0), ident.name())
+    if (!dropped && !ifExists) throw new NoSuchViewException(ident)
+    Nil
+  }
+  override def output: Seq[Attribute] = Nil
+}
+
+/** `SHOW VIEWS [IN catalog.ns] [LIKE pattern]` — carries the parser's
+  * own output attributes so the result schema matches the statement's
+  * contract (namespace, viewName, isTemporary).
+  */
+case class GraftShowViewsCommand(catalogName: String, namespace: String,
+                                 pattern: Option[String],
+                                 override val output: Seq[Attribute])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val catalog = spark.sessionState.catalogManager.catalog(catalogName)
+      .asInstanceOf[GraftSparkCatalog]
+    val names = catalog.views.list(namespace)
+    val filtered = pattern.fold(names)(p =>
+      org.apache.spark.sql.catalyst.util.StringUtils.filterPattern(names, p))
+    filtered.map(n => Row(namespace, n, false))
+  }
+}

@@ -1,0 +1,160 @@
+package graft.connector
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** A persistent SQL view: the ORIGINAL query text plus everything needed
+  * to re-resolve it faithfully later — the name-resolution context it
+  * was written in (`currentCatalog`/`currentNamespace`, so `SELECT *
+  * FROM t` keeps meaning the same `t`), the schema captured at creation
+  * (what BINDING/COMPENSATION modes enforce on every read), the query's
+  * own output names vs the user's column aliases, and per-column
+  * comments. The Iceberg-view storage shape (view representation =
+  * SQL + dialect + context), minus multi-dialect since only Spark reads
+  * this warehouse.
+  */
+final case class StoredView(
+    sql: String,
+    currentCatalog: String,
+    currentNamespace: Seq[String],
+    schema: StructType,
+    queryColumnNames: Seq[String],
+    columnAliases: Seq[String],
+    columnComments: Seq[Option[String]],
+    properties: Map[String, String],
+    schemaMode: String) {
+
+  /** Final output names: aliases when given, else the query's own. */
+  def outputAliases: Seq[String] =
+    if (columnAliases.nonEmpty) columnAliases else queryColumnNames
+}
+
+object StoredView {
+
+  def toJson(v: StoredView): String =
+    JsonMethods.pretty(JsonMethods.render(JObject(
+      "sql" -> JString(v.sql),
+      "current_catalog" -> JString(v.currentCatalog),
+      "current_namespace" -> JArray(v.currentNamespace.map(JString(_)).toList),
+      "schema" -> JsonMethods.parse(v.schema.json),
+      "query_column_names" -> JArray(v.queryColumnNames.map(JString(_)).toList),
+      "column_aliases" -> JArray(v.columnAliases.map(JString(_)).toList),
+      "column_comments" -> JArray(v.columnComments.map {
+        case Some(c) => JString(c)
+        case None => JNull
+      }.toList),
+      "properties" -> JObject(v.properties.toList.sortBy(_._1).map {
+        case (k, x) => k -> JString(x)
+      }),
+      "schema_mode" -> JString(v.schemaMode))))
+
+  def fromJson(s: String): StoredView = {
+    val j = JsonMethods.parse(s)
+    def str(v: JValue): String = v match {
+      case JString(x) => x
+      case other => sys.error(s"expected string, got $other")
+    }
+    def strs(v: JValue): Seq[String] = v match {
+      case JArray(xs) => xs.map(str)
+      case JNothing => Nil
+      case other => sys.error(s"expected array, got $other")
+    }
+    StoredView(
+      sql = str(j \ "sql"),
+      currentCatalog = str(j \ "current_catalog"),
+      currentNamespace = strs(j \ "current_namespace"),
+      schema = DataType.fromJson(JsonMethods.compact(JsonMethods.render(j \ "schema")))
+        .asInstanceOf[StructType],
+      queryColumnNames = strs(j \ "query_column_names"),
+      columnAliases = strs(j \ "column_aliases"),
+      columnComments = (j \ "column_comments") match {
+        case JArray(xs) => xs.map { case JString(c) => Some(c); case _ => None }
+        case _ => Nil
+      },
+      properties = (j \ "properties") match {
+        case JObject(kvs) => kvs.map { case (k, v) => k -> str(v) }.toMap
+        case _ => Map.empty
+      },
+      schemaMode = (j \ "schema_mode") match {
+        case JString(m) => m
+        case _ => "SchemaCompensation"
+      })
+  }
+}
+
+/** Filesystem store for a warehouse's SQL views: one JSON file per view
+  * under `<warehouse>/<ns>/_views/<name>.json`, beside (never inside)
+  * the namespace's table directories — `GraftCatalog.listTables` skips
+  * `_views` naturally because it carries no metadata log. Name lookup
+  * is case-insensitive (Spark identifier semantics) while files keep
+  * the creation case. Creation is create-if-absent through the
+  * filesystem's `create(overwrite=false)`; replace overwrites in place
+  * — view metadata is tiny, racing replaces last-writer-wins like every
+  * catalog's view DDL.
+  */
+final class GraftViewStore(fs: FileSystem, warehouse: HPath) {
+
+  private def dir(ns: String): HPath = new HPath(warehouse, s"$ns/_views")
+
+  private def pathOf(ns: String, name: String): HPath =
+    new HPath(dir(ns), s"$name.json")
+
+  /** Stored view names in `ns` (creation case), sorted. */
+  def list(ns: String): Seq[String] =
+    try fs.listStatus(dir(ns)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
+      .map(_.getPath.getName.stripSuffix(".json"))
+      .sorted
+    catch { case _: java.io.FileNotFoundException => Nil }
+
+  /** The stored (creation-case) name matching `name`, if any. */
+  def resolve(ns: String, name: String): Option[String] =
+    list(ns).find(_.equalsIgnoreCase(name))
+
+  def exists(ns: String, name: String): Boolean = resolve(ns, name).isDefined
+
+  def load(ns: String, name: String): Option[StoredView] =
+    resolve(ns, name).map { actual =>
+      val in = fs.open(pathOf(ns, actual))
+      try StoredView.fromJson(
+        new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+
+  /** Persist `v`; returns false when the view already exists and
+    * `replace` is false (caller decides between IF NOT EXISTS no-op and
+    * already-exists error).
+    */
+  def create(ns: String, name: String, v: StoredView, replace: Boolean): Boolean = {
+    val existing = resolve(ns, name)
+    if (existing.isDefined && !replace) return false
+    fs.mkdirs(dir(ns))
+    // a replace under a different case drops the old file so one view
+    // never appears twice
+    existing.filter(_ != name).foreach(old => fs.delete(pathOf(ns, old), false))
+    val out =
+      try fs.create(pathOf(ns, name), replace)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException => return false
+      }
+    try out.write(StoredView.toJson(v).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    true
+  }
+
+  def drop(ns: String, name: String): Boolean =
+    resolve(ns, name).exists(actual => fs.delete(pathOf(ns, actual), false))
+
+  def rename(ns: String, name: String, toNs: String, toName: String): Unit = {
+    val actual = resolve(ns, name).getOrElse(
+      throw new IllegalArgumentException(s"view $ns.$name does not exist"))
+    require(!exists(toNs, toName), s"view $toNs.$toName already exists")
+    fs.mkdirs(dir(toNs))
+    require(fs.rename(pathOf(ns, actual), pathOf(toNs, toName)),
+      s"filesystem rename of view $ns.$name failed")
+  }
+}

@@ -642,6 +642,44 @@ object TableQueries {
              |           AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // SQL views over the catalog: a view is a stored QUERY (original
+    // text + creation-time resolution context + captured schema), so
+    // reading it recomputes over the table's CURRENT data — asserted by
+    // appending AFTER the view exists. The oracle replays the view body
+    // over the raw parquet.
+    "q105_sql_view" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq105").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq105", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq105.warehouse",
+            Files.createTempDirectory("graft-views").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq105.bench")
+        s.sql("DROP VIEW IF EXISTS graftq105.bench.pricing")
+        s.sql("DROP TABLE IF EXISTS graftq105.bench.li")
+        s.sql("""CREATE TABLE graftq105.bench.li
+                |(l_orderkey BIGINT, l_returnflag STRING, l_linestatus STRING,
+                | l_quantity DOUBLE, l_extendedprice DOUBLE)""".stripMargin)
+        t(s, dir, "lineitem").createOrReplaceTempView("q105_li")
+        s.sql("""INSERT INTO graftq105.bench.li
+                |SELECT l_orderkey, l_returnflag, l_linestatus, l_quantity, l_extendedprice
+                |FROM q105_li WHERE l_orderkey % 2 = 0""".stripMargin)
+        s.sql("""CREATE VIEW graftq105.bench.pricing (flag, status, n, sum_qty) AS
+                |SELECT l_returnflag, l_linestatus, COUNT(*),
+                |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                |FROM graftq105.bench.li
+                |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+        // the view recomputes over data appended AFTER it was created
+        s.sql("""INSERT INTO graftq105.bench.li
+                |SELECT l_orderkey, l_returnflag, l_linestatus, l_quantity, l_extendedprice
+                |FROM q105_li WHERE l_orderkey % 2 = 1""".stripMargin)
+        s.sql("""SELECT flag, status, n, sum_qty FROM graftq105.bench.pricing
+                |ORDER BY flag, status""".stripMargin)
+      },
+      Some(s"""SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n,
+              |  ${DSUM("l_quantity")} AS sum_qty
+              |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // The general MERGE's merge-on-read path: same conditional clause
     // matrix as q97 minus NOT MATCHED BY SOURCE (which needs the whole
     // table by definition), on a mor-mode table — outcomes appended +

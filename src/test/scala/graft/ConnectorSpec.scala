@@ -112,6 +112,101 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
       Seq((1L, 1.0), (22L, 22.0))
   }
 
+  test("SQL views: create, read, alias, replace, show, drop") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsv")
+    spark.sql("CREATE TABLE graft.nsv.t (id BIGINT, k STRING, v DOUBLE)")
+    spark.sql(
+      """INSERT INTO graft.nsv.t VALUES
+        |(1, 'a', 1.0), (2, 'b', 2.0), (3, 'a', 3.0), (4, 'b', 4.0)""".stripMargin)
+    spark.sql(
+      """CREATE VIEW graft.nsv.by_k (grp, total) AS
+        |SELECT k, SUM(v) FROM graft.nsv.t GROUP BY k""".stripMargin)
+    spark.sql("SELECT grp, total FROM graft.nsv.by_k ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq shouldBe
+      Seq(("a", 4.0), ("b", 6.0))
+    // views see writes made AFTER creation (a view is a query, not data)
+    spark.sql("INSERT INTO graft.nsv.t VALUES (5, 'a', 10.0)")
+    spark.sql("SELECT total FROM graft.nsv.by_k WHERE grp = 'a'")
+      .head.getDouble(0) shouldBe 14.0
+    // views compose with tables in joins and subqueries
+    spark.sql(
+      """SELECT t.id FROM graft.nsv.t t
+        |JOIN graft.nsv.by_k v ON t.k = v.grp WHERE v.total > 10 ORDER BY t.id""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 3L, 5L)
+    // SHOW VIEWS lists it; pattern filters
+    spark.sql("SHOW VIEWS IN graft.nsv").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSeq shouldBe
+      Seq(("nsv", "by_k", false))
+    spark.sql("SHOW VIEWS IN graft.nsv LIKE 'zzz*'").count() shouldBe 0
+    // OR REPLACE swaps the definition
+    spark.sql("CREATE OR REPLACE VIEW graft.nsv.by_k AS SELECT id FROM graft.nsv.t")
+    spark.table("graft.nsv.by_k").columns.toSeq shouldBe Seq("id")
+    // IF NOT EXISTS no-ops on an existing view
+    spark.sql("CREATE VIEW IF NOT EXISTS graft.nsv.by_k AS SELECT k FROM graft.nsv.t")
+    spark.table("graft.nsv.by_k").columns.toSeq shouldBe Seq("id")
+    // plain CREATE on an existing view errors
+    intercept[Exception] {
+      spark.sql("CREATE VIEW graft.nsv.by_k AS SELECT k FROM graft.nsv.t")
+    }
+    spark.sql("DROP VIEW graft.nsv.by_k")
+    spark.sql("SHOW VIEWS IN graft.nsv").count() shouldBe 0
+    intercept[Exception] { spark.sql("DROP VIEW graft.nsv.by_k") }
+    spark.sql("DROP VIEW IF EXISTS graft.nsv.by_k") // no-op, no error
+  }
+
+  test("SQL views: stored resolution context, nesting, cycles, hygiene") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsv2")
+    spark.sql("CREATE TABLE graft.nsv2.base (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.nsv2.base VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    // view created with UNQUALIFIED table names under USE — the stored
+    // context re-qualifies them on every later read
+    spark.sql("USE graft.nsv2")
+    try {
+      spark.sql("CREATE VIEW v1 AS SELECT id, v FROM base WHERE v >= 2.0")
+      // a CTE named like a real table must stay a CTE inside the view
+      spark.sql(
+        """CREATE VIEW v2 AS
+          |WITH base AS (SELECT id * 10 AS id FROM v1)
+          |SELECT id FROM base""".stripMargin)
+    } finally spark.sql("USE spark_catalog.default")
+    spark.sql("SELECT id FROM graft.nsv2.v1 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(2L, 3L)
+    spark.sql("SELECT id FROM graft.nsv2.v2 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(20L, 30L)
+    // a second catalog instance (fresh session handle) reads the same
+    // stored definitions — persistence, not session state
+    val s2 = spark.newSession()
+    s2.sql("SELECT COUNT(*) FROM graft.nsv2.v2").head.getLong(0) shouldBe 2
+    // name collisions refused both ways
+    intercept[Exception] {
+      spark.sql("CREATE VIEW graft.nsv2.base AS SELECT 1 AS one")
+    }
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.nsv2.v1 (x INT)")
+    }
+    // persistent views cannot capture temp views
+    spark.range(3).createOrReplaceTempView("nsv2_tmp")
+    intercept[Exception] {
+      spark.sql("CREATE VIEW graft.nsv2.leaky AS SELECT * FROM nsv2_tmp")
+    }
+    // cycles fail loudly: v3 -> v4 -> v3
+    spark.sql("CREATE VIEW graft.nsv2.v3 AS SELECT id FROM graft.nsv2.v1")
+    spark.sql("CREATE OR REPLACE VIEW graft.nsv2.v4 AS SELECT id FROM graft.nsv2.v3")
+    spark.sql("CREATE OR REPLACE VIEW graft.nsv2.v3 AS SELECT id FROM graft.nsv2.v4")
+    val cycle = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.nsv2.v3").collect()
+    }
+    cycle.getMessage should include("cyclic view reference")
+    // BINDING/COMPENSATION schema enforcement: the stored schema
+    // survives an underlying widening as an UpCast; dropping the column
+    // the view needs fails loudly
+    spark.sql("CREATE VIEW graft.nsv2.vs AS SELECT id, v FROM graft.nsv2.base")
+    spark.sql("ALTER TABLE graft.nsv2.base ADD COLUMN extra STRING")
+    spark.table("graft.nsv2.vs").columns.toSeq shouldBe Seq("id", "v") // no leak
+    spark.sql("ALTER TABLE graft.nsv2.base DROP COLUMN v")
+    intercept[Exception] { spark.sql("SELECT * FROM graft.nsv2.vs").collect() }
+  }
+
   test("SQL time travel: VERSION AS OF reads historic snapshots, writes refused") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns5")
     spark.sql("CREATE TABLE graft.ns5.tt (id BIGINT)")          // version 0 (empty)
