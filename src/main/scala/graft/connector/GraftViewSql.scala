@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, CurrentNamespace, NoSuchViewException, SchemaBinding, SchemaCompensation, SchemaEvolution, SchemaTypeEvolution, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases, ViewSchemaMode}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, UpCast}
 import org.apache.spark.sql.catalyst.parser.{ParserInterface, ParseException}
-import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, Project, ShowViews, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, CreateView, DescribeRelation, DropView, LogicalPlan, Project, RenameTable, SetViewProperties, ShowViews, SubqueryAlias, UnsetViewProperties}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -138,6 +138,44 @@ object GraftViewSql {
       graftTarget(session, parts).map { case (_, catName, ident) =>
         GraftDropViewCommand(catName, ident, ifExists): LogicalPlan
       }.getOrElse(d)
+
+    case a @ AlterViewAs(v: org.apache.spark.sql.catalyst.analysis.UnresolvedView,
+        originalText, query) if !isTempView(session, v.multipartIdentifier) =>
+      graftTarget(session, v.multipartIdentifier).map { case (_, catName, ident) =>
+        GraftAlterViewAsCommand(catName, ident, originalText, query): LogicalPlan
+      }.getOrElse(a)
+
+    case p @ SetViewProperties(v: org.apache.spark.sql.catalyst.analysis.UnresolvedView,
+        props) if !isTempView(session, v.multipartIdentifier) =>
+      graftTarget(session, v.multipartIdentifier).map { case (_, catName, ident) =>
+        GraftViewPropertiesCommand(catName, ident, set = props): LogicalPlan
+      }.getOrElse(p)
+
+    case p @ UnsetViewProperties(v: org.apache.spark.sql.catalyst.analysis.UnresolvedView,
+        keys, ifExists) if !isTempView(session, v.multipartIdentifier) =>
+      graftTarget(session, v.multipartIdentifier).map { case (_, catName, ident) =>
+        GraftViewPropertiesCommand(catName, ident, unset = keys,
+          unsetIfExists = ifExists): LogicalPlan
+      }.getOrElse(p)
+
+    case r @ RenameTable(t: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView,
+        newName, true) if !isTempView(session, t.multipartIdentifier) =>
+      graftTarget(session, t.multipartIdentifier).map { case (_, catName, ident) =>
+        GraftRenameViewCommand(catName, ident, newName): LogicalPlan
+      }.getOrElse(r)
+
+    // DESCRIBE parses to one shape for tables and views; intercept only
+    // when the target actually IS a stored graft view (a store lookup at
+    // parse time) so table describes keep the engine path
+    case d @ DescribeRelation(
+        t: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView,
+        _, isExtended, output) if !isTempView(session, t.multipartIdentifier) =>
+      graftTarget(session, t.multipartIdentifier) match {
+        case Some((g, catName, ident))
+            if g.views.exists(ident.namespace()(0), ident.name()) =>
+          GraftDescribeViewCommand(catName, ident, isExtended, output)
+        case _ => d
+      }
 
     case s @ ShowViews(nsPlan, pattern, output) =>
       val cm = session.sessionState.catalogManager
@@ -312,6 +350,127 @@ case class GraftCreateViewCommand(catalogName: String, ident: Identifier,
   }
 
   override def output: Seq[Attribute] = Nil
+}
+
+/** `ALTER VIEW ... AS query` — replace the definition, keep the
+  * properties (the SQL-standard redefinition verb). The new query is
+  * analyzed in the CURRENT session context, which also becomes the
+  * view's new stored context.
+  */
+case class GraftAlterViewAsCommand(catalogName: String, ident: Identifier,
+                                   originalText: String, query: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val catalog = spark.sessionState.catalogManager.catalog(catalogName)
+      .asInstanceOf[GraftSparkCatalog]
+    val ns = ident.namespace()(0)
+    val existing = catalog.views.load(ns, ident.name()).getOrElse(
+      throw new NoSuchViewException(ident))
+    val tempRefs = query.collectWithSubqueries {
+      case r: UnresolvedRelation
+          if spark.sessionState.catalog.isTempView(r.multipartIdentifier) =>
+        r.multipartIdentifier.mkString(".")
+    }
+    require(tempRefs.isEmpty,
+      s"cannot redefine persistent view $ident over temporary view(s): " +
+        tempRefs.mkString(", "))
+    val analyzed = spark.sessionState.executePlan(query).analyzed
+    val cm = spark.sessionState.catalogManager
+    val updated = existing.copy(
+      sql = originalText,
+      currentCatalog = cm.currentCatalog.name(),
+      currentNamespace = cm.currentNamespace.toSeq,
+      schema = StructType(analyzed.output.map(a =>
+        org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable))),
+      queryColumnNames = analyzed.output.map(_.name),
+      columnAliases = Nil,
+      columnComments = Nil)
+    catalog.views.create(ns, ident.name(), updated, replace = true)
+    Nil
+  }
+  override def output: Seq[Attribute] = Nil
+}
+
+/** `ALTER VIEW ... SET/UNSET TBLPROPERTIES`. */
+case class GraftViewPropertiesCommand(catalogName: String, ident: Identifier,
+                                      set: Map[String, String] = Map.empty,
+                                      unset: Seq[String] = Nil,
+                                      unsetIfExists: Boolean = true)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val catalog = spark.sessionState.catalogManager.catalog(catalogName)
+      .asInstanceOf[GraftSparkCatalog]
+    val ns = ident.namespace()(0)
+    val existing = catalog.views.load(ns, ident.name()).getOrElse(
+      throw new NoSuchViewException(ident))
+    if (!unsetIfExists) {
+      val missing = unset.filterNot(existing.properties.contains)
+      require(missing.isEmpty,
+        s"view $ident has no propert${if (missing.size == 1) "y" else "ies"}: " +
+          missing.mkString(", "))
+    }
+    val updated = existing.copy(properties = existing.properties ++ set -- unset)
+    catalog.views.create(ns, ident.name(), updated, replace = true)
+    Nil
+  }
+  override def output: Seq[Attribute] = Nil
+}
+
+/** `ALTER VIEW ... RENAME TO ...` — within the same catalog; a bare new
+  * name stays in the source namespace.
+  */
+case class GraftRenameViewCommand(catalogName: String, ident: Identifier,
+                                  newName: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val catalog = spark.sessionState.catalogManager.catalog(catalogName)
+      .asInstanceOf[GraftSparkCatalog]
+    val (toNs, toName) = newName match {
+      case Seq(n) => (ident.namespace()(0), n)
+      case Seq(ns, n) => (ns, n)
+      case Seq(cat, ns, n) =>
+        require(cat.equalsIgnoreCase(catalogName),
+          s"cannot rename view across catalogs: $catalogName -> $cat")
+        (ns, n)
+      case other => throw new IllegalArgumentException(
+        s"bad view name: ${other.mkString(".")}")
+    }
+    catalog.renameView(ident, Identifier.of(Array(toNs), toName))
+    Nil
+  }
+  override def output: Seq[Attribute] = Nil
+}
+
+/** `DESCRIBE [EXTENDED] <view>` — the stored schema (with column
+  * comments), plus the view text/context/properties under EXTENDED.
+  */
+case class GraftDescribeViewCommand(catalogName: String, ident: Identifier,
+                                    isExtended: Boolean,
+                                    override val output: Seq[Attribute])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val catalog = spark.sessionState.catalogManager.catalog(catalogName)
+      .asInstanceOf[GraftSparkCatalog]
+    val sv = catalog.views.load(ident.namespace()(0), ident.name()).getOrElse(
+      throw new NoSuchViewException(ident))
+    val comments: Map[String, String] =
+      sv.columnAliases.zip(sv.columnComments).collect {
+        case (n, Some(c)) => n.toLowerCase -> c
+      }.toMap
+    val cols = sv.schema.fields.toIndexedSeq.map(f =>
+      Row(f.name, f.dataType.simpleString, comments.get(f.name.toLowerCase).orNull))
+    if (!isExtended) cols
+    else cols ++ Seq(
+      Row("", "", ""),
+      Row("# View Information", "", ""),
+      Row("Catalog", catalogName, ""),
+      Row("Namespace", sv.currentNamespace.mkString("."), ""),
+      Row("View Text", sv.sql, ""),
+      Row("Schema Mode", sv.schemaMode.stripPrefix("Schema"), ""),
+      Row("Properties", sv.properties.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString(", "), ""))
+  }
 }
 
 case class GraftDropViewCommand(catalogName: String, ident: Identifier,

@@ -207,6 +207,43 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     intercept[Exception] { spark.sql("SELECT * FROM graft.nsv2.vs").collect() }
   }
 
+  test("SQL views: ALTER AS, properties, rename, describe") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsv3")
+    spark.sql("CREATE TABLE graft.nsv3.t (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.nsv3.t VALUES (1, 1.0), (2, 2.0)")
+    spark.sql(
+      """CREATE VIEW graft.nsv3.w (ident COMMENT 'the id')
+        |TBLPROPERTIES ('team' = 'data')
+        |AS SELECT id FROM graft.nsv3.t""".stripMargin)
+    // DESCRIBE shows the stored schema + column comment
+    val desc = spark.sql("DESCRIBE graft.nsv3.w").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    desc shouldBe Seq(("ident", "bigint", "the id"))
+    val ext = spark.sql("DESCRIBE EXTENDED graft.nsv3.w").collect()
+      .map(_.getString(0)).toSeq
+    ext should contain("View Text")
+    // ALTER VIEW AS replaces the definition, keeps properties
+    spark.sql("ALTER VIEW graft.nsv3.w AS SELECT id, v FROM graft.nsv3.t")
+    spark.table("graft.nsv3.w").columns.toSeq shouldBe Seq("id", "v")
+    // SET/UNSET TBLPROPERTIES round-trip through DESCRIBE EXTENDED
+    spark.sql("ALTER VIEW graft.nsv3.w SET TBLPROPERTIES ('steward' = 'me')")
+    spark.sql("ALTER VIEW graft.nsv3.w UNSET TBLPROPERTIES ('team')")
+    val props = spark.sql("DESCRIBE EXTENDED graft.nsv3.w").collect()
+      .find(_.getString(0) == "Properties").get.getString(1)
+    props should include("steward=me")
+    props should not include "team"
+    intercept[Exception] {
+      spark.sql("ALTER VIEW graft.nsv3.w UNSET TBLPROPERTIES ('nope')")
+    }
+    spark.sql("ALTER VIEW graft.nsv3.w UNSET TBLPROPERTIES IF EXISTS ('nope')")
+    // RENAME moves the stored definition; old name gone, new reads
+    spark.sql("ALTER VIEW graft.nsv3.w RENAME TO w2")
+    spark.sql("SHOW VIEWS IN graft.nsv3").collect().map(_.getString(1)).toSeq shouldBe Seq("w2")
+    spark.sql("SELECT COUNT(*) FROM graft.nsv3.w2").head.getLong(0) shouldBe 2
+    intercept[Exception] { spark.sql("SELECT * FROM graft.nsv3.w").collect() }
+    spark.sql("DROP VIEW graft.nsv3.w2")
+  }
+
   test("SQL time travel: VERSION AS OF reads historic snapshots, writes refused") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns5")
     spark.sql("CREATE TABLE graft.ns5.tt (id BIGINT)")          // version 0 (empty)
