@@ -1,0 +1,393 @@
+package graft.connector
+
+import graft.table.{GraftCatalog, GraftTable, TableIdent}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Materialized views with INCREMENTAL refresh — the composition the
+  * CDC machinery exists for: a stored aggregate whose refresh costs
+  * O(changes since last refresh), never O(source table).
+  *
+  * {{{
+  * CALL graft.system.create_mview('ns', 'daily', 'SELECT flag, SUM(qty) q, COUNT(*) n FROM graft.ns.li WHERE ... GROUP BY flag')
+  * SELECT * FROM graft.ns.daily             -- MV-speed (a stored view over the storage table)
+  * CALL graft.system.refresh_mview('ns', 'daily', false)
+  * }}}
+  *
+  * Layout: the aggregate rows live in a STORAGE graft table
+  * `<name>__rows` carrying hidden bookkeeping columns, and a stored SQL
+  * view `<name>` projects the public columns — so reads go through the
+  * ordinary view/table machinery (pushdown, pruning) and never see the
+  * bookkeeping. All MV state (definition, source, applied version,
+  * maintenance spec) rides in the storage table's snapshot properties;
+  * the applied source version commits ATOMICALLY with each refresh's
+  * data (the replicate marker pattern), so refresh is exactly-once
+  * under retries with no external checkpoint.
+  *
+  * Incremental capability is decided ONCE at create by shape analysis
+  * of the analyzed plan: single graft source, optional deterministic
+  * WHERE, GROUP BY deterministic expressions, aggregates limited to
+  * SUM / COUNT / COUNT(*) (no DISTINCT, no FILTER clauses — shapes
+  * with retraction-safe algebra). Everything else (joins, AVG, MIN/MAX
+  * — which cannot retract — window functions, nested views) falls back
+  * to FULL refresh, which recomputes and overwrites. The bookkeeping
+  * that makes retraction exact: `_mv_rows` = COUNT(*) per group (a
+  * group vanishes when it hits zero) and `_mv_nn_<i>` = per-SUM
+  * non-null input counts (so a SUM over only-null inputs stays NULL,
+  * matching SQL, instead of drifting to 0).
+  *
+  * Refresh reads the source changelog `(applied, head]`, signs rows
+  * (+1 insert / -1 delete pre-image), re-evaluates the stored
+  * filter/group/aggregate SQL over the signed rows, and merges the
+  * per-group deltas into the storage table via one atomic
+  * [[GraftTable.applyNetChanges]] — only affected groups are read or
+  * written. NULL group keys cannot be addressed by the keyed merge, so
+  * a delta (or initial materialization) containing one falls back
+  * loudly (create: full mode; refresh: error naming
+  * `force_full => true`). A negative post-merge group count means the
+  * marker and changelog disagree — refresh aborts instead of writing
+  * garbage.
+  */
+object GraftMaterializedView {
+
+  val StorageSuffix = "__rows"
+  val SqlProp = "graft.mview.sql"
+  val SourceProp = "graft.mview.source" // "<ns>/<table>" under the same warehouse
+  val AppliedProp = "graft.mview.applied-version"
+  val ModeProp = "graft.mview.mode" // incremental | full
+  val FilterProp = "graft.mview.filter" // '' = none
+  val GroupProp = "graft.mview.group" // JSON [[name, sql], ...]
+  val AggProp = "graft.mview.aggs" // JSON [[name, kind, sql], ...]
+  val RowsCol = "_mv_rows"
+  def nnCol(i: Int): String = s"_mv_nn_$i"
+
+  final case class AggSpec(name: String, kind: String, sql: String) // sum | count | count_star
+
+  final case class Shape(filter: Option[String],
+                         groups: Seq[(String, String)],
+                         aggs: Seq[AggSpec])
+
+  private def specJson(pairs: Seq[Seq[String]]): String =
+    JsonMethods.compact(JsonMethods.render(
+      JArray(pairs.map(p => JArray(p.map(JString(_)).toList)).toList)))
+
+  private def specFromJson(s: String): Seq[Seq[String]] =
+    JsonMethods.parse(s) match {
+      case JArray(xs) => xs.map {
+        case JArray(ys) => ys.map { case JString(v) => v; case o => sys.error(s"bad spec $o") }
+        case o => sys.error(s"bad spec $o")
+      }
+      case o => sys.error(s"bad spec $o")
+    }
+
+  private def plainSql(e: Expression): String = e.transform {
+    case a: AttributeReference => a.withQualifier(Nil)
+  }.sql
+
+  private def unwrapAliases(p: LogicalPlan): LogicalPlan = p match {
+    case SubqueryAlias(_, c) => unwrapAliases(c)
+    case other => other
+  }
+
+  /** Every graft table the analyzed plan reads. */
+  private def graftSources(plan: LogicalPlan): Seq[GraftTable] =
+    plan.collectWithSubqueries {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftV2Table] =>
+        r.table.asInstanceOf[GraftV2Table].underlying
+    }
+
+  /** Non-graft leaf relations (temp views, files, in-memory) — their
+    * changes are untracked, so an MV over them has no staleness story.
+    */
+  private def foreignSources(plan: LogicalPlan): Seq[String] =
+    plan.collectWithSubqueries {
+      case r: DataSourceV2Relation if !r.table.isInstanceOf[GraftV2Table] =>
+        r.table.name()
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.toString
+    }
+
+  /** Incremental shape: Aggregate over (Filter over)? the bare source
+    * relation. Rejections return the reason (recorded nowhere, but kept
+    * for error clarity during create).
+    */
+  private def analyzeShape(analyzed: LogicalPlan): Either[String, Shape] = {
+    unwrapAliases(analyzed) match {
+      case Aggregate(groupingExprs, aggExprs, child, _) =>
+        val (filterSql, rel) = unwrapAliases(child) match {
+          case f @ Filter(cond, rel2) =>
+            if (!cond.deterministic) return Left("nondeterministic WHERE")
+            (Some(plainSql(cond)), unwrapAliases(rel2))
+          case rel2 => (None, rel2)
+        }
+        rel match {
+          case r: DataSourceV2Relation if r.table.isInstanceOf[GraftV2Table] => ()
+          case _ => return Left("source is not a bare graft table scan")
+        }
+        if (groupingExprs.exists(!_.deterministic)) return Left("nondeterministic GROUP BY")
+        if (groupingExprs.isEmpty) return Left("global aggregate (no GROUP BY)")
+        val groups = Seq.newBuilder[(String, String)]
+        val aggs = Seq.newBuilder[AggSpec]
+        aggExprs.foreach {
+          case a: AttributeReference
+              if groupingExprs.exists(_.semanticEquals(a)) =>
+            groups += a.name -> plainSql(a)
+          case al @ Alias(child, name) => child match {
+            case AggregateExpression(Sum(e, _), _, false, None, _) =>
+              if (!e.deterministic) return Left(s"nondeterministic SUM in ${al.sql}")
+              aggs += AggSpec(name, "sum", plainSql(e))
+            case AggregateExpression(Count(es), _, false, None, _) =>
+              if (es.exists(!_.deterministic)) return Left(s"nondeterministic COUNT in ${al.sql}")
+              es match {
+                case Seq(org.apache.spark.sql.catalyst.expressions.Literal(1, _)) =>
+                  aggs += AggSpec(name, "count_star", "")
+                case Seq() => aggs += AggSpec(name, "count_star", "")
+                case Seq(one) => aggs += AggSpec(name, "count", plainSql(one))
+                case _ => return Left(s"multi-argument COUNT in ${al.sql}")
+              }
+            case _: AggregateExpression =>
+              return Left(s"non-SUM/COUNT aggregate in ${al.sql}")
+            case e if groupingExprs.exists(_.semanticEquals(e)) && e.deterministic =>
+              groups += name -> plainSql(e)
+            case _ =>
+              return Left(s"output ${al.sql} is neither a grouping expression " +
+                "nor a SUM/COUNT")
+          }
+          case other => return Left(s"unsupported output ${other.sql}")
+        }
+        val shape = Shape(filterSql, groups.result(), aggs.result())
+        if (shape.groups.isEmpty) return Left("no grouping columns in output")
+        Right(shape)
+      case _ => Left("not a plain GROUP BY aggregate")
+    }
+  }
+
+  /** The grouped materialization frame (public + bookkeeping columns)
+    * over `base`, per the stored shape.
+    */
+  private def grouped(base: DataFrame, shape: Shape): DataFrame = {
+    val groupCols = shape.groups.map { case (n, s) => expr(s).as(n) }
+    val aggCols = shape.aggs.map {
+      case AggSpec(n, "sum", s) => sum(expr(s)).as(n)
+      case AggSpec(n, "count", s) => count(expr(s)).as(n)
+      case AggSpec(n, "count_star", _) => count(lit(1)).as(n)
+      case AggSpec(n, k, _) => sys.error(s"bad agg kind $k for $n")
+    } ++
+      shape.aggs.zipWithIndex.collect { case (AggSpec(_, "sum", s), i) =>
+        count(expr(s)).as(nnCol(i))
+      } :+ count(lit(1)).as(RowsCol)
+    base.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Signed per-group delta of a changelog slice, same column layout as
+    * [[grouped]].
+    */
+  private def delta(changes: DataFrame, shape: Shape): DataFrame = {
+    val signed0 = changes.withColumn("_sign",
+      when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
+    val signed = shape.filter.fold(signed0)(signed0.where)
+    val groupCols = shape.groups.map { case (n, s) => expr(s).as(n) }
+    val aggCols = shape.aggs.map {
+      case AggSpec(n, "sum", s) =>
+        sum(expr(s) * col("_sign")).as(n)
+      case AggSpec(n, "count", s) =>
+        sum(when(expr(s).isNotNull, col("_sign")).otherwise(lit(0L))).as(n)
+      case AggSpec(n, "count_star", _) => sum(col("_sign")).as(n)
+      case AggSpec(n, k, _) => sys.error(s"bad agg kind $k for $n")
+    } ++
+      shape.aggs.zipWithIndex.collect { case (AggSpec(_, "sum", s), i) =>
+        sum(when(expr(s).isNotNull, col("_sign")).otherwise(lit(0L))).as(nnCol(i))
+      } :+ sum(col("_sign")).as(RowsCol)
+    signed.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  private def requireNoNullGroups(df: DataFrame, groups: Seq[String],
+                                  where: String): Unit = {
+    val nullCond = groups.map(g => col(s"`$g`").isNull).reduce(_ || _)
+    if (!df.where(nullCond).isEmpty)
+      throw new IllegalStateException(
+        s"$where contains NULL group key(s) — the keyed incremental merge " +
+          "cannot address them. Filter NULL keys in the view's WHERE, or " +
+          "use full refresh (create falls back automatically; refresh: " +
+          "force_full => true, then consider recreating as a full-mode view)")
+  }
+
+  private def shapeFromProps(props: Map[String, String]): Shape = Shape(
+    Option(props.getOrElse(FilterProp, "")).filter(_.nonEmpty),
+    specFromJson(props(GroupProp)).map { case Seq(n, s) => n -> s },
+    specFromJson(props(AggProp)).map { case Seq(n, k, s) => AggSpec(n, k, s) })
+
+  /** CREATE: analyze, pick the mode, materialize at the source's
+    * current version, and store the public view. Returns
+    * (mode, sourceVersion, rows).
+    */
+  def create(spark: SparkSession, cat: GraftCatalog, catalogName: String,
+             ns: String, name: String, sql: String): (String, Int, Long) = {
+    val parsed = spark.sessionState.sqlParser.parseQuery(sql)
+    val analyzed = spark.sessionState.executePlan(parsed).analyzed
+    val sources = graftSources(analyzed)
+    val foreign = foreignSources(analyzed)
+    require(foreign.isEmpty,
+      s"materialized view reads non-graft source(s) ${foreign.mkString(", ")} " +
+        "— their changes are untracked, so the view would have no staleness contract")
+    val srcDirs = sources.map(_.tableDir.toString).distinct
+    require(srcDirs.size == 1,
+      s"materialized views require exactly ONE graft source table, found " +
+        s"${srcDirs.size}${if (srcDirs.nonEmpty) ": " + srcDirs.mkString(", ") else ""}")
+    val src = sources.head
+    val wh = cat.warehouse.toString.stripSuffix("/")
+    val rel = src.tableDir.toString.stripPrefix(wh).stripPrefix("/")
+    require(src.tableDir.toString.startsWith(wh),
+      s"source ${src.tableDir} is not under this catalog's warehouse $wh")
+
+    val storageIdent = TableIdent(ns, name + StorageSuffix)
+    val viewStore = new GraftViewStore(cat.fs, cat.warehouse)
+    require(!cat.exists(TableIdent(ns, name)) && !viewStore.exists(ns, name),
+      s"cannot create materialized view $ns.$name: a table or view with that name exists")
+    require(!cat.exists(storageIdent),
+      s"cannot create materialized view $ns.$name: storage table ${storageIdent.name} exists")
+
+    val cur = src.currentOrFail().version
+    val (mode, frame, shapeProps) = analyzeShape(analyzed) match {
+      case Right(shape) =>
+        val f = grouped(
+          shape.filter.fold(src.scanAsOfVersion(cur))(src.scanAsOfVersion(cur).where),
+          shape)
+        // a NULL group key cannot be addressed by the keyed merge —
+        // data decides the mode, loudly recorded in the result
+        val hasNullGroups = {
+          val cond = shape.groups.map { case (n, _) => col(s"`$n`").isNull }.reduce(_ || _)
+          !f.where(cond).isEmpty
+        }
+        if (hasNullGroups)
+          ("full", spark.sql(sql), Map.empty[String, String])
+        else
+          ("incremental", f, Map(
+            FilterProp -> shape.filter.getOrElse(""),
+            GroupProp -> specJson(shape.groups.map(p => Seq(p._1, p._2))),
+            AggProp -> specJson(shape.aggs.map(a => Seq(a.name, a.kind, a.sql)))))
+      case Left(_) => ("full", spark.sql(sql), Map.empty[String, String])
+    }
+    val storage = cat.ensure(storageIdent)
+    storage.append(frame, props = Map(
+      SqlProp -> sql,
+      SourceProp -> rel,
+      AppliedProp -> cur.toString,
+      ModeProp -> mode) ++ shapeProps)
+    val publicCols = frame.columns.filterNot(c =>
+      c == RowsCol || c.startsWith("_mv_nn_"))
+    viewStore.create(ns, name, StoredView(
+      sql = publicCols.map(c => s"`$c`").mkString("SELECT ", ", ",
+        s" FROM $catalogName.$ns.`${name + StorageSuffix}`"),
+      currentCatalog = catalogName,
+      currentNamespace = Seq(ns),
+      schema = org.apache.spark.sql.types.StructType(
+        frame.schema.fields.filter(f => publicCols.contains(f.name))),
+      queryColumnNames = publicCols.toSeq,
+      columnAliases = Nil,
+      columnComments = Nil,
+      properties = Map("graft.mview" -> "true"),
+      schemaMode = "SchemaEvolution"), replace = false)
+    (mode, cur, storage.currentOrFail().rowCount)
+  }
+
+  /** REFRESH: apply the source changelog since the marker (incremental)
+    * or recompute (full / forced). Returns (from, to, action).
+    */
+  def refresh(spark: SparkSession, cat: GraftCatalog,
+              ns: String, name: String, forceFull: Boolean): (Int, Int, String) = {
+    val storage = cat.load(TableIdent(ns, name + StorageSuffix))
+    val props = storage.currentOrFail().properties
+    val sql = props.getOrElse(SqlProp,
+      throw new IllegalArgumentException(s"$ns.$name is not a materialized view"))
+    val mode = props(ModeProp)
+    val applied = props(AppliedProp).toInt
+    val srcRel = props(SourceProp).split("/") match {
+      case Array(sns, st) => TableIdent(sns, st)
+      case other => sys.error(s"bad mview source: ${other.mkString("/")}")
+    }
+    val src = cat.load(srcRel)
+    val to = src.currentOrFail().version
+    if (applied >= to) return (applied, to, "noop")
+
+    if (mode == "full" || forceFull) {
+      val frame =
+        if (mode == "full") spark.sql(sql)
+        else grouped({
+          val shape = shapeFromProps(props)
+          shape.filter.fold(src.scanAsOfVersion(to))(src.scanAsOfVersion(to).where)
+        }, shapeFromProps(props))
+      storage.overwrite(frame, props = props ++ Map(AppliedProp -> to.toString))
+      return (applied, to, "full")
+    }
+
+    val shape = shapeFromProps(props)
+    val d = delta(src.scanChangesBetween(applied, to), shape)
+      // one evaluation: the delta feeds the null probe, the merge join,
+      // and both applyNetChanges sides
+      .localCheckpoint()
+    val groupNames = shape.groups.map(_._1)
+    if (d.isEmpty) {
+      // net-empty slice: advance the marker metadata-only (same commit
+      // shape replicate uses for its noop-with-marker case)
+      storage.updateProperties(Map(AppliedProp -> to.toString))
+      return (applied, to, "empty")
+    }
+    requireNoNullGroups(d, groupNames, "changelog delta")
+
+    val cur = storage.scan()
+    val joined = d.alias("d").join(cur.alias("c"), groupNames, "left")
+    def dcol(n: String) = col(s"d.`$n`")
+    def ccol(n: String) = col(s"c.`$n`")
+    val newRows = (coalesce(ccol(RowsCol), lit(0L)) + dcol(RowsCol)).as(RowsCol)
+    val valueCols = shape.aggs.zipWithIndex.map { case (a, i) =>
+      a.kind match {
+        case "sum" =>
+          val t = storage.schema.fields.find(_.name == a.name).get.dataType
+          val nn = coalesce(ccol(nnCol(i)), lit(0L)) + coalesce(dcol(nnCol(i)), lit(0L))
+          when(nn === 0L, lit(null).cast(t))
+            .otherwise(coalesce(ccol(a.name), lit(0).cast(t)) +
+              coalesce(dcol(a.name), lit(0).cast(t))).as(a.name)
+        case _ =>
+          (coalesce(ccol(a.name), lit(0L)) + coalesce(dcol(a.name), lit(0L))).as(a.name)
+      }
+    }
+    val nnCols = shape.aggs.zipWithIndex.collect { case (a, i) if a.kind == "sum" =>
+      (coalesce(ccol(nnCol(i)), lit(0L)) + coalesce(dcol(nnCol(i)), lit(0L))).as(nnCol(i))
+    }
+    val groupSel = groupNames.map(n => col(s"`$n`"))
+    val merged = joined.select(groupSel ++ valueCols ++ nnCols :+ newRows: _*)
+      .localCheckpoint()
+
+    if (!merged.where(col(RowsCol) < 0).isEmpty)
+      throw new IllegalStateException(
+        s"materialized view $ns.$name: a group's maintained row count went " +
+          "negative — the changelog and the applied-version marker disagree " +
+          "(manual table surgery?). Refusing to write; run refresh_mview with " +
+          "force_full => true to rebuild")
+
+    val upserts = merged.where(col(RowsCol) > 0)
+      .select(storage.schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
+    val delKeys = merged.where(col(RowsCol) === 0).select(groupSel: _*)
+    storage.applyNetChanges(delKeys, upserts, groupNames,
+      props = props ++ Map(AppliedProp -> to.toString))
+    (applied, to, "incremental")
+  }
+
+  /** DROP: the public view and the storage table. */
+  def drop(cat: GraftCatalog, ns: String, name: String): Boolean = {
+    val viewStore = new GraftViewStore(cat.fs, cat.warehouse)
+    val storageIdent = TableIdent(ns, name + StorageSuffix)
+    val hadView = viewStore.drop(ns, name)
+    val hadTable = cat.exists(storageIdent)
+    if (hadTable) cat.drop(storageIdent)
+    hadView || hadTable
+  }
+}

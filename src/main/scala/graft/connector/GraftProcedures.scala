@@ -33,10 +33,56 @@ object GraftProcedures {
       "zorder", "rollback_to_version", "create_tag", "drop_tag",
       "create_branch", "fast_forward", "merge_branch", "drop_branch",
       "set_partition_spec", "verify_table", "replicate", "compact_deletes",
-      "dedup_table", "rewrite_deletes")
+      "dedup_table", "rewrite_deletes",
+      "create_mview", "refresh_mview", "drop_mview")
 
-  def load(cat: () => GraftCatalog, name: String): Option[UnboundProcedure] =
+  def load(cat: () => GraftCatalog, name: String,
+           catalogName: String = "graft"): Option[UnboundProcedure] =
     name match {
+      // ---- materialized views (see GraftMaterializedView) ------------
+      case "create_mview" => Some(proc(name,
+        Array(
+          ProcedureParameter.in("namespace", StringType).build(),
+          ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("sql", StringType).build()),
+        StructType(Seq(
+          StructField("mode", StringType),
+          StructField("source_version", IntegerType),
+          StructField("rows", LongType))),
+        { in =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          val (mode, v, rows) = GraftMaterializedView.create(spark, cat(),
+            catalogName, in.getUTF8String(0).toString,
+            in.getUTF8String(1).toString, in.getUTF8String(2).toString)
+          new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(mode), v, rows))
+        }))
+      case "refresh_mview" => Some(proc(name,
+        Array(
+          ProcedureParameter.in("namespace", StringType).build(),
+          ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("force_full", BooleanType).build()),
+        StructType(Seq(
+          StructField("from_version", IntegerType),
+          StructField("to_version", IntegerType),
+          StructField("action", StringType))),
+        { in =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          val (from, to, action) = GraftMaterializedView.refresh(spark, cat(),
+            in.getUTF8String(0).toString, in.getUTF8String(1).toString,
+            in.getBoolean(2))
+          new GenericInternalRow(Array[Any](from, to,
+            org.apache.spark.unsafe.types.UTF8String.fromString(action)))
+        }))
+      case "drop_mview" => Some(proc(name,
+        Array(
+          ProcedureParameter.in("namespace", StringType).build(),
+          ProcedureParameter.in("name", StringType).build()),
+        StructType(Seq(StructField("dropped", BooleanType))),
+        { in =>
+          new GenericInternalRow(Array[Any](GraftMaterializedView.drop(cat(),
+            in.getUTF8String(0).toString, in.getUTF8String(1).toString)))
+        }))
       case "expire_snapshots" => Some(proc(name,
         Array(
           ProcedureParameter.in("namespace", StringType).build(),

@@ -430,7 +430,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
     require(ident.namespace().sameElements(GraftProcedures.Namespace),
       s"procedures live in the 'system' namespace, got ${ident.namespace().mkString(".")}")
-    GraftProcedures.load(() => cat, ident.name()).getOrElse(
+    GraftProcedures.load(() => cat, ident.name(), catalogName).getOrElse(
       throw new IllegalArgumentException(
         s"unknown procedure ${ident.name()}; available: ${GraftProcedures.Names.mkString(", ")}"))
   }

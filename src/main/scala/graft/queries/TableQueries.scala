@@ -680,6 +680,51 @@ object TableQueries {
               |  ${DSUM("l_quantity")} AS sum_qty
               |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Incremental materialized view: create over half the source, then
+    // append the rest and delete a key range — ONE refresh applies the
+    // changelog delta (O(changes), zero source re-scan; asserted by
+    // action == 'incremental') and the view must equal the oracle's
+    // from-scratch recomputation over the end state.
+    "q106_mview" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq106").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq106", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq106.warehouse",
+            Files.createTempDirectory("graft-mview").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq106.bench")
+        s.sql("CALL graftq106.system.drop_mview('bench', 'pricing')")
+        s.sql("DROP TABLE IF EXISTS graftq106.bench.li")
+        s.sql("""CREATE TABLE graftq106.bench.li
+                |(l_orderkey BIGINT, l_returnflag STRING, l_quantity DOUBLE)""".stripMargin)
+        t(s, dir, "lineitem").createOrReplaceTempView("q106_li")
+        s.sql("""INSERT INTO graftq106.bench.li
+                |SELECT l_orderkey, l_returnflag, l_quantity FROM q106_li
+                |WHERE l_orderkey % 2 = 0""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq106.system.create_mview('bench', 'pricing',
+            |  'SELECT l_returnflag, SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+            |   FROM graftq106.bench.li WHERE l_quantity > 5.0
+            |   GROUP BY l_returnflag')""".stripMargin).head.getString(0)
+        require(mode == "incremental", s"expected incremental mode, got $mode")
+        s.sql("""INSERT INTO graftq106.bench.li
+                |SELECT l_orderkey, l_returnflag, l_quantity FROM q106_li
+                |WHERE l_orderkey % 2 = 1""".stripMargin)
+        s.sql("DELETE FROM graftq106.bench.li WHERE l_orderkey <= 10000")
+        val action = s.sql(
+          "CALL graftq106.system.refresh_mview('bench', 'pricing', false)")
+          .head.getString(2)
+        require(action == "incremental", s"expected incremental refresh, got $action")
+        s.sql("""SELECT l_returnflag,
+                |  CAST(CAST(sum_qty AS DECIMAL(12,2)) AS DOUBLE) AS sum_qty, n
+                |FROM graftq106.bench.pricing ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(CAST(SUM(l_quantity) AS DECIMAL(12,2)) AS DOUBLE) AS sum_qty,
+             |  COUNT(*) AS n
+             |FROM lineitem WHERE l_quantity > 5.0 AND l_orderkey > 10000
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // The general MERGE's merge-on-read path: same conditional clause
     // matrix as q97 minus NOT MATCHED BY SOURCE (which needs the whole
     // table by definition), on a mor-mode table — outcomes appended +

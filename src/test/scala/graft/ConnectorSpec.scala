@@ -244,6 +244,97 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP VIEW graft.nsv3.w2")
   }
 
+  test("materialized views: incremental refresh tracks inserts, deletes, upserts") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
+    spark.sql("CREATE TABLE graft.mv.sales (id BIGINT, region STRING, amount DOUBLE)")
+    spark.sql(
+      """INSERT INTO graft.mv.sales VALUES
+        |(1, 'east', 10.0), (2, 'east', 20.0), (3, 'west', 5.0),
+        |(4, 'west', 7.0), (5, 'north', 100.0)""".stripMargin)
+    val created = spark.sql(
+      """CALL graft.system.create_mview('mv', 'by_region',
+        |  'SELECT region, SUM(amount) AS total, COUNT(*) AS n
+        |   FROM graft.mv.sales WHERE amount > 1.0 GROUP BY region')""".stripMargin)
+      .head
+    created.getString(0) shouldBe "incremental"
+
+    def viaView: Map[String, (Double, Long)] =
+      spark.sql("SELECT region, total, n FROM graft.mv.by_region").collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    def inline: Map[String, (Double, Long)] =
+      spark.sql(
+        """SELECT region, SUM(amount), COUNT(*) FROM graft.mv.sales
+          |WHERE amount > 1.0 GROUP BY region""".stripMargin).collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+
+    viaView shouldBe inline
+    viaView("east") shouldBe ((30.0, 2L))
+
+    // inserts + a keyed delete + an upsert, then one incremental refresh
+    spark.sql("INSERT INTO graft.mv.sales VALUES (6, 'east', 40.0), (7, 'south', 1.5)")
+    spark.sql("DELETE FROM graft.mv.sales WHERE id = 3")
+    spark.sql(
+      """MERGE INTO graft.mv.sales t USING (SELECT 4 AS id, 'west' AS region, 70.0 AS amount) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // remove the 'north' group entirely: it must VANISH from the MV
+    spark.sql("DELETE FROM graft.mv.sales WHERE region = 'north'")
+
+    val r1 = spark.sql("CALL graft.system.refresh_mview('mv', 'by_region', false)").head
+    r1.getString(2) shouldBe "incremental"
+    viaView shouldBe inline
+    viaView.keySet should not contain "north"
+    viaView("west") shouldBe ((70.0, 1L))
+    viaView("south") shouldBe ((1.5, 1L))
+
+    // already-applied head: noop, marker untouched
+    spark.sql("CALL graft.system.refresh_mview('mv', 'by_region', false)")
+      .head.getString(2) shouldBe "noop"
+
+    // a commit whose rows all miss the MV filter: marker advances,
+    // aggregates unchanged
+    spark.sql("INSERT INTO graft.mv.sales VALUES (8, 'east', 0.5)")
+    spark.sql("CALL graft.system.refresh_mview('mv', 'by_region', false)")
+      .head.getString(2) shouldBe "empty"
+    viaView shouldBe inline
+
+    // force_full rebuilds to the same state
+    spark.sql("INSERT INTO graft.mv.sales VALUES (9, 'east', 3.0)")
+    spark.sql("CALL graft.system.refresh_mview('mv', 'by_region', true)")
+      .head.getString(2) shouldBe "full"
+    viaView shouldBe inline
+
+    spark.sql("CALL graft.system.drop_mview('mv', 'by_region')")
+      .head.getBoolean(0) shouldBe true
+    spark.sql("SHOW VIEWS IN graft.mv").count() shouldBe 0
+    intercept[Exception] { spark.sql("SELECT * FROM graft.mv.by_region").collect() }
+  }
+
+  test("materialized views: non-incremental shapes fall back to full refresh") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv2")
+    spark.sql("CREATE TABLE graft.mv2.t (k STRING, v DOUBLE)")
+    spark.sql("INSERT INTO graft.mv2.t VALUES ('a', 1.0), ('a', 3.0), ('b', 10.0)")
+    // AVG cannot retract -> full mode
+    spark.sql(
+      """CALL graft.system.create_mview('mv2', 'avgs',
+        |  'SELECT k, AVG(v) AS mean FROM graft.mv2.t GROUP BY k')""".stripMargin)
+      .head.getString(0) shouldBe "full"
+    spark.sql("INSERT INTO graft.mv2.t VALUES ('b', 20.0)")
+    spark.sql("CALL graft.system.refresh_mview('mv2', 'avgs', false)")
+      .head.getString(2) shouldBe "full"
+    spark.sql("SELECT mean FROM graft.mv2.avgs WHERE k = 'b'")
+      .head.getDouble(0) shouldBe 15.0
+    // a non-graft source has no changelog: refused loudly
+    spark.range(3).createOrReplaceTempView("mv2_tmp")
+    intercept[Exception] {
+      spark.sql(
+        """CALL graft.system.create_mview('mv2', 'bad',
+          |  'SELECT id FROM mv2_tmp')""".stripMargin)
+    }
+    spark.sql("CALL graft.system.drop_mview('mv2', 'avgs')")
+  }
+
   test("SQL time travel: VERSION AS OF reads historic snapshots, writes refused") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns5")
     spark.sql("CREATE TABLE graft.ns5.tt (id BIGINT)")          // version 0 (empty)
