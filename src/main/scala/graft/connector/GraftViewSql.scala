@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, CurrentNamespace, NoSuchViewException, SchemaBinding, SchemaCompensation, SchemaEvolution, SchemaTypeEvolution, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases, ViewSchemaMode}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, UpCast}
 import org.apache.spark.sql.catalyst.parser.{ParserInterface, ParseException}
-import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, CreateView, DescribeRelation, DropView, LogicalPlan, Project, RenameTable, SetViewProperties, ShowViews, SubqueryAlias, UnsetViewProperties}
+import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, CreateView, DescribeRelation, DropView, LogicalPlan, Project, RenameTable, SetViewProperties, ShowCreateTable, ShowViews, SubqueryAlias, UnsetViewProperties}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -163,6 +163,18 @@ object GraftViewSql {
       graftTarget(session, t.multipartIdentifier).map { case (_, catName, ident) =>
         GraftRenameViewCommand(catName, ident, newName): LogicalPlan
       }.getOrElse(r)
+
+    // SHOW CREATE TABLE on a stored view reproduces its DDL (the
+    // session-catalog behavior); tables keep the V2 engine path
+    case sc @ ShowCreateTable(
+        t: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView,
+        false, output) if !isTempView(session, t.multipartIdentifier) =>
+      graftTarget(session, t.multipartIdentifier) match {
+        case Some((g, catName, ident))
+            if g.views.exists(ident.namespace()(0), ident.name()) =>
+          GraftShowCreateViewCommand(catName, ident, output)
+        case _ => sc
+      }
 
     // DESCRIBE parses to one shape for tables and views; intercept only
     // when the target actually IS a stored graft view (a store lookup at
@@ -470,6 +482,36 @@ case class GraftDescribeViewCommand(catalogName: String, ident: Identifier,
       Row("Schema Mode", sv.schemaMode.stripPrefix("Schema"), ""),
       Row("Properties", sv.properties.toSeq.sortBy(_._1)
         .map { case (k, v) => s"$k=$v" }.mkString(", "), ""))
+  }
+}
+
+/** `SHOW CREATE TABLE <view>` — reproduce the view's DDL. */
+case class GraftShowCreateViewCommand(catalogName: String, ident: Identifier,
+                                      override val output: Seq[Attribute])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val catalog = spark.sessionState.catalogManager.catalog(catalogName)
+      .asInstanceOf[GraftSparkCatalog]
+    val sv = catalog.views.load(ident.namespace()(0), ident.name()).getOrElse(
+      throw new NoSuchViewException(ident))
+    val cols =
+      if (sv.columnAliases.isEmpty) ""
+      else sv.columnAliases.zip(
+        sv.columnComments.padTo(sv.columnAliases.size, None)).map {
+          case (n, Some(c)) => s"`$n` COMMENT '${c.replace("'", "''")}'"
+          case (n, None) => s"`$n`"
+        }.mkString(" (", ", ", ")")
+    val props = sv.properties -- Seq("comment")
+    val tbl =
+      if (props.isEmpty) ""
+      else props.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"'${k.replace("'", "''")}' = '${v.replace("'", "''")}'"
+      }.mkString("\nTBLPROPERTIES (", ", ", ")")
+    val comment = sv.properties.get("comment")
+      .map(c => s"\nCOMMENT '${c.replace("'", "''")}'").getOrElse("")
+    Seq(Row(
+      s"CREATE VIEW $catalogName.${ident.namespace().mkString(".")}.${ident.name()}" +
+        s"$cols$comment$tbl AS\n${sv.sql}"))
   }
 }
 

@@ -244,6 +244,24 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP VIEW graft.nsv3.w2")
   }
 
+  test("SHOW CREATE TABLE reproduces DDL for graft tables and views") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsv4")
+    spark.sql("CREATE TABLE graft.nsv4.t (id BIGINT, v DOUBLE)")
+    val tableDdl = spark.sql("SHOW CREATE TABLE graft.nsv4.t").head.getString(0)
+    tableDdl should include("CREATE TABLE")
+    tableDdl should include("id BIGINT")
+    spark.sql(
+      """CREATE VIEW graft.nsv4.w (a COMMENT 'x', b)
+        |TBLPROPERTIES ('team' = 'data')
+        |AS SELECT id, v FROM graft.nsv4.t""".stripMargin)
+    val viewDdl = spark.sql("SHOW CREATE TABLE graft.nsv4.w").head.getString(0)
+    viewDdl should include("CREATE VIEW graft.nsv4.w")
+    viewDdl should include("`a` COMMENT 'x', `b`")
+    viewDdl should include("'team' = 'data'")
+    viewDdl should include("AS\nSELECT id, v FROM graft.nsv4.t")
+    spark.sql("DROP VIEW graft.nsv4.w")
+  }
+
   test("materialized views: incremental refresh tracks inserts, deletes, upserts") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
     spark.sql("CREATE TABLE graft.mv.sales (id BIGINT, region STRING, amount DOUBLE)")
