@@ -329,6 +329,58 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     intercept[Exception] { spark.sql("SELECT * FROM graft.mv.by_region").collect() }
   }
 
+  test("materialized views: merge-on-read source deletes retract through refresh") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv3")
+    spark.sql(
+      """CREATE TABLE graft.mv3.src (id BIGINT, g STRING, v DOUBLE)
+        |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+    // ONE data file holding all four rows: a single-row delete then
+    // cannot take the whole-file-drop fast path and must commit a
+    // merge-on-read delete group
+    locally {
+      import spark.implicits._
+      Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 4.0), (4L, "b", 8.0))
+        .toDF("id", "g", "v").coalesce(1)
+        .writeTo("graft.mv3.src").append()
+    }
+    spark.sql(
+      """CALL graft.system.create_mview('mv3', 'm',
+        |  'SELECT g, SUM(v) AS total, COUNT(*) AS n FROM graft.mv3.src GROUP BY g')""".stripMargin)
+      .head.getString(0) shouldBe "incremental"
+    // a MoR delete commits a delete GROUP, zero files rewritten — the
+    // changelog still serves its exact pre-image, so the MV retracts
+    import graft.table.{GraftCatalog, TableIdent}
+    val cat = GraftCatalog(spark, spark.conf.get("spark.sql.catalog.graft.warehouse"))
+    val src = cat.load(TableIdent("mv3", "src"))
+    val filesBefore = src.currentOrFail().files.map(_.path).toSet
+    spark.sql("DELETE FROM graft.mv3.src WHERE id = 2")
+    src.currentOrFail().files.map(_.path).toSet shouldBe filesBefore // MoR: no rewrite
+    src.currentOrFail().deleteGroups should not be empty
+    spark.sql("CALL graft.system.refresh_mview('mv3', 'm', false)")
+      .head.getString(2) shouldBe "incremental"
+    spark.sql("SELECT total, n FROM graft.mv3.m WHERE g = 'a'").collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toSeq shouldBe Seq((1.0, 1L))
+    spark.sql("CALL graft.system.drop_mview('mv3', 'm')")
+  }
+
+  test("materialized views: source column rename fails refresh loudly") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv4")
+    spark.sql("CREATE TABLE graft.mv4.src (id BIGINT, g STRING, v DOUBLE)")
+    spark.sql("INSERT INTO graft.mv4.src VALUES (1, 'a', 1.0)")
+    spark.sql(
+      """CALL graft.system.create_mview('mv4', 'm',
+        |  'SELECT g, SUM(v) AS total FROM graft.mv4.src GROUP BY g')""".stripMargin)
+    spark.sql("ALTER TABLE graft.mv4.src RENAME COLUMN v TO amount")
+    spark.sql("INSERT INTO graft.mv4.src VALUES (2, 'a', 2.0)")
+    // the stored aggregate SQL references the OLD name — the refresh
+    // must fail loudly (never silently drift), and a full rebuild of
+    // the view definition is the remedy
+    intercept[Exception] {
+      spark.sql("CALL graft.system.refresh_mview('mv4', 'm', false)")
+    }
+    spark.sql("CALL graft.system.drop_mview('mv4', 'm')")
+  }
+
   test("materialized views: non-incremental shapes fall back to full refresh") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv2")
     spark.sql("CREATE TABLE graft.mv2.t (k STRING, v DOUBLE)")
