@@ -381,6 +381,44 @@ object GraftMaterializedView {
     (applied, to, "incremental")
   }
 
+  /** Continuous maintenance: a Structured Streaming query on the
+    * SOURCE table's `.changes` relation whose only job is to fire
+    * [[refresh]] once per micro-batch. The batch DataFrame is never
+    * touched — foreachBatch runs no job over it, so the stream costs
+    * offset/admission planning (metadata) per trigger while refresh
+    * reads the changelog slice exactly once through its own marker.
+    * At-least-once trigger delivery composes with the marker's
+    * exactly-once: a replayed trigger sees `applied >= head` and
+    * no-ops. Stop/restart needs only the checkpoint dir; the MV itself
+    * carries all refresh state.
+    */
+  def maintainStream(spark: SparkSession, cat: GraftCatalog, catalogName: String,
+                     ns: String, name: String, checkpointDir: String,
+                     trigger: org.apache.spark.sql.streaming.Trigger =
+                       org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val storage = cat.load(TableIdent(ns, name + StorageSuffix))
+    val props = storage.currentOrFail().properties
+    require(props.contains(SqlProp), s"$ns.$name is not a materialized view")
+    val Array(sns, st) = props(SourceProp).split("/")
+    spark.readStream
+      // start at the MV's applied marker so a pre-existing backlog
+      // fires the first trigger (a fresh checkpoint would otherwise
+      // start at the table head and never see it); on restart the
+      // checkpoint's offsets win and this option is ignored
+      .option("streamStartVersion", props(AppliedProp))
+      .table(s"$catalogName.$sns.$st.changes")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        refresh(spark, cat, ns, name, forceFull = false)
+        ()
+      }
+      .queryName(s"graft-mview-$ns.$name")
+      .start()
+  }
+
   /** DROP: the public view and the storage table. */
   def drop(cat: GraftCatalog, ns: String, name: String): Boolean = {
     val viewStore = new GraftViewStore(cat.fs, cat.warehouse)
