@@ -329,10 +329,21 @@ object GraftMaterializedView {
     }
 
     val shape = shapeFromProps(props)
-    val d = delta(src.scanChangesBetween(applied, to), shape)
-      // one evaluation: the delta feeds the null probe, the merge join,
-      // and both applyNetChanges sides
-      .localCheckpoint()
+    val d =
+      try delta(src.scanChangesBetween(applied, to), shape)
+        // one evaluation: the delta feeds the null probe, the merge
+        // join, and both applyNetChanges sides
+        .localCheckpoint()
+      catch {
+        case e @ (_: java.io.FileNotFoundException |
+                  _: java.nio.file.NoSuchFileException |
+                  _: IllegalStateException | _: IllegalArgumentException) =>
+          throw new IllegalStateException(
+            s"materialized view $ns.$name cannot replay the source changelog " +
+              s"($applied, $to] — expire_snapshots may have removed versions " +
+              "the marker still needs. Rebuild with refresh_mview(..., " +
+              "force_full => true)", e)
+      }
     val groupNames = shape.groups.map(_._1)
     if (d.isEmpty) {
       // net-empty slice: advance the marker metadata-only (same commit

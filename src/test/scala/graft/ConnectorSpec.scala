@@ -381,6 +381,32 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("CALL graft.system.drop_mview('mv4', 'm')")
   }
 
+  test("materialized views: expired source changelog names the force_full remedy") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv5")
+    spark.sql("CREATE TABLE graft.mv5.src (id BIGINT, g STRING, v DOUBLE)")
+    spark.sql("INSERT INTO graft.mv5.src VALUES (1, 'a', 1.0)")
+    spark.sql(
+      """CALL graft.system.create_mview('mv5', 'm',
+        |'SELECT g, SUM(v) AS total FROM graft.mv5.src GROUP BY g')""".stripMargin)
+    spark.sql("INSERT INTO graft.mv5.src VALUES (2, 'b', 2.0)")
+    spark.sql("INSERT INTO graft.mv5.src VALUES (3, 'b', 4.0)")
+    // expire everything but the head: the marker's replay range is gone
+    spark.sql("CALL graft.system.expire_snapshots('mv5', 'src', 1)")
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.refresh_mview('mv5', 'm', false)")
+    }
+    e.getMessage should include("force_full")
+    spark.sql("CALL graft.system.refresh_mview('mv5', 'm', true)")
+      .head.getString(2) shouldBe "full"
+    spark.sql("SELECT total FROM graft.mv5.m WHERE g = 'b'").head.getDouble(0) shouldBe 6.0
+    // incremental maintenance resumes from the rebuilt marker
+    spark.sql("INSERT INTO graft.mv5.src VALUES (4, 'b', 10.0)")
+    spark.sql("CALL graft.system.refresh_mview('mv5', 'm', false)")
+      .head.getString(2) shouldBe "incremental"
+    spark.sql("SELECT total FROM graft.mv5.m WHERE g = 'b'").head.getDouble(0) shouldBe 16.0
+    spark.sql("CALL graft.system.drop_mview('mv5', 'm')")
+  }
+
   test("materialized views: non-incremental shapes fall back to full refresh") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv2")
     spark.sql("CREATE TABLE graft.mv2.t (k STRING, v DOUBLE)")
