@@ -346,9 +346,11 @@ object GraftMaterializedView {
       }
     val groupNames = shape.groups.map(_._1)
     if (d.isEmpty) {
-      // net-empty slice: advance the marker metadata-only (same commit
-      // shape replicate uses for its noop-with-marker case)
-      storage.updateProperties(Map(AppliedProp -> to.toString))
+      // net-empty slice: advance the marker metadata-only, CAS-guarded —
+      // a stale empty-advance racing a real refresh must not REGRESS the
+      // marker (replaying the range would double-apply its changes)
+      storage.updateProperties(Map(AppliedProp -> to.toString),
+        requireParentProps = Map(AppliedProp -> applied.toString))
       return (applied, to, "empty")
     }
     requireNoNullGroups(d, groupNames, "changelog delta")
@@ -387,8 +389,12 @@ object GraftMaterializedView {
     val upserts = merged.where(col(RowsCol) > 0)
       .select(storage.schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
     val delKeys = merged.where(col(RowsCol) === 0).select(groupSel: _*)
+    // marker-CAS: a racing refresh that already advanced the marker
+    // makes this one abort at commit instead of double-applying a
+    // delta both derived from the same marker
     storage.applyNetChanges(delKeys, upserts, groupNames,
-      props = props ++ Map(AppliedProp -> to.toString))
+      props = props ++ Map(AppliedProp -> to.toString),
+      requireParentProps = Map(AppliedProp -> applied.toString))
     (applied, to, "incremental")
   }
 

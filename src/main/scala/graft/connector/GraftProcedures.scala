@@ -394,9 +394,12 @@ object GraftProcedures {
             case Some(l) if l >= cur =>
               new GenericInternalRow(Array[Any](l, cur, utf("noop")))
             case Some(l) =>
+              // marker-CAS: a racing replicate that already advanced the
+              // marker makes this one abort instead of double-applying
               graft.streaming.GraftStream.applyChangesBatch(
                 src.scanChangesBetween(l, cur), dst, keys,
-                props = Map(markerKey -> cur.toString))
+                props = Map(markerKey -> cur.toString),
+                requireParentProps = Map(markerKey -> l.toString))
               new GenericInternalRow(Array[Any](l, cur, utf("applied")))
           }
           row

@@ -51,7 +51,8 @@ object GraftStream {
     */
   def applyChangesBatch(changes: DataFrame, target: graft.table.GraftTable,
                         keys: Seq[String],
-                        props: Map[String, String] = Map.empty): Unit = {
+                        props: Map[String, String] = Map.empty,
+                        requireParentProps: Map[String, String] = Map.empty): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "CDC application requires key columns")
@@ -73,12 +74,13 @@ object GraftStream {
       // inserts (deletes of rows that never landed are no-ops)
       if (!ups.isEmpty) { target.append(ups, props); () }
     } else if (!last.isEmpty) {
-      target.applyNetChanges(dels, ups, keys, props); ()
+      target.applyNetChanges(dels, ups, keys, props, requireParentProps); ()
     } else if (props.nonEmpty) {
       // net-empty batch (e.g. compaction-only range) still advances the
       // caller's marker properties — exactly-once bookkeeping must move
-      // even when no rows do
-      target.updateProperties(props); ()
+      // even when no rows do; the CAS keeps a stale empty-advance from
+      // regressing a marker another applier already moved
+      target.updateProperties(props, requireParentProps = requireParentProps); ()
     }
   }
 

@@ -503,10 +503,12 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     * verbatim — the commit writes O(1) metadata.
     */
   def updateProperties(set: Map[String, String],
-                       remove: Seq[String] = Nil): Snapshot = {
+                       remove: Seq[String] = Nil,
+                       requireParentProps: Map[String, String] = Map.empty): Snapshot = {
     val snap = currentOrFail()
     log.commit { parent =>
       val p = parent.getOrElse(snap)
+      requireParentPropsUnchanged(p, requireParentProps)
       p.copy(
         snapshotId = newSnapshotId(),
         operation = "set-properties",
@@ -1022,7 +1024,8 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     */
   def applyNetChanges(deleteKeys: DataFrame, upserts: DataFrame,
                       keys: Seq[String],
-                      props: Map[String, String] = Map.empty): Snapshot = {
+                      props: Map[String, String] = Map.empty,
+                      requireParentProps: Map[String, String] = Map.empty): Snapshot = {
     require(keys.nonEmpty, "applyNetChanges requires key columns")
     val snap = currentOrFail()
     def targetField(k: String) = snap.schema.fields
@@ -1055,7 +1058,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     if (rewriteSet.nonEmpty && chooseMor(snap, rewriteSet.map(_.sizeBytes).sum))
       return morMergeCommit(snap, projected,
         allKeys.where(joinKeys.map(k => col(s"`$k`").isNotNull).reduce(_ && _)),
-        joinKeys, "merge", props)
+        joinKeys, "merge", props, requireParentProps)
     val kept = readFilesMoR(snap, rewriteSet, snap.schema)
       .join(allKeys, joinKeys, "left_anti")
     val merged = kept.unionByName(projected)
@@ -1063,6 +1066,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     val rewrittenPaths = rewriteSet.map(_.path).toSet
     log.commit { parent =>
       val p = parent.getOrElse(snap)
+      requireParentPropsUnchanged(p, requireParentProps)
       requireNoConflict(p, rewrittenPaths, "merge")
       requireNoNewDeletes(p, snap, "merge")
       val ns = p.lastSeq + 1
@@ -1077,6 +1081,25 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         lastSeq = ns)
     }
   }
+
+  /** Compare-and-set guard for marker-carrying commits (CDC replication,
+    * materialized-view refresh): the commit only lands if each named
+    * property still holds the value the batch derived from. Two racing
+    * appliers that read the same marker otherwise BOTH commit — file
+    * conflict detection cannot catch the case where neither touches an
+    * existing file (a pure new-key batch), and the second apply would
+    * double-count. With the CAS, the loser aborts on its commit retry
+    * with the remedy (re-run; the marker advanced) instead of writing.
+    */
+  private def requireParentPropsUnchanged(p: Snapshot,
+                                          expected: Map[String, String]): Unit =
+    expected.foreach { case (k, want) =>
+      val got = p.properties.get(k)
+      require(got.contains(want),
+        s"concurrent update: property '$k' is ${got.map("'" + _ + "'")
+          .getOrElse("absent")}, but this batch derived from '$want' — " +
+          "another applier committed first; re-run to apply from the new marker")
+    }
 
   /** Drop `removed` paths from `groups`, reusing untouched manifests and
     * writing pruned manifests only for partially-affected groups —
@@ -1869,7 +1892,8 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     */
   private def morMergeCommit(snap: Snapshot, rows: DataFrame, keyDf: DataFrame,
                              keys: Seq[String], op: String,
-                             props: Map[String, String]): Snapshot = {
+                             props: Map[String, String],
+                             requireParentProps: Map[String, String] = Map.empty): Snapshot = {
     val joinKeys = keys.map(k => snap.schema.fields
       .find(_.name.equalsIgnoreCase(k)).get.name)
     val dataGroup = writeDataFiles(rows, snap.schema, partitionFields())
@@ -1878,6 +1902,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
       deleteKeySchema(snap, joinKeys), Nil)
     log.commit { parent =>
       val p = parent.getOrElse(snap)
+      requireParentPropsUnchanged(p, requireParentProps)
       requireStableNames(p, snap, op) // data + key files carry analyzed names
       val ns = p.lastSeq + 1
       val groups = p.fileGroups :+ dataGroup.withSeq(ns)

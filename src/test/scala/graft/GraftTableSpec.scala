@@ -35,6 +35,34 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
   private val d2 = (2L, "2024-01-02", "b")
   private val d3 = (3L, "2024-02-01", "c")
 
+  test("marker CAS: a stale applier aborts instead of double-applying") {
+    val t = cat().ensure(TableIdent("ns", "cas"))
+    t.append(df(d1, d2), props = Map("marker" -> "5"))
+    // a batch derived from marker=5 applies and moves it to 8
+    t.applyNetChanges(df().limit(0), df((9L, "2024-03-01", "new")), Seq("id"),
+      props = Map("marker" -> "8"), requireParentProps = Map("marker" -> "5"))
+    t.currentOrFail().properties("marker") shouldBe "8"
+    t.scan().count() shouldBe 3
+    // a racing applier that ALSO derived from marker=5 (pure new-key
+    // batch: no file conflict to catch it) must abort, not double-apply
+    val e = intercept[IllegalArgumentException] {
+      t.applyNetChanges(df().limit(0), df((10L, "2024-03-02", "dup")), Seq("id"),
+        props = Map("marker" -> "8"), requireParentProps = Map("marker" -> "5"))
+    }
+    e.getMessage should include("concurrent update")
+    t.scan().count() shouldBe 3
+    // same guard on the metadata-only marker advance
+    intercept[IllegalArgumentException] {
+      t.updateProperties(Map("marker" -> "9"),
+        requireParentProps = Map("marker" -> "5"))
+    }
+    t.currentOrFail().properties("marker") shouldBe "8"
+    // the winner's successor applies cleanly from the new marker
+    t.applyNetChanges(df().limit(0), df((10L, "2024-03-02", "ok")), Seq("id"),
+      props = Map("marker" -> "9"), requireParentProps = Map("marker" -> "8"))
+    t.scan().count() shouldBe 4
+  }
+
   test("append accumulates; snapshots chain by parent id") {
     val t = cat().ensure(TableIdent("ns", "t1"))
     val s1 = t.append(df(d1))
