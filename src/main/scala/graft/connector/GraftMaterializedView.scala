@@ -355,7 +355,29 @@ object GraftMaterializedView {
     }
     requireNoNullGroups(d, groupNames, "changelog delta")
 
-    val cur = storage.scan()
+    // read only the storage files that can hold an affected group: a
+    // matching row needs every group component inside the delta's
+    // [min, max], so a per-column BETWEEN conjunction (rendered through
+    // FilterSql's escaping) lets scanWhere's zone maps skip the rest —
+    // rows outside the rectangle match no delta key and would only have
+    // idled through the join. At MV scale this keeps refresh reads at
+    // O(affected groups), not O(all groups).
+    val cur = {
+      val aggs = groupNames.flatMap(k => Seq(min(col(s"`$k`")), max(col(s"`$k`"))))
+      val bounds = d.agg(aggs.head, aggs.tail: _*).head
+      val rangeSql =
+        if (groupNames.indices.exists(i => bounds.isNullAt(2 * i))) None
+        else {
+          val sqls = groupNames.zipWithIndex.map { case (k, i) =>
+            FilterSql.toSql(org.apache.spark.sql.sources.And(
+              org.apache.spark.sql.sources.GreaterThanOrEqual(k, bounds.get(2 * i)),
+              org.apache.spark.sql.sources.LessThanOrEqual(k, bounds.get(2 * i + 1))))
+          }
+          if (sqls.forall(_.isDefined)) Some(sqls.flatten.mkString("(", ") AND (", ")"))
+          else None
+        }
+      rangeSql.fold(storage.scan())(storage.scanWhere)
+    }
     val joined = d.alias("d").join(cur.alias("c"), groupNames, "left")
     def dcol(n: String) = col(s"d.`$n`")
     def ccol(n: String) = col(s"c.`$n`")

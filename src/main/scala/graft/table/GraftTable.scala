@@ -1050,7 +1050,35 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     }: _*).unionByName(projected.select(joinKeys.map(k => col(s"`$k`")): _*))
       .distinct().localCheckpoint()
     val specs = partitionFields()
-    val rewriteSet: Seq[DataFile] = keyPrunedFiles(snap, allKeys, joinKeys)
+    val partPruned: Seq[DataFile] = keyPrunedFiles(snap, allKeys, joinKeys)
+    // Zone-map refinement on top of partition pruning, the deleteByKeys
+    // shape: a matching row needs EVERY key component inside the key
+    // frame's [min, max], so files whose stats exclude any component
+    // carry over unrewritten. On an UNPARTITIONED but key-clustered
+    // target (the common replica/materialized-view layout) this is what
+    // keeps per-batch apply cost at O(affected files), not O(table).
+    // Bounds ignore null key components (a null never equals, so null
+    // tuples match nothing); an all-null/empty component means no row
+    // can match at all.
+    val rewriteSet: Seq[DataFile] = {
+      val boundsRow = {
+        val aggs = joinKeys.flatMap(k => Seq(min(col(s"`$k`")), max(col(s"`$k`"))))
+        allKeys.agg(aggs.head, aggs.tail: _*).head
+      }
+      if (joinKeys.indices.exists(i => boundsRow.isNullAt(2 * i))) Nil
+      else {
+        val rangePred: org.apache.spark.sql.catalyst.expressions.Expression =
+          joinKeys.zipWithIndex.map { case (k, i) =>
+            import org.apache.spark.sql.catalyst.expressions._
+            val dt = targetField(k).dataType
+            val attr = org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(k)
+            And(
+              GreaterThanOrEqual(attr, Literal.create(boundsRow.get(2 * i), dt)),
+              LessThanOrEqual(attr, Literal.create(boundsRow.get(2 * i + 1), dt)))
+          }.reduce(org.apache.spark.sql.catalyst.expressions.And(_, _))
+        partPruned.filter(f => StatsPruner.evaluate(f, snap.schema, rangePred).may)
+      }
+    }
     // Merge-on-read net-apply: the batch's upserts land as an append
     // group and ALL net keys (deletes + upserts) as one equality-delete
     // group at the same sequence — replication cost O(change volume)

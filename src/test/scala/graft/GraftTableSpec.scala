@@ -63,6 +63,29 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     t.scan().count() shouldBe 4
   }
 
+  test("applyNetChanges zone-prunes: files outside the key range carry over") {
+    val s = spark
+    import s.implicits._
+    val t = cat().ensure(TableIdent("ns", "netzone"))
+    // two files with DISJOINT id ranges on an UNPARTITIONED table
+    t.append((1L to 100L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1))
+    t.append((1000L to 1100L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1))
+    val before = t.currentOrFail().files.map(_.path).toSet
+    before.size shouldBe 2
+    val lowFile = t.currentOrFail().files.find(_.stats("id").max.exists(_.toLong <= 100)).get.path
+    // net-apply touching only the 1000s: the low file must survive
+    // BYTE-IDENTICAL (zone maps prove it holds no affected key)
+    t.applyNetChanges(
+      Seq(1001L).toDF("id"),
+      Seq((1050L, "updated")).toDF("id", "name"),
+      Seq("id"))
+    val after = t.currentOrFail().files.map(_.path).toSet
+    after should contain(lowFile)
+    t.scan().where(col("id") === 1001L).count() shouldBe 0
+    t.scan().where(col("id") === 1050L).select("name").head.getString(0) shouldBe "updated"
+    t.scan().count() shouldBe 200 // 100 low + 101 high - 1 deleted
+  }
+
   test("append accumulates; snapshots chain by parent id") {
     val t = cat().ensure(TableIdent("ns", "t1"))
     val s1 = t.append(df(d1))
