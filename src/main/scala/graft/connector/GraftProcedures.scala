@@ -34,7 +34,7 @@ object GraftProcedures {
       "create_branch", "fast_forward", "merge_branch", "drop_branch",
       "set_partition_spec", "verify_table", "replicate", "compact_deletes",
       "dedup_table", "rewrite_deletes",
-      "create_mview", "refresh_mview", "drop_mview")
+      "create_mview", "refresh_mview", "drop_mview", "mviews")
 
   def load(cat: () => GraftCatalog, name: String,
            catalogName: String = "graft"): Option[UnboundProcedure] =
@@ -82,6 +82,43 @@ object GraftProcedures {
         { in =>
           new GenericInternalRow(Array[Any](GraftMaterializedView.drop(cat(),
             in.getUTF8String(0).toString, in.getUTF8String(1).toString)))
+        }))
+      // the "which views need a refresh" dashboard: one row per MV in
+      // the namespace with its maintenance mode and staleness
+      case "mviews" => Some(procMulti(name,
+        Array(ProcedureParameter.in("namespace", StringType).build()),
+        StructType(Seq(
+          StructField("name", StringType),
+          StructField("mode", StringType),
+          StructField("source", StringType),
+          StructField("applied_version", IntegerType),
+          StructField("source_version", IntegerType),
+          StructField("versions_behind", IntegerType))),
+        { in =>
+          val c = cat()
+          val ns = in.getUTF8String(0).toString
+          def utf(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          c.listTables(ns)
+            .filter(_.name.endsWith(GraftMaterializedView.StorageSuffix))
+            .flatMap { ti =>
+              val storage = c.load(ti)
+              val props = storage.currentOrFail().properties
+              props.get(GraftMaterializedView.SqlProp).map { _ =>
+                val applied = props(GraftMaterializedView.AppliedProp).toInt
+                val srcRel = props(GraftMaterializedView.SourceProp)
+                val srcV = srcRel.split("/") match {
+                  case Array(sns, st) if c.exists(TableIdent(sns, st)) =>
+                    c.load(TableIdent(sns, st)).currentOrFail().version
+                  case _ => -1
+                }
+                new GenericInternalRow(Array[Any](
+                  utf(ti.name.stripSuffix(GraftMaterializedView.StorageSuffix)),
+                  utf(props(GraftMaterializedView.ModeProp)),
+                  utf(srcRel.replace("/", ".")),
+                  applied, srcV,
+                  math.max(0, srcV - applied))): InternalRow
+              }
+            }.toArray
         }))
       case "expire_snapshots" => Some(proc(name,
         Array(
@@ -410,6 +447,11 @@ object GraftProcedures {
   private def proc(procName: String, params: Array[ProcedureParameter],
                    resultSchema: StructType,
                    run: InternalRow => InternalRow): UnboundProcedure =
+    procMulti(procName, params, resultSchema, in => Array(run(in)))
+
+  private def procMulti(procName: String, params: Array[ProcedureParameter],
+                        resultSchema: StructType,
+                        run: InternalRow => Array[InternalRow]): UnboundProcedure =
     new UnboundProcedure {
       override def name(): String = procName
       override def description(): String = s"graft maintenance: $procName"
@@ -420,9 +462,9 @@ object GraftProcedures {
           override def parameters(): Array[ProcedureParameter] = params
           override def isDeterministic: Boolean = false
           override def call(input: InternalRow): util.Iterator[Scan] = {
-            val row = run(input)
+            val out = run(input)
             util.List.of[Scan](new LocalScan {
-              override def rows(): Array[InternalRow] = Array(row)
+              override def rows(): Array[InternalRow] = out
               override def readSchema(): StructType = resultSchema
               override def description(): String = procName
             }).iterator()

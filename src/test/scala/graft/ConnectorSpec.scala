@@ -407,6 +407,24 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("CALL graft.system.drop_mview('mv5', 'm')")
   }
 
+  test("CALL mviews lists maintenance state and staleness") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv6")
+    spark.sql("CREATE TABLE graft.mv6.src (id BIGINT, g STRING, v DOUBLE)")
+    spark.sql("INSERT INTO graft.mv6.src VALUES (1, 'a', 1.0)")
+    spark.sql(
+      """CALL graft.system.create_mview('mv6', 'm1',
+        |'SELECT g, SUM(v) AS t FROM graft.mv6.src GROUP BY g')""".stripMargin)
+    spark.sql("INSERT INTO graft.mv6.src VALUES (2, 'b', 2.0)")
+    spark.sql("INSERT INTO graft.mv6.src VALUES (3, 'b', 3.0)")
+    val rows = spark.sql("CALL graft.system.mviews('mv6')").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(5))).toSeq
+    rows shouldBe Seq(("m1", "incremental", "mv6.src", 2))
+    spark.sql("CALL graft.system.refresh_mview('mv6', 'm1', false)")
+    spark.sql("CALL graft.system.mviews('mv6')").head.getInt(5) shouldBe 0
+    spark.sql("CALL graft.system.drop_mview('mv6', 'm1')")
+    spark.sql("CALL graft.system.mviews('mv6')").count() shouldBe 0
+  }
+
   test("materialized views: non-incremental shapes fall back to full refresh") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv2")
     spark.sql("CREATE TABLE graft.mv2.t (k STRING, v DOUBLE)")
