@@ -229,7 +229,8 @@ object GraftMaterializedView {
     * (mode, sourceVersion, rows).
     */
   def create(spark: SparkSession, cat: GraftCatalog, catalogName: String,
-             ns: String, name: String, sql: String): (String, Int, Long) = {
+             ns: String, name: String, sql: String,
+             storageSpec: Option[String] = None): (String, Int, Long) = {
     val parsed = spark.sessionState.sqlParser.parseQuery(sql)
     val analyzed = spark.sessionState.executePlan(parsed).analyzed
     val sources = graftSources(analyzed)
@@ -275,7 +276,11 @@ object GraftMaterializedView {
             AggProp -> specJson(shape.aggs.map(a => Seq(a.name, a.kind, a.sql)))))
       case Left(_) => ("full", spark.sql(sql), Map.empty[String, String])
     }
-    val storage = cat.ensure(storageIdent)
+    // an optional partition spec over the GROUP columns (e.g.
+    // `bucket(32, region)`) adds directory-level pruning to the keyed
+    // refresh rewrite on top of the zone-map refinement — the lever for
+    // very high-cardinality MVs
+    val storage = cat.ensure(storageIdent, storageSpec)
     storage.append(frame, props = Map(
       SqlProp -> sql,
       SourceProp -> rel,

@@ -44,16 +44,21 @@ object GraftProcedures {
         Array(
           ProcedureParameter.in("namespace", StringType).build(),
           ProcedureParameter.in("name", StringType).build(),
-          ProcedureParameter.in("sql", StringType).build()),
+          ProcedureParameter.in("sql", StringType).build(),
+          // optional storage partition spec over the GROUP columns
+          // (e.g. 'bucket(32, region)') for directory-level refresh
+          // pruning at high group cardinality
+          ProcedureParameter.in("spec", StringType).defaultValue("''").build()),
         StructType(Seq(
           StructField("mode", StringType),
           StructField("source_version", IntegerType),
           StructField("rows", LongType))),
         { in =>
           val spark = org.apache.spark.sql.SparkSession.active
+          val spec = Option(in.getUTF8String(3)).map(_.toString.trim).filter(_.nonEmpty)
           val (mode, v, rows) = GraftMaterializedView.create(spark, cat(),
             catalogName, in.getUTF8String(0).toString,
-            in.getUTF8String(1).toString, in.getUTF8String(2).toString)
+            in.getUTF8String(1).toString, in.getUTF8String(2).toString, spec)
           new GenericInternalRow(Array[Any](
             org.apache.spark.unsafe.types.UTF8String.fromString(mode), v, rows))
         }))

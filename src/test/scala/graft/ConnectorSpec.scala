@@ -407,6 +407,33 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("CALL graft.system.drop_mview('mv5', 'm')")
   }
 
+  test("materialized views: a storage partition spec adds refresh pruning") {
+    import graft.table.{GraftCatalog, TableIdent}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv7")
+    spark.sql("CREATE TABLE graft.mv7.src (id BIGINT, g STRING, v DOUBLE)")
+    spark.sql(
+      """INSERT INTO graft.mv7.src VALUES
+        |(1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 3.0), (4, 'd', 4.0)""".stripMargin)
+    spark.sql(
+      """CALL graft.system.create_mview('mv7', 'm',
+        |'SELECT g, SUM(v) AS t, COUNT(*) AS n FROM graft.mv7.src GROUP BY g',
+        |'g')""".stripMargin).head.getString(0) shouldBe "incremental"
+    val cat = GraftCatalog(spark, spark.conf.get("spark.sql.catalog.graft.warehouse"))
+    val storage = cat.load(TableIdent("mv7", "m__rows"))
+    storage.currentOrFail().partitionSpec shouldBe Some("g")
+    val before = storage.currentOrFail().files.map(_.path).toSet
+    before.size should be >= 4 // one directory per group value
+    // touch ONE group: only its partition's file may be replaced
+    spark.sql("INSERT INTO graft.mv7.src VALUES (5, 'b', 20.0)")
+    spark.sql("CALL graft.system.refresh_mview('mv7', 'm', false)")
+      .head.getString(2) shouldBe "incremental"
+    val after = storage.currentOrFail().files.map(_.path).toSet
+    (before intersect after).size shouldBe before.size - 1 // others carried
+    spark.sql("SELECT t, n FROM graft.mv7.m WHERE g = 'b'").collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toSeq shouldBe Seq((22.0, 2L))
+    spark.sql("CALL graft.system.drop_mview('mv7', 'm')")
+  }
+
   test("CALL mviews lists maintenance state and staleness") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv6")
     spark.sql("CREATE TABLE graft.mv6.src (id BIGINT, g STRING, v DOUBLE)")
