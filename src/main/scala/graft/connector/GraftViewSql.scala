@@ -117,6 +117,20 @@ object GraftViewSql {
     try spark.sessionState.catalog.isTempView(parts)
     catch { case _: Exception => false }
 
+  /** A materialized view's PUBLIC view is paired with its storage table
+    * — redefining, renaming, or dropping it directly would desync the
+    * pair. The MV procedures are the management surface.
+    */
+  private[connector] def requireNotMaterialized(catalog: GraftSparkCatalog,
+                                                ident: Identifier,
+                                                verb: String): Unit =
+    if (catalog.views.load(ident.namespace()(0), ident.name())
+        .exists(_.properties.contains("graft.mview")))
+      throw new UnsupportedOperationException(
+        s"$ident is the public view of a materialized view — $verb would " +
+          "desync it from its storage. Use CALL graft.system.drop_mview " +
+          "(or recreate via create_mview)")
+
   /** Parse-time rewrite of the three view-DDL shapes; everything else
     * passes through untouched.
     */
@@ -334,6 +348,8 @@ case class GraftCreateViewCommand(catalogName: String, ident: Identifier,
 
     require(!catalog.tableExists(ns, ident.name()),
       s"cannot create view $catalogName.$ns.${ident.name()}: a table with that name exists")
+    if (replace)
+      GraftViewSql.requireNotMaterialized(catalog, ident, "CREATE OR REPLACE VIEW")
 
     val cm = spark.sessionState.catalogManager
     val sv = StoredView(
@@ -378,6 +394,7 @@ case class GraftAlterViewAsCommand(catalogName: String, ident: Identifier,
     val catalog = spark.sessionState.catalogManager.catalog(catalogName)
       .asInstanceOf[GraftSparkCatalog]
     val ns = ident.namespace()(0)
+    GraftViewSql.requireNotMaterialized(catalog, ident, "ALTER VIEW ... AS")
     val existing = catalog.views.load(ns, ident.name()).getOrElse(
       throw new NoSuchViewException(ident))
     val tempRefs = query.collectWithSubqueries {
@@ -438,6 +455,7 @@ case class GraftRenameViewCommand(catalogName: String, ident: Identifier,
   override def run(spark: SparkSession): Seq[Row] = {
     val catalog = spark.sessionState.catalogManager.catalog(catalogName)
       .asInstanceOf[GraftSparkCatalog]
+    GraftViewSql.requireNotMaterialized(catalog, ident, "ALTER VIEW ... RENAME")
     val (toNs, toName) = newName match {
       case Seq(n) => (ident.namespace()(0), n)
       case Seq(ns, n) => (ns, n)
@@ -520,6 +538,7 @@ case class GraftDropViewCommand(catalogName: String, ident: Identifier,
   override def run(spark: SparkSession): Seq[Row] = {
     val catalog = spark.sessionState.catalogManager.catalog(catalogName)
       .asInstanceOf[GraftSparkCatalog]
+    GraftViewSql.requireNotMaterialized(catalog, ident, "DROP VIEW")
     val dropped = catalog.views.drop(ident.namespace()(0), ident.name())
     if (!dropped && !ifExists) throw new NoSuchViewException(ident)
     Nil

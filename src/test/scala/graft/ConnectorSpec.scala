@@ -434,6 +434,29 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("CALL graft.system.drop_mview('mv7', 'm')")
   }
 
+  test("the MV's public view refuses direct DDL that would desync the pair") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv8")
+    spark.sql("CREATE TABLE graft.mv8.src (id BIGINT, g STRING, v DOUBLE)")
+    spark.sql("INSERT INTO graft.mv8.src VALUES (1, 'a', 1.0)")
+    spark.sql(
+      """CALL graft.system.create_mview('mv8', 'm',
+        |'SELECT g, SUM(v) AS t FROM graft.mv8.src GROUP BY g')""".stripMargin)
+    intercept[Exception] { spark.sql("DROP VIEW graft.mv8.m") }
+      .getMessage should include("drop_mview")
+    intercept[Exception] {
+      spark.sql("ALTER VIEW graft.mv8.m AS SELECT g FROM graft.mv8.src")
+    }.getMessage should include("drop_mview")
+    intercept[Exception] { spark.sql("ALTER VIEW graft.mv8.m RENAME TO m2") }
+      .getMessage should include("drop_mview")
+    intercept[Exception] {
+      spark.sql("CREATE OR REPLACE VIEW graft.mv8.m AS SELECT 1 AS one")
+    }.getMessage should include("drop_mview")
+    // still readable, still refreshable, and drop_mview still works
+    spark.sql("SELECT t FROM graft.mv8.m WHERE g = 'a'").head.getDouble(0) shouldBe 1.0
+    spark.sql("CALL graft.system.drop_mview('mv8', 'm')")
+      .head.getBoolean(0) shouldBe true
+  }
+
   test("CALL mviews lists maintenance state and staleness") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv6")
     spark.sql("CREATE TABLE graft.mv6.src (id BIGINT, g STRING, v DOUBLE)")
