@@ -135,10 +135,16 @@ object GraftMaterializedView {
         if (groupingExprs.isEmpty) return Left("global aggregate (no GROUP BY)")
         val groups = Seq.newBuilder[(String, String)]
         val aggs = Seq.newBuilder[AggSpec]
+        // every grouping expression the output actually carries — a
+        // GROUP BY column missing from the SELECT (valid SQL) would
+        // otherwise silently shrink the stored key and merge distinct
+        // source groups into one wrong row
+        val coveredGroups = Seq.newBuilder[Expression]
         aggExprs.foreach {
           case a: AttributeReference
               if groupingExprs.exists(_.semanticEquals(a)) =>
             groups += a.name -> plainSql(a)
+            coveredGroups += a
           case al @ Alias(child, name) => child match {
             case AggregateExpression(Sum(e, _), _, false, None, _) =>
               if (!e.deterministic) return Left(s"nondeterministic SUM in ${al.sql}")
@@ -156,12 +162,18 @@ object GraftMaterializedView {
               return Left(s"non-SUM/COUNT aggregate in ${al.sql}")
             case e if groupingExprs.exists(_.semanticEquals(e)) && e.deterministic =>
               groups += name -> plainSql(e)
+              coveredGroups += e
             case _ =>
               return Left(s"output ${al.sql} is neither a grouping expression " +
                 "nor a SUM/COUNT")
           }
           case other => return Left(s"unsupported output ${other.sql}")
         }
+        val covered = coveredGroups.result()
+        if (!groupingExprs.forall(g => covered.exists(_.semanticEquals(g))))
+          return Left("a GROUP BY expression is missing from the SELECT output " +
+            "— the stored shape would aggregate at coarser granularity than " +
+            "the defining query")
         val shape = Shape(filterSql, groups.result(), aggs.result())
         if (shape.groups.isEmpty) return Left("no grouping columns in output")
         Right(shape)
@@ -370,17 +382,25 @@ object GraftMaterializedView {
     val cur = {
       val aggs = groupNames.flatMap(k => Seq(min(col(s"`$k`")), max(col(s"`$k`"))))
       val bounds = d.agg(aggs.head, aggs.tail: _*).head
+      // per-column conjuncts; skipping one only WIDENS `cur` (the merge
+      // left-joins from the delta, so extra current rows are inert).
+      // Float/Double keys are skipped outright: the bound renders
+      // through toString and re-parses as a decimal literal, and
+      // 1.1f != 1.1d under the widened comparison — the boundary group
+      // would silently drop from `cur` and the merge would overwrite
+      // its stored aggregate with delta-only values.
+      val sqls = groupNames.zipWithIndex.flatMap { case (k, i) =>
+        val isBinaryFloat = storage.schema.fields.find(_.name == k).map(_.dataType)
+          .exists(t => t == org.apache.spark.sql.types.FloatType ||
+            t == org.apache.spark.sql.types.DoubleType)
+        if (isBinaryFloat || bounds.isNullAt(2 * i)) None
+        else FilterSql.toSql(org.apache.spark.sql.sources.And(
+          org.apache.spark.sql.sources.GreaterThanOrEqual(k, bounds.get(2 * i)),
+          org.apache.spark.sql.sources.LessThanOrEqual(k, bounds.get(2 * i + 1))))
+      }
       val rangeSql =
-        if (groupNames.indices.exists(i => bounds.isNullAt(2 * i))) None
-        else {
-          val sqls = groupNames.zipWithIndex.map { case (k, i) =>
-            FilterSql.toSql(org.apache.spark.sql.sources.And(
-              org.apache.spark.sql.sources.GreaterThanOrEqual(k, bounds.get(2 * i)),
-              org.apache.spark.sql.sources.LessThanOrEqual(k, bounds.get(2 * i + 1))))
-          }
-          if (sqls.forall(_.isDefined)) Some(sqls.flatten.mkString("(", ") AND (", ")"))
-          else None
-        }
+        if (sqls.isEmpty) None
+        else Some(sqls.mkString("(", ") AND (", ")"))
       rangeSql.fold(storage.scan())(storage.scanWhere)
     }
     val joined = d.alias("d").join(cur.alias("c"), groupNames, "left")

@@ -402,11 +402,20 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 
   override def alterView(ident: Identifier, changes: ViewChange*): View = {
     val ns = viewNs(ident)
+    GraftViewSql.requireNotMaterialized(this, ident, "alterView")
     val sv = views.load(ns, ident.name()).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
     val props = changes.foldLeft(sv.properties) {
-      case (p, s: ViewChange.SetProperty) => p + (s.property() -> s.value())
-      case (p, r: ViewChange.RemoveProperty) => p - r.property()
+      case (p, s: ViewChange.SetProperty) =>
+        require(s.property() != "graft.mview",
+          "'graft.mview' is a reserved marker managed by the " +
+            "materialized-view procedures")
+        p + (s.property() -> s.value())
+      case (p, r: ViewChange.RemoveProperty) =>
+        require(r.property() != "graft.mview",
+          "'graft.mview' is a reserved marker managed by the " +
+            "materialized-view procedures")
+        p - r.property()
       case (_, other) => throw new IllegalArgumentException(
         s"unsupported view change: $other")
     }
@@ -415,10 +424,14 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     new GraftView(ident, updated)
   }
 
-  override def dropView(ident: Identifier): Boolean =
+  override def dropView(ident: Identifier): Boolean = {
+    if (ident.namespace().length == 1)
+      GraftViewSql.requireNotMaterialized(this, ident, "dropView")
     ident.namespace().length == 1 && views.drop(viewNs(ident), ident.name())
+  }
 
   override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    GraftViewSql.requireNotMaterialized(this, oldIdent, "renameView")
     require(!tableExists(viewNs(newIdent), newIdent.name()),
       s"cannot rename view to $newIdent: a table with that name exists")
     views.rename(viewNs(oldIdent), oldIdent.name(), viewNs(newIdent), newIdent.name())

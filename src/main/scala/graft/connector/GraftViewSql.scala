@@ -432,6 +432,12 @@ case class GraftViewPropertiesCommand(catalogName: String, ident: Identifier,
     val catalog = spark.sessionState.catalogManager.catalog(catalogName)
       .asInstanceOf[GraftSparkCatalog]
     val ns = ident.namespace()(0)
+    GraftViewSql.requireNotMaterialized(catalog, ident,
+      "ALTER VIEW ... SET/UNSET TBLPROPERTIES")
+    require(!set.contains("graft.mview") && !unset.contains("graft.mview"),
+      "'graft.mview' is a reserved marker managed by the materialized-view " +
+        "procedures — setting or unsetting it by hand would desync the " +
+        "view/storage pair guards")
     val existing = catalog.views.load(ns, ident.name()).getOrElse(
       throw new NoSuchViewException(ident))
     if (!unsetIfExists) {

@@ -126,7 +126,11 @@ final class GraftViewStore(fs: FileSystem, warehouse: HPath) {
 
   /** Persist `v`; returns false when the view already exists and
     * `replace` is false (caller decides between IF NOT EXISTS no-op and
-    * already-exists error).
+    * already-exists error). The JSON lands via a temp sibling +
+    * `fs.rename` so a concurrent reader (every view read loads this
+    * file) always sees a COMPLETE document, never a mid-write
+    * truncation. The temp name starts with '.' and lacks the `.json`
+    * suffix, so [[list]] never surfaces it.
     */
   def create(ns: String, name: String, v: StoredView, replace: Boolean): Boolean = {
     val existing = resolve(ns, name)
@@ -135,14 +139,24 @@ final class GraftViewStore(fs: FileSystem, warehouse: HPath) {
     // a replace under a different case drops the old file so one view
     // never appears twice
     existing.filter(_ != name).foreach(old => fs.delete(pathOf(ns, old), false))
-    val out =
-      try fs.create(pathOf(ns, name), replace)
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: java.nio.file.FileAlreadyExistsException => return false
-      }
+    val target = pathOf(ns, name)
+    val tmp = new HPath(dir(ns),
+      s".$name.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
     try out.write(StoredView.toJson(v).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // POSIX rename atomically replaces the destination; filesystems
+    // that refuse an over-rename (HDFS-style) fall through to
+    // delete+rename — still never a torn document, at worst a brief
+    // not-found window on those stores
+    if (!fs.rename(tmp, target)) {
+      if (!replace) { fs.delete(tmp, false); return false }
+      fs.delete(target, false)
+      if (!fs.rename(tmp, target)) {
+        fs.delete(tmp, false)
+        sys.error(s"filesystem rename of view $ns.$name failed")
+      }
+    }
     true
   }
 

@@ -71,8 +71,19 @@ object GraftStream {
       .drop("_change_type", "_commit_version", "_rn")
     if (target.current().isEmpty) {
       // virgin replica: the net effect of the first batch is pure
-      // inserts (deletes of rows that never landed are no-ops)
-      if (!ups.isEmpty) { target.append(ups, props); () }
+      // inserts (deletes of rows that never landed are no-ops). The
+      // virgin-parent CAS closes the race where two appliers both pass
+      // the is-empty probe: the loser re-nets against the snapshot the
+      // winner seeded, where the marker CAS (when given) decides
+      // whether this batch still applies and plain net-apply converges
+      // idempotently when it isn't
+      if (!ups.isEmpty) {
+        try { target.append(ups, props, requireVirginParent = true); () }
+        catch {
+          case _: java.util.ConcurrentModificationException =>
+            target.applyNetChanges(dels, ups, keys, props, requireParentProps); ()
+        }
+      }
     } else if (!last.isEmpty) {
       target.applyNetChanges(dels, ups, keys, props, requireParentProps); ()
     } else if (props.nonEmpty) {

@@ -95,9 +95,23 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
   /** Append: new snapshot = parent groups + one new group (W1,
     * `core/strategies.py:28-33`). Parent manifests are reused verbatim —
     * the commit writes O(new files) metadata regardless of table size.
+    *
+    * `requireVirginParent` turns the append into a first-commit CAS:
+    * it lands only if NO snapshot exists at commit time. CDC appliers
+    * racing to seed an empty replica need this — both pass an
+    * is-empty probe, and without the guard both appends land and the
+    * first batch double-applies. The loser gets a
+    * ConcurrentModificationException and re-nets against the real
+    * snapshot.
     */
-  def append(df: DataFrame, props: Map[String, String] = Map.empty): Snapshot =
+  def append(df: DataFrame, props: Map[String, String] = Map.empty,
+             requireVirginParent: Boolean = false): Snapshot =
     writeOp(df, "append", props) { (parent, newGroup) =>
+      if (requireVirginParent && parent.isDefined)
+        throw new java.util.ConcurrentModificationException(
+          s"append to $tableDir expected a virgin table but snapshot v" +
+            s"${parent.get.version} exists — a concurrent writer seeded it " +
+            "first; re-apply against the current snapshot")
       parent.map(_.fileGroups).getOrElse(Nil) :+ newGroup
     }
 
