@@ -2,12 +2,13 @@ package graft.connector
 
 import graft.table.{GraftCatalog, GraftTable, TableIdent}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DataType, DateType, DecimalType, DoubleType, NumericType, StringType, TimestampNTZType, TimestampType}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -16,7 +17,7 @@ import org.json4s.jackson.JsonMethods
   * O(changes since last refresh), never O(source table).
   *
   * {{{
-  * CALL graft.system.create_mview('ns', 'daily', 'SELECT flag, SUM(qty) q, COUNT(*) n FROM graft.ns.li WHERE ... GROUP BY flag')
+  * CALL graft.system.create_mview('ns', 'daily', 'SELECT flag, SUM(qty) q, AVG(qty) a, MAX(qty) m FROM graft.ns.li WHERE ... GROUP BY flag')
   * SELECT * FROM graft.ns.daily             -- MV-speed (a stored view over the storage table)
   * CALL graft.system.refresh_mview('ns', 'daily', false)
   * }}}
@@ -34,26 +35,40 @@ import org.json4s.jackson.JsonMethods
   * Incremental capability is decided ONCE at create by shape analysis
   * of the analyzed plan: single graft source, optional deterministic
   * WHERE, GROUP BY deterministic expressions, aggregates limited to
-  * SUM / COUNT / COUNT(*) (no DISTINCT, no FILTER clauses — shapes
-  * with retraction-safe algebra). Everything else (joins, AVG, MIN/MAX
-  * — which cannot retract — window functions, nested views) falls back
-  * to FULL refresh, which recomputes and overwrites. The bookkeeping
-  * that makes retraction exact: `_mv_rows` = COUNT(*) per group (a
-  * group vanishes when it hits zero) and `_mv_nn_<i>` = per-SUM
-  * non-null input counts (so a SUM over only-null inputs stays NULL,
-  * matching SQL, instead of drifting to 0).
+  * SUM / COUNT / COUNT(*) / AVG / MIN / MAX (no DISTINCT, no FILTER
+  * clauses). Everything else (joins, decimal AVG, window functions,
+  * nested views) falls back to FULL refresh, which recomputes and
+  * overwrites. The maintenance algebra per aggregate kind:
+  *
+  *  - SUM/COUNT/COUNT(*): exactly retraction-safe — signed deltas add.
+  *    Bookkeeping: `_mv_rows` = COUNT(*) per group (a group vanishes
+  *    when it hits zero) and `_mv_nn_<i>` = per-SUM non-null input
+  *    counts (a SUM over only-null inputs stays NULL, matching SQL,
+  *    instead of drifting to 0).
+  *  - AVG: decomposed into the bookkeeping the table already carries —
+  *    `_mv_as_<i>` holds the running double sum and `_mv_nn_<i>` the
+  *    non-null count; the public column is their quotient (NULL at
+  *    zero count). Spark's own non-decimal Average accumulates in
+  *    double and divides by the count, so the decomposition is
+  *    bit-identical to a recompute, not an approximation. Decimal AVG
+  *    (whose division carries scale/rounding rules a running sum
+  *    cannot replay) falls back to FULL mode.
+  *  - MIN/MAX: inserts maintain closed-form (`least`/`greatest`); a
+  *    delete can retract the stored extreme, so groups whose retracted
+  *    values tie-or-beat the stored extreme are recomputed from the
+  *    source AS OF the refresh head — O(affected groups), never
+  *    O(table): the recompute scan is narrowed to the retracted
+  *    groups' key range and semi-joined to exactly those keys.
   *
   * Refresh reads the source changelog `(applied, head]`, signs rows
   * (+1 insert / -1 delete pre-image), re-evaluates the stored
   * filter/group/aggregate SQL over the signed rows, and merges the
   * per-group deltas into the storage table via one atomic
-  * [[GraftTable.applyNetChanges]] — only affected groups are read or
-  * written. NULL group keys cannot be addressed by the keyed merge, so
-  * a delta (or initial materialization) containing one falls back
-  * loudly (create: full mode; refresh: error naming
-  * `force_full => true`). A negative post-merge group count means the
-  * marker and changelog disagree — refresh aborts instead of writing
-  * garbage.
+  * [[GraftTable.applyNetChanges]] with NULL-SAFE keys — a GROUP BY over
+  * a nullable expression legitimately owns a NULL-keyed group row, and
+  * the keyed merge addresses it like any other. A negative post-merge
+  * group count means the marker and changelog disagree — refresh
+  * aborts instead of writing garbage.
   */
 object GraftMaterializedView {
 
@@ -67,8 +82,10 @@ object GraftMaterializedView {
   val AggProp = "graft.mview.aggs" // JSON [[name, kind, sql], ...]
   val RowsCol = "_mv_rows"
   def nnCol(i: Int): String = s"_mv_nn_$i"
+  def asCol(i: Int): String = s"_mv_as_$i" // AVG running double sum
 
-  final case class AggSpec(name: String, kind: String, sql: String) // sum | count | count_star
+  final case class AggSpec(name: String, kind: String, sql: String)
+  // kind: sum | count | count_star | avg | min | max
 
   final case class Shape(filter: Option[String],
                          groups: Seq[(String, String)],
@@ -94,6 +111,15 @@ object GraftMaterializedView {
   private def unwrapAliases(p: LogicalPlan): LogicalPlan = p match {
     case SubqueryAlias(_, c) => unwrapAliases(c)
     case other => other
+  }
+
+  /** Orderable scalar types MIN/MAX maintenance supports: comparison,
+    * zone-map bounds, and `least`/`greatest` are all well-defined.
+    */
+  private def minMaxable(t: DataType): Boolean = t match {
+    case _: NumericType | StringType | BooleanType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _ => false
   }
 
   /** Every graft table the analyzed plan reads. */
@@ -158,14 +184,35 @@ object GraftMaterializedView {
                 case Seq(one) => aggs += AggSpec(name, "count", plainSql(one))
                 case _ => return Left(s"multi-argument COUNT in ${al.sql}")
               }
+            case AggregateExpression(Average(e, _), _, false, None, _) =>
+              if (!e.deterministic) return Left(s"nondeterministic AVG in ${al.sql}")
+              e.dataType match {
+                case _: DecimalType =>
+                  // decimal AVG divides under scale/rounding rules a
+                  // running double sum cannot replay exactly
+                  return Left(s"decimal AVG in ${al.sql}")
+                case _: NumericType =>
+                  aggs += AggSpec(name, "avg", plainSql(e))
+                case _ => return Left(s"non-numeric AVG in ${al.sql}")
+              }
+            case AggregateExpression(Min(e), _, false, None, _) =>
+              if (!e.deterministic) return Left(s"nondeterministic MIN in ${al.sql}")
+              if (!minMaxable(e.dataType))
+                return Left(s"unorderable MIN type in ${al.sql}")
+              aggs += AggSpec(name, "min", plainSql(e))
+            case AggregateExpression(Max(e), _, false, None, _) =>
+              if (!e.deterministic) return Left(s"nondeterministic MAX in ${al.sql}")
+              if (!minMaxable(e.dataType))
+                return Left(s"unorderable MAX type in ${al.sql}")
+              aggs += AggSpec(name, "max", plainSql(e))
             case _: AggregateExpression =>
-              return Left(s"non-SUM/COUNT aggregate in ${al.sql}")
+              return Left(s"unsupported aggregate in ${al.sql}")
             case e if groupingExprs.exists(_.semanticEquals(e)) && e.deterministic =>
               groups += name -> plainSql(e)
               coveredGroups += e
             case _ =>
               return Left(s"output ${al.sql} is neither a grouping expression " +
-                "nor a SUM/COUNT")
+                "nor a supported aggregate")
           }
           case other => return Left(s"unsupported output ${other.sql}")
         }
@@ -182,7 +229,10 @@ object GraftMaterializedView {
   }
 
   /** The grouped materialization frame (public + bookkeeping columns)
-    * over `base`, per the stored shape.
+    * over `base`, per the stored shape. The AVG public column is
+    * `avg(CAST(e AS DOUBLE))` — identical to Spark's non-decimal
+    * Average, whose accumulator IS a double sum — so the stored value
+    * and the incremental quotient `_mv_as / _mv_nn` agree exactly.
     */
   private def grouped(base: DataFrame, shape: Shape): DataFrame = {
     val groupCols = shape.groups.map { case (n, s) => expr(s).as(n) }
@@ -190,51 +240,83 @@ object GraftMaterializedView {
       case AggSpec(n, "sum", s) => sum(expr(s)).as(n)
       case AggSpec(n, "count", s) => count(expr(s)).as(n)
       case AggSpec(n, "count_star", _) => count(lit(1)).as(n)
+      case AggSpec(n, "avg", s) => avg(expr(s).cast(DoubleType)).as(n)
+      case AggSpec(n, "min", s) => min(expr(s)).as(n)
+      case AggSpec(n, "max", s) => max(expr(s)).as(n)
       case AggSpec(n, k, _) => sys.error(s"bad agg kind $k for $n")
     } ++
-      shape.aggs.zipWithIndex.collect { case (AggSpec(_, "sum", s), i) =>
-        count(expr(s)).as(nnCol(i))
+      shape.aggs.zipWithIndex.flatMap {
+        case (AggSpec(_, "sum", s), i) => Seq(count(expr(s)).as(nnCol(i)))
+        case (AggSpec(_, "avg", s), i) => Seq(
+          sum(expr(s).cast(DoubleType)).as(asCol(i)),
+          count(expr(s)).as(nnCol(i)))
+        case _ => Nil
       } :+ count(lit(1)).as(RowsCol)
     base.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
   }
 
-  /** Signed per-group delta of a changelog slice, same column layout as
-    * [[grouped]].
+  // delta-only column names for MIN/MAX maintenance
+  private def insCol(i: Int): String = s"_mv_ins_$i" // extreme over inserted rows
+  private def retCol(i: Int): String = s"_mv_ret_$i" // extreme over deleted rows
+  private def rcCol(i: Int): String = s"_mv_rc_$i" // per-agg recompute flag
+  private val RcAny = "_mv_rc"
+
+  /** Signed per-group delta of a changelog slice. Additive aggregates
+    * carry signed sums; MIN/MAX carry the inserted-side and
+    * deleted-side extremes separately (the merge decides closed-form
+    * vs recompute from them).
     */
   private def delta(changes: DataFrame, shape: Shape): DataFrame = {
     val signed0 = changes.withColumn("_sign",
       when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
     val signed = shape.filter.fold(signed0)(signed0.where)
     val groupCols = shape.groups.map { case (n, s) => expr(s).as(n) }
-    val aggCols = shape.aggs.map {
-      case AggSpec(n, "sum", s) =>
-        sum(expr(s) * col("_sign")).as(n)
-      case AggSpec(n, "count", s) =>
-        sum(when(expr(s).isNotNull, col("_sign")).otherwise(lit(0L))).as(n)
-      case AggSpec(n, "count_star", _) => sum(col("_sign")).as(n)
-      case AggSpec(n, k, _) => sys.error(s"bad agg kind $k for $n")
-    } ++
-      shape.aggs.zipWithIndex.collect { case (AggSpec(_, "sum", s), i) =>
-        sum(when(expr(s).isNotNull, col("_sign")).otherwise(lit(0L))).as(nnCol(i))
-      } :+ sum(col("_sign")).as(RowsCol)
+    val aggCols = shape.aggs.zipWithIndex.flatMap { case (a, i) =>
+      def nnDelta = sum(when(expr(a.sql).isNotNull, col("_sign")).otherwise(lit(0L)))
+      a.kind match {
+        case "sum" => Seq(sum(expr(a.sql) * col("_sign")).as(a.name),
+          nnDelta.as(nnCol(i)))
+        case "count" => Seq(nnDelta.as(a.name))
+        case "count_star" => Seq(sum(col("_sign")).as(a.name))
+        case "avg" => Seq(
+          sum(expr(a.sql).cast(DoubleType) * col("_sign")).as(asCol(i)),
+          nnDelta.as(nnCol(i)))
+        case "min" => Seq(
+          min(when(col("_sign") === 1L, expr(a.sql))).as(insCol(i)),
+          min(when(col("_sign") === -1L, expr(a.sql))).as(retCol(i)))
+        case "max" => Seq(
+          max(when(col("_sign") === 1L, expr(a.sql))).as(insCol(i)),
+          max(when(col("_sign") === -1L, expr(a.sql))).as(retCol(i)))
+        case k => sys.error(s"bad agg kind $k for ${a.name}")
+      }
+    } :+ sum(col("_sign")).as(RowsCol)
     signed.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
-  }
-
-  private def requireNoNullGroups(df: DataFrame, groups: Seq[String],
-                                  where: String): Unit = {
-    val nullCond = groups.map(g => col(s"`$g`").isNull).reduce(_ || _)
-    if (!df.where(nullCond).isEmpty)
-      throw new IllegalStateException(
-        s"$where contains NULL group key(s) — the keyed incremental merge " +
-          "cannot address them. Filter NULL keys in the view's WHERE, or " +
-          "use full refresh (create falls back automatically; refresh: " +
-          "force_full => true, then consider recreating as a full-mode view)")
   }
 
   private def shapeFromProps(props: Map[String, String]): Shape = Shape(
     Option(props.getOrElse(FilterProp, "")).filter(_.nonEmpty),
     specFromJson(props(GroupProp)).map { case Seq(n, s) => n -> s },
     specFromJson(props(AggProp)).map { case Seq(n, k, s) => AggSpec(n, k, s) })
+
+  /** Per-column [lo, hi] range conjuncts over `keyFrame`'s group
+    * columns, for narrowing a scan to rows that can belong to an
+    * affected group. A column is skipped (sound: skipping only WIDENS
+    * the scan) when the frame holds a NULL in it — a range never admits
+    * the NULL-keyed group's rows — or when `skip(col)` says so (the
+    * cur-scan path skips binary floats whose bound would re-parse as a
+    * decimal literal). Returns (columnName, lo, hi) triples.
+    */
+  private def rangeBounds(keyFrame: DataFrame, names: Seq[String],
+                          skip: String => Boolean): Seq[(String, Any, Any)] = {
+    val aggs = names.flatMap(k => Seq(min(col(s"`$k`")), max(col(s"`$k`")),
+      sum(when(col(s"`$k`").isNull, 1L).otherwise(0L))))
+    val b = keyFrame.agg(aggs.head, aggs.tail: _*).head
+    names.zipWithIndex.flatMap { case (k, i) =>
+      val hasNull = !b.isNullAt(3 * i + 2) && b.getLong(3 * i + 2) > 0
+      if (skip(k) || hasNull || b.isNullAt(3 * i)) None
+      else Some((k, b.get(3 * i), b.get(3 * i + 1)))
+    }
+  }
 
   /** CREATE: analyze, pick the mode, materialize at the source's
     * current version, and store the public view. Returns
@@ -273,19 +355,10 @@ object GraftMaterializedView {
         val f = grouped(
           shape.filter.fold(src.scanAsOfVersion(cur))(src.scanAsOfVersion(cur).where),
           shape)
-        // a NULL group key cannot be addressed by the keyed merge —
-        // data decides the mode, loudly recorded in the result
-        val hasNullGroups = {
-          val cond = shape.groups.map { case (n, _) => col(s"`$n`").isNull }.reduce(_ || _)
-          !f.where(cond).isEmpty
-        }
-        if (hasNullGroups)
-          ("full", spark.sql(sql), Map.empty[String, String])
-        else
-          ("incremental", f, Map(
-            FilterProp -> shape.filter.getOrElse(""),
-            GroupProp -> specJson(shape.groups.map(p => Seq(p._1, p._2))),
-            AggProp -> specJson(shape.aggs.map(a => Seq(a.name, a.kind, a.sql)))))
+        ("incremental", f, Map(
+          FilterProp -> shape.filter.getOrElse(""),
+          GroupProp -> specJson(shape.groups.map(p => Seq(p._1, p._2))),
+          AggProp -> specJson(shape.aggs.map(a => Seq(a.name, a.kind, a.sql)))))
       case Left(_) => ("full", spark.sql(sql), Map.empty[String, String])
     }
     // an optional partition spec over the GROUP columns (e.g.
@@ -298,8 +371,7 @@ object GraftMaterializedView {
       SourceProp -> rel,
       AppliedProp -> cur.toString,
       ModeProp -> mode) ++ shapeProps)
-    val publicCols = frame.columns.filterNot(c =>
-      c == RowsCol || c.startsWith("_mv_nn_"))
+    val publicCols = frame.columns.filterNot(_.startsWith("_mv_"))
     viewStore.create(ns, name, StoredView(
       sql = publicCols.map(c => s"`$c`").mkString("SELECT ", ", ",
         s" FROM $catalogName.$ns.`${name + StorageSuffix}`"),
@@ -348,7 +420,7 @@ object GraftMaterializedView {
     val shape = shapeFromProps(props)
     val d =
       try delta(src.scanChangesBetween(applied, to), shape)
-        // one evaluation: the delta feeds the null probe, the merge
+        // one evaluation: the delta feeds the bounds probe, the merge
         // join, and both applyNetChanges sides
         .localCheckpoint()
       catch {
@@ -370,7 +442,6 @@ object GraftMaterializedView {
         requireParentProps = Map(AppliedProp -> applied.toString))
       return (applied, to, "empty")
     }
-    requireNoNullGroups(d, groupNames, "changelog delta")
 
     // read only the storage files that can hold an affected group: a
     // matching row needs every group component inside the delta's
@@ -378,36 +449,49 @@ object GraftMaterializedView {
     // FilterSql's escaping) lets scanWhere's zone maps skip the rest —
     // rows outside the rectangle match no delta key and would only have
     // idled through the join. At MV scale this keeps refresh reads at
-    // O(affected groups), not O(all groups).
+    // O(affected groups), not O(all groups). Columns where the delta
+    // holds a NULL key contribute no conjunct (a range never admits the
+    // NULL-keyed group); binary-float keys are skipped outright — the
+    // bound renders through toString and re-parses as a decimal
+    // literal, and 1.1f != 1.1d under the widened comparison, so the
+    // boundary group would silently drop from `cur`. Skipping only
+    // widens `cur`: the merge left-joins from the delta, so extra
+    // current rows are inert.
     val cur = {
-      val aggs = groupNames.flatMap(k => Seq(min(col(s"`$k`")), max(col(s"`$k`"))))
-      val bounds = d.agg(aggs.head, aggs.tail: _*).head
-      // per-column conjuncts; skipping one only WIDENS `cur` (the merge
-      // left-joins from the delta, so extra current rows are inert).
-      // Float/Double keys are skipped outright: the bound renders
-      // through toString and re-parses as a decimal literal, and
-      // 1.1f != 1.1d under the widened comparison — the boundary group
-      // would silently drop from `cur` and the merge would overwrite
-      // its stored aggregate with delta-only values.
-      val sqls = groupNames.zipWithIndex.flatMap { case (k, i) =>
-        val isBinaryFloat = storage.schema.fields.find(_.name == k).map(_.dataType)
+      def isBinaryFloat(k: String) =
+        storage.schema.fields.find(_.name == k).map(_.dataType)
           .exists(t => t == org.apache.spark.sql.types.FloatType ||
             t == org.apache.spark.sql.types.DoubleType)
-        if (isBinaryFloat || bounds.isNullAt(2 * i)) None
-        else FilterSql.toSql(org.apache.spark.sql.sources.And(
-          org.apache.spark.sql.sources.GreaterThanOrEqual(k, bounds.get(2 * i)),
-          org.apache.spark.sql.sources.LessThanOrEqual(k, bounds.get(2 * i + 1))))
+      val sqls = rangeBounds(d, groupNames, isBinaryFloat).flatMap {
+        case (k, lo, hi) =>
+          FilterSql.toSql(org.apache.spark.sql.sources.And(
+            org.apache.spark.sql.sources.GreaterThanOrEqual(k, lo),
+            org.apache.spark.sql.sources.LessThanOrEqual(k, hi)))
       }
       val rangeSql =
         if (sqls.isEmpty) None
         else Some(sqls.mkString("(", ") AND (", ")"))
       rangeSql.fold(storage.scan())(storage.scanWhere)
     }
-    val joined = d.alias("d").join(cur.alias("c"), groupNames, "left")
+    // null-safe merge join: a NULL group key addresses the stored
+    // NULL-keyed row exactly like any other key
     def dcol(n: String) = col(s"d.`$n`")
     def ccol(n: String) = col(s"c.`$n`")
+    val joined = d.alias("d").join(cur.alias("c"),
+      groupNames.map(n => dcol(n) <=> ccol(n)).reduce(_ && _), "left")
+    val curExists = ccol(RowsCol).isNotNull
     val newRows = (coalesce(ccol(RowsCol), lit(0L)) + dcol(RowsCol)).as(RowsCol)
-    val valueCols = shape.aggs.zipWithIndex.map { case (a, i) =>
+    val minMaxAggs = shape.aggs.zipWithIndex.filter(
+      a => a._1.kind == "min" || a._1.kind == "max")
+    // closed-form MIN/MAX candidate: the stored extreme folded with the
+    // inserted-side extreme (least/greatest skip NULLs). Exact whenever
+    // no deleted value ties-or-beats it — the recompute flag below.
+    def closedForm(a: AggSpec, i: Int): Column =
+      if (a.kind == "min")
+        when(curExists, least(ccol(a.name), dcol(insCol(i)))).otherwise(dcol(insCol(i)))
+      else
+        when(curExists, greatest(ccol(a.name), dcol(insCol(i)))).otherwise(dcol(insCol(i)))
+    val valueCols: Seq[Column] = shape.aggs.zipWithIndex.map { case (a, i) =>
       a.kind match {
         case "sum" =>
           val t = storage.schema.fields.find(_.name == a.name).get.dataType
@@ -415,16 +499,45 @@ object GraftMaterializedView {
           when(nn === 0L, lit(null).cast(t))
             .otherwise(coalesce(ccol(a.name), lit(0).cast(t)) +
               coalesce(dcol(a.name), lit(0).cast(t))).as(a.name)
+        case "avg" =>
+          val as = coalesce(ccol(asCol(i)), lit(0d)) + coalesce(dcol(asCol(i)), lit(0d))
+          val nn = coalesce(ccol(nnCol(i)), lit(0L)) + coalesce(dcol(nnCol(i)), lit(0L))
+          when(nn === 0L, lit(null).cast(DoubleType)).otherwise(as / nn).as(a.name)
+        case "min" | "max" => closedForm(a, i).as(a.name)
         case _ =>
           (coalesce(ccol(a.name), lit(0L)) + coalesce(dcol(a.name), lit(0L))).as(a.name)
       }
     }
-    val nnCols = shape.aggs.zipWithIndex.collect { case (a, i) if a.kind == "sum" =>
-      (coalesce(ccol(nnCol(i)), lit(0L)) + coalesce(dcol(nnCol(i)), lit(0L))).as(nnCol(i))
+    val hiddenCols: Seq[Column] = shape.aggs.zipWithIndex.flatMap { case (a, i) =>
+      a.kind match {
+        case "sum" => Seq(
+          (coalesce(ccol(nnCol(i)), lit(0L)) + coalesce(dcol(nnCol(i)), lit(0L))).as(nnCol(i)))
+        case "avg" => Seq(
+          (coalesce(ccol(asCol(i)), lit(0d)) + coalesce(dcol(asCol(i)), lit(0d))).as(asCol(i)),
+          (coalesce(ccol(nnCol(i)), lit(0L)) + coalesce(dcol(nnCol(i)), lit(0L))).as(nnCol(i)))
+        case _ => Nil
+      }
     }
-    val groupSel = groupNames.map(n => col(s"`$n`"))
-    val merged = joined.select(groupSel ++ valueCols ++ nnCols :+ newRows: _*)
-      .localCheckpoint()
+    // a delete can retract the extreme: flag groups whose deleted-side
+    // extreme ties-or-beats the CLOSED-FORM candidate for targeted
+    // recompute. Comparing against the candidate (not just the stored
+    // value) also catches a group born within this slice whose in-slice
+    // insert was deleted again, and a candidate that is NULL while a
+    // non-null value was deleted (unknowable → recompute).
+    val rcCols: Seq[Column] = minMaxAggs.map { case (a, i) =>
+      val cf = closedForm(a, i)
+      (dcol(retCol(i)).isNotNull &&
+        (cf.isNull ||
+          (if (a.kind == "min") dcol(retCol(i)) <= cf
+           else dcol(retCol(i)) >= cf))).as(rcCol(i))
+    }
+    val rcAny: Column =
+      (if (rcCols.isEmpty) lit(false)
+       else minMaxAggs.map { case (_, i) => col(s"`${rcCol(i)}`") }.reduce(_ || _))
+    val groupSel = groupNames.map(n => dcol(n).as(n))
+    val merged0 = joined
+      .select(groupSel ++ valueCols ++ hiddenCols ++ rcCols :+ newRows: _*)
+    val merged = merged0.withColumn(RcAny, rcAny).localCheckpoint()
 
     if (!merged.where(col(RowsCol) < 0).isEmpty)
       throw new IllegalStateException(
@@ -433,15 +546,66 @@ object GraftMaterializedView {
           "(manual table surgery?). Refusing to write; run refresh_mview with " +
           "force_full => true to rebuild")
 
-    val upserts = merged.where(col(RowsCol) > 0)
+    // targeted MIN/MAX recompute: only groups whose extreme was
+    // retracted, read from the source AS OF the refresh head, narrowed
+    // to the retracted groups' key range and semi-joined to exactly
+    // those keys — O(affected groups), never O(table)
+    val resolved: DataFrame = {
+      val needs = merged.where(col(RcAny) && col(RowsCol) > 0)
+      if (minMaxAggs.isEmpty || needs.isEmpty) merged
+      else {
+        val keyRows = needs.select(groupNames.map(n => col(s"`$n`")): _*)
+          .localCheckpoint()
+        val srcBase0 = shape.filter.fold(src.scanAsOfVersion(to))(
+          src.scanAsOfVersion(to).where)
+        // parquet-pushdown narrowing on the group expressions (Column
+        // conjuncts carry exact literals, so no binary-float skip here)
+        val groupExpr = shape.groups.toMap
+        val srcNarrow = rangeBounds(keyRows, groupNames, _ => false)
+          .foldLeft(srcBase0) { case (f, (k, lo, hi)) =>
+            f.where(expr(groupExpr(k)) >= lit(lo) && expr(groupExpr(k)) <= lit(hi))
+          }
+        val srcProj = srcNarrow.select(
+          shape.groups.map { case (n, s) => expr(s).as(n) } ++
+            minMaxAggs.map { case (a, i) => expr(a.sql).as(s"_mv_v_$i") }: _*)
+        val keyRenamed = keyRows.toDF(groupNames.map("_mvk_" + _): _*)
+        val recAggs = minMaxAggs.map { case (a, i) =>
+          if (a.kind == "min") min(col(s"`_mv_v_$i`")).as(s"_mv_rec_$i")
+          else max(col(s"`_mv_v_$i`")).as(s"_mv_rec_$i")
+        }
+        val rec = srcProj.join(keyRenamed,
+            groupNames.map(n => col(s"`$n`") <=> col(s"`_mvk_$n`")).reduce(_ && _),
+            "left_semi")
+          .groupBy(groupNames.map(n => col(s"`$n`")): _*)
+          .agg(recAggs.head, recAggs.tail: _*)
+        val recRenamed = rec.toDF(
+          groupNames.map("_mvk_" + _) ++ minMaxAggs.map { case (_, i) => s"_mv_rec_$i" }: _*)
+        val withRec = merged.join(recRenamed,
+          groupNames.map(n => col(s"`$n`") <=> col(s"`_mvk_$n`")).reduce(_ && _),
+          "left")
+        val outCols = merged.columns.map { c =>
+          minMaxAggs.find { case (a, _) => a.name == c } match {
+            case Some((a, i)) =>
+              when(col(s"`${rcCol(i)}`"), col(s"`_mv_rec_$i`"))
+                .otherwise(col(s"`$c`")).as(c)
+            case None => col(s"`$c`")
+          }
+        }
+        withRec.select(outCols.toIndexedSeq: _*)
+      }
+    }
+
+    val upserts = resolved.where(col(RowsCol) > 0)
       .select(storage.schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
-    val delKeys = merged.where(col(RowsCol) === 0).select(groupSel: _*)
+    val delKeys = resolved.where(col(RowsCol) === 0)
+      .select(groupNames.map(n => col(s"`$n`")): _*)
     // marker-CAS: a racing refresh that already advanced the marker
     // makes this one abort at commit instead of double-applying a
     // delta both derived from the same marker
     storage.applyNetChanges(delKeys, upserts, groupNames,
       props = props ++ Map(AppliedProp -> to.toString),
-      requireParentProps = Map(AppliedProp -> applied.toString))
+      requireParentProps = Map(AppliedProp -> applied.toString),
+      nullSafeKeys = true)
     (applied, to, "incremental")
   }
 

@@ -725,6 +725,70 @@ object TableQueries {
              |FROM lineitem WHERE l_quantity > 5.0 AND l_orderkey > 10000
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Widened MV algebra: an AVG+MAX+SUM materialized view with a
+    // NULL-producing group key, refreshed INCREMENTALLY across inserts
+    // AND merge-on-read deletes — AVG rides the stored sum/count
+    // bookkeeping, the MAX retraction (the delete removes high prices)
+    // triggers the targeted per-group recompute, and the NULL-keyed
+    // group exercises the null-safe keyed merge. The end state must
+    // hash-match DuckDB's from-scratch recomputation.
+    "q107_mview_avg_minmax" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq107").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq107", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq107.warehouse",
+            Files.createTempDirectory("graft-mview-avg").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq107.bench")
+        s.sql("CALL graftq107.system.drop_mview('bench', 'pricing')")
+        s.sql("DROP TABLE IF EXISTS graftq107.bench.li")
+        s.sql("""CREATE TABLE graftq107.bench.li
+                |(l_orderkey BIGINT, l_returnflag STRING, l_quantity DOUBLE,
+                | l_extendedprice DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        t(s, dir, "lineitem").createOrReplaceTempView("q107_li")
+        s.sql("""INSERT INTO graftq107.bench.li
+                |SELECT l_orderkey, l_returnflag, l_quantity, l_extendedprice
+                |FROM q107_li WHERE l_orderkey % 2 = 0""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq107.system.create_mview('bench', 'pricing',
+            |  'SELECT CASE WHEN l_returnflag = ''N'' THEN NULL
+            |            ELSE l_returnflag END AS flag,
+            |     AVG(l_quantity) AS avg_qty, MAX(l_extendedprice) AS max_price,
+            |     SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+            |   FROM graftq107.bench.li WHERE l_quantity > 2.0
+            |   GROUP BY CASE WHEN l_returnflag = ''N'' THEN NULL
+            |              ELSE l_returnflag END')""".stripMargin).head.getString(0)
+        require(mode == "incremental", s"expected incremental mode, got $mode")
+        s.sql("""INSERT INTO graftq107.bench.li
+                |SELECT l_orderkey, l_returnflag, l_quantity, l_extendedprice
+                |FROM q107_li WHERE l_orderkey % 2 = 1""".stripMargin)
+        // merge-on-read deletes: one retracts stored maxes (forcing the
+        // targeted recompute), one trims a key range
+        s.sql("DELETE FROM graftq107.bench.li WHERE l_extendedprice >= 80000.0")
+        s.sql("DELETE FROM graftq107.bench.li WHERE l_orderkey <= 10000")
+        val action = s.sql(
+          "CALL graftq107.system.refresh_mview('bench', 'pricing', false)")
+          .head.getString(2)
+        require(action == "incremental", s"expected incremental refresh, got $action")
+        s.sql("""SELECT flag,
+                |  CAST(CAST(avg_qty AS DECIMAL(18,6)) AS DOUBLE) AS avg_qty,
+                |  max_price,
+                |  CAST(CAST(sum_qty AS DECIMAL(14,2)) AS DOUBLE) AS sum_qty, n
+                |FROM graftq107.bench.pricing
+                |ORDER BY flag NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT CASE WHEN l_returnflag = 'N' THEN NULL
+             |         ELSE l_returnflag END AS flag,
+             |  CAST(CAST(AVG(l_quantity) AS DECIMAL(18,6)) AS DOUBLE) AS avg_qty,
+             |  MAX(l_extendedprice) AS max_price,
+             |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(14,2)) AS DOUBLE) AS sum_qty,
+             |  COUNT(*) AS n
+             |FROM lineitem
+             |WHERE l_quantity > 2.0 AND l_extendedprice < 80000.0
+             |  AND l_orderkey > 10000
+             |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)),
+
     // The general MERGE's merge-on-read path: same conditional clause
     // matrix as q97 minus NOT MATCHED BY SOURCE (which needs the whole
     // table by definition), on a mor-mode table — outcomes appended +

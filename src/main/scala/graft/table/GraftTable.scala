@@ -1035,11 +1035,23 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     * repeat ([[deleteByKeys]]' contract). Idempotent under replay:
     * re-deleting absent keys is a no-op and re-upserting the same rows
     * converges — at-least-once CDC appliers can re-run a batch safely.
+    *
+    * `nullSafeKeys` switches key matching from SQL equality to
+    * null-safe equality (`<=>`): a NULL key component addresses the
+    * row whose stored component is NULL, instead of matching nothing.
+    * The materialized-view refresh path needs this — a GROUP BY over a
+    * nullable expression legitimately owns a NULL-keyed group row.
+    * When a batch actually carries a NULL component the zone-map
+    * refinement drops that component's conjunct (a range never admits
+    * NULL) and the commit stays copy-on-write (equality-delete groups
+    * apply with SQL equality on read, which would never mask the NULL
+    * tuple); batches without NULLs keep the exact default-path pruning.
     */
   def applyNetChanges(deleteKeys: DataFrame, upserts: DataFrame,
                       keys: Seq[String],
                       props: Map[String, String] = Map.empty,
-                      requireParentProps: Map[String, String] = Map.empty): Snapshot = {
+                      requireParentProps: Map[String, String] = Map.empty,
+                      nullSafeKeys: Boolean = false): Snapshot = {
     require(keys.nonEmpty, "applyNetChanges requires key columns")
     val snap = currentOrFail()
     def targetField(k: String) = snap.schema.fields
@@ -1050,10 +1062,16 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     // check, partition derivation, anti join, final write) — same
     // determinism guard as the MERGE command path
     val projected = Projection.project(upserts, snap.schema).localCheckpoint()
-    val dupKeys = projected
-      .where(joinKeys.map(k => col(s"`$k`").isNotNull).reduce(_ && _))
-      .groupBy(joinKeys.map(k => col(s"`$k`")): _*)
-      .agg(count(lit(1)).as("_n")).where(col("_n") > 1).limit(1).collect()
+    val dupKeys = {
+      // under null-safe keys a NULL tuple addresses a row, so two
+      // upserts with the same NULL-containing tuple are duplicates too
+      // (groupBy buckets NULLs together — exactly <=> semantics)
+      val base = if (nullSafeKeys) projected
+                 else projected.where(
+                   joinKeys.map(k => col(s"`$k`").isNotNull).reduce(_ && _))
+      base.groupBy(joinKeys.map(k => col(s"`$k`")): _*)
+        .agg(count(lit(1)).as("_n")).where(col("_n") > 1).limit(1).collect()
+    }
     if (dupKeys.nonEmpty)
       throw new IllegalArgumentException(
         s"applyNetChanges upserts contain duplicate keys on (${keys.mkString(", ")}), " +
@@ -1074,35 +1092,71 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     // Bounds ignore null key components (a null never equals, so null
     // tuples match nothing); an all-null/empty component means no row
     // can match at all.
+    val boundsRow = {
+      val aggs = joinKeys.flatMap(k => Seq(min(col(s"`$k`")), max(col(s"`$k`")),
+        sum(when(col(s"`$k`").isNull, 1L).otherwise(0L))))
+      allKeys.agg(aggs.head, aggs.tail: _*).head
+    }
+    def componentHasNull(i: Int): Boolean =
+      !boundsRow.isNullAt(3 * i + 2) && boundsRow.getLong(3 * i + 2) > 0
+    val anyNullKey = nullSafeKeys && joinKeys.indices.exists(componentHasNull)
     val rewriteSet: Seq[DataFile] = {
-      val boundsRow = {
-        val aggs = joinKeys.flatMap(k => Seq(min(col(s"`$k`")), max(col(s"`$k`"))))
-        allKeys.agg(aggs.head, aggs.tail: _*).head
+      import org.apache.spark.sql.catalyst.expressions._
+      def rangeOf(k: String, i: Int): Expression = {
+        val dt = targetField(k).dataType
+        val attr = org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(k)
+        And(
+          GreaterThanOrEqual(attr, Literal.create(boundsRow.get(3 * i), dt)),
+          LessThanOrEqual(attr, Literal.create(boundsRow.get(3 * i + 1), dt)))
       }
-      if (joinKeys.indices.exists(i => boundsRow.isNullAt(2 * i))) Nil
-      else {
-        val rangePred: org.apache.spark.sql.catalyst.expressions.Expression =
-          joinKeys.zipWithIndex.map { case (k, i) =>
-            import org.apache.spark.sql.catalyst.expressions._
-            val dt = targetField(k).dataType
-            val attr = org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(k)
-            And(
-              GreaterThanOrEqual(attr, Literal.create(boundsRow.get(2 * i), dt)),
-              LessThanOrEqual(attr, Literal.create(boundsRow.get(2 * i + 1), dt)))
-          }.reduce(org.apache.spark.sql.catalyst.expressions.And(_, _))
-        partPruned.filter(f => StatsPruner.evaluate(f, snap.schema, rangePred).may)
+      if (!nullSafeKeys) {
+        // a component with no non-null values means no tuple can match
+        // under SQL equality at all
+        if (joinKeys.indices.exists(i => boundsRow.isNullAt(3 * i))) Nil
+        else {
+          val rangePred = joinKeys.zipWithIndex.map { case (k, i) => rangeOf(k, i) }
+            .reduce(And(_, _): Expression)
+          partPruned.filter(f => StatsPruner.evaluate(f, snap.schema, rangePred).may)
+        }
+      } else if (joinKeys.indices.forall(i =>
+          boundsRow.isNullAt(3 * i) && !componentHasNull(i))) {
+        Nil // empty key frame: nothing can match
+      } else {
+        // a NULL-containing component contributes no conjunct — its
+        // NULL tuples can live in any file, and a [min,max] range never
+        // admits them. Remaining components still refine.
+        val conjuncts = joinKeys.zipWithIndex.collect {
+          case (k, i) if !componentHasNull(i) && !boundsRow.isNullAt(3 * i) =>
+            rangeOf(k, i)
+        }
+        if (conjuncts.isEmpty) partPruned
+        else {
+          val rangePred = conjuncts.reduce(And(_, _): Expression)
+          partPruned.filter(f => StatsPruner.evaluate(f, snap.schema, rangePred).may)
+        }
       }
     }
     // Merge-on-read net-apply: the batch's upserts land as an append
     // group and ALL net keys (deletes + upserts) as one equality-delete
     // group at the same sequence — replication cost O(change volume)
-    // with zero target rewrites (see [[morMergeCommit]]).
-    if (rewriteSet.nonEmpty && chooseMor(snap, rewriteSet.map(_.sizeBytes).sum))
+    // with zero target rewrites (see [[morMergeCommit]]). Disabled when
+    // a null-safe batch actually carries a NULL key component: the
+    // equality-delete group applies with SQL equality on read and would
+    // never mask the stored NULL-keyed row.
+    if (rewriteSet.nonEmpty && !anyNullKey &&
+        chooseMor(snap, rewriteSet.map(_.sizeBytes).sum))
       return morMergeCommit(snap, projected,
         allKeys.where(joinKeys.map(k => col(s"`$k`").isNotNull).reduce(_ && _)),
         joinKeys, "merge", props, requireParentProps)
-    val kept = readFilesMoR(snap, rewriteSet, snap.schema)
-      .join(allKeys, joinKeys, "left_anti")
+    val kept = {
+      val base = readFilesMoR(snap, rewriteSet, snap.schema)
+      if (nullSafeKeys) {
+        val renamed = allKeys.toDF(joinKeys.map("_graft_nk_" + _): _*)
+        base.join(renamed,
+          joinKeys.map(k => col(s"`$k`") <=> col(s"`_graft_nk_$k`")).reduce(_ && _),
+          "left_anti")
+      } else base.join(allKeys, joinKeys, "left_anti")
+    }
     val merged = kept.unionByName(projected)
     val newGroup = writeDataFiles(merged, snap.schema, specs)
     val rewrittenPaths = rewriteSet.map(_.path).toSet

@@ -83,4 +83,147 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
       spark.sql(s"DROP TABLE graft.$ns.src")
     }
   }
+
+  // ------------------------------------------------------------------
+  // Widened algebra: AVG + MIN + MAX, NULL group keys, binary-float
+  // group keys — all maintained INCREMENTALLY. The NULL-producing CASE
+  // group key exercises the null-safe keyed merge; the DOUBLE group key
+  // k2 differentially pins the cur-scan float-bound skip (a wrong
+  // range filter would drop the boundary group and overwrite its
+  // stored aggregate with delta-only values); deletes that remove a
+  // group's extreme exercise the targeted MIN/MAX recompute.
+  // ------------------------------------------------------------------
+
+  private def agg2(sqlFrom: String): Seq[String] =
+    spark.sql(
+      s"""SELECT gk, k2, total, av, mn, mx, mxs, nv, n FROM $sqlFrom
+         |ORDER BY gk NULLS FIRST, k2 NULLS FIRST""".stripMargin)
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+
+  test("widened algebra: AVG/MIN/MAX with NULL and double group keys stay incremental") {
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(4)
+    val defn =
+      """SELECT CASE WHEN id % 5 = 0 THEN NULL ELSE g END AS gk, k2,
+        |       SUM(v) AS total, AVG(v) AS av, MIN(v) AS mn, MAX(v) AS mx,
+        |       MAX(s) AS mxs, COUNT(v) AS nv, COUNT(*) AS n
+        |FROM graft.%NS%.src WHERE v IS NULL OR v > -20.0
+        |GROUP BY CASE WHEN id % 5 = 0 THEN NULL ELSE g END, k2""".stripMargin
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(1000 + seed)
+      val ns = s"mvw$seed"
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.src")
+      spark.sql(
+        s"CREATE TABLE graft.$ns.src (id BIGINT, g STRING, k2 DOUBLE, v DOUBLE, s STRING)")
+      var nextId = 0L
+      def insertBurst(): Unit = {
+        val rows = (0 until (1 + rnd.nextInt(6))).map { _ =>
+          nextId += 1
+          val g = s"g${rnd.nextInt(3)}"
+          val k2 = if (rnd.nextInt(5) == 0) "CAST(NULL AS DOUBLE)"
+                   else s"${rnd.nextInt(3)}.5"
+          val v = if (rnd.nextInt(4) == 0) "CAST(NULL AS DOUBLE)"
+                  else (rnd.nextInt(120) - 30).toString + ".0"
+          val s = s"'s${rnd.nextInt(40)}'"
+          s"($nextId, '$g', $k2, $v, $s)"
+        }
+        spark.sql(s"INSERT INTO graft.$ns.src VALUES ${rows.mkString(", ")}")
+      }
+      insertBurst()
+      spark.sql(
+        s"""CALL graft.system.create_mview('$ns', 'm',
+           |  '${defn.replace("%NS%", ns).replace("\n", " ")}')""".stripMargin)
+        .head.getString(0) shouldBe "incremental"
+
+      for (step <- 0 until 6) {
+        rnd.nextInt(4) match {
+          case 0 => insertBurst()
+          case 1 =>
+            // deletes aimed at extremes: retract the stored MIN/MAX so
+            // the targeted recompute path actually runs
+            if (rnd.nextBoolean())
+              spark.sql(s"DELETE FROM graft.$ns.src WHERE v >= ${30 + rnd.nextInt(40)}.0")
+            else
+              spark.sql(s"DELETE FROM graft.$ns.src WHERE v <= ${-rnd.nextInt(20)}.0")
+          case 2 =>
+            if (rnd.nextBoolean())
+              spark.sql(s"DELETE FROM graft.$ns.src WHERE g = 'g${rnd.nextInt(3)}'")
+            else {
+              val lo = 1 + rnd.nextInt(math.max(1, nextId.toInt))
+              spark.sql(s"DELETE FROM graft.$ns.src WHERE id >= $lo AND id < ${lo + 4}")
+            }
+          case _ =>
+            val id = 1 + rnd.nextInt(math.max(1, nextId.toInt))
+            spark.sql(
+              s"""MERGE INTO graft.$ns.src t
+                 |USING (SELECT CAST($id AS BIGINT) AS id, 'g${rnd.nextInt(3)}' AS g,
+                 |              ${rnd.nextInt(3)}.5 AS k2, ${rnd.nextInt(90)}.0 AS v,
+                 |              's${rnd.nextInt(40)}' AS s) u
+                 |ON t.id = u.id
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        }
+        val action = spark.sql(
+          s"CALL graft.system.refresh_mview('$ns', 'm', false)").head.getString(2)
+        Seq("incremental", "empty", "noop") should contain(action)
+        withClue(s"seed=$seed step=$step action=$action ") {
+          agg2(s"graft.$ns.m") shouldBe agg2(
+            s"(${defn.replace("%NS%", ns)})")
+        }
+      }
+      // the incremental end state must ALSO equal a forced full rebuild
+      spark.sql(s"INSERT INTO graft.$ns.src VALUES (${nextId + 1}, 'g0', 0.5, 7.0, 's1')")
+      val incr = { spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)"); agg2(s"graft.$ns.m") }
+      spark.sql(s"INSERT INTO graft.$ns.src VALUES (${nextId + 2}, 'g1', 1.5, 9.0, 's2')")
+      spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', true)")
+      val full = agg2(s"graft.$ns.m")
+      incr should not be full // the full rebuild saw one more row
+      full shouldBe agg2(s"(${defn.replace("%NS%", ns)})")
+      spark.sql(s"CALL graft.system.drop_mview('$ns', 'm')")
+      spark.sql(s"DROP TABLE graft.$ns.src")
+    }
+  }
+
+  // Pins the round-13 shape guard: a GROUP BY expression missing from
+  // the SELECT is valid SQL but CANNOT be maintained at the stored
+  // granularity — it must register in FULL mode (not silently merge
+  // distinct source groups) and stay correct across refreshes.
+  test("GROUP BY column missing from SELECT registers full and refreshes correctly") {
+    val ns = "mvshape"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.src")
+    spark.sql(s"CREATE TABLE graft.$ns.src (g STRING, h STRING, v DOUBLE)")
+    spark.sql(s"INSERT INTO graft.$ns.src VALUES ('a','x',1.0),('a','y',2.0),('b','x',3.0)")
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'm',
+         |  'SELECT g, SUM(v) AS total FROM graft.$ns.src GROUP BY g, h')""".stripMargin)
+      .head.getString(0) shouldBe "full"
+    def read() = spark.sql(s"SELECT g, total FROM graft.$ns.m ORDER BY g, total")
+      .collect().map(_.toSeq.mkString("|")).toSeq
+    read() shouldBe Seq("a|1.0", "a|2.0", "b|3.0")
+    spark.sql(s"INSERT INTO graft.$ns.src VALUES ('a','x',10.0)")
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
+      .head.getString(2) shouldBe "full"
+    read() shouldBe Seq("a|2.0", "a|11.0", "b|3.0")
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'm')")
+    spark.sql(s"DROP TABLE graft.$ns.src")
+  }
+
+  // Decimal AVG divides under scale/rounding rules a running double
+  // sum cannot replay exactly — must fall back to FULL mode.
+  test("decimal AVG registers full mode") {
+    val ns = "mvdec"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.src")
+    spark.sql(s"CREATE TABLE graft.$ns.src (g STRING, v DECIMAL(10,2))")
+    spark.sql(s"INSERT INTO graft.$ns.src VALUES ('a', 1.25), ('a', 2.50)")
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'm',
+         |  'SELECT g, AVG(v) AS av FROM graft.$ns.src GROUP BY g')""".stripMargin)
+      .head.getString(0) shouldBe "full"
+    spark.sql(s"SELECT av FROM graft.$ns.m").collect().map(_.get(0).toString) shouldBe
+      Array("1.875000")
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'm')")
+    spark.sql(s"DROP TABLE graft.$ns.src")
+  }
 }
