@@ -385,6 +385,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     val ns = viewNs(info.ident())
     require(!tableExists(ns, info.ident().name()),
       s"cannot create view ${info.ident()}: a table with that name exists")
+    GraftViewSql.requireNoReservedProps(
+      info.properties().asScala.keys, "createView")
     val sv = StoredView(
       sql = info.sql(),
       currentCatalog = info.currentCatalog(),
@@ -407,14 +409,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
     val props = changes.foldLeft(sv.properties) {
       case (p, s: ViewChange.SetProperty) =>
-        require(s.property() != "graft.mview",
-          "'graft.mview' is a reserved marker managed by the " +
-            "materialized-view procedures")
+        GraftViewSql.requireNoReservedProps(Seq(s.property()), "alterView")
         p + (s.property() -> s.value())
       case (p, r: ViewChange.RemoveProperty) =>
-        require(r.property() != "graft.mview",
-          "'graft.mview' is a reserved marker managed by the " +
-            "materialized-view procedures")
+        GraftViewSql.requireNoReservedProps(Seq(r.property()), "alterView")
         p - r.property()
       case (_, other) => throw new IllegalArgumentException(
         s"unsupported view change: $other")

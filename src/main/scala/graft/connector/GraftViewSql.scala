@@ -131,6 +131,21 @@ object GraftViewSql {
           "desync it from its storage. Use CALL graft.system.drop_mview " +
           "(or recreate via create_mview)")
 
+  /** User-supplied view properties may not carry the reserved
+    * materialized-view marker (or its namespace): a hand-marked view
+    * would be refused by every regular DDL verb and removable only by
+    * drop_mview. The MV procedure writes the marker through
+    * [[GraftViewStore]] directly, bypassing this guard by design.
+    */
+  private[connector] def requireNoReservedProps(props: Iterable[String],
+                                                what: String): Unit = {
+    val bad = props.filter(k => k == "graft.mview" || k.startsWith("graft.mview."))
+    require(bad.isEmpty,
+      s"$what: ${bad.mkString(", ")} — reserved marker propert" +
+        s"${if (bad.size == 1) "y" else "ies"} managed by the " +
+        "materialized-view procedures")
+  }
+
   /** Parse-time rewrite of the three view-DDL shapes; everything else
     * passes through untouched.
     */
@@ -348,6 +363,7 @@ case class GraftCreateViewCommand(catalogName: String, ident: Identifier,
 
     require(!catalog.tableExists(ns, ident.name()),
       s"cannot create view $catalogName.$ns.${ident.name()}: a table with that name exists")
+    GraftViewSql.requireNoReservedProps(properties.keys, "CREATE VIEW")
     if (replace)
       GraftViewSql.requireNotMaterialized(catalog, ident, "CREATE OR REPLACE VIEW")
 
@@ -434,10 +450,8 @@ case class GraftViewPropertiesCommand(catalogName: String, ident: Identifier,
     val ns = ident.namespace()(0)
     GraftViewSql.requireNotMaterialized(catalog, ident,
       "ALTER VIEW ... SET/UNSET TBLPROPERTIES")
-    require(!set.contains("graft.mview") && !unset.contains("graft.mview"),
-      "'graft.mview' is a reserved marker managed by the materialized-view " +
-        "procedures — setting or unsetting it by hand would desync the " +
-        "view/storage pair guards")
+    GraftViewSql.requireNoReservedProps(set.keys ++ unset,
+      "ALTER VIEW ... SET/UNSET TBLPROPERTIES")
     val existing = catalog.views.load(ns, ident.name()).getOrElse(
       throw new NoSuchViewException(ident))
     if (!unsetIfExists) {

@@ -90,12 +90,29 @@ object StoredView {
   * the namespace's table directories — `GraftCatalog.listTables` skips
   * `_views` naturally because it carries no metadata log. Name lookup
   * is case-insensitive (Spark identifier semantics) while files keep
-  * the creation case. Creation is create-if-absent through the
-  * filesystem's `create(overwrite=false)`; replace overwrites in place
-  * — view metadata is tiny, racing replaces last-writer-wins like every
-  * catalog's view DDL.
+  * the creation case. Every write lands as a fully-written temp
+  * sibling first, so a concurrent reader always sees a COMPLETE
+  * document: replace publishes it with an over-rename
+  * (last-writer-wins, like every catalog's view DDL); create-if-absent
+  * publishes it with an atomic claim that FAILS when the target exists
+  * — a hard link on local filesystems (POSIX rename() silently
+  * replaces; link() is the atomic EEXIST primitive) and a plain rename
+  * on HDFS-style stores (which refuse an over-rename natively).
   */
-final class GraftViewStore(fs: FileSystem, warehouse: HPath) {
+final class GraftViewStore(fs0: FileSystem, warehouse: HPath) {
+
+  /** Checksummed local filesystems are rename-hazardous for this
+    * protocol: ChecksumFileSystem.rename moves the DATA file first and
+    * can then fail on the `.crc` sibling (reporting false after the
+    * move), which would strand the temp name and open a
+    * destination-missing window. View JSON is tiny self-describing
+    * metadata — use the raw filesystem, whose POSIX rename is the
+    * atomic primitive the protocol is built on.
+    */
+  private val fs: FileSystem = fs0 match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
+  }
 
   private def dir(ns: String): HPath = new HPath(warehouse, s"$ns/_views")
 
@@ -126,11 +143,20 @@ final class GraftViewStore(fs: FileSystem, warehouse: HPath) {
 
   /** Persist `v`; returns false when the view already exists and
     * `replace` is false (caller decides between IF NOT EXISTS no-op and
-    * already-exists error). The JSON lands via a temp sibling +
-    * `fs.rename` so a concurrent reader (every view read loads this
-    * file) always sees a COMPLETE document, never a mid-write
-    * truncation. The temp name starts with '.' and lacks the `.json`
-    * suffix, so [[list]] never surfaces it.
+    * already-exists error). The JSON lands via a fully-written temp
+    * sibling so a concurrent reader (every view read loads this file)
+    * always sees a COMPLETE document, never a mid-write truncation. The
+    * temp name starts with '.' and lacks the `.json` suffix, so
+    * [[list]] never surfaces it.
+    *
+    * With `replace = false` publication is an ATOMIC claim — the
+    * resolve() probe above it is advisory only, so two racing CREATE
+    * VIEWs must decide at the filesystem: on local stores a hard link
+    * (POSIX link() fails EEXIST; rename() would silently replace the
+    * loser's winner), elsewhere a plain rename (HDFS-style stores
+    * refuse an over-rename natively). A rename failure with the target
+    * verifiably absent is a REAL error (permissions, transient store
+    * fault) and raises instead of masquerading as "already exists".
     */
   def create(ns: String, name: String, v: StoredView, replace: Boolean): Boolean = {
     val existing = resolve(ns, name)
@@ -145,16 +171,34 @@ final class GraftViewStore(fs: FileSystem, warehouse: HPath) {
     val out = fs.create(tmp, true)
     try out.write(StoredView.toJson(v).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    // POSIX rename atomically replaces the destination; filesystems
-    // that refuse an over-rename (HDFS-style) fall through to
-    // delete+rename — still never a torn document, at worst a brief
-    // not-found window on those stores
-    if (!fs.rename(tmp, target)) {
-      if (!replace) { fs.delete(tmp, false); return false }
-      fs.delete(target, false)
+    def nio(p: HPath) = java.nio.file.Paths.get(p.toUri.getPath)
+    if (replace) {
+      // POSIX rename atomically replaces the destination; filesystems
+      // that refuse an over-rename (HDFS-style) fall through to
+      // delete+rename — still never a torn document, at worst a brief
+      // not-found window on those stores
+      if (!fs.rename(tmp, target)) {
+        fs.delete(target, false)
+        if (!fs.rename(tmp, target)) {
+          fs.delete(tmp, false)
+          sys.error(s"filesystem rename of view $ns.$name failed")
+        }
+      }
+    } else if (fs.getUri.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(nio(target), nio(tmp))
+        fs.delete(tmp, false)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false)
+          return false
+      }
+    } else {
       if (!fs.rename(tmp, target)) {
         fs.delete(tmp, false)
-        sys.error(s"filesystem rename of view $ns.$name failed")
+        if (fs.exists(target)) return false
+        sys.error(s"filesystem rename of view $ns.$name failed " +
+          "(target does not exist — not a name collision)")
       }
     }
     true

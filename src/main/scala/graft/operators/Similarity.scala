@@ -176,10 +176,129 @@ object Similarity {
     val (assigned, centroids) = ivfIndex(df, vecCol, idCol, nlist, seed, trainFraction)
     val tbl = cat.ensure(ident, Some("_cell"))
     tbl.append(assigned, Map(
-      "graft.ivf.centroids" -> centroids.map(_.mkString(",")).mkString(";"),
-      "graft.ivf.vec-col" -> vecCol,
-      "graft.ivf.id-col" -> idCol))
+      CentroidsProp -> centroids.map(_.mkString(",")).mkString(";"),
+      VecColProp -> vecCol,
+      IdColProp -> idCol))
     tbl
+  }
+
+  // persisted-index table properties
+  val CentroidsProp = "graft.ivf.centroids"
+  val VecColProp = "graft.ivf.vec-col"
+  val IdColProp = "graft.ivf.id-col"
+  val SourceProp = "graft.ivf.source" // "<ns>/<table>" under the same warehouse
+  val AppliedProp = "graft.ivf.applied-version"
+
+  /** Nearest-centroid cell id as a pure codegen'd expression — argmin
+    * squared Euclidean distance, lowest index on ties (the same rule
+    * KMeans assignment applies). `|x|²` is common to every candidate,
+    * so each cell costs one dot product against a literal centroid:
+    * `argmin_j (|c_j|² − 2·x·c_j)`. No ML model object is needed, so
+    * REFRESH can assign new vectors from the stored centroid strings
+    * alone — the property that makes the index maintainable without
+    * retraining.
+    */
+  def cellExpr(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val cands = centroids.zipWithIndex.map { case (c, j) =>
+      val cLit = array(c.map(lit): _*)
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dot(vec, cLit)).as("d"), lit(j).as("i"))
+    }
+    (if (cands.length == 1) cands.head else least(cands.toIndexedSeq: _*))
+      .getField("i")
+  }
+
+  /** Build a persisted IVF index ONCE over a graft corpus table: train
+    * the coarse quantizer at the corpus's current version, assign every
+    * vector through [[cellExpr]] (the SAME rule refresh uses — no
+    * build/refresh assignment skew), and commit the assigned rows with
+    * the centroids, source identity, and applied source version in the
+    * table properties. From then on the index is maintained by
+    * [[refreshIvfIndexTable]] — never rebuilt per query.
+    */
+  def buildIvfIndexTable(cat: graft.table.GraftCatalog,
+                         srcIdent: graft.table.TableIdent,
+                         indexIdent: graft.table.TableIdent,
+                         vecCol: String, idCol: String,
+                         nlist: Int, seed: Long = 42L,
+                         trainFraction: Double = 1.0): graft.table.GraftTable = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val src = cat.load(srcIdent)
+    val cur = src.currentOrFail().version
+    val corpus = src.scanAsOfVersion(cur).select(col(idCol), col(vecCol))
+    val prepped = corpus.select(col(idCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("_features"))
+    val trainSet =
+      if (trainFraction >= 1.0) prepped
+      else prepped.where(pmod(xxhash64(col(idCol)), lit(1000L)) <
+        math.max(1L, math.round(trainFraction * 1000)))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("_features")
+      .fit(trainSet)
+    val centroids = model.clusterCenters.map(_.toArray)
+    val assigned = corpus.withColumn("_cell", cellExpr(col(vecCol), centroids))
+    val tbl = cat.ensure(indexIdent, Some("_cell"))
+    tbl.append(assigned, Map(
+      CentroidsProp -> centroids.map(_.mkString(",")).mkString(";"),
+      VecColProp -> vecCol,
+      IdColProp -> idCol,
+      SourceProp -> s"${srcIdent.namespace}/${srcIdent.name}",
+      AppliedProp -> cur.toString))
+    tbl
+  }
+
+  /** REFRESH a persisted IVF index from its corpus's changelog —
+    * O(changes since last refresh), never O(corpus), and NO retraining:
+    * the slice `(applied, head]` is netted per key (newest version
+    * wins, insert beats delete), inserted vectors are assigned to the
+    * EXISTING centroids via [[cellExpr]], and deletes + upserts land in
+    * ONE [[graft.table.GraftTable.applyNetChanges]] commit that also
+    * advances the applied-version marker under the CAS — exactly-once
+    * under racing refreshers, the replicate/MV marker pattern. Returns
+    * (from, to, action).
+    */
+  def refreshIvfIndexTable(cat: graft.table.GraftCatalog,
+                           indexIdent: graft.table.TableIdent): (Int, Int, String) = {
+    import org.apache.spark.sql.expressions.Window
+    val tbl = cat.load(indexIdent)
+    val props = tbl.currentOrFail().properties
+    val centroids = props(CentroidsProp).split(";").map(_.split(",").map(_.toDouble))
+    val vecCol = props(VecColProp)
+    val idCol = props(IdColProp)
+    val applied = props.getOrElse(AppliedProp,
+      throw new IllegalArgumentException(
+        s"$indexIdent carries no applied-version marker — built by " +
+          "writeIvfIndexTable? rebuild it with buildIvfIndexTable to make " +
+          "it refreshable")).toInt
+    val srcIdent = props(SourceProp).split("/") match {
+      case Array(ns, t) => graft.table.TableIdent(ns, t)
+      case other => sys.error(s"bad ivf source: ${other.mkString("/")}")
+    }
+    val src = cat.load(srcIdent)
+    val to = src.currentOrFail().version
+    if (applied >= to) return (applied, to, "noop")
+    val changes = src.scanChangesBetween(applied, to)
+      .select(col(idCol), col(vecCol), col("_change_type"), col("_commit_version"))
+    val w = Window.partitionBy(col(s"`$idCol`"))
+      .orderBy(col("_commit_version").desc,
+        when(col("_change_type") === "insert", 1).otherwise(0).desc)
+    val last = changes.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).localCheckpoint()
+    if (last.isEmpty) {
+      tbl.updateProperties(Map(AppliedProp -> to.toString),
+        requireParentProps = Map(AppliedProp -> applied.toString))
+      return (applied, to, "empty")
+    }
+    val dels = last.where(col("_change_type") === "delete")
+      .select(col(s"`$idCol`"))
+    val ups = last.where(col("_change_type") === "insert")
+      .select(col(s"`$idCol`"), col(s"`$vecCol`"))
+      .withColumn("_cell", cellExpr(col(s"`$vecCol`"), centroids))
+    tbl.applyNetChanges(dels, ups, Seq(idCol),
+      props = Map(AppliedProp -> to.toString),
+      requireParentProps = Map(AppliedProp -> applied.toString))
+    (applied, to, "incremental")
   }
 
   /** Probe a persisted IVF index table: nearest `nprobe` centroids from

@@ -558,6 +558,53 @@ class GraftStreamSpec extends AnyFunSuite with Matchers {
     repState() shouldBe srcState()
   }
 
+  // Regression pin for the round-13 virgin-replica CAS: two appliers
+  // racing to seed an EMPTY replica both pass the is-empty probe;
+  // without requireVirginParent both appends land and the first batch
+  // double-applies (duplicate rows). The loser must get the CAS
+  // exception and re-net against the winner's snapshot.
+  test("virgin-replica seeding race: concurrent appliers net exactly once") {
+    import spark.implicits._
+    val c = cat()
+    // the CAS primitive itself: second virgin-guarded append aborts
+    val direct = c.ensure(TableIdent("vrace", "direct"))
+    direct.append(Seq((1L, "a")).toDF("id", "g"), requireVirginParent = true)
+    val cme = intercept[java.util.ConcurrentModificationException] {
+      direct.append(Seq((2L, "b")).toDF("id", "g"), requireVirginParent = true)
+    }
+    cme.getMessage should include("virgin")
+    // and the loser's documented remedy converges: re-net the batch
+    GraftStream.applyChangesBatch(
+      Seq((2L, "b", "insert", 1)).toDF("id", "g", "_change_type", "_commit_version"),
+      direct, Seq("id"))
+    direct.scan().count() shouldBe 2
+
+    // the race, end-to-end through applyChangesBatch
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      for (round <- 0 until 5) {
+        val replica = c.ensure(TableIdent("vrace", s"r$round"))
+        val batch = (1 to 40).map(i => (i.toLong, s"v$i", "insert", 1))
+          .toDF("id", "g", "_change_type", "_commit_version")
+          .localCheckpoint()
+        val barrier = new java.util.concurrent.CyclicBarrier(2)
+        val fs = (0 until 2).map { _ =>
+          pool.submit(new Runnable {
+            override def run(): Unit = {
+              barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+              GraftStream.applyChangesBatch(batch, replica, Seq("id"))
+            }
+          })
+        }
+        fs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+        withClue(s"round=$round ") {
+          replica.scan().count() shouldBe 40
+          replica.scan().select("id").distinct().count() shouldBe 40
+        }
+      }
+    } finally pool.shutdownNow()
+  }
+
   test("CDC batch read null-fills columns added after older commits") {
     val (s, _) = streamSession("graft-cdc4")
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft.scdc4")

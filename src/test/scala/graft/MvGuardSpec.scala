@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Regression pins for the materialized-view marker guards (round 13):
+  * every regular view DDL verb aimed at an MV's public view must fail
+  * loudly instead of desyncing the view/storage pair, and no
+  * user-facing surface may plant the reserved `graft.mview` marker on
+  * an ordinary view (which would brick its regular DDL).
+  */
+class MvGuardSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  private def mkMv(ns: String): Unit = {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.src")
+    spark.sql(s"CREATE TABLE graft.$ns.src (g STRING, v DOUBLE)")
+    spark.sql(s"INSERT INTO graft.$ns.src VALUES ('a', 1.0), ('b', 2.0)")
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'm',
+         |  'SELECT g, SUM(v) AS t FROM graft.$ns.src GROUP BY g')""".stripMargin)
+  }
+
+  test("regular DDL on an MV-backing view fails loudly") {
+    val ns = "mvguard"
+    mkMv(ns)
+    def deniedBy(sql: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      withClue(s"sql=$sql got=$e ") {
+        msg should include("materialized view")
+      }
+    }
+    deniedBy(s"DROP VIEW graft.$ns.m")
+    deniedBy(s"ALTER VIEW graft.$ns.m RENAME TO graft.$ns.m2")
+    deniedBy(s"ALTER VIEW graft.$ns.m AS SELECT 1 AS x")
+    deniedBy(s"ALTER VIEW graft.$ns.m SET TBLPROPERTIES ('a'='b')")
+    deniedBy(s"ALTER VIEW graft.$ns.m UNSET TBLPROPERTIES ('a')")
+    deniedBy(s"CREATE OR REPLACE VIEW graft.$ns.m AS SELECT 1 AS x")
+    // the MV still reads and refreshes after every denial
+    spark.sql(s"INSERT INTO graft.$ns.src VALUES ('a', 10.0)")
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
+    spark.sql(s"SELECT t FROM graft.$ns.m WHERE g = 'a'")
+      .head.getDouble(0) shouldBe 11.0
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'm')")
+    spark.sql(s"DROP TABLE graft.$ns.src")
+  }
+
+  test("the reserved marker cannot be planted on an ordinary view") {
+    val ns = "mvguard2"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.t")
+    spark.sql(s"CREATE TABLE graft.$ns.t (x INT)")
+    // CREATE VIEW ... TBLPROPERTIES may not smuggle the marker (or its
+    // namespace) — a hand-marked view would be refused by all regular
+    // DDL and removable only by drop_mview
+    val e1 = intercept[Exception](spark.sql(
+      s"""CREATE VIEW graft.$ns.v TBLPROPERTIES ('graft.mview'='true')
+         |AS SELECT x FROM graft.$ns.t""".stripMargin))
+    e1.getMessage should include("reserved")
+    val e2 = intercept[Exception](spark.sql(
+      s"""CREATE VIEW graft.$ns.v TBLPROPERTIES ('graft.mview.custom'='1')
+         |AS SELECT x FROM graft.$ns.t""".stripMargin))
+    e2.getMessage should include("reserved")
+    // ALTER on a legitimate plain view can't plant it either
+    spark.sql(s"CREATE VIEW graft.$ns.v AS SELECT x FROM graft.$ns.t")
+    val e3 = intercept[Exception](spark.sql(
+      s"ALTER VIEW graft.$ns.v SET TBLPROPERTIES ('graft.mview'='true')"))
+    e3.getMessage should include("reserved")
+    // ordinary properties still work, and the view stays fully DDL-able
+    spark.sql(s"ALTER VIEW graft.$ns.v SET TBLPROPERTIES ('note'='ok')")
+    spark.sql(s"DROP VIEW graft.$ns.v")
+    spark.sql(s"DROP TABLE graft.$ns.t")
+  }
+}

@@ -459,6 +459,49 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
       .collect().map(_.getLong(0)).toSeq shouldBe Seq(8L)
   }
 
+  test("IVF index lifecycle: build once, refresh incrementally, never retrain") {
+    val s = spark
+    import s.implicits._
+    val cat = graft.table.GraftCatalog(s,
+      java.nio.file.Files.createTempDirectory("graft-ivf-life").toString)
+    def vec(i: Long) = Seq.tabulate(8)(d => math.sin(i * 17 + d * 3).toFloat)
+    val srcIdent = graft.table.TableIdent("ops", "corpus")
+    val idxIdent = graft.table.TableIdent("ops", "idx")
+    val src = cat.ensure(srcIdent)
+    src.append((1L to 60L).map(i => (i, vec(i))).toDF("id", "v"))
+    val idx = Similarity.buildIvfIndexTable(cat, srcIdent, idxIdent, "v", "id", nlist = 4)
+    val centroids0 = idx.currentOrFail().properties(Similarity.CentroidsProp)
+    // no source movement → noop, marker untouched
+    Similarity.refreshIvfIndexTable(cat, idxIdent)._3 shouldBe "noop"
+    // appends + a delete net through ONE refresh, assigned to the
+    // frozen centroids
+    src.append((61L to 90L).map(i => (i, vec(i))).toDF("id", "v"))
+    src.deleteWhere("id <= 10")
+    val (from, to, action) = Similarity.refreshIvfIndexTable(cat, idxIdent)
+    action shouldBe "incremental"
+    from should be < to
+    val idx2 = cat.load(idxIdent)
+    idx2.currentOrFail().properties(Similarity.CentroidsProp) shouldBe centroids0
+    idx2.scan().select("id").collect().map(_.getLong(0)).sorted shouldBe
+      (11L to 90L).toArray
+    // cell assignment parity: every index row sits in the cell the
+    // stored centroids assign its vector to (build == refresh rule)
+    val cents = centroids0.split(";").map(_.split(",").map(_.toDouble))
+    idx2.scan().where(col("_cell") =!=
+      Similarity.cellExpr(col("v"), cents)).count() shouldBe 0L
+    // a delete-only slice refreshes too
+    src.deleteWhere("id > 85")
+    Similarity.refreshIvfIndexTable(cat, idxIdent)._3 shouldBe "incremental"
+    cat.load(idxIdent).scan().count() shouldBe 75L
+    // a probe off the maintained index matches brute force over the
+    // live corpus at generous nprobe
+    val query = vec(42L)
+    Similarity.ivfTopKFromTable(cat.load(idxIdent), query, k = 5, nprobe = 4)
+      .collect().map(_.getLong(0)).toSeq shouldBe
+      Similarity.bruteForceTopK(cat.load(srcIdent).scan(), "v", "id", query, 5)
+        .collect().map(_.getLong(0)).toSeq
+  }
+
   test("rangeJoin matches exactly the naive theta-join overlap result") {
     import graft.operators.RangeJoin
     val s = spark
