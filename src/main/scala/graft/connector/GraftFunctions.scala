@@ -54,3 +54,64 @@ object GraftBucketFunction extends UnboundFunction {
       expr.eval(input).asInstanceOf[Int]
   }
 }
+
+/** The `days` V2 function — resolved when Spark turns a reported
+  * `days(ts)` scan partitioning into a Catalyst `TransformExpression`,
+  * which is what lets two tables day-partitioned on the same column
+  * join their temporal key shuffle-free. Result is DATE (internal
+  * epoch days), the type [[GraftPartitionKeys]] parses the stored
+  * `yyyy-MM-dd` partition-value strings into.
+  *
+  * Semantics match the write path ([[graft.partitioning.Transform.Day]],
+  * `date_format(src, "yyyy-MM-dd")`): wall-clock day for DATE and
+  * TIMESTAMP_NTZ sources (timezone-free by construction); for zoned
+  * TIMESTAMP the write path formats in the SESSION timezone, so the
+  * bound function captures it at bind (planning) time and embeds it in
+  * the canonical name — two scans only claim compatibility when their
+  * day boundaries actually agree.
+  */
+object GraftDaysFunction extends UnboundFunction {
+
+  override def name(): String = "days"
+
+  override def description(): String =
+    "days(ts): graft's day partition transform, the source's calendar day"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"days expects one argument, got ${inputType.simpleString}")
+    val vt = inputType.fields(0).dataType
+    vt match {
+      case DateType | TimestampNTZType | TimestampType => new Bound(vt)
+      case other => throw new UnsupportedOperationException(
+        s"days does not accept ${other.catalogString}")
+    }
+  }
+
+  private final class Bound(vt: DataType) extends ScalarFunction[Integer] {
+    private val zone: String = vt match {
+      case TimestampType =>
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+      case _ => "UTC"
+    }
+    override def inputTypes(): Array[DataType] = Array(vt)
+    override def resultType(): DataType = DateType
+    override def isResultNullable: Boolean = true
+    override def name(): String = "days"
+    override def canonicalName(): String = vt match {
+      case TimestampType => s"graft.days(${vt.catalogString} @ $zone)"
+      case _ => s"graft.days(${vt.catalogString})"
+    }
+
+    override def produceResult(input: InternalRow): Integer =
+      if (input.isNullAt(0)) null
+      else vt match {
+        case DateType => Integer.valueOf(input.getInt(0))
+        case TimestampNTZType =>
+          Integer.valueOf(Math.floorDiv(input.getLong(0), 86400000000L).toInt)
+        case _ =>
+          Integer.valueOf(org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .microsToDays(input.getLong(0), java.time.ZoneId.of(zone)))
+      }
+  }
+}

@@ -453,19 +453,22 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 
   // ---- V2 functions (storage-partitioned join resolution) -----------
 
-  /** `bucket` is the one V2 function: Spark loads it (top-level
+  /** `bucket` and `days` V2 functions: Spark loads them (top-level
     * identifier, empty namespace) when resolving a reported
-    * `bucket(n, col)` scan partitioning into the Catalyst
+    * `bucket(n, col)` / `days(ts)` scan partitioning into the Catalyst
     * `TransformExpression` storage-partitioned joins compare.
     */
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.namespace().isEmpty && ident.name().equalsIgnoreCase("bucket"))
       GraftBucketFunction
+    else if (ident.namespace().isEmpty && ident.name().equalsIgnoreCase("days"))
+      GraftDaysFunction
     else throw new NoSuchFunctionException(ident)
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    if (namespace.isEmpty) Array(
+      Identifier.of(Array.empty, "bucket"), Identifier.of(Array.empty, "days"))
     else Array.empty
 
   // ---- partition-transform mapping ----------------------------------

@@ -16,7 +16,7 @@ import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{Filter, InsertableRelation}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import scala.jdk.CollectionConverters._
@@ -325,21 +325,25 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
 
   /** The ordered partition fields whose key domain round-trips exactly
     * from the stored partition-value strings: bucket (key = bucket id,
-    * INT) or identity over an integral/string/date column. A spec
-    * whose fields are ALL in the domain — `identity(region),
-    * bucket(16, id)`, the canonical 100-TB layout — reports the full
-    * value TUPLE as the grouping key and joins shuffle-free on it.
+    * INT), identity over an integral/string/date column, or `day` over
+    * a date / wall-clock timestamp (key = epoch day parsed from the
+    * stored `yyyy-MM-dd` string; zoned timestamps only under a UTC
+    * session, where the write path's `date_format` day boundary
+    * matches the reported `days` function's). A spec whose fields are
+    * ALL in the domain — `day(ts), bucket(16, id)`, the canonical
+    * 100-TB layout — reports the full value TUPLE as the grouping key
+    * and joins shuffle-free on it.
     *
-    * Fields OUTSIDE the round-trip domain (year/month/day/hour/
-    * truncate/void) are dropped from the reported key rather than
-    * disabling SPJ wholesale: for `days(ts), bucket(16, id)` the scan
-    * reports `bucket(id)` alone, and [[spjGroups]] groups files by
-    * that SUBSET tuple — every row with bucket b really is in input
-    * partition b (all days of it), so the clustering claim stays
-    * exact and a join on `id` alone avoids shuffling the big side.
-    * The trade is coarser tasks (one per surviving-tuple value, days
-    * folded together) while the bucketing conf is on — bucket count
-    * remains the parallelism dial. An empty surviving set reports
+    * Fields OUTSIDE the round-trip domain (year/month/hour/truncate/
+    * void) are dropped from the reported key rather than disabling SPJ
+    * wholesale: for `months(ts), bucket(16, id)` the scan reports
+    * `bucket(id)` alone, and [[spjGroups]] groups files by that SUBSET
+    * tuple — every row with bucket b really is in input partition b
+    * (all months of it), so the clustering claim stays exact and a
+    * join on `id` alone avoids shuffling the big side. The trade is
+    * coarser tasks (one per surviving-tuple value, months folded
+    * together) while the bucketing conf is on — bucket count remains
+    * the parallelism dial. An empty surviving set reports
     * UnknownPartitioning as before.
     *
     * Fields whose SOURCE COLUMN was pruned out of the scan output are
@@ -363,6 +367,14 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
             case graft.partitioning.Transform.Identity =>
               snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol)).collect {
                 case f if GraftPartitionKeys.keyDomain(f.dataType) => pf -> f.dataType
+              }
+            case graft.partitioning.Transform.Day =>
+              snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol)).collect {
+                case f if f.dataType == DateType || f.dataType == TimestampNTZType ||
+                    (f.dataType == TimestampType &&
+                      org.apache.spark.sql.internal.SQLConf.get
+                        .sessionLocalTimeZone == "UTC") =>
+                  pf -> (DateType: DataType)
               }
             case _ => None
           }
@@ -408,14 +420,55 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
       }
     }
 
+  /** Hot-group splitting (partially-clustered SPJ): one task per key
+    * tuple makes a skewed bucket ONE giant straggler. When the user
+    * opted into Spark's partially-clustered distribution, each frozen
+    * key group is bin-packed into `spark.sql.files.maxPartitionBytes`
+    * chunks that all carry the SAME partition key — Spark then keeps
+    * the hot side split into parallel tasks and replicates the other
+    * side's matching partitions, while with the conf off it would only
+    * re-merge the chunks into one task per key, so splitting is gated
+    * on the conf to keep the default plan byte-identical. Chunk
+    * boundaries freeze with the groups: runtime filters may empty a
+    * chunk but never change the reported partition count.
+    */
+  private def partiallyClusteredOn: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.getConfString(
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+      "false").toBoolean
+
+  private lazy val spjPlannedGroups: Option[Seq[(InternalRow, Seq[DataFile])]] =
+    spjGroups.map { groups =>
+      if (!partiallyClusteredOn) groups
+      else {
+        val maxBytes = org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
+        groups.flatMap { case (k, fs) =>
+          val chunks = scala.collection.mutable.ArrayBuffer(
+            scala.collection.mutable.ArrayBuffer.empty[DataFile])
+          var acc = 0L
+          fs.foreach { f =>
+            if (chunks.last.nonEmpty && acc + f.sizeBytes > maxBytes) {
+              chunks += scala.collection.mutable.ArrayBuffer.empty[DataFile]
+              acc = 0L
+            }
+            chunks.last += f
+            acc += f.sizeBytes
+          }
+          chunks.map(c => (k, c.toSeq)).toSeq
+        }
+      }
+    }
+
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    (if (v2BucketingOn) spjGroups else None) match {
+    (if (v2BucketingOn) spjPlannedGroups else None) match {
       case Some(groups) =>
         val keys = spjFields.get.map { case (pf, _) =>
           pf.transform match {
             case graft.partitioning.Transform.Bucket(n) =>
               org.apache.spark.sql.connector.expressions.Expressions.bucket(n, pf.sourceCol)
+            case graft.partitioning.Transform.Day =>
+              org.apache.spark.sql.connector.expressions.Expressions.days(pf.sourceCol)
             case _ =>
               org.apache.spark.sql.connector.expressions.Expressions.identity(pf.sourceCol)
           }
@@ -426,7 +479,7 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }
 
-  override def toBatch: Batch = (if (v2BucketingOn) spjGroups else None) match {
+  override def toBatch: Batch = (if (v2BucketingOn) spjPlannedGroups else None) match {
     case Some(groups) =>
       // intersect each frozen group with the CURRENT file set (runtime
       // filters only ever remove files) — keys stay stable, empty

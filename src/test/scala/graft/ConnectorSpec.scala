@@ -479,16 +479,19 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv2")
     spark.sql("CREATE TABLE graft.mv2.t (k STRING, v DOUBLE)")
     spark.sql("INSERT INTO graft.mv2.t VALUES ('a', 1.0), ('a', 3.0), ('b', 10.0)")
-    // AVG cannot retract -> full mode
+    // DISTINCT cannot be maintained from signed deltas -> full mode
+    // (AVG/MIN/MAX graduated to incremental in round 14 — MvRandomSpec
+    // pins that; this test keeps the fallback path honest)
     spark.sql(
       """CALL graft.system.create_mview('mv2', 'avgs',
-        |  'SELECT k, AVG(v) AS mean FROM graft.mv2.t GROUP BY k')""".stripMargin)
+        |  'SELECT k, COUNT(DISTINCT v) AS dv, AVG(v) AS mean
+        |   FROM graft.mv2.t GROUP BY k')""".stripMargin)
       .head.getString(0) shouldBe "full"
     spark.sql("INSERT INTO graft.mv2.t VALUES ('b', 20.0)")
     spark.sql("CALL graft.system.refresh_mview('mv2', 'avgs', false)")
       .head.getString(2) shouldBe "full"
-    spark.sql("SELECT mean FROM graft.mv2.avgs WHERE k = 'b'")
-      .head.getDouble(0) shouldBe 15.0
+    spark.sql("SELECT dv, mean FROM graft.mv2.avgs WHERE k = 'b'")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe Seq((2L, 15.0))
     // a non-graft source has no changelog: refused loudly
     spark.range(3).createOrReplaceTempView("mv2_tmp")
     intercept[Exception] {
@@ -2060,9 +2063,12 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
       partial.collect().length shouldBe 40
       partial.queryExecution.executedPlan.toString should not include "Exchange"
 
-      // (b) mixed-domain spec (days not key-domain-reportable): the
-      // scan reports the bucket(k) SUBSET and groups files by it, so
-      // the canonical days(ts), bucket(k) layout joins on k unshuffled
+      // (b) mixed-domain in practice: `ts` is pruned from the scan
+      // output (the query never reads it), so the day field drops from
+      // the reported key and the scan groups files by the bucket(k)
+      // SUBSET — the canonical days(ts), bucket(k) layout joins on k
+      // unshuffled. (day itself became key-domain-reportable in round
+      // 14 — the temporal-SPJ test covers the full-tuple case.)
       spark.sql(
         """CREATE TABLE graft.nsspjp.factd (ts TIMESTAMP_NTZ, k BIGINT, v DOUBLE)
           |PARTITIONED BY (days(ts), bucket(4, k))""".stripMargin)
@@ -2090,6 +2096,80 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
           |WHERE ts < TIMESTAMP_NTZ '2024-01-02 00:00:00'""".stripMargin)
         .collect().map(_.getLong(0)).sorted.toSeq shouldBe
         (0L until 120L).filter(_ % 5 == 0).toSeq
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  // Round-14 SPJ widening: days(ts) joins co-locate on the full
+  // (day, bucket) tuple, and a skewed hot bucket splits into several
+  // same-key tasks under partially-clustered distribution while the
+  // join stays Exchange-free.
+  test("SPJ: days(ts) in the key domain and hot-bucket splitting stay Exchange-free") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+      "spark.sql.files.maxPartitionBytes",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsspjt")
+      // (a) temporal key: both sides day-partitioned, join carries ts —
+      // the scan reports days(ts) (resolved through the catalog's V2
+      // `days` function) and the join runs with no Exchange
+      spark.sql(
+        """CREATE TABLE graft.nsspjt.factt (ts TIMESTAMP_NTZ, k BIGINT, v DOUBLE)
+          |PARTITIONED BY (days(ts), bucket(4, k))""".stripMargin)
+      spark.sql(
+        """CREATE TABLE graft.nsspjt.dimt (ts TIMESTAMP_NTZ, k BIGINT, label STRING)
+          |PARTITIONED BY (days(ts), bucket(4, k))""".stripMargin)
+      spark.sql(
+        """INSERT INTO graft.nsspjt.factt
+          |SELECT TIMESTAMP_NTZ '2024-01-01 00:00:00' + make_interval(0,0,0,CAST(id % 5 AS INT)),
+          |       id, CAST(id AS DOUBLE) FROM range(0, 120)""".stripMargin)
+      spark.sql(
+        """INSERT INTO graft.nsspjt.dimt
+          |SELECT TIMESTAMP_NTZ '2024-01-01 00:00:00' + make_interval(0,0,0,CAST(id % 5 AS INT)),
+          |       id, CONCAT('n', id) FROM range(0, 40)""".stripMargin)
+      val temporal = spark.sql(
+        """SELECT f.k, f.ts, d.label FROM graft.nsspjt.factt f
+          |JOIN graft.nsspjt.dimt d ON f.ts = d.ts AND f.k = d.k""".stripMargin)
+      temporal.collect().map(_.getLong(0)).sorted.toSeq shouldBe (0L until 40L)
+      temporal.queryExecution.executedPlan.toString should not include "Exchange"
+
+      // (b) hot-bucket splitting: bucket(2, k) with id%2 keys makes two
+      // physical buckets, each fed by several commits (files). Under
+      // partially-clustered distribution + a tiny maxPartitionBytes the
+      // scan reports one chunk PER FILE (same key), Spark keeps the hot
+      // side split and replicates the dim's matching partitions — more
+      // tasks than buckets, still no Exchange, exact rows
+      conf.set("spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "true")
+      conf.set("spark.sql.files.maxPartitionBytes", "1")
+      spark.sql(
+        """CREATE TABLE graft.nsspjt.facts (k BIGINT, v DOUBLE)
+          |PARTITIONED BY (bucket(2, k))""".stripMargin)
+      spark.sql(
+        """CREATE TABLE graft.nsspjt.dims (k BIGINT, label STRING)
+          |PARTITIONED BY (bucket(2, k))""".stripMargin)
+      // three commits → ≥3 files per hot bucket
+      for (c <- 0 until 3)
+        spark.sql(
+          s"INSERT INTO graft.nsspjt.facts SELECT id, CAST(id AS DOUBLE) " +
+            s"FROM range(${c * 40}, ${c * 40 + 40})")
+      spark.sql(
+        "INSERT INTO graft.nsspjt.dims SELECT id, CONCAT('n', id) FROM range(0, 120)")
+      val skew = spark.sql(
+        """SELECT f.k, f.v, d.label FROM graft.nsspjt.facts f
+          |JOIN graft.nsspjt.dims d ON f.k = d.k""".stripMargin)
+      skew.collect().map(_.getLong(0)).sorted.toSeq shouldBe (0L until 120L)
+      skew.queryExecution.executedPlan.toString should not include "Exchange"
+      // the hot side really split: more join tasks than distinct buckets
+      skew.rdd.getNumPartitions should be > 2
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)
