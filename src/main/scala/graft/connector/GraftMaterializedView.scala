@@ -33,12 +33,19 @@ import org.json4s.jackson.JsonMethods
   * under retries with no external checkpoint.
   *
   * Incremental capability is decided ONCE at create by shape analysis
-  * of the analyzed plan: single graft source, optional deterministic
-  * WHERE, GROUP BY deterministic expressions, aggregates limited to
-  * SUM / COUNT / COUNT(*) / AVG / MIN / MAX (no DISTINCT, no FILTER
-  * clauses). Everything else (joins, decimal AVG, window functions,
-  * nested views) falls back to FULL refresh, which recomputes and
-  * overwrites. The maintenance algebra per aggregate kind:
+  * of the analyzed plan: one graft FACT — bare, or the leftmost leaf
+  * of a left-deep chain of inner/left-outer joins onto bare graft
+  * DIMENSIONS — an optional deterministic WHERE, GROUP BY
+  * deterministic expressions, aggregates limited to SUM / COUNT /
+  * COUNT(*) / AVG / MIN / MAX (no DISTINCT, no FILTER clauses).
+  * Everything else (DISTINCT, decimal AVG, window functions, nested
+  * views, non-fact-preserving joins) falls back to FULL refresh, which
+  * recomputes and overwrites. Join maintenance pins every dimension AS
+  * OF the version the stored rows were built with, so the signed fact
+  * changelog retracts exactly; a dimension that MOVES triggers one
+  * full recompute that re-pins it (the star-schema contract:
+  * dimensions slow, fact fast). The maintenance algebra per aggregate
+  * kind:
   *
   *  - SUM/COUNT/COUNT(*): exactly retraction-safe — signed deltas add.
   *    Bookkeeping: `_mv_rows` = COUNT(*) per group (a group vanishes
@@ -74,12 +81,14 @@ object GraftMaterializedView {
 
   val StorageSuffix = "__rows"
   val SqlProp = "graft.mview.sql"
-  val SourceProp = "graft.mview.source" // "<ns>/<table>" under the same warehouse
+  val SourceProp = "graft.mview.source" // FACT "<ns>/<table>" under the same warehouse
   val AppliedProp = "graft.mview.applied-version"
   val ModeProp = "graft.mview.mode" // incremental | full
   val FilterProp = "graft.mview.filter" // '' = none
   val GroupProp = "graft.mview.group" // JSON [[name, sql], ...]
   val AggProp = "graft.mview.aggs" // JSON [[name, kind, sql], ...]
+  val DimsProp = "graft.mview.dims" // JSON [[rel, joinType, condSql], ...]
+  val DimVersProp = "graft.mview.dim-versions" // JSON [[rel, version], ...]
   val RowsCol = "_mv_rows"
   def nnCol(i: Int): String = s"_mv_nn_$i"
   def asCol(i: Int): String = s"_mv_as_$i" // AVG running double sum
@@ -90,6 +99,18 @@ object GraftMaterializedView {
   final case class Shape(filter: Option[String],
                          groups: Seq[(String, String)],
                          aggs: Seq[AggSpec])
+
+  /** A dimension side of a maintainable join: the bare graft relation,
+    * the join type ("inner" | "left_outer", fact always on the left),
+    * and the deterministic ON condition's SQL.
+    */
+  final case class DimSpec(table: GraftTable, joinType: String, condSql: String)
+
+  /** A fully-analyzed maintainable shape: the FACT (whose changelog
+    * drives refresh), the static dimension joins, and the
+    * filter/group/agg shape over the joined row.
+    */
+  final case class JoinShape(fact: GraftTable, dims: Seq[DimSpec], shape: Shape)
 
   private def specJson(pairs: Seq[Seq[String]]): String =
     JsonMethods.compact(JsonMethods.render(
@@ -140,11 +161,19 @@ object GraftMaterializedView {
         r.relation.toString
     }
 
-  /** Incremental shape: Aggregate over (Filter over)? the bare source
-    * relation. Rejections return the reason (recorded nowhere, but kept
-    * for error clarity during create).
+  /** Incremental shape: Aggregate over (Filter over)? either the bare
+    * FACT relation or a LEFT-DEEP chain of inner/left-outer joins whose
+    * leftmost leaf is the fact and every right side is a bare graft
+    * dimension. Joined shapes are maintainable because refresh pins
+    * every dimension AS OF the version the stored rows were built with:
+    * a signed fact-changelog row then joins to exactly the dim rows its
+    * original apply saw, so retraction is exact. (A dimension that
+    * MOVES invalidates that — refresh detects it and falls back to one
+    * full recompute, re-pinning the dims.) Column names must be
+    * globally unique across the join inputs: the stored shape SQL is
+    * unqualified. Rejections return the reason.
     */
-  private def analyzeShape(analyzed: LogicalPlan): Either[String, Shape] = {
+  private def analyzeShape(analyzed: LogicalPlan): Either[String, JoinShape] = {
     unwrapAliases(analyzed) match {
       case Aggregate(groupingExprs, aggExprs, child, _) =>
         val (filterSql, rel) = unwrapAliases(child) match {
@@ -153,9 +182,47 @@ object GraftMaterializedView {
             (Some(plainSql(cond)), unwrapAliases(rel2))
           case rel2 => (None, rel2)
         }
-        rel match {
-          case r: DataSourceV2Relation if r.table.isInstanceOf[GraftV2Table] => ()
-          case _ => return Left("source is not a bare graft table scan")
+        def graftLeaf(p: LogicalPlan): Option[DataSourceV2Relation] =
+          unwrapAliases(p) match {
+            case r: DataSourceV2Relation if r.table.isInstanceOf[GraftV2Table] => Some(r)
+            case _ => None
+          }
+        def unroll(p: LogicalPlan): Either[String,
+            (DataSourceV2Relation, List[(DataSourceV2Relation, String, String)])] =
+          unwrapAliases(p) match {
+            case r: DataSourceV2Relation if r.table.isInstanceOf[GraftV2Table] =>
+              Right((r, Nil))
+            case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+              val jt = j.joinType match {
+                case org.apache.spark.sql.catalyst.plans.Inner => "inner"
+                case org.apache.spark.sql.catalyst.plans.LeftOuter => "left_outer"
+                case other => return Left(s"unsupported join type $other " +
+                  "(fact-preserving inner/left-outer only)")
+              }
+              val d = graftLeaf(j.right).getOrElse(
+                return Left("join right side is not a bare graft table"))
+              val cond = j.condition.getOrElse(return Left("join without an ON condition"))
+              if (!cond.deterministic) return Left("nondeterministic join condition")
+              unroll(j.left).map { case (f0, ds) => (f0, ds :+ ((d, jt, plainSql(cond)))) }
+            case _ => Left("source is not a bare graft table scan or a " +
+              "left-deep join of graft tables")
+          }
+        val (factRel, dimRels) = unroll(rel) match {
+          case Right(x) => x
+          case Left(reason) => return Left(reason)
+        }
+        if (dimRels.nonEmpty) {
+          val names = (factRel.output ++ dimRels.flatMap(_._1.output))
+            .map(_.name.toLowerCase)
+          if (names.distinct.size != names.size)
+            return Left("ambiguous column names across join inputs — the " +
+              "stored shape SQL is unqualified, so every column name must " +
+              "be unique across the fact and dimensions")
+          val factDir = factRel.table.asInstanceOf[GraftV2Table].underlying.tableDir
+          if (dimRels.exists(_._1.table.asInstanceOf[GraftV2Table]
+              .underlying.tableDir == factDir))
+            return Left("self-join of the fact table — both sides change " +
+              "together, so dimension pinning cannot make retraction exact")
         }
         if (groupingExprs.exists(!_.deterministic)) return Left("nondeterministic GROUP BY")
         if (groupingExprs.isEmpty) return Left("global aggregate (no GROUP BY)")
@@ -223,10 +290,23 @@ object GraftMaterializedView {
             "the defining query")
         val shape = Shape(filterSql, groups.result(), aggs.result())
         if (shape.groups.isEmpty) return Left("no grouping columns in output")
-        Right(shape)
+        Right(JoinShape(
+          factRel.table.asInstanceOf[GraftV2Table].underlying,
+          dimRels.map { case (d, jt, c) =>
+            DimSpec(d.table.asInstanceOf[GraftV2Table].underlying, jt, c)
+          },
+          shape))
       case _ => Left("not a plain GROUP BY aggregate")
     }
   }
+
+  /** Fold the dimension joins onto a fact frame. Catalyst plans the
+    * physical join (dims under the broadcast threshold — the typical
+    * star-schema case — broadcast; bigger ones shuffle normally).
+    */
+  private def joinBase(fact: DataFrame,
+                       dims: Seq[(DataFrame, String, String)]): DataFrame =
+    dims.foldLeft(fact) { case (acc, (d, jt, cond)) => acc.join(d, expr(cond), jt) }
 
   /** The grouped materialization frame (public + bookkeeping columns)
     * over `base`, per the stored shape. The AVG public column is
@@ -332,15 +412,12 @@ object GraftMaterializedView {
     require(foreign.isEmpty,
       s"materialized view reads non-graft source(s) ${foreign.mkString(", ")} " +
         "— their changes are untracked, so the view would have no staleness contract")
-    val srcDirs = sources.map(_.tableDir.toString).distinct
-    require(srcDirs.size == 1,
-      s"materialized views require exactly ONE graft source table, found " +
-        s"${srcDirs.size}${if (srcDirs.nonEmpty) ": " + srcDirs.mkString(", ") else ""}")
-    val src = sources.head
     val wh = cat.warehouse.toString.stripSuffix("/")
-    val rel = src.tableDir.toString.stripPrefix(wh).stripPrefix("/")
-    require(src.tableDir.toString.startsWith(wh),
-      s"source ${src.tableDir} is not under this catalog's warehouse $wh")
+    def relOf(t: GraftTable): String = {
+      require(t.tableDir.toString.startsWith(wh),
+        s"source ${t.tableDir} is not under this catalog's warehouse $wh")
+      t.tableDir.toString.stripPrefix(wh).stripPrefix("/")
+    }
 
     val storageIdent = TableIdent(ns, name + StorageSuffix)
     val viewStore = new GraftViewStore(cat.fs, cat.warehouse)
@@ -349,16 +426,43 @@ object GraftMaterializedView {
     require(!cat.exists(storageIdent),
       s"cannot create materialized view $ns.$name: storage table ${storageIdent.name} exists")
 
+    val shaped = analyzeShape(analyzed)
+    // the FACT drives the staleness contract; full mode needs exactly
+    // one source to track (an unanalyzable multi-table shape has no
+    // meaningful single marker — refuse loudly instead of silently
+    // registering a view that never notices a source moved)
+    val src = shaped match {
+      case Right(js) => js.fact
+      case Left(reason) =>
+        val srcDirs = sources.map(_.tableDir.toString).distinct
+        require(srcDirs.size == 1,
+          s"materialized view shape is not incrementally maintainable " +
+            s"($reason), and FULL mode tracks exactly ONE graft source — " +
+            s"found ${srcDirs.size}" +
+            (if (srcDirs.nonEmpty) ": " + srcDirs.mkString(", ") else ""))
+        sources.head
+    }
+    val rel = relOf(src)
     val cur = src.currentOrFail().version
-    val (mode, frame, shapeProps) = analyzeShape(analyzed) match {
-      case Right(shape) =>
-        val f = grouped(
-          shape.filter.fold(src.scanAsOfVersion(cur))(src.scanAsOfVersion(cur).where),
-          shape)
+    val (mode, frame, shapeProps) = shaped match {
+      case Right(js) =>
+        val dimInfo = js.dims.map { d =>
+          val v = d.table.currentOrFail().version
+          (relOf(d.table), v, d.table.scanAsOfVersion(v), d.joinType, d.condSql)
+        }
+        val base0 = joinBase(src.scanAsOfVersion(cur),
+          dimInfo.map(i => (i._3, i._4, i._5)))
+        val f = grouped(js.shape.filter.fold(base0)(base0.where), js.shape)
+        val dimProps =
+          if (js.dims.isEmpty) Map.empty[String, String]
+          else Map(
+            DimsProp -> specJson(dimInfo.map(i => Seq(i._1, i._4, i._5))),
+            DimVersProp -> specJson(dimInfo.map(i => Seq(i._1, i._2.toString))))
         ("incremental", f, Map(
-          FilterProp -> shape.filter.getOrElse(""),
-          GroupProp -> specJson(shape.groups.map(p => Seq(p._1, p._2))),
-          AggProp -> specJson(shape.aggs.map(a => Seq(a.name, a.kind, a.sql)))))
+          FilterProp -> js.shape.filter.getOrElse(""),
+          GroupProp -> specJson(js.shape.groups.map(p => Seq(p._1, p._2))),
+          AggProp -> specJson(js.shape.aggs.map(a => Seq(a.name, a.kind, a.sql)))) ++
+          dimProps)
       case Left(_) => ("full", spark.sql(sql), Map.empty[String, String])
     }
     // an optional partition spec over the GROUP columns (e.g.
@@ -404,22 +508,61 @@ object GraftMaterializedView {
     }
     val src = cat.load(srcRel)
     val to = src.currentOrFail().version
-    if (applied >= to) return (applied, to, "noop")
 
-    if (mode == "full" || forceFull) {
+    // dimension joins: pinned AS OF the versions the stored rows were
+    // built with. A dim that moved invalidates the pinning — one full
+    // recompute re-pins it; until then every incremental slice joins
+    // the signed fact rows to exactly the dim rows their original
+    // apply saw, which is what makes retraction exact.
+    val dimTbls: Seq[(String, GraftTable, String, String)] =
+      props.get(DimsProp).map(specFromJson(_).map {
+        case Seq(r, jt, c) =>
+          val ident = r.split("/") match {
+            case Array(dns, dt) => TableIdent(dns, dt)
+            case other => sys.error(s"bad mview dim: ${other.mkString("/")}")
+          }
+          (r, cat.load(ident), jt, c)
+      }).getOrElse(Nil)
+    val dimVers: Map[String, Int] =
+      props.get(DimVersProp).map(specFromJson(_).map {
+        case Seq(r, v) => r -> v.toInt
+      }.toMap).getOrElse(Map.empty)
+    def pinnedVer(r: String): Int = dimVers.getOrElse(r, sys.error(
+      s"materialized view $ns.$name: dimension $r carries no pinned version"))
+    val dimsMoved = dimTbls.exists { case (r, t, _, _) =>
+      t.currentOrFail().version != pinnedVer(r)
+    }
+    if (applied >= to && !dimsMoved) return (applied, to, "noop")
+
+    def pinnedJoin(factDf: DataFrame, vers: String => Int): DataFrame =
+      joinBase(factDf, dimTbls.map { case (r, t, jt, c) =>
+        (t.scanAsOfVersion(vers(r)), jt, c)
+      })
+
+    if (mode == "full" || forceFull || dimsMoved) {
       val frame =
         if (mode == "full") spark.sql(sql)
-        else grouped({
+        else {
           val shape = shapeFromProps(props)
-          shape.filter.fold(src.scanAsOfVersion(to))(src.scanAsOfVersion(to).where)
-        }, shapeFromProps(props))
-      storage.overwrite(frame, props = props ++ Map(AppliedProp -> to.toString))
+          val curVers = dimTbls.map { case (r, t, _, _) =>
+            r -> t.currentOrFail().version
+          }.toMap
+          val base0 = pinnedJoin(src.scanAsOfVersion(to), curVers)
+          grouped(shape.filter.fold(base0)(base0.where), shape)
+        }
+      val dimProp =
+        if (dimTbls.isEmpty) Map.empty[String, String]
+        else Map(DimVersProp -> specJson(dimTbls.map { case (r, t, _, _) =>
+          Seq(r, t.currentOrFail().version.toString)
+        }))
+      storage.overwrite(frame,
+        props = props ++ Map(AppliedProp -> to.toString) ++ dimProp)
       return (applied, to, "full")
     }
 
     val shape = shapeFromProps(props)
     val d =
-      try delta(src.scanChangesBetween(applied, to), shape)
+      try delta(pinnedJoin(src.scanChangesBetween(applied, to), pinnedVer), shape)
         // one evaluation: the delta feeds the bounds probe, the merge
         // join, and both applyNetChanges sides
         .localCheckpoint()
@@ -556,8 +699,10 @@ object GraftMaterializedView {
       else {
         val keyRows = needs.select(groupNames.map(n => col(s"`$n`")): _*)
           .localCheckpoint()
-        val srcBase0 = shape.filter.fold(src.scanAsOfVersion(to))(
-          src.scanAsOfVersion(to).where)
+        val srcBase0 = {
+          val b = pinnedJoin(src.scanAsOfVersion(to), pinnedVer)
+          shape.filter.fold(b)(b.where)
+        }
         // parquet-pushdown narrowing on the group expressions (Column
         // conjuncts carry exact literals, so no binary-float skip here)
         val groupExpr = shape.groups.toMap

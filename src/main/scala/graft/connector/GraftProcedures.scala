@@ -429,10 +429,33 @@ object GraftProcedures {
                   "empty/new table")
             case None =>
               // bootstrap: the source's whole current state, marker in
-              // the same commit
-              dst.append(src.scanAsOfVersion(cur),
-                props = Map(markerKey -> cur.toString))
-              new GenericInternalRow(Array[Any](-1, cur, utf("bootstrap")))
+              // the same commit. Virgin-parent CAS: two replicates
+              // racing the first call both read marker=None — without
+              // the guard both appends land and the replica doubles
+              // (the same race round 13 closed in applyChangesBatch).
+              // The loser defers to the winner's marker and applies
+              // only the remainder.
+              try {
+                dst.append(src.scanAsOfVersion(cur),
+                  props = Map(markerKey -> cur.toString),
+                  requireVirginParent = true)
+                new GenericInternalRow(Array[Any](-1, cur, utf("bootstrap")))
+              } catch {
+                case _: java.util.ConcurrentModificationException =>
+                  val l2 = dst.current().flatMap(_.properties.get(markerKey))
+                    .map(_.toInt).getOrElse(throw new IllegalStateException(
+                      s"replica $dstIdent was seeded concurrently but " +
+                        s"carries no $markerKey marker — not a replicate seed"))
+                  if (l2 >= cur)
+                    new GenericInternalRow(Array[Any](l2, cur, utf("noop")))
+                  else {
+                    graft.streaming.GraftStream.applyChangesBatch(
+                      src.scanChangesBetween(l2, cur), dst, keys,
+                      props = Map(markerKey -> cur.toString),
+                      requireParentProps = Map(markerKey -> l2.toString))
+                    new GenericInternalRow(Array[Any](l2, cur, utf("applied")))
+                  }
+              }
             case Some(l) if l >= cur =>
               new GenericInternalRow(Array[Any](l, cur, utf("noop")))
             case Some(l) =>

@@ -789,6 +789,73 @@ object TableQueries {
              |  AND l_orderkey > 10000
              |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)),
 
+    // Join MV: fact (lineitem) joined to a static dimension (orders),
+    // group key drawn from the DIM side, maintained incrementally from
+    // the fact changelog with the dim pinned — then the dim moves (a
+    // dangling key that matches no fact row) and exactly one refresh
+    // runs FULL to re-pin it. End state hash-matches DuckDB's
+    // from-scratch join recomputation.
+    "q108_mview_join" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq108").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq108", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq108.warehouse",
+            Files.createTempDirectory("graft-mview-join").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq108.bench")
+        s.sql("CALL graftq108.system.drop_mview('bench', 'by_pri')")
+        s.sql("DROP TABLE IF EXISTS graftq108.bench.li")
+        s.sql("DROP TABLE IF EXISTS graftq108.bench.ord")
+        s.sql("""CREATE TABLE graftq108.bench.li
+                |(l_orderkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        s.sql("CREATE TABLE graftq108.bench.ord (o_orderkey BIGINT, o_orderpriority STRING)")
+        t(s, dir, "orders").createOrReplaceTempView("q108_ord")
+        t(s, dir, "lineitem").createOrReplaceTempView("q108_li")
+        s.sql("""INSERT INTO graftq108.bench.ord
+                |SELECT o_orderkey, o_orderpriority FROM q108_ord""".stripMargin)
+        s.sql("""INSERT INTO graftq108.bench.li
+                |SELECT l_orderkey, l_quantity, l_extendedprice
+                |FROM q108_li WHERE l_orderkey % 2 = 0""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq108.system.create_mview('bench', 'by_pri',
+            |  'SELECT o_orderpriority AS pri, SUM(l_quantity) AS sq,
+            |     AVG(l_quantity) AS aq, MAX(l_extendedprice) AS mp, COUNT(*) AS n
+            |   FROM graftq108.bench.li JOIN graftq108.bench.ord
+            |     ON l_orderkey = o_orderkey
+            |   WHERE l_quantity > 2.0
+            |   GROUP BY o_orderpriority')""".stripMargin).head.getString(0)
+        require(mode == "incremental", s"expected incremental join-MV mode, got $mode")
+        s.sql("""INSERT INTO graftq108.bench.li
+                |SELECT l_orderkey, l_quantity, l_extendedprice
+                |FROM q108_li WHERE l_orderkey % 2 = 1""".stripMargin)
+        s.sql("DELETE FROM graftq108.bench.li WHERE l_extendedprice >= 80000.0")
+        val a1 = s.sql(
+          "CALL graftq108.system.refresh_mview('bench', 'by_pri', false)")
+          .head.getString(2)
+        require(a1 == "incremental", s"expected incremental join-MV refresh, got $a1")
+        // the dim moves (a dangling key: joins to no fact row, so the
+        // oracle is unchanged) — refresh must re-pin via ONE full pass
+        s.sql("INSERT INTO graftq108.bench.ord VALUES (-1, 'X-NONE')")
+        val a2 = s.sql(
+          "CALL graftq108.system.refresh_mview('bench', 'by_pri', false)")
+          .head.getString(2)
+        require(a2 == "full", s"expected full re-pin after dim move, got $a2")
+        s.sql("""SELECT pri,
+                |  CAST(CAST(sq AS DECIMAL(14,2)) AS DOUBLE) AS sq,
+                |  CAST(CAST(aq AS DECIMAL(18,6)) AS DOUBLE) AS aq,
+                |  mp, n
+                |FROM graftq108.bench.by_pri ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri,
+             |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(14,2)) AS DOUBLE) AS sq,
+             |  CAST(CAST(AVG(l_quantity) AS DECIMAL(18,6)) AS DOUBLE) AS aq,
+             |  MAX(l_extendedprice) AS mp,
+             |  COUNT(*) AS n
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_quantity > 2.0 AND l_extendedprice < 80000.0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // The general MERGE's merge-on-read path: same conditional clause
     // matrix as q97 minus NOT MATCHED BY SOURCE (which needs the whole
     // table by definition), on a mor-mode table — outcomes appended +

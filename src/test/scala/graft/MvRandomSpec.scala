@@ -184,6 +184,87 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Join MVs: one FACT joined to a static dimension, group keys and
+  // measures drawn from BOTH sides, maintained incrementally from the
+  // fact changelog with the dim pinned at its applied version. A dim
+  // mutation must flip exactly one refresh to a full recompute (which
+  // re-pins) and stay correct.
+  // ------------------------------------------------------------------
+
+  private def aggJ(sqlFrom: String): Seq[String] =
+    spark.sql(s"SELECT cat, t, av, mx, n FROM $sqlFrom ORDER BY cat NULLS FIRST")
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+
+  test("join MV: fact changelog maintains incrementally, a dim move re-pins via full") {
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(3)
+    val defn =
+      """SELECT cat, SUM(v) AS t, AVG(v) AS av, MAX(v) AS mx, COUNT(*) AS n
+        |FROM graft.%NS%.fact JOIN graft.%NS%.dim ON g = dg
+        |WHERE v IS NULL OR v > -50.0
+        |GROUP BY cat""".stripMargin
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(7000 + seed)
+      val ns = s"mvj$seed"
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.fact")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.dim")
+      spark.sql(s"CREATE TABLE graft.$ns.fact (id BIGINT, g STRING, v DOUBLE)")
+      spark.sql(s"CREATE TABLE graft.$ns.dim (dg STRING, cat STRING)")
+      // 4 fact groups map onto 2 categories; g3 is dangling (inner join
+      // drops it) — group-key coverage includes join-miss rows
+      spark.sql(
+        s"""INSERT INTO graft.$ns.dim VALUES
+           |('g0', 'c0'), ('g1', 'c0'), ('g2', 'c1')""".stripMargin)
+      var nextId = 0L
+      def insertBurst(): Unit = {
+        val rows = (0 until (1 + rnd.nextInt(5))).map { _ =>
+          nextId += 1
+          val g = s"g${rnd.nextInt(4)}"
+          val v = if (rnd.nextInt(5) == 0) "CAST(NULL AS DOUBLE)"
+                  else (rnd.nextInt(100) - 20).toString + ".0"
+          s"($nextId, '$g', $v)"
+        }
+        spark.sql(s"INSERT INTO graft.$ns.fact VALUES ${rows.mkString(", ")}")
+      }
+      insertBurst()
+      spark.sql(
+        s"""CALL graft.system.create_mview('$ns', 'm',
+           |  '${defn.replace("%NS%", ns).replace("\n", " ")}')""".stripMargin)
+        .head.getString(0) shouldBe "incremental"
+
+      for (step <- 0 until 5) {
+        rnd.nextInt(3) match {
+          case 0 => insertBurst()
+          case 1 =>
+            val lo = 1 + rnd.nextInt(math.max(1, nextId.toInt))
+            spark.sql(s"DELETE FROM graft.$ns.fact WHERE id >= $lo AND id < ${lo + 4}")
+          case _ =>
+            spark.sql(s"DELETE FROM graft.$ns.fact WHERE v >= ${40 + rnd.nextInt(40)}.0")
+        }
+        val action = spark.sql(
+          s"CALL graft.system.refresh_mview('$ns', 'm', false)").head.getString(2)
+        withClue(s"seed=$seed step=$step ") {
+          Seq("incremental", "empty", "noop") should contain(action)
+          aggJ(s"graft.$ns.m") shouldBe aggJ(s"(${defn.replace("%NS%", ns)})")
+        }
+      }
+      // the dim moves: g3 joins in, g0 re-categorizes — ONE full
+      // refresh re-pins, then fact-only maintenance resumes incremental
+      spark.sql(s"INSERT INTO graft.$ns.dim VALUES ('g3', 'c1')")
+      spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
+        .head.getString(2) shouldBe "full"
+      aggJ(s"graft.$ns.m") shouldBe aggJ(s"(${defn.replace("%NS%", ns)})")
+      insertBurst()
+      spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
+        .head.getString(2) shouldBe "incremental"
+      aggJ(s"graft.$ns.m") shouldBe aggJ(s"(${defn.replace("%NS%", ns)})")
+      spark.sql(s"CALL graft.system.drop_mview('$ns', 'm')")
+      spark.sql(s"DROP TABLE graft.$ns.fact")
+      spark.sql(s"DROP TABLE graft.$ns.dim")
+    }
+  }
+
   // Pins the round-13 shape guard: a GROUP BY expression missing from
   // the SELECT is valid SQL but CANNOT be maintained at the stored
   // granularity — it must register in FULL mode (not silently merge
