@@ -373,6 +373,12 @@ object GraftMaterializedView {
     signed.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
   }
 
+  /** Parse the stored dim-version pin list (rel → version) — shared
+    * with the `mviews` staleness dashboard.
+    */
+  private[connector] def dimVersFromJson(s: String): Map[String, Int] =
+    specFromJson(s).map { case Seq(r, v) => r -> v.toInt }.toMap
+
   private def shapeFromProps(props: Map[String, String]): Shape = Shape(
     Option(props.getOrElse(FilterProp, "")).filter(_.nonEmpty),
     specFromJson(props(GroupProp)).map { case Seq(n, s) => n -> s },
@@ -524,9 +530,7 @@ object GraftMaterializedView {
           (r, cat.load(ident), jt, c)
       }).getOrElse(Nil)
     val dimVers: Map[String, Int] =
-      props.get(DimVersProp).map(specFromJson(_).map {
-        case Seq(r, v) => r -> v.toInt
-      }.toMap).getOrElse(Map.empty)
+      props.get(DimVersProp).map(dimVersFromJson).getOrElse(Map.empty)
     def pinnedVer(r: String): Int = dimVers.getOrElse(r, sys.error(
       s"materialized view $ns.$name: dimension $r carries no pinned version"))
     val dimsMoved = dimTbls.exists { case (r, t, _, _) =>

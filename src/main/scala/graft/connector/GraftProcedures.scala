@@ -89,7 +89,9 @@ object GraftProcedures {
             in.getUTF8String(0).toString, in.getUTF8String(1).toString)))
         }))
       // the "which views need a refresh" dashboard: one row per MV in
-      // the namespace with its maintenance mode and staleness
+      // the namespace with its maintenance mode and staleness —
+      // `dims_stale` flags a join MV whose pinned dimension moved (the
+      // next refresh will be a FULL re-pin even at versions_behind 0)
       case "mviews" => Some(procMulti(name,
         Array(ProcedureParameter.in("namespace", StringType).build()),
         StructType(Seq(
@@ -98,7 +100,8 @@ object GraftProcedures {
           StructField("source", StringType),
           StructField("applied_version", IntegerType),
           StructField("source_version", IntegerType),
-          StructField("versions_behind", IntegerType))),
+          StructField("versions_behind", IntegerType),
+          StructField("dims_stale", BooleanType))),
         { in =>
           val c = cat()
           val ns = in.getUTF8String(0).toString
@@ -116,12 +119,23 @@ object GraftProcedures {
                     c.load(TableIdent(sns, st)).currentOrFail().version
                   case _ => -1
                 }
+                val dimVers: Map[String, Int] =
+                  props.get(GraftMaterializedView.DimVersProp).map(
+                    GraftMaterializedView.dimVersFromJson).getOrElse(Map.empty)
+                val dimsStale = dimVers.exists { case (rel, v) =>
+                  rel.split("/") match {
+                    case Array(dns, dt) if c.exists(TableIdent(dns, dt)) =>
+                      c.load(TableIdent(dns, dt)).currentOrFail().version != v
+                    case _ => true
+                  }
+                }
                 new GenericInternalRow(Array[Any](
                   utf(ti.name.stripSuffix(GraftMaterializedView.StorageSuffix)),
                   utf(props(GraftMaterializedView.ModeProp)),
                   utf(srcRel.replace("/", ".")),
                   applied, srcV,
-                  math.max(0, srcV - applied))): InternalRow
+                  math.max(0, srcV - applied),
+                  dimsStale)): InternalRow
               }
             }.toArray
         }))

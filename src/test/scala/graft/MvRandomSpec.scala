@@ -252,8 +252,13 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
       // the dim moves: g3 joins in, g0 re-categorizes — ONE full
       // refresh re-pins, then fact-only maintenance resumes incremental
       spark.sql(s"INSERT INTO graft.$ns.dim VALUES ('g3', 'c1')")
+      // the staleness dashboard flags the moved dim before the refresh
+      spark.sql(s"CALL graft.system.mviews('$ns')")
+        .head.getBoolean(6) shouldBe true
       spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
         .head.getString(2) shouldBe "full"
+      spark.sql(s"CALL graft.system.mviews('$ns')")
+        .head.getBoolean(6) shouldBe false
       aggJ(s"graft.$ns.m") shouldBe aggJ(s"(${defn.replace("%NS%", ns)})")
       insertBurst()
       spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
