@@ -224,6 +224,22 @@ object GraftMaterializedView {
             return Left("self-join of the fact table — both sides change " +
               "together, so dimension pinning cannot make retraction exact")
         }
+        // refresh joins the fact CHANGELOG (which carries _change_type /
+        // _commit_version) and injects _sign; a source column with one
+        // of those names would be ambiguous or silently replaced at
+        // refresh while create read the real values — reject up front.
+        // The _mv_ prefix is the storage bookkeeping namespace.
+        locally {
+          val reserved = (factRel.output ++ dimRels.flatMap(_._1.output))
+            .map(_.name).filter { n =>
+              val l = n.toLowerCase
+              l == "_change_type" || l == "_commit_version" || l == "_sign" ||
+                l.startsWith("_mv_")
+            }
+          if (reserved.nonEmpty)
+            return Left(s"source column(s) ${reserved.mkString(", ")} collide " +
+              "with changelog metadata or _mv_ bookkeeping names")
+        }
         if (groupingExprs.exists(!_.deterministic)) return Left("nondeterministic GROUP BY")
         if (groupingExprs.isEmpty) return Left("global aggregate (no GROUP BY)")
         val groups = Seq.newBuilder[(String, String)]
@@ -290,6 +306,13 @@ object GraftMaterializedView {
             "the defining query")
         val shape = Shape(filterSql, groups.result(), aggs.result())
         if (shape.groups.isEmpty) return Left("no grouping columns in output")
+        locally {
+          val bad = (shape.groups.map(_._1) ++ shape.aggs.map(_.name))
+            .filter(_.toLowerCase.startsWith("_mv_"))
+          if (bad.nonEmpty)
+            return Left(s"output name(s) ${bad.mkString(", ")} use the " +
+              "reserved _mv_ bookkeeping prefix")
+        }
         Right(JoinShape(
           factRel.table.asInstanceOf[GraftV2Table].underlying,
           dimRels.map { case (d, jt, c) =>
@@ -469,7 +492,16 @@ object GraftMaterializedView {
           GroupProp -> specJson(js.shape.groups.map(p => Seq(p._1, p._2))),
           AggProp -> specJson(js.shape.aggs.map(a => Seq(a.name, a.kind, a.sql)))) ++
           dimProps)
-      case Left(_) => ("full", spark.sql(sql), Map.empty[String, String])
+      case Left(_) =>
+        val f = spark.sql(sql)
+        // the public view filters the _mv_ bookkeeping namespace out of
+        // the storage columns — a user output named into it would
+        // silently vanish from the view instead of erroring
+        val bad = f.columns.filter(_.toLowerCase.startsWith("_mv_"))
+        require(bad.isEmpty,
+          s"materialized view output column(s) ${bad.mkString(", ")} use " +
+            "the reserved _mv_ bookkeeping prefix — alias them")
+        ("full", f, Map.empty[String, String])
     }
     // an optional partition spec over the GROUP columns (e.g.
     // `bucket(32, region)`) adds directory-level pruning to the keyed
@@ -536,7 +568,10 @@ object GraftMaterializedView {
     val dimsMoved = dimTbls.exists { case (r, t, _, _) =>
       t.currentOrFail().version != pinnedVer(r)
     }
-    if (applied >= to && !dimsMoved) return (applied, to, "noop")
+    // a FORCED rebuild must rebuild even with the marker at the head —
+    // the negative-count / storage-surgery errors name force_full as
+    // the remedy precisely when the data is wrong at an applied marker
+    if (applied >= to && !dimsMoved && !forceFull) return (applied, to, "noop")
 
     def pinnedJoin(factDf: DataFrame, vers: String => Int): DataFrame =
       joinBase(factDf, dimTbls.map { case (r, t, jt, c) =>
@@ -544,25 +579,40 @@ object GraftMaterializedView {
       })
 
     if (mode == "full" || forceFull || dimsMoved) {
+      // read each dim's version ONCE and pin BOTH the recompute scan
+      // and the recorded DimVersProp to it — a dim committing between
+      // two reads would otherwise record a version the stored rows were
+      // not built with, and the desync is invisible to the dimsMoved
+      // check (silent wrong increments forever after)
+      val curVers = dimTbls.map { case (r, t, _, _) =>
+        r -> t.currentOrFail().version
+      }.toMap
       val frame =
         if (mode == "full") spark.sql(sql)
         else {
           val shape = shapeFromProps(props)
-          val curVers = dimTbls.map { case (r, t, _, _) =>
-            r -> t.currentOrFail().version
-          }.toMap
           val base0 = pinnedJoin(src.scanAsOfVersion(to), curVers)
           grouped(shape.filter.fold(base0)(base0.where), shape)
         }
       val dimProp =
         if (dimTbls.isEmpty) Map.empty[String, String]
-        else Map(DimVersProp -> specJson(dimTbls.map { case (r, t, _, _) =>
-          Seq(r, t.currentOrFail().version.toString)
+        else Map(DimVersProp -> specJson(dimTbls.map { case (r, _, _, _) =>
+          Seq(r, curVers(r).toString)
         }))
       storage.overwrite(frame,
         props = props ++ Map(AppliedProp -> to.toString) ++ dimProp)
       return (applied, to, "full")
     }
+
+    // CAS scope for the incremental commit: the applied marker AND the
+    // dim pins. A concurrent full re-pin (dim moved) rewrites the rows
+    // against NEW dim versions while leaving AppliedProp possibly
+    // unchanged — an in-flight incremental whose delta joined the OLD
+    // pins must abort at commit, not merge stale-pinned deltas over
+    // re-pinned rows.
+    val casProps: Map[String, String] =
+      Map(AppliedProp -> applied.toString) ++
+        props.get(DimVersProp).map(DimVersProp -> _)
 
     val shape = shapeFromProps(props)
     val d =
@@ -586,7 +636,7 @@ object GraftMaterializedView {
       // a stale empty-advance racing a real refresh must not REGRESS the
       // marker (replaying the range would double-apply its changes)
       storage.updateProperties(Map(AppliedProp -> to.toString),
-        requireParentProps = Map(AppliedProp -> applied.toString))
+        requireParentProps = casProps)
       return (applied, to, "empty")
     }
 
@@ -740,7 +790,10 @@ object GraftMaterializedView {
             case None => col(s"`$c`")
           }
         }
-        withRec.select(outCols.toIndexedSeq: _*)
+        // one evaluation: the recompute scan + semi join feed the
+        // upsert/delete split AND applyNetChanges' own probes — without
+        // the checkpoint the narrowed source scan re-executes 3-4x
+        withRec.select(outCols.toIndexedSeq: _*).localCheckpoint()
       }
     }
 
@@ -753,7 +806,7 @@ object GraftMaterializedView {
     // delta both derived from the same marker
     storage.applyNetChanges(delKeys, upserts, groupNames,
       props = props ++ Map(AppliedProp -> to.toString),
-      requireParentProps = Map(AppliedProp -> applied.toString),
+      requireParentProps = casProps,
       nullSafeKeys = true)
     (applied, to, "incremental")
   }

@@ -326,10 +326,10 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
   /** The ordered partition fields whose key domain round-trips exactly
     * from the stored partition-value strings: bucket (key = bucket id,
     * INT), identity over an integral/string/date column, or `day` over
-    * a date / wall-clock timestamp (key = epoch day parsed from the
-    * stored `yyyy-MM-dd` string; zoned timestamps only under a UTC
-    * session, where the write path's `date_format` day boundary
-    * matches the reported `days` function's). A spec whose fields are
+    * a DATE / wall-clock TIMESTAMP_NTZ column (key = epoch day parsed
+    * from the stored `yyyy-MM-dd` string; zoned timestamps are
+    * excluded — the writer's session timezone shaped the stored day
+    * keys and is recorded nowhere). A spec whose fields are
     * ALL in the domain — `day(ts), bucket(16, id)`, the canonical
     * 100-TB layout — reports the full value TUPLE as the grouping key
     * and joins shuffle-free on it.
@@ -368,12 +368,18 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
               snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol)).collect {
                 case f if GraftPartitionKeys.keyDomain(f.dataType) => pf -> f.dataType
               }
+            // DATE / TIMESTAMP_NTZ only: their day boundary is
+            // timezone-free by construction. Zoned TIMESTAMP is
+            // excluded — the write path's date_format used the
+            // WRITER's session timezone, which is recorded nowhere, so
+            // no read-side check can prove the stored day keys mean
+            // what the reported `days` function would compute (a
+            // Tokyo-written day key holds rows of two UTC days; the
+            // clustering claim would be false and SPJ would silently
+            // drop matches at day boundaries instead of shuffling).
             case graft.partitioning.Transform.Day =>
               snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol)).collect {
-                case f if f.dataType == DateType || f.dataType == TimestampNTZType ||
-                    (f.dataType == TimestampType &&
-                      org.apache.spark.sql.internal.SQLConf.get
-                        .sessionLocalTimeZone == "UTC") =>
+                case f if f.dataType == DateType || f.dataType == TimestampNTZType =>
                   pf -> (DateType: DataType)
               }
             case _ => None

@@ -106,13 +106,11 @@ final class GraftViewStore(fs0: FileSystem, warehouse: HPath) {
     * can then fail on the `.crc` sibling (reporting false after the
     * move), which would strand the temp name and open a
     * destination-missing window. View JSON is tiny self-describing
-    * metadata — use the raw filesystem, whose POSIX rename is the
-    * atomic primitive the protocol is built on.
+    * metadata — use the raw filesystem (the same unwrap the metadata
+    * log applies, one shared policy), whose POSIX rename is the atomic
+    * primitive the protocol is built on.
     */
-  private val fs: FileSystem = fs0 match {
-    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
-    case other => other
-  }
+  private val fs: FileSystem = graft.meta.MetadataLog.rawIfLocal(fs0)
 
   private def dir(ns: String): HPath = new HPath(warehouse, s"$ns/_views")
 
@@ -192,6 +190,17 @@ final class GraftViewStore(fs0: FileSystem, warehouse: HPath) {
         case _: java.nio.file.FileAlreadyExistsException =>
           fs.delete(tmp, false)
           return false
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          // 'file'-scheme mounts without hard links (FUSE/SMB/exFAT):
+          // degrade to probe+rename — best-effort exclusivity instead
+          // of refusing every CREATE VIEW on such stores
+          if (fs.exists(target)) { fs.delete(tmp, false); return false }
+          if (!fs.rename(tmp, target)) {
+            fs.delete(tmp, false)
+            if (fs.exists(target)) return false
+            sys.error(s"filesystem rename of view $ns.$name failed " +
+              "(target does not exist — not a name collision)")
+          }
       }
     } else {
       if (!fs.rename(tmp, target)) {

@@ -48,6 +48,49 @@ class MvGuardSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE graft.$ns.src")
   }
 
+  // Round-14 review pins: force_full must rebuild even at an
+  // up-to-date marker (it is the documented remedy for corrupted
+  // storage rows, which need no new source commit to exist), and the
+  // _mv_ bookkeeping namespace must be unclaimable by user output.
+  test("force_full rebuilds at an up-to-date marker; _mv_ outputs are rejected") {
+    val ns = "mvguard3"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.src")
+    spark.sql(s"CREATE TABLE graft.$ns.src (g STRING, v DOUBLE)")
+    spark.sql(s"INSERT INTO graft.$ns.src VALUES ('a', 1.0), ('b', 2.0)")
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'm',
+         |  'SELECT g, SUM(v) AS t FROM graft.$ns.src GROUP BY g')""".stripMargin)
+    // marker at head: a plain refresh no-ops, a FORCED one rebuilds
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
+      .head.getString(2) shouldBe "noop"
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', true)")
+      .head.getString(2) shouldBe "full"
+    spark.sql(s"SELECT t FROM graft.$ns.m WHERE g = 'a'").head.getDouble(0) shouldBe 1.0
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'm')")
+    // a user output named into the bookkeeping namespace errors loudly
+    // instead of silently vanishing from the public view
+    val e = intercept[Exception](spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'm2',
+         |  'SELECT g, SUM(v) AS _mv_total FROM graft.$ns.src GROUP BY g')""".stripMargin))
+    e.getMessage should include("_mv_")
+    // a source column colliding with changelog metadata names falls to
+    // FULL mode (refresh would corrupt the signed delta otherwise)
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.src2")
+    spark.sql(s"CREATE TABLE graft.$ns.src2 (g STRING, _sign DOUBLE)")
+    spark.sql(s"INSERT INTO graft.$ns.src2 VALUES ('a', 1.0)")
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'm3',
+         |  'SELECT g, SUM(_sign) AS t FROM graft.$ns.src2 GROUP BY g')""".stripMargin)
+      .head.getString(0) shouldBe "full"
+    spark.sql(s"INSERT INTO graft.$ns.src2 VALUES ('a', 5.0)")
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm3', false)")
+    spark.sql(s"SELECT t FROM graft.$ns.m3").head.getDouble(0) shouldBe 6.0
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'm3')")
+    spark.sql(s"DROP TABLE graft.$ns.src")
+    spark.sql(s"DROP TABLE graft.$ns.src2")
+  }
+
   test("the reserved marker cannot be planted on an ordinary view") {
     val ns = "mvguard2"
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
