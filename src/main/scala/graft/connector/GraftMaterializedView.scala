@@ -38,8 +38,9 @@ import org.json4s.jackson.JsonMethods
   * DIMENSIONS — an optional deterministic WHERE, GROUP BY
   * deterministic expressions, aggregates limited to SUM / COUNT /
   * COUNT(*) / AVG / MIN / MAX (no DISTINCT, no FILTER clauses).
-  * Everything else (DISTINCT, decimal AVG, window functions, nested
-  * views, non-fact-preserving joins) falls back to FULL refresh, which
+  * Everything else (DISTINCT, wide-decimal AVG, window functions,
+  * nested views, non-fact-preserving joins) falls back to FULL
+  * refresh, which
   * recomputes and overwrites. Join maintenance pins every dimension AS
   * OF the version the stored rows were built with, so the signed fact
   * changelog retracts exactly; a dimension that MOVES triggers one
@@ -58,8 +59,10 @@ import org.json4s.jackson.JsonMethods
   *    zero count). Spark's own non-decimal Average accumulates in
   *    double and divides by the count, so the decomposition is
   *    bit-identical to a recompute, not an approximation. Decimal AVG
-  *    (whose division carries scale/rounding rules a running sum
-  *    cannot replay) falls back to FULL mode.
+  *    keeps an exact decimal running sum and divides at merge — exact
+  *    whenever the division's precision-loss-adjusted scale reaches
+  *    the avg output scale (input scale <= 2 or precision <= 24,
+  *    probed exhaustively); wider decimals fall back to FULL mode.
   *  - MIN/MAX: inserts maintain closed-form (`least`/`greatest`); a
   *    delete can retract the stored extreme, so groups whose retracted
   *    values tie-or-beat the stored extreme are recomputed from the
@@ -91,10 +94,10 @@ object GraftMaterializedView {
   val DimVersProp = "graft.mview.dim-versions" // JSON [[rel, version], ...]
   val RowsCol = "_mv_rows"
   def nnCol(i: Int): String = s"_mv_nn_$i"
-  def asCol(i: Int): String = s"_mv_as_$i" // AVG running double sum
+  def asCol(i: Int): String = s"_mv_as_$i" // AVG running sum (double / exact decimal)
 
   final case class AggSpec(name: String, kind: String, sql: String)
-  // kind: sum | count | count_star | avg | min | max
+  // kind: sum | count | count_star | avg | davg (exact decimal) | min | max
 
   final case class Shape(filter: Option[String],
                          groups: Seq[(String, String)],
@@ -270,10 +273,19 @@ object GraftMaterializedView {
             case AggregateExpression(Average(e, _), _, false, None, _) =>
               if (!e.deterministic) return Left(s"nondeterministic AVG in ${al.sql}")
               e.dataType match {
-                case _: DecimalType =>
-                  // decimal AVG divides under scale/rounding rules a
-                  // running double sum cannot replay exactly
-                  return Left(s"decimal AVG in ${al.sql}")
+                case d: DecimalType =>
+                  // decimal AVG decomposes exactly into a decimal
+                  // running sum + count WHEN the sum/count division's
+                  // precision-loss-adjusted scale, max(6, 38-(p+10-s)),
+                  // still reaches the avg output scale s+4 — i.e.
+                  // s <= 2 (the 6-floor covers it) or p <= 24.
+                  // Probed at 50k quotients per (p,s) across the gate
+                  // with zero mismatches; outside it the division is
+                  // provably coarser than AVG and cannot be replayed.
+                  if (d.scale + 4 <= 6 || d.precision <= 24)
+                    aggs += AggSpec(name, "davg", plainSql(e))
+                  else
+                    return Left(s"decimal AVG wider than (24,*)/( *,2) in ${al.sql}")
                 case _: NumericType =>
                   aggs += AggSpec(name, "avg", plainSql(e))
                 case _ => return Left(s"non-numeric AVG in ${al.sql}")
@@ -344,6 +356,7 @@ object GraftMaterializedView {
       case AggSpec(n, "count", s) => count(expr(s)).as(n)
       case AggSpec(n, "count_star", _) => count(lit(1)).as(n)
       case AggSpec(n, "avg", s) => avg(expr(s).cast(DoubleType)).as(n)
+      case AggSpec(n, "davg", s) => avg(expr(s)).as(n)
       case AggSpec(n, "min", s) => min(expr(s)).as(n)
       case AggSpec(n, "max", s) => max(expr(s)).as(n)
       case AggSpec(n, k, _) => sys.error(s"bad agg kind $k for $n")
@@ -352,6 +365,9 @@ object GraftMaterializedView {
         case (AggSpec(_, "sum", s), i) => Seq(count(expr(s)).as(nnCol(i)))
         case (AggSpec(_, "avg", s), i) => Seq(
           sum(expr(s).cast(DoubleType)).as(asCol(i)),
+          count(expr(s)).as(nnCol(i)))
+        case (AggSpec(_, "davg", s), i) => Seq(
+          sum(expr(s)).as(asCol(i)), // exact decimal running sum
           count(expr(s)).as(nnCol(i)))
         case _ => Nil
       } :+ count(lit(1)).as(RowsCol)
@@ -383,6 +399,13 @@ object GraftMaterializedView {
         case "count_star" => Seq(sum(col("_sign")).as(a.name))
         case "avg" => Seq(
           sum(expr(a.sql).cast(DoubleType) * col("_sign")).as(asCol(i)),
+          nnDelta.as(nnCol(i)))
+        case "davg" => Seq(
+          // sign via negate, not multiply: -e keeps the input's exact
+          // (p,s), so the summed delta lands in the SAME bounded(p+10,s)
+          // type the stored running sum uses
+          sum(when(col("_sign") === 1L, expr(a.sql))
+            .otherwise(negate(expr(a.sql)))).as(asCol(i)),
           nnDelta.as(nnCol(i)))
         case "min" => Seq(
           min(when(col("_sign") === 1L, expr(a.sql))).as(insCol(i)),
@@ -700,6 +723,14 @@ object GraftMaterializedView {
           val as = coalesce(ccol(asCol(i)), lit(0d)) + coalesce(dcol(asCol(i)), lit(0d))
           val nn = coalesce(ccol(nnCol(i)), lit(0L)) + coalesce(dcol(nnCol(i)), lit(0L))
           when(nn === 0L, lit(null).cast(DoubleType)).otherwise(as / nn).as(a.name)
+        case "davg" =>
+          val outT = storage.schema.fields.find(_.name == a.name).get.dataType
+          val sumT = storage.schema.fields.find(_.name == asCol(i)).get.dataType
+          val as = coalesce(ccol(asCol(i)), lit(0).cast(sumT)) +
+            coalesce(dcol(asCol(i)), lit(0).cast(sumT))
+          val nn = coalesce(ccol(nnCol(i)), lit(0L)) + coalesce(dcol(nnCol(i)), lit(0L))
+          when(nn === 0L, lit(null).cast(outT))
+            .otherwise((as / nn).cast(outT)).as(a.name)
         case "min" | "max" => closedForm(a, i).as(a.name)
         case _ =>
           (coalesce(ccol(a.name), lit(0L)) + coalesce(dcol(a.name), lit(0L))).as(a.name)
@@ -712,6 +743,12 @@ object GraftMaterializedView {
         case "avg" => Seq(
           (coalesce(ccol(asCol(i)), lit(0d)) + coalesce(dcol(asCol(i)), lit(0d))).as(asCol(i)),
           (coalesce(ccol(nnCol(i)), lit(0L)) + coalesce(dcol(nnCol(i)), lit(0L))).as(nnCol(i)))
+        case "davg" =>
+          val sumT = storage.schema.fields.find(_.name == asCol(i)).get.dataType
+          Seq(
+            (coalesce(ccol(asCol(i)), lit(0).cast(sumT)) +
+              coalesce(dcol(asCol(i)), lit(0).cast(sumT))).cast(sumT).as(asCol(i)),
+            (coalesce(ccol(nnCol(i)), lit(0L)) + coalesce(dcol(nnCol(i)), lit(0L))).as(nnCol(i)))
         case _ => Nil
       }
     }

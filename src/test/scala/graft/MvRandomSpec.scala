@@ -295,9 +295,12 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE graft.$ns.src")
   }
 
-  // Decimal AVG divides under scale/rounding rules a running double
-  // sum cannot replay exactly — must fall back to FULL mode.
-  test("decimal AVG registers full mode") {
+  // Decimal AVG: exact incremental decomposition inside the probed
+  // gate (scale <= 2 or precision <= 24 — where the sum/count
+  // division's precision-loss-adjusted scale reaches the avg output
+  // scale); wider decimals fall back to FULL mode because the
+  // division is provably coarser than AVG.
+  test("decimal AVG: incremental inside the precision gate, full outside") {
     val ns = "mvdec"
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
     spark.sql(s"DROP TABLE IF EXISTS graft.$ns.src")
@@ -305,11 +308,44 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
     spark.sql(s"INSERT INTO graft.$ns.src VALUES ('a', 1.25), ('a', 2.50)")
     spark.sql(
       s"""CALL graft.system.create_mview('$ns', 'm',
-         |  'SELECT g, AVG(v) AS av FROM graft.$ns.src GROUP BY g')""".stripMargin)
-      .head.getString(0) shouldBe "full"
+         |  'SELECT g, AVG(v) AS av, SUM(v) AS sv FROM graft.$ns.src GROUP BY g')""".stripMargin)
+      .head.getString(0) shouldBe "incremental"
     spark.sql(s"SELECT av FROM graft.$ns.m").collect().map(_.get(0).toString) shouldBe
       Array("1.875000")
+    // repeating-decimal quotients across inserts AND deletes: the
+    // merged quotient must equal Spark's own AVG every time
+    val rnd = new Random(11)
+    for (step <- 0 until 8) {
+      if (step % 3 == 2)
+        spark.sql(s"DELETE FROM graft.$ns.src WHERE v >= ${1 + rnd.nextInt(80)}.00")
+      else {
+        val rows = (0 until 3).map(_ =>
+          s"('g${rnd.nextInt(3)}', ${rnd.nextInt(97)}.${10 + rnd.nextInt(89)})")
+        spark.sql(s"INSERT INTO graft.$ns.src VALUES ${rows.mkString(", ")}")
+      }
+      val action = spark.sql(
+        s"CALL graft.system.refresh_mview('$ns', 'm', false)").head.getString(2)
+      Seq("incremental", "empty", "noop") should contain(action)
+      withClue(s"step=$step ") {
+        spark.sql(s"SELECT g, av, sv FROM graft.$ns.m ORDER BY g")
+          .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq shouldBe
+          spark.sql(
+            s"""SELECT g, AVG(v) AS av, SUM(v) AS sv FROM graft.$ns.src
+               |GROUP BY g ORDER BY g""".stripMargin)
+            .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+      }
+    }
     spark.sql(s"CALL graft.system.drop_mview('$ns', 'm')")
+    // outside the gate: scale > 2 AND precision > 24 → full mode
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.wide")
+    spark.sql(s"CREATE TABLE graft.$ns.wide (g STRING, v DECIMAL(30,10))")
+    spark.sql(s"INSERT INTO graft.$ns.wide VALUES ('a', 1.2345678901)")
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'mw',
+         |  'SELECT g, AVG(v) AS av FROM graft.$ns.wide GROUP BY g')""".stripMargin)
+      .head.getString(0) shouldBe "full"
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'mw')")
     spark.sql(s"DROP TABLE graft.$ns.src")
+    spark.sql(s"DROP TABLE graft.$ns.wide")
   }
 }
