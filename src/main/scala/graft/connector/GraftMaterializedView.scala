@@ -93,6 +93,11 @@ object GraftMaterializedView {
   val DimsProp = "graft.mview.dims" // JSON [[rel, joinType, condSql], ...]
   val DimVersProp = "graft.mview.dim-versions" // JSON [[rel, version], ...]
   val RowsCol = "_mv_rows"
+  /** Synthetic constant merge key for GLOBAL aggregates (no GROUP BY):
+    * the storage table holds exactly one row and the keyed merge needs
+    * a key column to address it. Hidden like all `_mv_` bookkeeping.
+    */
+  val GlobalKeyCol = "_mv_g"
   def nnCol(i: Int): String = s"_mv_nn_$i"
   def asCol(i: Int): String = s"_mv_as_$i" // AVG running sum (double / exact decimal)
 
@@ -244,7 +249,6 @@ object GraftMaterializedView {
               "with changelog metadata or _mv_ bookkeeping names")
         }
         if (groupingExprs.exists(!_.deterministic)) return Left("nondeterministic GROUP BY")
-        if (groupingExprs.isEmpty) return Left("global aggregate (no GROUP BY)")
         val groups = Seq.newBuilder[(String, String)]
         val aggs = Seq.newBuilder[AggSpec]
         // every grouping expression the output actually carries — a
@@ -317,7 +321,8 @@ object GraftMaterializedView {
             "— the stored shape would aggregate at coarser granularity than " +
             "the defining query")
         val shape = Shape(filterSql, groups.result(), aggs.result())
-        if (shape.groups.isEmpty) return Left("no grouping columns in output")
+        if (groupingExprs.nonEmpty && shape.groups.isEmpty)
+          return Left("no grouping columns in output")
         locally {
           val bad = (shape.groups.map(_._1) ++ shape.aggs.map(_.name))
             .filter(_.toLowerCase.startsWith("_mv_"))
@@ -371,7 +376,10 @@ object GraftMaterializedView {
           count(expr(s)).as(nnCol(i)))
         case _ => Nil
       } :+ count(lit(1)).as(RowsCol)
-    base.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    if (shape.groups.isEmpty)
+      base.agg(aggCols.head, aggCols.tail: _*)
+        .withColumn(GlobalKeyCol, lit(0))
+    else base.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
   }
 
   // delta-only column names for MIN/MAX maintenance
@@ -416,7 +424,11 @@ object GraftMaterializedView {
         case k => sys.error(s"bad agg kind $k for ${a.name}")
       }
     } :+ sum(col("_sign")).as(RowsCol)
-    signed.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    if (shape.groups.isEmpty)
+      signed.agg(aggCols.head, aggCols.tail: _*)
+        .where(col(RowsCol).isNotNull) // all-filtered slice = no delta
+        .withColumn(GlobalKeyCol, lit(0))
+    else signed.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
   }
 
   /** Parse the stored dim-version pin list (rel → version) — shared
@@ -440,6 +452,7 @@ object GraftMaterializedView {
     */
   private def rangeBounds(keyFrame: DataFrame, names: Seq[String],
                           skip: String => Boolean): Seq[(String, Any, Any)] = {
+    if (names.isEmpty) return Nil // global aggregate: no key columns
     val aggs = names.flatMap(k => Seq(min(col(s"`$k`")), max(col(s"`$k`")),
       sum(when(col(s"`$k`").isNull, 1L).otherwise(0L))))
     val b = keyFrame.agg(aggs.head, aggs.tail: _*).head
@@ -654,6 +667,12 @@ object GraftMaterializedView {
               "force_full => true)", e)
       }
     val groupNames = shape.groups.map(_._1)
+    // GLOBAL aggregates merge on the synthetic constant key: the
+    // storage table holds exactly ONE row (a global aggregate over an
+    // empty table is one row — count 0, sums NULL — so the group-vanish
+    // delete never applies; the rows==0 row IS the correct state)
+    val isGlobal = groupNames.isEmpty
+    val mergeKeys = if (isGlobal) Seq(GlobalKeyCol) else groupNames
     if (d.isEmpty) {
       // net-empty slice: advance the marker metadata-only, CAS-guarded —
       // a stale empty-advance racing a real refresh must not REGRESS the
@@ -698,7 +717,7 @@ object GraftMaterializedView {
     def dcol(n: String) = col(s"d.`$n`")
     def ccol(n: String) = col(s"c.`$n`")
     val joined = d.alias("d").join(cur.alias("c"),
-      groupNames.map(n => dcol(n) <=> ccol(n)).reduce(_ && _), "left")
+      mergeKeys.map(n => dcol(n) <=> ccol(n)).reduce(_ && _), "left")
     val curExists = ccol(RowsCol).isNotNull
     val newRows = (coalesce(ccol(RowsCol), lit(0L)) + dcol(RowsCol)).as(RowsCol)
     val minMaxAggs = shape.aggs.zipWithIndex.filter(
@@ -768,7 +787,7 @@ object GraftMaterializedView {
     val rcAny: Column =
       (if (rcCols.isEmpty) lit(false)
        else minMaxAggs.map { case (_, i) => col(s"`${rcCol(i)}`") }.reduce(_ || _))
-    val groupSel = groupNames.map(n => dcol(n).as(n))
+    val groupSel = mergeKeys.map(n => dcol(n).as(n))
     val merged0 = joined
       .select(groupSel ++ valueCols ++ hiddenCols ++ rcCols :+ newRows: _*)
     val merged = merged0.withColumn(RcAny, rcAny).localCheckpoint()
@@ -785,10 +804,16 @@ object GraftMaterializedView {
     // to the retracted groups' key range and semi-joined to exactly
     // those keys — O(affected groups), never O(table)
     val resolved: DataFrame = {
-      val needs = merged.where(col(RcAny) && col(RowsCol) > 0)
+      // grouped MVs delete the rows==0 group (its extremes are moot);
+      // the GLOBAL row is upserted even at rows==0, so a retracted
+      // extreme must still recompute — over the emptied source the
+      // rec row is absent and the extreme correctly resolves to NULL
+      val needs =
+        if (isGlobal) merged.where(col(RcAny))
+        else merged.where(col(RcAny) && col(RowsCol) > 0)
       if (minMaxAggs.isEmpty || needs.isEmpty) merged
       else {
-        val keyRows = needs.select(groupNames.map(n => col(s"`$n`")): _*)
+        val keyRows = needs.select(mergeKeys.map(n => col(s"`$n`")): _*)
           .localCheckpoint()
         val srcBase0 = {
           val b = pinnedJoin(src.scanAsOfVersion(to), pinnedVer)
@@ -801,23 +826,25 @@ object GraftMaterializedView {
           .foldLeft(srcBase0) { case (f, (k, lo, hi)) =>
             f.where(expr(groupExpr(k)) >= lit(lo) && expr(groupExpr(k)) <= lit(hi))
           }
-        val srcProj = srcNarrow.select(
+        val srcProj0 = srcNarrow.select(
           shape.groups.map { case (n, s) => expr(s).as(n) } ++
             minMaxAggs.map { case (a, i) => expr(a.sql).as(s"_mv_v_$i") }: _*)
-        val keyRenamed = keyRows.toDF(groupNames.map("_mvk_" + _): _*)
+        val srcProj =
+          if (isGlobal) srcProj0.withColumn(GlobalKeyCol, lit(0)) else srcProj0
+        val keyRenamed = keyRows.toDF(mergeKeys.map("_mvk_" + _): _*)
         val recAggs = minMaxAggs.map { case (a, i) =>
           if (a.kind == "min") min(col(s"`_mv_v_$i`")).as(s"_mv_rec_$i")
           else max(col(s"`_mv_v_$i`")).as(s"_mv_rec_$i")
         }
         val rec = srcProj.join(keyRenamed,
-            groupNames.map(n => col(s"`$n`") <=> col(s"`_mvk_$n`")).reduce(_ && _),
+            mergeKeys.map(n => col(s"`$n`") <=> col(s"`_mvk_$n`")).reduce(_ && _),
             "left_semi")
-          .groupBy(groupNames.map(n => col(s"`$n`")): _*)
+          .groupBy(mergeKeys.map(n => col(s"`$n`")): _*)
           .agg(recAggs.head, recAggs.tail: _*)
         val recRenamed = rec.toDF(
-          groupNames.map("_mvk_" + _) ++ minMaxAggs.map { case (_, i) => s"_mv_rec_$i" }: _*)
+          mergeKeys.map("_mvk_" + _) ++ minMaxAggs.map { case (_, i) => s"_mv_rec_$i" }: _*)
         val withRec = merged.join(recRenamed,
-          groupNames.map(n => col(s"`$n`") <=> col(s"`_mvk_$n`")).reduce(_ && _),
+          mergeKeys.map(n => col(s"`$n`") <=> col(s"`_mvk_$n`")).reduce(_ && _),
           "left")
         val outCols = merged.columns.map { c =>
           minMaxAggs.find { case (a, _) => a.name == c } match {
@@ -834,14 +861,18 @@ object GraftMaterializedView {
       }
     }
 
-    val upserts = resolved.where(col(RowsCol) > 0)
+    // global: the rows==0 row is UPSERTED (count 0, sums/extremes NULL
+    // — exactly the global aggregate of the emptied table), never
+    // deleted; grouped: a vanished group's key is deleted
+    val upserts = (if (isGlobal) resolved else resolved.where(col(RowsCol) > 0))
       .select(storage.schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
-    val delKeys = resolved.where(col(RowsCol) === 0)
-      .select(groupNames.map(n => col(s"`$n`")): _*)
+    val delKeys = (if (isGlobal) resolved.where(lit(false))
+                   else resolved.where(col(RowsCol) === 0))
+      .select(mergeKeys.map(n => col(s"`$n`")): _*)
     // marker-CAS: a racing refresh that already advanced the marker
     // makes this one abort at commit instead of double-applying a
     // delta both derived from the same marker
-    storage.applyNetChanges(delKeys, upserts, groupNames,
+    storage.applyNetChanges(delKeys, upserts, mergeKeys,
       props = props ++ Map(AppliedProp -> to.toString),
       requireParentProps = casProps,
       nullSafeKeys = true)

@@ -789,6 +789,54 @@ object TableQueries {
              |  AND l_orderkey > 10000
              |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)),
 
+    // Global-aggregate MV (no GROUP BY): ONE stored row — the live
+    // dashboard counter shape — maintained incrementally across
+    // inserts and merge-on-read deletes through the synthetic constant
+    // merge key, hash-matched against DuckDB's global recompute.
+    "q109_mview_global" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq109").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq109", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq109.warehouse",
+            Files.createTempDirectory("graft-mview-global").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq109.bench")
+        s.sql("CALL graftq109.system.drop_mview('bench', 'totals')")
+        s.sql("DROP TABLE IF EXISTS graftq109.bench.li")
+        s.sql("""CREATE TABLE graftq109.bench.li
+                |(l_orderkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        t(s, dir, "lineitem").createOrReplaceTempView("q109_li")
+        s.sql("""INSERT INTO graftq109.bench.li
+                |SELECT l_orderkey, l_quantity, l_extendedprice
+                |FROM q109_li WHERE l_orderkey % 2 = 0""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq109.system.create_mview('bench', 'totals',
+            |  'SELECT COUNT(*) AS n, SUM(l_quantity) AS sq,
+            |     AVG(l_quantity) AS aq, MAX(l_extendedprice) AS mp
+            |   FROM graftq109.bench.li WHERE l_quantity > 2.0')""".stripMargin)
+          .head.getString(0)
+        require(mode == "incremental", s"expected incremental global MV, got $mode")
+        s.sql("""INSERT INTO graftq109.bench.li
+                |SELECT l_orderkey, l_quantity, l_extendedprice
+                |FROM q109_li WHERE l_orderkey % 2 = 1""".stripMargin)
+        s.sql("DELETE FROM graftq109.bench.li WHERE l_extendedprice >= 80000.0")
+        val action = s.sql(
+          "CALL graftq109.system.refresh_mview('bench', 'totals', false)")
+          .head.getString(2)
+        require(action == "incremental", s"expected incremental refresh, got $action")
+        s.sql("""SELECT n,
+                |  CAST(CAST(sq AS DECIMAL(14,2)) AS DOUBLE) AS sq,
+                |  CAST(CAST(aq AS DECIMAL(18,6)) AS DOUBLE) AS aq, mp
+                |FROM graftq109.bench.totals""".stripMargin)
+      },
+      Some("""SELECT COUNT(*) AS n,
+             |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(14,2)) AS DOUBLE) AS sq,
+             |  CAST(CAST(AVG(l_quantity) AS DECIMAL(18,6)) AS DOUBLE) AS aq,
+             |  MAX(l_extendedprice) AS mp
+             |FROM lineitem
+             |WHERE l_quantity > 2.0 AND l_extendedprice < 80000.0""".stripMargin)),
+
     // Join MV: fact (lineitem) joined to a static dimension (orders),
     // group key drawn from the DIM side, maintained incrementally from
     // the fact changelog with the dim pinned — then the dim moves (a

@@ -270,6 +270,69 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Global aggregates (no GROUP BY): one stored row addressed by the
+  // synthetic constant key, incrementally maintained — including the
+  // FULL WIPE, where the correct state is one row of count 0 / NULL
+  // sums (SQL global-aggregate semantics), never zero rows.
+  // ------------------------------------------------------------------
+
+  private def aggG(sqlFrom: String): Seq[String] =
+    spark.sql(s"SELECT n, total, av, mn, mx FROM $sqlFrom")
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+
+  test("global-aggregate MV: one row maintained incrementally, survives a full wipe") {
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(3)
+    val defn =
+      """SELECT COUNT(*) AS n, SUM(v) AS total, AVG(v) AS av,
+        |       MIN(v) AS mn, MAX(v) AS mx
+        |FROM graft.%NS%.src WHERE v IS NULL OR v > -50.0""".stripMargin
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(3000 + seed)
+      val ns = s"mvg$seed"
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.src")
+      spark.sql(s"CREATE TABLE graft.$ns.src (id BIGINT, v DOUBLE)")
+      var nextId = 0L
+      def insertBurst(): Unit = {
+        val rows = (0 until (1 + rnd.nextInt(4))).map { _ =>
+          nextId += 1
+          val v = if (rnd.nextInt(5) == 0) "CAST(NULL AS DOUBLE)"
+                  else (rnd.nextInt(100) - 20).toString + ".0"
+          s"($nextId, $v)"
+        }
+        spark.sql(s"INSERT INTO graft.$ns.src VALUES ${rows.mkString(", ")}")
+      }
+      // created over an EMPTY source: the MV must already hold the
+      // one empty-aggregate row (count 0, NULL sums)
+      spark.sql(
+        s"""CALL graft.system.create_mview('$ns', 'm',
+           |  '${defn.replace("%NS%", ns).replace("\n", " ")}')""".stripMargin)
+        .head.getString(0) shouldBe "incremental"
+      aggG(s"graft.$ns.m") shouldBe aggG(s"(${defn.replace("%NS%", ns)})")
+      for (step <- 0 until 6) {
+        rnd.nextInt(4) match {
+          case 0 | 1 => insertBurst()
+          case 2 =>
+            val lo = 1 + rnd.nextInt(math.max(1, nextId.toInt))
+            spark.sql(s"DELETE FROM graft.$ns.src WHERE id >= $lo AND id < ${lo + 4}")
+          case _ =>
+            // the full wipe: global agg of an empty table is ONE row
+            spark.sql(s"DELETE FROM graft.$ns.src WHERE id >= 0")
+        }
+        val action = spark.sql(
+          s"CALL graft.system.refresh_mview('$ns', 'm', false)").head.getString(2)
+        Seq("incremental", "empty", "noop") should contain(action)
+        withClue(s"seed=$seed step=$step action=$action ") {
+          aggG(s"graft.$ns.m") shouldBe aggG(s"(${defn.replace("%NS%", ns)})")
+          spark.sql(s"SELECT COUNT(*) FROM graft.$ns.m").head.getLong(0) shouldBe 1L
+        }
+      }
+      spark.sql(s"CALL graft.system.drop_mview('$ns', 'm')")
+      spark.sql(s"DROP TABLE graft.$ns.src")
+    }
+  }
+
   // Pins the round-13 shape guard: a GROUP BY expression missing from
   // the SELECT is valid SQL but CANNOT be maintained at the stored
   // granularity — it must register in FULL mode (not silently merge
