@@ -115,3 +115,70 @@ object GraftDaysFunction extends UnboundFunction {
       }
   }
 }
+
+/** Shared shape of the remaining temporal V2 functions (`years`,
+  * `months`, `hours`) — epoch-relative INT keys over DATE /
+  * TIMESTAMP_NTZ sources, matching [[GraftPartitionKeys.parseTransform]]'s
+  * reading of the stored `yyyy` / `yyyy-MM` / `yyyy-MM-dd-HH` strings.
+  * Zoned TIMESTAMP is not admitted into the SPJ key domain for the
+  * same reason as `days` (the writer's session timezone shaped the
+  * stored keys and is recorded nowhere), so these bind wall-clock
+  * sources only.
+  */
+private[connector] abstract class GraftTemporalFunction(fnName: String)
+    extends UnboundFunction {
+
+  protected def ofEpochDay(day: Long): Int
+  protected def ofWallMicros(micros: Long): Int
+
+  override def name(): String = fnName
+  override def description(): String =
+    s"$fnName(ts): graft's $fnName partition transform as an epoch-relative INT"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"$fnName expects one argument, got ${inputType.simpleString}")
+    val vt = inputType.fields(0).dataType
+    vt match {
+      case DateType | TimestampNTZType => new Bound(vt)
+      case other => throw new UnsupportedOperationException(
+        s"$fnName does not accept ${other.catalogString}")
+    }
+  }
+
+  private final class Bound(vt: DataType) extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(vt)
+    override def resultType(): DataType = IntegerType
+    override def isResultNullable: Boolean = true
+    override def name(): String = fnName
+    override def canonicalName(): String = s"graft.$fnName(${vt.catalogString})"
+    override def produceResult(input: InternalRow): Integer =
+      if (input.isNullAt(0)) null
+      else vt match {
+        case DateType => Integer.valueOf(ofEpochDay(input.getInt(0).toLong))
+        case _ => Integer.valueOf(ofWallMicros(input.getLong(0)))
+      }
+  }
+}
+
+object GraftYearsFunction extends GraftTemporalFunction("years") {
+  override protected def ofEpochDay(day: Long): Int =
+    java.time.LocalDate.ofEpochDay(day).getYear - 1970
+  override protected def ofWallMicros(micros: Long): Int =
+    ofEpochDay(Math.floorDiv(micros, 86400000000L))
+}
+
+object GraftMonthsFunction extends GraftTemporalFunction("months") {
+  override protected def ofEpochDay(day: Long): Int = {
+    val d = java.time.LocalDate.ofEpochDay(day)
+    (d.getYear - 1970) * 12 + d.getMonthValue - 1
+  }
+  override protected def ofWallMicros(micros: Long): Int =
+    ofEpochDay(Math.floorDiv(micros, 86400000000L))
+}
+
+object GraftHoursFunction extends GraftTemporalFunction("hours") {
+  override protected def ofEpochDay(day: Long): Int = (day * 24).toInt
+  override protected def ofWallMicros(micros: Long): Int =
+    Math.floorDiv(micros, 3600000000L).toInt
+}

@@ -30,4 +30,32 @@ private[connector] object GraftPartitionKeys {
         Some(java.lang.Integer.valueOf(java.time.LocalDate.parse(s).toEpochDay.toInt))
       case _ => None
     } catch { case _: RuntimeException => None }
+
+  /** Stored partition-value string → Catalyst internal value, for a
+    * specific TRANSFORM's value syntax — the temporal transforms store
+    * formatted strings (`yyyy`, `yyyy-MM`, `yyyy-MM-dd-HH`) whose SPJ
+    * keys are the epoch-relative INTs the matching V2 functions
+    * (`years`/`months`/`hours`) report. `day` stores `yyyy-MM-dd`,
+    * which IS the DateType syntax. Everything else defers to the type
+    * parser.
+    */
+  def parseTransform(tf: graft.partitioning.Transform, dt: DataType,
+                     s: String): Option[Any] =
+    try tf match {
+      case graft.partitioning.Transform.Year =>
+        Some(java.lang.Integer.valueOf(s.toInt - 1970))
+      case graft.partitioning.Transform.Month =>
+        val ym = java.time.YearMonth.parse(s)
+        Some(java.lang.Integer.valueOf((ym.getYear - 1970) * 12 + ym.getMonthValue - 1))
+      case graft.partitioning.Transform.Hour =>
+        // yyyy-MM-dd-HH
+        if (s.length != 13 || s.charAt(10) != '-') None
+        else {
+          val d = java.time.LocalDate.parse(s.substring(0, 10))
+          val h = s.substring(11).toInt
+          if (h < 0 || h > 23) None
+          else Some(java.lang.Integer.valueOf((d.toEpochDay * 24 + h).toInt))
+        }
+      case _ => parse(dt, s)
+    } catch { case _: RuntimeException => None }
 }

@@ -460,15 +460,20 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     */
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.namespace().isEmpty && ident.name().equalsIgnoreCase("bucket"))
-      GraftBucketFunction
-    else if (ident.namespace().isEmpty && ident.name().equalsIgnoreCase("days"))
-      GraftDaysFunction
-    else throw new NoSuchFunctionException(ident)
+    if (ident.namespace().nonEmpty) throw new NoSuchFunctionException(ident)
+    else ident.name().toLowerCase match {
+      case "bucket" => GraftBucketFunction
+      case "days" => GraftDaysFunction
+      case "years" => GraftYearsFunction
+      case "months" => GraftMonthsFunction
+      case "hours" => GraftHoursFunction
+      case _ => throw new NoSuchFunctionException(ident)
+    }
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(
-      Identifier.of(Array.empty, "bucket"), Identifier.of(Array.empty, "days"))
+    if (namespace.isEmpty)
+      Array("bucket", "days", "years", "months", "hours")
+        .map(Identifier.of(Array.empty, _))
     else Array.empty
 
   // ---- partition-transform mapping ----------------------------------

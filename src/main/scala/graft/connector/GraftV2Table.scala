@@ -325,26 +325,27 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
 
   /** The ordered partition fields whose key domain round-trips exactly
     * from the stored partition-value strings: bucket (key = bucket id,
-    * INT), identity over an integral/string/date column, or `day` over
-    * a DATE / wall-clock TIMESTAMP_NTZ column (key = epoch day parsed
-    * from the stored `yyyy-MM-dd` string; zoned timestamps are
-    * excluded — the writer's session timezone shaped the stored day
-    * keys and is recorded nowhere). A spec whose fields are
+    * INT), identity over an integral/string/date column, or a
+    * temporal transform (`year`/`month`/`day`/`hour`) over a DATE /
+    * wall-clock TIMESTAMP_NTZ column (keys parsed from the stored
+    * formatted strings as DATE / epoch-relative INTs; zoned
+    * timestamps are excluded — the writer's session timezone shaped
+    * the stored keys and is recorded nowhere). A spec whose fields are
     * ALL in the domain — `day(ts), bucket(16, id)`, the canonical
     * 100-TB layout — reports the full value TUPLE as the grouping key
     * and joins shuffle-free on it.
     *
-    * Fields OUTSIDE the round-trip domain (year/month/hour/truncate/
-    * void) are dropped from the reported key rather than disabling SPJ
-    * wholesale: for `months(ts), bucket(16, id)` the scan reports
-    * `bucket(id)` alone, and [[spjGroups]] groups files by that SUBSET
-    * tuple — every row with bucket b really is in input partition b
-    * (all months of it), so the clustering claim stays exact and a
-    * join on `id` alone avoids shuffling the big side. The trade is
-    * coarser tasks (one per surviving-tuple value, months folded
-    * together) while the bucketing conf is on — bucket count remains
-    * the parallelism dial. An empty surviving set reports
-    * UnknownPartitioning as before.
+    * Fields OUTSIDE the round-trip domain (truncate/void, temporal
+    * transforms over ZONED timestamps, or fields whose source column
+    * the query pruned away) are dropped from the reported key rather
+    * than disabling SPJ wholesale: the scan reports the surviving
+    * SUBSET tuple and [[spjGroups]] groups files by it — every row
+    * with bucket b really is in input partition b, so the clustering
+    * claim stays exact and a join on the surviving keys avoids
+    * shuffling the big side. The trade is coarser tasks (one per
+    * surviving-tuple value) while the bucketing conf is on — bucket
+    * count remains the parallelism dial. An empty surviving set
+    * reports UnknownPartitioning as before.
     *
     * Fields whose SOURCE COLUMN was pruned out of the scan output are
     * dropped the same way: Spark resolves the reported transform
@@ -368,19 +369,26 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
               snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol)).collect {
                 case f if GraftPartitionKeys.keyDomain(f.dataType) => pf -> f.dataType
               }
-            // DATE / TIMESTAMP_NTZ only: their day boundary is
-            // timezone-free by construction. Zoned TIMESTAMP is
-            // excluded — the write path's date_format used the
-            // WRITER's session timezone, which is recorded nowhere, so
-            // no read-side check can prove the stored day keys mean
-            // what the reported `days` function would compute (a
-            // Tokyo-written day key holds rows of two UTC days; the
-            // clustering claim would be false and SPJ would silently
-            // drop matches at day boundaries instead of shuffling).
-            case graft.partitioning.Transform.Day =>
+            // Temporal transforms over DATE / TIMESTAMP_NTZ only: their
+            // boundaries are timezone-free by construction. Zoned
+            // TIMESTAMP is excluded — the write path's date_format used
+            // the WRITER's session timezone, which is recorded nowhere,
+            // so no read-side check can prove the stored keys mean what
+            // the reported V2 function would compute (a Tokyo-written
+            // day key holds rows of two UTC days; the clustering claim
+            // would be false and SPJ would silently drop matches at
+            // boundaries instead of shuffling). `day` keys parse as
+            // DATE; year/month/hour parse as epoch-relative INTs
+            // matching their V2 functions.
+            case graft.partitioning.Transform.Day |
+                 graft.partitioning.Transform.Year |
+                 graft.partitioning.Transform.Month |
+                 graft.partitioning.Transform.Hour =>
               snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol)).collect {
                 case f if f.dataType == DateType || f.dataType == TimestampNTZType =>
-                  pf -> (DateType: DataType)
+                  pf -> (if (pf.transform == graft.partitioning.Transform.Day)
+                           DateType: DataType
+                         else IntegerType: DataType)
               }
             case _ => None
           }
@@ -405,7 +413,8 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
           val cells = pfds.map { case (pf, dt) =>
             f.partitionValues.flatMap(_.get(pf.fieldName)) match {
               case Some(Some(s)) =>
-                GraftPartitionKeys.parse(dt, s).map(v => Some(v): Option[Any])
+                GraftPartitionKeys.parseTransform(pf.transform, dt, s)
+                  .map(v => Some(v): Option[Any])
               // Hive default-partition encoding conflates null and '' for
               // string keys: a null-keyed group may hold ''-keyed rows, and
               // reporting them as key=null to KeyGroupedPartitioning would
@@ -475,6 +484,12 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
               org.apache.spark.sql.connector.expressions.Expressions.bucket(n, pf.sourceCol)
             case graft.partitioning.Transform.Day =>
               org.apache.spark.sql.connector.expressions.Expressions.days(pf.sourceCol)
+            case graft.partitioning.Transform.Year =>
+              org.apache.spark.sql.connector.expressions.Expressions.years(pf.sourceCol)
+            case graft.partitioning.Transform.Month =>
+              org.apache.spark.sql.connector.expressions.Expressions.months(pf.sourceCol)
+            case graft.partitioning.Transform.Hour =>
+              org.apache.spark.sql.connector.expressions.Expressions.hours(pf.sourceCol)
             case _ =>
               org.apache.spark.sql.connector.expressions.Expressions.identity(pf.sourceCol)
           }

@@ -2170,6 +2170,39 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
       skew.queryExecution.executedPlan.toString should not include "Exchange"
       // the hot side really split: more join tasks than distinct buckets
       skew.rdd.getNumPartitions should be > 2
+
+      // (c) the rest of the temporal family: months(ts) and hours(ts)
+      // keys (epoch-relative INTs parsed from the stored strings,
+      // resolved through the catalog's months/hours V2 functions) —
+      // the full-tuple join runs with no Exchange and exact rows
+      conf.set("spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "false")
+      conf.unset("spark.sql.files.maxPartitionBytes")
+      for ((tf, stride) <- Seq(("months", "make_interval(0,CAST(id % 3 AS INT),0,0)"),
+                               ("hours", "make_interval(0,0,0,0,CAST(id % 4 AS INT),0,0)"))) {
+        spark.sql(s"DROP TABLE IF EXISTS graft.nsspjt.f_$tf")
+        spark.sql(s"DROP TABLE IF EXISTS graft.nsspjt.d_$tf")
+        spark.sql(
+          s"""CREATE TABLE graft.nsspjt.f_$tf (ts TIMESTAMP_NTZ, k BIGINT)
+             |PARTITIONED BY ($tf(ts), bucket(2, k))""".stripMargin)
+        spark.sql(
+          s"""CREATE TABLE graft.nsspjt.d_$tf (ts TIMESTAMP_NTZ, k BIGINT, label STRING)
+             |PARTITIONED BY ($tf(ts), bucket(2, k))""".stripMargin)
+        spark.sql(
+          s"""INSERT INTO graft.nsspjt.f_$tf
+             |SELECT TIMESTAMP_NTZ '2024-01-01 00:00:00' + $stride, id
+             |FROM range(0, 60)""".stripMargin)
+        spark.sql(
+          s"""INSERT INTO graft.nsspjt.d_$tf
+             |SELECT TIMESTAMP_NTZ '2024-01-01 00:00:00' + $stride, id, CONCAT('n', id)
+             |FROM range(0, 30)""".stripMargin)
+        val j = spark.sql(
+          s"""SELECT f.k, d.label FROM graft.nsspjt.f_$tf f
+             |JOIN graft.nsspjt.d_$tf d ON f.ts = d.ts AND f.k = d.k""".stripMargin)
+        withClue(s"transform=$tf ") {
+          j.collect().map(_.getLong(0)).sorted.toSeq shouldBe (0L until 30L)
+          j.queryExecution.executedPlan.toString should not include "Exchange"
+        }
+      }
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)
