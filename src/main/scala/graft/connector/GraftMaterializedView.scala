@@ -745,8 +745,15 @@ object GraftMaterializedView {
         case "davg" =>
           val outT = storage.schema.fields.find(_.name == a.name).get.dataType
           val sumT = storage.schema.fields.find(_.name == asCol(i)).get.dataType
-          val as = coalesce(ccol(asCol(i)), lit(0).cast(sumT)) +
-            coalesce(dcol(asCol(i)), lit(0).cast(sumT))
+          // cast the addition back to the STORED sum type before the
+          // division: decimal + widens precision by one, which shrinks
+          // the division's precision-loss-adjusted scale by one — at
+          // the gate boundary (p=24, s>2) that quotient is coarser
+          // than the avg output scale and rounds differently than a
+          // recompute. Casting to sumT makes the merge division
+          // type-identical to the initial avg()'s sum/count division.
+          val as = (coalesce(ccol(asCol(i)), lit(0).cast(sumT)) +
+            coalesce(dcol(asCol(i)), lit(0).cast(sumT))).cast(sumT)
           val nn = coalesce(ccol(nnCol(i)), lit(0L)) + coalesce(dcol(nnCol(i)), lit(0L))
           when(nn === 0L, lit(null).cast(outT))
             .otherwise((as / nn).cast(outT)).as(a.name)

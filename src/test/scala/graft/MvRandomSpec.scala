@@ -399,6 +399,33 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
       }
     }
     spark.sql(s"CALL graft.system.drop_mview('$ns', 'm')")
+    // gate BOUNDARY (p=24, s>2, admitted via the p<=24 arm): the merge
+    // path must divide at the stored sum type's precision — the
+    // un-cast decimal addition widens precision by one and loses one
+    // digit of quotient scale, rounding differently than a recompute
+    // (caught live; pinned here with repeating quotients like 1/3)
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.edge")
+    spark.sql(s"CREATE TABLE graft.$ns.edge (g STRING, v DECIMAL(24,6))")
+    spark.sql(s"INSERT INTO graft.$ns.edge VALUES ('a', 1.000001), ('a', 0.000001)")
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'me',
+         |  'SELECT g, AVG(v) AS av FROM graft.$ns.edge GROUP BY g')""".stripMargin)
+      .head.getString(0) shouldBe "incremental"
+    val ernd = new Random(17)
+    for (step <- 0 until 6) {
+      val rows = (0 until (1 + ernd.nextInt(2))).map(_ =>
+        s"('g${ernd.nextInt(2)}', ${ernd.nextInt(9)}.${100000 + ernd.nextInt(899999)})")
+      spark.sql(s"INSERT INTO graft.$ns.edge VALUES ${rows.mkString(", ")}")
+      spark.sql(s"CALL graft.system.refresh_mview('$ns', 'me', false)")
+      withClue(s"edge step=$step ") {
+        spark.sql(s"SELECT g, av FROM graft.$ns.me ORDER BY g")
+          .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq shouldBe
+          spark.sql(s"SELECT g, AVG(v) AS av FROM graft.$ns.edge GROUP BY g ORDER BY g")
+            .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+      }
+    }
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'me')")
+    spark.sql(s"DROP TABLE graft.$ns.edge")
     // outside the gate: scale > 2 AND precision > 24 → full mode
     spark.sql(s"DROP TABLE IF EXISTS graft.$ns.wide")
     spark.sql(s"CREATE TABLE graft.$ns.wide (g STRING, v DECIMAL(30,10))")
