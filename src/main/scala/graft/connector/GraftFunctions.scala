@@ -62,13 +62,12 @@ object GraftBucketFunction extends UnboundFunction {
   * epoch days), the type [[GraftPartitionKeys]] parses the stored
   * `yyyy-MM-dd` partition-value strings into.
   *
-  * Semantics match the write path ([[graft.partitioning.Transform.Day]],
-  * `date_format(src, "yyyy-MM-dd")`): wall-clock day for DATE and
-  * TIMESTAMP_NTZ sources (timezone-free by construction); for zoned
-  * TIMESTAMP the write path formats in the SESSION timezone, so the
-  * bound function captures it at bind (planning) time and embeds it in
-  * the canonical name — two scans only claim compatibility when their
-  * day boundaries actually agree.
+  * Semantics match the write path ([[graft.partitioning.Transform.Day]]):
+  * wall-clock day for DATE and TIMESTAMP_NTZ sources, UTC day for zoned
+  * TIMESTAMP — all three timezone-free by construction (the write path
+  * derives keys from raw values with exact integer/calendar math, never
+  * through the writer's session timezone), so stored keys and this
+  * function agree for every writer.
   */
 object GraftDaysFunction extends UnboundFunction {
 
@@ -89,41 +88,32 @@ object GraftDaysFunction extends UnboundFunction {
   }
 
   private final class Bound(vt: DataType) extends ScalarFunction[Integer] {
-    private val zone: String = vt match {
-      case TimestampType =>
-        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
-      case _ => "UTC"
-    }
     override def inputTypes(): Array[DataType] = Array(vt)
     override def resultType(): DataType = DateType
     override def isResultNullable: Boolean = true
     override def name(): String = "days"
-    override def canonicalName(): String = vt match {
-      case TimestampType => s"graft.days(${vt.catalogString} @ $zone)"
-      case _ => s"graft.days(${vt.catalogString})"
-    }
+    override def canonicalName(): String = s"graft.days(${vt.catalogString})"
 
     override def produceResult(input: InternalRow): Integer =
       if (input.isNullAt(0)) null
       else vt match {
         case DateType => Integer.valueOf(input.getInt(0))
-        case TimestampNTZType =>
-          Integer.valueOf(Math.floorDiv(input.getLong(0), 86400000000L).toInt)
+        // NTZ micros are wall micros; zoned micros are epoch micros and
+        // the key is the UTC day — identical floorDiv either way.
         case _ =>
-          Integer.valueOf(org.apache.spark.sql.catalyst.util.DateTimeUtils
-            .microsToDays(input.getLong(0), java.time.ZoneId.of(zone)))
+          Integer.valueOf(Math.floorDiv(input.getLong(0), 86400000000L).toInt)
       }
   }
 }
 
 /** Shared shape of the remaining temporal V2 functions (`years`,
   * `months`, `hours`) — epoch-relative INT keys over DATE /
-  * TIMESTAMP_NTZ sources, matching [[GraftPartitionKeys.parseTransform]]'s
-  * reading of the stored `yyyy` / `yyyy-MM` / `yyyy-MM-dd-HH` strings.
-  * Zoned TIMESTAMP is not admitted into the SPJ key domain for the
-  * same reason as `days` (the writer's session timezone shaped the
-  * stored keys and is recorded nowhere), so these bind wall-clock
-  * sources only.
+  * TIMESTAMP_NTZ / zoned TIMESTAMP sources, matching
+  * [[GraftPartitionKeys.parseTransform]]'s reading of the stored
+  * `yyyy` / `yyyy-MM` / `yyyy-MM-dd-HH` strings. NTZ keys are
+  * wall-clock, zoned keys are UTC — both reduce to the same math over
+  * the raw micros, and the write path derives the stored strings the
+  * same way, so the clustering claim holds for every writer timezone.
   */
 private[connector] abstract class GraftTemporalFunction(fnName: String)
     extends UnboundFunction {
@@ -140,7 +130,7 @@ private[connector] abstract class GraftTemporalFunction(fnName: String)
       s"$fnName expects one argument, got ${inputType.simpleString}")
     val vt = inputType.fields(0).dataType
     vt match {
-      case DateType | TimestampNTZType => new Bound(vt)
+      case DateType | TimestampNTZType | TimestampType => new Bound(vt)
       case other => throw new UnsupportedOperationException(
         s"$fnName does not accept ${other.catalogString}")
     }

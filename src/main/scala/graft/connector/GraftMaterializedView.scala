@@ -387,6 +387,7 @@ object GraftMaterializedView {
   private def retCol(i: Int): String = s"_mv_ret_$i" // extreme over deleted rows
   private def rcCol(i: Int): String = s"_mv_rc_$i" // per-agg recompute flag
   private val RcAny = "_mv_rc"
+  private val OvfStored = "_mv_ovf_stored" // stored decimal sum lost to overflow
 
   /** Signed per-group delta of a changelog slice. Additive aggregates
     * carry signed sums; MIN/MAX carry the inserted-side and
@@ -795,8 +796,30 @@ object GraftMaterializedView {
       (if (rcCols.isEmpty) lit(false)
        else minMaxAggs.map { case (_, i) => col(s"`${rcCol(i)}`") }.reduce(_ || _))
     val groupSel = mergeKeys.map(n => dcol(n).as(n))
+    // A decimal running sum cannot represent overflow: Spark's
+    // non-ANSI decimal `+` returns NULL past DECIMAL(38), and a NULL
+    // stored sum would be silently resurrected as 0 by the next
+    // merge's coalesce — a confidently wrong value forever. Flag a
+    // stored sum that is NULL while its stored non-null count is
+    // positive (corrupt storage, or a full refresh that persisted the
+    // SQL overflow answer) so the abort below fires BEFORE this merge
+    // folds the lost sum into 0.
+    val ovfStored: Column = {
+      val conds = shape.aggs.zipWithIndex.flatMap { case (a, i) =>
+        a.kind match {
+          case "sum" =>
+            Seq(curExists && coalesce(ccol(nnCol(i)), lit(0L)) > 0L &&
+              ccol(a.name).isNull)
+          case "davg" =>
+            Seq(curExists && coalesce(ccol(nnCol(i)), lit(0L)) > 0L &&
+              ccol(asCol(i)).isNull)
+          case _ => Nil
+        }
+      }
+      (if (conds.isEmpty) lit(false) else conds.reduce(_ || _)).as(OvfStored)
+    }
     val merged0 = joined
-      .select(groupSel ++ valueCols ++ hiddenCols ++ rcCols :+ newRows: _*)
+      .select(groupSel ++ valueCols ++ hiddenCols ++ rcCols :+ newRows :+ ovfStored: _*)
     val merged = merged0.withColumn(RcAny, rcAny).localCheckpoint()
 
     if (!merged.where(col(RowsCol) < 0).isEmpty)
@@ -805,6 +828,29 @@ object GraftMaterializedView {
           "negative — the changelog and the applied-version marker disagree " +
           "(manual table surgery?). Refusing to write; run refresh_mview with " +
           "force_full => true to rebuild")
+    // ... and a merge whose FRESH sum came out NULL with contributing
+    // non-null rows overflowed right here (the coalesces make every
+    // legitimate folded sum non-null). Either way the true aggregate
+    // exceeds DECIMAL(38) capacity and no incremental answer exists.
+    locally {
+      val fresh = shape.aggs.zipWithIndex.flatMap { case (a, i) =>
+        a.kind match {
+          case "sum"  => Seq(col(s"`${nnCol(i)}`") > 0L && col(s"`${a.name}`").isNull)
+          case "davg" => Seq(col(s"`${nnCol(i)}`") > 0L && col(s"`${asCol(i)}`").isNull)
+          case _      => Nil
+        }
+      }
+      val anyOvf = (col(s"`$OvfStored`") +: fresh).reduce(_ || _)
+      if (fresh.nonEmpty && !merged.where(anyOvf).isEmpty)
+        throw new ArithmeticException(
+          s"materialized view $ns.$name: a decimal running sum is NULL with a " +
+            "positive non-null row count — the sum overflowed DECIMAL(38) (or " +
+            "a prior full refresh stored the SQL overflow answer). The " +
+            "aggregate is not incrementally maintainable at this magnitude; " +
+            "refusing to write a silently-resurrected 0. Drop and recreate " +
+            "the view without this SUM/AVG, or keep it on full refresh " +
+            "(force_full => true), where NULL is the true SQL answer")
+    }
 
     // targeted MIN/MAX recompute: only groups whose extreme was
     // retracted, read from the source AS OF the refresh head, narrowed

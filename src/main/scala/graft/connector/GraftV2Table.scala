@@ -369,23 +369,21 @@ final class GraftNativeScan(tbl: GraftTable, snap: Snapshot,
               snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol)).collect {
                 case f if GraftPartitionKeys.keyDomain(f.dataType) => pf -> f.dataType
               }
-            // Temporal transforms over DATE / TIMESTAMP_NTZ only: their
-            // boundaries are timezone-free by construction. Zoned
-            // TIMESTAMP is excluded — the write path's date_format used
-            // the WRITER's session timezone, which is recorded nowhere,
-            // so no read-side check can prove the stored keys mean what
-            // the reported V2 function would compute (a Tokyo-written
-            // day key holds rows of two UTC days; the clustering claim
-            // would be false and SPJ would silently drop matches at
-            // boundaries instead of shuffling). `day` keys parse as
-            // DATE; year/month/hour parse as epoch-relative INTs
-            // matching their V2 functions.
+            // Temporal transforms: boundaries are timezone-free by
+            // construction for all three temporal types — wall-clock
+            // for DATE/TIMESTAMP_NTZ, UTC for zoned TIMESTAMP — because
+            // the write path derives keys from raw values with exact
+            // integer/calendar math (never through the writer's session
+            // timezone), matching the V2 functions' reading. `day` keys
+            // parse as DATE; year/month/hour parse as epoch-relative
+            // INTs matching their V2 functions.
             case graft.partitioning.Transform.Day |
                  graft.partitioning.Transform.Year |
                  graft.partitioning.Transform.Month |
                  graft.partitioning.Transform.Hour =>
               snap.schema.fields.find(_.name.equalsIgnoreCase(pf.sourceCol)).collect {
-                case f if f.dataType == DateType || f.dataType == TimestampNTZType =>
+                case f if f.dataType == DateType || f.dataType == TimestampNTZType ||
+                    f.dataType == TimestampType =>
                   pf -> (if (pf.transform == graft.partitioning.Transform.Day)
                            DateType: DataType
                          else IntegerType: DataType)

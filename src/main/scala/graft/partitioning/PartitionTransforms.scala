@@ -41,6 +41,51 @@ object Transform {
   private def isTime(dt: DataType) =
     dt == DateType || dt == TimestampType || dt == TimestampNTZType
 
+  private val MicrosPerDay = 86400000000L
+  private val MicrosPerHour = 3600000000L
+
+  /** Calendar day of the source, timezone-FREE: DATE passes through,
+    * TIMESTAMP_NTZ truncates its wall clock (NTZ→DATE cast is pure
+    * calendar math), zoned TIMESTAMP truncates in UTC via exact integer
+    * floor-division of epoch micros. `date_format` is deliberately NOT
+    * used: it renders through the writer's SESSION timezone, so an NTZ
+    * wall time inside a DST spring-forward gap (e.g. 02:30 on the
+    * America/Denver transition day) came back shifted one hour — a
+    * stored key that disagreed with the scan pruner and the SPJ V2
+    * functions, both of which bind wall-clock/UTC semantics. Zoned
+    * values now key on UTC regardless of session timezone — the same
+    * reading [[graft.table.PartitionPruner]] has always applied.
+    */
+  private def utcDay(src: Column, dt: DataType): Column = dt match {
+    case TimestampType =>
+      val um = unix_micros(src)
+      // `div` (IntegralDivide) truncates toward zero, not floor; the
+      // pmod subtraction makes the numerator exactly divisible so both
+      // agree — exact for pre-1970 instants, no double rounding.
+      date_from_unix_date(call_function("div",
+        um - pmod(um, lit(MicrosPerDay)), lit(MicrosPerDay)).cast(IntegerType))
+    case TimestampNTZType => src.cast(DateType)
+    case _ => src
+  }
+  /** Hour-of-day, timezone-free (0 for DATE, matching the old
+    * midnight rendering).
+    */
+  private def hourPart(src: Column, dt: DataType): Column = dt match {
+    case TimestampType =>
+      call_function("div", pmod(unix_micros(src), lit(MicrosPerDay)),
+        lit(MicrosPerHour)).cast(IntegerType)
+    case TimestampNTZType => hour(src) // Hour binds NTZ natively — wall clock
+    case _ => when(src.isNull, lit(null).cast(IntegerType)).otherwise(lit(0))
+  }
+  /** Zero-padded component; NULL-propagating like `date_format`.
+    * Pad-only — `lpad` alone TRUNCATES inputs longer than `n`, which
+    * would corrupt 5-digit years.
+    */
+  private def zp(c: Column, n: Int): Column = {
+    val s = c.cast(StringType)
+    when(length(s) >= n, s).otherwise(lpad(s, n, "0"))
+  }
+
   case object Identity extends Transform {
     val name = "identity"
     def fieldName(src: String): String = src
@@ -50,25 +95,35 @@ object Transform {
   case object Year extends Transform {
     val name = "year"
     def fieldName(src: String): String = s"${src}_year"
-    def derive(src: Column, dt: DataType): Column = date_format(src, "yyyy")
+    def derive(src: Column, dt: DataType): Column = zp(year(utcDay(src, dt)), 4)
     def accepts(dt: DataType): Boolean = isTime(dt)
   }
   case object Month extends Transform {
     val name = "month"
     def fieldName(src: String): String = s"${src}_month"
-    def derive(src: Column, dt: DataType): Column = date_format(src, "yyyy-MM")
+    def derive(src: Column, dt: DataType): Column = {
+      val d = utcDay(src, dt)
+      concat(zp(year(d), 4), lit("-"), zp(month(d), 2))
+    }
     def accepts(dt: DataType): Boolean = isTime(dt)
   }
   case object Day extends Transform {
     val name = "day"
     def fieldName(src: String): String = s"${src}_day"
-    def derive(src: Column, dt: DataType): Column = date_format(src, "yyyy-MM-dd")
+    def derive(src: Column, dt: DataType): Column = {
+      val d = utcDay(src, dt)
+      concat(zp(year(d), 4), lit("-"), zp(month(d), 2), lit("-"), zp(dayofmonth(d), 2))
+    }
     def accepts(dt: DataType): Boolean = isTime(dt)
   }
   case object Hour extends Transform {
     val name = "hour"
     def fieldName(src: String): String = s"${src}_hour"
-    def derive(src: Column, dt: DataType): Column = date_format(src, "yyyy-MM-dd-HH")
+    def derive(src: Column, dt: DataType): Column = {
+      val d = utcDay(src, dt)
+      concat(zp(year(d), 4), lit("-"), zp(month(d), 2), lit("-"),
+        zp(dayofmonth(d), 2), lit("-"), zp(hourPart(src, dt), 2))
+    }
     def accepts(dt: DataType): Boolean = isTime(dt)
   }
   /** Murmur3-based bucketing. Spark's `hash` IS murmur3_x86_32 (the same

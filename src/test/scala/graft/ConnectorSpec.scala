@@ -2203,10 +2203,76 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
           j.queryExecution.executedPlan.toString should not include "Exchange"
         }
       }
+
+      // (d) ZONED timestamps key on UTC regardless of the session
+      // timezone, so they join the SPJ key domain too: write AND read
+      // under America/Denver — the derived partition strings are UTC
+      // components (exact integer math, no session-tz round trip), the
+      // V2 hours() computes the same UTC epoch-hour, and the join is
+      // Exchange-free with exact rows even across the DST gap hours.
+      val prevTz = conf.get("spark.sql.session.timeZone")
+      conf.set("spark.sql.session.timeZone", "America/Denver")
+      try {
+        spark.sql(
+          """CREATE TABLE graft.nsspjt.f_tz (ts TIMESTAMP, k BIGINT)
+            |PARTITIONED BY (hours(ts), bucket(2, k))""".stripMargin)
+        spark.sql(
+          """CREATE TABLE graft.nsspjt.d_tz (ts TIMESTAMP, k BIGINT, label STRING)
+            |PARTITIONED BY (hours(ts), bucket(2, k))""".stripMargin)
+        // instants straddling Denver's 2024-03-10 02:00 spring-forward
+        spark.sql(
+          """INSERT INTO graft.nsspjt.f_tz
+            |SELECT TIMESTAMP'2024-03-10 08:30:00 UTC' + make_interval(0,0,0,0,CAST(id % 4 AS INT),0,0), id
+            |FROM range(0, 60)""".stripMargin)
+        spark.sql(
+          """INSERT INTO graft.nsspjt.d_tz
+            |SELECT TIMESTAMP'2024-03-10 08:30:00 UTC' + make_interval(0,0,0,0,CAST(id % 4 AS INT),0,0), id, CONCAT('n', id)
+            |FROM range(0, 30)""".stripMargin)
+        val jz = spark.sql(
+          """SELECT f.k, d.label FROM graft.nsspjt.f_tz f
+            |JOIN graft.nsspjt.d_tz d ON f.ts = d.ts AND f.k = d.k""".stripMargin)
+        jz.collect().map(_.getLong(0)).sorted.toSeq shouldBe (0L until 30L)
+        jz.queryExecution.executedPlan.toString should not include "Exchange"
+      } finally conf.set("spark.sql.session.timeZone", prevTz)
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)
     }
+  }
+
+  // The scan pruner has always read stored temporal partition strings
+  // as UTC; the write path now derives them that way for zoned sources
+  // too (previously: session timezone). Under a non-UTC writer session
+  // a range predicate must still return exactly the matching rows —
+  // a session-tz-shaped key would make the UTC pruner drop live files.
+  test("zoned temporal partitions prune correctly under a non-UTC session") {
+    val conf = spark.conf
+    val prevTz = conf.get("spark.sql.session.timeZone")
+    conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nstzp")
+      spark.sql(
+        """CREATE TABLE graft.nstzp.ev (ts TIMESTAMP, id BIGINT)
+          |PARTITIONED BY (day(ts))""".stripMargin)
+      // 96 hourly instants spanning four UTC days (Tokyo local dates
+      // differ from UTC dates for 9 hours of every day)
+      spark.sql(
+        """INSERT INTO graft.nstzp.ev
+          |SELECT TIMESTAMP'2024-06-01 00:30:00 UTC' + make_interval(0,0,0,0,CAST(id AS INT),0,0), id
+          |FROM range(0, 96)""".stripMargin)
+      // predicate on a UTC-day boundary: exactly days 2-3 (ids 24..71)
+      val got = spark.sql(
+        """SELECT id FROM graft.nstzp.ev
+          |WHERE ts >= TIMESTAMP'2024-06-02 00:00:00 UTC'
+          |  AND ts <  TIMESTAMP'2024-06-04 00:00:00 UTC'""".stripMargin)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      got shouldBe (24L until 72L)
+      // and a Tokyo-local literal resolves to the right instants too
+      val gotLocal = spark.sql(
+        "SELECT count(*) FROM graft.nstzp.ev WHERE ts < TIMESTAMP'2024-06-02 09:00:00'")
+        .head.getLong(0)
+      gotLocal shouldBe 24L
+    } finally conf.set("spark.sql.session.timeZone", prevTz)
   }
 
   test("change feed prunes whole files from pushed filters (zone maps)") {

@@ -438,4 +438,49 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE graft.$ns.src")
     spark.sql(s"DROP TABLE graft.$ns.wide")
   }
+
+  test("decimal SUM overflow aborts the merge loudly instead of resurrecting 0") {
+    val spark = TestSpark.spark
+    val ns = "mvovf"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.t")
+    spark.sql(s"CREATE TABLE graft.$ns.t (g STRING, v DECIMAL(38,0))")
+    val big = "9" * 38 // ~1e38, two of them overflow DECIMAL(38,0)
+    spark.sql(s"INSERT INTO graft.$ns.t VALUES ('a', $big)")
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'm',
+         |  'SELECT g, SUM(v) AS s FROM graft.$ns.t GROUP BY g')""".stripMargin)
+      .head.getString(0) shouldBe "incremental"
+    spark.sql(s"SELECT s FROM graft.$ns.m").head.getDecimal(0)
+      .toBigInteger.toString shouldBe big
+    // second row overflows the running sum at the merge addition.
+    // Under Spark 4's default ANSI mode the addition itself throws —
+    // already loud. Under ansi.enabled=false (the legacy mode users
+    // still run) the addition yields NULL instead, and WITHOUT the
+    // guard the next merge would coalesce the lost sum to 0 and serve
+    // a confidently wrong value forever — so exercise that mode and
+    // demand the guard's own abort.
+    spark.sql(s"INSERT INTO graft.$ns.t VALUES ('a', $big)")
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    val ex =
+      try intercept[Exception] {
+        spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
+      } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+    def rootChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    withClue(rootChain(ex).mkString(" | ")) {
+      rootChain(ex).exists(_.contains("overflowed DECIMAL(38)")) shouldBe true
+    }
+    // an untouched group in a later slice still refreshes fine
+    spark.sql(s"DELETE FROM graft.$ns.t WHERE v IS NOT NULL")
+    spark.sql(s"INSERT INTO graft.$ns.t VALUES ('b', 7)")
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', true)") // full rebuild
+    spark.sql(s"SELECT g, s FROM graft.$ns.m ORDER BY g")
+      .collect().map(r => (r.getString(0), r.getDecimal(1).toBigInteger.intValue)).toSeq shouldBe
+      Seq(("b", 7))
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'm')")
+    spark.sql(s"DROP TABLE graft.$ns.t")
+  }
 }

@@ -102,4 +102,55 @@ class PartitioningSpec extends AnyFunSuite with Matchers {
     b.accepts(StructType(Nil)) shouldBe false
     b.accepts(MapType(StringType, StringType)) shouldBe false
   }
+
+  /** Temporal derivation must be timezone-FREE: wall-clock for
+    * DATE/TIMESTAMP_NTZ, UTC for zoned TIMESTAMP — never the writer's
+    * session timezone. The old `date_format` derivation round-tripped
+    * NTZ through the session zone, so a wall time inside a DST
+    * spring-forward gap (02:30 on America/Denver's 2024-03-10) stored a
+    * shifted key ("…-03") that disagreed with the scan pruner's and the
+    * SPJ V2 functions' wall-clock reading, and zoned keys silently
+    * changed meaning with the writer's zone.
+    */
+  test("temporal derive is wall-clock/UTC under ANY session timezone") {
+    val spark = TestSpark.spark
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Denver")
+    try {
+      import org.apache.spark.sql.functions.col
+      val df = spark.sql(
+        """SELECT TIMESTAMP_NTZ'2024-03-10 02:30:00' AS ntz,
+          |       TIMESTAMP'2024-03-10 09:30:00 UTC' AS ts,
+          |       DATE'2024-03-10' AS d,
+          |       CAST(NULL AS TIMESTAMP_NTZ) AS nul,
+          |       TIMESTAMP_NTZ'1969-12-31 23:30:00' AS pre,
+          |       TIMESTAMP_NTZ'10000-01-02 03:00:00' AS wide""".stripMargin)
+      def one(t: Transform, c: String, dt: DataType): String = {
+        val r = df.select(t.derive(col(c), dt).as("v")).head
+        if (r.isNullAt(0)) null else r.getString(0)
+      }
+      // NTZ inside the Denver spring-forward gap: wall clock, not shifted
+      one(Transform.Hour, "ntz", TimestampNTZType) shouldBe "2024-03-10-02"
+      one(Transform.Day, "ntz", TimestampNTZType) shouldBe "2024-03-10"
+      one(Transform.Month, "ntz", TimestampNTZType) shouldBe "2024-03"
+      one(Transform.Year, "ntz", TimestampNTZType) shouldBe "2024"
+      // zoned: UTC components (09:30Z), not the Denver local rendering
+      one(Transform.Hour, "ts", TimestampType) shouldBe "2024-03-10-09"
+      one(Transform.Day, "ts", TimestampType) shouldBe "2024-03-10"
+      one(Transform.Month, "ts", TimestampType) shouldBe "2024-03"
+      one(Transform.Year, "ts", TimestampType) shouldBe "2024"
+      // DATE: pure calendar; hour renders the historical midnight "00"
+      one(Transform.Hour, "d", DateType) shouldBe "2024-03-10-00"
+      one(Transform.Day, "d", DateType) shouldBe "2024-03-10"
+      // NULL propagates (null partition value, not a "null" string)
+      one(Transform.Day, "nul", TimestampNTZType) shouldBe null
+      one(Transform.Hour, "nul", TimestampNTZType) shouldBe null
+      // pre-1970: floor semantics, the day before the epoch
+      one(Transform.Day, "pre", TimestampNTZType) shouldBe "1969-12-31"
+      one(Transform.Hour, "pre", TimestampNTZType) shouldBe "1969-12-31-23"
+      // 5-digit years must not be truncated by the zero-padding
+      one(Transform.Year, "wide", TimestampNTZType) shouldBe "10000"
+      one(Transform.Day, "wide", TimestampNTZType) shouldBe "10000-01-02"
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }
