@@ -37,10 +37,10 @@ import org.json4s.jackson.JsonMethods
   * of a left-deep chain of inner/left-outer joins onto bare graft
   * DIMENSIONS — an optional deterministic WHERE, GROUP BY
   * deterministic expressions, aggregates limited to SUM / COUNT /
-  * COUNT(*) / AVG / MIN / MAX (no DISTINCT, no FILTER clauses).
-  * Everything else (DISTINCT, wide-decimal AVG, window functions,
-  * nested views, non-fact-preserving joins) falls back to FULL
-  * refresh, which
+  * COUNT(*) / AVG / MIN / MAX / COUNT(DISTINCT x) (no FILTER
+  * clauses). Everything else (SUM(DISTINCT), wide-decimal AVG, window
+  * functions, nested views, non-fact-preserving joins) falls back to
+  * FULL refresh, which
   * recomputes and overwrites. Join maintenance pins every dimension AS
   * OF the version the stored rows were built with, so the signed fact
   * changelog retracts exactly; a dimension that MOVES triggers one
@@ -69,6 +69,14 @@ import org.json4s.jackson.JsonMethods
   *    source AS OF the refresh head — O(affected groups), never
   *    O(table): the recompute scan is narrowed to the retracted
   *    groups' key range and semi-joined to exactly those keys.
+  *  - COUNT(DISTINCT x): the counting algorithm — a dedup-level aux
+  *    graft table `<storage>__dl<i>` holds one row per (group, value)
+  *    pair with its net source-row count; refresh first applies the
+  *    signed pair deltas to the aux table (its OWN applied marker +
+  *    CAS makes the two-table update crash-safe and exactly-once),
+  *    then folds the aux table's resulting changelog — pair births +1,
+  *    deaths −1 — into the main merge as the distinct count's exact
+  *    delta. Retraction-exact, O(changed pairs) per refresh.
   *
   * Refresh reads the source changelog `(applied, head]`, signs rows
   * (+1 insert / -1 delete pre-image), re-evaluates the stored
@@ -100,9 +108,19 @@ object GraftMaterializedView {
   val GlobalKeyCol = "_mv_g"
   def nnCol(i: Int): String = s"_mv_nn_$i"
   def asCol(i: Int): String = s"_mv_as_$i" // AVG running sum (double / exact decimal)
+  /** COUNT(DISTINCT) dedup-level aux table: `<storage>__dl<i>` holds one
+    * row per (group, value) pair with `_mv_rows` = that pair's net
+    * source-row count. The distinct count's delta is the pair BIRTH
+    * (+1) / DEATH (−1) stream — exactly the aux table's own changelog —
+    * which makes retraction exact (Gupta/Mumick counting algorithm).
+    */
+  def dlSuffix(i: Int): String = s"__dl$i"
+  val DlVCol = "_mv_dlv" // the distinct expression's value in the aux table
+  def dlVerProp(i: Int): String = s"graft.mview.dl-version.$i" // aux version folded into main
 
   final case class AggSpec(name: String, kind: String, sql: String)
-  // kind: sum | count | count_star | avg | davg (exact decimal) | min | max
+  // kind: sum | count | count_star | avg | davg (exact decimal) | min |
+  // max | cdistinct (COUNT(DISTINCT x) via the dedup-level aux table)
 
   final case class Shape(filter: Option[String],
                          groups: Seq[(String, String)],
@@ -274,6 +292,20 @@ object GraftMaterializedView {
                 case Seq(one) => aggs += AggSpec(name, "count", plainSql(one))
                 case _ => return Left(s"multi-argument COUNT in ${al.sql}")
               }
+            case AggregateExpression(Count(es), _, true, None, _) =>
+              // COUNT(DISTINCT x): maintained by the counting algorithm —
+              // a dedup-level aux table keyed (group, value) whose pair
+              // births/deaths are the distinct count's exact deltas.
+              es match {
+                case Seq(one) =>
+                  if (!one.deterministic)
+                    return Left(s"nondeterministic COUNT(DISTINCT) in ${al.sql}")
+                  if (!minMaxable(one.dataType))
+                    return Left(s"COUNT(DISTINCT) over an unorderable type in ${al.sql}")
+                  aggs += AggSpec(name, "cdistinct", plainSql(one))
+                case _ =>
+                  return Left(s"multi-argument COUNT(DISTINCT) in ${al.sql}")
+              }
             case AggregateExpression(Average(e, _), _, false, None, _) =>
               if (!e.deterministic) return Left(s"nondeterministic AVG in ${al.sql}")
               e.dataType match {
@@ -364,6 +396,7 @@ object GraftMaterializedView {
       case AggSpec(n, "davg", s) => avg(expr(s)).as(n)
       case AggSpec(n, "min", s) => min(expr(s)).as(n)
       case AggSpec(n, "max", s) => max(expr(s)).as(n)
+      case AggSpec(n, "cdistinct", s) => count_distinct(expr(s)).as(n)
       case AggSpec(n, k, _) => sys.error(s"bad agg kind $k for $n")
     } ++
       shape.aggs.zipWithIndex.flatMap {
@@ -389,15 +422,42 @@ object GraftMaterializedView {
   private val RcAny = "_mv_rc"
   private val OvfStored = "_mv_ovf_stored" // stored decimal sum lost to overflow
 
+  /** The changelog slice signed (+1 insert / -1 delete pre-image) and
+    * narrowed by the stored WHERE — the shared input of the per-group
+    * delta AND the dedup-level pair delta.
+    */
+  private def signedSlice(changes: DataFrame, shape: Shape): DataFrame = {
+    val signed0 = changes.withColumn("_sign",
+      when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
+    shape.filter.fold(signed0)(signed0.where)
+  }
+
+  /** Dedup-level pair counts over `base` (group keys + distinct value +
+    * `_mv_rows`), the aux table's full contents for a cdistinct agg.
+    * NULL values are excluded — COUNT(DISTINCT) ignores them.
+    */
+  private def dlPairs(base: DataFrame, shape: Shape, valueSql: String): DataFrame = {
+    val v = expr(valueSql)
+    val nn = base.where(v.isNotNull)
+    val f =
+      if (shape.groups.isEmpty)
+        nn.groupBy(v.as(DlVCol)).agg(count(lit(1)).as(RowsCol))
+          .withColumn(GlobalKeyCol, lit(0))
+      else
+        nn.groupBy(shape.groups.map { case (n, s) => expr(s).as(n) } :+ v.as(DlVCol): _*)
+          .agg(count(lit(1)).as(RowsCol))
+    f
+  }
+
   /** Signed per-group delta of a changelog slice. Additive aggregates
     * carry signed sums; MIN/MAX carry the inserted-side and
     * deleted-side extremes separately (the merge decides closed-form
-    * vs recompute from them).
+    * vs recompute from them); cdistinct carries NOTHING here — its
+    * delta is derived from the aux table's changelog after the pair
+    * apply (see refresh), then folded in under the agg's column name.
     */
   private def delta(changes: DataFrame, shape: Shape): DataFrame = {
-    val signed0 = changes.withColumn("_sign",
-      when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
-    val signed = shape.filter.fold(signed0)(signed0.where)
+    val signed = signedSlice(changes, shape)
     val groupCols = shape.groups.map { case (n, s) => expr(s).as(n) }
     val aggCols = shape.aggs.zipWithIndex.flatMap { case (a, i) =>
       def nnDelta = sum(when(expr(a.sql).isNotNull, col("_sign")).otherwise(lit(0L)))
@@ -422,6 +482,7 @@ object GraftMaterializedView {
         case "max" => Seq(
           max(when(col("_sign") === 1L, expr(a.sql))).as(insCol(i)),
           max(when(col("_sign") === -1L, expr(a.sql))).as(retCol(i)))
+        case "cdistinct" => Nil // folded in from the aux changelog later
         case k => sys.error(s"bad agg kind $k for ${a.name}")
       }
     } :+ sum(col("_sign")).as(RowsCol)
@@ -518,17 +579,37 @@ object GraftMaterializedView {
         }
         val base0 = joinBase(src.scanAsOfVersion(cur),
           dimInfo.map(i => (i._3, i._4, i._5)))
-        val f = grouped(js.shape.filter.fold(base0)(base0.where), js.shape)
+        val based = js.shape.filter.fold(base0)(base0.where)
+        val f = grouped(based, js.shape)
         val dimProps =
           if (js.dims.isEmpty) Map.empty[String, String]
           else Map(
             DimsProp -> specJson(dimInfo.map(i => Seq(i._1, i._4, i._5))),
             DimVersProp -> specJson(dimInfo.map(i => Seq(i._1, i._2.toString))))
+        // dedup-level aux tables lead the main append so their versions
+        // ride in its props — create() failing in between leaves no
+        // registered MV, only unclaimed storage a re-create rejects
+        val dlProps = js.shape.aggs.zipWithIndex.collect {
+          case (a, i) if a.kind == "cdistinct" =>
+            val auxIdent = TableIdent(ns, name + StorageSuffix + dlSuffix(i))
+            require(!cat.exists(auxIdent),
+              s"cannot create materialized view $ns.$name: dedup-level " +
+                s"table ${auxIdent.name} exists")
+            // the pair table shares the MV's optional partition spec —
+            // it carries the same group columns, so a bucket/identity
+            // spec over them prunes the pair merge the same way
+            // (ensure degrades to unpartitioned if the spec references
+            // columns the pair schema lacks)
+            val aux = cat.ensure(auxIdent, storageSpec)
+            aux.append(dlPairs(based, js.shape, a.sql),
+              props = Map(AppliedProp -> cur.toString))
+            dlVerProp(i) -> aux.currentOrFail().version.toString
+        }.toMap
         ("incremental", f, Map(
           FilterProp -> js.shape.filter.getOrElse(""),
           GroupProp -> specJson(js.shape.groups.map(p => Seq(p._1, p._2))),
           AggProp -> specJson(js.shape.aggs.map(a => Seq(a.name, a.kind, a.sql)))) ++
-          dimProps)
+          dimProps ++ dlProps)
       case Left(_) =>
         val f = spark.sql(sql)
         // the public view filters the _mv_ bookkeeping namespace out of
@@ -624,12 +705,24 @@ object GraftMaterializedView {
       val curVers = dimTbls.map { case (r, t, _, _) =>
         r -> t.currentOrFail().version
       }.toMap
+      var dlProps = Map.empty[String, String]
       val frame =
         if (mode == "full") spark.sql(sql)
         else {
           val shape = shapeFromProps(props)
           val base0 = pinnedJoin(src.scanAsOfVersion(to), curVers)
-          grouped(shape.filter.fold(base0)(base0.where), shape)
+          val based = shape.filter.fold(base0)(base0.where)
+          // rebuild each dedup-level aux table from the same pinned
+          // base the rows are rebuilt from, and re-point the folded
+          // marker at the overwrite version
+          dlProps = shape.aggs.zipWithIndex.collect {
+            case (a, i) if a.kind == "cdistinct" =>
+              val aux = cat.load(TableIdent(ns, name + StorageSuffix + dlSuffix(i)))
+              aux.overwrite(dlPairs(based, shape, a.sql),
+                props = Map(AppliedProp -> to.toString))
+              dlVerProp(i) -> aux.currentOrFail().version.toString
+          }.toMap
+          grouped(based, shape)
         }
       val dimProp =
         if (dimTbls.isEmpty) Map.empty[String, String]
@@ -637,21 +730,24 @@ object GraftMaterializedView {
           Seq(r, curVers(r).toString)
         }))
       storage.overwrite(frame,
-        props = props ++ Map(AppliedProp -> to.toString) ++ dimProp)
+        props = props ++ Map(AppliedProp -> to.toString) ++ dimProp ++ dlProps)
       return (applied, to, "full")
     }
 
-    // CAS scope for the incremental commit: the applied marker AND the
-    // dim pins. A concurrent full re-pin (dim moved) rewrites the rows
-    // against NEW dim versions while leaving AppliedProp possibly
-    // unchanged — an in-flight incremental whose delta joined the OLD
-    // pins must abort at commit, not merge stale-pinned deltas over
-    // re-pinned rows.
+    val shape = shapeFromProps(props)
+    val cdist = shape.aggs.zipWithIndex.filter(_._1.kind == "cdistinct")
+    // CAS scope for the incremental commit: the applied marker, the dim
+    // pins, AND the dedup-level folded markers. A concurrent full
+    // re-pin (dim moved) rewrites the rows against NEW dim versions —
+    // and rebuilds the aux tables — while leaving AppliedProp possibly
+    // unchanged; an in-flight incremental built on the OLD state must
+    // abort at commit, not merge stale deltas over rebuilt rows.
     val casProps: Map[String, String] =
       Map(AppliedProp -> applied.toString) ++
-        props.get(DimVersProp).map(DimVersProp -> _)
-
-    val shape = shapeFromProps(props)
+        props.get(DimVersProp).map(DimVersProp -> _) ++
+        cdist.flatMap { case (_, i) =>
+          props.get(dlVerProp(i)).map(dlVerProp(i) -> _)
+        }
     val d =
       try delta(pinnedJoin(src.scanChangesBetween(applied, to), pinnedVer), shape)
         // one evaluation: the delta feeds the bounds probe, the merge
@@ -674,13 +770,138 @@ object GraftMaterializedView {
     // delete never applies; the rows==0 row IS the correct state)
     val isGlobal = groupNames.isEmpty
     val mergeKeys = if (isGlobal) Seq(GlobalKeyCol) else groupNames
+
+    // PHASE A — dedup-level pair apply, one aux table per cdistinct
+    // agg, BEFORE the main merge. Each aux table carries its OWN
+    // applied marker with CAS, so the two-table update is crash-safe:
+    // a retry after a crash between the phases finds the aux marker at
+    // the head, skips the already-applied pair slice, and still folds
+    // the aux changelog it produced into the main merge (phase B reads
+    // from the main-recorded dl-version, not the aux marker). Returns
+    // each aux table's current version, the fold's right endpoint.
+    val dlVerNow: Map[Int, Int] = cdist.map { case (a, i) =>
+      val aux = cat.load(TableIdent(ns, name + StorageSuffix + dlSuffix(i)))
+      val auxApplied = aux.currentOrFail().properties(AppliedProp).toInt
+      if (auxApplied < to) {
+        val pairKeys = mergeKeys :+ DlVCol
+        val pd =
+          try {
+            val slice = signedSlice(
+              pinnedJoin(src.scanChangesBetween(auxApplied, to), pinnedVer), shape)
+            val v = expr(a.sql)
+            val nn = slice.where(v.isNotNull)
+            (if (isGlobal)
+               nn.groupBy(v.as(DlVCol)).agg(sum(col("_sign")).as("_mv_net"))
+                 .withColumn(GlobalKeyCol, lit(0))
+             else
+               nn.groupBy(shape.groups.map { case (n, s) => expr(s).as(n) } :+
+                 v.as(DlVCol): _*).agg(sum(col("_sign")).as("_mv_net")))
+              .localCheckpoint()
+          } catch {
+            case e @ (_: java.io.FileNotFoundException |
+                      _: java.nio.file.NoSuchFileException |
+                      _: IllegalStateException | _: IllegalArgumentException) =>
+              throw new IllegalStateException(
+                s"materialized view $ns.$name cannot replay the source " +
+                  s"changelog ($auxApplied, $to] for its COUNT(DISTINCT) " +
+                  "pair table — expire_snapshots may have removed versions " +
+                  "the marker still needs. Rebuild with refresh_mview(..., " +
+                  "force_full => true)", e)
+          }
+        if (pd.isEmpty)
+          aux.updateProperties(Map(AppliedProp -> to.toString),
+            requireParentProps = Map(AppliedProp -> auxApplied.toString))
+        else {
+          // zone-pruned keyed read of only the pairs that can be hit —
+          // same rectangle trick as the main merge, over group+value
+          def isBinaryFloatA(k: String) =
+            aux.schema.fields.find(_.name == k).map(_.dataType)
+              .exists(t => t == org.apache.spark.sql.types.FloatType ||
+                t == org.apache.spark.sql.types.DoubleType)
+          val sqls = rangeBounds(pd, pairKeys, isBinaryFloatA).flatMap {
+            case (k, lo, hi) =>
+              FilterSql.toSql(org.apache.spark.sql.sources.And(
+                org.apache.spark.sql.sources.GreaterThanOrEqual(k, lo),
+                org.apache.spark.sql.sources.LessThanOrEqual(k, hi)))
+          }
+          val curA =
+            if (sqls.isEmpty) aux.scan()
+            else aux.scanWhere(sqls.mkString("(", ") AND (", ")"))
+          def pc(n: String) = col(s"p.`$n`")
+          def cc(n: String) = col(s"c.`$n`")
+          val mergedA = pd.alias("p").join(curA.alias("c"),
+              pairKeys.map(n => pc(n) <=> cc(n)).reduce(_ && _), "left")
+            .select(pairKeys.map(n => pc(n).as(n)) :+
+              (coalesce(cc(RowsCol), lit(0L)) + pc("_mv_net")).as(RowsCol): _*)
+            .localCheckpoint()
+          if (!mergedA.where(col(RowsCol) < 0).isEmpty)
+            throw new IllegalStateException(
+              s"materialized view $ns.$name: a COUNT(DISTINCT) pair count " +
+                "went negative — the changelog and the pair table's applied " +
+                "marker disagree (manual table surgery?). Refusing to write; " +
+                "run refresh_mview with force_full => true to rebuild")
+          aux.applyNetChanges(
+            mergedA.where(col(RowsCol) === 0)
+              .select(pairKeys.map(n => col(s"`$n`")): _*),
+            mergedA.where(col(RowsCol) > 0),
+            pairKeys,
+            props = Map(AppliedProp -> to.toString),
+            requireParentProps = Map(AppliedProp -> auxApplied.toString),
+            nullSafeKeys = true)
+        }
+      }
+      i -> aux.currentOrFail().version
+    }.toMap
+
     if (d.isEmpty) {
       // net-empty slice: advance the marker metadata-only, CAS-guarded —
       // a stale empty-advance racing a real refresh must not REGRESS the
-      // marker (replaying the range would double-apply its changes)
+      // marker (replaying the range would double-apply its changes).
+      // (An all-filtered slice nets no pairs either, so phase A above
+      // advanced each aux marker the same metadata-only way.)
       storage.updateProperties(Map(AppliedProp -> to.toString),
         requireParentProps = casProps)
       return (applied, to, "empty")
+    }
+
+    // PHASE B — fold each aux table's changelog since the main-recorded
+    // dl-version into the delta under the agg's own column name: a pair
+    // BIRTH (insert with no delete pre-image) is +1 distinct, a DEATH
+    // is −1, a count-only update nets 0 — so the group-summed signs ARE
+    // the exact COUNT(DISTINCT) delta, and the merge below treats it
+    // like any additive aggregate.
+    val dFull = cdist.foldLeft(d) { case (acc, (a, i)) =>
+      val fromV = props.getOrElse(dlVerProp(i), sys.error(
+        s"materialized view $ns.$name: missing ${dlVerProp(i)} marker")).toInt
+      val nowV = dlVerNow(i)
+      if (nowV == fromV) acc.withColumn(a.name, lit(0L))
+      else {
+        val aux = cat.load(TableIdent(ns, name + StorageSuffix + dlSuffix(i)))
+        val dd =
+          try aux.scanChangesBetween(fromV, nowV)
+            .withColumn("_mv_s", when(col("_change_type") === "insert", lit(1L))
+              .otherwise(lit(-1L)))
+            .groupBy(mergeKeys.map(n => col(s"`$n`")): _*)
+            .agg(sum(col("_mv_s")).as("_mv_dd"))
+          catch {
+            case e @ (_: java.io.FileNotFoundException |
+                      _: java.nio.file.NoSuchFileException |
+                      _: IllegalStateException | _: IllegalArgumentException) =>
+              throw new IllegalStateException(
+                s"materialized view $ns.$name cannot replay its " +
+                  s"COUNT(DISTINCT) pair changelog ($fromV, $nowV] — " +
+                  "expire_snapshots on the pair table may have removed " +
+                  "versions. Rebuild with refresh_mview(..., force_full => true)", e)
+          }
+        val dk = mergeKeys.map("_mvdk_" + _)
+        val renamed = dd.toDF(dk :+ "_mv_dd": _*)
+        acc.join(renamed,
+            mergeKeys.zip(dk).map { case (n, r) =>
+              col(s"`$n`") <=> col(s"`$r`")
+            }.reduce(_ && _), "left")
+          .withColumn(a.name, coalesce(col("_mv_dd"), lit(0L)))
+          .drop(dk :+ "_mv_dd": _*)
+      }
     }
 
     // read only the storage files that can hold an affected group: a
@@ -717,7 +938,7 @@ object GraftMaterializedView {
     // NULL-keyed row exactly like any other key
     def dcol(n: String) = col(s"d.`$n`")
     def ccol(n: String) = col(s"c.`$n`")
-    val joined = d.alias("d").join(cur.alias("c"),
+    val joined = dFull.alias("d").join(cur.alias("c"),
       mergeKeys.map(n => dcol(n) <=> ccol(n)).reduce(_ && _), "left")
     val curExists = ccol(RowsCol).isNotNull
     val newRows = (coalesce(ccol(RowsCol), lit(0L)) + dcol(RowsCol)).as(RowsCol)
@@ -926,7 +1147,8 @@ object GraftMaterializedView {
     // makes this one abort at commit instead of double-applying a
     // delta both derived from the same marker
     storage.applyNetChanges(delKeys, upserts, mergeKeys,
-      props = props ++ Map(AppliedProp -> to.toString),
+      props = props ++ Map(AppliedProp -> to.toString) ++
+        dlVerNow.map { case (i, v) => dlVerProp(i) -> v.toString },
       requireParentProps = casProps,
       nullSafeKeys = true)
     (applied, to, "incremental")
@@ -970,13 +1192,26 @@ object GraftMaterializedView {
       .start()
   }
 
-  /** DROP: the public view and the storage table. */
+  /** DROP: the public view, the storage table, and any dedup-level
+    * aux tables (enumerated from the stored agg spec BEFORE the
+    * storage that records them goes away).
+    */
   def drop(cat: GraftCatalog, ns: String, name: String): Boolean = {
     val viewStore = new GraftViewStore(cat.fs, cat.warehouse)
     val storageIdent = TableIdent(ns, name + StorageSuffix)
+    val auxIdents: Seq[TableIdent] =
+      if (!cat.exists(storageIdent)) Nil
+      else scala.util.Try {
+        val p = cat.load(storageIdent).currentOrFail().properties
+        specFromJson(p.getOrElse(AggProp, "[]")).zipWithIndex.collect {
+          case (Seq(_, "cdistinct", _), i) =>
+            TableIdent(ns, name + StorageSuffix + dlSuffix(i))
+        }
+      }.getOrElse(Nil)
     val hadView = viewStore.drop(ns, name)
     val hadTable = cat.exists(storageIdent)
     if (hadTable) cat.drop(storageIdent)
+    auxIdents.filter(cat.exists).foreach(cat.drop)
     hadView || hadTable
   }
 }

@@ -837,6 +837,61 @@ object TableQueries {
              |FROM lineitem
              |WHERE l_quantity > 2.0 AND l_extendedprice < 80000.0""".stripMargin)),
 
+    // COUNT(DISTINCT) MV: the counting-algorithm dedup-level pair
+    // table (`<storage>__dl<i>`). Distinct suppliers per return flag —
+    // suppliers recur across many rows, so the merge-on-read deletes
+    // exercise real pair churn: some pairs lose carriers but survive
+    // (distinct count unchanged), others die (count drops). Maintained
+    // incrementally across inserts AND MoR deletes; end state
+    // hash-matches DuckDB's from-scratch COUNT(DISTINCT).
+    "q110_mview_count_distinct" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq110").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq110", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq110.warehouse",
+            Files.createTempDirectory("graft-mview-cdist").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq110.bench")
+        s.sql("CALL graftq110.system.drop_mview('bench', 'supp')")
+        s.sql("DROP TABLE IF EXISTS graftq110.bench.li")
+        s.sql("""CREATE TABLE graftq110.bench.li
+                |(l_orderkey BIGINT, l_returnflag STRING, l_suppkey BIGINT,
+                | l_quantity DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        t(s, dir, "lineitem").createOrReplaceTempView("q110_li")
+        s.sql("""INSERT INTO graftq110.bench.li
+                |SELECT l_orderkey, l_returnflag, l_suppkey, l_quantity
+                |FROM q110_li WHERE l_orderkey % 2 = 0""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq110.system.create_mview('bench', 'supp',
+            |  'SELECT l_returnflag AS flag, COUNT(DISTINCT l_suppkey) AS ds,
+            |     COUNT(l_suppkey) AS ns, COUNT(*) AS n
+            |   FROM graftq110.bench.li WHERE l_quantity > 2.0
+            |   GROUP BY l_returnflag')""".stripMargin).head.getString(0)
+        require(mode == "incremental", s"expected incremental mode, got $mode")
+        s.sql("""INSERT INTO graftq110.bench.li
+                |SELECT l_orderkey, l_returnflag, l_suppkey, l_quantity
+                |FROM q110_li WHERE l_orderkey % 2 = 1""".stripMargin)
+        // pair churn: the quantity band kills every pair whose supplier
+        // ships ONLY large quantities under that flag (pair deaths) and
+        // merely thins the rest (their distinct counts must NOT move);
+        // the key-range trim adds carrier churn on top
+        s.sql("DELETE FROM graftq110.bench.li WHERE l_quantity >= 45.0")
+        s.sql("DELETE FROM graftq110.bench.li WHERE l_orderkey <= 400")
+        val action = s.sql(
+          "CALL graftq110.system.refresh_mview('bench', 'supp', false)")
+          .head.getString(2)
+        require(action == "incremental", s"expected incremental refresh, got $action")
+        s.sql("""SELECT flag, ds, ns, n FROM graftq110.bench.supp
+                |ORDER BY flag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag AS flag, COUNT(DISTINCT l_suppkey) AS ds,
+             |  COUNT(l_suppkey) AS ns, COUNT(*) AS n
+             |FROM lineitem
+             |WHERE l_quantity > 2.0 AND l_quantity < 45.0
+             |  AND l_orderkey > 400
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Join MV: fact (lineitem) joined to a static dimension (orders),
     // group key drawn from the DIM side, maintained incrementally from
     // the fact changelog with the dim pinned — then the dim moves (a

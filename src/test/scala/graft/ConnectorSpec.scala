@@ -416,11 +416,16 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
         |(1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 3.0), (4, 'd', 4.0)""".stripMargin)
     spark.sql(
       """CALL graft.system.create_mview('mv7', 'm',
-        |'SELECT g, SUM(v) AS t, COUNT(*) AS n FROM graft.mv7.src GROUP BY g',
+        |'SELECT g, SUM(v) AS t, COUNT(DISTINCT id) AS d, COUNT(*) AS n
+        | FROM graft.mv7.src GROUP BY g',
         |'g')""".stripMargin).head.getString(0) shouldBe "incremental"
     val cat = GraftCatalog(spark, spark.conf.get("spark.sql.catalog.graft.warehouse"))
     val storage = cat.load(TableIdent("mv7", "m__rows"))
     storage.currentOrFail().partitionSpec shouldBe Some("g")
+    // the dedup-level pair table inherits the spec: its keyed pair
+    // merge prunes by the same group directories
+    cat.load(TableIdent("mv7", "m__rows__dl1"))
+      .currentOrFail().partitionSpec shouldBe Some("g")
     val before = storage.currentOrFail().files.map(_.path).toSet
     before.size should be >= 4 // one directory per group value
     // touch ONE group: only its partition's file may be replaced
@@ -429,8 +434,9 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
       .head.getString(2) shouldBe "incremental"
     val after = storage.currentOrFail().files.map(_.path).toSet
     (before intersect after).size shouldBe before.size - 1 // others carried
-    spark.sql("SELECT t, n FROM graft.mv7.m WHERE g = 'b'").collect()
-      .map(r => (r.getDouble(0), r.getLong(1))).toSeq shouldBe Seq((22.0, 2L))
+    spark.sql("SELECT t, d, n FROM graft.mv7.m WHERE g = 'b'").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+      Seq((22.0, 2L, 2L))
     spark.sql("CALL graft.system.drop_mview('mv7', 'm')")
   }
 
@@ -479,19 +485,20 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv2")
     spark.sql("CREATE TABLE graft.mv2.t (k STRING, v DOUBLE)")
     spark.sql("INSERT INTO graft.mv2.t VALUES ('a', 1.0), ('a', 3.0), ('b', 10.0)")
-    // DISTINCT cannot be maintained from signed deltas -> full mode
-    // (AVG/MIN/MAX graduated to incremental in round 14 — MvRandomSpec
-    // pins that; this test keeps the fallback path honest)
+    // SUM(DISTINCT) cannot be maintained from signed deltas -> full
+    // mode (AVG/MIN/MAX and COUNT(DISTINCT) graduated to incremental
+    // in round 14 — MvRandomSpec pins those; this test keeps the
+    // fallback path honest)
     spark.sql(
       """CALL graft.system.create_mview('mv2', 'avgs',
-        |  'SELECT k, COUNT(DISTINCT v) AS dv, AVG(v) AS mean
+        |  'SELECT k, SUM(DISTINCT v) AS dv, AVG(v) AS mean
         |   FROM graft.mv2.t GROUP BY k')""".stripMargin)
       .head.getString(0) shouldBe "full"
     spark.sql("INSERT INTO graft.mv2.t VALUES ('b', 20.0)")
     spark.sql("CALL graft.system.refresh_mview('mv2', 'avgs', false)")
       .head.getString(2) shouldBe "full"
     spark.sql("SELECT dv, mean FROM graft.mv2.avgs WHERE k = 'b'")
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe Seq((2L, 15.0))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq shouldBe Seq((30.0, 15.0))
     // a non-graft source has no changelog: refused loudly
     spark.range(3).createOrReplaceTempView("mv2_tmp")
     intercept[Exception] {

@@ -439,6 +439,117 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE graft.$ns.wide")
   }
 
+  // ------------------------------------------------------------------
+  // COUNT(DISTINCT x): the counting-algorithm dedup-level aux table.
+  // Value churn (delete one of several rows sharing an x — distinct
+  // unchanged), pair deaths (last carrier deleted), NULL values
+  // (ignored by COUNT DISTINCT), NULL group keys, group wipes, mixing
+  // with the additive/extreme algebra, the global one-row shape, and a
+  // force_full rebuild — MV == inline recompute at every refresh.
+  // ------------------------------------------------------------------
+
+  test("COUNT(DISTINCT): incremental via the pair table == inline recompute") {
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(4)
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(2000 + seed)
+      val ns = s"mvd$seed"
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.src")
+      spark.sql(
+        s"CREATE TABLE graft.$ns.src (id BIGINT, g STRING, x INT, v DOUBLE)")
+      var nextId = 0L
+      def insertBurst(): Unit = {
+        val rows = (0 until (1 + rnd.nextInt(6))).map { _ =>
+          nextId += 1
+          val g = if (rnd.nextInt(6) == 0) "NULL" else s"'g${rnd.nextInt(3)}'"
+          // small x domain → heavy pair sharing → real churn coverage
+          val x = if (rnd.nextInt(5) == 0) "CAST(NULL AS INT)"
+                  else rnd.nextInt(5).toString
+          s"($nextId, $g, $x, ${rnd.nextInt(40)}.5)"
+        }
+        spark.sql(s"INSERT INTO graft.$ns.src VALUES ${rows.mkString(", ")}")
+      }
+      insertBurst()
+      val defn =
+        s"""SELECT g, COUNT(DISTINCT x) AS dx, COUNT(x) AS nx,
+           |       SUM(v) AS total, MAX(v) AS mx, COUNT(*) AS n
+           |FROM graft.$ns.src GROUP BY g""".stripMargin
+      spark.sql(
+        s"""CALL graft.system.create_mview('$ns', 'm', '${defn.replace("'", "''")}')""")
+        .head.getString(0) shouldBe "incremental"
+      def snap(from: String): Seq[String] =
+        spark.sql(s"SELECT g, dx, nx, total, mx, n FROM $from ORDER BY g NULLS FIRST")
+          .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+      for (step <- 0 until 8) {
+        rnd.nextInt(3) match {
+          case 0 => insertBurst()
+          case 1 =>
+            if (rnd.nextBoolean())
+              spark.sql(s"DELETE FROM graft.$ns.src WHERE g = 'g${rnd.nextInt(3)}'")
+            else {
+              val lo = 1 + rnd.nextInt(math.max(1, nextId.toInt))
+              spark.sql(s"DELETE FROM graft.$ns.src WHERE id >= $lo AND id < ${lo + 3}")
+            }
+          case _ =>
+            // churn: retarget one row's x (pair move within a group)
+            val id = 1 + rnd.nextInt(math.max(1, nextId.toInt))
+            spark.sql(
+              s"""MERGE INTO graft.$ns.src t
+                 |USING (SELECT CAST($id AS BIGINT) AS id, 'g${rnd.nextInt(3)}' AS g,
+                 |              ${rnd.nextInt(5)} AS x, ${rnd.nextInt(40)}.5 AS v) s
+                 |ON t.id = s.id
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        }
+        val action = spark.sql(
+          s"CALL graft.system.refresh_mview('$ns', 'm', false)").head.getString(2)
+        Seq("incremental", "empty", "noop") should contain(action)
+        withClue(s"seed=$seed step=$step action=$action ") {
+          snap(s"graft.$ns.m") shouldBe snap(s"($defn)")
+        }
+      }
+      // force_full rebuilds the pair table too, and incremental resumes
+      spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', true)")
+        .head.getString(2) shouldBe "full"
+      insertBurst()
+      spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
+      withClue(s"seed=$seed post-full ") {
+        snap(s"graft.$ns.m") shouldBe snap(s"($defn)")
+      }
+      // drop removes the dedup-level aux table with the storage
+      spark.sql(s"CALL graft.system.drop_mview('$ns', 'm')")
+      spark.sql(s"SHOW TABLES IN graft.$ns")
+        .collect().map(_.getString(1))
+        .exists(_.contains("__dl")) shouldBe false
+      spark.sql(s"DROP TABLE graft.$ns.src")
+    }
+    // global one-row shape: distinct over the whole table, survives a wipe
+    val ns = "mvdg"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.t")
+    spark.sql(s"CREATE TABLE graft.$ns.t (x STRING)")
+    spark.sql(s"INSERT INTO graft.$ns.t VALUES ('a'), ('a'), ('b'), (NULL)")
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'mg',
+         |  'SELECT COUNT(DISTINCT x) AS dx, COUNT(*) AS n FROM graft.$ns.t')""".stripMargin)
+      .head.getString(0) shouldBe "incremental"
+    def g(): (Long, Long) = {
+      val r = spark.sql(s"SELECT dx, n FROM graft.$ns.mg").head
+      (r.getLong(0), r.getLong(1))
+    }
+    g() shouldBe ((2L, 4L))
+    spark.sql(s"INSERT INTO graft.$ns.t VALUES ('c'), ('b')")
+    spark.sql(s"DELETE FROM graft.$ns.t WHERE x = 'a'")
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'mg', false)")
+      .head.getString(2) shouldBe "incremental"
+    g() shouldBe ((2L, 4L)) // b, c remain distinct; NULL ignored by dx
+    spark.sql(s"DELETE FROM graft.$ns.t WHERE true")
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'mg', false)")
+    g() shouldBe ((0L, 0L))
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'mg')")
+    spark.sql(s"DROP TABLE graft.$ns.t")
+  }
+
   test("decimal SUM overflow aborts the merge loudly instead of resurrecting 0") {
     val spark = TestSpark.spark
     val ns = "mvovf"
