@@ -37,10 +37,11 @@ import org.json4s.jackson.JsonMethods
   * of a left-deep chain of inner/left-outer joins onto bare graft
   * DIMENSIONS — an optional deterministic WHERE, GROUP BY
   * deterministic expressions, aggregates limited to SUM / COUNT /
-  * COUNT(*) / AVG / MIN / MAX / COUNT(DISTINCT x) (no FILTER
-  * clauses). Everything else (SUM(DISTINCT), wide-decimal AVG, window
-  * functions, nested views, non-fact-preserving joins) falls back to
-  * FULL refresh, which
+  * COUNT(*) / AVG / MIN / MAX / COUNT|SUM|AVG(DISTINCT x) — DISTINCT
+  * over non-decimal inputs — (no FILTER clauses). Everything else
+  * (decimal DISTINCT aggregates, wide-decimal AVG, window functions,
+  * nested views, non-fact-preserving joins) falls back to FULL
+  * refresh, which
   * recomputes and overwrites. Join maintenance pins every dimension AS
   * OF the version the stored rows were built with, so the signed fact
   * changelog retracts exactly; a dimension that MOVES triggers one
@@ -69,14 +70,16 @@ import org.json4s.jackson.JsonMethods
   *    source AS OF the refresh head — O(affected groups), never
   *    O(table): the recompute scan is narrowed to the retracted
   *    groups' key range and semi-joined to exactly those keys.
-  *  - COUNT(DISTINCT x): the counting algorithm — a dedup-level aux
-  *    graft table `<storage>__dl<i>` holds one row per (group, value)
-  *    pair with its net source-row count; refresh first applies the
-  *    signed pair deltas to the aux table (its OWN applied marker +
-  *    CAS makes the two-table update crash-safe and exactly-once),
-  *    then folds the aux table's resulting changelog — pair births +1,
-  *    deaths −1 — into the main merge as the distinct count's exact
-  *    delta. Retraction-exact, O(changed pairs) per refresh.
+  *  - COUNT/SUM/AVG(DISTINCT x): the counting algorithm — a
+  *    dedup-level aux graft table `<storage>__dl<i>` holds one row per
+  *    (group, value) pair with its net source-row count; refresh first
+  *    applies the signed pair deltas to the aux table (its OWN applied
+  *    marker + CAS makes the two-table update crash-safe and
+  *    exactly-once), then folds the aux table's resulting changelog —
+  *    pair births +1 (+value for SUM/AVG), deaths −1 (−value) — into
+  *    the main merge as the distinct aggregate's exact delta. Aggs
+  *    over the SAME distinct expression share one pair table.
+  *    Retraction-exact, O(changed pairs) per refresh.
   *
   * Refresh reads the source changelog `(applied, head]`, signs rows
   * (+1 insert / -1 delete pre-image), re-evaluates the stored
@@ -120,7 +123,21 @@ object GraftMaterializedView {
 
   final case class AggSpec(name: String, kind: String, sql: String)
   // kind: sum | count | count_star | avg | davg (exact decimal) | min |
-  // max | cdistinct (COUNT(DISTINCT x) via the dedup-level aux table)
+  // max | cdistinct / sdistinct / adistinct (COUNT/SUM/AVG(DISTINCT x)
+  // via the dedup-level aux table)
+
+  /** Distinct aggregates maintained through a dedup-level pair table.
+    * Aggs over the SAME distinct expression share ONE table (a
+    * COUNT(DISTINCT x) + SUM(DISTINCT x) pair costs one pair table, not
+    * two): the canonical index is the first using agg's position, and
+    * `users` lists every (spec, position) folding from it.
+    */
+  private val DlKinds = Set("cdistinct", "sdistinct", "adistinct")
+  private def dlGroups(aggs: Seq[AggSpec]): Seq[(Int, String, Seq[(AggSpec, Int)])] =
+    aggs.zipWithIndex.filter(p => DlKinds(p._1.kind))
+      .groupBy(_._1.sql).toSeq
+      .map { case (vsql, users) => (users.map(_._2).min, vsql, users) }
+      .sortBy(_._1)
 
   final case class Shape(filter: Option[String],
                          groups: Seq[(String, String)],
@@ -283,6 +300,22 @@ object GraftMaterializedView {
             case AggregateExpression(Sum(e, _), _, false, None, _) =>
               if (!e.deterministic) return Left(s"nondeterministic SUM in ${al.sql}")
               aggs += AggSpec(name, "sum", plainSql(e))
+            case AggregateExpression(Sum(e, _), _, true, None, _) =>
+              // SUM(DISTINCT x): rides the same dedup-level pair table
+              // as COUNT(DISTINCT) — a pair birth contributes +value, a
+              // death -value, a carrier-count update nets 0. Decimal is
+              // refused: the signed fold would need the overflow-NULL
+              // bookkeeping the additive path has, without a way to
+              // distinguish overflow from the legitimate all-pairs-dead
+              // NULL.
+              if (!e.deterministic)
+                return Left(s"nondeterministic SUM(DISTINCT) in ${al.sql}")
+              e.dataType match {
+                case _: DecimalType =>
+                  return Left(s"decimal SUM(DISTINCT) in ${al.sql}")
+                case _: NumericType => aggs += AggSpec(name, "sdistinct", plainSql(e))
+                case _ => return Left(s"non-numeric SUM(DISTINCT) in ${al.sql}")
+              }
             case AggregateExpression(Count(es), _, false, None, _) =>
               if (es.exists(!_.deterministic)) return Left(s"nondeterministic COUNT in ${al.sql}")
               es match {
@@ -305,6 +338,19 @@ object GraftMaterializedView {
                   aggs += AggSpec(name, "cdistinct", plainSql(one))
                 case _ =>
                   return Left(s"multi-argument COUNT(DISTINCT) in ${al.sql}")
+              }
+            case AggregateExpression(Average(e, _), _, true, None, _) =>
+              // AVG(DISTINCT x) = SUM(DISTINCT)/COUNT(DISTINCT), both
+              // maintained from the shared pair table; the running sum
+              // is a double — exactly Spark's non-decimal distinct
+              // Average accumulator — so the quotient replays.
+              if (!e.deterministic)
+                return Left(s"nondeterministic AVG(DISTINCT) in ${al.sql}")
+              e.dataType match {
+                case _: DecimalType =>
+                  return Left(s"decimal AVG(DISTINCT) in ${al.sql}")
+                case _: NumericType => aggs += AggSpec(name, "adistinct", plainSql(e))
+                case _ => return Left(s"non-numeric AVG(DISTINCT) in ${al.sql}")
               }
             case AggregateExpression(Average(e, _), _, false, None, _) =>
               if (!e.deterministic) return Left(s"nondeterministic AVG in ${al.sql}")
@@ -397,10 +443,20 @@ object GraftMaterializedView {
       case AggSpec(n, "min", s) => min(expr(s)).as(n)
       case AggSpec(n, "max", s) => max(expr(s)).as(n)
       case AggSpec(n, "cdistinct", s) => count_distinct(expr(s)).as(n)
+      case AggSpec(n, "sdistinct", s) => sum_distinct(expr(s)).as(n)
+      case AggSpec(n, "adistinct", s) =>
+        // distinct over the ORIGINAL type (matching the pair table),
+        // accumulated as a double sum — Spark's own distinct Average
+        expr(s"avg(DISTINCT ($s))").cast(DoubleType).as(n)
       case AggSpec(n, k, _) => sys.error(s"bad agg kind $k for $n")
     } ++
       shape.aggs.zipWithIndex.flatMap {
         case (AggSpec(_, "sum", s), i) => Seq(count(expr(s)).as(nnCol(i)))
+        case (AggSpec(_, "sdistinct", s), i) =>
+          Seq(count_distinct(expr(s)).as(nnCol(i))) // alive-pair count
+        case (AggSpec(_, "adistinct", s), i) => Seq(
+          sum_distinct(expr(s).cast(DoubleType)).as(asCol(i)),
+          count_distinct(expr(s)).as(nnCol(i)))
         case (AggSpec(_, "avg", s), i) => Seq(
           sum(expr(s).cast(DoubleType)).as(asCol(i)),
           count(expr(s)).as(nnCol(i)))
@@ -482,7 +538,8 @@ object GraftMaterializedView {
         case "max" => Seq(
           max(when(col("_sign") === 1L, expr(a.sql))).as(insCol(i)),
           max(when(col("_sign") === -1L, expr(a.sql))).as(retCol(i)))
-        case "cdistinct" => Nil // folded in from the aux changelog later
+        case "cdistinct" | "sdistinct" | "adistinct" =>
+          Nil // folded in from the aux changelog later
         case k => sys.error(s"bad agg kind $k for ${a.name}")
       }
     } :+ sum(col("_sign")).as(RowsCol)
@@ -589,21 +646,20 @@ object GraftMaterializedView {
         // dedup-level aux tables lead the main append so their versions
         // ride in its props — create() failing in between leaves no
         // registered MV, only unclaimed storage a re-create rejects
-        val dlProps = js.shape.aggs.zipWithIndex.collect {
-          case (a, i) if a.kind == "cdistinct" =>
-            val auxIdent = TableIdent(ns, name + StorageSuffix + dlSuffix(i))
-            require(!cat.exists(auxIdent),
-              s"cannot create materialized view $ns.$name: dedup-level " +
-                s"table ${auxIdent.name} exists")
-            // the pair table shares the MV's optional partition spec —
-            // it carries the same group columns, so a bucket/identity
-            // spec over them prunes the pair merge the same way
-            // (ensure degrades to unpartitioned if the spec references
-            // columns the pair schema lacks)
-            val aux = cat.ensure(auxIdent, storageSpec)
-            aux.append(dlPairs(based, js.shape, a.sql),
-              props = Map(AppliedProp -> cur.toString))
-            dlVerProp(i) -> aux.currentOrFail().version.toString
+        val dlProps = dlGroups(js.shape.aggs).map { case (ci, vsql, _) =>
+          val auxIdent = TableIdent(ns, name + StorageSuffix + dlSuffix(ci))
+          require(!cat.exists(auxIdent),
+            s"cannot create materialized view $ns.$name: dedup-level " +
+              s"table ${auxIdent.name} exists")
+          // the pair table shares the MV's optional partition spec —
+          // it carries the same group columns, so a bucket/identity
+          // spec over them prunes the pair merge the same way
+          // (ensure degrades to unpartitioned if the spec references
+          // columns the pair schema lacks)
+          val aux = cat.ensure(auxIdent, storageSpec)
+          aux.append(dlPairs(based, js.shape, vsql),
+            props = Map(AppliedProp -> cur.toString))
+          dlVerProp(ci) -> aux.currentOrFail().version.toString
         }.toMap
         ("incremental", f, Map(
           FilterProp -> js.shape.filter.getOrElse(""),
@@ -715,12 +771,11 @@ object GraftMaterializedView {
           // rebuild each dedup-level aux table from the same pinned
           // base the rows are rebuilt from, and re-point the folded
           // marker at the overwrite version
-          dlProps = shape.aggs.zipWithIndex.collect {
-            case (a, i) if a.kind == "cdistinct" =>
-              val aux = cat.load(TableIdent(ns, name + StorageSuffix + dlSuffix(i)))
-              aux.overwrite(dlPairs(based, shape, a.sql),
-                props = Map(AppliedProp -> to.toString))
-              dlVerProp(i) -> aux.currentOrFail().version.toString
+          dlProps = dlGroups(shape.aggs).map { case (ci, vsql, _) =>
+            val aux = cat.load(TableIdent(ns, name + StorageSuffix + dlSuffix(ci)))
+            aux.overwrite(dlPairs(based, shape, vsql),
+              props = Map(AppliedProp -> to.toString))
+            dlVerProp(ci) -> aux.currentOrFail().version.toString
           }.toMap
           grouped(based, shape)
         }
@@ -735,7 +790,7 @@ object GraftMaterializedView {
     }
 
     val shape = shapeFromProps(props)
-    val cdist = shape.aggs.zipWithIndex.filter(_._1.kind == "cdistinct")
+    val dlg = dlGroups(shape.aggs)
     // CAS scope for the incremental commit: the applied marker, the dim
     // pins, AND the dedup-level folded markers. A concurrent full
     // re-pin (dim moved) rewrites the rows against NEW dim versions —
@@ -745,8 +800,8 @@ object GraftMaterializedView {
     val casProps: Map[String, String] =
       Map(AppliedProp -> applied.toString) ++
         props.get(DimVersProp).map(DimVersProp -> _) ++
-        cdist.flatMap { case (_, i) =>
-          props.get(dlVerProp(i)).map(dlVerProp(i) -> _)
+        dlg.flatMap { case (ci, _, _) =>
+          props.get(dlVerProp(ci)).map(dlVerProp(ci) -> _)
         }
     val d =
       try delta(pinnedJoin(src.scanChangesBetween(applied, to), pinnedVer), shape)
@@ -771,16 +826,16 @@ object GraftMaterializedView {
     val isGlobal = groupNames.isEmpty
     val mergeKeys = if (isGlobal) Seq(GlobalKeyCol) else groupNames
 
-    // PHASE A — dedup-level pair apply, one aux table per cdistinct
-    // agg, BEFORE the main merge. Each aux table carries its OWN
+    // PHASE A — dedup-level pair apply, one aux table per distinct
+    // expression, BEFORE the main merge. Each aux table carries its OWN
     // applied marker with CAS, so the two-table update is crash-safe:
     // a retry after a crash between the phases finds the aux marker at
     // the head, skips the already-applied pair slice, and still folds
     // the aux changelog it produced into the main merge (phase B reads
     // from the main-recorded dl-version, not the aux marker). Returns
     // each aux table's current version, the fold's right endpoint.
-    val dlVerNow: Map[Int, Int] = cdist.map { case (a, i) =>
-      val aux = cat.load(TableIdent(ns, name + StorageSuffix + dlSuffix(i)))
+    val dlVerNow: Map[Int, Int] = dlg.map { case (ci, vsql, _) =>
+      val aux = cat.load(TableIdent(ns, name + StorageSuffix + dlSuffix(ci)))
       val auxApplied = aux.currentOrFail().properties(AppliedProp).toInt
       if (auxApplied < to) {
         val pairKeys = mergeKeys :+ DlVCol
@@ -788,7 +843,7 @@ object GraftMaterializedView {
           try {
             val slice = signedSlice(
               pinnedJoin(src.scanChangesBetween(auxApplied, to), pinnedVer), shape)
-            val v = expr(a.sql)
+            val v = expr(vsql)
             val nn = slice.where(v.isNotNull)
             (if (isGlobal)
                nn.groupBy(v.as(DlVCol)).agg(sum(col("_sign")).as("_mv_net"))
@@ -850,7 +905,7 @@ object GraftMaterializedView {
             nullSafeKeys = true)
         }
       }
-      i -> aux.currentOrFail().version
+      ci -> aux.currentOrFail().version
     }.toMap
 
     if (d.isEmpty) {
@@ -865,42 +920,64 @@ object GraftMaterializedView {
     }
 
     // PHASE B — fold each aux table's changelog since the main-recorded
-    // dl-version into the delta under the agg's own column name: a pair
-    // BIRTH (insert with no delete pre-image) is +1 distinct, a DEATH
-    // is −1, a count-only update nets 0 — so the group-summed signs ARE
-    // the exact COUNT(DISTINCT) delta, and the merge below treats it
-    // like any additive aggregate.
-    val dFull = cdist.foldLeft(d) { case (acc, (a, i)) =>
-      val fromV = props.getOrElse(dlVerProp(i), sys.error(
-        s"materialized view $ns.$name: missing ${dlVerProp(i)} marker")).toInt
-      val nowV = dlVerNow(i)
-      if (nowV == fromV) acc.withColumn(a.name, lit(0L))
+    // dl-version into the delta, one fold per USING agg: a pair BIRTH
+    // (insert with no delete pre-image) is +1 distinct (+value for
+    // SUM/AVG DISTINCT), a DEATH is −1 (−value), and a carrier-count
+    // update nets 0 in both the sign sum and the sign-weighted value
+    // sum — so the group-summed folds ARE the exact distinct deltas,
+    // and the merge below treats them like any additive aggregate.
+    val dFull = dlg.foldLeft(d) { case (acc, (ci, _, users)) =>
+      // (fold column name, zero when the aux didn't move, fold expr)
+      val folds: Seq[(String, Column, Column)] = users.flatMap { case (a, i) =>
+        def signSum = sum(col("_mv_s"))
+        a.kind match {
+          case "cdistinct" => Seq((a.name, lit(0L), signSum))
+          case "sdistinct" =>
+            val sumT = storage.schema.fields.find(_.name == a.name).get.dataType
+            Seq(
+              (a.name, lit(0).cast(sumT),
+                sum(col("_mv_s").cast(sumT) * col(DlVCol).cast(sumT))),
+              (nnCol(i), lit(0L), signSum))
+          case "adistinct" => Seq(
+            (asCol(i), lit(0d),
+              sum(col("_mv_s").cast(DoubleType) * col(DlVCol).cast(DoubleType))),
+            (nnCol(i), lit(0L), signSum))
+          case k => sys.error(s"bad distinct agg kind $k for ${a.name}")
+        }
+      }
+      val fromV = props.getOrElse(dlVerProp(ci), sys.error(
+        s"materialized view $ns.$name: missing ${dlVerProp(ci)} marker")).toInt
+      val nowV = dlVerNow(ci)
+      if (nowV == fromV)
+        folds.foldLeft(acc) { case (f, (n, zero, _)) => f.withColumn(n, zero) }
       else {
-        val aux = cat.load(TableIdent(ns, name + StorageSuffix + dlSuffix(i)))
+        val aux = cat.load(TableIdent(ns, name + StorageSuffix + dlSuffix(ci)))
         val dd =
           try aux.scanChangesBetween(fromV, nowV)
             .withColumn("_mv_s", when(col("_change_type") === "insert", lit(1L))
               .otherwise(lit(-1L)))
             .groupBy(mergeKeys.map(n => col(s"`$n`")): _*)
-            .agg(sum(col("_mv_s")).as("_mv_dd"))
+            .agg(folds.head._3.as(folds.head._1),
+              folds.tail.map { case (n, _, e) => e.as(n) }: _*)
           catch {
             case e @ (_: java.io.FileNotFoundException |
                       _: java.nio.file.NoSuchFileException |
                       _: IllegalStateException | _: IllegalArgumentException) =>
               throw new IllegalStateException(
                 s"materialized view $ns.$name cannot replay its " +
-                  s"COUNT(DISTINCT) pair changelog ($fromV, $nowV] — " +
+                  s"distinct-aggregate pair changelog ($fromV, $nowV] — " +
                   "expire_snapshots on the pair table may have removed " +
                   "versions. Rebuild with refresh_mview(..., force_full => true)", e)
           }
         val dk = mergeKeys.map("_mvdk_" + _)
-        val renamed = dd.toDF(dk :+ "_mv_dd": _*)
-        acc.join(renamed,
-            mergeKeys.zip(dk).map { case (n, r) =>
-              col(s"`$n`") <=> col(s"`$r`")
-            }.reduce(_ && _), "left")
-          .withColumn(a.name, coalesce(col("_mv_dd"), lit(0L)))
-          .drop(dk :+ "_mv_dd": _*)
+        val renamed = dd.toDF(dk ++ folds.map(_._1): _*)
+        val joined0 = acc.join(renamed,
+          mergeKeys.zip(dk).map { case (n, r) =>
+            col(s"`$n`") <=> col(s"`$r`")
+          }.reduce(_ && _), "left")
+        folds.foldLeft(joined0) { case (f, (n, zero, _)) =>
+          f.withColumn(n, coalesce(col(s"`$n`"), zero))
+        }.drop(dk: _*)
       }
     }
 
@@ -954,13 +1031,16 @@ object GraftMaterializedView {
         when(curExists, greatest(ccol(a.name), dcol(insCol(i)))).otherwise(dcol(insCol(i)))
     val valueCols: Seq[Column] = shape.aggs.zipWithIndex.map { case (a, i) =>
       a.kind match {
-        case "sum" =>
+        case "sum" | "sdistinct" =>
+          // sdistinct rides the additive algebra verbatim: its "value"
+          // delta is the pair-fold's signed value sum and its nn is the
+          // alive-pair count, so sum-over-distinct merges like SUM
           val t = storage.schema.fields.find(_.name == a.name).get.dataType
           val nn = coalesce(ccol(nnCol(i)), lit(0L)) + coalesce(dcol(nnCol(i)), lit(0L))
           when(nn === 0L, lit(null).cast(t))
             .otherwise(coalesce(ccol(a.name), lit(0).cast(t)) +
               coalesce(dcol(a.name), lit(0).cast(t))).as(a.name)
-        case "avg" =>
+        case "avg" | "adistinct" =>
           val as = coalesce(ccol(asCol(i)), lit(0d)) + coalesce(dcol(asCol(i)), lit(0d))
           val nn = coalesce(ccol(nnCol(i)), lit(0L)) + coalesce(dcol(nnCol(i)), lit(0L))
           when(nn === 0L, lit(null).cast(DoubleType)).otherwise(as / nn).as(a.name)
@@ -986,9 +1066,9 @@ object GraftMaterializedView {
     }
     val hiddenCols: Seq[Column] = shape.aggs.zipWithIndex.flatMap { case (a, i) =>
       a.kind match {
-        case "sum" => Seq(
+        case "sum" | "sdistinct" => Seq(
           (coalesce(ccol(nnCol(i)), lit(0L)) + coalesce(dcol(nnCol(i)), lit(0L))).as(nnCol(i)))
-        case "avg" => Seq(
+        case "avg" | "adistinct" => Seq(
           (coalesce(ccol(asCol(i)), lit(0d)) + coalesce(dcol(asCol(i)), lit(0d))).as(asCol(i)),
           (coalesce(ccol(nnCol(i)), lit(0L)) + coalesce(dcol(nnCol(i)), lit(0L))).as(nnCol(i)))
         case "davg" =>
@@ -1203,9 +1283,11 @@ object GraftMaterializedView {
       if (!cat.exists(storageIdent)) Nil
       else scala.util.Try {
         val p = cat.load(storageIdent).currentOrFail().properties
-        specFromJson(p.getOrElse(AggProp, "[]")).zipWithIndex.collect {
-          case (Seq(_, "cdistinct", _), i) =>
-            TableIdent(ns, name + StorageSuffix + dlSuffix(i))
+        val aggs = specFromJson(p.getOrElse(AggProp, "[]")).collect {
+          case Seq(n, k, s) => AggSpec(n, k, s)
+        }
+        dlGroups(aggs).map { case (ci, _, _) =>
+          TableIdent(ns, name + StorageSuffix + dlSuffix(ci))
         }
       }.getOrElse(Nil)
     val hadView = viewStore.drop(ns, name)

@@ -862,9 +862,13 @@ object TableQueries {
         s.sql("""INSERT INTO graftq110.bench.li
                 |SELECT l_orderkey, l_returnflag, l_suppkey, l_quantity
                 |FROM q110_li WHERE l_orderkey % 2 = 0""".stripMargin)
+        // COUNT + SUM + AVG over the same DISTINCT expression share one
+        // pair table; suppkeys are integers so the sum/avg folds are
+        // exact in both engines
         val mode = s.sql(
           """CALL graftq110.system.create_mview('bench', 'supp',
             |  'SELECT l_returnflag AS flag, COUNT(DISTINCT l_suppkey) AS ds,
+            |     SUM(DISTINCT l_suppkey) AS ss, AVG(DISTINCT l_suppkey) AS avs,
             |     COUNT(l_suppkey) AS ns, COUNT(*) AS n
             |   FROM graftq110.bench.li WHERE l_quantity > 2.0
             |   GROUP BY l_returnflag')""".stripMargin).head.getString(0)
@@ -882,10 +886,12 @@ object TableQueries {
           "CALL graftq110.system.refresh_mview('bench', 'supp', false)")
           .head.getString(2)
         require(action == "incremental", s"expected incremental refresh, got $action")
-        s.sql("""SELECT flag, ds, ns, n FROM graftq110.bench.supp
+        s.sql("""SELECT flag, ds, ss, avs, ns, n FROM graftq110.bench.supp
                 |ORDER BY flag""".stripMargin)
       },
       Some("""SELECT l_returnflag AS flag, COUNT(DISTINCT l_suppkey) AS ds,
+             |  CAST(SUM(DISTINCT l_suppkey) AS BIGINT) AS ss,
+             |  AVG(DISTINCT l_suppkey) AS avs,
              |  COUNT(l_suppkey) AS ns, COUNT(*) AS n
              |FROM lineitem
              |WHERE l_quantity > 2.0 AND l_quantity < 45.0
