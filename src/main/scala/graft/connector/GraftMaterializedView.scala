@@ -38,7 +38,8 @@ import org.json4s.jackson.JsonMethods
   * DIMENSIONS — an optional deterministic WHERE, GROUP BY
   * deterministic expressions, aggregates limited to SUM / COUNT /
   * COUNT(*) / AVG / MIN / MAX / COUNT|SUM|AVG(DISTINCT x) — DISTINCT
-  * over non-decimal inputs — (no FILTER clauses). Everything else
+  * over non-decimal inputs; MIN/MAX(DISTINCT) ≡ MIN/MAX — (no FILTER
+  * clauses). Everything else
   * (decimal DISTINCT aggregates, wide-decimal AVG, window functions,
   * nested views, non-fact-preserving joins) falls back to FULL
   * refresh, which
@@ -372,12 +373,13 @@ object GraftMaterializedView {
                   aggs += AggSpec(name, "avg", plainSql(e))
                 case _ => return Left(s"non-numeric AVG in ${al.sql}")
               }
-            case AggregateExpression(Min(e), _, false, None, _) =>
+            case AggregateExpression(Min(e), _, _, None, _) =>
+              // DISTINCT is a no-op on an extreme — same maintained kind
               if (!e.deterministic) return Left(s"nondeterministic MIN in ${al.sql}")
               if (!minMaxable(e.dataType))
                 return Left(s"unorderable MIN type in ${al.sql}")
               aggs += AggSpec(name, "min", plainSql(e))
-            case AggregateExpression(Max(e), _, false, None, _) =>
+            case AggregateExpression(Max(e), _, _, None, _) =>
               if (!e.deterministic) return Left(s"nondeterministic MAX in ${al.sql}")
               if (!minMaxable(e.dataType))
                 return Left(s"unorderable MAX type in ${al.sql}")

@@ -475,19 +475,20 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
       // both exercised every step
       val defn =
         s"""SELECT g, COUNT(DISTINCT x) AS dx, SUM(DISTINCT x) AS sx,
-           |       AVG(DISTINCT v) AS adv, COUNT(x) AS nx,
+           |       AVG(DISTINCT v) AS adv, MIN(DISTINCT v) AS mnv, COUNT(x) AS nx,
            |       SUM(v) AS total, MAX(v) AS mx, COUNT(*) AS n
            |FROM graft.$ns.src GROUP BY g""".stripMargin
       spark.sql(
         s"""CALL graft.system.create_mview('$ns', 'm', '${defn.replace("'", "''")}')""")
         .head.getString(0) shouldBe "incremental"
       // dx(0)+sx(1) share x's pair table at the canonical index 0;
-      // adv(2) owns v's — exactly two aux tables, not three
+      // adv(2) owns v's; MIN(DISTINCT v) is just MIN and allocates
+      // nothing — exactly two aux tables for four DISTINCT spellings
       spark.sql(s"SHOW TABLES IN graft.$ns").collect().map(_.getString(1))
         .filter(_.contains("__dl")).sorted shouldBe
         Array("m__rows__dl0", "m__rows__dl2")
       def snap(from: String): Seq[String] =
-        spark.sql(s"SELECT g, dx, sx, adv, nx, total, mx, n FROM $from " +
+        spark.sql(s"SELECT g, dx, sx, adv, mnv, nx, total, mx, n FROM $from " +
             "ORDER BY g NULLS FIRST")
           .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
       for (step <- 0 until 8) {
