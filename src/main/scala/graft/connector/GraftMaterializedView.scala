@@ -3,7 +3,7 @@ package graft.connector
 import graft.table.{GraftCatalog, GraftTable, TableIdent}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, CaseWhen, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -38,8 +38,9 @@ import org.json4s.jackson.JsonMethods
   * DIMENSIONS — an optional deterministic WHERE, GROUP BY
   * deterministic expressions, aggregates limited to SUM / COUNT /
   * COUNT(*) / AVG / MIN / MAX / COUNT|SUM|AVG(DISTINCT x) — DISTINCT
-  * over non-decimal inputs; MIN/MAX(DISTINCT) ≡ MIN/MAX — (no FILTER
-  * clauses). Everything else
+  * over non-decimal inputs; MIN/MAX(DISTINCT) ≡ MIN/MAX — each with an
+  * optional deterministic FILTER (WHERE p), folded into the aggregated
+  * expression as CASE WHEN p THEN e END. Everything else
   * (decimal DISTINCT aggregates, wide-decimal AVG, window functions,
   * nested views, non-fact-preserving joins) falls back to FULL
   * refresh, which
@@ -297,7 +298,37 @@ object GraftMaterializedView {
               if groupingExprs.exists(_.semanticEquals(a)) =>
             groups += a.name -> plainSql(a)
             coveredGroups += a
-          case al @ Alias(child, name) => child match {
+          case al @ Alias(child0, name) =>
+            // FILTER (WHERE p) folds into the aggregated expression as
+            // CASE WHEN p THEN e END — every supported aggregate skips
+            // NULLs, so the rewrite is exact for SUM/COUNT/AVG/MIN/MAX
+            // and the DISTINCT family alike (COUNT(*) FILTER becomes a
+            // plain COUNT of the guarded literal). Nondeterministic
+            // predicates keep the FILTER and fall through to the
+            // unsupported-aggregate refusal.
+            val child = child0 match {
+              case ae @ AggregateExpression(fn, m, dist, Some(p), rid)
+                  if p.deterministic =>
+                def guard(e: Expression): Expression = CaseWhen(Seq((p, e)), None)
+                fn match {
+                  case Sum(e, em) =>
+                    AggregateExpression(Sum(guard(e), em), m, dist, None, rid)
+                  case Count(es) =>
+                    val one = es match {
+                      case Seq(e) => e
+                      case Seq() => Literal(1)
+                      case _ => return Left(s"multi-argument COUNT in ${al.sql}")
+                    }
+                    AggregateExpression(Count(Seq(guard(one))), m, dist, None, rid)
+                  case Average(e, em) =>
+                    AggregateExpression(Average(guard(e), em), m, dist, None, rid)
+                  case Min(e) => AggregateExpression(Min(guard(e)), m, dist, None, rid)
+                  case Max(e) => AggregateExpression(Max(guard(e)), m, dist, None, rid)
+                  case _ => ae
+                }
+              case other => other
+            }
+            child match {
             case AggregateExpression(Sum(e, _), _, false, None, _) =>
               if (!e.deterministic) return Left(s"nondeterministic SUM in ${al.sql}")
               aggs += AggSpec(name, "sum", plainSql(e))
