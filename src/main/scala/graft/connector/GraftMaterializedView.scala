@@ -3,7 +3,7 @@ package graft.connector
 import graft.table.{GraftCatalog, GraftTable, TableIdent}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, CaseWhen, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, CaseWhen, ExprId, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -155,7 +155,8 @@ object GraftMaterializedView {
     * drives refresh), the static dimension joins, and the
     * filter/group/agg shape over the joined row.
     */
-  final case class JoinShape(fact: GraftTable, dims: Seq[DimSpec], shape: Shape)
+  final case class JoinShape(fact: GraftTable, dims: Seq[DimSpec], shape: Shape,
+                             having: Option[String] = None)
 
   private def specJson(pairs: Seq[Seq[String]]): String =
     JsonMethods.compact(JsonMethods.render(
@@ -220,8 +221,57 @@ object GraftMaterializedView {
     */
   private def analyzeShape(analyzed: LogicalPlan): Either[String, JoinShape] = {
     unwrapAliases(analyzed) match {
-      case Aggregate(groupingExprs, aggExprs, child, _) =>
-        val (filterSql, rel) = unwrapAliases(child) match {
+      case agg: Aggregate => analyzeAggregate(agg, None, None)
+      // HAVING: the analyzer plans it as Filter over the Aggregate,
+      // with a Project on top dropping any aggregate/group columns the
+      // resolver had to ADD for the predicate (HAVING count(*) > 2 with
+      // count(*) unselected; HAVING k = 'a' with the group key
+      // unselected). Those extras become hidden `_mv_h<i>` storage
+      // columns, maintained like any aggregate; the predicate applies
+      // in the PUBLIC VIEW, so storage keeps every group and refresh
+      // stays O(changes) — a group crossing the HAVING boundary just
+      // appears in / vanishes from the view read.
+      case Filter(cond, c) => unwrapAliases(c) match {
+        case agg: Aggregate => analyzeAggregate(agg, Some(cond), None)
+        case _ => Left("not a plain GROUP BY aggregate")
+      }
+      case Project(projList, c) => unwrapAliases(c) match {
+        case Filter(cond, c2) => unwrapAliases(c2) match {
+          case agg: Aggregate =>
+            val attrs = Seq.newBuilder[AttributeReference]
+            projList.foreach {
+              case a: AttributeReference => attrs += a
+              case other => return Left(
+                s"HAVING projection output ${other.sql} is not a bare column")
+            }
+            analyzeAggregate(agg, Some(cond), Some(attrs.result()))
+          case _ => Left("not a plain GROUP BY aggregate")
+        }
+        case _ => Left("not a plain GROUP BY aggregate")
+      }
+      case _ => Left("not a plain GROUP BY aggregate")
+    }
+  }
+
+  private def analyzeAggregate(aggPlan: Aggregate,
+                               having: Option[Expression],
+                               projected: Option[Seq[AttributeReference]])
+      : Either[String, JoinShape] = {
+    val groupingExprs = aggPlan.groupingExpressions
+    val aggExprs = aggPlan.aggregateExpressions
+    val child = aggPlan.child
+    if (having.exists(!_.deterministic)) return Left("nondeterministic HAVING")
+    // outputs the Project above the HAVING filter drops are storage-only:
+    // renamed into the _mv_ bookkeeping namespace so the public view
+    // never surfaces them
+    val projectedIds: Option[Set[ExprId]] = projected.map(_.map(_.exprId).toSet)
+    var hiddenIdx = 0
+    val renames = scala.collection.mutable.Map.empty[ExprId, String]
+    def effectiveName(id: ExprId, n: String): String =
+      if (projectedIds.forall(_.contains(id))) n
+      else renames.getOrElseUpdate(id, { val h = s"_mv_h$hiddenIdx"; hiddenIdx += 1; h })
+    locally {
+      val (filterSql, rel) = unwrapAliases(child) match {
           case f @ Filter(cond, rel2) =>
             if (!cond.deterministic) return Left("nondeterministic WHERE")
             (Some(plainSql(cond)), unwrapAliases(rel2))
@@ -296,9 +346,10 @@ object GraftMaterializedView {
         aggExprs.foreach {
           case a: AttributeReference
               if groupingExprs.exists(_.semanticEquals(a)) =>
-            groups += a.name -> plainSql(a)
+            groups += effectiveName(a.exprId, a.name) -> plainSql(a)
             coveredGroups += a
-          case al @ Alias(child0, name) =>
+          case al @ Alias(child0, name0) =>
+            val name = effectiveName(al.exprId, name0)
             // FILTER (WHERE p) folds into the aggregated expression as
             // CASE WHEN p THEN e END — every supported aggregate skips
             // NULLs, so the rewrite is exact for SUM/COUNT/AVG/MIN/MAX
@@ -435,19 +486,29 @@ object GraftMaterializedView {
         if (groupingExprs.nonEmpty && shape.groups.isEmpty)
           return Left("no grouping columns in output")
         locally {
+          val hidden = renames.values.toSet // ours, not user-chosen
           val bad = (shape.groups.map(_._1) ++ shape.aggs.map(_.name))
-            .filter(_.toLowerCase.startsWith("_mv_"))
+            .filter(n => !hidden.contains(n) && n.toLowerCase.startsWith("_mv_"))
           if (bad.nonEmpty)
             return Left(s"output name(s) ${bad.mkString(", ")} use the " +
               "reserved _mv_ bookkeeping prefix")
+        }
+        // the HAVING predicate rendered over STORAGE column names:
+        // public aliases stay, hidden extras read through their
+        // _mv_h<i> names
+        val havingSql = having.map { cond =>
+          val renamed = cond.transform {
+            case a: AttributeReference if renames.contains(a.exprId) =>
+              a.withName(renames(a.exprId))
+          }
+          plainSql(renamed)
         }
         Right(JoinShape(
           factRel.table.asInstanceOf[GraftV2Table].underlying,
           dimRels.map { case (d, jt, c) =>
             DimSpec(d.table.asInstanceOf[GraftV2Table].underlying, jt, c)
           },
-          shape))
-      case _ => Left("not a plain GROUP BY aggregate")
+          shape, havingSql))
     }
   }
 
@@ -721,9 +782,14 @@ object GraftMaterializedView {
       AppliedProp -> cur.toString,
       ModeProp -> mode) ++ shapeProps)
     val publicCols = frame.columns.filterNot(_.startsWith("_mv_"))
+    // HAVING applies at VIEW-read time over the stored aggregates (incl.
+    // hidden _mv_h extras) — storage keeps every group so refresh stays
+    // O(changes) while the boundary-crossing groups flicker in the view
+    val havingWhere = shaped.toOption.flatMap(_.having)
+      .map(h => s" WHERE $h").getOrElse("")
     viewStore.create(ns, name, StoredView(
       sql = publicCols.map(c => s"`$c`").mkString("SELECT ", ", ",
-        s" FROM $catalogName.$ns.`${name + StorageSuffix}`"),
+        s" FROM $catalogName.$ns.`${name + StorageSuffix}`$havingWhere"),
       currentCatalog = catalogName,
       currentNamespace = Seq(ns),
       schema = org.apache.spark.sql.types.StructType(

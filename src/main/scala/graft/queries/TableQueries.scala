@@ -898,6 +898,59 @@ object TableQueries {
              |  AND l_orderkey > 400
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // HAVING MV: the predicate applies at VIEW read over the stored
+    // aggregates — storage keeps every (flag, supplier) group so the
+    // refresh stays O(changes) — and references a resolver-added hidden
+    // COUNT(*) the SELECT never carried (stored as _mv_h0). The deletes
+    // push groups across the HAVING bar in both directions: the view
+    // must flicker them in/out while the storage merge never rescans.
+    "q111_mview_having" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq111").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq111", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq111.warehouse",
+            Files.createTempDirectory("graft-mview-having").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq111.bench")
+        s.sql("CALL graftq111.system.drop_mview('bench', 'hot')")
+        s.sql("DROP TABLE IF EXISTS graftq111.bench.li")
+        s.sql("""CREATE TABLE graftq111.bench.li
+                |(l_orderkey BIGINT, l_returnflag STRING, l_suppkey BIGINT,
+                | l_quantity DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        t(s, dir, "lineitem").createOrReplaceTempView("q111_li")
+        s.sql("""INSERT INTO graftq111.bench.li
+                |SELECT l_orderkey, l_returnflag, l_suppkey, l_quantity
+                |FROM q111_li WHERE l_orderkey % 2 = 0""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq111.system.create_mview('bench', 'hot',
+            |  'SELECT l_returnflag AS flag, l_suppkey AS supp,
+            |     SUM(l_quantity) AS qty
+            |   FROM graftq111.bench.li
+            |   GROUP BY l_returnflag, l_suppkey
+            |   HAVING COUNT(*) >= 8 AND SUM(l_quantity) > 50.0')""".stripMargin)
+          .head.getString(0)
+        require(mode == "incremental", s"expected incremental mode, got $mode")
+        s.sql("""INSERT INTO graftq111.bench.li
+                |SELECT l_orderkey, l_returnflag, l_suppkey, l_quantity
+                |FROM q111_li WHERE l_orderkey % 2 = 1""".stripMargin)
+        s.sql("DELETE FROM graftq111.bench.li WHERE l_quantity >= 42.0")
+        s.sql("DELETE FROM graftq111.bench.li WHERE l_orderkey <= 300")
+        val action = s.sql(
+          "CALL graftq111.system.refresh_mview('bench', 'hot', false)")
+          .head.getString(2)
+        require(action == "incremental", s"expected incremental refresh, got $action")
+        s.sql("""SELECT flag, supp, qty FROM graftq111.bench.hot
+                |ORDER BY flag, supp""".stripMargin)
+      },
+      Some("""SELECT l_returnflag AS flag, l_suppkey AS supp,
+             |  SUM(l_quantity) AS qty
+             |FROM lineitem
+             |WHERE l_quantity < 42.0 AND l_orderkey > 300
+             |GROUP BY 1, 2
+             |HAVING COUNT(*) >= 8 AND SUM(l_quantity) > 50.0
+             |ORDER BY 1, 2""".stripMargin)),
+
     // Join MV: fact (lineitem) joined to a static dimension (orders),
     // group key drawn from the DIM side, maintained incrementally from
     // the fact changelog with the dim pinned — then the dim moves (a

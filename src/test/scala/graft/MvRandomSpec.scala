@@ -336,6 +336,89 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  // ------------------------------------------------------------------
+  // HAVING: storage keeps EVERY group (refresh stays O(changes)); the
+  // predicate applies at view read over the stored aggregates —
+  // including resolver-added extras the SELECT never carried (a hidden
+  // COUNT(*) and a hidden group key here), stored as _mv_h<i> columns.
+  // Groups must flicker in/out of the view as mutations cross the bar.
+  // ------------------------------------------------------------------
+
+  test("HAVING MVs: view-level predicate over incremental storage == inline") {
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(4)
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(3000 + seed)
+      val ns = s"mvh$seed"
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.src")
+      spark.sql(s"CREATE TABLE graft.$ns.src (id BIGINT, g STRING, v DOUBLE)")
+      var nextId = 0L
+      def insertBurst(): Unit = {
+        val rows = (0 until (2 + rnd.nextInt(6))).map { _ =>
+          nextId += 1
+          val v = if (rnd.nextInt(5) == 0) "CAST(NULL AS DOUBLE)"
+                  else (rnd.nextInt(60) - 10).toString + ".0"
+          s"($nextId, 'g${rnd.nextInt(4)}', $v)"
+        }
+        spark.sql(s"INSERT INTO graft.$ns.src VALUES ${rows.mkString(", ")}")
+      }
+      insertBurst()
+      // hidden COUNT(*) (not selected) + selected SUM; group key selected
+      val defn =
+        s"""SELECT g, SUM(v) AS total FROM graft.$ns.src
+           |GROUP BY g HAVING COUNT(*) >= 3 AND SUM(v) IS NOT NULL""".stripMargin
+      spark.sql(
+        s"""CALL graft.system.create_mview('$ns', 'm', '${defn.replace("'", "''")}')""")
+        .head.getString(0) shouldBe "incremental"
+      // hidden GROUP KEY: one output row per g, g itself never public
+      val defn2 =
+        s"""SELECT COUNT(*) AS n, MAX(v) AS mx FROM graft.$ns.src
+           |GROUP BY g HAVING g <> ''g3'' AND COUNT(*) >= 2""".stripMargin
+      spark.sql(
+        s"""CALL graft.system.create_mview('$ns', 'm2', '$defn2')""")
+        .head.getString(0) shouldBe "incremental"
+      def snap(q: String): Seq[String] =
+        spark.sql(q).collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+          .sorted.toSeq
+      for (step <- 0 until 6) {
+        rnd.nextInt(3) match {
+          case 0 => insertBurst()
+          case 1 =>
+            if (rnd.nextBoolean())
+              spark.sql(s"DELETE FROM graft.$ns.src WHERE g = 'g${rnd.nextInt(4)}'")
+            else {
+              val lo = 1 + rnd.nextInt(math.max(1, nextId.toInt))
+              spark.sql(s"DELETE FROM graft.$ns.src WHERE id >= $lo AND id < ${lo + 3}")
+            }
+          case _ =>
+            val id = 1 + rnd.nextInt(math.max(1, nextId.toInt))
+            spark.sql(
+              s"""MERGE INTO graft.$ns.src t
+                 |USING (SELECT CAST($id AS BIGINT) AS id, 'g${rnd.nextInt(4)}' AS g,
+                 |              ${rnd.nextInt(50)}.0 AS v) s
+                 |ON t.id = s.id
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        }
+        spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
+        spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm2', false)")
+        withClue(s"seed=$seed step=$step ") {
+          snap(s"SELECT g, total FROM graft.$ns.m") shouldBe
+            snap(s"SELECT g, SUM(v) AS total FROM graft.$ns.src " +
+              "GROUP BY g HAVING COUNT(*) >= 3 AND SUM(v) IS NOT NULL")
+          snap(s"SELECT n, mx FROM graft.$ns.m2") shouldBe
+            snap(s"SELECT COUNT(*) AS n, MAX(v) AS mx FROM graft.$ns.src " +
+              "GROUP BY g HAVING g <> 'g3' AND COUNT(*) >= 2")
+        }
+      }
+      // the _mv_h extras never leak into the public read
+      spark.sql(s"SELECT * FROM graft.$ns.m2").columns.toSeq shouldBe Seq("n", "mx")
+      spark.sql(s"CALL graft.system.drop_mview('$ns', 'm')")
+      spark.sql(s"CALL graft.system.drop_mview('$ns', 'm2')")
+      spark.sql(s"DROP TABLE graft.$ns.src")
+    }
+  }
+
   // Pins the round-13 shape guard: a GROUP BY expression missing from
   // the SELECT is valid SQL but CANNOT be maintained at the stored
   // granularity — it must register in FULL mode (not silently merge
