@@ -5,7 +5,7 @@ import graft.table.{GraftCatalog, GraftTable, TableIdent}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, CaseWhen, ExprId, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BooleanType, DataType, DateType, DecimalType, DoubleType, NumericType, StringType, TimestampNTZType, TimestampType}
@@ -105,7 +105,17 @@ object GraftMaterializedView {
   val AggProp = "graft.mview.aggs" // JSON [[name, kind, sql], ...]
   val DimsProp = "graft.mview.dims" // JSON [[rel, joinType, condSql], ...]
   val DimVersProp = "graft.mview.dim-versions" // JSON [[rel, version], ...]
+  /** ROLLUP/CUBE/GROUPING SETS: JSON list of grouping sets, each a list
+    * of included positions into the stored group columns (e.g. rollup
+    * over 2 keys = [[0,1],[0],[]]). Absent = plain GROUP BY.
+    */
+  val GroupSetsProp = "graft.mview.group-sets"
   val RowsCol = "_mv_rows"
+  /** Grouping-id merge-key column for grouping-sets MVs: two sets can
+    * produce identical key tuples (a real NULL key vs a rolled-up one),
+    * so the grouping id joins the merge key to keep rows addressable.
+    */
+  val GidCol = "_mv_gid"
   /** Synthetic constant merge key for GLOBAL aggregates (no GROUP BY):
     * the storage table holds exactly one row and the keyed merge needs
     * a key column to address it. Hidden like all `_mv_` bookkeeping.
@@ -143,7 +153,8 @@ object GraftMaterializedView {
 
   final case class Shape(filter: Option[String],
                          groups: Seq[(String, String)],
-                         aggs: Seq[AggSpec])
+                         aggs: Seq[AggSpec],
+                         sets: Option[Seq[Seq[Int]]] = None)
 
   /** A dimension side of a maintainable join: the bare graft relation,
     * the join type ("inner" | "left_outer", fact always on the left),
@@ -156,7 +167,12 @@ object GraftMaterializedView {
     * filter/group/agg shape over the joined row.
     */
   final case class JoinShape(fact: GraftTable, dims: Seq[DimSpec], shape: Shape,
-                             having: Option[String] = None)
+                             having: Option[String] = None,
+                             // public view columns in OUTPUT order when any
+                             // is computed (grouping()/grouping_id() over
+                             // the stored _mv_gid): name -> None (stored)
+                             // or Some((sql, dataType)) (view-computed)
+                             viewCols: Option[Seq[(String, Option[(String, DataType)])]] = None)
 
   private def specJson(pairs: Seq[Seq[String]]): String =
     JsonMethods.compact(JsonMethods.render(
@@ -219,6 +235,78 @@ object GraftMaterializedView {
     * globally unique across the join inputs: the stored shape SQL is
     * unqualified. Rejections return the reason.
     */
+  /** Decoded grouping-analytics structure: the grouping id's ExprId,
+    * each Aggregate grouping attr's set position, the real source SQL
+    * per position (read through the below-Project's aliases), and the
+    * grouping sets as included-position lists.
+    */
+  private final case class GroupingInfo(gidId: ExprId,
+                                        attrPos: Map[ExprId, Int],
+                                        groupSql: Seq[String],
+                                        sets: Seq[Seq[Int]])
+
+  /** Decode a ROLLUP/CUBE/GROUPING SETS Expand. The resolver emits
+    * `Expand(projections, childOut ++ groupAttrs :+ gid,
+    * Project(childOut ++ groupAliases, realChild))` where each
+    * projection replicates the input row for one grouping SET —
+    * excluded keys nulled, a literal grouping id last. Returns the
+    * real child (for WHERE/relation unrolling) and the decoded info.
+    */
+  private def decodeExpand(ex: Expand, groupingExprs: Seq[Expression])
+      : Either[String, (LogicalPlan, GroupingInfo)] = {
+    val gid = groupingExprs.lastOption match {
+      case Some(a: AttributeReference) if a.name == "spark_grouping_id" => a
+      case _ => return Left("Expand without a grouping id — not a grouping-sets aggregate")
+    }
+    val groupAttrs: Seq[AttributeReference] = groupingExprs.init.map {
+      case a: AttributeReference => a
+      case other => return Left(s"non-attribute grouping over Expand: ${other.sql}")
+    }
+    val n = groupAttrs.length
+    if (n == 0) return Left("grouping sets with no grouping columns")
+    val out = ex.output
+    val base = out.length - (n + 1)
+    if (base < 0 || out.last.exprId != gid.exprId ||
+        groupAttrs.zipWithIndex.exists { case (a, j) => out(base + j).exprId != a.exprId })
+      return Left("unrecognized Expand output layout")
+    val (aliasMap, realChild) = unwrapAliases(ex.child) match {
+      case p: Project =>
+        (p.projectList.collect { case al @ Alias(e, _) => al.exprId -> e }.toMap,
+          p.child)
+      case c => (Map.empty[ExprId, Expression], c)
+    }
+    val setsB = Seq.newBuilder[Seq[Int]]
+    val sqlByPos = scala.collection.mutable.Map.empty[Int, String]
+    ex.projections.foreach { proj =>
+      if (proj.length != base + n + 1)
+        return Left("unrecognized Expand projection arity")
+      val incl = Seq.newBuilder[Int]
+      (0 until n).foreach { j =>
+        proj(base + j) match {
+          case Literal(null, _) => ()
+          case e =>
+            incl += j
+            if (!sqlByPos.contains(j)) {
+              val real = e match {
+                case a: AttributeReference => aliasMap.getOrElse(a.exprId, a)
+                case other => other
+              }
+              if (!real.deterministic)
+                return Left(s"nondeterministic grouping expression ${real.sql}")
+              sqlByPos(j) = plainSql(real)
+            }
+        }
+      }
+      setsB += incl.result()
+    }
+    val missing = (0 until n).filterNot(sqlByPos.contains)
+    if (missing.nonEmpty)
+      return Left("a grouping column appears in no grouping set")
+    Right((realChild, GroupingInfo(gid.exprId,
+      groupAttrs.zipWithIndex.map { case (a, j) => a.exprId -> j }.toMap,
+      (0 until n).map(sqlByPos), setsB.result())))
+  }
+
   private def analyzeShape(analyzed: LogicalPlan): Either[String, JoinShape] = {
     unwrapAliases(analyzed) match {
       case agg: Aggregate => analyzeAggregate(agg, None, None)
@@ -270,8 +358,19 @@ object GraftMaterializedView {
     def effectiveName(id: ExprId, n: String): String =
       if (projectedIds.forall(_.contains(id))) n
       else renames.getOrElseUpdate(id, { val h = s"_mv_h$hiddenIdx"; hiddenIdx += 1; h })
+    // ROLLUP / CUBE / GROUPING SETS plan as Aggregate over Expand over a
+    // Project that evaluates each grouping expression once; decode the
+    // Expand into per-set inclusion masks + the real grouping SQL and
+    // analyze the plan UNDER it
+    val (child1, setsInfo) = unwrapAliases(child) match {
+      case ex: Expand => decodeExpand(ex, groupingExprs) match {
+        case Right((realChild, info)) => (realChild, Some(info))
+        case Left(r) => return Left(r)
+      }
+      case c => (c, None)
+    }
     locally {
-      val (filterSql, rel) = unwrapAliases(child) match {
+      val (filterSql, rel) = unwrapAliases(child1) match {
           case f @ Filter(cond, rel2) =>
             if (!cond.deterministic) return Left("nondeterministic WHERE")
             (Some(plainSql(cond)), unwrapAliases(rel2))
@@ -336,8 +435,13 @@ object GraftMaterializedView {
               "with changelog metadata or _mv_ bookkeeping names")
         }
         if (groupingExprs.exists(!_.deterministic)) return Left("nondeterministic GROUP BY")
-        val groups = Seq.newBuilder[(String, String)]
-        val aggs = Seq.newBuilder[AggSpec]
+        val groups = scala.collection.mutable.ListBuffer.empty[(String, String)]
+        val aggs = scala.collection.mutable.ListBuffer.empty[AggSpec]
+        // output order for the public view; grouping()/grouping_id()
+        // outputs are VIEW-computed over the stored _mv_gid, not stored
+        val groupPos = scala.collection.mutable.Map.empty[String, Int]
+        val viewColsB = Seq.newBuilder[(String, Option[(String, DataType)])]
+        var hasComputed = false
         // every grouping expression the output actually carries — a
         // GROUP BY column missing from the SELECT (valid SQL) would
         // otherwise silently shrink the stored key and merge distinct
@@ -345,11 +449,18 @@ object GraftMaterializedView {
         val coveredGroups = Seq.newBuilder[Expression]
         aggExprs.foreach {
           case a: AttributeReference
-              if groupingExprs.exists(_.semanticEquals(a)) =>
-            groups += effectiveName(a.exprId, a.name) -> plainSql(a)
+              if groupingExprs.exists(_.semanticEquals(a)) &&
+                !setsInfo.exists(_.gidId == a.exprId) =>
+            val nm = effectiveName(a.exprId, a.name)
+            val gsql = setsInfo.flatMap(i => i.attrPos.get(a.exprId).map(i.groupSql))
+              .getOrElse(plainSql(a))
+            setsInfo.flatMap(_.attrPos.get(a.exprId)).foreach(groupPos(nm) = _)
+            groups += nm -> gsql
             coveredGroups += a
+            if (!renames.contains(a.exprId)) viewColsB += ((nm, None))
           case al @ Alias(child0, name0) =>
             val name = effectiveName(al.exprId, name0)
+            val (na, ng) = (aggs.size, groups.size)
             // FILTER (WHERE p) folds into the aggregated expression as
             // CASE WHEN p THEN e END — every supported aggregate skips
             // NULLs, so the rewrite is exact for SUM/COUNT/AVG/MIN/MAX
@@ -468,21 +579,71 @@ object GraftMaterializedView {
               aggs += AggSpec(name, "max", plainSql(e))
             case _: AggregateExpression =>
               return Left(s"unsupported aggregate in ${al.sql}")
+            case e if setsInfo.exists(i => e.references.nonEmpty &&
+                e.references.forall(_.exprId == i.gidId)) && e.deterministic =>
+              // grouping() / grouping_id(): pure functions of the
+              // grouping id, COMPUTED in the public view over the
+              // stored _mv_gid — never stored, never maintained
+              if (!renames.contains(al.exprId)) {
+                val gsql = plainSql(e.transform {
+                  case a: AttributeReference if a.exprId == setsInfo.get.gidId =>
+                    a.withName(GidCol)
+                })
+                viewColsB += ((name, Some((gsql, e.dataType))))
+                hasComputed = true
+              }
             case e if groupingExprs.exists(_.semanticEquals(e)) && e.deterministic =>
-              groups += name -> plainSql(e)
+              val gsql = (e match {
+                case a: AttributeReference =>
+                  setsInfo.flatMap(i => i.attrPos.get(a.exprId).map(i.groupSql))
+                case _ => None
+              }).getOrElse(plainSql(e))
+              (e match {
+                case a: AttributeReference => setsInfo.flatMap(_.attrPos.get(a.exprId))
+                case _ => None
+              }).foreach(p => groupPos(name) = p)
+              groups += name -> gsql
               coveredGroups += e
             case _ =>
               return Left(s"output ${al.sql} is neither a grouping expression " +
                 "nor a supported aggregate")
           }
+          // anything the match stored (a group key or an aggregate) is a
+          // PUBLIC view column unless the HAVING projection hid it
+          if (!renames.contains(al.exprId) && (aggs.size > na || groups.size > ng))
+            viewColsB += ((name, None))
           case other => return Left(s"unsupported output ${other.sql}")
         }
         val covered = coveredGroups.result()
-        if (!groupingExprs.forall(g => covered.exists(_.semanticEquals(g))))
+        // the grouping id is OUR bookkeeping (stored as _mv_gid), never
+        // a required SELECT output
+        val mustCover = groupingExprs.filterNot {
+          case a: AttributeReference => setsInfo.exists(_.gidId == a.exprId)
+          case _ => false
+        }
+        if (!mustCover.forall(g => covered.exists(_.semanticEquals(g))))
           return Left("a GROUP BY expression is missing from the SELECT output " +
             "— the stored shape would aggregate at coarser granularity than " +
             "the defining query")
-        val shape = Shape(filterSql, groups.result(), aggs.result())
+        // grouping sets reference key POSITIONS: order the stored group
+        // columns by set position (output order may differ) and refuse
+        // duplicate outputs of one key, whose replay would double it
+        val orderedGroups = setsInfo match {
+          case Some(info) =>
+            val g = groups.toSeq
+            if (g.size != info.groupSql.size ||
+                g.map(_._1).exists(n => !groupPos.contains(n)) ||
+                g.map(p => groupPos(p._1)).distinct.size != g.size)
+              return Left("every ROLLUP/CUBE/GROUPING SETS key must appear " +
+                "exactly once among the outputs")
+            g.sortBy(p => groupPos(p._1))
+          case None => groups.toSeq
+        }
+        val shape = Shape(filterSql, orderedGroups, aggs.toSeq, setsInfo.map(_.sets))
+        if (setsInfo.isDefined && shape.aggs.exists(a =>
+            Set("min", "max", "cdistinct", "sdistinct", "adistinct")(a.kind)))
+          return Left("MIN/MAX and DISTINCT aggregates under ROLLUP/CUBE/" +
+            "GROUPING SETS are not incrementally maintained")
         if (groupingExprs.nonEmpty && shape.groups.isEmpty)
           return Left("no grouping columns in output")
         locally {
@@ -500,6 +661,8 @@ object GraftMaterializedView {
           val renamed = cond.transform {
             case a: AttributeReference if renames.contains(a.exprId) =>
               a.withName(renames(a.exprId))
+            case a: AttributeReference if setsInfo.exists(_.gidId == a.exprId) =>
+              a.withName(GidCol) // HAVING grouping(...) reads the stored id
           }
           plainSql(renamed)
         }
@@ -508,7 +671,8 @@ object GraftMaterializedView {
           dimRels.map { case (d, jt, c) =>
             DimSpec(d.table.asInstanceOf[GraftV2Table].underlying, jt, c)
           },
-          shape, havingSql))
+          shape, havingSql,
+          if (hasComputed) Some(viewColsB.result()) else None))
     }
   }
 
@@ -559,11 +723,28 @@ object GraftMaterializedView {
           count(expr(s)).as(nnCol(i)))
         case _ => Nil
       } :+ count(lit(1)).as(RowsCol)
-    if (shape.groups.isEmpty)
-      base.agg(aggCols.head, aggCols.tail: _*)
-        .withColumn(GlobalKeyCol, lit(0))
-    else base.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    aggregateBy(base, shape, groupCols, aggCols)
   }
+
+  /** Aggregate `base` per the shape's grouping: grouping SETS replay
+    * through `Dataset.groupingSets` with `grouping_id()` appended as the
+    * `_mv_gid` merge-key column (set columns must be UNALIASED to match
+    * — names are restored positionally after); plain GROUP BY and the
+    * GLOBAL one-row shape unchanged.
+    */
+  private def aggregateBy(base: DataFrame, shape: Shape,
+                          groupCols: Seq[Column], aggCols: Seq[Column]): DataFrame =
+    shape.sets match {
+      case Some(sets) =>
+        val gexprs = shape.groups.map { case (_, s) => expr(s) }
+        val r = base.groupingSets(sets.map(_.map(gexprs)), gexprs: _*)
+          .agg(aggCols.head, (aggCols.tail :+ grouping_id().as(GidCol)): _*)
+        r.toDF(shape.groups.map(_._1) ++ r.columns.drop(shape.groups.size): _*)
+      case None if shape.groups.isEmpty =>
+        base.agg(aggCols.head, aggCols.tail: _*)
+          .withColumn(GlobalKeyCol, lit(0))
+      case None => base.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    }
 
   // delta-only column names for MIN/MAX maintenance
   private def insCol(i: Int): String = s"_mv_ins_$i" // extreme over inserted rows
@@ -637,11 +818,10 @@ object GraftMaterializedView {
         case k => sys.error(s"bad agg kind $k for ${a.name}")
       }
     } :+ sum(col("_sign")).as(RowsCol)
+    val d0 = aggregateBy(signed, shape, groupCols, aggCols)
     if (shape.groups.isEmpty)
-      signed.agg(aggCols.head, aggCols.tail: _*)
-        .where(col(RowsCol).isNotNull) // all-filtered slice = no delta
-        .withColumn(GlobalKeyCol, lit(0))
-    else signed.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      d0.where(col(RowsCol).isNotNull) // all-filtered slice = no delta
+    else d0
   }
 
   /** Parse the stored dim-version pin list (rel → version) — shared
@@ -653,7 +833,8 @@ object GraftMaterializedView {
   private def shapeFromProps(props: Map[String, String]): Shape = Shape(
     Option(props.getOrElse(FilterProp, "")).filter(_.nonEmpty),
     specFromJson(props(GroupProp)).map { case Seq(n, s) => n -> s },
-    specFromJson(props(AggProp)).map { case Seq(n, k, s) => AggSpec(n, k, s) })
+    specFromJson(props(AggProp)).map { case Seq(n, k, s) => AggSpec(n, k, s) },
+    props.get(GroupSetsProp).map(specFromJson(_).map(_.map(_.toInt))))
 
   /** Per-column [lo, hi] range conjuncts over `keyFrame`'s group
     * columns, for narrowing a scan to rows that can belong to an
@@ -759,6 +940,8 @@ object GraftMaterializedView {
           FilterProp -> js.shape.filter.getOrElse(""),
           GroupProp -> specJson(js.shape.groups.map(p => Seq(p._1, p._2))),
           AggProp -> specJson(js.shape.aggs.map(a => Seq(a.name, a.kind, a.sql)))) ++
+          js.shape.sets.map(ss =>
+            GroupSetsProp -> specJson(ss.map(_.map(_.toString)))).toMap ++
           dimProps ++ dlProps)
       case Left(_) =>
         val f = spark.sql(sql)
@@ -787,14 +970,31 @@ object GraftMaterializedView {
     // O(changes) while the boundary-crossing groups flicker in the view
     val havingWhere = shaped.toOption.flatMap(_.having)
       .map(h => s" WHERE $h").getOrElse("")
+    // grouping()/grouping_id() outputs are computed in the view over
+    // the stored _mv_gid; when present the view keeps OUTPUT order
+    val viewColsOpt = shaped.toOption.flatMap(_.viewCols)
+    val viewSelect = viewColsOpt match {
+      case Some(cols) => cols.map {
+        case (n, None) => s"`$n`"
+        case (n, Some((sql, _))) => s"($sql) AS `$n`"
+      }.mkString(", ")
+      case None => publicCols.map(c => s"`$c`").mkString(", ")
+    }
+    val viewSchema = viewColsOpt match {
+      case Some(cols) => org.apache.spark.sql.types.StructType(cols.map {
+        case (n, None) => frame.schema(n)
+        case (n, Some((_, dt))) => org.apache.spark.sql.types.StructField(n, dt)
+      })
+      case None => org.apache.spark.sql.types.StructType(
+        frame.schema.fields.filter(f => publicCols.contains(f.name)))
+    }
     viewStore.create(ns, name, StoredView(
-      sql = publicCols.map(c => s"`$c`").mkString("SELECT ", ", ",
-        s" FROM $catalogName.$ns.`${name + StorageSuffix}`$havingWhere"),
+      sql = s"SELECT $viewSelect" +
+        s" FROM $catalogName.$ns.`${name + StorageSuffix}`$havingWhere",
       currentCatalog = catalogName,
       currentNamespace = Seq(ns),
-      schema = org.apache.spark.sql.types.StructType(
-        frame.schema.fields.filter(f => publicCols.contains(f.name))),
-      queryColumnNames = publicCols.toSeq,
+      schema = viewSchema,
+      queryColumnNames = viewColsOpt.fold(publicCols.toSeq)(_.map(_._1)),
       columnAliases = Nil,
       columnComments = Nil,
       properties = Map("graft.mview" -> "true"),
@@ -923,7 +1123,13 @@ object GraftMaterializedView {
     // empty table is one row — count 0, sums NULL — so the group-vanish
     // delete never applies; the rows==0 row IS the correct state)
     val isGlobal = groupNames.isEmpty
-    val mergeKeys = if (isGlobal) Seq(GlobalKeyCol) else groupNames
+    // grouping sets: two sets can emit identical key tuples (a real
+    // NULL key vs a rolled-up one) — the stored grouping id joins the
+    // merge key to keep every row uniquely addressable
+    val mergeKeys =
+      if (isGlobal) Seq(GlobalKeyCol)
+      else if (shape.sets.isDefined) groupNames :+ GidCol
+      else groupNames
 
     // PHASE A — dedup-level pair apply, one aux table per distinct
     // expression, BEFORE the main merge. Each aux table carries its OWN
@@ -1099,7 +1305,12 @@ object GraftMaterializedView {
         storage.schema.fields.find(_.name == k).map(_.dataType)
           .exists(t => t == org.apache.spark.sql.types.FloatType ||
             t == org.apache.spark.sql.types.DoubleType)
-      val sqls = rangeBounds(d, groupNames, isBinaryFloat).flatMap {
+      // under grouping sets most delta rows carry NULL keys (rolled-up
+      // components contribute no conjunct), so the grouping id — never
+      // NULL — is the one bound that always lands
+      val boundKeys =
+        if (shape.sets.isDefined) groupNames :+ GidCol else groupNames
+      val sqls = rangeBounds(d, boundKeys, isBinaryFloat).flatMap {
         case (k, lo, hi) =>
           FilterSql.toSql(org.apache.spark.sql.sources.And(
             org.apache.spark.sql.sources.GreaterThanOrEqual(k, lo),

@@ -951,6 +951,59 @@ object TableQueries {
              |HAVING COUNT(*) >= 8 AND SUM(l_quantity) > 50.0
              |ORDER BY 1, 2""".stripMargin)),
 
+    // ROLLUP MV: detail rows + per-flag subtotals + the grand total in
+    // ONE stored table, each set's row getting its exact delta from the
+    // signed slice re-aggregated through the same grouping sets; the
+    // stored grouping id keys the merge (and surfaces through the
+    // view-computed GROUPING() column). Incremental across inserts AND
+    // MoR deletes; DuckDB recomputes the same ROLLUP from scratch.
+    "q112_mview_rollup" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq112").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq112", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq112.warehouse",
+            Files.createTempDirectory("graft-mview-rollup").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq112.bench")
+        s.sql("CALL graftq112.system.drop_mview('bench', 'cube')")
+        s.sql("DROP TABLE IF EXISTS graftq112.bench.li")
+        s.sql("""CREATE TABLE graftq112.bench.li
+                |(l_orderkey BIGINT, l_returnflag STRING, l_linestatus STRING,
+                | l_quantity DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        t(s, dir, "lineitem").createOrReplaceTempView("q112_li")
+        s.sql("""INSERT INTO graftq112.bench.li
+                |SELECT l_orderkey, l_returnflag, l_linestatus, l_quantity
+                |FROM q112_li WHERE l_orderkey % 2 = 0""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq112.system.create_mview('bench', 'cube',
+            |  'SELECT l_returnflag AS flag, l_linestatus AS status,
+            |     SUM(l_quantity) AS qty, AVG(l_quantity) AS aq, COUNT(*) AS n,
+            |     GROUPING(l_returnflag) AS gf
+            |   FROM graftq112.bench.li WHERE l_quantity > 1.0
+            |   GROUP BY ROLLUP(l_returnflag, l_linestatus)')""".stripMargin)
+          .head.getString(0)
+        require(mode == "incremental", s"expected incremental mode, got $mode")
+        s.sql("""INSERT INTO graftq112.bench.li
+                |SELECT l_orderkey, l_returnflag, l_linestatus, l_quantity
+                |FROM q112_li WHERE l_orderkey % 2 = 1""".stripMargin)
+        s.sql("DELETE FROM graftq112.bench.li WHERE l_quantity >= 44.0")
+        s.sql("DELETE FROM graftq112.bench.li WHERE l_orderkey <= 350")
+        val action = s.sql(
+          "CALL graftq112.system.refresh_mview('bench', 'cube', false)")
+          .head.getString(2)
+        require(action == "incremental", s"expected incremental refresh, got $action")
+        s.sql("""SELECT flag, status, qty, aq, n, gf FROM graftq112.bench.cube
+                |ORDER BY flag, status, n""".stripMargin)
+      },
+      Some("""SELECT l_returnflag AS flag, l_linestatus AS status,
+             |  SUM(l_quantity) AS qty, AVG(l_quantity) AS aq, COUNT(*) AS n,
+             |  CAST(GROUPING(l_returnflag) AS TINYINT) AS gf
+             |FROM lineitem
+             |WHERE l_quantity > 1.0 AND l_quantity < 44.0 AND l_orderkey > 350
+             |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 5""".stripMargin)),
+
     // Join MV: fact (lineitem) joined to a static dimension (orders),
     // group key drawn from the DIM side, maintained incrementally from
     // the fact changelog with the dim pinned — then the dim moves (a

@@ -419,6 +419,99 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  // ------------------------------------------------------------------
+  // ROLLUP/CUBE/GROUPING SETS: the signed slice re-aggregates through
+  // the SAME grouping sets, so every set's subtotal row gets its exact
+  // delta; the stored grouping id joins the merge key (a real NULL key
+  // and a rolled-up NULL are different rows). grouping()/grouping_id()
+  // outputs are view-computed over the stored id. Spark semantics over
+  // an empty table = ZERO rows (no grand-total special case) — wipes
+  // must converge to empty storage.
+  // ------------------------------------------------------------------
+
+  test("grouping sets MVs: rollup/cube subtotals maintain incrementally") {
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(4)
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(4000 + seed)
+      val ns = s"mvgs$seed"
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.src")
+      spark.sql(s"CREATE TABLE graft.$ns.src (id BIGINT, g STRING, h STRING, v DOUBLE)")
+      var nextId = 0L
+      def insertBurst(): Unit = {
+        val rows = (0 until (2 + rnd.nextInt(6))).map { _ =>
+          nextId += 1
+          // NULL group values collide with rolled-up NULLs: the gid
+          // merge-key component must keep them apart
+          val g = if (rnd.nextInt(6) == 0) "NULL" else s"'g${rnd.nextInt(3)}'"
+          val h = if (rnd.nextInt(6) == 0) "NULL" else s"'h${rnd.nextInt(2)}'"
+          val v = if (rnd.nextInt(5) == 0) "CAST(NULL AS DOUBLE)"
+                  else (rnd.nextInt(80) - 20).toString + ".0"
+          s"($nextId, $g, $h, $v)"
+        }
+        spark.sql(s"INSERT INTO graft.$ns.src VALUES ${rows.mkString(", ")}")
+      }
+      insertBurst()
+      val shape = seed % 3 match {
+        case 0 => "ROLLUP(g, h)"
+        case 1 => "CUBE(g, h)"
+        case _ => "GROUPING SETS ((g, h), (h), ())"
+      }
+      val defn =
+        s"""SELECT g, h, SUM(v) AS total, AVG(v) AS av, COUNT(v) AS nv,
+           |       COUNT(*) AS n, grouping_id(g, h) AS gi
+           |FROM graft.$ns.src WHERE v IS NULL OR v > -15.0
+           |GROUP BY $shape""".stripMargin
+      spark.sql(
+        s"""CALL graft.system.create_mview('$ns', 'm', '${defn.replace("'", "''")}')""")
+        .head.getString(0) shouldBe "incremental"
+      def snap(from: String): Seq[String] =
+        spark.sql(s"SELECT g, h, total, av, nv, n, gi FROM $from")
+          .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      for (step <- 0 until 7) {
+        rnd.nextInt(3) match {
+          case 0 => insertBurst()
+          case 1 =>
+            if (rnd.nextBoolean())
+              spark.sql(s"DELETE FROM graft.$ns.src WHERE g = 'g${rnd.nextInt(3)}'")
+            else {
+              val lo = 1 + rnd.nextInt(math.max(1, nextId.toInt))
+              spark.sql(s"DELETE FROM graft.$ns.src WHERE id >= $lo AND id < ${lo + 4}")
+            }
+          case _ =>
+            val id = 1 + rnd.nextInt(math.max(1, nextId.toInt))
+            spark.sql(
+              s"""MERGE INTO graft.$ns.src t
+                 |USING (SELECT CAST($id AS BIGINT) AS id, 'g${rnd.nextInt(3)}' AS g,
+                 |              'h${rnd.nextInt(2)}' AS h, ${rnd.nextInt(60)}.0 AS v) s
+                 |ON t.id = s.id
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        }
+        val action = spark.sql(
+          s"CALL graft.system.refresh_mview('$ns', 'm', false)").head.getString(2)
+        Seq("incremental", "empty", "noop") should contain(action)
+        withClue(s"seed=$seed shape=$shape step=$step action=$action ") {
+          snap(s"graft.$ns.m") shouldBe snap(s"($defn)")
+        }
+      }
+      // a full wipe must converge to ZERO rows (Spark grouping-sets
+      // semantics over an empty table), then incrementality resumes
+      spark.sql(s"DELETE FROM graft.$ns.src WHERE true")
+      spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
+      withClue(s"seed=$seed shape=$shape post-wipe ") {
+        spark.sql(s"SELECT * FROM graft.$ns.m").count() shouldBe 0L
+      }
+      insertBurst()
+      spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
+      withClue(s"seed=$seed shape=$shape post-wipe-insert ") {
+        snap(s"graft.$ns.m") shouldBe snap(s"($defn)")
+      }
+      spark.sql(s"CALL graft.system.drop_mview('$ns', 'm')")
+      spark.sql(s"DROP TABLE graft.$ns.src")
+    }
+  }
+
   // Pins the round-13 shape guard: a GROUP BY expression missing from
   // the SELECT is valid SQL but CANNOT be maintained at the stored
   // granularity — it must register in FULL mode (not silently merge
