@@ -307,6 +307,113 @@ object GraftMaterializedView {
       (0 until n).map(sqlByPos), setsB.result())))
   }
 
+  /** Classify one aggregate call into its maintained (kind, input SQL).
+    * A deterministic FILTER (WHERE p) folds into the input as
+    * CASE WHEN p THEN e END — exact because every supported aggregate
+    * skips NULLs (COUNT(*) FILTER counts the guarded literal);
+    * nondeterministic predicates keep the FILTER and land in the
+    * unsupported-aggregate refusal.
+    */
+  private def aggSpecOf(ae0: AggregateExpression, ctx: String)
+      : Either[String, (String, String)] = {
+    val ae = ae0 match {
+      case AggregateExpression(fn, m, dist, Some(p), rid) if p.deterministic =>
+        def guard(e: Expression): Expression = CaseWhen(Seq((p, e)), None)
+        fn match {
+          case Sum(e, em) => AggregateExpression(Sum(guard(e), em), m, dist, None, rid)
+          case Count(es) =>
+            val one = es match {
+              case Seq(e) => e
+              case Seq() => Literal(1)
+              case _ => return Left(s"multi-argument COUNT in $ctx")
+            }
+            AggregateExpression(Count(Seq(guard(one))), m, dist, None, rid)
+          case Average(e, em) =>
+            AggregateExpression(Average(guard(e), em), m, dist, None, rid)
+          case Min(e) => AggregateExpression(Min(guard(e)), m, dist, None, rid)
+          case Max(e) => AggregateExpression(Max(guard(e)), m, dist, None, rid)
+          case _ => ae0
+        }
+      case other => other
+    }
+    ae match {
+      case AggregateExpression(Sum(e, _), _, false, None, _) =>
+        if (!e.deterministic) return Left(s"nondeterministic SUM in $ctx")
+        Right(("sum", plainSql(e)))
+      case AggregateExpression(Sum(e, _), _, true, None, _) =>
+        // SUM(DISTINCT x): rides the same dedup-level pair table as
+        // COUNT(DISTINCT) — a pair birth contributes +value, a death
+        // -value, a carrier-count update nets 0. Decimal is refused:
+        // the signed fold would need the overflow-NULL bookkeeping the
+        // additive path has, without a way to distinguish overflow from
+        // the legitimate all-pairs-dead NULL.
+        if (!e.deterministic) return Left(s"nondeterministic SUM(DISTINCT) in $ctx")
+        e.dataType match {
+          case _: DecimalType => Left(s"decimal SUM(DISTINCT) in $ctx")
+          case _: NumericType => Right(("sdistinct", plainSql(e)))
+          case _ => Left(s"non-numeric SUM(DISTINCT) in $ctx")
+        }
+      case AggregateExpression(Count(es), _, false, None, _) =>
+        if (es.exists(!_.deterministic))
+          return Left(s"nondeterministic COUNT in $ctx")
+        es match {
+          case Seq(Literal(1, _)) => Right(("count_star", ""))
+          case Seq() => Right(("count_star", ""))
+          case Seq(one) => Right(("count", plainSql(one)))
+          case _ => Left(s"multi-argument COUNT in $ctx")
+        }
+      case AggregateExpression(Count(es), _, true, None, _) =>
+        // COUNT(DISTINCT x): maintained by the counting algorithm — a
+        // dedup-level aux table keyed (group, value) whose pair
+        // births/deaths are the distinct count's exact deltas.
+        es match {
+          case Seq(one) =>
+            if (!one.deterministic)
+              return Left(s"nondeterministic COUNT(DISTINCT) in $ctx")
+            if (!minMaxable(one.dataType))
+              return Left(s"COUNT(DISTINCT) over an unorderable type in $ctx")
+            Right(("cdistinct", plainSql(one)))
+          case _ => Left(s"multi-argument COUNT(DISTINCT) in $ctx")
+        }
+      case AggregateExpression(Average(e, _), _, true, None, _) =>
+        // AVG(DISTINCT x) = SUM(DISTINCT)/COUNT(DISTINCT), both from the
+        // shared pair table; the running sum is a double — exactly
+        // Spark's non-decimal distinct Average accumulator.
+        if (!e.deterministic) return Left(s"nondeterministic AVG(DISTINCT) in $ctx")
+        e.dataType match {
+          case _: DecimalType => Left(s"decimal AVG(DISTINCT) in $ctx")
+          case _: NumericType => Right(("adistinct", plainSql(e)))
+          case _ => Left(s"non-numeric AVG(DISTINCT) in $ctx")
+        }
+      case AggregateExpression(Average(e, _), _, false, None, _) =>
+        if (!e.deterministic) return Left(s"nondeterministic AVG in $ctx")
+        e.dataType match {
+          case d: DecimalType =>
+            // decimal AVG decomposes exactly into a decimal running sum
+            // + count WHEN the sum/count division's precision-loss-
+            // adjusted scale, max(6, 38-(p+10-s)), still reaches the
+            // avg output scale s+4 — i.e. s <= 2 (the 6-floor covers
+            // it) or p <= 24. Probed at 50k quotients per (p,s) across
+            // the gate with zero mismatches; outside it the division is
+            // provably coarser than AVG and cannot be replayed.
+            if (d.scale + 4 <= 6 || d.precision <= 24) Right(("davg", plainSql(e)))
+            else Left(s"decimal AVG wider than (24,*)/( *,2) in $ctx")
+          case _: NumericType => Right(("avg", plainSql(e)))
+          case _ => Left(s"non-numeric AVG in $ctx")
+        }
+      case AggregateExpression(Min(e), _, _, None, _) =>
+        // DISTINCT is a no-op on an extreme — same maintained kind
+        if (!e.deterministic) return Left(s"nondeterministic MIN in $ctx")
+        if (!minMaxable(e.dataType)) return Left(s"unorderable MIN type in $ctx")
+        Right(("min", plainSql(e)))
+      case AggregateExpression(Max(e), _, _, None, _) =>
+        if (!e.deterministic) return Left(s"nondeterministic MAX in $ctx")
+        if (!minMaxable(e.dataType)) return Left(s"unorderable MAX type in $ctx")
+        Right(("max", plainSql(e)))
+      case _ => Left(s"unsupported aggregate in $ctx")
+    }
+  }
+
   private def analyzeShape(analyzed: LogicalPlan): Either[String, JoinShape] = {
     unwrapAliases(analyzed) match {
       case agg: Aggregate => analyzeAggregate(agg, None, None)
@@ -440,7 +547,14 @@ object GraftMaterializedView {
         // output order for the public view; grouping()/grouping_id()
         // outputs are VIEW-computed over the stored _mv_gid, not stored
         val groupPos = scala.collection.mutable.Map.empty[String, Int]
-        val viewColsB = Seq.newBuilder[(String, Option[(String, DataType)])]
+        val viewColsB =
+          scala.collection.mutable.ListBuffer.empty[(String, Option[(String, DataType)])]
+        val deferred = scala.collection.mutable.ListBuffer.empty[(Alias, String, Int)]
+        // grouping expression -> storage column name, for rendering
+        // derived outputs that reference group keys
+        val groupExprToName =
+          scala.collection.mutable.ListBuffer.empty[(Expression, String)]
+        val minted = scala.collection.mutable.Set.empty[String] // our hidden aggs
         var hasComputed = false
         // every grouping expression the output actually carries — a
         // GROUP BY column missing from the SELECT (valid SQL) would
@@ -457,128 +571,17 @@ object GraftMaterializedView {
             setsInfo.flatMap(_.attrPos.get(a.exprId)).foreach(groupPos(nm) = _)
             groups += nm -> gsql
             coveredGroups += a
+            groupExprToName += ((a, nm))
             if (!renames.contains(a.exprId)) viewColsB += ((nm, None))
           case al @ Alias(child0, name0) =>
             val name = effectiveName(al.exprId, name0)
             val (na, ng) = (aggs.size, groups.size)
-            // FILTER (WHERE p) folds into the aggregated expression as
-            // CASE WHEN p THEN e END — every supported aggregate skips
-            // NULLs, so the rewrite is exact for SUM/COUNT/AVG/MIN/MAX
-            // and the DISTINCT family alike (COUNT(*) FILTER becomes a
-            // plain COUNT of the guarded literal). Nondeterministic
-            // predicates keep the FILTER and fall through to the
-            // unsupported-aggregate refusal.
-            val child = child0 match {
-              case ae @ AggregateExpression(fn, m, dist, Some(p), rid)
-                  if p.deterministic =>
-                def guard(e: Expression): Expression = CaseWhen(Seq((p, e)), None)
-                fn match {
-                  case Sum(e, em) =>
-                    AggregateExpression(Sum(guard(e), em), m, dist, None, rid)
-                  case Count(es) =>
-                    val one = es match {
-                      case Seq(e) => e
-                      case Seq() => Literal(1)
-                      case _ => return Left(s"multi-argument COUNT in ${al.sql}")
-                    }
-                    AggregateExpression(Count(Seq(guard(one))), m, dist, None, rid)
-                  case Average(e, em) =>
-                    AggregateExpression(Average(guard(e), em), m, dist, None, rid)
-                  case Min(e) => AggregateExpression(Min(guard(e)), m, dist, None, rid)
-                  case Max(e) => AggregateExpression(Max(guard(e)), m, dist, None, rid)
-                  case _ => ae
-                }
-              case other => other
-            }
-            child match {
-            case AggregateExpression(Sum(e, _), _, false, None, _) =>
-              if (!e.deterministic) return Left(s"nondeterministic SUM in ${al.sql}")
-              aggs += AggSpec(name, "sum", plainSql(e))
-            case AggregateExpression(Sum(e, _), _, true, None, _) =>
-              // SUM(DISTINCT x): rides the same dedup-level pair table
-              // as COUNT(DISTINCT) — a pair birth contributes +value, a
-              // death -value, a carrier-count update nets 0. Decimal is
-              // refused: the signed fold would need the overflow-NULL
-              // bookkeeping the additive path has, without a way to
-              // distinguish overflow from the legitimate all-pairs-dead
-              // NULL.
-              if (!e.deterministic)
-                return Left(s"nondeterministic SUM(DISTINCT) in ${al.sql}")
-              e.dataType match {
-                case _: DecimalType =>
-                  return Left(s"decimal SUM(DISTINCT) in ${al.sql}")
-                case _: NumericType => aggs += AggSpec(name, "sdistinct", plainSql(e))
-                case _ => return Left(s"non-numeric SUM(DISTINCT) in ${al.sql}")
+            child0 match {
+            case ae: AggregateExpression =>
+              aggSpecOf(ae, al.sql) match {
+                case Right((kind, sql)) => aggs += AggSpec(name, kind, sql)
+                case Left(r) => return Left(r)
               }
-            case AggregateExpression(Count(es), _, false, None, _) =>
-              if (es.exists(!_.deterministic)) return Left(s"nondeterministic COUNT in ${al.sql}")
-              es match {
-                case Seq(org.apache.spark.sql.catalyst.expressions.Literal(1, _)) =>
-                  aggs += AggSpec(name, "count_star", "")
-                case Seq() => aggs += AggSpec(name, "count_star", "")
-                case Seq(one) => aggs += AggSpec(name, "count", plainSql(one))
-                case _ => return Left(s"multi-argument COUNT in ${al.sql}")
-              }
-            case AggregateExpression(Count(es), _, true, None, _) =>
-              // COUNT(DISTINCT x): maintained by the counting algorithm —
-              // a dedup-level aux table keyed (group, value) whose pair
-              // births/deaths are the distinct count's exact deltas.
-              es match {
-                case Seq(one) =>
-                  if (!one.deterministic)
-                    return Left(s"nondeterministic COUNT(DISTINCT) in ${al.sql}")
-                  if (!minMaxable(one.dataType))
-                    return Left(s"COUNT(DISTINCT) over an unorderable type in ${al.sql}")
-                  aggs += AggSpec(name, "cdistinct", plainSql(one))
-                case _ =>
-                  return Left(s"multi-argument COUNT(DISTINCT) in ${al.sql}")
-              }
-            case AggregateExpression(Average(e, _), _, true, None, _) =>
-              // AVG(DISTINCT x) = SUM(DISTINCT)/COUNT(DISTINCT), both
-              // maintained from the shared pair table; the running sum
-              // is a double — exactly Spark's non-decimal distinct
-              // Average accumulator — so the quotient replays.
-              if (!e.deterministic)
-                return Left(s"nondeterministic AVG(DISTINCT) in ${al.sql}")
-              e.dataType match {
-                case _: DecimalType =>
-                  return Left(s"decimal AVG(DISTINCT) in ${al.sql}")
-                case _: NumericType => aggs += AggSpec(name, "adistinct", plainSql(e))
-                case _ => return Left(s"non-numeric AVG(DISTINCT) in ${al.sql}")
-              }
-            case AggregateExpression(Average(e, _), _, false, None, _) =>
-              if (!e.deterministic) return Left(s"nondeterministic AVG in ${al.sql}")
-              e.dataType match {
-                case d: DecimalType =>
-                  // decimal AVG decomposes exactly into a decimal
-                  // running sum + count WHEN the sum/count division's
-                  // precision-loss-adjusted scale, max(6, 38-(p+10-s)),
-                  // still reaches the avg output scale s+4 — i.e.
-                  // s <= 2 (the 6-floor covers it) or p <= 24.
-                  // Probed at 50k quotients per (p,s) across the gate
-                  // with zero mismatches; outside it the division is
-                  // provably coarser than AVG and cannot be replayed.
-                  if (d.scale + 4 <= 6 || d.precision <= 24)
-                    aggs += AggSpec(name, "davg", plainSql(e))
-                  else
-                    return Left(s"decimal AVG wider than (24,*)/( *,2) in ${al.sql}")
-                case _: NumericType =>
-                  aggs += AggSpec(name, "avg", plainSql(e))
-                case _ => return Left(s"non-numeric AVG in ${al.sql}")
-              }
-            case AggregateExpression(Min(e), _, _, None, _) =>
-              // DISTINCT is a no-op on an extreme — same maintained kind
-              if (!e.deterministic) return Left(s"nondeterministic MIN in ${al.sql}")
-              if (!minMaxable(e.dataType))
-                return Left(s"unorderable MIN type in ${al.sql}")
-              aggs += AggSpec(name, "min", plainSql(e))
-            case AggregateExpression(Max(e), _, _, None, _) =>
-              if (!e.deterministic) return Left(s"nondeterministic MAX in ${al.sql}")
-              if (!minMaxable(e.dataType))
-                return Left(s"unorderable MAX type in ${al.sql}")
-              aggs += AggSpec(name, "max", plainSql(e))
-            case _: AggregateExpression =>
-              return Left(s"unsupported aggregate in ${al.sql}")
             case e if setsInfo.exists(i => e.references.nonEmpty &&
                 e.references.forall(_.exprId == i.gidId)) && e.deterministic =>
               // grouping() / grouping_id(): pure functions of the
@@ -604,6 +607,21 @@ object GraftMaterializedView {
               }).foreach(p => groupPos(name) = p)
               groups += name -> gsql
               coveredGroups += e
+              groupExprToName += ((e, name))
+            case e if e.deterministic && !e.exists(
+                _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]) =>
+              // DERIVED output — an expression OVER aggregates and/or
+              // group keys, e.g. SUM(a)/SUM(b), SUM(v)+1, concat(k,':'),
+              // or a constant: each inner aggregate is stored (reusing a
+              // public column when one matches, else a hidden _mv_h
+              // extra) and the expression is COMPUTED in the public view
+              // over the stored columns. Deferred to a second pass so
+              // group storage names exist; a residual reference that is
+              // neither a group key nor inside an aggregate refuses
+              // there. Subqueries are excluded — their results move
+              // without a changelog entry on THIS source.
+              deferred += ((al, name, viewColsB.size))
+              viewColsB += ((name, None)) // placeholder, filled in pass 2
             case _ =>
               return Left(s"output ${al.sql} is neither a grouping expression " +
                 "nor a supported aggregate")
@@ -613,6 +631,45 @@ object GraftMaterializedView {
           if (!renames.contains(al.exprId) && (aggs.size > na || groups.size > ng))
             viewColsB += ((name, None))
           case other => return Left(s"unsupported output ${other.sql}")
+        }
+        // pass 2 — derived outputs: replace each inner aggregate with a
+        // reference to its stored column (reusing an existing agg with
+        // the same kind+input, else minting a hidden _mv_h extra), each
+        // group-key subtree with its storage name, the grouping id with
+        // _mv_gid — then render the expression as the view-computed SQL
+        deferred.foreach { case (al, name, slot) =>
+          if (renames.contains(al.exprId))
+            return Left(s"HAVING-only derived aggregate output ${al.sql} " +
+              "is not supported")
+          var err: Option[String] = None
+          val replaced = al.child.transformDown {
+            case ae: AggregateExpression =>
+              aggSpecOf(ae, al.sql) match {
+                case Left(r) => err = Some(r); ae
+                case Right((kind, sql)) =>
+                  val nm = aggs.find(a => a.kind == kind && a.sql == sql)
+                    .map(_.name).getOrElse {
+                      val h = s"_mv_h$hiddenIdx"; hiddenIdx += 1
+                      minted += h
+                      aggs += AggSpec(h, kind, sql); h
+                    }
+                  AttributeReference(nm, ae.dataType)()
+              }
+            case t if !t.isInstanceOf[Literal] &&
+                groupExprToName.exists(_._1.semanticEquals(t)) =>
+              AttributeReference(
+                groupExprToName.find(_._1.semanticEquals(t)).get._2, t.dataType)()
+            case a: AttributeReference if setsInfo.exists(_.gidId == a.exprId) =>
+              a.withName(GidCol)
+          }
+          err.foreach(r => return Left(r))
+          val storageNames =
+            (groups.map(_._1) ++ aggs.map(_.name)).toSet + GidCol
+          if (!replaced.references.forall(r => storageNames.contains(r.name)))
+            return Left(s"derived output ${al.sql} references a column that " +
+              "is neither a grouping key nor inside an aggregate")
+          viewColsB(slot) = (name, Some((plainSql(replaced), al.child.dataType)))
+          hasComputed = true
         }
         val covered = coveredGroups.result()
         // the grouping id is OUR bookkeeping (stored as _mv_gid), never
@@ -647,7 +704,7 @@ object GraftMaterializedView {
         if (groupingExprs.nonEmpty && shape.groups.isEmpty)
           return Left("no grouping columns in output")
         locally {
-          val hidden = renames.values.toSet // ours, not user-chosen
+          val hidden = renames.values.toSet ++ minted // ours, not user-chosen
           val bad = (shape.groups.map(_._1) ++ shape.aggs.map(_.name))
             .filter(n => !hidden.contains(n) && n.toLowerCase.startsWith("_mv_"))
           if (bad.nonEmpty)

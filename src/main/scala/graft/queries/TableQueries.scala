@@ -1004,6 +1004,65 @@ object TableQueries {
              |GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 5""".stripMargin)),
 
+    // Derived-output MV: expressions OVER aggregates (the classic
+    // revenue-per-unit ratio) — each inner aggregate is stored (the
+    // public revenue sum is REUSED by the ratio, the quantity sum
+    // becomes a hidden _mv_h extra) and the expression is computed in
+    // the public view over the stored columns, so the ratio is exact
+    // after every incremental refresh without storing a non-additive
+    // value.
+    "q113_mview_derived" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq113").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq113", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq113.warehouse",
+            Files.createTempDirectory("graft-mview-derived").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq113.bench")
+        s.sql("CALL graftq113.system.drop_mview('bench', 'rev')")
+        s.sql("DROP TABLE IF EXISTS graftq113.bench.li")
+        s.sql("""CREATE TABLE graftq113.bench.li
+                |(l_orderkey BIGINT, l_returnflag STRING, l_quantity DOUBLE,
+                | l_extendedprice DOUBLE, l_discount DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        t(s, dir, "lineitem").createOrReplaceTempView("q113_li")
+        s.sql("""INSERT INTO graftq113.bench.li
+                |SELECT l_orderkey, l_returnflag, l_quantity, l_extendedprice,
+                |       l_discount
+                |FROM q113_li WHERE l_orderkey % 2 = 0""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq113.system.create_mview('bench', 'rev',
+            |  'SELECT l_returnflag AS flag,
+            |     SUM(l_extendedprice * (1.0 - l_discount)) AS rev,
+            |     SUM(l_extendedprice * (1.0 - l_discount)) / SUM(l_quantity)
+            |       AS rev_per_unit,
+            |     COUNT(*) + 0 AS n, concat(l_returnflag, ''!'') AS tag
+            |   FROM graftq113.bench.li WHERE l_quantity > 3.0
+            |   GROUP BY l_returnflag')""".stripMargin).head.getString(0)
+        require(mode == "incremental", s"expected incremental mode, got $mode")
+        s.sql("""INSERT INTO graftq113.bench.li
+                |SELECT l_orderkey, l_returnflag, l_quantity, l_extendedprice,
+                |       l_discount
+                |FROM q113_li WHERE l_orderkey % 2 = 1""".stripMargin)
+        s.sql("DELETE FROM graftq113.bench.li WHERE l_extendedprice >= 60000.0")
+        s.sql("DELETE FROM graftq113.bench.li WHERE l_orderkey <= 250")
+        val action = s.sql(
+          "CALL graftq113.system.refresh_mview('bench', 'rev', false)")
+          .head.getString(2)
+        require(action == "incremental", s"expected incremental refresh, got $action")
+        s.sql("""SELECT flag, rev, rev_per_unit, n, tag FROM graftq113.bench.rev
+                |ORDER BY flag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag AS flag,
+             |  SUM(l_extendedprice * (1.0 - l_discount)) AS rev,
+             |  SUM(l_extendedprice * (1.0 - l_discount)) / SUM(l_quantity)
+             |    AS rev_per_unit,
+             |  COUNT(*) + 0 AS n, concat(l_returnflag, '!') AS tag
+             |FROM lineitem
+             |WHERE l_quantity > 3.0 AND l_extendedprice < 60000.0
+             |  AND l_orderkey > 250
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Join MV: fact (lineitem) joined to a static dimension (orders),
     // group key drawn from the DIM side, maintained incrementally from
     // the fact changelog with the dim pinned — then the dim moves (a

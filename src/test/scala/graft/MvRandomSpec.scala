@@ -96,7 +96,7 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
 
   private def agg2(sqlFrom: String): Seq[String] =
     spark.sql(
-      s"""SELECT gk, k2, total, av, mn, mx, mxs, nv, n, fpos, fav, fnn FROM $sqlFrom
+      s"""SELECT gk, k2, total, av, mn, mx, mxs, nv, n, fpos, fav, fnn, rat, np1, tag FROM $sqlFrom
          |ORDER BY gk NULLS FIRST, k2 NULLS FIRST""".stripMargin)
       .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
 
@@ -108,7 +108,10 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
         |       MAX(s) AS mxs, COUNT(v) AS nv, COUNT(*) AS n,
         |       SUM(v) FILTER (WHERE v > 0.0) AS fpos,
         |       AVG(v) FILTER (WHERE v < 50.0) AS fav,
-        |       COUNT(*) FILTER (WHERE v IS NULL) AS fnn
+        |       COUNT(*) FILTER (WHERE v IS NULL) AS fnn,
+        |       SUM(v) / COUNT(v) AS rat, COUNT(*) + 1 AS np1,
+        |       concat(CASE WHEN id % 5 = 0 THEN NULL ELSE g END,
+        |              CAST(k2 AS STRING)) AS tag
         |FROM graft.%NS%.src WHERE v IS NULL OR v > -20.0
         |GROUP BY CASE WHEN id % 5 = 0 THEN NULL ELSE g END, k2""".stripMargin
     for (seed <- 0 until seeds) {
