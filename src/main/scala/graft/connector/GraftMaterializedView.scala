@@ -46,10 +46,14 @@ import org.json4s.jackson.JsonMethods
   * refresh, which
   * recomputes and overwrites. Join maintenance pins every dimension AS
   * OF the version the stored rows were built with, so the signed fact
-  * changelog retracts exactly; a dimension that MOVES triggers one
-  * full recompute that re-pins it (the star-schema contract:
-  * dimensions slow, fact fast). The maintenance algebra per aggregate
-  * kind:
+  * changelog retracts exactly; a dimension that MOVES maintains
+  * incrementally too when its join is INNER — a telescoped delta
+  * replaces one relation at a time (ΔF against old pins, then F@head
+  * against each moved dim's signed slice with earlier dims at new and
+  * later dims at old pins), exact by inner-join multilinearity and
+  * O(F ⋈ ΔD), never O(F ⋈ D). A moved LEFT-joined dim flips
+  * NULL-extensions non-linearly and still re-pins via one full
+  * recompute. The maintenance algebra per aggregate kind:
   *
   *  - SUM/COUNT/COUNT(*): exactly retraction-safe — signed deltas add.
   *    Bookkeeping: `_mv_rows` = COUNT(*) per group (a group vanishes
@@ -1095,8 +1099,28 @@ object GraftMaterializedView {
       props.get(DimVersProp).map(dimVersFromJson).getOrElse(Map.empty)
     def pinnedVer(r: String): Int = dimVers.getOrElse(r, sys.error(
       s"materialized view $ns.$name: dimension $r carries no pinned version"))
-    val dimsMoved = dimTbls.exists { case (r, t, _, _) =>
-      t.currentOrFail().version != pinnedVer(r)
+    // read each dim's version ONCE and pin the refresh's every read —
+    // the recompute/telescope scans AND the recorded DimVersProp — to
+    // it; a dim committing between two reads would otherwise record a
+    // version the stored rows were not built with, and the desync is
+    // invisible to the dimsMoved check (silent wrong increments forever
+    // after)
+    val curVers = dimTbls.map { case (r, t, _, _) =>
+      r -> t.currentOrFail().version
+    }.toMap
+    val dimsMoved = dimTbls.exists { case (r, _, _, _) =>
+      curVers(r) != pinnedVer(r)
+    }
+    // A moved dimension maintains INCREMENTALLY when its own join is
+    // INNER and it moved forward: the left-deep join is multilinear in
+    // each inner-joined relation (a left join distributes over its
+    // signed LEFT side, so later left dims don't break the linearity),
+    // which makes the telescoped delta below exact. A moved LEFT dim
+    // flips NULL-extensions non-linearly — full re-pin; a rolled-BACK
+    // dim has no forward changelog slice — full re-pin.
+    val dimsIncremental = dimTbls.forall { case (r, _, jt, _) =>
+      curVers(r) == pinnedVer(r) ||
+        (jt == "inner" && curVers(r) > pinnedVer(r))
     }
     // a FORCED rebuild must rebuild even with the marker at the head —
     // the negative-count / storage-surgery errors name force_full as
@@ -1108,15 +1132,47 @@ object GraftMaterializedView {
         (t.scanAsOfVersion(vers(r)), jt, c)
       })
 
-    if (mode == "full" || forceFull || dimsMoved) {
-      // read each dim's version ONCE and pin BOTH the recompute scan
-      // and the recorded DimVersProp to it — a dim committing between
-      // two reads would otherwise record a version the stored rows were
-      // not built with, and the desync is invisible to the dimsMoved
-      // check (silent wrong increments forever after)
-      val curVers = dimTbls.map { case (r, t, _, _) =>
-        r -> t.currentOrFail().version
-      }.toMap
+    /** Telescoped signed changelog of the JOINED shape between the
+      * recorded state (fact at `factFrom`, dims at `pins`) and the
+      * refresh head (fact at `to`, dims at `curVers`). One term per
+      * changed relation, changing them left to right:
+      *
+      *   ΔF ⋈ D1@old ⋈ … ⋈ Dk@old                      (fact term)
+      *   F@to ⋈ D1@new ⋈ … ⋈ D(i-1)@new ⋈ ΔDi ⋈ D(i+1)@old ⋈ … (dim i)
+      *
+      * Each term holds every other relation fixed, so inner-join
+      * multilinearity makes its signed rows the exact difference of
+      * the two join products; `_change_type` flows from the single
+      * changed side and [[signedSlice]] signs it downstream. Cost is
+      * O(ΔF ⋈ dims) + Σ O(F ⋈ ΔDi) — the fact is SCANNED only for
+      * moved dims and only joined against their (small) slices, never
+      * recomputed against whole dimensions.
+      */
+    def telescopedChanges(factFrom: Int, pins: String => Int): DataFrame = {
+      val factTerm = pinnedJoin(
+        src.scanChangesBetween(factFrom, to).drop("_commit_version"), pins)
+      val dimTerms = dimTbls.zipWithIndex.collect {
+        case ((r, t, _, c), i) if curVers(r) != pins(r) =>
+          val before = dimTbls.take(i).map { case (r2, t2, jt2, c2) =>
+            (t2.scanAsOfVersion(curVers(r2)), jt2, c2)
+          }
+          val slice = t.scanChangesBetween(pins(r), curVers(r))
+            .drop("_commit_version")
+          val after = dimTbls.drop(i + 1).map { case (r2, t2, jt2, c2) =>
+            (t2.scanAsOfVersion(pins(r2)), jt2, c2)
+          }
+          joinBase(joinBase(src.scanAsOfVersion(to), before)
+            .join(slice, expr(c), "inner"), after)
+      }
+      dimTerms.foldLeft(factTerm)(_ unionByName _)
+    }
+
+    if (mode == "full" || forceFull || (dimsMoved && !dimsIncremental)) {
+      val dimProp =
+        if (dimTbls.isEmpty) Map.empty[String, String]
+        else Map(DimVersProp -> specJson(dimTbls.map { case (r, _, _, _) =>
+          Seq(r, curVers(r).toString)
+        }))
       var dlProps = Map.empty[String, String]
       val frame =
         if (mode == "full") spark.sql(sql)
@@ -1125,21 +1181,16 @@ object GraftMaterializedView {
           val base0 = pinnedJoin(src.scanAsOfVersion(to), curVers)
           val based = shape.filter.fold(base0)(base0.where)
           // rebuild each dedup-level aux table from the same pinned
-          // base the rows are rebuilt from, and re-point the folded
-          // marker at the overwrite version
+          // base the rows are rebuilt from, re-point the folded marker
+          // at the overwrite version, and re-pin the aux's own dim pins
           dlProps = dlGroups(shape.aggs).map { case (ci, vsql, _) =>
             val aux = cat.load(TableIdent(ns, name + StorageSuffix + dlSuffix(ci)))
             aux.overwrite(dlPairs(based, shape, vsql),
-              props = Map(AppliedProp -> to.toString))
+              props = Map(AppliedProp -> to.toString) ++ dimProp)
             dlVerProp(ci) -> aux.currentOrFail().version.toString
           }.toMap
           grouped(based, shape)
         }
-      val dimProp =
-        if (dimTbls.isEmpty) Map.empty[String, String]
-        else Map(DimVersProp -> specJson(dimTbls.map { case (r, _, _, _) =>
-          Seq(r, curVers(r).toString)
-        }))
       storage.overwrite(frame,
         props = props ++ Map(AppliedProp -> to.toString) ++ dimProp ++ dlProps)
       return (applied, to, "full")
@@ -1159,8 +1210,15 @@ object GraftMaterializedView {
         dlg.flatMap { case (ci, _, _) =>
           props.get(dlVerProp(ci)).map(dlVerProp(ci) -> _)
         }
+    // the dim pins this refresh writes — unchanged dims keep their pin,
+    // moved (inner) dims advance to the version the telescope read
+    val newDimProp: Map[String, String] =
+      if (dimTbls.isEmpty) Map.empty
+      else Map(DimVersProp -> specJson(dimTbls.map { case (r, _, _, _) =>
+        Seq(r, curVers(r).toString)
+      }))
     val d =
-      try delta(pinnedJoin(src.scanChangesBetween(applied, to), pinnedVer), shape)
+      try delta(telescopedChanges(applied, pinnedVer), shape)
         // one evaluation: the delta feeds the bounds probe, the merge
         // join, and both applyNetChanges sides
         .localCheckpoint()
@@ -1170,7 +1228,8 @@ object GraftMaterializedView {
                   _: IllegalStateException | _: IllegalArgumentException) =>
           throw new IllegalStateException(
             s"materialized view $ns.$name cannot replay the source changelog " +
-              s"($applied, $to] — expire_snapshots may have removed versions " +
+              s"($applied, $to] (or a moved dimension's slice) — " +
+              "expire_snapshots may have removed versions " +
               "the marker still needs. Rebuild with refresh_mview(..., " +
               "force_full => true)", e)
       }
@@ -1198,13 +1257,27 @@ object GraftMaterializedView {
     // each aux table's current version, the fold's right endpoint.
     val dlVerNow: Map[Int, Int] = dlg.map { case (ci, vsql, _) =>
       val aux = cat.load(TableIdent(ns, name + StorageSuffix + dlSuffix(ci)))
-      val auxApplied = aux.currentOrFail().properties(AppliedProp).toInt
-      if (auxApplied < to) {
+      val auxProps = aux.currentOrFail().properties
+      val auxApplied = auxProps(AppliedProp).toInt
+      // the aux table pins dims INDEPENDENTLY: a crash between phase A
+      // and the main merge leaves the aux at (to, curVers) while the
+      // storage pins stay put — the retry must not replay the dim
+      // slices into the pair counts. Legacy aux tables (written before
+      // dim terms existed) never absorbed a dim delta, so the main pin
+      // is exactly their state.
+      val auxDimVers: Map[String, Int] =
+        auxProps.get(DimVersProp).map(dimVersFromJson).getOrElse(Map.empty)
+      def auxPin(r: String): Int = auxDimVers.getOrElse(r, pinnedVer(r))
+      val auxDimsMoved = dimTbls.exists { case (r, _, _, _) =>
+        curVers(r) != auxPin(r)
+      }
+      if (auxApplied < to || auxDimsMoved) {
+        val auxCas = Map(AppliedProp -> auxApplied.toString) ++
+          auxProps.get(DimVersProp).map(DimVersProp -> _)
         val pairKeys = mergeKeys :+ DlVCol
         val pd =
           try {
-            val slice = signedSlice(
-              pinnedJoin(src.scanChangesBetween(auxApplied, to), pinnedVer), shape)
+            val slice = signedSlice(telescopedChanges(auxApplied, auxPin), shape)
             val v = expr(vsql)
             val nn = slice.where(v.isNotNull)
             (if (isGlobal)
@@ -1226,8 +1299,8 @@ object GraftMaterializedView {
                   "force_full => true)", e)
           }
         if (pd.isEmpty)
-          aux.updateProperties(Map(AppliedProp -> to.toString),
-            requireParentProps = Map(AppliedProp -> auxApplied.toString))
+          aux.updateProperties(Map(AppliedProp -> to.toString) ++ newDimProp,
+            requireParentProps = auxCas)
         else {
           // zone-pruned keyed read of only the pairs that can be hit —
           // same rectangle trick as the main merge, over group+value
@@ -1262,8 +1335,8 @@ object GraftMaterializedView {
               .select(pairKeys.map(n => col(s"`$n`")): _*),
             mergedA.where(col(RowsCol) > 0),
             pairKeys,
-            props = Map(AppliedProp -> to.toString),
-            requireParentProps = Map(AppliedProp -> auxApplied.toString),
+            props = Map(AppliedProp -> to.toString) ++ newDimProp,
+            requireParentProps = auxCas,
             nullSafeKeys = true)
         }
       }
@@ -1275,8 +1348,12 @@ object GraftMaterializedView {
       // a stale empty-advance racing a real refresh must not REGRESS the
       // marker (replaying the range would double-apply its changes).
       // (An all-filtered slice nets no pairs either, so phase A above
-      // advanced each aux marker the same metadata-only way.)
-      storage.updateProperties(Map(AppliedProp -> to.toString),
+      // advanced each aux marker the same metadata-only way.) The dim
+      // pins advance too: a net-empty telescope still CONSUMED the dim
+      // slices — leaving the old pins would replay them next refresh.
+      storage.updateProperties(
+        Map(AppliedProp -> to.toString) ++ newDimProp ++
+          dlVerNow.map { case (i, v) => dlVerProp(i) -> v.toString },
         requireParentProps = casProps)
       return (applied, to, "empty")
     }
@@ -1537,7 +1614,9 @@ object GraftMaterializedView {
         val keyRows = needs.select(mergeKeys.map(n => col(s"`$n`")): _*)
           .localCheckpoint()
         val srcBase0 = {
-          val b = pinnedJoin(src.scanAsOfVersion(to), pinnedVer)
+          // recompute against the state this refresh WRITES — fact at
+          // `to`, dims at the versions the telescope advanced them to
+          val b = pinnedJoin(src.scanAsOfVersion(to), curVers)
           shape.filter.fold(b)(b.where)
         }
         // parquet-pushdown narrowing on the group expressions (Column
@@ -1594,7 +1673,7 @@ object GraftMaterializedView {
     // makes this one abort at commit instead of double-applying a
     // delta both derived from the same marker
     storage.applyNetChanges(delKeys, upserts, mergeKeys,
-      props = props ++ Map(AppliedProp -> to.toString) ++
+      props = props ++ Map(AppliedProp -> to.toString) ++ newDimProp ++
         dlVerNow.map { case (i, v) => dlVerProp(i) -> v.toString },
       requireParentProps = casProps,
       nullSafeKeys = true)

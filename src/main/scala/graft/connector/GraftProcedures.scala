@@ -90,8 +90,9 @@ object GraftProcedures {
         }))
       // the "which views need a refresh" dashboard: one row per MV in
       // the namespace with its maintenance mode and staleness —
-      // `dims_stale` flags a join MV whose pinned dimension moved (the
-      // next refresh will be a FULL re-pin even at versions_behind 0)
+      // `dims_stale` flags a join MV whose pinned dimension moved: the
+      // next refresh consumes the dim slices (telescoped incremental
+      // for inner dims, a FULL re-pin for left) even at versions_behind 0
       case "mviews" => Some(procMulti(name,
         Array(ProcedureParameter.in("namespace", StringType).build()),
         StructType(Seq(

@@ -1108,20 +1108,30 @@ object TableQueries {
           "CALL graftq108.system.refresh_mview('bench', 'by_pri', false)")
           .head.getString(2)
         require(a1 == "incremental", s"expected incremental join-MV refresh, got $a1")
-        // the dim moves (a dangling key: joins to no fact row, so the
-        // oracle is unchanged) — refresh must re-pin via ONE full pass
+        // the dim MOVES: low-key orders re-prioritize (delete + insert,
+        // two commits) and a dangling key appears — the telescoped
+        // delta maintains this INCREMENTALLY (inner join: fact@head
+        // against the dim's signed slice), never a full re-pin
         s.sql("INSERT INTO graftq108.bench.ord VALUES (-1, 'X-NONE')")
+        s.sql("""CREATE OR REPLACE TEMP VIEW q108_moved AS
+                |SELECT o_orderkey FROM q108_ord WHERE o_orderkey <= 400""".stripMargin)
+        s.sql("""DELETE FROM graftq108.bench.ord
+                |WHERE o_orderkey <= 400 AND o_orderkey >= 0""".stripMargin)
+        s.sql("""INSERT INTO graftq108.bench.ord
+                |SELECT o_orderkey, 'X-MOVED' FROM q108_moved""".stripMargin)
         val a2 = s.sql(
           "CALL graftq108.system.refresh_mview('bench', 'by_pri', false)")
           .head.getString(2)
-        require(a2 == "full", s"expected full re-pin after dim move, got $a2")
+        require(a2 == "incremental",
+          s"expected incremental dim-move refresh, got $a2")
         s.sql("""SELECT pri,
                 |  CAST(CAST(sq AS DECIMAL(14,2)) AS DOUBLE) AS sq,
                 |  CAST(CAST(aq AS DECIMAL(18,6)) AS DOUBLE) AS aq,
                 |  mp, n
                 |FROM graftq108.bench.by_pri ORDER BY pri""".stripMargin)
       },
-      Some("""SELECT o_orderpriority AS pri,
+      Some("""SELECT CASE WHEN o_orderkey <= 400 THEN 'X-MOVED'
+             |       ELSE o_orderpriority END AS pri,
              |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(14,2)) AS DOUBLE) AS sq,
              |  CAST(CAST(AVG(l_quantity) AS DECIMAL(18,6)) AS DOUBLE) AS aq,
              |  MAX(l_extendedprice) AS mp,

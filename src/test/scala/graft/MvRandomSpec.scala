@@ -191,22 +191,25 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
   }
 
   // ------------------------------------------------------------------
-  // Join MVs: one FACT joined to a static dimension, group keys and
-  // measures drawn from BOTH sides, maintained incrementally from the
-  // fact changelog with the dim pinned at its applied version. A dim
-  // mutation must flip exactly one refresh to a full recompute (which
-  // re-pins) and stay correct.
+  // Join MVs: one FACT joined to dimensions, group keys and measures
+  // drawn from BOTH sides. The fact changelog maintains incrementally
+  // against pinned dims; a moved INNER dim maintains incrementally too
+  // via the telescoped delta (fact slice at old pins + fact@head
+  // against each moved dim's signed slice). A moved LEFT dim flips
+  // NULL-extensions non-linearly and re-pins via one full recompute.
   // ------------------------------------------------------------------
 
   private def aggJ(sqlFrom: String): Seq[String] =
-    spark.sql(s"SELECT cat, t, av, mx, n FROM $sqlFrom ORDER BY cat NULLS FIRST")
+    spark.sql(s"SELECT cat, t, av, mx, n, tw, dv FROM $sqlFrom ORDER BY cat NULLS FIRST")
       .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
 
-  test("join MV: fact changelog maintains incrementally, a dim move re-pins via full") {
+  test("join MV: fact AND inner-dim changes maintain incrementally (telescoped)") {
     val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(3)
     val defn =
-      """SELECT cat, SUM(v) AS t, AVG(v) AS av, MAX(v) AS mx, COUNT(*) AS n
+      """SELECT cat, SUM(v) AS t, AVG(v) AS av, MAX(v) AS mx, COUNT(*) AS n,
+        |       SUM(v * wt) AS tw, COUNT(DISTINCT v) AS dv
         |FROM graft.%NS%.fact JOIN graft.%NS%.dim ON g = dg
+        |                     JOIN graft.%NS%.dim2 ON r = dr
         |WHERE v IS NULL OR v > -50.0
         |GROUP BY cat""".stripMargin
     for (seed <- 0 until seeds) {
@@ -215,13 +218,17 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
       spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
       spark.sql(s"DROP TABLE IF EXISTS graft.$ns.fact")
       spark.sql(s"DROP TABLE IF EXISTS graft.$ns.dim")
-      spark.sql(s"CREATE TABLE graft.$ns.fact (id BIGINT, g STRING, v DOUBLE)")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.dim2")
+      spark.sql(s"CREATE TABLE graft.$ns.fact (id BIGINT, g STRING, r INT, v DOUBLE)")
       spark.sql(s"CREATE TABLE graft.$ns.dim (dg STRING, cat STRING)")
-      // 4 fact groups map onto 2 categories; g3 is dangling (inner join
-      // drops it) — group-key coverage includes join-miss rows
+      spark.sql(s"CREATE TABLE graft.$ns.dim2 (dr INT, wt DOUBLE)")
+      // 4 fact groups onto 2 categories; g3/r2 dangle (inner join drops
+      // them) until a dim insert pulls their fact rows IN — group-key
+      // coverage includes join-miss rows flipping to hits and back
       spark.sql(
         s"""INSERT INTO graft.$ns.dim VALUES
            |('g0', 'c0'), ('g1', 'c0'), ('g2', 'c1')""".stripMargin)
+      spark.sql(s"INSERT INTO graft.$ns.dim2 VALUES (0, 1.0), (1, 2.5)")
       var nextId = 0L
       def insertBurst(): Unit = {
         val rows = (0 until (1 + rnd.nextInt(5))).map { _ =>
@@ -229,7 +236,7 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
           val g = s"g${rnd.nextInt(4)}"
           val v = if (rnd.nextInt(5) == 0) "CAST(NULL AS DOUBLE)"
                   else (rnd.nextInt(100) - 20).toString + ".0"
-          s"($nextId, '$g', $v)"
+          s"($nextId, '$g', ${rnd.nextInt(3)}, $v)"
         }
         spark.sql(s"INSERT INTO graft.$ns.fact VALUES ${rows.mkString(", ")}")
       }
@@ -239,41 +246,106 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
            |  '${defn.replace("%NS%", ns).replace("\n", " ")}')""".stripMargin)
         .head.getString(0) shouldBe "incremental"
 
-      for (step <- 0 until 5) {
-        rnd.nextInt(3) match {
+      var dimMoves = 0
+      for (step <- 0 until 8) {
+        rnd.nextInt(6) match {
           case 0 => insertBurst()
           case 1 =>
             val lo = 1 + rnd.nextInt(math.max(1, nextId.toInt))
             spark.sql(s"DELETE FROM graft.$ns.fact WHERE id >= $lo AND id < ${lo + 4}")
-          case _ =>
+          case 2 =>
             spark.sql(s"DELETE FROM graft.$ns.fact WHERE v >= ${40 + rnd.nextInt(40)}.0")
+          case 3 =>
+            // dim insert — may pull dangling fact groups into the join
+            dimMoves += 1
+            spark.sql(s"INSERT INTO graft.$ns.dim VALUES " +
+              s"('g3', 'c${rnd.nextInt(3)}')")
+          case 4 =>
+            // dim re-categorization (delete + insert, two commits) —
+            // every joined fact row retracts then re-adds under the
+            // new category
+            dimMoves += 1
+            val g = s"g${rnd.nextInt(3)}"
+            spark.sql(s"DELETE FROM graft.$ns.dim WHERE dg = '$g'")
+            if (rnd.nextBoolean())
+              spark.sql(s"INSERT INTO graft.$ns.dim VALUES ('$g', 'c${rnd.nextInt(3)}')")
+          case _ =>
+            // dim2 weight update — SUM(v*wt) shifts for every joined row
+            dimMoves += 1
+            val r = rnd.nextInt(3)
+            spark.sql(s"DELETE FROM graft.$ns.dim2 WHERE dr = $r")
+            spark.sql(s"INSERT INTO graft.$ns.dim2 VALUES ($r, ${rnd.nextInt(5)}.5)")
         }
         val action = spark.sql(
           s"CALL graft.system.refresh_mview('$ns', 'm', false)").head.getString(2)
         withClue(s"seed=$seed step=$step ") {
+          // inner-dim moves must NEVER fall back to full
           Seq("incremental", "empty", "noop") should contain(action)
           aggJ(s"graft.$ns.m") shouldBe aggJ(s"(${defn.replace("%NS%", ns)})")
         }
       }
-      // the dim moves: g3 joins in, g0 re-categorizes — ONE full
-      // refresh re-pins, then fact-only maintenance resumes incremental
-      spark.sql(s"INSERT INTO graft.$ns.dim VALUES ('g3', 'c1')")
-      // the staleness dashboard flags the moved dim before the refresh
+      // force at least one dim-only refresh window (fact untouched):
+      // the staleness dashboard flags it, the refresh stays incremental
+      spark.sql(s"INSERT INTO graft.$ns.dim VALUES ('g9', 'c1')")
       spark.sql(s"CALL graft.system.mviews('$ns')")
         .head.getBoolean(6) shouldBe true
       spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
-        .head.getString(2) shouldBe "full"
+        .head.getString(2) should (be("incremental") or be("empty"))
       spark.sql(s"CALL graft.system.mviews('$ns')")
         .head.getBoolean(6) shouldBe false
       aggJ(s"graft.$ns.m") shouldBe aggJ(s"(${defn.replace("%NS%", ns)})")
       insertBurst()
+      // a burst can land entirely on dangling keys (every g deleted by
+      // re-categorization steps, r=2 never covered) — the inner join
+      // then nets nothing and the refresh is legitimately "empty"
       spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
-        .head.getString(2) shouldBe "incremental"
+        .head.getString(2) should (be("incremental") or be("empty"))
       aggJ(s"graft.$ns.m") shouldBe aggJ(s"(${defn.replace("%NS%", ns)})")
       spark.sql(s"CALL graft.system.drop_mview('$ns', 'm')")
       spark.sql(s"DROP TABLE graft.$ns.fact")
       spark.sql(s"DROP TABLE graft.$ns.dim")
+      spark.sql(s"DROP TABLE graft.$ns.dim2")
     }
+  }
+
+  test("join MV: a moved LEFT-joined dim still re-pins via one full refresh") {
+    val ns = "mvjl"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.fact")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.dim")
+    spark.sql(s"CREATE TABLE graft.$ns.fact (id BIGINT, g STRING, r INT, v DOUBLE)")
+    spark.sql(s"CREATE TABLE graft.$ns.dim (dg STRING, cat STRING)")
+    spark.sql(s"INSERT INTO graft.$ns.dim VALUES ('g0', 'c0'), ('g1', 'c1')")
+    spark.sql(s"INSERT INTO graft.$ns.fact VALUES " +
+      "(1, 'g0', 0, 10.0), (2, 'g1', 1, 20.0), (3, 'g2', 2, 30.0)")
+    val defn =
+      s"""SELECT cat, SUM(v) AS t, AVG(v) AS av, MAX(v) AS mx, COUNT(*) AS n,
+         |       SUM(v * 2.0) AS tw, COUNT(DISTINCT v) AS dv
+         |FROM graft.$ns.fact LEFT JOIN graft.$ns.dim ON g = dg
+         |GROUP BY cat""".stripMargin
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'm',
+         |  '${defn.replace("\n", " ")}')""".stripMargin)
+      .head.getString(0) shouldBe "incremental"
+    // fact-only changes stay incremental with the left dim pinned
+    spark.sql(s"INSERT INTO graft.$ns.fact VALUES (4, 'g3', 0, 40.0)")
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
+      .head.getString(2) shouldBe "incremental"
+    aggJ(s"graft.$ns.m") shouldBe aggJ(s"($defn)")
+    // the LEFT dim moves: g2's NULL-extension flips to a real match —
+    // non-linear, one full refresh re-pins
+    spark.sql(s"INSERT INTO graft.$ns.dim VALUES ('g2', 'c0')")
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
+      .head.getString(2) shouldBe "full"
+    aggJ(s"graft.$ns.m") shouldBe aggJ(s"($defn)")
+    // and fact-only maintenance resumes incremental afterwards
+    spark.sql(s"INSERT INTO graft.$ns.fact VALUES (5, 'g2', 1, 50.0)")
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
+      .head.getString(2) shouldBe "incremental"
+    aggJ(s"graft.$ns.m") shouldBe aggJ(s"($defn)")
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'm')")
+    spark.sql(s"DROP TABLE graft.$ns.fact")
+    spark.sql(s"DROP TABLE graft.$ns.dim")
   }
 
   // ------------------------------------------------------------------
