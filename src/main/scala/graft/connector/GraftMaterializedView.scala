@@ -3,7 +3,7 @@ package graft.connector
 import graft.table.{GraftCatalog, GraftTable, TableIdent}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, CaseWhen, ExprId, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, CaseWhen, ExprId, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -421,6 +421,22 @@ object GraftMaterializedView {
   private def analyzeShape(analyzed: LogicalPlan): Either[String, JoinShape] = {
     unwrapAliases(analyzed) match {
       case agg: Aggregate => analyzeAggregate(agg, None, None)
+      // SELECT DISTINCT is a GROUP BY over every output with no
+      // aggregates — the storage's _mv_rows bookkeeping (count per
+      // group, delete at zero) IS the exact multiplicity-to-set
+      // maintenance, so DISTINCT MVs ride the same incremental path.
+      // (The analyzer keeps the Distinct node; ReplaceDistinctWith-
+      // Aggregate is an optimizer rule and never runs here.)
+      case d: org.apache.spark.sql.catalyst.plans.logical.Distinct =>
+        val (projList, under) = unwrapAliases(d.child) match {
+          case p: Project => (p.projectList, p.child)
+          case c => (c.output.toSeq: Seq[NamedExpression], c)
+        }
+        val grouping: Seq[Expression] = projList.map {
+          case Alias(e, _) => e
+          case e => e
+        }
+        analyzeAggregate(Aggregate(grouping, projList, under), None, None)
       // HAVING: the analyzer plans it as Filter over the Aggregate,
       // with a Project on top dropping any aggregate/group columns the
       // resolver had to ADD for the predicate (HAVING count(*) > 2 with

@@ -1063,12 +1063,61 @@ object TableQueries {
              |  AND l_orderkey > 250
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // DISTINCT MV: SELECT DISTINCT is GROUP BY over every output with
+    // no aggregates — maintained by the storage's per-group row count
+    // (a tuple vanishes exactly when its multiplicity hits zero), so
+    // set semantics survive inserts AND MoR deletes incrementally.
+    "q114_mview_distinct" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq114").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq114", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq114.warehouse",
+            Files.createTempDirectory("graft-mview-distinct").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq114.bench")
+        s.sql("CALL graftq114.system.drop_mview('bench', 'ds')")
+        s.sql("DROP TABLE IF EXISTS graftq114.bench.li")
+        s.sql("""CREATE TABLE graftq114.bench.li
+                |(l_orderkey BIGINT, l_returnflag STRING, l_linestatus STRING,
+                | l_quantity DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        t(s, dir, "lineitem").createOrReplaceTempView("q114_li")
+        s.sql("""INSERT INTO graftq114.bench.li
+                |SELECT l_orderkey, l_returnflag, l_linestatus, l_quantity
+                |FROM q114_li WHERE l_orderkey % 2 = 0""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq114.system.create_mview('bench', 'ds',
+            |  'SELECT DISTINCT l_returnflag AS flag, l_linestatus AS ls,
+            |     CAST(l_quantity AS INT) % 7 AS qmod
+            |   FROM graftq114.bench.li WHERE l_quantity > 2.0')""".stripMargin)
+          .head.getString(0)
+        require(mode == "incremental", s"expected incremental DISTINCT MV, got $mode")
+        s.sql("""INSERT INTO graftq114.bench.li
+                |SELECT l_orderkey, l_returnflag, l_linestatus, l_quantity
+                |FROM q114_li WHERE l_orderkey % 2 = 1""".stripMargin)
+        // MoR deletes empty out some (flag, ls, qmod) tuples entirely —
+        // the set must shrink, not just the counts
+        s.sql("DELETE FROM graftq114.bench.li WHERE l_quantity >= 44.0")
+        s.sql("DELETE FROM graftq114.bench.li WHERE l_orderkey <= 500")
+        val action = s.sql(
+          "CALL graftq114.system.refresh_mview('bench', 'ds', false)")
+          .head.getString(2)
+        require(action == "incremental", s"expected incremental refresh, got $action")
+        s.sql("""SELECT flag, ls, qmod FROM graftq114.bench.ds
+                |ORDER BY flag, ls, qmod""".stripMargin)
+      },
+      Some("""SELECT DISTINCT l_returnflag AS flag, l_linestatus AS ls,
+             |  CAST(l_quantity AS INT) % 7 AS qmod
+             |FROM lineitem
+             |WHERE l_quantity > 2.0 AND l_quantity < 44.0 AND l_orderkey > 500
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
     // Join MV: fact (lineitem) joined to a static dimension (orders),
     // group key drawn from the DIM side, maintained incrementally from
-    // the fact changelog with the dim pinned — then the dim moves (a
-    // dangling key that matches no fact row) and exactly one refresh
-    // runs FULL to re-pin it. End state hash-matches DuckDB's
-    // from-scratch join recomputation.
+    // the fact changelog — then the dim MOVES (400 orders re-prioritize
+    // plus a dangling key) and the telescoped delta keeps maintenance
+    // incremental. End state hash-matches DuckDB's from-scratch join
+    // recomputation over the moved dim.
     "q108_mview_join" -> Q(
       (s, dir) => {
         if (s.conf.getOption("spark.sql.catalog.graftq108").isEmpty) {

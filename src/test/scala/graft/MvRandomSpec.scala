@@ -308,6 +308,68 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("DISTINCT MV: set maintenance via row-count bookkeeping, incl. a join + dim move") {
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(3)
+    val defn =
+      """SELECT DISTINCT cat, k2 % 3 AS kk
+        |FROM graft.%NS%.fact JOIN graft.%NS%.dim ON g = dg
+        |WHERE v IS NULL OR v > -20.0""".stripMargin
+    def rows(ns: String, sqlFrom: String): Seq[String] =
+      spark.sql(s"SELECT cat, kk FROM $sqlFrom ORDER BY cat NULLS FIRST, kk NULLS FIRST")
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(9100 + seed)
+      val ns = s"mvd$seed"
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.fact")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.dim")
+      spark.sql(s"CREATE TABLE graft.$ns.fact (id BIGINT, g STRING, k2 INT, v DOUBLE)")
+      spark.sql(s"CREATE TABLE graft.$ns.dim (dg STRING, cat STRING)")
+      spark.sql(s"INSERT INTO graft.$ns.dim VALUES ('g0','c0'),('g1','c0'),('g2','c1')")
+      var nextId = 0L
+      def insertBurst(): Unit = {
+        val r = (0 until (1 + rnd.nextInt(6))).map { _ =>
+          nextId += 1
+          val g = s"g${rnd.nextInt(4)}"
+          val k2 = if (rnd.nextInt(6) == 0) "CAST(NULL AS INT)" else rnd.nextInt(9).toString
+          val v = if (rnd.nextInt(5) == 0) "CAST(NULL AS DOUBLE)"
+                  else (rnd.nextInt(60) - 30).toString + ".0"
+          s"($nextId, '$g', $k2, $v)"
+        }
+        spark.sql(s"INSERT INTO graft.$ns.fact VALUES ${r.mkString(", ")}")
+      }
+      insertBurst()
+      spark.sql(
+        s"""CALL graft.system.create_mview('$ns', 'm',
+           |  '${defn.replace("%NS%", ns).replace("\n", " ")}')""".stripMargin)
+        .head.getString(0) shouldBe "incremental"
+      for (step <- 0 until 6) {
+        rnd.nextInt(4) match {
+          case 0 => insertBurst()
+          case 1 =>
+            val lo = 1 + rnd.nextInt(math.max(1, nextId.toInt))
+            spark.sql(s"DELETE FROM graft.$ns.fact WHERE id >= $lo AND id < ${lo + 5}")
+          case 2 =>
+            val g = s"g${rnd.nextInt(3)}"
+            spark.sql(s"DELETE FROM graft.$ns.dim WHERE dg = '$g'")
+            if (rnd.nextBoolean())
+              spark.sql(s"INSERT INTO graft.$ns.dim VALUES ('$g', 'c${rnd.nextInt(3)}')")
+          case _ =>
+            spark.sql(s"INSERT INTO graft.$ns.dim VALUES ('g3', 'c${rnd.nextInt(3)}')")
+        }
+        val action = spark.sql(
+          s"CALL graft.system.refresh_mview('$ns', 'm', false)").head.getString(2)
+        withClue(s"seed=$seed step=$step ") {
+          Seq("incremental", "empty", "noop") should contain(action)
+          rows(ns, s"graft.$ns.m") shouldBe rows(ns, s"(${defn.replace("%NS%", ns)})")
+        }
+      }
+      spark.sql(s"CALL graft.system.drop_mview('$ns', 'm')")
+      spark.sql(s"DROP TABLE graft.$ns.fact")
+      spark.sql(s"DROP TABLE graft.$ns.dim")
+    }
+  }
+
   test("join MV: a moved LEFT-joined dim still re-pins via one full refresh") {
     val ns = "mvjl"
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
