@@ -1164,6 +1164,52 @@ object GraftMaterializedView {
       * moved dims and only joined against their (small) slices, never
       * recomputed against whole dimensions.
       */
+    /** Fact scan for a dim term, zone-pruned by the dim slice's
+      * equi-join key bounds: a fact row outside [min, max] of the
+      * slice's join-key values cannot EqualTo-match any slice row, so
+      * the range conjunct reaches the parquet scan (PushedFilters) and
+      * the term reads O(matching fact files), not the whole fact —
+      * the difference between a dim update costing a fact-table scan
+      * and costing a few row groups at 100 TB. Non-equi conjuncts,
+      * expression-valued sides, and binary floats (NaN breaks the
+      * range/equality agreement) just skip pruning; all-NULL slice
+      * keys can match nothing, emptying the term.
+      */
+    def prunedFactFor(slice: DataFrame, condSql: String): DataFrame = {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo}
+      val full = src.scanAsOfVersion(to)
+      val factCols = src.schema.fields.map(f => f.name.toLowerCase -> f.name).toMap
+      val sliceT = slice.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+      val cond =
+        try spark.sessionState.sqlParser.parseExpression(condSql)
+        catch { case _: Exception => return full }
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+        case x => Seq(x)
+      }
+      val pairs = conjuncts(cond).collect {
+        case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+          (a.nameParts.last.toLowerCase, b.nameParts.last.toLowerCase)
+      }.flatMap { case (a, b) =>
+        if (factCols.contains(a) && sliceT.contains(b)) Some((factCols(a), b))
+        else if (factCols.contains(b) && sliceT.contains(a)) Some((factCols(b), a))
+        else None
+      }.filterNot { case (_, d) =>
+        sliceT(d) == org.apache.spark.sql.types.FloatType ||
+          sliceT(d) == org.apache.spark.sql.types.DoubleType
+      }
+      if (pairs.isEmpty) return full
+      val aggs = pairs.flatMap { case (_, d) =>
+        Seq(min(col(s"`$d`")), max(col(s"`$d`"))) }
+      val b = slice.agg(aggs.head, aggs.tail: _*).head
+      pairs.zipWithIndex.foldLeft(full) { case (f, ((fc, _), i)) =>
+        if (b.isNullAt(2 * i)) f.where(lit(false))
+        else f.where(col(s"`$fc`") >= lit(b.get(2 * i)) &&
+          col(s"`$fc`") <= lit(b.get(2 * i + 1)))
+      }
+    }
+
     def telescopedChanges(factFrom: Int, pins: String => Int): DataFrame = {
       val factTerm = pinnedJoin(
         src.scanChangesBetween(factFrom, to).drop("_commit_version"), pins)
@@ -1172,12 +1218,14 @@ object GraftMaterializedView {
           val before = dimTbls.take(i).map { case (r2, t2, jt2, c2) =>
             (t2.scanAsOfVersion(curVers(r2)), jt2, c2)
           }
+          // one evaluation: the slice feeds the pruning bounds AND the
+          // join (changelog scans re-plan per action otherwise)
           val slice = t.scanChangesBetween(pins(r), curVers(r))
-            .drop("_commit_version")
+            .drop("_commit_version").localCheckpoint()
           val after = dimTbls.drop(i + 1).map { case (r2, t2, jt2, c2) =>
             (t2.scanAsOfVersion(pins(r2)), jt2, c2)
           }
-          joinBase(joinBase(src.scanAsOfVersion(to), before)
+          joinBase(joinBase(prunedFactFor(slice, c), before)
             .join(slice, expr(c), "inner"), after)
       }
       dimTerms.foldLeft(factTerm)(_ unionByName _)

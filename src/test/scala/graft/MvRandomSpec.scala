@@ -220,8 +220,12 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
       spark.sql(s"DROP TABLE IF EXISTS graft.$ns.dim")
       spark.sql(s"DROP TABLE IF EXISTS graft.$ns.dim2")
       spark.sql(s"CREATE TABLE graft.$ns.fact (id BIGINT, g STRING, r INT, v DOUBLE)")
-      spark.sql(s"CREATE TABLE graft.$ns.dim (dg STRING, cat STRING)")
-      spark.sql(s"CREATE TABLE graft.$ns.dim2 (dr INT, wt DOUBLE)")
+      // odd seeds: merge-on-read dims — their deletes reach the
+      // telescope as delete-group pre-images, not rewritten files
+      val dimProps =
+        if (seed % 2 == 1) " TBLPROPERTIES ('graft.delete.mode' = 'mor')" else ""
+      spark.sql(s"CREATE TABLE graft.$ns.dim (dg STRING, cat STRING)$dimProps")
+      spark.sql(s"CREATE TABLE graft.$ns.dim2 (dr INT, wt DOUBLE)$dimProps")
       // 4 fact groups onto 2 categories; g3/r2 dangle (inner join drops
       // them) until a dim insert pulls their fact rows IN — group-key
       // coverage includes join-miss rows flipping to hits and back
