@@ -1745,15 +1745,19 @@ object GraftMaterializedView {
   }
 
   /** Continuous maintenance: a Structured Streaming query on the
-    * SOURCE table's `.changes` relation whose only job is to fire
-    * [[refresh]] once per micro-batch. The batch DataFrame is never
-    * touched — foreachBatch runs no job over it, so the stream costs
+    * `.changes` relations of the SOURCE table AND every join dimension
+    * whose only job is to fire [[refresh]] once per micro-batch —
+    * a dim-only commit ticks the stream too, so the telescoped
+    * incremental refresh consumes it instead of the MV silently going
+    * stale until the next fact commit. The batch DataFrame is never
+    * touched — each relation projects to a constant before the union
+    * and foreachBatch runs no job over it, so the stream costs
     * offset/admission planning (metadata) per trigger while refresh
-    * reads the changelog slice exactly once through its own marker.
+    * reads the changelog slices exactly once through its own markers.
     * At-least-once trigger delivery composes with the marker's
-    * exactly-once: a replayed trigger sees `applied >= head` and
-    * no-ops. Stop/restart needs only the checkpoint dir; the MV itself
-    * carries all refresh state.
+    * exactly-once: a replayed trigger sees `applied >= head` with
+    * unmoved pins and no-ops. Stop/restart needs only the checkpoint
+    * dir; the MV itself carries all refresh state.
     */
   def maintainStream(spark: SparkSession, cat: GraftCatalog, catalogName: String,
                      ns: String, name: String, checkpointDir: String,
@@ -1763,14 +1767,24 @@ object GraftMaterializedView {
     val storage = cat.load(TableIdent(ns, name + StorageSuffix))
     val props = storage.currentOrFail().properties
     require(props.contains(SqlProp), s"$ns.$name is not a materialized view")
-    val Array(sns, st) = props(SourceProp).split("/")
-    spark.readStream
-      // start at the MV's applied marker so a pre-existing backlog
-      // fires the first trigger (a fresh checkpoint would otherwise
-      // start at the table head and never see it); on restart the
-      // checkpoint's offsets win and this option is ignored
-      .option("streamStartVersion", props(AppliedProp))
-      .table(s"$catalogName.$sns.$st.changes")
+    val dimVers: Map[String, Int] =
+      props.get(DimVersProp).map(dimVersFromJson).getOrElse(Map.empty)
+    // (relation, start version): fact at the applied marker, each dim
+    // at its pin — so a pre-existing backlog on ANY relation fires the
+    // first trigger (a fresh checkpoint would otherwise start at the
+    // head and never see it); on restart the checkpoint's offsets win
+    // and the start options are ignored
+    val feeds: Seq[(String, String)] =
+      (props(SourceProp), props(AppliedProp)) +:
+        dimVers.toSeq.sorted.map { case (r, v) => (r, v.toString) }
+    val ticks = feeds.map { case (rel, start) =>
+      val Array(rns, rt) = rel.split("/")
+      spark.readStream
+        .option("streamStartVersion", start)
+        .table(s"$catalogName.$rns.$rt.changes")
+        .select(lit(1).as("_tick"))
+    }
+    ticks.reduce(_ unionByName _)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

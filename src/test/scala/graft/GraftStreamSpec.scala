@@ -46,6 +46,42 @@ class GraftStreamSpec extends AnyFunSuite with Matchers {
     spark.sql("CALL graft.system.drop_mview('mvs', 'm')")
   }
 
+  test("continuous join-MV maintenance: a dim-only commit ticks the stream") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvsj")
+    spark.sql("CREATE TABLE graft.mvsj.fact (id BIGINT, g STRING, v DOUBLE)")
+    spark.sql("CREATE TABLE graft.mvsj.dim (dg STRING, cat STRING)")
+    spark.sql("INSERT INTO graft.mvsj.dim VALUES ('a','x'), ('b','y')")
+    spark.sql("INSERT INTO graft.mvsj.fact VALUES (1,'a',1.0), (2,'b',2.0), (3,'b',3.0)")
+    spark.sql(
+      """CALL graft.system.create_mview('mvsj','m',
+        |'SELECT cat, SUM(v) AS t, COUNT(*) AS n
+        | FROM graft.mvsj.fact JOIN graft.mvsj.dim ON g = dg
+        | GROUP BY cat')""".stripMargin)
+    val wc = GraftCatalog(spark, spark.conf.get("spark.sql.catalog.graft.warehouse"))
+    val ckpt = Files.createTempDirectory("mvj-ckpt").toString
+    def mv: Seq[(String, Double, Long)] =
+      spark.sql("SELECT cat, t, n FROM graft.mvsj.m ORDER BY cat").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    // a DIM-ONLY commit before the stream starts: 'b' re-categorizes —
+    // no fact movement at all, yet the drain must refresh (telescoped)
+    spark.sql("DELETE FROM graft.mvsj.dim WHERE dg = 'b'")
+    spark.sql("INSERT INTO graft.mvsj.dim VALUES ('b','x')")
+    val q1 = graft.connector.GraftMaterializedView.maintainStream(
+      spark, wc, "graft", "mvsj", "m", ckpt)
+    try q1.awaitTermination() finally q1.stop()
+    mv shouldBe Seq(("x", 6.0, 3L))
+    // restart: another dim-only move (plus a fact insert) drains both
+    spark.sql("INSERT INTO graft.mvsj.dim VALUES ('c','z')")
+    spark.sql("INSERT INTO graft.mvsj.fact VALUES (4,'c',10.0)")
+    val q2 = graft.connector.GraftMaterializedView.maintainStream(
+      spark, wc, "graft", "mvsj", "m", ckpt)
+    try q2.awaitTermination() finally q2.stop()
+    mv shouldBe Seq(("x", 6.0, 3L), ("z", 10.0, 1L))
+    spark.sql("CALL graft.system.drop_mview('mvsj', 'm')")
+    spark.sql("DROP TABLE graft.mvsj.fact")
+    spark.sql("DROP TABLE graft.mvsj.dim")
+  }
+
   test("each micro-batch commits one append snapshot") {
     val s = spark
     import s.implicits._
