@@ -468,13 +468,77 @@ object GraftMaterializedView {
     }
   }
 
+  /** Inline deterministic Project/Filter chains between an aggregate
+    * and its source by substitution, so VIEW expansions (SubqueryAlias
+    * → schema-enforcing cast Project → pruning Project → Filter → rel)
+    * and sub-selects analyze as their underlying shape. Returns the
+    * terminal plan (relation / join — anything that isn't an inlinable
+    * node), the merged filter conjuncts, and the composed alias→expr
+    * map, each alias body already rewritten to terminal-plan attrs.
+    * Nondeterministic or subquery-bearing nodes stop the walk (the
+    * terminal then fails the bare-scan check and the MV registers
+    * full — a refusal, never a wrong inline).
+    */
+  private def inlineProjections(plan: LogicalPlan)
+      : (LogicalPlan, Seq[Expression], Map[ExprId, Expression]) = {
+    def ok(e: Expression): Boolean = e.deterministic && !e.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])
+    def subst(e: Expression, m: Map[ExprId, Expression]): Expression =
+      if (m.isEmpty) e
+      else e.transformUp {
+        case a: AttributeReference if m.contains(a.exprId) => m(a.exprId)
+      }
+    def walk(p: LogicalPlan)
+        : (LogicalPlan, Seq[Expression], Map[ExprId, Expression]) = p match {
+      case SubqueryAlias(_, c) => walk(c)
+      case Project(list, c) if list.forall(ok) =>
+        val (rel, conds, below) = walk(c)
+        val entries = list.collect {
+          case al @ Alias(e, _) => al.exprId -> subst(e, below)
+        }
+        (rel, conds, below ++ entries)
+      case Filter(cond, c) if ok(cond) =>
+        val (rel, conds, below) = walk(c)
+        (rel, conds :+ subst(cond, below), below)
+      case other => (other, Nil, Map.empty)
+    }
+    walk(plan)
+  }
+
   private def analyzeAggregate(aggPlan: Aggregate,
                                having: Option[Expression],
                                projected: Option[Seq[AttributeReference]])
       : Either[String, JoinShape] = {
-    val groupingExprs = aggPlan.groupingExpressions
-    val aggExprs = aggPlan.aggregateExpressions
-    val child = aggPlan.child
+    // collapse view/sub-select expansion under the aggregate: rewrite
+    // grouping and aggregate expressions onto the terminal plan's
+    // attributes and remember the merged filters. Grouping-sets plans
+    // (Expand) keep their own decoding path and skip the collapse.
+    val (groupingExprs, aggExprs, child) = unwrapAliases(aggPlan.child) match {
+      case _: Expand =>
+        (aggPlan.groupingExpressions, aggPlan.aggregateExpressions, aggPlan.child)
+      case c0 =>
+        val (core, conds, m) = inlineProjections(c0)
+        if (m.isEmpty && conds.isEmpty)
+          (aggPlan.groupingExpressions, aggPlan.aggregateExpressions, aggPlan.child)
+        else {
+          def subst(e: Expression): Expression = e.transformUp {
+            case a: AttributeReference if m.contains(a.exprId) => m(a.exprId)
+          }
+          val ge = aggPlan.groupingExpressions.map(subst)
+          val ae = aggPlan.aggregateExpressions.map {
+            case al @ Alias(e, n) =>
+              Alias(subst(e), n)(exprId = al.exprId): NamedExpression
+            case a: AttributeReference if m.contains(a.exprId) =>
+              Alias(m(a.exprId), a.name)(exprId = a.exprId): NamedExpression
+            case other => other
+          }
+          val rebuilt =
+            if (conds.isEmpty) core
+            else Filter(conds.reduce(
+              org.apache.spark.sql.catalyst.expressions.And(_, _)), core)
+          (ge, ae, rebuilt: LogicalPlan)
+        }
+    }
     if (having.exists(!_.deterministic)) return Left("nondeterministic HAVING")
     // outputs the Project above the HAVING filter drops are storage-only:
     // renamed into the _mv_ bookkeeping namespace so the public view

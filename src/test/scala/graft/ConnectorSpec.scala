@@ -363,6 +363,30 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("CALL graft.system.drop_mview('mv3', 'm')")
   }
 
+  test("materialized views: an MV over a SQL VIEW maintains against the underlying table") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvv")
+    spark.sql("CREATE TABLE graft.mvv.src (id BIGINT, g STRING, v DOUBLE)")
+    spark.sql("INSERT INTO graft.mvv.src VALUES (1,'a',1.0), (2,'a',-9.0), (3,'b',4.0)")
+    // view resolution expands at analysis time, so the MV's shape sees
+    // the underlying scan + the view's WHERE — the staleness contract
+    // binds to the TABLE's changelog
+    spark.sql("CREATE VIEW graft.mvv.pos AS SELECT g, v FROM graft.mvv.src WHERE v > 0.0")
+    spark.sql(
+      """CALL graft.system.create_mview('mvv', 'm',
+        |  'SELECT g, SUM(v) AS total, COUNT(*) AS n FROM graft.mvv.pos GROUP BY g')""".stripMargin)
+      .head.getString(0) shouldBe "incremental"
+    spark.sql("INSERT INTO graft.mvv.src VALUES (4,'b',6.0), (5,'c',-1.0)")
+    spark.sql("DELETE FROM graft.mvv.src WHERE id = 1")
+    spark.sql("CALL graft.system.refresh_mview('mvv', 'm', false)")
+      .head.getString(2) shouldBe "incremental"
+    spark.sql("SELECT g, total, n FROM graft.mvv.m ORDER BY g").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq shouldBe
+      Seq(("b", 10.0, 2L))
+    spark.sql("CALL graft.system.drop_mview('mvv', 'm')")
+    spark.sql("DROP VIEW graft.mvv.pos")
+    spark.sql("DROP TABLE graft.mvv.src")
+  }
+
   test("materialized views: source column rename fails refresh loudly") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv4")
     spark.sql("CREATE TABLE graft.mv4.src (id BIGINT, g STRING, v DOUBLE)")
