@@ -109,6 +109,12 @@ object GraftMaterializedView {
   val AggProp = "graft.mview.aggs" // JSON [[name, kind, sql], ...]
   val DimsProp = "graft.mview.dims" // JSON [[rel, joinType, condSql], ...]
   val DimVersProp = "graft.mview.dim-versions" // JSON [[rel, version], ...]
+  /** UNION ALL facts beyond the first: JSON [[rel, version], ...] —
+    * each leg carries its own applied pin (the first leg rides
+    * [[SourceProp]]/[[AppliedProp]]). Union is linear in every leg, so
+    * refresh just adds each leg's signed changelog slice.
+    */
+  val UFactsProp = "graft.mview.union"
   /** ROLLUP/CUBE/GROUPING SETS: JSON list of grouping sets, each a list
     * of included positions into the stored group columns (e.g. rollup
     * over 2 keys = [[0,1],[0],[]]). Absent = plain GROUP BY.
@@ -167,10 +173,12 @@ object GraftMaterializedView {
   final case class DimSpec(table: GraftTable, joinType: String, condSql: String)
 
   /** A fully-analyzed maintainable shape: the FACT (whose changelog
-    * drives refresh), the static dimension joins, and the
-    * filter/group/agg shape over the joined row.
+    * drives refresh), the static dimension joins, further UNION ALL
+    * fact legs (each with its own pin — mutually exclusive with dims),
+    * and the filter/group/agg shape over the joined row.
     */
   final case class JoinShape(fact: GraftTable, dims: Seq[DimSpec], shape: Shape,
+                             unionLegs: Seq[GraftTable] = Nil,
                              having: Option[String] = None,
                              // public view columns in OUTPUT order when any
                              // is computed (grouping()/grouping_id() over
@@ -592,9 +600,54 @@ object GraftMaterializedView {
             case _ => Left("source is not a bare graft table scan or a " +
               "left-deep join of graft tables")
           }
-        val (factRel, dimRels) = unroll(rel) match {
-          case Right(x) => x
-          case Left(reason) => return Left(reason)
+        // UNION ALL of identically-shaped bare graft scans: union is
+        // LINEAR in every leg (a signed row moves through it
+        // unchanged), so each leg maintains with its own pin and the
+        // stored shape SQL — rendered over the union's output names,
+        // which the legs must share — replays against every leg's
+        // scan. Per-leg filters/projections/renames and dim joins over
+        // a union would need per-leg shape SQL; refused to full mode.
+        val (factRel, dimRels, unionRels) = unwrapAliases(rel) match {
+          case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
+            // the parser nests chained UNION ALLs (Union(Union(a,b),c))
+            // — CombineUnions is an optimizer rule and never runs here
+            def flatLegs(p: LogicalPlan)
+                : Either[String, Seq[DataSourceV2Relation]] = {
+              val (core, conds, m) = inlineProjections(p)
+              if (conds.nonEmpty)
+                Left("UNION ALL leg carries its own WHERE — " +
+                  "the stored shape has one filter for every leg")
+              else if (m.nonEmpty)
+                Left("UNION ALL leg renames or computes columns — " +
+                  "legs must be bare scans sharing the union's column names")
+              else core match {
+                case u2: org.apache.spark.sql.catalyst.plans.logical.Union =>
+                  u2.children.foldLeft(
+                      Right(Nil): Either[String, Seq[DataSourceV2Relation]]) {
+                    case (acc, c) => for { a <- acc; l <- flatLegs(c) } yield a ++ l
+                  }
+                case other => graftLeaf(other).map(Seq(_))
+                  .toRight("UNION ALL leg is not a bare graft table scan")
+              }
+            }
+            val legs = flatLegs(u) match {
+              case Right(ls) => ls
+              case Left(reason) => return Left(reason)
+            }
+            val shapes = legs.map(_.output.map(a =>
+              (a.name.toLowerCase, a.dataType)).toSeq)
+            if (shapes.distinct.size != 1)
+              return Left("UNION ALL legs differ in column names or types — " +
+                "one stored shape SQL must replay against every leg")
+            val dirs = legs.map(_.table.asInstanceOf[GraftV2Table].underlying.tableDir)
+            if (dirs.distinct.size != dirs.size)
+              return Left("UNION ALL reads the same graft table twice — " +
+                "per-leg pins would collide")
+            (legs.head, Nil, legs.tail)
+          case other => unroll(other) match {
+            case Right((f, ds)) => (f, ds, Nil)
+            case Left(reason) => return Left(reason)
+          }
         }
         if (dimRels.nonEmpty) {
           val names = (factRel.output ++ dimRels.flatMap(_._1.output))
@@ -812,8 +865,10 @@ object GraftMaterializedView {
           dimRels.map { case (d, jt, c) =>
             DimSpec(d.table.asInstanceOf[GraftV2Table].underlying, jt, c)
           },
-          shape, havingSql,
-          if (hasComputed) Some(viewColsB.result()) else None))
+          shape,
+          unionLegs = unionRels.map(_.table.asInstanceOf[GraftV2Table].underlying),
+          having = havingSql,
+          viewCols = if (hasComputed) Some(viewColsB.result()) else None))
     }
   }
 
@@ -1050,15 +1105,24 @@ object GraftMaterializedView {
           val v = d.table.currentOrFail().version
           (relOf(d.table), v, d.table.scanAsOfVersion(v), d.joinType, d.condSql)
         }
-        val base0 = joinBase(src.scanAsOfVersion(cur),
-          dimInfo.map(i => (i._3, i._4, i._5)))
+        // union legs beyond the first, each pinned at its read version
+        val legInfo = js.unionLegs.map { t =>
+          (relOf(t), t.currentOrFail().version, t)
+        }
+        val unionScan = legInfo.foldLeft(src.scanAsOfVersion(cur)) {
+          case (acc, (_, v, t)) => acc.unionByName(t.scanAsOfVersion(v))
+        }
+        val base0 = joinBase(unionScan, dimInfo.map(i => (i._3, i._4, i._5)))
         val based = js.shape.filter.fold(base0)(base0.where)
         val f = grouped(based, js.shape)
         val dimProps =
-          if (js.dims.isEmpty) Map.empty[String, String]
-          else Map(
-            DimsProp -> specJson(dimInfo.map(i => Seq(i._1, i._4, i._5))),
-            DimVersProp -> specJson(dimInfo.map(i => Seq(i._1, i._2.toString))))
+          (if (js.dims.isEmpty) Map.empty[String, String]
+           else Map(
+             DimsProp -> specJson(dimInfo.map(i => Seq(i._1, i._4, i._5))),
+             DimVersProp -> specJson(dimInfo.map(i => Seq(i._1, i._2.toString))))) ++
+            (if (legInfo.isEmpty) Map.empty[String, String]
+             else Map(UFactsProp -> specJson(legInfo.map(i =>
+               Seq(i._1, i._2.toString)))))
         // dedup-level aux tables lead the main append so their versions
         // ride in its props — create() failing in between leaves no
         // registered MV, only unclaimed storage a re-create rejects
@@ -1179,6 +1243,26 @@ object GraftMaterializedView {
       props.get(DimVersProp).map(dimVersFromJson).getOrElse(Map.empty)
     def pinnedVer(r: String): Int = dimVers.getOrElse(r, sys.error(
       s"materialized view $ns.$name: dimension $r carries no pinned version"))
+    // UNION ALL legs beyond the first, each with its own applied pin
+    val legTbls: Seq[(String, GraftTable)] =
+      props.get(UFactsProp).map(specFromJson(_).map { case Seq(r, _) =>
+        val ident = r.split("/") match {
+          case Array(lns, lt) => TableIdent(lns, lt)
+          case other => sys.error(s"bad mview union leg: ${other.mkString("/")}")
+        }
+        (r, cat.load(ident))
+      }).getOrElse(Nil)
+    val legPins: Map[String, Int] =
+      props.get(UFactsProp).map(dimVersFromJson).getOrElse(Map.empty)
+    val legCur: Map[String, Int] = legTbls.map { case (r, t) =>
+      r -> t.currentOrFail().version
+    }.toMap
+    val legsMoved = legTbls.exists { case (r, _) => legCur(r) != legPins(r) }
+    // union is linear in every leg — a moved leg always maintains
+    // incrementally; only a ROLLBACK (no forward slice) forces full
+    val legsIncremental = legTbls.forall { case (r, _) =>
+      legCur(r) >= legPins(r)
+    }
     // read each dim's version ONCE and pin the refresh's every read —
     // the recompute/telescope scans AND the recorded DimVersProp — to
     // it; a dim committing between two reads would otherwise record a
@@ -1205,12 +1289,20 @@ object GraftMaterializedView {
     // a FORCED rebuild must rebuild even with the marker at the head —
     // the negative-count / storage-surgery errors name force_full as
     // the remedy precisely when the data is wrong at an applied marker
-    if (applied >= to && !dimsMoved && !forceFull) return (applied, to, "noop")
+    if (applied >= to && !dimsMoved && !legsMoved && !forceFull)
+      return (applied, to, "noop")
 
     def pinnedJoin(factDf: DataFrame, vers: String => Int): DataFrame =
       joinBase(factDf, dimTbls.map { case (r, t, jt, c) =>
         (t.scanAsOfVersion(vers(r)), jt, c)
       })
+
+    /** The whole union'd fact at the refresh head: first leg at `to`,
+      * every other leg at the version read once this refresh. */
+    def unionScanHead: DataFrame =
+      legTbls.foldLeft(src.scanAsOfVersion(to)) { case (acc, (r, t)) =>
+        acc.unionByName(t.scanAsOfVersion(legCur(r)))
+      }
 
     /** Telescoped signed changelog of the JOINED shape between the
       * recorded state (fact at `factFrom`, dims at `pins`) and the
@@ -1274,9 +1366,17 @@ object GraftMaterializedView {
       }
     }
 
-    def telescopedChanges(factFrom: Int, pins: String => Int): DataFrame = {
-      val factTerm = pinnedJoin(
-        src.scanChangesBetween(factFrom, to).drop("_commit_version"), pins)
+    def telescopedChanges(factFrom: Int, pins: String => Int,
+                          legFrom: String => Int): DataFrame = {
+      // UNION ALL legs: linear, so each moved leg simply ADDS its own
+      // signed slice (no cross-terms; legs and dims never coexist)
+      val factTerm = legTbls.foldLeft(pinnedJoin(
+        src.scanChangesBetween(factFrom, to).drop("_commit_version"), pins)) {
+        case (acc, (r, t)) =>
+          acc.unionByName(pinnedJoin(
+            t.scanChangesBetween(legFrom(r), legCur(r)).drop("_commit_version"),
+            pins))
+      }
       val dimTerms = dimTbls.zipWithIndex.collect {
         case ((r, t, _, c), i) if curVers(r) != pins(r) =>
           val before = dimTbls.take(i).map { case (r2, t2, jt2, c2) =>
@@ -1295,18 +1395,23 @@ object GraftMaterializedView {
       dimTerms.foldLeft(factTerm)(_ unionByName _)
     }
 
-    if (mode == "full" || forceFull || (dimsMoved && !dimsIncremental)) {
+    if (mode == "full" || forceFull || (dimsMoved && !dimsIncremental) ||
+        (legsMoved && !legsIncremental)) {
       val dimProp =
-        if (dimTbls.isEmpty) Map.empty[String, String]
-        else Map(DimVersProp -> specJson(dimTbls.map { case (r, _, _, _) =>
-          Seq(r, curVers(r).toString)
-        }))
+        (if (dimTbls.isEmpty) Map.empty[String, String]
+         else Map(DimVersProp -> specJson(dimTbls.map { case (r, _, _, _) =>
+           Seq(r, curVers(r).toString)
+         }))) ++
+          (if (legTbls.isEmpty) Map.empty[String, String]
+           else Map(UFactsProp -> specJson(legTbls.map { case (r, _) =>
+             Seq(r, legCur(r).toString)
+           })))
       var dlProps = Map.empty[String, String]
       val frame =
         if (mode == "full") spark.sql(sql)
         else {
           val shape = shapeFromProps(props)
-          val base0 = pinnedJoin(src.scanAsOfVersion(to), curVers)
+          val base0 = pinnedJoin(unionScanHead, curVers)
           val based = shape.filter.fold(base0)(base0.where)
           // rebuild each dedup-level aux table from the same pinned
           // base the rows are rebuilt from, re-point the folded marker
@@ -1335,18 +1440,25 @@ object GraftMaterializedView {
     val casProps: Map[String, String] =
       Map(AppliedProp -> applied.toString) ++
         props.get(DimVersProp).map(DimVersProp -> _) ++
+        props.get(UFactsProp).map(UFactsProp -> _) ++
         dlg.flatMap { case (ci, _, _) =>
           props.get(dlVerProp(ci)).map(dlVerProp(ci) -> _)
         }
-    // the dim pins this refresh writes — unchanged dims keep their pin,
-    // moved (inner) dims advance to the version the telescope read
+    // the pins this refresh writes — unchanged relations keep their
+    // pin, moved dims/legs advance to the versions read this refresh
     val newDimProp: Map[String, String] =
-      if (dimTbls.isEmpty) Map.empty
-      else Map(DimVersProp -> specJson(dimTbls.map { case (r, _, _, _) =>
-        Seq(r, curVers(r).toString)
-      }))
+      (if (dimTbls.isEmpty) Map.empty[String, String]
+       else Map(DimVersProp -> specJson(dimTbls.map { case (r, _, _, _) =>
+         Seq(r, curVers(r).toString)
+       }))) ++
+        (if (legTbls.isEmpty) Map.empty[String, String]
+         else Map(UFactsProp -> specJson(legTbls.map { case (r, _) =>
+           Seq(r, legCur(r).toString)
+         })))
+    def legPin(r: String): Int = legPins.getOrElse(r, sys.error(
+      s"materialized view $ns.$name: union leg $r carries no pinned version"))
     val d =
-      try delta(telescopedChanges(applied, pinnedVer), shape)
+      try delta(telescopedChanges(applied, pinnedVer, legPin), shape)
         // one evaluation: the delta feeds the bounds probe, the merge
         // join, and both applyNetChanges sides
         .localCheckpoint()
@@ -1396,16 +1508,21 @@ object GraftMaterializedView {
       val auxDimVers: Map[String, Int] =
         auxProps.get(DimVersProp).map(dimVersFromJson).getOrElse(Map.empty)
       def auxPin(r: String): Int = auxDimVers.getOrElse(r, pinnedVer(r))
+      val auxLegVers: Map[String, Int] =
+        auxProps.get(UFactsProp).map(dimVersFromJson).getOrElse(Map.empty)
+      def auxLegPin(r: String): Int = auxLegVers.getOrElse(r, legPin(r))
       val auxDimsMoved = dimTbls.exists { case (r, _, _, _) =>
         curVers(r) != auxPin(r)
-      }
+      } || legTbls.exists { case (r, _) => legCur(r) != auxLegPin(r) }
       if (auxApplied < to || auxDimsMoved) {
         val auxCas = Map(AppliedProp -> auxApplied.toString) ++
-          auxProps.get(DimVersProp).map(DimVersProp -> _)
+          auxProps.get(DimVersProp).map(DimVersProp -> _) ++
+          auxProps.get(UFactsProp).map(UFactsProp -> _)
         val pairKeys = mergeKeys :+ DlVCol
         val pd =
           try {
-            val slice = signedSlice(telescopedChanges(auxApplied, auxPin), shape)
+            val slice = signedSlice(
+              telescopedChanges(auxApplied, auxPin, auxLegPin), shape)
             val v = expr(vsql)
             val nn = slice.where(v.isNotNull)
             (if (isGlobal)
@@ -1742,9 +1859,10 @@ object GraftMaterializedView {
         val keyRows = needs.select(mergeKeys.map(n => col(s"`$n`")): _*)
           .localCheckpoint()
         val srcBase0 = {
-          // recompute against the state this refresh WRITES — fact at
-          // `to`, dims at the versions the telescope advanced them to
-          val b = pinnedJoin(src.scanAsOfVersion(to), curVers)
+          // recompute against the state this refresh WRITES — fact
+          // legs at the head, dims at the versions the telescope
+          // advanced them to
+          val b = pinnedJoin(unionScanHead, curVers)
           shape.filter.fold(b)(b.where)
         }
         // parquet-pushdown narrowing on the group expressions (Column
@@ -1838,9 +1956,11 @@ object GraftMaterializedView {
     // first trigger (a fresh checkpoint would otherwise start at the
     // head and never see it); on restart the checkpoint's offsets win
     // and the start options are ignored
+    val legVers: Map[String, Int] =
+      props.get(UFactsProp).map(dimVersFromJson).getOrElse(Map.empty)
     val feeds: Seq[(String, String)] =
       (props(SourceProp), props(AppliedProp)) +:
-        dimVers.toSeq.sorted.map { case (r, v) => (r, v.toString) }
+        (dimVers ++ legVers).toSeq.sorted.map { case (r, v) => (r, v.toString) }
     val ticks = feeds.map { case (rel, start) =>
       val Array(rns, rt) = rel.split("/")
       spark.readStream

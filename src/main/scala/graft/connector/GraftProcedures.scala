@@ -120,9 +120,13 @@ object GraftProcedures {
                     c.load(TableIdent(sns, st)).currentOrFail().version
                   case _ => -1
                 }
+                // pinned relations: join dims AND union legs — either
+                // moving means the next refresh has slices to consume
                 val dimVers: Map[String, Int] =
                   props.get(GraftMaterializedView.DimVersProp).map(
-                    GraftMaterializedView.dimVersFromJson).getOrElse(Map.empty)
+                    GraftMaterializedView.dimVersFromJson).getOrElse(Map.empty) ++
+                    props.get(GraftMaterializedView.UFactsProp).map(
+                      GraftMaterializedView.dimVersFromJson).getOrElse(Map.empty)
                 val dimsStale = dimVers.exists { case (rel, v) =>
                   rel.split("/") match {
                     case Array(dns, dt) if c.exists(TableIdent(dns, dt)) =>

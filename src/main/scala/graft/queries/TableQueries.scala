@@ -1112,6 +1112,68 @@ object TableQueries {
              |WHERE l_quantity > 2.0 AND l_quantity < 44.0 AND l_orderkey > 500
              |ORDER BY 1, 2, 3""".stripMargin)),
 
+    // UNION ALL MV: two shards of lineitem (orderkey parity) under one
+    // MV — union is linear in every leg, so each shard maintains with
+    // its own pin: shard-0 inserts, shard-1 MoR deletes, and a
+    // shard-1-only window all refresh incrementally.
+    "q115_mview_union" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq115").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq115", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq115.warehouse",
+            Files.createTempDirectory("graft-mview-union").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq115.bench")
+        s.sql("CALL graftq115.system.drop_mview('bench', 'u')")
+        t(s, dir, "lineitem").createOrReplaceTempView("q115_li")
+        for (i <- 0 to 1) {
+          s.sql(s"DROP TABLE IF EXISTS graftq115.bench.li$i")
+          s.sql(s"""CREATE TABLE graftq115.bench.li$i
+                   |(l_orderkey BIGINT, l_returnflag STRING, l_quantity DOUBLE,
+                   | l_extendedprice DOUBLE)
+                   |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+          s.sql(s"""INSERT INTO graftq115.bench.li$i
+                   |SELECT l_orderkey, l_returnflag, l_quantity, l_extendedprice
+                   |FROM q115_li WHERE l_orderkey % 2 = $i
+                   |  AND l_orderkey % 5 != 0""".stripMargin)
+        }
+        val mode = s.sql(
+          """CALL graftq115.system.create_mview('bench', 'u',
+            |  'SELECT l_returnflag AS flag, SUM(l_quantity) AS sq,
+            |     COUNT(*) AS n, MAX(l_extendedprice) AS mp
+            |   FROM (SELECT * FROM graftq115.bench.li0 UNION ALL
+            |         SELECT * FROM graftq115.bench.li1)
+            |   WHERE l_quantity > 2.0
+            |   GROUP BY l_returnflag')""".stripMargin).head.getString(0)
+        require(mode == "incremental", s"expected incremental union MV, got $mode")
+        // shard 0: late arrivals; shard 1: MoR deletes — one refresh
+        s.sql("""INSERT INTO graftq115.bench.li0
+                |SELECT l_orderkey, l_returnflag, l_quantity, l_extendedprice
+                |FROM q115_li WHERE l_orderkey % 2 = 0 AND l_orderkey % 5 = 0""".stripMargin)
+        s.sql("DELETE FROM graftq115.bench.li1 WHERE l_extendedprice >= 70000.0")
+        val a1 = s.sql("CALL graftq115.system.refresh_mview('bench', 'u', false)")
+          .head.getString(2)
+        require(a1 == "incremental", s"expected incremental union refresh, got $a1")
+        // a shard-1-only window (the tracked first leg untouched)
+        s.sql("""INSERT INTO graftq115.bench.li1
+                |SELECT l_orderkey, l_returnflag, l_quantity, l_extendedprice
+                |FROM q115_li WHERE l_orderkey % 2 = 1 AND l_orderkey % 5 = 0""".stripMargin)
+        val a2 = s.sql("CALL graftq115.system.refresh_mview('bench', 'u', false)")
+          .head.getString(2)
+        require(a2 == "incremental", s"expected incremental leg-only refresh, got $a2")
+        s.sql("""SELECT flag,
+                |  CAST(CAST(sq AS DECIMAL(14,2)) AS DOUBLE) AS sq, n, mp
+                |FROM graftq115.bench.u ORDER BY flag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag AS flag,
+             |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(14,2)) AS DOUBLE) AS sq,
+             |  COUNT(*) AS n, MAX(l_extendedprice) AS mp
+             |FROM lineitem
+             |WHERE l_quantity > 2.0
+             |  AND NOT (l_orderkey % 2 = 1 AND l_extendedprice >= 70000.0
+             |           AND l_orderkey % 5 != 0)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Join MV: fact (lineitem) joined to a static dimension (orders),
     // group key drawn from the DIM side, maintained incrementally from
     // the fact changelog — then the dim MOVES (400 orders re-prioritize

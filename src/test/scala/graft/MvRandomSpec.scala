@@ -312,6 +312,78 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("UNION ALL MV: every leg maintains with its own pin") {
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(3)
+    val defn =
+      """SELECT g, SUM(v) AS t, COUNT(*) AS n, AVG(v) AS av, MAX(v) AS mx,
+        |       COUNT(DISTINCT v) AS dv
+        |FROM (SELECT * FROM graft.%NS%.s0 UNION ALL
+        |      SELECT * FROM graft.%NS%.s1 UNION ALL
+        |      SELECT * FROM graft.%NS%.s2)
+        |WHERE v IS NULL OR v > -20.0
+        |GROUP BY g""".stripMargin
+    def rows(sqlFrom: String): Seq[String] =
+      spark.sql(s"SELECT g, t, n, av, mx, dv FROM $sqlFrom ORDER BY g NULLS FIRST")
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(9500 + seed)
+      val ns = s"mvu$seed"
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      for (i <- 0 to 2) {
+        spark.sql(s"DROP TABLE IF EXISTS graft.$ns.s$i")
+        // middle shard merge-on-read: leg deletes arrive as delete
+        // groups, exercising the per-leg changelog's MoR pre-images
+        val p = if (i == 1) " TBLPROPERTIES ('graft.delete.mode' = 'mor')" else ""
+        spark.sql(s"CREATE TABLE graft.$ns.s$i (id BIGINT, g STRING, v DOUBLE)$p")
+      }
+      var nextId = 0L
+      def insertBurst(leg: Int): Unit = {
+        val r = (0 until (1 + rnd.nextInt(5))).map { _ =>
+          nextId += 1
+          val g = s"g${rnd.nextInt(4)}"
+          val v = if (rnd.nextInt(5) == 0) "CAST(NULL AS DOUBLE)"
+                  else (rnd.nextInt(80) - 30).toString + ".0"
+          s"($nextId, '$g', $v)"
+        }
+        spark.sql(s"INSERT INTO graft.$ns.s$leg VALUES ${r.mkString(", ")}")
+      }
+      insertBurst(0); insertBurst(1)
+      spark.sql(
+        s"""CALL graft.system.create_mview('$ns', 'm',
+           |  '${defn.replace("%NS%", ns).replace("\n", " ")}')""".stripMargin)
+        .head.getString(0) shouldBe "incremental"
+      for (step <- 0 until 7) {
+        val leg = rnd.nextInt(3)
+        rnd.nextInt(3) match {
+          case 0 => insertBurst(leg)
+          case 1 =>
+            val lo = 1 + rnd.nextInt(math.max(1, nextId.toInt))
+            spark.sql(
+              s"DELETE FROM graft.$ns.s$leg WHERE id >= $lo AND id < ${lo + 6}")
+          case _ =>
+            spark.sql(s"DELETE FROM graft.$ns.s$leg WHERE v >= ${30 + rnd.nextInt(40)}.0")
+        }
+        val action = spark.sql(
+          s"CALL graft.system.refresh_mview('$ns', 'm', false)").head.getString(2)
+        withClue(s"seed=$seed step=$step leg=$leg ") {
+          // a leg move must never fall back to full
+          Seq("incremental", "empty", "noop") should contain(action)
+          rows(s"graft.$ns.m") shouldBe rows(s"(${defn.replace("%NS%", ns)})")
+        }
+      }
+      // leg-only movement (the tracked first leg untouched) still
+      // flags staleness and refreshes incrementally
+      insertBurst(2)
+      spark.sql(s"CALL graft.system.mviews('$ns')")
+        .head.getBoolean(6) shouldBe true
+      spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
+        .head.getString(2) should (be("incremental") or be("empty"))
+      rows(s"graft.$ns.m") shouldBe rows(s"(${defn.replace("%NS%", ns)})")
+      spark.sql(s"CALL graft.system.drop_mview('$ns', 'm')")
+      for (i <- 0 to 2) spark.sql(s"DROP TABLE graft.$ns.s$i")
+    }
+  }
+
   test("DISTINCT MV: set maintenance via row-count bookkeeping, incl. a join + dim move") {
     val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(3)
     val defn =
