@@ -526,26 +526,27 @@ object GraftMaterializedView {
         (aggPlan.groupingExpressions, aggPlan.aggregateExpressions, aggPlan.child)
       case c0 =>
         val (core, conds, m) = inlineProjections(c0)
-        if (m.isEmpty && conds.isEmpty)
-          (aggPlan.groupingExpressions, aggPlan.aggregateExpressions, aggPlan.child)
-        else {
-          def subst(e: Expression): Expression = e.transformUp {
+        def subst(e: Expression): Expression =
+          if (m.isEmpty) e
+          else e.transformUp {
             case a: AttributeReference if m.contains(a.exprId) => m(a.exprId)
           }
-          val ge = aggPlan.groupingExpressions.map(subst)
-          val ae = aggPlan.aggregateExpressions.map {
-            case al @ Alias(e, n) =>
-              Alias(subst(e), n)(exprId = al.exprId): NamedExpression
-            case a: AttributeReference if m.contains(a.exprId) =>
-              Alias(m(a.exprId), a.name)(exprId = a.exprId): NamedExpression
-            case other => other
-          }
-          val rebuilt =
-            if (conds.isEmpty) core
-            else Filter(conds.reduce(
-              org.apache.spark.sql.catalyst.expressions.And(_, _)), core)
-          (ge, ae, rebuilt: LogicalPlan)
+        val ge = aggPlan.groupingExpressions.map(subst)
+        val ae = aggPlan.aggregateExpressions.map {
+          case al @ Alias(e, n) =>
+            Alias(subst(e), n)(exprId = al.exprId): NamedExpression
+          case a: AttributeReference if m.contains(a.exprId) =>
+            Alias(m(a.exprId), a.name)(exprId = a.exprId): NamedExpression
+          case other => other
         }
+        // even with nothing substituted, analyze over the walk's
+        // TERMINAL — a bare pruning Project (an MV reading another
+        // MV's public view) would otherwise hide the source relation
+        val rebuilt =
+          if (conds.isEmpty) core
+          else Filter(conds.reduce(
+            org.apache.spark.sql.catalyst.expressions.And(_, _)), core)
+        (ge, ae, rebuilt: LogicalPlan)
     }
     if (having.exists(!_.deterministic)) return Left("nondeterministic HAVING")
     // outputs the Project above the HAVING filter drops are storage-only:
@@ -569,11 +570,13 @@ object GraftMaterializedView {
       case c => (c, None)
     }
     locally {
-      val (filterSql, rel) = unwrapAliases(child1) match {
+      val (filterSql, filterRefs, rel) = unwrapAliases(child1) match {
           case f @ Filter(cond, rel2) =>
             if (!cond.deterministic) return Left("nondeterministic WHERE")
-            (Some(plainSql(cond)), unwrapAliases(rel2))
-          case rel2 => (None, rel2)
+            (Some(plainSql(cond)),
+              cond.references.map(_.name.toLowerCase).toSet,
+              unwrapAliases(rel2))
+          case rel2 => (None, Set.empty[String], rel2)
         }
         def graftLeaf(p: LogicalPlan): Option[DataSourceV2Relation] =
           unwrapAliases(p) match {
@@ -668,15 +671,27 @@ object GraftMaterializedView {
         // refresh while create read the real values — reject up front.
         // The _mv_ prefix is the storage bookkeeping namespace.
         locally {
-          val reserved = (factRel.output ++ dimRels.flatMap(_._1.output))
-            .map(_.name).filter { n =>
-              val l = n.toLowerCase
-              l == "_change_type" || l == "_commit_version" || l == "_sign" ||
-                l.startsWith("_mv_")
-            }
+          val srcCols = (factRel.output ++ dimRels.flatMap(_._1.output)).map(_.name)
+          val reserved = srcCols.filter { n =>
+            val l = n.toLowerCase
+            l == "_change_type" || l == "_commit_version" || l == "_sign"
+          }
           if (reserved.nonEmpty)
             return Left(s"source column(s) ${reserved.mkString(", ")} collide " +
-              "with changelog metadata or _mv_ bookkeeping names")
+              "with changelog metadata names")
+          // a source may CARRY _mv_ columns (an MV reading another MV's
+          // storage table does) — only REFERENCING one from the shape
+          // is ambiguous with this view's own bookkeeping
+          val mvCols = srcCols.map(_.toLowerCase).filter(_.startsWith("_mv_")).toSet
+          if (mvCols.nonEmpty) {
+            val referenced = (groupingExprs ++ aggExprs)
+              .flatMap(_.references.map(_.name.toLowerCase)).toSet ++ filterRefs
+            val used = referenced.intersect(mvCols)
+            if (used.nonEmpty)
+              return Left(s"shape references source column(s) " +
+                s"${used.mkString(", ")} in the reserved _mv_ bookkeeping " +
+                "namespace")
+          }
         }
         if (groupingExprs.exists(!_.deterministic)) return Left("nondeterministic GROUP BY")
         val groups = scala.collection.mutable.ListBuffer.empty[(String, String)]
@@ -1370,11 +1385,15 @@ object GraftMaterializedView {
                           legFrom: String => Int): DataFrame = {
       // UNION ALL legs: linear, so each moved leg simply ADDS its own
       // signed slice (no cross-terms; legs and dims never coexist)
+      // the data-only feed: maintenance commits (compaction, z-order,
+      // delete coalescing/folding) preserve every visible row, so their
+      // file churn would net to zero here at O(compacted bytes) cost —
+      // a nightly compaction must not make MV refresh O(table)
       val factTerm = legTbls.foldLeft(pinnedJoin(
-        src.scanChangesBetween(factFrom, to).drop("_commit_version"), pins)) {
+        src.scanDataChangesBetween(factFrom, to).drop("_commit_version"), pins)) {
         case (acc, (r, t)) =>
           acc.unionByName(pinnedJoin(
-            t.scanChangesBetween(legFrom(r), legCur(r)).drop("_commit_version"),
+            t.scanDataChangesBetween(legFrom(r), legCur(r)).drop("_commit_version"),
             pins))
       }
       val dimTerms = dimTbls.zipWithIndex.collect {
@@ -1384,7 +1403,7 @@ object GraftMaterializedView {
           }
           // one evaluation: the slice feeds the pruning bounds AND the
           // join (changelog scans re-plan per action otherwise)
-          val slice = t.scanChangesBetween(pins(r), curVers(r))
+          val slice = t.scanDataChangesBetween(pins(r), curVers(r))
             .drop("_commit_version").localCheckpoint()
           val after = dimTbls.drop(i + 1).map { case (r2, t2, jt2, c2) =>
             (t2.scanAsOfVersion(pins(r2)), jt2, c2)

@@ -469,7 +469,7 @@ object GraftProcedures {
                     new GenericInternalRow(Array[Any](l2, cur, utf("noop")))
                   else {
                     graft.streaming.GraftStream.applyChangesBatch(
-                      src.scanChangesBetween(l2, cur), dst, keys,
+                      src.scanDataChangesBetween(l2, cur), dst, keys,
                       props = Map(markerKey -> cur.toString),
                       requireParentProps = Map(markerKey -> l2.toString))
                     new GenericInternalRow(Array[Any](l2, cur, utf("applied")))
@@ -481,7 +481,7 @@ object GraftProcedures {
               // marker-CAS: a racing replicate that already advanced the
               // marker makes this one abort instead of double-applying
               graft.streaming.GraftStream.applyChangesBatch(
-                src.scanChangesBetween(l, cur), dst, keys,
+                src.scanDataChangesBetween(l, cur), dst, keys,
                 props = Map(markerKey -> cur.toString),
                 requireParentProps = Map(markerKey -> l.toString))
               new GenericInternalRow(Array[Any](l, cur, utf("applied")))

@@ -278,7 +278,9 @@ object Similarity {
     val src = cat.load(srcIdent)
     val to = src.currentOrFail().version
     if (applied >= to) return (applied, to, "noop")
-    val changes = src.scanChangesBetween(applied, to)
+    // data-only feed: a compaction of the corpus must not re-assign
+    // every vector — maintenance commits change no visible row
+    val changes = src.scanDataChangesBetween(applied, to)
       .select(col(idCol), col(vecCol), col("_change_type"), col("_commit_version"))
     val w = Window.partitionBy(col(s"`$idCol`"))
       .orderBy(col("_commit_version").desc,

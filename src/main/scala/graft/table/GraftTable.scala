@@ -2631,6 +2631,42 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
           s.deleteGroups.isEmpty && s.schemaLog.isEmpty
         })
 
+  /** [[scanChangesBetween]] minus VISIBLE-ROW-PRESERVING maintenance
+    * commits — compaction, z-order clustering, delete-group coalescing
+    * and folding rewrite the physical layout without changing a single
+    * visible row, so their file-diff churn (delete+insert of identical
+    * content) nets to zero through any downstream merge while costing
+    * O(compacted bytes) to replay. Delta CDF's `dataChange = false`
+    * analog: consumers that fold changes into state (materialized-view
+    * refresh, keyed replicas) read THIS feed, so a nightly compaction
+    * of a 100 TB table costs their next refresh nothing. The raw
+    * `.changes` surface keeps emitting rewrite commits — its contract
+    * is the full file history.
+    */
+  def scanDataChangesBetween(fromVersion: Int, toVersion: Int): DataFrame = {
+    // a maintenance HEAD still bounds the range: rows are read from
+    // the snapshots around each data commit, so skipped tail commits
+    // only shrink the work, never the result
+    val dataCommits = (fromVersion until toVersion).filter { v =>
+      !GraftTable.MaintenanceOps.contains(log.read(v + 1).operation)
+    }
+    if (dataCommits.isEmpty)
+      // schema-correct empty frame (the usual all-skipped case after
+      // a maintenance-only window)
+      scanChangesBetweenImpl(toVersion, toVersion, grouped = false)
+    else if (dataCommits == (fromVersion until toVersion))
+      scanChangesBetween(fromVersion, toVersion)
+    else
+      // contiguous data sub-ranges, each replayed with the normal
+      // plan-shape selection (a maintenance commit inside a range
+      // would otherwise re-enter the diff)
+      dataCommits.foldLeft(List.empty[(Int, Int)]) {
+        case ((lo, hi) :: rest, v) if v == hi => (lo, v + 1) :: rest
+        case (acc, v) => (v, v + 1) :: acc
+      }.reverse.map { case (lo, hi) => scanChangesBetween(lo, hi) }
+        .reduce(_ unionByName _)
+  }
+
   /** Both changelog plan shapes, selected by range width above.
     *
     * `grouped = false`: one insert+delete scan pair PER COMMIT with the
@@ -3540,6 +3576,13 @@ object GraftTable {
     * plan — see [[GraftTable.scanChangesBetweenImpl]].
     */
   val GroupedChangelogThreshold = 50
+
+  /** Operations that rewrite physical layout without changing a single
+    * visible row — [[GraftTable.scanDataChangesBetween]] skips their
+    * commits. `dedup` is NOT here: position deletes remove real rows.
+    */
+  val MaintenanceOps: Set[String] =
+    Set("compact", "cluster", "compact-deletes", "rewrite-deletes")
 
   /** Merge sources at or below this row count broadcast explicitly in
     * the checkpointed rewrite join (AQE cannot re-plan there) —

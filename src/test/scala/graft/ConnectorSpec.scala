@@ -387,6 +387,73 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE graft.mvv.src")
   }
 
+  test("materialized views: an MV over another MV tracks the inner storage table") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvm")
+    spark.sql("CREATE TABLE graft.mvm.src (id BIGINT, g STRING, k STRING, v DOUBLE)")
+    spark.sql("INSERT INTO graft.mvm.src VALUES " +
+      "(1,'a','x',1.0), (2,'a','y',2.0), (3,'b','x',4.0), (4,'b','y',8.0)")
+    // inner MV: per (g, k) sums
+    spark.sql(
+      """CALL graft.system.create_mview('mvm', 'inner_mv',
+        |  'SELECT g, k, SUM(v) AS t FROM graft.mvm.src GROUP BY g, k')""".stripMargin)
+      .head.getString(0) shouldBe "incremental"
+    // outer MV reads the inner MV's PUBLIC VIEW — expansion inlines it
+    // to the inner STORAGE table, so the outer maintains incrementally
+    // from the inner storage's changelog (refresh inner, then outer)
+    spark.sql(
+      """CALL graft.system.create_mview('mvm', 'outer_mv',
+        |  'SELECT g, SUM(t) AS tt, COUNT(*) AS nk FROM graft.mvm.inner_mv GROUP BY g')""".stripMargin)
+      .head.getString(0) shouldBe "incremental"
+    def outer: Seq[(String, Double, Long)] =
+      spark.sql("SELECT g, tt, nk FROM graft.mvm.outer_mv ORDER BY g").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    outer shouldBe Seq(("a", 3.0, 2L), ("b", 12.0, 2L))
+    // source moves; cascade inner → outer
+    spark.sql("INSERT INTO graft.mvm.src VALUES (5,'a','x',10.0), (6,'c','z',7.0)")
+    spark.sql("DELETE FROM graft.mvm.src WHERE id = 3")
+    spark.sql("CALL graft.system.refresh_mview('mvm', 'inner_mv', false)")
+      .head.getString(2) shouldBe "incremental"
+    spark.sql("CALL graft.system.refresh_mview('mvm', 'outer_mv', false)")
+      .head.getString(2) shouldBe "incremental"
+    outer shouldBe Seq(("a", 13.0, 2L), ("b", 8.0, 1L), ("c", 7.0, 1L))
+    // inner drop is refused while the outer still reads its storage?
+    // (the storage is a plain graft table to the outer — dropping the
+    // inner MV orphans the outer's source; the refusal is the DROP
+    // order contract: outer first)
+    spark.sql("CALL graft.system.drop_mview('mvm', 'outer_mv')")
+    spark.sql("CALL graft.system.drop_mview('mvm', 'inner_mv')")
+    spark.sql("DROP TABLE graft.mvm.src")
+  }
+
+  test("materialized views: source compaction refreshes as a metadata-only empty") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvc")
+    spark.sql("CREATE TABLE graft.mvc.src (id BIGINT, g STRING, v DOUBLE)")
+    spark.sql("INSERT INTO graft.mvc.src VALUES (1,'a',1.0), (2,'b',2.0)")
+    spark.sql("INSERT INTO graft.mvc.src VALUES (3,'a',4.0)")
+    spark.sql(
+      """CALL graft.system.create_mview('mvc', 'm',
+        |  'SELECT g, SUM(v) AS t, COUNT(DISTINCT v) AS dv
+        |   FROM graft.mvc.src GROUP BY g')""".stripMargin)
+      .head.getString(0) shouldBe "incremental"
+    // compaction rewrites every file without changing a visible row —
+    // the refresh must consume it as an EMPTY slice (marker-only
+    // advance), never replay O(table) churn through the merge
+    spark.sql("CALL graft.system.compact('mvc', 'src', 1)")
+    spark.sql("CALL graft.system.refresh_mview('mvc', 'm', false)")
+      .head.getString(2) shouldBe "empty"
+    // mixed window: compaction + a real append — the data commits
+    // still flow, and results match a fresh recompute
+    spark.sql("INSERT INTO graft.mvc.src VALUES (4,'b',8.0), (5,'b',2.0)")
+    spark.sql("CALL graft.system.compact('mvc', 'src', 1)")
+    spark.sql("CALL graft.system.refresh_mview('mvc', 'm', false)")
+      .head.getString(2) shouldBe "incremental"
+    spark.sql("SELECT g, t, dv FROM graft.mvc.m ORDER BY g").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq shouldBe
+      Seq(("a", 5.0, 2L), ("b", 12.0, 2L))
+    spark.sql("CALL graft.system.drop_mview('mvc', 'm')")
+    spark.sql("DROP TABLE graft.mvc.src")
+  }
+
   test("materialized views: source column rename fails refresh loudly") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv4")
     spark.sql("CREATE TABLE graft.mv4.src (id BIGINT, g STRING, v DOUBLE)")

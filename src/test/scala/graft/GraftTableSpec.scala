@@ -184,6 +184,41 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     delRow.isNullAt(delRow.fieldIndex("extra")) shouldBe true
   }
 
+  test("scanDataChangesBetween skips maintenance churn, keeps real changes") {
+    val t = cat().ensure(TableIdent("ns", "t5m"))
+    t.append(df(d1, d2))                  // v0: +2
+    t.compact()                           // v1: maintenance (churn)
+    t.append(df(d3))                      // v2: +1
+    t.compact()                           // v3: maintenance
+    t.deleteWhere("id = 2")               // v4: -1
+    t.compact()                           // v5: maintenance (tail)
+    val head = t.currentOrFail().version
+    // raw feed replays the compactions; the data feed drops them and
+    // keeps ONLY the append and the delete — same net effect
+    val raw = t.scanChangesBetween(0, head)
+    val data = t.scanDataChangesBetween(0, head)
+    raw.count() should be > data.count()
+    def frame(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted.toSeq
+    // exactly the raw feed minus the maintenance commits (v1/v3/v5) —
+    // the CoW delete keeps its file-granular diff shape
+    frame(data) shouldBe frame(
+      raw.where(col("_commit_version").isin(2, 4)))
+    data.where(col("_commit_version").isin(1, 3, 5)).count() shouldBe 0L
+    // a maintenance-only window is EMPTY through the data feed (the
+    // MV/replica fast path) with the schema intact
+    val mo = t.scanDataChangesBetween(4, 5)
+    mo.count() shouldBe 0
+    mo.columns.takeRight(2) shouldBe Array("_change_type", "_commit_version")
+    // dedup is a REAL change (position deletes) — never skipped
+    t.append(df(d3)) // duplicate of id=3
+    t.dedupTable(Nil)
+    val dv = t.currentOrFail().version
+    t.scanDataChangesBetween(dv - 1, dv)
+      .where(col("_change_type") === "delete").count() shouldBe 1L
+  }
+
   test("branch fork, write, audit, fast-forward: the WAP loop") {
     val t = cat().ensure(TableIdent("ns", "t5g"))
     t.append(df(d1))                                   // main v0
