@@ -28,6 +28,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * spark.read.option("startingVersion", 0).table("graft.ns.t.changes")
   * -- streaming: offset = table version, rows tagged insert/delete
   * spark.readStream.option("streamStartVersion", "-1").table("graft.ns.t.changes")
+  * -- either: skipMaintenance=true drops visible-row-preserving
+  * -- rewrites (compaction/cluster/delete coalescing) from the feed —
+  * -- the Delta-CDF dataChange=false analog for stateful consumers
   * }}}
   *
   * Schema = the table's columns + `_change_type` ('insert' | 'delete')
@@ -132,7 +135,8 @@ final class GraftChangesScan(tbl: GraftTable, options: CaseInsensitiveStringMap,
 
     override def planInputPartitions(): Array[InputPartition] =
       GraftCdc.partitionsBetween(tbl, from, to, tableSchema, dataPart, pushed,
-        metaPrune, tbl.cdcSides)
+        metaPrune, tbl.cdcSides,
+        skipMaintenance = options.getBoolean("skipMaintenance", false))
 
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftCdc.CdcReaderFactory(metaPart)
@@ -270,7 +274,8 @@ final class GraftCdcMicroBatchStream(tbl: GraftTable,
     GraftCdc.partitionsBetween(tbl,
       start.asInstanceOf[GraftStreamOffset].version,
       end.asInstanceOf[GraftStreamOffset].version,
-      tableSchema, dataPart, pushed, metaPrune, sidesAt)
+      tableSchema, dataPart, pushed, metaPrune, sidesAt,
+      skipMaintenance = options.getBoolean("skipMaintenance", false))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftCdc.CdcReaderFactory(metaPart)
@@ -379,13 +384,15 @@ private[graft] object GraftCdc {
                         dataPart: StructType,
                         pushed: Array[Filter],
                         metaPrune: MetaPruning,
-                        sidesAt: Int => GraftTable.CdcSides): Array[InputPartition] = {
+                        sidesAt: Int => GraftTable.CdcSides,
+                        skipMaintenance: Boolean = false): Array[InputPartition] = {
     require(from <= to, s"bad change range: $from..$to")
     val out = Array.newBuilder[InputPartition]
     var v = math.max(from + 1, 0)
     try {
       while (v <= to) {
-        if (metaPrune.versionAllowed(v)) {
+        if (metaPrune.versionAllowed(v) && (!skipMaintenance ||
+            !GraftTable.MaintenanceOps.contains(tbl.log.read(v).operation))) {
           val sides = sidesAt(v)
           def emit(tag: String, parts: Seq[GraftTable.CdcFiles]): Unit =
             parts.filter(_.files.nonEmpty).foreach { p =>

@@ -1810,6 +1810,13 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     frame(compactFeed) shouldBe frame(tbl.scanChangesBetween(cv - 1, cv))
     // live rows at compaction: 10 - 3 deleted + 1 appended = 8
     compactFeed.where("_change_type = 'delete'").count() shouldBe 8L
+    // skipMaintenance drops the compaction churn from the SAME window
+    // (batch and streaming take the option alike) — the CDF
+    // dataChange=false analog for stateful consumers
+    spark.read.option("startingVersion", (cv - 1).toString)
+      .option("endingVersion", cv.toString)
+      .option("skipMaintenance", "true")
+      .table("graft.nsmor2.t.changes").count() shouldBe 0L
     spark.sql("INSERT INTO graft.nsmor2.t VALUES (200)")
     // full-history replay through the DSv2 feed: inserts minus deletes
     // = the current table, MoR deletes and compaction included
