@@ -798,6 +798,13 @@ object GraftMaterializedView {
             case ae: AggregateExpression =>
               aggSpecOf(ae, al.sql) match {
                 case Left(r) => err = Some(r); ae
+                // COUNT(*) is already stored exactly as the _mv_rows
+                // bookkeeping column — read it instead of minting a
+                // duplicate hidden aggregate
+                case Right(("count_star", _))
+                    if !aggs.exists(a => a.kind == "count_star") =>
+                  AttributeReference(RowsCol,
+                    org.apache.spark.sql.types.LongType)()
                 case Right((kind, sql)) =>
                   val nm = aggs.find(a => a.kind == kind && a.sql == sql)
                     .map(_.name).getOrElse {
@@ -816,7 +823,7 @@ object GraftMaterializedView {
           }
           err.foreach(r => return Left(r))
           val storageNames =
-            (groups.map(_._1) ++ aggs.map(_.name)).toSet + GidCol
+            (groups.map(_._1) ++ aggs.map(_.name)).toSet + GidCol + RowsCol
           if (!replaced.references.forall(r => storageNames.contains(r.name)))
             return Left(s"derived output ${al.sql} references a column that " +
               "is neither a grouping key nor inside an aggregate")
@@ -1304,7 +1311,10 @@ object GraftMaterializedView {
     // a FORCED rebuild must rebuild even with the marker at the head —
     // the negative-count / storage-surgery errors name force_full as
     // the remedy precisely when the data is wrong at an applied marker
-    if (applied >= to && !dimsMoved && !legsMoved && !forceFull)
+    // strict equality: a marker AHEAD of the head (out-of-band rewind)
+    // is inconsistent state, not idleness — it falls through to the
+    // full re-pin below instead of reporting noop forever
+    if (applied == to && !dimsMoved && !legsMoved && !forceFull)
       return (applied, to, "noop")
 
     def pinnedJoin(factDf: DataFrame, vers: String => Int): DataFrame =
@@ -1414,7 +1424,13 @@ object GraftMaterializedView {
       dimTerms.foldLeft(factTerm)(_ unionByName _)
     }
 
-    if (mode == "full" || forceFull || (dimsMoved && !dimsIncremental) ||
+    // a rolled-back FACT has no forward slice — the telescope would
+    // read an empty changelog over rewound state and then REGRESS the
+    // marker, silently keeping retracted commits in the stored rows.
+    // One full recompute re-pins everything.
+    val factRolledBack = applied > to
+    if (mode == "full" || forceFull || factRolledBack ||
+        (dimsMoved && !dimsIncremental) ||
         (legsMoved && !legsIncremental)) {
       val dimProp =
         (if (dimTbls.isEmpty) Map.empty[String, String]
@@ -1959,6 +1975,12 @@ object GraftMaterializedView {
     * exactly-once: a replayed trigger sees `applied >= head` with
     * unmoved pins and no-ops. Stop/restart needs only the checkpoint
     * dir; the MV itself carries all refresh state.
+    *
+    * NOTE: adding dims/legs to the feed changed the stream's SOURCE
+    * SHAPE — a checkpoint written by the fact-only version of this
+    * method will not recover for join/union MVs; start those streams
+    * with a fresh checkpoint dir (the MV's own markers make the
+    * switch lossless).
     */
   def maintainStream(spark: SparkSession, cat: GraftCatalog, catalogName: String,
                      ns: String, name: String, checkpointDir: String,

@@ -2642,30 +2642,22 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     * of a 100 TB table costs their next refresh nothing. The raw
     * `.changes` surface keeps emitting rewrite commits — its contract
     * is the full file history.
+    *
+    * One plan covers the whole window (the skip is a commit-list
+    * filter inside [[scanChangesBetweenImpl]]), so interleaved
+    * maintenance neither shatters the range into per-commit unions
+    * nor breaks schema alignment across an ADD/WIDEN column — every
+    * included commit still era-aligns to the range-end schema.
     */
-  def scanDataChangesBetween(fromVersion: Int, toVersion: Int): DataFrame = {
-    // a maintenance HEAD still bounds the range: rows are read from
-    // the snapshots around each data commit, so skipped tail commits
-    // only shrink the work, never the result
-    val dataCommits = (fromVersion until toVersion).filter { v =>
-      !GraftTable.MaintenanceOps.contains(log.read(v + 1).operation)
-    }
-    if (dataCommits.isEmpty)
-      // schema-correct empty frame (the usual all-skipped case after
-      // a maintenance-only window)
-      scanChangesBetweenImpl(toVersion, toVersion, grouped = false)
-    else if (dataCommits == (fromVersion until toVersion))
-      scanChangesBetween(fromVersion, toVersion)
-    else
-      // contiguous data sub-ranges, each replayed with the normal
-      // plan-shape selection (a maintenance commit inside a range
-      // would otherwise re-enter the diff)
-      dataCommits.foldLeft(List.empty[(Int, Int)]) {
-        case ((lo, hi) :: rest, v) if v == hi => (lo, v + 1) :: rest
-        case (acc, v) => (v, v + 1) :: acc
-      }.reverse.map { case (lo, hi) => scanChangesBetween(lo, hi) }
-        .reduce(_ unionByName _)
-  }
+  def scanDataChangesBetween(fromVersion: Int, toVersion: Int): DataFrame =
+    scanChangesBetweenImpl(fromVersion, toVersion,
+      grouped = toVersion - fromVersion > GraftTable.GroupedChangelogThreshold &&
+        (fromVersion to toVersion).forall { v =>
+          val s = log.read(v)
+          s.deleteGroups.isEmpty && s.schemaLog.isEmpty
+        },
+      include =
+        v => !GraftTable.MaintenanceOps.contains(log.read(v).operation))
 
   /** Both changelog plan shapes, selected by range width above.
     *
@@ -2685,7 +2677,9 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     * once per occurrence, exactly matching the per-commit shape.
     */
   private[graft] def scanChangesBetweenImpl(fromVersion: Int, toVersion: Int,
-                                            grouped: Boolean): DataFrame = {
+                                            grouped: Boolean,
+                                            include: Int => Boolean = _ => true)
+      : DataFrame = {
     require(fromVersion <= toVersion, s"bad range: $fromVersion..$toVersion")
     val toSchema = log.read(toVersion).schema
     if (!grouped) {
@@ -2713,7 +2707,8 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
           StructField(n, f.dataType, nullable = true, f.metadata) }))
           .select(pairs.map { case (n, f) => col(s"`$n`").as(f.name) }: _*)
       }
-      val perCommit = (fromVersion until toVersion).map { v =>
+      val perCommit = (fromVersion until toVersion)
+        .filter(v => include(v + 1)).map { v =>
         val prev = log.read(v)
         val cur = log.read(v + 1)
         val before = prev.files.map(_.path).toSet
@@ -2757,7 +2752,8 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
       perCommit.foldLeft(empty)(_.unionByName(_))
     } else {
       // (commit version, file) occurrences per side, driver-side metadata
-      val commits = (fromVersion until toVersion).map(v => (log.read(v), log.read(v + 1)))
+      val commits = (fromVersion until toVersion)
+        .filter(v => include(v + 1)).map(v => (log.read(v), log.read(v + 1)))
       require(commits.forall { case (a, b) =>
         a.deleteGroups.isEmpty && b.deleteGroups.isEmpty },
         "grouped changelog plan cannot span merge-on-read delete state; " +

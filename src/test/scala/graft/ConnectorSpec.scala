@@ -425,6 +425,52 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE graft.mvm.src")
   }
 
+  test("materialized views: a rolled-back fact forces a full re-pin, never a marker regress") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvrb")
+    spark.sql("CREATE TABLE graft.mvrb.fact (id BIGINT, g STRING, v DOUBLE)")
+    spark.sql("CREATE TABLE graft.mvrb.dim (dg STRING, cat STRING)")
+    spark.sql("INSERT INTO graft.mvrb.dim VALUES ('a','x'), ('b','y')")
+    spark.sql("INSERT INTO graft.mvrb.fact VALUES (1,'a',1.0)")
+    spark.sql(
+      """CALL graft.system.create_mview('mvrb', 'm',
+        |  'SELECT cat, SUM(v) AS t, COUNT(*) AS n
+        |   FROM graft.mvrb.fact JOIN graft.mvrb.dim ON g = dg
+        |   GROUP BY cat')""".stripMargin).head.getString(0) shouldBe "incremental"
+    spark.sql("INSERT INTO graft.mvrb.fact VALUES (2,'b',2.0)")
+    spark.sql("CALL graft.system.refresh_mview('mvrb', 'm', false)")
+      .head.getString(2) shouldBe "incremental"
+    val cat = graft.table.GraftCatalog(spark,
+      spark.conf.get("spark.sql.catalog.graft.warehouse"))
+    val fact = cat.load(graft.table.TableIdent("mvrb", "fact"))
+    val applied = fact.currentOrFail().version
+    // rollback-as-COMMIT advances the version, so its re-add/remove
+    // diff flows through the changelog and stays incremental + exact
+    spark.sql(s"CALL graft.system.rollback_to_version('mvrb', 'fact', ${applied - 1})")
+    spark.sql("INSERT INTO graft.mvrb.dim VALUES ('c','z')")
+    spark.sql("CALL graft.system.refresh_mview('mvrb', 'm', false)")
+      .head.getString(2) shouldBe "incremental"
+    spark.sql("SELECT cat, t, n FROM graft.mvrb.m ORDER BY cat").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq shouldBe
+      Seq(("x", 1.0, 1L))
+    // an OUT-OF-BAND rewind (marker ahead of the source head — log
+    // surgery, restored backup) has no forward slice: the refresh must
+    // run one FULL re-pin, never an "incremental" that regresses the
+    // marker over silently-kept rows
+    val storage = cat.load(graft.table.TableIdent("mvrb", "m__rows"))
+    storage.updateProperties(Map(
+      "graft.mview.applied-version" ->
+        (fact.currentOrFail().version + 5).toString))
+    spark.sql("INSERT INTO graft.mvrb.fact VALUES (7,'c',3.0)")
+    spark.sql("CALL graft.system.refresh_mview('mvrb', 'm', false)")
+      .head.getString(2) shouldBe "full"
+    spark.sql("SELECT cat, t, n FROM graft.mvrb.m ORDER BY cat").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq shouldBe
+      Seq(("x", 1.0, 1L), ("z", 3.0, 1L))
+    spark.sql("CALL graft.system.drop_mview('mvrb', 'm')")
+    spark.sql("DROP TABLE graft.mvrb.fact")
+    spark.sql("DROP TABLE graft.mvrb.dim")
+  }
+
   test("materialized views: source compaction refreshes as a metadata-only empty") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvc")
     spark.sql("CREATE TABLE graft.mvc.src (id BIGINT, g STRING, v DOUBLE)")

@@ -217,6 +217,22 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     val dv = t.currentOrFail().version
     t.scanDataChangesBetween(dv - 1, dv)
       .where(col("_change_type") === "delete").count() shouldBe 1L
+    // interleaved maintenance + SCHEMA change: one plan still covers
+    // the window (no per-sub-range unions to misalign), old rows
+    // null-fill the added column through the era mapping
+    val e2 = cat().ensure(TableIdent("ns", "t5n"))
+    e2.append(df(d1, d2))                 // v1 (+2)
+    e2.compact()                          // v2 maintenance
+    e2.evolveSchema(df(d1).withColumn("extra", lit(7L)).schema) // v3
+    e2.deleteWhere("id = 1")              // v4 (-1)
+    val dch = e2.scanDataChangesBetween(0, e2.currentOrFail().version)
+    dch.columns should contain("extra")
+    dch.where(col("_commit_version") === 2).count() shouldBe 0L
+    // the CoW delete rewrites the 2-row file: file-granular pre-image
+    // (2 deletes + 1 re-insert), every old row null-filled on `extra`
+    val delR = dch.where(col("_change_type") === "delete").collect()
+    delR.length shouldBe 2
+    delR.foreach(r => r.isNullAt(r.fieldIndex("extra")) shouldBe true)
   }
 
   test("branch fork, write, audit, fast-forward: the WAP loop") {
