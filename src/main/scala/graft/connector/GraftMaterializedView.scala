@@ -856,9 +856,15 @@ object GraftMaterializedView {
           case None => groups.toSeq
         }
         val shape = Shape(filterSql, orderedGroups, aggs.toSeq, setsInfo.map(_.sets))
+        // MIN/MAX maintain under sets: the delta replays the same
+        // grouping sets (each subtotal row gets its own inserted-side /
+        // retracted-side extremes) and the targeted recompute
+        // re-aggregates through them. DISTINCT stays full: the pair
+        // table would need per-set pair rows keyed by a grouping id
+        // whose bit layout shifts under the added value column.
         if (setsInfo.isDefined && shape.aggs.exists(a =>
-            Set("min", "max", "cdistinct", "sdistinct", "adistinct")(a.kind)))
-          return Left("MIN/MAX and DISTINCT aggregates under ROLLUP/CUBE/" +
+            Set("cdistinct", "sdistinct", "adistinct")(a.kind)))
+          return Left("DISTINCT aggregates under ROLLUP/CUBE/" +
             "GROUPING SETS are not incrementally maintained")
         if (groupingExprs.nonEmpty && shape.groups.isEmpty)
           return Left("no grouping columns in output")
@@ -1907,23 +1913,45 @@ object GraftMaterializedView {
           .foldLeft(srcBase0) { case (f, (k, lo, hi)) =>
             f.where(expr(groupExpr(k)) >= lit(lo) && expr(groupExpr(k)) <= lit(hi))
           }
-        val srcProj0 = srcNarrow.select(
-          shape.groups.map { case (n, s) => expr(s).as(n) } ++
-            minMaxAggs.map { case (a, i) => expr(a.sql).as(s"_mv_v_$i") }: _*)
-        val srcProj =
-          if (isGlobal) srcProj0.withColumn(GlobalKeyCol, lit(0)) else srcProj0
         val keyRenamed = keyRows.toDF(mergeKeys.map("_mvk_" + _): _*)
-        val recAggs = minMaxAggs.map { case (a, i) =>
-          if (a.kind == "min") min(col(s"`_mv_v_$i`")).as(s"_mv_rec_$i")
-          else max(col(s"`_mv_v_$i`")).as(s"_mv_rec_$i")
+        val recRenamed = shape.sets match {
+          case Some(_) =>
+            // grouping sets: a source ROW feeds one subtotal row per
+            // set, so aggregate the narrowed source through the SAME
+            // sets (grouping id appended, matching the stored _mv_gid)
+            // and keep only the affected key tuples
+            val recAggs = minMaxAggs.map { case (a, i) =>
+              if (a.kind == "min") min(expr(a.sql)).as(s"_mv_rec_$i")
+              else max(expr(a.sql)).as(s"_mv_rec_$i")
+            }
+            val recAll = aggregateBy(srcNarrow, shape,
+              shape.groups.map { case (n, s) => expr(s).as(n) }, recAggs)
+            val rec = recAll.join(keyRenamed,
+              mergeKeys.map(n => col(s"`$n`") <=> col(s"`_mvk_$n`")).reduce(_ && _),
+              "left_semi")
+            // aggregateBy's sets output order: groups, recs, _mv_gid
+            rec.toDF(shape.groups.map(p => "_mvk_" + p._1) ++
+              minMaxAggs.map { case (_, i) => s"_mv_rec_$i" } :+
+              ("_mvk_" + GidCol): _*)
+          case None =>
+            val srcProj0 = srcNarrow.select(
+              shape.groups.map { case (n, s) => expr(s).as(n) } ++
+                minMaxAggs.map { case (a, i) => expr(a.sql).as(s"_mv_v_$i") }: _*)
+            val srcProj =
+              if (isGlobal) srcProj0.withColumn(GlobalKeyCol, lit(0)) else srcProj0
+            val recAggs = minMaxAggs.map { case (a, i) =>
+              if (a.kind == "min") min(col(s"`_mv_v_$i`")).as(s"_mv_rec_$i")
+              else max(col(s"`_mv_v_$i`")).as(s"_mv_rec_$i")
+            }
+            val rec = srcProj.join(keyRenamed,
+                mergeKeys.map(n => col(s"`$n`") <=> col(s"`_mvk_$n`")).reduce(_ && _),
+                "left_semi")
+              .groupBy(mergeKeys.map(n => col(s"`$n`")): _*)
+              .agg(recAggs.head, recAggs.tail: _*)
+            rec.toDF(
+              mergeKeys.map("_mvk_" + _) ++
+                minMaxAggs.map { case (_, i) => s"_mv_rec_$i" }: _*)
         }
-        val rec = srcProj.join(keyRenamed,
-            mergeKeys.map(n => col(s"`$n`") <=> col(s"`_mvk_$n`")).reduce(_ && _),
-            "left_semi")
-          .groupBy(mergeKeys.map(n => col(s"`$n`")): _*)
-          .agg(recAggs.head, recAggs.tail: _*)
-        val recRenamed = rec.toDF(
-          mergeKeys.map("_mvk_" + _) ++ minMaxAggs.map { case (_, i) => s"_mv_rec_$i" }: _*)
         val withRec = merged.join(recRenamed,
           mergeKeys.map(n => col(s"`$n`") <=> col(s"`_mvk_$n`")).reduce(_ && _),
           "left")

@@ -979,7 +979,7 @@ object TableQueries {
           """CALL graftq112.system.create_mview('bench', 'cube',
             |  'SELECT l_returnflag AS flag, l_linestatus AS status,
             |     SUM(l_quantity) AS qty, AVG(l_quantity) AS aq, COUNT(*) AS n,
-            |     GROUPING(l_returnflag) AS gf
+            |     MAX(l_quantity) AS mq, GROUPING(l_returnflag) AS gf
             |   FROM graftq112.bench.li WHERE l_quantity > 1.0
             |   GROUP BY ROLLUP(l_returnflag, l_linestatus)')""".stripMargin)
           .head.getString(0)
@@ -993,11 +993,12 @@ object TableQueries {
           "CALL graftq112.system.refresh_mview('bench', 'cube', false)")
           .head.getString(2)
         require(action == "incremental", s"expected incremental refresh, got $action")
-        s.sql("""SELECT flag, status, qty, aq, n, gf FROM graftq112.bench.cube
+        s.sql("""SELECT flag, status, qty, aq, n, mq, gf FROM graftq112.bench.cube
                 |ORDER BY flag, status, n""".stripMargin)
       },
       Some("""SELECT l_returnflag AS flag, l_linestatus AS status,
              |  SUM(l_quantity) AS qty, AVG(l_quantity) AS aq, COUNT(*) AS n,
+             |  MAX(l_quantity) AS mq,
              |  CAST(GROUPING(l_returnflag) AS TINYINT) AS gf
              |FROM lineitem
              |WHERE l_quantity > 1.0 AND l_quantity < 44.0 AND l_orderkey > 350

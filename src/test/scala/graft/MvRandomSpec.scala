@@ -672,14 +672,15 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
       }
       val defn =
         s"""SELECT g, h, SUM(v) AS total, AVG(v) AS av, COUNT(v) AS nv,
-           |       COUNT(*) AS n, grouping_id(g, h) AS gi
+           |       COUNT(*) AS n, MIN(v) AS mn, MAX(v) AS mx,
+           |       grouping_id(g, h) AS gi
            |FROM graft.$ns.src WHERE v IS NULL OR v > -15.0
            |GROUP BY $shape""".stripMargin
       spark.sql(
         s"""CALL graft.system.create_mview('$ns', 'm', '${defn.replace("'", "''")}')""")
         .head.getString(0) shouldBe "incremental"
       def snap(from: String): Seq[String] =
-        spark.sql(s"SELECT g, h, total, av, nv, n, gi FROM $from")
+        spark.sql(s"SELECT g, h, total, av, nv, n, mn, mx, gi FROM $from")
           .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
       for (step <- 0 until 7) {
         rnd.nextInt(3) match {
