@@ -1051,12 +1051,21 @@ object TableQueries {
           "CALL graftq113.system.refresh_mview('bench', 'rev', false)")
           .head.getString(2)
         require(action == "incremental", s"expected incremental refresh, got $action")
-        s.sql("""SELECT flag, rev, rev_per_unit, n, tag FROM graftq113.bench.rev
+        // Both double outputs quantize through DECIMAL (the q107/q108
+        // idiom): incremental stored+delta addition order drifts from
+        // the oracle's single full aggregation at ULP scale (measured
+        // rel ~1e-15..1e-14 at sf0.01), which DECIMAL(18,4)/(18,6)
+        // absorbs with 9+ digits of headroom.
+        s.sql("""SELECT flag,
+                |  CAST(CAST(rev AS DECIMAL(18,4)) AS DOUBLE) AS rev,
+                |  CAST(CAST(rev_per_unit AS DECIMAL(18,6)) AS DOUBLE)
+                |    AS rev_per_unit,
+                |  n, tag FROM graftq113.bench.rev
                 |ORDER BY flag""".stripMargin)
       },
       Some("""SELECT l_returnflag AS flag,
-             |  SUM(l_extendedprice * (1.0 - l_discount)) AS rev,
-             |  SUM(l_extendedprice * (1.0 - l_discount)) / SUM(l_quantity)
+             |  CAST(CAST(SUM(l_extendedprice * (1.0 - l_discount)) AS DECIMAL(18,4)) AS DOUBLE) AS rev,
+             |  CAST(CAST(SUM(l_extendedprice * (1.0 - l_discount)) / SUM(l_quantity) AS DECIMAL(18,6)) AS DOUBLE)
              |    AS rev_per_unit,
              |  COUNT(*) + 0 AS n, concat(l_returnflag, '!') AS tag
              |FROM lineitem
