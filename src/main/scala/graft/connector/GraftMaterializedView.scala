@@ -859,13 +859,22 @@ object GraftMaterializedView {
         // MIN/MAX maintain under sets: the delta replays the same
         // grouping sets (each subtotal row gets its own inserted-side /
         // retracted-side extremes) and the targeted recompute
-        // re-aggregates through them. DISTINCT stays full: the pair
-        // table would need per-set pair rows keyed by a grouping id
-        // whose bit layout shifts under the added value column.
-        if (setsInfo.isDefined && shape.aggs.exists(a =>
-            Set("cdistinct", "sdistinct", "adistinct")(a.kind)))
-          return Left("DISTINCT aggregates under ROLLUP/CUBE/" +
-            "GROUPING SETS are not incrementally maintained")
+        // re-aggregates through them. DISTINCT maintains under sets
+        // too — the pair table carries per-set pair rows with the
+        // value in EVERY set and a grouping id computed over the
+        // original group columns only (see [[dlAggregate]]), so the
+        // two tables' gid layouts never interact. The one refused
+        // corner: a DISTINCT aggregate whose input IS a grouping key —
+        // appending it to every set would flip that key's grouping bit
+        // on subtotal rows and corrupt the layout.
+        if (setsInfo.isDefined)
+          shape.aggs.withFilter(a => DlKinds(a.kind)).foreach { a =>
+            if (shape.groups.exists(_._2 == a.sql))
+              return Left(s"DISTINCT aggregate over grouping key ${a.sql} " +
+                "under ROLLUP/CUBE/GROUPING SETS is not incrementally " +
+                "maintained — the pair table's always-grouped value " +
+                "column would collide with the key's set layout")
+          }
         if (groupingExprs.nonEmpty && shape.groups.isEmpty)
           return Left("no grouping columns in output")
         locally {
@@ -987,22 +996,44 @@ object GraftMaterializedView {
     shape.filter.fold(signed0)(signed0.where)
   }
 
-  /** Dedup-level pair counts over `base` (group keys + distinct value +
-    * `_mv_rows`), the aux table's full contents for a cdistinct agg.
-    * NULL values are excluded — COUNT(DISTINCT) ignores them.
+  /** One aggregation over (group keys, distinct value) pairs — the
+    * shared grouping of the pair table's CONTENTS (create/full rebuild:
+    * `agg` = COUNT(*) net carrier count) and its signed DELTA (refresh
+    * phase A: `agg` = SUM(_sign)). NULL values are excluded —
+    * COUNT(DISTINCT) ignores them. Under ROLLUP/CUBE/GROUPING SETS the
+    * value column joins EVERY set (a pair is never rolled up — each
+    * set's subtotal needs its own pair rows), while the stored grouping
+    * id is re-based onto the ORIGINAL group columns: the value is the
+    * LAST grouping column with its bit constantly 0, so the full id is
+    * exactly `main_gid << 1` and `shiftright(grouping_id(), 1)` gives
+    * the pair table's `_mv_gid` the exact bit layout of the main
+    * storage's — the phase-B fold joins on (groups, gid) with no
+    * layout translation.
     */
-  private def dlPairs(base: DataFrame, shape: Shape, valueSql: String): DataFrame = {
+  private def dlAggregate(base: DataFrame, shape: Shape, valueSql: String,
+                          agg: Column): DataFrame = {
     val v = expr(valueSql)
     val nn = base.where(v.isNotNull)
-    val f =
-      if (shape.groups.isEmpty)
-        nn.groupBy(v.as(DlVCol)).agg(count(lit(1)).as(RowsCol))
-          .withColumn(GlobalKeyCol, lit(0))
-      else
-        nn.groupBy(shape.groups.map { case (n, s) => expr(s).as(n) } :+ v.as(DlVCol): _*)
-          .agg(count(lit(1)).as(RowsCol))
-    f
+    shape.sets match {
+      case Some(sets) =>
+        val gexprs = shape.groups.map { case (_, s) => expr(s) }
+        val r = nn.groupingSets(sets.map(_.map(gexprs) :+ v), (gexprs :+ v): _*)
+          .agg(agg, shiftright(grouping_id(), 1).as(GidCol))
+        r.toDF(shape.groups.map(_._1) ++ Seq(DlVCol) ++
+          r.columns.drop(shape.groups.size + 1): _*)
+      case None if shape.groups.isEmpty =>
+        nn.groupBy(v.as(DlVCol)).agg(agg).withColumn(GlobalKeyCol, lit(0))
+      case None =>
+        nn.groupBy(shape.groups.map { case (n, s) => expr(s).as(n) } :+
+          v.as(DlVCol): _*).agg(agg)
+    }
   }
+
+  /** Dedup-level pair counts over `base` (group keys + distinct value +
+    * `_mv_rows`), the aux table's full contents for a cdistinct agg.
+    */
+  private def dlPairs(base: DataFrame, shape: Shape, valueSql: String): DataFrame =
+    dlAggregate(base, shape, valueSql, count(lit(1)).as(RowsCol))
 
   /** Signed per-group delta of a changelog slice. Additive aggregates
     * carry signed sums; MIN/MAX carry the inserted-side and
@@ -1564,14 +1595,7 @@ object GraftMaterializedView {
           try {
             val slice = signedSlice(
               telescopedChanges(auxApplied, auxPin, auxLegPin), shape)
-            val v = expr(vsql)
-            val nn = slice.where(v.isNotNull)
-            (if (isGlobal)
-               nn.groupBy(v.as(DlVCol)).agg(sum(col("_sign")).as("_mv_net"))
-                 .withColumn(GlobalKeyCol, lit(0))
-             else
-               nn.groupBy(shape.groups.map { case (n, s) => expr(s).as(n) } :+
-                 v.as(DlVCol): _*).agg(sum(col("_sign")).as("_mv_net")))
+            dlAggregate(slice, shape, vsql, sum(col("_sign")).as("_mv_net"))
               .localCheckpoint()
           } catch {
             case e @ (_: java.io.FileNotFoundException |

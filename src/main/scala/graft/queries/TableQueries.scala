@@ -1184,6 +1184,67 @@ object TableQueries {
              |           AND l_orderkey % 5 != 0)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // DISTINCT aggregates under ROLLUP: the pair table carries per-set
+    // pair rows (the distinct value joins every grouping set, the
+    // stored grouping id re-based onto the group columns via
+    // shiftright), so COUNT/SUM(DISTINCT) subtotals maintain
+    // incrementally across inserts AND MoR pair deaths — the shape
+    // r14's analyzer still refused to full mode.
+    "q116_mview_rollup_distinct" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq116").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq116", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq116.warehouse",
+            Files.createTempDirectory("graft-mview-rdist").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq116.bench")
+        s.sql("CALL graftq116.system.drop_mview('bench', 'rd')")
+        s.sql("DROP TABLE IF EXISTS graftq116.bench.li")
+        s.sql("""CREATE TABLE graftq116.bench.li
+                |(l_orderkey BIGINT, l_returnflag STRING, l_linestatus STRING,
+                | l_suppkey BIGINT, l_quantity DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        t(s, dir, "lineitem").createOrReplaceTempView("q116_li")
+        s.sql("""INSERT INTO graftq116.bench.li
+                |SELECT l_orderkey, l_returnflag, l_linestatus, l_suppkey,
+                |       l_quantity
+                |FROM q116_li WHERE l_orderkey % 2 = 0""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq116.system.create_mview('bench', 'rd',
+            |  'SELECT l_returnflag AS flag, l_linestatus AS status,
+            |     COUNT(DISTINCT l_suppkey) AS ds, SUM(DISTINCT l_suppkey) AS ss,
+            |     COUNT(*) AS n,
+            |     CAST(GROUPING(l_returnflag) AS TINYINT) AS gf
+            |   FROM graftq116.bench.li WHERE l_quantity > 2.0
+            |   GROUP BY ROLLUP(l_returnflag, l_linestatus)')""".stripMargin)
+          .head.getString(0)
+        require(mode == "incremental", s"expected incremental mode, got $mode")
+        s.sql("""INSERT INTO graftq116.bench.li
+                |SELECT l_orderkey, l_returnflag, l_linestatus, l_suppkey,
+                |       l_quantity
+                |FROM q116_li WHERE l_orderkey % 2 = 1""".stripMargin)
+        // the quantity band kills pairs whose supplier ships only large
+        // quantities under a (flag, status) tuple — and DIFFERENT pairs
+        // die at the subtotal levels; the key trim adds carrier churn
+        s.sql("DELETE FROM graftq116.bench.li WHERE l_quantity >= 46.0")
+        s.sql("DELETE FROM graftq116.bench.li WHERE l_orderkey <= 300")
+        val action = s.sql(
+          "CALL graftq116.system.refresh_mview('bench', 'rd', false)")
+          .head.getString(2)
+        require(action == "incremental", s"expected incremental refresh, got $action")
+        s.sql("""SELECT flag, status, ds, ss, n, gf FROM graftq116.bench.rd
+                |ORDER BY flag NULLS FIRST, status NULLS FIRST, n""".stripMargin)
+      },
+      Some("""SELECT l_returnflag AS flag, l_linestatus AS status,
+             |  COUNT(DISTINCT l_suppkey) AS ds,
+             |  CAST(SUM(DISTINCT l_suppkey) AS BIGINT) AS ss,
+             |  COUNT(*) AS n,
+             |  CAST(GROUPING(l_returnflag) AS TINYINT) AS gf
+             |FROM lineitem
+             |WHERE l_quantity > 2.0 AND l_quantity < 46.0 AND l_orderkey > 300
+             |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 5""".stripMargin)),
+
     // Join MV: fact (lineitem) joined to a static dimension (orders),
     // group key drawn from the DIM side, maintained incrementally from
     // the fact changelog — then the dim MOVES (400 orders re-prioritize

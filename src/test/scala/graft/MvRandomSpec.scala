@@ -670,9 +670,16 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
         case 1 => "CUBE(g, h)"
         case _ => "GROUPING SETS ((g, h), (h), ())"
       }
+      // DISTINCT aggregates under sets ride per-set pair rows: two
+      // distinct expressions → two pair tables, with COUNT+SUM+AVG
+      // over the first sharing one (values are whole doubles, so the
+      // distinct double sums are exact and string-comparable)
       val defn =
         s"""SELECT g, h, SUM(v) AS total, AVG(v) AS av, COUNT(v) AS nv,
            |       COUNT(*) AS n, MIN(v) AS mn, MAX(v) AS mx,
+           |       COUNT(DISTINCT v) AS dv, SUM(DISTINCT v) AS sdv,
+           |       AVG(DISTINCT v) AS adv,
+           |       SUM(DISTINCT id % 5) AS sdi,
            |       grouping_id(g, h) AS gi
            |FROM graft.$ns.src WHERE v IS NULL OR v > -15.0
            |GROUP BY $shape""".stripMargin
@@ -680,7 +687,7 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
         s"""CALL graft.system.create_mview('$ns', 'm', '${defn.replace("'", "''")}')""")
         .head.getString(0) shouldBe "incremental"
       def snap(from: String): Seq[String] =
-        spark.sql(s"SELECT g, h, total, av, nv, n, mn, mx, gi FROM $from")
+        spark.sql(s"SELECT g, h, total, av, nv, n, mn, mx, dv, sdv, adv, sdi, gi FROM $from")
           .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
       for (step <- 0 until 7) {
         rnd.nextInt(3) match {
@@ -724,6 +731,32 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
       spark.sql(s"CALL graft.system.drop_mview('$ns', 'm')")
       spark.sql(s"DROP TABLE graft.$ns.src")
     }
+  }
+
+  // The one refused DISTINCT-under-sets corner: a DISTINCT aggregate
+  // whose input IS a grouping key. Appending it to every pair-table
+  // set would flip that key's grouping bit on subtotal rows, so it
+  // registers FULL — and stays correct there.
+  test("DISTINCT over a grouping key under ROLLUP registers full") {
+    val ns = "mvgsdk"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.src")
+    spark.sql(s"CREATE TABLE graft.$ns.src (g STRING, h STRING, v DOUBLE)")
+    spark.sql(s"INSERT INTO graft.$ns.src VALUES ('a','x',1.0),('a','y',2.0),('b','x',3.0)")
+    val defn = s"SELECT g, h, COUNT(DISTINCT g) AS dg, SUM(v) AS total " +
+      s"FROM graft.$ns.src GROUP BY ROLLUP(g, h)"
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'm', '${defn.replace("'", "''")}')""")
+      .head.getString(0) shouldBe "full"
+    spark.sql(s"INSERT INTO graft.$ns.src VALUES ('c','x',4.0)")
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
+      .head.getString(2) shouldBe "full"
+    def snap(from: String): Seq[String] =
+      spark.sql(s"SELECT g, h, dg, total FROM $from")
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    snap(s"graft.$ns.m") shouldBe snap(s"($defn)")
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'm')")
+    spark.sql(s"DROP TABLE graft.$ns.src")
   }
 
   // Pins the round-13 shape guard: a GROUP BY expression missing from
