@@ -37,14 +37,15 @@ import org.json4s.jackson.JsonMethods
   * of a left-deep chain of inner/left-outer joins onto bare graft
   * DIMENSIONS — an optional deterministic WHERE, GROUP BY
   * deterministic expressions, aggregates limited to SUM / COUNT /
-  * COUNT(*) / AVG / MIN / MAX / COUNT|SUM|AVG(DISTINCT x) — DISTINCT
-  * over non-decimal inputs; MIN/MAX(DISTINCT) ≡ MIN/MAX — each with an
-  * optional deterministic FILTER (WHERE p), folded into the aggregated
-  * expression as CASE WHEN p THEN e END. Everything else
-  * (decimal DISTINCT aggregates, wide-decimal AVG, window functions,
-  * nested views, non-fact-preserving joins) falls back to FULL
-  * refresh, which
-  * recomputes and overwrites. Join maintenance pins every dimension AS
+  * COUNT(*) / AVG / MIN / MAX / COUNT|SUM|AVG(DISTINCT x) — decimal
+  * SUM(DISTINCT) included (NULL-means-empty vs overflow disambiguated
+  * by the alive-pair count), decimal AVG(DISTINCT) inside the same
+  * precision gate as additive decimal AVG; MIN/MAX(DISTINCT) ≡
+  * MIN/MAX — each with an optional deterministic FILTER (WHERE p),
+  * folded into the aggregated expression as CASE WHEN p THEN e END.
+  * Everything else (wide-decimal AVG / AVG(DISTINCT), window
+  * functions, nested views, non-fact-preserving joins) falls back to
+  * FULL refresh, which recomputes and overwrites. Join maintenance pins every dimension AS
   * OF the version the stored rows were built with, so the signed fact
   * changelog retracts exactly; a dimension that MOVES maintains
   * incrementally too when its join is INNER — a telescoped delta
@@ -145,8 +146,10 @@ object GraftMaterializedView {
 
   final case class AggSpec(name: String, kind: String, sql: String)
   // kind: sum | count | count_star | avg | davg (exact decimal) | min |
-  // max | cdistinct / sdistinct / adistinct (COUNT/SUM/AVG(DISTINCT x)
-  // via the dedup-level aux table)
+  // max | cdistinct / sdistinct / adistinct / dadistinct
+  // (COUNT/SUM/AVG(DISTINCT x) via the dedup-level aux table;
+  // dadistinct = decimal AVG(DISTINCT), exact decimal pair-value sum
+  // under the davg precision gate)
 
   /** Distinct aggregates maintained through a dedup-level pair table.
     * Aggs over the SAME distinct expression share ONE table (a
@@ -154,7 +157,7 @@ object GraftMaterializedView {
     * two): the canonical index is the first using agg's position, and
     * `users` lists every (spec, position) folding from it.
     */
-  private val DlKinds = Set("cdistinct", "sdistinct", "adistinct")
+  private val DlKinds = Set("cdistinct", "sdistinct", "adistinct", "dadistinct")
   private def dlGroups(aggs: Seq[AggSpec]): Seq[(Int, String, Seq[(AggSpec, Int)])] =
     aggs.zipWithIndex.filter(p => DlKinds(p._1.kind))
       .groupBy(_._1.sql).toSeq
@@ -355,13 +358,13 @@ object GraftMaterializedView {
       case AggregateExpression(Sum(e, _), _, true, None, _) =>
         // SUM(DISTINCT x): rides the same dedup-level pair table as
         // COUNT(DISTINCT) — a pair birth contributes +value, a death
-        // -value, a carrier-count update nets 0. Decimal is refused:
-        // the signed fold would need the overflow-NULL bookkeeping the
-        // additive path has, without a way to distinguish overflow from
-        // the legitimate all-pairs-dead NULL.
+        // -value, a carrier-count update nets 0. Decimal included: a
+        // legitimate NULL means zero alive pairs (nn == 0), so a NULL
+        // sum with nn > 0 is unambiguously DECIMAL(38) overflow and the
+        // merge aborts on it exactly like the additive SUM path (both
+        // the stored side and the fold's own aggregation are guarded).
         if (!e.deterministic) return Left(s"nondeterministic SUM(DISTINCT) in $ctx")
         e.dataType match {
-          case _: DecimalType => Left(s"decimal SUM(DISTINCT) in $ctx")
           case _: NumericType => Right(("sdistinct", plainSql(e)))
           case _ => Left(s"non-numeric SUM(DISTINCT) in $ctx")
         }
@@ -390,10 +393,16 @@ object GraftMaterializedView {
       case AggregateExpression(Average(e, _), _, true, None, _) =>
         // AVG(DISTINCT x) = SUM(DISTINCT)/COUNT(DISTINCT), both from the
         // shared pair table; the running sum is a double — exactly
-        // Spark's non-decimal distinct Average accumulator.
+        // Spark's non-decimal distinct Average accumulator. Decimal
+        // keeps an exact decimal pair-value sum and divides at merge,
+        // inside the SAME probed precision gate as additive decimal
+        // AVG (the sum/count division replays exactly iff scale <= 2
+        // or precision <= 24); wider decimals fall back to FULL.
         if (!e.deterministic) return Left(s"nondeterministic AVG(DISTINCT) in $ctx")
         e.dataType match {
-          case _: DecimalType => Left(s"decimal AVG(DISTINCT) in $ctx")
+          case d: DecimalType =>
+            if (d.scale + 4 <= 6 || d.precision <= 24) Right(("dadistinct", plainSql(e)))
+            else Left(s"decimal AVG(DISTINCT) wider than (24,*)/( *,2) in $ctx")
           case _: NumericType => Right(("adistinct", plainSql(e)))
           case _ => Left(s"non-numeric AVG(DISTINCT) in $ctx")
         }
@@ -939,6 +948,8 @@ object GraftMaterializedView {
         // distinct over the ORIGINAL type (matching the pair table),
         // accumulated as a double sum — Spark's own distinct Average
         expr(s"avg(DISTINCT ($s))").cast(DoubleType).as(n)
+      case AggSpec(n, "dadistinct", s) =>
+        expr(s"avg(DISTINCT ($s))").as(n) // native decimal avg output
       case AggSpec(n, k, _) => sys.error(s"bad agg kind $k for $n")
     } ++
       shape.aggs.zipWithIndex.flatMap {
@@ -947,6 +958,9 @@ object GraftMaterializedView {
           Seq(count_distinct(expr(s)).as(nnCol(i))) // alive-pair count
         case (AggSpec(_, "adistinct", s), i) => Seq(
           sum_distinct(expr(s).cast(DoubleType)).as(asCol(i)),
+          count_distinct(expr(s)).as(nnCol(i)))
+        case (AggSpec(_, "dadistinct", s), i) => Seq(
+          sum_distinct(expr(s)).as(asCol(i)), // exact decimal pair-value sum
           count_distinct(expr(s)).as(nnCol(i)))
         case (AggSpec(_, "avg", s), i) => Seq(
           sum(expr(s).cast(DoubleType)).as(asCol(i)),
@@ -1068,7 +1082,7 @@ object GraftMaterializedView {
         case "max" => Seq(
           max(when(col("_sign") === 1L, expr(a.sql))).as(insCol(i)),
           max(when(col("_sign") === -1L, expr(a.sql))).as(retCol(i)))
-        case "cdistinct" | "sdistinct" | "adistinct" =>
+        case "cdistinct" | "sdistinct" | "adistinct" | "dadistinct" =>
           Nil // folded in from the aux changelog later
         case k => sys.error(s"bad agg kind $k for ${a.name}")
       }
@@ -1675,30 +1689,50 @@ object GraftMaterializedView {
     // update nets 0 in both the sign sum and the sign-weighted value
     // sum — so the group-summed folds ARE the exact distinct deltas,
     // and the merge below treats them like any additive aggregate.
+    // decimal fold sums that came out NULL on a MATCHED group (its
+    // sign-count fold is non-null — pair values are never NULL, so the
+    // signed value sum is NULL only on DECIMAL(38) overflow) are
+    // flagged BEFORE the coalesce-to-zero masks them; the flags ride
+    // into the merged frame and feed the overflow abort below.
+    val dlOvfFlags = scala.collection.mutable.ListBuffer.empty[String]
     val dFull = dlg.foldLeft(d) { case (acc, (ci, _, users)) =>
-      // (fold column name, zero when the aux didn't move, fold expr)
-      val folds: Seq[(String, Column, Column)] = users.flatMap { case (a, i) =>
-        def signSum = sum(col("_mv_s"))
-        a.kind match {
-          case "cdistinct" => Seq((a.name, lit(0L), signSum))
-          case "sdistinct" =>
-            val sumT = storage.schema.fields.find(_.name == a.name).get.dataType
-            Seq(
-              (a.name, lit(0).cast(sumT),
-                sum(col("_mv_s").cast(sumT) * col(DlVCol).cast(sumT))),
-              (nnCol(i), lit(0L), signSum))
-          case "adistinct" => Seq(
-            (asCol(i), lit(0d),
-              sum(col("_mv_s").cast(DoubleType) * col(DlVCol).cast(DoubleType))),
-            (nnCol(i), lit(0L), signSum))
-          case k => sys.error(s"bad distinct agg kind $k for ${a.name}")
+      // (fold column name, zero when the aux didn't move, fold expr,
+      //  overflow indicator: the fold's sign-count column when the
+      //  value sum is decimal and must be NULL-checked)
+      def signedV = when(col("_mv_s") === 1L, col(DlVCol))
+        .otherwise(negate(col(DlVCol)))
+      val folds: Seq[(String, Column, Column, Option[String])] =
+        users.flatMap { case (a, i) =>
+          def signSum = sum(col("_mv_s"))
+          a.kind match {
+            case "cdistinct" => Seq((a.name, lit(0L), signSum, None))
+            case "sdistinct" =>
+              // sign via negate, not multiply: -v keeps the value's
+              // exact type, so the summed fold lands in the SAME
+              // sum type the stored column uses (decimal included)
+              val sumT = storage.schema.fields.find(_.name == a.name).get.dataType
+              val guard = Option(nnCol(i))
+                .filter(_ => sumT.isInstanceOf[DecimalType])
+              Seq(
+                (a.name, lit(0).cast(sumT), sum(signedV).cast(sumT), guard),
+                (nnCol(i), lit(0L), signSum, None))
+            case "adistinct" => Seq(
+              (asCol(i), lit(0d), sum(signedV.cast(DoubleType)), None),
+              (nnCol(i), lit(0L), signSum, None))
+            case "dadistinct" =>
+              val sumT = storage.schema.fields.find(_.name == asCol(i)).get.dataType
+              Seq(
+                (asCol(i), lit(0).cast(sumT), sum(signedV).cast(sumT),
+                  Some(nnCol(i))),
+                (nnCol(i), lit(0L), signSum, None))
+            case k => sys.error(s"bad distinct agg kind $k for ${a.name}")
+          }
         }
-      }
       val fromV = props.getOrElse(dlVerProp(ci), sys.error(
         s"materialized view $ns.$name: missing ${dlVerProp(ci)} marker")).toInt
       val nowV = dlVerNow(ci)
       if (nowV == fromV)
-        folds.foldLeft(acc) { case (f, (n, zero, _)) => f.withColumn(n, zero) }
+        folds.foldLeft(acc) { case (f, (n, zero, _, _)) => f.withColumn(n, zero) }
       else {
         val aux = cat.load(TableIdent(ns, name + StorageSuffix + dlSuffix(ci)))
         val dd =
@@ -1707,7 +1741,7 @@ object GraftMaterializedView {
               .otherwise(lit(-1L)))
             .groupBy(mergeKeys.map(n => col(s"`$n`")): _*)
             .agg(folds.head._3.as(folds.head._1),
-              folds.tail.map { case (n, _, e) => e.as(n) }: _*)
+              folds.tail.map { case (n, _, e, _) => e.as(n) }: _*)
           catch {
             case e @ (_: java.io.FileNotFoundException |
                       _: java.nio.file.NoSuchFileException |
@@ -1724,7 +1758,13 @@ object GraftMaterializedView {
           mergeKeys.zip(dk).map { case (n, r) =>
             col(s"`$n`") <=> col(s"`$r`")
           }.reduce(_ && _), "left")
-        folds.foldLeft(joined0) { case (f, (n, zero, _)) =>
+        val flagged = folds.collect { case (n, _, _, Some(ind)) => (n, ind) }
+          .foldLeft(joined0) { case (f, (n, ind)) =>
+            val flag = s"_mv_dlovf_${dlOvfFlags.size}"
+            dlOvfFlags += flag
+            f.withColumn(flag, col(s"`$n`").isNull && col(s"`$ind`").isNotNull)
+          }
+        folds.foldLeft(flagged) { case (f, (n, zero, _, _)) =>
           f.withColumn(n, coalesce(col(s"`$n`"), zero))
         }.drop(dk: _*)
       }
@@ -1798,7 +1838,7 @@ object GraftMaterializedView {
           val as = coalesce(ccol(asCol(i)), lit(0d)) + coalesce(dcol(asCol(i)), lit(0d))
           val nn = coalesce(ccol(nnCol(i)), lit(0L)) + coalesce(dcol(nnCol(i)), lit(0L))
           when(nn === 0L, lit(null).cast(DoubleType)).otherwise(as / nn).as(a.name)
-        case "davg" =>
+        case "davg" | "dadistinct" =>
           val outT = storage.schema.fields.find(_.name == a.name).get.dataType
           val sumT = storage.schema.fields.find(_.name == asCol(i)).get.dataType
           // cast the addition back to the STORED sum type before the
@@ -1825,7 +1865,7 @@ object GraftMaterializedView {
         case "avg" | "adistinct" => Seq(
           (coalesce(ccol(asCol(i)), lit(0d)) + coalesce(dcol(asCol(i)), lit(0d))).as(asCol(i)),
           (coalesce(ccol(nnCol(i)), lit(0L)) + coalesce(dcol(nnCol(i)), lit(0L))).as(nnCol(i)))
-        case "davg" =>
+        case "davg" | "dadistinct" =>
           val sumT = storage.schema.fields.find(_.name == asCol(i)).get.dataType
           Seq(
             (coalesce(ccol(asCol(i)), lit(0).cast(sumT)) +
@@ -1863,9 +1903,21 @@ object GraftMaterializedView {
       val conds = shape.aggs.zipWithIndex.flatMap { case (a, i) =>
         a.kind match {
           case "sum" =>
+            // ... and a DELTA sum that is NULL while its slice counted
+            // non-null inputs overflowed inside the delta aggregation
+            // itself — the merge's coalesce would fold the lost slice
+            // in as 0 with the stored/fresh checks blind to it
+            Seq(curExists && coalesce(ccol(nnCol(i)), lit(0L)) > 0L &&
+              ccol(a.name).isNull,
+              dcol(a.name).isNull && dcol(nnCol(i)) =!= 0L)
+          case "davg" =>
+            Seq(curExists && coalesce(ccol(nnCol(i)), lit(0L)) > 0L &&
+              ccol(asCol(i)).isNull,
+              dcol(asCol(i)).isNull && dcol(nnCol(i)) =!= 0L)
+          case "sdistinct" =>
             Seq(curExists && coalesce(ccol(nnCol(i)), lit(0L)) > 0L &&
               ccol(a.name).isNull)
-          case "davg" =>
+          case "dadistinct" =>
             Seq(curExists && coalesce(ccol(nnCol(i)), lit(0L)) > 0L &&
               ccol(asCol(i)).isNull)
           case _ => Nil
@@ -1873,8 +1925,12 @@ object GraftMaterializedView {
       }
       (if (conds.isEmpty) lit(false) else conds.reduce(_ || _)).as(OvfStored)
     }
+    // the fold-overflow flags computed in phase B ride along so the
+    // abort below can see them post-checkpoint
+    val dlOvfCols = dlOvfFlags.toSeq.map(n => dcol(n).as(n))
     val merged0 = joined
-      .select(groupSel ++ valueCols ++ hiddenCols ++ rcCols :+ newRows :+ ovfStored: _*)
+      .select(groupSel ++ valueCols ++ hiddenCols ++ rcCols ++ dlOvfCols
+        :+ newRows :+ ovfStored: _*)
     val merged = merged0.withColumn(RcAny, rcAny).localCheckpoint()
 
     if (!merged.where(col(RowsCol) < 0).isEmpty)
@@ -1890,11 +1946,13 @@ object GraftMaterializedView {
     locally {
       val fresh = shape.aggs.zipWithIndex.flatMap { case (a, i) =>
         a.kind match {
-          case "sum"  => Seq(col(s"`${nnCol(i)}`") > 0L && col(s"`${a.name}`").isNull)
-          case "davg" => Seq(col(s"`${nnCol(i)}`") > 0L && col(s"`${asCol(i)}`").isNull)
-          case _      => Nil
+          case "sum" | "sdistinct" =>
+            Seq(col(s"`${nnCol(i)}`") > 0L && col(s"`${a.name}`").isNull)
+          case "davg" | "dadistinct" =>
+            Seq(col(s"`${nnCol(i)}`") > 0L && col(s"`${asCol(i)}`").isNull)
+          case _ => Nil
         }
-      }
+      } ++ dlOvfFlags.toSeq.map(n => col(s"`$n`"))
       val anyOvf = (col(s"`$OvfStored`") +: fresh).reduce(_ || _)
       if (fresh.nonEmpty && !merged.where(anyOvf).isEmpty)
         throw new ArithmeticException(

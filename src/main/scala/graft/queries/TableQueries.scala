@@ -1245,6 +1245,66 @@ object TableQueries {
              |GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 5""".stripMargin)),
 
+    // Decimal DISTINCT aggregates: SUM(DISTINCT decimal) folds the
+    // exact decimal pair values (NULL-means-empty vs overflow
+    // disambiguated by the alive-pair count), AVG(DISTINCT decimal)
+    // divides the exact pair sum inside the davg precision gate —
+    // both shapes r14 refused to full mode. DuckDB recomputes from
+    // scratch over the same money column.
+    "q117_mview_decimal_distinct" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq117").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq117", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq117.warehouse",
+            Files.createTempDirectory("graft-mview-ddist").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq117.bench")
+        s.sql("CALL graftq117.system.drop_mview('bench', 'dd')")
+        s.sql("DROP TABLE IF EXISTS graftq117.bench.li")
+        s.sql("""CREATE TABLE graftq117.bench.li
+                |(l_orderkey BIGINT, l_returnflag STRING, price DECIMAL(12,2),
+                | l_quantity DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        t(s, dir, "lineitem").createOrReplaceTempView("q117_li")
+        s.sql("""INSERT INTO graftq117.bench.li
+                |SELECT l_orderkey, l_returnflag,
+                |       CAST(l_extendedprice AS DECIMAL(12,2)), l_quantity
+                |FROM q117_li WHERE l_orderkey % 2 = 0""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq117.system.create_mview('bench', 'dd',
+            |  'SELECT l_returnflag AS flag, SUM(DISTINCT price) AS sp,
+            |     AVG(DISTINCT price) AS ap, COUNT(DISTINCT price) AS dp,
+            |     COUNT(*) AS n
+            |   FROM graftq117.bench.li WHERE l_quantity > 2.0
+            |   GROUP BY l_returnflag')""".stripMargin).head.getString(0)
+        require(mode == "incremental", s"expected incremental mode, got $mode")
+        s.sql("""INSERT INTO graftq117.bench.li
+                |SELECT l_orderkey, l_returnflag,
+                |       CAST(l_extendedprice AS DECIMAL(12,2)), l_quantity
+                |FROM q117_li WHERE l_orderkey % 2 = 1""".stripMargin)
+        s.sql("DELETE FROM graftq117.bench.li WHERE l_quantity >= 44.0")
+        s.sql("DELETE FROM graftq117.bench.li WHERE l_orderkey <= 350")
+        val action = s.sql(
+          "CALL graftq117.system.refresh_mview('bench', 'dd', false)")
+          .head.getString(2)
+        require(action == "incremental", s"expected incremental refresh, got $action")
+        // the exact decimal pair sums convert ONCE to double on both
+        // sides (the DSUM idiom — identical IEEE rounding); ap reads
+        // the exact scale-6 decimal quotient as double (DuckDB's
+        // distinct AVG is a float division quantized to 6 decimals)
+        s.sql("""SELECT flag, CAST(sp AS DOUBLE) AS sp,
+                |  CAST(ap AS DOUBLE) AS ap, dp, n
+                |FROM graftq117.bench.dd ORDER BY flag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag AS flag,
+             |  CAST(SUM(DISTINCT CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sp,
+             |  CAST(CAST(AVG(DISTINCT CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(16,6)) AS DOUBLE) AS ap,
+             |  COUNT(DISTINCT CAST(l_extendedprice AS DECIMAL(12,2))) AS dp,
+             |  COUNT(*) AS n
+             |FROM lineitem
+             |WHERE l_quantity > 2.0 AND l_quantity < 44.0 AND l_orderkey > 350
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Join MV: fact (lineitem) joined to a static dimension (orders),
     // group key drawn from the DIM side, maintained incrementally from
     // the fact changelog — then the dim MOVES (400 orders re-prioritize

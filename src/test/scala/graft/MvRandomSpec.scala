@@ -852,7 +852,8 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
     }
     spark.sql(s"CALL graft.system.drop_mview('$ns', 'me')")
     spark.sql(s"DROP TABLE graft.$ns.edge")
-    // outside the gate: scale > 2 AND precision > 24 → full mode
+    // outside the gate: scale > 2 AND precision > 24 → full mode,
+    // for the DISTINCT spelling too (same probed division gate)
     spark.sql(s"DROP TABLE IF EXISTS graft.$ns.wide")
     spark.sql(s"CREATE TABLE graft.$ns.wide (g STRING, v DECIMAL(30,10))")
     spark.sql(s"INSERT INTO graft.$ns.wide VALUES ('a', 1.2345678901)")
@@ -861,6 +862,11 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
          |  'SELECT g, AVG(v) AS av FROM graft.$ns.wide GROUP BY g')""".stripMargin)
       .head.getString(0) shouldBe "full"
     spark.sql(s"CALL graft.system.drop_mview('$ns', 'mw')")
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'mwd',
+         |  'SELECT g, AVG(DISTINCT v) AS av FROM graft.$ns.wide GROUP BY g')""".stripMargin)
+      .head.getString(0) shouldBe "full"
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'mwd')")
     spark.sql(s"DROP TABLE graft.$ns.src")
     spark.sql(s"DROP TABLE graft.$ns.wide")
   }
@@ -882,7 +888,7 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
       spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
       spark.sql(s"DROP TABLE IF EXISTS graft.$ns.src")
       spark.sql(
-        s"CREATE TABLE graft.$ns.src (id BIGINT, g STRING, x INT, v DOUBLE)")
+        s"CREATE TABLE graft.$ns.src (id BIGINT, g STRING, x INT, v DOUBLE, d DECIMAL(12,2))")
       var nextId = 0L
       def insertBurst(): Unit = {
         val rows = (0 until (1 + rnd.nextInt(6))).map { _ =>
@@ -891,7 +897,10 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
           // small x domain → heavy pair sharing → real churn coverage
           val x = if (rnd.nextInt(5) == 0) "CAST(NULL AS INT)"
                   else rnd.nextInt(5).toString
-          s"($nextId, $g, $x, ${rnd.nextInt(40)}.5)"
+          // decimal domain kept small too: distinct decimal pair churn
+          val d = if (rnd.nextInt(6) == 0) "CAST(NULL AS DECIMAL(12,2))"
+                  else s"${rnd.nextInt(7)}.25"
+          s"($nextId, $g, $x, ${rnd.nextInt(40)}.5, $d)"
         }
         spark.sql(s"INSERT INTO graft.$ns.src VALUES ${rows.mkString(", ")}")
       }
@@ -901,20 +910,23 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
       // both exercised every step
       val defn =
         s"""SELECT g, COUNT(DISTINCT x) AS dx, SUM(DISTINCT x) AS sx,
-           |       AVG(DISTINCT v) AS adv, MIN(DISTINCT v) AS mnv, COUNT(x) AS nx,
+           |       AVG(DISTINCT v) AS adv, SUM(DISTINCT d) AS sdd,
+           |       AVG(DISTINCT d) AS avd,
+           |       MIN(DISTINCT v) AS mnv, COUNT(x) AS nx,
            |       SUM(v) AS total, MAX(v) AS mx, COUNT(*) AS n
            |FROM graft.$ns.src GROUP BY g""".stripMargin
       spark.sql(
         s"""CALL graft.system.create_mview('$ns', 'm', '${defn.replace("'", "''")}')""")
         .head.getString(0) shouldBe "incremental"
       // dx(0)+sx(1) share x's pair table at the canonical index 0;
-      // adv(2) owns v's; MIN(DISTINCT v) is just MIN and allocates
-      // nothing — exactly two aux tables for four DISTINCT spellings
+      // adv(2) owns v's; decimal sdd(3)+avd(4) share d's; MIN(DISTINCT
+      // v) is just MIN and allocates nothing — exactly three aux
+      // tables for six DISTINCT spellings
       spark.sql(s"SHOW TABLES IN graft.$ns").collect().map(_.getString(1))
         .filter(_.contains("__dl")).sorted shouldBe
-        Array("m__rows__dl0", "m__rows__dl2")
+        Array("m__rows__dl0", "m__rows__dl2", "m__rows__dl3")
       def snap(from: String): Seq[String] =
-        spark.sql(s"SELECT g, dx, sx, adv, mnv, nx, total, mx, n FROM $from " +
+        spark.sql(s"SELECT g, dx, sx, adv, sdd, avd, mnv, nx, total, mx, n FROM $from " +
             "ORDER BY g NULLS FIRST")
           .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
       for (step <- 0 until 8) {
@@ -933,7 +945,8 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
             spark.sql(
               s"""MERGE INTO graft.$ns.src t
                  |USING (SELECT CAST($id AS BIGINT) AS id, 'g${rnd.nextInt(3)}' AS g,
-                 |              ${rnd.nextInt(5)} AS x, ${rnd.nextInt(40)}.5 AS v) s
+                 |              ${rnd.nextInt(5)} AS x, ${rnd.nextInt(40)}.5 AS v,
+                 |              CAST(${rnd.nextInt(7)}.25 AS DECIMAL(12,2)) AS d) s
                  |ON t.id = s.id
                  |WHEN MATCHED THEN UPDATE SET *
                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
