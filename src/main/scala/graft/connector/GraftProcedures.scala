@@ -34,7 +34,8 @@ object GraftProcedures {
       "create_branch", "fast_forward", "merge_branch", "drop_branch",
       "set_partition_spec", "verify_table", "replicate", "compact_deletes",
       "dedup_table", "rewrite_deletes",
-      "create_mview", "refresh_mview", "drop_mview", "mviews")
+      "create_mview", "refresh_mview", "drop_mview", "mviews",
+      "ann_indexes", "rebuild_ann_index")
 
   def load(cat: () => GraftCatalog, name: String,
            catalogName: String = "graft"): Option[UnboundProcedure] =
@@ -143,6 +144,62 @@ object GraftProcedures {
                   dimsStale)): InternalRow
               }
             }.toArray
+        }))
+      // the "which ANN indexes need a rebuild" dashboard (the mviews
+      // pattern): one row per persisted IVF index in the namespace,
+      // cell occupancy from manifest metadata only — no job. Refresh
+      // assigns to frozen centroids, so corpus drift concentrates rows
+      // in hot cells; `skew` (max/mean over populated cells) crossing
+      // 4 flags the O(corpus) retrain (`rebuild_ann_index`) that
+      // restores balanced probes and recall.
+      case "ann_indexes" => Some(procMulti(name,
+        Array(ProcedureParameter.in("namespace", StringType).build()),
+        StructType(Seq(
+          StructField("name", StringType),
+          StructField("source", StringType),
+          StructField("applied_version", IntegerType),
+          StructField("source_version", IntegerType),
+          StructField("versions_behind", IntegerType),
+          StructField("cells", IntegerType),
+          StructField("populated_cells", IntegerType),
+          StructField("rows", LongType),
+          StructField("max_cell_rows", LongType),
+          StructField("mean_cell_rows", DoubleType),
+          StructField("skew", DoubleType),
+          StructField("rebuild_recommended", BooleanType))),
+        { in =>
+          val c = cat()
+          val ns = in.getUTF8String(0).toString
+          def utf(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          c.listTables(ns).flatMap { ti =>
+            val props = c.load(ti).currentOrFail().properties
+            props.get(graft.operators.Similarity.CentroidsProp).map { _ =>
+              val st = graft.operators.Similarity.ivfIndexStats(c, ti)
+              new GenericInternalRow(Array[Any](
+                utf(ti.name),
+                utf(props(graft.operators.Similarity.SourceProp).replace("/", ".")),
+                st.appliedVersion, st.sourceVersion, st.versionsBehind,
+                st.cells, st.populatedCells, st.rows, st.maxCellRows,
+                st.meanCellRows, st.skew, st.rebuildRecommended)): InternalRow
+            }
+          }.toArray
+        }))
+      // O(corpus) centroid retrain + reassignment, swapped in ONE
+      // overwrite commit (in-flight probes keep their snapshot)
+      case "rebuild_ann_index" => Some(proc(name,
+        Array(
+          ProcedureParameter.in("namespace", StringType).build(),
+          ProcedureParameter.in("table", StringType).build()),
+        StructType(Seq(
+          StructField("rows", LongType),
+          StructField("skew", DoubleType))),
+        { in =>
+          val c = cat()
+          val ti = TableIdent(in.getUTF8String(0).toString,
+            in.getUTF8String(1).toString)
+          graft.operators.Similarity.rebuildIvfIndexTable(c, ti)
+          val st = graft.operators.Similarity.ivfIndexStats(c, ti)
+          new GenericInternalRow(Array[Any](st.rows, st.skew))
         }))
       case "expire_snapshots" => Some(proc(name,
         Array(

@@ -303,6 +303,95 @@ object Similarity {
     (applied, to, "incremental")
   }
 
+  /** Per-cell occupancy of a persisted IVF index, from MANIFEST
+    * metadata only — the `_cell` partition tuples and per-file row
+    * counts; no job runs. The lifecycle dashboard numbers: refresh
+    * assigns to FROZEN centroids, so as the corpus drifts, hot cells
+    * grow without bound (probe cost ∝ the probed cells' rows) and
+    * recall decays; `skew` (max cell rows / mean over populated
+    * cells) is the rebuild trigger a 100 TB operator watches.
+    */
+  final case class IvfIndexStats(cells: Int, populatedCells: Int,
+                                 rows: Long, maxCellRows: Long,
+                                 meanCellRows: Double, skew: Double,
+                                 appliedVersion: Int, sourceVersion: Int) {
+    def versionsBehind: Int = math.max(0, sourceVersion - appliedVersion)
+    /** max/mean ≥ 4 means a probe of the hot cell reads ≥4× its fair
+      * share — the drift signature (frozen centroids no longer tile
+      * the corpus); rebuild to restore balanced probes and recall.
+      */
+    def rebuildRecommended: Boolean = skew >= 4.0
+  }
+
+  def ivfIndexStats(cat: graft.table.GraftCatalog,
+                    indexIdent: graft.table.TableIdent): IvfIndexStats = {
+    val tbl = cat.load(indexIdent)
+    val snap = tbl.currentOrFail()
+    val props = snap.properties
+    val nlist = props(CentroidsProp).split(";").length
+    val perCell: Map[String, Long] = snap.files
+      .groupBy(_.partitionValues.flatMap(_.get("_cell")).flatten.getOrElse(""))
+      .map { case (c, fs) => c -> fs.map(_.rows).sum }
+    val rows = perCell.values.sum
+    val maxRows = if (perCell.isEmpty) 0L else perCell.values.max
+    val mean = if (perCell.isEmpty) 0.0 else rows.toDouble / perCell.size
+    val srcV = props(SourceProp).split("/") match {
+      case Array(ns, t) if cat.exists(graft.table.TableIdent(ns, t)) =>
+        cat.load(graft.table.TableIdent(ns, t)).currentOrFail().version
+      case _ => -1
+    }
+    IvfIndexStats(nlist, perCell.size, rows, maxRows, mean,
+      if (mean == 0.0) 0.0 else maxRows / mean,
+      props.getOrElse(AppliedProp, "-1").toInt, srcV)
+  }
+
+  /** REBUILD a persisted IVF index: retrain the coarse quantizer from
+    * the corpus AS IT IS NOW, reassign every vector, and swap rows +
+    * centroids + marker in ONE overwrite commit — probes running
+    * against the old snapshot are unaffected mid-build, and the next
+    * probe plans against the new tiling. This is the answer to
+    * centroid drift: [[refreshIvfIndexTable]] keeps the index CURRENT
+    * in O(changes) but never moves the centroids, so when
+    * [[ivfIndexStats]] reports skew, this O(corpus) retrain restores
+    * balanced cells and recall. A refresh racing the rebuild aborts at
+    * its CAS (the overwrite rewrote the marker); a rebuild always
+    * wins (it derives from the head, not the marker).
+    */
+  def rebuildIvfIndexTable(cat: graft.table.GraftCatalog,
+                           indexIdent: graft.table.TableIdent,
+                           nlist: Option[Int] = None, seed: Long = 42L,
+                           trainFraction: Double = 1.0): graft.table.GraftTable = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val tbl = cat.load(indexIdent)
+    val props = tbl.currentOrFail().properties
+    val vecCol = props(VecColProp)
+    val idCol = props(IdColProp)
+    val k = nlist.getOrElse(props(CentroidsProp).split(";").length)
+    val srcIdent = props(SourceProp).split("/") match {
+      case Array(ns, t) => graft.table.TableIdent(ns, t)
+      case other => sys.error(s"bad ivf source: ${other.mkString("/")}")
+    }
+    val src = cat.load(srcIdent)
+    val cur = src.currentOrFail().version
+    val corpus = src.scanAsOfVersion(cur).select(col(idCol), col(vecCol))
+    val prepped = corpus.select(col(idCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("_features"))
+    val trainSet =
+      if (trainFraction >= 1.0) prepped
+      else prepped.where(pmod(xxhash64(col(idCol)), lit(1000L)) <
+        math.max(1L, math.round(trainFraction * 1000)))
+    val model = new KMeans()
+      .setK(k).setSeed(seed).setMaxIter(10).setFeaturesCol("_features")
+      .fit(trainSet)
+    val centroids = model.clusterCenters.map(_.toArray)
+    val assigned = corpus.withColumn("_cell", cellExpr(col(vecCol), centroids))
+    tbl.overwrite(assigned, Map(
+      CentroidsProp -> centroids.map(_.mkString(",")).mkString(";"),
+      AppliedProp -> cur.toString))
+    tbl
+  }
+
   /** Probe a persisted IVF index table: nearest `nprobe` centroids from
     * the table's own properties, then a partition-pruned scan of just
     * those cells, exact-scored. The file-pruning work happens driver-

@@ -502,6 +502,59 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
         .collect().map(_.getLong(0)).toSeq
   }
 
+  test("IVF lifecycle: drift skews frozen cells, dashboard flags it, rebuild restores recall") {
+    val s = spark
+    import s.implicits._
+    // shared warehouse: the ann_indexes procedure goes through the SQL
+    // catalog `graft`, which is pinned to TestSpark.warehouse
+    val cat = graft.table.GraftCatalog(s, TestSpark.warehouse)
+    val ns = "ivfdash"
+    def baseVec(i: Long) = Seq.tabulate(8)(d => math.sin(i * 17 + d * 3).toFloat)
+    // a far region the frozen centroids never saw — all-positive offset
+    // with enough per-vector spread that neighborhoods are meaningful
+    def driftVec(i: Long) =
+      Seq.tabulate(8)(d => (40.0 + 5 * math.sin(i * 13 + d * 7)).toFloat)
+    val srcIdent = graft.table.TableIdent(ns, "corpus")
+    val idxIdent = graft.table.TableIdent(ns, "idx")
+    val src = cat.ensure(srcIdent)
+    src.append((1L to 100L).map(i => (i, baseVec(i))).toDF("id", "v"))
+    Similarity.buildIvfIndexTable(cat, srcIdent, idxIdent, "v", "id", nlist = 8)
+    Similarity.ivfIndexStats(cat, idxIdent).rows shouldBe 100L
+    // 10× drift: refresh assigns every new vector to ONE stale cell
+    src.append((101L to 1100L).map(i => (i, driftVec(i))).toDF("id", "v"))
+    Similarity.refreshIvfIndexTable(cat, idxIdent)._3 shouldBe "incremental"
+    val st1 = Similarity.ivfIndexStats(cat, idxIdent)
+    st1.rows shouldBe 1100L
+    st1.skew should be >= 4.0
+    st1.rebuildRecommended shouldBe true
+    st1.versionsBehind shouldBe 0
+    // the dashboard surfaces it through SQL — metadata only, no job
+    val row = s.sql(s"CALL graft.system.ann_indexes('$ns')").collect()
+      .find(_.getString(0) == "idx").get
+    row.getAs[Boolean]("rebuild_recommended") shouldBe true
+    row.getAs[Long]("rows") shouldBe 1100L
+    row.getAs[Int]("cells") shouldBe 8
+    // rebuild retrains from the drifted corpus and swaps in ONE commit
+    Similarity.rebuildIvfIndexTable(cat, idxIdent)
+    val st2 = Similarity.ivfIndexStats(cat, idxIdent)
+    st2.rows shouldBe 1100L
+    st2.skew should be < st1.skew
+    st2.versionsBehind shouldBe 0
+    // recall@10 at modest nprobe is healthy again, in both regions
+    val queries = Seq(driftVec(105L), driftVec(300L), driftVec(777L), baseVec(42L))
+    val recalls = queries.map { q =>
+      val approx = Similarity.ivfTopKFromTable(cat.load(idxIdent), q, 10, nprobe = 4)
+        .collect().map(_.getLong(0)).toSet
+      val exact = Similarity.bruteForceTopK(src.scan(), "v", "id", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      approx.intersect(exact).size / 10.0
+    }
+    all(recalls) should be >= 0.8
+    // ... and the SQL spelling of rebuild reports the post-state
+    s.sql(s"CALL graft.system.rebuild_ann_index('$ns', 'idx')")
+      .head.getLong(0) shouldBe 1100L
+  }
+
   test("rangeJoin matches exactly the naive theta-join overlap result") {
     import graft.operators.RangeJoin
     val s = spark
