@@ -48,13 +48,16 @@ import org.json4s.jackson.JsonMethods
   * FULL refresh, which recomputes and overwrites. Join maintenance pins every dimension AS
   * OF the version the stored rows were built with, so the signed fact
   * changelog retracts exactly; a dimension that MOVES maintains
-  * incrementally too when its join is INNER — a telescoped delta
+  * incrementally too — a telescoped delta
   * replaces one relation at a time (ΔF against old pins, then F@head
   * against each moved dim's signed slice with earlier dims at new and
   * later dims at old pins), exact by inner-join multilinearity and
-  * O(F ⋈ ΔD), never O(F ⋈ D). A moved LEFT-joined dim flips
-  * NULL-extensions non-linearly and still re-pins via one full
-  * recompute. The maintenance algebra per aggregate kind:
+  * O(F ⋈ ΔD), never O(F ⋈ D). A moved LEFT-joined dim adds two flip
+  * terms on top of its (linear) matched part: prefix rows that lost
+  * their last match re-extend with NULLs, rows that gained a first
+  * match retract the stored NULL-extension — both computed as
+  * slice-bounded semi/anti joins, so the cost stays O(affected ⋈ D).
+  * The maintenance algebra per aggregate kind:
   *
   *  - SUM/COUNT/COUNT(*): exactly retraction-safe — signed deltas add.
   *    Bookkeeping: `_mv_rows` = COUNT(*) per group (a group vanishes
@@ -1348,16 +1351,15 @@ object GraftMaterializedView {
     val dimsMoved = dimTbls.exists { case (r, _, _, _) =>
       curVers(r) != pinnedVer(r)
     }
-    // A moved dimension maintains INCREMENTALLY when its own join is
-    // INNER and it moved forward: the left-deep join is multilinear in
-    // each inner-joined relation (a left join distributes over its
-    // signed LEFT side, so later left dims don't break the linearity),
-    // which makes the telescoped delta below exact. A moved LEFT dim
-    // flips NULL-extensions non-linearly — full re-pin; a rolled-BACK
-    // dim has no forward changelog slice — full re-pin.
-    val dimsIncremental = dimTbls.forall { case (r, _, jt, _) =>
-      curVers(r) == pinnedVer(r) ||
-        (jt == "inner" && curVers(r) > pinnedVer(r))
+    // A moved dimension maintains INCREMENTALLY whenever it moved
+    // FORWARD: an inner dim by multilinearity (a left join distributes
+    // over its signed LEFT side, so later left dims don't break the
+    // linearity); a LEFT dim via its matched (inner) part PLUS the
+    // NULL-extension flip terms — see the telescope below. Only a
+    // rolled-BACK dim (no forward changelog slice) forces a full
+    // re-pin.
+    val dimsIncremental = dimTbls.forall { case (r, _, _, _) =>
+      curVers(r) >= pinnedVer(r)
     }
     // a FORCED rebuild must rebuild even with the marker at the head —
     // the negative-count / storage-surgery errors name force_full as
@@ -1458,7 +1460,7 @@ object GraftMaterializedView {
             pins))
       }
       val dimTerms = dimTbls.zipWithIndex.collect {
-        case ((r, t, _, c), i) if curVers(r) != pins(r) =>
+        case ((r, t, jt, c), i) if curVers(r) != pins(r) =>
           val before = dimTbls.take(i).map { case (r2, t2, jt2, c2) =>
             (t2.scanAsOfVersion(curVers(r2)), jt2, c2)
           }
@@ -1469,8 +1471,46 @@ object GraftMaterializedView {
           val after = dimTbls.drop(i + 1).map { case (r2, t2, jt2, c2) =>
             (t2.scanAsOfVersion(pins(r2)), jt2, c2)
           }
-          joinBase(joinBase(prunedFactFor(slice, c), before)
-            .join(slice, expr(c), "inner"), after)
+          val base = joinBase(prunedFactFor(slice, c), before)
+          val matched = joinBase(base.join(slice, expr(c), "inner"), after)
+          if (jt == "inner") matched
+          else {
+            // A moved LEFT dim: LEFT = matched part ∪ NULL-extension,
+            // and the matched part is the INNER join — linear in the
+            // dim, so the signed slice term above is exact for it. The
+            // NULL-extensions flip NON-linearly, but only on prefix
+            // rows whose match-set crossed zero, and those are exactly
+            // computable with semi/anti joins (multiplicity-preserving,
+            // no per-row match counting):
+            //   gained a first match (∅→matches): the stored rows held
+            //     (p, NULLs) — RETRACT it (sign −1);
+            //   lost the last match (matches→∅): (p, NULLs) now exists
+            //     — INSERT it (sign +1).
+            // Only prefix rows matching a slice row can flip (the dim
+            // changed nowhere else), so `affected` is slice-bounded and
+            // the fact scan under it is zone-pruned by the slice keys;
+            // the two dim probes are semi/anti joins of that small set
+            // against the pinned and current dim. A row matching the
+            // slice with matches on BOTH ends (an update) joins both
+            // probes' keep-sides and lands in neither flip. Suffix dims
+            // at old pins apply to the flip rows like any term — their
+            // conditions see the NULLed columns exactly as the defining
+            // query would.
+            val affected = base.join(slice, expr(c), "left_semi")
+            val dOld = t.scanAsOfVersion(pins(r))
+            val dNew = t.scanAsOfVersion(curVers(r))
+            val gained = affected.join(dOld, expr(c), "left_anti")
+              .join(dNew, expr(c), "left_semi")
+              .withColumn("_change_type", lit("delete"))
+            val lost = affected.join(dOld, expr(c), "left_semi")
+              .join(dNew, expr(c), "left_anti")
+              .withColumn("_change_type", lit("insert"))
+            val flips0 = gained.unionByName(lost)
+            val flips = t.schema.fields.foldLeft(flips0) { (f, fld) =>
+              f.withColumn(fld.name, lit(null).cast(fld.dataType))
+            }
+            matched.unionByName(joinBase(flips, after))
+          }
       }
       dimTerms.foldLeft(factTerm)(_ unionByName _)
     }
@@ -2088,9 +2128,10 @@ object GraftMaterializedView {
     *
     * NOTE: adding dims/legs to the feed changed the stream's SOURCE
     * SHAPE — a checkpoint written by the fact-only version of this
-    * method will not recover for join/union MVs; start those streams
-    * with a fresh checkpoint dir (the MV's own markers make the
-    * switch lossless).
+    * method will not recover for join/union MVs. The arity guard
+    * below detects such a checkpoint BEFORE start and raises an error
+    * naming the remedy: restart with a fresh checkpoint dir (the MV's
+    * own markers make the switch lossless).
     */
   def maintainStream(spark: SparkSession, cat: GraftCatalog, catalogName: String,
                      ns: String, name: String, checkpointDir: String,
@@ -2112,6 +2153,37 @@ object GraftMaterializedView {
     val feeds: Seq[(String, String)] =
       (props(SourceProp), props(AppliedProp)) +:
         (dimVers ++ legVers).toSeq.sorted.map { case (r, v) => (r, v.toString) }
+    // Legacy-checkpoint guard: the stream's SOURCE SHAPE is one feed
+    // per relation (fact + every dim/union leg). A checkpoint written
+    // by the fact-only version of this method (or for an MV whose dim
+    // set since changed) cannot recover against a different union
+    // arity — Spark would fail deep in offset recovery with no pointer
+    // to the remedy. Count the sources in the newest offsets file and
+    // fail UP FRONT with the fix by name. (A fresh checkpoint dir is
+    // lossless here: all refresh state lives in the MV's own markers.)
+    locally {
+      val offsets = new org.apache.hadoop.fs.Path(checkpointDir, "offsets")
+      val cfs = offsets.getFileSystem(spark.sessionState.newHadoopConf())
+      if (cfs.exists(offsets)) {
+        cfs.listStatus(offsets).map(_.getPath)
+          .filter(p => p.getName.nonEmpty && p.getName.forall(_.isDigit))
+          .sortBy(_.getName.toLong).lastOption.foreach { p =>
+            val in = cfs.open(p)
+            val nSources =
+              try scala.io.Source.fromInputStream(in, "UTF-8").getLines().size - 2
+              finally in.close()
+            if (nSources > 0 && nSources != feeds.size)
+              throw new IllegalStateException(
+                s"materialized-view stream for $ns.$name reads ${feeds.size} " +
+                  s"changelog feed(s) (fact + dims/union legs) but the " +
+                  s"checkpoint at $checkpointDir was written with $nSources — " +
+                  "an incompatible source shape (written before the feed " +
+                  "included dimensions, or the MV's join shape changed). " +
+                  "Restart with a FRESH checkpoint directory: the MV's own " +
+                  "applied/pin markers make the switch lossless")
+          }
+      }
+    }
     val ticks = feeds.map { case (rel, start) =>
       val Array(rns, rt) = rel.split("/")
       spark.readStream

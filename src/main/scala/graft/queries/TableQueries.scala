@@ -1305,6 +1305,78 @@ object TableQueries {
              |WHERE l_quantity > 2.0 AND l_quantity < 44.0 AND l_orderkey > 350
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // LEFT-join MV with a MOVED dimension: unmatched facts aggregate
+    // under the NULL group; then the dim moves in BOTH flip directions
+    // (missing orders arrive → NULL-extensions retract; urgent orders
+    // vanish → facts re-extend with NULLs) and the refresh stays
+    // INCREMENTAL — the telescoped matched part plus the semi/anti
+    // flip terms, the shape r14 re-pinned with a full recompute.
+    "q118_mview_left_join" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq118").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq118", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq118.warehouse",
+            Files.createTempDirectory("graft-mview-ljoin").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq118.bench")
+        s.sql("CALL graftq118.system.drop_mview('bench', 'lp')")
+        s.sql("DROP TABLE IF EXISTS graftq118.bench.li")
+        s.sql("DROP TABLE IF EXISTS graftq118.bench.ord")
+        s.sql("""CREATE TABLE graftq118.bench.li
+                |(l_orderkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        s.sql("""CREATE TABLE graftq118.bench.ord
+                |(o_orderkey BIGINT, o_orderpriority STRING)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        t(s, dir, "orders").createOrReplaceTempView("q118_ord")
+        t(s, dir, "lineitem").createOrReplaceTempView("q118_li")
+        // a third of the orders are MISSING: their lineitems land in
+        // the NULL-priority group through the left join
+        s.sql("""INSERT INTO graftq118.bench.ord
+                |SELECT o_orderkey, o_orderpriority FROM q118_ord
+                |WHERE o_orderkey % 3 != 0""".stripMargin)
+        s.sql("""INSERT INTO graftq118.bench.li
+                |SELECT l_orderkey, l_quantity, l_extendedprice
+                |FROM q118_li WHERE l_orderkey % 2 = 0""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq118.system.create_mview('bench', 'lp',
+            |  'SELECT o_orderpriority AS pri, SUM(l_quantity) AS sq,
+            |     COUNT(*) AS n, MAX(l_extendedprice) AS mp
+            |   FROM graftq118.bench.li LEFT JOIN graftq118.bench.ord
+            |     ON l_orderkey = o_orderkey
+            |   WHERE l_quantity > 1.0
+            |   GROUP BY o_orderpriority')""".stripMargin).head.getString(0)
+        require(mode == "incremental", s"expected incremental left-join MV, got $mode")
+        // the fact moves...
+        s.sql("""INSERT INTO graftq118.bench.li
+                |SELECT l_orderkey, l_quantity, l_extendedprice
+                |FROM q118_li WHERE l_orderkey % 2 = 1""".stripMargin)
+        // ...and the LEFT dim moves in both flip directions
+        s.sql("""INSERT INTO graftq118.bench.ord
+                |SELECT o_orderkey, o_orderpriority FROM q118_ord
+                |WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 != 0""".stripMargin)
+        s.sql("""DELETE FROM graftq118.bench.ord
+                |WHERE o_orderpriority = '1-URGENT' AND o_orderkey <= 3000""".stripMargin)
+        val action = s.sql(
+          "CALL graftq118.system.refresh_mview('bench', 'lp', false)")
+          .head.getString(2)
+        require(action == "incremental",
+          s"expected incremental left-dim refresh, got $action")
+        s.sql("""SELECT pri,
+                |  CAST(CAST(sq AS DECIMAL(14,2)) AS DOUBLE) AS sq, n, mp
+                |FROM graftq118.bench.lp ORDER BY pri NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT o.o_orderpriority AS pri,
+             |  CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DECIMAL(14,2)) AS DOUBLE) AS sq,
+             |  COUNT(*) AS n, MAX(l.l_extendedprice) AS mp
+             |FROM lineitem l LEFT JOIN (
+             |  SELECT o_orderkey, o_orderpriority FROM orders
+             |  WHERE (o_orderkey % 3 != 0 OR o_orderkey % 5 != 0)
+             |    AND NOT (o_orderpriority = '1-URGENT' AND o_orderkey <= 3000)
+             |) o ON l.l_orderkey = o.o_orderkey
+             |WHERE l.l_quantity > 1.0
+             |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)),
+
     // Join MV: fact (lineitem) joined to a static dimension (orders),
     // group key drawn from the DIM side, maintained incrementally from
     // the fact changelog — then the dim MOVES (400 orders re-prioritize

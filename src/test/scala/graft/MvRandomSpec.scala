@@ -446,7 +446,7 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
     }
   }
 
-  test("join MV: a moved LEFT-joined dim still re-pins via one full refresh") {
+  test("join MV: a moved LEFT-joined dim maintains incrementally (NULL-extension flips)") {
     val ns = "mvjl"
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
     spark.sql(s"DROP TABLE IF EXISTS graft.$ns.fact")
@@ -465,22 +465,63 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
       s"""CALL graft.system.create_mview('$ns', 'm',
          |  '${defn.replace("\n", " ")}')""".stripMargin)
       .head.getString(0) shouldBe "incremental"
+    def refresh(): String =
+      spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
+        .head.getString(2)
     // fact-only changes stay incremental with the left dim pinned
     spark.sql(s"INSERT INTO graft.$ns.fact VALUES (4, 'g3', 0, 40.0)")
-    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
-      .head.getString(2) shouldBe "incremental"
+    refresh() shouldBe "incremental"
     aggJ(s"graft.$ns.m") shouldBe aggJ(s"($defn)")
     // the LEFT dim moves: g2's NULL-extension flips to a real match —
-    // non-linear, one full refresh re-pins
+    // matched part (+) plus the flip retraction (−), INCREMENTAL now
     spark.sql(s"INSERT INTO graft.$ns.dim VALUES ('g2', 'c0')")
-    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
-      .head.getString(2) shouldBe "full"
+    refresh() shouldBe "incremental"
     aggJ(s"graft.$ns.m") shouldBe aggJ(s"($defn)")
-    // and fact-only maintenance resumes incremental afterwards
-    spark.sql(s"INSERT INTO graft.$ns.fact VALUES (5, 'g2', 1, 50.0)")
-    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
-      .head.getString(2) shouldBe "incremental"
+    // a dim delete flips g1's fact rows BACK to the NULL-extension
+    spark.sql(s"DELETE FROM graft.$ns.dim WHERE dg = 'g1'")
+    refresh() shouldBe "incremental"
     aggJ(s"graft.$ns.m") shouldBe aggJ(s"($defn)")
+    // a dim retarget that KEEPS matches: matched-part only, no flips
+    spark.sql(s"DELETE FROM graft.$ns.dim WHERE dg = 'g0'")
+    spark.sql(s"INSERT INTO graft.$ns.dim VALUES ('g0', 'c7')")
+    refresh() shouldBe "incremental"
+    aggJ(s"graft.$ns.m") shouldBe aggJ(s"($defn)")
+    // mixed window: fact AND left dim move before one refresh
+    spark.sql(s"INSERT INTO graft.$ns.fact VALUES (5, 'g2', 1, 50.0), (6, 'g4', 0, 60.0)")
+    spark.sql(s"INSERT INTO graft.$ns.dim VALUES ('g3', 'c1')")
+    refresh() shouldBe "incremental"
+    aggJ(s"graft.$ns.m") shouldBe aggJ(s"($defn)")
+    // randomized churn across both tables, refresh after every window
+    val rnd = new Random(71)
+    var nextId = 6L
+    var nextDim = 4
+    for (step <- 0 until 10) {
+      rnd.nextInt(5) match {
+        case 0 =>
+          nextId += 1
+          spark.sql(s"INSERT INTO graft.$ns.fact VALUES " +
+            s"($nextId, 'g${rnd.nextInt(6)}', ${rnd.nextInt(3)}, ${rnd.nextInt(90)}.0)")
+        case 1 =>
+          spark.sql(s"DELETE FROM graft.$ns.fact WHERE v = ${rnd.nextInt(90)}.0")
+        case 2 =>
+          nextDim += 1
+          // may introduce a brand-new key (future facts match it) or a
+          // DUPLICATE dg (left join fans out — multiplicity covered)
+          spark.sql(s"INSERT INTO graft.$ns.dim VALUES " +
+            s"('g${rnd.nextInt(7)}', 'c${rnd.nextInt(4)}')")
+        case 3 =>
+          spark.sql(s"DELETE FROM graft.$ns.dim WHERE dg = 'g${rnd.nextInt(7)}'")
+        case _ =>
+          val k = rnd.nextInt(7)
+          spark.sql(s"DELETE FROM graft.$ns.dim WHERE dg = 'g$k'")
+          spark.sql(s"INSERT INTO graft.$ns.dim VALUES ('g$k', 'c${rnd.nextInt(4)}')")
+      }
+      val action = refresh()
+      Seq("incremental", "empty", "noop") should contain(action)
+      withClue(s"step=$step action=$action ") {
+        aggJ(s"graft.$ns.m") shouldBe aggJ(s"($defn)")
+      }
+    }
     spark.sql(s"CALL graft.system.drop_mview('$ns', 'm')")
     spark.sql(s"DROP TABLE graft.$ns.fact")
     spark.sql(s"DROP TABLE graft.$ns.dim")
