@@ -190,10 +190,17 @@ final class GraftViewStore(fs0: FileSystem, warehouse: HPath) {
         case _: java.nio.file.FileAlreadyExistsException =>
           fs.delete(tmp, false)
           return false
-        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        case e @ (_: UnsupportedOperationException |
+                  _: java.nio.file.FileSystemException) =>
           // 'file'-scheme mounts without hard links (FUSE/SMB/exFAT):
           // degrade to probe+rename — best-effort exclusivity instead
-          // of refusing every CREATE VIEW on such stores
+          // of refusing every CREATE VIEW on such stores. Degrade ONLY
+          // on the no-hard-links signatures: a generic
+          // FileSystemException (transient IO, EPERM, quota) is a real
+          // failure — silently weakening the exclusivity guarantee
+          // exactly when the filesystem is misbehaving is how two
+          // CREATEs both "win" — so it re-raises instead.
+          if (!GraftViewStore.linklessSignature(e)) { fs.delete(tmp, false); throw e }
           if (fs.exists(target)) { fs.delete(tmp, false); return false }
           if (!fs.rename(tmp, target)) {
             fs.delete(tmp, false)
@@ -223,5 +230,25 @@ final class GraftViewStore(fs0: FileSystem, warehouse: HPath) {
     fs.mkdirs(dir(toNs))
     require(fs.rename(pathOf(ns, actual), pathOf(toNs, toName)),
       s"filesystem rename of view $ns.$name failed")
+  }
+}
+
+object GraftViewStore {
+
+  /** Does this createLink failure mean "the filesystem has no hard
+    * links" (degrade to probe+rename) as opposed to a real transient /
+    * permission failure (re-raise)? Only the no-links signatures
+    * qualify: UnsupportedOperationException, and FileSystemException
+    * reasons in the EOPNOTSUPP / ENOSYS / EXDEV / EMLINK families.
+    * EPERM/EACCES/quota/IO stay failures — degrading exactly when the
+    * filesystem misbehaves would let two racing CREATEs both "win".
+    */
+  private[graft] def linklessSignature(e: Throwable): Boolean = e match {
+    case _: UnsupportedOperationException => true
+    case fse: java.nio.file.FileSystemException =>
+      val r = Option(fse.getReason).getOrElse("").toLowerCase
+      r.contains("not supported") || r.contains("not implemented") ||
+        r.contains("cross-device") || r.contains("improper link")
+    case _ => false
   }
 }

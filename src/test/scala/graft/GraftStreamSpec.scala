@@ -46,6 +46,32 @@ class GraftStreamSpec extends AnyFunSuite with Matchers {
     spark.sql("CALL graft.system.drop_mview('mvs', 'm')")
   }
 
+  test("maintainStream rejects a checkpoint with a different source arity by name") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvck")
+    spark.sql("CREATE TABLE graft.mvck.fact (id BIGINT, g STRING, v DOUBLE)")
+    spark.sql("CREATE TABLE graft.mvck.dim (dg STRING, cat STRING)")
+    spark.sql("INSERT INTO graft.mvck.dim VALUES ('a','x')")
+    spark.sql("INSERT INTO graft.mvck.fact VALUES (1,'a',1.0)")
+    spark.sql(
+      """CALL graft.system.create_mview('mvck','m',
+        |'SELECT cat, SUM(v) AS t FROM graft.mvck.fact
+        | JOIN graft.mvck.dim ON g = dg GROUP BY cat')""".stripMargin)
+    val wc = GraftCatalog(spark, spark.conf.get("spark.sql.catalog.graft.warehouse"))
+    // a fact-only-era checkpoint: ONE source offset line where the
+    // join MV's feed now has two (fact + dim)
+    val ckpt = Files.createTempDirectory("mv-ckpt-legacy")
+    Files.createDirectories(ckpt.resolve("offsets"))
+    Files.writeString(ckpt.resolve("offsets").resolve("0"),
+      "v1\n{\"batchWatermarkMs\":0}\n{\"version\":3}\n")
+    val e = intercept[IllegalStateException] {
+      graft.connector.GraftMaterializedView.maintainStream(
+        spark, wc, "graft", "mvck", "m", ckpt.toString)
+    }
+    e.getMessage should include("FRESH checkpoint")
+    e.getMessage should include("2 changelog feed")
+    spark.sql("CALL graft.system.drop_mview('mvck', 'm')")
+  }
+
   test("continuous join-MV maintenance: a dim-only commit ticks the stream") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvsj")
     spark.sql("CREATE TABLE graft.mvsj.fact (id BIGINT, g STRING, v DOUBLE)")

@@ -117,4 +117,26 @@ class GraftViewStoreSpec extends AnyFunSuite with Matchers {
     vs.create("ns", "daily", view("repl"), replace = true) shouldBe true
     vs.list("ns") shouldBe Seq("daily")
   }
+
+  // Only the NO-HARD-LINKS signatures degrade the atomic createLink
+  // claim to probe+rename; everything else (EPERM, quota, transient
+  // IO) must re-raise — degrading exactly when the filesystem
+  // misbehaves would let two racing CREATEs both win.
+  test("createLink degradation triggers only on linkless signatures") {
+    import graft.connector.GraftViewStore.linklessSignature
+    import java.nio.file.FileSystemException
+    linklessSignature(new UnsupportedOperationException()) shouldBe true
+    linklessSignature(
+      new FileSystemException("f", null, "Operation not supported")) shouldBe true
+    linklessSignature(
+      new FileSystemException("f", null, "Function not implemented")) shouldBe true
+    linklessSignature(
+      new FileSystemException("f", null, "Invalid cross-device link")) shouldBe true
+    linklessSignature(
+      new FileSystemException("f", null, "Operation not permitted")) shouldBe false
+    linklessSignature(
+      new FileSystemException("f", null, "Disk quota exceeded")) shouldBe false
+    linklessSignature(new FileSystemException("f")) shouldBe false
+    linklessSignature(new RuntimeException("x")) shouldBe false
+  }
 }
