@@ -1377,6 +1377,59 @@ object TableQueries {
              |WHERE l.l_quantity > 1.0
              |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)),
 
+    // Tumbling-window MV: a time window as a GROUP BY over
+    // date_trunc(day, ts) is just a deterministic group expression, so
+    // the per-day rollup maintains incrementally like any keyed MV —
+    // late events join their window's group, MoR deletes retract from
+    // it. This row documents the boundary: TIME windows work; what
+    // falls back to full is ANALYTIC windows (OVER clauses).
+    "q119_mview_tumbling_window" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq119").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq119", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq119.warehouse",
+            Files.createTempDirectory("graft-mview-window").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq119.bench")
+        s.sql("CALL graftq119.system.drop_mview('bench', 'daily')")
+        s.sql("DROP TABLE IF EXISTS graftq119.bench.ev")
+        s.sql("""CREATE TABLE graftq119.bench.ev
+                |(event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        events(s, dir).createOrReplaceTempView("q119_ev")
+        s.sql("""INSERT INTO graftq119.bench.ev
+                |SELECT event_id, ts, event_type, value FROM q119_ev
+                |WHERE event_id % 2 = 0""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq119.system.create_mview('bench', 'daily',
+            |  'SELECT date_trunc(''DAY'', ts) AS day, event_type AS kind,
+            |     COUNT(*) AS n, SUM(value) AS sv, MAX(value) AS mxv
+            |   FROM graftq119.bench.ev WHERE value > 0.5
+            |   GROUP BY date_trunc(''DAY'', ts), event_type')""".stripMargin)
+          .head.getString(0)
+        require(mode == "incremental", s"expected incremental window MV, got $mode")
+        // late events arrive into EXISTING windows; deletes retract
+        s.sql("""INSERT INTO graftq119.bench.ev
+                |SELECT event_id, ts, event_type, value FROM q119_ev
+                |WHERE event_id % 2 = 1""".stripMargin)
+        s.sql("DELETE FROM graftq119.bench.ev WHERE value >= 90.0")
+        s.sql("DELETE FROM graftq119.bench.ev WHERE event_id <= 200")
+        val action = s.sql(
+          "CALL graftq119.system.refresh_mview('bench', 'daily', false)")
+          .head.getString(2)
+        require(action == "incremental", s"expected incremental refresh, got $action")
+        s.sql("""SELECT date_format(day, 'yyyy-MM-dd') AS day, kind, n,
+                |  CAST(CAST(sv AS DECIMAL(18,4)) AS DOUBLE) AS sv, mxv
+                |FROM graftq119.bench.daily ORDER BY day, kind""".stripMargin)
+      },
+      Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |  event_type AS kind, COUNT(*) AS n,
+             |  CAST(CAST(SUM(value) AS DECIMAL(18,4)) AS DOUBLE) AS sv,
+             |  MAX(value) AS mxv
+             |FROM events
+             |WHERE value > 0.5 AND value < 90.0 AND event_id > 200
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Join MV: fact (lineitem) joined to a static dimension (orders),
     // group key drawn from the DIM side, maintained incrementally from
     // the fact changelog — then the dim MOVES (400 orders re-prioritize
