@@ -119,6 +119,13 @@ object GraftMaterializedView {
     * refresh just adds each leg's signed changelog slice.
     */
   val UFactsProp = "graft.mview.union"
+  /** Per-leg WHERE under UNION ALL: JSON [[rel, filterSql], ...] for
+    * EVERY leg (first leg = the fact's rel; '' = unfiltered). Union is
+    * linear, so each leg's slice simply applies its own filter before
+    * the shared shape — shard tables with different retention
+    * predicates share one MV.
+    */
+  val UFilterProp = "graft.mview.union-where"
   /** ROLLUP/CUBE/GROUPING SETS: JSON list of grouping sets, each a list
     * of included positions into the stored group columns (e.g. rollup
     * over 2 keys = [[0,1],[0],[]]). Absent = plain GROUP BY.
@@ -184,7 +191,11 @@ object GraftMaterializedView {
     * and the filter/group/agg shape over the joined row.
     */
   final case class JoinShape(fact: GraftTable, dims: Seq[DimSpec], shape: Shape,
-                             unionLegs: Seq[GraftTable] = Nil,
+                             // further UNION ALL legs, each with its
+                             // optional per-leg WHERE (rendered SQL)
+                             unionLegs: Seq[(GraftTable, Option[String])] = Nil,
+                             // the FIRST leg's own WHERE under a union
+                             factLegFilter: Option[String] = None,
                              having: Option[String] = None,
                              // public view columns in OUTPUT order when any
                              // is computed (grouping()/grouping_id() over
@@ -620,28 +631,35 @@ object GraftMaterializedView {
         // unchanged), so each leg maintains with its own pin and the
         // stored shape SQL — rendered over the union's output names,
         // which the legs must share — replays against every leg's
-        // scan. Per-leg filters/projections/renames and dim joins over
-        // a union would need per-leg shape SQL; refused to full mode.
-        val (factRel, dimRels, unionRels) = unwrapAliases(rel) match {
+        // scan. A PER-LEG WHERE is fine (union is linear, so each
+        // leg's contribution is just its filtered slice — shard
+        // tables with different retention predicates share one MV);
+        // per-leg projections/renames and dim joins over a union
+        // would need per-leg shape SQL beyond a filter; refused.
+        val (factRel, dimRels, unionRels, factLegFilter) = unwrapAliases(rel) match {
           case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
             // the parser nests chained UNION ALLs (Union(Union(a,b),c))
             // — CombineUnions is an optimizer rule and never runs here
-            def flatLegs(p: LogicalPlan)
-                : Either[String, Seq[DataSourceV2Relation]] = {
+            def flatLegs(p: LogicalPlan): Either[String,
+                Seq[(DataSourceV2Relation, Option[Expression])]] = {
               val (core, conds, m) = inlineProjections(p)
-              if (conds.nonEmpty)
-                Left("UNION ALL leg carries its own WHERE — " +
-                  "the stored shape has one filter for every leg")
-              else if (m.nonEmpty)
+              if (m.nonEmpty)
                 Left("UNION ALL leg renames or computes columns — " +
                   "legs must be bare scans sharing the union's column names")
               else core match {
                 case u2: org.apache.spark.sql.catalyst.plans.logical.Union =>
-                  u2.children.foldLeft(
-                      Right(Nil): Either[String, Seq[DataSourceV2Relation]]) {
+                  // a WHERE above a NESTED union would need pushing
+                  // into each inner leg — keep the refusal there
+                  if (conds.nonEmpty)
+                    Left("WHERE over a nested UNION ALL — write the " +
+                      "filter per leg instead")
+                  else u2.children.foldLeft(Right(Nil): Either[String,
+                      Seq[(DataSourceV2Relation, Option[Expression])]]) {
                     case (acc, c) => for { a <- acc; l <- flatLegs(c) } yield a ++ l
                   }
-                case other => graftLeaf(other).map(Seq(_))
+                case other => graftLeaf(other)
+                  .map(r => Seq((r, conds.reduceOption(
+                    org.apache.spark.sql.catalyst.expressions.And(_, _)))))
                   .toRight("UNION ALL leg is not a bare graft table scan")
               }
             }
@@ -649,18 +667,22 @@ object GraftMaterializedView {
               case Right(ls) => ls
               case Left(reason) => return Left(reason)
             }
-            val shapes = legs.map(_.output.map(a =>
+            val shapes = legs.map(_._1.output.map(a =>
               (a.name.toLowerCase, a.dataType)).toSeq)
             if (shapes.distinct.size != 1)
               return Left("UNION ALL legs differ in column names or types — " +
                 "one stored shape SQL must replay against every leg")
-            val dirs = legs.map(_.table.asInstanceOf[GraftV2Table].underlying.tableDir)
+            if (legs.exists(_._2.exists(!_.deterministic)))
+              return Left("nondeterministic UNION ALL leg WHERE")
+            val dirs = legs.map(_._1.table.asInstanceOf[GraftV2Table].underlying.tableDir)
             if (dirs.distinct.size != dirs.size)
               return Left("UNION ALL reads the same graft table twice — " +
                 "per-leg pins would collide")
-            (legs.head, Nil, legs.tail)
+            (legs.head._1, Nil,
+              legs.tail.map { case (r, f) => (r, f.map(plainSql)) },
+              legs.head._2.map(plainSql))
           case other => unroll(other) match {
-            case Right((f, ds)) => (f, ds, Nil)
+            case Right((f, ds)) => (f, ds, Nil, None)
             case Left(reason) => return Left(reason)
           }
         }
@@ -915,7 +937,10 @@ object GraftMaterializedView {
             DimSpec(d.table.asInstanceOf[GraftV2Table].underlying, jt, c)
           },
           shape,
-          unionLegs = unionRels.map(_.table.asInstanceOf[GraftV2Table].underlying),
+          unionLegs = unionRels.map { case (r, f) =>
+            (r.table.asInstanceOf[GraftV2Table].underlying, f)
+          },
+          factLegFilter = factLegFilter,
           having = havingSql,
           viewCols = if (hasComputed) Some(viewColsB.result()) else None))
     }
@@ -1182,11 +1207,14 @@ object GraftMaterializedView {
           (relOf(d.table), v, d.table.scanAsOfVersion(v), d.joinType, d.condSql)
         }
         // union legs beyond the first, each pinned at its read version
-        val legInfo = js.unionLegs.map { t =>
-          (relOf(t), t.currentOrFail().version, t)
+        val legInfo = js.unionLegs.map { case (t, f) =>
+          (relOf(t), t.currentOrFail().version, t, f)
         }
-        val unionScan = legInfo.foldLeft(src.scanAsOfVersion(cur)) {
-          case (acc, (_, v, t)) => acc.unionByName(t.scanAsOfVersion(v))
+        def legWhere(df: DataFrame, f: Option[String]): DataFrame =
+          f.fold(df)(x => df.where(expr(x)))
+        val unionScan = legInfo.foldLeft(
+            legWhere(src.scanAsOfVersion(cur), js.factLegFilter)) {
+          case (acc, (_, v, t, f)) => acc.unionByName(legWhere(t.scanAsOfVersion(v), f))
         }
         val base0 = joinBase(unionScan, dimInfo.map(i => (i._3, i._4, i._5)))
         val based = js.shape.filter.fold(base0)(base0.where)
@@ -1198,7 +1226,12 @@ object GraftMaterializedView {
              DimVersProp -> specJson(dimInfo.map(i => Seq(i._1, i._2.toString))))) ++
             (if (legInfo.isEmpty) Map.empty[String, String]
              else Map(UFactsProp -> specJson(legInfo.map(i =>
-               Seq(i._1, i._2.toString)))))
+               Seq(i._1, i._2.toString)))) ++
+               (if (js.factLegFilter.isEmpty && legInfo.forall(_._4.isEmpty))
+                  Map.empty[String, String]
+                else Map(UFilterProp -> specJson(
+                  Seq(Seq(rel, js.factLegFilter.getOrElse(""))) ++
+                    legInfo.map(i => Seq(i._1, i._4.getOrElse("")))))))
         // dedup-level aux tables lead the main append so their versions
         // ride in its props — create() failing in between leaves no
         // registered MV, only unclaimed storage a re-create rejects
@@ -1333,6 +1366,15 @@ object GraftMaterializedView {
     val legCur: Map[String, Int] = legTbls.map { case (r, t) =>
       r -> t.currentOrFail().version
     }.toMap
+    // per-leg WHERE (first leg keyed by the fact's rel, '' = none):
+    // every leg scan AND slice below runs through its own filter
+    val legFilters: Map[String, String] =
+      props.get(UFilterProp).map(specFromJson(_).map {
+        case Seq(r, f) => r -> f
+      }.toMap).getOrElse(Map.empty)
+    def legWhere(r: String)(df: DataFrame): DataFrame =
+      legFilters.get(r).filter(_.nonEmpty).fold(df)(f => df.where(expr(f)))
+    val factRelStr = props(SourceProp)
     val legsMoved = legTbls.exists { case (r, _) => legCur(r) != legPins(r) }
     // union is linear in every leg — a moved leg always maintains
     // incrementally; only a ROLLBACK (no forward slice) forces full
@@ -1378,8 +1420,9 @@ object GraftMaterializedView {
     /** The whole union'd fact at the refresh head: first leg at `to`,
       * every other leg at the version read once this refresh. */
     def unionScanHead: DataFrame =
-      legTbls.foldLeft(src.scanAsOfVersion(to)) { case (acc, (r, t)) =>
-        acc.unionByName(t.scanAsOfVersion(legCur(r)))
+      legTbls.foldLeft(legWhere(factRelStr)(src.scanAsOfVersion(to))) {
+        case (acc, (r, t)) =>
+          acc.unionByName(legWhere(r)(t.scanAsOfVersion(legCur(r))))
       }
 
     /** Telescoped signed changelog of the JOINED shape between the
@@ -1453,10 +1496,12 @@ object GraftMaterializedView {
       // file churn would net to zero here at O(compacted bytes) cost —
       // a nightly compaction must not make MV refresh O(table)
       val factTerm = legTbls.foldLeft(pinnedJoin(
-        src.scanDataChangesBetween(factFrom, to).drop("_commit_version"), pins)) {
+        legWhere(factRelStr)(
+          src.scanDataChangesBetween(factFrom, to).drop("_commit_version")), pins)) {
         case (acc, (r, t)) =>
           acc.unionByName(pinnedJoin(
-            t.scanDataChangesBetween(legFrom(r), legCur(r)).drop("_commit_version"),
+            legWhere(r)(t.scanDataChangesBetween(legFrom(r), legCur(r))
+              .drop("_commit_version")),
             pins))
       }
       val dimTerms = dimTbls.zipWithIndex.collect {

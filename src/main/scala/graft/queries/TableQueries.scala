@@ -1377,6 +1377,72 @@ object TableQueries {
              |WHERE l.l_quantity > 1.0
              |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)),
 
+    // UNION ALL MV with PER-LEG WHERE: two shard tables with different
+    // retention predicates share one MV — each leg's changelog slice
+    // runs through its own filter before the shared shape (union is
+    // linear), so both legs keep their independent pins and refresh
+    // incrementally. r14 refused this shape to full mode.
+    "q120_mview_union_leg_where" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq120").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq120", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq120.warehouse",
+            Files.createTempDirectory("graft-mview-legwhere").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq120.bench")
+        s.sql("CALL graftq120.system.drop_mview('bench', 'u')")
+        t(s, dir, "lineitem").createOrReplaceTempView("q120_li")
+        for (i <- 0 to 1) {
+          s.sql(s"DROP TABLE IF EXISTS graftq120.bench.li$i")
+          s.sql(s"""CREATE TABLE graftq120.bench.li$i
+                   |(l_orderkey BIGINT, l_returnflag STRING, l_quantity DOUBLE,
+                   | l_extendedprice DOUBLE)
+                   |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+          s.sql(s"""INSERT INTO graftq120.bench.li$i
+                   |SELECT l_orderkey, l_returnflag, l_quantity, l_extendedprice
+                   |FROM q120_li WHERE l_orderkey % 2 = $i
+                   |  AND l_orderkey % 5 != 0""".stripMargin)
+        }
+        val mode = s.sql(
+          """CALL graftq120.system.create_mview('bench', 'u',
+            |  'SELECT l_returnflag AS flag, SUM(l_quantity) AS sq,
+            |     COUNT(*) AS n, MAX(l_extendedprice) AS mp
+            |   FROM (SELECT * FROM graftq120.bench.li0
+            |           WHERE l_extendedprice < 80000.0 UNION ALL
+            |         SELECT * FROM graftq120.bench.li1
+            |           WHERE l_quantity < 47.0)
+            |   WHERE l_quantity > 2.0
+            |   GROUP BY l_returnflag')""".stripMargin).head.getString(0)
+        require(mode == "incremental",
+          s"expected incremental per-leg-WHERE union MV, got $mode")
+        // each shard moves — late arrivals on 0, MoR deletes on 1
+        s.sql("""INSERT INTO graftq120.bench.li0
+                |SELECT l_orderkey, l_returnflag, l_quantity, l_extendedprice
+                |FROM q120_li WHERE l_orderkey % 2 = 0 AND l_orderkey % 5 = 0""".stripMargin)
+        s.sql("DELETE FROM graftq120.bench.li1 WHERE l_extendedprice >= 70000.0")
+        val a1 = s.sql("CALL graftq120.system.refresh_mview('bench', 'u', false)")
+          .head.getString(2)
+        require(a1 == "incremental", s"expected incremental union refresh, got $a1")
+        s.sql("""INSERT INTO graftq120.bench.li1
+                |SELECT l_orderkey, l_returnflag, l_quantity, l_extendedprice
+                |FROM q120_li WHERE l_orderkey % 2 = 1 AND l_orderkey % 5 = 0""".stripMargin)
+        val a2 = s.sql("CALL graftq120.system.refresh_mview('bench', 'u', false)")
+          .head.getString(2)
+        require(a2 == "incremental", s"expected incremental leg-only refresh, got $a2")
+        s.sql("""SELECT flag,
+                |  CAST(CAST(sq AS DECIMAL(14,2)) AS DOUBLE) AS sq, n, mp
+                |FROM graftq120.bench.u ORDER BY flag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag AS flag,
+             |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(14,2)) AS DOUBLE) AS sq,
+             |  COUNT(*) AS n, MAX(l_extendedprice) AS mp
+             |FROM lineitem
+             |WHERE l_quantity > 2.0
+             |  AND ((l_orderkey % 2 = 0 AND l_extendedprice < 80000.0)
+             |    OR (l_orderkey % 2 = 1 AND l_quantity < 47.0
+             |        AND NOT (l_extendedprice >= 70000.0 AND l_orderkey % 5 != 0)))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Tumbling-window MV: a time window as a GROUP BY over
     // date_trunc(day, ts) is just a deterministic group expression, so
     // the per-day rollup maintains incrementally like any keyed MV —

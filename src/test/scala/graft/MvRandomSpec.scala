@@ -314,12 +314,15 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
 
   test("UNION ALL MV: every leg maintains with its own pin") {
     val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(3)
+    // legs 0 and 2 carry their OWN retention predicates (the shard-
+    // with-different-retention shape) on top of the shared WHERE;
+    // leg 1 is bare — mixed per-leg filters maintain incrementally
     val defn =
       """SELECT g, SUM(v) AS t, COUNT(*) AS n, AVG(v) AS av, MAX(v) AS mx,
         |       COUNT(DISTINCT v) AS dv
-        |FROM (SELECT * FROM graft.%NS%.s0 UNION ALL
+        |FROM (SELECT * FROM graft.%NS%.s0 WHERE id % 7 != 0 UNION ALL
         |      SELECT * FROM graft.%NS%.s1 UNION ALL
-        |      SELECT * FROM graft.%NS%.s2)
+        |      SELECT * FROM graft.%NS%.s2 WHERE v IS NULL OR v < 40.0)
         |WHERE v IS NULL OR v > -20.0
         |GROUP BY g""".stripMargin
     def rows(sqlFrom: String): Seq[String] =
