@@ -259,8 +259,10 @@ object GraftMaterializedView {
     * every dimension AS OF the version the stored rows were built with:
     * a signed fact-changelog row then joins to exactly the dim rows its
     * original apply saw, so retraction is exact. (A dimension that
-    * MOVES invalidates that — refresh detects it and falls back to one
-    * full recompute, re-pinning the dims.) Column names must be
+    * MOVES forward maintains incrementally through the telescoped
+    * delta — inner via multilinearity, left via the matched part plus
+    * NULL-extension flip terms; only a rolled-back dim falls to one
+    * full recompute.) Column names must be
     * globally unique across the join inputs: the stored shape SQL is
     * unqualified. Rejections return the reason.
     */

@@ -622,14 +622,15 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv2")
     spark.sql("CREATE TABLE graft.mv2.t (k STRING, v DOUBLE)")
     spark.sql("INSERT INTO graft.mv2.t VALUES ('a', 1.0), ('a', 3.0), ('b', 10.0)")
-    // decimal SUM(DISTINCT) cannot be maintained from the signed pair
-    // fold (no overflow-NULL bookkeeping) -> full mode (AVG/MIN/MAX and
-    // non-decimal COUNT/SUM/AVG(DISTINCT) graduated to incremental in
-    // round 14 — MvRandomSpec pins those; this test keeps the fallback
-    // path honest)
+    // wide-decimal AVG(DISTINCT) sits outside the probed precision
+    // gate (scale > 2 AND precision > 24: the sum/count division is
+    // provably coarser than AVG) -> full mode (decimal SUM(DISTINCT)
+    // and in-gate AVG(DISTINCT) graduated to incremental in round 15 —
+    // MvRandomSpec pins those; this test keeps the fallback path
+    // honest)
     spark.sql(
       """CALL graft.system.create_mview('mv2', 'avgs',
-        |  'SELECT k, SUM(DISTINCT CAST(v AS DECIMAL(30,10))) AS dv, AVG(v) AS mean
+        |  'SELECT k, AVG(DISTINCT CAST(v AS DECIMAL(30,10))) AS dv, AVG(v) AS mean
         |   FROM graft.mv2.t GROUP BY k')""".stripMargin)
       .head.getString(0) shouldBe "full"
     spark.sql("INSERT INTO graft.mv2.t VALUES ('b', 20.0)")
@@ -637,7 +638,7 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
       .head.getString(2) shouldBe "full"
     spark.sql("SELECT dv, mean FROM graft.mv2.avgs WHERE k = 'b'")
       .collect().map(r => (r.getDecimal(0).doubleValue(), r.getDouble(1)))
-      .toSeq shouldBe Seq((30.0, 15.0))
+      .toSeq shouldBe Seq((15.0, 15.0))
     // a non-graft source has no changelog: refused loudly
     spark.range(3).createOrReplaceTempView("mv2_tmp")
     intercept[Exception] {
