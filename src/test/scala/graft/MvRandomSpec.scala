@@ -777,6 +777,68 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  // Composition: the sets decoder sits ABOVE the relation unroll, so
+  // ROLLUP composes with a dim join (telescoped dim moves included)
+  // and with UNION ALL legs — subtotal rows maintained incrementally
+  // through both.
+  test("ROLLUP composes with join dims and UNION ALL legs incrementally") {
+    val ns = "mvgsjoin"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    for (t <- Seq("fact", "dim", "s0", "s1"))
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.$t")
+    spark.sql(s"CREATE TABLE graft.$ns.fact (id BIGINT, g STRING, v DOUBLE)")
+    spark.sql(s"CREATE TABLE graft.$ns.dim (dg STRING, cat STRING)")
+    spark.sql(s"INSERT INTO graft.$ns.dim VALUES ('g0','c0'), ('g1','c1'), ('g2','c0')")
+    spark.sql(s"INSERT INTO graft.$ns.fact VALUES " +
+      "(1,'g0',1.0), (2,'g1',2.0), (3,'g2',3.0), (4,'g0',4.0)")
+    val joinDefn =
+      s"""SELECT cat, g, SUM(v) AS t, COUNT(*) AS n,
+         |       grouping_id(cat, g) AS gi
+         |FROM graft.$ns.fact JOIN graft.$ns.dim ON g = dg
+         |GROUP BY ROLLUP(cat, g)""".stripMargin
+    spark.sql(s"""CALL graft.system.create_mview('$ns', 'mj',
+                 |  '${joinDefn.replace("\n", " ")}')""".stripMargin)
+      .head.getString(0) shouldBe "incremental"
+    def snapJ(from: String): Seq[String] =
+      spark.sql(s"SELECT cat, g, t, n, gi FROM $from")
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    // fact move, then a dim move (telescope under sets)
+    spark.sql(s"INSERT INTO graft.$ns.fact VALUES (5,'g1',5.0)")
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'mj', false)")
+      .head.getString(2) shouldBe "incremental"
+    snapJ(s"graft.$ns.mj") shouldBe snapJ(s"($joinDefn)")
+    spark.sql(s"DELETE FROM graft.$ns.dim WHERE dg = 'g2'")
+    spark.sql(s"INSERT INTO graft.$ns.dim VALUES ('g2','c1')")
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'mj', false)")
+      .head.getString(2) shouldBe "incremental"
+    snapJ(s"graft.$ns.mj") shouldBe snapJ(s"($joinDefn)")
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'mj')")
+    // ... and over UNION ALL legs with a per-leg WHERE
+    spark.sql(s"CREATE TABLE graft.$ns.s0 (id BIGINT, g STRING, v DOUBLE)")
+    spark.sql(s"CREATE TABLE graft.$ns.s1 (id BIGINT, g STRING, v DOUBLE)")
+    spark.sql(s"INSERT INTO graft.$ns.s0 VALUES (1,'g0',1.0), (2,'g1',2.0)")
+    spark.sql(s"INSERT INTO graft.$ns.s1 VALUES (3,'g0',30.0), (4,'g1',4.0)")
+    val uDefn =
+      s"""SELECT g, SUM(v) AS t, COUNT(*) AS n
+         |FROM (SELECT * FROM graft.$ns.s0 UNION ALL
+         |      SELECT * FROM graft.$ns.s1 WHERE v < 20.0)
+         |GROUP BY ROLLUP(g)""".stripMargin
+    spark.sql(s"""CALL graft.system.create_mview('$ns', 'mu',
+                 |  '${uDefn.replace("\n", " ")}')""".stripMargin)
+      .head.getString(0) shouldBe "incremental"
+    def snapU(from: String): Seq[String] =
+      spark.sql(s"SELECT g, t, n FROM $from")
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    spark.sql(s"INSERT INTO graft.$ns.s1 VALUES (5,'g1',6.0), (6,'g0',50.0)")
+    spark.sql(s"DELETE FROM graft.$ns.s0 WHERE id = 1")
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'mu', false)")
+      .head.getString(2) shouldBe "incremental"
+    snapU(s"graft.$ns.mu") shouldBe snapU(s"($uDefn)")
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'mu')")
+    for (t <- Seq("fact", "dim", "s0", "s1"))
+      spark.sql(s"DROP TABLE graft.$ns.$t")
+  }
+
   // The one refused DISTINCT-under-sets corner: a DISTINCT aggregate
   // whose input IS a grouping key. Appending it to every pair-table
   // set would flip that key's grouping bit on subtotal rows, so it
