@@ -897,20 +897,11 @@ object GraftMaterializedView {
         // retracted-side extremes) and the targeted recompute
         // re-aggregates through them. DISTINCT maintains under sets
         // too — the pair table carries per-set pair rows with the
-        // value in EVERY set and a grouping id computed over the
-        // original group columns only (see [[dlAggregate]]), so the
-        // two tables' gid layouts never interact. The one refused
-        // corner: a DISTINCT aggregate whose input IS a grouping key —
-        // appending it to every set would flip that key's grouping bit
-        // on subtotal rows and corrupt the layout.
-        if (setsInfo.isDefined)
-          shape.aggs.withFilter(a => DlKinds(a.kind)).foreach { a =>
-            if (shape.groups.exists(_._2 == a.sql))
-              return Left(s"DISTINCT aggregate over grouping key ${a.sql} " +
-                "under ROLLUP/CUBE/GROUPING SETS is not incrementally " +
-                "maintained — the pair table's always-grouped value " +
-                "column would collide with the key's set layout")
-          }
+        // value (a pre-projected copy, so even a DISTINCT over a
+        // grouping key never collides with that key's set layout) in
+        // EVERY set and the grouping id re-based onto the original
+        // group columns (see [[dlAggregate]]), so the two tables' gid
+        // layouts never interact.
         if (groupingExprs.nonEmpty && shape.groups.isEmpty)
           return Left("no grouping columns in output")
         locally {
@@ -1061,7 +1052,15 @@ object GraftMaterializedView {
     shape.sets match {
       case Some(sets) =>
         val gexprs = shape.groups.map { case (_, s) => expr(s) }
-        val r = nn.groupingSets(sets.map(_.map(gexprs) :+ v), (gexprs :+ v): _*)
+        // the value grouping column is a PRE-PROJECTED copy, not the
+        // raw expression: a DISTINCT aggregate over a grouping key
+        // would otherwise semantically collapse with that key in the
+        // Expand builder and flip its grouping bit on subtotal rows —
+        // the copy is a distinct attribute, so the key rolls up
+        // normally while the pair keeps its value
+        val withV = nn.withColumn(DlVCol, v)
+        val vc = col(DlVCol)
+        val r = withV.groupingSets(sets.map(_.map(gexprs) :+ vc), (gexprs :+ vc): _*)
           .agg(agg, shiftright(grouping_id(), 1).as(GidCol))
         r.toDF(shape.groups.map(_._1) ++ Seq(DlVCol) ++
           r.columns.drop(shape.groups.size + 1): _*)

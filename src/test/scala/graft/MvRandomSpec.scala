@@ -839,27 +839,36 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
       spark.sql(s"DROP TABLE graft.$ns.$t")
   }
 
-  // The one refused DISTINCT-under-sets corner: a DISTINCT aggregate
-  // whose input IS a grouping key. Appending it to every pair-table
-  // set would flip that key's grouping bit on subtotal rows, so it
-  // registers FULL — and stays correct there.
-  test("DISTINCT over a grouping key under ROLLUP registers full") {
+  // The nastiest DISTINCT-under-sets corner: a DISTINCT aggregate
+  // whose input IS a grouping key. The pair table's pre-projected
+  // value copy keeps the key's set layout intact (the key rolls up
+  // normally while the pair keeps its value), so subtotal rows count
+  // distinct KEY values incrementally — 1 on detail rows, the real
+  // count on rolled-up ones.
+  test("DISTINCT over a grouping key under ROLLUP maintains incrementally") {
     val ns = "mvgsdk"
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
     spark.sql(s"DROP TABLE IF EXISTS graft.$ns.src")
     spark.sql(s"CREATE TABLE graft.$ns.src (g STRING, h STRING, v DOUBLE)")
     spark.sql(s"INSERT INTO graft.$ns.src VALUES ('a','x',1.0),('a','y',2.0),('b','x',3.0)")
-    val defn = s"SELECT g, h, COUNT(DISTINCT g) AS dg, SUM(v) AS total " +
-      s"FROM graft.$ns.src GROUP BY ROLLUP(g, h)"
+    val defn = s"SELECT g, h, COUNT(DISTINCT g) AS dg, SUM(DISTINCT v) AS sv, " +
+      s"SUM(v) AS total FROM graft.$ns.src GROUP BY ROLLUP(g, h)"
     spark.sql(
       s"""CALL graft.system.create_mview('$ns', 'm', '${defn.replace("'", "''")}')""")
-      .head.getString(0) shouldBe "full"
-    spark.sql(s"INSERT INTO graft.$ns.src VALUES ('c','x',4.0)")
-    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
-      .head.getString(2) shouldBe "full"
+      .head.getString(0) shouldBe "incremental"
     def snap(from: String): Seq[String] =
-      spark.sql(s"SELECT g, h, dg, total FROM $from")
+      spark.sql(s"SELECT g, h, dg, sv, total FROM $from")
         .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    snap(s"graft.$ns.m") shouldBe snap(s"($defn)")
+    // a NEW key value moves every rolled-up distinct count; deletes
+    // kill key pairs at the subtotal levels
+    spark.sql(s"INSERT INTO graft.$ns.src VALUES ('c','x',4.0), ('a','x',5.0)")
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
+      .head.getString(2) shouldBe "incremental"
+    snap(s"graft.$ns.m") shouldBe snap(s"($defn)")
+    spark.sql(s"DELETE FROM graft.$ns.src WHERE g = 'b'")
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
+      .head.getString(2) shouldBe "incremental"
     snap(s"graft.$ns.m") shouldBe snap(s"($defn)")
     spark.sql(s"CALL graft.system.drop_mview('$ns', 'm')")
     spark.sql(s"DROP TABLE graft.$ns.src")
