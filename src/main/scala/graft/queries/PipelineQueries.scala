@@ -1267,6 +1267,88 @@ object PipelineQueries {
       },
       Some(plantedTopKSql(baseId = 1, prefix = 9100000))),
 
+    // The IVF CENTROID-DRIFT lifecycle (round-14 verdict carry): the
+    // corpus drifts hard — a same-direction cluster the size of the
+    // original corpus lands in ONE frozen cell via the incremental
+    // refresh — ivfIndexStats reads the skew from manifest metadata
+    // and flags the rebuild, rebuildIvfIndexTable retrains + swaps in
+    // one commit, skew drops, and a tight-nprobe probe still recalls
+    // the planted near-duplicates >= 0.8 off the REBUILT tiling. The
+    // hashed rows are the exact top-10 over the index content (the
+    // drift cluster is far from the query, so the DuckDB dual can
+    // recompute the same top-10 without modeling it).
+    "q121_ann_rebuild" -> Q(
+      (s, dir) => {
+        import graft.table.{GraftCatalog, TableIdent}
+        val cat = GraftCatalog(s,
+          java.nio.file.Files.createTempDirectory("graft-ann-rebuild").toString)
+        val e = t(s, dir, "embeddings")
+        val qvec = e.where(col("vec_id") === 1)
+          .select(col("embedding")).collect()(0).getSeq[Float](0)
+        val planted = plantedNearDups(s, e, baseId = 1L, prefix = 9200000L)
+        val corpus = cat.ensure(TableIdent("ann", "corpus"))
+        corpus.append(e.where(col("vec_id") =!= 1)
+          .select(col("vec_id"), col("embedding")).unionByName(planted))
+        val idxId = TableIdent("ann", "idx")
+        Similarity.buildIvfIndexTable(cat, TableIdent("ann", "corpus"),
+          idxId, "embedding", "vec_id", nlist = 8)
+        val st0 = Similarity.ivfIndexStats(cat, idxId)
+        // corpus-sized drift cluster: copies of vec_id=2's direction,
+        // scaled far out with a small per-copy perturbation — the
+        // frozen quantizer funnels every copy into one cell
+        val n = e.count()
+        val drift = e.where(col("vec_id") === 2)
+          .select(col("embedding").as("qv"))
+          .crossJoin(s.range(1, n + 1).toDF("i"))
+          .select((lit(9400000L) + col("i")).as("vec_id"),
+            zip_with(col("qv"), sequence(lit(0), size(col("qv")) - 1),
+              (x, d) => (x.cast("double") * lit(25.0) * (lit(1.0) +
+                pmod(xxhash64(col("i"), d), lit(7L)).cast("double") / 1000.0))
+                .cast("float")).as("embedding"))
+        corpus.append(drift)
+        val (_, _, action) = Similarity.refreshIvfIndexTable(cat, idxId)
+        require(action == "incremental", s"expected incremental refresh, got $action")
+        val st1 = Similarity.ivfIndexStats(cat, idxId)
+        require(st1.skew > st0.skew && st1.rebuildRecommended,
+          s"drift not flagged: skew ${st0.skew} -> ${st1.skew}")
+        Similarity.rebuildIvfIndexTable(cat, idxId)
+        val st2 = Similarity.ivfIndexStats(cat, idxId)
+        require(st2.skew < st1.skew,
+          s"rebuild did not rebalance: skew ${st1.skew} -> ${st2.skew}")
+        require(st2.versionsBehind == 0, "rebuild must land at the corpus head")
+        val idx = cat.load(idxId)
+        require(idx.scan().count() == corpus.scan().count(),
+          "index/corpus row drift after rebuild")
+        val approx = Similarity.ivfTopKFromTable(idx, qvec, k = 10, nprobe = 2)
+          .select(col("vec_id"))
+        val exactIds = Similarity.bruteForceTopK(corpus.scan(), "embedding", "vec_id",
+          qvec, 10).select(col("vec_id"))
+        val recall = exactIds.join(approx, Seq("vec_id"), "left_semi").count() / 10.0
+        require(recall >= 0.8,
+          s"post-rebuild recall@10 $recall < 0.8 at nprobe=2")
+        val q = array(qvec.map(lit): _*)
+        idx.scan()
+          .select(col("vec_id"), round(Similarity.cosine(col("embedding"), q), 4).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+             |planted AS (
+             |  SELECT 9200000 + i AS vec_id,
+             |    list_transform(range(0, len(qv)),
+             |      d -> CAST(qv[d+1] * (1.0 +
+             |        (CAST(('0x' || substring(md5(i || '_' || d), 1, 15)) AS UBIGINT) % 5) / 1000.0)
+             |        AS FLOAT)) AS embedding
+             |  FROM q, range(1, 11) t(i)),
+             |corpus AS (
+             |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 1
+             |  UNION ALL SELECT vec_id, embedding FROM planted)
+             |SELECT c.vec_id,
+             |  ROUND(list_cosine_similarity(
+             |    list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+             |    (SELECT list_transform(qv, x -> CAST(x AS DOUBLE)) FROM q)), 4) AS cos
+             |FROM corpus c ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
     // The ANN SERVING shape (round-12/13 verdict carry): the IVF index
     // is built ONCE into a graft table (centroids + source + applied
     // version in table properties, rows partitioned by _cell), then the
