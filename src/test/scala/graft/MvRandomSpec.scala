@@ -495,10 +495,12 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
     refresh() shouldBe "incremental"
     aggJ(s"graft.$ns.m") shouldBe aggJ(s"($defn)")
     // randomized churn across both tables, refresh after every window
+    // (seed count scales with GRAFT_MV_SEEDS for deep sweeps)
+    val steps = 10 * sys.env.get("GRAFT_MV_SEEDS").map(_.toInt / 4 max 1).getOrElse(1)
     val rnd = new Random(71)
     var nextId = 6L
     var nextDim = 4
-    for (step <- 0 until 10) {
+    for (step <- 0 until steps) {
       rnd.nextInt(5) match {
         case 0 =>
           nextId += 1
