@@ -1293,13 +1293,18 @@ object PipelineQueries {
         Similarity.buildIvfIndexTable(cat, TableIdent("ann", "corpus"),
           idxId, "embedding", "vec_id", nlist = 8)
         val st0 = Similarity.ivfIndexStats(cat, idxId)
-        // corpus-sized drift cluster: copies of vec_id=2's direction,
-        // scaled far out with a small per-copy perturbation — the
-        // frozen quantizer funnels every copy into one cell
+        // drift cluster sized 3× the corpus: copies of vec_id=2's
+        // direction, scaled far out with a small per-copy perturbation
+        // — the frozen quantizer funnels every copy into one cell. The
+        // 3× multiple is the scale-independence fix (r15 verdict): at
+        // 1× the skew limit is 8·d/(n+d) → 4.0 exactly (the sf0.001
+        // corpus landed at 3.97, a knife-edge miss of the hard 4.0
+        // rebuildRecommended threshold); at 3× the limit is 6.0, so
+        // the flag clears with ≥1.5× margin at ANY scale factor.
         val n = e.count()
         val drift = e.where(col("vec_id") === 2)
           .select(col("embedding").as("qv"))
-          .crossJoin(s.range(1, n + 1).toDF("i"))
+          .crossJoin(s.range(1, 3 * n + 1).toDF("i"))
           .select((lit(9400000L) + col("i")).as("vec_id"),
             zip_with(col("qv"), sequence(lit(0), size(col("qv")) - 1),
               (x, d) => (x.cast("double") * lit(25.0) * (lit(1.0) +
