@@ -1155,6 +1155,77 @@ object GraftMaterializedView {
     }
   }
 
+  /** MV dependency guard for SOURCE-table column evolution (round-16):
+    * an MV pins its definition SQL (and the derived filter/group/agg
+    * shape SQL) in the storage table's properties; renaming or dropping
+    * a source column that SQL references would leave the pinned text
+    * naming a column that no longer exists — the next refresh (or view
+    * read through a full-mode recompute) fails with a raw analysis
+    * error, or an incremental changelog slice silently selects nothing.
+    * This sweep finds every MV whose FACT, dimension, or UNION-ALL leg
+    * is `rel` AND whose pinned SQL references `column`, so DDL can
+    * refuse by name instead. Metadata-scale: one view-store listing per
+    * namespace plus one snapshot-properties read per MV — no job runs.
+    *
+    * The reference check is conservatively by NAME (last part of each
+    * unresolved attribute, case-insensitive): a joined MV whose
+    * dimension has a same-named column refuses too — a false refusal is
+    * a re-create, a false allow is a broken dashboard. A bare `*`
+    * outside COUNT(*) references every column.
+    */
+  def mviewsReferencing(spark: SparkSession, cat: GraftCatalog,
+                        rel: String, column: String): Seq[String] = {
+    val viewStore = new GraftViewStore(cat.fs, cat.warehouse)
+    val namespaces =
+      try cat.fs.listStatus(cat.warehouse).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName).sorted
+      catch { case _: java.io.FileNotFoundException => Nil }
+    for {
+      ns <- namespaces
+      vn <- viewStore.list(ns)
+      sv <- viewStore.load(ns, vn).toSeq
+      if sv.properties.get("graft.mview").contains("true")
+      storageIdent = TableIdent(ns, vn + StorageSuffix)
+      if cat.exists(storageIdent)
+      props <- cat.load(storageIdent).current().map(_.properties).toSeq
+      rels = props.get(SourceProp).toSeq ++
+        props.get(DimsProp).toSeq.flatMap(specFromJson(_).map(_.head)) ++
+        props.get(UFactsProp).toSeq.flatMap(specFromJson(_).map(_.head))
+      if rels.contains(rel)
+      if props.get(SqlProp).exists(referencesColumn(spark, _, column))
+    } yield s"$ns.$vn"
+  }
+
+  /** Does `sql` (a stored MV definition) reference `column` by name?
+    * Parsed UNRESOLVED (the source schema may already have evolved, so
+    * analysis could fail — exactly the state the guard protects
+    * against); a stored SQL that no longer parses counts as referencing
+    * (conservative). `COUNT(*)`'s star is positional, not a column
+    * reference; any other star references everything.
+    */
+  private def referencesColumn(spark: SparkSession, sql: String,
+                               column: String): Boolean = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
+    val want = column.toLowerCase(java.util.Locale.ROOT)
+    try {
+      var hit = false
+      def walk(e: Expression): Unit = e match {
+        case f: UnresolvedFunction if f.nameParts.last.equalsIgnoreCase("count") =>
+          f.children.foreach { case _: UnresolvedStar => (); case c => walk(c) }
+        case _: UnresolvedStar => hit = true
+        case a: UnresolvedAttribute =>
+          if (a.nameParts.last.toLowerCase(java.util.Locale.ROOT) == want) hit = true
+        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          s.plan.foreach(_.expressions.foreach(walk))
+          s.children.foreach(walk)
+        case other => other.children.foreach(walk)
+      }
+      spark.sessionState.sqlParser.parseQuery(sql)
+        .foreach(_.expressions.foreach(walk))
+      hit
+    } catch { case scala.util.control.NonFatal(_) => true }
+  }
+
   /** CREATE: analyze, pick the mode, materialize at the source's
     * current version, and store the public view. Returns
     * (mode, sourceVersion, rows).

@@ -248,6 +248,30 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         "(int->long, float->double, decimal growth), RENAME/DROP COLUMN " +
         "(metadata-only, field-id mapped), and property changes " +
         "(reference C2 semantics + Iceberg evolution)")
+    // MV dependency guard (round-16): a materialized view pins its
+    // definition SQL in storage-table properties; renaming or dropping
+    // a source column that SQL references would break the next refresh
+    // with a raw analysis error (or silently empty a changelog slice).
+    // Refuse by NAME with the remedy instead — the same protection
+    // regular view DDL already gets from the mview marker. Metadata-
+    // scale sweep, only on the rare rename/drop DDL path.
+    if (renames.nonEmpty || drops.nonEmpty) {
+      val ti = toIdent(ident)
+      val rel = s"${ti.namespace}/${ti.name}"
+      val verbs =
+        renames.map(r => (r.fieldNames().last,
+          s"rename column '${r.fieldNames().last}' to '${r.newName()}'")) ++
+        drops.map(d => (d.fieldNames().last, s"drop column '${d.fieldNames().last}'"))
+      verbs.foreach { case (c, verb) =>
+        val deps = GraftMaterializedView.mviewsReferencing(
+          SparkSession.active, cat, rel, c)
+        require(deps.isEmpty,
+          s"cannot $verb on $ident: materialized view(s) " +
+            s"${deps.mkString(", ")} pin definition SQL referencing '$c'. " +
+            "CALL graft.system.drop_mview for each, evolve the column, and " +
+            "recreate the view over the new name")
+      }
+    }
     renames.foreach { r =>
       require(r.fieldNames().length == 1, "top-level columns only")
       tbl.renameColumn(r.fieldNames()(0), r.newName())

@@ -500,22 +500,33 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE graft.mvc.src")
   }
 
-  test("materialized views: source column rename fails refresh loudly") {
+  test("materialized views: source column rename is refused while referenced") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv4")
     spark.sql("CREATE TABLE graft.mv4.src (id BIGINT, g STRING, v DOUBLE)")
     spark.sql("INSERT INTO graft.mv4.src VALUES (1, 'a', 1.0)")
     spark.sql(
       """CALL graft.system.create_mview('mv4', 'm',
         |  'SELECT g, SUM(v) AS total FROM graft.mv4.src GROUP BY g')""".stripMargin)
-    spark.sql("ALTER TABLE graft.mv4.src RENAME COLUMN v TO amount")
-    spark.sql("INSERT INTO graft.mv4.src VALUES (2, 'a', 2.0)")
-    // the stored aggregate SQL references the OLD name — the refresh
-    // must fail loudly (never silently drift), and a full rebuild of
-    // the view definition is the remedy
-    intercept[Exception] {
-      spark.sql("CALL graft.system.refresh_mview('mv4', 'm', false)")
+    // round-16: the DDL itself is refused BY NAME while the MV's pinned
+    // SQL references the column — never a raw analysis error at the
+    // NEXT refresh (the pre-r16 failure mode this test used to pin)
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.mv4.src RENAME COLUMN v TO amount")
     }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    msg should include("mv4.m")
+    msg should include("drop_mview")
+    // the MV is untouched and keeps maintaining incrementally
+    spark.sql("INSERT INTO graft.mv4.src VALUES (2, 'a', 2.0)")
+    spark.sql("CALL graft.system.refresh_mview('mv4', 'm', false)")
+      .head.getString(2) shouldBe "incremental"
+    spark.sql("SELECT total FROM graft.mv4.m WHERE g = 'a'")
+      .head.getDouble(0) shouldBe 3.0
     spark.sql("CALL graft.system.drop_mview('mv4', 'm')")
+    spark.sql("ALTER TABLE graft.mv4.src RENAME COLUMN v TO amount")
+    spark.sql("SELECT SUM(amount) FROM graft.mv4.src")
+      .head.getDouble(0) shouldBe 3.0
   }
 
   test("materialized views: expired source changelog names the force_full remedy") {

@@ -91,6 +91,68 @@ class MvGuardSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE graft.$ns.src2")
   }
 
+  // Round-15 verdict carry: ALTER TABLE RENAME/DROP COLUMN on a SOURCE
+  // table must consult dependent MVs' pinned SQL — a rename the MV
+  // references would otherwise break the next refresh with a raw
+  // analysis error. Referenced columns refuse by name with the remedy;
+  // unreferenced columns evolve freely and the MV keeps refreshing.
+  test("source column rename/drop is refused while a dependent MV references it") {
+    val ns = "mvguard4"
+    mkMv(ns)
+    def refusedBy(sql: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      withClue(s"sql=$sql got=$e ") {
+        msg should include("materialized view")
+        msg should include(s"$ns.m")
+        msg should include("drop_mview")
+      }
+    }
+    refusedBy(s"ALTER TABLE graft.$ns.src RENAME COLUMN v TO v2")
+    refusedBy(s"ALTER TABLE graft.$ns.src DROP COLUMN v")
+    refusedBy(s"ALTER TABLE graft.$ns.src RENAME COLUMN g TO gg")
+    // an UNREFERENCED column evolves freely, and the MV still refreshes
+    spark.sql(s"ALTER TABLE graft.$ns.src ADD COLUMN extra INT")
+    spark.sql(s"ALTER TABLE graft.$ns.src RENAME COLUMN extra TO extra2")
+    spark.sql(s"INSERT INTO graft.$ns.src VALUES ('a', 10.0, 7)")
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
+      .head.getString(2) shouldBe "incremental"
+    spark.sql(s"SELECT t FROM graft.$ns.m WHERE g = 'a'")
+      .head.getDouble(0) shouldBe 11.0
+    spark.sql(s"ALTER TABLE graft.$ns.src DROP COLUMN extra2")
+    // once the MV is gone the referenced column evolves too
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'm')")
+    spark.sql(s"ALTER TABLE graft.$ns.src RENAME COLUMN v TO v2")
+    spark.sql(s"SELECT SUM(v2) FROM graft.$ns.src").head.getDouble(0) shouldBe 13.0
+    spark.sql(s"DROP TABLE graft.$ns.src")
+  }
+
+  test("a joined MV guards its dimension's referenced columns too") {
+    val ns = "mvguard5"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.f")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.d")
+    spark.sql(s"CREATE TABLE graft.$ns.f (k INT, v DOUBLE)")
+    spark.sql(s"CREATE TABLE graft.$ns.d (dk INT, grp STRING, note STRING)")
+    spark.sql(s"INSERT INTO graft.$ns.f VALUES (1, 2.0), (2, 3.0)")
+    spark.sql(s"INSERT INTO graft.$ns.d VALUES (1, 'x', 'n1'), (2, 'y', 'n2')")
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'jm',
+         |  'SELECT d.grp, SUM(f.v) AS t FROM graft.$ns.f f
+         |   JOIN graft.$ns.d d ON f.k = d.dk GROUP BY d.grp')""".stripMargin)
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE graft.$ns.d RENAME COLUMN grp TO grp2"))
+    (Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse(
+        "")) should include(s"$ns.jm")
+    // a dim column the MV never reads stays evolvable
+    spark.sql(s"ALTER TABLE graft.$ns.d RENAME COLUMN note TO note2")
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'jm')")
+    spark.sql(s"DROP TABLE graft.$ns.f")
+    spark.sql(s"DROP TABLE graft.$ns.d")
+  }
+
   test("the reserved marker cannot be planted on an ordinary view") {
     val ns = "mvguard2"
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
