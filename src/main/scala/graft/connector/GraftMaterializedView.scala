@@ -38,12 +38,14 @@ import org.json4s.jackson.JsonMethods
   * DIMENSIONS — an optional deterministic WHERE, GROUP BY
   * deterministic expressions, aggregates limited to SUM / COUNT /
   * COUNT(*) / AVG / MIN / MAX / COUNT|SUM|AVG(DISTINCT x) — decimal
-  * SUM(DISTINCT) included (NULL-means-empty vs overflow disambiguated
-  * by the alive-pair count), decimal AVG(DISTINCT) inside the same
-  * precision gate as additive decimal AVG; MIN/MAX(DISTINCT) ≡
+  * SUM/AVG(DISTINCT) included at EVERY (p,s) (NULL-means-empty vs
+  * overflow disambiguated by the alive-pair count), decimal AVG at
+  * every (p,s) since round 16 (exact running sum via
+  * DecimalAddNoOverflowCheck + Average's own exact division at merge);
+  * MIN/MAX(DISTINCT) ≡
   * MIN/MAX — each with an optional deterministic FILTER (WHERE p),
   * folded into the aggregated expression as CASE WHEN p THEN e END.
-  * Everything else (wide-decimal AVG / AVG(DISTINCT), window
+  * Everything else (window
   * functions, nested views, non-fact-preserving joins) falls back to
   * FULL refresh, which recomputes and overwrites. Join maintenance pins every dimension AS
   * OF the version the stored rows were built with, so the signed fact
@@ -70,10 +72,11 @@ import org.json4s.jackson.JsonMethods
   *    zero count). Spark's own non-decimal Average accumulates in
   *    double and divides by the count, so the decomposition is
   *    bit-identical to a recompute, not an approximation. Decimal AVG
-  *    keeps an exact decimal running sum and divides at merge — exact
-  *    whenever the division's precision-loss-adjusted scale reaches
-  *    the avg output scale (input scale <= 2 or precision <= 24,
-  *    probed exhaustively); wider decimals fall back to FULL mode.
+  *    keeps an exact decimal running sum (DecimalAddNoOverflowCheck at
+  *    the stored sum type — the Column `+` would re-round at precision
+  *    38) and divides at merge with the identical
+  *    DecimalDivideWithOverflowCheck expression Average evaluates —
+  *    bit-identical to a recompute at every (p,s).
   *  - MIN/MAX: inserts maintain closed-form (`least`/`greatest`); a
   *    delete can retract the stored extreme, so groups whose retracted
   *    values tie-or-beat the stored extreme are recomputed from the
@@ -219,6 +222,45 @@ object GraftMaterializedView {
   private def plainSql(e: Expression): String = e.transform {
     case a: AttributeReference => a.withQualifier(Nil)
   }.sql
+
+  /** EXACT decimal running-sum addition at the stored sum type. The
+    * Column `+` goes through the precision-loss adjust, which at
+    * precision 38 (any input precision >= 28) re-types
+    * DECIMAL(38,s)+DECIMAL(38,s) as DECIMAL(38,s-1) — rounding away the
+    * running sum's last digit on every merge. Spark's own decimal
+    * Sum/Average accumulate with [[DecimalAddNoOverflowCheck]] at the
+    * FIXED buffer type (exact, unbounded BigDecimal underneath); this
+    * is that same add, wrapped in [[CheckOverflow]] so a genuine
+    * DECIMAL(38) overflow surfaces as NULL for the overflow abort
+    * instead of silently wrapping.
+    */
+  private def exactDecimalAdd(a: Column, b: Column, dt: DecimalType): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{CheckOverflow, DecimalAddNoOverflowCheck}
+    org.apache.spark.sql.GraftSqlShim.column(CheckOverflow(
+      DecimalAddNoOverflowCheck(
+        org.apache.spark.sql.GraftSqlShim.expression(a),
+        org.apache.spark.sql.GraftSqlShim.expression(b), dt),
+      dt, nullOnOverflow = true))
+  }
+
+  /** The EXACT division Spark's decimal Average evaluates — quotient
+    * computed at full precision and rounded ONCE (HALF_UP) at the avg
+    * output scale. The Column `/` is NOT that division: it rounds at
+    * the precision-loss-adjusted scale first and the final cast rounds
+    * again, so at wide types it is coarser than AVG (adjusted scale <
+    * s+4 for precision > 24) and even in-gate it can double-round on
+    * ..4999.. quotient boundaries. Replaying the identical expression
+    * (incl. nullOnOverflow = false — a quotient that cannot fit the avg
+    * type throws, exactly as a recompute would) makes the maintained
+    * value bit-identical to `avg()` at EVERY decimal (p,s).
+    */
+  private def avgDivide(sumC: Column, countC: Column, outT: DecimalType): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, DecimalDivideWithOverflowCheck}
+    org.apache.spark.sql.GraftSqlShim.column(DecimalDivideWithOverflowCheck(
+      org.apache.spark.sql.GraftSqlShim.expression(sumC),
+      Cast(org.apache.spark.sql.GraftSqlShim.expression(countC), DecimalType(20, 0)),
+      outT, null, nullOnOverflow = false))
+  }
 
   private def unwrapAliases(p: LogicalPlan): LogicalPlan = p match {
     case SubqueryAlias(_, c) => unwrapAliases(c)
@@ -410,31 +452,29 @@ object GraftMaterializedView {
         // AVG(DISTINCT x) = SUM(DISTINCT)/COUNT(DISTINCT), both from the
         // shared pair table; the running sum is a double — exactly
         // Spark's non-decimal distinct Average accumulator. Decimal
-        // keeps an exact decimal pair-value sum and divides at merge,
-        // inside the SAME probed precision gate as additive decimal
-        // AVG (the sum/count division replays exactly iff scale <= 2
-        // or precision <= 24); wider decimals fall back to FULL.
+        // keeps an exact decimal pair-value sum and divides at merge
+        // with Average's own exact division — every (p,s) maintains
+        // (see the AVG case below).
         if (!e.deterministic) return Left(s"nondeterministic AVG(DISTINCT) in $ctx")
         e.dataType match {
-          case d: DecimalType =>
-            if (d.scale + 4 <= 6 || d.precision <= 24) Right(("dadistinct", plainSql(e)))
-            else Left(s"decimal AVG(DISTINCT) wider than (24,*)/( *,2) in $ctx")
+          case _: DecimalType => Right(("dadistinct", plainSql(e)))
           case _: NumericType => Right(("adistinct", plainSql(e)))
           case _ => Left(s"non-numeric AVG(DISTINCT) in $ctx")
         }
       case AggregateExpression(Average(e, _), _, false, None, _) =>
         if (!e.deterministic) return Left(s"nondeterministic AVG in $ctx")
         e.dataType match {
-          case d: DecimalType =>
-            // decimal AVG decomposes exactly into a decimal running sum
-            // + count WHEN the sum/count division's precision-loss-
-            // adjusted scale, max(6, 38-(p+10-s)), still reaches the
-            // avg output scale s+4 — i.e. s <= 2 (the 6-floor covers
-            // it) or p <= 24. Probed at 50k quotients per (p,s) across
-            // the gate with zero mismatches; outside it the division is
-            // provably coarser than AVG and cannot be replayed.
-            if (d.scale + 4 <= 6 || d.precision <= 24) Right(("davg", plainSql(e)))
-            else Left(s"decimal AVG wider than (24,*)/( *,2) in $ctx")
+          case _: DecimalType =>
+            // decimal AVG decomposes exactly at EVERY (p,s) since
+            // round 16: the running sum is kept exact at the stored
+            // sum type via DecimalAddNoOverflowCheck (the Column `+`
+            // would re-round at precision 38) and the merge divides
+            // with the IDENTICAL DecimalDivideWithOverflowCheck
+            // expression Spark's Average evaluates — quotient rounded
+            // once at the avg output scale. The former (24,*)/( *,2)
+            // gate existed because the Column `/` replay was coarser
+            // than AVG outside it.
+            Right(("davg", plainSql(e)))
           case _: NumericType => Right(("avg", plainSql(e)))
           case _ => Left(s"non-numeric AVG in $ctx")
         }
@@ -1091,7 +1131,13 @@ object GraftMaterializedView {
     val aggCols = shape.aggs.zipWithIndex.flatMap { case (a, i) =>
       def nnDelta = sum(when(expr(a.sql).isNotNull, col("_sign")).otherwise(lit(0L)))
       a.kind match {
-        case "sum" => Seq(sum(expr(a.sql) * col("_sign")).as(a.name),
+        case "sum" => Seq(
+          // sign via negate, not multiply: DECIMAL(p,s) * BIGINT goes
+          // through the precision-loss adjust (precision p+21), which
+          // at p+s+21 > 38 rounds every signed value to scale
+          // 38-(p+11) BEFORE the sum — -e keeps the input's exact (p,s)
+          sum(when(col("_sign") === 1L, expr(a.sql))
+            .otherwise(negate(expr(a.sql)))).as(a.name),
           nnDelta.as(nnCol(i)))
         case "count" => Seq(nnDelta.as(a.name))
         case "count_star" => Seq(sum(col("_sign")).as(a.name))
@@ -1988,28 +2034,36 @@ object GraftMaterializedView {
           // alive-pair count, so sum-over-distinct merges like SUM
           val t = storage.schema.fields.find(_.name == a.name).get.dataType
           val nn = coalesce(ccol(nnCol(i)), lit(0L)) + coalesce(dcol(nnCol(i)), lit(0L))
-          when(nn === 0L, lit(null).cast(t))
-            .otherwise(coalesce(ccol(a.name), lit(0).cast(t)) +
-              coalesce(dcol(a.name), lit(0).cast(t))).as(a.name)
+          val added = t match {
+            // exact at the stored type: the Column `+` re-rounds at
+            // precision 38 (see exactDecimalAdd)
+            case d: DecimalType => exactDecimalAdd(
+              coalesce(ccol(a.name), lit(0).cast(d)),
+              coalesce(dcol(a.name), lit(0).cast(d)), d)
+            case _ => coalesce(ccol(a.name), lit(0).cast(t)) +
+              coalesce(dcol(a.name), lit(0).cast(t))
+          }
+          when(nn === 0L, lit(null).cast(t)).otherwise(added).as(a.name)
         case "avg" | "adistinct" =>
           val as = coalesce(ccol(asCol(i)), lit(0d)) + coalesce(dcol(asCol(i)), lit(0d))
           val nn = coalesce(ccol(nnCol(i)), lit(0L)) + coalesce(dcol(nnCol(i)), lit(0L))
           when(nn === 0L, lit(null).cast(DoubleType)).otherwise(as / nn).as(a.name)
         case "davg" | "dadistinct" =>
-          val outT = storage.schema.fields.find(_.name == a.name).get.dataType
-          val sumT = storage.schema.fields.find(_.name == asCol(i)).get.dataType
-          // cast the addition back to the STORED sum type before the
-          // division: decimal + widens precision by one, which shrinks
-          // the division's precision-loss-adjusted scale by one — at
-          // the gate boundary (p=24, s>2) that quotient is coarser
-          // than the avg output scale and rounds differently than a
-          // recompute. Casting to sumT makes the merge division
-          // type-identical to the initial avg()'s sum/count division.
-          val as = (coalesce(ccol(asCol(i)), lit(0).cast(sumT)) +
-            coalesce(dcol(asCol(i)), lit(0).cast(sumT))).cast(sumT)
+          val outT = storage.schema.fields.find(_.name == a.name).get
+            .dataType.asInstanceOf[DecimalType]
+          val sumT = storage.schema.fields.find(_.name == asCol(i)).get
+            .dataType.asInstanceOf[DecimalType]
+          // exact running-sum add at the stored sum type, then the
+          // IDENTICAL division Spark's decimal Average evaluates —
+          // quotient rounded once at the avg output scale — so the
+          // maintained value replays a recompute bit-for-bit at every
+          // decimal (p,s), wide types included
+          val as = exactDecimalAdd(
+            coalesce(ccol(asCol(i)), lit(0).cast(sumT)),
+            coalesce(dcol(asCol(i)), lit(0).cast(sumT)), sumT)
           val nn = coalesce(ccol(nnCol(i)), lit(0L)) + coalesce(dcol(nnCol(i)), lit(0L))
           when(nn === 0L, lit(null).cast(outT))
-            .otherwise((as / nn).cast(outT)).as(a.name)
+            .otherwise(avgDivide(as, nn, outT)).as(a.name)
         case "min" | "max" => closedForm(a, i).as(a.name)
         case _ =>
           (coalesce(ccol(a.name), lit(0L)) + coalesce(dcol(a.name), lit(0L))).as(a.name)
@@ -2023,10 +2077,11 @@ object GraftMaterializedView {
           (coalesce(ccol(asCol(i)), lit(0d)) + coalesce(dcol(asCol(i)), lit(0d))).as(asCol(i)),
           (coalesce(ccol(nnCol(i)), lit(0L)) + coalesce(dcol(nnCol(i)), lit(0L))).as(nnCol(i)))
         case "davg" | "dadistinct" =>
-          val sumT = storage.schema.fields.find(_.name == asCol(i)).get.dataType
+          val sumT = storage.schema.fields.find(_.name == asCol(i)).get
+            .dataType.asInstanceOf[DecimalType]
           Seq(
-            (coalesce(ccol(asCol(i)), lit(0).cast(sumT)) +
-              coalesce(dcol(asCol(i)), lit(0).cast(sumT))).cast(sumT).as(asCol(i)),
+            exactDecimalAdd(coalesce(ccol(asCol(i)), lit(0).cast(sumT)),
+              coalesce(dcol(asCol(i)), lit(0).cast(sumT)), sumT).as(asCol(i)),
             (coalesce(ccol(nnCol(i)), lit(0L)) + coalesce(dcol(nnCol(i)), lit(0L))).as(nnCol(i)))
         case _ => Nil
       }

@@ -901,12 +901,13 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE graft.$ns.src")
   }
 
-  // Decimal AVG: exact incremental decomposition inside the probed
-  // gate (scale <= 2 or precision <= 24 — where the sum/count
-  // division's precision-loss-adjusted scale reaches the avg output
-  // scale); wider decimals fall back to FULL mode because the
-  // division is provably coarser than AVG.
-  test("decimal AVG: incremental inside the precision gate, full outside") {
+  // Decimal AVG: exact incremental decomposition at EVERY (p,s) since
+  // round 16 — the running sum is exact at the stored sum type
+  // (DecimalAddNoOverflowCheck; the plain Column `+` re-rounds at
+  // precision 38) and the merge divides with Average's own exact
+  // DecimalDivideWithOverflowCheck (quotient rounded once at the avg
+  // output scale).
+  test("decimal AVG: incremental == recompute, wide decimals included") {
     val ns = "mvdec"
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
     spark.sql(s"DROP TABLE IF EXISTS graft.$ns.src")
@@ -969,21 +970,52 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
     }
     spark.sql(s"CALL graft.system.drop_mview('$ns', 'me')")
     spark.sql(s"DROP TABLE graft.$ns.edge")
-    // outside the gate: scale > 2 AND precision > 24 → full mode,
-    // for the DISTINCT spelling too (same probed division gate)
+    // WIDE decimals (p > 24 AND s > 2, the former FULL-fallback class):
+    // DECIMAL(30,10) with 19 integer digits and a non-zero 10th frac
+    // digit — a single merge that re-rounds the (38,10) running sum at
+    // scale 9, or divides at the precision-loss scale instead of the
+    // avg output scale, mismatches the recompute immediately. All four
+    // decimal kinds (davg / sum / dadistinct / sdistinct) share the
+    // churn, deletes included.
     spark.sql(s"DROP TABLE IF EXISTS graft.$ns.wide")
     spark.sql(s"CREATE TABLE graft.$ns.wide (g STRING, v DECIMAL(30,10))")
     spark.sql(s"INSERT INTO graft.$ns.wide VALUES ('a', 1.2345678901)")
     spark.sql(
       s"""CALL graft.system.create_mview('$ns', 'mw',
-         |  'SELECT g, AVG(v) AS av FROM graft.$ns.wide GROUP BY g')""".stripMargin)
-      .head.getString(0) shouldBe "full"
+         |  'SELECT g, AVG(v) AS av, SUM(v) AS sv, AVG(DISTINCT v) AS adv,
+         |          SUM(DISTINCT v) AS sdv
+         |   FROM graft.$ns.wide GROUP BY g')""".stripMargin)
+      .head.getString(0) shouldBe "incremental"
+    val wrnd = new Random(23)
+    def wideVal(): String = {
+      val intPart = "1" + (0 until 18).map(_ => wrnd.nextInt(10)).mkString
+      val fracPart = (0 until 9).map(_ => wrnd.nextInt(10)).mkString +
+        (1 + wrnd.nextInt(9))
+      s"$intPart.$fracPart"
+    }
+    for (step <- 0 until 8) {
+      if (step % 4 == 3)
+        spark.sql(s"DELETE FROM graft.$ns.wide WHERE v >= " +
+          s"${3 + wrnd.nextInt(6)}000000000000000000.0")
+      else {
+        val rows = (0 until (1 + wrnd.nextInt(3))).map(_ =>
+          s"('g${wrnd.nextInt(3)}', ${wideVal()})")
+        spark.sql(s"INSERT INTO graft.$ns.wide VALUES ${rows.mkString(", ")}")
+      }
+      val action = spark.sql(
+        s"CALL graft.system.refresh_mview('$ns', 'mw', false)").head.getString(2)
+      Seq("incremental", "empty", "noop") should contain(action)
+      withClue(s"wide step=$step ") {
+        spark.sql(s"SELECT g, av, sv, adv, sdv FROM graft.$ns.mw ORDER BY g")
+          .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq shouldBe
+          spark.sql(
+            s"""SELECT g, AVG(v) AS av, SUM(v) AS sv, AVG(DISTINCT v) AS adv,
+               |       SUM(DISTINCT v) AS sdv
+               |FROM graft.$ns.wide GROUP BY g ORDER BY g""".stripMargin)
+            .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+      }
+    }
     spark.sql(s"CALL graft.system.drop_mview('$ns', 'mw')")
-    spark.sql(
-      s"""CALL graft.system.create_mview('$ns', 'mwd',
-         |  'SELECT g, AVG(DISTINCT v) AS av FROM graft.$ns.wide GROUP BY g')""".stripMargin)
-      .head.getString(0) shouldBe "full"
-    spark.sql(s"CALL graft.system.drop_mview('$ns', 'mwd')")
     spark.sql(s"DROP TABLE graft.$ns.src")
     spark.sql(s"DROP TABLE graft.$ns.wide")
   }
