@@ -45,7 +45,10 @@ import org.json4s.jackson.JsonMethods
   * MIN/MAX(DISTINCT) ≡
   * MIN/MAX — each with an optional deterministic FILTER (WHERE p),
   * folded into the aggregated expression as CASE WHEN p THEN e END.
-  * Everything else (window
+  * Rank-per-group top-N shapes (ROW_NUMBER/RANK/DENSE_RANK OVER a
+  * partitioned window, optional `rn <= N` predicate) maintain in
+  * their own "window" mode by affected-group recompute (round 16).
+  * Everything else (non-rank window
   * functions, nested views, non-fact-preserving joins) falls back to
   * FULL refresh, which recomputes and overwrites. Join maintenance pins every dimension AS
   * OF the version the stored rows were built with, so the signed fact
@@ -134,6 +137,23 @@ object GraftMaterializedView {
     * over 2 keys = [[0,1],[0],[]]). Absent = plain GROUP BY.
     */
   val GroupSetsProp = "graft.mview.group-sets"
+  /** Rank-per-group (analytic window) MVs — mode "window". The stored
+    * rows are the POST-rank-filter output (top-N per group), so storage
+    * stays O(groups × N); refresh recomputes only changelog-touched
+    * partition groups from the source AS OF the head (window functions
+    * never cross partitions, so a per-group recompute is exact) while
+    * untouched groups keep their stored rows.
+    */
+  val WinPartProp = "graft.mview.win-part" // JSON [[storedName, sourceSql]]
+  val WinProjProp = "graft.mview.win-proj" // JSON [[storedName, sourceSql]] incl. _mv_rn
+  val WinFilterProp = "graft.mview.win-where" // rank predicate over stored names; '' = none
+  /** Per-group ROW_NUMBER over the window's own (partition, order) —
+    * the uniqueness component of the merge key (partCols, _mv_rn):
+    * RANK/DENSE_RANK tie, ROW_NUMBER doesn't. Ties order arbitrarily,
+    * but touched groups are replaced WHOLESALE each refresh, so the
+    * stored set equals a recompute set even when tied rows swap slots.
+    */
+  val WinRnCol = "_mv_rn"
   val RowsCol = "_mv_rows"
   /** Grouping-id merge-key column for grouping-sets MVs: two sets can
     * produce identical key tuples (a real NULL key vs a rolled-up one),
@@ -987,6 +1007,222 @@ object GraftMaterializedView {
                        dims: Seq[(DataFrame, String, String)]): DataFrame =
     dims.foldLeft(fact) { case (acc, (d, jt, cond)) => acc.join(d, expr(cond), jt) }
 
+  /** A maintainable rank-per-group window shape: one bare graft FACT,
+    * an optional inner WHERE, one window (partition, order) carrying
+    * only rank functions (ROW_NUMBER / RANK / DENSE_RANK), and an
+    * optional outer rank predicate (`rn <= 3`). `proj` is the full
+    * stored projection (public outputs first, then hidden `_mv_wh`/
+    * `_mv_wp` extras, then [[WinRnCol]]); `partCols` the stored names
+    * of the partition keys with their source-expression SQL.
+    */
+  final case class WindowShape(fact: GraftTable,
+                               filter: Option[String],
+                               proj: Seq[(String, String)],
+                               partCols: Seq[(String, String)],
+                               rankFilter: Option[String])
+
+  /** Analyze a rank-per-group top-N shape:
+    * {{{
+    * SELECT g, k, v, rn FROM (
+    *   SELECT g, k, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) rn
+    *   FROM graft.ns.t WHERE p) WHERE rn <= 3
+    * }}}
+    * Accepted plan stack: [bare-attr Project]? [Filter]? [Project]?
+    * Window over an inlinable Project/Filter chain to a bare graft
+    * relation. The window carries rank functions only (they never read
+    * row values, so a per-group recompute needs no retraction algebra),
+    * over a non-empty deterministic PARTITION BY — a global rank MV
+    * would recompute the whole table on any change, which is FULL
+    * refresh spelled differently, so it refuses here. The rank
+    * predicate may only reference stored columns. Everything rendered
+    * to SQL is re-parsed by `expr()` at create/refresh (the same
+    * replay-by-SQL contract the aggregate shapes use).
+    */
+  private def analyzeWindow(analyzed: LogicalPlan): Either[String, WindowShape] = {
+    import org.apache.spark.sql.catalyst.expressions.{DenseRank, Rank, RowNumber, WindowExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+
+    // Peel a stack of Projects down to the Window node, COMPOSING them
+    // (ExtractWindowExpressions emits Project(outer) over
+    // Project(inner ++ windowAttrs) over Window) — the returned list is
+    // the outermost selection rewritten over the Window's output.
+    def asWindowStack(p: LogicalPlan): Option[(Seq[NamedExpression], Window)] =
+      unwrapAliases(p) match {
+        case Project(list, c) => asWindowStack(c).map { case (inner, w) =>
+          val aliased = inner.collect { case al: Alias => al.exprId -> al.child }.toMap
+          val composed = list.map {
+            case a: AttributeReference if aliased.contains(a.exprId) =>
+              Alias(aliased(a.exprId), a.name)(exprId = a.exprId): NamedExpression
+            case a: AttributeReference => a: NamedExpression
+            case al @ Alias(e, n) =>
+              Alias(e.transformUp {
+                case a: AttributeReference if aliased.contains(a.exprId) =>
+                  aliased(a.exprId)
+              }, n)(exprId = al.exprId): NamedExpression
+            case _ => return None // unsupported projection entry
+          }
+          (composed, w)
+        }
+        case w: Window => Some((w.output.toSeq, w))
+        case _ => None
+      }
+
+    val (topAttrs, rankCond, innerList, w) = unwrapAliases(analyzed) match {
+      case Project(tl, c1) => unwrapAliases(c1) match {
+        case Filter(cond, c2) => asWindowStack(c2) match {
+          case Some((il, win)) =>
+            val bare = tl.map {
+              case a: AttributeReference => a
+              case other => return Left(
+                s"window MV outer projection ${other.sql} is not a bare column")
+            }
+            (Some(bare), Some(cond), il, win)
+          case None => return Left("not a rank-per-group window shape")
+        }
+        case _ => asWindowStack(c1) match {
+          case Some((il, win)) => (None, None, il, win)
+          case None => return Left("not a rank-per-group window shape")
+        }
+      }
+      case Filter(cond, c1) => asWindowStack(c1) match {
+        case Some((il, win)) => (None, Some(cond), il, win)
+        case None => return Left("not a rank-per-group window shape")
+      }
+      case p0 => asWindowStack(p0) match {
+        case Some((il, win)) => (None, None, il, win)
+        case None => return Left("not a rank-per-group window shape")
+      }
+    }
+
+    // the window node: rank functions only, over a deterministic
+    // non-empty partition and a deterministic order
+    val windowMap: Map[ExprId, WindowExpression] = w.windowExpressions.map {
+      case al @ Alias(we: WindowExpression, _) =>
+        we.windowFunction match {
+          case _: RowNumber | _: Rank | _: DenseRank => ()
+          case other => return Left(
+            s"window function ${other.prettyName} is not a rank function " +
+              "(ROW_NUMBER/RANK/DENSE_RANK)")
+        }
+        if (!we.deterministic) return Left("nondeterministic window spec")
+        al.exprId -> we
+      case other => return Left(s"unsupported window expression ${other.sql}")
+    }.toMap
+    if (w.partitionSpec.isEmpty)
+      return Left("rank window without PARTITION BY (a global rank MV " +
+        "recomputes the whole table on any change — keep it on full refresh)")
+    if (w.orderSpec.isEmpty) return Left("rank window without ORDER BY")
+
+    // collapse anything between the window and its relation
+    val (terminal, conds, m) = inlineProjections(w.child)
+    val fact = unwrapAliases(terminal) match {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftV2Table] =>
+        r.table.asInstanceOf[GraftV2Table].underlying
+      case _ => return Left("window MV source is not a bare graft table")
+    }
+    def subst(e: Expression): Expression = {
+      val winInlined = e.transformUp {
+        case a: AttributeReference if windowMap.contains(a.exprId) =>
+          windowMap(a.exprId)
+      }
+      if (m.isEmpty) winInlined
+      else winInlined.transformUp {
+        case a: AttributeReference if m.contains(a.exprId) => m(a.exprId)
+      }
+    }
+
+    // the inner selection: every entry rendered over the SOURCE row
+    val entries: Seq[(ExprId, String, Expression)] = innerList.map {
+      case a: AttributeReference => (a.exprId, a.name, subst(a))
+      case al @ Alias(e, n) =>
+        val s = subst(e)
+        if (!s.deterministic) return Left(s"nondeterministic output $n")
+        (al.exprId, n, s)
+      case other => return Left(s"unsupported window output ${other.sql}")
+    }
+    if (entries.exists(_._2.toLowerCase.startsWith("_mv_")))
+      return Left("output columns may not use the reserved _mv_ prefix")
+
+    // stored order: public outputs first (outer projection order when
+    // present), then non-public inner outputs as hidden _mv_wh<i>
+    val byId = entries.map(e => e._1 -> e).toMap
+    val publicIds = topAttrs.map(_.map(_.exprId)).getOrElse(entries.map(_._1))
+    if (publicIds.distinct.size != publicIds.size)
+      return Left("duplicate columns in the window MV projection")
+    val public = publicIds.map(id => byId.getOrElse(id,
+      return Left("outer projection references a non-window column")))
+    if (public.map(_._2.toLowerCase).distinct.size != public.size)
+      return Left("duplicate output column names in the window MV")
+    val hiddenInner = entries.filterNot(e => publicIds.contains(e._1))
+      .zipWithIndex.map { case ((id, _, e), i) => (id, s"_mv_wh$i", e) }
+    var stored: Seq[(ExprId, String, Expression)] = public ++ hiddenInner
+
+    // partition keys: reuse a stored column when one computes the same
+    // expression, else append a hidden _mv_wp<i> column
+    val partSubst = w.partitionSpec.map(subst)
+    if (partSubst.exists(e => e.exists(_.isInstanceOf[WindowExpression])))
+      return Left("PARTITION BY over a window expression")
+    val partCols: Seq[(String, String)] = partSubst.zipWithIndex.map {
+      case (pe, i) =>
+        stored.find(_._3.semanticEquals(pe)) match {
+          case Some((_, n, _)) => (n, plainSql(pe))
+          case None =>
+            val n = s"_mv_wp$i"
+            stored = stored :+ ((NamedExpression.newExprId, n, pe))
+            (n, plainSql(pe))
+        }
+    }
+
+    // the rank predicate renders over STORED names
+    val rankFilterSql = rankCond.map { cond =>
+      if (!cond.deterministic) return Left("nondeterministic rank predicate")
+      val renamed = cond.transformUp {
+        case a: AttributeReference =>
+          byId.get(a.exprId) match {
+            case Some((id, _, _)) =>
+              val n = stored.find(_._1 == id).get._2
+              AttributeReference(n, a.dataType, a.nullable)()
+            case None => return Left(
+              s"rank predicate references ${a.name}, which the window " +
+                "projection does not carry")
+          }
+      }
+      if (renamed.exists(_.isInstanceOf[WindowExpression]))
+        return Left("rank predicate over a raw window expression")
+      plainSql(renamed)
+    }
+
+    // the merge-key row number, over the window's own partition + order
+    val rnExpr = WindowExpression(RowNumber(),
+      org.apache.spark.sql.catalyst.expressions.WindowSpecDefinition(
+        partSubst, w.orderSpec.map(subst(_).asInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.SortOrder]),
+        org.apache.spark.sql.catalyst.expressions.SpecifiedWindowFrame(
+          org.apache.spark.sql.catalyst.expressions.RowFrame,
+          org.apache.spark.sql.catalyst.expressions.UnboundedPreceding,
+          org.apache.spark.sql.catalyst.expressions.CurrentRow)))
+    val proj = stored.map { case (_, n, e) => (n, plainSql(e)) } :+
+      ((WinRnCol, plainSql(rnExpr)))
+
+    val filterSql =
+      if (conds.isEmpty) None
+      else Some(plainSql(conds.reduce(
+        org.apache.spark.sql.catalyst.expressions.And(_, _))))
+    Right(WindowShape(fact, filterSql, proj, partCols, rankFilterSql))
+  }
+
+  /** Replay a window shape over a source frame: inner WHERE → stored
+    * projection (window exprs included) → rank predicate. The stored
+    * rows ARE this replay's output.
+    */
+  private def windowReplay(base: DataFrame, filter: Option[String],
+                           proj: Seq[(String, String)],
+                           rankFilter: Option[String]): DataFrame = {
+    val filtered = filter.fold(base)(f => base.where(expr(f)))
+    val projected = filtered.select(proj.map { case (n, s) => expr(s).as(n) }: _*)
+    rankFilter.fold(projected)(rf => projected.where(expr(rf)))
+  }
+
   /** The grouped materialization frame (public + bookkeeping columns)
     * over `base`, per the stored shape. The AVG public column is
     * `avg(CAST(e AS DOUBLE))` — identical to Spark's non-decimal
@@ -1375,16 +1611,28 @@ object GraftMaterializedView {
           js.shape.sets.map(ss =>
             GroupSetsProp -> specJson(ss.map(_.map(_.toString)))).toMap ++
           dimProps ++ dlProps)
-      case Left(_) =>
-        val f = spark.sql(sql)
-        // the public view filters the _mv_ bookkeeping namespace out of
-        // the storage columns — a user output named into it would
-        // silently vanish from the view instead of erroring
-        val bad = f.columns.filter(_.toLowerCase.startsWith("_mv_"))
-        require(bad.isEmpty,
-          s"materialized view output column(s) ${bad.mkString(", ")} use " +
-            "the reserved _mv_ bookkeeping prefix — alias them")
-        ("full", f, Map.empty[String, String])
+      case Left(_) => analyzeWindow(analyzed) match {
+        case Right(ws) =>
+          // rank-per-group top-N: storage holds the post-rank-filter
+          // replay (top-N per group) plus the _mv_rn merge key
+          val f = windowReplay(src.scanAsOfVersion(cur), ws.filter,
+            ws.proj, ws.rankFilter)
+          ("window", f, Map(
+            FilterProp -> ws.filter.getOrElse(""),
+            WinPartProp -> specJson(ws.partCols.map(p => Seq(p._1, p._2))),
+            WinProjProp -> specJson(ws.proj.map(p => Seq(p._1, p._2))),
+            WinFilterProp -> ws.rankFilter.getOrElse("")))
+        case Left(_) =>
+          val f = spark.sql(sql)
+          // the public view filters the _mv_ bookkeeping namespace out of
+          // the storage columns — a user output named into it would
+          // silently vanish from the view instead of erroring
+          val bad = f.columns.filter(_.toLowerCase.startsWith("_mv_"))
+          require(bad.isEmpty,
+            s"materialized view output column(s) ${bad.mkString(", ")} use " +
+              "the reserved _mv_ bookkeeping prefix — alias them")
+          ("full", f, Map.empty[String, String])
+      }
     }
     // an optional partition spec over the GROUP columns (e.g.
     // `bucket(32, region)`) adds directory-level pruning to the keyed
@@ -1451,6 +1699,12 @@ object GraftMaterializedView {
     }
     val src = cat.load(srcRel)
     val to = src.currentOrFail().version
+
+    // rank-per-group window MVs maintain by affected-group recompute —
+    // no signed-delta algebra, no dims/legs — in their own arm
+    if (mode == "window")
+      return refreshWindow(spark, ns, name, storage, props, src,
+        applied, to, forceFull)
 
     // dimension joins: pinned AS OF the versions the stored rows were
     // built with. A dim that moved invalidates the pinning — one full
@@ -2279,6 +2533,132 @@ object GraftMaterializedView {
       props = props ++ Map(AppliedProp -> to.toString) ++ newDimProp ++
         dlVerNow.map { case (i, v) => dlVerProp(i) -> v.toString },
       requireParentProps = casProps,
+      nullSafeKeys = true)
+    (applied, to, "incremental")
+  }
+
+  /** Refresh a rank-per-group window MV by AFFECTED-GROUP recompute:
+    * rank functions are not retraction-decomposable (a single delete
+    * re-ranks its whole group), but a window never crosses partitions,
+    * so the changelog's touched partition keys bound the work exactly —
+    * touched groups recompute from the source AS OF the head and
+    * replace their stored rows wholesale, untouched groups keep theirs.
+    * Cost is O(touched groups ⋈ source-rows-of-those-groups), never
+    * O(table): both the head scan and the stored-slice read are
+    * zone-pruned by the touched keys' [min, max] rectangle, and the
+    * replacement commits through ONE keyed [[GraftTable.applyNetChanges]]
+    * carrying the marker CAS — exactly-once under retries, and a reader
+    * never sees a group half-replaced.
+    */
+  private def refreshWindow(spark: SparkSession, ns: String, name: String,
+                            storage: GraftTable, props: Map[String, String],
+                            src: GraftTable, applied: Int, to: Int,
+                            forceFull: Boolean): (Int, Int, String) = {
+    val parts = specFromJson(props(WinPartProp)).map { case Seq(n, s) => (n, s) }
+    val proj = specFromJson(props(WinProjProp)).map { case Seq(n, s) => (n, s) }
+    val innerFilter = props.get(FilterProp).filter(_.nonEmpty)
+    val rankFilter = props.get(WinFilterProp).filter(_.nonEmpty)
+    def replay(base: DataFrame): DataFrame =
+      windowReplay(base, innerFilter, proj, rankFilter)
+
+    if (applied == to && !forceFull) return (applied, to, "noop")
+    // forced rebuild, or a rolled-back source (no forward slice):
+    // one full replay, overwritten with the marker in the same commit
+    if (forceFull || applied > to) {
+      storage.overwrite(replay(src.scanAsOfVersion(to)),
+        props = props ++ Map(AppliedProp -> to.toString))
+      return (applied, to, "full")
+    }
+
+    val changes =
+      try src.scanChangesBetween(applied, to)
+      catch {
+        case e @ (_: java.io.FileNotFoundException |
+                  _: java.nio.file.NoSuchFileException |
+                  _: IllegalStateException | _: IllegalArgumentException) =>
+          throw new IllegalStateException(
+            s"materialized view $ns.$name cannot replay the source changelog " +
+              s"($applied, $to] — expire_snapshots may have removed versions " +
+              "the marker still needs. Rebuild with refresh_mview(..., " +
+              "force_full => true)", e)
+      }
+    // touched groups: every changelog row passing the inner WHERE
+    // (insert post-image or delete pre-image) touches its partition key
+    val filteredChanges = innerFilter.fold(changes)(f => changes.where(expr(f)))
+    val touched = filteredChanges
+      .select(parts.map { case (n, s) => expr(s).as(n) }: _*)
+      .distinct().localCheckpoint()
+    val keyNames = parts.map(_._1)
+    if (touched.isEmpty) {
+      // all-filtered slice: advance the marker metadata-only, CAS-guarded
+      storage.updateProperties(Map(AppliedProp -> to.toString),
+        requireParentProps = Map(AppliedProp -> applied.toString))
+      return (applied, to, "empty")
+    }
+
+    // zone-pruned reads on both sides of the replacement: a row of an
+    // untouched group outside the touched keys' [min, max] rectangle
+    // cannot join and would only idle through the semi join
+    def rangeSqlFor(schema: org.apache.spark.sql.types.StructType,
+                    names: Seq[String], sqls: Seq[String]): Option[String] = {
+      def isBinaryFloat(k: String) = {
+        val i = names.indexOf(k)
+        val colName = sqls(i)
+        schema.fields.find(_.name.equalsIgnoreCase(colName)).map(_.dataType)
+          .exists(t => t == org.apache.spark.sql.types.FloatType ||
+            t == org.apache.spark.sql.types.DoubleType)
+      }
+      // bounds only for keys whose source sql IS a bare column of the
+      // scanned schema — expression keys skip (still exact via the
+      // semi join; pruning is a pure optimization)
+      val colKeys = names.zip(sqls).filter { case (_, s) =>
+        schema.fields.exists(_.name.equalsIgnoreCase(s.stripPrefix("`").stripSuffix("`")))
+      }
+      val bounds = rangeBounds(touched, colKeys.map(_._1), isBinaryFloat)
+      val rendered = bounds.flatMap { case (k, lo, hi) =>
+        val colName = {
+          val i = names.indexOf(k)
+          sqls(i).stripPrefix("`").stripSuffix("`")
+        }
+        FilterSql.toSql(org.apache.spark.sql.sources.And(
+          org.apache.spark.sql.sources.GreaterThanOrEqual(colName, lo),
+          org.apache.spark.sql.sources.LessThanOrEqual(colName, hi)))
+      }
+      if (rendered.isEmpty) None else Some(rendered.mkString("(", ") AND (", ")"))
+    }
+    val tk = parts.indices.map(i => s"_mvtk_$i")
+    val touchedR = touched.toDF(tk: _*)
+
+    val srcScan = rangeSqlFor(src.schema, keyNames, parts.map(_._2)) match {
+      case Some(p) => src.scanVersionWhere(to, p)
+      case None => src.scanAsOfVersion(to)
+    }
+    val srcTouched = srcScan.join(touchedR,
+      parts.zip(tk).map { case ((_, s), k) => expr(s) <=> col(s"`$k`") }
+        .reduce(_ && _), "left_semi")
+    val recomputed = replay(srcTouched).localCheckpoint()
+
+    val storedScan = rangeSqlFor(storage.schema, keyNames, keyNames) match {
+      case Some(p) => storage.scanWhere(p)
+      case None => storage.scan()
+    }
+    val storedTouched = storedScan.join(touchedR,
+      keyNames.zip(tk).map { case (n, k) => col(s"`$n`") <=> col(s"`$k`") }
+        .reduce(_ && _), "left_semi")
+
+    val mergeKeys = keyNames :+ WinRnCol
+    // null-safe anti join (a NULL partition key addresses a real group):
+    // stored keys whose (parts, rn) vanished from the recompute
+    val rk = mergeKeys.indices.map(i => s"_mvrk_$i")
+    val recomputedKeys = recomputed
+      .select(mergeKeys.map(n => col(s"`$n`")): _*).toDF(rk: _*)
+    val delKeys = storedTouched.select(mergeKeys.map(n => col(s"`$n`")): _*)
+      .join(recomputedKeys,
+        mergeKeys.zip(rk).map { case (n, k) => col(s"`$n`") <=> col(s"`$k`") }
+          .reduce(_ && _), "left_anti")
+    storage.applyNetChanges(delKeys, recomputed, mergeKeys,
+      props = props ++ Map(AppliedProp -> to.toString),
+      requireParentProps = Map(AppliedProp -> applied.toString),
       nullSafeKeys = true)
     (applied, to, "incremental")
   }

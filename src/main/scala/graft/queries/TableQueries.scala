@@ -1378,6 +1378,69 @@ object TableQueries {
              |  CAST(ROUND(SUM(v), 2) AS DOUBLE) AS sv, COUNT(*) AS n
              |FROM src GROUP BY flag ORDER BY flag""".stripMargin)),
 
+    // Rank-per-group (top-N) WINDOW MV (round-15 verdict carry #4):
+    // ROW_NUMBER() OVER (PARTITION BY flag ORDER BY price DESC, ...)
+    // WHERE rn <= 5, maintained by AFFECTED-GROUP recompute — the
+    // changelog's touched partition keys recompute from the source AS
+    // OF the head (zone-pruned + semi-joined), untouched groups keep
+    // their stored rows, and the replacement commits through ONE keyed
+    // applyNetChanges with the marker CAS. The order is TOTAL
+    // (price DESC, okey, ln), so both engines rank identically.
+    "q123_mview_topn_window" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq123").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq123", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq123.warehouse",
+            Files.createTempDirectory("graft-mview-topn").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq123.bench")
+        s.sql("CALL graftq123.system.drop_mview('bench', 'top5')")
+        s.sql("DROP TABLE IF EXISTS graftq123.bench.li")
+        s.sql("""CREATE TABLE graftq123.bench.li
+                |(okey BIGINT, ln INT, flag STRING, price DOUBLE, qty DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        t(s, dir, "lineitem").createOrReplaceTempView("q123_li")
+        s.sql("""INSERT INTO graftq123.bench.li
+                |SELECT l_orderkey, l_linenumber, l_returnflag,
+                |       l_extendedprice, l_quantity
+                |FROM q123_li WHERE l_orderkey % 2 = 0""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq123.system.create_mview('bench', 'top5',
+            |  'SELECT flag, okey, ln, price, rn FROM (
+            |     SELECT flag, okey, ln, price,
+            |       ROW_NUMBER() OVER (PARTITION BY flag
+            |         ORDER BY price DESC, okey, ln) AS rn
+            |     FROM graftq123.bench.li WHERE qty > 1.0) WHERE rn <= 5')""".stripMargin)
+          .head.getString(0)
+        require(mode == "window",
+          s"rank-per-group MV must register in window mode, got $mode")
+        // burst: the other half arrives, then two delete slices — one
+        // retracts stored top rows of a single group
+        s.sql("""INSERT INTO graftq123.bench.li
+                |SELECT l_orderkey, l_linenumber, l_returnflag,
+                |       l_extendedprice, l_quantity
+                |FROM q123_li WHERE l_orderkey % 2 = 1""".stripMargin)
+        s.sql("DELETE FROM graftq123.bench.li WHERE flag = 'A' AND qty >= 40.0")
+        s.sql("DELETE FROM graftq123.bench.li WHERE okey <= 200")
+        val action = s.sql(
+          "CALL graftq123.system.refresh_mview('bench', 'top5', false)")
+          .head.getString(2)
+        require(action == "incremental", s"expected incremental refresh, got $action")
+        s.sql("""SELECT flag, okey, ln, price, rn FROM graftq123.bench.top5
+                |ORDER BY flag, rn""".stripMargin)
+      },
+      Some("""WITH src AS (
+             |  SELECT l_returnflag AS flag, l_orderkey AS okey,
+             |         l_linenumber AS ln, l_extendedprice AS price
+             |  FROM lineitem
+             |  WHERE l_quantity > 1.0 AND l_orderkey > 200
+             |    AND NOT (l_returnflag = 'A' AND l_quantity >= 40.0))
+             |SELECT flag, okey, ln, price, rn FROM (
+             |  SELECT flag, okey, ln, price,
+             |    ROW_NUMBER() OVER (PARTITION BY flag
+             |      ORDER BY price DESC, okey, ln) AS rn
+             |  FROM src) WHERE rn <= 5 ORDER BY flag, rn""".stripMargin)),
+
     // LEFT-join MV with a MOVED dimension: unmatched facts aggregate
     // under the NULL group; then the dim moves in BOTH flip directions
     // (missing orders arrive → NULL-extensions retract; urgent orders

@@ -1531,6 +1531,16 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     readFilesMoR(snap, prunedFilesOf(snap, pred), snap.schema).filter(expr(predicateSql))
   }
 
+  /** [[scanWhere]]'s file-level pruning against a PINNED version — the
+    * filtered dual of [[scanAsOfVersion]], for refresh paths that must
+    * read a consistent head while pruning by a key rectangle.
+    */
+  def scanVersionWhere(version: Int, predicateSql: String): DataFrame = {
+    val snap = snapshotAt(version)
+    val pred = CatalystSqlParser.parseExpression(predicateSql)
+    readFilesMoR(snap, prunedFilesOf(snap, pred), snap.schema).filter(expr(predicateSql))
+  }
+
   /** Files the pruners keep for a predicate — exposed for tests
     * asserting files-touched < files-total.
     */

@@ -1,0 +1,147 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import scala.util.Random
+
+/** Rank-per-group (analytic window) materialized views — mode "window",
+  * maintained by AFFECTED-GROUP recompute: rank functions are not
+  * retraction-decomposable, but a window never crosses partitions, so
+  * changelog-touched groups recompute from the source AS OF the head
+  * and replace their stored rows wholesale while untouched groups keep
+  * theirs. Differential contract: MV read == inline recompute of the
+  * defining SQL after EVERY refresh. Order expressions use total
+  * orders (tie-broken by id) so the recompute is deterministic.
+  */
+class MvWindowSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  private def rows(sql: String): Seq[String] =
+    spark.sql(sql).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+
+  test("top-N per group: incremental == recompute through mutation bursts") {
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(3)
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(3000 + seed)
+      val ns = s"mvw$seed"
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.src")
+      spark.sql(s"CREATE TABLE graft.$ns.src (id BIGINT, g STRING, v DOUBLE)")
+      var nextId = 0L
+      def insertBurst(): Unit = {
+        val burst = (0 until (1 + rnd.nextInt(6))).map { _ =>
+          nextId += 1
+          // occasional NULL group key and tied values
+          val g = if (rnd.nextInt(8) == 0) "CAST(NULL AS STRING)"
+                  else s"'g${rnd.nextInt(4)}'"
+          s"($nextId, $g, ${rnd.nextInt(20)}.0)"
+        }
+        spark.sql(s"INSERT INTO graft.$ns.src VALUES ${burst.mkString(", ")}")
+      }
+      insertBurst()
+      val defSql =
+        s"""SELECT g, id, v, rn FROM (
+           |  SELECT g, id, v,
+           |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC, id) AS rn
+           |  FROM graft.$ns.src WHERE v >= 1.0) WHERE rn <= 3""".stripMargin
+      spark.sql(
+        s"""CALL graft.system.create_mview('$ns', 'top3',
+           |  '${defSql.replace("'", "''")}')""".stripMargin)
+        .head.getString(0) shouldBe "window"
+      def check(step: String): Unit = withClue(s"seed=$seed $step ") {
+        rows(s"SELECT g, id, v, rn FROM graft.$ns.top3") shouldBe
+          rows(s"SELECT g, id, v, rn FROM ($defSql)")
+      }
+      check("create")
+      for (step <- 0 until 8) {
+        rnd.nextInt(3) match {
+          case 0 => insertBurst()
+          case 1 =>
+            if (rnd.nextBoolean()) // group wipe (stored rows must vanish)
+              spark.sql(s"DELETE FROM graft.$ns.src WHERE g = 'g${rnd.nextInt(4)}'")
+            else // band delete: often retracts a stored top row
+              spark.sql(s"DELETE FROM graft.$ns.src WHERE v >= ${10 + rnd.nextInt(10)}.0")
+          case 2 => // keyed upsert: moves a row's value (re-ranks its group)
+            val id = 1 + rnd.nextInt(math.max(1, nextId.toInt))
+            spark.sql(
+              s"""MERGE INTO graft.$ns.src t USING
+                 |  (SELECT CAST($id AS BIGINT) id, 'g${rnd.nextInt(4)}' g,
+                 |          ${rnd.nextInt(20)}.0 v) s
+                 |ON t.id = s.id
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        }
+        val action = spark.sql(
+          s"CALL graft.system.refresh_mview('$ns', 'top3', false)").head.getString(2)
+        Seq("incremental", "empty", "noop") should contain(action)
+        check(s"step=$step action=$action")
+      }
+      // force_full rebuilds the same content
+      spark.sql(s"CALL graft.system.refresh_mview('$ns', 'top3', true)")
+        .head.getString(2) shouldBe "full"
+      check("force_full")
+      spark.sql(s"CALL graft.system.drop_mview('$ns', 'top3')")
+      spark.sql(s"DROP TABLE graft.$ns.src")
+    }
+  }
+
+  test("RANK with ties and a hidden partition key maintain incrementally") {
+    val ns = "mvwr"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.src")
+    spark.sql(s"CREATE TABLE graft.$ns.src (id BIGINT, g STRING, v DOUBLE)")
+    spark.sql(s"INSERT INTO graft.$ns.src VALUES (1,'a',5.0),(2,'a',5.0),(3,'a',3.0),(4,'b',9.0)")
+    // PARTITION BY upper(g): the partition key is an expression NOT in
+    // the projection — stored as a hidden _mv_wp column
+    val defSql =
+      s"""SELECT id, v, r FROM (
+         |  SELECT id, v, RANK() OVER (PARTITION BY upper(g) ORDER BY v DESC, id) AS r
+         |  FROM graft.$ns.src) WHERE r <= 2""".stripMargin
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'rk',
+         |  '${defSql.replace("'", "''")}')""".stripMargin)
+      .head.getString(0) shouldBe "window"
+    def check(step: String): Unit = withClue(step) {
+      rows(s"SELECT id, v, r FROM graft.$ns.rk") shouldBe
+        rows(s"SELECT id, v, r FROM ($defSql)")
+    }
+    check("create")
+    // a tie at rank 1 keeps THREE rows when r <= 2 (1,1,... rank 3 skipped)
+    spark.sql(s"INSERT INTO graft.$ns.src VALUES (5,'a',5.0),(6,'b',9.0),(7,'b',7.0)")
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'rk', false)")
+      .head.getString(2) shouldBe "incremental"
+    check("tie insert")
+    spark.sql(s"DELETE FROM graft.$ns.src WHERE id IN (1, 4)")
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'rk', false)")
+      .head.getString(2) shouldBe "incremental"
+    check("top-row deletes")
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'rk')")
+    spark.sql(s"DROP TABLE graft.$ns.src")
+  }
+
+  test("non-rank windows and unpartitioned ranks fall back to FULL, loudly named") {
+    val ns = "mvwf"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.src")
+    spark.sql(s"CREATE TABLE graft.$ns.src (id BIGINT, g STRING, v DOUBLE)")
+    spark.sql(s"INSERT INTO graft.$ns.src VALUES (1,'a',5.0)")
+    // aggregate-over-window: not a rank function → full
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'sw',
+         |  'SELECT g, id, SUM(v) OVER (PARTITION BY g ORDER BY id) AS running
+         |   FROM graft.$ns.src')""".stripMargin)
+      .head.getString(0) shouldBe "full"
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'sw')")
+    // rank without PARTITION BY → full (whole-table recompute anyway)
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'gr',
+         |  'SELECT id, ROW_NUMBER() OVER (ORDER BY v DESC) AS rn
+         |   FROM graft.$ns.src')""".stripMargin)
+      .head.getString(0) shouldBe "full"
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'gr')")
+    // full mode still refreshes correctly for both
+    spark.sql(s"DROP TABLE graft.$ns.src")
+  }
+}
