@@ -188,6 +188,13 @@ object Similarity {
   val IdColProp = "graft.ivf.id-col"
   val SourceProp = "graft.ivf.source" // "<ns>/<table>" under the same warehouse
   val AppliedProp = "graft.ivf.applied-version"
+  /** Opt-in auto-escalation: when "true", [[refreshIvfIndexTable]]
+    * checks the manifest-only [[ivfIndexStats]] after applying its
+    * slice and escalates to [[rebuildIvfIndexTable]] the moment
+    * `rebuildRecommended` flags — no operator watching the dashboard
+    * required. Set per index table (or pass autoRebuild = true).
+    */
+  val AutoRebuildProp = "graft.ann.auto-rebuild"
 
   /** Nearest-centroid cell id as a pure codegen'd expression — argmin
     * squared Euclidean distance, lowest index on ties (the same rule
@@ -257,9 +264,16 @@ object Similarity {
     * advances the applied-version marker under the CAS — exactly-once
     * under racing refreshers, the replicate/MV marker pattern. Returns
     * (from, to, action).
+    *
+    * With `autoRebuild` (or the [[AutoRebuildProp]] table property set
+    * "true"), the refresh consults [[ivfIndexStats]] after its slice
+    * lands and ESCALATES to [[rebuildIvfIndexTable]] when the skew flag
+    * fires — action "rebuild", marker at the corpus head. One refresh
+    * call then suffices to land a rebalanced index on a drifted corpus.
     */
   def refreshIvfIndexTable(cat: graft.table.GraftCatalog,
-                           indexIdent: graft.table.TableIdent): (Int, Int, String) = {
+                           indexIdent: graft.table.TableIdent,
+                           autoRebuild: Boolean = false): (Int, Int, String) = {
     import org.apache.spark.sql.expressions.Window
     val tbl = cat.load(indexIdent)
     val props = tbl.currentOrFail().properties
@@ -277,7 +291,21 @@ object Similarity {
     }
     val src = cat.load(srcIdent)
     val to = src.currentOrFail().version
-    if (applied >= to) return (applied, to, "noop")
+    // auto-escalation (opt-in per call or per table prop): AFTER the
+    // slice lands — or immediately on an up-to-date index — consult the
+    // manifest-only stats and retrain when the drift flag fires. The
+    // frozen quantizer keeps assigning FIRST (the slice is O(changes)
+    // either way and the rebuild derives from the head, so nothing is
+    // applied twice), then the O(corpus) retrain swaps atomically.
+    val autoOn = autoRebuild ||
+      props.get(AutoRebuildProp).exists(_.equalsIgnoreCase("true"))
+    def escalate(from: Int, action: String): (Int, Int, String) =
+      if (autoOn && ivfIndexStats(cat, indexIdent).rebuildRecommended) {
+        rebuildIvfIndexTable(cat, indexIdent)
+        (from, cat.load(indexIdent).currentOrFail()
+          .properties(AppliedProp).toInt, "rebuild")
+      } else (from, to, action)
+    if (applied >= to) return escalate(applied, "noop")
     // data-only feed: a compaction of the corpus must not re-assign
     // every vector — maintenance commits change no visible row
     val changes = src.scanDataChangesBetween(applied, to)
@@ -290,7 +318,7 @@ object Similarity {
     if (last.isEmpty) {
       tbl.updateProperties(Map(AppliedProp -> to.toString),
         requireParentProps = Map(AppliedProp -> applied.toString))
-      return (applied, to, "empty")
+      return escalate(applied, "empty")
     }
     val dels = last.where(col("_change_type") === "delete")
       .select(col(s"`$idCol`"))
@@ -300,7 +328,7 @@ object Similarity {
     tbl.applyNetChanges(dels, ups, Seq(idCol),
       props = Map(AppliedProp -> to.toString),
       requireParentProps = Map(AppliedProp -> applied.toString))
-    (applied, to, "incremental")
+    escalate(applied, "incremental")
   }
 
   /** Per-cell occupancy of a persisted IVF index, from MANIFEST

@@ -555,6 +555,103 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
       .head.getLong(0) shouldBe 1100L
   }
 
+  // Round-15 verdict carry #5: opt-in auto-escalation — one refresh
+  // call on a drifted corpus lands a rebalanced index, no operator
+  // watching the dashboard required.
+  test("IVF auto-rebuild: a drifted corpus rebalances in ONE refresh call") {
+    val s = spark
+    import s.implicits._
+    val cat = graft.table.GraftCatalog(s, TestSpark.warehouse)
+    val ns = "ivfauto"
+    def baseVec(i: Long) = Seq.tabulate(8)(d => math.sin(i * 17 + d * 3).toFloat)
+    def driftVec(i: Long) =
+      Seq.tabulate(8)(d => (40.0 + 5 * math.sin(i * 13 + d * 7)).toFloat)
+    val srcIdent = graft.table.TableIdent(ns, "corpus")
+    val idxIdent = graft.table.TableIdent(ns, "idx")
+    val src = cat.ensure(srcIdent)
+    src.append((1L to 100L).map(i => (i, baseVec(i))).toDF("id", "v"))
+    Similarity.buildIvfIndexTable(cat, srcIdent, idxIdent, "v", "id", nlist = 8)
+    val centroids0 = cat.load(idxIdent).currentOrFail()
+      .properties(Similarity.CentroidsProp)
+    // WITHOUT the flag: the same drift stays on the frozen quantizer
+    src.append((101L to 600L).map(i => (i, driftVec(i))).toDF("id", "v"))
+    Similarity.refreshIvfIndexTable(cat, idxIdent)._3 shouldBe "incremental"
+    Similarity.ivfIndexStats(cat, idxIdent).rebuildRecommended shouldBe true
+    cat.load(idxIdent).currentOrFail()
+      .properties(Similarity.CentroidsProp) shouldBe centroids0
+    // the table property arms it; the NEXT refresh escalates even at an
+    // up-to-date marker (the skew is already standing)
+    cat.load(idxIdent).updateProperties(Map(Similarity.AutoRebuildProp -> "true"))
+    Similarity.refreshIvfIndexTable(cat, idxIdent)._3 shouldBe "rebuild"
+    val st = Similarity.ivfIndexStats(cat, idxIdent)
+    st.rebuildRecommended shouldBe false
+    st.versionsBehind shouldBe 0
+    st.rows shouldBe 600L
+    cat.load(idxIdent).currentOrFail()
+      .properties(Similarity.CentroidsProp) should not be centroids0
+    // a subsequent refresh on the rebalanced, up-to-date index no-ops
+    Similarity.refreshIvfIndexTable(cat, idxIdent)._3 shouldBe "noop"
+    // the explicit-arg spelling escalates in one call, slice included
+    src.append((601L to 1500L).map(i =>
+      (i, Seq.tabulate(8)(d => (-40.0 + 5 * math.cos(i * 7 + d * 11)).toFloat)))
+      .toDF("id", "v"))
+    cat.load(idxIdent).updateProperties(Map.empty,
+      remove = Seq(Similarity.AutoRebuildProp))
+    Similarity.refreshIvfIndexTable(cat, idxIdent, autoRebuild = true)
+      ._3 shouldBe "rebuild"
+    Similarity.ivfIndexStats(cat, idxIdent).rows shouldBe 1500L
+  }
+
+  // Round-15 verdict carry #6: the rebuild-vs-refresh race. A refresh
+  // that read the marker BEFORE a rebuild committed must abort at its
+  // CAS when it tries to commit AFTER — never merge a stale slice over
+  // the retrained tiling. The mid-flight commit is replicated exactly:
+  // applyNetChanges deriving from the pre-rebuild marker.
+  test("IVF rebuild-vs-refresh race: the stale refresh aborts at its CAS, index intact") {
+    val s = spark
+    import s.implicits._
+    val cat = graft.table.GraftCatalog(s, TestSpark.warehouse)
+    val ns = "ivfrace"
+    def vec(i: Long) = Seq.tabulate(8)(d => math.sin(i * 17 + d * 3).toFloat)
+    val srcIdent = graft.table.TableIdent(ns, "corpus")
+    val idxIdent = graft.table.TableIdent(ns, "idx")
+    val src = cat.ensure(srcIdent)
+    src.append((1L to 80L).map(i => (i, vec(i))).toDF("id", "v"))
+    Similarity.buildIvfIndexTable(cat, srcIdent, idxIdent, "v", "id", nlist = 4)
+    val appliedBefore = cat.load(idxIdent).currentOrFail()
+      .properties(Similarity.AppliedProp)
+    src.append((81L to 120L).map(i => (i, vec(i))).toDF("id", "v"))
+    val to = src.currentOrFail().version
+    // a refresh starts here: reads marker `appliedBefore`, computes its
+    // slice — then the REBUILD wins the race and commits first
+    Similarity.rebuildIvfIndexTable(cat, idxIdent)
+    val rebuilt = cat.load(idxIdent)
+    val rebuiltVersion = rebuilt.currentOrFail().version
+    rebuilt.currentOrFail().properties(Similarity.AppliedProp) shouldBe to.toString
+    // ... the in-flight refresh now issues its commit, derived from the
+    // OLD marker — exactly applyNetChanges with the stale CAS
+    val centroids = rebuilt.currentOrFail().properties(Similarity.CentroidsProp)
+      .split(";").map(_.split(",").map(_.toDouble))
+    val staleUps = src.scan().where($"id" > 80)
+      .withColumn("_cell", Similarity.cellExpr($"v", centroids))
+    val e = intercept[IllegalArgumentException] {
+      rebuilt.applyNetChanges(staleUps.select($"id").where(lit(false)), staleUps,
+        Seq("id"),
+        props = Map(Similarity.AppliedProp -> to.toString),
+        requireParentProps = Map(Similarity.AppliedProp -> appliedBefore))
+    }
+    e.getMessage should include("another applier committed first")
+    // nothing moved: the rebuild's snapshot is still the head, marker
+    // consistent, no duplicated rows
+    val after = cat.load(idxIdent)
+    after.currentOrFail().version shouldBe rebuiltVersion
+    after.currentOrFail().properties(Similarity.AppliedProp) shouldBe to.toString
+    after.scan().count() shouldBe src.scan().count()
+    after.scan().groupBy($"id").count().where($"count" > 1).count() shouldBe 0L
+    // and the losing refresher's remedy — re-run — cleanly no-ops
+    Similarity.refreshIvfIndexTable(cat, idxIdent)._3 shouldBe "noop"
+  }
+
   test("rangeJoin matches exactly the naive theta-join overlap result") {
     import graft.operators.RangeJoin
     val s = spark
