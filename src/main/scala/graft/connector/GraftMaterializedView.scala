@@ -48,8 +48,12 @@ import org.json4s.jackson.JsonMethods
   * Rank-per-group top-N shapes (ROW_NUMBER/RANK/DENSE_RANK OVER a
   * partitioned window, optional `rn <= N` predicate) maintain in
   * their own "window" mode by affected-group recompute (round 16).
-  * Everything else (non-rank window
-  * functions, nested views, non-fact-preserving joins) falls back to
+  * An MV OVER another MV maintains too: shape analysis inlines the
+  * public view down to the first MV's storage table, whose own
+  * changelog (written exactly-once by level-1's keyed refresh merges)
+  * drives level-2 — refresh cascades m1 → m2, each O(changes at its
+  * level). Everything else (non-rank window
+  * functions, non-fact-preserving joins) falls back to
   * FULL refresh, which recomputes and overwrites. Join maintenance pins every dimension AS
   * OF the version the stored rows were built with, so the signed fact
   * changelog retracts exactly; a dimension that MOVES maintains

@@ -1441,6 +1441,68 @@ object TableQueries {
              |      ORDER BY price DESC, okey, ln) AS rn
              |  FROM src) WHERE rn <= 5 ORDER BY flag, rn""".stripMargin)),
 
+    // MV over MV (round-15 stretch #7): the second level's fact is the
+    // first MV's STORAGE table (reached through its public view by the
+    // shape analysis' projection inlining), and the storage table's own
+    // changelog — written exactly-once by level-1's keyed refresh
+    // merges — drives level-2's incremental maintenance. Refresh
+    // cascades m1 → m2, each O(changes at its own level); both actions
+    // asserted incremental after a MoR mutation burst on the base.
+    "q124_mview_over_mview" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq124").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq124", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq124.warehouse",
+            Files.createTempDirectory("graft-mview-nested").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq124.bench")
+        s.sql("CALL graftq124.system.drop_mview('bench', 'm2')")
+        s.sql("CALL graftq124.system.drop_mview('bench', 'm1')")
+        s.sql("DROP TABLE IF EXISTS graftq124.bench.li")
+        s.sql("""CREATE TABLE graftq124.bench.li
+                |(okey BIGINT, flag STRING, status STRING, qty DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        t(s, dir, "lineitem").createOrReplaceTempView("q124_li")
+        s.sql("""INSERT INTO graftq124.bench.li
+                |SELECT l_orderkey, l_returnflag, l_linestatus, l_quantity
+                |FROM q124_li WHERE l_orderkey % 2 = 0""".stripMargin)
+        val m1 = s.sql(
+          """CALL graftq124.system.create_mview('bench', 'm1',
+            |  'SELECT flag, status, SUM(qty) AS sq, COUNT(*) AS n
+            |   FROM graftq124.bench.li WHERE qty > 2.0
+            |   GROUP BY flag, status')""".stripMargin).head.getString(0)
+        require(m1 == "incremental", s"level-1 MV must be incremental, got $m1")
+        val m2 = s.sql(
+          """CALL graftq124.system.create_mview('bench', 'm2',
+            |  'SELECT flag, SUM(sq) AS total, MAX(sq) AS mx,
+            |          SUM(n) AS rows_total, COUNT(*) AS nst
+            |   FROM graftq124.bench.m1 GROUP BY flag')""".stripMargin)
+          .head.getString(0)
+        require(m2 == "incremental", s"level-2 MV must be incremental, got $m2")
+        s.sql("""INSERT INTO graftq124.bench.li
+                |SELECT l_orderkey, l_returnflag, l_linestatus, l_quantity
+                |FROM q124_li WHERE l_orderkey % 2 = 1""".stripMargin)
+        s.sql("DELETE FROM graftq124.bench.li WHERE qty >= 47.0")
+        s.sql("DELETE FROM graftq124.bench.li WHERE okey <= 280")
+        val a1 = s.sql("CALL graftq124.system.refresh_mview('bench', 'm1', false)")
+          .head.getString(2)
+        require(a1 == "incremental", s"level-1 refresh expected incremental, got $a1")
+        val a2 = s.sql("CALL graftq124.system.refresh_mview('bench', 'm2', false)")
+          .head.getString(2)
+        require(a2 == "incremental", s"level-2 refresh expected incremental, got $a2")
+        s.sql("""SELECT flag, total, mx, rows_total, nst
+                |FROM graftq124.bench.m2 ORDER BY flag""".stripMargin)
+      },
+      Some("""WITH m1 AS (
+             |  SELECT l_returnflag AS flag, l_linestatus AS status,
+             |         SUM(l_quantity) AS sq, COUNT(*) AS n
+             |  FROM lineitem
+             |  WHERE l_quantity > 2.0 AND l_quantity < 47.0 AND l_orderkey > 280
+             |  GROUP BY 1, 2)
+             |SELECT flag, SUM(sq) AS total, MAX(sq) AS mx,
+             |       CAST(SUM(n) AS BIGINT) AS rows_total, COUNT(*) AS nst
+             |FROM m1 GROUP BY flag ORDER BY flag""".stripMargin)),
+
     // LEFT-join MV with a MOVED dimension: unmatched facts aggregate
     // under the NULL group; then the dim moves in BOTH flip directions
     // (missing orders arrive → NULL-extensions retract; urgent orders
