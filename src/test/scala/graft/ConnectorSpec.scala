@@ -633,23 +633,31 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv2")
     spark.sql("CREATE TABLE graft.mv2.t (k STRING, v DOUBLE)")
     spark.sql("INSERT INTO graft.mv2.t VALUES ('a', 1.0), ('a', 3.0), ('b', 10.0)")
-    // wide-decimal AVG(DISTINCT) sits outside the probed precision
-    // gate (scale > 2 AND precision > 24: the sum/count division is
-    // provably coarser than AVG) -> full mode (decimal SUM(DISTINCT)
-    // and in-gate AVG(DISTINCT) graduated to incremental in round 15 —
-    // MvRandomSpec pins those; this test keeps the fallback path
-    // honest)
+    // wide-decimal AVG(DISTINCT) graduated to incremental in round 16
+    // (exact running sum + Average's own division at merge); the
+    // fallback path stays honest via a genuinely undecomposable
+    // aggregate — an exact PERCENTILE has no signed-delta algebra
     spark.sql(
       """CALL graft.system.create_mview('mv2', 'avgs',
         |  'SELECT k, AVG(DISTINCT CAST(v AS DECIMAL(30,10))) AS dv, AVG(v) AS mean
         |   FROM graft.mv2.t GROUP BY k')""".stripMargin)
-      .head.getString(0) shouldBe "full"
+      .head.getString(0) shouldBe "incremental"
     spark.sql("INSERT INTO graft.mv2.t VALUES ('b', 20.0)")
     spark.sql("CALL graft.system.refresh_mview('mv2', 'avgs', false)")
-      .head.getString(2) shouldBe "full"
+      .head.getString(2) shouldBe "incremental"
     spark.sql("SELECT dv, mean FROM graft.mv2.avgs WHERE k = 'b'")
       .collect().map(r => (r.getDecimal(0).doubleValue(), r.getDouble(1)))
       .toSeq shouldBe Seq((15.0, 15.0))
+    spark.sql(
+      """CALL graft.system.create_mview('mv2', 'med',
+        |  'SELECT k, PERCENTILE(v, 0.5) AS med FROM graft.mv2.t GROUP BY k')""".stripMargin)
+      .head.getString(0) shouldBe "full"
+    spark.sql("INSERT INTO graft.mv2.t VALUES ('b', 30.0)")
+    spark.sql("CALL graft.system.refresh_mview('mv2', 'med', false)")
+      .head.getString(2) shouldBe "full"
+    spark.sql("SELECT med FROM graft.mv2.med WHERE k = 'b'")
+      .head.getDouble(0) shouldBe 20.0
+    spark.sql("CALL graft.system.drop_mview('mv2', 'med')")
     // a non-graft source has no changelog: refused loudly
     spark.range(3).createOrReplaceTempView("mv2_tmp")
     intercept[Exception] {
