@@ -1459,8 +1459,13 @@ object GraftMaterializedView {
     * a re-create, a false allow is a broken dashboard. A bare `*`
     * outside COUNT(*) references every column.
     */
-  def mviewsReferencing(spark: SparkSession, cat: GraftCatalog,
-                        rel: String, column: String): Seq[String] = {
+  /** Every registered MV whose storage reads `rel` as its fact, a
+    * dimension, or a UNION ALL leg — with the storage props for further
+    * inspection. Metadata-scale sweep shared by the column-evolution,
+    * table-rename, and MV-cascade guards.
+    */
+  private def mviewsReadingWithProps(cat: GraftCatalog, rel: String)
+      : Seq[(String, Map[String, String])] = {
     val viewStore = new GraftViewStore(cat.fs, cat.warehouse)
     val namespaces =
       try cat.fs.listStatus(cat.warehouse).toSeq
@@ -1478,9 +1483,19 @@ object GraftMaterializedView {
         props.get(DimsProp).toSeq.flatMap(specFromJson(_).map(_.head)) ++
         props.get(UFactsProp).toSeq.flatMap(specFromJson(_).map(_.head))
       if rels.contains(rel)
-      if props.get(SqlProp).exists(referencesColumn(spark, _, column))
-    } yield s"$ns.$vn"
+    } yield (s"$ns.$vn", props)
   }
+
+  /** MVs reading `rel` at all (any column) — the table-rename guard. */
+  def mviewsReading(cat: GraftCatalog, rel: String): Seq[String] =
+    mviewsReadingWithProps(cat, rel).map(_._1)
+
+  def mviewsReferencing(spark: SparkSession, cat: GraftCatalog,
+                        rel: String, column: String): Seq[String] =
+    mviewsReadingWithProps(cat, rel).collect {
+      case (mv, props)
+        if props.get(SqlProp).exists(referencesColumn(spark, _, column)) => mv
+    }
 
   /** Does `sql` (a stored MV definition) reference `column` by name?
     * Parsed UNRESOLVED (the source schema may already have evolved, so
@@ -2766,6 +2781,15 @@ object GraftMaterializedView {
   def drop(cat: GraftCatalog, ns: String, name: String): Boolean = {
     val viewStore = new GraftViewStore(cat.fs, cat.warehouse)
     val storageIdent = TableIdent(ns, name + StorageSuffix)
+    // MV-over-MV cascade guard: a level-2 MV reads this MV's STORAGE
+    // table — dropping level-1 first would break level-2's next refresh
+    // with a missing-table error. Refuse naming the dependents and the
+    // order that works.
+    val dependents = mviewsReading(cat, s"$ns/${name + StorageSuffix}")
+      .filterNot(_ == s"$ns.$name")
+    require(dependents.isEmpty,
+      s"cannot drop materialized view $ns.$name: materialized view(s) " +
+        s"${dependents.mkString(", ")} read its storage table — drop them first")
     val auxIdents: Seq[TableIdent] =
       if (!cat.exists(storageIdent)) Nil
       else scala.util.Try {

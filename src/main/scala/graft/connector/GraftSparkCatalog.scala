@@ -312,8 +312,28 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     else { cat.drop(ti); true }
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    cat.rename(toIdent(oldIdent), toIdent(newIdent))
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val ti = toIdent(oldIdent)
+    // MV dependency guards (round-16, same family as the column guard):
+    // an MV pins its sources by REL ("ns/table") in storage props —
+    // renaming a source strands every pin; and an MV's own storage/aux
+    // tables are name-derived (view name + __rows [+ __dl<i>]), so
+    // renaming one desyncs the registered view. Refuse both by name.
+    val deps = GraftMaterializedView.mviewsReading(cat, s"${ti.namespace}/${ti.name}")
+    require(deps.isEmpty,
+      s"cannot rename $oldIdent: materialized view(s) ${deps.mkString(", ")} " +
+        "pin it as a source — CALL graft.system.drop_mview for each and " +
+        "recreate over the new name")
+    val sfx = ti.name.indexOf(GraftMaterializedView.StorageSuffix)
+    if (sfx > 0) {
+      val mv = ti.name.substring(0, sfx)
+      require(!views.load(ti.namespace, mv)
+          .exists(_.properties.get("graft.mview").contains("true")),
+        s"cannot rename $oldIdent: it is storage of materialized view " +
+          s"${ti.namespace}.$mv (managed by create/drop_mview)")
+    }
+    cat.rename(ti, toIdent(newIdent))
+  }
 
   // ---- namespaces ----------------------------------------------------
 

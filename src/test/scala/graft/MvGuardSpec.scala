@@ -153,6 +153,50 @@ class MvGuardSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE graft.$ns.d")
   }
 
+  // Round-16: the rel-level guards — renaming a pinned SOURCE (or an
+  // MV's own storage table) and dropping a level-1 MV under a
+  // dependent level-2 MV all refuse by name instead of stranding pins.
+  test("table rename and MV-cascade drops are refused while depended upon") {
+    val ns = "mvguard6"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.src")
+    spark.sql(s"CREATE TABLE graft.$ns.src (g STRING, v DOUBLE)")
+    spark.sql(s"INSERT INTO graft.$ns.src VALUES ('a', 1.0)")
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'm1',
+         |  'SELECT g, SUM(v) AS t FROM graft.$ns.src GROUP BY g')""".stripMargin)
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'm2',
+         |  'SELECT SUM(t) AS total, COUNT(*) AS n FROM graft.$ns.m1')""".stripMargin)
+    def msgOf(e: Exception): String =
+      Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    // renaming the base source: m1 pins it
+    val e1 = intercept[Exception](
+      spark.sql(s"ALTER TABLE graft.$ns.src RENAME TO $ns.src2"))
+    msgOf(e1) should include(s"$ns.m1")
+    // renaming m1's storage: it is MV-managed (m2 also pins it as a rel)
+    val e2 = intercept[Exception](
+      spark.sql(s"ALTER TABLE graft.$ns.m1__rows RENAME TO $ns.x"))
+    msgOf(e2) should (include(s"$ns.m1") or include(s"$ns.m2"))
+    // dropping m1 while m2 reads its storage
+    val e3 = intercept[Exception](
+      spark.sql(s"CALL graft.system.drop_mview('$ns', 'm1')"))
+    msgOf(e3) should include(s"$ns.m2")
+    // both MVs still refresh after every refusal
+    spark.sql(s"INSERT INTO graft.$ns.src VALUES ('a', 4.0)")
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm1', false)")
+      .head.getString(2) shouldBe "incremental"
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm2', false)")
+      .head.getString(2) shouldBe "incremental"
+    spark.sql(s"SELECT total FROM graft.$ns.m2").head.getDouble(0) shouldBe 5.0
+    // the working order: m2, then m1, then the rename goes through
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'm2')")
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'm1')")
+    spark.sql(s"ALTER TABLE graft.$ns.src RENAME TO $ns.src2")
+    spark.sql(s"DROP TABLE graft.$ns.src2")
+  }
+
   test("the reserved marker cannot be planted on an ordinary view") {
     val ns = "mvguard2"
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
