@@ -45,15 +45,19 @@ import org.json4s.jackson.JsonMethods
   * MIN/MAX(DISTINCT) ≡
   * MIN/MAX — each with an optional deterministic FILTER (WHERE p),
   * folded into the aggregated expression as CASE WHEN p THEN e END.
-  * Rank-per-group top-N shapes (ROW_NUMBER/RANK/DENSE_RANK OVER a
-  * partitioned window, optional `rn <= N` predicate) maintain in
-  * their own "window" mode by affected-group recompute (round 16).
+  * Window shapes — ANY deterministic window function over a
+  * partitioned window (rank top-N with an optional `rn <= N`
+  * predicate, running SUM/AVG/MIN/MAX/COUNT OVER any frame, LAG/LEAD
+  * offsets), optional inner WHERE — maintain in their own "window"
+  * mode by affected-group recompute (round 16): windows never cross
+  * partitions, so changelog-touched groups recompute wholesale and
+  * untouched groups keep their stored rows.
   * An MV OVER another MV maintains too: shape analysis inlines the
   * public view down to the first MV's storage table, whose own
   * changelog (written exactly-once by level-1's keyed refresh merges)
   * drives level-2 — refresh cascades m1 → m2, each O(changes at its
-  * level). Everything else (non-rank window
-  * functions, non-fact-preserving joins) falls back to
+  * level). Everything else (unpartitioned windows, aggregates OVER
+  * window outputs, non-fact-preserving joins) falls back to
   * FULL refresh, which recomputes and overwrites. Join maintenance pins every dimension AS
   * OF the version the stored rows were built with, so the signed fact
   * changelog retracts exactly; a dimension that MOVES maintains
@@ -1033,26 +1037,40 @@ object GraftMaterializedView {
     * }}}
     * Accepted plan stack: [bare-attr Project]? [Filter]? [Project]?
     * Window over an inlinable Project/Filter chain to a bare graft
-    * relation. The window carries rank functions only (they never read
-    * row values, so a per-group recompute needs no retraction algebra),
-    * over a non-empty deterministic PARTITION BY — a global rank MV
+    * relation. ANY deterministic window function qualifies — ranks,
+    * running aggregates (SUM/AVG/... OVER with any frame), offsets
+    * (LAG/LEAD) — because affected-group recompute re-evaluates the
+    * whole group rather than decomposing the function; the window must
+    * have a non-empty deterministic PARTITION BY (a global window MV
     * would recompute the whole table on any change, which is FULL
-    * refresh spelled differently, so it refuses here. The rank
+    * refresh spelled differently, so it refuses here). The outer
     * predicate may only reference stored columns. Everything rendered
     * to SQL is re-parsed by `expr()` at create/refresh (the same
     * replay-by-SQL contract the aggregate shapes use).
     */
-  private def analyzeWindow(analyzed: LogicalPlan): Either[String, WindowShape] = {
-    import org.apache.spark.sql.catalyst.expressions.{DenseRank, Rank, RowNumber, WindowExpression}
+  private[graft] def analyzeWindow(analyzed: LogicalPlan): Either[String, WindowShape] = {
+    import org.apache.spark.sql.catalyst.expressions.{RowNumber, WindowExpression}
     import org.apache.spark.sql.catalyst.plans.logical.Window
 
-    // Peel a stack of Projects down to the Window node, COMPOSING them
-    // (ExtractWindowExpressions emits Project(outer) over
-    // Project(inner ++ windowAttrs) over Window) — the returned list is
-    // the outermost selection rewritten over the Window's output.
-    def asWindowStack(p: LogicalPlan): Option[(Seq[NamedExpression], Window)] =
+    // Peel a stack of Projects down to the first Window node, COMPOSING
+    // them (ExtractWindowExpressions emits Project(outer) over
+    // Project(inner ++ windowAttrs) over Window...) — the returned list
+    // is the outermost selection rewritten over the window stack's
+    // output. Functions over DIFFERENT (partition, order) specs plan as
+    // STACKED Window nodes; the whole directly-stacked run is returned.
+    def collectWindows(p: LogicalPlan): (Seq[Window], LogicalPlan) =
       unwrapAliases(p) match {
-        case Project(list, c) => asWindowStack(c).map { case (inner, w) =>
+        case w: Window =>
+          val (ws, t) = collectWindows(w.child)
+          (w +: ws, t)
+        case other => (Nil, other)
+      }
+    def asWindowStack(p: LogicalPlan): Option[(Seq[NamedExpression], Seq[Window])] =
+      unwrapAliases(p) match {
+        case w: Window =>
+          val (ws, _) = collectWindows(w)
+          Some((w.output.toSeq, ws))
+        case Project(list, c) => asWindowStack(c).map { case (inner, ws) =>
           val aliased = inner.collect { case al: Alias => al.exprId -> al.child }.toMap
           val composed = list.map {
             case a: AttributeReference if aliased.contains(a.exprId) =>
@@ -1065,60 +1083,74 @@ object GraftMaterializedView {
               }, n)(exprId = al.exprId): NamedExpression
             case _ => return None // unsupported projection entry
           }
-          (composed, w)
+          (composed, ws)
         }
-        case w: Window => Some((w.output.toSeq, w))
         case _ => None
       }
 
-    val (topAttrs, rankCond, innerList, w) = unwrapAliases(analyzed) match {
-      case Project(tl, c1) => unwrapAliases(c1) match {
-        case Filter(cond, c2) => asWindowStack(c2) match {
-          case Some((il, win)) =>
-            val bare = tl.map {
-              case a: AttributeReference => a
-              case other => return Left(
-                s"window MV outer projection ${other.sql} is not a bare column")
+    // filter-free shapes compose the WHOLE Project stack (the analyzer
+    // may stack an outer pruning Project over the extraction Project);
+    // the outer-predicate shape peels [Project]? Filter first
+    val (topAttrs, rankCond, innerList, ws) =
+      asWindowStack(unwrapAliases(analyzed)) match {
+        case Some((il, wins)) => (None, None, il, wins)
+        case None => unwrapAliases(analyzed) match {
+          case Project(tl, c1) => unwrapAliases(c1) match {
+            case Filter(cond, c2) => asWindowStack(c2) match {
+              case Some((il, wins)) =>
+                val bare = tl.map {
+                  case a: AttributeReference => a
+                  case other => return Left(
+                    s"window MV outer projection ${other.sql} is not a bare column")
+                }
+                (Some(bare), Some(cond), il, wins)
+              case None => return Left("not a partitioned-window shape")
             }
-            (Some(bare), Some(cond), il, win)
-          case None => return Left("not a rank-per-group window shape")
+            case _ => return Left("not a partitioned-window shape")
+          }
+          case Filter(cond, c1) => asWindowStack(c1) match {
+            case Some((il, wins)) => (None, Some(cond), il, wins)
+            case None => return Left("not a partitioned-window shape")
+          }
+          case _ => return Left("not a partitioned-window shape")
         }
-        case _ => asWindowStack(c1) match {
-          case Some((il, win)) => (None, None, il, win)
-          case None => return Left("not a rank-per-group window shape")
-        }
       }
-      case Filter(cond, c1) => asWindowStack(c1) match {
-        case Some((il, win)) => (None, Some(cond), il, win)
-        case None => return Left("not a rank-per-group window shape")
-      }
-      case p0 => asWindowStack(p0) match {
-        case Some((il, win)) => (None, None, il, win)
-        case None => return Left("not a rank-per-group window shape")
-      }
-    }
 
-    // the window node: rank functions only, over a deterministic
-    // non-empty partition and a deterministic order
-    val windowMap: Map[ExprId, WindowExpression] = w.windowExpressions.map {
+    // the window node: ANY deterministic window function maintains —
+    // affected-group recompute never decomposes the function, it
+    // re-evaluates it per touched group, and a window never crosses
+    // partitions. So ranks (ROW_NUMBER/RANK/DENSE_RANK/NTILE/
+    // PERCENT_RANK/CUME_DIST), running aggregates (SUM/AVG/MIN/MAX/
+    // COUNT OVER with any frame), and offsets (LAG/LEAD/NTH_VALUE) all
+    // qualify; only nondeterministic functions/specs refuse.
+    val windowMap: Map[ExprId, WindowExpression] = ws.flatMap(_.windowExpressions).map {
       case al @ Alias(we: WindowExpression, _) =>
-        we.windowFunction match {
-          case _: RowNumber | _: Rank | _: DenseRank => ()
-          case other => return Left(
-            s"window function ${other.prettyName} is not a rank function " +
-              "(ROW_NUMBER/RANK/DENSE_RANK)")
-        }
-        if (!we.deterministic) return Left("nondeterministic window spec")
+        if (!we.deterministic)
+          return Left(s"nondeterministic window expression ${we.sql}")
         al.exprId -> we
       case other => return Left(s"unsupported window expression ${other.sql}")
     }.toMap
+    // every stacked node must share ONE partition — the touched-group
+    // bounding is per partition key, so differently-partitioned windows
+    // in one MV cannot be bounded by a single touched set
+    val w = ws.head
     if (w.partitionSpec.isEmpty)
-      return Left("rank window without PARTITION BY (a global rank MV " +
+      return Left("window without PARTITION BY (a global window MV " +
         "recomputes the whole table on any change — keep it on full refresh)")
-    if (w.orderSpec.isEmpty) return Left("rank window without ORDER BY")
+    if (ws.exists(n => n.partitionSpec.length != w.partitionSpec.length ||
+        !n.partitionSpec.zip(w.partitionSpec).forall {
+          case (a, b) => a.semanticEquals(b)
+        }))
+      return Left("window functions over DIFFERENT partitions in one MV")
+    // the merge-key row number needs SOME deterministic order; take the
+    // first node that carries one (order-free windows like
+    // AVG() OVER (PARTITION BY g) don't need order for themselves)
+    val rnOrder = ws.map(_.orderSpec).find(_.nonEmpty).getOrElse(
+      return Left("window MV without any ORDER BY — the merge key needs " +
+        "a deterministic per-group row order"))
 
-    // collapse anything between the window and its relation
-    val (terminal, conds, m) = inlineProjections(w.child)
+    // collapse anything between the window stack and its relation
+    val (terminal, conds, m) = inlineProjections(ws.last.child)
     val fact = unwrapAliases(terminal) match {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftV2Table] =>
         r.table.asInstanceOf[GraftV2Table].underlying
@@ -1199,7 +1231,7 @@ object GraftMaterializedView {
     // the merge-key row number, over the window's own partition + order
     val rnExpr = WindowExpression(RowNumber(),
       org.apache.spark.sql.catalyst.expressions.WindowSpecDefinition(
-        partSubst, w.orderSpec.map(subst(_).asInstanceOf[
+        partSubst, rnOrder.map(subst(_).asInstanceOf[
           org.apache.spark.sql.catalyst.expressions.SortOrder]),
         org.apache.spark.sql.catalyst.expressions.SpecifiedWindowFrame(
           org.apache.spark.sql.catalyst.expressions.RowFrame,

@@ -1503,6 +1503,60 @@ object TableQueries {
              |       CAST(SUM(n) AS BIGINT) AS rows_total, COUNT(*) AS nst
              |FROM m1 GROUP BY flag ORDER BY flag""".stripMargin)),
 
+    // RUNNING-AGGREGATE window MV (round-16 extension of window mode):
+    // SUM OVER (PARTITION BY okey ORDER BY ln) + LAG maintain by the
+    // same affected-group recompute as rank top-N — the function is
+    // never decomposed, touched ORDER groups recompute wholesale, and
+    // the per-order partition keeps the recompute surface small (a
+    // burst touches O(changed orders), not the table). Output samples
+    // a key range through the public view (pushdown applies).
+    "q125_mview_running_window" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq125").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq125", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq125.warehouse",
+            Files.createTempDirectory("graft-mview-running").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq125.bench")
+        s.sql("CALL graftq125.system.drop_mview('bench', 'run')")
+        s.sql("DROP TABLE IF EXISTS graftq125.bench.li")
+        s.sql("""CREATE TABLE graftq125.bench.li
+                |(okey BIGINT, ln INT, qty DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        t(s, dir, "lineitem").createOrReplaceTempView("q125_li")
+        s.sql("""INSERT INTO graftq125.bench.li
+                |SELECT l_orderkey, l_linenumber, l_quantity
+                |FROM q125_li WHERE l_orderkey % 2 = 0""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq125.system.create_mview('bench', 'run',
+            |  'SELECT okey, ln, qty,
+            |     SUM(qty) OVER (PARTITION BY okey ORDER BY ln) AS run,
+            |     LAG(qty, 1) OVER (PARTITION BY okey ORDER BY ln) AS prev
+            |   FROM graftq125.bench.li WHERE qty > 1.0')""".stripMargin)
+          .head.getString(0)
+        require(mode == "window",
+          s"running-aggregate MV must register in window mode, got $mode")
+        s.sql("""INSERT INTO graftq125.bench.li
+                |SELECT l_orderkey, l_linenumber, l_quantity
+                |FROM q125_li WHERE l_orderkey % 2 = 1""".stripMargin)
+        s.sql("DELETE FROM graftq125.bench.li WHERE qty >= 48.0")
+        s.sql("DELETE FROM graftq125.bench.li WHERE okey <= 260")
+        val action = s.sql(
+          "CALL graftq125.system.refresh_mview('bench', 'run', false)")
+          .head.getString(2)
+        require(action == "incremental", s"expected incremental refresh, got $action")
+        s.sql("""SELECT okey, ln, qty, run, prev FROM graftq125.bench.run
+                |WHERE okey <= 500 ORDER BY okey, ln""".stripMargin)
+      },
+      Some("""WITH src AS (
+             |  SELECT l_orderkey AS okey, l_linenumber AS ln, l_quantity AS qty
+             |  FROM lineitem
+             |  WHERE l_quantity > 1.0 AND l_quantity < 48.0 AND l_orderkey > 260)
+             |SELECT okey, ln, qty,
+             |  SUM(qty) OVER (PARTITION BY okey ORDER BY ln) AS run,
+             |  LAG(qty, 1) OVER (PARTITION BY okey ORDER BY ln) AS prev
+             |FROM src WHERE okey <= 500 ORDER BY okey, ln""".stripMargin)),
+
     // LEFT-join MV with a MOVED dimension: unmatched facts aggregate
     // under the NULL group; then the dim moves in BOTH flip directions
     // (missing orders arrive → NULL-extensions retract; urgent orders

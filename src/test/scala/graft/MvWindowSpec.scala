@@ -121,27 +121,64 @@ class MvWindowSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE graft.$ns.src")
   }
 
-  test("non-rank windows and unpartitioned ranks fall back to FULL, loudly named") {
+  // Round-16 extension: the window mode is function-agnostic —
+  // affected-group recompute re-evaluates the group, never decomposes
+  // the function — so running aggregates and offsets maintain too.
+  test("running SUM/AVG and LAG maintain incrementally in window mode") {
+    val ns = "mvws"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.src")
+    spark.sql(s"CREATE TABLE graft.$ns.src (id BIGINT, g STRING, v DOUBLE)")
+    spark.sql(s"INSERT INTO graft.$ns.src VALUES (1,'a',5.0),(2,'a',3.0),(3,'b',2.0)")
+    val defSql =
+      s"""SELECT g, id, v,
+         |  SUM(v) OVER (PARTITION BY g ORDER BY id) AS running,
+         |  AVG(v) OVER (PARTITION BY g) AS gmean,
+         |  LAG(v, 1) OVER (PARTITION BY g ORDER BY id) AS prev
+         |FROM graft.$ns.src WHERE v >= 0.0""".stripMargin
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'run',
+         |  '${defSql.replace("'", "''")}')""".stripMargin)
+      .head.getString(0) shouldBe "window"
+    def check(step: String): Unit = withClue(step) {
+      rows(s"SELECT g, id, v, running, gmean, prev FROM graft.$ns.run") shouldBe
+        rows(s"SELECT g, id, v, running, gmean, prev FROM ($defSql)")
+    }
+    check("create")
+    val rnd = new Random(77)
+    var nextId = 3L
+    for (step <- 0 until 6) {
+      if (step % 3 == 2)
+        spark.sql(s"DELETE FROM graft.$ns.src WHERE v >= ${3 + rnd.nextInt(5)}.0")
+      else {
+        val burst = (0 until (1 + rnd.nextInt(3))).map { _ =>
+          nextId += 1
+          s"($nextId, 'g${rnd.nextInt(3)}', ${rnd.nextInt(9)}.0)"
+        }
+        spark.sql(s"INSERT INTO graft.$ns.src VALUES ${burst.mkString(", ")}")
+      }
+      val action = spark.sql(
+        s"CALL graft.system.refresh_mview('$ns', 'run', false)").head.getString(2)
+      Seq("incremental", "empty", "noop") should contain(action)
+      check(s"step=$step action=$action")
+    }
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'run')")
+    spark.sql(s"DROP TABLE graft.$ns.src")
+  }
+
+  test("unpartitioned windows fall back to FULL") {
     val ns = "mvwf"
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
     spark.sql(s"DROP TABLE IF EXISTS graft.$ns.src")
     spark.sql(s"CREATE TABLE graft.$ns.src (id BIGINT, g STRING, v DOUBLE)")
     spark.sql(s"INSERT INTO graft.$ns.src VALUES (1,'a',5.0)")
-    // aggregate-over-window: not a rank function → full
-    spark.sql(
-      s"""CALL graft.system.create_mview('$ns', 'sw',
-         |  'SELECT g, id, SUM(v) OVER (PARTITION BY g ORDER BY id) AS running
-         |   FROM graft.$ns.src')""".stripMargin)
-      .head.getString(0) shouldBe "full"
-    spark.sql(s"CALL graft.system.drop_mview('$ns', 'sw')")
-    // rank without PARTITION BY → full (whole-table recompute anyway)
+    // no PARTITION BY → whole-table recompute on any change = FULL
     spark.sql(
       s"""CALL graft.system.create_mview('$ns', 'gr',
          |  'SELECT id, ROW_NUMBER() OVER (ORDER BY v DESC) AS rn
          |   FROM graft.$ns.src')""".stripMargin)
       .head.getString(0) shouldBe "full"
     spark.sql(s"CALL graft.system.drop_mview('$ns', 'gr')")
-    // full mode still refreshes correctly for both
     spark.sql(s"DROP TABLE graft.$ns.src")
   }
 }
