@@ -35,7 +35,7 @@ object GraftProcedures {
       "set_partition_spec", "verify_table", "replicate", "compact_deletes",
       "dedup_table", "rewrite_deletes",
       "create_mview", "refresh_mview", "drop_mview", "mviews",
-      "ann_indexes", "rebuild_ann_index")
+      "ann_indexes", "refresh_ann_index", "rebuild_ann_index")
 
   def load(cat: () => GraftCatalog, name: String,
            catalogName: String = "graft"): Option[UnboundProcedure] =
@@ -183,6 +183,31 @@ object GraftProcedures {
                 st.meanCellRows, st.skew, st.rebuildRecommended)): InternalRow
             }
           }.toArray
+        }))
+      // O(changes) maintenance off the corpus changelog — assigns only
+      // changed vectors to the FROZEN centroids; with auto_rebuild (or
+      // the graft.ann.auto-rebuild table property) it escalates to the
+      // O(corpus) retrain the moment the manifest-only skew flag fires,
+      // so one CALL keeps a drifted index healthy
+      case "refresh_ann_index" => Some(proc(name,
+        Array(
+          ProcedureParameter.in("namespace", StringType).build(),
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("auto_rebuild", BooleanType).build()),
+        StructType(Seq(
+          StructField("from_version", IntegerType),
+          StructField("to_version", IntegerType),
+          StructField("action", StringType),
+          StructField("skew", DoubleType))),
+        { in =>
+          val c = cat()
+          val ti = TableIdent(in.getUTF8String(0).toString,
+            in.getUTF8String(1).toString)
+          val (from, to, action) = graft.operators.Similarity
+            .refreshIvfIndexTable(c, ti, autoRebuild = in.getBoolean(2))
+          val st = graft.operators.Similarity.ivfIndexStats(c, ti)
+          new GenericInternalRow(Array[Any](from, to,
+            org.apache.spark.unsafe.types.UTF8String.fromString(action), st.skew))
         }))
       // O(corpus) centroid retrain + reassignment, swapped in ONE
       // overwrite commit (in-flight probes keep their snapshot)

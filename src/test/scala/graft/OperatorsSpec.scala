@@ -600,6 +600,17 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     Similarity.refreshIvfIndexTable(cat, idxIdent, autoRebuild = true)
       ._3 shouldBe "rebuild"
     Similarity.ivfIndexStats(cat, idxIdent).rows shouldBe 1500L
+    // the SQL spelling: one CALL with auto_rebuild => true lands the
+    // retrain too, and reports the post-state skew
+    src.append((1501L to 3500L).map(i =>
+      (i, Seq.tabulate(8)(d => (80.0 + 5 * math.sin(i * 3 + d * 5)).toFloat)))
+      .toDF("id", "v"))
+    val row = s.sql(s"CALL graft.system.refresh_ann_index('$ns', 'idx', true)").head
+    row.getString(2) shouldBe "rebuild"
+    row.getDouble(3) should be < 4.0
+    // ... and without the flag a refresh stays on the frozen quantizer
+    s.sql(s"CALL graft.system.refresh_ann_index('$ns', 'idx', false)")
+      .head.getString(2) shouldBe "noop"
   }
 
   // Round-15 verdict carry #6: the rebuild-vs-refresh race. A refresh
