@@ -46,6 +46,47 @@ class GraftStreamSpec extends AnyFunSuite with Matchers {
     spark.sql("CALL graft.system.drop_mview('mvs', 'm')")
   }
 
+  // Round-16 composition: window-mode MVs (affected-group recompute)
+  // ride the same changes-driven stream — the fact-only feed fires the
+  // refresh, which dispatches to the window arm per the stored mode.
+  test("continuous maintenance drives a window-mode MV too") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvsw")
+    spark.sql("DROP TABLE IF EXISTS graft.mvsw.src")
+    spark.sql("CREATE TABLE graft.mvsw.src (id BIGINT, g STRING, v DOUBLE)")
+    spark.sql("INSERT INTO graft.mvsw.src VALUES (1,'a',5.0),(2,'a',3.0),(3,'b',9.0)")
+    val defSql =
+      """SELECT g, id, v, rn FROM (
+        |  SELECT g, id, v,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC, id) AS rn
+        |  FROM graft.mvsw.src) WHERE rn <= 2""".stripMargin
+    spark.sql(
+      s"""CALL graft.system.create_mview('mvsw','top2',
+         |'${defSql.replace("'", "''")}')""".stripMargin)
+      .head.getString(0) shouldBe "window"
+    val wc = GraftCatalog(spark, spark.conf.get("spark.sql.catalog.graft.warehouse"))
+    val ckpt = Files.createTempDirectory("mvw-ckpt").toString
+    def mv: Seq[String] =
+      spark.sql("SELECT g, id, v, rn FROM graft.mvsw.top2 ORDER BY g, rn")
+        .collect().map(_.toSeq.mkString("|")).toSeq
+    // backlog: a new top row for 'a' and a delete retracting b's top
+    spark.sql("INSERT INTO graft.mvsw.src VALUES (4,'a',8.0),(5,'b',1.0)")
+    spark.sql("DELETE FROM graft.mvsw.src WHERE id = 3")
+    val q1 = graft.connector.GraftMaterializedView.maintainStream(
+      spark, wc, "graft", "mvsw", "top2", ckpt)
+    try q1.awaitTermination() finally q1.stop()
+    mv shouldBe spark.sql(s"SELECT g, id, v, rn FROM ($defSql) ORDER BY g, rn")
+      .collect().map(_.toSeq.mkString("|")).toSeq
+    // restart drains only the new commits
+    spark.sql("INSERT INTO graft.mvsw.src VALUES (6,'b',4.0)")
+    val q2 = graft.connector.GraftMaterializedView.maintainStream(
+      spark, wc, "graft", "mvsw", "top2", ckpt)
+    try q2.awaitTermination() finally q2.stop()
+    mv shouldBe spark.sql(s"SELECT g, id, v, rn FROM ($defSql) ORDER BY g, rn")
+      .collect().map(_.toSeq.mkString("|")).toSeq
+    spark.sql("CALL graft.system.drop_mview('mvsw', 'top2')")
+    spark.sql("DROP TABLE graft.mvsw.src")
+  }
+
   test("maintainStream rejects a checkpoint with a different source arity by name") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvck")
     spark.sql("CREATE TABLE graft.mvck.fact (id BIGINT, g STRING, v DOUBLE)")

@@ -1991,4 +1991,23 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
         org.apache.spark.sql.types.StringType))))
     t.scan().where(col("v").isNotNull).count() shouldBe 0
   }
+
+  test("scanVersionWhere filters against a PINNED version, later commits invisible") {
+    import spark.implicits._
+    val t = cat().ensure(TableIdent("ns", "svw"))
+    t.append(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))   // v1
+    t.append(Seq((3L, 30.0)).toDF("id", "v"))               // v2
+    val pinned = t.currentOrFail().version
+    t.append(Seq((4L, 40.0)).toDF("id", "v"))               // v3
+    t.deleteWhere("id = 2")                                  // v4
+    // the pinned filtered read sees v2's world: id=2 alive, id=4 absent
+    t.scanVersionWhere(pinned, "id >= 2").select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq shouldBe Seq(2L, 3L)
+    // same call at the head applies the MoR delete and the new file
+    t.scanVersionWhere(t.currentOrFail().version, "id >= 2").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(3L, 4L)
+    // agrees with the unfiltered AS-OF scan + a post-filter
+    t.scanVersionWhere(pinned, "v <= 20.0").count() shouldBe
+      t.scanAsOfVersion(pinned).where(col("v") <= 20.0).count()
+  }
 }
