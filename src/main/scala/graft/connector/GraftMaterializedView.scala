@@ -51,14 +51,24 @@ import org.json4s.jackson.JsonMethods
   * offsets), optional inner WHERE — maintain in their own "window"
   * mode by affected-group recompute (round 16): windows never cross
   * partitions, so changelog-touched groups recompute wholesale and
-  * untouched groups keep their stored rows.
+  * untouched groups keep their stored rows. The window's source may
+  * be a bare graft table OR a left-deep fact-preserving join onto
+  * bare graft dims (round 17 — the rank-over-join dashboard shape):
+  * dims pin AS OF like agg mode, touched keys derive from the fact
+  * changelog joined to the pinned (and, for a moved dim, current)
+  * dims plus the head fact rows matching a moved dim's slice, and the
+  * touched groups recompute from the joined head — O(changes +
+  * affected groups), never O(fact ⋈ dims).
   * An MV OVER another MV maintains too: shape analysis inlines the
   * public view down to the first MV's storage table, whose own
   * changelog (written exactly-once by level-1's keyed refresh merges)
   * drives level-2 — refresh cascades m1 → m2, each O(changes at its
-  * level). Everything else (unpartitioned windows, aggregates OVER
-  * window outputs, non-fact-preserving joins) falls back to
-  * FULL refresh, which recomputes and overwrites. Join maintenance pins every dimension AS
+  * level). A RIGHT OUTER join rewrites to LEFT with the sides swapped
+  * at analysis (the preserved side becomes the fact), so it maintains
+  * like any left join. Everything else (unpartitioned windows,
+  * aggregates OVER window outputs, FULL OUTER joins — neither side
+  * fact-preserving) falls back to FULL refresh, which recomputes and
+  * overwrites. Join maintenance pins every dimension AS
   * OF the version the stored rows were built with, so the signed fact
   * changelog retracts exactly; a dimension that MOVES maintains
   * incrementally too — a telescoped delta
@@ -277,23 +287,75 @@ object GraftMaterializedView {
     * the precision-loss-adjusted scale first and the final cast rounds
     * again, so at wide types it is coarser than AVG (adjusted scale <
     * s+4 for precision > 24) and even in-gate it can double-round on
-    * ..4999.. quotient boundaries. Replaying the identical expression
-    * (incl. nullOnOverflow = false — a quotient that cannot fit the avg
-    * type throws, exactly as a recompute would) makes the maintained
-    * value bit-identical to `avg()` at EVERY decimal (p,s).
+    * ..4999.. quotient boundaries. Replaying the identical expression —
+    * including nullOnOverflow, which Average sets to !ansiEnabled — makes
+    * the maintained value bit-identical to `avg()` at EVERY decimal
+    * (p,s) under BOTH ANSI modes: a quotient that cannot fit the avg
+    * output type throws under ANSI and yields NULL otherwise, exactly
+    * as a recompute would.
     */
   private def avgDivide(sumC: Column, countC: Column, outT: DecimalType): Column = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, DecimalDivideWithOverflowCheck}
+    val ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
     org.apache.spark.sql.GraftSqlShim.column(DecimalDivideWithOverflowCheck(
       org.apache.spark.sql.GraftSqlShim.expression(sumC),
       Cast(org.apache.spark.sql.GraftSqlShim.expression(countC), DecimalType(20, 0)),
-      outT, null, nullOnOverflow = false))
+      outT, null, nullOnOverflow = !ansi))
   }
 
   private def unwrapAliases(p: LogicalPlan): LogicalPlan = p match {
     case SubqueryAlias(_, c) => unwrapAliases(c)
     case other => other
   }
+
+  private def graftLeafRel(p: LogicalPlan): Option[DataSourceV2Relation] =
+    unwrapAliases(p) match {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftV2Table] => Some(r)
+      case _ => None
+    }
+
+  /** Unroll a left-deep chain of FACT-PRESERVING joins onto bare graft
+    * dimensions: the leftmost leaf is the fact (its changelog drives
+    * refresh), every right side a bare graft dim. Inner and LEFT OUTER
+    * qualify directly. A RIGHT OUTER join REWRITES to LEFT with the
+    * sides swapped (`l RIGHT JOIN r` ≡ `r LEFT JOIN l` — identical rows,
+    * and the replay SQL is name-based so column order is irrelevant)
+    * whenever its non-preserved (left) side is a bare leaf, so the
+    * preserved side keeps driving the changelog; FULL OUTER preserves
+    * neither side and stays refused.
+    */
+  private def unrollJoinChain(p: LogicalPlan): Either[String,
+      (DataSourceV2Relation, List[(DataSourceV2Relation, String, String)])] =
+    unwrapAliases(p) match {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftV2Table] =>
+        Right((r, Nil))
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        val cond = j.condition.getOrElse(
+          return Left("join without an ON condition"))
+        if (!cond.deterministic) return Left("nondeterministic join condition")
+        j.joinType match {
+          case org.apache.spark.sql.catalyst.plans.Inner |
+               org.apache.spark.sql.catalyst.plans.LeftOuter =>
+            val jt = if (j.joinType == org.apache.spark.sql.catalyst.plans.Inner)
+              "inner" else "left_outer"
+            val d = graftLeafRel(j.right).getOrElse(
+              return Left("join right side is not a bare graft table"))
+            unrollJoinChain(j.left).map { case (f0, ds) =>
+              (f0, ds :+ ((d, jt, plainSql(cond))))
+            }
+          case org.apache.spark.sql.catalyst.plans.RightOuter =>
+            val d = graftLeafRel(j.left).getOrElse(
+              return Left("RIGHT OUTER join whose left (non-preserved) side " +
+                "is not a bare graft table — the LEFT rewrite needs a bare dim"))
+            unrollJoinChain(j.right).map { case (f0, ds) =>
+              (f0, ds :+ ((d, "left_outer", plainSql(cond))))
+            }
+          case other => Left(s"unsupported join type $other " +
+            "(fact-preserving inner/left-outer only; RIGHT rewrites to LEFT)")
+        }
+      case _ => Left("source is not a bare graft table scan or a " +
+        "left-deep join of graft tables")
+    }
 
   /** Orderable scalar types MIN/MAX maintenance supports: comparison,
     * zone-map bounds, and `least`/`greatest` are all well-defined.
@@ -672,30 +734,7 @@ object GraftMaterializedView {
           case rel2 => (None, Set.empty[String], rel2)
         }
         def graftLeaf(p: LogicalPlan): Option[DataSourceV2Relation] =
-          unwrapAliases(p) match {
-            case r: DataSourceV2Relation if r.table.isInstanceOf[GraftV2Table] => Some(r)
-            case _ => None
-          }
-        def unroll(p: LogicalPlan): Either[String,
-            (DataSourceV2Relation, List[(DataSourceV2Relation, String, String)])] =
-          unwrapAliases(p) match {
-            case r: DataSourceV2Relation if r.table.isInstanceOf[GraftV2Table] =>
-              Right((r, Nil))
-            case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
-              val jt = j.joinType match {
-                case org.apache.spark.sql.catalyst.plans.Inner => "inner"
-                case org.apache.spark.sql.catalyst.plans.LeftOuter => "left_outer"
-                case other => return Left(s"unsupported join type $other " +
-                  "(fact-preserving inner/left-outer only)")
-              }
-              val d = graftLeaf(j.right).getOrElse(
-                return Left("join right side is not a bare graft table"))
-              val cond = j.condition.getOrElse(return Left("join without an ON condition"))
-              if (!cond.deterministic) return Left("nondeterministic join condition")
-              unroll(j.left).map { case (f0, ds) => (f0, ds :+ ((d, jt, plainSql(cond)))) }
-            case _ => Left("source is not a bare graft table scan or a " +
-              "left-deep join of graft tables")
-          }
+          graftLeafRel(p)
         // UNION ALL of identically-shaped bare graft scans: union is
         // LINEAR in every leg (a signed row moves through it
         // unchanged), so each leg maintains with its own pin and the
@@ -751,7 +790,7 @@ object GraftMaterializedView {
             (legs.head._1, Nil,
               legs.tail.map { case (r, f) => (r, f.map(plainSql)) },
               legs.head._2.map(plainSql))
-          case other => unroll(other) match {
+          case other => unrollJoinChain(other) match {
             case Right((f, ds)) => (f, ds, Nil, None)
             case Left(reason) => return Left(reason)
           }
@@ -1027,7 +1066,11 @@ object GraftMaterializedView {
                                filter: Option[String],
                                proj: Seq[(String, String)],
                                partCols: Seq[(String, String)],
-                               rankFilter: Option[String])
+                               rankFilter: Option[String],
+                               // fact-preserving dim joins under the
+                               // window (rank-over-join dashboards) —
+                               // pinned AS OF like agg mode
+                               dims: Seq[DimSpec] = Nil)
 
   /** Analyze a rank-per-group top-N shape:
     * {{{
@@ -1149,12 +1192,46 @@ object GraftMaterializedView {
       return Left("window MV without any ORDER BY — the merge key needs " +
         "a deterministic per-group row order"))
 
-    // collapse anything between the window stack and its relation
+    // collapse anything between the window stack and its relation: a
+    // bare graft scan, or a left-deep chain of fact-preserving joins
+    // onto bare graft dims (rank-over-join dashboards — the most common
+    // real window-MV shape). The dims pin AS OF like agg mode; refresh
+    // derives touched partition keys from the fact changelog JOINED to
+    // the pinned dims (and, for a moved dim, from the dim slice's
+    // affected fact rows) and recomputes those groups from the joined
+    // head — the window never crosses partitions, so per-group
+    // recompute over the join is exact.
     val (terminal, conds, m) = inlineProjections(ws.last.child)
-    val fact = unwrapAliases(terminal) match {
-      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftV2Table] =>
-        r.table.asInstanceOf[GraftV2Table].underlying
-      case _ => return Left("window MV source is not a bare graft table")
+    val (fact, dims) = unrollJoinChain(terminal) match {
+      case Right((f, ds)) =>
+        (f.table.asInstanceOf[GraftV2Table].underlying,
+          ds.map { case (d, jt, c) =>
+            DimSpec(d.table.asInstanceOf[GraftV2Table].underlying, jt, c)
+          })
+      case Left(reason) => return Left(s"window MV source: $reason")
+    }
+    if (dims.nonEmpty) {
+      // the stored replay SQL is UNQUALIFIED — every column name must be
+      // unique across the join, and the changelog metadata names must
+      // not collide with source columns (key derivation joins the fact
+      // CHANGELOG to the dims)
+      val allCols = fact.schema.fields.map(_.name) ++
+        dims.flatMap(_.table.schema.fields.map(_.name))
+      val lower = allCols.map(_.toLowerCase)
+      if (lower.distinct.size != lower.size)
+        return Left("ambiguous column names across the window MV's join " +
+          "inputs — the stored replay SQL is unqualified, so every column " +
+          "name must be unique across the fact and dimensions")
+      val reserved = allCols.filter { n =>
+        val l = n.toLowerCase
+        l == "_change_type" || l == "_commit_version" || l == "_sign"
+      }
+      if (reserved.nonEmpty)
+        return Left(s"source column(s) ${reserved.mkString(", ")} collide " +
+          "with changelog metadata names")
+      if (dims.exists(_.table.tableDir == fact.tableDir))
+        return Left("self-join of the fact table — both sides change " +
+          "together, so dimension pinning cannot bound the touched groups")
     }
     def subst(e: Expression): Expression = {
       val winInlined = e.transformUp {
@@ -1244,7 +1321,7 @@ object GraftMaterializedView {
       if (conds.isEmpty) None
       else Some(plainSql(conds.reduce(
         org.apache.spark.sql.catalyst.expressions.And(_, _))))
-    Right(WindowShape(fact, filterSql, proj, partCols, rankFilterSql))
+    Right(WindowShape(fact, filterSql, proj, partCols, rankFilterSql, dims))
   }
 
   /** Replay a window shape over a source frame: inner WHERE → stored
@@ -1588,13 +1665,18 @@ object GraftMaterializedView {
       s"cannot create materialized view $ns.$name: storage table ${storageIdent.name} exists")
 
     val shaped = analyzeShape(analyzed)
+    // window shapes (incl. rank-over-join) analyze only when the
+    // aggregate analysis refused — the two shapes are disjoint
+    val windowShaped: Either[String, WindowShape] =
+      shaped.fold(_ => analyzeWindow(analyzed), _ => Left("aggregate shape"))
     // the FACT drives the staleness contract; full mode needs exactly
     // one source to track (an unanalyzable multi-table shape has no
     // meaningful single marker — refuse loudly instead of silently
     // registering a view that never notices a source moved)
-    val src = shaped match {
-      case Right(js) => js.fact
-      case Left(reason) =>
+    val src = (shaped, windowShaped) match {
+      case (Right(js), _) => js.fact
+      case (_, Right(ws)) => ws.fact
+      case (Left(reason), Left(_)) =>
         val srcDirs = sources.map(_.tableDir.toString).distinct
         require(srcDirs.size == 1,
           s"materialized view shape is not incrementally maintainable " +
@@ -1662,17 +1744,27 @@ object GraftMaterializedView {
           js.shape.sets.map(ss =>
             GroupSetsProp -> specJson(ss.map(_.map(_.toString)))).toMap ++
           dimProps ++ dlProps)
-      case Left(_) => analyzeWindow(analyzed) match {
+      case Left(_) => windowShaped match {
         case Right(ws) =>
           // rank-per-group top-N: storage holds the post-rank-filter
-          // replay (top-N per group) plus the _mv_rn merge key
-          val f = windowReplay(src.scanAsOfVersion(cur), ws.filter,
-            ws.proj, ws.rankFilter)
+          // replay (top-N per group) plus the _mv_rn merge key; dims
+          // (rank-over-join) pin AS OF the versions read here
+          val dimInfo = ws.dims.map { d =>
+            val v = d.table.currentOrFail().version
+            (relOf(d.table), v, d.table.scanAsOfVersion(v), d.joinType, d.condSql)
+          }
+          val base = joinBase(src.scanAsOfVersion(cur),
+            dimInfo.map(i => (i._3, i._4, i._5)))
+          val f = windowReplay(base, ws.filter, ws.proj, ws.rankFilter)
           ("window", f, Map(
             FilterProp -> ws.filter.getOrElse(""),
             WinPartProp -> specJson(ws.partCols.map(p => Seq(p._1, p._2))),
             WinProjProp -> specJson(ws.proj.map(p => Seq(p._1, p._2))),
-            WinFilterProp -> ws.rankFilter.getOrElse("")))
+            WinFilterProp -> ws.rankFilter.getOrElse("")) ++
+            (if (ws.dims.isEmpty) Map.empty[String, String]
+             else Map(
+               DimsProp -> specJson(dimInfo.map(i => Seq(i._1, i._4, i._5))),
+               DimVersProp -> specJson(dimInfo.map(i => Seq(i._1, i._2.toString))))))
         case Left(_) =>
           val f = spark.sql(sql)
           // the public view filters the _mv_ bookkeeping namespace out of
@@ -1754,7 +1846,7 @@ object GraftMaterializedView {
     // rank-per-group window MVs maintain by affected-group recompute —
     // no signed-delta algebra, no dims/legs — in their own arm
     if (mode == "window")
-      return refreshWindow(spark, ns, name, storage, props, src,
+      return refreshWindow(spark, cat, ns, name, storage, props, src,
         applied, to, forceFull)
 
     // dimension joins: pinned AS OF the versions the stored rows were
@@ -2601,7 +2693,8 @@ object GraftMaterializedView {
     * carrying the marker CAS — exactly-once under retries, and a reader
     * never sees a group half-replaced.
     */
-  private def refreshWindow(spark: SparkSession, ns: String, name: String,
+  private def refreshWindow(spark: SparkSession, cat: GraftCatalog,
+                            ns: String, name: String,
                             storage: GraftTable, props: Map[String, String],
                             src: GraftTable, applied: Int, to: Int,
                             forceFull: Boolean): (Int, Int, String) = {
@@ -2612,38 +2705,122 @@ object GraftMaterializedView {
     def replay(base: DataFrame): DataFrame =
       windowReplay(base, innerFilter, proj, rankFilter)
 
-    if (applied == to && !forceFull) return (applied, to, "noop")
-    // forced rebuild, or a rolled-back source (no forward slice):
-    // one full replay, overwritten with the marker in the same commit
-    if (forceFull || applied > to) {
-      storage.overwrite(replay(src.scanAsOfVersion(to)),
-        props = props ++ Map(AppliedProp -> to.toString))
+    // rank-over-join dims: pinned AS OF like agg mode. Versions are read
+    // ONCE per refresh and every scan (key derivation, head recompute,
+    // recorded pins) uses that read — a dim committing mid-refresh would
+    // otherwise desync the recorded pin from the stored rows.
+    val dimTbls: Seq[(String, GraftTable, String, String)] =
+      props.get(DimsProp).map(specFromJson(_).map {
+        case Seq(r, jt, c) =>
+          val ident = r.split("/") match {
+            case Array(dns, dt) => TableIdent(dns, dt)
+            case other => sys.error(s"bad mview dim: ${other.mkString("/")}")
+          }
+          (r, cat.load(ident), jt, c)
+      }).getOrElse(Nil)
+    val dimVers: Map[String, Int] =
+      props.get(DimVersProp).map(dimVersFromJson).getOrElse(Map.empty)
+    def pinnedVer(r: String): Int = dimVers.getOrElse(r, sys.error(
+      s"materialized view $ns.$name: dimension $r carries no pinned version"))
+    val curVers: Map[String, Int] = dimTbls.map { case (r, t, _, _) =>
+      r -> t.currentOrFail().version
+    }.toMap
+    val dimsMoved = dimTbls.exists { case (r, _, _, _) =>
+      curVers(r) != pinnedVer(r)
+    }
+    val dimsIncremental = dimTbls.forall { case (r, _, _, _) =>
+      curVers(r) >= pinnedVer(r)
+    }
+    def joinAt(factDf: DataFrame, vers: String => Int): DataFrame =
+      joinBase(factDf, dimTbls.map { case (r, t, jt, c) =>
+        (t.scanAsOfVersion(vers(r)), jt, c)
+      })
+    val newDimProp: Map[String, String] =
+      if (dimTbls.isEmpty) Map.empty
+      else Map(DimVersProp -> specJson(dimTbls.map { case (r, _, _, _) =>
+        Seq(r, curVers(r).toString)
+      }))
+    // CAS scope: the applied marker AND the dim pins — a concurrent
+    // refresh that re-pinned the dims must abort this one at commit
+    val casProps: Map[String, String] =
+      Map(AppliedProp -> applied.toString) ++
+        props.get(DimVersProp).map(DimVersProp -> _)
+
+    if (applied == to && !dimsMoved && !forceFull) return (applied, to, "noop")
+    // forced rebuild, a rolled-back source, or a rolled-back dim (no
+    // forward slice to bound the touched groups with): one full replay
+    // over the joined head, overwritten with marker + pins in the same
+    // commit
+    if (forceFull || applied > to || (dimsMoved && !dimsIncremental)) {
+      storage.overwrite(replay(joinAt(src.scanAsOfVersion(to), curVers)),
+        props = props ++ Map(AppliedProp -> to.toString) ++ newDimProp)
       return (applied, to, "full")
     }
 
+    def changelogGone(rel: String, from: Int, until: Int, e: Throwable): Nothing =
+      throw new IllegalStateException(
+        s"materialized view $ns.$name cannot replay the $rel changelog " +
+          s"($from, $until] — expire_snapshots may have removed versions " +
+          "the marker still needs. Rebuild with refresh_mview(..., " +
+          "force_full => true)", e)
+    // the DATA-ONLY feed: maintenance commits (compaction, z-order)
+    // preserve every visible row — including them would touch every
+    // rewritten group and turn a nightly compaction into an O(table)
+    // recompute
     val changes =
-      try src.scanChangesBetween(applied, to)
-      catch {
-        case e @ (_: java.io.FileNotFoundException |
-                  _: java.nio.file.NoSuchFileException |
-                  _: IllegalStateException | _: IllegalArgumentException) =>
-          throw new IllegalStateException(
-            s"materialized view $ns.$name cannot replay the source changelog " +
-              s"($applied, $to] — expire_snapshots may have removed versions " +
-              "the marker still needs. Rebuild with refresh_mview(..., " +
-              "force_full => true)", e)
-      }
+      if (applied == to) None
+      else Some(
+        try src.scanDataChangesBetween(applied, to).drop("_commit_version")
+        catch {
+          case e @ (_: java.io.FileNotFoundException |
+                    _: java.nio.file.NoSuchFileException |
+                    _: IllegalStateException | _: IllegalArgumentException) =>
+            changelogGone("source", applied, to, e)
+        })
+
     // touched groups: every changelog row passing the inner WHERE
-    // (insert post-image or delete pre-image) touches its partition key
-    val filteredChanges = innerFilter.fold(changes)(f => changes.where(expr(f)))
-    val touched = filteredChanges
-      .select(parts.map { case (n, s) => expr(s).as(n) }: _*)
+    // (insert post-image or delete pre-image) touches its partition
+    // key. With dims the key may live on a dim, so the changelog joins
+    // the PINNED dims (the state the stored rows saw — old keys) and,
+    // when a dim moved, the CURRENT dims too (new keys); a moved dim
+    // additionally touches the keys of every head fact row matching its
+    // slice, under BOTH dim states (a dim update moves fact rows
+    // between groups; a LEFT match appearing/vanishing moves them
+    // to/from the NULL-extended group — the outer join derives those
+    // keys directly).
+    val keyExprs = parts.map { case (n, s) => expr(s).as(n) }
+    def keysOf(base: DataFrame): DataFrame = {
+      val f = innerFilter.fold(base)(p => base.where(expr(p)))
+      f.select(keyExprs: _*)
+    }
+    val factTerms = changes.toSeq.flatMap { ch =>
+      Seq(keysOf(joinAt(ch, pinnedVer))) ++
+        (if (dimsMoved) Seq(keysOf(joinAt(ch, curVers))) else Nil)
+    }
+    val dimTerms = dimTbls.filter { case (r, _, _, _) =>
+      curVers(r) != pinnedVer(r)
+    }.flatMap { case (r, t, _, c) =>
+      val slice =
+        try t.scanDataChangesBetween(pinnedVer(r), curVers(r))
+          .drop("_commit_version").localCheckpoint()
+        catch {
+          case e @ (_: java.io.FileNotFoundException |
+                    _: java.nio.file.NoSuchFileException |
+                    _: IllegalStateException | _: IllegalArgumentException) =>
+            changelogGone(s"dimension $r", pinnedVer(r), curVers(r), e)
+        }
+      val affected = src.scanAsOfVersion(to).join(slice, expr(c), "left_semi")
+      Seq(keysOf(joinAt(affected, pinnedVer)), keysOf(joinAt(affected, curVers)))
+    }
+    val touched = (factTerms ++ dimTerms).reduce(_ unionByName _)
       .distinct().localCheckpoint()
     val keyNames = parts.map(_._1)
     if (touched.isEmpty) {
-      // all-filtered slice: advance the marker metadata-only, CAS-guarded
-      storage.updateProperties(Map(AppliedProp -> to.toString),
-        requireParentProps = Map(AppliedProp -> applied.toString))
+      // all-filtered slice / no affected groups: advance the marker and
+      // pins metadata-only, CAS-guarded
+      storage.updateProperties(
+        Map(AppliedProp -> to.toString) ++ newDimProp,
+        requireParentProps = casProps)
       return (applied, to, "empty")
     }
 
@@ -2680,11 +2857,13 @@ object GraftMaterializedView {
     val tk = parts.indices.map(i => s"_mvtk_$i")
     val touchedR = touched.toDF(tk: _*)
 
+    // range pruning applies to keys that are bare FACT columns (the
+    // schema check skips dim-side keys — still exact via the semi join)
     val srcScan = rangeSqlFor(src.schema, keyNames, parts.map(_._2)) match {
       case Some(p) => src.scanVersionWhere(to, p)
       case None => src.scanAsOfVersion(to)
     }
-    val srcTouched = srcScan.join(touchedR,
+    val srcTouched = joinAt(srcScan, curVers).join(touchedR,
       parts.zip(tk).map { case ((_, s), k) => expr(s) <=> col(s"`$k`") }
         .reduce(_ && _), "left_semi")
     val recomputed = replay(srcTouched).localCheckpoint()
@@ -2708,8 +2887,8 @@ object GraftMaterializedView {
         mergeKeys.zip(rk).map { case (n, k) => col(s"`$n`") <=> col(s"`$k`") }
           .reduce(_ && _), "left_anti")
     storage.applyNetChanges(delKeys, recomputed, mergeKeys,
-      props = props ++ Map(AppliedProp -> to.toString),
-      requireParentProps = Map(AppliedProp -> applied.toString),
+      props = props ++ Map(AppliedProp -> to.toString) ++ newDimProp,
+      requireParentProps = casProps,
       nullSafeKeys = true)
     (applied, to, "incremental")
   }

@@ -193,7 +193,10 @@ object GraftProcedures {
         Array(
           ProcedureParameter.in("namespace", StringType).build(),
           ProcedureParameter.in("table", StringType).build(),
-          ProcedureParameter.in("auto_rebuild", BooleanType).build()),
+          // optional — the natural CALL ...(ns, tbl) spelling gets the
+          // safe default (no escalation), matching the Scala API
+          ProcedureParameter.in("auto_rebuild", BooleanType)
+            .defaultValue("false").build()),
         StructType(Seq(
           StructField("from_version", IntegerType),
           StructField("to_version", IntegerType),

@@ -324,9 +324,13 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       s"cannot rename $oldIdent: materialized view(s) ${deps.mkString(", ")} " +
         "pin it as a source — CALL graft.system.drop_mview for each and " +
         "recreate over the new name")
-    val sfx = ti.name.indexOf(GraftMaterializedView.StorageSuffix)
-    if (sfx > 0) {
-      val mv = ti.name.substring(0, sfx)
+    // managed MV tables are named exactly <view> + "__rows" (storage) or
+    // <view> + "__rows__dl<i>" (dedup-level aux) — match those SUFFIX
+    // shapes, not a mid-name substring, so a user table that merely
+    // contains "__rows" (e.g. m1__rowsx) is not spuriously refused
+    val base = ti.name.replaceFirst("__dl\\d+$", "")
+    if (base.endsWith(GraftMaterializedView.StorageSuffix)) {
+      val mv = base.stripSuffix(GraftMaterializedView.StorageSuffix)
       require(!views.load(ti.namespace, mv)
           .exists(_.properties.get("graft.mview").contains("true")),
         s"cannot rename $oldIdent: it is storage of materialized view " +

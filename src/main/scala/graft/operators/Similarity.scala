@@ -302,6 +302,18 @@ object Similarity {
     def escalate(from: Int, action: String): (Int, Int, String) =
       if (autoOn && ivfIndexStats(cat, indexIdent).rebuildRecommended) {
         rebuildIvfIndexTable(cat, indexIdent)
+        // a corpus whose intrinsic distribution keeps the skew flag up
+        // even after retraining would otherwise pay a silent O(corpus)
+        // rebuild on EVERY scheduled refresh — surface the loop so the
+        // operator can raise the threshold or drop auto-rebuild
+        val after = ivfIndexStats(cat, indexIdent)
+        if (after.rebuildRecommended)
+          graft.observability.Log.warn(
+            "ivf auto-rebuild did not clear the skew flag — the corpus " +
+              "distribution is intrinsically skewed; every auto-rebuild " +
+              "refresh will retrain O(corpus) until auto_rebuild is " +
+              "disabled or the skew threshold is raised",
+            "index" -> indexIdent.toString, "skew" -> after.skew)
         (from, cat.load(indexIdent).currentOrFail()
           .properties(AppliedProp).toInt, "rebuild")
       } else (from, to, action)

@@ -302,22 +302,48 @@ object RelationalQueries {
           countDistinct(col("l_orderkey")).as("exact_cd"),
           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_cd"))
           .collect()(0))
-        val pctF = Future(li.agg(
-          expr("percentile(l_quantity, 0.5)").as("exact_p50"),
-          expr("approx_percentile(l_quantity, 0.5, 10000)").as("approx_p50"))
-          .collect()(0))
+        // exact median via a distributed VALUE HISTOGRAM, not
+        // percentile(): Spark's exact percentile buffers EVERY value
+        // into one aggregation buffer and degrades superlinearly (15x
+        // wall for 10x data at sf1). groupBy(value).count() is
+        // map-side-combinable and O(distinct values) post-shuffle; the
+        // driver fold runs over the distinct histogram only (guarded —
+        // the fallback keeps the exact baseline honest, never silent).
+        // The interpolation below is percentile()'s own formula, so the
+        // value is bit-identical to the old exact baseline.
+        val pctF = Future {
+          val hist = li.groupBy(col("l_quantity").cast("double").as("v"))
+            .agg(count(lit(1)).as("c"))
+            .where(col("v").isNotNull).orderBy(col("v")).collect()
+          require(hist.length <= 1000000,
+            s"histogram percentile: ${hist.length} distinct values — " +
+              "use a sampled baseline for continuous domains")
+          val n = hist.iterator.map(_.getLong(1)).sum
+          val rank = (n - 1) * 0.5
+          val loIdx = math.floor(rank).toLong
+          val hiIdx = math.ceil(rank).toLong
+          def valueAt(idx: Long): Double = {
+            var cum = 0L
+            hist.find { r => cum += r.getLong(1); cum > idx }.get.getDouble(0)
+          }
+          val lower = valueAt(loIdx)
+          val upper = valueAt(hiIdx)
+          val exact = lower + (rank - loIdx) * (upper - lower)
+          val approx = li.agg(
+            expr("approx_percentile(l_quantity, 0.5, 10000)").cast("double"))
+            .collect()(0).getDouble(0)
+          (exact, approx)
+        }
         val cd = Await.result(cdF, Duration.Inf)
-        val pct = Await.result(pctF, Duration.Inf)
-        val r = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
-          cd.toSeq.toArray ++ pct.toSeq.toArray,
-          org.apache.spark.sql.types.StructType(cd.schema.fields ++ pct.schema.fields))
-        val cdOk = math.abs(r.getAs[Long]("approx_cd") - r.getAs[Long]("exact_cd")).toDouble /
-          r.getAs[Long]("exact_cd") < 0.05
-        val pctOk = math.abs(r.getAs[Double]("approx_p50") - r.getAs[Double]("exact_p50")) <= 1.0
-        require(cdOk, s"HLL estimate off: ${r.getAs[Long]("approx_cd")} vs ${r.getAs[Long]("exact_cd")}")
-        require(pctOk, s"quantile sketch off: ${r.getAs[Double]("approx_p50")}")
+        val (exactP50, approxP50) = Await.result(pctF, Duration.Inf)
+        val exactCd = cd.getAs[Long]("exact_cd")
+        val approxCd = cd.getAs[Long]("approx_cd")
+        val cdOk = math.abs(approxCd - exactCd).toDouble / exactCd < 0.05
+        val pctOk = math.abs(approxP50 - exactP50) <= 1.0
+        require(cdOk, s"HLL estimate off: $approxCd vs $exactCd")
+        require(pctOk, s"quantile sketch off: $approxP50 vs $exactP50")
         import s.implicits._
-        Seq((r.getAs[Long]("exact_cd"), r.getAs[Double]("exact_p50"), cdOk, pctOk))
+        Seq((exactCd, exactP50, cdOk, pctOk))
           .toDF("distinct_orders", "median_qty", "hll_within_5pct", "pctl_within_1")
       },
       Some("""SELECT COUNT(DISTINCT l_orderkey) AS distinct_orders,

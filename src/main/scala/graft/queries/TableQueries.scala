@@ -1557,6 +1557,153 @@ object TableQueries {
              |  LAG(qty, 1) OVER (PARTITION BY okey ORDER BY ln) AS prev
              |FROM src WHERE okey <= 500 ORDER BY okey, ln""".stripMargin)),
 
+    // WINDOW MV OVER A JOINED FACT (round-17 #1): the rank-over-join
+    // dashboard shape — top-N per dim attribute. The dim pins AS OF
+    // like agg mode; refresh derives touched partition keys from the
+    // fact changelog joined to the pinned (and current) dims plus the
+    // head fact rows matching a moved dim's slice, then recomputes only
+    // those groups from the joined head. Asserted incremental through a
+    // MoR fact burst AND a dim move.
+    "q126_mview_window_join" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq126").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq126", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq126.warehouse",
+            Files.createTempDirectory("graft-mview-wjoin").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq126.bench")
+        s.sql("CALL graftq126.system.drop_mview('bench', 'wtop')")
+        s.sql("DROP TABLE IF EXISTS graftq126.bench.fact")
+        s.sql("DROP TABLE IF EXISTS graftq126.bench.dim")
+        s.sql("""CREATE TABLE graftq126.bench.fact
+                |(okey BIGINT, ln INT, dk BIGINT, price DOUBLE, qty DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        s.sql("CREATE TABLE graftq126.bench.dim (dkey BIGINT, region STRING)")
+        t(s, dir, "lineitem").createOrReplaceTempView("q126_li")
+        t(s, dir, "nation").createOrReplaceTempView("q126_na")
+        s.sql("INSERT INTO graftq126.bench.dim SELECT n_nationkey, n_name FROM q126_na")
+        s.sql("""INSERT INTO graftq126.bench.fact
+                |SELECT l_orderkey, l_linenumber, l_suppkey % 25,
+                |       l_extendedprice, l_quantity
+                |FROM q126_li WHERE l_orderkey % 2 = 0""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq126.system.create_mview('bench', 'wtop',
+            |  'SELECT region, okey, ln, price, rn FROM (
+            |     SELECT region, okey, ln, price,
+            |       ROW_NUMBER() OVER (PARTITION BY region
+            |         ORDER BY price DESC, okey, ln) AS rn
+            |     FROM graftq126.bench.fact JOIN graftq126.bench.dim ON dk = dkey
+            |     WHERE qty > 1.0) WHERE rn <= 3')""".stripMargin)
+          .head.getString(0)
+        require(mode == "window",
+          s"rank-over-join MV must register in window mode, got $mode")
+        // MoR fact burst: the other half arrives, then a band delete
+        // that retracts stored top rows
+        s.sql("""INSERT INTO graftq126.bench.fact
+                |SELECT l_orderkey, l_linenumber, l_suppkey % 25,
+                |       l_extendedprice, l_quantity
+                |FROM q126_li WHERE l_orderkey % 2 = 1""".stripMargin)
+        s.sql("DELETE FROM graftq126.bench.fact WHERE qty >= 45.0")
+        val a1 = s.sql(
+          "CALL graftq126.system.refresh_mview('bench', 'wtop', false)")
+          .head.getString(2)
+        require(a1 == "incremental", s"fact-burst refresh expected incremental, got $a1")
+        // dim MOVE: five regions rename — their fact rows change groups
+        s.sql("""UPDATE graftq126.bench.dim
+                |SET region = concat(region, '_MOVED') WHERE dkey < 5""".stripMargin)
+        val a2 = s.sql(
+          "CALL graftq126.system.refresh_mview('bench', 'wtop', false)")
+          .head.getString(2)
+        require(a2 == "incremental", s"dim-move refresh expected incremental, got $a2")
+        s.sql("""SELECT region, okey, ln, price, rn FROM graftq126.bench.wtop
+                |ORDER BY region, rn""".stripMargin)
+      },
+      Some("""WITH fact AS (
+             |  SELECT l_orderkey AS okey, l_linenumber AS ln,
+             |         l_suppkey % 25 AS dk, l_extendedprice AS price,
+             |         l_quantity AS qty
+             |  FROM lineitem WHERE l_quantity < 45.0),
+             |dim AS (
+             |  SELECT n_nationkey AS dkey,
+             |         CASE WHEN n_nationkey < 5 THEN n_name || '_MOVED'
+             |              ELSE n_name END AS region
+             |  FROM nation)
+             |SELECT region, okey, ln, price, rn FROM (
+             |  SELECT region, okey, ln, price,
+             |    ROW_NUMBER() OVER (PARTITION BY region
+             |      ORDER BY price DESC, okey, ln) AS rn
+             |  FROM fact JOIN dim ON dk = dkey WHERE qty > 1.0)
+             |WHERE rn <= 3 ORDER BY region, rn""".stripMargin)),
+
+    // RIGHT OUTER join MV (round-17 #5): `l RIGHT JOIN r` rewrites to
+    // `r LEFT JOIN l` at shape analysis — the preserved side (orders)
+    // becomes the FACT whose changelog drives refresh, and the original
+    // fact (lineitem) becomes a LEFT dim maintained by the telescoped
+    // matched part + NULL-extension flip terms. Incremental through
+    // mutations on BOTH sides.
+    "q128_mview_right_join" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq128").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq128", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq128.warehouse",
+            Files.createTempDirectory("graft-mview-rjoin").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq128.bench")
+        s.sql("CALL graftq128.system.drop_mview('bench', 'rp')")
+        s.sql("DROP TABLE IF EXISTS graftq128.bench.li")
+        s.sql("DROP TABLE IF EXISTS graftq128.bench.ord")
+        s.sql("""CREATE TABLE graftq128.bench.li
+                |(l_orderkey BIGINT, qty DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        s.sql("""CREATE TABLE graftq128.bench.ord
+                |(okey BIGINT, pri STRING)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        t(s, dir, "orders").createOrReplaceTempView("q128_ord")
+        t(s, dir, "lineitem").createOrReplaceTempView("q128_li")
+        s.sql("""INSERT INTO graftq128.bench.ord
+                |SELECT o_orderkey, o_orderpriority FROM q128_ord
+                |WHERE o_orderkey % 3 != 0""".stripMargin)
+        s.sql("""INSERT INTO graftq128.bench.li
+                |SELECT l_orderkey, l_quantity
+                |FROM q128_li WHERE l_orderkey % 2 = 0""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq128.system.create_mview('bench', 'rp',
+            |  'SELECT pri, SUM(qty) AS sq, COUNT(*) AS n
+            |   FROM graftq128.bench.li RIGHT JOIN graftq128.bench.ord
+            |     ON l_orderkey = okey
+            |   GROUP BY pri')""".stripMargin).head.getString(0)
+        require(mode == "incremental",
+          s"RIGHT-join MV must register incremental (LEFT rewrite), got $mode")
+        // mutate the ORIGINAL fact — now the left dim: flip terms fire
+        // (orders whose last lineitem vanishes re-extend with NULLs)
+        s.sql("""INSERT INTO graftq128.bench.li
+                |SELECT l_orderkey, l_quantity
+                |FROM q128_li WHERE l_orderkey % 2 = 1""".stripMargin)
+        s.sql("DELETE FROM graftq128.bench.li WHERE qty >= 45.0")
+        val a1 = s.sql("CALL graftq128.system.refresh_mview('bench', 'rp', false)")
+          .head.getString(2)
+        require(a1 == "incremental", s"li-side refresh expected incremental, got $a1")
+        // mutate the preserved side — the rewritten FACT's own changelog
+        s.sql("""INSERT INTO graftq128.bench.ord
+                |SELECT o_orderkey, o_orderpriority FROM q128_ord
+                |WHERE o_orderkey % 3 = 0 AND o_orderkey <= 1000""".stripMargin)
+        s.sql("DELETE FROM graftq128.bench.ord WHERE pri = '1-URGENT'")
+        val a2 = s.sql("CALL graftq128.system.refresh_mview('bench', 'rp', false)")
+          .head.getString(2)
+        require(a2 == "incremental", s"ord-side refresh expected incremental, got $a2")
+        s.sql("SELECT pri, sq, n FROM graftq128.bench.rp ORDER BY pri")
+      },
+      Some("""WITH li AS (
+             |  SELECT l_orderkey, l_quantity AS qty FROM lineitem
+             |  WHERE l_quantity < 45.0),
+             |ord AS (
+             |  SELECT o_orderkey AS okey, o_orderpriority AS pri FROM orders
+             |  WHERE (o_orderkey % 3 != 0 OR o_orderkey <= 1000)
+             |    AND o_orderpriority <> '1-URGENT')
+             |SELECT pri, SUM(qty) AS sq, COUNT(*) AS n
+             |FROM li RIGHT JOIN ord ON l_orderkey = okey
+             |GROUP BY pri ORDER BY pri""".stripMargin)),
+
     // LEFT-join MV with a MOVED dimension: unmatched facts aggregate
     // under the NULL group; then the dim moves in BOTH flip directions
     // (missing orders arrive → NULL-extensions retract; urgent orders

@@ -166,6 +166,82 @@ class MvWindowSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE graft.$ns.src")
   }
 
+  // Round-17: the window's source may be a fact-preserving JOIN onto
+  // bare graft dims (the rank-over-join dashboard shape). Dims pin AS
+  // OF like agg mode; touched keys derive from the fact changelog
+  // joined to pinned+current dims plus the head fact rows matching a
+  // moved dim's slice; touched groups recompute from the joined head.
+  test("window MV over a joined fact: incremental through fact bursts and dim moves") {
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(2)
+    for (seed <- 0 until seeds; joinType <- Seq("JOIN", "LEFT JOIN")) {
+      val rnd = new Random(4700 + seed)
+      val ns = s"mvwj${seed}_${if (joinType == "JOIN") "i" else "l"}"
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.fact")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.dim")
+      spark.sql(s"CREATE TABLE graft.$ns.fact (id BIGINT, dk BIGINT, v DOUBLE)")
+      spark.sql(s"CREATE TABLE graft.$ns.dim (dkey BIGINT, region STRING)")
+      spark.sql(s"INSERT INTO graft.$ns.dim VALUES " +
+        (0 until 5).map(k => s"($k, 'r${k % 3}')").mkString(", "))
+      var nextId = 0L
+      def insertBurst(): Unit = {
+        val burst = (0 until (1 + rnd.nextInt(6))).map { _ =>
+          nextId += 1
+          // dk 0..6: keys 5,6 have NO dim row (LEFT-join NULL group)
+          s"($nextId, ${rnd.nextInt(7)}, ${rnd.nextInt(20)}.0)"
+        }
+        spark.sql(s"INSERT INTO graft.$ns.fact VALUES ${burst.mkString(", ")}")
+      }
+      insertBurst()
+      // partition key lives on the DIM; order on the fact
+      val defSql =
+        s"""SELECT region, id, v, rn FROM (
+           |  SELECT region, id, v,
+           |    ROW_NUMBER() OVER (PARTITION BY region ORDER BY v DESC, id) AS rn
+           |  FROM graft.$ns.fact $joinType graft.$ns.dim ON dk = dkey
+           |  WHERE v >= 1.0) WHERE rn <= 3""".stripMargin
+      spark.sql(
+        s"""CALL graft.system.create_mview('$ns', 'top3',
+           |  '${defSql.replace("'", "''")}')""".stripMargin)
+        .head.getString(0) shouldBe "window"
+      def check(step: String): Unit = withClue(s"seed=$seed $joinType $step ") {
+        rows(s"SELECT region, id, v, rn FROM graft.$ns.top3") shouldBe
+          rows(s"SELECT region, id, v, rn FROM ($defSql)")
+      }
+      check("create")
+      for (step <- 0 until 10) {
+        rnd.nextInt(5) match {
+          case 0 => insertBurst()
+          case 1 =>
+            spark.sql(s"DELETE FROM graft.$ns.fact WHERE v >= ${10 + rnd.nextInt(10)}.0")
+          case 2 => // dim UPDATE: moves fact rows between regions
+            val k = rnd.nextInt(5)
+            spark.sql(s"UPDATE graft.$ns.dim SET region = 'r${rnd.nextInt(3)}' " +
+              s"WHERE dkey = $k")
+          case 3 => // dim row appears: LEFT-join facts gain a first match
+            val k = 5 + rnd.nextInt(2)
+            spark.sql(s"DELETE FROM graft.$ns.dim WHERE dkey = $k")
+            if (rnd.nextBoolean())
+              spark.sql(s"INSERT INTO graft.$ns.dim VALUES ($k, 'r${rnd.nextInt(3)}')")
+          case 4 => // both move before one refresh
+            insertBurst()
+            spark.sql(s"UPDATE graft.$ns.dim SET region = 'r${rnd.nextInt(3)}' " +
+              s"WHERE dkey = ${rnd.nextInt(5)}")
+        }
+        val action = spark.sql(
+          s"CALL graft.system.refresh_mview('$ns', 'top3', false)").head.getString(2)
+        Seq("incremental", "empty", "noop") should contain(action)
+        check(s"step=$step action=$action")
+      }
+      spark.sql(s"CALL graft.system.refresh_mview('$ns', 'top3', true)")
+        .head.getString(2) shouldBe "full"
+      check("force_full")
+      spark.sql(s"CALL graft.system.drop_mview('$ns', 'top3')")
+      spark.sql(s"DROP TABLE graft.$ns.fact")
+      spark.sql(s"DROP TABLE graft.$ns.dim")
+    }
+  }
+
   test("unpartitioned windows fall back to FULL") {
     val ns = "mvwf"
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
