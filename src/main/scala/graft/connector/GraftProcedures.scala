@@ -34,7 +34,7 @@ object GraftProcedures {
       "create_branch", "fast_forward", "merge_branch", "drop_branch",
       "set_partition_spec", "verify_table", "replicate", "compact_deletes",
       "dedup_table", "rewrite_deletes",
-      "create_mview", "refresh_mview", "drop_mview", "mviews",
+      "create_mview", "refresh_mview", "drop_mview", "mviews", "maintain_mview",
       "ann_indexes", "refresh_ann_index", "rebuild_ann_index")
 
   def load(cat: () => GraftCatalog, name: String,
@@ -88,6 +88,35 @@ object GraftProcedures {
         { in =>
           new GenericInternalRow(Array[Any](GraftMaterializedView.drop(cat(),
             in.getUTF8String(0).toString, in.getUTF8String(1).toString)))
+        }))
+      // SQL spelling of [[GraftMaterializedView.maintainStream]]: one
+      // CALL drains the current changelog backlog (fact + every dim /
+      // union leg) through an AvailableNow stream with exactly-once
+      // refresh semantics, then returns. The checkpoint directory makes
+      // restarts resume from the recorded offsets; a fresh directory is
+      // always lossless (the MV's own markers carry all refresh state).
+      case "maintain_mview" => Some(proc(name,
+        Array(
+          ProcedureParameter.in("namespace", StringType).build(),
+          ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("checkpoint", StringType).build()),
+        StructType(Seq(
+          StructField("applied_version", IntegerType),
+          StructField("mode", StringType))),
+        { in =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          val c = cat()
+          val ns = in.getUTF8String(0).toString
+          val nm = in.getUTF8String(1).toString
+          val q = GraftMaterializedView.maintainStream(spark, c, catalogName,
+            ns, nm, in.getUTF8String(2).toString)
+          try q.awaitTermination() finally q.stop() // AvailableNow: stops on drain
+          val props = c.load(TableIdent(ns,
+            nm + GraftMaterializedView.StorageSuffix)).currentOrFail().properties
+          new GenericInternalRow(Array[Any](
+            props(GraftMaterializedView.AppliedProp).toInt,
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              props(GraftMaterializedView.ModeProp))))
         }))
       // the "which views need a refresh" dashboard: one row per MV in
       // the namespace with its maintenance mode and staleness —

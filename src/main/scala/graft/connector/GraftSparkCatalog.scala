@@ -258,6 +258,19 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     if (renames.nonEmpty || drops.nonEmpty) {
       val ti = toIdent(ident)
       val rel = s"${ti.namespace}/${ti.name}"
+      // MV STORAGE (and dedup-level aux) tables are managed by
+      // create/refresh/drop_mview — column DDL aimed at one would
+      // desync the stored shape spec from the schema (same family as
+      // the renameTable guard below)
+      val base = ti.name.replaceFirst("__dl\\d+$", "")
+      if (base.endsWith(GraftMaterializedView.StorageSuffix)) {
+        val mv = base.stripSuffix(GraftMaterializedView.StorageSuffix)
+        require(!views.load(ti.namespace, mv)
+            .exists(_.properties.get("graft.mview").contains("true")),
+          s"cannot rename/drop columns of $ident: it is storage of " +
+            s"materialized view ${ti.namespace}.$mv (managed by " +
+            "create/drop_mview)")
+      }
       val verbs =
         renames.map(r => (r.fieldNames().last,
           s"rename column '${r.fieldNames().last}' to '${r.newName()}'")) ++

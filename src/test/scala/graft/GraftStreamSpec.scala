@@ -87,6 +87,36 @@ class GraftStreamSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE graft.mvsw.src")
   }
 
+  // Round-17: the CALL spelling of maintainStream — one synchronous
+  // drain per CALL, restart-safe through the same checkpoint dir.
+  test("CALL maintain_mview drains the backlog like the API") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvcall")
+    spark.sql("DROP TABLE IF EXISTS graft.mvcall.src")
+    spark.sql("CREATE TABLE graft.mvcall.src (id BIGINT, g STRING, v DOUBLE)")
+    spark.sql("INSERT INTO graft.mvcall.src VALUES (1,'a',1.0),(2,'a',4.0)")
+    spark.sql(
+      """CALL graft.system.create_mview('mvcall','m',
+        |'SELECT g, SUM(v) AS t, COUNT(*) AS n FROM graft.mvcall.src GROUP BY g')""".stripMargin)
+    val ckpt = Files.createTempDirectory("mv-call-ckpt").toString
+    def mv: Seq[(String, Double, Long)] =
+      spark.sql("SELECT g, t, n FROM graft.mvcall.m ORDER BY g").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    spark.sql("INSERT INTO graft.mvcall.src VALUES (3,'b',7.0)")
+    spark.sql("DELETE FROM graft.mvcall.src WHERE id = 1")
+    val r1 = spark.sql(
+      s"CALL graft.system.maintain_mview('mvcall', 'm', '$ckpt')").head
+    r1.getString(1) shouldBe "incremental"
+    mv shouldBe Seq(("a", 4.0, 1L), ("b", 7.0, 1L))
+    // second CALL from the same checkpoint consumes only new commits
+    spark.sql("INSERT INTO graft.mvcall.src VALUES (4,'b',2.0)")
+    val r2 = spark.sql(
+      s"CALL graft.system.maintain_mview('mvcall', 'm', '$ckpt')").head
+    r2.getInt(0) should be > r1.getInt(0)
+    mv shouldBe Seq(("a", 4.0, 1L), ("b", 9.0, 2L))
+    spark.sql("CALL graft.system.drop_mview('mvcall', 'm')")
+    spark.sql("DROP TABLE graft.mvcall.src")
+  }
+
   test("maintainStream rejects a checkpoint with a different source arity by name") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvck")
     spark.sql("CREATE TABLE graft.mvck.fact (id BIGINT, g STRING, v DOUBLE)")

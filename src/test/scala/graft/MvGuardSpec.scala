@@ -197,6 +197,73 @@ class MvGuardSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE graft.$ns.src2")
   }
 
+  // Round-17: the column guards hold for WINDOW-mode MVs (bare and
+  // joined) and for a level-2 MV reading a level-1 storage table —
+  // and MV storage column DDL is refused outright as managed state.
+  test("window and nested MV sources get the same column guards") {
+    val ns = "mvguard7"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    for (t <- Seq("src", "d", "base")) spark.sql(s"DROP TABLE IF EXISTS graft.$ns.$t")
+    spark.sql(s"CREATE TABLE graft.$ns.src (g STRING, v DOUBLE, note STRING)")
+    spark.sql(s"CREATE TABLE graft.$ns.d (dk STRING, region STRING, memo STRING)")
+    spark.sql(s"INSERT INTO graft.$ns.src VALUES ('a', 1.0, 'x'), ('b', 2.0, 'y')")
+    spark.sql(s"INSERT INTO graft.$ns.d VALUES ('a', 'r1', 'm1'), ('b', 'r2', 'm2')")
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'w',
+         |  'SELECT region, v, rn FROM (
+         |     SELECT region, v,
+         |       ROW_NUMBER() OVER (PARTITION BY region ORDER BY v DESC) AS rn
+         |     FROM graft.$ns.src JOIN graft.$ns.d ON g = dk) WHERE rn <= 2')""".stripMargin)
+      .head.getString(0) shouldBe "window"
+    def refusedBy(sql: String, mv: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      withClue(s"sql=$sql got=$e ") { msg should include(mv) }
+    }
+    // fact column under a window MV
+    refusedBy(s"ALTER TABLE graft.$ns.src RENAME COLUMN v TO v2", s"$ns.w")
+    // dim column under a window MV (DimsProp sweep)
+    refusedBy(s"ALTER TABLE graft.$ns.d RENAME COLUMN region TO region2", s"$ns.w")
+    refusedBy(s"ALTER TABLE graft.$ns.d DROP COLUMN region", s"$ns.w")
+    // unreferenced columns evolve freely and the window MV keeps
+    // refreshing incrementally
+    spark.sql(s"ALTER TABLE graft.$ns.src RENAME COLUMN note TO note2")
+    spark.sql(s"ALTER TABLE graft.$ns.d RENAME COLUMN memo TO memo2")
+    spark.sql(s"INSERT INTO graft.$ns.src VALUES ('a', 9.0, 'z')")
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'w', false)")
+      .head.getString(2) shouldBe "incremental"
+
+    // level-2 MV over level-1: renaming a level-1 STORAGE column is
+    // refused as managed storage (never silently desynced)
+    spark.sql(s"CREATE TABLE graft.$ns.base (flag STRING, q DOUBLE, pad STRING)")
+    spark.sql(s"INSERT INTO graft.$ns.base VALUES ('f', 1.0, 'p')")
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'm1',
+         |  'SELECT flag, SUM(q) AS sq FROM graft.$ns.base GROUP BY flag')""".stripMargin)
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'm2',
+         |  'SELECT SUM(sq) AS total FROM graft.$ns.m1')""".stripMargin)
+    refusedBy(s"ALTER TABLE graft.$ns.m1__rows RENAME COLUMN sq TO sq2",
+      "storage of materialized view")
+    // a base column referenced by level-1 refuses naming level-1
+    refusedBy(s"ALTER TABLE graft.$ns.base RENAME COLUMN q TO q2", s"$ns.m1")
+    // an unreferenced base column evolves and the CASCADE keeps
+    // refreshing incrementally
+    spark.sql(s"ALTER TABLE graft.$ns.base RENAME COLUMN pad TO pad2")
+    spark.sql(s"INSERT INTO graft.$ns.base VALUES ('f', 2.0, 'p2')")
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm1', false)")
+      .head.getString(2) shouldBe "incremental"
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm2', false)")
+      .head.getString(2) shouldBe "incremental"
+    spark.sql(s"SELECT total FROM graft.$ns.m2").head.getDouble(0) shouldBe 3.0
+
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'm2')")
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'm1')")
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'w')")
+    for (t <- Seq("src", "d", "base")) spark.sql(s"DROP TABLE graft.$ns.$t")
+  }
+
   test("the reserved marker cannot be planted on an ordinary view") {
     val ns = "mvguard2"
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
