@@ -65,10 +65,13 @@ import org.json4s.jackson.JsonMethods
   * drives level-2 — refresh cascades m1 → m2, each O(changes at its
   * level). A RIGHT OUTER join rewrites to LEFT with the sides swapped
   * at analysis (the preserved side becomes the fact), so it maintains
-  * like any left join. Everything else (unpartitioned windows,
-  * aggregates OVER window outputs, FULL OUTER joins — neither side
-  * fact-preserving) falls back to FULL refresh, which recomputes and
-  * overwrites. Join maintenance pins every dimension AS
+  * like any left join. An aggregate OVER a window subquery (SUM of a
+  * per-group top-N) auto-cascades from one CREATE: the subquery
+  * registers as a hidden window MV `<name>__w` and the aggregate as an
+  * MV over its storage, refreshed/dropped as one unit through the
+  * cascade marker. Everything else (unpartitioned windows, FULL OUTER
+  * joins — neither side fact-preserving) falls back to FULL refresh,
+  * which recomputes and overwrites. Join maintenance pins every dimension AS
   * OF the version the stored rows were built with, so the signed fact
   * changelog retracts exactly; a dimension that MOVES maintains
   * incrementally too — a telescoped delta
@@ -173,6 +176,13 @@ object GraftMaterializedView {
     */
   val WinRnCol = "_mv_rn"
   val RowsCol = "_mv_rows"
+  /** Aggregate-OVER-window cascade (round 17): the outer MV's storage
+    * carries "ns/name" of the HIDDEN inner window MV auto-registered
+    * for its subquery; refresh() refreshes the inner first (so the
+    * inner storage changelog the outer consumes is current) and drop()
+    * drops the inner after the outer.
+    */
+  val CascadeProp = "graft.mview.cascade"
   /** Grouping-id merge-key column for grouping-sets MVs: two sets can
     * produce identical key tuples (a real NULL key vs a rolled-up one),
     * so the grouping id joins the merge key to keep rows addressable.
@@ -1336,6 +1346,57 @@ object GraftMaterializedView {
     rankFilter.fold(projected)(rf => projected.where(expr(rf)))
   }
 
+  /** Render the two definition SQLs of an aggregate-OVER-window
+    * cascade: the inner window subquery (re-creatable as a hidden
+    * window MV) and the outer aggregate rewritten over the inner MV's
+    * public name. Everything is rendered from the ANALYZED plan with
+    * the same plainSql/replay-by-SQL contract the shapes store — the
+    * recursive create() re-analyzes both, so a reconstruction that
+    * drifted would refuse, never silently diverge. Returns None when
+    * the shape can't be rendered faithfully (rank predicate over a
+    * non-public column, non-alias aggregate outputs) — the caller
+    * falls back to FULL mode.
+    */
+  private def cascadeSqls(catalogName: String, ns: String, innerName: String,
+                          ws: WindowShape, agg: Aggregate,
+                          relOf: GraftTable => String): Option[(String, String)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val pub = ws.proj.filterNot(_._1.toLowerCase.startsWith("_mv_"))
+    // the rank predicate re-renders over the SUBQUERY output — it must
+    // reference only public (user-visible) columns
+    val rfRefs = ws.rankFilter.toSeq.flatMap(rf =>
+      org.apache.spark.sql.GraftSqlShim.expression(expr(rf)).collect {
+        case a: UnresolvedAttribute => a.nameParts.last.toLowerCase
+      })
+    if (rfRefs.exists(_.startsWith("_mv_"))) return None
+    def tref(t: GraftTable): String = relOf(t).split("/") match {
+      case Array(tns, tb) => s"$catalogName.`$tns`.`$tb`"
+      case other => sys.error(s"bad rel ${other.mkString("/")}")
+    }
+    val selectList = pub.map { case (n, s) => s"($s) AS `$n`" }.mkString(", ")
+    val joins = ws.dims.map(d =>
+      (if (d.joinType == "inner") " JOIN " else " LEFT JOIN ") +
+        tref(d.table) + " ON " + d.condSql).mkString
+    val where = ws.filter.map(f => s" WHERE $f").getOrElse("")
+    val innerCore = s"SELECT $selectList FROM ${tref(ws.fact)}$joins$where"
+    val innerSql = ws.rankFilter match {
+      case Some(rf) =>
+        s"SELECT ${pub.map(p => s"`${p._1}`").mkString(", ")} " +
+          s"FROM ($innerCore) WHERE $rf"
+      case None => innerCore
+    }
+    val outs = agg.aggregateExpressions.map {
+      case al @ Alias(e, n) => s"(${plainSql(e)}) AS `$n`"
+      case a: AttributeReference => s"`${a.name}`"
+      case _ => return None
+    }
+    val groupSqls = agg.groupingExpressions.map(plainSql)
+    val outerSql = s"SELECT ${outs.mkString(", ")} " +
+      s"FROM $catalogName.`$ns`.`$innerName`" +
+      (if (groupSqls.nonEmpty) s" GROUP BY ${groupSqls.mkString(", ")}" else "")
+    Some((innerSql, outerSql))
+  }
+
   /** The grouped materialization frame (public + bookkeeping columns)
     * over `base`, per the stored shape. The AVG public column is
     * `avg(CAST(e AS DOUBLE))` — identical to Spark's non-decimal
@@ -1669,6 +1730,44 @@ object GraftMaterializedView {
     // aggregate analysis refused — the two shapes are disjoint
     val windowShaped: Either[String, WindowShape] =
       shaped.fold(_ => analyzeWindow(analyzed), _ => Left("aggregate shape"))
+    // aggregate OVER a window subquery (round 17): neither shape accepts
+    // it directly, but BOTH halves maintain — auto-cascade: register the
+    // subquery as a HIDDEN window MV `<name>__w` and the user's MV as an
+    // aggregate over its public name (which shape analysis inlines to
+    // the hidden storage, whose exactly-once changelog drives it — the
+    // q124 cascade, built from one CREATE). refresh()/drop() chain
+    // through the cascade marker. A reconstruction that cannot register
+    // both halves incrementally tears down what it created and falls
+    // through to FULL mode — loud degradation, never a broken pair.
+    if (shaped.isLeft && windowShaped.isLeft) unwrapAliases(analyzed) match {
+      case agg: Aggregate => analyzeWindow(agg.child) match {
+        case Right(ws) =>
+          val innerName = name + "__w"
+          cascadeSqls(catalogName, ns, innerName, ws, agg, relOf).foreach {
+            case (innerSql, outerSql) =>
+              val (m1, _, _) = create(spark, cat, catalogName, ns, innerName,
+                innerSql, None)
+              if (m1 != "window") drop(cat, ns, innerName)
+              else {
+                val (m2, v2, rows2) =
+                  try create(spark, cat, catalogName, ns, name, outerSql,
+                    storageSpec)
+                  catch {
+                    case e: Throwable => drop(cat, ns, innerName); throw e
+                  }
+                if (m2 != "incremental") {
+                  drop(cat, ns, name); drop(cat, ns, innerName)
+                } else {
+                  cat.load(TableIdent(ns, name + StorageSuffix))
+                    .updateProperties(Map(CascadeProp -> s"$ns/$innerName"))
+                  return ("incremental", v2, rows2)
+                }
+              }
+          }
+        case Left(_) => ()
+      }
+      case _ => ()
+    }
     // the FACT drives the staleness contract; full mode needs exactly
     // one source to track (an unanalyzable multi-table shape has no
     // meaningful single marker — refuse loudly instead of silently
@@ -1836,6 +1935,16 @@ object GraftMaterializedView {
       throw new IllegalArgumentException(s"$ns.$name is not a materialized view"))
     val mode = props(ModeProp)
     val applied = props(AppliedProp).toInt
+    // aggregate-over-window cascade: refresh the hidden inner window MV
+    // FIRST, so the inner-storage changelog this refresh consumes
+    // reflects the base table's current state — one CALL maintains the
+    // whole pair, each level O(changes at its level)
+    props.get(CascadeProp).foreach { innerRel =>
+      innerRel.split("/") match {
+        case Array(ins, inm) => refresh(spark, cat, ins, inm, forceFull)
+        case other => sys.error(s"bad mview cascade: ${other.mkString("/")}")
+      }
+    }
     val srcRel = props(SourceProp).split("/") match {
       case Array(sns, st) => TableIdent(sns, st)
       case other => sys.error(s"bad mview source: ${other.mkString("/")}")
@@ -2932,9 +3041,27 @@ object GraftMaterializedView {
     // and the start options are ignored
     val legVers: Map[String, Int] =
       props.get(UFactsProp).map(dimVersFromJson).getOrElse(Map.empty)
+    // an aggregate-over-window cascade's own source is the HIDDEN inner
+    // MV's storage, which only moves when the inner refreshes — the
+    // stream must also watch the inner's base relations so a base-table
+    // commit fires the trigger (refresh then cascades inner → outer)
+    val cascadeFeeds: Seq[(String, String)] =
+      props.get(CascadeProp).toSeq.flatMap { innerRel =>
+        innerRel.split("/") match {
+          case Array(ins, inm) =>
+            val ip = cat.load(TableIdent(ins, inm + StorageSuffix))
+              .currentOrFail().properties
+            val idims = ip.get(DimVersProp).map(dimVersFromJson)
+              .getOrElse(Map.empty)
+            (ip(SourceProp), ip(AppliedProp)) +:
+              idims.toSeq.sorted.map { case (r, v) => (r, v.toString) }
+          case _ => Nil
+        }
+      }
     val feeds: Seq[(String, String)] =
-      (props(SourceProp), props(AppliedProp)) +:
-        (dimVers ++ legVers).toSeq.sorted.map { case (r, v) => (r, v.toString) }
+      ((props(SourceProp), props(AppliedProp)) +:
+        (dimVers ++ legVers).toSeq.sorted.map { case (r, v) => (r, v.toString) }) ++
+        cascadeFeeds
     // Legacy-checkpoint guard: the stream's SOURCE SHAPE is one feed
     // per relation (fact + every dim/union leg). A checkpoint written
     // by the fact-only version of this method (or for an MV whose dim
@@ -3001,21 +3128,31 @@ object GraftMaterializedView {
     require(dependents.isEmpty,
       s"cannot drop materialized view $ns.$name: materialized view(s) " +
         s"${dependents.mkString(", ")} read its storage table — drop them first")
-    val auxIdents: Seq[TableIdent] =
-      if (!cat.exists(storageIdent)) Nil
-      else scala.util.Try {
-        val p = cat.load(storageIdent).currentOrFail().properties
-        val aggs = specFromJson(p.getOrElse(AggProp, "[]")).collect {
-          case Seq(n, k, s) => AggSpec(n, k, s)
-        }
-        dlGroups(aggs).map { case (ci, _, _) =>
-          TableIdent(ns, name + StorageSuffix + dlSuffix(ci))
-        }
-      }.getOrElse(Nil)
+    val storedProps: Map[String, String] =
+      if (!cat.exists(storageIdent)) Map.empty
+      else scala.util.Try(cat.load(storageIdent).currentOrFail().properties)
+        .getOrElse(Map.empty)
+    val auxIdents: Seq[TableIdent] = scala.util.Try {
+      val aggs = specFromJson(storedProps.getOrElse(AggProp, "[]")).collect {
+        case Seq(n, k, s) => AggSpec(n, k, s)
+      }
+      dlGroups(aggs).map { case (ci, _, _) =>
+        TableIdent(ns, name + StorageSuffix + dlSuffix(ci))
+      }
+    }.getOrElse(Nil)
     val hadView = viewStore.drop(ns, name)
     val hadTable = cat.exists(storageIdent)
     if (hadTable) cat.drop(storageIdent)
     auxIdents.filter(cat.exists).foreach(cat.drop)
+    // aggregate-over-window cascade: the hidden inner window MV goes
+    // AFTER the outer that read its storage (the dependents guard above
+    // no longer sees the outer's view at this point)
+    storedProps.get(CascadeProp).foreach { innerRel =>
+      innerRel.split("/") match {
+        case Array(ins, inm) => drop(cat, ins, inm)
+        case _ => ()
+      }
+    }
     hadView || hadTable
   }
 }

@@ -1635,6 +1635,69 @@ object TableQueries {
              |  FROM fact JOIN dim ON dk = dkey WHERE qty > 1.0)
              |WHERE rn <= 3 ORDER BY region, rn""".stripMargin)),
 
+    // AGGREGATE OVER A WINDOW SUBQUERY (round-17 #4): one CREATE
+    // auto-cascades — the top-N subquery registers as a hidden window
+    // MV and the aggregate as an MV over its storage; ONE refresh call
+    // maintains both levels incrementally (window level by affected-
+    // group recompute, aggregate level off the storage changelog).
+    "q127_mview_agg_over_window" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq127").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq127", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq127.warehouse",
+            Files.createTempDirectory("graft-mview-aow").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq127.bench")
+        s.sql("CALL graftq127.system.drop_mview('bench', 'aow')")
+        s.sql("DROP TABLE IF EXISTS graftq127.bench.li")
+        s.sql("""CREATE TABLE graftq127.bench.li
+                |(okey BIGINT, ln INT, flag STRING, price DOUBLE, qty DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        t(s, dir, "lineitem").createOrReplaceTempView("q127_li")
+        s.sql("""INSERT INTO graftq127.bench.li
+                |SELECT l_orderkey, l_linenumber, l_returnflag,
+                |       l_extendedprice, l_quantity
+                |FROM q127_li WHERE l_orderkey % 2 = 0""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq127.system.create_mview('bench', 'aow',
+            |  'SELECT flag, SUM(price) AS sp, COUNT(*) AS n FROM (
+            |     SELECT flag, price,
+            |       ROW_NUMBER() OVER (PARTITION BY flag
+            |         ORDER BY price DESC, okey, ln) AS rn
+            |     FROM graftq127.bench.li WHERE qty > 1.0)
+            |   WHERE rn <= 10 GROUP BY flag')""".stripMargin).head.getString(0)
+        require(mode == "incremental",
+          s"agg-over-window MV must auto-cascade to incremental, got $mode")
+        s.sql("""INSERT INTO graftq127.bench.li
+                |SELECT l_orderkey, l_linenumber, l_returnflag,
+                |       l_extendedprice, l_quantity
+                |FROM q127_li WHERE l_orderkey % 2 = 1""".stripMargin)
+        s.sql("DELETE FROM graftq127.bench.li WHERE qty >= 46.0")
+        s.sql("DELETE FROM graftq127.bench.li WHERE okey <= 300")
+        val action = s.sql(
+          "CALL graftq127.system.refresh_mview('bench', 'aow', false)")
+          .head.getString(2)
+        require(action == "incremental", s"expected incremental refresh, got $action")
+        // the hidden window level must have kept up (one-call cascade)
+        val dash = s.sql("CALL graftq127.system.mviews('bench')").collect()
+          .map(r => (r.getString(0), r.getInt(5))).toMap
+        require(dash("aow__w") == 0,
+          s"hidden window level is ${dash("aow__w")} versions behind after cascade")
+        s.sql("SELECT flag, sp, n FROM graftq127.bench.aow ORDER BY flag")
+      },
+      Some("""WITH src AS (
+             |  SELECT l_returnflag AS flag, l_orderkey AS okey,
+             |         l_linenumber AS ln, l_extendedprice AS price
+             |  FROM lineitem
+             |  WHERE l_quantity > 1.0 AND l_quantity < 46.0 AND l_orderkey > 300),
+             |w AS (
+             |  SELECT flag, price,
+             |    ROW_NUMBER() OVER (PARTITION BY flag
+             |      ORDER BY price DESC, okey, ln) AS rn
+             |  FROM src)
+             |SELECT flag, SUM(price) AS sp, COUNT(*) AS n
+             |FROM w WHERE rn <= 10 GROUP BY flag ORDER BY flag""".stripMargin)),
+
     // RIGHT OUTER join MV (round-17 #5): `l RIGHT JOIN r` rewrites to
     // `r LEFT JOIN l` at shape analysis — the preserved side (orders)
     // becomes the FACT whose changelog drives refresh, and the original

@@ -87,4 +87,71 @@ class MvNestedSpec extends AnyFunSuite with Matchers {
       spark.sql(s"DROP TABLE graft.$ns.src")
     }
   }
+
+  // Round-17: an aggregate OVER a window subquery auto-cascades from
+  // ONE create — a hidden window MV <name>__w plus the aggregate over
+  // its storage; one refresh call maintains both levels, and drop
+  // removes both.
+  test("aggregate over a window subquery auto-cascades from one CREATE") {
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(2)
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(5200 + seed)
+      val ns = s"mvaw$seed"
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.src")
+      spark.sql(s"CREATE TABLE graft.$ns.src (id BIGINT, g STRING, v DOUBLE)")
+      var nextId = 0L
+      def insertBurst(): Unit = {
+        val burst = (0 until (1 + rnd.nextInt(6))).map { _ =>
+          nextId += 1
+          val g = if (rnd.nextInt(9) == 0) "CAST(NULL AS STRING)"
+                  else s"'g${rnd.nextInt(3)}'"
+          s"($nextId, $g, ${rnd.nextInt(30)}.0)"
+        }
+        spark.sql(s"INSERT INTO graft.$ns.src VALUES ${burst.mkString(", ")}")
+      }
+      insertBurst()
+      val defSql =
+        s"""SELECT g, SUM(v) AS sp, COUNT(*) AS n FROM (
+           |  SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g
+           |    ORDER BY v DESC, id) AS rn
+           |  FROM graft.$ns.src WHERE v >= 1.0) WHERE rn <= 3 GROUP BY g""".stripMargin
+      spark.sql(
+        s"""CALL graft.system.create_mview('$ns', 'aow',
+           |  '${defSql.replace("'", "''")}')""".stripMargin)
+        .head.getString(0) shouldBe "incremental"
+      // the hidden inner registered in window mode
+      val dash = spark.sql(s"CALL graft.system.mviews('$ns')").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      dash("aow__w") shouldBe "window"
+      dash("aow") shouldBe "incremental"
+      def check(step: String): Unit = withClue(s"seed=$seed $step ") {
+        spark.sql(s"SELECT g, sp, n FROM graft.$ns.aow").collect()
+          .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted shouldBe
+          spark.sql(defSql).collect()
+            .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+      }
+      check("create")
+      for (step <- 0 until 8) {
+        rnd.nextInt(3) match {
+          case 0 => insertBurst()
+          case 1 =>
+            spark.sql(s"DELETE FROM graft.$ns.src WHERE v >= ${15 + rnd.nextInt(10)}.0")
+          case 2 =>
+            val id = 1 + rnd.nextInt(math.max(1, nextId.toInt))
+            spark.sql(s"DELETE FROM graft.$ns.src WHERE id = $id")
+        }
+        // ONE call refreshes the hidden window level then the aggregate
+        val action = spark.sql(
+          s"CALL graft.system.refresh_mview('$ns', 'aow', false)").head.getString(2)
+        Seq("incremental", "empty", "noop") should contain(action)
+        check(s"step=$step action=$action")
+      }
+      // drop removes BOTH levels (hidden storage included)
+      spark.sql(s"CALL graft.system.drop_mview('$ns', 'aow')")
+      spark.sql(s"SHOW TABLES IN graft.$ns").collect()
+        .map(_.getString(1)) should not contain "aow__w__rows"
+      spark.sql(s"DROP TABLE graft.$ns.src")
+    }
+  }
 }
