@@ -69,9 +69,14 @@ import org.json4s.jackson.JsonMethods
   * per-group top-N) auto-cascades from one CREATE: the subquery
   * registers as a hidden window MV `<name>__w` and the aggregate as an
   * MV over its storage, refreshed/dropped as one unit through the
-  * cascade marker. Everything else (unpartitioned windows, FULL OUTER
-  * joins — neither side fact-preserving) falls back to FULL refresh,
-  * which recomputes and overwrites. Join maintenance pins every dimension AS
+  * cascade marker. A FULL OUTER join (single join, no other dims or
+  * union legs) maintains with TWO-SIDED flip terms: each side's
+  * linear part is the signed slice left-joined from its own side, and
+  * the other side's NULL-extensions flip on rows whose match-set
+  * crossed zero — slice-bounded semi/anti probes, O(affected), never
+  * O(F ⋈ D). Everything else (unpartitioned windows, FULL OUTER
+  * composed with more joins) falls back to FULL refresh, which
+  * recomputes and overwrites. Join maintenance pins every dimension AS
   * OF the version the stored rows were built with, so the signed fact
   * changelog retracts exactly; a dimension that MOVES maintains
   * incrementally too — a telescoped delta
@@ -360,8 +365,18 @@ object GraftMaterializedView {
             unrollJoinChain(j.right).map { case (f0, ds) =>
               (f0, ds :+ ((d, "left_outer", plainSql(cond))))
             }
+          // FULL preserves neither side; the aggregate path maintains it
+          // with two-sided flip terms for the SINGLE-join shape (the
+          // caller enforces arity), windows refuse it
+          case org.apache.spark.sql.catalyst.plans.FullOuter =>
+            val d = graftLeafRel(j.right).getOrElse(
+              return Left("FULL OUTER join right side is not a bare graft table"))
+            unrollJoinChain(j.left).map { case (f0, ds) =>
+              (f0, ds :+ ((d, "full_outer", plainSql(cond))))
+            }
           case other => Left(s"unsupported join type $other " +
-            "(fact-preserving inner/left-outer only; RIGHT rewrites to LEFT)")
+            "(fact-preserving inner/left-outer only; RIGHT rewrites to LEFT, " +
+            "FULL maintains as a single join)")
         }
       case _ => Left("source is not a bare graft table scan or a " +
         "left-deep join of graft tables")
@@ -806,6 +821,15 @@ object GraftMaterializedView {
           }
         }
         if (dimRels.nonEmpty) {
+          // FULL OUTER's two-sided flip algebra is defined for the
+          // single-join shape: composing it with further dims/legs
+          // would thread NULL-extended rows of BOTH sides through the
+          // rest of the chain, where neither side is fact-preserving
+          if (dimRels.exists(_._2 == "full_outer") &&
+              (dimRels.size > 1 || unionRels.nonEmpty))
+            return Left("FULL OUTER join composes with no other join or " +
+              "UNION ALL leg — its two-sided NULL-extension flips are " +
+              "maintained for the single-join shape only")
           val names = (factRel.output ++ dimRels.flatMap(_._1.output))
             .map(_.name.toLowerCase)
           if (names.distinct.size != names.size)
@@ -1242,6 +1266,11 @@ object GraftMaterializedView {
       if (dims.exists(_.table.tableDir == fact.tableDir))
         return Left("self-join of the fact table — both sides change " +
           "together, so dimension pinning cannot bound the touched groups")
+      // FULL under a window: every unmatched dim row owns a NULL-
+      // extension group, so a fact slice would touch the whole dim side
+      if (dims.exists(_.joinType == "full_outer"))
+        return Left("FULL OUTER join under a window MV — the dim-side " +
+          "NULL extensions cannot be bounded by the touched-key derivation")
     }
     def subst(e: Expression): Expression = {
       val winInlined = e.transformUp {
@@ -2076,10 +2105,11 @@ object GraftMaterializedView {
       * range/equality agreement) just skip pruning; all-NULL slice
       * keys can match nothing, emptying the term.
       */
-    def prunedFactFor(slice: DataFrame, condSql: String): DataFrame = {
+    def prunedFactFor(slice: DataFrame, condSql: String,
+                      factVersion: Int = to): DataFrame = {
       import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
       import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo}
-      val full = src.scanAsOfVersion(to)
+      val full = src.scanAsOfVersion(factVersion)
       val factCols = src.schema.fields.map(f => f.name.toLowerCase -> f.name).toMap
       val sliceT = slice.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
       val cond =
@@ -2119,15 +2149,51 @@ object GraftMaterializedView {
       // delete coalescing/folding) preserve every visible row, so their
       // file churn would net to zero here at O(compacted bytes) cost —
       // a nightly compaction must not make MV refresh O(table)
-      val factTerm = legTbls.foldLeft(pinnedJoin(
-        legWhere(factRelStr)(
-          src.scanDataChangesBetween(factFrom, to).drop("_commit_version")), pins)) {
-        case (acc, (r, t)) =>
-          acc.unionByName(pinnedJoin(
-            legWhere(r)(t.scanDataChangesBetween(legFrom(r), legCur(r))
-              .drop("_commit_version")),
-            pins))
-      }
+      val hasFull = dimTbls.exists(_._3 == "full_outer")
+      val factTerm =
+        if (!hasFull) legTbls.foldLeft(pinnedJoin(
+          legWhere(factRelStr)(
+            src.scanDataChangesBetween(factFrom, to).drop("_commit_version")), pins)) {
+          case (acc, (r, t)) =>
+            acc.unionByName(pinnedJoin(
+              legWhere(r)(t.scanDataChangesBetween(legFrom(r), legCur(r))
+                .drop("_commit_version")),
+              pins))
+        }
+        else {
+          // A FULL OUTER dim (single join, no legs — enforced at
+          // analysis). FULL = LEFT ∪ dim-side NULL-extensions, and LEFT
+          // is linear in the FACT side: the signed slice left-joins the
+          // pinned dim, so changed fact rows flow through with their
+          // matches or their own (f, NULLd) extension. The DIM-side
+          // extensions (NULLf, d) flip NON-linearly under the fact move
+          // — exactly the mirror of the moved-LEFT-dim flip algebra:
+          //   d gained its first match (∅→matches between fact@from and
+          //     fact@to): the stored rows held (NULLf, d) — RETRACT;
+          //   d lost its last match: (NULLf, d) now exists — INSERT.
+          // Only dim rows matching a slice row can flip, so `affectedD`
+          // is slice-bounded and the two fact probes are zone-pruned by
+          // its keys — O(affected ⋈ F-rowgroups), never O(F ⋈ D).
+          val (r, t, _, c) = dimTbls.head
+          val slice = src.scanDataChangesBetween(factFrom, to)
+            .drop("_commit_version").localCheckpoint()
+          val d0 = t.scanAsOfVersion(pins(r))
+          val linear = slice.join(d0, expr(c), "left_outer")
+          val affectedD = d0.join(slice, expr(c), "left_semi").localCheckpoint()
+          val f0 = prunedFactFor(affectedD, c, factFrom)
+          val f1 = prunedFactFor(affectedD, c, to)
+          val gained = affectedD.join(f0, expr(c), "left_anti")
+            .join(f1, expr(c), "left_semi")
+            .withColumn("_change_type", lit("delete"))
+          val lost = affectedD.join(f0, expr(c), "left_semi")
+            .join(f1, expr(c), "left_anti")
+            .withColumn("_change_type", lit("insert"))
+          val flips0 = gained.unionByName(lost)
+          val flips = src.schema.fields.foldLeft(flips0) { (f, fld) =>
+            f.withColumn(fld.name, lit(null).cast(fld.dataType))
+          }
+          linear.unionByName(flips)
+        }
       val dimTerms = dimTbls.zipWithIndex.collect {
         case ((r, t, jt, c), i) if curVers(r) != pins(r) =>
           val before = dimTbls.take(i).map { case (r2, t2, jt2, c2) =>
@@ -2178,7 +2244,16 @@ object GraftMaterializedView {
             val flips = t.schema.fields.foldLeft(flips0) { (f, fld) =>
               f.withColumn(fld.name, lit(null).cast(fld.dataType))
             }
-            matched.unionByName(joinBase(flips, after))
+            // FULL keeps the dim side too: the signed slice LEFT-joins
+            // the (pruned) fact FROM THE DIM SIDE, so an unmatched
+            // signed dim row carries its own (NULLf, d) extension —
+            // linear in the dim; the fact-side flips above are the
+            // same algebra as LEFT (before/after are empty: FULL is
+            // single-join by analysis)
+            val linearTerm =
+              if (jt == "full_outer") slice.join(base, expr(c), "left_outer")
+              else matched
+            linearTerm.unionByName(joinBase(flips, after))
           }
       }
       dimTerms.foldLeft(factTerm)(_ unionByName _)

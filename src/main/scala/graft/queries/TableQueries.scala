@@ -1767,6 +1767,72 @@ object TableQueries {
              |FROM li RIGHT JOIN ord ON l_orderkey = okey
              |GROUP BY pri ORDER BY pri""".stripMargin)),
 
+    // FULL OUTER join MV (round-17): maintained with TWO-SIDED flip
+    // terms — unmatched lineitems aggregate under the NULL priority
+    // group, orders with no lineitems contribute their own NULL-fact
+    // rows, and BOTH sides mutate before refreshes that stay
+    // incremental (each side's flips are slice-bounded semi/anti
+    // probes, never O(F ⋈ D)).
+    "q129_mview_full_join" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq129").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq129", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq129.warehouse",
+            Files.createTempDirectory("graft-mview-fjoin").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq129.bench")
+        s.sql("CALL graftq129.system.drop_mview('bench', 'fp')")
+        s.sql("DROP TABLE IF EXISTS graftq129.bench.li")
+        s.sql("DROP TABLE IF EXISTS graftq129.bench.ord")
+        s.sql("""CREATE TABLE graftq129.bench.li
+                |(l_orderkey BIGINT, qty DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        s.sql("""CREATE TABLE graftq129.bench.ord
+                |(okey BIGINT, pri STRING)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        t(s, dir, "orders").createOrReplaceTempView("q129_ord")
+        t(s, dir, "lineitem").createOrReplaceTempView("q129_li")
+        s.sql("""INSERT INTO graftq129.bench.ord
+                |SELECT o_orderkey, o_orderpriority FROM q129_ord
+                |WHERE o_orderkey % 3 != 0""".stripMargin)
+        s.sql("""INSERT INTO graftq129.bench.li
+                |SELECT l_orderkey, l_quantity
+                |FROM q129_li WHERE l_orderkey % 2 = 0""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq129.system.create_mview('bench', 'fp',
+            |  'SELECT pri, SUM(qty) AS sq, COUNT(*) AS n
+            |   FROM graftq129.bench.li FULL OUTER JOIN graftq129.bench.ord
+            |     ON l_orderkey = okey
+            |   GROUP BY pri')""".stripMargin).head.getString(0)
+        require(mode == "incremental",
+          s"FULL-join MV must register incremental, got $mode")
+        s.sql("""INSERT INTO graftq129.bench.li
+                |SELECT l_orderkey, l_quantity
+                |FROM q129_li WHERE l_orderkey % 2 = 1""".stripMargin)
+        s.sql("DELETE FROM graftq129.bench.li WHERE qty >= 45.0")
+        val a1 = s.sql("CALL graftq129.system.refresh_mview('bench', 'fp', false)")
+          .head.getString(2)
+        require(a1 == "incremental", s"li-side refresh expected incremental, got $a1")
+        s.sql("""INSERT INTO graftq129.bench.ord
+                |SELECT o_orderkey, o_orderpriority FROM q129_ord
+                |WHERE o_orderkey % 3 = 0 AND o_orderkey <= 1000""".stripMargin)
+        s.sql("DELETE FROM graftq129.bench.ord WHERE pri = '2-HIGH'")
+        val a2 = s.sql("CALL graftq129.system.refresh_mview('bench', 'fp', false)")
+          .head.getString(2)
+        require(a2 == "incremental", s"ord-side refresh expected incremental, got $a2")
+        s.sql("SELECT pri, sq, n FROM graftq129.bench.fp ORDER BY pri NULLS FIRST")
+      },
+      Some("""WITH li AS (
+             |  SELECT l_orderkey, l_quantity AS qty FROM lineitem
+             |  WHERE l_quantity < 45.0),
+             |ord AS (
+             |  SELECT o_orderkey AS okey, o_orderpriority AS pri FROM orders
+             |  WHERE (o_orderkey % 3 != 0 OR o_orderkey <= 1000)
+             |    AND o_orderpriority <> '2-HIGH')
+             |SELECT pri, SUM(qty) AS sq, COUNT(*) AS n
+             |FROM li FULL OUTER JOIN ord ON l_orderkey = okey
+             |GROUP BY pri ORDER BY pri NULLS FIRST""".stripMargin)),
+
     // LEFT-join MV with a MOVED dimension: unmatched facts aggregate
     // under the NULL group; then the dim moves in BOTH flip directions
     // (missing orders arrive → NULL-extensions retract; urgent orders

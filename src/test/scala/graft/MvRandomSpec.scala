@@ -532,6 +532,98 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE graft.$ns.dim")
   }
 
+  // Round-17: FULL OUTER (single join) maintains with TWO-SIDED flip
+  // terms — each side's linear slice left-joined from its own side,
+  // the other side's NULL-extensions flipped by slice-bounded
+  // semi/anti probes. Unmatched facts group under the NULL dim key;
+  // unmatched dims contribute (NULLf, d) rows to their own groups.
+  test("join MV: FULL OUTER maintains incrementally through both-side churn") {
+    val ns = "mvjf"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.fact")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.dim")
+    spark.sql(s"CREATE TABLE graft.$ns.fact (id BIGINT, g STRING, r INT, v DOUBLE)")
+    spark.sql(s"CREATE TABLE graft.$ns.dim (dg STRING, cat STRING)")
+    spark.sql(s"INSERT INTO graft.$ns.dim VALUES ('g0', 'c0'), ('g1', 'c1'), ('g9', 'c9')")
+    spark.sql(s"INSERT INTO graft.$ns.fact VALUES " +
+      "(1, 'g0', 0, 10.0), (2, 'g1', 1, 20.0), (3, 'g2', 2, 30.0)")
+    val defn =
+      s"""SELECT cat, SUM(v) AS t, AVG(v) AS av, MAX(v) AS mx, COUNT(*) AS n,
+         |       COUNT(DISTINCT v) AS dv
+         |FROM graft.$ns.fact FULL OUTER JOIN graft.$ns.dim ON g = dg
+         |GROUP BY cat""".stripMargin
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'm',
+         |  '${defn.replace("\n", " ")}')""".stripMargin)
+      .head.getString(0) shouldBe "incremental"
+    def refresh(): String =
+      spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
+        .head.getString(2)
+    def aggF(sqlFrom: String): Seq[String] =
+      spark.sql(s"SELECT cat, t, av, mx, n, dv FROM $sqlFrom ORDER BY cat NULLS FIRST")
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    def check(step: String): Unit = withClue(s"$step ") {
+      aggF(s"graft.$ns.m") shouldBe aggF(s"($defn)")
+    }
+    check("create")
+    // fact insert matching an UNMATCHED dim: g9's (NULLf, d) retracts
+    spark.sql(s"INSERT INTO graft.$ns.fact VALUES (4, 'g9', 0, 40.0)")
+    refresh() shouldBe "incremental"
+    check("fact gains dim's first match")
+    // fact delete that was g9's LAST match: (NULLf, d) re-extends
+    spark.sql(s"DELETE FROM graft.$ns.fact WHERE id = 4")
+    refresh() shouldBe "incremental"
+    check("fact loses dim's last match")
+    // dim insert matching an unmatched fact: g2's (f, NULLd) flips
+    spark.sql(s"INSERT INTO graft.$ns.dim VALUES ('g2', 'c0')")
+    refresh() shouldBe "incremental"
+    check("dim gains fact's first match")
+    // dim delete: matched facts flip back AND the dim row's own side goes
+    spark.sql(s"DELETE FROM graft.$ns.dim WHERE dg = 'g1'")
+    refresh() shouldBe "incremental"
+    check("dim loses")
+    // both sides move before one refresh
+    spark.sql(s"INSERT INTO graft.$ns.fact VALUES (5, 'g4', 1, 50.0)")
+    spark.sql(s"INSERT INTO graft.$ns.dim VALUES ('g5', 'c2')")
+    refresh() shouldBe "incremental"
+    check("both sides move")
+    val steps = 12 * sys.env.get("GRAFT_MV_SEEDS").map(_.toInt / 4 max 1).getOrElse(1)
+    val rnd = new Random(93)
+    var nextId = 5L
+    for (step <- 0 until steps) {
+      rnd.nextInt(5) match {
+        case 0 =>
+          nextId += 1
+          spark.sql(s"INSERT INTO graft.$ns.fact VALUES " +
+            s"($nextId, 'g${rnd.nextInt(7)}', ${rnd.nextInt(3)}, ${rnd.nextInt(90)}.0)")
+        case 1 =>
+          spark.sql(s"DELETE FROM graft.$ns.fact WHERE v = ${rnd.nextInt(90)}.0")
+        case 2 =>
+          spark.sql(s"INSERT INTO graft.$ns.dim VALUES " +
+            s"('g${rnd.nextInt(8)}', 'c${rnd.nextInt(4)}')")
+        case 3 =>
+          spark.sql(s"DELETE FROM graft.$ns.dim WHERE dg = 'g${rnd.nextInt(8)}'")
+        case _ =>
+          val k = rnd.nextInt(8)
+          spark.sql(s"DELETE FROM graft.$ns.dim WHERE dg = 'g$k'")
+          spark.sql(s"INSERT INTO graft.$ns.dim VALUES ('g$k', 'c${rnd.nextInt(4)}')")
+      }
+      val action = refresh()
+      Seq("incremental", "empty", "noop") should contain(action)
+      check(s"step=$step action=$action")
+    }
+    // FULL composed with another join refuses incremental (single-join
+    // algebra) and cannot register full either (two sources)
+    intercept[Exception](spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'm2',
+         |  'SELECT cat, COUNT(*) AS n FROM graft.$ns.fact
+         |   FULL OUTER JOIN graft.$ns.dim ON g = dg
+         |   JOIN graft.$ns.dim d2 ON cat = d2.cat GROUP BY cat')""".stripMargin))
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'm')")
+    spark.sql(s"DROP TABLE graft.$ns.fact")
+    spark.sql(s"DROP TABLE graft.$ns.dim")
+  }
+
   // ------------------------------------------------------------------
   // Global aggregates (no GROUP BY): one stored row addressed by the
   // synthetic constant key, incrementally maintained — including the
