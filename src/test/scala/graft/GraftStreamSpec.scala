@@ -117,6 +117,40 @@ class GraftStreamSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE graft.mvcall.src")
   }
 
+  // Round-17: a cascaded (aggregate-over-window) MV's own source is the
+  // hidden inner MV's storage, which only moves when the inner
+  // refreshes — the stream must watch the inner's BASE relations too,
+  // so a base-table commit fires the trigger and the refresh cascades.
+  test("maintain_mview drives an auto-cascaded MV from base-table commits") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvcasc")
+    spark.sql("DROP TABLE IF EXISTS graft.mvcasc.src")
+    spark.sql("CREATE TABLE graft.mvcasc.src (id BIGINT, g STRING, v DOUBLE)")
+    spark.sql("INSERT INTO graft.mvcasc.src VALUES (1,'a',5.0),(2,'a',3.0),(3,'b',9.0)")
+    val defSql =
+      """SELECT g, SUM(v) AS sp, COUNT(*) AS n FROM (
+        |  SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g
+        |    ORDER BY v DESC, id) AS rn
+        |  FROM graft.mvcasc.src) WHERE rn <= 2 GROUP BY g""".stripMargin
+    spark.sql(
+      s"""CALL graft.system.create_mview('mvcasc', 'aow',
+         |  '${defSql.replace("'", "''")}')""".stripMargin)
+      .head.getString(0) shouldBe "incremental"
+    def mv: Seq[String] =
+      spark.sql("SELECT g, sp, n FROM graft.mvcasc.aow ORDER BY g").collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    val ckpt = Files.createTempDirectory("mv-casc-ckpt").toString
+    // a BASE commit (not an inner-storage commit) must fire the drain
+    spark.sql("INSERT INTO graft.mvcasc.src VALUES (4,'b',12.0),(5,'a',7.0)")
+    spark.sql(s"CALL graft.system.maintain_mview('mvcasc', 'aow', '$ckpt')")
+    mv shouldBe Seq("a|12.0|2", "b|21.0|2")
+    // restart from the same checkpoint: only the new base commit drains
+    spark.sql("DELETE FROM graft.mvcasc.src WHERE id = 4")
+    spark.sql(s"CALL graft.system.maintain_mview('mvcasc', 'aow', '$ckpt')")
+    mv shouldBe Seq("a|12.0|2", "b|9.0|1")
+    spark.sql("CALL graft.system.drop_mview('mvcasc', 'aow')")
+    spark.sql("DROP TABLE graft.mvcasc.src")
+  }
+
   test("maintainStream rejects a checkpoint with a different source arity by name") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvck")
     spark.sql("CREATE TABLE graft.mvck.fact (id BIGINT, g STRING, v DOUBLE)")
