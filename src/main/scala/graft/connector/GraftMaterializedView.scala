@@ -158,6 +158,12 @@ object GraftMaterializedView {
     * predicates share one MV.
     */
   val UFilterProp = "graft.mview.union-where"
+  // per-leg SELECT lists (round 17): one row per leg — [rel, expr1 AS
+  // name1, expr2 AS name2, ...] — a bare [rel] row means identity. Every
+  // leg read (create scan, head scan, changelog slice) applies its leg's
+  // WHERE on the scan columns first, then this projection onto the
+  // union's output names, before the shared shape SQL.
+  val UProjProp = "graft.mview.union-select"
   /** ROLLUP/CUBE/GROUPING SETS: JSON list of grouping sets, each a list
     * of included positions into the stored group columns (e.g. rollup
     * over 2 keys = [[0,1],[0],[]]). Absent = plain GROUP BY.
@@ -248,10 +254,15 @@ object GraftMaterializedView {
     */
   final case class JoinShape(fact: GraftTable, dims: Seq[DimSpec], shape: Shape,
                              // further UNION ALL legs, each with its
-                             // optional per-leg WHERE (rendered SQL)
-                             unionLegs: Seq[(GraftTable, Option[String])] = Nil,
+                             // optional per-leg WHERE and per-leg SELECT
+                             // list (rendered SQL, positional onto the
+                             // union's output names)
+                             unionLegs: Seq[(GraftTable, Option[String],
+                               Option[Seq[String]])] = Nil,
                              // the FIRST leg's own WHERE under a union
                              factLegFilter: Option[String] = None,
+                             // the FIRST leg's own SELECT under a union
+                             factLegProj: Option[Seq[String]] = None,
                              having: Option[String] = None,
                              // public view columns in OUTPUT order when any
                              // is computed (grouping()/grouping_id() over
@@ -760,40 +771,53 @@ object GraftMaterializedView {
         }
         def graftLeaf(p: LogicalPlan): Option[DataSourceV2Relation] =
           graftLeafRel(p)
-        // UNION ALL of identically-shaped bare graft scans: union is
-        // LINEAR in every leg (a signed row moves through it
-        // unchanged), so each leg maintains with its own pin and the
-        // stored shape SQL — rendered over the union's output names,
-        // which the legs must share — replays against every leg's
-        // scan. A PER-LEG WHERE is fine (union is linear, so each
-        // leg's contribution is just its filtered slice — shard
-        // tables with different retention predicates share one MV);
-        // per-leg projections/renames and dim joins over a union
-        // would need per-leg shape SQL beyond a filter; refused.
-        val (factRel, dimRels, unionRels, factLegFilter) = unwrapAliases(rel) match {
+        // UNION ALL of bare graft scans: union is LINEAR in every leg
+        // (a signed row moves through it unchanged), so each leg
+        // maintains with its own pin and the stored shape SQL —
+        // rendered over the union's OUTPUT names — replays against
+        // every leg. A PER-LEG WHERE is fine (each leg's contribution
+        // is just its filtered slice — shard tables with different
+        // retention predicates share one MV), and so is a PER-LEG
+        // SELECT (round 17): a leg whose columns are renamed, reordered
+        // or computed stores its own deterministic projection SQL
+        // (rendered positionally onto the union's output names,
+        // analyzer casts included) and every leg read — create scan,
+        // head scan, changelog slice — runs scan → leg WHERE → leg
+        // SELECT before the shared shape SQL, so shards with divergent
+        // physical schemas share one MV. Dim joins over a union stay
+        // refused (a join is not per-leg-linear in the dims).
+        val (factRel, dimRels, unionRels, factLegFilter, factLegProj) =
+          unwrapAliases(rel) match {
           case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
             // the parser nests chained UNION ALLs (Union(Union(a,b),c))
             // — CombineUnions is an optimizer rule and never runs here
             def flatLegs(p: LogicalPlan): Either[String,
-                Seq[(DataSourceV2Relation, Option[Expression])]] = {
+                Seq[(DataSourceV2Relation, Option[Expression], Seq[Expression])]] = {
               val (core, conds, m) = inlineProjections(p)
-              if (m.nonEmpty)
-                Left("UNION ALL leg renames or computes columns — " +
-                  "legs must be bare scans sharing the union's column names")
-              else core match {
+              core match {
                 case u2: org.apache.spark.sql.catalyst.plans.logical.Union =>
-                  // a WHERE above a NESTED union would need pushing
-                  // into each inner leg — keep the refusal there
+                  // a WHERE/SELECT above a NESTED union would need
+                  // pushing into each inner leg — keep the refusal there
                   if (conds.nonEmpty)
                     Left("WHERE over a nested UNION ALL — write the " +
                       "filter per leg instead")
+                  else if (m.nonEmpty ||
+                      p.output.map(_.exprId) != u2.output.map(_.exprId))
+                    Left("SELECT over a nested UNION ALL — write the " +
+                      "projection per leg instead")
                   else u2.children.foldLeft(Right(Nil): Either[String,
-                      Seq[(DataSourceV2Relation, Option[Expression])]]) {
+                      Seq[(DataSourceV2Relation, Option[Expression], Seq[Expression])]]) {
                     case (acc, c) => for { a <- acc; l <- flatLegs(c) } yield a ++ l
                   }
                 case other => graftLeaf(other)
-                  .map(r => Seq((r, conds.reduceOption(
-                    org.apache.spark.sql.catalyst.expressions.And(_, _)))))
+                  .map { r =>
+                    // per-position defining expression over the scan
+                    // (bare attribute when no Project intervened)
+                    val exprs = p.output.map(a =>
+                      m.getOrElse(a.exprId, a: Expression))
+                    Seq((r, conds.reduceOption(
+                      org.apache.spark.sql.catalyst.expressions.And(_, _)), exprs))
+                  }
                   .toRight("UNION ALL leg is not a bare graft table scan")
               }
             }
@@ -801,22 +825,58 @@ object GraftMaterializedView {
               case Right(ls) => ls
               case Left(reason) => return Left(reason)
             }
-            val shapes = legs.map(_._1.output.map(a =>
-              (a.name.toLowerCase, a.dataType)).toSeq)
-            if (shapes.distinct.size != 1)
-              return Left("UNION ALL legs differ in column names or types — " +
-                "one stored shape SQL must replay against every leg")
+            val outAttrs = u.output
+            locally {
+              // projected output names join the changelog metadata at
+              // refresh — a leg renaming INTO those names would collide
+              val bad = outAttrs.map(_.name).filter { n =>
+                val l = n.toLowerCase
+                l == "_change_type" || l == "_commit_version" || l == "_sign"
+              }
+              if (bad.nonEmpty)
+                return Left(s"UNION ALL output name(s) ${bad.mkString(", ")} " +
+                  "collide with changelog metadata names")
+            }
+            if (legs.exists(_._3.length != outAttrs.length))
+              return Left("UNION ALL legs differ in column count")
+            if (legs.exists(_._3.zip(outAttrs).exists {
+                case (e, o) => e.dataType != o.dataType }))
+              return Left("UNION ALL leg column types diverge from the " +
+                "union output — add explicit casts per leg")
+            if (legs.exists(_._3.exists(!_.deterministic)))
+              return Left("nondeterministic UNION ALL leg SELECT")
             if (legs.exists(_._2.exists(!_.deterministic)))
               return Left("nondeterministic UNION ALL leg WHERE")
             val dirs = legs.map(_._1.table.asInstanceOf[GraftV2Table].underlying.tableDir)
             if (dirs.distinct.size != dirs.size)
               return Left("UNION ALL reads the same graft table twice — " +
                 "per-leg pins would collide")
+            // identity legs (bare scan whose columns already carry the
+            // union's names in order) skip the projection; everything
+            // else stores rendered per-leg SELECT SQL
+            def projOf(r: DataSourceV2Relation, exprs: Seq[Expression])
+                : Option[Seq[String]] = {
+              val identity = exprs.length == r.output.length &&
+                exprs.zip(r.output).forall {
+                  case (ar: AttributeReference, o) => ar.exprId == o.exprId
+                  case _ => false
+                } &&
+                exprs.zip(outAttrs).forall {
+                  case (ar: AttributeReference, o) =>
+                    ar.name.equalsIgnoreCase(o.name)
+                  case _ => false
+                }
+              if (identity) None
+              else Some(exprs.zip(outAttrs).map { case (e, o) =>
+                s"${plainSql(e)} AS `${o.name}`" })
+            }
             (legs.head._1, Nil,
-              legs.tail.map { case (r, f) => (r, f.map(plainSql)) },
-              legs.head._2.map(plainSql))
+              legs.tail.map { case (r, f, es) =>
+                (r, f.map(plainSql), projOf(r, es)) },
+              legs.head._2.map(plainSql),
+              projOf(legs.head._1, legs.head._3))
           case other => unrollJoinChain(other) match {
-            case Right((f, ds)) => (f, ds, Nil, None)
+            case Right((f, ds)) => (f, ds, Nil, None, None)
             case Left(reason) => return Left(reason)
           }
         }
@@ -848,7 +908,8 @@ object GraftMaterializedView {
         // refresh while create read the real values — reject up front.
         // The _mv_ prefix is the storage bookkeeping namespace.
         locally {
-          val srcCols = (factRel.output ++ dimRels.flatMap(_._1.output)).map(_.name)
+          val srcCols = (factRel.output ++ dimRels.flatMap(_._1.output) ++
+            unionRels.flatMap(_._1.output)).map(_.name)
           val reserved = srcCols.filter { n =>
             val l = n.toLowerCase
             l == "_change_type" || l == "_commit_version" || l == "_sign"
@@ -1071,10 +1132,11 @@ object GraftMaterializedView {
             DimSpec(d.table.asInstanceOf[GraftV2Table].underlying, jt, c)
           },
           shape,
-          unionLegs = unionRels.map { case (r, f) =>
-            (r.table.asInstanceOf[GraftV2Table].underlying, f)
+          unionLegs = unionRels.map { case (r, f, pj) =>
+            (r.table.asInstanceOf[GraftV2Table].underlying, f, pj)
           },
           factLegFilter = factLegFilter,
+          factLegProj = factLegProj,
           having = havingSql,
           viewCols = if (hasComputed) Some(viewColsB.result()) else None))
     }
@@ -1822,14 +1884,18 @@ object GraftMaterializedView {
           (relOf(d.table), v, d.table.scanAsOfVersion(v), d.joinType, d.condSql)
         }
         // union legs beyond the first, each pinned at its read version
-        val legInfo = js.unionLegs.map { case (t, f) =>
-          (relOf(t), t.currentOrFail().version, t, f)
+        val legInfo = js.unionLegs.map { case (t, f, pj) =>
+          (relOf(t), t.currentOrFail().version, t, f, pj)
         }
-        def legWhere(df: DataFrame, f: Option[String]): DataFrame =
-          f.fold(df)(x => df.where(expr(x)))
+        def legRead(df: DataFrame, f: Option[String],
+                    pj: Option[Seq[String]]): DataFrame = {
+          val filtered = f.fold(df)(x => df.where(expr(x)))
+          pj.fold(filtered)(p => filtered.selectExpr(p: _*))
+        }
         val unionScan = legInfo.foldLeft(
-            legWhere(src.scanAsOfVersion(cur), js.factLegFilter)) {
-          case (acc, (_, v, t, f)) => acc.unionByName(legWhere(t.scanAsOfVersion(v), f))
+            legRead(src.scanAsOfVersion(cur), js.factLegFilter, js.factLegProj)) {
+          case (acc, (_, v, t, f, pj)) =>
+            acc.unionByName(legRead(t.scanAsOfVersion(v), f, pj))
         }
         val base0 = joinBase(unionScan, dimInfo.map(i => (i._3, i._4, i._5)))
         val based = js.shape.filter.fold(base0)(base0.where)
@@ -1846,7 +1912,12 @@ object GraftMaterializedView {
                   Map.empty[String, String]
                 else Map(UFilterProp -> specJson(
                   Seq(Seq(rel, js.factLegFilter.getOrElse(""))) ++
-                    legInfo.map(i => Seq(i._1, i._4.getOrElse("")))))))
+                    legInfo.map(i => Seq(i._1, i._4.getOrElse("")))))) ++
+               (if (js.factLegProj.isEmpty && legInfo.forall(_._5.isEmpty))
+                  Map.empty[String, String]
+                else Map(UProjProp -> specJson(
+                  (Seq(rel) ++ js.factLegProj.getOrElse(Nil)) +:
+                    legInfo.map(i => Seq(i._1) ++ i._5.getOrElse(Nil))))))
         // dedup-level aux tables lead the main append so their versions
         // ride in its props — create() failing in between leaves no
         // registered MV, only unclaimed storage a re-create rejects
@@ -2025,8 +2096,23 @@ object GraftMaterializedView {
       props.get(UFilterProp).map(specFromJson(_).map {
         case Seq(r, f) => r -> f
       }.toMap).getOrElse(Map.empty)
-    def legWhere(r: String)(df: DataFrame): DataFrame =
-      legFilters.get(r).filter(_.nonEmpty).fold(df)(f => df.where(expr(f)))
+    // per-leg SELECT (first leg keyed by the fact's rel; a bare [rel]
+    // row = identity): applied AFTER the leg WHERE, projecting the
+    // leg's scan columns onto the union's output names — changelog
+    // metadata columns pass through untouched
+    val legProjs: Map[String, Seq[String]] =
+      props.get(UProjProp).map(specFromJson(_).collect {
+        case r +: exprs if exprs.nonEmpty => r -> exprs
+      }.toMap).getOrElse(Map.empty)
+    def legWhere(r: String)(df: DataFrame): DataFrame = {
+      val filtered = legFilters.get(r).filter(_.nonEmpty)
+        .fold(df)(f => df.where(expr(f)))
+      legProjs.get(r).fold(filtered) { pj =>
+        val meta = Seq("_change_type", "_commit_version", "_sign")
+          .filter(filtered.columns.contains).map(c => s"`$c`")
+        filtered.selectExpr(pj ++ meta: _*)
+      }
+    }
     val factRelStr = props(SourceProp)
     val legsMoved = legTbls.exists { case (r, _) => legCur(r) != legPins(r) }
     // union is linear in every leg — a moved leg always maintains

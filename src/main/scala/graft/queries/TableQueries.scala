@@ -1971,6 +1971,80 @@ object TableQueries {
              |        AND NOT (l_extendedprice >= 70000.0 AND l_orderkey % 5 != 0)))
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // UNION ALL MV with PER-LEG SELECT (round 17): two shards with
+    // DIVERGENT physical schemas — a legacy shard whose columns are
+    // renamed and rescaled — share one MV. Each leg stores its own
+    // projection SQL (scan → leg WHERE → leg SELECT onto the union's
+    // output names) and every read, including the MoR delete
+    // pre-image's changelog slice, runs through it; union linearity
+    // keeps every leg's refresh incremental. r16 refused this shape.
+    "q130_mview_union_leg_select" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq130").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq130", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq130.warehouse",
+            Files.createTempDirectory("graft-mview-legselect").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq130.bench")
+        s.sql("CALL graftq130.system.drop_mview('bench', 'u')")
+        t(s, dir, "lineitem").createOrReplaceTempView("q130_li")
+        s.sql("DROP TABLE IF EXISTS graftq130.bench.t0")
+        s.sql("""CREATE TABLE graftq130.bench.t0
+                |(flag STRING, qty DOUBLE, price DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        s.sql("""INSERT INTO graftq130.bench.t0
+                |SELECT l_returnflag, l_quantity, l_extendedprice
+                |FROM q130_li WHERE l_orderkey % 2 = 0
+                |  AND l_orderkey % 5 != 0""".stripMargin)
+        // the legacy shard: different names, quantity stored halved
+        s.sql("DROP TABLE IF EXISTS graftq130.bench.t1")
+        s.sql("""CREATE TABLE graftq130.bench.t1
+                |(rflag STRING, half_qty DOUBLE, price DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        s.sql("""INSERT INTO graftq130.bench.t1
+                |SELECT l_returnflag, l_quantity / 2, l_extendedprice
+                |FROM q130_li WHERE l_orderkey % 2 = 1
+                |  AND l_orderkey % 5 != 0""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq130.system.create_mview('bench', 'u',
+            |  'SELECT flag, SUM(qty) AS sq, COUNT(*) AS n, MAX(price) AS mp
+            |   FROM (SELECT flag, qty, price FROM graftq130.bench.t0
+            |         UNION ALL
+            |         SELECT rflag AS flag, half_qty * 2.0 AS qty, price
+            |           FROM graftq130.bench.t1)
+            |   WHERE qty > 2.0
+            |   GROUP BY flag')""".stripMargin).head.getString(0)
+        require(mode == "incremental",
+          s"expected incremental per-leg-SELECT union MV, got $mode")
+        // late arrivals on the modern shard, a MoR delete on the legacy
+        // one (its pre-image replays through the stored leg projection)
+        s.sql("""INSERT INTO graftq130.bench.t0
+                |SELECT l_returnflag, l_quantity, l_extendedprice
+                |FROM q130_li WHERE l_orderkey % 2 = 0 AND l_orderkey % 5 = 0""".stripMargin)
+        s.sql("DELETE FROM graftq130.bench.t1 WHERE price >= 70000.0")
+        val a1 = s.sql("CALL graftq130.system.refresh_mview('bench', 'u', false)")
+          .head.getString(2)
+        require(a1 == "incremental", s"expected incremental union refresh, got $a1")
+        // a legacy-leg-only move keeps its independent pin
+        s.sql("""INSERT INTO graftq130.bench.t1
+                |SELECT l_returnflag, l_quantity / 2, l_extendedprice
+                |FROM q130_li WHERE l_orderkey % 2 = 1 AND l_orderkey % 5 = 0""".stripMargin)
+        val a2 = s.sql("CALL graftq130.system.refresh_mview('bench', 'u', false)")
+          .head.getString(2)
+        require(a2 == "incremental", s"expected incremental leg-only refresh, got $a2")
+        s.sql("""SELECT flag,
+                |  CAST(CAST(sq AS DECIMAL(14,2)) AS DOUBLE) AS sq, n, mp
+                |FROM graftq130.bench.u ORDER BY flag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag AS flag,
+             |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(14,2)) AS DOUBLE) AS sq,
+             |  COUNT(*) AS n, MAX(l_extendedprice) AS mp
+             |FROM lineitem
+             |WHERE l_quantity > 2.0
+             |  AND (l_orderkey % 2 = 0
+             |    OR (l_orderkey % 5 = 0 OR l_extendedprice < 70000.0))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Tumbling-window MV: a time window as a GROUP BY over
     // date_trunc(day, ts) is just a deterministic group expression, so
     // the per-day rollup maintains incrementally like any keyed MV —

@@ -387,6 +387,90 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("UNION ALL MV with per-leg SELECT: divergent shard schemas maintain incrementally") {
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(3)
+    // three shards with DIVERGENT physical schemas under one MV: s0 is
+    // identity (plus its own retention WHERE), s1 (merge-on-read)
+    // stores the measure halved under different column names, s2's leg
+    // computes upper(g) — every leg read (create scan, head scan,
+    // changelog slice incl. MoR pre-images) replays scan → leg WHERE →
+    // stored leg SELECT before the shared shape
+    val defn =
+      """SELECT g, SUM(v) AS t, COUNT(*) AS n, AVG(v) AS av, MAX(v) AS mx,
+        |       COUNT(DISTINCT v) AS dv
+        |FROM (SELECT id, g, v FROM graft.%NS%.s0 WHERE id % 7 != 0 UNION ALL
+        |      SELECT id, cat AS g, v_half * 2.0 AS v FROM graft.%NS%.s1 UNION ALL
+        |      SELECT id, upper(g) AS g, v FROM graft.%NS%.s2
+        |        WHERE v IS NULL OR v < 40.0)
+        |WHERE v IS NULL OR v > -20.0
+        |GROUP BY g""".stripMargin
+    def rows(sqlFrom: String): Seq[String] =
+      spark.sql(s"SELECT g, t, n, av, mx, dv FROM $sqlFrom ORDER BY g NULLS FIRST")
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(9700 + seed)
+      val ns = s"mvup$seed"
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.s0")
+      spark.sql(s"CREATE TABLE graft.$ns.s0 (id BIGINT, g STRING, v DOUBLE)")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.s1")
+      spark.sql(s"CREATE TABLE graft.$ns.s1 (id BIGINT, cat STRING, v_half DOUBLE)" +
+        " TBLPROPERTIES ('graft.delete.mode' = 'mor')")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.s2")
+      spark.sql(s"CREATE TABLE graft.$ns.s2 (id BIGINT, g STRING, v DOUBLE)")
+      var nextId = 0L
+      def insertBurst(leg: Int): Unit = {
+        val r = (0 until (1 + rnd.nextInt(5))).map { _ =>
+          nextId += 1
+          val g = s"g${rnd.nextInt(4)}"
+          val vi = if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(80) - 30)
+          val v = vi.map(x => s"$x.0").getOrElse("CAST(NULL AS DOUBLE)")
+          val vHalf = vi.map(x => s"${x / 2.0}").getOrElse("CAST(NULL AS DOUBLE)")
+          if (leg == 1) s"($nextId, '$g', $vHalf)" else s"($nextId, '$g', $v)"
+        }
+        spark.sql(s"INSERT INTO graft.$ns.s$leg VALUES ${r.mkString(", ")}")
+      }
+      insertBurst(0); insertBurst(1)
+      spark.sql(
+        s"""CALL graft.system.create_mview('$ns', 'm',
+           |  '${defn.replace("%NS%", ns).replace("\n", " ")}')""".stripMargin)
+        .head.getString(0) shouldBe "incremental"
+      for (step <- 0 until 7) {
+        val leg = rnd.nextInt(3)
+        rnd.nextInt(3) match {
+          case 0 => insertBurst(leg)
+          case 1 =>
+            val lo = 1 + rnd.nextInt(math.max(1, nextId.toInt))
+            spark.sql(
+              s"DELETE FROM graft.$ns.s$leg WHERE id >= $lo AND id < ${lo + 6}")
+          case _ =>
+            val bar = 30 + rnd.nextInt(40)
+            // the shard's OWN column names — s1 stores the halved value
+            if (leg == 1)
+              spark.sql(s"DELETE FROM graft.$ns.s1 WHERE v_half >= ${bar / 2.0}")
+            else
+              spark.sql(s"DELETE FROM graft.$ns.s$leg WHERE v >= $bar.0")
+        }
+        val action = spark.sql(
+          s"CALL graft.system.refresh_mview('$ns', 'm', false)").head.getString(2)
+        withClue(s"seed=$seed step=$step leg=$leg ") {
+          Seq("incremental", "empty", "noop") should contain(action)
+          rows(s"graft.$ns.m") shouldBe rows(s"(${defn.replace("%NS%", ns)})")
+        }
+      }
+      // a projected-leg-only move still flags staleness and refreshes
+      // incrementally through its stored SELECT
+      insertBurst(1)
+      spark.sql(s"CALL graft.system.mviews('$ns')")
+        .head.getBoolean(6) shouldBe true
+      spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
+        .head.getString(2) should (be("incremental") or be("empty"))
+      rows(s"graft.$ns.m") shouldBe rows(s"(${defn.replace("%NS%", ns)})")
+      spark.sql(s"CALL graft.system.drop_mview('$ns', 'm')")
+      for (i <- 0 to 2) spark.sql(s"DROP TABLE graft.$ns.s$i")
+    }
+  }
+
   test("DISTINCT MV: set maintenance via row-count bookkeeping, incl. a join + dim move") {
     val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(3)
     val defn =
