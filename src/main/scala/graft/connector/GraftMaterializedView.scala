@@ -340,6 +340,125 @@ object GraftMaterializedView {
       case _ => None
     }
 
+  /** Analyzed UNION ALL fact: the first leg (its changelog is the
+    * staleness contract's tracked source), the further legs with their
+    * per-leg WHERE/SELECT SQL, the first leg's own WHERE/SELECT, and
+    * the union's OUTPUT column names (what the shape SQL and any join
+    * conditions reference).
+    */
+  private final case class UnionLegs(
+      fact: DataSourceV2Relation,
+      legs: Seq[(DataSourceV2Relation, Option[String], Option[Seq[String]])],
+      factFilter: Option[String],
+      factProj: Option[Seq[String]],
+      outNames: Seq[String])
+
+  /** UNION ALL of bare graft scans: union is LINEAR in every leg (a
+    * signed row moves through it unchanged), so each leg maintains with
+    * its own pin and the stored shape SQL — rendered over the union's
+    * OUTPUT names — replays against every leg. A PER-LEG WHERE is fine
+    * (each leg's contribution is just its filtered slice — shard tables
+    * with different retention predicates share one MV), and so is a
+    * PER-LEG SELECT (round 17): a leg whose columns are renamed,
+    * reordered or computed stores its own deterministic projection SQL
+    * (rendered positionally onto the union's output names, analyzer
+    * casts included) and every leg read — create scan, head scan,
+    * changelog slice — runs scan → leg WHERE → leg SELECT before the
+    * shared shape SQL, so shards with divergent physical schemas share
+    * one MV.
+    */
+  private def analyzeUnionLegs(
+      u: org.apache.spark.sql.catalyst.plans.logical.Union)
+      : Either[String, UnionLegs] = {
+    // the parser nests chained UNION ALLs (Union(Union(a,b),c))
+    // — CombineUnions is an optimizer rule and never runs here
+    def flatLegs(p: LogicalPlan): Either[String,
+        Seq[(DataSourceV2Relation, Option[Expression], Seq[Expression])]] = {
+      val (core, conds, m) = inlineProjections(p)
+      core match {
+        case u2: org.apache.spark.sql.catalyst.plans.logical.Union =>
+          // a WHERE/SELECT above a NESTED union would need
+          // pushing into each inner leg — keep the refusal there
+          if (conds.nonEmpty)
+            Left("WHERE over a nested UNION ALL — write the " +
+              "filter per leg instead")
+          else if (m.nonEmpty ||
+              p.output.map(_.exprId) != u2.output.map(_.exprId))
+            Left("SELECT over a nested UNION ALL — write the " +
+              "projection per leg instead")
+          else u2.children.foldLeft(Right(Nil): Either[String,
+              Seq[(DataSourceV2Relation, Option[Expression], Seq[Expression])]]) {
+            case (acc, c) => for { a <- acc; l <- flatLegs(c) } yield a ++ l
+          }
+        case other => graftLeafRel(other)
+          .map { r =>
+            // per-position defining expression over the scan
+            // (bare attribute when no Project intervened)
+            val exprs = p.output.map(a =>
+              m.getOrElse(a.exprId, a: Expression))
+            Seq((r, conds.reduceOption(
+              org.apache.spark.sql.catalyst.expressions.And(_, _)), exprs))
+          }
+          .toRight("UNION ALL leg is not a bare graft table scan")
+      }
+    }
+    val legs = flatLegs(u) match {
+      case Right(ls) => ls
+      case Left(reason) => return Left(reason)
+    }
+    val outAttrs = u.output
+    locally {
+      // projected output names join the changelog metadata at
+      // refresh — a leg renaming INTO those names would collide
+      val bad = outAttrs.map(_.name).filter { n =>
+        val l = n.toLowerCase
+        l == "_change_type" || l == "_commit_version" || l == "_sign"
+      }
+      if (bad.nonEmpty)
+        return Left(s"UNION ALL output name(s) ${bad.mkString(", ")} " +
+          "collide with changelog metadata names")
+    }
+    if (legs.exists(_._3.length != outAttrs.length))
+      return Left("UNION ALL legs differ in column count")
+    if (legs.exists(_._3.zip(outAttrs).exists {
+        case (e, o) => e.dataType != o.dataType }))
+      return Left("UNION ALL leg column types diverge from the " +
+        "union output — add explicit casts per leg")
+    if (legs.exists(_._3.exists(!_.deterministic)))
+      return Left("nondeterministic UNION ALL leg SELECT")
+    if (legs.exists(_._2.exists(!_.deterministic)))
+      return Left("nondeterministic UNION ALL leg WHERE")
+    val dirs = legs.map(_._1.table.asInstanceOf[GraftV2Table].underlying.tableDir)
+    if (dirs.distinct.size != dirs.size)
+      return Left("UNION ALL reads the same graft table twice — " +
+        "per-leg pins would collide")
+    // identity legs (bare scan whose columns already carry the
+    // union's names in order) skip the projection; everything
+    // else stores rendered per-leg SELECT SQL
+    def projOf(r: DataSourceV2Relation, exprs: Seq[Expression])
+        : Option[Seq[String]] = {
+      val identity = exprs.length == r.output.length &&
+        exprs.zip(r.output).forall {
+          case (ar: AttributeReference, o) => ar.exprId == o.exprId
+          case _ => false
+        } &&
+        exprs.zip(outAttrs).forall {
+          case (ar: AttributeReference, o) =>
+            ar.name.equalsIgnoreCase(o.name)
+          case _ => false
+        }
+      if (identity) None
+      else Some(exprs.zip(outAttrs).map { case (e, o) =>
+        s"${plainSql(e)} AS `${o.name}`" })
+    }
+    Right(UnionLegs(
+      legs.head._1,
+      legs.tail.map { case (r, f, es) => (r, f.map(plainSql), projOf(r, es)) },
+      legs.head._2.map(plainSql),
+      projOf(legs.head._1, legs.head._3),
+      outAttrs.map(_.name)))
+  }
+
   /** Unroll a left-deep chain of FACT-PRESERVING joins onto bare graft
     * dimensions: the leftmost leaf is the fact (its changelog drives
     * refresh), every right side a bare graft dim. Inner and LEFT OUTER
@@ -348,13 +467,19 @@ object GraftMaterializedView {
     * and the replay SQL is name-based so column order is irrelevant)
     * whenever its non-preserved (left) side is a bare leaf, so the
     * preserved side keeps driving the changelog; FULL OUTER preserves
-    * neither side and stays refused.
+    * neither side and stays refused. The fact position (round 17) may
+    * also be a UNION ALL of bare graft legs — a SHARDED fact star join:
+    * the union is fact-preserving leg by leg, so the join telescope's
+    * fact terms are just the per-leg slices joined to the pinned dims.
     */
   private def unrollJoinChain(p: LogicalPlan): Either[String,
-      (DataSourceV2Relation, List[(DataSourceV2Relation, String, String)])] =
+      (Either[UnionLegs, DataSourceV2Relation],
+       List[(DataSourceV2Relation, String, String)])] =
     unwrapAliases(p) match {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftV2Table] =>
-        Right((r, Nil))
+        Right((Right(r), Nil))
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
+        analyzeUnionLegs(u).map(ul => (Left(ul), Nil))
       case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
         val cond = j.condition.getOrElse(
           return Left("join without an ON condition"))
@@ -769,117 +894,22 @@ object GraftMaterializedView {
               unwrapAliases(rel2))
           case rel2 => (None, Set.empty[String], rel2)
         }
-        def graftLeaf(p: LogicalPlan): Option[DataSourceV2Relation] =
-          graftLeafRel(p)
-        // UNION ALL of bare graft scans: union is LINEAR in every leg
-        // (a signed row moves through it unchanged), so each leg
-        // maintains with its own pin and the stored shape SQL —
-        // rendered over the union's OUTPUT names — replays against
-        // every leg. A PER-LEG WHERE is fine (each leg's contribution
-        // is just its filtered slice — shard tables with different
-        // retention predicates share one MV), and so is a PER-LEG
-        // SELECT (round 17): a leg whose columns are renamed, reordered
-        // or computed stores its own deterministic projection SQL
-        // (rendered positionally onto the union's output names,
-        // analyzer casts included) and every leg read — create scan,
-        // head scan, changelog slice — runs scan → leg WHERE → leg
-        // SELECT before the shared shape SQL, so shards with divergent
-        // physical schemas share one MV. Dim joins over a union stay
-        // refused (a join is not per-leg-linear in the dims).
-        val (factRel, dimRels, unionRels, factLegFilter, factLegProj) =
-          unwrapAliases(rel) match {
-          case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
-            // the parser nests chained UNION ALLs (Union(Union(a,b),c))
-            // — CombineUnions is an optimizer rule and never runs here
-            def flatLegs(p: LogicalPlan): Either[String,
-                Seq[(DataSourceV2Relation, Option[Expression], Seq[Expression])]] = {
-              val (core, conds, m) = inlineProjections(p)
-              core match {
-                case u2: org.apache.spark.sql.catalyst.plans.logical.Union =>
-                  // a WHERE/SELECT above a NESTED union would need
-                  // pushing into each inner leg — keep the refusal there
-                  if (conds.nonEmpty)
-                    Left("WHERE over a nested UNION ALL — write the " +
-                      "filter per leg instead")
-                  else if (m.nonEmpty ||
-                      p.output.map(_.exprId) != u2.output.map(_.exprId))
-                    Left("SELECT over a nested UNION ALL — write the " +
-                      "projection per leg instead")
-                  else u2.children.foldLeft(Right(Nil): Either[String,
-                      Seq[(DataSourceV2Relation, Option[Expression], Seq[Expression])]]) {
-                    case (acc, c) => for { a <- acc; l <- flatLegs(c) } yield a ++ l
-                  }
-                case other => graftLeaf(other)
-                  .map { r =>
-                    // per-position defining expression over the scan
-                    // (bare attribute when no Project intervened)
-                    val exprs = p.output.map(a =>
-                      m.getOrElse(a.exprId, a: Expression))
-                    Seq((r, conds.reduceOption(
-                      org.apache.spark.sql.catalyst.expressions.And(_, _)), exprs))
-                  }
-                  .toRight("UNION ALL leg is not a bare graft table scan")
-              }
-            }
-            val legs = flatLegs(u) match {
-              case Right(ls) => ls
-              case Left(reason) => return Left(reason)
-            }
-            val outAttrs = u.output
-            locally {
-              // projected output names join the changelog metadata at
-              // refresh — a leg renaming INTO those names would collide
-              val bad = outAttrs.map(_.name).filter { n =>
-                val l = n.toLowerCase
-                l == "_change_type" || l == "_commit_version" || l == "_sign"
-              }
-              if (bad.nonEmpty)
-                return Left(s"UNION ALL output name(s) ${bad.mkString(", ")} " +
-                  "collide with changelog metadata names")
-            }
-            if (legs.exists(_._3.length != outAttrs.length))
-              return Left("UNION ALL legs differ in column count")
-            if (legs.exists(_._3.zip(outAttrs).exists {
-                case (e, o) => e.dataType != o.dataType }))
-              return Left("UNION ALL leg column types diverge from the " +
-                "union output — add explicit casts per leg")
-            if (legs.exists(_._3.exists(!_.deterministic)))
-              return Left("nondeterministic UNION ALL leg SELECT")
-            if (legs.exists(_._2.exists(!_.deterministic)))
-              return Left("nondeterministic UNION ALL leg WHERE")
-            val dirs = legs.map(_._1.table.asInstanceOf[GraftV2Table].underlying.tableDir)
-            if (dirs.distinct.size != dirs.size)
-              return Left("UNION ALL reads the same graft table twice — " +
-                "per-leg pins would collide")
-            // identity legs (bare scan whose columns already carry the
-            // union's names in order) skip the projection; everything
-            // else stores rendered per-leg SELECT SQL
-            def projOf(r: DataSourceV2Relation, exprs: Seq[Expression])
-                : Option[Seq[String]] = {
-              val identity = exprs.length == r.output.length &&
-                exprs.zip(r.output).forall {
-                  case (ar: AttributeReference, o) => ar.exprId == o.exprId
-                  case _ => false
-                } &&
-                exprs.zip(outAttrs).forall {
-                  case (ar: AttributeReference, o) =>
-                    ar.name.equalsIgnoreCase(o.name)
-                  case _ => false
-                }
-              if (identity) None
-              else Some(exprs.zip(outAttrs).map { case (e, o) =>
-                s"${plainSql(e)} AS `${o.name}`" })
-            }
-            (legs.head._1, Nil,
-              legs.tail.map { case (r, f, es) =>
-                (r, f.map(plainSql), projOf(r, es)) },
-              legs.head._2.map(plainSql),
-              projOf(legs.head._1, legs.head._3))
-          case other => unrollJoinChain(other) match {
-            case Right((f, ds)) => (f, ds, Nil, None, None)
+        // UNION ALL facts maintain per leg (see [[analyzeUnionLegs]]),
+        // with optional per-leg WHERE and SELECT SQL; since round 17
+        // the union may also sit in the FACT position of a left-deep
+        // fact-preserving join chain (a SHARDED fact star join) — the
+        // legs are each fact-preserving, so every telescope fact term
+        // is a per-leg slice joined to the pinned dims, and dim terms
+        // run against the union'd head.
+        val (factRel, dimRels, unionRels, factLegFilter, factLegProj,
+             factOutNames) =
+          unrollJoinChain(unwrapAliases(rel)) match {
+            case Right((Left(ul), ds)) =>
+              (ul.fact, ds, ul.legs, ul.factFilter, ul.factProj,
+                Some(ul.outNames))
+            case Right((Right(f), ds)) => (f, ds, Nil, None, None, None)
             case Left(reason) => return Left(reason)
           }
-        }
         if (dimRels.nonEmpty) {
           // FULL OUTER's two-sided flip algebra is defined for the
           // single-join shape: composing it with further dims/legs
@@ -890,15 +920,18 @@ object GraftMaterializedView {
             return Left("FULL OUTER join composes with no other join or " +
               "UNION ALL leg — its two-sided NULL-extension flips are " +
               "maintained for the single-join shape only")
-          val names = (factRel.output ++ dimRels.flatMap(_._1.output))
-            .map(_.name.toLowerCase)
+          // a union'd fact contributes its OUTPUT names (post-projection),
+          // which is what the join conditions and shape SQL reference
+          val names = (factOutNames.getOrElse(factRel.output.map(_.name)) ++
+            dimRels.flatMap(_._1.output.map(_.name))).map(_.toLowerCase)
           if (names.distinct.size != names.size)
             return Left("ambiguous column names across join inputs — the " +
               "stored shape SQL is unqualified, so every column name must " +
               "be unique across the fact and dimensions")
-          val factDir = factRel.table.asInstanceOf[GraftV2Table].underlying.tableDir
-          if (dimRels.exists(_._1.table.asInstanceOf[GraftV2Table]
-              .underlying.tableDir == factDir))
+          val factDirs = (factRel +: unionRels.map(_._1))
+            .map(_.table.asInstanceOf[GraftV2Table].underlying.tableDir).toSet
+          if (dimRels.exists(d => factDirs.contains(
+              d._1.table.asInstanceOf[GraftV2Table].underlying.tableDir)))
             return Left("self-join of the fact table — both sides change " +
               "together, so dimension pinning cannot make retraction exact")
         }
@@ -1299,11 +1332,18 @@ object GraftMaterializedView {
     // recompute over the join is exact.
     val (terminal, conds, m) = inlineProjections(ws.last.child)
     val (fact, dims) = unrollJoinChain(terminal) match {
-      case Right((f, ds)) =>
+      case Right((Right(f), ds)) =>
         (f.table.asInstanceOf[GraftV2Table].underlying,
           ds.map { case (d, jt, c) =>
             DimSpec(d.table.asInstanceOf[GraftV2Table].underlying, jt, c)
           })
+      case Right((Left(_), _)) =>
+        // per-leg pins + touched-key derivation across legs are not
+        // composed with the window's affected-group recompute — an
+        // aggregate MV over the union, or one window MV per shard,
+        // covers the shape today
+        return Left("window MV over a UNION ALL source — create one " +
+          "window MV per shard or an aggregate MV over the union")
       case Left(reason) => return Left(s"window MV source: $reason")
     }
     if (dims.nonEmpty) {
@@ -2195,8 +2235,15 @@ object GraftMaterializedView {
                       factVersion: Int = to): DataFrame = {
       import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
       import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo}
-      val full = src.scanAsOfVersion(factVersion)
-      val factCols = src.schema.fields.map(f => f.name.toLowerCase -> f.name).toMap
+      // a union'd fact reads every leg at the head (legs coexist with
+      // dims only at the head — the FULL-outer from-version probes are
+      // legs-free by analysis); range conjuncts on computed leg
+      // projections stay frame-level, on pass-through columns they
+      // push to each leg's parquet scan through the Union
+      val full =
+        if (legTbls.isEmpty) src.scanAsOfVersion(factVersion)
+        else unionScanHead
+      val factCols = full.schema.fields.map(f => f.name.toLowerCase -> f.name).toMap
       val sliceT = slice.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
       val cond =
         try spark.sessionState.sqlParser.parseExpression(condSql)
@@ -2330,6 +2377,8 @@ object GraftMaterializedView {
             val flips = t.schema.fields.foldLeft(flips0) { (f, fld) =>
               f.withColumn(fld.name, lit(null).cast(fld.dataType))
             }
+            // (the NULLed columns here are the DIM's own — `affected`
+            // already carries the prefix's fact/union-output columns)
             // FULL keeps the dim side too: the signed slice LEFT-joins
             // the (pruned) fact FROM THE DIM SIDE, so an unmatched
             // signed dim row carries its own (NULLf, d) extension —

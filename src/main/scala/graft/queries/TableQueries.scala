@@ -2045,6 +2045,98 @@ object TableQueries {
              |    OR (l_orderkey % 5 = 0 OR l_extendedprice < 70000.0))
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // SHARDED fact star join MV (round 17): a UNION ALL of two shards
+    // — one with a legacy schema behind a per-leg SELECT — JOINs a
+    // dimension carrying the group key. The union is fact-preserving
+    // leg by leg, so every telescope fact term is a per-leg changelog
+    // slice joined to the pinned dim, and a moved dim's term runs
+    // against the union'd head; one refresh maintains fact bursts on
+    // BOTH shards, a MoR shard delete, AND a dim re-prioritization
+    // incrementally. r16 refused joins over unions to full mode.
+    "q131_mview_union_join" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq131").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq131", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq131.warehouse",
+            Files.createTempDirectory("graft-mview-unionjoin").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq131.bench")
+        s.sql("CALL graftq131.system.drop_mview('bench', 'sharded')")
+        t(s, dir, "lineitem").createOrReplaceTempView("q131_li")
+        t(s, dir, "orders").createOrReplaceTempView("q131_ord")
+        s.sql("DROP TABLE IF EXISTS graftq131.bench.t0")
+        s.sql("""CREATE TABLE graftq131.bench.t0
+                |(ok BIGINT, qty DOUBLE, price DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        s.sql("""INSERT INTO graftq131.bench.t0
+                |SELECT l_orderkey, l_quantity, l_extendedprice
+                |FROM q131_li WHERE l_orderkey % 2 = 0
+                |  AND l_orderkey % 5 != 0""".stripMargin)
+        s.sql("DROP TABLE IF EXISTS graftq131.bench.t1")
+        s.sql("""CREATE TABLE graftq131.bench.t1
+                |(okey BIGINT, half_qty DOUBLE, price2 DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        s.sql("""INSERT INTO graftq131.bench.t1
+                |SELECT l_orderkey, l_quantity / 2, l_extendedprice
+                |FROM q131_li WHERE l_orderkey % 2 = 1
+                |  AND l_orderkey % 5 != 0""".stripMargin)
+        s.sql("DROP TABLE IF EXISTS graftq131.bench.ord")
+        s.sql("CREATE TABLE graftq131.bench.ord (o_orderkey BIGINT, o_orderpriority STRING)")
+        s.sql("""INSERT INTO graftq131.bench.ord
+                |SELECT o_orderkey, o_orderpriority FROM q131_ord""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq131.system.create_mview('bench', 'sharded',
+            |  'SELECT o_orderpriority AS pri, SUM(qty) AS sq,
+            |     COUNT(*) AS n, MAX(price) AS mp
+            |   FROM (SELECT ok, qty, price FROM graftq131.bench.t0
+            |         UNION ALL
+            |         SELECT okey AS ok, half_qty * 2.0 AS qty, price2 AS price
+            |           FROM graftq131.bench.t1)
+            |     JOIN graftq131.bench.ord ON ok = o_orderkey
+            |   WHERE qty > 2.0
+            |   GROUP BY o_orderpriority')""".stripMargin).head.getString(0)
+        require(mode == "incremental",
+          s"expected incremental sharded-join MV, got $mode")
+        // late arrivals on shard 0, a MoR delete on legacy shard 1
+        s.sql("""INSERT INTO graftq131.bench.t0
+                |SELECT l_orderkey, l_quantity, l_extendedprice
+                |FROM q131_li WHERE l_orderkey % 2 = 0 AND l_orderkey % 5 = 0""".stripMargin)
+        s.sql("DELETE FROM graftq131.bench.t1 WHERE price2 >= 70000.0")
+        val a1 = s.sql("CALL graftq131.system.refresh_mview('bench', 'sharded', false)")
+          .head.getString(2)
+        require(a1 == "incremental",
+          s"expected incremental sharded refresh, got $a1")
+        // THEN the dim re-prioritizes, a dangling key appears, AND the
+        // legacy shard takes late arrivals — one refresh, still
+        // incremental (telescope + per-leg pins)
+        s.sql("INSERT INTO graftq131.bench.ord VALUES (-1, 'X-NONE')")
+        s.sql("""CREATE OR REPLACE TEMP VIEW q131_moved AS
+                |SELECT o_orderkey FROM q131_ord WHERE o_orderkey <= 400""".stripMargin)
+        s.sql("""DELETE FROM graftq131.bench.ord
+                |WHERE o_orderkey <= 400 AND o_orderkey >= 0""".stripMargin)
+        s.sql("""INSERT INTO graftq131.bench.ord
+                |SELECT o_orderkey, 'X-MOVED' FROM q131_moved""".stripMargin)
+        s.sql("""INSERT INTO graftq131.bench.t1
+                |SELECT l_orderkey, l_quantity / 2, l_extendedprice
+                |FROM q131_li WHERE l_orderkey % 2 = 1 AND l_orderkey % 5 = 0""".stripMargin)
+        val a2 = s.sql("CALL graftq131.system.refresh_mview('bench', 'sharded', false)")
+          .head.getString(2)
+        require(a2 == "incremental",
+          s"expected incremental dim-move + leg-move refresh, got $a2")
+        s.sql("""SELECT pri,
+                |  CAST(CAST(sq AS DECIMAL(14,2)) AS DOUBLE) AS sq, n, mp
+                |FROM graftq131.bench.sharded ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT CASE WHEN o_orderkey <= 400 THEN 'X-MOVED'
+             |       ELSE o_orderpriority END AS pri,
+             |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(14,2)) AS DOUBLE) AS sq,
+             |  COUNT(*) AS n, MAX(l_extendedprice) AS mp
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_quantity > 2.0
+             |  AND (l_orderkey % 2 = 0
+             |    OR (l_orderkey % 5 = 0 OR l_extendedprice < 70000.0))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Tumbling-window MV: a time window as a GROUP BY over
     // date_trunc(day, ts) is just a deterministic group expression, so
     // the per-day rollup maintains incrementally like any keyed MV —

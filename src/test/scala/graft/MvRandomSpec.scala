@@ -471,6 +471,99 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("sharded fact star join MV: union legs JOIN moving dims maintain incrementally") {
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(3)
+    // a UNION ALL fact (shard s1 behind a per-leg SELECT with renamed/
+    // rescaled columns, MoR deletes) joined to an INNER dim carrying
+    // the group key and a LEFT dim — fact bursts on either shard, dim
+    // re-categorizations, and LEFT-dim flips all maintain via the
+    // telescope with per-leg pins; refresh must never fall back to full
+    val defn =
+      """SELECT dg, SUM(v) AS t, COUNT(*) AS n, MAX(v) AS mx,
+        |       COUNT(DISTINCT v) AS dv, SUM(w) AS tw
+        |FROM (SELECT id, g, v FROM graft.%NS%.s0 WHERE id % 7 != 0 UNION ALL
+        |      SELECT id, cat AS g, v_half * 2.0 AS v FROM graft.%NS%.s1)
+        |  JOIN graft.%NS%.dim ON g = dk
+        |  LEFT JOIN graft.%NS%.dim2 ON id % 5 = d2k
+        |WHERE v IS NULL OR v > -20.0
+        |GROUP BY dg""".stripMargin
+    def rows(sqlFrom: String): Seq[String] =
+      spark.sql(s"SELECT dg, t, n, mx, dv, tw FROM $sqlFrom ORDER BY dg NULLS FIRST")
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(9800 + seed)
+      val ns = s"mvuj$seed"
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.s0")
+      spark.sql(s"CREATE TABLE graft.$ns.s0 (id BIGINT, g STRING, v DOUBLE)")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.s1")
+      spark.sql(s"CREATE TABLE graft.$ns.s1 (id BIGINT, cat STRING, v_half DOUBLE)" +
+        " TBLPROPERTIES ('graft.delete.mode' = 'mor')")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.dim")
+      spark.sql(s"CREATE TABLE graft.$ns.dim (dk STRING, dg STRING)")
+      spark.sql(s"INSERT INTO graft.$ns.dim VALUES " +
+        (0 until 4).map(i => s"('g$i', 'cat${i % 2}')").mkString(", "))
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.dim2")
+      spark.sql(s"CREATE TABLE graft.$ns.dim2 (d2k BIGINT, w DOUBLE)")
+      spark.sql(s"INSERT INTO graft.$ns.dim2 VALUES (0, 1.0), (2, 2.0)")
+      var nextId = 0L
+      def insertBurst(leg: Int): Unit = {
+        val r = (0 until (1 + rnd.nextInt(5))).map { _ =>
+          nextId += 1
+          val g = s"g${rnd.nextInt(4)}"
+          val vi = if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(80) - 30)
+          val v = vi.map(x => s"$x.0").getOrElse("CAST(NULL AS DOUBLE)")
+          val vHalf = vi.map(x => s"${x / 2.0}").getOrElse("CAST(NULL AS DOUBLE)")
+          if (leg == 1) s"($nextId, '$g', $vHalf)" else s"($nextId, '$g', $v)"
+        }
+        spark.sql(s"INSERT INTO graft.$ns.s$leg VALUES ${r.mkString(", ")}")
+      }
+      insertBurst(0); insertBurst(1)
+      spark.sql(
+        s"""CALL graft.system.create_mview('$ns', 'm',
+           |  '${defn.replace("%NS%", ns).replace("\n", " ")}')""".stripMargin)
+        .head.getString(0) shouldBe "incremental"
+      for (step <- 0 until 8) {
+        rnd.nextInt(5) match {
+          case 0 => insertBurst(rnd.nextInt(2))
+          case 1 =>
+            val leg = rnd.nextInt(2)
+            val bar = 20 + rnd.nextInt(40)
+            if (leg == 1)
+              spark.sql(s"DELETE FROM graft.$ns.s1 WHERE v_half >= ${bar / 2.0}")
+            else
+              spark.sql(s"DELETE FROM graft.$ns.s0 WHERE v >= $bar.0")
+          case 2 =>
+            // re-categorize one dim key (delete + insert = a dim move)
+            val k = rnd.nextInt(4)
+            spark.sql(s"DELETE FROM graft.$ns.dim WHERE dk = 'g$k'")
+            spark.sql(
+              s"INSERT INTO graft.$ns.dim VALUES ('g$k', 'cat${rnd.nextInt(3)}')")
+          case 3 =>
+            // LEFT-dim flips: a bucket gains or loses its weight row
+            val b = rnd.nextInt(5)
+            spark.sql(s"DELETE FROM graft.$ns.dim2 WHERE d2k = $b")
+            if (rnd.nextBoolean())
+              spark.sql(
+                s"INSERT INTO graft.$ns.dim2 VALUES ($b, ${1 + rnd.nextInt(5)}.0)")
+          case _ =>
+            val lo = 1 + rnd.nextInt(math.max(1, nextId.toInt))
+            spark.sql(s"DELETE FROM graft.$ns.s${rnd.nextInt(2)} " +
+              s"WHERE id >= $lo AND id < ${lo + 6}")
+        }
+        val action = spark.sql(
+          s"CALL graft.system.refresh_mview('$ns', 'm', false)").head.getString(2)
+        withClue(s"seed=$seed step=$step ") {
+          Seq("incremental", "empty", "noop") should contain(action)
+          rows(s"graft.$ns.m") shouldBe rows(s"(${defn.replace("%NS%", ns)})")
+        }
+      }
+      spark.sql(s"CALL graft.system.drop_mview('$ns', 'm')")
+      for (tbl <- Seq("s0", "s1", "dim", "dim2"))
+        spark.sql(s"DROP TABLE graft.$ns.$tbl")
+    }
+  }
+
   test("DISTINCT MV: set maintenance via row-count bookkeeping, incl. a join + dim move") {
     val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(3)
     val defn =
