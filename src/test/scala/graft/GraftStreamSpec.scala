@@ -151,6 +151,43 @@ class GraftStreamSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE graft.mvcasc.src")
   }
 
+  // Round-17: a sharded-fact star-join MV (union legs — one behind a
+  // per-leg SELECT — joined to a dim) feeds the stream one source per
+  // relation; a commit on a PROJECTED leg or on the dim alone must
+  // tick the drain and refresh incrementally through the telescope.
+  test("maintain_mview drives a union-join MV from leg and dim commits") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvuleg")
+    for (t <- Seq("s0", "s1", "d")) spark.sql(s"DROP TABLE IF EXISTS graft.mvuleg.$t")
+    spark.sql("CREATE TABLE graft.mvuleg.s0 (id BIGINT, g STRING, v DOUBLE)")
+    spark.sql("CREATE TABLE graft.mvuleg.s1 (id BIGINT, cat STRING, vh DOUBLE)")
+    spark.sql("CREATE TABLE graft.mvuleg.d (dk STRING, grp STRING)")
+    spark.sql("INSERT INTO graft.mvuleg.s0 VALUES (1,'x',2.0)")
+    spark.sql("INSERT INTO graft.mvuleg.s1 VALUES (2,'y',1.5)")
+    spark.sql("INSERT INTO graft.mvuleg.d VALUES ('x','c0'), ('y','c1')")
+    spark.sql(
+      """CALL graft.system.create_mview('mvuleg','m',
+        |'SELECT grp, SUM(v) AS t, COUNT(*) AS n FROM (
+        |   SELECT id, g, v FROM graft.mvuleg.s0 UNION ALL
+        |   SELECT id, cat AS g, vh * 2.0 AS v FROM graft.mvuleg.s1)
+        | JOIN graft.mvuleg.d ON g = dk GROUP BY grp')""".stripMargin)
+      .head.getString(0) shouldBe "incremental"
+    def mv: Seq[String] =
+      spark.sql("SELECT grp, t, n FROM graft.mvuleg.m ORDER BY grp").collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    val ckpt = Files.createTempDirectory("mv-uleg-ckpt").toString
+    // a projected-leg-only commit ticks the drain
+    spark.sql("INSERT INTO graft.mvuleg.s1 VALUES (3,'x',4.0)")
+    spark.sql(s"CALL graft.system.maintain_mview('mvuleg', 'm', '$ckpt')")
+    mv shouldBe Seq("c0|10.0|2", "c1|3.0|1")
+    // a dim-only re-categorization ticks it too, still incremental
+    spark.sql("DELETE FROM graft.mvuleg.d WHERE dk = 'y'")
+    spark.sql("INSERT INTO graft.mvuleg.d VALUES ('y','c0')")
+    spark.sql(s"CALL graft.system.maintain_mview('mvuleg', 'm', '$ckpt')")
+    mv shouldBe Seq("c0|13.0|3")
+    spark.sql("CALL graft.system.drop_mview('mvuleg', 'm')")
+    for (t <- Seq("s0", "s1", "d")) spark.sql(s"DROP TABLE graft.mvuleg.$t")
+  }
+
   test("maintainStream rejects a checkpoint with a different source arity by name") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvck")
     spark.sql("CREATE TABLE graft.mvck.fact (id BIGINT, g STRING, v DOUBLE)")

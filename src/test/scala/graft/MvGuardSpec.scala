@@ -153,6 +153,44 @@ class MvGuardSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE graft.$ns.d")
   }
 
+  // Round-17: a column referenced ONLY inside a union leg's per-leg
+  // SELECT/WHERE is still pinned by the stored CREATE SQL — renaming it
+  // would break the leg's projection replay at the next refresh, so the
+  // DDL refuses by name; a leg column the MV never reads stays free.
+  test("a union leg's projected columns get the column guard too") {
+    val ns = "mvguard7"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.a")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.b")
+    spark.sql(s"CREATE TABLE graft.$ns.a (g STRING, v DOUBLE)")
+    spark.sql(s"CREATE TABLE graft.$ns.b (cat STRING, v_half DOUBLE, note STRING)")
+    spark.sql(s"INSERT INTO graft.$ns.a VALUES ('x', 2.0)")
+    spark.sql(s"INSERT INTO graft.$ns.b VALUES ('y', 1.5, 'n')")
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'um',
+         |  'SELECT g, SUM(v) AS t FROM (
+         |     SELECT g, v FROM graft.$ns.a UNION ALL
+         |     SELECT cat AS g, v_half * 2.0 AS v FROM graft.$ns.b)
+         |   GROUP BY g')""".stripMargin)
+      .head.getString(0) shouldBe "incremental"
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE graft.$ns.b RENAME COLUMN v_half TO vh"))
+    (Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse(
+        "")) should include(s"$ns.um")
+    // a leg column the MV never reads stays evolvable, and the leg's
+    // projection keeps replaying incrementally afterwards
+    spark.sql(s"ALTER TABLE graft.$ns.b RENAME COLUMN note TO note2")
+    spark.sql(s"INSERT INTO graft.$ns.b VALUES ('x', 4.0, 'n2')")
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'um', false)")
+      .head.getString(2) shouldBe "incremental"
+    spark.sql(s"SELECT t FROM graft.$ns.um WHERE g = 'x'")
+      .head.getDouble(0) shouldBe 10.0
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'um')")
+    spark.sql(s"DROP TABLE graft.$ns.a")
+    spark.sql(s"DROP TABLE graft.$ns.b")
+  }
+
   // Round-16: the rel-level guards — renaming a pinned SOURCE (or an
   // MV's own storage table) and dropping a level-1 MV under a
   // dependent level-2 MV all refuse by name instead of stranding pins.
