@@ -1199,7 +1199,15 @@ object GraftMaterializedView {
                                // fact-preserving dim joins under the
                                // window (rank-over-join dashboards) —
                                // pinned AS OF like agg mode
-                               dims: Seq[DimSpec] = Nil)
+                               dims: Seq[DimSpec] = Nil,
+                               // UNION ALL legs beyond the first (round
+                               // 17 — sharded window dashboards), each
+                               // with its per-leg WHERE/SELECT; mutually
+                               // exclusive with dims
+                               unionLegs: Seq[(GraftTable, Option[String],
+                                 Option[Seq[String]])] = Nil,
+                               factLegFilter: Option[String] = None,
+                               factLegProj: Option[Seq[String]] = None)
 
   /** Analyze a rank-per-group top-N shape:
     * {{{
@@ -1331,21 +1339,31 @@ object GraftMaterializedView {
     // head — the window never crosses partitions, so per-group
     // recompute over the join is exact.
     val (terminal, conds, m) = inlineProjections(ws.last.child)
-    val (fact, dims) = unrollJoinChain(terminal) match {
-      case Right((Right(f), ds)) =>
-        (f.table.asInstanceOf[GraftV2Table].underlying,
-          ds.map { case (d, jt, c) =>
-            DimSpec(d.table.asInstanceOf[GraftV2Table].underlying, jt, c)
-          })
-      case Right((Left(_), _)) =>
-        // per-leg pins + touched-key derivation across legs are not
-        // composed with the window's affected-group recompute — an
-        // aggregate MV over the union, or one window MV per shard,
-        // covers the shape today
-        return Left("window MV over a UNION ALL source — create one " +
-          "window MV per shard or an aggregate MV over the union")
-      case Left(reason) => return Left(s"window MV source: $reason")
-    }
+    val (fact, dims, legs, factLegFilter, factLegProj) =
+      unrollJoinChain(terminal) match {
+        case Right((Right(f), ds)) =>
+          (f.table.asInstanceOf[GraftV2Table].underlying,
+            ds.map { case (d, jt, c) =>
+              DimSpec(d.table.asInstanceOf[GraftV2Table].underlying, jt, c)
+            }, Nil, None, None)
+        case Right((Left(ul), ds)) =>
+          // a UNION ALL fact (round 17 — sharded window dashboards):
+          // touched partition keys derive from EVERY leg's changelog
+          // slice (through its per-leg WHERE/SELECT) and the affected
+          // groups recompute from the union'd head; each leg keeps its
+          // own pin. Composing a union with dims under a window is not
+          // maintained — the touched-key derivation would need per-leg
+          // join terms on top of the per-leg pins.
+          if (ds.nonEmpty)
+            return Left("window MV over a UNION ALL joined to dimensions " +
+              "— maintained for the bare sharded union or the single-table " +
+              "join, not their composition")
+          (ul.fact.table.asInstanceOf[GraftV2Table].underlying, Nil,
+            ul.legs.map { case (r, f, pj) =>
+              (r.table.asInstanceOf[GraftV2Table].underlying, f, pj)
+            }, ul.factFilter, ul.factProj)
+        case Left(reason) => return Left(s"window MV source: $reason")
+      }
     if (dims.nonEmpty) {
       // the stored replay SQL is UNQUALIFIED — every column name must be
       // unique across the join, and the changelog metadata names must
@@ -1462,7 +1480,8 @@ object GraftMaterializedView {
       if (conds.isEmpty) None
       else Some(plainSql(conds.reduce(
         org.apache.spark.sql.catalyst.expressions.And(_, _))))
-    Right(WindowShape(fact, filterSql, proj, partCols, rankFilterSql, dims))
+    Right(WindowShape(fact, filterSql, proj, partCols, rankFilterSql, dims,
+      legs, factLegFilter, factLegProj))
   }
 
   /** Replay a window shape over a source frame: inner WHERE → stored
@@ -1987,13 +2006,27 @@ object GraftMaterializedView {
         case Right(ws) =>
           // rank-per-group top-N: storage holds the post-rank-filter
           // replay (top-N per group) plus the _mv_rn merge key; dims
-          // (rank-over-join) pin AS OF the versions read here
+          // (rank-over-join) pin AS OF the versions read here; union
+          // legs (sharded windows) pin per leg like agg mode
           val dimInfo = ws.dims.map { d =>
             val v = d.table.currentOrFail().version
             (relOf(d.table), v, d.table.scanAsOfVersion(v), d.joinType, d.condSql)
           }
-          val base = joinBase(src.scanAsOfVersion(cur),
-            dimInfo.map(i => (i._3, i._4, i._5)))
+          val legInfo = ws.unionLegs.map { case (t, lf, pj) =>
+            (relOf(t), t.currentOrFail().version, t, lf, pj)
+          }
+          def legRead(df: DataFrame, lf: Option[String],
+                      pj: Option[Seq[String]]): DataFrame = {
+            val filtered = lf.fold(df)(x => df.where(expr(x)))
+            pj.fold(filtered)(p => filtered.selectExpr(p: _*))
+          }
+          val factScan = legRead(src.scanAsOfVersion(cur),
+            ws.factLegFilter, ws.factLegProj)
+          val unionScan = legInfo.foldLeft(factScan) {
+            case (acc, (_, v, t, lf, pj)) =>
+              acc.unionByName(legRead(t.scanAsOfVersion(v), lf, pj))
+          }
+          val base = joinBase(unionScan, dimInfo.map(i => (i._3, i._4, i._5)))
           val f = windowReplay(base, ws.filter, ws.proj, ws.rankFilter)
           ("window", f, Map(
             FilterProp -> ws.filter.getOrElse(""),
@@ -2003,7 +2036,20 @@ object GraftMaterializedView {
             (if (ws.dims.isEmpty) Map.empty[String, String]
              else Map(
                DimsProp -> specJson(dimInfo.map(i => Seq(i._1, i._4, i._5))),
-               DimVersProp -> specJson(dimInfo.map(i => Seq(i._1, i._2.toString))))))
+               DimVersProp -> specJson(dimInfo.map(i => Seq(i._1, i._2.toString))))) ++
+            (if (legInfo.isEmpty) Map.empty[String, String]
+             else Map(UFactsProp -> specJson(legInfo.map(i =>
+               Seq(i._1, i._2.toString)))) ++
+               (if (ws.factLegFilter.isEmpty && legInfo.forall(_._4.isEmpty))
+                  Map.empty[String, String]
+                else Map(UFilterProp -> specJson(
+                  Seq(Seq(rel, ws.factLegFilter.getOrElse(""))) ++
+                    legInfo.map(i => Seq(i._1, i._4.getOrElse("")))))) ++
+               (if (ws.factLegProj.isEmpty && legInfo.forall(_._5.isEmpty))
+                  Map.empty[String, String]
+                else Map(UProjProp -> specJson(
+                  (Seq(rel) ++ ws.factLegProj.getOrElse(Nil)) +:
+                    legInfo.map(i => Seq(i._1) ++ i._5.getOrElse(Nil)))))))
         case Left(_) =>
           val f = spark.sql(sql)
           // the public view filters the _mv_ bookkeeping namespace out of
@@ -3054,24 +3100,92 @@ object GraftMaterializedView {
       joinBase(factDf, dimTbls.map { case (r, t, jt, c) =>
         (t.scanAsOfVersion(vers(r)), jt, c)
       })
+    // UNION ALL legs (sharded window dashboards — never combined with
+    // dims, enforced at analysis): per-leg pins, filters, projections,
+    // exactly the aggregate path's contract
+    val legTbls: Seq[(String, GraftTable)] =
+      props.get(UFactsProp).map(specFromJson(_).map { case Seq(r, _) =>
+        val ident = r.split("/") match {
+          case Array(lns, lt) => TableIdent(lns, lt)
+          case other => sys.error(s"bad mview union leg: ${other.mkString("/")}")
+        }
+        (r, cat.load(ident))
+      }).getOrElse(Nil)
+    val legPins: Map[String, Int] =
+      props.get(UFactsProp).map(dimVersFromJson).getOrElse(Map.empty)
+    val legCur: Map[String, Int] = legTbls.map { case (r, t) =>
+      r -> t.currentOrFail().version
+    }.toMap
+    val legFilters: Map[String, String] =
+      props.get(UFilterProp).map(specFromJson(_).map {
+        case Seq(r, f) => r -> f
+      }.toMap).getOrElse(Map.empty)
+    val legProjs: Map[String, Seq[String]] =
+      props.get(UProjProp).map(specFromJson(_).collect {
+        case r +: exprs if exprs.nonEmpty => r -> exprs
+      }.toMap).getOrElse(Map.empty)
+    def legWhere(r: String)(df: DataFrame): DataFrame = {
+      val filtered = legFilters.get(r).filter(_.nonEmpty)
+        .fold(df)(f => df.where(expr(f)))
+      legProjs.get(r).fold(filtered) { pj =>
+        val meta = Seq("_change_type", "_commit_version", "_sign")
+          .filter(filtered.columns.contains).map(c => s"`$c`")
+        filtered.selectExpr(pj ++ meta: _*)
+      }
+    }
+    val factRelStr = props(SourceProp)
+    val legsMoved = legTbls.exists { case (r, _) => legCur(r) != legPins(r) }
+    val legsIncremental = legTbls.forall { case (r, _) =>
+      legCur(r) >= legPins(r)
+    }
+    def legPin(r: String): Int = legPins.getOrElse(r, sys.error(
+      s"materialized view $ns.$name: union leg $r carries no pinned version"))
     val newDimProp: Map[String, String] =
-      if (dimTbls.isEmpty) Map.empty
-      else Map(DimVersProp -> specJson(dimTbls.map { case (r, _, _, _) =>
-        Seq(r, curVers(r).toString)
-      }))
-    // CAS scope: the applied marker AND the dim pins — a concurrent
-    // refresh that re-pinned the dims must abort this one at commit
+      (if (dimTbls.isEmpty) Map.empty[String, String]
+       else Map(DimVersProp -> specJson(dimTbls.map { case (r, _, _, _) =>
+         Seq(r, curVers(r).toString)
+       }))) ++
+        (if (legTbls.isEmpty) Map.empty[String, String]
+         else Map(UFactsProp -> specJson(legTbls.map { case (r, _) =>
+           Seq(r, legCur(r).toString)
+         })))
+    // CAS scope: the applied marker AND the dim/leg pins — a concurrent
+    // refresh that re-pinned them must abort this one at commit
     val casProps: Map[String, String] =
       Map(AppliedProp -> applied.toString) ++
-        props.get(DimVersProp).map(DimVersProp -> _)
+        props.get(DimVersProp).map(DimVersProp -> _) ++
+        props.get(UFactsProp).map(UFactsProp -> _)
 
-    if (applied == to && !dimsMoved && !forceFull) return (applied, to, "noop")
-    // forced rebuild, a rolled-back source, or a rolled-back dim (no
-    // forward slice to bound the touched groups with): one full replay
-    // over the joined head, overwritten with marker + pins in the same
-    // commit
-    if (forceFull || applied > to || (dimsMoved && !dimsIncremental)) {
-      storage.overwrite(replay(joinAt(src.scanAsOfVersion(to), curVers)),
+    if (applied == to && !dimsMoved && !legsMoved && !forceFull)
+      return (applied, to, "noop")
+    /** The whole union'd fact at the refresh head (first leg at `to`,
+      * other legs at the versions read this refresh), each leg through
+      * its own WHERE/SELECT. With `pruneSql` set, legs WITHOUT a
+      * projection additionally zone-prune on bare-column partition
+      * keys (a projected leg's scan columns differ from the union's
+      * output names, so its pruning stays the exact semi join).
+      */
+    def unionHeadScan(pruneFor: GraftTable => Option[String]): DataFrame = {
+      def one(r: String, t: GraftTable, v: Int): DataFrame = {
+        val sc =
+          if (legProjs.contains(r)) t.scanAsOfVersion(v)
+          else pruneFor(t) match {
+            case Some(p) => t.scanVersionWhere(v, p)
+            case None => t.scanAsOfVersion(v)
+          }
+        legWhere(r)(sc)
+      }
+      legTbls.foldLeft(one(factRelStr, src, to)) {
+        case (acc, (r, t)) => acc.unionByName(one(r, t, legCur(r)))
+      }
+    }
+    // forced rebuild, a rolled-back source, or a rolled-back dim/leg
+    // (no forward slice to bound the touched groups with): one full
+    // replay over the joined head, overwritten with marker + pins in
+    // the same commit
+    if (forceFull || applied > to || (dimsMoved && !dimsIncremental) ||
+        (legsMoved && !legsIncremental)) {
+      storage.overwrite(replay(joinAt(unionHeadScan(_ => None), curVers)),
         props = props ++ Map(AppliedProp -> to.toString) ++ newDimProp)
       return (applied, to, "full")
     }
@@ -3088,14 +3202,28 @@ object GraftMaterializedView {
     // recompute
     val changes =
       if (applied == to) None
-      else Some(
+      else Some(legWhere(factRelStr)(
         try src.scanDataChangesBetween(applied, to).drop("_commit_version")
         catch {
           case e @ (_: java.io.FileNotFoundException |
                     _: java.nio.file.NoSuchFileException |
                     _: IllegalStateException | _: IllegalArgumentException) =>
             changelogGone("source", applied, to, e)
-        })
+        }))
+    // a moved leg's slice touches its rows' partition keys exactly like
+    // the fact slice (legs never combine with dims, so no join terms)
+    val legChanges: Seq[DataFrame] = legTbls.collect {
+      case (r, t) if legCur(r) != legPin(r) =>
+        legWhere(r)(
+          try t.scanDataChangesBetween(legPin(r), legCur(r))
+            .drop("_commit_version")
+          catch {
+            case e @ (_: java.io.FileNotFoundException |
+                      _: java.nio.file.NoSuchFileException |
+                      _: IllegalStateException | _: IllegalArgumentException) =>
+              changelogGone(s"union leg $r", legPin(r), legCur(r), e)
+          })
+    }
 
     // touched groups: every changelog row passing the inner WHERE
     // (insert post-image or delete pre-image) touches its partition
@@ -3112,7 +3240,7 @@ object GraftMaterializedView {
       val f = innerFilter.fold(base)(p => base.where(expr(p)))
       f.select(keyExprs: _*)
     }
-    val factTerms = changes.toSeq.flatMap { ch =>
+    val factTerms = (changes.toSeq ++ legChanges).flatMap { ch =>
       Seq(keysOf(joinAt(ch, pinnedVer))) ++
         (if (dimsMoved) Seq(keysOf(joinAt(ch, curVers))) else Nil)
     }
@@ -3177,11 +3305,12 @@ object GraftMaterializedView {
     val touchedR = touched.toDF(tk: _*)
 
     // range pruning applies to keys that are bare FACT columns (the
-    // schema check skips dim-side keys — still exact via the semi join)
-    val srcScan = rangeSqlFor(src.schema, keyNames, parts.map(_._2)) match {
-      case Some(p) => src.scanVersionWhere(to, p)
-      case None => src.scanAsOfVersion(to)
-    }
+    // schema check skips dim-side keys — still exact via the semi join);
+    // a union'd fact prunes each projection-free leg against its OWN
+    // schema and reads projected legs whole (their scan columns differ
+    // from the union output names — the semi join stays exact)
+    val srcScan = unionHeadScan(t =>
+      rangeSqlFor(t.schema, keyNames, parts.map(_._2)))
     val srcTouched = joinAt(srcScan, curVers).join(touchedR,
       parts.zip(tk).map { case ((_, s), k) => expr(s) <=> col(s"`$k`") }
         .reduce(_ && _), "left_semi")

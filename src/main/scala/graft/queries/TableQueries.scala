@@ -2137,6 +2137,92 @@ object TableQueries {
              |    OR (l_orderkey % 5 = 0 OR l_extendedprice < 70000.0))
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // SHARDED window dashboard MV (round 17): top-3 per flag by price
+    // over a UNION ALL of two shards, the legacy one behind a per-leg
+    // SELECT. Touched partition keys derive from EVERY leg's changelog
+    // slice through its projection, affected groups recompute from the
+    // union'd head (projection-free legs zone-pruned on the bare flag
+    // column), and each leg keeps its own pin — a MoR delete on the
+    // legacy shard retracts stored top rows incrementally. r16 refused
+    // windows over unions to full mode.
+    "q132_mview_union_window" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq132").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq132", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq132.warehouse",
+            Files.createTempDirectory("graft-mview-unionwin").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq132.bench")
+        s.sql("CALL graftq132.system.drop_mview('bench', 'wtop')")
+        t(s, dir, "lineitem").createOrReplaceTempView("q132_li")
+        s.sql("DROP TABLE IF EXISTS graftq132.bench.t0")
+        s.sql("""CREATE TABLE graftq132.bench.t0
+                |(ok BIGINT, flag STRING, qty DOUBLE, price DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        s.sql("""INSERT INTO graftq132.bench.t0
+                |SELECT l_orderkey * 10 + l_linenumber, l_returnflag,
+                |       l_quantity, l_extendedprice
+                |FROM q132_li WHERE l_orderkey % 2 = 0
+                |  AND l_orderkey % 5 != 0""".stripMargin)
+        s.sql("DROP TABLE IF EXISTS graftq132.bench.t1")
+        s.sql("""CREATE TABLE graftq132.bench.t1
+                |(okey BIGINT, rflag STRING, half_qty DOUBLE, price2 DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        s.sql("""INSERT INTO graftq132.bench.t1
+                |SELECT l_orderkey * 10 + l_linenumber, l_returnflag,
+                |       l_quantity / 2, l_extendedprice
+                |FROM q132_li WHERE l_orderkey % 2 = 1
+                |  AND l_orderkey % 5 != 0""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq132.system.create_mview('bench', 'wtop',
+            |  'SELECT flag, ok, qty, price, rn FROM (
+            |     SELECT flag, ok, qty, price,
+            |       ROW_NUMBER() OVER (PARTITION BY flag
+            |         ORDER BY price DESC, ok) AS rn
+            |     FROM (SELECT ok, flag, qty, price FROM graftq132.bench.t0
+            |           UNION ALL
+            |           SELECT okey AS ok, rflag AS flag,
+            |                  half_qty * 2.0 AS qty, price2 AS price
+            |             FROM graftq132.bench.t1))
+            |   WHERE rn <= 3')""".stripMargin).head.getString(0)
+        require(mode == "window",
+          s"expected window-mode sharded union MV, got $mode")
+        // the legacy shard's MoR delete retracts stored top rows (high
+        // prices live on both parities); the modern shard takes late
+        // arrivals — one refresh, still incremental
+        s.sql("""INSERT INTO graftq132.bench.t0
+                |SELECT l_orderkey * 10 + l_linenumber, l_returnflag,
+                |       l_quantity, l_extendedprice
+                |FROM q132_li WHERE l_orderkey % 2 = 0 AND l_orderkey % 5 = 0""".stripMargin)
+        s.sql("DELETE FROM graftq132.bench.t1 WHERE price2 >= 90000.0")
+        val a1 = s.sql("CALL graftq132.system.refresh_mview('bench', 'wtop', false)")
+          .head.getString(2)
+        require(a1 == "incremental",
+          s"expected incremental sharded-window refresh, got $a1")
+        // a legacy-leg-only burst keeps its independent pin
+        s.sql("""INSERT INTO graftq132.bench.t1
+                |SELECT l_orderkey * 10 + l_linenumber, l_returnflag,
+                |       l_quantity / 2, l_extendedprice
+                |FROM q132_li WHERE l_orderkey % 2 = 1 AND l_orderkey % 5 = 0""".stripMargin)
+        val a2 = s.sql("CALL graftq132.system.refresh_mview('bench', 'wtop', false)")
+          .head.getString(2)
+        require(a2 == "incremental",
+          s"expected incremental leg-only window refresh, got $a2")
+        s.sql("""SELECT flag, ok, qty, price, rn
+                |FROM graftq132.bench.wtop ORDER BY flag, rn""".stripMargin)
+      },
+      Some("""SELECT flag, ok, qty, price, rn FROM (
+             |  SELECT l_returnflag AS flag,
+             |         l_orderkey * 10 + l_linenumber AS ok,
+             |         l_quantity AS qty, l_extendedprice AS price,
+             |         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             |           ORDER BY l_extendedprice DESC,
+             |                    l_orderkey * 10 + l_linenumber) AS rn
+             |  FROM lineitem
+             |  WHERE l_orderkey % 2 = 0
+             |     OR l_orderkey % 5 = 0 OR l_extendedprice < 90000.0
+             |) WHERE rn <= 3 ORDER BY flag, rn""".stripMargin)),
+
     // Tumbling-window MV: a time window as a GROUP BY over
     // date_trunc(day, ts) is just a deterministic group expression, so
     // the per-day rollup maintains incrementally like any keyed MV —

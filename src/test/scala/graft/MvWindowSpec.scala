@@ -242,6 +242,82 @@ class MvWindowSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("window MV over a sharded UNION ALL: per-leg pins, projections, MoR retractions") {
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(3)
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(3400 + seed)
+      val ns = s"mvwu$seed"
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.s0")
+      spark.sql(s"CREATE TABLE graft.$ns.s0 (id BIGINT, g STRING, v DOUBLE)")
+      // the legacy shard: renamed columns, halved measure, MoR deletes
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.s1")
+      spark.sql(s"CREATE TABLE graft.$ns.s1 (id BIGINT, cat STRING, vh DOUBLE)" +
+        " TBLPROPERTIES ('graft.delete.mode' = 'mor')")
+      var nextId = 0L
+      def insertBurst(leg: Int): Unit = {
+        val burst = (0 until (1 + rnd.nextInt(6))).map { _ =>
+          nextId += 1
+          val g = if (rnd.nextInt(8) == 0) "CAST(NULL AS STRING)"
+                  else s"'g${rnd.nextInt(4)}'"
+          val v = rnd.nextInt(20)
+          if (leg == 1) s"($nextId, $g, ${v / 2.0})" else s"($nextId, $g, $v.0)"
+        }
+        spark.sql(s"INSERT INTO graft.$ns.s$leg VALUES ${burst.mkString(", ")}")
+      }
+      insertBurst(0); insertBurst(1)
+      val defSql =
+        s"""SELECT g, id, v, rn FROM (
+           |  SELECT g, id, v,
+           |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC, id) AS rn
+           |  FROM (SELECT id, g, v FROM graft.$ns.s0 WHERE id % 9 != 0
+           |        UNION ALL
+           |        SELECT id, cat AS g, vh * 2.0 AS v FROM graft.$ns.s1)
+           |  WHERE v >= 1.0) WHERE rn <= 3""".stripMargin
+      spark.sql(
+        s"""CALL graft.system.create_mview('$ns', 'top3',
+           |  '${defSql.replace("'", "''")}'  )""".stripMargin)
+        .head.getString(0) shouldBe "window"
+      def check(step: String): Unit = withClue(s"seed=$seed $step ") {
+        rows(s"SELECT g, id, v, rn FROM graft.$ns.top3") shouldBe
+          rows(s"SELECT g, id, v, rn FROM ($defSql)")
+      }
+      check("create")
+      for (step <- 0 until 8) {
+        rnd.nextInt(3) match {
+          case 0 => insertBurst(rnd.nextInt(2))
+          case 1 =>
+            if (rnd.nextBoolean()) // group wipe across BOTH shards
+              { val g = s"g${rnd.nextInt(4)}"
+                spark.sql(s"DELETE FROM graft.$ns.s0 WHERE g = '$g'")
+                spark.sql(s"DELETE FROM graft.$ns.s1 WHERE cat = '$g'") }
+            else { // band delete in the shard's OWN units — often
+                   // retracts a stored top row through the projection
+              val bar = 10 + rnd.nextInt(10)
+              if (rnd.nextBoolean())
+                spark.sql(s"DELETE FROM graft.$ns.s0 WHERE v >= $bar.0")
+              else
+                spark.sql(s"DELETE FROM graft.$ns.s1 WHERE vh >= ${bar / 2.0}")
+            }
+          case 2 => // leg-1-only burst: the other leg's pin must hold
+            insertBurst(1)
+        }
+        val action = spark.sql(
+          s"CALL graft.system.refresh_mview('$ns', 'top3', false)").head.getString(2)
+        withClue(s"seed=$seed step=$step ") {
+          Seq("incremental", "empty", "noop") should contain(action)
+        }
+        check(s"step=$step action=$action")
+      }
+      spark.sql(s"CALL graft.system.refresh_mview('$ns', 'top3', true)")
+        .head.getString(2) shouldBe "full"
+      check("force_full")
+      spark.sql(s"CALL graft.system.drop_mview('$ns', 'top3')")
+      spark.sql(s"DROP TABLE graft.$ns.s0")
+      spark.sql(s"DROP TABLE graft.$ns.s1")
+    }
+  }
+
   test("unpartitioned windows fall back to FULL") {
     val ns = "mvwf"
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
