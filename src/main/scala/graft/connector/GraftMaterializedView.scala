@@ -33,7 +33,10 @@ import org.json4s.jackson.JsonMethods
   * under retries with no external checkpoint.
   *
   * Incremental capability is decided ONCE at create by shape analysis
-  * of the analyzed plan: one graft FACT — bare, or the leftmost leaf
+  * of the analyzed plan: one graft FACT — bare, a UNION ALL of graft
+  * shard legs (each with an optional per-leg WHERE and, round 17,
+  * per-leg SELECT for divergent shard schemas), or either of those as
+  * the leftmost leaf
   * of a left-deep chain of inner/left-outer joins onto bare graft
   * DIMENSIONS — an optional deterministic WHERE, GROUP BY
   * deterministic expressions, aggregates limited to SUM / COUNT /
@@ -52,7 +55,10 @@ import org.json4s.jackson.JsonMethods
   * mode by affected-group recompute (round 16): windows never cross
   * partitions, so changelog-touched groups recompute wholesale and
   * untouched groups keep their stored rows. The window's source may
-  * be a bare graft table OR a left-deep fact-preserving join onto
+  * be a bare graft table, a sharded UNION ALL with per-leg
+  * WHERE/SELECT and per-leg pins (round 17 — touched keys derive from
+  * every leg's slice through its projection, the recompute reads the
+  * union'd head), OR a left-deep fact-preserving join onto
   * bare graft dims (round 17 — the rank-over-join dashboard shape):
   * dims pin AS OF like agg mode, touched keys derive from the fact
   * changelog joined to the pinned (and, for a moved dim, current)
@@ -1339,37 +1345,40 @@ object GraftMaterializedView {
     // head — the window never crosses partitions, so per-group
     // recompute over the join is exact.
     val (terminal, conds, m) = inlineProjections(ws.last.child)
-    val (fact, dims, legs, factLegFilter, factLegProj) =
+    val (fact, dims, legs, factLegFilter, factLegProj, unionOutNames) =
       unrollJoinChain(terminal) match {
         case Right((Right(f), ds)) =>
           (f.table.asInstanceOf[GraftV2Table].underlying,
             ds.map { case (d, jt, c) =>
               DimSpec(d.table.asInstanceOf[GraftV2Table].underlying, jt, c)
-            }, Nil, None, None)
+            },
+            Nil: Seq[(GraftTable, Option[String], Option[Seq[String]])],
+            None: Option[String], None: Option[Seq[String]],
+            None: Option[Seq[String]])
         case Right((Left(ul), ds)) =>
           // a UNION ALL fact (round 17 — sharded window dashboards):
           // touched partition keys derive from EVERY leg's changelog
-          // slice (through its per-leg WHERE/SELECT) and the affected
-          // groups recompute from the union'd head; each leg keeps its
-          // own pin. Composing a union with dims under a window is not
-          // maintained — the touched-key derivation would need per-leg
-          // join terms on top of the per-leg pins.
-          if (ds.nonEmpty)
-            return Left("window MV over a UNION ALL joined to dimensions " +
-              "— maintained for the bare sharded union or the single-table " +
-              "join, not their composition")
-          (ul.fact.table.asInstanceOf[GraftV2Table].underlying, Nil,
+          // slice (through its per-leg WHERE/SELECT, and joined to the
+          // pinned dims when the union composes with a join), the
+          // affected groups recompute from the union'd head, and each
+          // leg keeps its own pin.
+          (ul.fact.table.asInstanceOf[GraftV2Table].underlying,
+            ds.map { case (d, jt, c) =>
+              DimSpec(d.table.asInstanceOf[GraftV2Table].underlying, jt, c)
+            },
             ul.legs.map { case (r, f, pj) =>
               (r.table.asInstanceOf[GraftV2Table].underlying, f, pj)
-            }, ul.factFilter, ul.factProj)
+            }, ul.factFilter, ul.factProj, Some(ul.outNames))
         case Left(reason) => return Left(s"window MV source: $reason")
       }
     if (dims.nonEmpty) {
       // the stored replay SQL is UNQUALIFIED — every column name must be
       // unique across the join, and the changelog metadata names must
       // not collide with source columns (key derivation joins the fact
-      // CHANGELOG to the dims)
-      val allCols = fact.schema.fields.map(_.name) ++
+      // CHANGELOG to the dims). A union'd fact contributes its OUTPUT
+      // (post-projection) names — what the join condition references.
+      val allCols = unionOutNames.getOrElse(
+        fact.schema.fields.map(_.name).toSeq) ++
         dims.flatMap(_.table.schema.fields.map(_.name))
       val lower = allCols.map(_.toLowerCase)
       if (lower.distinct.size != lower.size)
@@ -1383,7 +1392,8 @@ object GraftMaterializedView {
       if (reserved.nonEmpty)
         return Left(s"source column(s) ${reserved.mkString(", ")} collide " +
           "with changelog metadata names")
-      if (dims.exists(_.table.tableDir == fact.tableDir))
+      val factDirs = (fact +: legs.map(_._1)).map(_.tableDir).toSet
+      if (dims.exists(d => factDirs.contains(d.table.tableDir)))
         return Left("self-join of the fact table — both sides change " +
           "together, so dimension pinning cannot bound the touched groups")
       // FULL under a window: every unmatched dim row owns a NULL-
@@ -3256,7 +3266,9 @@ object GraftMaterializedView {
                     _: IllegalStateException | _: IllegalArgumentException) =>
             changelogGone(s"dimension $r", pinnedVer(r), curVers(r), e)
         }
-      val affected = src.scanAsOfVersion(to).join(slice, expr(c), "left_semi")
+      // a union'd fact derives the affected rows from the whole head
+      // (every leg through its own WHERE/SELECT)
+      val affected = unionHeadScan(_ => None).join(slice, expr(c), "left_semi")
       Seq(keysOf(joinAt(affected, pinnedVer)), keysOf(joinAt(affected, curVers)))
     }
     val touched = (factTerms ++ dimTerms).reduce(_ unionByName _)

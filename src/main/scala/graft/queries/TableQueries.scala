@@ -1635,6 +1635,98 @@ object TableQueries {
              |  FROM fact JOIN dim ON dk = dkey WHERE qty > 1.0)
              |WHERE rn <= 3 ORDER BY region, rn""".stripMargin)),
 
+    // THE FULL WINDOW COMPOSITION (round 17): a sharded UNION ALL fact
+    // — the legacy shard behind a per-leg SELECT — JOINED to a dim
+    // carrying the window's partition key. Touched keys derive from
+    // every leg's slice joined to the pinned (and moved) dim, the
+    // recompute reads the union'd head through the join, and one
+    // refresh maintains MoR shard deletes, leg bursts, AND a dim
+    // rename that moves rows between groups.
+    "q133_mview_union_window_join" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq133").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq133", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq133.warehouse",
+            Files.createTempDirectory("graft-mview-uwj").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq133.bench")
+        s.sql("CALL graftq133.system.drop_mview('bench', 'wtop')")
+        t(s, dir, "lineitem").createOrReplaceTempView("q133_li")
+        t(s, dir, "nation").createOrReplaceTempView("q133_na")
+        s.sql("DROP TABLE IF EXISTS graftq133.bench.t0")
+        s.sql("""CREATE TABLE graftq133.bench.t0
+                |(okey BIGINT, ln INT, dk BIGINT, price DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        s.sql("""INSERT INTO graftq133.bench.t0
+                |SELECT l_orderkey, l_linenumber, l_suppkey % 25, l_extendedprice
+                |FROM q133_li WHERE l_orderkey % 2 = 0
+                |  AND l_orderkey % 5 != 0""".stripMargin)
+        s.sql("DROP TABLE IF EXISTS graftq133.bench.t1")
+        s.sql("""CREATE TABLE graftq133.bench.t1
+                |(oid BIGINT, lnum INT, natk BIGINT, price2 DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        s.sql("""INSERT INTO graftq133.bench.t1
+                |SELECT l_orderkey, l_linenumber, l_suppkey % 25, l_extendedprice
+                |FROM q133_li WHERE l_orderkey % 2 = 1
+                |  AND l_orderkey % 5 != 0""".stripMargin)
+        s.sql("DROP TABLE IF EXISTS graftq133.bench.dim")
+        s.sql("CREATE TABLE graftq133.bench.dim (dkey BIGINT, region STRING)")
+        s.sql("INSERT INTO graftq133.bench.dim SELECT n_nationkey, n_name FROM q133_na")
+        val mode = s.sql(
+          """CALL graftq133.system.create_mview('bench', 'wtop',
+            |  'SELECT region, okey, ln, price, rn FROM (
+            |     SELECT region, okey, ln, price,
+            |       ROW_NUMBER() OVER (PARTITION BY region
+            |         ORDER BY price DESC, okey, ln) AS rn
+            |     FROM (SELECT okey, ln, dk, price FROM graftq133.bench.t0
+            |           UNION ALL
+            |           SELECT oid AS okey, lnum AS ln, natk AS dk,
+            |                  price2 AS price FROM graftq133.bench.t1)
+            |       JOIN graftq133.bench.dim ON dk = dkey)
+            |   WHERE rn <= 3')""".stripMargin).head.getString(0)
+        require(mode == "window",
+          s"union-join window MV must register in window mode, got $mode")
+        // late arrivals on the modern shard + a MoR delete on the
+        // legacy one that retracts stored top rows
+        s.sql("""INSERT INTO graftq133.bench.t0
+                |SELECT l_orderkey, l_linenumber, l_suppkey % 25, l_extendedprice
+                |FROM q133_li WHERE l_orderkey % 2 = 0 AND l_orderkey % 5 = 0""".stripMargin)
+        s.sql("DELETE FROM graftq133.bench.t1 WHERE price2 >= 90000.0")
+        val a1 = s.sql("CALL graftq133.system.refresh_mview('bench', 'wtop', false)")
+          .head.getString(2)
+        require(a1 == "incremental",
+          s"expected incremental union-join window refresh, got $a1")
+        // dim MOVE + legacy-leg-only burst in ONE refresh
+        s.sql("""UPDATE graftq133.bench.dim
+                |SET region = concat(region, '_MOVED') WHERE dkey < 5""".stripMargin)
+        s.sql("""INSERT INTO graftq133.bench.t1
+                |SELECT l_orderkey, l_linenumber, l_suppkey % 25, l_extendedprice
+                |FROM q133_li WHERE l_orderkey % 2 = 1 AND l_orderkey % 5 = 0""".stripMargin)
+        val a2 = s.sql("CALL graftq133.system.refresh_mview('bench', 'wtop', false)")
+          .head.getString(2)
+        require(a2 == "incremental",
+          s"expected incremental dim-move + leg-move window refresh, got $a2")
+        s.sql("""SELECT region, okey, ln, price, rn FROM graftq133.bench.wtop
+                |ORDER BY region, rn""".stripMargin)
+      },
+      Some("""WITH fact AS (
+             |  SELECT l_orderkey AS okey, l_linenumber AS ln,
+             |         l_suppkey % 25 AS dk, l_extendedprice AS price
+             |  FROM lineitem
+             |  WHERE l_orderkey % 2 = 0
+             |     OR l_orderkey % 5 = 0 OR l_extendedprice < 90000.0),
+             |dim AS (
+             |  SELECT n_nationkey AS dkey,
+             |         CASE WHEN n_nationkey < 5 THEN n_name || '_MOVED'
+             |              ELSE n_name END AS region
+             |  FROM nation)
+             |SELECT region, okey, ln, price, rn FROM (
+             |  SELECT region, okey, ln, price,
+             |    ROW_NUMBER() OVER (PARTITION BY region
+             |      ORDER BY price DESC, okey, ln) AS rn
+             |  FROM fact JOIN dim ON dk = dkey)
+             |WHERE rn <= 3 ORDER BY region, rn""".stripMargin)),
+
     // AGGREGATE OVER A WINDOW SUBQUERY (round-17 #4): one CREATE
     // auto-cascades — the top-N subquery registers as a hidden window
     // MV and the aggregate as an MV over its storage; ONE refresh call
@@ -2227,8 +2319,9 @@ object TableQueries {
     // date_trunc(day, ts) is just a deterministic group expression, so
     // the per-day rollup maintains incrementally like any keyed MV —
     // late events join their window's group, MoR deletes retract from
-    // it. This row documents the boundary: TIME windows work; what
-    // falls back to full is ANALYTIC windows (OVER clauses).
+    // it. (ANALYTIC windows — OVER clauses — maintain too since r16 in
+    // their own "window" mode, q123/q125/q126/q132; this row pins the
+    // simpler TIME-window-as-group-key shape.)
     "q119_mview_tumbling_window" -> Q(
       (s, dir) => {
         if (s.conf.getOption("spark.sql.catalog.graftq119").isEmpty) {

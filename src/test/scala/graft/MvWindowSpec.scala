@@ -318,6 +318,82 @@ class MvWindowSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("window MV over union legs JOINED to a moving dim: the full composition") {
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(2)
+    // the complete dashboard shape: two shards (one projected) UNION'd,
+    // joined to a dim that CARRIES the partition key — fact bursts on
+    // either shard, MoR retractions, and dim re-categorizations all
+    // bound the touched groups; refresh must never fall back to full
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(3600 + seed)
+      val ns = s"mvwud$seed"
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.s0")
+      spark.sql(s"CREATE TABLE graft.$ns.s0 (id BIGINT, g STRING, v DOUBLE)")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.s1")
+      spark.sql(s"CREATE TABLE graft.$ns.s1 (id BIGINT, cat STRING, vh DOUBLE)" +
+        " TBLPROPERTIES ('graft.delete.mode' = 'mor')")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.dim")
+      spark.sql(s"CREATE TABLE graft.$ns.dim (dk STRING, dg STRING)")
+      spark.sql(s"INSERT INTO graft.$ns.dim VALUES " +
+        (0 until 4).map(i => s"('g$i', 'cat${i % 2}')").mkString(", "))
+      var nextId = 0L
+      def insertBurst(leg: Int): Unit = {
+        val burst = (0 until (1 + rnd.nextInt(6))).map { _ =>
+          nextId += 1
+          val g = s"'g${rnd.nextInt(4)}'"
+          val v = rnd.nextInt(20)
+          if (leg == 1) s"($nextId, $g, ${v / 2.0})" else s"($nextId, $g, $v.0)"
+        }
+        spark.sql(s"INSERT INTO graft.$ns.s$leg VALUES ${burst.mkString(", ")}")
+      }
+      insertBurst(0); insertBurst(1)
+      val defSql =
+        s"""SELECT dg, id, v, rn FROM (
+           |  SELECT dg, id, v,
+           |    ROW_NUMBER() OVER (PARTITION BY dg ORDER BY v DESC, id) AS rn
+           |  FROM (SELECT id, g, v FROM graft.$ns.s0
+           |        UNION ALL
+           |        SELECT id, cat AS g, vh * 2.0 AS v FROM graft.$ns.s1)
+           |    JOIN graft.$ns.dim ON g = dk
+           |  WHERE v >= 1.0) WHERE rn <= 3""".stripMargin
+      spark.sql(
+        s"""CALL graft.system.create_mview('$ns', 'top3',
+           |  '${defSql.replace("'", "''")}')""".stripMargin)
+        .head.getString(0) shouldBe "window"
+      def check(step: String): Unit = withClue(s"seed=$seed $step ") {
+        rows(s"SELECT dg, id, v, rn FROM graft.$ns.top3") shouldBe
+          rows(s"SELECT dg, id, v, rn FROM ($defSql)")
+      }
+      check("create")
+      for (step <- 0 until 7) {
+        rnd.nextInt(4) match {
+          case 0 => insertBurst(rnd.nextInt(2))
+          case 1 =>
+            val bar = 8 + rnd.nextInt(10)
+            if (rnd.nextBoolean())
+              spark.sql(s"DELETE FROM graft.$ns.s0 WHERE v >= $bar.0")
+            else
+              spark.sql(s"DELETE FROM graft.$ns.s1 WHERE vh >= ${bar / 2.0}")
+          case 2 => // the dim re-categorizes a key: rows change groups
+            val k = rnd.nextInt(4)
+            spark.sql(s"DELETE FROM graft.$ns.dim WHERE dk = 'g$k'")
+            spark.sql(
+              s"INSERT INTO graft.$ns.dim VALUES ('g$k', 'cat${rnd.nextInt(3)}')")
+          case _ => insertBurst(1)
+        }
+        val action = spark.sql(
+          s"CALL graft.system.refresh_mview('$ns', 'top3', false)").head.getString(2)
+        withClue(s"seed=$seed step=$step ") {
+          Seq("incremental", "empty", "noop") should contain(action)
+        }
+        check(s"step=$step action=$action")
+      }
+      spark.sql(s"CALL graft.system.drop_mview('$ns', 'top3')")
+      for (t <- Seq("s0", "s1", "dim")) spark.sql(s"DROP TABLE graft.$ns.$t")
+    }
+  }
+
   test("unpartitioned windows fall back to FULL") {
     val ns = "mvwf"
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
