@@ -1659,7 +1659,7 @@ object TableQueries {
                 |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
         s.sql("""INSERT INTO graftq133.bench.t0
                 |SELECT l_orderkey, l_linenumber, l_suppkey % 25, l_extendedprice
-                |FROM q133_li WHERE l_orderkey % 2 = 0
+                |FROM q133_li WHERE l_partkey % 3 = 0 AND l_orderkey % 2 = 0
                 |  AND l_orderkey % 5 != 0""".stripMargin)
         s.sql("DROP TABLE IF EXISTS graftq133.bench.t1")
         s.sql("""CREATE TABLE graftq133.bench.t1
@@ -1667,7 +1667,7 @@ object TableQueries {
                 |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
         s.sql("""INSERT INTO graftq133.bench.t1
                 |SELECT l_orderkey, l_linenumber, l_suppkey % 25, l_extendedprice
-                |FROM q133_li WHERE l_orderkey % 2 = 1
+                |FROM q133_li WHERE l_partkey % 3 = 0 AND l_orderkey % 2 = 1
                 |  AND l_orderkey % 5 != 0""".stripMargin)
         s.sql("DROP TABLE IF EXISTS graftq133.bench.dim")
         s.sql("CREATE TABLE graftq133.bench.dim (dkey BIGINT, region STRING)")
@@ -1690,7 +1690,8 @@ object TableQueries {
         // legacy one that retracts stored top rows
         s.sql("""INSERT INTO graftq133.bench.t0
                 |SELECT l_orderkey, l_linenumber, l_suppkey % 25, l_extendedprice
-                |FROM q133_li WHERE l_orderkey % 2 = 0 AND l_orderkey % 5 = 0""".stripMargin)
+                |FROM q133_li WHERE l_partkey % 3 = 0
+                |  AND l_orderkey % 2 = 0 AND l_orderkey % 5 = 0""".stripMargin)
         s.sql("DELETE FROM graftq133.bench.t1 WHERE price2 >= 90000.0")
         val a1 = s.sql("CALL graftq133.system.refresh_mview('bench', 'wtop', false)")
           .head.getString(2)
@@ -1701,7 +1702,8 @@ object TableQueries {
                 |SET region = concat(region, '_MOVED') WHERE dkey < 5""".stripMargin)
         s.sql("""INSERT INTO graftq133.bench.t1
                 |SELECT l_orderkey, l_linenumber, l_suppkey % 25, l_extendedprice
-                |FROM q133_li WHERE l_orderkey % 2 = 1 AND l_orderkey % 5 = 0""".stripMargin)
+                |FROM q133_li WHERE l_partkey % 3 = 0
+                |  AND l_orderkey % 2 = 1 AND l_orderkey % 5 = 0""".stripMargin)
         val a2 = s.sql("CALL graftq133.system.refresh_mview('bench', 'wtop', false)")
           .head.getString(2)
         require(a2 == "incremental",
@@ -1713,8 +1715,9 @@ object TableQueries {
              |  SELECT l_orderkey AS okey, l_linenumber AS ln,
              |         l_suppkey % 25 AS dk, l_extendedprice AS price
              |  FROM lineitem
-             |  WHERE l_orderkey % 2 = 0
-             |     OR l_orderkey % 5 = 0 OR l_extendedprice < 90000.0),
+             |  WHERE l_partkey % 3 = 0
+             |    AND (l_orderkey % 2 = 0
+             |      OR l_orderkey % 5 = 0 OR l_extendedprice < 90000.0)),
              |dim AS (
              |  SELECT n_nationkey AS dkey,
              |         CASE WHEN n_nationkey < 5 THEN n_name || '_MOVED'
@@ -2254,7 +2257,7 @@ object TableQueries {
         s.sql("""INSERT INTO graftq132.bench.t0
                 |SELECT l_orderkey * 10 + l_linenumber, l_returnflag,
                 |       l_quantity, l_extendedprice
-                |FROM q132_li WHERE l_orderkey % 2 = 0
+                |FROM q132_li WHERE l_partkey % 3 = 0 AND l_orderkey % 2 = 0
                 |  AND l_orderkey % 5 != 0""".stripMargin)
         s.sql("DROP TABLE IF EXISTS graftq132.bench.t1")
         s.sql("""CREATE TABLE graftq132.bench.t1
@@ -2263,7 +2266,7 @@ object TableQueries {
         s.sql("""INSERT INTO graftq132.bench.t1
                 |SELECT l_orderkey * 10 + l_linenumber, l_returnflag,
                 |       l_quantity / 2, l_extendedprice
-                |FROM q132_li WHERE l_orderkey % 2 = 1
+                |FROM q132_li WHERE l_partkey % 3 = 0 AND l_orderkey % 2 = 1
                 |  AND l_orderkey % 5 != 0""".stripMargin)
         val mode = s.sql(
           """CALL graftq132.system.create_mview('bench', 'wtop',
@@ -2285,7 +2288,8 @@ object TableQueries {
         s.sql("""INSERT INTO graftq132.bench.t0
                 |SELECT l_orderkey * 10 + l_linenumber, l_returnflag,
                 |       l_quantity, l_extendedprice
-                |FROM q132_li WHERE l_orderkey % 2 = 0 AND l_orderkey % 5 = 0""".stripMargin)
+                |FROM q132_li WHERE l_partkey % 3 = 0
+                |  AND l_orderkey % 2 = 0 AND l_orderkey % 5 = 0""".stripMargin)
         s.sql("DELETE FROM graftq132.bench.t1 WHERE price2 >= 90000.0")
         val a1 = s.sql("CALL graftq132.system.refresh_mview('bench', 'wtop', false)")
           .head.getString(2)
@@ -2295,7 +2299,8 @@ object TableQueries {
         s.sql("""INSERT INTO graftq132.bench.t1
                 |SELECT l_orderkey * 10 + l_linenumber, l_returnflag,
                 |       l_quantity / 2, l_extendedprice
-                |FROM q132_li WHERE l_orderkey % 2 = 1 AND l_orderkey % 5 = 0""".stripMargin)
+                |FROM q132_li WHERE l_partkey % 3 = 0
+                |  AND l_orderkey % 2 = 1 AND l_orderkey % 5 = 0""".stripMargin)
         val a2 = s.sql("CALL graftq132.system.refresh_mview('bench', 'wtop', false)")
           .head.getString(2)
         require(a2 == "incremental",
@@ -2311,8 +2316,9 @@ object TableQueries {
              |           ORDER BY l_extendedprice DESC,
              |                    l_orderkey * 10 + l_linenumber) AS rn
              |  FROM lineitem
-             |  WHERE l_orderkey % 2 = 0
-             |     OR l_orderkey % 5 = 0 OR l_extendedprice < 90000.0
+             |  WHERE l_partkey % 3 = 0
+             |    AND (l_orderkey % 2 = 0
+             |      OR l_orderkey % 5 = 0 OR l_extendedprice < 90000.0)
              |) WHERE rn <= 3 ORDER BY flag, rn""".stripMargin)),
 
     // Tumbling-window MV: a time window as a GROUP BY over
