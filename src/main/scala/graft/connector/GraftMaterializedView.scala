@@ -75,7 +75,12 @@ import org.json4s.jackson.JsonMethods
   * per-group top-N) auto-cascades from one CREATE: the subquery
   * registers as a hidden window MV `<name>__w` and the aggregate as an
   * MV over its storage, refreshed/dropped as one unit through the
-  * cascade marker. A FULL OUTER join (single join, no other dims or
+  * cascade marker. The DUAL cascades too: a window OVER an aggregate
+  * subquery (the rank-over-rollup dashboard — top-N groups per
+  * partition by their aggregate) registers the aggregate as a hidden
+  * incremental agg MV `<name>__a` and the window over its storage
+  * changelog, so one refresh cascades base → rollup → ranks, each
+  * level O(changes at its level). A FULL OUTER join (single join, no other dims or
   * union legs) maintains with TWO-SIDED flip terms: each side's
   * linear part is the signed slice left-joined from its own side, and
   * the other side's NULL-extensions flip on rows whose match-set
@@ -193,11 +198,14 @@ object GraftMaterializedView {
     */
   val WinRnCol = "_mv_rn"
   val RowsCol = "_mv_rows"
-  /** Aggregate-OVER-window cascade (round 17): the outer MV's storage
-    * carries "ns/name" of the HIDDEN inner window MV auto-registered
-    * for its subquery; refresh() refreshes the inner first (so the
-    * inner storage changelog the outer consumes is current) and drop()
-    * drops the inner after the outer.
+  /** Two-level auto-cascade marker (round 17): the outer MV's storage
+    * carries "ns/name" of the HIDDEN inner MV auto-registered for its
+    * subquery — a window MV `<name>__w` under an aggregate-OVER-window
+    * shape, an incremental agg MV `<name>__a` under the dual
+    * window-OVER-aggregate (rank-over-rollup) shape; refresh()
+    * refreshes the inner first (so the inner storage changelog the
+    * outer consumes is current) and drop() drops the inner after the
+    * outer.
     */
   val CascadeProp = "graft.mview.cascade"
   /** Grouping-id merge-key column for grouping-sets MVs: two sets can
@@ -1234,8 +1242,18 @@ object GraftMaterializedView {
     * to SQL is re-parsed by `expr()` at create/refresh (the same
     * replay-by-SQL contract the aggregate shapes use).
     */
-  private[graft] def analyzeWindow(analyzed: LogicalPlan): Either[String, WindowShape] = {
-    import org.apache.spark.sql.catalyst.expressions.{RowNumber, WindowExpression}
+  /** Peel `[bare-attr Project]? [Filter]?` off a (Project-composed)
+    * stack of Window nodes: returns the outer bare projection (when
+    * the outer-predicate shape carried one), the outer predicate, the
+    * composed selection over the window stack's output, and the
+    * directly-stacked Window nodes. Shared by analyzeWindow and the
+    * window-over-aggregate cascade detection — both consume the same
+    * plan prefix, they differ only in what they accept BELOW the stack.
+    */
+  private def peelWindowStack(analyzed: LogicalPlan)
+      : Either[String, (Option[Seq[AttributeReference]], Option[Expression],
+                        Seq[NamedExpression],
+                        Seq[org.apache.spark.sql.catalyst.plans.logical.Window])] = {
     import org.apache.spark.sql.catalyst.plans.logical.Window
 
     // Peel a stack of Projects down to the first Window node, COMPOSING
@@ -1277,30 +1295,38 @@ object GraftMaterializedView {
     // filter-free shapes compose the WHOLE Project stack (the analyzer
     // may stack an outer pruning Project over the extraction Project);
     // the outer-predicate shape peels [Project]? Filter first
-    val (topAttrs, rankCond, innerList, ws) =
-      asWindowStack(unwrapAliases(analyzed)) match {
-        case Some((il, wins)) => (None, None, il, wins)
-        case None => unwrapAliases(analyzed) match {
-          case Project(tl, c1) => unwrapAliases(c1) match {
-            case Filter(cond, c2) => asWindowStack(c2) match {
-              case Some((il, wins)) =>
-                val bare = tl.map {
-                  case a: AttributeReference => a
-                  case other => return Left(
-                    s"window MV outer projection ${other.sql} is not a bare column")
-                }
-                (Some(bare), Some(cond), il, wins)
-              case None => return Left("not a partitioned-window shape")
-            }
-            case _ => return Left("not a partitioned-window shape")
+    asWindowStack(unwrapAliases(analyzed)) match {
+      case Some((il, wins)) => Right((None, None, il, wins))
+      case None => unwrapAliases(analyzed) match {
+        case Project(tl, c1) => unwrapAliases(c1) match {
+          case Filter(cond, c2) => asWindowStack(c2) match {
+            case Some((il, wins)) =>
+              val bare = tl.map {
+                case a: AttributeReference => a
+                case other => return Left(
+                  s"window MV outer projection ${other.sql} is not a bare column")
+              }
+              Right((Some(bare), Some(cond), il, wins))
+            case None => Left("not a partitioned-window shape")
           }
-          case Filter(cond, c1) => asWindowStack(c1) match {
-            case Some((il, wins)) => (None, Some(cond), il, wins)
-            case None => return Left("not a partitioned-window shape")
-          }
-          case _ => return Left("not a partitioned-window shape")
+          case _ => Left("not a partitioned-window shape")
         }
+        case Filter(cond, c1) => asWindowStack(c1) match {
+          case Some((il, wins)) => Right((None, Some(cond), il, wins))
+          case None => Left("not a partitioned-window shape")
+        }
+        case _ => Left("not a partitioned-window shape")
       }
+    }
+  }
+
+  private[graft] def analyzeWindow(analyzed: LogicalPlan): Either[String, WindowShape] = {
+    import org.apache.spark.sql.catalyst.expressions.{RowNumber, WindowExpression}
+
+    val (topAttrs, rankCond, innerList, ws) = peelWindowStack(analyzed) match {
+      case Right(x) => x
+      case Left(reason) => return Left(reason)
+    }
 
     // the window node: ANY deterministic window function maintains —
     // affected-group recompute never decomposes the function, it
@@ -1554,6 +1580,128 @@ object GraftMaterializedView {
     val outerSql = s"SELECT ${outs.mkString(", ")} " +
       s"FROM $catalogName.`$ns`.`$innerName`" +
       (if (groupSqls.nonEmpty) s" GROUP BY ${groupSqls.mkString(", ")}" else "")
+    Some((innerSql, outerSql))
+  }
+
+  /** Render the two definition SQLs of a window-OVER-aggregate cascade
+    * (the rank-over-rollup dashboard: "top-N groups per partition by
+    * their aggregate"): the inner aggregate subquery (re-creatable as a
+    * hidden incremental agg MV) and the outer window query rewritten
+    * over the inner MV's public name. Same contract as [[cascadeSqls]]:
+    * everything renders from the ANALYZED plan and the recursive
+    * create() re-analyzes both halves, so a rendering that drifted
+    * refuses instead of silently diverging. Returns None when the shape
+    * can't be rendered faithfully (union'd or FULL-outer aggregate
+    * sources, HAVING between the levels, non-attribute window inputs) —
+    * the caller falls back to FULL mode.
+    */
+  private def cascadeWoaSqls(catalogName: String, ns: String, innerName: String,
+                             analyzed: LogicalPlan,
+                             relOf: GraftTable => String): Option[(String, String)] = {
+    val (topAttrs, rankCond, innerList, ws) = peelWindowStack(analyzed) match {
+      case Right(x) => x
+      case Left(_) => return None
+    }
+    // below the stack: a plain Aggregate, with no Filter in between (a
+    // predicate here is HAVING over the hidden level — the agg MV
+    // supports HAVING only at ITS view layer, so refuse the cascade)
+    val (terminal, conds, m) = inlineProjections(ws.last.child)
+    val agg = terminal match {
+      case a: Aggregate if conds.isEmpty => a
+      case _ => return None
+    }
+    // ---- inner: the aggregate rendered over its terminal attrs ----
+    val (aggTerm, aggConds, aggMap) = inlineProjections(agg.child)
+    val (factRel, dimList) = unrollJoinChain(aggTerm) match {
+      case Right((Right(f), ds)) if !ds.exists(_._2 == "full_outer") => (f, ds)
+      case _ => return None // unions / FULL dims: keep the cascade conservative
+    }
+    def substAgg(e: Expression): Expression =
+      if (aggMap.isEmpty) e
+      else e.transformUp {
+        case a: AttributeReference if aggMap.contains(a.exprId) => aggMap(a.exprId)
+      }
+    val innerNames = agg.aggregateExpressions.map(_.name)
+    if (innerNames.map(_.toLowerCase).distinct.size != innerNames.size ||
+        innerNames.exists(_.toLowerCase.startsWith("_mv_"))) return None
+    val outs = agg.aggregateExpressions.map {
+      case al @ Alias(e, n) =>
+        val s = substAgg(e)
+        if (!s.deterministic) return None
+        s"(${plainSql(s)}) AS `$n`"
+      case a: AttributeReference => s"`${a.name}`"
+      case _ => return None
+    }
+    val groupSqls = agg.groupingExpressions.map(g => plainSql(substAgg(g)))
+    if (groupSqls.isEmpty) return None // a global aggregate has no partitioned window
+    def tref(t: GraftTable): String = relOf(t).split("/") match {
+      case Array(tns, tb) => s"$catalogName.`$tns`.`$tb`"
+      case other => sys.error(s"bad rel ${other.mkString("/")}")
+    }
+    val joins = dimList.map { case (d, jt, condSql) =>
+      (if (jt == "inner") " JOIN " else " LEFT JOIN ") +
+        tref(d.table.asInstanceOf[GraftV2Table].underlying) + " ON " + condSql
+    }.mkString
+    val where =
+      if (aggConds.isEmpty) ""
+      else " WHERE " + aggConds.map(c => s"(${plainSql(c)})").mkString(" AND ")
+    val innerSql = s"SELECT ${outs.mkString(", ")} " +
+      s"FROM ${tref(factRel.table.asInstanceOf[GraftV2Table].underlying)}$joins$where" +
+      s" GROUP BY ${groupSqls.mkString(", ")}"
+
+    // ---- outer: the window selection over the inner's public name ----
+    // window-output attrs substitute to their WindowExpressions, and the
+    // in-between projections (m) to aggregate-output attrs, so plainSql
+    // renders every non-window reference as an inner public column name
+    val windowMap: Map[ExprId, Expression] = ws.flatMap(_.windowExpressions).map {
+      case al: Alias => al.exprId -> al.child
+      case _ => return None
+    }.toMap
+    def substWin(e: Expression): Expression = {
+      val inlined = e.transformUp {
+        case a: AttributeReference if windowMap.contains(a.exprId) => windowMap(a.exprId)
+      }
+      if (m.isEmpty) inlined
+      else inlined.transformUp {
+        case a: AttributeReference if m.contains(a.exprId) => m(a.exprId)
+      }
+    }
+    val entries: Seq[(ExprId, String, String)] = innerList.map {
+      case a: AttributeReference =>
+        val s = substWin(a)
+        (a.exprId, a.name, s"(${plainSql(s)}) AS `${a.name}`")
+      case al @ Alias(e, n) =>
+        val s = substWin(e)
+        if (!s.deterministic) return None
+        (al.exprId, n, s"(${plainSql(s)}) AS `$n`")
+      case _ => return None
+    }
+    val entryNames = entries.map(_._2)
+    if (entryNames.map(_.toLowerCase).distinct.size != entryNames.size ||
+        entryNames.exists(_.toLowerCase.startsWith("_mv_"))) return None
+    // every aggregate-output attr the entries reference renders as its
+    // plain name, which the inner MV exposes as a public column — the
+    // recursive re-analysis of outerSql validates every reference
+    val core = s"SELECT ${entries.map(_._3).mkString(", ")} " +
+      s"FROM $catalogName.`$ns`.`$innerName`"
+    val byId = entries.map(e => e._1 -> e._2).toMap
+    val outerSql = rankCond match {
+      case Some(rc) =>
+        if (!rc.deterministic) return None
+        val renamed = rc.transformUp {
+          case a: AttributeReference =>
+            byId.get(a.exprId) match {
+              case Some(n) => AttributeReference(n, a.dataType, a.nullable)()
+              case None => return None
+            }
+        }
+        val pub = topAttrs
+          .map(_.map(a => byId.getOrElse(a.exprId, return None)))
+          .getOrElse(entryNames)
+        s"SELECT ${pub.map(n => s"`$n`").mkString(", ")} " +
+          s"FROM ($core) WHERE ${plainSql(renamed)}"
+      case None => core
+    }
     Some((innerSql, outerSql))
   }
 
@@ -1927,6 +2075,49 @@ object GraftMaterializedView {
         case Left(_) => ()
       }
       case _ => ()
+    }
+    // window OVER an aggregate subquery — the DUAL cascade (round 17):
+    // the rank-over-rollup dashboard ("top-N groups per partition by
+    // their aggregate", e.g. rank regions within each month by
+    // SUM(revenue)). Neither shape accepts it directly, but both halves
+    // maintain: the aggregate registers as a hidden INCREMENTAL agg MV
+    // `<name>__a` and the user's MV as a window over its public name —
+    // window analysis inlines that view to the hidden storage table,
+    // whose exactly-once changelog drives affected-group recompute, so
+    // one refresh cascades base → __a → window, each O(changes at its
+    // level). Same loud-degradation contract as the aggregate-over-
+    // window cascade: a pair that cannot both register incrementally is
+    // torn down and the create falls through to FULL mode.
+    if (shaped.isLeft && windowShaped.isLeft) {
+      val innerName = name + "__a"
+      cascadeWoaSqls(catalogName, ns, innerName, analyzed, relOf).foreach {
+        case (innerSql, outerSql) =>
+          scala.util.Try(
+            create(spark, cat, catalogName, ns, innerName, innerSql, None)) match {
+            case scala.util.Success((m1, _, _)) =>
+              if (m1 != "incremental") drop(cat, ns, innerName)
+              else {
+                val (m2, v2, rows2) =
+                  try create(spark, cat, catalogName, ns, name, outerSql,
+                    storageSpec)
+                  catch {
+                    case e: Throwable => drop(cat, ns, innerName); throw e
+                  }
+                if (m2 != "window") {
+                  drop(cat, ns, name); drop(cat, ns, innerName)
+                } else {
+                  cat.load(TableIdent(ns, name + StorageSuffix))
+                    .updateProperties(Map(CascadeProp -> s"$ns/$innerName"))
+                  return ("window", v2, rows2)
+                }
+              }
+            case scala.util.Failure(_) =>
+              // the rendering drifted from what create() accepts — clean
+              // any debris and fall through to FULL mode (loud in the
+              // returned mode, never a broken pair)
+              scala.util.Try(drop(cat, ns, innerName))
+          }
+      }
     }
     // the FACT drives the staleness contract; full mode needs exactly
     // one source to track (an unanalyzable multi-table shape has no

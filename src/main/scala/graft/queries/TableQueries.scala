@@ -1730,6 +1730,80 @@ object TableQueries {
              |  FROM fact JOIN dim ON dk = dkey)
              |WHERE rn <= 3 ORDER BY region, rn""".stripMargin)),
 
+    // WINDOW OVER AN AGGREGATE SUBQUERY (round 17): the DUAL of q127 —
+    // the rank-over-rollup dashboard ("top-3 buckets per returnflag by
+    // their total revenue"). One CREATE auto-cascades: the aggregate
+    // registers as a hidden INCREMENTAL agg MV <name>__a and the
+    // user's MV as a window over its storage changelog; ONE refresh
+    // call maintains base → rollup → ranks, each level O(changes).
+    "q134_mview_window_over_agg" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq134").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq134", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq134.warehouse",
+            Files.createTempDirectory("graft-mview-woa").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq134.bench")
+        s.sql("CALL graftq134.system.drop_mview('bench', 'woa')")
+        s.sql("DROP TABLE IF EXISTS graftq134.bench.li")
+        // price as exact DECIMAL so the rollup's SUM — the window's
+        // rank ORDER — is bit-identical between the incrementally
+        // maintained inner MV and DuckDB's recompute (a double SUM
+        // could flip a rank on ulp drift)
+        s.sql("""CREATE TABLE graftq134.bench.li
+                |(okey BIGINT, ln INT, flag STRING, price DECIMAL(12,2), qty DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        t(s, dir, "lineitem").createOrReplaceTempView("q134_li")
+        s.sql("""INSERT INTO graftq134.bench.li
+                |SELECT l_orderkey, l_linenumber, l_returnflag,
+                |       CAST(l_extendedprice AS DECIMAL(12,2)), l_quantity
+                |FROM q134_li WHERE l_orderkey % 2 = 0""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq134.system.create_mview('bench', 'woa',
+            |  'SELECT flag, bkt, rev, rn FROM (
+            |     SELECT flag, bkt, rev,
+            |       ROW_NUMBER() OVER (PARTITION BY flag
+            |         ORDER BY rev DESC, bkt) AS rn
+            |     FROM (SELECT flag, okey % 50 AS bkt, SUM(price) AS rev
+            |           FROM graftq134.bench.li WHERE qty > 1.0
+            |           GROUP BY flag, okey % 50))
+            |   WHERE rn <= 3')""".stripMargin).head.getString(0)
+        require(mode == "window",
+          s"window-over-aggregate MV must auto-cascade to window mode, got $mode")
+        s.sql("""INSERT INTO graftq134.bench.li
+                |SELECT l_orderkey, l_linenumber, l_returnflag,
+                |       CAST(l_extendedprice AS DECIMAL(12,2)), l_quantity
+                |FROM q134_li WHERE l_orderkey % 2 = 1""".stripMargin)
+        s.sql("DELETE FROM graftq134.bench.li WHERE qty >= 46.0")
+        s.sql("DELETE FROM graftq134.bench.li WHERE okey <= 300")
+        val action = s.sql(
+          "CALL graftq134.system.refresh_mview('bench', 'woa', false)")
+          .head.getString(2)
+        require(action == "incremental", s"expected incremental refresh, got $action")
+        // the hidden aggregate level must have kept up (one-call cascade)
+        val dash = s.sql("CALL graftq134.system.mviews('bench')").collect()
+          .map(r => (r.getString(0), r.getInt(5))).toMap
+        require(dash("woa__a") == 0,
+          s"hidden aggregate level is ${dash("woa__a")} versions behind after cascade")
+        s.sql("""SELECT flag, bkt, CAST(rev AS DOUBLE) AS rev, rn
+                |FROM graftq134.bench.woa
+                |ORDER BY flag, rn""".stripMargin)
+      },
+      Some("""WITH agg AS (
+             |  SELECT l_returnflag AS flag, l_orderkey % 50 AS bkt,
+             |         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+             |  FROM lineitem
+             |  WHERE l_quantity > 1.0 AND l_quantity < 46.0 AND l_orderkey > 300
+             |  GROUP BY 1, 2),
+             |w AS (
+             |  SELECT flag, bkt, rev,
+             |    ROW_NUMBER() OVER (PARTITION BY flag
+             |      ORDER BY rev DESC, bkt) AS rn
+             |  FROM agg)
+             |SELECT flag, bkt, CAST(rev AS DOUBLE) AS rev, rn
+             |FROM w WHERE rn <= 3
+             |ORDER BY flag, rn""".stripMargin)),
+
     // AGGREGATE OVER A WINDOW SUBQUERY (round-17 #4): one CREATE
     // auto-cascades — the top-N subquery registers as a hidden window
     // MV and the aggregate as an MV over its storage; ONE refresh call

@@ -302,6 +302,49 @@ class MvGuardSpec extends AnyFunSuite with Matchers {
     for (t <- Seq("src", "d", "base")) spark.sql(s"DROP TABLE graft.$ns.$t")
   }
 
+  // round 17: the window-over-aggregate cascade's hidden inner agg MV
+  // (<name>__a) pins the BASE columns — the same rename/drop guards
+  // apply through it, and the pair keeps refreshing after an
+  // unreferenced column evolves
+  test("a window-over-aggregate cascade guards its base columns through the hidden level") {
+    val ns = "mvguard8"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.base")
+    spark.sql(s"CREATE TABLE graft.$ns.base (g STRING, sub STRING, v DOUBLE, pad STRING)")
+    spark.sql(s"INSERT INTO graft.$ns.base VALUES " +
+      "('a','x',1.0,'p'),('a','y',5.0,'p'),('b','x',2.0,'p')")
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'woa',
+         |  'SELECT g, sub, sv, rn FROM (
+         |     SELECT g, sub, sv, ROW_NUMBER() OVER (PARTITION BY g
+         |       ORDER BY sv DESC, sub) AS rn
+         |     FROM (SELECT g, sub, SUM(v) AS sv FROM graft.$ns.base
+         |           GROUP BY g, sub)) WHERE rn <= 2')""".stripMargin)
+      .head.getString(0) shouldBe "window"
+    def refusedBy(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      withClue(s"sql=$sql got=$e ") { msg should include(needle) }
+    }
+    // a base column the hidden aggregate level reads refuses BY NAME
+    refusedBy(s"ALTER TABLE graft.$ns.base RENAME COLUMN v TO v2", s"$ns.woa__a")
+    refusedBy(s"ALTER TABLE graft.$ns.base DROP COLUMN v", s"$ns.woa__a")
+    // the hidden level's storage is managed state
+    refusedBy(s"ALTER TABLE graft.$ns.woa__a__rows RENAME COLUMN sv TO sv2",
+      "storage of materialized view")
+    // an unreferenced base column evolves freely and ONE refresh call
+    // still cascades both levels incrementally
+    spark.sql(s"ALTER TABLE graft.$ns.base RENAME COLUMN pad TO pad2")
+    spark.sql(s"INSERT INTO graft.$ns.base VALUES ('b','y',9.0,'q')")
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'woa', false)")
+      .head.getString(2) shouldBe "incremental"
+    spark.sql(s"SELECT sub FROM graft.$ns.woa WHERE g = 'b' AND rn = 1")
+      .head.getString(0) shouldBe "y"
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'woa')")
+    spark.sql(s"DROP TABLE graft.$ns.base")
+  }
+
   test("the reserved marker cannot be planted on an ordinary view") {
     val ns = "mvguard2"
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")

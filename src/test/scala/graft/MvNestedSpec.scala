@@ -154,4 +154,118 @@ class MvNestedSpec extends AnyFunSuite with Matchers {
       spark.sql(s"DROP TABLE graft.$ns.src")
     }
   }
+
+  // Round-17: the DUAL — a window OVER an aggregate subquery (the
+  // rank-over-rollup dashboard: top-N groups per partition by their
+  // aggregate) auto-cascades from ONE create — a hidden incremental agg
+  // MV <name>__a plus the user's window MV over its storage changelog;
+  // one refresh call maintains both levels, and drop removes both.
+  test("window over an aggregate subquery auto-cascades from one CREATE") {
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(2)
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(6400 + seed)
+      val ns = s"mvwa$seed"
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.src")
+      spark.sql(s"CREATE TABLE graft.$ns.src (id BIGINT, g STRING, sub STRING, v DOUBLE)")
+      var nextId = 0L
+      def insertBurst(): Unit = {
+        val burst = (0 until (1 + rnd.nextInt(6))).map { _ =>
+          nextId += 1
+          val g = if (rnd.nextInt(9) == 0) "CAST(NULL AS STRING)"
+                  else s"'g${rnd.nextInt(3)}'"
+          s"($nextId, $g, 's${rnd.nextInt(5)}', ${rnd.nextInt(40)}.0)"
+        }
+        spark.sql(s"INSERT INTO graft.$ns.src VALUES ${burst.mkString(", ")}")
+      }
+      insertBurst()
+      // two-block spelling: rank filter over a ROW_NUMBER whose order
+      // is the aggregate output (sub breaks ties — total order)
+      val defSql =
+        s"""SELECT g, sub, sv, rn FROM (
+           |  SELECT g, sub, sv, ROW_NUMBER() OVER (PARTITION BY g
+           |    ORDER BY sv DESC, sub) AS rn
+           |  FROM (SELECT g, sub, SUM(v) AS sv, COUNT(*) AS cnt
+           |        FROM graft.$ns.src WHERE v >= 1.0 GROUP BY g, sub)
+           |) WHERE rn <= 2""".stripMargin
+      spark.sql(
+        s"""CALL graft.system.create_mview('$ns', 'woa',
+           |  '${defSql.replace("'", "''")}')""".stripMargin)
+        .head.getString(0) shouldBe "window"
+      // the hidden inner registered as an incremental aggregate MV
+      val dash = spark.sql(s"CALL graft.system.mviews('$ns')").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      dash("woa__a") shouldBe "incremental"
+      dash("woa") shouldBe "window"
+      def check(step: String): Unit = withClue(s"seed=$seed $step ") {
+        spark.sql(s"SELECT g, sub, sv, rn FROM graft.$ns.woa").collect()
+          .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted shouldBe
+          spark.sql(defSql).collect()
+            .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+      }
+      check("create")
+      for (step <- 0 until 8) {
+        rnd.nextInt(4) match {
+          case 0 => insertBurst()
+          case 1 => // band delete retracts stored per-group sums
+            spark.sql(s"DELETE FROM graft.$ns.src WHERE v >= ${20 + rnd.nextInt(15)}.0")
+          case 2 => // single-row delete: thins one (g, sub) aggregate
+            val id = 1 + rnd.nextInt(math.max(1, nextId.toInt))
+            spark.sql(s"DELETE FROM graft.$ns.src WHERE id = $id")
+          case 3 => // subgroup wipe: a whole rollup row vanishes
+            spark.sql(s"DELETE FROM graft.$ns.src WHERE sub = 's${rnd.nextInt(5)}'")
+        }
+        // ONE call refreshes the hidden aggregate level then the window
+        val action = spark.sql(
+          s"CALL graft.system.refresh_mview('$ns', 'woa', false)").head.getString(2)
+        Seq("incremental", "empty", "noop") should contain(action)
+        check(s"step=$step action=$action")
+      }
+      // the hidden inner refuses direct drop while the outer reads it
+      val e = intercept[Exception](
+        spark.sql(s"CALL graft.system.drop_mview('$ns', 'woa__a')"))
+      e.getMessage should include("read its storage")
+      // drop removes BOTH levels (hidden storage included)
+      spark.sql(s"CALL graft.system.drop_mview('$ns', 'woa')")
+      spark.sql(s"SHOW TABLES IN graft.$ns").collect()
+        .map(_.getString(1)) should not contain "woa__a__rows"
+      spark.sql(s"DROP TABLE graft.$ns.src")
+    }
+  }
+
+  // one-block spelling: the window's ORDER BY references the aggregate
+  // expression itself (the analyzer hoists it into the Aggregate as a
+  // hidden `_w0`-style output, which the cascade renders as an inner
+  // public column) — plus a running window with no rank filter
+  test("one-block window-over-aggregate and running windows cascade too") {
+    val ns = "mvwa1b"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.src")
+    spark.sql(s"CREATE TABLE graft.$ns.src (id BIGINT, g STRING, sub STRING, v DOUBLE)")
+    spark.sql(s"INSERT INTO graft.$ns.src VALUES " +
+      "(1,'a','x',5.0),(2,'a','y',9.0),(3,'b','x',2.0),(4,'b','y',7.0),(5,'a','x',1.0)")
+    val defSql =
+      s"""SELECT g, sub, RANK() OVER (PARTITION BY g ORDER BY SUM(v) DESC) AS rk,
+         |       SUM(SUM(v)) OVER (PARTITION BY g ORDER BY sub
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+         |FROM graft.$ns.src GROUP BY g, sub""".stripMargin
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'obl',
+         |  '${defSql.replace("'", "''")}')""".stripMargin)
+      .head.getString(0) shouldBe "window"
+    def check(step: String): Unit = withClue(step) {
+      spark.sql(s"SELECT g, sub, rk, running FROM graft.$ns.obl").collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted shouldBe
+        spark.sql(defSql).collect()
+          .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+    }
+    check("create")
+    spark.sql(s"INSERT INTO graft.$ns.src VALUES (6,'a','z',20.0),(7,'b','x',3.0)")
+    spark.sql(s"DELETE FROM graft.$ns.src WHERE id = 2")
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'obl', false)")
+      .head.getString(2) shouldBe "incremental"
+    check("after burst")
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'obl')")
+    spark.sql(s"DROP TABLE graft.$ns.src")
+  }
 }
