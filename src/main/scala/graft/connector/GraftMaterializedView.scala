@@ -80,14 +80,21 @@ import org.json4s.jackson.JsonMethods
   * partition by their aggregate) registers the aggregate as a hidden
   * incremental agg MV `<name>__a` and the window over its storage
   * changelog, so one refresh cascades base → rollup → ranks, each
-  * level O(changes at its level). A FULL OUTER join (single join, no other dims or
-  * union legs) maintains with TWO-SIDED flip terms: each side's
-  * linear part is the signed slice left-joined from its own side, and
-  * the other side's NULL-extensions flip on rows whose match-set
-  * crossed zero — slice-bounded semi/anti probes, O(affected), never
-  * O(F ⋈ D). Everything else (unpartitioned windows, FULL OUTER
-  * composed with more joins) falls back to FULL refresh, which
-  * recomputes and overwrites. Join maintenance pins every dimension AS
+  * level O(changes at its level). A FULL OUTER join maintains with
+  * TWO-SIDED flip terms: each side's linear part is the signed slice
+  * left-joined from its own side, and the other side's
+  * NULL-extensions flip on rows whose match-set crossed zero —
+  * slice-bounded semi/anti probes, O(affected), never O(F ⋈ D). The
+  * FULL join composes with further inner/left dims when it is the
+  * FIRST join (round 17): the suffix dims ride every FULL term at
+  * their telescope pins, and a moved suffix dim's term splits the
+  * FULL prefix into its fact-preserved part (pruned fact through the
+  * FULL downgraded to LEFT) and its extension part (head-dim rows
+  * NULL-extended on the fact columns, slice-bounded, anti-probed
+  * against the zone-pruned fact) so fact pruning can never invent
+  * extensions. Everything else (unpartitioned windows, FULL OUTER
+  * deeper in the chain or over a union'd fact) falls back to FULL
+  * refresh, which recomputes and overwrites. Join maintenance pins every dimension AS
   * OF the version the stored rows were built with, so the signed fact
   * changelog retracts exactly; a dimension that MOVES maintains
   * incrementally too — a telescoped delta
@@ -925,15 +932,32 @@ object GraftMaterializedView {
             case Left(reason) => return Left(reason)
           }
         if (dimRels.nonEmpty) {
-          // FULL OUTER's two-sided flip algebra is defined for the
-          // single-join shape: composing it with further dims/legs
-          // would thread NULL-extended rows of BOTH sides through the
-          // rest of the chain, where neither side is fact-preserving
-          if (dimRels.exists(_._2 == "full_outer") &&
-              (dimRels.size > 1 || unionRels.nonEmpty))
-            return Left("FULL OUTER join composes with no other join or " +
-              "UNION ALL leg — its two-sided NULL-extension flips are " +
-              "maintained for the single-join shape only")
+          // FULL OUTER's two-sided flip algebra is defined around the
+          // FACT: it maintains as the FIRST join (round 17 — further
+          // inner/left dims then compose linearly: the fact-side and
+          // dim-side flip rows thread through the suffix chain exactly
+          // as the defining query's NULL-extended rows would, and a
+          // moved suffix dim's telescope term splits the FULL prefix
+          // into its fact-preserved part — prunable — and its
+          // extension part — anti-probed against the zone-pruned
+          // fact). A FULL join deeper in the chain would need the
+          // whole join PREFIX evaluated at both telescope endpoints
+          // for the flip probes; a second FULL or a union'd fact has
+          // no single preserved side to anchor the derivation.
+          if (dimRels.exists(_._2 == "full_outer")) {
+            if (unionRels.nonEmpty)
+              return Left("FULL OUTER join composes with no UNION ALL " +
+                "leg — a sharded fact has no single preserved side to " +
+                "anchor the two-sided NULL-extension flips")
+            if (dimRels.count(_._2 == "full_outer") > 1)
+              return Left("more than one FULL OUTER join — the two-sided " +
+                "NULL-extension flips are maintained for a single FULL join")
+            if (dimRels.head._2 != "full_outer")
+              return Left("FULL OUTER join must be the FIRST join on the " +
+                "fact — deeper in the chain its flip probes would need " +
+                "the whole join prefix evaluated at both telescope " +
+                "endpoints")
+          }
           // a union'd fact contributes its OUTPUT names (post-projection),
           // which is what the join conditions and shape SQL reference
           val names = (factOutNames.getOrElse(factRel.output.map(_.name)) ++
@@ -2572,7 +2596,16 @@ object GraftMaterializedView {
           val flips = src.schema.fields.foldLeft(flips0) { (f, fld) =>
             f.withColumn(fld.name, lit(null).cast(fld.dataType))
           }
-          linear.unionByName(flips)
+          // suffix dims (round 17 — FULL composes as the FIRST join):
+          // the fact term holds them at OLD pins like any telescope
+          // fact term; the flip rows' NULLed fact columns meet the
+          // suffix conditions exactly as the defining query's
+          // NULL-extensions would (no match under inner, NULL-extend
+          // under left)
+          val suffix = dimTbls.tail.map { case (r2, t2, jt2, c2) =>
+            (t2.scanAsOfVersion(pins(r2)), jt2, c2)
+          }
+          joinBase(linear.unionByName(flips), suffix)
         }
       val dimTerms = dimTbls.zipWithIndex.collect {
         case ((r, t, jt, c), i) if curVers(r) != pins(r) =>
@@ -2586,7 +2619,46 @@ object GraftMaterializedView {
           val after = dimTbls.drop(i + 1).map { case (r2, t2, jt2, c2) =>
             (t2.scanAsOfVersion(pins(r2)), jt2, c2)
           }
-          val base = joinBase(prunedFactFor(slice, c), before)
+          val base = {
+            val fullHead = before.nonEmpty && dimTbls.head._3 == "full_outer"
+            if (!fullHead) joinBase(prunedFactFor(slice, c), before)
+            else {
+              // the prefix holds the FULL head join (round 17): pruning
+              // the fact by THIS dim's slice bounds would INVENT
+              // dim-side extensions for head-dim rows whose real
+              // matches were pruned away. Split the prefix instead:
+              // the fact-preserved side reads the pruned fact through
+              // the FULL downgraded to LEFT (sound under pruning — it
+              // emits exactly the fact rows read), and the extension
+              // side is rebuilt from the head dim directly — its rows
+              // NULL-extended on the fact columns, threaded through
+              // the rest of the prefix, bounded by this term's slice,
+              // and kept only when an anti probe against the
+              // zone-pruned UNPRUNED fact confirms they are unmatched
+              // at the head.
+              val (r1, t1, _, c1) = dimTbls.head
+              val part1 = joinBase(prunedFactFor(slice, c),
+                (before.head._1, "left_outer", before.head._3) +: before.tail)
+              val d1New = t1.scanAsOfVersion(curVers(r1))
+              val ext0 = src.schema.fields.foldLeft(d1New) { (f, fld) =>
+                f.withColumn(fld.name, lit(null).cast(fld.dataType))
+              }
+              val extB = joinBase(ext0, before.tail)
+              val extCand = extB.join(slice, expr(c), "left_semi")
+              // the anti probe runs WITHOUT the NULLed fact columns
+              // (the FULL condition would otherwise be ambiguous
+              // between the probe side's nulls and the fact) and
+              // re-adds them after
+              val factNames = src.schema.fields.map(_.name)
+              val probe = extCand.drop(factNames: _*)
+              val extReal0 = probe.join(prunedFactFor(probe, c1),
+                expr(c1), "left_anti")
+              val extReal = src.schema.fields.foldLeft(extReal0) { (f, fld) =>
+                f.withColumn(fld.name, lit(null).cast(fld.dataType))
+              }
+              part1.unionByName(extReal)
+            }
+          }
           val matched = joinBase(base.join(slice, expr(c), "inner"), after)
           if (jt == "inner") matched
           else {
@@ -2633,7 +2705,11 @@ object GraftMaterializedView {
             // same algebra as LEFT (before/after are empty: FULL is
             // single-join by analysis)
             val linearTerm =
-              if (jt == "full_outer") slice.join(base, expr(c), "left_outer")
+              if (jt == "full_outer")
+                // dim-side linear part of the FULL head; suffix dims
+                // (round 17) apply to it at OLD pins, exactly as they
+                // do to the flip rows
+                joinBase(slice.join(base, expr(c), "left_outer"), after)
               else matched
             linearTerm.unionByName(joinBase(flips, after))
           }

@@ -2002,6 +2002,94 @@ object TableQueries {
              |FROM li FULL OUTER JOIN ord ON l_orderkey = okey
              |GROUP BY pri ORDER BY pri NULLS FIRST""".stripMargin)),
 
+    // FULL OUTER COMPOSED WITH A SUFFIX DIM (round 17): the FULL head
+    // join (li FULL ord) feeds an INNER dim keyed off the FULL dim's
+    // column (priority -> class), so order-side NULL-extensions (orders
+    // with no lineitems) thread through the suffix join exactly as the
+    // defining query's rows do. Incremental through a MoR fact burst, a
+    // suffix-dim relabel UNDER LIVE EXTENSIONS (the split-base path:
+    // fact pruning must not invent extensions), and a FULL-dim move.
+    "q135_mview_full_join_dims" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq135").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq135", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq135.warehouse",
+            Files.createTempDirectory("graft-mview-fjdims").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq135.bench")
+        s.sql("CALL graftq135.system.drop_mview('bench', 'fpc')")
+        s.sql("DROP TABLE IF EXISTS graftq135.bench.li")
+        s.sql("DROP TABLE IF EXISTS graftq135.bench.ord")
+        s.sql("DROP TABLE IF EXISTS graftq135.bench.prd")
+        s.sql("""CREATE TABLE graftq135.bench.li
+                |(l_orderkey BIGINT, qty DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        s.sql("""CREATE TABLE graftq135.bench.ord
+                |(okey BIGINT, pri STRING)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        s.sql("CREATE TABLE graftq135.bench.prd (pri2 STRING, cls STRING)")
+        s.sql("""INSERT INTO graftq135.bench.prd VALUES
+                |('1-URGENT','HOT'), ('2-HIGH','HOT'), ('3-MEDIUM','WARM'),
+                |('4-NOT SPECIFIED','COLD'), ('5-LOW','COLD')""".stripMargin)
+        t(s, dir, "orders").createOrReplaceTempView("q135_ord")
+        t(s, dir, "lineitem").createOrReplaceTempView("q135_li")
+        s.sql("""INSERT INTO graftq135.bench.ord
+                |SELECT o_orderkey, o_orderpriority FROM q135_ord
+                |WHERE o_orderkey % 3 != 0""".stripMargin)
+        s.sql("""INSERT INTO graftq135.bench.li
+                |SELECT l_orderkey, l_quantity
+                |FROM q135_li WHERE l_orderkey % 2 = 0""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq135.system.create_mview('bench', 'fpc',
+            |  'SELECT cls, SUM(qty) AS sq, COUNT(*) AS n
+            |   FROM graftq135.bench.li FULL OUTER JOIN graftq135.bench.ord
+            |     ON l_orderkey = okey
+            |   JOIN graftq135.bench.prd ON pri = pri2
+            |   GROUP BY cls')""".stripMargin).head.getString(0)
+        require(mode == "incremental",
+          s"FULL-join MV with a suffix dim must register incremental, got $mode")
+        // fact burst: odd-key lineitems flip thousands of order-side
+        // extensions to matched; the MoR delete retracts through
+        // changelog pre-images
+        s.sql("""INSERT INTO graftq135.bench.li
+                |SELECT l_orderkey, l_quantity
+                |FROM q135_li WHERE l_orderkey % 2 = 1""".stripMargin)
+        s.sql("DELETE FROM graftq135.bench.li WHERE qty >= 45.0")
+        val a1 = s.sql("CALL graftq135.system.refresh_mview('bench', 'fpc', false)")
+          .head.getString(2)
+        require(a1 == "incremental", s"li-side refresh expected incremental, got $a1")
+        // suffix-dim relabel while extensions are live
+        s.sql("UPDATE graftq135.bench.prd SET cls = 'WARM2' WHERE pri2 = '3-MEDIUM'")
+        val a2 = s.sql("CALL graftq135.system.refresh_mview('bench', 'fpc', false)")
+          .head.getString(2)
+        require(a2 == "incremental",
+          s"suffix-dim refresh expected incremental, got $a2")
+        // FULL-dim move: late orders arrive, one priority class leaves
+        s.sql("""INSERT INTO graftq135.bench.ord
+                |SELECT o_orderkey, o_orderpriority FROM q135_ord
+                |WHERE o_orderkey % 3 = 0 AND o_orderkey <= 1000""".stripMargin)
+        s.sql("DELETE FROM graftq135.bench.ord WHERE pri = '2-HIGH'")
+        val a3 = s.sql("CALL graftq135.system.refresh_mview('bench', 'fpc', false)")
+          .head.getString(2)
+        require(a3 == "incremental", s"ord-side refresh expected incremental, got $a3")
+        s.sql("SELECT cls, sq, n FROM graftq135.bench.fpc ORDER BY cls")
+      },
+      Some("""WITH li AS (
+             |  SELECT l_orderkey, l_quantity AS qty FROM lineitem
+             |  WHERE l_quantity < 45.0),
+             |ord AS (
+             |  SELECT o_orderkey AS okey, o_orderpriority AS pri FROM orders
+             |  WHERE (o_orderkey % 3 != 0 OR o_orderkey <= 1000)
+             |    AND o_orderpriority <> '2-HIGH'),
+             |prd AS (
+             |  SELECT * FROM (VALUES
+             |    ('1-URGENT','HOT'), ('2-HIGH','HOT'), ('3-MEDIUM','WARM2'),
+             |    ('4-NOT SPECIFIED','COLD'), ('5-LOW','COLD')) AS t(pri2, cls))
+             |SELECT cls, SUM(qty) AS sq, COUNT(*) AS n
+             |FROM li FULL OUTER JOIN ord ON l_orderkey = okey
+             |JOIN prd ON pri = pri2
+             |GROUP BY cls ORDER BY cls""".stripMargin)),
+
     // LEFT-join MV with a MOVED dimension: unmatched facts aggregate
     // under the NULL group; then the dim moves in BOTH flip directions
     // (missing orders arrive → NULL-extensions retract; urgent orders

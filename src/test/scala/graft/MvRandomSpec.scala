@@ -789,16 +789,127 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
       Seq("incremental", "empty", "noop") should contain(action)
       check(s"step=$step action=$action")
     }
-    // FULL composed with another join refuses incremental (single-join
-    // algebra) and cannot register full either (two sources)
-    intercept[Exception](spark.sql(
+    // round 17: FULL now composes with further dims when it is the
+    // FIRST join — but only then; deeper in the chain still refuses
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.dim2x")
+    spark.sql(s"CREATE TABLE graft.$ns.dim2x (cat2 STRING, memo STRING)")
+    val e = intercept[Exception](spark.sql(
       s"""CALL graft.system.create_mview('$ns', 'm2',
          |  'SELECT cat, COUNT(*) AS n FROM graft.$ns.fact
-         |   FULL OUTER JOIN graft.$ns.dim ON g = dg
-         |   JOIN graft.$ns.dim d2 ON cat = d2.cat GROUP BY cat')""".stripMargin))
+         |   JOIN graft.$ns.dim ON g = dg
+         |   FULL OUTER JOIN graft.$ns.dim2x ON cat = cat2 GROUP BY cat')"""
+        .stripMargin.replace("\n", " ")))
+    (Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")) should
+      include("FIRST join")
+    spark.sql(s"DROP TABLE graft.$ns.dim2x")
     spark.sql(s"CALL graft.system.drop_mview('$ns', 'm')")
     spark.sql(s"DROP TABLE graft.$ns.fact")
     spark.sql(s"DROP TABLE graft.$ns.dim")
+  }
+
+  // Round-17: the FULL head join COMPOSES with further inner/left dims
+  // — suffix dims ride every FULL term at their telescope pins, and a
+  // moved suffix dim's term splits the FULL prefix so fact pruning
+  // cannot invent extensions. Differential churn over all four
+  // relations: fact, the FULL dim, a dim-keyed INNER suffix dim
+  // (extensions survive into it when their key matches), and a
+  // fact-keyed LEFT suffix dim (extensions NULL-extend under it).
+  test("join MV: FULL OUTER head composes with suffix dims through churn") {
+    val ns = "mvjfc"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    for (t <- Seq("fact", "d1", "d2", "d3")) spark.sql(s"DROP TABLE IF EXISTS graft.$ns.$t")
+    spark.sql(s"CREATE TABLE graft.$ns.fact (id BIGINT, g STRING, r INT, v DOUBLE)")
+    spark.sql(s"CREATE TABLE graft.$ns.d1 (dg STRING, cat STRING)")
+    spark.sql(s"CREATE TABLE graft.$ns.d2 (ck STRING, lbl STRING)")
+    spark.sql(s"CREATE TABLE graft.$ns.d3 (rk INT, extra STRING)")
+    spark.sql(s"INSERT INTO graft.$ns.d1 VALUES ('g0','c0'),('g1','c1'),('g9','c2')")
+    spark.sql(s"INSERT INTO graft.$ns.d2 VALUES ('c0','L0'),('c1','L1'),('c2','L2')")
+    spark.sql(s"INSERT INTO graft.$ns.d3 VALUES (0,'E0'),(1,'E1')")
+    spark.sql(s"INSERT INTO graft.$ns.fact VALUES " +
+      "(1,'g0',0,10.0),(2,'g1',1,20.0),(3,'g2',2,30.0)")
+    val defn =
+      s"""SELECT lbl, extra, SUM(v) AS t, AVG(v) AS av, MAX(v) AS mx,
+         |       COUNT(*) AS n, COUNT(DISTINCT v) AS dv
+         |FROM graft.$ns.fact FULL OUTER JOIN graft.$ns.d1 ON g = dg
+         |     JOIN graft.$ns.d2 ON cat = ck
+         |     LEFT JOIN graft.$ns.d3 ON r = rk
+         |GROUP BY lbl, extra""".stripMargin
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'm',
+         |  '${defn.replace("\n", " ")}')""".stripMargin)
+      .head.getString(0) shouldBe "incremental"
+    def refresh(): String =
+      spark.sql(s"CALL graft.system.refresh_mview('$ns', 'm', false)")
+        .head.getString(2)
+    def aggF(sqlFrom: String): Seq[String] =
+      spark.sql(s"SELECT lbl, extra, t, av, mx, n, dv FROM $sqlFrom")
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+    def check(step: String): Unit = withClue(s"$step ") {
+      aggF(s"graft.$ns.m") shouldBe aggF(s"($defn)")
+    }
+    check("create")
+    // the directed cases first: each flip direction with suffix dims on
+    // fact gains g9's first match: the (NULLf, g9) extension — alive
+    // through d2 via cat c2 — retracts
+    spark.sql(s"INSERT INTO graft.$ns.d2 VALUES ('cX','LX')")
+    spark.sql(s"INSERT INTO graft.$ns.fact VALUES (4,'g9',0,40.0)")
+    refresh() shouldBe "incremental"
+    check("fact gains the FULL dim's first match")
+    // fact loses g9's last match: the extension re-appears, and it must
+    // re-thread d2 (inner, cat-keyed) and d3 (left, NULL r)
+    spark.sql(s"DELETE FROM graft.$ns.fact WHERE id = 4")
+    refresh() shouldBe "incremental"
+    check("fact loses the FULL dim's last match")
+    // the FULL dim moves: g2's unmatched fact row flips matched
+    spark.sql(s"INSERT INTO graft.$ns.d1 VALUES ('g2','c1')")
+    refresh() shouldBe "incremental"
+    check("FULL dim gains an unmatched fact's match")
+    // a SUFFIX dim moves while extensions exist (the split-base path:
+    // d2 is dim-keyed, so the extension side must survive the prune).
+    // The unmatched fact row's own delta nets EMPTY — its NULL cat
+    // drops under the inner d2 — which is itself a correctness pin.
+    spark.sql(s"INSERT INTO graft.$ns.fact VALUES (5,'g7',1,50.0)") // unmatched fact
+    Seq("incremental", "empty") should contain(refresh())
+    spark.sql(s"UPDATE graft.$ns.d2 SET lbl = 'L2x' WHERE ck = 'c2'")
+    refresh() shouldBe "incremental"
+    check("inner suffix dim moves under live extensions")
+    // the LEFT suffix dim moves: extension rows keep their NULL r
+    spark.sql(s"INSERT INTO graft.$ns.d3 VALUES (2,'E2')")
+    refresh() shouldBe "incremental"
+    check("left suffix dim moves")
+    val steps = 14 * sys.env.get("GRAFT_MV_SEEDS").map(_.toInt / 4 max 1).getOrElse(1)
+    val rnd = new Random(117)
+    var nextId = 5L
+    for (step <- 0 until steps) {
+      rnd.nextInt(7) match {
+        case 0 =>
+          nextId += 1
+          spark.sql(s"INSERT INTO graft.$ns.fact VALUES " +
+            s"($nextId, 'g${rnd.nextInt(7)}', ${rnd.nextInt(4)}, ${rnd.nextInt(90)}.0)")
+        case 1 =>
+          spark.sql(s"DELETE FROM graft.$ns.fact WHERE v = ${rnd.nextInt(90)}.0")
+        case 2 =>
+          spark.sql(s"INSERT INTO graft.$ns.d1 VALUES " +
+            s"('g${rnd.nextInt(8)}', 'c${rnd.nextInt(4)}')")
+        case 3 =>
+          spark.sql(s"DELETE FROM graft.$ns.d1 WHERE dg = 'g${rnd.nextInt(8)}'")
+        case 4 =>
+          val k = rnd.nextInt(4)
+          spark.sql(s"DELETE FROM graft.$ns.d2 WHERE ck = 'c$k'")
+          spark.sql(s"INSERT INTO graft.$ns.d2 VALUES ('c$k', 'L${rnd.nextInt(5)}')")
+        case 5 =>
+          spark.sql(s"INSERT INTO graft.$ns.d3 VALUES " +
+            s"(${rnd.nextInt(4)}, 'E${rnd.nextInt(5)}')")
+        case _ =>
+          spark.sql(s"DELETE FROM graft.$ns.d3 WHERE rk = ${rnd.nextInt(4)}")
+      }
+      val action = refresh()
+      Seq("incremental", "empty", "noop") should contain(action)
+      check(s"step=$step action=$action")
+    }
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'm')")
+    for (t <- Seq("fact", "d1", "d2", "d3")) spark.sql(s"DROP TABLE graft.$ns.$t")
   }
 
   // ------------------------------------------------------------------
