@@ -151,6 +151,41 @@ class GraftStreamSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE graft.mvcasc.src")
   }
 
+  // Round-17: the DUAL cascade — a window-over-aggregate MV's source is
+  // the hidden agg MV's storage; a base commit must fire the drain and
+  // one maintain call must cascade base -> rollup -> ranks.
+  test("maintain_mview drives a window-over-aggregate cascade from base commits") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvwoas")
+    spark.sql("DROP TABLE IF EXISTS graft.mvwoas.src")
+    spark.sql("CREATE TABLE graft.mvwoas.src (id BIGINT, g STRING, sub STRING, v DOUBLE)")
+    spark.sql("INSERT INTO graft.mvwoas.src VALUES " +
+      "(1,'a','x',5.0),(2,'a','y',3.0),(3,'b','x',9.0),(4,'a','z',4.0)")
+    val defSql =
+      """SELECT g, sub, sv, rn FROM (
+        |  SELECT g, sub, sv, ROW_NUMBER() OVER (PARTITION BY g
+        |    ORDER BY sv DESC, sub) AS rn
+        |  FROM (SELECT g, sub, SUM(v) AS sv FROM graft.mvwoas.src
+        |        GROUP BY g, sub)) WHERE rn <= 2""".stripMargin
+    spark.sql(
+      s"""CALL graft.system.create_mview('mvwoas', 'woa',
+         |  '${defSql.replace("'", "''")}')""".stripMargin)
+      .head.getString(0) shouldBe "window"
+    def mv: Seq[String] =
+      spark.sql("SELECT g, sub, sv, rn FROM graft.mvwoas.woa ORDER BY g, rn")
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    val ckpt = Files.createTempDirectory("mv-woas-ckpt").toString
+    // a BASE commit (two levels below the window) must fire the drain
+    spark.sql("INSERT INTO graft.mvwoas.src VALUES (5,'a','x',6.0),(6,'b','y',1.0)")
+    spark.sql(s"CALL graft.system.maintain_mview('mvwoas', 'woa', '$ckpt')")
+    mv shouldBe Seq("a|x|11.0|1", "a|z|4.0|2", "b|x|9.0|1", "b|y|1.0|2")
+    // restart from the checkpoint: a delete that re-ranks group a
+    spark.sql("DELETE FROM graft.mvwoas.src WHERE id = 5")
+    spark.sql(s"CALL graft.system.maintain_mview('mvwoas', 'woa', '$ckpt')")
+    mv shouldBe Seq("a|x|5.0|1", "a|z|4.0|2", "b|x|9.0|1", "b|y|1.0|2")
+    spark.sql("CALL graft.system.drop_mview('mvwoas', 'woa')")
+    spark.sql("DROP TABLE graft.mvwoas.src")
+  }
+
   // Round-17: a sharded-fact star-join MV (union legs — one behind a
   // per-leg SELECT — joined to a dim) feeds the stream one source per
   // relation; a commit on a PROJECTED leg or on the dim alone must
