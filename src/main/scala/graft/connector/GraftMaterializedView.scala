@@ -1653,6 +1653,15 @@ object GraftMaterializedView {
         val s = substAgg(e)
         if (!s.deterministic) return None
         s"(${plainSql(s)}) AS `$n`"
+      // a bare attr may alias a computed projection below the aggregate
+      // (one-level-projected group keys) — render the substituted
+      // expression like the Alias case, else the innerSql references a
+      // column the base table doesn't have and the cascade silently
+      // degrades to FULL mode (ADVICE r17)
+      case a: AttributeReference if aggMap.contains(a.exprId) =>
+        val s = substAgg(a)
+        if (!s.deterministic) return None
+        s"(${plainSql(s)}) AS `${a.name}`"
       case a: AttributeReference => s"`${a.name}`"
       case _ => return None
     }
@@ -2035,7 +2044,8 @@ object GraftMaterializedView {
     */
   def create(spark: SparkSession, cat: GraftCatalog, catalogName: String,
              ns: String, name: String, sql: String,
-             storageSpec: Option[String] = None): (String, Int, Long) = {
+             storageSpec: Option[String] = None,
+             extraProps: Map[String, String] = Map.empty): (String, Int, Long) = {
     val parsed = spark.sessionState.sqlParser.parseQuery(sql)
     val analyzed = spark.sessionState.executePlan(parsed).analyzed
     val sources = graftSources(analyzed)
@@ -2071,31 +2081,39 @@ object GraftMaterializedView {
     // through the cascade marker. A reconstruction that cannot register
     // both halves incrementally tears down what it created and falls
     // through to FULL mode — loud degradation, never a broken pair.
+    // A cascade may only claim (and on failure drop) a hidden inner name
+    // that nothing else owns — table, view, OR an unclaimed storage
+    // table. If the user already owns `<name>__w`/`<name>__a`, skip the
+    // cascade entirely and fall through to FULL mode: attempting it
+    // would collide, and any cleanup would destroy the unrelated
+    // existing object (ADVICE r17, high).
+    def innerNameFree(inner: String): Boolean =
+      !cat.exists(TableIdent(ns, inner)) && !viewStore.exists(ns, inner) &&
+        !cat.exists(TableIdent(ns, inner + StorageSuffix))
     if (shaped.isLeft && windowShaped.isLeft) unwrapAliases(analyzed) match {
       case agg: Aggregate => analyzeWindow(agg.child) match {
         case Right(ws) =>
           val innerName = name + "__w"
-          cascadeSqls(catalogName, ns, innerName, ws, agg, relOf).foreach {
-            case (innerSql, outerSql) =>
-              val (m1, _, _) = create(spark, cat, catalogName, ns, innerName,
-                innerSql, None)
-              if (m1 != "window") drop(cat, ns, innerName)
-              else {
-                val (m2, v2, rows2) =
-                  try create(spark, cat, catalogName, ns, name, outerSql,
-                    storageSpec)
-                  catch {
-                    case e: Throwable => drop(cat, ns, innerName); throw e
-                  }
-                if (m2 != "incremental") {
-                  drop(cat, ns, name); drop(cat, ns, innerName)
-                } else {
-                  cat.load(TableIdent(ns, name + StorageSuffix))
-                    .updateProperties(Map(CascadeProp -> s"$ns/$innerName"))
-                  return ("incremental", v2, rows2)
+          if (innerNameFree(innerName))
+            cascadeSqls(catalogName, ns, innerName, ws, agg, relOf).foreach {
+              case (innerSql, outerSql) =>
+                val (m1, _, _) = create(spark, cat, catalogName, ns, innerName,
+                  innerSql, None)
+                if (m1 != "window") drop(cat, ns, innerName)
+                else {
+                  // the cascade marker rides in the outer's creation
+                  // commit, so the pair is registered atomically
+                  val (m2, v2, rows2) =
+                    try create(spark, cat, catalogName, ns, name, outerSql,
+                      storageSpec,
+                      extraProps = Map(CascadeProp -> s"$ns/$innerName"))
+                    catch {
+                      case e: Throwable => drop(cat, ns, innerName); throw e
+                    }
+                  if (m2 != "incremental") drop(cat, ns, name) // chains to inner
+                  else return ("incremental", v2, rows2)
                 }
-              }
-          }
+            }
         case Left(_) => ()
       }
       case _ => ()
@@ -2114,34 +2132,36 @@ object GraftMaterializedView {
     // torn down and the create falls through to FULL mode.
     if (shaped.isLeft && windowShaped.isLeft) {
       val innerName = name + "__a"
-      cascadeWoaSqls(catalogName, ns, innerName, analyzed, relOf).foreach {
-        case (innerSql, outerSql) =>
-          scala.util.Try(
-            create(spark, cat, catalogName, ns, innerName, innerSql, None)) match {
-            case scala.util.Success((m1, _, _)) =>
-              if (m1 != "incremental") drop(cat, ns, innerName)
-              else {
-                val (m2, v2, rows2) =
-                  try create(spark, cat, catalogName, ns, name, outerSql,
-                    storageSpec)
-                  catch {
-                    case e: Throwable => drop(cat, ns, innerName); throw e
-                  }
-                if (m2 != "window") {
-                  drop(cat, ns, name); drop(cat, ns, innerName)
-                } else {
-                  cat.load(TableIdent(ns, name + StorageSuffix))
-                    .updateProperties(Map(CascadeProp -> s"$ns/$innerName"))
-                  return ("window", v2, rows2)
+      if (innerNameFree(innerName))
+        cascadeWoaSqls(catalogName, ns, innerName, analyzed, relOf).foreach {
+          case (innerSql, outerSql) =>
+            scala.util.Try(
+              create(spark, cat, catalogName, ns, innerName, innerSql, None)) match {
+              case scala.util.Success((m1, _, _)) =>
+                if (m1 != "incremental") drop(cat, ns, innerName)
+                else {
+                  // the cascade marker rides in the outer's creation
+                  // commit, so the pair is registered atomically
+                  val (m2, v2, rows2) =
+                    try create(spark, cat, catalogName, ns, name, outerSql,
+                      storageSpec,
+                      extraProps = Map(CascadeProp -> s"$ns/$innerName"))
+                    catch {
+                      case e: Throwable => drop(cat, ns, innerName); throw e
+                    }
+                  if (m2 != "window") drop(cat, ns, name) // chains to inner
+                  else return ("window", v2, rows2)
                 }
-              }
-            case scala.util.Failure(_) =>
-              // the rendering drifted from what create() accepts — clean
-              // any debris and fall through to FULL mode (loud in the
-              // returned mode, never a broken pair)
-              scala.util.Try(drop(cat, ns, innerName))
-          }
-      }
+              case scala.util.Failure(_) =>
+                // the rendering drifted from what create() accepts —
+                // clean any debris and fall through to FULL mode (loud
+                // in the returned mode, never a broken pair). Safe: the
+                // innerNameFree gate above proved nothing pre-existed
+                // under this name, so whatever is there now is debris
+                // from THIS call.
+                scala.util.Try(drop(cat, ns, innerName))
+            }
+        }
     }
     // the FACT drives the staleness contract; full mode needs exactly
     // one source to track (an unanalyzable multi-table shape has no
@@ -2292,11 +2312,16 @@ object GraftMaterializedView {
     // refresh rewrite on top of the zone-map refinement — the lever for
     // very high-cardinality MVs
     val storage = cat.ensure(storageIdent, storageSpec)
+    // extraProps last: the cascade marker (and any future creation-time
+    // metadata) lands in the SAME commit as the storage creation, so a
+    // crash between "outer created" and "marker written" cannot leave a
+    // registered window MV whose hidden inner level is never refreshed
+    // (ADVICE r17)
     storage.append(frame, props = Map(
       SqlProp -> sql,
       SourceProp -> rel,
       AppliedProp -> cur.toString,
-      ModeProp -> mode) ++ shapeProps)
+      ModeProp -> mode) ++ shapeProps ++ extraProps)
     val publicCols = frame.columns.filterNot(_.startsWith("_mv_"))
     // HAVING applies at VIEW-read time over the stored aggregates (incl.
     // hidden _mv_h extras) — storage keeps every group so refresh stays

@@ -268,4 +268,117 @@ class MvNestedSpec extends AnyFunSuite with Matchers {
     spark.sql(s"CALL graft.system.drop_mview('$ns', 'obl')")
     spark.sql(s"DROP TABLE graft.$ns.src")
   }
+
+  // ADVICE r17 (high): a cascade must NEVER claim an inner name the user
+  // already owns — the old Failure cleanup could drop an unrelated
+  // pre-existing MV named `<name>__a`. Now the cascade pre-checks the
+  // name and skips to FULL mode, leaving the user's object untouched.
+  test("cascade skips to FULL mode when the hidden inner name is user-owned") {
+    val ns = "mvclaim"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.src")
+    spark.sql(s"CREATE TABLE graft.$ns.src (id BIGINT, g STRING, sub STRING, v DOUBLE)")
+    spark.sql(s"INSERT INTO graft.$ns.src VALUES " +
+      "(1,'a','x',5.0),(2,'a','y',9.0),(3,'b','x',2.0),(4,'b','y',7.0)")
+    // the user owns `woa2__a` — an unrelated incremental MV with data
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'woa2__a',
+         |  'SELECT sub, COUNT(*) AS n FROM graft.$ns.src GROUP BY sub')""".stripMargin)
+      .head.getString(0) shouldBe "incremental"
+    val userRows = spark.sql(s"SELECT sub, n FROM graft.$ns.woa2__a ORDER BY sub")
+      .collect().map(_.toSeq.mkString("|")).toSeq
+    // a window-over-aggregate shape that WOULD cascade into `woa2__a`
+    val defSql =
+      s"""SELECT g, sub, sv, rn FROM (
+         |  SELECT g, sub, sv, ROW_NUMBER() OVER (PARTITION BY g
+         |    ORDER BY sv DESC, sub) AS rn
+         |  FROM (SELECT g, sub, SUM(v) AS sv FROM graft.$ns.src GROUP BY g, sub)
+         |) WHERE rn <= 1""".stripMargin
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'woa2',
+         |  '${defSql.replace("'", "''")}')""".stripMargin)
+      .head.getString(0) shouldBe "full"
+    // the pre-existing user MV survives, data intact
+    spark.sql(s"SELECT sub, n FROM graft.$ns.woa2__a ORDER BY sub")
+      .collect().map(_.toSeq.mkString("|")).toSeq shouldBe userRows
+    // the FULL-mode outer still answers correctly
+    spark.sql(s"SELECT g, sub, sv, rn FROM graft.$ns.woa2").collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted shouldBe
+      spark.sql(defSql).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'woa2')")
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'woa2__a')")
+    spark.sql(s"DROP TABLE graft.$ns.src")
+  }
+
+  // ADVICE r17 (low): a group key that is a COMPUTED projection below
+  // the aggregate (SELECT upper(g) AS gu ... GROUP BY gu) used to render
+  // as a bare `gu` in the cascade's innerSql — a column the base table
+  // doesn't have — silently felling the whole CREATE to FULL mode. The
+  // substAgg rendering now inlines the expression, so it cascades.
+  test("window-over-agg cascade handles projected group keys") {
+    val ns = "mvproj"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.src")
+    spark.sql(s"CREATE TABLE graft.$ns.src (id BIGINT, g STRING, sub STRING, v DOUBLE)")
+    spark.sql(s"INSERT INTO graft.$ns.src VALUES " +
+      "(1,'a','x',5.0),(2,'A','y',9.0),(3,'b','x',2.0),(4,'B','y',7.0),(5,'a','y',4.0)")
+    val defSql =
+      s"""SELECT gu, sub, sv, rn FROM (
+         |  SELECT gu, sub, sv, ROW_NUMBER() OVER (PARTITION BY gu
+         |    ORDER BY sv DESC, sub) AS rn
+         |  FROM (SELECT gu, sub, SUM(v) AS sv
+         |        FROM (SELECT upper(g) AS gu, sub, v FROM graft.$ns.src)
+         |        GROUP BY gu, sub)
+         |) WHERE rn <= 1""".stripMargin
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'proj',
+         |  '${defSql.replace("'", "''")}')""".stripMargin)
+      .head.getString(0) shouldBe "window"
+    def check(step: String): Unit = withClue(step) {
+      spark.sql(s"SELECT gu, sub, sv, rn FROM graft.$ns.proj").collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted shouldBe
+        spark.sql(defSql).collect()
+          .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+    }
+    check("create")
+    spark.sql(s"INSERT INTO graft.$ns.src VALUES (6,'A','x',20.0),(7,'c','y',3.0)")
+    spark.sql(s"DELETE FROM graft.$ns.src WHERE id = 2")
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'proj', false)")
+      .head.getString(2) shouldBe "incremental"
+    check("after burst")
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'proj')")
+    spark.sql(s"DROP TABLE graft.$ns.src")
+  }
+
+  // ADVICE r17 (low): the cascade marker must land in the outer
+  // storage's CREATION commit — a crash between "outer created" and a
+  // separate marker commit would leave a window MV whose hidden inner
+  // level is never refreshed (silent staleness).
+  test("cascade marker rides in the outer storage's creation commit") {
+    import graft.table.{GraftCatalog, TableIdent}
+    val ns = "mvatomic"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.src")
+    spark.sql(s"CREATE TABLE graft.$ns.src (id BIGINT, g STRING, sub STRING, v DOUBLE)")
+    spark.sql(s"INSERT INTO graft.$ns.src VALUES " +
+      "(1,'a','x',5.0),(2,'a','y',9.0),(3,'b','x',2.0)")
+    val defSql =
+      s"""SELECT g, sub, sv, rn FROM (
+         |  SELECT g, sub, sv, ROW_NUMBER() OVER (PARTITION BY g
+         |    ORDER BY sv DESC, sub) AS rn
+         |  FROM (SELECT g, sub, SUM(v) AS sv FROM graft.$ns.src GROUP BY g, sub)
+         |) WHERE rn <= 1""".stripMargin
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'atom',
+         |  '${defSql.replace("'", "''")}')""".stripMargin)
+      .head.getString(0) shouldBe "window"
+    val cat = GraftCatalog(spark, spark.conf.get("spark.sql.catalog.graft.warehouse"))
+    val snaps = cat.load(TableIdent(ns, "atom__rows")).snapshots()
+    // exactly the creation append, and it already carries the marker
+    snaps.size shouldBe 1
+    snaps.head.properties.get("graft.mview.cascade") shouldBe Some(s"$ns/atom__a")
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'atom')")
+    spark.sql(s"DROP TABLE graft.$ns.src")
+  }
 }
