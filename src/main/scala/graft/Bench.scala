@@ -243,13 +243,28 @@ object Bench {
       if (ws.isEmpty) 0.0 else ws(ws.size / 2)
     }
     val CleanStealPct = 5.0
+    // Inflation ratio vs the prior round's recorded wall for this query
+    // (or this run's median when the query is new): retry slots must go
+    // to the rows most DISTORTED, not the rows most expensive. The r17
+    // window ranked candidates by absolute wall and capped at 24 — all
+    // slots went to intrinsically-heavy MV rows while a 36x-inflated
+    // trivial query (q14, 0.29s -> 10.38s) recorded with ZERO retries.
+    def inflation(name: String, d: QDiag): Double = {
+      val base = priorQueries.get(name.split("_")(0)).filter(_ > 0.05)
+        .getOrElse(math.max(median, 0.05))
+      d.wallS / base
+    }
+    // the cap scales with how dirty the window actually was, so broad
+    // contamination widens the retry set instead of starving it
+    val dirtyFirstPass = firstPass.count { case (_, d) => d.err.isEmpty && d.dirty }
+    val retryCap = math.max(24, 2 * dirtyFirstPass)
     // errored queries are not retry candidates: their "wall" is time-to-
     // throw, and re-running a deterministic failure buys nothing
     val retryWorthy = firstPass.filter { case (nm, d) =>
       d.err.isEmpty &&
         (d.stealPct > 10.0 || d.stalled || d.wallS > math.max(3.0, 4.0 * median) ||
           regressed(nm, d))
-    }.sortBy(-_._2.wallS).take(24).map(_._1).toSet
+    }.sortBy { case (nm, d) => -inflation(nm, d) }.take(retryCap).map(_._1).toSet
     val retriedQueries = scala.collection.mutable.Set.empty[String]
     val finals = firstPass.map { case (name, d) =>
       var best = d
@@ -275,10 +290,41 @@ object Bench {
       }
       name -> best
     }
-    val suspectCount = finals.count(d => d._2.err.isEmpty && d._2.stealPct >= CleanStealPct)
-    val stalledCount = finals.count(d => d._2.err.isEmpty && d._2.stalled)
-    val failed = finals.collect { case (name, d) if d.err.isDefined => name }
-    val results = finals.collect { case (name, d) if d.err.isEmpty => name -> d.wallS }.toMap
+    // Third pass (r17 verdict #1): when the SUITE-level steal across
+    // every attempt so far exceeds 10%, the whole window was
+    // contaminated and the bounded per-query retries above likely
+    // landed in dirty windows themselves — sweep every recorded row
+    // whose best measurement is STILL dirty or still regressed, worst
+    // inflation first, under a wall budget so a hopeless box cannot
+    // double the bench.
+    val suiteStealFirstPasses = {
+      val st = diags.map(_.stealJf).sum
+      val bs = diags.map(_.busyJf).sum
+      if (bs <= 0) 0.0 else 100.0 * st / bs
+    }
+    val ThirdPassBudgetS = 300.0
+    var thirdPassCount = 0
+    val finals2 =
+      if (suiteStealFirstPasses <= 10.0) finals
+      else {
+        var spentS = 0.0
+        val byName = scala.collection.mutable.Map(finals: _*)
+        val candidates = finals
+          .filter { case (nm, d) => d.err.isEmpty && (d.dirty || regressed(nm, d)) }
+          .sortBy { case (nm, d) => -inflation(nm, d) }
+        for ((nm, _) <- candidates if spentS < ThirdPassBudgetS) {
+          retriedQueries += nm
+          thirdPassCount += 1
+          val retry = timed(s"$nm#pass3", SparkEntry.queries(nm))
+          spentS += retry.wallS
+          if (retry.wallS < byName(nm).wallS) byName(nm) = retry
+        }
+        finals.map { case (nm, _) => nm -> byName(nm) }
+      }
+    val suspectCount = finals2.count(d => d._2.err.isEmpty && d._2.stealPct >= CleanStealPct)
+    val stalledCount = finals2.count(d => d._2.err.isEmpty && d._2.stalled)
+    val failed = finals2.collect { case (name, d) if d.err.isDefined => name }
+    val results = finals2.collect { case (name, d) if d.err.isEmpty => name -> d.wallS }.toMap
     // The driver keeps only a 2000-char tail of stdout and parses the JSON
     // line out of it; at ~67 queries full-precision doubles overflow that
     // window (round-3 bench was rc:0 but parsed:null). 2-decimal values keep
@@ -320,7 +366,7 @@ object Bench {
     // Prior rounds can themselves be contaminated, so this flags, never
     // gates.
     val regressions: Seq[(String, Double, Double)] =
-      finals.flatMap { case (name, d) =>
+      finals2.flatMap { case (name, d) =>
         val short = name.split("_")(0)
         priorQueries.get(short).collect {
           case p if p > 0.5 && d.wallS > 2.0 * p => (short, p, d.wallS)
@@ -337,7 +383,7 @@ object Bench {
       // contamination signature
       s"""{"name":"${d.name}","start_epoch_ms":${d.startMs},"wall_s":${f(d.wallS)},"cpu_s":${f(d.cpuS)},"loadavg":${f(d.load)},"steal_pct":${f(d.stealPct)},"stalled":${d.stalled},"err":${d.err.map(jstr).getOrElse("null")}}"""
     }.mkString(
-      s"""{"jvms_at_start":$jvmsAtStart,"jvms_unrelated_at_start":$jvmsUnrelated,"clean_window_at_start":$cleanWindow,"waited_s":${f(waitedS)},"loadavg_start":${f(loadAtStart)},"loadavg_end":${f(loadAtEnd)},"cpus":$cpus,"retry_policy":"min-of-retries-while-dirty-or-regressed-v4","reference_window":${referenceWindow.map(jstr).getOrElse("null")},"reference_queries":${priorQueries.size},"regressions":$regJson,"queries":[""",
+      s"""{"jvms_at_start":$jvmsAtStart,"jvms_unrelated_at_start":$jvmsUnrelated,"clean_window_at_start":$cleanWindow,"waited_s":${f(waitedS)},"loadavg_start":${f(loadAtStart)},"loadavg_end":${f(loadAtEnd)},"cpus":$cpus,"retry_policy":"inflation-ranked-retries-v5","retry_cap":$retryCap,"dirty_first_pass":$dirtyFirstPass,"suite_steal_firstpass_pct":${f(suiteStealFirstPasses)},"third_pass_runs":$thirdPassCount,"reference_window":${referenceWindow.map(jstr).getOrElse("null")},"reference_queries":${priorQueries.size},"regressions":$regJson,"queries":[""",
       ",", "]}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_diag.json"), diagJson)
     catch { case _: Exception => () }
