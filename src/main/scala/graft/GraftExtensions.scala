@@ -27,5 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectParser((session, delegate) =>
       new graft.connector.GraftSqlParser(session, delegate))
     ext.injectResolutionRule(graft.connector.GraftViewSubstitution)
+    // opt-in transparent MV rewrite (SET graft.mview.rewrite = true):
+    // ad-hoc queries matching a FRESH registered MV's shape read its
+    // storage instead of re-scanning base tables
+    ext.injectPostHocResolutionRule(graft.connector.GraftMviewRewrite)
   }
 }

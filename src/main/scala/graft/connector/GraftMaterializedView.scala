@@ -2001,6 +2001,65 @@ object GraftMaterializedView {
   def mviewsReading(cat: GraftCatalog, rel: String): Seq[String] =
     mviewsReadingWithProps(cat, rel).map(_._1)
 
+  /** Re-entrancy guard for the opt-in transparent rewrite
+    * ([[GraftMviewRewrite]]): analysis that runs INSIDE the MV
+    * machinery — create()'s shape analysis, the rule's own analysis of
+    * candidate definitions and substitute reads — must not itself be
+    * rewritten (create would silently register an MV over another MV's
+    * storage; the rule would cache an already-substituted definition).
+    */
+  private[connector] val rewriteDisabled: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial[java.lang.Boolean](() => java.lang.Boolean.FALSE)
+  private[connector] def withRewriteDisabled[T](f: => T): T = {
+    val old = rewriteDisabled.get()
+    rewriteDisabled.set(true)
+    try f finally rewriteDisabled.set(old)
+  }
+
+  /** Every registered MV in the warehouse with its namespace, name, and
+    * storage props — the rewrite rule's candidate enumerator.
+    * Metadata-scale: one view-store listing per namespace plus one
+    * snapshot-properties read per MV; no job runs.
+    */
+  def registeredMviews(cat: GraftCatalog): Seq[(String, String, Map[String, String])] = {
+    val viewStore = new GraftViewStore(cat.fs, cat.warehouse)
+    val namespaces =
+      try cat.fs.listStatus(cat.warehouse).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName).sorted
+      catch { case _: java.io.FileNotFoundException => Nil }
+    for {
+      ns <- namespaces
+      vn <- viewStore.list(ns)
+      sv <- viewStore.load(ns, vn).toSeq
+      if sv.properties.get("graft.mview").contains("true")
+      storageIdent = TableIdent(ns, vn + StorageSuffix)
+      if cat.exists(storageIdent)
+      props <- cat.load(storageIdent).current().map(_.properties).toSeq
+    } yield (ns, vn, props)
+  }
+
+  /** Is the MV's stored state current w.r.t. EVERY pinned source —
+    * fact, dimensions, union legs? A fresh MV's view read equals its
+    * defining query run now, which is what licenses the transparent
+    * rewrite's substitution; anything stale (or unparsable) is not.
+    */
+  def isFresh(cat: GraftCatalog, props: Map[String, String]): Boolean = {
+    def cur(rel: String): Option[Int] = rel.split("/") match {
+      case Array(rns, rt) =>
+        scala.util.Try(cat.load(TableIdent(rns, rt)).currentOrFail().version).toOption
+      case _ => None
+    }
+    scala.util.Try {
+      val factOk = props.get(SourceProp).exists(r =>
+        props.get(AppliedProp).exists(a => cur(r).contains(a.toInt)))
+      val dimsOk = props.get(DimVersProp).forall(j =>
+        dimVersFromJson(j).forall { case (r, v) => cur(r).contains(v) })
+      val legsOk = props.get(UFactsProp).forall(j =>
+        dimVersFromJson(j).forall { case (r, v) => cur(r).contains(v) })
+      factOk && dimsOk && legsOk
+    }.getOrElse(false)
+  }
+
   def mviewsReferencing(spark: SparkSession, cat: GraftCatalog,
                         rel: String, column: String): Seq[String] =
     mviewsReadingWithProps(cat, rel).collect {
@@ -2045,7 +2104,18 @@ object GraftMaterializedView {
   def create(spark: SparkSession, cat: GraftCatalog, catalogName: String,
              ns: String, name: String, sql: String,
              storageSpec: Option[String] = None,
-             extraProps: Map[String, String] = Map.empty): (String, Int, Long) = {
+             extraProps: Map[String, String] = Map.empty): (String, Int, Long) =
+    // shape analysis must see the user's plan over BASE tables — a
+    // transparent rewrite here would silently register the MV over
+    // another MV's storage
+    withRewriteDisabled {
+      createImpl(spark, cat, catalogName, ns, name, sql, storageSpec, extraProps)
+    }
+
+  private def createImpl(spark: SparkSession, cat: GraftCatalog, catalogName: String,
+                         ns: String, name: String, sql: String,
+                         storageSpec: Option[String],
+                         extraProps: Map[String, String]): (String, Int, Long) = {
     val parsed = spark.sessionState.sqlParser.parseQuery(sql)
     val analyzed = spark.sessionState.executePlan(parsed).analyzed
     val sources = graftSources(analyzed)
@@ -2364,6 +2434,12 @@ object GraftMaterializedView {
     * or recompute (full / forced). Returns (from, to, action).
     */
   def refresh(spark: SparkSession, cat: GraftCatalog,
+              ns: String, name: String, forceFull: Boolean): (Int, Int, String) =
+    // refresh's recomputes/replays must read base tables directly — a
+    // rewrite substitution mid-refresh is at best wasted matching work
+    withRewriteDisabled { refreshImpl(spark, cat, ns, name, forceFull) }
+
+  private def refreshImpl(spark: SparkSession, cat: GraftCatalog,
               ns: String, name: String, forceFull: Boolean): (Int, Int, String) = {
     val storage = cat.load(TableIdent(ns, name + StorageSuffix))
     val props = storage.currentOrFail().properties

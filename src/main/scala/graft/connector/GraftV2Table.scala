@@ -47,6 +47,21 @@ final class GraftV2Table(tbl: GraftTable, ident: Identifier,
   /** The table-format handle, for sibling command rewrites (MERGE). */
   private[connector] def underlying: GraftTable = tbl
 
+  /** Structural equality: same table directory + same time-travel pin.
+    * Each catalog lookup builds a fresh handle, so without this two
+    * separately-analyzed plans over the same table never compare equal
+    * at the leaves — which defeats canonicalized-plan matching
+    * (`sameResult`): Spark's exchange/subquery reuse within a query,
+    * and the opt-in MV rewrite's shape matcher across queries.
+    */
+  override def equals(other: Any): Boolean = other match {
+    case o: GraftV2Table =>
+      o.underlying.tableDir.toString == tbl.tableDir.toString && o.pin == asOf
+    case _ => false
+  }
+  override def hashCode(): Int = (tbl.tableDir.toString, asOf).##
+  private[connector] def pin: Option[Either[Int, Long]] = asOf
+
   // resolved once: Spark calls schema()/readSchema several times during
   // analysis, and each resolution re-reads the snapshot log
   private lazy val pinnedSnap: Snapshot = asOf match {

@@ -2090,6 +2090,81 @@ object TableQueries {
              |JOIN prd ON pri = pri2
              |GROUP BY cls ORDER BY cls""".stripMargin)),
 
+    // TRANSPARENT MV REWRITE (round 18): the same ad-hoc aggregate a
+    // user would type — fact JOIN dim WHERE ... GROUP BY — is answered
+    // from a registered FRESH MV's storage by the opt-in rewrite rule
+    // (SET graft.mview.rewrite=true): the plan reads O(groups) stored
+    // rows instead of re-scanning the fact. Staleness is respected and
+    // require-gated in-plan: while the fact carries unapplied changes
+    // the SAME query plans against the base tables; after refresh it
+    // substitutes again.
+    "q136_mview_rewrite" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq136").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq136", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq136.warehouse",
+            Files.createTempDirectory("graft-mview-rw").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq136.bench")
+        s.sql("CALL graftq136.system.drop_mview('bench', 'rollup')")
+        t(s, dir, "lineitem").createOrReplaceTempView("q136_li")
+        t(s, dir, "nation").createOrReplaceTempView("q136_na")
+        s.sql("DROP TABLE IF EXISTS graftq136.bench.fact")
+        s.sql("""CREATE TABLE graftq136.bench.fact
+                |(okey BIGINT, dk BIGINT, qty DOUBLE, price DOUBLE)""".stripMargin)
+        s.sql("""INSERT INTO graftq136.bench.fact
+                |SELECT l_orderkey, l_suppkey % 25, l_quantity, l_extendedprice
+                |FROM q136_li WHERE l_orderkey % 2 = 0""".stripMargin)
+        s.sql("DROP TABLE IF EXISTS graftq136.bench.dim")
+        s.sql("CREATE TABLE graftq136.bench.dim (dkey BIGINT, region STRING)")
+        s.sql("INSERT INTO graftq136.bench.dim SELECT n_nationkey, n_name FROM q136_na")
+        val userSql =
+          """SELECT region, SUM(qty) AS sq, COUNT(*) AS n, SUM(price) AS sp
+            |FROM graftq136.bench.fact JOIN graftq136.bench.dim ON dk = dkey
+            |WHERE qty < 45.0
+            |GROUP BY region""".stripMargin
+        val mode = s.sql(
+          s"""CALL graftq136.system.create_mview('bench', 'rollup',
+             |  '${userSql.replace("'", "''")}')""".stripMargin).head.getString(0)
+        require(mode == "incremental", s"expected incremental MV, got $mode")
+        val prev = s.conf.getOption("graft.mview.rewrite")
+        try {
+          s.conf.set("graft.mview.rewrite", "true")
+          // fresh: the ad-hoc plan substitutes the MV storage
+          require(s.sql(userSql).queryExecution.analyzed.toString
+              .contains("rollup__rows"),
+            "fresh MV was not substituted into the ad-hoc plan")
+          // stale: unapplied fact changes must BLOCK the substitution
+          s.sql("""INSERT INTO graftq136.bench.fact
+                  |SELECT l_orderkey, l_suppkey % 25, l_quantity, l_extendedprice
+                  |FROM q136_li WHERE l_orderkey % 2 = 1""".stripMargin)
+          require(!s.sql(userSql).queryExecution.analyzed.toString
+              .contains("rollup__rows"),
+            "stale MV was substituted — the staleness check is broken")
+          s.sql("CALL graftq136.system.refresh_mview('bench', 'rollup', false)")
+          // refreshed: substitutes again, with an ORDER BY kept on top
+          // of the rewritten subtree (subtree matching, not whole-plan)
+          val rewritten = s.sql(userSql + " ORDER BY region")
+          require(rewritten.queryExecution.analyzed.toString
+              .contains("rollup__rows"),
+            "refreshed MV was not substituted")
+          rewritten
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set("graft.mview.rewrite", v)
+            case None => s.conf.unset("graft.mview.rewrite")
+          }
+        }
+      },
+      Some("""WITH fact AS (
+             |  SELECT l_orderkey AS okey, l_suppkey % 25 AS dk,
+             |         l_quantity AS qty, l_extendedprice AS price
+             |  FROM lineitem),
+             |dim AS (SELECT n_nationkey AS dkey, n_name AS region FROM nation)
+             |SELECT region, SUM(qty) AS sq, COUNT(*) AS n, SUM(price) AS sp
+             |FROM fact JOIN dim ON dk = dkey WHERE qty < 45.0
+             |GROUP BY region ORDER BY region""".stripMargin)),
+
     // LEFT-join MV with a MOVED dimension: unmatched facts aggregate
     // under the NULL group; then the dim moves in BOTH flip directions
     // (missing orders arrive → NULL-extensions retract; urgent orders
