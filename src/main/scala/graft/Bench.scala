@@ -48,6 +48,25 @@ object Bench {
       rest(11).toLong + rest(12).toLong // utime, stime
     } catch { case _: Exception => -1L }
 
+  /** This JVM's SYSTEM-time jiffies alone (stime from /proc/self/stat).
+    * The q133 587-cpu-s postmortem (r17 verdict #2): a 25x CPU blowup
+    * with identical results did NOT reproduce from JVM-internal heap
+    * pressure (probed 2g/4g heaps with live ballast — either clean runs
+    * with mild GC or a LOUD UNABLE_TO_ACQUIRE_MEMORY failure, never a
+    * silent slow mode). The remaining mechanism that inflates process
+    * CPU without work growth is kernel direct reclaim under HOST memory
+    * pressure (a co-tenant JVM): reclaim/compaction stalls inside page
+    * faults are charged to the faulting process as system time. Split
+    * stime out so that signature — sys_s exploding while user time
+    * matches clean-run work — is attributable from the artifact alone.
+    */
+  private def procSysJiffies(): Long =
+    try {
+      val s = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/self/stat"))
+      val rest = s.substring(s.lastIndexOf(')') + 2).split("\\s+")
+      rest(12).toLong // stime
+    } catch { case _: Exception => -1L }
+
   /** Jiffies per second; Linux ships USER_HZ=100 and that is what /proc
     * exposes regardless of kernel HZ.
     */
@@ -150,9 +169,11 @@ object Bench {
     // first absorbed residual JIT/codegen warm-up).
     case class QDiag(name: String, startMs: Long, wallS: Double, load: Double,
                      stealJf: Long, busyJf: Long, cpuJf: Long,
+                     sysJf: Long = -1L,
                      err: Option[String] = None) {
       def stealPct: Double = if (busyJf <= 0) 0.0 else 100.0 * stealJf / busyJf
       def cpuS: Double = if (cpuJf < 0) -1.0 else cpuJf / Hz
+      def sysS: Double = if (sysJf < 0) -1.0 else sysJf / Hz
       /** Wall ≫ CPU actually granted to this JVM: the process averaged
         * under half a core across a multi-second window — it was
         * WAITING, not computing. Catches the stalls steal can't see
@@ -167,6 +188,7 @@ object Bench {
       val load0 = loadAvg()
       val (steal0, busy0) = cpuStat()
       val cpu0 = procCpuJiffies()
+      val sys0 = procSysJiffies()
       val startMs = System.currentTimeMillis()
       val t0 = System.nanoTime()
       // A query that throws must surface as FAILED, not as a phantom
@@ -178,8 +200,10 @@ object Bench {
       val wall = (System.nanoTime() - t0) / 1e9
       val (steal1, busy1) = cpuStat()
       val cpu1 = procCpuJiffies()
+      val sys1 = procSysJiffies()
       val d = QDiag(name, startMs, wall, load0, steal1 - steal0, busy1 - busy0,
-        if (cpu0 < 0 || cpu1 < 0) -1L else cpu1 - cpu0, err)
+        if (cpu0 < 0 || cpu1 < 0) -1L else cpu1 - cpu0,
+        if (sys0 < 0 || sys1 < 0) -1L else sys1 - sys0, err)
       diags += d
       d
     }
@@ -381,7 +405,7 @@ object Bench {
       // seconds this JVM burned in the window — wall >> cpu at low
       // steal is a stall (I/O wait or scheduler noise), the second
       // contamination signature
-      s"""{"name":"${d.name}","start_epoch_ms":${d.startMs},"wall_s":${f(d.wallS)},"cpu_s":${f(d.cpuS)},"loadavg":${f(d.load)},"steal_pct":${f(d.stealPct)},"stalled":${d.stalled},"err":${d.err.map(jstr).getOrElse("null")}}"""
+      s"""{"name":"${d.name}","start_epoch_ms":${d.startMs},"wall_s":${f(d.wallS)},"cpu_s":${f(d.cpuS)},"sys_s":${f(d.sysS)},"loadavg":${f(d.load)},"steal_pct":${f(d.stealPct)},"stalled":${d.stalled},"err":${d.err.map(jstr).getOrElse("null")}}"""
     }.mkString(
       s"""{"jvms_at_start":$jvmsAtStart,"jvms_unrelated_at_start":$jvmsUnrelated,"clean_window_at_start":$cleanWindow,"waited_s":${f(waitedS)},"loadavg_start":${f(loadAtStart)},"loadavg_end":${f(loadAtEnd)},"cpus":$cpus,"retry_policy":"inflation-ranked-retries-v5","retry_cap":$retryCap,"dirty_first_pass":$dirtyFirstPass,"suite_steal_firstpass_pct":${f(suiteStealFirstPasses)},"third_pass_runs":$thirdPassCount,"reference_window":${referenceWindow.map(jstr).getOrElse("null")},"reference_queries":${priorQueries.size},"regressions":$regJson,"queries":[""",
       ",", "]}")
