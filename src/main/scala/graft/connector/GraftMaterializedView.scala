@@ -2060,6 +2060,35 @@ object GraftMaterializedView {
     }.getOrElse(false)
   }
 
+  /** Every changelog anchor a registered MV still needs on `rel`, as
+    * (mv-name, marker-version) pairs — the proactive expire guard's
+    * input (r17 verdict #3: nothing PREVENTED a retention job from
+    * dropping versions a dependent MV's next refresh needs, silently
+    * forcing a 100 TB full recompute that surfaced only later as
+    * `changelogGone`). Covers the fact marker, dimension pins,
+    * UNION-ALL leg pins, MV-over-MV (`rel` = a level-1 storage table),
+    * and COUNT(DISTINCT) dedup-level aux pins (`rel` = an aux table).
+    * Metadata-scale, like every other MV guard sweep.
+    */
+  def dependentMarkers(cat: GraftCatalog, rel: String): Seq[(String, Int)] =
+    registeredMviews(cat).flatMap { case (ns, vn, props) =>
+      val fact = props.get(SourceProp).filter(_ == rel)
+        .flatMap(_ => props.get(AppliedProp).flatMap(_.toIntOption))
+      val dim = props.get(DimVersProp).flatMap(j =>
+        scala.util.Try(dimVersFromJson(j)).toOption.flatMap(_.get(rel)))
+      val leg = props.get(UFactsProp).flatMap(j =>
+        scala.util.Try(dimVersFromJson(j)).toOption.flatMap(_.get(rel)))
+      val aux = rel.split("/") match {
+        case Array(rns, rt)
+            if rns == ns && rt.startsWith(vn + StorageSuffix + "__dl") =>
+          rt.stripPrefix(vn + StorageSuffix + "__dl").toIntOption
+            .flatMap(i => props.get(dlVerProp(i)).flatMap(_.toIntOption))
+        case _ => None
+      }
+      (fact.toSeq ++ dim.toSeq ++ leg.toSeq ++ aux.toSeq)
+        .map(v => (s"$ns.$vn", v))
+    }
+
   def mviewsReferencing(spark: SparkSession, cat: GraftCatalog,
                         rel: String, column: String): Seq[String] =
     mviewsReadingWithProps(cat, rel).collect {

@@ -2323,6 +2323,30 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         val expired = all.filter(s => s.timestampMs <= ms &&
           s.version != newest.version && !tagged.contains(s.version))
         if (expired.isEmpty) return 0
+        // Proactive MV guard (r17 verdict #3): a registered MV's
+        // incremental refresh replays this table's changelog FROM its
+        // applied/pinned marker — expiring any version at or above a
+        // dependent marker would surface only at the next refresh as
+        // `changelogGone`, forcing a full recompute of (at 100 TB) a
+        // very expensive view. Refuse BY NAME instead, naming the
+        // remedy. Tables outside a catalog warehouse sweep nothing and
+        // proceed unchanged; the sweep is metadata-only.
+        locally {
+          val wh = tableDir.getParent.getParent
+          val rel = s"${tableDir.getParent.getName}/${tableDir.getName}"
+          val stranded = scala.util.Try(
+            graft.connector.GraftMaterializedView.dependentMarkers(
+              GraftCatalog(spark, wh.toString), rel)).getOrElse(Nil)
+            .filter { case (_, marker) => expired.exists(_.version >= marker) }
+            .sortBy(_._1).distinct
+          require(stranded.isEmpty,
+            s"cannot expire snapshots of ${tableDir.getName}: materialized " +
+              s"view(s) ${stranded.map { case (mv, m) => s"$mv (marker $m)" }
+                .mkString(", ")} still need the changelog from their " +
+              "applied/pinned versions — refresh them past the cutoff " +
+              "(CALL graft.system.refresh_mview) or drop them first, or " +
+              "expire with a cutoff below the minimum marker")
+        }
         val survivors = all.diff(expired)
         // liveness is FAMILY-wide: a file or manifest this log no
         // longer references may still be live from main or a branch

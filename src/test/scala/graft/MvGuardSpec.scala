@@ -371,4 +371,43 @@ class MvGuardSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP VIEW graft.$ns.v")
     spark.sql(s"DROP TABLE graft.$ns.t")
   }
+
+  // Round 18 (r17 verdict #4): expire_snapshots must not strand a
+  // dependent MV's changelog marker — previously that surfaced only at
+  // the next refresh as changelogGone, forcing a full recompute.
+  test("expire_snapshots refuses when it would strand a dependent MV marker") {
+    import graft.table.{GraftCatalog, TableIdent}
+    val ns = "mvexpire"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.src")
+    spark.sql(s"CREATE TABLE graft.$ns.src (g STRING, v DOUBLE)")
+    spark.sql(s"INSERT INTO graft.$ns.src VALUES ('a', 1.0), ('b', 2.0)")
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'mexp',
+         |  'SELECT g, SUM(v) AS t FROM graft.$ns.src GROUP BY g')""".stripMargin)
+      .head.getString(0) shouldBe "incremental"
+    // the marker sits at version 1; pile on commits the MV hasn't applied
+    spark.sql(s"INSERT INTO graft.$ns.src VALUES ('a', 3.0)")
+    spark.sql(s"INSERT INTO graft.$ns.src VALUES ('b', 4.0)")
+    val cat = GraftCatalog(spark, spark.conf.get("spark.sql.catalog.graft.warehouse"))
+    val src = cat.load(TableIdent(ns, "src"))
+    // expiring down to the newest snapshot would drop versions >= marker
+    val before = src.snapshots().size
+    val e = intercept[IllegalArgumentException](src.expireSnapshots(keepLast = 1))
+    e.getMessage should include(s"$ns.mexp")
+    e.getMessage should include("refresh_mview")
+    src.snapshots().size shouldBe before // nothing was expired
+    // refresh advances the marker to head; the same expire now proceeds
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'mexp', false)")
+      .head.getString(2) shouldBe "incremental"
+    src.expireSnapshots(keepLast = 1) should be > 0
+    // and the MV still refreshes incrementally afterwards
+    spark.sql(s"INSERT INTO graft.$ns.src VALUES ('c', 5.0)")
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'mexp', false)")
+      .head.getString(2) shouldBe "incremental"
+    spark.sql(s"SELECT g, t FROM graft.$ns.mexp ORDER BY g").collect()
+      .map(_.toSeq.mkString("|")).toSeq shouldBe Seq("a|4.0", "b|6.0", "c|5.0")
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'mexp')")
+    spark.sql(s"DROP TABLE graft.$ns.src")
+  }
 }
