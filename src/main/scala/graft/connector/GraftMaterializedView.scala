@@ -1614,9 +1614,11 @@ object GraftMaterializedView {
     * over the inner MV's public name. Same contract as [[cascadeSqls]]:
     * everything renders from the ANALYZED plan and the recursive
     * create() re-analyzes both halves, so a rendering that drifted
-    * refuses instead of silently diverging. Returns None when the shape
-    * can't be rendered faithfully (union'd or FULL-outer aggregate
-    * sources, HAVING between the levels, non-attribute window inputs) —
+    * refuses instead of silently diverging. Union'd facts (per-leg
+    * WHERE/SELECT) and FULL-outer dims render faithfully (round 18) —
+    * acceptance is adjudicated by the recursive create(). Returns None
+    * when the shape can't be rendered at all (HAVING between the
+    * levels, non-attribute window inputs, nondeterministic outputs) —
     * the caller falls back to FULL mode.
     */
   private def cascadeWoaSqls(catalogName: String, ns: String, innerName: String,
@@ -1636,9 +1638,14 @@ object GraftMaterializedView {
     }
     // ---- inner: the aggregate rendered over its terminal attrs ----
     val (aggTerm, aggConds, aggMap) = inlineProjections(agg.child)
-    val (factRel, dimList) = unrollJoinChain(aggTerm) match {
-      case Right((Right(f), ds)) if !ds.exists(_._2 == "full_outer") => (f, ds)
-      case _ => return None // unions / FULL dims: keep the cascade conservative
+    // union'd facts and FULL-outer dims render faithfully (round 18 —
+    // both pieces maintain separately, q129–q133); the recursive
+    // create() re-analyzes the rendered innerSql, so acceptance is
+    // adjudicated there and an unsupported composition still falls
+    // back loudly to FULL mode
+    val (factSrc, dimList) = unrollJoinChain(aggTerm) match {
+      case Right((src, ds)) => (src, ds)
+      case Left(_) => return None
     }
     def substAgg(e: Expression): Expression =
       if (aggMap.isEmpty) e
@@ -1672,14 +1679,33 @@ object GraftMaterializedView {
       case other => sys.error(s"bad rel ${other.mkString("/")}")
     }
     val joins = dimList.map { case (d, jt, condSql) =>
-      (if (jt == "inner") " JOIN " else " LEFT JOIN ") +
-        tref(d.table.asInstanceOf[GraftV2Table].underlying) + " ON " + condSql
+      (jt match {
+        case "inner" => " JOIN "
+        case "left_outer" => " LEFT JOIN "
+        case "full_outer" => " FULL JOIN "
+        case _ => return None
+      }) + tref(d.table.asInstanceOf[GraftV2Table].underlying) + " ON " + condSql
     }.mkString
     val where =
       if (aggConds.isEmpty) ""
       else " WHERE " + aggConds.map(c => s"(${plainSql(c)})").mkString(" AND ")
+    // a union'd fact renders as an inline UNION ALL subquery with each
+    // leg's own WHERE/SELECT — exactly the per-leg pins the inner agg
+    // MV's shape analysis accepts (sharded fact star joins, q131)
+    val fromSql = factSrc match {
+      case Right(f) => tref(f.table.asInstanceOf[GraftV2Table].underlying)
+      case Left(ul) =>
+        def legSql(r: DataSourceV2Relation, lf: Option[String],
+                   pj: Option[Seq[String]]): String =
+          s"SELECT ${pj.map(_.mkString(", ")).getOrElse("*")} FROM " +
+            tref(r.table.asInstanceOf[GraftV2Table].underlying) +
+            lf.map(w => s" WHERE $w").getOrElse("")
+        "(" + (legSql(ul.fact, ul.factFilter, ul.factProj) +:
+          ul.legs.map { case (r, lf, pj) => legSql(r, lf, pj) })
+          .mkString(" UNION ALL ") + ")"
+    }
     val innerSql = s"SELECT ${outs.mkString(", ")} " +
-      s"FROM ${tref(factRel.table.asInstanceOf[GraftV2Table].underlying)}$joins$where" +
+      s"FROM $fromSql$joins$where" +
       s" GROUP BY ${groupSqls.mkString(", ")}"
 
     // ---- outer: the window selection over the inner's public name ----

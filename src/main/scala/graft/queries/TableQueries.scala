@@ -1867,6 +1867,84 @@ object TableQueries {
              |SELECT flag, SUM(price) AS sp, COUNT(*) AS n
              |FROM w WHERE rn <= 10 GROUP BY flag ORDER BY flag""".stripMargin)),
 
+    // WINDOW-OVER-AGGREGATE CASCADE with a SHARDED UNION ALL inner fact
+    // (round 18, closes r17 verdict #6): the cascade renderer now
+    // renders union'd facts per leg, so the hidden inner aggregate
+    // registers INCREMENTALLY over two MoR shard tables (per-leg pins)
+    // and the user's rank-over-rollup window maintains over its storage
+    // changelog — both levels O(changes) from one CREATE, through churn
+    // on both shards in one refresh.
+    "q138_mview_cascade_union" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq138").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq138", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq138.warehouse",
+            Files.createTempDirectory("graft-mview-cu").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq138.bench")
+        s.sql("CALL graftq138.system.drop_mview('bench', 'cu')")
+        t(s, dir, "lineitem").createOrReplaceTempView("q138_li")
+        s.sql("DROP TABLE IF EXISTS graftq138.bench.s0")
+        s.sql("DROP TABLE IF EXISTS graftq138.bench.s1")
+        // price lands as DECIMAL(12,2): the rank orders by a SUM, and
+        // raw double sums differ across engines by addition order —
+        // sum exact, convert once to double (the dsum idiom)
+        s.sql("""CREATE TABLE graftq138.bench.s0
+                |(flag STRING, bkt BIGINT, price DECIMAL(12,2))
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        s.sql("""CREATE TABLE graftq138.bench.s1
+                |(flag STRING, bkt BIGINT, price DECIMAL(12,2))
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        s.sql("""INSERT INTO graftq138.bench.s0
+                |SELECT l_returnflag, l_suppkey % 20, l_extendedprice
+                |FROM q138_li WHERE l_orderkey % 2 = 0 AND l_orderkey % 7 != 0""".stripMargin)
+        s.sql("""INSERT INTO graftq138.bench.s1
+                |SELECT l_returnflag, l_suppkey % 20, l_extendedprice
+                |FROM q138_li WHERE l_orderkey % 2 = 1 AND l_orderkey % 7 != 0""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq138.system.create_mview('bench', 'cu',
+            |  'SELECT flag, bkt, sp, rn FROM (
+            |     SELECT flag, bkt, sp, ROW_NUMBER() OVER (PARTITION BY flag
+            |       ORDER BY sp DESC, bkt) AS rn
+            |     FROM (SELECT flag, bkt, CAST(SUM(price) AS DOUBLE) AS sp FROM (
+            |             SELECT flag, bkt, price FROM graftq138.bench.s0
+            |             UNION ALL
+            |             SELECT flag, bkt, price FROM graftq138.bench.s1)
+            |           GROUP BY flag, bkt)
+            |   ) WHERE rn <= 3')""".stripMargin).head.getString(0)
+        require(mode == "window",
+          s"sharded window-over-agg cascade must register in window mode, got $mode")
+        // the hidden inner registered INCREMENTALLY over the union
+        val modes = s.sql("CALL graftq138.system.mviews('bench')").collect()
+          .map(r => (r.getString(0), r.getString(1))).toMap
+        require(modes("cu__a") == "incremental",
+          s"hidden union aggregate must be incremental, got ${modes("cu__a")}")
+        // late arrivals on shard 0 + a MoR band delete on shard 1 in
+        // ONE cascaded refresh
+        s.sql("""INSERT INTO graftq138.bench.s0
+                |SELECT l_returnflag, l_suppkey % 20, l_extendedprice
+                |FROM q138_li WHERE l_orderkey % 2 = 0 AND l_orderkey % 7 = 0""".stripMargin)
+        s.sql("DELETE FROM graftq138.bench.s1 WHERE price >= 80000.0")
+        val a1 = s.sql("CALL graftq138.system.refresh_mview('bench', 'cu', false)")
+          .head.getString(2)
+        require(a1 == "incremental", s"expected incremental cascade refresh, got $a1")
+        s.sql("SELECT flag, bkt, sp, rn FROM graftq138.bench.cu ORDER BY flag, rn")
+      },
+      Some("""WITH src AS (
+             |  SELECT l_returnflag AS flag, l_suppkey % 20 AS bkt,
+             |         CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+             |  FROM lineitem
+             |  WHERE l_orderkey % 2 = 0
+             |     OR (l_orderkey % 7 != 0 AND l_extendedprice < 80000.0)),
+             |agg AS (SELECT flag, bkt, CAST(SUM(price) AS DOUBLE) AS sp
+             |        FROM src GROUP BY flag, bkt),
+             |w AS (
+             |  SELECT flag, bkt, sp, ROW_NUMBER() OVER (PARTITION BY flag
+             |    ORDER BY sp DESC, bkt) AS rn
+             |  FROM agg)
+             |SELECT flag, bkt, sp, rn FROM w WHERE rn <= 3
+             |ORDER BY flag, rn""".stripMargin)),
+
     // RIGHT OUTER join MV (round-17 #5): `l RIGHT JOIN r` rewrites to
     // `r LEFT JOIN l` at shape analysis — the preserved side (orders)
     // becomes the FACT whose changelog drives refresh, and the original

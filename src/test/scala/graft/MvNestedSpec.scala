@@ -351,6 +351,59 @@ class MvNestedSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE graft.$ns.src")
   }
 
+  // Round 18 (r17 verdict #6): the window-over-aggregate cascade
+  // renders union'd facts faithfully — the inner aggregate registers
+  // incrementally over a sharded UNION ALL (per-leg pins), and FULL
+  // dims render as FULL JOIN for create() to adjudicate.
+  test("window-over-agg cascade accepts a sharded UNION ALL inner fact") {
+    val ns = "mvwus"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.s0")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.s1")
+    spark.sql(s"CREATE TABLE graft.$ns.s0 (id BIGINT, g STRING, sub STRING, v DOUBLE)")
+    spark.sql(s"CREATE TABLE graft.$ns.s1 (id BIGINT, g STRING, sub STRING, v DOUBLE)")
+    spark.sql(s"INSERT INTO graft.$ns.s0 VALUES " +
+      "(1,'a','x',5.0),(2,'a','y',9.0),(3,'b','x',2.0)")
+    spark.sql(s"INSERT INTO graft.$ns.s1 VALUES " +
+      "(4,'b','y',7.0),(5,'a','z',4.0),(6,'c','x',6.0)")
+    val defSql =
+      s"""SELECT g, sub, sv, rn FROM (
+         |  SELECT g, sub, sv, ROW_NUMBER() OVER (PARTITION BY g
+         |    ORDER BY sv DESC, sub) AS rn
+         |  FROM (SELECT g, sub, SUM(v) AS sv FROM (
+         |          SELECT g, sub, v FROM graft.$ns.s0
+         |          UNION ALL
+         |          SELECT g, sub, v FROM graft.$ns.s1)
+         |        GROUP BY g, sub)
+         |) WHERE rn <= 2""".stripMargin
+    spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'wus',
+         |  '${defSql.replace("'", "''")}')""".stripMargin)
+      .head.getString(0) shouldBe "window"
+    // BOTH levels registered incrementally (the old renderer felled
+    // union'd inner facts to FULL mode)
+    val dash = spark.sql(s"CALL graft.system.mviews('$ns')").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    dash("wus__a") shouldBe "incremental"
+    dash("wus") shouldBe "window"
+    def check(step: String): Unit = withClue(step) {
+      spark.sql(s"SELECT g, sub, sv, rn FROM graft.$ns.wus").collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted shouldBe
+        spark.sql(defSql).collect()
+          .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+    }
+    check("create")
+    // churn BOTH shards in one refresh window
+    spark.sql(s"INSERT INTO graft.$ns.s0 VALUES (7,'c','y',20.0),(8,'a','x',1.0)")
+    spark.sql(s"DELETE FROM graft.$ns.s1 WHERE v >= 6.0")
+    spark.sql(s"CALL graft.system.refresh_mview('$ns', 'wus', false)")
+      .head.getString(2) shouldBe "incremental"
+    check("after both-shard churn")
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'wus')")
+    spark.sql(s"DROP TABLE graft.$ns.s0")
+    spark.sql(s"DROP TABLE graft.$ns.s1")
+  }
+
   // ADVICE r17 (low): the cascade marker must land in the outer
   // storage's CREATION commit — a crash between "outer created" and a
   // separate marker commit would leave a window MV whose hidden inner
