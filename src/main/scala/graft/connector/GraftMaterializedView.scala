@@ -1446,11 +1446,23 @@ object GraftMaterializedView {
       if (dims.exists(d => factDirs.contains(d.table.tableDir)))
         return Left("self-join of the fact table — both sides change " +
           "together, so dimension pinning cannot bound the touched groups")
-      // FULL under a window: every unmatched dim row owns a NULL-
-      // extension group, so a fact slice would touch the whole dim side
-      if (dims.exists(_.joinType == "full_outer"))
-        return Left("FULL OUTER join under a window MV — the dim-side " +
-          "NULL extensions cannot be bounded by the touched-key derivation")
+      // FULL under a window (round 18, closes r17 verdict #5): the
+      // dim-side NULL extensions ARE boundable — a flipped extension
+      // touches exactly its own group's key, derived by NULL-extending
+      // the fact side of the slice-matched dim rows (and of the dim
+      // slice itself) — so refreshWindow adds those key terms and
+      // recomputes touched groups from the FULL-joined head. Only the
+      // single-dim shape maintains: with suffix dims the extension rows
+      // would need re-threading through the rest of the chain (the agg
+      // algebra's split-prefix guard), and a union'd fact would need
+      // per-leg extension terms — both refuse by name, like agg mode.
+      if (dims.exists(_.joinType == "full_outer")) {
+        if (dims.length > 1)
+          return Left("FULL OUTER join composed with further dimensions " +
+            "under a window MV — only the single-FULL-dim shape maintains")
+        if (legs.nonEmpty)
+          return Left("FULL OUTER join over a union'd fact under a window MV")
+      }
     }
     def subst(e: Expression): Expression = {
       val winInlined = e.transformUp {
@@ -3533,6 +3545,21 @@ object GraftMaterializedView {
       joinBase(factDf, dimTbls.map { case (r, t, jt, c) =>
         (t.scanAsOfVersion(vers(r)), jt, c)
       })
+    // FULL dim (round 18): analysis admits exactly ONE dim when it is
+    // FULL, no union legs
+    val fullDim: Option[(String, GraftTable, String)] =
+      dimTbls.collectFirst { case (r, t, "full_outer", c) => (r, t, c) }
+    // key derivation joins a fact-side frame to the dims — a FULL dim
+    // downgrades to LEFT there (the frame's own rows and their matched
+    // or NULL dim columns yield exactly its keys; the dim-side
+    // extension keys come from the dedicated extension terms below, so
+    // FULL here would only drag the entire unmatched dim side through
+    // every slice)
+    def joinAtKeys(factDf: DataFrame, vers: String => Int): DataFrame =
+      joinBase(factDf, dimTbls.map { case (r, t, jt, c) =>
+        (t.scanAsOfVersion(vers(r)),
+          if (jt == "full_outer") "left_outer" else jt, c)
+      })
     // UNION ALL legs (sharded window dashboards — never combined with
     // dims, enforced at analysis): per-leg pins, filters, projections,
     // exactly the aggregate path's contract
@@ -3673,13 +3700,33 @@ object GraftMaterializedView {
       val f = innerFilter.fold(base)(p => base.where(expr(p)))
       f.select(keyExprs: _*)
     }
+    // Keys of the dim-side NULL-extension rows a frame's dim partners
+    // own: the frame's matched dim rows, NULL-extended on the fact
+    // columns, through the same inner WHERE the replay applies. A fact
+    // row appearing can DESTROY its partner's extension (and one
+    // vanishing can re-create it) — either way the affected group is
+    // exactly the extension row's own key, and the matched-partner set
+    // is slice-bounded (inner join against the slice).
+    def fullExtKeysOf(factFrame: DataFrame, vers: String => Int): Seq[DataFrame] =
+      fullDim.toSeq.map { case (r, t, c) =>
+        val d = t.scanAsOfVersion(vers(r))
+        val joined = factFrame.join(d, expr(c), "inner")
+        val extended = joined.select(
+          factFrame.schema.fields.map(f =>
+            lit(null).cast(f.dataType).as(f.name)).toIndexedSeq ++
+            d.schema.fields.map(f => col(s"`${f.name}`")): _*)
+        keysOf(extended)
+      }
     val factTerms = (changes.toSeq ++ legChanges).flatMap { ch =>
-      Seq(keysOf(joinAt(ch, pinnedVer))) ++
-        (if (dimsMoved) Seq(keysOf(joinAt(ch, curVers))) else Nil)
+      Seq(keysOf(joinAtKeys(ch, pinnedVer))) ++
+        fullExtKeysOf(ch, pinnedVer) ++
+        (if (dimsMoved)
+           Seq(keysOf(joinAtKeys(ch, curVers))) ++ fullExtKeysOf(ch, curVers)
+         else Nil)
     }
     val dimTerms = dimTbls.filter { case (r, _, _, _) =>
       curVers(r) != pinnedVer(r)
-    }.flatMap { case (r, t, _, c) =>
+    }.flatMap { case (r, t, jt, c) =>
       val slice =
         try t.scanDataChangesBetween(pinnedVer(r), curVers(r))
           .drop("_commit_version").localCheckpoint()
@@ -3692,7 +3739,21 @@ object GraftMaterializedView {
       // a union'd fact derives the affected rows from the whole head
       // (every leg through its own WHERE/SELECT)
       val affected = unionHeadScan(_ => None).join(slice, expr(c), "left_semi")
-      Seq(keysOf(joinAt(affected, pinnedVer)), keysOf(joinAt(affected, curVers)))
+      // a FULL dim's slice rows also appear/vanish as their OWN
+      // NULL-extension rows — touch those keys directly (slice rows
+      // NULL-extended on the fact side, both change images included)
+      val extKeys =
+        if (jt != "full_outer") Nil
+        else {
+          val factFields = legWhere(factRelStr)(src.scanAsOfVersion(to))
+            .schema.fields
+          Seq(keysOf(slice.select(
+            factFields.map(f =>
+              lit(null).cast(f.dataType).as(f.name)).toIndexedSeq ++
+              t.schema.fields.map(f => col(s"`${f.name}`")): _*)))
+        }
+      Seq(keysOf(joinAtKeys(affected, pinnedVer)),
+        keysOf(joinAtKeys(affected, curVers))) ++ extKeys
     }
     val touched = (factTerms ++ dimTerms).reduce(_ unionByName _)
       .distinct().localCheckpoint()
@@ -3743,9 +3804,29 @@ object GraftMaterializedView {
     // schema check skips dim-side keys — still exact via the semi join);
     // a union'd fact prunes each projection-free leg against its OWN
     // schema and reads projected legs whole (their scan columns differ
-    // from the union output names — the semi join stays exact)
+    // from the union output names — the semi join stays exact).
+    //
+    // Under a FULL dim, pruning the fact can INVENT dim-side extensions
+    // (a dim row whose only matches were pruned away joins as
+    // unmatched). A false extension row carries NULL in every
+    // fact-derived key component, so it can only land in touched groups
+    // whose fact-side key components are all NULL — when no touched key
+    // has that shape, every false extension drops at the semi join and
+    // fact pruning stays sound; otherwise read the fact whole (the
+    // extension rows of the NULL-keyed group need the exact unmatched
+    // set).
+    val factPruneOk = fullDim.isEmpty || {
+      val factKeyNames = parts.filter { case (_, s) =>
+        src.schema.fields.exists(
+          _.name.equalsIgnoreCase(s.stripPrefix("`").stripSuffix("`")))
+      }.map(_._1)
+      factKeyNames.nonEmpty &&
+        touched.where(factKeyNames.map(n => col(s"`$n`").isNull)
+          .reduce(_ && _)).isEmpty
+    }
     val srcScan = unionHeadScan(t =>
-      rangeSqlFor(t.schema, keyNames, parts.map(_._2)))
+      if (factPruneOk) rangeSqlFor(t.schema, keyNames, parts.map(_._2))
+      else None)
     val srcTouched = joinAt(srcScan, curVers).join(touchedR,
       parts.zip(tk).map { case ((_, s), k) => expr(s) <=> col(s"`$k`") }
         .reduce(_ && _), "left_semi")

@@ -1867,6 +1867,87 @@ object TableQueries {
              |SELECT flag, SUM(price) AS sp, COUNT(*) AS n
              |FROM w WHERE rn <= 10 GROUP BY flag ORDER BY flag""".stripMargin)),
 
+    // FULL OUTER join UNDER A WINDOW MV (round 18, closes r17 verdict
+    // #5): both sides' NULL extensions participate in the ranked groups
+    // — dim-side extensions own their dim-derived key (here: the
+    // priority group ranks order rows with no lineitems), fact-side
+    // extensions land in the NULL group — and refresh stays incremental
+    // through BOTH-side MoR churn: the touched-key derivation adds
+    // dedicated extension terms (slice-matched dim rows NULL-extended
+    // on the fact side; the dim slice's own extension keys).
+    "q137_mview_full_window" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq137").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq137", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq137.warehouse",
+            Files.createTempDirectory("graft-mview-fw").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq137.bench")
+        s.sql("CALL graftq137.system.drop_mview('bench', 'fw')")
+        t(s, dir, "lineitem").createOrReplaceTempView("q137_li")
+        t(s, dir, "orders").createOrReplaceTempView("q137_ord")
+        s.sql("DROP TABLE IF EXISTS graftq137.bench.li")
+        s.sql("DROP TABLE IF EXISTS graftq137.bench.ord")
+        s.sql("""CREATE TABLE graftq137.bench.li
+                |(okey BIGINT, ln INT, qty DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        s.sql("""CREATE TABLE graftq137.bench.ord
+                |(okeyd BIGINT, pri STRING)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        s.sql("""INSERT INTO graftq137.bench.li
+                |SELECT l_orderkey, l_linenumber, l_quantity
+                |FROM q137_li WHERE l_quantity < 45.0 AND l_orderkey % 2 = 0""".stripMargin)
+        s.sql("""INSERT INTO graftq137.bench.ord
+                |SELECT o_orderkey, o_orderpriority FROM q137_ord
+                |WHERE o_orderkey % 3 != 0""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq137.system.create_mview('bench', 'fw',
+            |  'SELECT pri, okey, ln, qty, rn FROM (
+            |     SELECT pri, okey, ln, qty,
+            |       ROW_NUMBER() OVER (PARTITION BY pri
+            |         ORDER BY qty DESC NULLS LAST, okey, ln, okeyd) AS rn
+            |     FROM graftq137.bench.li FULL JOIN graftq137.bench.ord
+            |       ON okey = okeyd
+            |   ) WHERE rn <= 2')""".stripMargin).head.getString(0)
+        require(mode == "window",
+          s"FULL-join window MV must register in window mode, got $mode")
+        // fact side: late arrivals + a MoR band delete that re-extends
+        // order partners with NULLs
+        s.sql("""INSERT INTO graftq137.bench.li
+                |SELECT l_orderkey, l_linenumber, l_quantity
+                |FROM q137_li WHERE l_quantity < 45.0 AND l_orderkey % 2 = 1""".stripMargin)
+        s.sql("DELETE FROM graftq137.bench.li WHERE qty >= 40.0")
+        val a1 = s.sql("CALL graftq137.system.refresh_mview('bench', 'fw', false)")
+          .head.getString(2)
+        require(a1 == "incremental",
+          s"expected incremental FULL-window refresh after fact churn, got $a1")
+        // dim side: missing orders arrive (their extensions retract or
+        // flip fact extensions to matched) + a MoR priority wipe whose
+        // matched facts re-extend into the NULL group
+        s.sql("""INSERT INTO graftq137.bench.ord
+                |SELECT o_orderkey, o_orderpriority FROM q137_ord
+                |WHERE o_orderkey % 3 = 0""".stripMargin)
+        s.sql("DELETE FROM graftq137.bench.ord WHERE pri = '2-HIGH'")
+        val a2 = s.sql("CALL graftq137.system.refresh_mview('bench', 'fw', false)")
+          .head.getString(2)
+        require(a2 == "incremental",
+          s"expected incremental FULL-window refresh after dim churn, got $a2")
+        s.sql("""SELECT pri, okey, ln, qty, rn FROM graftq137.bench.fw
+                |ORDER BY pri NULLS FIRST, rn""".stripMargin)
+      },
+      Some("""WITH li AS (
+             |  SELECT l_orderkey AS okey, l_linenumber AS ln, l_quantity AS qty
+             |  FROM lineitem WHERE l_quantity < 40.0),
+             |ord AS (
+             |  SELECT o_orderkey AS okeyd, o_orderpriority AS pri
+             |  FROM orders WHERE o_orderpriority <> '2-HIGH')
+             |SELECT pri, okey, ln, qty, rn FROM (
+             |  SELECT pri, okey, ln, qty,
+             |    ROW_NUMBER() OVER (PARTITION BY pri
+             |      ORDER BY qty DESC NULLS LAST, okey, ln, okeyd) AS rn
+             |  FROM li FULL OUTER JOIN ord ON okey = okeyd
+             |) WHERE rn <= 2 ORDER BY pri NULLS FIRST, rn""".stripMargin)),
+
     // WINDOW-OVER-AGGREGATE CASCADE with a SHARDED UNION ALL inner fact
     // (round 18, closes r17 verdict #6): the cascade renderer now
     // renders union'd facts per leg, so the hidden inner aggregate

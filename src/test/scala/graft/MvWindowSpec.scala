@@ -242,6 +242,121 @@ class MvWindowSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  // Round 18 (r17 verdict #5): FULL OUTER under a window MV. Both
+  // sides' NULL extensions participate in groups — dim-side extensions
+  // own their dim-derived key (or the NULL group when the key is
+  // fact-side), and the touched-key derivation adds dedicated extension
+  // terms, so refresh stays incremental through both-side churn.
+  test("window MV over a FULL OUTER join: incremental through both-side churn") {
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(2)
+    for (seed <- 0 until seeds; keySide <- Seq("dim", "fact")) {
+      val rnd = new Random(8100 + seed)
+      val ns = s"mvwf${seed}_$keySide"
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.fact")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.dim")
+      spark.sql(s"CREATE TABLE graft.$ns.fact (id BIGINT, dk BIGINT, g STRING, v DOUBLE)")
+      spark.sql(s"CREATE TABLE graft.$ns.dim (dkey BIGINT, region STRING)")
+      // dkeys 0..4 matched-ish; 7,8 start as dim-side NULL extensions
+      spark.sql(s"INSERT INTO graft.$ns.dim VALUES " +
+        ((0 until 5).map(k => s"($k, 'r${k % 3}')") ++
+          Seq("(7, 'x7')", "(8, 'x8')")).mkString(", "))
+      var nextId = 0L
+      def insertBurst(): Unit = {
+        val burst = (0 until (1 + rnd.nextInt(6))).map { _ =>
+          nextId += 1
+          // dk 0..6: keys 5,6 have NO dim row (fact-side extensions)
+          s"($nextId, ${rnd.nextInt(7)}, 'g${rnd.nextInt(3)}', ${rnd.nextInt(20)}.0)"
+        }
+        spark.sql(s"INSERT INTO graft.$ns.fact VALUES ${burst.mkString(", ")}")
+      }
+      insertBurst()
+      val key = if (keySide == "dim") "region" else "g"
+      // total order: extension rows carry NULLs on one side, so the
+      // order must break ties through BOTH sides' key columns
+      val defSql =
+        s"""SELECT $key, id, dkey, v, rn FROM (
+           |  SELECT $key, id, dkey, v,
+           |    ROW_NUMBER() OVER (PARTITION BY $key
+           |      ORDER BY v DESC, id, dkey) AS rn
+           |  FROM graft.$ns.fact FULL JOIN graft.$ns.dim ON dk = dkey
+           |) WHERE rn <= 3""".stripMargin
+      spark.sql(
+        s"""CALL graft.system.create_mview('$ns', 'ftop',
+           |  '${defSql.replace("'", "''")}')""".stripMargin)
+        .head.getString(0) shouldBe "window"
+      def check(step: String): Unit = withClue(s"seed=$seed key=$keySide $step ") {
+        rows(s"SELECT $key, id, dkey, v, rn FROM graft.$ns.ftop") shouldBe
+          rows(s"SELECT $key, id, dkey, v, rn FROM ($defSql)")
+      }
+      check("create")
+      for (step <- 0 until 12) {
+        rnd.nextInt(6) match {
+          case 0 => insertBurst()
+          case 1 => // fact rows vanish: partners may re-extend with NULLs
+            spark.sql(s"DELETE FROM graft.$ns.fact WHERE v >= ${10 + rnd.nextInt(10)}.0")
+          case 2 => // dim relabel: moves rows (and extensions) between groups
+            spark.sql(s"UPDATE graft.$ns.dim SET region = 'r${rnd.nextInt(3)}' " +
+              s"WHERE dkey = ${rnd.nextInt(5)}")
+          case 3 => // dim row appears/disappears at an UNMATCHED key:
+            // a pure dim-side extension is born or dies
+            val k = 7 + rnd.nextInt(2)
+            spark.sql(s"DELETE FROM graft.$ns.dim WHERE dkey = $k")
+            if (rnd.nextBoolean())
+              spark.sql(s"INSERT INTO graft.$ns.dim VALUES ($k, 'x$k')")
+          case 4 => // dim row appears at a FACT-extension key: those fact
+            // rows flip from the NULL-dim state to matched
+            val k = 5 + rnd.nextInt(2)
+            spark.sql(s"DELETE FROM graft.$ns.dim WHERE dkey = $k")
+            if (rnd.nextBoolean())
+              spark.sql(s"INSERT INTO graft.$ns.dim VALUES ($k, 'r${rnd.nextInt(3)}')")
+          case 5 => // both sides move before one refresh
+            insertBurst()
+            spark.sql(s"UPDATE graft.$ns.dim SET region = 'r${rnd.nextInt(3)}' " +
+              s"WHERE dkey = ${rnd.nextInt(5)}")
+        }
+        val action = spark.sql(
+          s"CALL graft.system.refresh_mview('$ns', 'ftop', false)").head.getString(2)
+        Seq("incremental", "empty", "noop") should contain(action)
+        check(s"step=$step action=$action")
+      }
+      spark.sql(s"CALL graft.system.refresh_mview('$ns', 'ftop', true)")
+        .head.getString(2) shouldBe "full"
+      check("force_full")
+      spark.sql(s"CALL graft.system.drop_mview('$ns', 'ftop')")
+      spark.sql(s"DROP TABLE graft.$ns.fact")
+      spark.sql(s"DROP TABLE graft.$ns.dim")
+    }
+  }
+
+  test("FULL composed with further dims under a window refuses by name") {
+    val ns = "mvwfref"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.fact")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.d1")
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.d2")
+    spark.sql(s"CREATE TABLE graft.$ns.fact (id BIGINT, dk BIGINT, ck BIGINT, v DOUBLE)")
+    spark.sql(s"CREATE TABLE graft.$ns.d1 (dkey BIGINT, region STRING)")
+    spark.sql(s"CREATE TABLE graft.$ns.d2 (ckey BIGINT, cls STRING)")
+    spark.sql(s"INSERT INTO graft.$ns.fact VALUES (1, 0, 0, 5.0)")
+    spark.sql(s"INSERT INTO graft.$ns.d1 VALUES (0, 'r0')")
+    spark.sql(s"INSERT INTO graft.$ns.d2 VALUES (0, 'c0')")
+    val defSql =
+      s"""SELECT region, cls, id, rn FROM (
+         |  SELECT region, cls, id,
+         |    ROW_NUMBER() OVER (PARTITION BY region ORDER BY v DESC, id, dkey) AS rn
+         |  FROM graft.$ns.fact FULL JOIN graft.$ns.d1 ON dk = dkey
+         |    JOIN graft.$ns.d2 ON ck = ckey
+         |) WHERE rn <= 2""".stripMargin
+    val e = intercept[Exception](spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'bad',
+         |  '${defSql.replace("'", "''")}')""".stripMargin))
+    e.getMessage should include("not incrementally maintainable")
+    spark.sql(s"DROP TABLE graft.$ns.fact")
+    spark.sql(s"DROP TABLE graft.$ns.d1")
+    spark.sql(s"DROP TABLE graft.$ns.d2")
+  }
+
   test("window MV over a sharded UNION ALL: per-leg pins, projections, MoR retractions") {
     val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(3)
     for (seed <- 0 until seeds) {
