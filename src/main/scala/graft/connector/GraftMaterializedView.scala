@@ -940,15 +940,16 @@ object GraftMaterializedView {
           // moved suffix dim's telescope term splits the FULL prefix
           // into its fact-preserved part — prunable — and its
           // extension part — anti-probed against the zone-pruned
-          // fact). A FULL join deeper in the chain would need the
-          // whole join PREFIX evaluated at both telescope endpoints
-          // for the flip probes; a second FULL or a union'd fact has
-          // no single preserved side to anchor the derivation.
+          // fact). The fact position may be a UNION ALL (round 18):
+          // union is linear leg by leg, so the FULL slice term unions
+          // every leg's slice and the flip probes read the union'd
+          // fact at the FROM pins (per-leg) and at the head — the
+          // "preserved side" anchoring the flips is the union's output,
+          // not any single shard. A FULL join deeper in the chain would
+          // need the whole join PREFIX evaluated at both telescope
+          // endpoints for the flip probes; a second FULL has no single
+          // dim side to anchor the derivation.
           if (dimRels.exists(_._2 == "full_outer")) {
-            if (unionRels.nonEmpty)
-              return Left("FULL OUTER join composes with no UNION ALL " +
-                "leg — a sharded fact has no single preserved side to " +
-                "anchor the two-sided NULL-extension flips")
             if (dimRels.count(_._2 == "full_outer") > 1)
               return Left("more than one FULL OUTER join — the two-sided " +
                 "NULL-extension flips are maintained for a single FULL join")
@@ -2642,6 +2643,14 @@ object GraftMaterializedView {
         case (acc, (r, t)) =>
           acc.unionByName(legWhere(r)(t.scanAsOfVersion(legCur(r))))
       }
+    /** The FACT side's fields as the shape SQL sees them: the bare
+      * fact's schema, or the union's OUTPUT fields (per-leg projections
+      * rename/retype) — what the FULL algebra NULL-casts when it builds
+      * extension rows.
+      */
+    lazy val factSideFields: Seq[org.apache.spark.sql.types.StructField] =
+      if (legTbls.isEmpty) src.schema.fields.toSeq
+      else legWhere(factRelStr)(src.scanAsOfVersion(to)).schema.fields.toSeq
 
     /** Telescoped signed changelog of the JOINED shape between the
       * recorded state (fact at `factFrom`, dims at `pins`) and the
@@ -2671,17 +2680,23 @@ object GraftMaterializedView {
       * keys can match nothing, emptying the term.
       */
     def prunedFactFor(slice: DataFrame, condSql: String,
-                      factVersion: Int = to): DataFrame = {
+                      factVersion: Int = to,
+                      legVers: String => Int = legCur): DataFrame = {
       import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
       import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo}
-      // a union'd fact reads every leg at the head (legs coexist with
-      // dims only at the head — the FULL-outer from-version probes are
-      // legs-free by analysis); range conjuncts on computed leg
-      // projections stay frame-level, on pass-through columns they
-      // push to each leg's parquet scan through the Union
+      // a union'd fact reads every leg through its own WHERE/SELECT at
+      // the requested versions (head by default; the FULL-outer
+      // from-version probes pass the per-leg FROM pins — round 18);
+      // range conjuncts on computed leg projections stay frame-level,
+      // on pass-through columns they push to each leg's parquet scan
+      // through the Union
       val full =
         if (legTbls.isEmpty) src.scanAsOfVersion(factVersion)
-        else unionScanHead
+        else legTbls.foldLeft(
+            legWhere(factRelStr)(src.scanAsOfVersion(factVersion))) {
+          case (acc, (r, t)) =>
+            acc.unionByName(legWhere(r)(t.scanAsOfVersion(legVers(r))))
+        }
       val factCols = full.schema.fields.map(f => f.name.toLowerCase -> f.name).toMap
       val sliceT = slice.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
       val cond =
@@ -2733,26 +2748,37 @@ object GraftMaterializedView {
               pins))
         }
         else {
-          // A FULL OUTER dim (single join, no legs — enforced at
-          // analysis). FULL = LEFT ∪ dim-side NULL-extensions, and LEFT
-          // is linear in the FACT side: the signed slice left-joins the
-          // pinned dim, so changed fact rows flow through with their
-          // matches or their own (f, NULLd) extension. The DIM-side
-          // extensions (NULLf, d) flip NON-linearly under the fact move
-          // — exactly the mirror of the moved-LEFT-dim flip algebra:
+          // A FULL OUTER dim (single join — enforced at analysis).
+          // FULL = LEFT ∪ dim-side NULL-extensions, and LEFT is linear
+          // in the FACT side: the signed slice left-joins the pinned
+          // dim, so changed fact rows flow through with their matches
+          // or their own (f, NULLd) extension. A union'd fact (round
+          // 18) stays linear leg by leg — the slice is every moved
+          // leg's slice unioned through its own WHERE/SELECT. The
+          // DIM-side extensions (NULLf, d) flip NON-linearly under the
+          // fact move — exactly the mirror of the moved-LEFT-dim flip
+          // algebra:
           //   d gained its first match (∅→matches between fact@from and
           //     fact@to): the stored rows held (NULLf, d) — RETRACT;
           //   d lost its last match: (NULLf, d) now exists — INSERT.
           // Only dim rows matching a slice row can flip, so `affectedD`
-          // is slice-bounded and the two fact probes are zone-pruned by
-          // its keys — O(affected ⋈ F-rowgroups), never O(F ⋈ D).
+          // is slice-bounded and the two fact probes — the union'd fact
+          // at the FROM pins (per leg) and at the head — are
+          // zone-pruned by its keys: O(affected ⋈ F-rowgroups), never
+          // O(F ⋈ D).
           val (r, t, _, c) = dimTbls.head
-          val slice = src.scanDataChangesBetween(factFrom, to)
-            .drop("_commit_version").localCheckpoint()
+          val factSlice = legWhere(factRelStr)(
+            src.scanDataChangesBetween(factFrom, to).drop("_commit_version"))
+          val slice = legTbls.foldLeft(factSlice) {
+            case (acc, (lr, lt)) =>
+              acc.unionByName(legWhere(lr)(
+                lt.scanDataChangesBetween(legFrom(lr), legCur(lr))
+                  .drop("_commit_version")))
+          }.localCheckpoint()
           val d0 = t.scanAsOfVersion(pins(r))
           val linear = slice.join(d0, expr(c), "left_outer")
           val affectedD = d0.join(slice, expr(c), "left_semi").localCheckpoint()
-          val f0 = prunedFactFor(affectedD, c, factFrom)
+          val f0 = prunedFactFor(affectedD, c, factFrom, legFrom)
           val f1 = prunedFactFor(affectedD, c, to)
           val gained = affectedD.join(f0, expr(c), "left_anti")
             .join(f1, expr(c), "left_semi")
@@ -2761,7 +2787,7 @@ object GraftMaterializedView {
             .join(f1, expr(c), "left_anti")
             .withColumn("_change_type", lit("insert"))
           val flips0 = gained.unionByName(lost)
-          val flips = src.schema.fields.foldLeft(flips0) { (f, fld) =>
+          val flips = factSideFields.foldLeft(flips0) { (f, fld) =>
             f.withColumn(fld.name, lit(null).cast(fld.dataType))
           }
           // suffix dims (round 17 — FULL composes as the FIRST join):
@@ -2808,7 +2834,7 @@ object GraftMaterializedView {
               val part1 = joinBase(prunedFactFor(slice, c),
                 (before.head._1, "left_outer", before.head._3) +: before.tail)
               val d1New = t1.scanAsOfVersion(curVers(r1))
-              val ext0 = src.schema.fields.foldLeft(d1New) { (f, fld) =>
+              val ext0 = factSideFields.foldLeft(d1New) { (f, fld) =>
                 f.withColumn(fld.name, lit(null).cast(fld.dataType))
               }
               val extB = joinBase(ext0, before.tail)
@@ -2817,11 +2843,11 @@ object GraftMaterializedView {
               // (the FULL condition would otherwise be ambiguous
               // between the probe side's nulls and the fact) and
               // re-adds them after
-              val factNames = src.schema.fields.map(_.name)
+              val factNames = factSideFields.map(_.name)
               val probe = extCand.drop(factNames: _*)
               val extReal0 = probe.join(prunedFactFor(probe, c1),
                 expr(c1), "left_anti")
-              val extReal = src.schema.fields.foldLeft(extReal0) { (f, fld) =>
+              val extReal = factSideFields.foldLeft(extReal0) { (f, fld) =>
                 f.withColumn(fld.name, lit(null).cast(fld.dataType))
               }
               part1.unionByName(extReal)

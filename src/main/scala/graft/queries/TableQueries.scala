@@ -1867,6 +1867,86 @@ object TableQueries {
              |SELECT flag, SUM(price) AS sp, COUNT(*) AS n
              |FROM w WHERE rn <= 10 GROUP BY flag ORDER BY flag""".stripMargin)),
 
+    // FULL OUTER over a SHARDED UNION ALL fact (round 18, r17 stretch
+    // #7): union is linear leg by leg, so the FULL slice term unions
+    // every leg's slice (per-leg WHERE/SELECT included) and the
+    // dim-side NULL-extension flip probes read the union'd fact at the
+    // per-leg FROM pins and at the head — incremental through churn on
+    // both shards AND the FULL dim in one refresh window.
+    "q139_mview_full_union" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq139").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq139", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq139.warehouse",
+            Files.createTempDirectory("graft-mview-fu").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq139.bench")
+        s.sql("CALL graftq139.system.drop_mview('bench', 'fu')")
+        t(s, dir, "lineitem").createOrReplaceTempView("q139_li")
+        t(s, dir, "orders").createOrReplaceTempView("q139_ord")
+        s.sql("DROP TABLE IF EXISTS graftq139.bench.s0")
+        s.sql("DROP TABLE IF EXISTS graftq139.bench.s1")
+        s.sql("DROP TABLE IF EXISTS graftq139.bench.ord")
+        s.sql("""CREATE TABLE graftq139.bench.s0
+                |(okey BIGINT, qty DECIMAL(12,2))
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        // divergent shard schema: the per-leg SELECT renames both cols
+        s.sql("""CREATE TABLE graftq139.bench.s1
+                |(oid BIGINT, qty2 DECIMAL(12,2))
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        s.sql("""CREATE TABLE graftq139.bench.ord
+                |(okeyd BIGINT, pri STRING)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        s.sql("""INSERT INTO graftq139.bench.s0
+                |SELECT l_orderkey, l_quantity FROM q139_li
+                |WHERE l_orderkey % 2 = 0 AND l_orderkey % 5 != 0""".stripMargin)
+        s.sql("""INSERT INTO graftq139.bench.s1
+                |SELECT l_orderkey, l_quantity FROM q139_li
+                |WHERE l_orderkey % 2 = 1""".stripMargin)
+        s.sql("""INSERT INTO graftq139.bench.ord
+                |SELECT o_orderkey, o_orderpriority FROM q139_ord
+                |WHERE o_orderkey % 3 != 0""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq139.system.create_mview('bench', 'fu',
+            |  'SELECT pri, CAST(SUM(qty) AS DOUBLE) AS sq, COUNT(*) AS n
+            |   FROM (SELECT okey, qty FROM graftq139.bench.s0
+            |         UNION ALL
+            |         SELECT oid AS okey, qty2 AS qty FROM graftq139.bench.s1)
+            |     FULL OUTER JOIN graftq139.bench.ord ON okey = okeyd
+            |   GROUP BY pri')""".stripMargin).head.getString(0)
+        require(mode == "incremental",
+          s"FULL-over-union MV must register incremental, got $mode")
+        // both shards AND the dim move before one refresh: late
+        // arrivals on s0, a MoR band delete on s1 (partners re-extend),
+        // missing orders arrive and a priority is wiped
+        s.sql("""INSERT INTO graftq139.bench.s0
+                |SELECT l_orderkey, l_quantity FROM q139_li
+                |WHERE l_orderkey % 2 = 0 AND l_orderkey % 5 = 0""".stripMargin)
+        s.sql("DELETE FROM graftq139.bench.s1 WHERE qty2 >= 40.0")
+        s.sql("""INSERT INTO graftq139.bench.ord
+                |SELECT o_orderkey, o_orderpriority FROM q139_ord
+                |WHERE o_orderkey % 3 = 0""".stripMargin)
+        s.sql("DELETE FROM graftq139.bench.ord WHERE pri = '2-HIGH'")
+        val a1 = s.sql("CALL graftq139.system.refresh_mview('bench', 'fu', false)")
+          .head.getString(2)
+        require(a1 == "incremental",
+          s"expected incremental FULL-over-union refresh, got $a1")
+        s.sql("""SELECT pri, sq, n FROM graftq139.bench.fu
+                |ORDER BY pri NULLS FIRST""".stripMargin)
+      },
+      Some("""WITH fact AS (
+             |  SELECT l_orderkey AS okey,
+             |         CAST(l_quantity AS DECIMAL(12,2)) AS qty
+             |  FROM lineitem
+             |  WHERE l_orderkey % 2 = 0
+             |     OR (l_orderkey % 2 = 1 AND l_quantity < 40.0)),
+             |ord AS (
+             |  SELECT o_orderkey AS okeyd, o_orderpriority AS pri
+             |  FROM orders WHERE o_orderpriority <> '2-HIGH')
+             |SELECT pri, CAST(SUM(qty) AS DOUBLE) AS sq, COUNT(*) AS n
+             |FROM fact FULL OUTER JOIN ord ON okey = okeyd
+             |GROUP BY pri ORDER BY pri NULLS FIRST""".stripMargin)),
+
     // FULL OUTER join UNDER A WINDOW MV (round 18, closes r17 verdict
     // #5): both sides' NULL extensions participate in the ranked groups
     // — dim-side extensions own their dim-derived key (here: the

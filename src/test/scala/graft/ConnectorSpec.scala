@@ -538,8 +538,28 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
         |'SELECT g, SUM(v) AS total FROM graft.mv5.src GROUP BY g')""".stripMargin)
     spark.sql("INSERT INTO graft.mv5.src VALUES (2, 'b', 2.0)")
     spark.sql("INSERT INTO graft.mv5.src VALUES (3, 'b', 4.0)")
-    // expire everything but the head: the marker's replay range is gone
+    // round 18: the expire that would strand the marker now REFUSES up
+    // front, naming the MV — the proactive guard
+    val eg = intercept[Exception] {
+      spark.sql("CALL graft.system.expire_snapshots('mv5', 'src', 1)")
+    }
+    eg.getMessage should include("mv5.m")
+    // the changelogGone remedy path remains as defense-in-depth for
+    // OUT-OF-BAND states the guard cannot see: refresh to the head,
+    // expire legitimately, then rewind the marker behind the expired
+    // range (storage surgery) — replay is impossible and the error
+    // names force_full
+    spark.sql("CALL graft.system.refresh_mview('mv5', 'm', false)")
+      .head.getString(2) shouldBe "incremental"
     spark.sql("CALL graft.system.expire_snapshots('mv5', 'src', 1)")
+      .head.getInt(0) should be > 0
+    locally {
+      import graft.table.{GraftCatalog, TableIdent}
+      val cat = GraftCatalog(spark, spark.conf.get("spark.sql.catalog.graft.warehouse"))
+      cat.load(TableIdent("mv5", "m__rows"))
+        .updateProperties(Map("graft.mview.applied-version" -> "1"))
+    }
+    spark.sql("INSERT INTO graft.mv5.src VALUES (9, 'z', 0.5)")
     val e = intercept[Exception] {
       spark.sql("CALL graft.system.refresh_mview('mv5', 'm', false)")
     }

@@ -808,6 +808,116 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE graft.$ns.dim")
   }
 
+  // Round-18: FULL OUTER over a SHARDED UNION ALL fact — union is
+  // linear leg by leg, so the FULL slice term unions every leg's slice
+  // (through its per-leg WHERE/SELECT) and the flip probes read the
+  // union'd fact at the per-leg FROM pins and at the head. One shard
+  // carries a divergent schema (per-leg SELECT), and a second MV adds
+  // a suffix INNER dim so the moved-suffix split-prefix path runs over
+  // the union too.
+  test("join MV: FULL OUTER over a union'd fact maintains incrementally") {
+    val ns = "mvjfu"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    Seq("s0", "s1", "dim", "dim2").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.$t"))
+    spark.sql(s"CREATE TABLE graft.$ns.s0 (id BIGINT, g STRING, v DOUBLE)")
+    spark.sql(s"CREATE TABLE graft.$ns.s1 (id2 BIGINT, code STRING, amt DOUBLE)")
+    spark.sql(s"CREATE TABLE graft.$ns.dim (dg STRING, cat STRING)")
+    spark.sql(s"CREATE TABLE graft.$ns.dim2 (cat2 STRING, cls STRING)")
+    spark.sql(s"INSERT INTO graft.$ns.dim VALUES ('g0','c0'),('g1','c1'),('g9','c9')")
+    spark.sql(s"INSERT INTO graft.$ns.dim2 VALUES ('c0','K0'),('c1','K1'),('c9','K9')")
+    spark.sql(s"INSERT INTO graft.$ns.s0 VALUES (1,'g0',10.0),(2,'g2',30.0)")
+    spark.sql(s"INSERT INTO graft.$ns.s1 VALUES (100,'G1',20.0),(101,'G3',25.0)")
+    val union =
+      s"""SELECT id, g, v FROM graft.$ns.s0
+         | UNION ALL
+         | SELECT id2 AS id, lower(code) AS g, amt AS v FROM graft.$ns.s1""".stripMargin
+    val defn1 =
+      s"""SELECT cat, SUM(v) AS t, MAX(v) AS mx, COUNT(*) AS n,
+         |       COUNT(DISTINCT v) AS dv
+         |FROM ($union) FULL OUTER JOIN graft.$ns.dim ON g = dg
+         |GROUP BY cat""".stripMargin
+    val defn2 =
+      s"""SELECT cls, SUM(v) AS t, COUNT(*) AS n
+         |FROM ($union) FULL OUTER JOIN graft.$ns.dim ON g = dg
+         |  JOIN graft.$ns.dim2 ON cat = cat2
+         |GROUP BY cls""".stripMargin
+    spark.sql(s"CALL graft.system.create_mview('$ns', 'm1', " +
+      s"'${defn1.replace("\n", " ").replace("'", "''")}')")
+      .head.getString(0) shouldBe "incremental"
+    spark.sql(s"CALL graft.system.create_mview('$ns', 'm2', " +
+      s"'${defn2.replace("\n", " ").replace("'", "''")}')")
+      .head.getString(0) shouldBe "incremental"
+    def refresh(m: String): String =
+      spark.sql(s"CALL graft.system.refresh_mview('$ns', '$m', false)")
+        .head.getString(2)
+    def rowsOf(sel: String, from: String): Seq[String] =
+      spark.sql(s"SELECT $sel FROM $from ORDER BY 1 NULLS FIRST")
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    def check(step: String): Unit = withClue(s"$step ") {
+      rowsOf("cat, t, mx, n, dv", s"graft.$ns.m1") shouldBe
+        rowsOf("cat, t, mx, n, dv", s"($defn1)")
+      rowsOf("cls, t, n", s"graft.$ns.m2") shouldBe
+        rowsOf("cls, t, n", s"($defn2)")
+    }
+    check("create")
+    val rnd = new Random(181)
+    var nid = 101L
+    for (step <- 0 until 16) {
+      rnd.nextInt(6) match {
+        case 0 => // shard-0 burst (may match unmatched dims or none)
+          nid += 1
+          spark.sql(s"INSERT INTO graft.$ns.s0 VALUES " +
+            s"($nid, 'g${rnd.nextInt(7)}', ${rnd.nextInt(60)}.0)")
+        case 1 => // shard-1 burst through the projection
+          nid += 1
+          spark.sql(s"INSERT INTO graft.$ns.s1 VALUES " +
+            s"($nid, 'G${rnd.nextInt(7)}', ${rnd.nextInt(60)}.0)")
+        case 2 => // band delete on either shard: partners may re-extend
+          if (rnd.nextBoolean())
+            spark.sql(s"DELETE FROM graft.$ns.s0 WHERE v >= ${20 + rnd.nextInt(30)}.0")
+          else
+            spark.sql(s"DELETE FROM graft.$ns.s1 WHERE amt >= ${20 + rnd.nextInt(30)}.0")
+        case 3 => // FULL-dim churn: extensions born/killed directly
+          val k = rnd.nextInt(8)
+          spark.sql(s"DELETE FROM graft.$ns.dim WHERE dg = 'g$k'")
+          if (rnd.nextBoolean())
+            spark.sql(s"INSERT INTO graft.$ns.dim VALUES ('g$k', 'c${rnd.nextInt(4)}')")
+        case 4 => // suffix-dim churn: the split-prefix term over the union
+          val c = rnd.nextInt(4)
+          spark.sql(s"DELETE FROM graft.$ns.dim2 WHERE cat2 = 'c$c'")
+          if (rnd.nextBoolean())
+            spark.sql(s"INSERT INTO graft.$ns.dim2 VALUES ('c$c', 'K${rnd.nextInt(3)}')")
+        case 5 => // several sides move before one refresh
+          nid += 1
+          spark.sql(s"INSERT INTO graft.$ns.s1 VALUES " +
+            s"($nid, 'G${rnd.nextInt(7)}', ${rnd.nextInt(60)}.0)")
+          spark.sql(s"UPDATE graft.$ns.dim SET cat = 'c${rnd.nextInt(4)}' " +
+            s"WHERE dg = 'g${rnd.nextInt(5)}'")
+      }
+      val a1 = refresh("m1")
+      val a2 = refresh("m2")
+      Seq("incremental", "empty", "noop") should contain(a1)
+      Seq("incremental", "empty", "noop") should contain(a2)
+      check(s"step=$step m1=$a1 m2=$a2")
+    }
+    // a SECOND FULL join still refuses by name (no single dim side
+    // anchors the two-sided flips)
+    val e = intercept[Exception](spark.sql(
+      s"""CALL graft.system.create_mview('$ns', 'm3',
+         |  'SELECT cls, COUNT(*) AS n FROM graft.$ns.s0
+         |   FULL OUTER JOIN graft.$ns.dim ON g = dg
+         |   FULL OUTER JOIN graft.$ns.dim2 ON cat = cat2 GROUP BY cls')"""
+        .stripMargin.replace("\n", " ")))
+    (Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")) should
+      include("more than one FULL")
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'm2')")
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'm1')")
+    Seq("s0", "s1", "dim", "dim2").foreach(t =>
+      spark.sql(s"DROP TABLE graft.$ns.$t"))
+  }
+
   // Round-17: the FULL head join COMPOSES with further inner/left dims
   // — suffix dims ride every FULL term at their telescope pins, and a
   // moved suffix dim's term splits the FULL prefix so fact pruning
