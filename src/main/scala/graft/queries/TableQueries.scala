@@ -2349,8 +2349,10 @@ object TableQueries {
         t(s, dir, "lineitem").createOrReplaceTempView("q136_li")
         t(s, dir, "nation").createOrReplaceTempView("q136_na")
         s.sql("DROP TABLE IF EXISTS graftq136.bench.fact")
+        // price lands as DECIMAL(12,2): raw double SUMs diverge across
+        // engines by addition order — sum exact, convert once (dsum)
         s.sql("""CREATE TABLE graftq136.bench.fact
-                |(okey BIGINT, dk BIGINT, qty DOUBLE, price DOUBLE)""".stripMargin)
+                |(okey BIGINT, dk BIGINT, qty DOUBLE, price DECIMAL(12,2))""".stripMargin)
         s.sql("""INSERT INTO graftq136.bench.fact
                 |SELECT l_orderkey, l_suppkey % 25, l_quantity, l_extendedprice
                 |FROM q136_li WHERE l_orderkey % 2 = 0""".stripMargin)
@@ -2358,7 +2360,8 @@ object TableQueries {
         s.sql("CREATE TABLE graftq136.bench.dim (dkey BIGINT, region STRING)")
         s.sql("INSERT INTO graftq136.bench.dim SELECT n_nationkey, n_name FROM q136_na")
         val userSql =
-          """SELECT region, SUM(qty) AS sq, COUNT(*) AS n, SUM(price) AS sp
+          """SELECT region, SUM(qty) AS sq, COUNT(*) AS n,
+            |       CAST(SUM(price) AS DOUBLE) AS sp
             |FROM graftq136.bench.fact JOIN graftq136.bench.dim ON dk = dkey
             |WHERE qty < 45.0
             |GROUP BY region""".stripMargin
@@ -2397,10 +2400,12 @@ object TableQueries {
       },
       Some("""WITH fact AS (
              |  SELECT l_orderkey AS okey, l_suppkey % 25 AS dk,
-             |         l_quantity AS qty, l_extendedprice AS price
+             |         l_quantity AS qty,
+             |         CAST(l_extendedprice AS DECIMAL(12,2)) AS price
              |  FROM lineitem),
              |dim AS (SELECT n_nationkey AS dkey, n_name AS region FROM nation)
-             |SELECT region, SUM(qty) AS sq, COUNT(*) AS n, SUM(price) AS sp
+             |SELECT region, SUM(qty) AS sq, COUNT(*) AS n,
+             |       CAST(SUM(price) AS DOUBLE) AS sp
              |FROM fact JOIN dim ON dk = dkey WHERE qty < 45.0
              |GROUP BY region ORDER BY region""".stripMargin)),
 
