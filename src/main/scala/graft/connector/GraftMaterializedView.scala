@@ -2082,21 +2082,43 @@ object GraftMaterializedView {
     * defining query run now, which is what licenses the transparent
     * rewrite's substitution; anything stale (or unparsable) is not.
     */
-  def isFresh(cat: GraftCatalog, props: Map[String, String]): Boolean = {
+  def isFresh(cat: GraftCatalog, props: Map[String, String]): Boolean =
+    staleDetail(cat, props).isEmpty
+
+  /** None = fresh; Some(detail) names every stale pinned source with
+    * its pinned vs current version — the rewrite rule only needs the
+    * boolean, but `CALL graft.system.explain_rewrite` answers "why
+    * didn't my query hit the MV?" with this string.
+    */
+  def staleDetail(cat: GraftCatalog, props: Map[String, String]): Option[String] = {
     def cur(rel: String): Option[Int] = rel.split("/") match {
       case Array(rns, rt) =>
         scala.util.Try(cat.load(TableIdent(rns, rt)).currentOrFail().version).toOption
       case _ => None
     }
-    scala.util.Try {
-      val factOk = props.get(SourceProp).exists(r =>
-        props.get(AppliedProp).exists(a => cur(r).contains(a.toInt)))
-      val dimsOk = props.get(DimVersProp).forall(j =>
-        dimVersFromJson(j).forall { case (r, v) => cur(r).contains(v) })
-      val legsOk = props.get(UFactsProp).forall(j =>
-        dimVersFromJson(j).forall { case (r, v) => cur(r).contains(v) })
-      factOk && dimsOk && legsOk
-    }.getOrElse(false)
+    val pinned: Option[Seq[(String, Int)]] = scala.util.Try {
+      val fact = for {
+        r <- props.get(SourceProp)
+        a <- props.get(AppliedProp).map(_.toInt)
+      } yield (r, a)
+      fact.map { f =>
+        val dims = props.get(DimVersProp).toSeq.flatMap(j => dimVersFromJson(j).toSeq)
+        val legs = props.get(UFactsProp).toSeq.flatMap(j => dimVersFromJson(j).toSeq)
+        f +: (dims ++ legs)
+      }
+    }.toOption.flatten
+    pinned match {
+      case None => Some("pinned source versions unreadable from storage properties")
+      case Some(pins) =>
+        val stale = pins.flatMap { case (r, v) =>
+          cur(r) match {
+            case Some(cv) if cv == v => None
+            case Some(cv) => Some(s"$r pinned v$v current v$cv")
+            case None => Some(s"$r pinned v$v current unreadable")
+          }
+        }
+        if (stale.isEmpty) None else Some(stale.mkString("; "))
+    }
   }
 
   /** Every changelog anchor a registered MV still needs on `rel`, as

@@ -35,6 +35,7 @@ object GraftProcedures {
       "set_partition_spec", "verify_table", "replicate", "compact_deletes",
       "dedup_table", "rewrite_deletes",
       "create_mview", "refresh_mview", "drop_mview", "mviews", "maintain_mview",
+      "explain_rewrite",
       "ann_indexes", "refresh_ann_index", "rebuild_ann_index")
 
   def load(cat: () => GraftCatalog, name: String,
@@ -123,6 +124,29 @@ object GraftProcedures {
       // `dims_stale` flags a join MV whose pinned dimension moved: the
       // next refresh consumes the dim slices (telescoped incremental
       // for inner dims, a FULL re-pin for left) even at versions_behind 0
+      // "why didn't my query hit the MV?" — one diagnostic row per
+      // registered MV in the SESSION's graft catalogs: substituted /
+      // stale (which source, pinned vs current version) /
+      // shape_mismatch (with the most specific refusal, e.g. a
+      // non-re-aggregable DISTINCT) / type_drift /
+      // unsupported_definition / definition_unanalyzable. Freshness is
+      // probed at CALL time, same contract as the rewrite rule itself.
+      case "explain_rewrite" => Some(procMulti(name,
+        Array(ProcedureParameter.in("sql", StringType).build()),
+        StructType(Seq(
+          StructField("mview", StringType),
+          StructField("verdict", StringType),
+          StructField("detail", StringType))),
+        { in =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          val sql = in.getUTF8String(0).toString
+          def utf(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          GraftMviewRewrite.explainRewrite(spark, sql).map {
+            case (mv, verdict, detail) =>
+              new GenericInternalRow(Array[Any](
+                utf(mv), utf(verdict), utf(detail))): InternalRow
+          }.toArray
+        }))
       case "mviews" => Some(procMulti(name,
         Array(ProcedureParameter.in("namespace", StringType).build()),
         StructType(Seq(

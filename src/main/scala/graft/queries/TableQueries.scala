@@ -2409,6 +2409,111 @@ object TableQueries {
              |FROM fact JOIN dim ON dk = dkey WHERE qty < 45.0
              |GROUP BY region ORDER BY region""".stripMargin)),
 
+    // Rollup containment (round 19): ONE MV at (region, b) grain
+    // answers the whole COARSER family — group-key subset, residual
+    // key predicates, SUM/COUNT/MIN/MAX re-aggregation, AVG via its
+    // SUM/COUNT decomposition — while COUNT(DISTINCT) falls through
+    // (not re-aggregable from per-group values) and staleness still
+    // gates. At 100 TB the matched dashboard reads O(groups) storage
+    // plus an O(groups) re-aggregation instead of re-scanning the fact.
+    "q140_mview_rollup" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq140").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq140", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq140.warehouse",
+            Files.createTempDirectory("graft-mview-rollup").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq140.bench")
+        s.sql("CALL graftq140.system.drop_mview('bench', 'fine')")
+        t(s, dir, "lineitem").createOrReplaceTempView("q140_li")
+        t(s, dir, "nation").createOrReplaceTempView("q140_na")
+        s.sql("DROP TABLE IF EXISTS graftq140.bench.fact")
+        s.sql("""CREATE TABLE graftq140.bench.fact
+                |(okey BIGINT, dk BIGINT, b BIGINT, qty DOUBLE,
+                | price DECIMAL(12,2))""".stripMargin)
+        s.sql("""INSERT INTO graftq140.bench.fact
+                |SELECT l_orderkey, l_suppkey % 25, (l_suppkey % 25) % 5,
+                |       l_quantity, l_extendedprice
+                |FROM q140_li WHERE l_orderkey % 2 = 0""".stripMargin)
+        s.sql("DROP TABLE IF EXISTS graftq140.bench.dim")
+        s.sql("CREATE TABLE graftq140.bench.dim (dkey BIGINT, region STRING)")
+        s.sql("INSERT INTO graftq140.bench.dim SELECT n_nationkey, n_name FROM q140_na")
+        // the FINE-grain MV: stores sums/counts/extrema per (region, b);
+        // COUNT(qty) rides along so AVG(qty) can decompose at rollup
+        val fineSql =
+          """SELECT region, b, SUM(qty) AS sq, COUNT(*) AS n,
+            |       COUNT(qty) AS nq, MIN(qty) AS mn, MAX(qty) AS mx,
+            |       SUM(price) AS spd
+            |FROM graftq140.bench.fact JOIN graftq140.bench.dim ON dk = dkey
+            |WHERE qty < 45.0
+            |GROUP BY region, b""".stripMargin
+        val mode = s.sql(
+          s"""CALL graftq140.system.create_mview('bench', 'fine',
+             |  '${fineSql.replace("'", "''")}')""".stripMargin).head.getString(0)
+        require(mode == "incremental", s"expected incremental MV, got $mode")
+        // the COARSER dashboard: rolls (region, b) up to region
+        val rollupQ =
+          """SELECT region, SUM(qty) AS sq, COUNT(*) AS n, MIN(qty) AS mn,
+            |       MAX(qty) AS mx, AVG(qty) AS aq,
+            |       CAST(SUM(price) AS DOUBLE) AS sp
+            |FROM graftq140.bench.fact JOIN graftq140.bench.dim ON dk = dkey
+            |WHERE qty < 45.0
+            |GROUP BY region""".stripMargin
+        val prev = s.conf.getOption("graft.mview.rewrite")
+        try {
+          s.conf.set("graft.mview.rewrite", "true")
+          def substituted(q: String): Boolean =
+            s.sql(q).queryExecution.analyzed.toString.contains("fine__rows")
+          // rollup substitutes, with a RE-AGGREGATION over the storage
+          require(substituted(rollupQ), "rollup was not substituted")
+          require(s.sql(rollupQ).queryExecution.analyzed.collectFirst {
+            case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+                if a.collectLeaves().exists(_.toString.contains("fine__rows")) => a
+          }.nonEmpty, "rollup plan lacks a re-aggregation over the MV storage")
+          // residual key predicate pushes onto the storage read
+          require(substituted(
+            """SELECT region, SUM(qty) AS sq
+              |FROM graftq140.bench.fact JOIN graftq140.bench.dim ON dk = dkey
+              |WHERE qty < 45.0 AND region >= 'E'
+              |GROUP BY region""".stripMargin),
+            "key-filtered rollup was not substituted")
+          // COUNT(DISTINCT) is NOT re-aggregable — the negative pin
+          require(!substituted(
+            """SELECT region, COUNT(DISTINCT okey) AS dok
+              |FROM graftq140.bench.fact JOIN graftq140.bench.dim ON dk = dkey
+              |WHERE qty < 45.0 GROUP BY region""".stripMargin),
+            "COUNT(DISTINCT) rollup was substituted — it must fall through")
+          // stale: unapplied fact changes block the rollup path too
+          s.sql("""INSERT INTO graftq140.bench.fact
+                  |SELECT l_orderkey, l_suppkey % 25, (l_suppkey % 25) % 5,
+                  |       l_quantity, l_extendedprice
+                  |FROM q140_li WHERE l_orderkey % 2 = 1""".stripMargin)
+          require(!substituted(rollupQ),
+            "stale MV was substituted — the staleness check is broken")
+          s.sql("CALL graftq140.system.refresh_mview('bench', 'fine', false)")
+          val rewritten = s.sql(rollupQ + " ORDER BY region")
+          require(rewritten.queryExecution.analyzed.toString.contains("fine__rows"),
+            "refreshed MV rollup was not substituted")
+          rewritten
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set("graft.mview.rewrite", v)
+            case None => s.conf.unset("graft.mview.rewrite")
+          }
+        }
+      },
+      Some("""WITH fact AS (
+             |  SELECT l_orderkey AS okey, l_suppkey % 25 AS dk,
+             |         l_quantity AS qty,
+             |         CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+             |  FROM lineitem),
+             |dim AS (SELECT n_nationkey AS dkey, n_name AS region FROM nation)
+             |SELECT region, SUM(qty) AS sq, COUNT(*) AS n, MIN(qty) AS mn,
+             |       MAX(qty) AS mx, AVG(qty) AS aq,
+             |       CAST(SUM(price) AS DOUBLE) AS sp
+             |FROM fact JOIN dim ON dk = dkey WHERE qty < 45.0
+             |GROUP BY region ORDER BY region""".stripMargin)),
+
     // LEFT-join MV with a MOVED dimension: unmatched facts aggregate
     // under the NULL group; then the dim moves in BOTH flip directions
     // (missing orders arrive → NULL-extensions retract; urgent orders

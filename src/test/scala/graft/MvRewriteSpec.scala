@@ -111,6 +111,124 @@ class MvRewriteSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE graft.$ns.fact")
   }
 
+  test("rollup containment: coarser aggregates answer from MV storage") {
+    val ns = "mvrw5"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"CREATE TABLE graft.$ns.fact (k BIGINT, g STRING, b BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO graft.$ns.fact VALUES " +
+      "(1,'a',0,5.0),(2,'a',1,9.0),(3,'a',1,2.0),(4,'b',0,7.0)," +
+      "(5,'b',1,1.0),(6,'b',2,8.0),(7,'c',0,4.0)")
+    // MV at (g, b) grain stores SUM/COUNT(*)/COUNT(v)/MIN/MAX
+    val defQ = s"SELECT g, b, SUM(v) AS sv, COUNT(*) AS n, COUNT(v) AS nv, " +
+      s"MIN(v) AS mn, MAX(v) AS mx FROM graft.$ns.fact WHERE v > 1.5 GROUP BY g, b"
+    spark.sql(s"CALL graft.system.create_mview('$ns', 'fine', '${defQ.replace("'", "''")}')")
+      .head.getString(0) shouldBe "incremental"
+    // the coarser family over the SAME body
+    val coarse = s"SELECT g, SUM(v) AS sv, COUNT(*) AS n, MIN(v) AS mn, " +
+      s"MAX(v) AS mx, AVG(v) AS av FROM graft.$ns.fact WHERE v > 1.5 GROUP BY g"
+    val filtered = s"SELECT g, SUM(v) AS sv FROM graft.$ns.fact " +
+      s"WHERE v > 1.5 AND g >= 'b' GROUP BY g"
+    val global = s"SELECT COUNT(*) AS n, SUM(v) AS sv, AVG(v) AS av " +
+      s"FROM graft.$ns.fact WHERE v > 1.5"
+    val keyFn = s"SELECT upper(g) AS ug, SUM(v) AS sv FROM graft.$ns.fact " +
+      s"WHERE v > 1.5 GROUP BY upper(g)"
+    val distinctQ = s"SELECT g, COUNT(DISTINCT b) AS db FROM graft.$ns.fact " +
+      s"WHERE v > 1.5 GROUP BY g"
+    val baseline = Seq(coarse, filtered, global, keyFn, distinctQ).map(rows)
+    withRewrite {
+      for (q <- Seq(coarse, filtered, global, keyFn)) {
+        usesStorage(q, "fine__rows") shouldBe true
+        // the rewritten plan RE-AGGREGATES over the storage read
+        import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+        spark.sql(q).queryExecution.analyzed.collectFirst {
+          case a: Aggregate if a.collectLeaves().exists(
+            _.toString.contains("fine__rows")) => a
+        } should not be empty
+      }
+      // COUNT(DISTINCT) is not re-aggregable from per-group values —
+      // must fall through to the base tables (the negative pin)
+      usesStorage(distinctQ, "fine__rows") shouldBe false
+      Seq(coarse, filtered, global, keyFn, distinctQ).map(rows) shouldBe baseline
+      // staleness gates the rollup path exactly like the exact path
+      spark.sql(s"INSERT INTO graft.$ns.fact VALUES (8,'c',1,6.0)")
+      usesStorage(coarse, "fine__rows") shouldBe false
+      spark.sql(s"CALL graft.system.refresh_mview('$ns', 'fine', false)")
+      usesStorage(coarse, "fine__rows") shouldBe true
+      rows(coarse) shouldBe {
+        spark.conf.unset("graft.mview.rewrite")
+        try rows(coarse)
+        finally spark.conf.set("graft.mview.rewrite", "true")
+      }
+    }
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'fine')")
+    spark.sql(s"DROP TABLE graft.$ns.fact")
+  }
+
+  test("ORDER BY definitions: ordering is preserved, never dropped") {
+    val ns = "mvrw6"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"CREATE TABLE graft.$ns.fact (k BIGINT, g STRING, v DOUBLE)")
+    spark.sql(s"INSERT INTO graft.$ns.fact VALUES " +
+      "(1,'a',5.0),(2,'b',9.0),(3,'c',2.0),(4,'d',7.0),(5,'e',1.0)")
+    // a definition WITH ORDER BY registers (full mode); the root Sort
+    // is stripped for matching, so the user's own Sort/Limit stays on
+    // top of the substituted read (round-19 fix: previously the Sort
+    // subtree itself could match and lose the ordering guarantee)
+    val defQ = s"SELECT g, SUM(v) AS sv FROM graft.$ns.fact GROUP BY g ORDER BY sv DESC"
+    spark.sql(s"CALL graft.system.create_mview('$ns', 'ord', '${defQ.replace("'", "''")}')")
+    val topQ = defQ + " LIMIT 2"
+    val unordered = s"SELECT g, SUM(v) AS sv FROM graft.$ns.fact GROUP BY g"
+    val topBase = spark.sql(topQ).collect().map(_.toSeq.mkString("|")).toSeq
+    val ordBase = spark.sql(defQ).collect().map(_.toSeq.mkString("|")).toSeq
+    withRewrite {
+      usesStorage(topQ, "ord__rows") shouldBe true
+      usesStorage(defQ, "ord__rows") shouldBe true
+      usesStorage(unordered, "ord__rows") shouldBe true
+      // top-n MEMBERSHIP AND ORDER both survive the substitution
+      spark.sql(topQ).collect().map(_.toSeq.mkString("|")).toSeq shouldBe topBase
+      spark.sql(defQ).collect().map(_.toSeq.mkString("|")).toSeq shouldBe ordBase
+      rows(unordered) shouldBe ordBase.sorted
+    }
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'ord')")
+    spark.sql(s"DROP TABLE graft.$ns.fact")
+  }
+
+  test("explain_rewrite names the verdict per candidate") {
+    val ns = "mvrw7"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"CREATE TABLE graft.$ns.fact (k BIGINT, g STRING, v DOUBLE)")
+    spark.sql(s"INSERT INTO graft.$ns.fact VALUES (1,'a',5.0),(2,'b',9.0)")
+    val defQ = s"SELECT g, SUM(v) AS sv, COUNT(v) AS nv FROM graft.$ns.fact GROUP BY g"
+    spark.sql(s"CALL graft.system.create_mview('$ns', 'ex', '${defQ.replace("'", "''")}')")
+    def verdictOf(q: String): (String, String) =
+      spark.sql(s"CALL graft.system.explain_rewrite('${q.replace("'", "''")}')")
+        .collect().collectFirst {
+          case r if r.getString(0) == s"graft.$ns.ex" =>
+            (r.getString(1), r.getString(2))
+        }.get
+    // fresh + exact: substituted
+    val (v1, d1) = verdictOf(defQ)
+    v1 shouldBe "substituted"
+    d1 should include("ex__rows")
+    // fresh + rollup: substituted
+    verdictOf(s"SELECT SUM(v) AS sv FROM graft.$ns.fact")._1 shouldBe "substituted"
+    // non-re-aggregable: shape_mismatch with the SPECIFIC refusal
+    val (v2, d2) = verdictOf(
+      s"SELECT g, COUNT(DISTINCT v) AS dv FROM graft.$ns.fact GROUP BY g")
+    v2 shouldBe "shape_mismatch"
+    d2 should include("DISTINCT")
+    // unrelated query: shape_mismatch, generic detail
+    verdictOf(s"SELECT k FROM graft.$ns.fact WHERE k > 1")._1 shouldBe "shape_mismatch"
+    // stale: names the moved source with pinned vs current version
+    spark.sql(s"INSERT INTO graft.$ns.fact VALUES (3,'c',1.0)")
+    val (v3, d3) = verdictOf(defQ)
+    v3 shouldBe "stale"
+    d3 should include(s"$ns/fact")
+    d3 should include("pinned")
+    spark.sql(s"CALL graft.system.drop_mview('$ns', 'ex')")
+    spark.sql(s"DROP TABLE graft.$ns.fact")
+  }
+
   test("create_mview with the rewrite flag ON still registers over base tables") {
     val ns = "mvrw4"
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
