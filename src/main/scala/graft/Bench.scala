@@ -302,7 +302,9 @@ object Bench {
         attempt += 1
         retriedQueries += name
         val retry = timed(s"$name#retry$attempt", SparkEntry.queries(name))
-        if (retry.wallS < best.wallS) best = retry
+        // a retry that THROWS records wall = time-to-throw — never let
+        // it displace a successful measurement (ADVICE r18)
+        if (retry.err.isEmpty && retry.wallS < best.wallS) best = retry
       }
       // one unconditional retry for pure wall-time outliers (no steal
       // or stall signal to clear): min-of-two still smooths attribution
@@ -310,7 +312,7 @@ object Bench {
       if (retryWorthy.contains(name) && attempt == 0) {
         retriedQueries += name
         val retry = timed(s"$name#retry1", SparkEntry.queries(name))
-        if (retry.wallS < best.wallS) best = retry
+        if (retry.err.isEmpty && retry.wallS < best.wallS) best = retry
       }
       name -> best
     }
@@ -341,14 +343,60 @@ object Bench {
           thirdPassCount += 1
           val retry = timed(s"$nm#pass3", SparkEntry.queries(nm))
           spentS += retry.wallS
-          if (retry.wallS < byName(nm).wallS) byName(nm) = retry
+          if (retry.err.isEmpty && retry.wallS < byName(nm).wallS) byName(nm) = retry
         }
         finals.map { case (nm, _) => nm -> byName(nm) }
       }
-    val suspectCount = finals2.count(d => d._2.err.isEmpty && d._2.stealPct >= CleanStealPct)
-    val stalledCount = finals2.count(d => d._2.err.isEmpty && d._2.stalled)
-    val failed = finals2.collect { case (name, d) if d.err.isDefined => name }
-    val results = finals2.collect { case (name, d) if d.err.isEmpty => name -> d.wallS }.toMap
+    // Fourth pass (r18 verdict #7): rows whose BEST measurement is
+    // STILL dirty after the bounded retries get one final attempt gated
+    // on an ACTUAL clean window — the suite-start wait applied mid-run.
+    // The gate probes hypervisor steal directly (3s /proc/stat windows,
+    // normalized by machine capacity — the query-window steal/busy
+    // ratio is meaningless on an idle box) plus same-guest loadavg. A
+    // box that never goes quiet spends the wait budget once and the
+    // rows record as suspect exactly as before; both budgets land in
+    // the diag sidecar.
+    var fourthPassCount = 0
+    var fourthWaitedS = 0.0
+    var fourthCleanWindow = false
+    val finals3 = {
+      val stillDirty = finals2.filter { case (_, d) => d.err.isEmpty && d.dirty }
+      if (stillDirty.isEmpty) finals2
+      else {
+        val WaitBudgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASS4_WAIT_S", "120").toInt
+        val RunBudgetS = 180.0
+        val w0 = System.nanoTime()
+        def capacityStealPct(windowMs: Long): Double = {
+          val (s0, _) = cpuStat()
+          Thread.sleep(windowMs)
+          val (s1, _) = cpuStat()
+          val cap = Hz * cpus.toInt * (windowMs / 1000.0)
+          if (cap <= 0) 0.0 else 100.0 * (s1 - s0) / cap
+        }
+        fourthCleanWindow = loadAvg() < 2.0 && capacityStealPct(3000) < 1.0
+        while (!fourthCleanWindow &&
+               (System.nanoTime() - w0) / 1e9 < WaitBudgetS) {
+          Thread.sleep(5000)
+          fourthCleanWindow = loadAvg() < 2.0 && capacityStealPct(3000) < 1.0
+        }
+        fourthWaitedS = (System.nanoTime() - w0) / 1e9
+        var spentS = 0.0
+        val byName = scala.collection.mutable.Map(finals2: _*)
+        val cands = stillDirty.sortBy { case (nm, d) => -inflation(nm, d) }
+        for ((nm, _) <- cands if spentS < RunBudgetS) {
+          retriedQueries += nm
+          fourthPassCount += 1
+          val retry = timed(s"$nm#pass4", SparkEntry.queries(nm))
+          spentS += retry.wallS
+          if (retry.err.isEmpty && retry.wallS < byName(nm).wallS) byName(nm) = retry
+        }
+        finals2.map { case (nm, _) => nm -> byName(nm) }
+      }
+    }
+    val suspectCount = finals3.count(d => d._2.err.isEmpty && d._2.stealPct >= CleanStealPct)
+    val stalledCount = finals3.count(d => d._2.err.isEmpty && d._2.stalled)
+    val failed = finals3.collect { case (name, d) if d.err.isDefined => name }
+    val results = finals3.collect { case (name, d) if d.err.isEmpty => name -> d.wallS }.toMap
     // The driver keeps only a 2000-char tail of stdout and parses the JSON
     // line out of it; at ~67 queries full-precision doubles overflow that
     // window (round-3 bench was rc:0 but parsed:null). 2-decimal values keep
@@ -407,7 +455,7 @@ object Bench {
       // contamination signature
       s"""{"name":"${d.name}","start_epoch_ms":${d.startMs},"wall_s":${f(d.wallS)},"cpu_s":${f(d.cpuS)},"sys_s":${f(d.sysS)},"loadavg":${f(d.load)},"steal_pct":${f(d.stealPct)},"stalled":${d.stalled},"err":${d.err.map(jstr).getOrElse("null")}}"""
     }.mkString(
-      s"""{"jvms_at_start":$jvmsAtStart,"jvms_unrelated_at_start":$jvmsUnrelated,"clean_window_at_start":$cleanWindow,"waited_s":${f(waitedS)},"loadavg_start":${f(loadAtStart)},"loadavg_end":${f(loadAtEnd)},"cpus":$cpus,"retry_policy":"inflation-ranked-retries-v5","retry_cap":$retryCap,"dirty_first_pass":$dirtyFirstPass,"suite_steal_firstpass_pct":${f(suiteStealFirstPasses)},"third_pass_runs":$thirdPassCount,"reference_window":${referenceWindow.map(jstr).getOrElse("null")},"reference_queries":${priorQueries.size},"regressions":$regJson,"queries":[""",
+      s"""{"jvms_at_start":$jvmsAtStart,"jvms_unrelated_at_start":$jvmsUnrelated,"clean_window_at_start":$cleanWindow,"waited_s":${f(waitedS)},"loadavg_start":${f(loadAtStart)},"loadavg_end":${f(loadAtEnd)},"cpus":$cpus,"retry_policy":"inflation-ranked-retries-v6","retry_cap":$retryCap,"dirty_first_pass":$dirtyFirstPass,"suite_steal_firstpass_pct":${f(suiteStealFirstPasses)},"third_pass_runs":$thirdPassCount,"fourth_pass_runs":$fourthPassCount,"fourth_pass_waited_s":${f(fourthWaitedS)},"fourth_pass_clean_window":$fourthCleanWindow,"reference_window":${referenceWindow.map(jstr).getOrElse("null")},"reference_queries":${priorQueries.size},"regressions":$regJson,"queries":[""",
       ",", "]}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_diag.json"), diagJson)
     catch { case _: Exception => () }

@@ -102,7 +102,7 @@ object GraftMviewRewrite {
   /** Every graft catalog registered in this session, as
     * (catalogName, warehouse) pairs.
     */
-  private def graftCatalogs(spark: SparkSession): Seq[(String, String)] =
+  private[connector] def graftCatalogs(spark: SparkSession): Seq[(String, String)] =
     spark.conf.getAll.toSeq.collect {
       case (k, v) if k.startsWith("spark.sql.catalog.") &&
           !k.stripPrefix("spark.sql.catalog.").contains(".") &&

@@ -452,6 +452,15 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration,
     * with the freshly-read parent on every retry so the caller always
     * commits against the latest table state.
     */
+  /** Post-commit hook: [[graft.table.GraftTable]] registers Spark-side
+    * cache invalidation here, so EVERY internal write path (loader,
+    * MV refresh, compaction, expire — none of which pass through
+    * Spark's DSv2 write-path cache refresh) recaches any cached plan
+    * over this table. Must never fail a commit that already published.
+    */
+  @volatile private var commitListener: () => Unit = () => ()
+  private[graft] def onCommit(f: () => Unit): Unit = commitListener = f
+
   def commit(build: Option[Snapshot] => Snapshot,
              retries: Int = 10, minWaitMs: Long = 100, maxWaitMs: Long = 60000): Snapshot = {
     metaFs.mkdirs(versionsDir)
@@ -477,6 +486,7 @@ final class MetadataLog(val tableDir: HPath, conf: Configuration,
         })
       if (publishAtomic(versionFile(nextVersion), Snapshot.toJson(snap))) {
         snapshotCache.put(nextVersion, snap)
+        try commitListener() catch { case _: Throwable => () }
         return snap
       }
       attempt += 1

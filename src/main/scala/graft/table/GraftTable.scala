@@ -59,6 +59,12 @@ final case class MergeClause(kind: String, condition: Option[String],
   */
 final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: MetadataLog) {
 
+  // every internal commit (loader, MV refresh, compaction, expire)
+  // bypasses Spark's DSv2 write-path cache refresh — recache any
+  // cached plan over this table after each successful commit
+  log.onCommit(() =>
+    graft.connector.GraftCacheSync.recacheByDir(spark, tableDir.toString))
+
   /** The table root's filesystem — shared with the metadata log so data
     * and metadata always agree on the store.
     */
@@ -2334,9 +2340,27 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         locally {
           val wh = tableDir.getParent.getParent
           val rel = s"${tableDir.getParent.getName}/${tableDir.getName}"
-          val stranded = scala.util.Try(
-            graft.connector.GraftMaterializedView.dependentMarkers(
-              GraftCatalog(spark, wh.toString), rel)).getOrElse(Nil)
+          // Only a graft-warehouse-shaped tree can register MVs: some
+          // namespace dir under the inferred root carries a `_views`
+          // store. A table parked outside any warehouse (scratch dirs,
+          // direct GraftTable use) skips the sweep instead of listing
+          // unrelated sibling directories; a probe failure logs and
+          // skips (nothing to protect if the root is unlistable). Once
+          // the root IS warehouse-shaped, a sweep failure ABORTS the
+          // expire (fail closed) — swallowing it would silently
+          // disable the very protection this guard exists to provide
+          // (ADVICE r18).
+          val warehouseShaped = scala.util.Try(
+            fs.listStatus(wh).exists(d => d.isDirectory &&
+              fs.exists(new HPath(d.getPath, "_views")))
+          ).recover { case e =>
+            graft.observability.Log.warn("expire-snapshots MV-guard probe failed",
+              "warehouse" -> wh.toString, "error" -> String.valueOf(e.getMessage))
+            false
+          }.get
+          val stranded = (if (!warehouseShaped) Nil
+            else graft.connector.GraftMaterializedView.dependentMarkers(
+              GraftCatalog(spark, wh.toString), rel))
             .filter { case (_, marker) => expired.exists(_.version >= marker) }
             .sortBy(_._1).distinct
           require(stranded.isEmpty,

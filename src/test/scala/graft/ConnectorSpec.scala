@@ -2526,6 +2526,43 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     em shouldBe Map("id" -> "id", "w" -> "v")
   }
 
+  test("cached plans recache after graft-internal writes (no stale serves)") {
+    import graft.table.{GraftCatalog, TableIdent}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nscache")
+    spark.sql("CREATE TABLE graft.nscache.t (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.nscache.t VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    val df = spark.sql("SELECT id, v FROM graft.nscache.t")
+    df.cache()
+    df.count() shouldBe 3
+    // an INTERNAL write (GraftTable API — no Spark write-path cache
+    // refresh): GraftV2Table equality is version-blind, so without the
+    // commit-listener recache a NEW query over the table would match
+    // the cached InMemoryRelation and silently serve the old snapshot
+    val cat = GraftCatalog(spark, spark.conf.get("spark.sql.catalog.graft.warehouse"))
+    cat.load(TableIdent("nscache", "t")).deleteWhere("id = 2")
+    spark.sql("SELECT id FROM graft.nscache.t").collect()
+      .map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 3L)
+    df.unpersist()
+
+    // the MV shape of the same hazard: a cached view read over the MV
+    // storage must see the CALL refresh_mview commit
+    spark.sql("CREATE TABLE graft.nscache.fact (k BIGINT, g STRING, x DOUBLE)")
+    spark.sql("INSERT INTO graft.nscache.fact VALUES (1,'a',5.0),(2,'b',3.0)")
+    spark.sql("CALL graft.system.create_mview('nscache', 'agg', " +
+      "'SELECT g, SUM(x) AS sx FROM graft.nscache.fact GROUP BY g')")
+    val mv = spark.sql("SELECT g, sx FROM graft.nscache.agg")
+    mv.cache()
+    mv.count() shouldBe 2
+    spark.sql("INSERT INTO graft.nscache.fact VALUES (3,'c',7.0)")
+    spark.sql("CALL graft.system.refresh_mview('nscache', 'agg', false)")
+    spark.sql("SELECT g FROM graft.nscache.agg").collect()
+      .map(_.getString(0)).sorted.toSeq shouldBe Seq("a", "b", "c")
+    mv.unpersist()
+    spark.sql("CALL graft.system.drop_mview('nscache', 'agg')")
+    spark.sql("DROP TABLE graft.nscache.fact")
+    spark.sql("DROP TABLE graft.nscache.t")
+  }
+
   test("SHOW TABLES, RENAME, and DROP work through the catalog") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns4")
     spark.sql("CREATE TABLE graft.ns4.a (id BIGINT)")
