@@ -1452,15 +1452,27 @@ object GraftMaterializedView {
       // touches exactly its own group's key, derived by NULL-extending
       // the fact side of the slice-matched dim rows (and of the dim
       // slice itself) — so refreshWindow adds those key terms and
-      // recomputes touched groups from the FULL-joined head. Only the
-      // single-dim shape maintains: with suffix dims the extension rows
-      // would need re-threading through the rest of the chain (the agg
-      // algebra's split-prefix guard), and a union'd fact would need
-      // per-leg extension terms — both refuse by name, like agg mode.
+      // recomputes touched groups from the FULL-joined head.
+      //
+      // FULL + SUFFIX dims (round 19, closes r18 verdict #3): mirroring
+      // agg mode, the FULL must be the FIRST join; further inner/left
+      // dims then compose linearly — every extension frame (slice-
+      // matched partners, the dim slice's own extensions, and the
+      // anti-probed extension set a moved suffix dim's paths traverse)
+      // threads through the suffix chain before its keys are taken, and
+      // a moved suffix dim's touched keys derive by substituting its
+      // slice into the full join chain at BOTH telescope endpoints.
+      // A union'd fact under FULL still refuses (per-leg extension
+      // terms), as does a second FULL (no single dim side to anchor).
       if (dims.exists(_.joinType == "full_outer")) {
-        if (dims.length > 1)
-          return Left("FULL OUTER join composed with further dimensions " +
-            "under a window MV — only the single-FULL-dim shape maintains")
+        if (dims.count(_.joinType == "full_outer") > 1)
+          return Left("more than one FULL OUTER join under a window MV — " +
+            "the two-sided NULL-extension terms are maintained for a " +
+            "single FULL join")
+        if (dims.head.joinType != "full_outer")
+          return Left("FULL OUTER join must be the FIRST join on the fact " +
+            "under a window MV — deeper in the chain its extension terms " +
+            "would need the whole join prefix at both telescope endpoints")
         if (legs.nonEmpty)
           return Left("FULL OUTER join over a union'd fact under a window MV")
       }
@@ -3593,10 +3605,22 @@ object GraftMaterializedView {
       joinBase(factDf, dimTbls.map { case (r, t, jt, c) =>
         (t.scanAsOfVersion(vers(r)), jt, c)
       })
-    // FULL dim (round 18): analysis admits exactly ONE dim when it is
-    // FULL, no union legs
+    // FULL dim (round 18): analysis admits exactly one FULL, as the
+    // FIRST join (round 19: suffix inner/left dims now compose after
+    // it), no union legs
     val fullDim: Option[(String, GraftTable, String)] =
       dimTbls.collectFirst { case (r, t, "full_outer", c) => (r, t, c) }
+    val fullIdx = dimTbls.indexWhere(_._3 == "full_outer")
+    // dims AFTER the FULL join — every extension frame threads through
+    // them (their join conditions see NULL fact columns on extension
+    // rows, exactly as the defining query's NULL-extended rows do)
+    // before its partition keys are taken
+    val suffixDims = if (fullIdx < 0) Nil else dimTbls.drop(fullIdx + 1)
+    def joinSuffix(df: DataFrame, vers: String => Int): DataFrame =
+      suffixDims.foldLeft(df) { case (acc, (r, t, jt, c)) =>
+        acc.join(t.scanAsOfVersion(vers(r)), expr(c),
+          if (jt == "full_outer") "left_outer" else jt)
+      }
     // key derivation joins a fact-side frame to the dims — a FULL dim
     // downgrades to LEFT there (the frame's own rows and their matched
     // or NULL dim columns yield exactly its keys; the dim-side
@@ -3763,7 +3787,7 @@ object GraftMaterializedView {
           factFrame.schema.fields.map(f =>
             lit(null).cast(f.dataType).as(f.name)).toIndexedSeq ++
             d.schema.fields.map(f => col(s"`${f.name}`")): _*)
-        keysOf(extended)
+        keysOf(joinSuffix(extended, vers))
       }
     val factTerms = (changes.toSeq ++ legChanges).flatMap { ch =>
       Seq(keysOf(joinAtKeys(ch, pinnedVer))) ++
@@ -3772,9 +3796,9 @@ object GraftMaterializedView {
            Seq(keysOf(joinAtKeys(ch, curVers))) ++ fullExtKeysOf(ch, curVers)
          else Nil)
     }
-    val dimTerms = dimTbls.filter { case (r, _, _, _) =>
+    val dimTerms = dimTbls.zipWithIndex.filter { case ((r, _, _, _), _) =>
       curVers(r) != pinnedVer(r)
-    }.flatMap { case (r, t, jt, c) =>
+    }.flatMap { case ((r, t, jt, c), j) =>
       val slice =
         try t.scanDataChangesBetween(pinnedVer(r), curVers(r))
           .drop("_commit_version").localCheckpoint()
@@ -3784,24 +3808,75 @@ object GraftMaterializedView {
                     _: IllegalStateException | _: IllegalArgumentException) =>
             changelogGone(s"dimension $r", pinnedVer(r), curVers(r), e)
         }
-      // a union'd fact derives the affected rows from the whole head
-      // (every leg through its own WHERE/SELECT)
-      val affected = unionHeadScan(_ => None).join(slice, expr(c), "left_semi")
-      // a FULL dim's slice rows also appear/vanish as their OWN
-      // NULL-extension rows — touch those keys directly (slice rows
-      // NULL-extended on the fact side, both change images included)
-      val extKeys =
-        if (jt != "full_outer") Nil
-        else {
-          val factFields = legWhere(factRelStr)(src.scanAsOfVersion(to))
-            .schema.fields
-          Seq(keysOf(slice.select(
-            factFields.map(f =>
-              lit(null).cast(f.dataType).as(f.name)).toIndexedSeq ++
-              t.schema.fields.map(f => col(s"`${f.name}`")): _*)))
+      if (fullIdx < 0) {
+        // no FULL in the chain: affected rows derive from the whole
+        // head (every union leg through its own WHERE/SELECT) semi-
+        // joined to the slice, keys under BOTH dim states (a dim update
+        // moves fact rows between groups)
+        val affected = unionHeadScan(_ => None).join(slice, expr(c), "left_semi")
+        Seq(keysOf(joinAtKeys(affected, pinnedVer)),
+          keysOf(joinAtKeys(affected, curVers)))
+      } else {
+        // FULL chain (round 19): a moved dim's touched keys derive from
+        // its AFFECTED PATHS — rows whose join path meets the slice at
+        // position j — keyed under BOTH dim states (a NULL-extension
+        // flip's "other" key has the moved dim's columns NULL, which
+        // only the LEFT-downgraded re-join at the other state can
+        // produce; the slice's own images alone miss it — caught by the
+        // 5-seed sweep). The path PREFIX below j is itself evaluated at
+        // both states, because which rows reach the slice can depend on
+        // a prior dim's state. Fact-origin paths start at the head;
+        // with a FULL dim before j, extension-origin paths (no fact
+        // row) start at the anti-probed extension set.
+        val factHead = legWhere(factRelStr)(src.scanAsOfVersion(to))
+        def downTyp(jt: String): String =
+          if (jt == "full_outer") "left_outer" else jt
+        def foldDims(df: DataFrame, from: Int, until: Int,
+                     vers: String => Int): DataFrame =
+          (from until until).foldLeft(df) { case (acc, i) =>
+            val (r2, t2, jt2, c2) = dimTbls(i)
+            acc.join(t2.scanAsOfVersion(vers(r2)), expr(c2), downTyp(jt2))
+          }
+        val states: Seq[String => Int] = Seq(pinnedVer, curVers)
+        val nullFact = factHead.schema.fields.map(f =>
+          lit(null).cast(f.dataType).as(f.name)).toIndexedSeq
+        // fact-origin: prefix at pathState, semi vs slice, rest of the
+        // chain (including position j at keyState) for the keys
+        val factOrigin = for {
+          pathState <- states
+          keyState <- states
+        } yield {
+          val affected = foldDims(factHead, 0, j, pathState)
+            .join(slice, expr(c), "left_semi")
+          keysOf(foldDims(affected, j, dimTbls.length, keyState))
         }
-      Seq(keysOf(joinAtKeys(affected, pinnedVer)),
-        keysOf(joinAtKeys(affected, curVers))) ++ extKeys
+        // extension-origin (suffix moves only): FULL-dim rows with no
+        // fact match, NULL-extended on the fact side, threaded to j
+        val extOrigin =
+          if (j == fullIdx) {
+            // the FULL slice's rows also appear/vanish as their OWN
+            // NULL-extension rows — NULL-extended on the fact side and
+            // threaded through the suffix chain at both endpoints
+            val ext = slice.select(nullFact ++
+              t.schema.fields.map(f => col(s"`${f.name}`")): _*)
+            states.map(v => keysOf(joinSuffix(ext, v)))
+          } else {
+            val (r0, t0, c0) = fullDim.get
+            for {
+              pathState <- states
+              keyState <- states
+            } yield {
+              val d0 = t0.scanAsOfVersion(pathState(r0))
+              val ext0 = d0.join(factHead, expr(c0), "left_anti")
+                .select(nullFact ++
+                  t0.schema.fields.map(f => col(s"`${f.name}`")): _*)
+              val affected = foldDims(ext0, fullIdx + 1, j, pathState)
+                .join(slice, expr(c), "left_semi")
+              keysOf(foldDims(affected, j, dimTbls.length, keyState))
+            }
+          }
+        factOrigin ++ extOrigin
+      }
     }
     val touched = (factTerms ++ dimTerms).reduce(_ unionByName _)
       .distinct().localCheckpoint()
@@ -3875,7 +3950,36 @@ object GraftMaterializedView {
     val srcScan = unionHeadScan(t =>
       if (factPruneOk) rangeSqlFor(t.schema, keyNames, parts.map(_._2))
       else None)
-    val srcTouched = joinAt(srcScan, curVers).join(touchedR,
+    // DIM-side zone pruning (round 19): when the partition key lives on
+    // a dimension (the dim-keyed rank dashboard), the recompute join
+    // used to read the WHOLE dim — at scale a full fact x full dim
+    // join for a handful of touched groups. Prune each dim's scan by
+    // the touched keys' rectangle over its OWN bare key columns.
+    // Soundness mirrors factPruneOk: pruning an INNER dim only drops
+    // rows whose key is outside every touched key (they cannot join a
+    // touched group); pruning a LEFT/FULL dim can additionally INVENT
+    // fact-side NULL extensions, whose dim-derived key components are
+    // all NULL — sound unless a touched key has exactly that shape.
+    val dimPrunedJoin: Seq[(DataFrame, String, String)] =
+      dimTbls.map { case (r, t, jt, c) =>
+        val dSchema = t.schema
+        val dKeyNames = parts.filter { case (_, s) =>
+          dSchema.fields.exists(
+            _.name.equalsIgnoreCase(s.stripPrefix("`").stripSuffix("`")))
+        }.map(_._1)
+        val sound = dKeyNames.nonEmpty &&
+          (jt == "inner" ||
+            touched.where(dKeyNames.map(n => col(s"`$n`").isNull)
+              .reduce(_ && _)).isEmpty)
+        val scan =
+          if (!sound) t.scanAsOfVersion(curVers(r))
+          else rangeSqlFor(dSchema, keyNames, parts.map(_._2)) match {
+            case Some(p) => t.scanVersionWhere(curVers(r), p)
+            case None => t.scanAsOfVersion(curVers(r))
+          }
+        (scan, jt, c)
+      }
+    val srcTouched = joinBase(srcScan, dimPrunedJoin).join(touchedR,
       parts.zip(tk).map { case ((_, s), k) => expr(s) <=> col(s"`$k`") }
         .reduce(_ && _), "left_semi")
     val recomputed = replay(srcTouched).localCheckpoint()

@@ -2028,6 +2028,270 @@ object TableQueries {
              |  FROM li FULL OUTER JOIN ord ON okey = okeyd
              |) WHERE rn <= 2 ORDER BY pri NULLS FIRST, rn""".stripMargin)),
 
+    // FULL OUTER + SUFFIX DIMS under a window MV (round 19, closes r18
+    // verdict #3): the FULL join composes with a further LEFT dim whose
+    // condition references the FULL DIM's column and whose column IS
+    // the partition key — extension rows thread through the suffix
+    // chain (dim-side extensions carry real suffix matches; fact-side
+    // extensions NULL-extend into the NULL band) and refresh stays
+    // incremental through three-side churn: fact late-arrivals + MoR
+    // band delete, FULL-dim arrivals + a priority wipe, and a suffix
+    // relabel that moves a whole partition plus a suffix delete that
+    // births a NULL-band group.
+    "q141_mview_full_suffix" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq141").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq141", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq141.warehouse",
+            Files.createTempDirectory("graft-mview-fsx").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq141.bench")
+        s.sql("CALL graftq141.system.drop_mview('bench', 'fsx')")
+        t(s, dir, "lineitem").createOrReplaceTempView("q141_li")
+        t(s, dir, "orders").createOrReplaceTempView("q141_ord")
+        s.sql("DROP TABLE IF EXISTS graftq141.bench.li")
+        s.sql("DROP TABLE IF EXISTS graftq141.bench.ord")
+        s.sql("DROP TABLE IF EXISTS graftq141.bench.bands")
+        s.sql("""CREATE TABLE graftq141.bench.li
+                |(okey BIGINT, ln INT, qty DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        s.sql("""CREATE TABLE graftq141.bench.ord
+                |(okeyd BIGINT, pri STRING)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        s.sql("CREATE TABLE graftq141.bench.bands (pri2 STRING, band STRING)")
+        s.sql("""INSERT INTO graftq141.bench.li
+                |SELECT l_orderkey, l_linenumber, l_quantity
+                |FROM q141_li WHERE l_quantity < 45.0 AND l_orderkey % 2 = 0""".stripMargin)
+        s.sql("""INSERT INTO graftq141.bench.ord
+                |SELECT o_orderkey, o_orderpriority FROM q141_ord
+                |WHERE o_orderkey % 3 != 0""".stripMargin)
+        s.sql("""INSERT INTO graftq141.bench.bands VALUES
+                |('1-URGENT', 'hot'), ('2-HIGH', 'hot'), ('3-MEDIUM', 'warm'),
+                |('4-NOT SPECIFIED', 'cold'), ('5-LOW', 'cold')""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq141.system.create_mview('bench', 'fsx',
+            |  'SELECT band, pri, okey, ln, qty, rn FROM (
+            |     SELECT band, pri, okey, ln, qty,
+            |       ROW_NUMBER() OVER (PARTITION BY band
+            |         ORDER BY qty DESC NULLS LAST, okey, ln, okeyd) AS rn
+            |     FROM graftq141.bench.li FULL JOIN graftq141.bench.ord
+            |       ON okey = okeyd
+            |     LEFT JOIN graftq141.bench.bands ON pri = pri2
+            |   ) WHERE rn <= 3')""".stripMargin).head.getString(0)
+        require(mode == "window",
+          s"FULL+suffix window MV must register in window mode, got $mode")
+        // fact churn
+        s.sql("""INSERT INTO graftq141.bench.li
+                |SELECT l_orderkey, l_linenumber, l_quantity
+                |FROM q141_li WHERE l_quantity < 45.0 AND l_orderkey % 2 = 1""".stripMargin)
+        s.sql("DELETE FROM graftq141.bench.li WHERE qty >= 40.0")
+        val a1 = s.sql("CALL graftq141.system.refresh_mview('bench', 'fsx', false)")
+          .head.getString(2)
+        require(a1 == "incremental",
+          s"expected incremental refresh after fact churn, got $a1")
+        // FULL-dim churn
+        s.sql("""INSERT INTO graftq141.bench.ord
+                |SELECT o_orderkey, o_orderpriority FROM q141_ord
+                |WHERE o_orderkey % 3 = 0""".stripMargin)
+        s.sql("DELETE FROM graftq141.bench.ord WHERE pri = '2-HIGH'")
+        val a2 = s.sql("CALL graftq141.system.refresh_mview('bench', 'fsx', false)")
+          .head.getString(2)
+        require(a2 == "incremental",
+          s"expected incremental refresh after FULL-dim churn, got $a2")
+        // suffix churn: a relabel moves the whole 5-LOW partition from
+        // cold to warm; the delete drops 4-NOT SPECIFIED into NULL band
+        s.sql("UPDATE graftq141.bench.bands SET band = 'warm' WHERE pri2 = '5-LOW'")
+        s.sql("DELETE FROM graftq141.bench.bands WHERE pri2 = '4-NOT SPECIFIED'")
+        val a3 = s.sql("CALL graftq141.system.refresh_mview('bench', 'fsx', false)")
+          .head.getString(2)
+        require(a3 == "incremental",
+          s"expected incremental refresh after suffix churn, got $a3")
+        s.sql("""SELECT band, pri, okey, ln, qty, rn FROM graftq141.bench.fsx
+                |ORDER BY band NULLS FIRST, rn, okey""".stripMargin)
+      },
+      Some("""WITH li AS (
+             |  SELECT l_orderkey AS okey, l_linenumber AS ln, l_quantity AS qty
+             |  FROM lineitem WHERE l_quantity < 40.0),
+             |ord AS (
+             |  SELECT o_orderkey AS okeyd, o_orderpriority AS pri
+             |  FROM orders WHERE o_orderpriority <> '2-HIGH'),
+             |bands AS (
+             |  SELECT '1-URGENT' AS pri2, 'hot' AS band
+             |  UNION ALL SELECT '2-HIGH', 'hot'
+             |  UNION ALL SELECT '3-MEDIUM', 'warm'
+             |  UNION ALL SELECT '5-LOW', 'warm')
+             |SELECT band, pri, okey, ln, qty, rn FROM (
+             |  SELECT band, pri, okey, ln, qty,
+             |    ROW_NUMBER() OVER (PARTITION BY band
+             |      ORDER BY qty DESC NULLS LAST, okey, ln, okeyd) AS rn
+             |  FROM li FULL OUTER JOIN ord ON okey = okeyd
+             |  LEFT JOIN bands ON pri = pri2
+             |) WHERE rn <= 3 ORDER BY band NULLS FIRST, rn, okey""".stripMargin)),
+
+    // SPARSE-CHURN variant of the FULL-window shape (round 19, closes
+    // r18 verdict #2b): a HIGH-cardinality dim-side partition key
+    // (grp = okey div 64) and churn confined to a bounded key range
+    // (okey < 20000 — CONSTANT across scale factors), so refresh cost
+    // tracks O(touched groups), not O(all groups). The same shape is
+    // measured per-phase at sf0.1 vs sf1 by graft.tools.SparseChurnBench.
+    "q142_mview_full_window_sparse" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq142").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq142", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq142.warehouse",
+            Files.createTempDirectory("graft-mview-fws").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq142.bench")
+        s.sql("CALL graftq142.system.drop_mview('bench', 'fws')")
+        t(s, dir, "lineitem").createOrReplaceTempView("q142_li")
+        t(s, dir, "orders").createOrReplaceTempView("q142_ord")
+        s.sql("DROP TABLE IF EXISTS graftq142.bench.li")
+        s.sql("DROP TABLE IF EXISTS graftq142.bench.ord")
+        s.sql("""CREATE TABLE graftq142.bench.li
+                |(okey BIGINT, ln INT, qty DOUBLE)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        s.sql("""CREATE TABLE graftq142.bench.ord
+                |(okeyd BIGINT, grp BIGINT)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        s.sql("""INSERT INTO graftq142.bench.li
+                |SELECT l_orderkey, l_linenumber, l_quantity
+                |FROM q142_li WHERE l_quantity < 45.0 AND l_orderkey % 2 = 0""".stripMargin)
+        s.sql("""INSERT INTO graftq142.bench.ord
+                |SELECT o_orderkey, o_orderkey DIV 64 FROM q142_ord
+                |WHERE o_orderkey % 3 != 0""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq142.system.create_mview('bench', 'fws',
+            |  'SELECT grp, okey, ln, qty, rn FROM (
+            |     SELECT grp, okey, ln, qty,
+            |       ROW_NUMBER() OVER (PARTITION BY grp
+            |         ORDER BY qty DESC NULLS LAST, okey, ln, okeyd) AS rn
+            |     FROM graftq142.bench.li FULL JOIN graftq142.bench.ord
+            |       ON okey = okeyd
+            |   ) WHERE rn <= 2')""".stripMargin).head.getString(0)
+        require(mode == "window",
+          s"sparse FULL-window MV must register in window mode, got $mode")
+        // sparse fact churn: a bounded key range, constant across SFs
+        s.sql("""INSERT INTO graftq142.bench.li
+                |SELECT l_orderkey, l_linenumber, l_quantity FROM q142_li
+                |WHERE l_quantity < 45.0 AND l_orderkey % 2 = 1
+                |  AND l_orderkey < 20000""".stripMargin)
+        s.sql("DELETE FROM graftq142.bench.li WHERE qty >= 40.0 AND okey < 5000")
+        val a1 = s.sql("CALL graftq142.system.refresh_mview('bench', 'fws', false)")
+          .head.getString(2)
+        require(a1 == "incremental",
+          s"expected incremental sparse-fact refresh, got $a1")
+        // sparse dim churn
+        s.sql("""INSERT INTO graftq142.bench.ord
+                |SELECT o_orderkey, o_orderkey DIV 64 FROM q142_ord
+                |WHERE o_orderkey % 3 = 0 AND o_orderkey < 20000""".stripMargin)
+        s.sql("DELETE FROM graftq142.bench.ord WHERE okeyd >= 1000 AND okeyd < 1300")
+        val a2 = s.sql("CALL graftq142.system.refresh_mview('bench', 'fws', false)")
+          .head.getString(2)
+        require(a2 == "incremental",
+          s"expected incremental sparse-dim refresh, got $a2")
+        s.sql("""SELECT grp, okey, ln, qty, rn FROM graftq142.bench.fws
+                |ORDER BY grp NULLS FIRST, rn, okey""".stripMargin)
+      },
+      Some("""WITH li AS (
+             |  SELECT l_orderkey AS okey, l_linenumber AS ln, l_quantity AS qty
+             |  FROM lineitem
+             |  WHERE l_quantity < 45.0
+             |    AND (l_orderkey % 2 = 0
+             |         OR (l_orderkey % 2 = 1 AND l_orderkey < 20000))
+             |    AND NOT (l_quantity >= 40.0 AND l_orderkey < 5000)),
+             |ord AS (
+             |  SELECT o_orderkey AS okeyd, o_orderkey // 64 AS grp
+             |  FROM orders
+             |  WHERE (o_orderkey % 3 != 0 OR o_orderkey < 20000)
+             |    AND NOT (o_orderkey >= 1000 AND o_orderkey < 1300))
+             |SELECT grp, okey, ln, qty, rn FROM (
+             |  SELECT grp, okey, ln, qty,
+             |    ROW_NUMBER() OVER (PARTITION BY grp
+             |      ORDER BY qty DESC NULLS LAST, okey, ln, okeyd) AS rn
+             |  FROM li FULL OUTER JOIN ord ON okey = okeyd
+             |) WHERE rn <= 2 ORDER BY grp NULLS FIRST, rn, okey""".stripMargin)),
+
+    // SPARSE-CHURN variant of the FULL-over-union agg shape (round 19,
+    // closes r18 verdict #2b): high-cardinality group key, bounded-range
+    // churn on both shards and the FULL dim before ONE incremental
+    // refresh. Per-phase sf0.1-vs-sf1 ratios come from
+    // graft.tools.SparseChurnBench.
+    "q143_mview_full_union_sparse" -> Q(
+      (s, dir) => {
+        if (s.conf.getOption("spark.sql.catalog.graftq143").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftq143", "graft.connector.GraftSparkCatalog")
+          s.conf.set("spark.sql.catalog.graftq143.warehouse",
+            Files.createTempDirectory("graft-mview-fus").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq143.bench")
+        s.sql("CALL graftq143.system.drop_mview('bench', 'fus')")
+        t(s, dir, "lineitem").createOrReplaceTempView("q143_li")
+        t(s, dir, "orders").createOrReplaceTempView("q143_ord")
+        s.sql("DROP TABLE IF EXISTS graftq143.bench.s0")
+        s.sql("DROP TABLE IF EXISTS graftq143.bench.s1")
+        s.sql("DROP TABLE IF EXISTS graftq143.bench.ord")
+        s.sql("""CREATE TABLE graftq143.bench.s0
+                |(okey BIGINT, qty DECIMAL(12,2))
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        s.sql("""CREATE TABLE graftq143.bench.s1
+                |(oid BIGINT, qty2 DECIMAL(12,2))
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        s.sql("""CREATE TABLE graftq143.bench.ord
+                |(okeyd BIGINT, grp BIGINT)
+                |TBLPROPERTIES ('graft.delete.mode' = 'mor')""".stripMargin)
+        s.sql("""INSERT INTO graftq143.bench.s0
+                |SELECT l_orderkey, l_quantity FROM q143_li
+                |WHERE l_orderkey % 2 = 0 AND l_orderkey % 5 != 0""".stripMargin)
+        s.sql("""INSERT INTO graftq143.bench.s1
+                |SELECT l_orderkey, l_quantity FROM q143_li
+                |WHERE l_orderkey % 2 = 1""".stripMargin)
+        s.sql("""INSERT INTO graftq143.bench.ord
+                |SELECT o_orderkey, o_orderkey DIV 64 FROM q143_ord
+                |WHERE o_orderkey % 3 != 0""".stripMargin)
+        val mode = s.sql(
+          """CALL graftq143.system.create_mview('bench', 'fus',
+            |  'SELECT grp, CAST(SUM(qty) AS DOUBLE) AS sq, COUNT(*) AS n
+            |   FROM (SELECT okey, qty FROM graftq143.bench.s0
+            |         UNION ALL
+            |         SELECT oid AS okey, qty2 AS qty FROM graftq143.bench.s1)
+            |     FULL OUTER JOIN graftq143.bench.ord ON okey = okeyd
+            |   GROUP BY grp')""".stripMargin).head.getString(0)
+        require(mode == "incremental",
+          s"sparse FULL-over-union MV must register incremental, got $mode")
+        // bounded-range churn on both shards and the dim, ONE refresh
+        s.sql("""INSERT INTO graftq143.bench.s0
+                |SELECT l_orderkey, l_quantity FROM q143_li
+                |WHERE l_orderkey % 2 = 0 AND l_orderkey % 5 = 0
+                |  AND l_orderkey < 20000""".stripMargin)
+        s.sql("DELETE FROM graftq143.bench.s1 WHERE qty2 >= 45.0 AND oid < 5000")
+        s.sql("""INSERT INTO graftq143.bench.ord
+                |SELECT o_orderkey, o_orderkey DIV 64 FROM q143_ord
+                |WHERE o_orderkey % 3 = 0 AND o_orderkey < 20000""".stripMargin)
+        s.sql("DELETE FROM graftq143.bench.ord WHERE okeyd >= 1000 AND okeyd < 1300")
+        val a1 = s.sql("CALL graftq143.system.refresh_mview('bench', 'fus', false)")
+          .head.getString(2)
+        require(a1 == "incremental",
+          s"expected incremental sparse FULL-over-union refresh, got $a1")
+        s.sql("""SELECT grp, sq, n FROM graftq143.bench.fus
+                |ORDER BY grp NULLS FIRST""".stripMargin)
+      },
+      Some("""WITH fact AS (
+             |  SELECT l_orderkey AS okey,
+             |         CAST(l_quantity AS DECIMAL(12,2)) AS qty
+             |  FROM lineitem
+             |  WHERE (l_orderkey % 2 = 0
+             |         AND (l_orderkey % 5 != 0 OR l_orderkey < 20000))
+             |     OR (l_orderkey % 2 = 1
+             |         AND NOT (l_quantity >= 45.0 AND l_orderkey < 5000))),
+             |ord AS (
+             |  SELECT o_orderkey AS okeyd, o_orderkey // 64 AS grp
+             |  FROM orders
+             |  WHERE (o_orderkey % 3 != 0 OR o_orderkey < 20000)
+             |    AND NOT (o_orderkey >= 1000 AND o_orderkey < 1300))
+             |SELECT grp, CAST(SUM(qty) AS DOUBLE) AS sq, COUNT(*) AS n
+             |FROM fact FULL OUTER JOIN ord ON okey = okeyd
+             |GROUP BY grp ORDER BY grp NULLS FIRST""".stripMargin)),
+
     // WINDOW-OVER-AGGREGATE CASCADE with a SHARDED UNION ALL inner fact
     // (round 18, closes r17 verdict #6): the cascade renderer now
     // renders union'd facts per leg, so the hidden inner aggregate

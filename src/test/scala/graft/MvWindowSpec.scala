@@ -329,7 +329,129 @@ class MvWindowSpec extends AnyFunSuite with Matchers {
     }
   }
 
-  test("FULL composed with further dims under a window refuses by name") {
+  test("FULL + suffix dims under a window: incremental through three-side churn") {
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(2)
+    // two suffix shapes: an INNER suffix joined on a FACT column (pure
+    // extensions drop at the suffix join, exactly as the defining query
+    // drops them), and a LEFT suffix joined on the FULL DIM's column
+    // with the PARTITION KEY on the suffix dim — extension rows carry
+    // real suffix matches, and a suffix move re-keys extension-origin
+    // paths (the anti-probed extension chain term)
+    for (seed <- 0 until seeds; variant <- Seq("factjoin", "dimjoin")) {
+      val rnd = new Random(9100 + seed)
+      val ns = s"mvwfs${seed}_$variant"
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.fact")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.d1")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$ns.d2")
+      spark.sql(s"CREATE TABLE graft.$ns.fact (id BIGINT, dk BIGINT, ck BIGINT, v DOUBLE)")
+      spark.sql(s"CREATE TABLE graft.$ns.d1 (dkey BIGINT, region STRING)")
+      // dkeys 0..4 matched-ish; 7,8 start as dim-side NULL extensions
+      spark.sql(s"INSERT INTO graft.$ns.d1 VALUES " +
+        ((0 until 5).map(k => s"($k, 'r${k % 3}')") ++
+          Seq("(7, 'r0')", "(8, 'r1')")).mkString(", "))
+      val (suffixJoin, part) = variant match {
+        case "factjoin" =>
+          spark.sql(s"CREATE TABLE graft.$ns.d2 (ckey BIGINT, cls STRING)")
+          // ck 0..5 on facts; ckey 5 missing: those fact rows drop at
+          // the inner suffix, like the defining query
+          spark.sql(s"INSERT INTO graft.$ns.d2 VALUES " +
+            (0 until 5).map(k => s"($k, 'c${k % 2}')").mkString(", "))
+          (s"JOIN graft.$ns.d2 ON ck = ckey", "region")
+        case _ =>
+          spark.sql(s"CREATE TABLE graft.$ns.d2 (rname STRING, cls STRING)")
+          spark.sql(s"INSERT INTO graft.$ns.d2 VALUES " +
+            "('r0', 'c0'), ('r1', 'c1'), ('r2', 'c0')")
+          (s"LEFT JOIN graft.$ns.d2 ON region = rname", "cls")
+      }
+      var nextId = 0L
+      def insertBurst(): Unit = {
+        val burst = (0 until (1 + rnd.nextInt(6))).map { _ =>
+          nextId += 1
+          // dk 0..6: keys 5,6 have NO d1 row (fact-side extensions)
+          s"($nextId, ${rnd.nextInt(7)}, ${rnd.nextInt(6)}, ${rnd.nextInt(20)}.0)"
+        }
+        spark.sql(s"INSERT INTO graft.$ns.fact VALUES ${burst.mkString(", ")}")
+      }
+      insertBurst()
+      val defSql =
+        s"""SELECT $part, id, dkey, v, rn FROM (
+           |  SELECT $part, id, dkey, v,
+           |    ROW_NUMBER() OVER (PARTITION BY $part
+           |      ORDER BY v DESC, id, dkey) AS rn
+           |  FROM graft.$ns.fact FULL JOIN graft.$ns.d1 ON dk = dkey
+           |    $suffixJoin
+           |) WHERE rn <= 3""".stripMargin
+      spark.sql(
+        s"""CALL graft.system.create_mview('$ns', 'fsuf',
+           |  '${defSql.replace("'", "''")}')""".stripMargin)
+        .head.getString(0) shouldBe "window"
+      def check(step: String): Unit = withClue(s"seed=$seed $variant $step ") {
+        rows(s"SELECT $part, id, dkey, v, rn FROM graft.$ns.fsuf") shouldBe
+          rows(s"SELECT $part, id, dkey, v, rn FROM ($defSql)")
+      }
+      check("create")
+      for (step <- 0 until 12) {
+        rnd.nextInt(7) match {
+          case 0 => insertBurst()
+          case 1 => // fact rows vanish: FULL partners may re-extend
+            spark.sql(s"DELETE FROM graft.$ns.fact WHERE v >= ${10 + rnd.nextInt(10)}.0")
+          case 2 => // FULL dim relabel: re-keys matched AND ext paths
+            spark.sql(s"UPDATE graft.$ns.d1 SET region = 'r${rnd.nextInt(3)}' " +
+              s"WHERE dkey = ${rnd.nextInt(5)}")
+          case 3 => // pure dim-side extension born or dies
+            val k = 7 + rnd.nextInt(2)
+            spark.sql(s"DELETE FROM graft.$ns.d1 WHERE dkey = $k")
+            if (rnd.nextBoolean())
+              spark.sql(s"INSERT INTO graft.$ns.d1 VALUES ($k, 'r${rnd.nextInt(3)}')")
+          case 4 => // dim row at a FACT-extension key: flips to matched
+            val k = 5 + rnd.nextInt(2)
+            spark.sql(s"DELETE FROM graft.$ns.d1 WHERE dkey = $k")
+            if (rnd.nextBoolean())
+              spark.sql(s"INSERT INTO graft.$ns.d1 VALUES ($k, 'r${rnd.nextInt(3)}')")
+          case 5 => // SUFFIX dim moves — in the dimjoin variant this
+            // re-keys whole partitions including extension-origin paths
+            variant match {
+              case "factjoin" =>
+                spark.sql(s"UPDATE graft.$ns.d2 SET cls = 'c${rnd.nextInt(2)}' " +
+                  s"WHERE ckey = ${rnd.nextInt(5)}")
+              case _ =>
+                spark.sql(s"UPDATE graft.$ns.d2 SET cls = 'c${rnd.nextInt(3)}' " +
+                  s"WHERE rname = 'r${rnd.nextInt(3)}'")
+            }
+          case 6 => // all three sides move before one refresh
+            insertBurst()
+            spark.sql(s"UPDATE graft.$ns.d1 SET region = 'r${rnd.nextInt(3)}' " +
+              s"WHERE dkey = ${rnd.nextInt(5)}")
+            variant match {
+              case "factjoin" =>
+                val k = rnd.nextInt(5)
+                spark.sql(s"DELETE FROM graft.$ns.d2 WHERE ckey = $k")
+                if (rnd.nextBoolean())
+                  spark.sql(s"INSERT INTO graft.$ns.d2 VALUES ($k, 'c${rnd.nextInt(2)}')")
+              case _ =>
+                spark.sql(s"UPDATE graft.$ns.d2 SET cls = 'c${rnd.nextInt(3)}' " +
+                  s"WHERE rname = 'r${rnd.nextInt(3)}'")
+            }
+        }
+        val action = spark.sql(
+          s"CALL graft.system.refresh_mview('$ns', 'fsuf', false)").head.getString(2)
+        withClue(s"seed=$seed $variant step=$step ") {
+          Seq("incremental", "empty", "noop") should contain(action)
+        }
+        check(s"step=$step action=$action")
+      }
+      spark.sql(s"CALL graft.system.refresh_mview('$ns', 'fsuf', true)")
+        .head.getString(2) shouldBe "full"
+      check("force_full")
+      spark.sql(s"CALL graft.system.drop_mview('$ns', 'fsuf')")
+      spark.sql(s"DROP TABLE graft.$ns.fact")
+      spark.sql(s"DROP TABLE graft.$ns.d1")
+      spark.sql(s"DROP TABLE graft.$ns.d2")
+    }
+  }
+
+  test("second FULL and non-first FULL under a window refuse by name") {
     val ns = "mvwfref"
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
     spark.sql(s"DROP TABLE IF EXISTS graft.$ns.fact")
@@ -341,17 +463,26 @@ class MvWindowSpec extends AnyFunSuite with Matchers {
     spark.sql(s"INSERT INTO graft.$ns.fact VALUES (1, 0, 0, 5.0)")
     spark.sql(s"INSERT INTO graft.$ns.d1 VALUES (0, 'r0')")
     spark.sql(s"INSERT INTO graft.$ns.d2 VALUES (0, 'c0')")
-    val defSql =
-      s"""SELECT region, cls, id, rn FROM (
-         |  SELECT region, cls, id,
-         |    ROW_NUMBER() OVER (PARTITION BY region ORDER BY v DESC, id, dkey) AS rn
-         |  FROM graft.$ns.fact FULL JOIN graft.$ns.d1 ON dk = dkey
-         |    JOIN graft.$ns.d2 ON ck = ckey
-         |) WHERE rn <= 2""".stripMargin
-    val e = intercept[Exception](spark.sql(
-      s"""CALL graft.system.create_mview('$ns', 'bad',
-         |  '${defSql.replace("'", "''")}')""".stripMargin))
-    e.getMessage should include("not incrementally maintainable")
+    def tryCreate(joins: String): Exception = {
+      val defSql =
+        s"""SELECT region, id, rn FROM (
+           |  SELECT region, id,
+           |    ROW_NUMBER() OVER (PARTITION BY region ORDER BY v DESC, id, dkey) AS rn
+           |  FROM graft.$ns.fact $joins
+           |) WHERE rn <= 2""".stripMargin
+      intercept[Exception](spark.sql(
+        s"""CALL graft.system.create_mview('$ns', 'bad',
+           |  '${defSql.replace("'", "''")}')""".stripMargin))
+    }
+    // FULL not first: the extension terms would need the whole join
+    // prefix at both telescope endpoints
+    tryCreate(s"JOIN graft.$ns.d2 ON ck = ckey " +
+      s"FULL JOIN graft.$ns.d1 ON dk = dkey")
+      .getMessage should include("not incrementally maintainable")
+    // a second FULL has no single dim side to anchor the derivation
+    tryCreate(s"FULL JOIN graft.$ns.d1 ON dk = dkey " +
+      s"FULL JOIN graft.$ns.d2 ON ck = ckey")
+      .getMessage should include("not incrementally maintainable")
     spark.sql(s"DROP TABLE graft.$ns.fact")
     spark.sql(s"DROP TABLE graft.$ns.d1")
     spark.sql(s"DROP TABLE graft.$ns.d2")
