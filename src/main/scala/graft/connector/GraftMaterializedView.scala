@@ -1990,6 +1990,19 @@ object GraftMaterializedView {
     * cur-scan path skips binary floats whose bound would re-parse as a
     * decimal literal). Returns (columnName, lo, hi) triples.
     */
+  /** Counted broadcast for checkpointed changelog-bounded frames (slices,
+    * touched-key sets, recomputed groups): localCheckpoint compiles
+    * without AQE and reports no size stats, so the planner sort-merge-
+    * joins them against table-scale partners — shuffling the BIG side to
+    * meet a changelog-sized frame. The count is cheap (the frame is
+    * already materialized); below the bound an explicit hint keeps the
+    * big side unshuffled at every scale (guide §3.1, same stance as
+    * GraftTable.mergeRows/dedupTable).
+    */
+  private def bcIfSmall(df: DataFrame): DataFrame =
+    if (df.count() <= graft.table.GraftTable.MergeBroadcastRowBound) broadcast(df)
+    else df
+
   private def rangeBounds(keyFrame: DataFrame, names: Seq[String],
                           skip: String => Boolean): Seq[(String, Any, Any)] = {
     if (names.isEmpty) return Nil // global aggregate: no key columns
@@ -2811,7 +2824,7 @@ object GraftMaterializedView {
           }.localCheckpoint()
           val d0 = t.scanAsOfVersion(pins(r))
           val linear = slice.join(d0, expr(c), "left_outer")
-          val affectedD = d0.join(slice, expr(c), "left_semi").localCheckpoint()
+          val affectedD = d0.join(bcIfSmall(slice), expr(c), "left_semi").localCheckpoint()
           val f0 = prunedFactFor(affectedD, c, factFrom, legFrom)
           val f1 = prunedFactFor(affectedD, c, to)
           val gained = affectedD.join(f0, expr(c), "left_anti")
@@ -2844,6 +2857,7 @@ object GraftMaterializedView {
           // join (changelog scans re-plan per action otherwise)
           val slice = t.scanDataChangesBetween(pins(r), curVers(r))
             .drop("_commit_version").localCheckpoint()
+          val sliceJ = bcIfSmall(slice)
           val after = dimTbls.drop(i + 1).map { case (r2, t2, jt2, c2) =>
             (t2.scanAsOfVersion(pins(r2)), jt2, c2)
           }
@@ -2872,7 +2886,7 @@ object GraftMaterializedView {
                 f.withColumn(fld.name, lit(null).cast(fld.dataType))
               }
               val extB = joinBase(ext0, before.tail)
-              val extCand = extB.join(slice, expr(c), "left_semi")
+              val extCand = extB.join(sliceJ, expr(c), "left_semi")
               // the anti probe runs WITHOUT the NULLed fact columns
               // (the FULL condition would otherwise be ambiguous
               // between the probe side's nulls and the fact) and
@@ -2887,7 +2901,7 @@ object GraftMaterializedView {
               part1.unionByName(extReal)
             }
           }
-          val matched = joinBase(base.join(slice, expr(c), "inner"), after)
+          val matched = joinBase(base.join(sliceJ, expr(c), "inner"), after)
           if (jt == "inner") matched
           else {
             // A moved LEFT dim: LEFT = matched part ∪ NULL-extension,
@@ -2911,7 +2925,7 @@ object GraftMaterializedView {
             // at old pins apply to the flip rows like any term — their
             // conditions see the NULLed columns exactly as the defining
             // query would.
-            val affected = base.join(slice, expr(c), "left_semi")
+            val affected = base.join(sliceJ, expr(c), "left_semi")
             val dOld = t.scanAsOfVersion(pins(r))
             val dNew = t.scanAsOfVersion(curVers(r))
             val gained = affected.join(dOld, expr(c), "left_anti")
@@ -3474,7 +3488,17 @@ object GraftMaterializedView {
           .foldLeft(srcBase0) { case (f, (k, lo, hi)) =>
             f.where(expr(groupExpr(k)) >= lit(lo) && expr(groupExpr(k)) <= lit(hi))
           }
-        val keyRenamed = keyRows.toDF(mergeKeys.map("_mvk_" + _): _*)
+        // the checkpointed key frame (and the rec frame derived from
+        // it — one row per affected key tuple, times the grouping-set
+        // multiplicity) compiles without AQE/stats, so the planner
+        // would sort-merge-join it against the narrowed source scan
+        // and the merged frame. Affected-extreme keys are changelog-
+        // bounded: broadcast below the counted bound (guide §3.1),
+        // keeping the big sides unshuffled at every scale.
+        val nRecKeys = keyRows.count()
+        val keyRenamed0 = keyRows.toDF(mergeKeys.map("_mvk_" + _): _*)
+        val keyRenamed = if (nRecKeys <= graft.table.GraftTable.MergeBroadcastRowBound)
+          broadcast(keyRenamed0) else keyRenamed0
         val recRenamed = shape.sets match {
           case Some(_) =>
             // grouping sets: a source ROW feeds one subtotal row per
@@ -3513,7 +3537,9 @@ object GraftMaterializedView {
               mergeKeys.map("_mvk_" + _) ++
                 minMaxAggs.map { case (_, i) => s"_mv_rec_$i" }: _*)
         }
-        val withRec = merged.join(recRenamed,
+        val recJ = if (nRecKeys <= graft.table.GraftTable.MergeBroadcastRowBound)
+          broadcast(recRenamed) else recRenamed
+        val withRec = merged.join(recJ,
           mergeKeys.map(n => col(s"`$n`") <=> col(s"`_mvk_$n`")).reduce(_ && _),
           "left")
         val outCols = merged.columns.map { c =>
@@ -3808,12 +3834,13 @@ object GraftMaterializedView {
                     _: IllegalStateException | _: IllegalArgumentException) =>
             changelogGone(s"dimension $r", pinnedVer(r), curVers(r), e)
         }
+      val sliceJ = bcIfSmall(slice)
       if (fullIdx < 0) {
         // no FULL in the chain: affected rows derive from the whole
         // head (every union leg through its own WHERE/SELECT) semi-
         // joined to the slice, keys under BOTH dim states (a dim update
         // moves fact rows between groups)
-        val affected = unionHeadScan(_ => None).join(slice, expr(c), "left_semi")
+        val affected = unionHeadScan(_ => None).join(sliceJ, expr(c), "left_semi")
         Seq(keysOf(joinAtKeys(affected, pinnedVer)),
           keysOf(joinAtKeys(affected, curVers)))
       } else {
@@ -3847,7 +3874,7 @@ object GraftMaterializedView {
           keyState <- states
         } yield {
           val affected = foldDims(factHead, 0, j, pathState)
-            .join(slice, expr(c), "left_semi")
+            .join(sliceJ, expr(c), "left_semi")
           keysOf(foldDims(affected, j, dimTbls.length, keyState))
         }
         // extension-origin (suffix moves only): FULL-dim rows with no
@@ -3871,7 +3898,7 @@ object GraftMaterializedView {
                 .select(nullFact ++
                   t0.schema.fields.map(f => col(s"`${f.name}`")): _*)
               val affected = foldDims(ext0, fullIdx + 1, j, pathState)
-                .join(slice, expr(c), "left_semi")
+                .join(sliceJ, expr(c), "left_semi")
               keysOf(foldDims(affected, j, dimTbls.length, keyState))
             }
           }
@@ -3880,8 +3907,9 @@ object GraftMaterializedView {
     }
     val touched = (factTerms ++ dimTerms).reduce(_ unionByName _)
       .distinct().localCheckpoint()
+    val nTouched = touched.count()
     val keyNames = parts.map(_._1)
-    if (touched.isEmpty) {
+    if (nTouched == 0L) {
       // all-filtered slice / no affected groups: advance the marker and
       // pins metadata-only, CAS-guarded
       storage.updateProperties(
@@ -3921,7 +3949,14 @@ object GraftMaterializedView {
       if (rendered.isEmpty) None else Some(rendered.mkString("(", ") AND (", ")"))
     }
     val tk = parts.indices.map(i => s"_mvtk_$i")
-    val touchedR = touched.toDF(tk: _*)
+    // touched keys are changelog-bounded: broadcast below the counted
+    // bound so neither the recompute join nor the stored-slice semi
+    // join shuffles its big side
+    val touchedR = {
+      val t0 = touched.toDF(tk: _*)
+      if (nTouched <= graft.table.GraftTable.MergeBroadcastRowBound)
+        broadcast(t0) else t0
+    }
 
     // range pruning applies to keys that are bare FACT columns (the
     // schema check skips dim-side keys — still exact via the semi join);
@@ -3996,8 +4031,8 @@ object GraftMaterializedView {
     // null-safe anti join (a NULL partition key addresses a real group):
     // stored keys whose (parts, rn) vanished from the recompute
     val rk = mergeKeys.indices.map(i => s"_mvrk_$i")
-    val recomputedKeys = recomputed
-      .select(mergeKeys.map(n => col(s"`$n`")): _*).toDF(rk: _*)
+    val recomputedKeys = bcIfSmall(recomputed
+      .select(mergeKeys.map(n => col(s"`$n`")): _*).toDF(rk: _*))
     val delKeys = storedTouched.select(mergeKeys.map(n => col(s"`$n`")): _*)
       .join(recomputedKeys,
         mergeKeys.zip(rk).map { case (n, k) => col(s"`$n`") <=> col(s"`$k`") }

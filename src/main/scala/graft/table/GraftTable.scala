@@ -703,8 +703,13 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
           lastSeq = ns)
       }
     }
+    // checkpointed key frame = no size stats, no AQE: broadcast it
+    // below the merge bound or the anti join shuffles every rewritten
+    // file (see applyNetChanges)
+    val keyJ = if (keyDf.count() <= GraftTable.MergeBroadcastRowBound)
+      broadcast(keyDf) else keyDf
     val kept = readFilesMoR(snap, statRewrite, snap.schema)
-      .join(keyDf, joinKeys, "left_anti")
+      .join(keyJ, joinKeys, "left_anti")
     val newGroup = writeDataFiles(kept, snap.schema, specs)
     val rewrittenPaths = statRewrite.map(_.path).toSet
     log.commit { parent =>
@@ -1156,12 +1161,19 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         joinKeys, "merge", props, requireParentProps)
     val kept = {
       val base = readFilesMoR(snap, rewriteSet, snap.schema)
+      // the checkpointed key frame compiles without AQE and carries no
+      // size stats, so the planner sort-merge-joins it against the
+      // rewrite set — shuffling every rewritten file to anti-join a
+      // batch-sized key list. Count it (cheap: already materialized)
+      // and broadcast below the merge bound, same stance as mergeRows.
+      val keysJ = if (allKeys.count() <= GraftTable.MergeBroadcastRowBound)
+        broadcast(allKeys) else allKeys
       if (nullSafeKeys) {
-        val renamed = allKeys.toDF(joinKeys.map("_graft_nk_" + _): _*)
+        val renamed = keysJ.toDF(joinKeys.map("_graft_nk_" + _): _*)
         base.join(renamed,
           joinKeys.map(k => col(s"`$k`") <=> col(s"`_graft_nk_$k`")).reduce(_ && _),
           "left_anti")
-      } else base.join(allKeys, joinKeys, "left_anti")
+      } else base.join(keysJ, joinKeys, "left_anti")
     }
     val merged = kept.unionByName(projected)
     val newGroup = writeDataFiles(merged, snap.schema, specs)
@@ -2971,7 +2983,12 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     if (!fs.exists(marker)) {
       val tmp = new HPath(tableDir,
         s"$cdcRoot/.tmp-$side-${UUID.randomUUID().toString.take(12)}")
-      df.write.option("compression", "zstd").mode("overwrite").parquet(tmp.toString)
+      // v2 committer: the cache's atomicity is the rename below plus
+      // the _SUCCESS marker (which the committer still writes here —
+      // it IS this path's publish marker)
+      df.write.option("compression", "zstd")
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .mode("overwrite").parquet(tmp.toString)
       fs.mkdirs(dir.getParent)
       if (!fs.rename(tmp, dir)) {
         fs.delete(tmp, true)
@@ -3503,6 +3520,15 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
       } else df.write
     writer
       .option("compression", "zstd")
+      // Commit atomicity lives in the metadata log (UUID-fresh outDir;
+      // files only become visible when the manifest publishes), so the
+      // Hadoop committer's two-phase rename buys nothing here — v2
+      // commits task output directly and skips the per-task job-commit
+      // renames, and the _SUCCESS marker is dead weight (the manifest
+      // is the success marker). A failed job leaves an unreferenced
+      // temp dir for orphan GC, exactly as under v1.
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .options(bloomFilterOptions)
       .mode("overwrite")
       .parquet(outDir.toString)

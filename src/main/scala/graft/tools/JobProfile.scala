@@ -49,6 +49,14 @@ object JobProfile {
           jobs.synchronized {
             sqlDesc(s.executionId) =
               s.description.linesIterator.nextOption().getOrElse("").take(120)
+            // GRAFT_DUMP_PLANS=<dir>: write every internal statement's
+            // physical plan for before/after plan-diff artifacts
+            sys.env.get("GRAFT_DUMP_PLANS").foreach { dir =>
+              java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+              java.nio.file.Files.writeString(
+                java.nio.file.Paths.get(dir, f"exec${s.executionId}%04d.txt"),
+                s"-- ${sqlDesc(s.executionId)}\n${s.physicalPlanDescription}\n")
+            }
             // flag plan smells in INTERNAL statements (the final query's
             // explain is audited separately; fixture-internal writes /
             // refreshes are only visible here)
