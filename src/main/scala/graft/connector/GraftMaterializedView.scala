@@ -3865,13 +3865,26 @@ object GraftMaterializedView {
             acc.join(t2.scanAsOfVersion(vers(r2)), expr(c2), downTyp(jt2))
           }
         val states: Seq[String => Int] = Seq(pinnedVer, curVers)
+        // state-combo dedup: a term's pathState (or keyState) only
+        // changes its frame when a dim the fold actually TOUCHES moved
+        // this refresh — otherwise both states scan identical versions
+        // and the term is a byte-identical duplicate that union+distinct
+        // would only absorb after re-scanning the head. With one moved
+        // dim (the common churn) this halves the fact-origin and
+        // extension-origin scans.
+        def movedIn(from: Int, until: Int): Boolean =
+          (from until until).exists { i =>
+            val r2 = dimTbls(i)._1; pinnedVer(r2) != curVers(r2)
+          }
+        def statesIf(needBoth: Boolean): Seq[String => Int] =
+          if (needBoth) states else Seq(pinnedVer)
         val nullFact = factHead.schema.fields.map(f =>
           lit(null).cast(f.dataType).as(f.name)).toIndexedSeq
         // fact-origin: prefix at pathState, semi vs slice, rest of the
         // chain (including position j at keyState) for the keys
         val factOrigin = for {
-          pathState <- states
-          keyState <- states
+          pathState <- statesIf(movedIn(0, j))
+          keyState <- statesIf(movedIn(j, dimTbls.length))
         } yield {
           val affected = foldDims(factHead, 0, j, pathState)
             .join(sliceJ, expr(c), "left_semi")
@@ -3886,12 +3899,14 @@ object GraftMaterializedView {
             // threaded through the suffix chain at both endpoints
             val ext = slice.select(nullFact ++
               t.schema.fields.map(f => col(s"`${f.name}`")): _*)
-            states.map(v => keysOf(joinSuffix(ext, v)))
+            statesIf(movedIn(fullIdx + 1, dimTbls.length))
+              .map(v => keysOf(joinSuffix(ext, v)))
           } else {
             val (r0, t0, c0) = fullDim.get
+            val fullMoved = pinnedVer(r0) != curVers(r0)
             for {
-              pathState <- states
-              keyState <- states
+              pathState <- statesIf(fullMoved || movedIn(fullIdx + 1, j))
+              keyState <- statesIf(movedIn(j, dimTbls.length))
             } yield {
               val d0 = t0.scanAsOfVersion(pathState(r0))
               val ext0 = d0.join(factHead, expr(c0), "left_anti")

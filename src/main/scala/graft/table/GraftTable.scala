@@ -663,10 +663,14 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     // rewriting years of history. One tiny agg over the (small) key
     // frame; a key column with a NULL bound means no tuple can match
     // at all (empty frame, or an all-null component) — no-op commit.
+    // trailing count(*) rides the bounds pass — feeds the kept-join
+    // broadcast decision (one fewer action per keyed delete)
     val boundsRow = {
-      val aggs = joinKeys.flatMap(k => Seq(min(col(s"`$k`")), max(col(s"`$k`"))))
+      val aggs = joinKeys.flatMap(k =>
+        Seq(min(col(s"`$k`")), max(col(s"`$k`")))) :+ count(lit(1))
       keyDf.agg(aggs.head, aggs.tail: _*).head
     }
+    val nKeyRows = boundsRow.getLong(2 * joinKeys.size)
     if (joinKeys.indices.exists(i => boundsRow.isNullAt(2 * i))) return snap
     val rangePred: org.apache.spark.sql.catalyst.expressions.Expression =
       joinKeys.zipWithIndex.map { case (k, i) =>
@@ -706,7 +710,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     // checkpointed key frame = no size stats, no AQE: broadcast it
     // below the merge bound or the anti join shuffles every rewritten
     // file (see applyNetChanges)
-    val keyJ = if (keyDf.count() <= GraftTable.MergeBroadcastRowBound)
+    val keyJ = if (nKeyRows <= GraftTable.MergeBroadcastRowBound)
       broadcast(keyDf) else keyDf
     val kept = readFilesMoR(snap, statRewrite, snap.schema)
       .join(keyJ, joinKeys, "left_anti")
@@ -1103,11 +1107,15 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     // Bounds ignore null key components (a null never equals, so null
     // tuples match nothing); an all-null/empty component means no row
     // can match at all.
+    // the trailing count(*) rides the same aggregation pass; it feeds
+    // the kept-join broadcast decision below (one fewer action per
+    // keyed apply)
     val boundsRow = {
       val aggs = joinKeys.flatMap(k => Seq(min(col(s"`$k`")), max(col(s"`$k`")),
-        sum(when(col(s"`$k`").isNull, 1L).otherwise(0L))))
+        sum(when(col(s"`$k`").isNull, 1L).otherwise(0L)))) :+ count(lit(1))
       allKeys.agg(aggs.head, aggs.tail: _*).head
     }
+    val nAllKeys = boundsRow.getLong(3 * joinKeys.size)
     def componentHasNull(i: Int): Boolean =
       !boundsRow.isNullAt(3 * i + 2) && boundsRow.getLong(3 * i + 2) > 0
     val anyNullKey = nullSafeKeys && joinKeys.indices.exists(componentHasNull)
@@ -1164,9 +1172,9 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
       // the checkpointed key frame compiles without AQE and carries no
       // size stats, so the planner sort-merge-joins it against the
       // rewrite set — shuffling every rewritten file to anti-join a
-      // batch-sized key list. Count it (cheap: already materialized)
-      // and broadcast below the merge bound, same stance as mergeRows.
-      val keysJ = if (allKeys.count() <= GraftTable.MergeBroadcastRowBound)
+      // batch-sized key list. Broadcast below the merge bound (count
+      // came with the bounds aggregation), same stance as mergeRows.
+      val keysJ = if (nAllKeys <= GraftTable.MergeBroadcastRowBound)
         broadcast(allKeys) else allKeys
       if (nullSafeKeys) {
         val renamed = keysJ.toDF(joinKeys.map("_graft_nk_" + _): _*)
