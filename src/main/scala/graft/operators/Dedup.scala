@@ -669,10 +669,37 @@ object Dedup {
       .otherwise(transform(sequence(lit(0), nChunks - 1),
         i => array_join(slice(toks, i * chunkWords + 1, lit(chunkWords)), " ")))
     val chunks = df.select(col(idCol), posexplode(chunkArr).as(Seq("cidx", "chunk")))
-    val first = chunks.groupBy(col("chunk"))
-      .agg(min(struct(col(idCol), col("cidx"))).as("_first"))
-    val kept = chunks.join(first, Seq("chunk"))
-      .where(struct(col(idCol), col("cidx")) === col("_first"))
+    // First-owner argmin. min(struct(id, cidx)) has an immutable agg
+    // buffer, which demotes the whole chunk-table aggregation to
+    // SortAggregate — two extra full sorts of the EXPLODED corpus at
+    // every scale. When the ids provably fit 39 bits (one narrow
+    // column-pruned pre-pass), encode (id, cidx) into one
+    // order-preserving long (id << 24 | cidx) so the argmin stays in
+    // codegen'd HashAggregate; otherwise (negative / hash-range /
+    // non-numeric ids) fall back to the exact struct plan. A document
+    // with ≥ 2^24 chunks (167M+ words at the default chunkWords) fails
+    // loudly with the remedy rather than mis-ranking.
+    val encodable = {
+      val b = df.agg(min(col(idCol).cast("long")).as("mn"),
+        max(col(idCol).cast("long")).as("mx")).head
+      !b.isNullAt(0) && !b.isNullAt(1) &&
+        b.getLong(0) >= 0L && b.getLong(1) < (1L << 39)
+    }
+    val kept =
+      if (encodable) {
+        val cidxSafe = when(col("cidx") < (1 << 24), col("cidx"))
+          .otherwise(raise_error(concat(lit("dedupChunks: a document exceeds "),
+            lit((1 << 24).toString),
+            lit(" chunks; raise chunkWords"))).cast("int"))
+        val enc = (col(idCol).cast("long") * (1L << 24)) + cidxSafe
+        val f = chunks.groupBy(col("chunk")).agg(min(enc).as("_first"))
+        chunks.join(f, Seq("chunk")).where(enc === col("_first"))
+      } else {
+        val f = chunks.groupBy(col("chunk"))
+          .agg(min(struct(col(idCol), col("cidx"))).as("_first"))
+        chunks.join(f, Seq("chunk"))
+          .where(struct(col(idCol), col("cidx")) === col("_first"))
+      }
     val agged = kept.groupBy(col(idCol)).agg(
       count(lit(1)).as("kept_chunks"),
       array_join(transform(array_sort(collect_list(struct(col("cidx"), col("chunk")))),

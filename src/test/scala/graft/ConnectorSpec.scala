@@ -871,8 +871,20 @@ class ConnectorSpec extends AnyFunSuite with Matchers {
     val expired = spark.sql("CALL graft.system.expire_snapshots('nsm', 'm', 2)")
     expired.collect().head.getInt(0) should be > 0
     spark.sql("SELECT COUNT(*) FROM graft.nsm.m").head.getLong(0) shouldBe 3
-    // orphan sweep collects files referenced only by expired snapshots;
-    // live data must survive it
+    // orphan sweep: live data must survive it. A planted stray file
+    // guarantees the sweep has a real orphan to count — before round
+    // 19 this assertion rode on the Hadoop committer's _SUCCESS
+    // markers, which internal writes no longer produce (the metadata
+    // log's manifest publish is the commit marker).
+    locally {
+      import graft.table.{GraftCatalog, TableIdent}
+      val dir = java.nio.file.Paths.get(
+        GraftCatalog(spark, spark.conf.get("spark.sql.catalog.graft.warehouse"))
+          .tableDir(TableIdent("nsm", "m")).toUri)
+      val orphan = dir.resolve("data").resolve("stray").resolve("part-x.parquet")
+      java.nio.file.Files.createDirectories(orphan.getParent)
+      java.nio.file.Files.writeString(orphan, "junk")
+    }
     spark.sql("CALL graft.system.remove_orphans('nsm', 'm', 0)")
       .collect().head.getInt(0) should be > 0
     spark.sql("SELECT COUNT(*) FROM graft.nsm.m").head.getLong(0) shouldBe 3

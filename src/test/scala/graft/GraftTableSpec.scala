@@ -63,6 +63,47 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     t.scan().count() shouldBe 4
   }
 
+  test("keyed-apply kept-rows join broadcasts the key frame (round-19 plan pin)") {
+    // the checkpointed net-key frame has no stats, so without the
+    // explicit counted broadcast the rewrite write sort-merge-joined —
+    // shuffling every rewritten file to anti-join a batch-sized key
+    // list. Capture the fixture's executed plans and pin the shape.
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString; () }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val t = cat().ensure(TableIdent("ns", "bcpin"))
+      t.append(df(d1, d2, d3))
+      t.applyNetChanges(df().limit(0).select(col("id")),
+        df((2L, "2024-01-02", "b2"), (4L, "2024-02-02", "d")), Seq("id"),
+        nullSafeKeys = true)
+      // QueryExecutionListener fires asynchronously — wait (bounded)
+      // for the anti-join statement's plan to arrive
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      def anti() = plans.synchronized {
+        plans.toVector.filter(p => p.contains("LeftAnti") || p.contains("left_anti"))
+      }
+      while (anti().isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+      val withAnti = anti()
+      withAnti should not be empty
+      // the kept-rows anti join must be a broadcast, never a sort-merge
+      withAnti.foreach { p =>
+        p should include("BroadcastHashJoin")
+        p should not include "SortMergeJoin"
+      }
+      t.scan().orderBy("id").collect().map(_.getLong(0)).toSeq shouldBe
+        Seq(1L, 2L, 3L, 4L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("applyNetChanges zone-prunes: files outside the key range carry over") {
     val s = spark
     import s.implicits._

@@ -63,6 +63,27 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     out.toSeq shouldBe Seq("en", "de", "und")
   }
 
+  test("langIdTable argmax encoding keeps langId's exact tie-break semantics") {
+    // round-19: the per-doc argmax was re-encoded from max(struct(score,
+    // lang)) — a SortAggregate — to a hash-aggregable max over
+    // score*8+langIndex. Pin the contract the encoding must preserve:
+    // highest score wins; ties pick the lexicographically LARGEST lang
+    // (langs sorted ascending, larger index = lex-larger); marker-free
+    // docs predict "und".
+    val df = docs(
+      (1L, "the cat is in the house and it was good"), // en outright
+      (2L, "the der"),          // en 1 vs de 1 -> tie -> "en" (> "de")
+      (3L, "the es der die los"), // en 1, de 2, es 2 -> tie -> "es" (> "de")
+      (4L, "zzz qqq"))          // no markers -> und
+    val out = TextFunctions.langIdTable(df, "text", "id")
+      .orderBy(col("id")).collect().map(_.getAs[String]("predicted"))
+    out.toSeq shouldBe Seq("en", "en", "es", "und")
+    // ... and stays value-identical to the column-form langId on the same rows
+    val colForm = df.select(col("id"), TextFunctions.langId(col("text")).as("p"))
+      .orderBy(col("id")).collect().map(_.getString(1))
+    out.toSeq shouldBe colForm.toSeq
+  }
+
   test("simhash of near-identical docs is within small Hamming distance") {
     val s = spark
     import s.implicits._
@@ -959,6 +980,27 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     out shouldBe ref
     // the planted exact copies were fully gutted
     (1000L until 1020L).filter(i => out(i)._1 == 0L).size shouldBe 20
+  }
+
+  test("dedupChunks encoded argmin == struct fallback (negative ids force the fallback)") {
+    // round-19: in-range long ids take the order-preserving id<<24|cidx
+    // encoding (HashAggregate); out-of-range ids must fall back to the
+    // exact struct argmin. Shifting every id by a constant preserves
+    // relative order, so the two plans must keep the same occurrences.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(19)
+    val vocab = Vector("red", "green", "blue", "cyan")
+    def doc(): String = Seq.fill(8 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0L until 40L).map(i => (i, doc()))
+    val corpus = base ++ base.take(10).map { case (i, t) => (i + 100L, t) }
+    val pos = Dedup.dedupChunks(corpus.toDF("doc_id", "text"), "text", "doc_id", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3)))).toMap
+    val neg = Dedup.dedupChunks(
+        corpus.map { case (i, t) => (i - 1000L, t) }.toDF("doc_id", "text"),
+        "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0) + 1000L) -> ((r.getLong(1), r.getString(3)))).toMap
+    neg shouldBe pos
   }
 
   test("stratifiedSample keeps deterministic per-stratum subsets at the set rates") {
