@@ -181,26 +181,29 @@ object TextFunctions {
     val spark = df.sparkSession
     import spark.implicits._
     val langs = LangMarkers.keys.toSeq.sorted
-    require(langs.size <= 8, "argmax encoding reserves 3 bits for the lang index")
+    // base derived from the inventory size so adding a language widens
+    // the encoding instead of failing; scores are bounded by document
+    // token counts, far below Long.MaxValue / base
+    val base = math.max(langs.size, 1).toLong
     val markers = langs.zipWithIndex
       .flatMap { case (lang, i) => LangMarkers(lang).map(w => (w, i)) }
       .toDF("_w", "_mi")
     val toks = df.select(col(idCol), explode(wordTokens(col(textCol))).as("_w"))
-    // argmax over a single orderable LONG — score * 8 + lang index, langs
-    // sorted ascending so a larger index is a lexicographically larger
-    // code. Value-identical to max(struct(score, lang)) (score first,
-    // lex-largest lang on ties) but the long max is HASH-aggregable,
-    // where a struct-typed max buffer forces SortAggregate: two extra
-    // sort passes over the per-doc frame at every scale
-    // (plans/r19/q23_lang_id_{before,after}.txt).
+    // argmax over a single orderable LONG — score * base + lang index,
+    // langs sorted ascending so a larger index is a lexicographically
+    // larger code. Value-identical to max(struct(score, lang)) (score
+    // first, lex-largest lang on ties) but the long max is
+    // HASH-aggregable, where a struct-typed max buffer forces
+    // SortAggregate: two extra sort passes over the per-doc frame at
+    // every scale (plans/r19/q23_lang_id_{before,after}.txt).
     val langArr = array(langs.map(lit): _*)
     val best = toks.join(broadcast(markers), Seq("_w"))
       .groupBy(col(idCol), col("_mi"))
       .agg(count(lit(1)).as("_score"))
       .groupBy(col(idCol))
-      .agg(max(col("_score") * 8 + col("_mi")).as("_enc"))
+      .agg(max(col("_score") * base + col("_mi")).as("_enc"))
       .select(col(idCol),
-        element_at(langArr, (col("_enc") % 8).cast("int") + 1).as("_pred"))
+        element_at(langArr, (col("_enc") % base).cast("int") + 1).as("_pred"))
     df.drop(textCol)
       .join(best, Seq(idCol), "left")
       .withColumn("predicted", coalesce(col("_pred"), lit("und")))

@@ -679,11 +679,26 @@ object Dedup {
     // non-numeric ids) fall back to the exact struct plan. A document
     // with ≥ 2^24 chunks (167M+ words at the default chunkWords) fails
     // loudly with the remedy rather than mis-ranking.
+    // Encoded path only for integral id columns: a string/decimal/double
+    // id either fails the long cast (min/max skip NULLs, so a MIXED
+    // corpus would still pass a min/max-only probe and silently drop the
+    // non-castable documents) or changes the first-owner order
+    // (numeric vs lexicographic, fractional truncation). count(*) ==
+    // count(cast) in the same pre-pass additionally rejects NULL ids.
     val encodable = {
-      val b = df.agg(min(col(idCol).cast("long")).as("mn"),
-        max(col(idCol).cast("long")).as("mx")).head
-      !b.isNullAt(0) && !b.isNullAt(1) &&
-        b.getLong(0) >= 0L && b.getLong(1) < (1L << 39)
+      import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+      val integral = df.select(col(idCol)).schema.head.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      integral && {
+        val b = df.agg(min(col(idCol).cast("long")).as("mn"),
+          max(col(idCol).cast("long")).as("mx"),
+          count(lit(1)).as("n"), count(col(idCol).cast("long")).as("nc")).head
+        !b.isNullAt(0) && !b.isNullAt(1) &&
+          b.getLong(0) >= 0L && b.getLong(1) < (1L << 39) &&
+          b.getLong(2) == b.getLong(3)
+      }
     }
     val kept =
       if (encodable) {

@@ -88,8 +88,13 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
       // QueryExecutionListener fires asynchronously — wait (bounded)
       // for the anti-join statement's plan to arrive
       val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      // filter to the applyNetChanges kept-rows statement specifically
+      // (its _graft_nk_ key rename) so unrelated anti joins from other
+      // internal writes in the shared session can't flake this pin
       def anti() = plans.synchronized {
-        plans.toVector.filter(p => p.contains("LeftAnti") || p.contains("left_anti"))
+        plans.toVector.filter(p =>
+          (p.contains("LeftAnti") || p.contains("left_anti")) &&
+            p.contains("_graft_nk_"))
       }
       while (anti().isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
       val withAnti = anti()

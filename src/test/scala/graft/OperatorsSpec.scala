@@ -1003,6 +1003,31 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     neg shouldBe pos
   }
 
+  test("dedupChunks never encodes non-integral ids: mixed-castability and numeric strings") {
+    // round-20: the encoded path is gated on an INTEGRAL id column. A
+    // string corpus where some ids cast to long ("17") and some don't
+    // ("doc-17") must keep every document (min/max-only probes pass such
+    // a corpus and the NULL-encoded rows then vanish); all-numeric
+    // STRING ids must still dedup lexicographically (struct plan), not
+    // numerically.
+    val s = spark
+    import s.implicits._
+    val shared = "alpha beta gamma alpha beta gamma alpha beta gamma"
+    val mixed = Seq(("17", shared), ("doc-17", shared), ("doc-03", "unique words here now then"))
+      .toDF("doc_id", "text")
+    val outM = Dedup.dedupChunks(mixed, "text", "doc_id", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    outM.keySet shouldBe Set("17", "doc-17", "doc-03") // nothing dropped
+    outM("17") should be > 0L   // "17" < "doc-17" lexicographically: first owner
+    outM("doc-17") shouldBe 0L  // fully gutted duplicate
+    // numeric strings: "9" > "10" lexicographically, so doc "10" owns
+    val numStr = Seq(("9", shared), ("10", shared)).toDF("doc_id", "text")
+    val outN = Dedup.dedupChunks(numStr, "text", "doc_id", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    outN("10") should be > 0L
+    outN("9") shouldBe 0L
+  }
+
   test("stratifiedSample keeps deterministic per-stratum subsets at the set rates") {
     val s = spark
     import s.implicits._
