@@ -350,6 +350,43 @@ final case class Snapshot(
 object Snapshot {
   val FieldIdKey = "graft.field-id"
 
+  /** Group-level file diff between two snapshots of one table, with
+    * group attribution: `(added, removed)` where `added` are files in
+    * `cur` but not `prev` (keyed to their cur group) and `removed` the
+    * reverse (keyed to their prev group).
+    *
+    * Manifests are immutable and a snapshot references each data file
+    * path exactly once (scan correctness already rests on that — a
+    * doubled reference would double-read), so a manifest present on
+    * BOTH sides contributes identical files to both and can never hold
+    * a diff row. Only one-side-only manifests are parsed: manifest IO
+    * and driver work are O(groups touched by the range), not O(table).
+    * A commit that rewrites a group's residue (compaction pruning)
+    * moves surviving paths to a fresh manifest, so the two candidate
+    * sets are cross-filtered by path to net those carried-over files
+    * out — exactly the full path-set diff, at changed-group cost.
+    * Works for any two snapshots of one log, adjacent or not.
+    */
+  def diffByGroup(prev: Snapshot, cur: Snapshot)
+      : (Seq[(FileGroup, Seq[DataFile])], Seq[(FileGroup, Seq[DataFile])]) = {
+    val prevM = prev.fileGroups.map(_.manifest).toSet
+    val curM = cur.fileGroups.map(_.manifest).toSet
+    val addG = cur.fileGroups.filterNot(g => prevM.contains(g.manifest))
+    val delG = prev.fileGroups.filterNot(g => curM.contains(g.manifest))
+    val addP = addG.flatMap(_.files.map(_.path)).toSet
+    val delP = delG.flatMap(_.files.map(_.path)).toSet
+    (addG.map(g => g -> g.files.filterNot(f => delP.contains(f.path)))
+       .filter(_._2.nonEmpty),
+     delG.map(g => g -> g.files.filterNot(f => addP.contains(f.path)))
+       .filter(_._2.nonEmpty))
+  }
+
+  /** [[diffByGroup]] flattened to `(addedFiles, removedFiles)`. */
+  def diffFiles(prev: Snapshot, cur: Snapshot): (Seq[DataFile], Seq[DataFile]) = {
+    val (a, d) = diffByGroup(prev, cur)
+    (a.flatMap(_._2), d.flatMap(_._2))
+  }
+
   private def fileToJson(f: DataFile): JObject =
     JObject(
       "path"  -> JString(f.path),

@@ -1893,15 +1893,17 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
   /** Rows a delete group REMOVED, as visible just before it committed
     * — older-seq data with the PRIOR deletes applied, then this
     * delete's own match (semi join / predicate). The changelog's
-    * delete-side emission for merge-on-read commits. `onlyPaths`
-    * restricts the base to files the PREVIOUS snapshot also held: a
-    * group (re-)adopted in the same commit as its files (rollback
-    * across a compaction) must not re-delete rows the insert side
-    * never emitted — file churn belongs to the raw sides.
+    * delete-side emission for merge-on-read commits. `excludeAdded`
+    * (the paths the commit ADDED — a commit-sized set, so callers never
+    * materialize the table's full listing) restricts the base to files
+    * the PREVIOUS snapshot also held: a group (re-)adopted in the same
+    * commit as its files (rollback across a compaction) must not
+    * re-delete rows the insert side never emitted — file churn belongs
+    * to the raw sides.
     */
   private[graft] def morDeletedRows(snap: Snapshot, d: DeleteGroup,
                                     readSchema: StructType,
-                                    onlyPaths: Option[Set[String]] = None): DataFrame = {
+                                    excludeAdded: Option[Set[String]] = None): DataFrame = {
     val priors = snap.deleteGroups.filter(_.seq < d.seq).sortBy(_.seq)
     val needPos = (priors :+ d).exists(_.isInstanceOf[PositionDeleteGroup])
     val dataCols = readSchema.fieldNames.map(c => col(s"`$c`")).toSeq
@@ -1909,7 +1911,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     if (baseGroups.isEmpty) return readFiles(readSchema, Nil)
     val base = baseGroups.map { g =>
       val files = g.files.filter(_.rows > 0)
-        .filter(f => onlyPaths.forall(_.contains(f.path)))
+        .filter(f => !excludeAdded.exists(_.contains(f.path)))
       val b = readMapped(readSchema, files,
         nameMapping(snap.writeSchemaFor(g.seq), readSchema), needPos)
       applyDeleteGroups(b, priors.filter(_.appliesTo(g.seq)), snap)
@@ -1952,10 +1954,13 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     val changed = from.deleteGroups.filterNot(d => toSeqs(d.seq)) ++
       to.deleteGroups.filterNot(d => fromSeqs(d.seq))
     if (changed.isEmpty) return (empty, empty)
-    val toPaths = to.files.map(_.path).toSet
+    // shared files = from's files minus the ones the commit REMOVED —
+    // a commit-sized set via the group-level diff, so this never
+    // materializes `to`'s full listing
+    val removedPaths = Snapshot.diffFiles(from, to)._2.map(_.path).toSet
     val affected = from.fileGroups.flatMap { g =>
       if (changed.exists(_.appliesTo(g.seq)))
-        g.files.filter(f => toPaths.contains(f.path) && f.rows > 0)
+        g.files.filter(f => !removedPaths.contains(f.path) && f.rows > 0)
       else Nil
     }
     if (affected.isEmpty) return (empty, empty)
@@ -2674,8 +2679,9 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
       s.operation == "append" || s.operation.startsWith("evolve"))
     require(nonAppend.isEmpty,
       s"range contains non-append operations: ${nonAppend.map(_.operation).distinct.mkString(", ")}")
-    val before = from.files.map(_.path).toSet
-    val added = to.files.filterNot(f => before.contains(f.path))
+    // group-level diff: parses only the manifests the range ADDED, not
+    // the table's full listing (Snapshot.diffByGroup)
+    val added = Snapshot.diffFiles(from, to)._1
     readFiles(to.schema, added)
   }
 
@@ -2789,17 +2795,19 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         .filter(v => include(v + 1)).map { v =>
         val prev = log.read(v)
         val cur = log.read(v + 1)
-        val before = prev.files.map(_.path).toSet
-        val after = cur.files.map(_.path).toSet
+        // group-level diff (Snapshot.diffByGroup): manifests shared by
+        // the adjacent snapshots are never parsed — driver work and
+        // manifest IO per commit are O(files the commit touched), not
+        // O(table files)
+        val (added, removed) = Snapshot.diffFiles(prev, cur)
+        val addedPaths = added.map(_.path).toSet
         // both sides read MoR-aware: the delete side must not re-emit
         // rows an earlier MoR delete already removed (prev's groups),
         // and the insert side must honor deletes applicable to re-added
         // groups (rollback re-adds carry their ORIGINAL seq)
-        val ins = eraAligned(cur, sch =>
-          readFilesMoR(cur, cur.files.filterNot(f => before.contains(f.path)), sch))
+        val ins = eraAligned(cur, sch => readFilesMoR(cur, added, sch))
           .withColumn("_change_type", lit("insert"))
-        val del = eraAligned(prev, sch =>
-          readFilesMoR(prev, prev.files.filterNot(f => after.contains(f.path)), sch))
+        val del = eraAligned(prev, sch => readFilesMoR(prev, removed, sch))
           .withColumn("_change_type", lit("delete"))
         // merge-on-read STATE change over the files both snapshots
         // keep: groups only ADDED emit each group's exact pre-image
@@ -2813,7 +2821,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
           if (prev.deleteGroups.forall(d => curSeqs.contains(d.seq)))
             cur.deleteGroups.filterNot(d => prevSeqs.contains(d.seq))
               .map(d => eraAligned(cur,
-                  sch => morDeletedRows(cur, d, sch, Some(before)))
+                  sch => morDeletedRows(cur, d, sch, Some(addedPaths)))
                 .withColumn("_change_type", lit("delete")))
           else Seq(
             eraAligned(cur, sch => morVisibilityDiff(prev, cur, sch)._1)
@@ -2841,14 +2849,13 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         "grouped changelog plan cannot span column rename/drop history " +
           "(it reads raw file diffs with one schema); use the per-commit " +
           "plan (scanChangesBetween chooses it automatically)")
-      val inserts = commits.flatMap { case (prev, cur) =>
-        val before = prev.files.map(_.path).toSet
-        cur.files.filterNot(f => before.contains(f.path)).map(f => cur.version -> f)
+      // one group-level diff per commit: manifest parses ∝ files the
+      // range touched, never the per-commit full listings
+      val diffs = commits.map { case (prev, cur) =>
+        (cur.version, Snapshot.diffFiles(prev, cur))
       }
-      val deletes = commits.flatMap { case (prev, cur) =>
-        val after = cur.files.map(_.path).toSet
-        prev.files.filterNot(f => after.contains(f.path)).map(f => cur.version -> f)
-      }
+      val inserts = diffs.flatMap { case (v, (a, _)) => a.map(v -> _) }
+      val deletes = diffs.flatMap { case (v, (_, d)) => d.map(v -> _) }
       // scheme-stable join key: the trailing "<commit-dir>/<file>" of a
       // path identifies a file uniquely within the table (commit dirs
       // are UUIDs) and is identical between the relative metadata path
@@ -2920,14 +2927,10 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
         eraRaw(cur, cur.fileGroups.map(g => g -> g.files).filter(_._2.nonEmpty)),
         None, Nil, None)
     val prev = log.read(v - 1)
-    val before = prev.files.map(_.path).toSet
-    val after = cur.files.map(_.path).toSet
-    val addedByGroup = cur.fileGroups
-      .map(g => g -> g.files.filterNot(f => before.contains(f.path)))
-      .filter(_._2.nonEmpty)
-    val removedByGroup = prev.fileGroups
-      .map(g => g -> g.files.filterNot(f => after.contains(f.path)))
-      .filter(_._2.nonEmpty)
+    // group-level diff with group attribution (the era bucketing below
+    // needs each file's group seq) — shared manifests never parsed
+    val (addedByGroup, removedByGroup) = Snapshot.diffByGroup(prev, cur)
+    val addedPaths = addedByGroup.flatMap(_._2.map(_.path)).toSet
     val prevSeqs = prev.deleteGroups.map(_.seq).toSet
     val curSeqs = cur.deleteGroups.map(_.seq).toSet
     val removedDels = prev.deleteGroups.filterNot(d => curSeqs.contains(d.seq))
@@ -2943,7 +2946,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     // two-sided visibility diff, same rule as scanChangesBetween
     val (visIns, visDel): (Seq[DataFrame], Seq[DataFrame]) =
       if (removedDels.isEmpty)
-        (Nil, newDels.map(d => morDeletedRows(cur, d, cur.schema, Some(before))))
+        (Nil, newDels.map(d => morDeletedRows(cur, d, cur.schema, Some(addedPaths))))
       else {
         val (i, d) = morVisibilityDiff(prev, cur, cur.schema)
         (Seq(i), Seq(d))

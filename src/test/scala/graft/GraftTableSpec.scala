@@ -230,6 +230,31 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     delRow.isNullAt(delRow.fieldIndex("extra")) shouldBe true
   }
 
+  test("changelog reads parse manifests proportional to the version window, not the table") {
+    // round-20: group-level snapshot diffs (Snapshot.diffByGroup) —
+    // manifests shared by adjacent snapshots are never parsed, so a
+    // 2-commit window over a 12-group table touches ~2 manifests where
+    // the full path-set diff parsed all 12 per commit in the range
+    val c = GraftCatalog(spark, Files.createTempDirectory("graft-test").toString)
+    val t = c.ensure(TableIdent("ns", "cdcprune"))
+    (1 to 12).foreach(i => t.append(df((i.toLong, "2024-01-01", s"n$i"))))
+    // fresh handle = cold manifest cache + zeroed parse counter
+    val t2 = c.load(TableIdent("ns", "cdcprune"))
+    val total = t2.currentOrFail().fileGroups.size
+    total shouldBe 12
+    t2.scanDataChangesBetween(9, 11).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq shouldBe Seq(11L, 12L)
+    val parses = t2.log.manifestParses.get()
+    withClue(s"parsed $parses of $total manifests for a 2-commit window: ") {
+      parses should be <= 2L
+    }
+    // scanAppendedBetween over a narrow window: same bound
+    val t3 = c.load(TableIdent("ns", "cdcprune"))
+    t3.scanAppendedBetween(10, 11).select("id").collect()
+      .map(_.getLong(0)).toSeq shouldBe Seq(12L)
+    t3.log.manifestParses.get() should be <= 1L
+  }
+
   test("scanDataChangesBetween skips maintenance churn, keeps real changes") {
     val t = cat().ensure(TableIdent("ns", "t5m"))
     t.append(df(d1, d2))                  // v0: +2
