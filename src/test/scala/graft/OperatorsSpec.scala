@@ -152,6 +152,35 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     all(out.map(_._2)) shouldBe 0L
   }
 
+  test("dupClusters star contraction agrees with a sequential union-find reference") {
+    // round-20: dupClusters moved to alternating large-star/small-star
+    // contraction. Differential-pin it against a sequential union-find
+    // on a graph mixing a hot-node star (the skewed-component shape the
+    // rewrite targets), a long chain, and random noise edges.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20)
+    val n = 300
+    val edgeSeq = (
+      Seq.tabulate(80)(i => (100L, (101 + i).toLong)) ++ // hot star at 100
+        (0L until 49L).map(i => (i, i + 1)) ++           // 50-node chain
+        Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      ).filter(p => p._1 != p._2)
+    // union-find attaching the larger root under the smaller: the final
+    // root of every set IS the component's min id
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edgeSeq.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    val out = Dedup.dupClusters((0L until n.toLong).toDF("id"),
+        edgeSeq.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe expected
+  }
+
   test("exactGroups reports group sizes and keeper ids") {
     val out = Dedup.exactGroups(docs((5L, "aaa"), (1L, "aaa"), (2L, "bbb")), "text", "id")
       .orderBy("keeper_id")
