@@ -2003,6 +2003,28 @@ object GraftMaterializedView {
     if (df.count() <= graft.table.GraftTable.MergeBroadcastRowBound) broadcast(df)
     else df
 
+  /** [[bcIfSmall]] when the frame's row count is already known — no
+    * action runs.
+    */
+  private def bcIfSmallN(df: DataFrame, n: Long): DataFrame =
+    if (n <= graft.table.GraftTable.MergeBroadcastRowBound) broadcast(df) else df
+
+  /** localCheckpoint + row count in ONE Spark job: the count rides the
+    * materialization itself via `Dataset.observe`, so the subsequent
+    * broadcast decision (bcIfSmallN) costs no extra action — each
+    * df.count() the refresh path saves is a driver round-trip per
+    * frame per refresh (round-19 advice).
+    */
+  private def checkpointCounted(df: DataFrame): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val ck = df.observe(obs, count(lit(1)).as("_n")).localCheckpoint()
+    (ck, obs.get("_n") match {
+      case n: Long => n
+      case n: java.lang.Number => n.longValue
+      case _ => Long.MaxValue // metric shape surprise: never broadcast blind
+    })
+  }
+
   private def rangeBounds(keyFrame: DataFrame, names: Seq[String],
                           skip: String => Boolean): Seq[(String, Any, Any)] = {
     if (names.isEmpty) return Nil // global aggregate: no key columns
@@ -2726,6 +2748,16 @@ object GraftMaterializedView {
       * range/equality agreement) just skip pruning; all-NULL slice
       * keys can match nothing, emptying the term.
       */
+    // bounds memo per (slice frame identity, join condition): the FULL
+    // from/to fact probes call prunedFactFor twice with the SAME
+    // checkpointed slice, and the slice bounds agg is an action — one
+    // driver round-trip per repeat saved at identical semantics (the
+    // bounds depend only on the slice and the condition, never on the
+    // fact version)
+    val sliceBoundsCache =
+      new java.util.IdentityHashMap[DataFrame,
+        scala.collection.mutable.Map[String, org.apache.spark.sql.Row]]()
+
     def prunedFactFor(slice: DataFrame, condSql: String,
                       factVersion: Int = to,
                       legVers: String => Int = legCur): DataFrame = {
@@ -2767,7 +2799,14 @@ object GraftMaterializedView {
       if (pairs.isEmpty) return full
       val aggs = pairs.flatMap { case (_, d) =>
         Seq(min(col(s"`$d`")), max(col(s"`$d`"))) }
-      val b = slice.agg(aggs.head, aggs.tail: _*).head
+      val b = {
+        var m = sliceBoundsCache.get(slice)
+        if (m == null) {
+          m = scala.collection.mutable.Map.empty
+          sliceBoundsCache.put(slice, m)
+        }
+        m.getOrElseUpdate(condSql, slice.agg(aggs.head, aggs.tail: _*).head)
+      }
       pairs.zipWithIndex.foldLeft(full) { case (f, ((fc, _), i)) =>
         if (b.isNullAt(2 * i)) f.where(lit(false))
         else f.where(col(s"`$fc`") >= lit(b.get(2 * i)) &&
@@ -2816,15 +2855,17 @@ object GraftMaterializedView {
           val (r, t, _, c) = dimTbls.head
           val factSlice = legWhere(factRelStr)(
             src.scanDataChangesBetween(factFrom, to).drop("_commit_version"))
-          val slice = legTbls.foldLeft(factSlice) {
-            case (acc, (lr, lt)) =>
-              acc.unionByName(legWhere(lr)(
-                lt.scanDataChangesBetween(legFrom(lr), legCur(lr))
-                  .drop("_commit_version")))
-          }.localCheckpoint()
+          val (slice, nSlice) = checkpointCounted(
+            legTbls.foldLeft(factSlice) {
+              case (acc, (lr, lt)) =>
+                acc.unionByName(legWhere(lr)(
+                  lt.scanDataChangesBetween(legFrom(lr), legCur(lr))
+                    .drop("_commit_version")))
+            })
           val d0 = t.scanAsOfVersion(pins(r))
           val linear = slice.join(d0, expr(c), "left_outer")
-          val affectedD = d0.join(bcIfSmall(slice), expr(c), "left_semi").localCheckpoint()
+          val affectedD = d0.join(bcIfSmallN(slice, nSlice), expr(c), "left_semi")
+            .localCheckpoint()
           val f0 = prunedFactFor(affectedD, c, factFrom, legFrom)
           val f1 = prunedFactFor(affectedD, c, to)
           val gained = affectedD.join(f0, expr(c), "left_anti")
@@ -2855,9 +2896,10 @@ object GraftMaterializedView {
           }
           // one evaluation: the slice feeds the pruning bounds AND the
           // join (changelog scans re-plan per action otherwise)
-          val slice = t.scanDataChangesBetween(pins(r), curVers(r))
-            .drop("_commit_version").localCheckpoint()
-          val sliceJ = bcIfSmall(slice)
+          val (slice, nSlice) = checkpointCounted(
+            t.scanDataChangesBetween(pins(r), curVers(r))
+              .drop("_commit_version"))
+          val sliceJ = bcIfSmallN(slice, nSlice)
           val after = dimTbls.drop(i + 1).map { case (r2, t2, jt2, c2) =>
             (t2.scanAsOfVersion(pins(r2)), jt2, c2)
           }
@@ -3825,16 +3867,16 @@ object GraftMaterializedView {
     val dimTerms = dimTbls.zipWithIndex.filter { case ((r, _, _, _), _) =>
       curVers(r) != pinnedVer(r)
     }.flatMap { case ((r, t, jt, c), j) =>
-      val slice =
-        try t.scanDataChangesBetween(pinnedVer(r), curVers(r))
-          .drop("_commit_version").localCheckpoint()
+      val (slice, nSlice) =
+        try checkpointCounted(t.scanDataChangesBetween(pinnedVer(r), curVers(r))
+          .drop("_commit_version"))
         catch {
           case e @ (_: java.io.FileNotFoundException |
                     _: java.nio.file.NoSuchFileException |
                     _: IllegalStateException | _: IllegalArgumentException) =>
             changelogGone(s"dimension $r", pinnedVer(r), curVers(r), e)
         }
-      val sliceJ = bcIfSmall(slice)
+      val sliceJ = bcIfSmallN(slice, nSlice)
       if (fullIdx < 0) {
         // no FULL in the chain: affected rows derive from the whole
         // head (every union leg through its own WHERE/SELECT) semi-
@@ -4032,7 +4074,7 @@ object GraftMaterializedView {
     val srcTouched = joinBase(srcScan, dimPrunedJoin).join(touchedR,
       parts.zip(tk).map { case ((_, s), k) => expr(s) <=> col(s"`$k`") }
         .reduce(_ && _), "left_semi")
-    val recomputed = replay(srcTouched).localCheckpoint()
+    val (recomputed, nRecomputed) = checkpointCounted(replay(srcTouched))
 
     val storedScan = rangeSqlFor(storage.schema, keyNames, keyNames) match {
       case Some(p) => storage.scanWhere(p)
@@ -4046,8 +4088,8 @@ object GraftMaterializedView {
     // null-safe anti join (a NULL partition key addresses a real group):
     // stored keys whose (parts, rn) vanished from the recompute
     val rk = mergeKeys.indices.map(i => s"_mvrk_$i")
-    val recomputedKeys = bcIfSmall(recomputed
-      .select(mergeKeys.map(n => col(s"`$n`")): _*).toDF(rk: _*))
+    val recomputedKeys = bcIfSmallN(recomputed
+      .select(mergeKeys.map(n => col(s"`$n`")): _*).toDF(rk: _*), nRecomputed)
     val delKeys = storedTouched.select(mergeKeys.map(n => col(s"`$n`")): _*)
       .join(recomputedKeys,
         mergeKeys.zip(rk).map { case (n, k) => col(s"`$n`") <=> col(s"`$k`") }
