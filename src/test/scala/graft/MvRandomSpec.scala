@@ -23,7 +23,7 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
       .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
 
   test("random mutation bursts: incremental MV == inline recompute at every refresh") {
-    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(6)
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(2)
     for (seed <- 0 until seeds) {
       val rnd = new Random(seed)
       val ns = s"mvr$seed"
@@ -101,7 +101,7 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
       .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
 
   test("widened algebra: AVG/MIN/MAX with NULL and double group keys stay incremental") {
-    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(4)
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(2)
     val defn =
       """SELECT CASE WHEN id % 5 = 0 THEN NULL ELSE g END AS gk, k2,
         |       SUM(v) AS total, AVG(v) AS av, MIN(v) AS mn, MAX(v) AS mx,
@@ -204,7 +204,7 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
       .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
 
   test("join MV: fact AND inner-dim changes maintain incrementally (telescoped)") {
-    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(3)
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(2)
     val defn =
       """SELECT cat, SUM(v) AS t, AVG(v) AS av, MAX(v) AS mx, COUNT(*) AS n,
         |       SUM(v * wt) AS tw, COUNT(DISTINCT v) AS dv
@@ -313,7 +313,7 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
   }
 
   test("UNION ALL MV: every leg maintains with its own pin") {
-    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(3)
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(2)
     // legs 0 and 2 carry their OWN retention predicates (the shard-
     // with-different-retention shape) on top of the shared WHERE;
     // leg 1 is bare — mixed per-leg filters maintain incrementally
@@ -388,7 +388,7 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
   }
 
   test("UNION ALL MV with per-leg SELECT: divergent shard schemas maintain incrementally") {
-    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(3)
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(2)
     // three shards with DIVERGENT physical schemas under one MV: s0 is
     // identity (plus its own retention WHERE), s1 (merge-on-read)
     // stores the measure halved under different column names, s2's leg
@@ -472,7 +472,7 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
   }
 
   test("sharded fact star join MV: union legs JOIN moving dims maintain incrementally") {
-    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(3)
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(2)
     // a UNION ALL fact (shard s1 behind a per-leg SELECT with renamed/
     // rescaled columns, MoR deletes) joined to an INNER dim carrying
     // the group key and a LEFT dim — fact bursts on either shard, dim
@@ -565,7 +565,7 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
   }
 
   test("DISTINCT MV: set maintenance via row-count bookkeeping, incl. a join + dim move") {
-    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(3)
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(2)
     val defn =
       """SELECT DISTINCT cat, k2 % 3 AS kk
         |FROM graft.%NS%.fact JOIN graft.%NS%.dim ON g = dg
@@ -1034,7 +1034,7 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
       .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
 
   test("global-aggregate MV: one row maintained incrementally, survives a full wipe") {
-    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(3)
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(2)
     val defn =
       """SELECT COUNT(*) AS n, SUM(v) AS total, AVG(v) AS av,
         |       MIN(v) AS mn, MAX(v) AS mx
@@ -1094,7 +1094,7 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
   // ------------------------------------------------------------------
 
   test("HAVING MVs: view-level predicate over incremental storage == inline") {
-    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(4)
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(2)
     for (seed <- 0 until seeds) {
       val rnd = new Random(3000 + seed)
       val ns = s"mvh$seed"
@@ -1179,7 +1179,7 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
   // ------------------------------------------------------------------
 
   test("grouping sets MVs: rollup/cube subtotals maintain incrementally") {
-    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(4)
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(3)
     for (seed <- 0 until seeds) {
       val rnd = new Random(4000 + seed)
       val ns = s"mvgs$seed"
@@ -1520,7 +1520,7 @@ class MvRandomSpec extends AnyFunSuite with Matchers {
   // ------------------------------------------------------------------
 
   test("COUNT(DISTINCT): incremental via the pair table == inline recompute") {
-    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(4)
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(2)
     for (seed <- 0 until seeds) {
       val rnd = new Random(2000 + seed)
       val ns = s"mvd$seed"

@@ -22,7 +22,7 @@ class MvWindowSpec extends AnyFunSuite with Matchers {
       .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
 
   test("top-N per group: incremental == recompute through mutation bursts") {
-    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(3)
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(2)
     for (seed <- 0 until seeds) {
       val rnd = new Random(3000 + seed)
       val ns = s"mvw$seed"
@@ -489,7 +489,7 @@ class MvWindowSpec extends AnyFunSuite with Matchers {
   }
 
   test("window MV over a sharded UNION ALL: per-leg pins, projections, MoR retractions") {
-    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(3)
+    val seeds = sys.env.get("GRAFT_MV_SEEDS").map(_.toInt).getOrElse(2)
     for (seed <- 0 until seeds) {
       val rnd = new Random(3400 + seed)
       val ns = s"mvwu$seed"
