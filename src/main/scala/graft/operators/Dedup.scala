@@ -391,10 +391,9 @@ object Dedup {
     * — later rounds run over star-like remnants, not the original
     * corpus-scale pair set, where label propagation re-joined every
     * edge every round. Converges to per-component stars in O(log n)
-    * rounds. Per-round convergence is probed with a cheap
-    * count+hashsum signature and CONFIRMED exactly (set equality via
-    * except) before the loop stops — a hash collision can only cost
-    * one extra exact check, never a wrong early stop.
+    * rounds, detected EXACTLY the round stars appear by a one-pass
+    * shape test (no stability round, no set comparison — see
+    * isStarSet below).
     *
     * `pairs` carries (id_a, id_b); returns (id, cluster) for every id
     * in `nodes` and only those, singletons labeling themselves. Pairs
@@ -406,7 +405,13 @@ object Dedup {
   def dupClusters(nodes: DataFrame, pairs: DataFrame, idCol: String = "id",
                   maxIters: Int = 20): DataFrame = {
     val ids = nodes.select(col(idCol).as("id"))
-    var edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+    // oriented toward the smaller endpoint from the start: every edge
+    // keeps u > v through both star operations (emissions point at
+    // neighborhood minima), which is what makes the star-shape
+    // convergence test below sound
+    var edges = pairs.select(
+        greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
       .join(ids.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
       .join(ids.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
       .where(col("u") =!= col("v"))
@@ -420,11 +425,14 @@ object Dedup {
 
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      // no distinct here: duplicates (same (v,m) from different source
+      // groups) pass through smallStar's groupBy-min unchanged and its
+      // round-final distinct removes them — one full-edge shuffle per
+      // round saved
       sym.join(neighborhoodMin(sym), Seq("u"))
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("_m").as("v"))
         .where(col("u") =!= col("v"))
-        .distinct()
     }
 
     def smallStar(e: DataFrame): DataFrame = {
@@ -444,25 +452,26 @@ object Dedup {
     // shuffle beyond the partial agg — equal sets always produce equal
     // signatures, so inequality alone continues the loop without the
     // exact check
-    def signature(e: DataFrame): (Long, BigDecimal) = {
-      // hash sum widened to decimal: long sums overflow under ANSI mode
-      val r = e.agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head
-      (r.getLong(0),
-        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
-    }
+    // Exact star-shape test, one groupBy pass: under the u > v
+    // invariant, an edge set is a family of min-rooted stars ⟺ no left
+    // endpoint repeats AND no left endpoint also appears as a right
+    // (every non-root points exactly once, at a node that points
+    // nowhere; u > v along each pointer makes that sink the component
+    // minimum). Both star operations preserve connected components
+    // (Kiveris et al.), so the FIRST star-shaped round IS the answer —
+    // no stability round, no set comparison.
+    def isStarSet(e: DataFrame): Boolean =
+      e.select(col("u"), lit(1L).as("_l"))
+        .unionByName(e.select(col("v").as("u"), lit(0L).as("_l")))
+        .groupBy("u").agg(sum(col("_l")).as("_nl"), count(lit(1)).as("_n"))
+        .where(col("_nl") > 1L || (col("_nl") >= 1L && col("_n") > col("_nl")))
+        .isEmpty
 
-    var sig = signature(edges)
-    var converged = sig._1 == 0L // no edges: every node is a singleton
+    var converged = isStarSet(edges) // empty/already-star inputs included
     var i = 0
     while (!converged && i < maxIters) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      val nsig = signature(next)
-      // exact confirmation: both are distinct sets, so equal counts +
-      // empty one-sided difference ⇒ set equality (fixpoint reached)
-      converged = nsig == sig && next.exceptAll(edges).isEmpty
-      sig = nsig
-      edges = next
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      converged = isStarSet(edges)
       i += 1
     }
     if (!converged)
