@@ -2255,9 +2255,10 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
     val fork = bl.read(0)
     val forkVersion = fork.properties.getOrElse(GraftTable.ForkVersionProp,
       throw new IllegalStateException(s"branch '$name' carries no fork marker")).toInt
-    val basePaths = fork.files.map(_.path).toSet
-    val headPaths = head.files.map(_.path).toSet
-    val removed = basePaths.diff(headPaths)
+    // group-level diff (round 20): parses only manifests the branch
+    // touched, not the fork-base table's full listing
+    val (appendedFiles, removedFiles) = Snapshot.diffFiles(fork, head)
+    val removed = removedFiles.map(_.path)
     if (removed.nonEmpty) {
       val rewriteOps = (1 to head.version).map(bl.read).map(_.operation)
         .filterNot(op => op == "append" || op.startsWith("evolve")).distinct
@@ -2277,7 +2278,7 @@ final class GraftTable(val spark: SparkSession, val tableDir: HPath, val log: Me
       s"branch '$name' staged merge-on-read deletes since the fork — " +
         "merge rebases appends only; fast-forward before main advances, " +
         "or drop the branch and re-fork")
-    val appended = head.files.filterNot(f => basePaths.contains(f.path))
+    val appended = appendedFiles
     log.commit { parent =>
       val p = parent.getOrElse(
         throw new IllegalStateException("cannot merge into an empty table"))
