@@ -44,3 +44,24 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // contributes.
   "-XX:ReservedCodeCacheSize=1g",
 ) ++ sys.env.get("GRAFT_EXTRA_JVM_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))
+
+// Parallel per-suite test JVMs (round 20): the suite outgrew the
+// driver's sbt-test budget (~46-52 min serial). Each suite forks its
+// own JVM (own SparkSession at local[4], own temp warehouse), so
+// session-conf-mutating suites (ConnectorSpec) stay isolated, and up
+// to GRAFT_TEST_JVMS (default 4) suites run concurrently — 4 x
+// local[4] = 16 threads on the 32-core box. Assertions are untouched;
+// wall drops to ~max(longest suite, total/4).
+Test / testGrouping := {
+  val opts = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+    .withWorkingDirectory(Option(baseDirectory.value))
+    .withOutputStrategy((Test / outputStrategy).value)
+  (Test / definedTests).value.map { t =>
+    Tests.Group(t.name, Seq(t), Tests.SubProcess(opts))
+  }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup,
+    sys.env.get("GRAFT_TEST_JVMS").map(_.toInt).getOrElse(4)),
+  Tags.limitAll(16))
